@@ -1,0 +1,16 @@
+"""Operator library.
+
+Modules:
+
+- ``reference_ops`` — the reference's own operator semantics (SURVEY §2A)
+  re-expressed on batch DataFrames: event-time window scan, existence
+  predicate, projection, limit/pagination, changelog-latest-state,
+  micro-batch tumbling aggregation, text-scan parse.
+- ``relational`` — the batch relational core (SURVEY §2B E-1..E-8):
+  joins, aggregation, window functions, top-k, set ops, scalar functions.
+- ``dedup`` — exact + near-duplicate detection (E-10).
+- ``similarity`` — embedding similarity search (E-11).
+- ``text`` — language-ID, quality scoring, token counting, fingerprints,
+  tf-idf (E-12).
+- ``multimodal`` — binary-column plumbing + decode stubs (E-13).
+"""

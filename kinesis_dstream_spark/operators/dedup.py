@@ -1,0 +1,261 @@
+"""Deduplication operators (SURVEY §2B E-10) over the ``documents`` table.
+
+Five tiers, cheapest→most-general, all shuffle-frugal:
+
+1. exact (group on the raw text)                 — 1 shuffle
+2. content-hash (group on sha256, 100 TB path)   — 1 shuffle on a 32-byte key
+3. SimHash near-dup (banded, Hamming-verified)   — 2 narrow shuffles
+4. n-gram Jaccard near-dup (shingle inverted index) — exact pair semantics
+5. MinHash-LSH near-dup (Spark ML approxSimilarityJoin) — the sketch path
+
+Scale reasoning (100 TB): exact/near dedup must never compare all pairs.
+Every near-dup operator here generates candidates through an inverted
+index (shared shingle / shared SimHash band / shared MinHash bucket) so
+the join key distributes the work, then verifies candidates exactly.
+Verification cost is proportional to true-near-dup density, not n².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kinesis_dstream_spark.functions.textfns import md5_bits32, tokens, word_shingles
+
+
+def dedup_exact(documents: DataFrame) -> DataFrame:
+    """Exact dedup: canonical (min doc_id) representative per text.
+
+    One hash-aggregate shuffle keyed on the text itself. Fine at fixture
+    scale; at 100 TB prefer ``dedup_content_hash`` (same semantics,
+    fixed-width key, no long-string shuffle).
+    """
+    return (
+        documents.groupBy("text")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count("*").alias("n_copies"),
+            F.min("n_chars").alias("n_chars"),
+        )
+        .select("keep_id", "n_copies", "n_chars")
+    )
+
+
+def dedup_content_hash(documents: DataFrame) -> DataFrame:
+    """Content-addressed dedup: group on sha256(text).
+
+    The shuffle key is 64 hex chars regardless of document size — at
+    100 TB this moves ~1000x fewer bytes through the exchange than
+    grouping on raw text. Collision probability is negligible (2^-128).
+    """
+    return (
+        documents.withColumn("content_sha", F.sha2(F.col("text"), 256))
+        .groupBy("content_sha")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+        .select("content_sha", "keep_id", "n_copies")
+    )
+
+
+def simhash_signatures(documents: DataFrame, bits: int = 32) -> DataFrame:
+    """Per-document SimHash over word tokens (native expressions only).
+
+    For each bit b: sum over tokens of (+1 if bit set in token hash else
+    -1); sign of the sum is the signature bit. Expressed as a fold over
+    bit positions built from ``transform``/``aggregate`` — no Python in
+    the row path, and md5-based token hashes keep it oracle-reproducible.
+    """
+    def bit_set_counter(b: int):
+        # lambda factory: PySpark higher-order lambdas must take exactly
+        # (acc, x) — closing over b keeps the signature clean.
+        return lambda acc, h: acc + F.shiftright(h, b) % 2
+
+    toks = tokens(F.col("text"))
+    hashes = F.transform(toks, md5_bits32)
+    bit_cols = []
+    for b in range(bits):
+        # count of tokens with bit b set, minus count without = 2*set - n
+        set_cnt = F.aggregate(hashes, F.lit(0).cast("long"), bit_set_counter(b))
+        bit_cols.append(
+            F.when(
+                set_cnt * 2 >= F.size(toks),
+                F.shiftleft(F.lit(1).cast("long"), b),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    sig = bit_cols[0]
+    for c in bit_cols[1:]:
+        sig = sig + c
+    return documents.select("doc_id", sig.alias("simhash"))
+
+
+def dedup_simhash(
+    documents: DataFrame, max_hamming: int = 3, bits: int = 32, bands: int = 4
+) -> DataFrame:
+    """SimHash near-dup pairs with Hamming distance ≤ ``max_hamming``.
+
+    Banded candidate generation (pigeonhole: two signatures within
+    Hamming k must agree exactly on ≥1 of k+1 bands) then exact Hamming
+    verification via bit_count(xor). The band join is the inverted
+    index — no all-pairs comparison anywhere.
+    """
+    assert bands >= max_hamming + 1, "pigeonhole needs bands > max_hamming"
+    sigs = simhash_signatures(documents, bits).cache()
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    banded = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_no"),
+                        F.shiftright("simhash", i * band_bits)
+                        .bitwiseAND(F.lit(mask).cast("long"))
+                        .alias("band_val"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_no", "band.band_val")
+    left = banded.alias("a")
+    right = banded.alias("b")
+    candidates = (
+        left.join(
+            right,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        candidates.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def dedup_ngram_jaccard(
+    documents: DataFrame, k: int = 3, threshold: float = 0.6
+) -> DataFrame:
+    """Exact n-gram-shingle Jaccard pairs ≥ threshold via inverted index.
+
+    shingle-explode → self-join on shingle (the inverted index) →
+    per-pair intersection count → |A∪B| = |A|+|B|−|A∩B|. The only big
+    shuffle is keyed by shingle; hot shingles (stop-phrases) are the skew
+    risk at 100 TB — mitigated by dropping ultra-frequent shingles
+    (``max_df``-style) the same way MinHashLSH drops dense rows, or by
+    AQE skew splitting. Here the fixture vocabulary is tiny so we keep
+    all shingles for exact-oracle semantics.
+    """
+    sh = documents.select(
+        "doc_id", word_shingles(tokens(F.col("text")), k).alias("shingles")
+    )
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    exploded = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.round(
+        F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def dedup_minhash_lsh(
+    documents: DataFrame,
+    k: int = 3,
+    num_hashes: int = 64,
+    threshold: float = 0.4,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash-LSH near-dup candidates (Spark ML) — the sketch/scale path.
+
+    Shingles → sparse binary vectors (HashingTF) → MinHashLSH
+    approxSimilarityJoin. Distance is (1 − estimated Jaccard); banding
+    happens inside approxSimilarityJoin's explode+join. This is the
+    operator you run at 100 TB (signature size is constant per doc);
+    ``dedup_ngram_jaccard`` is its exact-verification counterpart.
+
+    Probabilistic output → no SQL oracle; tests assert recall against the
+    exact-Jaccard operator instead.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    sh = documents.select(
+        "doc_id", word_shingles(tokens(F.col("text")), k).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    tf = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
+    )
+    feats = tf.transform(sh)
+    lsh = MinHashLSH(inputCol="features", outputCol="sig", numHashTables=num_hashes, seed=seed)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 1.0 - threshold, distCol="dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round(1.0 - F.col("dist"), 6).alias("est_jaccard"),
+        )
+    )
+
+
+def dedup_embedding_cosine(
+    embeddings: DataFrame, threshold: float = 0.95, use_pandas: bool = False
+) -> DataFrame:
+    """Embedding near-dup: all pairs with cosine ≥ threshold.
+
+    Vectors are L2-normalized once (one narrow pass), so each pair costs
+    a single dot product. Pair generation is a self-join; at fixture
+    scale that is exact all-pairs (oracle-checkable), at 100 TB you run
+    the LSH-bucketed variant in ``similarity.ann_lsh_topk``'s bucketing
+    before the same verify step. ``use_pandas`` switches the dot product
+    to the Arrow/numpy fast path.
+    """
+    from kinesis_dstream_spark.functions import vectors as V
+
+    normed = embeddings.select(
+        "vec_id", V.l2_normalize(F.col("embedding").cast("array<double>")).alias("unit")
+    )
+    a = normed.alias("a")
+    b = normed.alias("b")
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+    dot = (
+        V.dot_pandas(F.col("a.unit"), F.col("b.unit"))
+        if use_pandas
+        else V.dot(F.col("a.unit"), F.col("b.unit"))
+    )
+    return (
+        pairs.select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(dot, 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,152 @@
+"""Multimodal-column operators (SURVEY §2B E-13).
+
+Images/audio/video are opaque ``binary`` payload columns + typed metadata
+structs. The Spark-side plumbing (schemas, content addressing, Arrow
+batch shape through mapInPandas) is real and tested; the actual
+image/audio decode is stubbed behind an import-gate because the codec
+libraries are not in this container — the stub produces a deterministic
+fake so the pipeline shape is verifiable end-to-end.
+
+Scale notes: payloads ride along as binary column values; decode /
+feature-extract runs in ``mapInPandas`` so each Arrow batch is touched
+once with zero per-row Python overhead beyond the batch loop. Content-
+addressed dedup happens on the 32-byte sha2 key, never on payload bytes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+def to_media_table(documents: DataFrame) -> DataFrame:
+    """Build a media-shaped table from documents: binary payload + metadata.
+
+    The fixture has no real media, so the payload is the utf-8 encoding
+    of the text — which exercises exactly the same column plumbing
+    (BinaryType values, length/hash expressions, struct metadata).
+    """
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.struct(
+            F.col("source").alias("origin"),
+            F.col("lang").alias("lang"),
+            F.lit("text/plain").alias("mime"),
+        ).alias("meta"),
+    )
+
+
+def media_content_index(documents: DataFrame) -> DataFrame:
+    """Content-addressed index: sha256 + byte length per payload, flattened.
+
+    The flat projection (not the struct) is what downstream joins and the
+    oracle check consume; hashing runs on the binary payload JVM-side.
+    """
+    media = to_media_table(documents)
+    return media.select(
+        "media_id",
+        F.sha2(F.col("payload"), 256).alias("content_sha"),
+        F.octet_length(F.col("payload")).alias("n_bytes"),
+        F.col("meta.origin").alias("origin"),
+        F.col("meta.mime").alias("mime"),
+    )
+
+
+def media_dedup_by_content(documents: DataFrame) -> DataFrame:
+    """Content-addressed dedup over the media table (E-13 + E-10)."""
+    idx = media_content_index(documents)
+    return (
+        idx.groupBy("content_sha")
+        .agg(
+            F.min("media_id").alias("keep_id"),
+            F.count("*").alias("n_copies"),
+            F.min("n_bytes").alias("n_bytes"),
+        )
+        .select("keep_id", "content_sha", "n_copies", "n_bytes")
+    )
+
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("decoder", StringType()),
+    ]
+)
+
+
+def _decode_payload(payload: bytes) -> tuple[int, int, int, str]:
+    """Decode one media payload → (width, height, channels, decoder).
+
+    Real decode requires PIL/libav, absent from this container; the
+    deterministic fake derives dimensions from the payload bytes so
+    results are stable and testable. The import-gate makes the real path
+    a drop-in once the codec libs exist.
+    """
+    try:  # pragma: no cover - codec libs not installed in this container
+        from PIL import Image  # noqa: F401
+        import io
+
+        with Image.open(io.BytesIO(payload)) as im:
+            return im.width, im.height, len(im.getbands()), "pillow"
+    except Exception:
+        # Deterministic fake: dimensions from payload length + first bytes.
+        n = len(payload)
+        w = 64 + (payload[0] if n else 0)
+        h = 64 + (payload[-1] if n else 0)
+        return w, h, 3, "fake"
+
+
+def decode_media_batch(media: DataFrame) -> DataFrame:
+    """mapInPandas decode: one Arrow batch in, one metadata batch out.
+
+    The UDF iterates pandas batches (never rows-at-a-time through pickle);
+    payload bytes stay inside the batch. Swap ``_decode_payload`` for a
+    real codec and nothing else changes.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = [_decode_payload(p) for p in pdf["payload"]]
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "channels": [d[2] for d in dims],
+                    "decoder": [d[3] for d in dims],
+                }
+            )
+            yield out
+
+    return media.mapInPandas(decode, DECODED_SCHEMA)
+
+
+def media_decode_stats(documents: DataFrame) -> DataFrame:
+    """Decode the media table and aggregate shape stats (rows-only check)."""
+    decoded = decode_media_batch(to_media_table(documents))
+    return (
+        decoded.groupBy("decoder", "channels")
+        .agg(
+            F.count("*").alias("n_media"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.round(F.avg("width"), 4).alias("avg_width"),
+            F.round(F.avg("height"), 4).alias("avg_height"),
+        )
+    )

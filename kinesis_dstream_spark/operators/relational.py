@@ -1,0 +1,368 @@
+"""Batch relational core (SURVEY §2B E-1..E-8).
+
+The reference has no local relational executor (SURVEY §2A "explicit
+absences") — joins, aggregation, window functions, sorts, and set ops all
+come from Spark built-ins here, expressed declaratively so Catalyst gets
+join reordering, predicate pushdown, column pruning, and partial
+aggregation for free.
+
+Scale notes (100 TB):
+- Dimension tables (region/nation/supplier/part at TPC-H proportions) are
+  broadcast explicitly — no shuffle of the fact table for those joins.
+- Fact-fact joins (orders ⋈ lineitem) shuffle on the join key once; AQE
+  handles skew splitting.
+- Every aggregate is a plain hash aggregate with map-side partial
+  aggregation; no distinct-on-top-of-sort patterns.
+- Top-k uses TakeOrderedAndProject (local top-k per partition, k rows to
+  the final stage) — never a global sort of the full input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kinesis_dstream_spark.functions.exact import exact_avg, exact_sum
+
+
+def q1_pricing_summary(lineitem: DataFrame, cutoff: str = "2024-11-01") -> DataFrame:
+    """TPC-H Q1 shape: wide scan-side aggregate with derived expressions.
+
+    Pure map-side arithmetic + one hash aggregate; the shipdate filter is
+    pushed to the parquet scan.
+    """
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            # fixed-point sums/avgs: order-independent, bit-identical to
+            # the DuckDB oracle (see functions/exact.py)
+            exact_sum(F.col("l_quantity")).alias("sum_qty"),
+            exact_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            exact_sum(disc_price).alias("sum_disc_price"),
+            exact_sum(charge).alias("sum_charge"),
+            exact_avg(F.col("l_quantity")).alias("avg_qty"),
+            exact_avg(F.col("l_extendedprice")).alias("avg_price"),
+            exact_avg(F.col("l_discount"), scale=1_000_000, dp=6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q3_shipping_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    date: str = "2024-06-15",
+) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → fact join → agg → top-k.
+
+    ``customer`` (filtered to one segment) is broadcast; orders⋈lineitem
+    shuffles on the orderkey once. Top-10 is an ordered limit, not a
+    global sort.
+    """
+    cut = F.lit(date).cast("timestamp")
+    cust = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        orders.filter(F.col("o_orderdate") < cut)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            lineitem.filter(F.col("l_shipdate") > cut),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(exact_sum(revenue).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+    )
+
+
+def q5_local_supplier_volume(
+    tables: dict[str, DataFrame],
+    region_name: str = "REGION_1",
+    date_lo: str = "2024-01-01",
+    date_hi: str = "2025-01-01",
+) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join through the dimension snowflake.
+
+    region→nation is a tiny broadcast chain; the fact-side joins
+    (orders⋈lineitem⋈supplier⋈customer) keep the fact table on the build
+    side of broadcasts wherever a dim fits, and the nation-match predicate
+    (customer and supplier in the same nation) is an ordinary equi-join
+    condition — no cross product.
+    """
+    t = tables
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nations = (
+        t["nation"]
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == region_name)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    return (
+        t["orders"]
+        .filter(
+            (F.col("o_orderdate") >= F.lit(date_lo).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(date_hi).cast("timestamp"))
+        )
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            t["customer"],
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(exact_sum(revenue).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Anti join (E-3): customers that never placed an order."""
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_nationkey")
+    )
+
+
+def customers_with_high_value_orders(
+    customer: DataFrame, orders: DataFrame, min_total: float = 400000.0
+) -> DataFrame:
+    """Semi join (E-3): customers with ≥1 order above a total threshold."""
+    big = orders.filter(F.col("o_totalprice") > min_total)
+    return (
+        customer.join(big, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"))
+    )
+
+
+def outer_join_order_counts(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Left outer join + agg (E-3/E-4): order count per customer incl. zeros."""
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(
+                F.coalesce(F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")), F.lit(0))
+                / 100.0,
+                2,
+            ).alias("total_spent"),
+        )
+    )
+
+
+def rollup_sales(lineitem: DataFrame) -> DataFrame:
+    """Grouping-sets aggregate (E-4): ROLLUP over (returnflag, linestatus).
+
+    Spark expands grouping sets before the single hash aggregate — still
+    one shuffle. ``grouping_id`` disambiguates subtotal rows from real
+    NULL keys.
+    """
+    return (
+        lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            exact_sum(F.col("l_extendedprice")).alias("sum_price"),
+            F.grouping_id().alias("gid"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_rows",
+            "sum_price",
+            "gid",
+        )
+    )
+
+
+def distinct_agg_stats(orders: DataFrame) -> DataFrame:
+    """Distinct aggregation (E-4): exact count-distinct per group."""
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_distinct_cust"),
+            F.count("*").alias("n_orders"),
+            exact_avg(F.col("o_totalprice"), dp=2).alias("avg_total"),
+        )
+    )
+
+
+def approx_distinct_users(events: DataFrame, rsd: float = 0.02) -> DataFrame:
+    """Sketch aggregate (E-4): HyperLogLog++ approximate count-distinct.
+
+    The 100 TB path for cardinality: mergeable constant-memory sketches
+    instead of an exact distinct shuffle. No SQL oracle (sketch estimates
+    are engine-specific); the pytest suite bounds the relative error
+    against the exact count instead.
+    """
+    return (
+        events.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd).alias("approx_users"))
+        .orderBy("event_type")
+    )
+
+
+def window_rank_parts(part: DataFrame, k: int = 3) -> DataFrame:
+    """Ranking window functions (E-5/E-6): top-k per group via dense_rank.
+
+    The per-group top-k idiom: one shuffle on the partition key, ranks
+    computed per partition, filter keeps k rows per group. No global sort.
+    """
+    # dense_rank depends only on the price values (equal prices share a
+    # rank), so the output SET is deterministic without a tie-break column.
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc())
+    return (
+        part.withColumn("price_rank", F.dense_rank().over(w))
+        .filter(F.col("price_rank") <= k)
+        .select("p_brand", "p_partkey", "p_name",
+                F.round("p_retailprice", 2).alias("retailprice"), "price_rank")
+    )
+
+
+def window_running_totals(orders: DataFrame) -> DataFrame:
+    """Analytic window functions (E-5): lag + running sum per customer."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum(cents).over(running) / 100.0, 2).alias("running_total"),
+        F.round(
+            F.col("o_totalprice") - F.coalesce(F.lag("o_totalprice").over(w), F.lit(0.0)),
+            2,
+        ).alias("delta_prev"),
+    )
+
+
+def global_topk_orders(orders: DataFrame, k: int = 25) -> DataFrame:
+    """Global top-k (E-6): ordered limit → TakeOrderedAndProject."""
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(k)
+        .select("o_orderkey", "o_custkey",
+                F.round("o_totalprice", 2).alias("totalprice"), "o_orderstatus")
+    )
+
+
+def set_ops_customers(orders: DataFrame) -> DataFrame:
+    """Set operations (E-7): intersect / except / union on key sets.
+
+    Customers who ordered in both halves of 2024 (intersect), only in H1
+    (except), tagged and unioned into one result.
+    """
+    mid = F.lit("2024-07-01").cast("timestamp")
+    h1 = orders.filter(F.col("o_orderdate") < mid).select("o_custkey").distinct()
+    h2 = orders.filter(F.col("o_orderdate") >= mid).select("o_custkey").distinct()
+    both = h1.intersect(h2).withColumn("cohort", F.lit("both_halves"))
+    h1_only = h1.exceptAll(h2).withColumn("cohort", F.lit("h1_only"))
+    return both.unionByName(h1_only).select("o_custkey", "cohort")
+
+
+def scalar_functions_showcase(part: DataFrame) -> DataFrame:
+    """Scalar function library (E-8): string/math/conditional expressions.
+
+    Everything stays inside whole-stage codegen — zero Python in the row
+    path.
+    """
+    return part.select(
+        "p_partkey",
+        F.lower(F.col("p_name")).alias("name_lower"),
+        F.length(F.col("p_name")).alias("name_len"),
+        F.regexp_extract(F.col("p_type"), r"^(\w+)", 1).alias("type_head"),
+        F.substring(F.col("p_brand"), 1, 5).alias("brand_prefix"),
+        F.round(F.sqrt(F.abs(F.col("p_retailprice"))), 4).alias("price_sqrt"),
+        F.when(F.col("p_size") >= 25, "large")
+        .when(F.col("p_size") >= 10, "medium")
+        .otherwise("small")
+        .alias("size_class"),
+        (F.col("p_partkey") % 16).cast("int").alias("bucket"),
+    )
+
+
+def date_functions_showcase(orders: DataFrame) -> DataFrame:
+    """Date/time function library (E-8) + aggregation by derived keys."""
+    return (
+        orders.select(
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+            F.dayofweek("o_orderdate").alias("dow"),
+            "o_totalprice",
+        )
+        .groupBy("yr", "mo", "dow")
+        .agg(F.count("*").alias("n"), exact_sum(F.col("o_totalprice")).alias("total"))
+    )
+
+
+def asof_join_latest_event(
+    orders: DataFrame, events: DataFrame, horizon_days: int = 7
+) -> DataFrame:
+    """As-of join (E-3): latest event per order within a bounded horizon.
+
+    As-of joins aren't a Spark built-in; the scalable composition is a
+    *bounded* range join + per-left-row argmax. The horizon bound is what
+    makes it scale: it turns an unbounded inequality join (quadratic blow-
+    up) into a band join AQE can handle, and is the same trick a
+    range-bucketed implementation would formalize. Informed by the
+    distributed range/top-k join literature (PAPERS.md).
+    """
+    ev = events.select(
+        F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts"),
+        F.col("event_type").alias("e_type"), F.col("event_id").alias("e_id"),
+    )
+    lo = F.col("o_orderdate") - F.expr(f"INTERVAL {horizon_days} DAYS")
+    joined = orders.join(
+        ev,
+        (F.col("o_custkey") == F.col("e_user"))
+        & (F.col("e_ts") <= F.col("o_orderdate"))
+        & (F.col("e_ts") >= lo),
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("e_ts").desc(), F.col("e_id").desc())
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("e_id").alias("last_event_id"),
+            F.col("e_type").alias("last_event_type"),
+            F.date_format("e_ts", "yyyy-MM-dd HH:mm:ss").alias("last_event_ts"),
+        )
+    )
+
+
+def range_join_value_bands(spark, events: DataFrame) -> DataFrame:
+    """Non-equi (range) join (E-3): bucket events into value bands.
+
+    The band table is tiny and broadcast; the range condition runs as a
+    BroadcastNestedLoopJoin over 4 band rows — constant extra cost per
+    event row, scales linearly.
+    """
+    bands = spark.createDataFrame(
+        [(0.0, 50.0, "low"), (50.0, 150.0, "mid"), (150.0, 500.0, "high"),
+         (500.0, float("inf"), "extreme")],
+        "band_lo double, band_hi double, band string",
+    )
+    return (
+        events.join(
+            F.broadcast(bands),
+            (F.col("value") >= F.col("band_lo")) & (F.col("value") < F.col("band_hi")),
+        )
+        .groupBy("band")
+        .agg(F.count("*").alias("n_events"), exact_avg(F.col("value"), scale=10_000).alias("avg_value"))
+    )

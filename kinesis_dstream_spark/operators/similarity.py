@@ -1,0 +1,167 @@
+"""Similarity search over embeddings (SURVEY §2B E-11).
+
+Two paths, same top-k semantics:
+
+- ``ann_bruteforce_topk``: exact — broadcast the (small) query set against
+  the full corpus, score every pair, per-query top-k via window. The
+  corpus is never shuffled: queries are broadcast, scoring is map-side,
+  and only k rows per query survive into the final exchange. This is the
+  correct *exact* plan even at 100 TB when |queries| is small.
+- ``ann_lsh_topk``: approximate — random-hyperplane (sign) LSH buckets
+  both sides; scoring happens only within matching buckets. Sub-linear
+  candidate generation for large query sets; recall is tested against the
+  brute-force oracle in pytest (design informed by the distributed
+  similarity-join/top-k literature, PAPERS.md).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kinesis_dstream_spark.functions import vectors as V
+
+
+def _normalized(embeddings: DataFrame) -> DataFrame:
+    return embeddings.select(
+        "vec_id",
+        "label",
+        V.l2_normalize(F.col("embedding").cast("array<double>")).alias("unit"),
+    )
+
+
+def ann_bruteforce_topk(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    use_pandas: bool = False,
+) -> DataFrame:
+    """Exact cosine top-k: queries = vec_id < n_queries vs whole corpus.
+
+    Join condition is only q ≠ c, so Catalyst plans a broadcast nested
+    loop with the tiny query side broadcast — a single map-side pass over
+    the corpus. Per-query top-k via row_number keeps the shuffle at
+    |queries| × k rows. Ties broken on vec_id for determinism.
+    """
+    normed = _normalized(embeddings)
+    queries = normed.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("unit").alias("q_unit")
+    )
+    corpus = normed.select(F.col("vec_id").alias("c_id"), F.col("unit").alias("c_unit"))
+    dot = (
+        V.dot_pandas(F.col("q_unit"), F.col("c_unit"))
+        if use_pandas
+        else V.dot(F.col("q_unit"), F.col("c_unit"))
+    )
+    scored = (
+        corpus.join(F.broadcast(queries), F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", F.round(dot, 4).alias("cos_sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "c_id", "cos_sim", "rk")
+    )
+
+
+def lsh_bucket_ids(
+    embeddings: DataFrame, n_planes: int = 8, dim: int = 64, seed: int = 42
+) -> DataFrame:
+    """Sign-LSH bucket id per vector from fixed random hyperplanes.
+
+    Hyperplanes are generated once on the driver (deterministic seed) and
+    embedded as literals — a few hundred doubles, free to ship in the
+    plan. Bucket id = sign bits of the n_planes projections. All scoring
+    math stays in JVM expressions.
+    """
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(n_planes, dim)
+
+    normed = _normalized(embeddings)
+
+    def projection(plane: np.ndarray):
+        arr = F.array(*[F.lit(float(x)) for x in plane])
+        return V.dot(F.col("unit"), arr)
+
+    bucket = F.lit(0).cast("long")
+    for i in range(n_planes):
+        bucket = bucket + F.when(projection(planes[i]) >= 0,
+                                 F.shiftleft(F.lit(1).cast("long"), i)).otherwise(0)
+    return normed.withColumn("bucket", bucket)
+
+
+def ann_lsh_topk(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k: score only within matching LSH buckets.
+
+    The bucket equi-join replaces the all-pairs condition — candidates
+    per query drop by ~2^n_planes. Output schema matches the brute-force
+    operator so recall can be measured directly. Probabilistic → tested
+    via recall bounds, not a SQL oracle.
+    """
+    bucketed = lsh_bucket_ids(embeddings, n_planes=n_planes, seed=seed)
+    queries = bucketed.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("unit").alias("q_unit"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    corpus = bucketed.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("unit").alias("c_unit"),
+        F.col("bucket").alias("c_bucket"),
+    )
+    scored = (
+        corpus.join(
+            F.broadcast(queries),
+            (F.col("q_bucket") == F.col("c_bucket")) & (F.col("q_id") != F.col("c_id")),
+        )
+        .select("q_id", "c_id", F.round(V.dot(F.col("q_unit"), F.col("c_unit")), 4).alias("cos_sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "c_id", "cos_sim", "rk")
+    )
+
+
+def centroid_similarity_by_label(embeddings: DataFrame) -> DataFrame:
+    """Per-label centroid then each vector's cosine to its own centroid.
+
+    Demonstrates vector *aggregation* (element-wise mean of arrays) as a
+    native agg: explode-free via ``aggregate`` over collected... no —
+    posexplode + groupBy(label, pos) keeps it fully distributed: the
+    shuffle key (label, pos) has cardinality |labels|×dim, far smaller
+    than the data, and no row ever holds more than one scalar.
+    """
+    dims = (
+        embeddings.select(
+            "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x")
+        )
+        .groupBy("label", "pos")
+        .agg(F.avg("x").alias("mean_x"))
+    )
+    centroids = (
+        dims.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "mean_x"))).alias("pairs"))
+        .select(
+            "label",
+            F.transform(F.col("pairs"), lambda p: p.getField("mean_x")).alias("centroid"),
+        )
+    )
+    joined = embeddings.join(F.broadcast(centroids), "label")
+    cos = V.cosine(F.col("embedding").cast("array<double>"), F.col("centroid"))
+    return (
+        joined.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg(cos), 4).alias("avg_cos_to_centroid"),
+        )
+    )

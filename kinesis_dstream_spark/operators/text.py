@@ -1,0 +1,157 @@
+"""Text-analysis operators (SURVEY §2B E-12) over ``documents``.
+
+Language-ID, quality scoring, token counting, fingerprinting, tf-idf —
+the per-document stages of a training-data pipeline. Everything is
+JVM-side column expressions (one narrow pass per doc) except where a
+shuffle is semantically required (document frequency in tf-idf). At
+100 TB these are the cheap operators: embarrassingly parallel scans whose
+cost is bounded by parquet read throughput.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kinesis_dstream_spark.functions.textfns import rolling_fingerprint, tokens
+
+# Tiny per-language marker-word sets for the n-gram/stopword heuristic.
+# Deliberately simple + engine-portable: the oracle replicates the exact
+# same sets, so the *operator semantics* (argmax over marker hits with a
+# fixed tie order) are what is verified.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is", "to", "in"),
+    "es": ("el", "la", "de", "que", "y", "en", "un"),
+    "fr": ("le", "la", "de", "et", "un", "une", "est"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "zu"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和"),
+}
+LANG_ORDER = ("en", "es", "fr", "de", "zh")
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Marker-word language ID: argmax of per-language hit counts.
+
+    ``size(filter(tokens, t in markers))`` per language — five narrow
+    array passes, no shuffle. Ties (incl. zero hits everywhere) resolve
+    to 'unknown' / fixed LANG_ORDER priority, making output deterministic
+    and oracle-checkable.
+    """
+
+    def hit_counter(markers: tuple[str, ...]):
+        arr = F.array(*[F.lit(m) for m in markers])
+        return lambda toks: F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    toks = tokens(F.lower(F.col("text")))
+    df = documents.select("doc_id", "lang", *[
+        hit_counter(LANG_MARKERS[lang])(toks).alias(f"hits_{lang}") for lang in LANG_ORDER
+    ])
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in LANG_ORDER])
+    pred = F.when(best == 0, F.lit("unknown"))
+    for lang in LANG_ORDER:  # first lang reaching the max wins (fixed tie order)
+        pred = pred.when(F.col(f"hits_{lang}") == best, F.lit(lang))
+    return df.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        pred.alias("pred_lang"),
+        *[F.col(f"hits_{lang}") for lang in LANG_ORDER],
+    )
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Heuristic quality metrics + composite score per document.
+
+    Length, mean word length, type-token ratio, stopword ratio — the
+    standard cheap filters run before expensive pipeline stages. Pure
+    map-side arithmetic.
+    """
+    toks = tokens(F.col("text"))
+    en_stop = F.array(*[F.lit(m) for m in LANG_MARKERS["en"]])
+    n_tok = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(en_stop, t)))
+    mean_wlen = (F.length(F.col("text")) - (n_tok - 1)) / n_tok  # chars sans separators
+    ttr = n_uniq / n_tok
+    stop_ratio = stop_hits / n_tok
+    score = (
+        F.least(n_tok / F.lit(200.0), F.lit(1.0)) * 0.4
+        + ttr * 0.4
+        + F.least(stop_ratio * 5, F.lit(1.0)) * 0.2
+    )
+    return documents.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_uniq.alias("n_unique"),
+        F.round(mean_wlen, 4).alias("mean_word_len"),
+        F.round(ttr, 4).alias("type_token_ratio"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(score, 4).alias("quality"),
+    )
+
+
+def token_stats(documents: DataFrame) -> DataFrame:
+    """Token counting per doc: whitespace tokens + a BPE-ish estimate.
+
+    The BPE-ish count approximates subword tokenizers as
+    ceil(n_chars / 4) bounded below by the word count — the standard
+    budget heuristic for LLM corpus sizing. Aggregated per (lang, source)
+    to show corpus-level budgeting: one small shuffle.
+    """
+    toks = tokens(F.col("text"))
+    n_ws = F.size(toks)
+    n_bpe = F.greatest(F.ceil(F.length("text") / 4.0), n_ws.cast("long"))
+    per_doc = documents.select("lang", "source", n_ws.alias("n_ws"), n_bpe.alias("n_bpe"))
+    return (
+        per_doc.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_ws").alias("total_ws_tokens"),
+            F.sum("n_bpe").alias("total_bpe_tokens"),
+            F.round(F.avg("n_ws"), 4).alias("avg_ws_tokens"),
+        )
+    )
+
+
+def doc_fingerprints(documents: DataFrame) -> DataFrame:
+    """Per-document rolling-hash fingerprint (content identity).
+
+    Polynomial fold over the character stream (see textfns) — an
+    engine-portable stand-in for xxhash-style content ids; useful for
+    dedup ledger joins where the id must be reproducible outside Spark.
+    """
+    return documents.select(
+        "doc_id",
+        rolling_fingerprint(F.col("text")).alias("fingerprint"),
+        F.length("text").alias("n_chars_computed"),
+    )
+
+
+def tfidf_top_terms(documents: DataFrame, top_k: int = 3, max_doc_id: int = 100) -> DataFrame:
+    """tf-idf: top-k highest-scoring terms per document.
+
+    Term frequencies are per-doc (map-side after one explode); document
+    frequency is the one true shuffle (term key). idf = ln((N+1)/(df+1)).
+    Output restricted to doc_id < max_doc_id to keep result sets bounded;
+    the computation itself always runs over the full corpus (df is
+    corpus-wide — restricting early would change the semantics).
+    """
+    toks = documents.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = toks.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    n_docs = documents.count()  # scalar; cheap count-star over parquet metadata
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 6),
+        )
+        .filter(F.col("doc_id") < max_doc_id)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_k)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rk")
+    )

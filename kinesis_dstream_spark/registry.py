@@ -1,0 +1,829 @@
+"""Query registry: the driver-facing inventory (SURVEY §2).
+
+Each entry pairs a Spark DataFrame builder with a DuckDB-runnable ANSI
+SQL oracle. Parity rules (SURVEY §7 hard-part 1):
+
+- every computed column aliased identically on both sides;
+- timestamps emitted as formatted strings (ns/us precision differences
+  can't leak into the hash);
+- float sums/avgs use fixed-point integer aggregation
+  (functions/exact.py) so results are bit-identical regardless of
+  accumulation order;
+- per-row float arithmetic mirrored expression-for-expression (IEEE ops
+  on identical operands are deterministic);
+- top-k queries carry explicit total-order tie-breaks.
+
+Queries marked ``oracle=None`` are genuinely non-SQL-expressible
+(probabilistic sketches, LSH candidates, stubbed decoders) — the driver
+records the weaker rows-only check and pytest covers their semantics
+(recall bounds / error bounds / determinism) instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_dstream_spark.functions.exact import avg_sql, sum_sql
+from kinesis_dstream_spark.operators import (
+    dedup,
+    multimodal,
+    reference_ops,
+    relational,
+    similarity,
+    text,
+)
+from kinesis_dstream_spark.tables import load_table, load_tables
+
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+# DuckDB twin of functions/textfns.tokens()
+_DUCK_TOKS = "str_split(trim(regexp_replace({col}, '\\s+', ' ', 'g')), ' ')"
+
+
+# --------------------------------------------------------------------------
+# reference-semantics family (SURVEY §2A) on the events table
+# --------------------------------------------------------------------------
+
+
+def _q_poll_window_filter(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return reference_ops.poll_window_filter(ev).select(
+        "event_id",
+        F.date_format("ts", TS_FMT_SPARK).alias("ts_s"),
+        "user_id",
+        "event_type",
+    )
+
+
+_SQL_POLL_WINDOW = f"""
+SELECT event_id, strftime(ts, '{TS_FMT_DUCK}') AS ts_s, user_id, event_type
+FROM events
+WHERE ts BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-20 00:00:00'
+  AND props IS NOT NULL
+"""
+
+
+def _q_changelog_latest(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return reference_ops.changelog_latest_state(ev).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.date_format("ts", TS_FMT_SPARK).alias("ts_s"),
+    )
+
+
+_SQL_CHANGELOG = f"""
+SELECT user_id, event_id, event_type, value, strftime(ts, '{TS_FMT_DUCK}') AS ts_s
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def _q_json_props(spark: SparkSession, sf: str) -> DataFrame:
+    return reference_ops.json_props_extract(load_table(spark, sf, "events"))
+
+
+_SQL_JSON_PROPS = """
+SELECT event_id, user_id, event_type,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS INT) IS NOT NULL
+  AND CAST(json_extract_string(props, '$.k') AS INT) >= 50
+"""
+
+
+def _q_tumbling(spark: SparkSession, sf: str) -> DataFrame:
+    return reference_ops.microbatch_tumbling_counts(load_table(spark, sf, "events"))
+
+
+_SQL_TUMBLING = f"""
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS win_day,
+       event_type,
+       count(*) AS n_events,
+       {sum_sql('value')} AS sum_value,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2
+"""
+
+
+def _q_page_limit(spark: SparkSession, sf: str) -> DataFrame:
+    return reference_ops.page_limit_topk(load_table(spark, sf, "events"))
+
+
+_SQL_PAGE_LIMIT = """
+SELECT event_id, user_id, event_type, value
+FROM events ORDER BY ts ASC, event_id ASC LIMIT 100
+"""
+
+
+def _q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    return reference_ops.sessionize_events(load_table(spark, sf, "events"))
+
+
+_SQL_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sess AS (
+  SELECT user_id, us,
+         CAST(sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING
+         ) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       round((max(us) - min(us)) / 1e6, 3) AS duration_s
+FROM sess GROUP BY user_id, session_id HAVING count(*) >= 3
+"""
+
+
+def _q_parse_text(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    lines = docs.select(
+        F.concat_ws(" ", "doc_id", "lang", "source", "text").alias("line")
+    )
+    parsed = reference_ops.parse_text_table(lines, pattern="spark")
+    return parsed.select(
+        "pid",
+        F.col("user").alias("usr"),
+        F.col("time").alias("tcol"),
+        F.concat_ws(" ", "command").alias("cmd"),
+    )
+
+
+_SQL_PARSE_TEXT = """
+SELECT CAST(doc_id AS VARCHAR) AS pid, lang AS usr, source AS tcol, text AS cmd
+FROM documents
+WHERE regexp_matches(doc_id || ' ' || lang || ' ' || source || ' ' || text, 'spark')
+"""
+
+
+# --------------------------------------------------------------------------
+# relational core (E-1..E-8) on the TPC-H-ish tables
+# --------------------------------------------------------------------------
+
+
+def _q1(spark: SparkSession, sf: str) -> DataFrame:
+    return relational.q1_pricing_summary(load_table(spark, sf, "lineitem"))
+
+
+_SQL_Q1 = f"""
+SELECT l_returnflag, l_linestatus,
+       {sum_sql('l_quantity')} AS sum_qty,
+       {sum_sql('l_extendedprice')} AS sum_base_price,
+       {sum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {sum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {avg_sql('l_quantity')} AS avg_qty,
+       {avg_sql('l_extendedprice')} AS avg_price,
+       {avg_sql('l_discount', scale=1000000, dp=6)} AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '2024-11-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _q3(spark: SparkSession, sf: str) -> DataFrame:
+    t = load_tables(spark, sf)
+    return relational.q3_shipping_priority(t["customer"], t["orders"], t["lineitem"])
+
+
+_SQL_Q3 = f"""
+SELECT l_orderkey,
+       {sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_orderpriority
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '2024-06-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '2024-06-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+"""
+
+
+def _q5(spark: SparkSession, sf: str) -> DataFrame:
+    return relational.q5_local_supplier_volume(load_tables(spark, sf))
+
+
+_SQL_Q5 = f"""
+SELECT n_name, {sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey AND r_name = 'REGION_1'
+  AND o_orderdate >= TIMESTAMP '2024-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '2025-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+def _q_anti(spark: SparkSession, sf: str) -> DataFrame:
+    t = load_tables(spark, sf)
+    return relational.customers_without_orders(t["customer"], t["orders"])
+
+
+_SQL_ANTI = """
+SELECT c_custkey, c_name, c_nationkey FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def _q_semi(spark: SparkSession, sf: str) -> DataFrame:
+    t = load_tables(spark, sf)
+    return relational.customers_with_high_value_orders(t["customer"], t["orders"])
+
+
+_SQL_SEMI = """
+SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+"""
+
+
+def _q_outer(spark: SparkSession, sf: str) -> DataFrame:
+    t = load_tables(spark, sf)
+    return relational.outer_join_order_counts(t["customer"], t["orders"])
+
+
+_SQL_OUTER = """
+SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+       round(CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT)), 0) AS BIGINT)
+             / 100.0, 2) AS total_spent
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+"""
+
+
+def _q_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    return relational.rollup_sales(load_table(spark, sf, "lineitem"))
+
+
+_SQL_ROLLUP = f"""
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*) AS n_rows,
+       {sum_sql('l_extendedprice')} AS sum_price,
+       CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def _q_distinct_agg(spark: SparkSession, sf: str) -> DataFrame:
+    return relational.distinct_agg_stats(load_table(spark, sf, "orders"))
+
+
+_SQL_DISTINCT_AGG = f"""
+SELECT o_orderpriority,
+       count(DISTINCT o_custkey) AS n_distinct_cust,
+       count(*) AS n_orders,
+       {avg_sql('o_totalprice', scale=100, dp=2)} AS avg_total
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def _q_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    return relational.approx_distinct_users(load_table(spark, sf, "events"))
+
+
+def _q_window_rank(spark: SparkSession, sf: str) -> DataFrame:
+    return relational.window_rank_parts(load_table(spark, sf, "part"))
+
+
+_SQL_WINDOW_RANK = """
+SELECT p_brand, p_partkey, p_name, round(p_retailprice, 2) AS retailprice, price_rank
+FROM (
+  SELECT *, CAST(dense_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC)
+                 AS INT) AS price_rank
+  FROM part
+) WHERE price_rank <= 3
+"""
+
+
+def _q_window_running(spark: SparkSession, sf: str) -> DataFrame:
+    return relational.window_running_totals(load_table(spark, sf, "orders"))
+
+
+_SQL_WINDOW_RUNNING = """
+SELECT o_custkey, o_orderkey,
+       round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING
+       ) AS BIGINT) / 100.0, 2) AS running_total,
+       round(o_totalprice - coalesce(lag(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       ), 0.0), 2) AS delta_prev
+FROM orders
+"""
+
+
+def _q_global_topk(spark: SparkSession, sf: str) -> DataFrame:
+    return relational.global_topk_orders(load_table(spark, sf, "orders"))
+
+
+_SQL_GLOBAL_TOPK = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS totalprice, o_orderstatus
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25
+"""
+
+
+def _q_setops(spark: SparkSession, sf: str) -> DataFrame:
+    return relational.set_ops_customers(load_table(spark, sf, "orders"))
+
+
+_SQL_SETOPS = """
+WITH h1 AS (SELECT DISTINCT o_custkey FROM orders
+            WHERE o_orderdate <  TIMESTAMP '2024-07-01 00:00:00'),
+     h2 AS (SELECT DISTINCT o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '2024-07-01 00:00:00')
+SELECT o_custkey, 'both_halves' AS cohort FROM (SELECT * FROM h1 INTERSECT SELECT * FROM h2)
+UNION ALL
+SELECT o_custkey, 'h1_only' AS cohort FROM (SELECT * FROM h1 EXCEPT SELECT * FROM h2)
+"""
+
+
+def _q_scalar_fns(spark: SparkSession, sf: str) -> DataFrame:
+    return relational.scalar_functions_showcase(load_table(spark, sf, "part"))
+
+
+_SQL_SCALAR_FNS = """
+SELECT p_partkey,
+       lower(p_name) AS name_lower,
+       CAST(length(p_name) AS INT) AS name_len,
+       regexp_extract(p_type, '^(\\w+)', 1) AS type_head,
+       substr(p_brand, 1, 5) AS brand_prefix,
+       round(sqrt(abs(p_retailprice)), 4) AS price_sqrt,
+       CASE WHEN p_size >= 25 THEN 'large' WHEN p_size >= 10 THEN 'medium'
+            ELSE 'small' END AS size_class,
+       CAST(p_partkey % 16 AS INT) AS bucket
+FROM part
+"""
+
+
+def _q_date_fns(spark: SparkSession, sf: str) -> DataFrame:
+    return relational.date_functions_showcase(load_table(spark, sf, "orders"))
+
+
+_SQL_DATE_FNS = f"""
+SELECT CAST(year(o_orderdate) AS INT) AS yr,
+       CAST(month(o_orderdate) AS INT) AS mo,
+       CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+       count(*) AS n,
+       {sum_sql('o_totalprice')} AS total
+FROM orders GROUP BY 1, 2, 3
+"""
+
+
+def _q_asof(spark: SparkSession, sf: str) -> DataFrame:
+    t = load_tables(spark, sf)
+    return relational.asof_join_latest_event(t["orders"], t["events"])
+
+
+_SQL_ASOF = f"""
+SELECT o_orderkey, o_custkey, last_event_id, last_event_type, last_event_ts
+FROM (
+  SELECT o.o_orderkey, o.o_custkey,
+         e.event_id AS last_event_id, e.event_type AS last_event_type,
+         strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS last_event_ts,
+         row_number() OVER (PARTITION BY o.o_orderkey
+                            ORDER BY e.ts DESC, e.event_id DESC) AS rn
+  FROM orders o JOIN events e
+    ON o.o_custkey = e.user_id
+   AND e.ts <= o.o_orderdate
+   AND e.ts >= o.o_orderdate - INTERVAL 7 DAY
+) WHERE rn = 1
+"""
+
+
+def _q_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    return relational.range_join_value_bands(spark, load_table(spark, sf, "events"))
+
+
+_SQL_RANGE_JOIN = f"""
+WITH bands(band_lo, band_hi, band) AS (
+  VALUES (0.0, 50.0, 'low'), (50.0, 150.0, 'mid'), (150.0, 500.0, 'high'),
+         (500.0, 1e308, 'extreme')
+)
+SELECT band, count(*) AS n_events, {avg_sql('value', scale=10000, dp=4)} AS avg_value
+FROM events JOIN bands ON value >= band_lo AND value < band_hi
+GROUP BY band
+"""
+
+
+# --------------------------------------------------------------------------
+# dedup family (E-10) on documents / embeddings
+# --------------------------------------------------------------------------
+
+
+def _q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.dedup_exact(load_table(spark, sf, "documents"))
+
+
+_SQL_DEDUP_EXACT = """
+SELECT min(doc_id) AS keep_id, count(*) AS n_copies, min(n_chars) AS n_chars
+FROM documents GROUP BY text
+"""
+
+
+def _q_dedup_hash(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.dedup_content_hash(load_table(spark, sf, "documents"))
+
+
+_SQL_DEDUP_HASH = """
+SELECT sha256(text) AS content_sha, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY sha256(text)
+"""
+
+
+def _q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.dedup_simhash(load_table(spark, sf, "documents"))
+
+
+# the banded Spark plan has perfect recall at hamming<=3 with 4 bands
+# (pigeonhole), so brute-force pairs are an exact oracle.
+_SQL_DEDUP_SIMHASH = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKS.format(col='text')} AS t FROM documents
+), hashed AS (
+  SELECT doc_id, len(t) AS n,
+         list_transform(t, s -> CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)) AS hs
+  FROM toks
+), bits AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN 2 * len(list_filter(hs, h -> (h >> b) & 1 = 1)) >= n
+                       THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+  FROM hashed, range(0, 32) r(b)
+  GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+def _q_dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.dedup_ngram_jaccard(load_table(spark, sf, "documents"))
+
+
+_SQL_DEDUP_JACCARD = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKS.format(col='text')} AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                                      i -> array_to_string(t[i:i+2], ' '))) AS shingles
+  FROM toks
+), sizes AS (
+  SELECT doc_id, len(shingles) AS n_sh FROM sh
+), ex AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.6
+"""
+
+
+def _q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.dedup_minhash_lsh(load_table(spark, sf, "documents"))
+
+
+def _q_dedup_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.dedup_embedding_cosine(load_table(spark, sf, "embeddings"))
+
+
+_SQL_DEDUP_COSINE = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 4) >= 0.95
+"""
+
+
+# --------------------------------------------------------------------------
+# similarity search (E-11)
+# --------------------------------------------------------------------------
+
+
+def _q_ann_brute(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.ann_bruteforce_topk(load_table(spark, sf, "embeddings"))
+
+
+_SQL_ANN_BRUTE = """
+SELECT q_id, c_id, cos_sim, rk FROM (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])), 4) AS cos_sim,
+         CAST(row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                 CAST(c.embedding AS DOUBLE[])), 4) DESC,
+                    c.vec_id ASC
+         ) AS INT) AS rk
+  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id != q.vec_id
+) WHERE rk <= 5
+"""
+
+
+def _q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.ann_lsh_topk(load_table(spark, sf, "embeddings"))
+
+
+def _q_centroid_sim(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.centroid_similarity_by_label(load_table(spark, sf, "embeddings"))
+
+
+# --------------------------------------------------------------------------
+# text analysis (E-12)
+# --------------------------------------------------------------------------
+
+
+def _q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    return text.lang_id(load_table(spark, sf, "documents"))
+
+
+def _duck_hits(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in text.LANG_MARKERS[lang])
+    toks = _DUCK_TOKS.format(col="lower(text)")
+    return f"CAST(len(list_filter({toks}, t -> t IN ({markers}))) AS INT)"
+
+
+_SQL_LANG_ID = f"""
+WITH scored AS (
+  SELECT doc_id, lang AS labeled_lang,
+         {_duck_hits('en')} AS hits_en, {_duck_hits('es')} AS hits_es,
+         {_duck_hits('fr')} AS hits_fr, {_duck_hits('de')} AS hits_de,
+         {_duck_hits('zh')} AS hits_zh
+  FROM documents
+)
+SELECT doc_id, labeled_lang,
+       CASE WHEN greatest(hits_en, hits_es, hits_fr, hits_de, hits_zh) = 0 THEN 'unknown'
+            WHEN hits_en = greatest(hits_en, hits_es, hits_fr, hits_de, hits_zh) THEN 'en'
+            WHEN hits_es = greatest(hits_en, hits_es, hits_fr, hits_de, hits_zh) THEN 'es'
+            WHEN hits_fr = greatest(hits_en, hits_es, hits_fr, hits_de, hits_zh) THEN 'fr'
+            WHEN hits_de = greatest(hits_en, hits_es, hits_fr, hits_de, hits_zh) THEN 'de'
+            ELSE 'zh' END AS pred_lang,
+       hits_en, hits_es, hits_fr, hits_de, hits_zh
+FROM scored
+"""
+
+
+def _q_quality(spark: SparkSession, sf: str) -> DataFrame:
+    return text.quality_score(load_table(spark, sf, "documents"))
+
+
+_SQL_QUALITY = f"""
+WITH t AS (
+  SELECT doc_id, length(text) AS n_char, {_DUCK_TOKS.format(col='text')} AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS INT) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS INT) AS n_unique,
+         (n_char - (len(toks) - 1)) / len(toks) AS mean_word_len,
+         len(list_distinct(toks)) / len(toks) AS type_token_ratio,
+         len(list_filter(toks, t -> t IN ('the','a','of','and','is','to','in')))
+           / len(toks) AS stopword_ratio
+  FROM t
+)
+SELECT doc_id, n_tokens, n_unique,
+       round(mean_word_len, 4) AS mean_word_len,
+       round(type_token_ratio, 4) AS type_token_ratio,
+       round(stopword_ratio, 4) AS stopword_ratio,
+       round(least(n_tokens / 200.0, 1.0) * 0.4 + type_token_ratio * 0.4
+             + least(stopword_ratio * 5, 1.0) * 0.2, 4) AS quality
+FROM m
+"""
+
+
+def _q_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    return text.token_stats(load_table(spark, sf, "documents"))
+
+
+_SQL_TOKEN_STATS = """
+WITH t AS (
+  SELECT lang, source,
+         CAST(len(str_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS INT) AS n_ws,
+         greatest(CAST(ceil(length(text) / 4.0) AS BIGINT),
+                  CAST(len(str_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS BIGINT)) AS n_bpe
+  FROM documents
+)
+SELECT lang, source, count(*) AS n_docs,
+       CAST(sum(n_ws) AS BIGINT) AS total_ws_tokens,
+       CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens,
+       round(CAST(sum(n_ws) AS BIGINT) / count(*), 4) AS avg_ws_tokens
+FROM t GROUP BY lang, source
+"""
+
+
+def _q_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    return text.doc_fingerprints(load_table(spark, sf, "documents"))
+
+
+_SQL_FINGERPRINTS = """
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+                      list_transform(str_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+         (acc, x) -> (acc * 31 + x) % 1000000007
+       ) AS fingerprint,
+       CAST(length(text) AS INT) AS n_chars_computed
+FROM documents
+"""
+
+
+def _q_tfidf(spark: SparkSession, sf: str) -> DataFrame:
+    return text.tfidf_top_terms(load_table(spark, sf, "documents"))
+
+
+_SQL_TFIDF = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_DUCK_TOKS.format(col='text')}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+  WHERE tf.doc_id < 100
+)
+SELECT doc_id, term, tf, df, tfidf, rk FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC)
+                 AS INT) AS rk
+  FROM scored
+) WHERE rk <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# multimodal columns (E-13)
+# --------------------------------------------------------------------------
+
+
+def _q_media_index(spark: SparkSession, sf: str) -> DataFrame:
+    return multimodal.media_content_index(load_table(spark, sf, "documents"))
+
+
+_SQL_MEDIA_INDEX = """
+SELECT doc_id AS media_id, sha256(text) AS content_sha,
+       CAST(strlen(text) AS INT) AS n_bytes,
+       source AS origin, 'text/plain' AS mime
+FROM documents
+"""
+
+
+def _q_media_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    return multimodal.media_dedup_by_content(load_table(spark, sf, "documents"))
+
+
+_SQL_MEDIA_DEDUP = """
+SELECT min(doc_id) AS keep_id, sha256(text) AS content_sha, count(*) AS n_copies,
+       CAST(min(strlen(text)) AS INT) AS n_bytes
+FROM documents GROUP BY sha256(text)
+"""
+
+
+def _q_media_decode(spark: SparkSession, sf: str) -> DataFrame:
+    return multimodal.media_decode_stats(load_table(spark, sf, "documents"))
+
+
+# --------------------------------------------------------------------------
+# streaming (E-9 / O-1..O-11): bounded availableNow runs
+# --------------------------------------------------------------------------
+
+
+def _q_stream_tumbling(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.streaming import jobs
+
+    return jobs.streaming_tumbling_counts(spark, sf)
+
+
+_SQL_STREAM_TUMBLING = f"""
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS win_day, event_type,
+       count(*) AS n_events, {sum_sql('value')} AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def _q_stream_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.streaming import jobs
+
+    return jobs.streaming_distinct_users(spark, sf)
+
+
+_SQL_STREAM_DISTINCT = "SELECT DISTINCT user_id FROM events"
+
+
+def _q_stream_poll(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.streaming import jobs
+
+    return jobs.streaming_poll_source_scan(spark, sf)
+
+
+_SQL_STREAM_POLL = """
+SELECT event_id, user_id, event_type, round(value, 4) AS value FROM events
+"""
+
+
+def _q_stream_static_join(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.streaming import jobs
+
+    return jobs.streaming_stream_static_join(spark, sf)
+
+
+_SQL_STREAM_STATIC_JOIN = """
+SELECT c_mktsegment, event_type, count(*) AS n_events
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment, event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# registry assembly
+# --------------------------------------------------------------------------
+
+# name -> (spark_builder, oracle_sql_or_None)
+_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # reference semantics (SURVEY §2A)
+    "poll_window_filter": (_q_poll_window_filter, _SQL_POLL_WINDOW),
+    "changelog_latest_state": (_q_changelog_latest, _SQL_CHANGELOG),
+    "json_props_extract": (_q_json_props, _SQL_JSON_PROPS),
+    "microbatch_tumbling_counts": (_q_tumbling, _SQL_TUMBLING),
+    "page_limit_topk": (_q_page_limit, _SQL_PAGE_LIMIT),
+    "sessionize_events": (_q_sessionize, _SQL_SESSIONIZE),
+    "parse_text_table": (_q_parse_text, _SQL_PARSE_TEXT),
+    # relational core (E-1..E-8)
+    "q1_pricing_summary": (_q1, _SQL_Q1),
+    "q3_shipping_priority": (_q3, _SQL_Q3),
+    "q5_local_supplier_volume": (_q5, _SQL_Q5),
+    "customers_without_orders": (_q_anti, _SQL_ANTI),
+    "customers_with_high_value_orders": (_q_semi, _SQL_SEMI),
+    "outer_join_order_counts": (_q_outer, _SQL_OUTER),
+    "rollup_sales": (_q_rollup, _SQL_ROLLUP),
+    "distinct_agg_stats": (_q_distinct_agg, _SQL_DISTINCT_AGG),
+    "approx_distinct_users": (_q_approx_distinct, None),
+    "window_rank_parts": (_q_window_rank, _SQL_WINDOW_RANK),
+    "window_running_totals": (_q_window_running, _SQL_WINDOW_RUNNING),
+    "global_topk_orders": (_q_global_topk, _SQL_GLOBAL_TOPK),
+    "set_ops_customers": (_q_setops, _SQL_SETOPS),
+    "scalar_functions_showcase": (_q_scalar_fns, _SQL_SCALAR_FNS),
+    "date_functions_showcase": (_q_date_fns, _SQL_DATE_FNS),
+    "asof_join_latest_event": (_q_asof, _SQL_ASOF),
+    "range_join_value_bands": (_q_range_join, _SQL_RANGE_JOIN),
+    # dedup (E-10)
+    "dedup_exact": (_q_dedup_exact, _SQL_DEDUP_EXACT),
+    "dedup_content_hash": (_q_dedup_hash, _SQL_DEDUP_HASH),
+    "dedup_simhash": (_q_dedup_simhash, _SQL_DEDUP_SIMHASH),
+    "dedup_ngram_jaccard": (_q_dedup_jaccard, _SQL_DEDUP_JACCARD),
+    "dedup_minhash_lsh": (_q_dedup_minhash, None),
+    "dedup_embedding_cosine": (_q_dedup_cosine, _SQL_DEDUP_COSINE),
+    # similarity search (E-11)
+    "ann_bruteforce_topk": (_q_ann_brute, _SQL_ANN_BRUTE),
+    "ann_lsh_topk": (_q_ann_lsh, None),
+    "centroid_similarity_by_label": (_q_centroid_sim, None),
+    # text analysis (E-12)
+    "lang_id": (_q_lang_id, _SQL_LANG_ID),
+    "text_quality_score": (_q_quality, _SQL_QUALITY),
+    "token_stats": (_q_token_stats, _SQL_TOKEN_STATS),
+    "doc_fingerprints": (_q_fingerprints, _SQL_FINGERPRINTS),
+    "tfidf_top_terms": (_q_tfidf, _SQL_TFIDF),
+    # multimodal (E-13)
+    "media_content_index": (_q_media_index, _SQL_MEDIA_INDEX),
+    "media_dedup_by_content": (_q_media_dedup, _SQL_MEDIA_DEDUP),
+    "media_decode_stats": (_q_media_decode, None),
+    # streaming (E-9)
+    "streaming_tumbling_counts": (_q_stream_tumbling, _SQL_STREAM_TUMBLING),
+    "streaming_distinct_users": (_q_stream_distinct, _SQL_STREAM_DISTINCT),
+    "streaming_poll_source_scan": (_q_stream_poll, _SQL_STREAM_POLL),
+    "streaming_stream_static_join": (_q_stream_static_join, _SQL_STREAM_STATIC_JOIN),
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}

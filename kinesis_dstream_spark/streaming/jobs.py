@@ -1,0 +1,177 @@
+"""Streaming query builders (E-9) with oracle-checkable bounded runs.
+
+Each job reads the ``events`` fixture as a *stream* (file source or the
+custom paged_poll source), applies event-time logic — watermarks,
+tumbling windows, dedup, stream-static joins — and runs bounded with
+``Trigger.AvailableNow`` into a named memory sink, returning the result
+as a batch DataFrame. Bounded runs make streaming semantics testable and
+DuckDB-comparable (SURVEY §7 hard-part 2: no wall-clock dependence).
+
+At production scale the same builders run unbounded with
+``processingTime`` triggers, a durable checkpoint, and a real sink
+(sources/sinks.py); only the trigger/sink wiring differs.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_dstream_spark.functions.exact import exact_sum
+from kinesis_dstream_spark.tables import load_table
+
+
+def _events_stream_dir(sf_dir: str) -> str:
+    """Stage a directory containing (a symlink to) the events parquet.
+
+    Spark's file streaming source requires a *directory* path; the
+    fixture ships single files. A symlink dir under tmp keeps the
+    fixture read-only and copies nothing.
+    """
+    tag = sf_dir.strip("/").replace("/", "_")
+    d = os.path.join(tempfile.gettempdir(), f"kds_stream_{tag}", "events")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    return d
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events fixture.
+
+    The fixture's ts is parquet TIMESTAMP(NANOS) (see tables.py): the
+    stream reads it as int64 nanos (legacy conf) with the batch-derived
+    schema, then converts ns → µs TimestampType with integer division.
+    """
+    from kinesis_dstream_spark.tables import NANOS_AS_LONG_CONF
+
+    spark.conf.set(NANOS_AS_LONG_CONF, "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(raw_schema).parquet(_events_stream_dir(sf_dir))
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def _run_bounded(df: DataFrame, name: str, output_mode: str) -> DataFrame:
+    """Run a streaming frame to completion into a memory table."""
+    spark = df.sparkSession
+    spark.catalog.dropTempView(name) if name in [
+        t.name for t in spark.catalog.listTables()
+    ] else None
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window counts — the streaming twin of the
+    batch ``microbatch_tumbling_counts`` operator (same oracle).
+
+    1-day event-time windows with a 1-day watermark: late rows inside the
+    watermark still land in their window; the epoch-aligned window start
+    equals ``date_trunc('day')`` so the batch oracle matches exactly.
+    """
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("win"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            exact_sum(F.col("value")).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd").alias("win_day"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _run_bounded(agg, "stream_tumbling_counts", "complete")
+
+
+def streaming_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup: distinct user_id via dropDuplicates on a stream.
+
+    Projecting to the key *before* dropDuplicates keeps the state store
+    minimal (key-only state) and the output deterministic.
+    """
+    ev = _events_stream(spark, sf_dir).select("user_id")
+    dedup = ev.dropDuplicates(["user_id"])
+    return _run_bounded(dedup, "stream_distinct_users", "append")
+
+
+def streaming_poll_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan the custom paged_poll *streaming* source end-to-end (O-1).
+
+    Offsets advance a row cursor per micro-batch (the reference's
+    window+cursor pair, checkpointable); the bounded run drains the whole
+    fixture, so the result must equal a plain batch scan — which is
+    exactly what the oracle checks.
+    """
+    from kinesis_dstream_spark.sources import polling
+
+    polling.register(spark)
+    ev = (
+        spark.readStream.format(polling.FORMAT_NAME)
+        .option("path", f"{sf_dir}/events.parquet")
+        .option("rows_per_batch", 500)
+        .load()
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+        )
+    )
+    # Python streaming sources don't support Trigger.AvailableNow (Spark
+    # falls back to a single micro-batch), so drain explicitly: run with a
+    # fast processing-time trigger until the cursor stops advancing.
+    name = "stream_poll_scan"
+    q = (
+        ev.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        stable, last = 0, -1
+        while stable < 4:
+            time.sleep(0.5)
+            n = spark.table(name).count()
+            stable, last = (stable + 1, n) if n == last else (0, n)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    return spark.table(name)
+
+
+def streaming_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: enrich the event stream with the customer dim.
+
+    The static side is broadcast per micro-batch — the canonical pattern
+    for dimension enrichment at scale (no state store involved).
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    ev = _events_stream(spark, sf_dir)
+    joined = (
+        ev.join(
+            F.broadcast(customer),
+            ev["user_id"] == customer["c_custkey"],
+        )
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    return _run_bounded(joined, "stream_static_join", "complete")

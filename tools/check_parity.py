@@ -1,0 +1,132 @@
+"""Local oracle-parity checker — mimics the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB at a given sf dir, then compares:
+
+- row count
+- column names (sorted)
+- order-insensitive value hash (canonicalized cell strings, rows sorted)
+
+Usage:  python tools/check_parity.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+import traceback
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from kinesis_dstream_spark.session import get_spark  # noqa: E402
+from kinesis_dstream_spark.tables import TABLES  # noqa: E402
+
+
+def canon_cell(v) -> str:
+    if v is None:
+        return "<null>"
+    if isinstance(v, float):
+        if v != v:
+            return "<nan>"
+        # normalize -0.0 and integral floats
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v) + 0)
+        return repr(round(v, 9))
+    if isinstance(v, bool):
+        return str(v)
+    return str(v)
+
+
+def frame_fingerprint(cols: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("\x1f".join(canon_cell(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    spark = get_spark("parity-check")
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+
+    n_pass = n_fail = n_rowsonly = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception:
+            print(f"FAIL {name}: spark error")
+            traceback.print_exc()
+            n_fail += 1
+            continue
+        dt_spark = time.time() - t0
+        if name not in oracles:
+            print(f"rows-only {name}: {len(srows)} rows  [{dt_spark:.1f}s]")
+            n_rowsonly += 1
+            continue
+        t0 = time.time()
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception:
+            print(f"FAIL {name}: duckdb error")
+            traceback.print_exc()
+            n_fail += 1
+            continue
+        dt_duck = time.time() - t0
+
+        problems = []
+        if len(srows) != len(drows):
+            problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
+        if not problems:
+            hs = frame_fingerprint(scols, srows)
+            hd = frame_fingerprint(dcols, drows)
+            if hs != hd:
+                problems.append("value-hash mismatch")
+                # show a few differing rows for debugging
+                order_s = sorted(range(len(scols)), key=lambda i: scols[i])
+                order_d = sorted(range(len(dcols)), key=lambda i: dcols[i])
+                set_s = {tuple(canon_cell(r[i]) for i in order_s) for r in srows}
+                set_d = {tuple(canon_cell(r[i]) for i in order_d) for r in drows}
+                for r in list(set_s - set_d)[:3]:
+                    print(f"   spark-only: {r}")
+                for r in list(set_d - set_s)[:3]:
+                    print(f"   duck-only:  {r}")
+        if problems:
+            print(f"FAIL {name}: {'; '.join(problems)}  [{dt_spark:.1f}s/{dt_duck:.1f}s]")
+            n_fail += 1
+        else:
+            print(
+                f"PASS {name}: {len(srows)} rows  [spark {dt_spark:.1f}s, duck {dt_duck:.1f}s]"
+            )
+            n_pass += 1
+
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
