@@ -1,0 +1,78 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {"q1": sec, ...}, "sf": <sf>}
+
+Headline set = the engine's heavy paths: wide scan-agg (q1), multi-join
+(q3/q5), windowed analytics, sessionization, as-of join, the LLM-pipeline
+operators (hash dedup, MinHash-LSH, SimHash, brute-force + LSH ANN,
+tf-idf), and a streaming drain. Each query is executed with a count()/
+collect() action after a warm-up of the input metadata; timings exclude
+session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kinesis_dstream_spark import registry
+from kinesis_dstream_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# name -> registry query key (headline subset; all distributed-heavy)
+BENCH_QUERIES = {
+    "q1": "q1_pricing_summary",
+    "q3": "q3_shipping_priority",
+    "q5": "q5_local_supplier_volume",
+    "tumbling_agg": "microbatch_tumbling_counts",
+    "sessionize": "sessionize_events",
+    "changelog_latest": "changelog_latest_state",
+    "asof_join": "asof_join_prev_order",
+    "window_rank": "window_rank_parts",
+    "dedup_hash": "dedup_content_hash",
+    "dedup_minhash_lsh": "dedup_minhash_lsh",
+    "dedup_simhash": "dedup_simhash",
+    "ann_bruteforce": "ann_bruteforce_topk",
+    "ann_lsh": "ann_lsh_topk",
+    "tfidf": "tfidf_top_terms",
+    "streaming_drain": "streaming_tumbling_counts",
+}
+
+
+def main() -> None:
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
+    spark = get_spark("kds-bench")
+    qs = registry.queries()
+
+    timings: dict[str, float] = {}
+    for label, key in BENCH_QUERIES.items():
+        t0 = time.time()
+        df = qs[key](spark, SF_DIR)
+        n = df.count()
+        timings[label] = round(time.time() - t0, 3)
+        print(f"# {label}: {n} rows in {timings[label]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

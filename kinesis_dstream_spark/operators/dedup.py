@@ -186,48 +186,104 @@ def dedup_ngram_jaccard(
     )
 
 
-def dedup_minhash_lsh(
-    documents: DataFrame,
-    k: int = 3,
-    num_hashes: int = 64,
-    threshold: float = 0.4,
-    seed: int = 42,
+def minhash_signatures(
+    documents: DataFrame, k: int = 3, num_hashes: int = 32
 ) -> DataFrame:
-    """MinHash-LSH near-dup candidates (Spark ML) — the sketch/scale path.
+    """Per-document MinHash signature over k-word shingles (native exprs).
 
-    Shingles → sparse binary vectors (HashingTF) → MinHashLSH
-    approxSimilarityJoin. Distance is (1 − estimated Jaccard); banding
-    happens inside approxSimilarityJoin's explode+join. This is the
-    operator you run at 100 TB (signature size is constant per doc);
-    ``dedup_ngram_jaccard`` is its exact-verification counterpart.
-
-    Probabilistic output → no SQL oracle; tests assert recall against the
-    exact-Jaccard operator instead.
+    minhash_i = min over shingles of murmur3(shingle, seed=i). One narrow
+    pass per document; signature width is constant regardless of document
+    size — the property that makes MinHash the 100 TB dedup path.
     """
-    from pyspark.ml.feature import HashingTF, MinHashLSH
-
     sh = documents.select(
         "doc_id", word_shingles(tokens(F.col("text")), k).alias("shingles")
     ).filter(F.size("shingles") > 0)
-    tf = HashingTF(
-        inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
+
+    def minhash(i: int):
+        return F.array_min(
+            F.transform(F.col("shingles"), lambda s: F.hash(s, F.lit(i)))
+        ).alias(f"mh_{i}")
+
+    return sh.select(
+        "doc_id", "shingles", F.array(*[minhash(i) for i in range(num_hashes)]).alias("sig")
     )
-    feats = tf.transform(sh)
-    lsh = MinHashLSH(inputCol="features", outputCol="sig", numHashTables=num_hashes, seed=seed)
-    model = lsh.fit(feats)
-    pairs = model.approxSimilarityJoin(feats, feats, 1.0 - threshold, distCol="dist")
-    return (
-        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
-        .select(
-            F.col("datasetA.doc_id").alias("doc_a"),
-            F.col("datasetB.doc_id").alias("doc_b"),
-            F.round(1.0 - F.col("dist"), 6).alias("est_jaccard"),
+
+
+def dedup_minhash_lsh(
+    documents: DataFrame,
+    k: int = 3,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs — the sketch/scale path (E-10).
+
+    Banded LSH with AND-OR amplification: the 32-wide signature splits
+    into 8 bands of 4 rows; a pair is a candidate iff some band matches
+    *exactly* (P = 1-(1-s^r)^b — steep S-curve around s≈0.55). Candidates
+    are then verified with the exact shingle-set Jaccard, so output pairs
+    are true near-dups; only *recall* is probabilistic.
+
+    Spark ML's MinHashLSH was deliberately not used: its OR-only
+    amplification (numHashTables 1-row bands) admits every pair with even
+    weak similarity as a candidate — on corpora with a shared core
+    vocabulary the candidate set degenerates toward n², which is exactly
+    the blow-up LSH exists to avoid. The banded join here is the same
+    shape Spark ML uses (explode + equi-join) with tunable r.
+
+    Probabilistic recall → no SQL oracle; pytest asserts recall against
+    ``dedup_ngram_jaccard`` instead.
+    """
+    num_hashes = bands * rows_per_band
+    sigs = minhash_signatures(documents, k, num_hashes)
+    banded = sigs.select(
+        "doc_id",
+        "shingles",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_no"),
+                        # hash of the band's signature slice = the bucket key
+                        F.hash(
+                            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "shingles", "band.band_no", "band.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = F.round(
+        n_inter / (F.size("sh_a") + F.size("sh_b") - n_inter), 6
+    )
+    return (
+        candidates.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
     )
 
 
 def dedup_embedding_cosine(
-    embeddings: DataFrame, threshold: float = 0.95, use_pandas: bool = False
+    embeddings: DataFrame, threshold: float = 0.4, use_pandas: bool = False
 ) -> DataFrame:
     """Embedding near-dup: all pairs with cosine ≥ threshold.
 

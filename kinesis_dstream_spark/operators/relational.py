@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from kinesis_dstream_spark.functions.exact import exact_avg, exact_sum
 
 
-def q1_pricing_summary(lineitem: DataFrame, cutoff: str = "2024-11-01") -> DataFrame:
+def q1_pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
     """TPC-H Q1 shape: wide scan-side aggregate with derived expressions.
 
     Pure map-side arithmetic + one hash aggregate; the shipdate filter is
@@ -56,7 +56,7 @@ def q3_shipping_priority(
     orders: DataFrame,
     lineitem: DataFrame,
     segment: str = "BUILDING",
-    date: str = "2024-06-15",
+    date: str = "1995-03-15",
 ) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter → fact join → agg → top-k.
 
@@ -89,9 +89,9 @@ def q3_shipping_priority(
 
 def q5_local_supplier_volume(
     tables: dict[str, DataFrame],
-    region_name: str = "REGION_1",
-    date_lo: str = "2024-01-01",
-    date_hi: str = "2025-01-01",
+    region_name: str = "EUROPE",
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
 ) -> DataFrame:
     """TPC-H Q5 shape: 6-way join through the dimension snowflake.
 
@@ -131,10 +131,23 @@ def q5_local_supplier_volume(
     )
 
 
-def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
-    """Anti join (E-3): customers that never placed an order."""
+def customers_without_orders(
+    customer: DataFrame,
+    orders: DataFrame,
+    date_lo: str = "1995-01-01",
+    date_hi: str = "1995-07-01",
+) -> DataFrame:
+    """Anti join (E-3): customers with no order in a date window.
+
+    The window filter keeps the anti join non-degenerate (every fixture
+    customer has *some* order) and pushes down to the orders scan.
+    """
+    in_window = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_lo).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_hi).cast("timestamp"))
+    )
     return (
-        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        customer.join(in_window, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name", "c_nationkey")
     )
 
@@ -266,7 +279,7 @@ def set_ops_customers(orders: DataFrame) -> DataFrame:
     Customers who ordered in both halves of 2024 (intersect), only in H1
     (except), tagged and unioned into one result.
     """
-    mid = F.lit("2024-07-01").cast("timestamp")
+    mid = F.lit("1998-01-01").cast("timestamp")
     h1 = orders.filter(F.col("o_orderdate") < mid).select("o_custkey").distinct()
     h2 = orders.filter(F.col("o_orderdate") >= mid).select("o_custkey").distinct()
     both = h1.intersect(h2).withColumn("cohort", F.lit("both_halves"))
@@ -309,10 +322,9 @@ def date_functions_showcase(orders: DataFrame) -> DataFrame:
     )
 
 
-def asof_join_latest_event(
-    orders: DataFrame, events: DataFrame, horizon_days: int = 7
-) -> DataFrame:
-    """As-of join (E-3): latest event per order within a bounded horizon.
+def asof_join_prev_order(orders: DataFrame, horizon_days: int = 90) -> DataFrame:
+    """As-of join (E-3): each order matched to the customer's previous
+    order within a bounded horizon.
 
     As-of joins aren't a Spark built-in; the scalable composition is a
     *bounded* range join + per-left-row argmax. The horizon bound is what
@@ -321,27 +333,31 @@ def asof_join_latest_event(
     range-bucketed implementation would formalize. Informed by the
     distributed range/top-k join literature (PAPERS.md).
     """
-    ev = events.select(
-        F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts"),
-        F.col("event_type").alias("e_type"), F.col("event_id").alias("e_id"),
+    prev = orders.select(
+        F.col("o_custkey").alias("p_custkey"),
+        F.col("o_orderkey").alias("p_orderkey"),
+        F.col("o_orderdate").alias("p_orderdate"),
     )
     lo = F.col("o_orderdate") - F.expr(f"INTERVAL {horizon_days} DAYS")
     joined = orders.join(
-        ev,
-        (F.col("o_custkey") == F.col("e_user"))
-        & (F.col("e_ts") <= F.col("o_orderdate"))
-        & (F.col("e_ts") >= lo),
+        prev,
+        (F.col("o_custkey") == F.col("p_custkey"))
+        & (F.col("p_orderdate") <= F.col("o_orderdate"))
+        & (F.col("p_orderdate") >= lo)
+        & (F.col("p_orderkey") != F.col("o_orderkey")),
     )
-    w = Window.partitionBy("o_orderkey").orderBy(F.col("e_ts").desc(), F.col("e_id").desc())
+    w = Window.partitionBy("o_orderkey").orderBy(
+        F.col("p_orderdate").desc(), F.col("p_orderkey").desc()
+    )
     return (
         joined.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(
             "o_orderkey",
             "o_custkey",
-            F.col("e_id").alias("last_event_id"),
-            F.col("e_type").alias("last_event_type"),
-            F.date_format("e_ts", "yyyy-MM-dd HH:mm:ss").alias("last_event_ts"),
+            F.col("p_orderkey").alias("prev_orderkey"),
+            F.date_format("p_orderdate", "yyyy-MM-dd").alias("prev_orderdate"),
+            F.datediff(F.col("o_orderdate"), F.col("p_orderdate")).alias("days_since_prev"),
         )
     )
 
@@ -354,8 +370,8 @@ def range_join_value_bands(spark, events: DataFrame) -> DataFrame:
     event row, scales linearly.
     """
     bands = spark.createDataFrame(
-        [(0.0, 50.0, "low"), (50.0, 150.0, "mid"), (150.0, 500.0, "high"),
-         (500.0, float("inf"), "extreme")],
+        [(0.0, 25.0, "low"), (25.0, 75.0, "mid"), (75.0, 200.0, "high"),
+         (200.0, float("inf"), "extreme")],
         "band_lo double, band_hi double, band string",
     )
     return (

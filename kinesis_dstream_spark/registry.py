@@ -188,7 +188,7 @@ SELECT l_returnflag, l_linestatus,
        {avg_sql('l_extendedprice')} AS avg_price,
        {avg_sql('l_discount', scale=1000000, dp=6)} AS avg_disc,
        count(*) AS count_order
-FROM lineitem WHERE l_shipdate <= TIMESTAMP '2024-11-01 00:00:00'
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 """
 
@@ -205,8 +205,8 @@ SELECT l_orderkey,
        o_orderpriority
 FROM customer, orders, lineitem
 WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
-  AND o_orderdate < TIMESTAMP '2024-06-15 00:00:00'
-  AND l_shipdate  > TIMESTAMP '2024-06-15 00:00:00'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
 GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
 """
@@ -221,9 +221,9 @@ SELECT n_name, {sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
 FROM customer, orders, lineitem, supplier, nation, region
 WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
   AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey
-  AND n_regionkey = r_regionkey AND r_name = 'REGION_1'
-  AND o_orderdate >= TIMESTAMP '2024-01-01 00:00:00'
-  AND o_orderdate <  TIMESTAMP '2025-01-01 00:00:00'
+  AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
 GROUP BY n_name
 """
 
@@ -235,7 +235,11 @@ def _q_anti(spark: SparkSession, sf: str) -> DataFrame:
 
 _SQL_ANTI = """
 SELECT c_custkey, c_name, c_nationkey FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders WHERE o_custkey = c_custkey
+    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1995-07-01 00:00:00'
+)
 """
 
 
@@ -341,9 +345,9 @@ def _q_setops(spark: SparkSession, sf: str) -> DataFrame:
 
 _SQL_SETOPS = """
 WITH h1 AS (SELECT DISTINCT o_custkey FROM orders
-            WHERE o_orderdate <  TIMESTAMP '2024-07-01 00:00:00'),
+            WHERE o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'),
      h2 AS (SELECT DISTINCT o_custkey FROM orders
-            WHERE o_orderdate >= TIMESTAMP '2024-07-01 00:00:00')
+            WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
 SELECT o_custkey, 'both_halves' AS cohort FROM (SELECT * FROM h1 INTERSECT SELECT * FROM h2)
 UNION ALL
 SELECT o_custkey, 'h1_only' AS cohort FROM (SELECT * FROM h1 EXCEPT SELECT * FROM h2)
@@ -383,22 +387,23 @@ FROM orders GROUP BY 1, 2, 3
 
 
 def _q_asof(spark: SparkSession, sf: str) -> DataFrame:
-    t = load_tables(spark, sf)
-    return relational.asof_join_latest_event(t["orders"], t["events"])
+    return relational.asof_join_prev_order(load_table(spark, sf, "orders"))
 
 
-_SQL_ASOF = f"""
-SELECT o_orderkey, o_custkey, last_event_id, last_event_type, last_event_ts
+_SQL_ASOF = """
+SELECT o_orderkey, o_custkey, prev_orderkey, prev_orderdate, days_since_prev
 FROM (
   SELECT o.o_orderkey, o.o_custkey,
-         e.event_id AS last_event_id, e.event_type AS last_event_type,
-         strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS last_event_ts,
+         p.o_orderkey AS prev_orderkey,
+         strftime(p.o_orderdate, '%Y-%m-%d') AS prev_orderdate,
+         CAST(date_diff('day', p.o_orderdate, o.o_orderdate) AS INT) AS days_since_prev,
          row_number() OVER (PARTITION BY o.o_orderkey
-                            ORDER BY e.ts DESC, e.event_id DESC) AS rn
-  FROM orders o JOIN events e
-    ON o.o_custkey = e.user_id
-   AND e.ts <= o.o_orderdate
-   AND e.ts >= o.o_orderdate - INTERVAL 7 DAY
+                            ORDER BY p.o_orderdate DESC, p.o_orderkey DESC) AS rn
+  FROM orders o JOIN orders p
+    ON o.o_custkey = p.o_custkey
+   AND p.o_orderdate <= o.o_orderdate
+   AND p.o_orderdate >= o.o_orderdate - INTERVAL 90 DAY
+   AND p.o_orderkey != o.o_orderkey
 ) WHERE rn = 1
 """
 
@@ -409,8 +414,8 @@ def _q_range_join(spark: SparkSession, sf: str) -> DataFrame:
 
 _SQL_RANGE_JOIN = f"""
 WITH bands(band_lo, band_hi, band) AS (
-  VALUES (0.0, 50.0, 'low'), (50.0, 150.0, 'mid'), (150.0, 500.0, 'high'),
-         (500.0, 1e308, 'extreme')
+  VALUES (0.0, 25.0, 'low'), (25.0, 75.0, 'mid'), (75.0, 200.0, 'high'),
+         (200.0, 1e308, 'extreme')
 )
 SELECT band, count(*) AS n_events, {avg_sql('value', scale=10000, dp=4)} AS avg_value
 FROM events JOIN bands ON value >= band_lo AND value < band_hi
@@ -514,7 +519,7 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                                     CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                   CAST(b.embedding AS DOUBLE[])), 4) >= 0.95
+                                   CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
 """
 
 
@@ -790,7 +795,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "set_ops_customers": (_q_setops, _SQL_SETOPS),
     "scalar_functions_showcase": (_q_scalar_fns, _SQL_SCALAR_FNS),
     "date_functions_showcase": (_q_date_fns, _SQL_DATE_FNS),
-    "asof_join_latest_event": (_q_asof, _SQL_ASOF),
+    "asof_join_prev_order": (_q_asof, _SQL_ASOF),
     "range_join_value_bands": (_q_range_join, _SQL_RANGE_JOIN),
     # dedup (E-10)
     "dedup_exact": (_q_dedup_exact, _SQL_DEDUP_EXACT),

@@ -126,7 +126,7 @@ def streaming_poll_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (
         spark.readStream.format(polling.FORMAT_NAME)
         .option("path", f"{sf_dir}/events.parquet")
-        .option("rows_per_batch", 500)
+        .option("rows_per_batch", 2000)
         .load()
         .select(
             "event_id",
@@ -147,11 +147,14 @@ def streaming_poll_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     try:
+        # drain: wait for the first rows to land (startup can take a few
+        # seconds), then stop once the count is stable for 4 polls.
+        deadline = time.time() + 120
         stable, last = 0, -1
-        while stable < 4:
+        while stable < 4 and time.time() < deadline:
             time.sleep(0.5)
             n = spark.table(name).count()
-            stable, last = (stable + 1, n) if n == last else (0, n)
+            stable, last = (stable + 1, n) if (n == last and n > 0) else (0, n)
     finally:
         q.stop()
         q.awaitTermination(30)
