@@ -1,0 +1,103 @@
+"""Dedup-operator semantics (E-10): recall bounds and exactness."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kinesis_dstream_spark.operators import dedup
+from kinesis_dstream_spark.tables import load_table
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_exact_dedup_collapses_identical_texts(spark):
+    df = _docs(spark, ["a b c", "a b c", "x y z", "a b c"])
+    rows = {(r.keep_id, r.n_copies) for r in dedup.dedup_exact(df).collect()}
+    assert rows == {(0, 3), (2, 1)}
+
+
+def test_content_hash_equals_exact_grouping(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    n_exact = dedup.dedup_exact(docs).count()
+    n_hash = dedup.dedup_content_hash(docs).count()
+    assert n_exact == n_hash  # sha256 collision-free on this corpus
+
+
+def test_simhash_identical_docs_distance_zero(spark):
+    df = _docs(spark, ["a b c d e f", "a b c d e f"])
+    rows = dedup.dedup_simhash(df).collect()
+    assert len(rows) == 1 and rows[0].hamming == 0
+
+
+def test_simhash_banding_has_perfect_recall(spark, sf_dir):
+    """Pigeonhole: 4 bands over 32 bits catch every pair with Hamming<=3,
+    so the banded plan must equal brute force exactly."""
+    docs = load_table(spark, sf_dir, "documents").limit(150)
+    banded = {
+        (r.doc_a, r.doc_b, r.hamming) for r in dedup.dedup_simhash(docs).collect()
+    }
+    sigs = dedup.simhash_signatures(docs)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    brute = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias(
+                "hamming"
+            ),
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert banded == brute
+
+
+def test_minhash_lsh_recall_vs_exact_jaccard(spark, sf_dir):
+    """Banded MinHash (8x4) at threshold 0.6 should recover nearly all
+    exact-Jaccard pairs: P(candidate | s=0.6) = 1-(1-0.6^4)^8 ~ 0.70 per
+    band-set, but verified pairs at s>=0.7 have P>0.93; assert >=0.8
+    overall recall and zero false positives (output is exact-verified)."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.dedup_ngram_jaccard(docs, threshold=0.6).collect()
+    }
+    mh = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.dedup_minhash_lsh(docs, threshold=0.6).collect()
+    }
+    assert set(mh) <= set(exact)  # exact verification -> no false positives
+    if exact:
+        recall = len(set(mh) & set(exact)) / len(exact)
+        assert recall >= 0.8, f"recall {recall}"
+    for pair, j in mh.items():
+        assert j == exact[pair]  # same Jaccard arithmetic on both paths
+
+
+def test_embedding_cosine_pairs_are_symmetric_free(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = dedup.dedup_embedding_cosine(emb, threshold=0.35).collect()
+    assert all(r.vec_a < r.vec_b for r in rows)
+    assert all(-1.0001 <= r.cos_sim <= 1.0001 for r in rows)
+
+
+def test_embedding_cosine_pandas_path_matches_native(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 80)
+    native = {
+        (r.vec_a, r.vec_b, r.cos_sim)
+        for r in dedup.dedup_embedding_cosine(emb, threshold=0.2).collect()
+    }
+    pandas_ = {
+        (r.vec_a, r.vec_b, r.cos_sim)
+        for r in dedup.dedup_embedding_cosine(
+            emb, threshold=0.2, use_pandas=True
+        ).collect()
+    }
+    assert native == pandas_

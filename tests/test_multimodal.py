@@ -1,0 +1,53 @@
+"""Multimodal column plumbing (E-13): binary payloads, content
+addressing, mapInPandas decode batches."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql.types import BinaryType, StructType
+
+from kinesis_dstream_spark.operators import multimodal
+from kinesis_dstream_spark.tables import load_table
+
+
+def test_media_table_schema(spark, sf_dir):
+    media = multimodal.to_media_table(load_table(spark, sf_dir, "documents"))
+    fields = dict(zip(media.schema.fieldNames(), [f.dataType for f in media.schema.fields]))
+    assert isinstance(fields["payload"], BinaryType)
+    assert isinstance(fields["meta"], StructType)
+
+
+def test_content_sha_matches_hashlib(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    row = docs.select("doc_id", "text").first()
+    idx = (
+        multimodal.media_content_index(docs)
+        .filter(f"media_id = {row.doc_id}")
+        .first()
+    )
+    assert idx.content_sha == hashlib.sha256(row.text.encode()).hexdigest()
+    assert idx.n_bytes == len(row.text.encode())
+
+
+def test_decode_batch_deterministic_and_complete(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.to_media_table(docs)
+    a = {tuple(r) for r in multimodal.decode_media_batch(media).collect()}
+    b = {tuple(r) for r in multimodal.decode_media_batch(media).collect()}
+    assert a == b
+    assert len(a) == docs.count()
+    # fake decoder contract: plausible dims, marked as fake
+    for r in a:
+        _, n_bytes, w, h, c, decoder = r
+        assert w >= 64 and h >= 64 and c == 3 and decoder in ("fake", "pillow")
+
+
+def test_media_dedup_groups_by_content(spark):
+    df = spark.createDataFrame(
+        [(1, "same text", "en", "s", 9), (2, "same text", "en", "s", 9),
+         (3, "other", "en", "s", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = {(r.keep_id, r.n_copies) for r in multimodal.media_dedup_by_content(df).collect()}
+    assert rows == {(1, 2), (3, 1)}

