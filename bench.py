@@ -51,6 +51,14 @@ def main() -> None:
     spark = get_spark("kds-bench")
     qs = registry.queries()
 
+    # warm-up: touch every table + exercise codegen/shuffle machinery once
+    # so the first timed query doesn't absorb JVM JIT cost
+    from kinesis_dstream_spark.tables import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, SF_DIR, t).count()
+    qs["q1_pricing_summary"](spark, SF_DIR).count()
+
     timings: dict[str, float] = {}
     for label, key in BENCH_QUERIES.items():
         t0 = time.time()
