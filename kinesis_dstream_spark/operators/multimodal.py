@@ -150,3 +150,53 @@ def media_decode_stats(documents: DataFrame) -> DataFrame:
             F.round(F.avg("height"), 4).alias("avg_height"),
         )
     )
+
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_no", IntegerType()),
+        StructField("frame_payload", BinaryType()),
+        StructField("frame_sha", StringType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 256, max_frames: int = 8) -> DataFrame:
+    """Frame sampling (video-shaped workload): 1 row in, N frame rows out.
+
+    Real frame extraction needs libav (absent here); the deterministic
+    stand-in slices the payload every ``every_n_bytes`` — which exercises
+    the actual engineering surface: a fan-out mapInPandas whose output
+    batch is larger than its input batch, with binary payload slices and
+    per-frame content hashes. Swap the slicer for an av.decode loop and
+    the plumbing is unchanged.
+    """
+    import hashlib
+
+    def slice_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_no": [], "frame_payload": [], "frame_sha": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                n = min(max_frames, max(1, len(payload) // every_n_bytes))
+                for i in range(n):
+                    chunk = payload[i * every_n_bytes : (i + 1) * every_n_bytes]
+                    out["media_id"].append(mid)
+                    out["frame_no"].append(i)
+                    out["frame_payload"].append(chunk)
+                    out["frame_sha"].append(hashlib.sha256(chunk).hexdigest())
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(slice_frames, FRAMES_SCHEMA)
+
+
+def media_frame_index(documents: DataFrame) -> DataFrame:
+    """Frame-level content index over the media table (rows-only check)."""
+    frames = sample_frames(to_media_table(documents))
+    return (
+        frames.groupBy("media_id")
+        .agg(
+            F.count("*").alias("n_frames"),
+            F.countDistinct("frame_sha").alias("n_unique_frames"),
+        )
+    )

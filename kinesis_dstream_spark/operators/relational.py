@@ -382,3 +382,195 @@ def range_join_value_bands(spark, events: DataFrame) -> DataFrame:
         .groupBy("band")
         .agg(F.count("*").alias("n_events"), exact_avg(F.col("value"), scale=10_000).alias("avg_value"))
     )
+
+
+def q2_min_cost_supplier(tables: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q2 shape: correlated 'argmin per group' via self-aggregation.
+
+    The correlated subquery (min acctbal supplier per nation) decorrelates
+    into a broadcast-joined aggregate — the standard Catalyst-friendly
+    rewrite of WHERE x = (SELECT min ...).
+    """
+    t = tables
+    best = (
+        t["supplier"]
+        .groupBy(F.col("s_nationkey").alias("b_nationkey"))
+        .agg(F.min("s_acctbal").alias("min_bal"))
+    )
+    return (
+        t["supplier"]
+        .join(
+            F.broadcast(best),
+            (F.col("s_nationkey") == F.col("b_nationkey"))
+            & (F.col("s_acctbal") == F.col("min_bal")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            "s_suppkey",
+            "s_name",
+            F.round("s_acctbal", 2).alias("acctbal"),
+        )
+    )
+
+
+def q4_order_priority(orders: DataFrame, lineitem: DataFrame,
+                      date_lo: str = "1996-07-01", date_hi: str = "1996-10-01") -> DataFrame:
+    """TPC-H Q4 shape: EXISTS semi join + count by priority.
+
+    (The fixture lacks l_commitdate/l_receiptdate, so the EXISTS predicate
+    is simply 'has any lineitem' — the join/agg shape is what matters.)
+    """
+    li = lineitem.select("l_orderkey").distinct()
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit(date_lo).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(date_hi).cast("timestamp"))
+        )
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def q6_revenue_forecast(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q6: highly-selective scan-side filter + single agg."""
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            exact_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+def q12_shipmode_priority(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q12 shape: join + conditional (CASE) aggregation."""
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+def q14_promo_effect(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q14 shape: conditional revenue share. The ratio of two
+    fixed-point sums stays bit-deterministic."""
+    promo = F.col("p_type").startswith("PROMO")
+    revenue_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.sum(F.when(promo, revenue_cents).otherwise(0))
+                * 100.0
+                / F.sum(revenue_cents),
+                6,
+            ).alias("promo_revenue_pct"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+def q18_large_volume_customers(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame, min_qty: float = 212.0
+) -> DataFrame:
+    """TPC-H Q18: HAVING-filtered agg joined back to dims.
+
+    The heavy side (lineitem groupBy orderkey) reduces before any join;
+    dims join onto the small filtered aggregate.
+    """
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(exact_sum(F.col("l_quantity"), dp=2).alias("total_qty"))
+        .filter(F.col("total_qty") > min_qty)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "total_qty",
+        )
+    )
+
+
+def window_ntile_frames(orders: DataFrame) -> DataFrame:
+    """Window functions part 2 (E-5): ntile, first/last over explicit
+    ROWS frames, and a bounded moving average."""
+    w = Window.partitionBy("o_orderpriority").orderBy("o_orderdate", "o_orderkey")
+    frame3 = w.rowsBetween(-2, Window.currentRow)
+    whole = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.first("o_orderkey").over(whole).alias("first_key"),
+        F.last("o_orderkey").over(whole).alias("last_key"),
+        F.round(F.sum(cents).over(frame3) / F.count(F.lit(1)).over(frame3) / 100.0, 4)
+        .alias("moving_avg3"),
+    )
+
+
+def cube_sales(lineitem: DataFrame) -> DataFrame:
+    """CUBE grouping sets (E-4) — all 4 subtotal combinations."""
+    return (
+        lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            exact_sum(F.col("l_quantity")).alias("sum_qty"),
+            F.grouping_id().alias("gid"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_rows",
+            "sum_qty",
+            "gid",
+        )
+    )
+
+
+def array_map_json_showcase(events: DataFrame) -> DataFrame:
+    """Collection & JSON function library (E-8 part 2): from_json with an
+    explicit schema, map access, array construct/contains/transform."""
+    parsed = F.from_json(F.col("props"), "k INT")
+    arr = F.array(F.col("user_id"), F.col("event_id") % 100)
+    return events.select(
+        "event_id",
+        parsed.getField("k").alias("k"),
+        F.map_from_arrays(F.array(F.lit("type")), F.array(F.col("event_type")))
+        .getItem("type")
+        .alias("type_from_map"),
+        F.array_contains(arr, F.lit(50).cast("long")).alias("has_50"),
+        F.aggregate(
+            F.transform(arr, lambda x: x * 2),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("arr_sum2x"),
+        F.size(F.split(F.col("props"), ":")).alias("props_parts"),
+    )

@@ -165,3 +165,76 @@ def centroid_similarity_by_label(embeddings: DataFrame) -> DataFrame:
             F.round(F.avg(cos), 4).alias("avg_cos_to_centroid"),
         )
     )
+
+
+def ann_ivf_topk(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means coarse quantizer + multi-probe.
+
+    The 100 TB ANN architecture: (1) train a small k-means codebook on a
+    sample, (2) assign every corpus vector to its nearest centroid cell
+    (one narrow pass), (3) for each query, score ONLY vectors in the
+    ``n_probe`` nearest cells. Candidate count drops by ~n_cells/n_probe
+    with recall controlled by n_probe — unlike sign-LSH, the partitioning
+    adapts to the data distribution.
+
+    Training is Spark ML KMeans (distributed Lloyd's); assignment and
+    probing stay in DataFrame land. Probabilistic -> pytest recall bounds,
+    no SQL oracle.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    normed = _normalized(embeddings).withColumn(
+        "features", array_to_vector(F.col("unit"))
+    )
+    km = KMeans(k=n_cells, seed=seed, maxIter=10, featuresCol="features")
+    model = km.fit(normed)
+    assigned = model.transform(normed).select(
+        "vec_id", "unit", F.col("prediction").alias("cell")
+    )
+
+    # centroid table is tiny: ship to the driver once, broadcast as rows
+    centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    spark = embeddings.sparkSession
+    cent_df = spark.createDataFrame(centroids, "cell int, centroid array<double>")
+
+    queries = assigned.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("unit").alias("q_unit")
+    )
+    # per query: rank cells by centroid distance, keep n_probe
+    q_cells = (
+        queries.crossJoin(F.broadcast(cent_df))
+        .withColumn("cdist", V.dot(F.col("q_unit"), F.col("centroid")))
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(F.col("cdist").desc(), F.col("cell"))
+            ),
+        )
+        .filter(F.col("crank") <= n_probe)
+        .select("q_id", "q_unit", F.col("cell").alias("q_cell"))
+    )
+    scored = (
+        assigned.join(
+            F.broadcast(q_cells),
+            (F.col("cell") == F.col("q_cell")) & (F.col("vec_id") != F.col("q_id")),
+        )
+        .select(
+            "q_id",
+            F.col("vec_id").alias("c_id"),
+            F.round(V.dot(F.col("q_unit"), F.col("unit")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "c_id", "cos_sim", "rk")
+    )

@@ -1,0 +1,98 @@
+"""UDF surface (SURVEY §2B E-14): the three Python extension points.
+
+Ordered by preference at scale:
+
+1. **Built-in expressions** — everything else in this repo; always first
+   choice (whole-stage codegen, no Python).
+2. **pandas UDF / applyInPandas / mapInPandas** — Arrow-batched; the
+   right tool when the semantics genuinely need Python (numpy kernels,
+   exact quantiles, model inference). 10-100x faster than row UDFs.
+3. **Row-at-a-time Python UDF** — kept here as the explicitly-marked
+   slow path, for parity with what the reference's row-per-row Python
+   loop (``app/hs_contacts.py:121``) would look like under Spark.
+
+Each demo is deterministic so the oracle gate can cover the UDF plumbing
+itself, not just happy-path execution.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, IntegerType
+
+
+@F.udf(IntegerType())
+def _py_token_count(text: str) -> int:
+    """Row-at-a-time Python UDF (the slow path, E-14 tier 3)."""
+    if text is None:
+        return 0
+    return len(text.split())
+
+
+@F.pandas_udf(DoubleType())
+def _pd_log1p_value(v: pd.Series) -> pd.Series:
+    """Arrow-batched scalar pandas UDF (E-14 tier 2): numpy kernel."""
+    import numpy as np
+
+    return pd.Series(np.log1p(v.to_numpy()))
+
+
+def udf_token_counts(documents: DataFrame) -> DataFrame:
+    """Python UDF vs built-in, side by side — results must agree.
+
+    The oracle checks both columns, which pins the UDF's semantics to the
+    JVM tokenizer's (and the plan test pins that only THIS query carries
+    a BatchEvalPython node).
+    """
+    from kinesis_dstream_spark.functions.textfns import tokens
+
+    return documents.select(
+        "doc_id",
+        _py_token_count(F.col("text")).alias("py_tokens"),
+        F.size(tokens(F.col("text"))).alias("jvm_tokens"),
+    )
+
+
+def pandas_udf_value_transform(events: DataFrame) -> DataFrame:
+    """Scalar pandas UDF over the event stream: log1p(value), rounded.
+
+    log1p on identical doubles is bit-identical across numpy and DuckDB's
+    ln(1+x)? Not guaranteed — so round to 6dp for the oracle.
+    """
+    return events.select(
+        "event_id",
+        F.round(_pd_log1p_value(F.col("value")), 6).alias("log_value"),
+    )
+
+
+_MEDIAN_SCHEMA = "event_type string, n bigint, median_value double"
+
+
+def exact_median_by_group(events: DataFrame) -> DataFrame:
+    """applyInPandas grouped-map (E-14): exact per-group median.
+
+    Spark has no exact-median aggregate (percentile_approx is a sketch),
+    so this is a case where Python is *semantically* required — the
+    canonical applyInPandas use. Each group arrives as one pandas frame;
+    numpy's interpolated median matches DuckDB's ``median`` on doubles
+    exactly (both average the two middle values).
+
+    Scale note: groups must fit in one executor's memory — fine for
+    low-cardinality keys like event_type; for high-cardinality keys use
+    an approx sketch or a two-pass exact algorithm instead.
+    """
+
+    def median(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n": [len(pdf)],
+                "median_value": [float(np.median(pdf["value"].to_numpy()))],
+            }
+        )
+
+    return events.groupBy("event_type").applyInPandas(median, _MEDIAN_SCHEMA)

@@ -765,6 +765,233 @@ GROUP BY c_mktsegment, event_type
 """
 
 
+
+
+# --------------------------------------------------------------------------
+# relational core, part 2 (TPC-H shapes + window/cube/collections + UDFs)
+# --------------------------------------------------------------------------
+
+
+def _q2(spark: SparkSession, sf: str) -> DataFrame:
+    return relational.q2_min_cost_supplier(load_tables(spark, sf))
+
+
+_SQL_Q2 = """
+SELECT n_name, s_suppkey, s_name, round(s_acctbal, 2) AS acctbal
+FROM supplier s JOIN nation ON s_nationkey = n_nationkey
+WHERE s_acctbal = (SELECT min(s_acctbal) FROM supplier s2
+                   WHERE s2.s_nationkey = s.s_nationkey)
+"""
+
+
+def _q4(spark: SparkSession, sf: str) -> DataFrame:
+    t = load_tables(spark, sf)
+    return relational.q4_order_priority(t["orders"], t["lineitem"])
+
+
+_SQL_Q4 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+GROUP BY o_orderpriority
+"""
+
+
+def _q6(spark: SparkSession, sf: str) -> DataFrame:
+    return relational.q6_revenue_forecast(load_table(spark, sf, "lineitem"))
+
+
+_SQL_Q6 = f"""
+SELECT {sum_sql('l_extendedprice * l_discount')} AS revenue, count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def _q12(spark: SparkSession, sf: str) -> DataFrame:
+    t = load_tables(spark, sf)
+    return relational.q12_shipmode_priority(t["orders"], t["lineitem"])
+
+
+_SQL_Q12 = """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+            AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+            AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_linestatus
+"""
+
+
+def _q14(spark: SparkSession, sf: str) -> DataFrame:
+    t = load_tables(spark, sf)
+    return relational.q14_promo_effect(t["lineitem"], t["part"])
+
+
+_SQL_Q14 = """
+SELECT round(CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN
+                 CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+               ELSE 0 END) AS BIGINT) * 100.0
+             / CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+               AS BIGINT), 6) AS promo_revenue_pct,
+       count(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+"""
+
+
+def _q18(spark: SparkSession, sf: str) -> DataFrame:
+    t = load_tables(spark, sf)
+    return relational.q18_large_volume_customers(t["customer"], t["orders"], t["lineitem"])
+
+
+_SQL_Q18 = """
+WITH big AS (
+  SELECT l_orderkey,
+         round(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) / 100.0, 2)
+           AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING round(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) > 212.0
+)
+SELECT c_custkey, c_name, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       round(o_totalprice, 2) AS totalprice, total_qty
+FROM big JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def _q_ntile(spark: SparkSession, sf: str) -> DataFrame:
+    return relational.window_ntile_frames(load_table(spark, sf, "orders"))
+
+
+_SQL_NTILE = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       first_value(o_orderkey) OVER
+         (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_key,
+       last_value(o_orderkey) OVER
+         (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key,
+       round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER
+                    (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+             / count(*) OVER
+                 (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+             / 100.0, 4) AS moving_avg3
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def _q_cube(spark: SparkSession, sf: str) -> DataFrame:
+    return relational.cube_sales(load_table(spark, sf, "lineitem"))
+
+
+_SQL_CUBE = f"""
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*) AS n_rows,
+       {sum_sql('l_quantity')} AS sum_qty,
+       CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def _q_collections(spark: SparkSession, sf: str) -> DataFrame:
+    return relational.array_map_json_showcase(load_table(spark, sf, "events"))
+
+
+_SQL_COLLECTIONS = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k,
+       event_type AS type_from_map,
+       (user_id = 50 OR event_id % 100 = 50) AS has_50,
+       CAST(2 * (user_id + event_id % 100) AS BIGINT) AS arr_sum2x,
+       CAST(len(str_split(props, ':')) AS INT) AS props_parts
+FROM events
+"""
+
+
+def _q_udf_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.operators import udfs
+
+    return udfs.udf_token_counts(load_table(spark, sf, "documents"))
+
+
+_SQL_UDF_TOKENS = f"""
+SELECT doc_id,
+       CAST(len({_DUCK_TOKS.format(col='text')}) AS INT) AS py_tokens,
+       CAST(len({_DUCK_TOKS.format(col='text')}) AS INT) AS jvm_tokens
+FROM documents
+"""
+
+
+def _q_pandas_udf(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.operators import udfs
+
+    return udfs.pandas_udf_value_transform(load_table(spark, sf, "events"))
+
+
+_SQL_PANDAS_UDF = """
+SELECT event_id, round(ln(1 + value), 6) AS log_value FROM events
+"""
+
+
+def _q_median(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.operators import udfs
+
+    return udfs.exact_median_by_group(load_table(spark, sf, "events"))
+
+
+_SQL_MEDIAN = """
+SELECT event_type, count(*) AS n, CAST(median(value) AS DOUBLE) AS median_value
+FROM events GROUP BY event_type
+"""
+
+
+def _q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.ann_ivf_topk(load_table(spark, sf, "embeddings"))
+
+
+
+
+def _q_media_frames(spark: SparkSession, sf: str) -> DataFrame:
+    return multimodal.media_frame_index(load_table(spark, sf, "documents"))
+
+
+# document text is ASCII-only (verified), so byte slicing == char slicing
+# and the frame fan-out is exactly replicable in SQL
+_SQL_MEDIA_FRAMES = """
+WITH idx AS (
+  SELECT doc_id, text,
+         unnest(range(0, least(8, greatest(strlen(text) // 256, 1)))) AS i
+  FROM documents
+), f AS (
+  SELECT doc_id, sha256(substr(text, CAST(i * 256 + 1 AS INT), 256)) AS fsha FROM idx
+)
+SELECT doc_id AS media_id, count(*) AS n_frames,
+       count(DISTINCT fsha) AS n_unique_frames
+FROM f GROUP BY doc_id
+"""
+
+
+def _q_stream_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.streaming import jobs
+
+    return jobs.streaming_session_windows(spark, sf)
+
+
 # --------------------------------------------------------------------------
 # registry assembly
 # --------------------------------------------------------------------------
@@ -797,6 +1024,19 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "date_functions_showcase": (_q_date_fns, _SQL_DATE_FNS),
     "asof_join_prev_order": (_q_asof, _SQL_ASOF),
     "range_join_value_bands": (_q_range_join, _SQL_RANGE_JOIN),
+    "q2_min_cost_supplier": (_q2, _SQL_Q2),
+    "q4_order_priority": (_q4, _SQL_Q4),
+    "q6_revenue_forecast": (_q6, _SQL_Q6),
+    "q12_shipmode_priority": (_q12, _SQL_Q12),
+    "q14_promo_effect": (_q14, _SQL_Q14),
+    "q18_large_volume_customers": (_q18, _SQL_Q18),
+    "window_ntile_frames": (_q_ntile, _SQL_NTILE),
+    "cube_sales": (_q_cube, _SQL_CUBE),
+    "array_map_json_showcase": (_q_collections, _SQL_COLLECTIONS),
+    "udf_token_counts": (_q_udf_tokens, _SQL_UDF_TOKENS),
+    "pandas_udf_value_transform": (_q_pandas_udf, _SQL_PANDAS_UDF),
+    "exact_median_by_group": (_q_median, _SQL_MEDIAN),
+    "ann_ivf_topk": (_q_ann_ivf, None),
     # dedup (E-10)
     "dedup_exact": (_q_dedup_exact, _SQL_DEDUP_EXACT),
     "dedup_content_hash": (_q_dedup_hash, _SQL_DEDUP_HASH),
@@ -818,11 +1058,13 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "media_content_index": (_q_media_index, _SQL_MEDIA_INDEX),
     "media_dedup_by_content": (_q_media_dedup, _SQL_MEDIA_DEDUP),
     "media_decode_stats": (_q_media_decode, None),
+    "media_frame_index": (_q_media_frames, _SQL_MEDIA_FRAMES),
     # streaming (E-9)
     "streaming_tumbling_counts": (_q_stream_tumbling, _SQL_STREAM_TUMBLING),
     "streaming_distinct_users": (_q_stream_distinct, _SQL_STREAM_DISTINCT),
     "streaming_poll_source_scan": (_q_stream_poll, _SQL_STREAM_POLL),
     "streaming_stream_static_join": (_q_stream_static_join, _SQL_STREAM_STATIC_JOIN),
+    "streaming_session_windows": (_q_stream_sessions, None),
 }
 
 

@@ -178,3 +178,28 @@ def streaming_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"))
     )
     return _run_bounded(joined, "stream_static_join", "complete")
+
+
+def streaming_session_windows(spark: SparkSession, sf_dir: str, gap: str = "30 minutes") -> DataFrame:
+    """Native session windows on the stream (E-9): ``session_window``
+    merges events per user whose gaps are below ``gap``.
+
+    The streaming twin of the batch ``sessionize_events`` operator —
+    session *membership* matches it exactly (same gap rule); the window
+    bounds differ by construction (session_window extends end by gap).
+    Verified against the batch operator in pytest; rows-only for the
+    driver (the close-bound arithmetic isn't ANSI-SQL-portable).
+    """
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 day")
+        .groupBy(F.session_window("ts", gap).alias("win"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .filter(F.col("n_events") >= 3)
+        .select(
+            "user_id",
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+            "n_events",
+        )
+    )
+    return _run_bounded(agg, "stream_session_windows", "complete")
