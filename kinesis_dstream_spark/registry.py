@@ -993,6 +993,111 @@ def _q_stream_sessions(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# filter-IR compiler (the reference's serialized logical plan, SURVEY §1.2)
+# --------------------------------------------------------------------------
+
+# 2024-01-05T00:00:00Z .. 2024-01-20T00:00:00Z as epoch millis — the IR
+# carries event-time as epoch-ms strings like the reference payload does.
+_IR_LO_MS = 1704412800000
+_IR_HI_MS = 1705708800000
+
+
+def _q_ir_contacts(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.plans import filter_ir
+
+    ev = load_table(spark, sf, "events")
+    payload = filter_ir.contacts_poll_payload(_IR_LO_MS, _IR_HI_MS)
+    return filter_ir.compile_payload(ev, payload, time_columns={"ts"}).select(
+        "event_id",
+        F.date_format("ts", TS_FMT_SPARK).alias("ts_s"),
+        "user_id",
+        "event_type",
+    )
+
+
+_SQL_IR_CONTACTS = f"""
+SELECT event_id, strftime(ts, '{TS_FMT_DUCK}') AS ts_s, user_id, event_type
+FROM events
+WHERE ts BETWEEN epoch_ms({_IR_LO_MS}) AND epoch_ms({_IR_HI_MS})
+  AND props IS NOT NULL
+"""
+
+
+def _q_ir_disjunctive(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.plans import filter_ir
+
+    payload = {
+        "filterGroups": [
+            {
+                "filters": [
+                    {"propertyName": "event_type", "operator": "EQ", "value": "click"},
+                    {"propertyName": "value", "operator": "GTE", "value": 400.0},
+                ]
+            },
+            {
+                "filters": [
+                    {
+                        "propertyName": "event_type",
+                        "operator": "IN",
+                        "values": ["purchase", "signup"],
+                    },
+                    {"propertyName": "value", "operator": "LT", "value": 5.0},
+                ]
+            },
+        ],
+        "sorts": [
+            {"propertyName": "value", "direction": "DESCENDING"},
+            {"propertyName": "event_id", "direction": "ASCENDING"},
+        ],
+        "after": 10,
+        "limit": 200,
+        "properties": ["event_id", "user_id", "event_type", "value"],
+    }
+    ev = load_table(spark, sf, "events")
+    return filter_ir.compile_payload(ev, payload)
+
+
+_SQL_IR_DISJUNCTIVE = """
+SELECT event_id, user_id, event_type, value
+FROM events
+WHERE (event_type = 'click' AND value >= 400.0)
+   OR (event_type IN ('purchase', 'signup') AND value < 5.0)
+ORDER BY value DESC, event_id
+LIMIT 200 OFFSET 10
+"""
+
+
+def _q_ir_token_search(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.plans import filter_ir
+
+    payload = {
+        "filterGroups": [
+            {
+                "filters": [
+                    {"propertyName": "text", "operator": "CONTAINS_TOKEN", "value": "join"},
+                    {
+                        "propertyName": "text",
+                        "operator": "NOT_CONTAINS_TOKEN",
+                        "value": "hash",
+                    },
+                ]
+            }
+        ],
+        "properties": ["doc_id", "lang", "n_chars"],
+    }
+    docs = load_table(spark, sf, "documents")
+    return filter_ir.compile_payload(docs, payload)
+
+
+_SQL_IR_TOKEN_SEARCH = r"""
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE regexp_matches(text, '(^|\s)join(\s|$)')
+  AND NOT regexp_matches(text, '(^|\s)hash(\s|$)')
+"""
+
+
+# --------------------------------------------------------------------------
 # registry assembly
 # --------------------------------------------------------------------------
 
@@ -1037,6 +1142,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "pandas_udf_value_transform": (_q_pandas_udf, _SQL_PANDAS_UDF),
     "exact_median_by_group": (_q_median, _SQL_MEDIAN),
     "ann_ivf_topk": (_q_ann_ivf, None),
+    "ir_contacts_poll": (_q_ir_contacts, _SQL_IR_CONTACTS),
+    "ir_disjunctive_search": (_q_ir_disjunctive, _SQL_IR_DISJUNCTIVE),
+    "ir_token_search": (_q_ir_token_search, _SQL_IR_TOKEN_SEARCH),
     # dedup (E-10)
     "dedup_exact": (_q_dedup_exact, _SQL_DEDUP_EXACT),
     "dedup_content_hash": (_q_dedup_hash, _SQL_DEDUP_HASH),
