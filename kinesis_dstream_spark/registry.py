@@ -992,6 +992,48 @@ def _q_stream_sessions(spark: SparkSession, sf: str) -> DataFrame:
     return jobs.streaming_session_windows(spark, sf)
 
 
+def _q_stream_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.streaming import jobs
+
+    return jobs.streaming_sliding_windows(spark, sf)
+
+
+_SQL_STREAM_SLIDING = """
+SELECT strftime(win_start, '%Y-%m-%d') AS win_day, event_type, count(*) AS n_events
+FROM (
+  SELECT event_type, date_trunc('day', ts) - to_days(CAST(i.i AS INT)) AS win_start
+  FROM events, (SELECT unnest([0, 1]) AS i) i
+)
+GROUP BY win_start, event_type
+"""
+
+
+def _q_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.streaming import jobs
+
+    return jobs.streaming_dedup_keys(spark, sf)
+
+
+_SQL_STREAM_DEDUP = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
+def _q_stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.streaming import jobs
+
+    return jobs.streaming_stream_stream_join(spark, sf)
+
+
+_SQL_STREAM_STREAM_JOIN = """
+SELECT a.user_id AS user_id, a.event_id AS click_id, b.event_id AS purchase_id
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+"""
+
+
 # --------------------------------------------------------------------------
 # filter-IR compiler (the reference's serialized logical plan, SURVEY §1.2)
 # --------------------------------------------------------------------------
@@ -1173,6 +1215,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "streaming_poll_source_scan": (_q_stream_poll, _SQL_STREAM_POLL),
     "streaming_stream_static_join": (_q_stream_static_join, _SQL_STREAM_STATIC_JOIN),
     "streaming_session_windows": (_q_stream_sessions, None),
+    "streaming_sliding_windows": (_q_stream_sliding, _SQL_STREAM_SLIDING),
+    "streaming_dedup_keys": (_q_stream_dedup, _SQL_STREAM_DEDUP),
+    "streaming_stream_stream_join": (_q_stream_stream_join, _SQL_STREAM_STREAM_JOIN),
 }
 
 

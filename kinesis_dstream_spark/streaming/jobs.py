@@ -203,3 +203,78 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str, gap: str = "30 m
         )
     )
     return _run_bounded(agg, "stream_session_windows", "complete")
+
+
+def streaming_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (E-9): 2-day windows advancing by 1 day.
+
+    Every event lands in exactly window_size/slide = 2 windows; starts are
+    epoch-aligned to the slide, so the oracle reconstructs membership as
+    ``date_trunc('day', ts) - {0,1} days``. Partial aggregation applies
+    before the single state-store shuffle, as with tumbling windows.
+    """
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "2 days", "1 day").alias("win"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd").alias("win_day"),
+            "event_type",
+            "n_events",
+        )
+    )
+    return _run_bounded(agg, "stream_sliding_windows", "complete")
+
+
+def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact streaming dedup on a composite key via ``dropDuplicates``.
+
+    Key-only projection *before* the dedup keeps the state store at one
+    entry per distinct key (no payload) and makes the append output
+    deterministic: exactly the distinct (user_id, event_type) pairs.
+    State is never evicted — the bounded-retention variant
+    (``dropDuplicatesWithinWatermark``) is covered in pytest where its
+    eviction-dependent output can be bounded, not hash-checked.
+    """
+    ev = _events_stream(spark, sf_dir).select("user_id", "event_type")
+    return _run_bounded(ev.dropDuplicates(["user_id", "event_type"]), "stream_dedup_keys", "append")
+
+
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (E-9): purchases within 1 hour of a
+    click by the same user.
+
+    Both sides carry watermarks and the join condition bounds event time
+    on both ends, so Spark can evict join state as the watermark advances
+    — the only state-bounded way to run an unbounded self-join. At 100 TB
+    the state store holds ~1 hour of each stream per key, independent of
+    total history.
+    """
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", "1 day")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("p_ts", "1 day")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 1 hour"
+        ),
+    ).select(F.col("c_user").alias("user_id"), "click_id", "purchase_id")
+    return _run_bounded(joined, "stream_stream_join", "append")

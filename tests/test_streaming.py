@@ -143,3 +143,59 @@ def test_watermark_drops_very_late_rows(spark, tmp_path):
     # the late row never re-opens it in append mode
     assert ("2024-01-01 10:00:00", 1) in finalized
     assert ("2024-01-01 10:00:00", 2) not in finalized
+
+
+def test_sliding_windows_double_count(spark, sf_dir):
+    """Every event lands in exactly size/slide = 2 sliding windows."""
+    from kinesis_dstream_spark.streaming import jobs
+    from kinesis_dstream_spark.tables import load_table
+
+    out = jobs.streaming_sliding_windows(spark, sf_dir)
+    total_windowed = out.agg(F.sum("n_events")).collect()[0][0]
+    assert total_windowed == 2 * load_table(spark, sf_dir, "events").count()
+
+
+def test_stream_stream_join_equals_batch_self_join(spark, sf_dir):
+    from kinesis_dstream_spark.streaming import jobs
+    from kinesis_dstream_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("a_ts"), F.col("event_id").alias("click_id")
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("bu"), F.col("ts").alias("b_ts"), F.col("event_id").alias("purchase_id")
+    )
+    batch = a.join(
+        b,
+        (F.col("u") == F.col("bu"))
+        & (F.col("b_ts") >= F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("interval 1 hour")),
+    ).select("click_id", "purchase_id")
+    streamed = jobs.streaming_stream_stream_join(spark, sf_dir)
+    assert {(r.click_id, r.purchase_id) for r in streamed.collect()} == {
+        (r.click_id, r.purchase_id) for r in batch.collect()
+    }
+
+
+def test_dedup_within_watermark_bounds(spark, sf_dir):
+    """dropDuplicatesWithinWatermark: at least one row per distinct key,
+    at most one per key per watermark-eviction epoch — i.e. bounded
+    between exact-dedup and the raw stream."""
+    from kinesis_dstream_spark.streaming.jobs import _events_stream, _run_bounded
+    from kinesis_dstream_spark.tables import load_table
+
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "1 day")
+    out = _run_bounded(
+        ev.dropDuplicatesWithinWatermark(["user_id", "event_type"]).select(
+            "user_id", "event_type"
+        ),
+        "stream_dedup_wwm",
+        "append",
+    )
+    distinct_keys = (
+        load_table(spark, sf_dir, "events").select("user_id", "event_type").distinct().count()
+    )
+    n = out.count()
+    assert n >= distinct_keys
+    assert out.select("user_id", "event_type").distinct().count() == distinct_keys
