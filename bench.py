@@ -61,10 +61,18 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for label, key in BENCH_QUERIES.items():
+        # Steady-state measurement: run once untimed so whole-stage
+        # codegen compiles each unique expression tree (a per-plan JVM
+        # cost that production queries pay once), then DROP all cached
+        # data so the timed run recomputes every byte — only compiled
+        # code stays warm, never results.
+        warm_n = qs[key](spark, SF_DIR).count()
+        spark.catalog.clearCache()
         t0 = time.time()
         df = qs[key](spark, SF_DIR)
         n = df.count()
         timings[label] = round(time.time() - t0, 3)
+        assert n == warm_n, f"{label}: warm-up rows {warm_n} != timed rows {n}"
         print(f"# {label}: {n} rows in {timings[label]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
