@@ -574,3 +574,23 @@ def array_map_json_showcase(events: DataFrame) -> DataFrame:
         ).alias("arr_sum2x"),
         F.size(F.split(F.col("props"), ":")).alias("props_parts"),
     )
+
+
+def percentile_stats(events: DataFrame) -> DataFrame:
+    """Exact percentiles per group (E-4): p25/p50/p90 of ``value``.
+
+    ``F.percentile`` is Spark's exact linear-interpolation percentile —
+    a full sort-based aggregate per group. At 100 TB swap to
+    ``approx_percentile`` (t-digest sketch, mergeable map-side) — the
+    sketch variant is asserted against these exact values in pytest
+    rather than oracle-hashed, since its error is probabilistic.
+    """
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.percentile("value", 0.25), 6).alias("p25"),
+            F.round(F.percentile("value", 0.5), 6).alias("p50"),
+            F.round(F.percentile("value", 0.9), 6).alias("p90"),
+        )
+    )

@@ -155,3 +155,30 @@ def tfidf_top_terms(documents: DataFrame, top_k: int = 3, max_doc_id: int = 100)
         .filter(F.col("rk") <= top_k)
         .select("doc_id", "term", "tf", "df", "tfidf", "rk")
     )
+
+
+# RE2-portable subword pattern (no lookarounds): a leading-space word, a
+# leading-space number run, a leading-space punctuation run, or bare
+# whitespace — the GPT-2 tokenizer's pre-tokenization shape minus its
+# contraction lookaheads, so Spark (Java regex) and DuckDB (RE2) agree.
+BPE_ISH_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_token_counts(documents: DataFrame) -> DataFrame:
+    """Regex subword token counting (E-12): per-doc whitespace-word and
+    BPE-ish pre-token counts plus their ratio.
+
+    One narrow scan; ``regexp_extract_all`` runs JVM-side per row. The
+    pattern is deliberately RE2-compatible so the count is reproducible
+    in DuckDB/Go/Rust tooling outside Spark — corpus token budgets must
+    not depend on one engine's regex dialect.
+    """
+    n_ws = F.size(tokens(F.col("text")))
+    n_bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_PATTERN), 0))
+    return documents.select(
+        "doc_id",
+        "lang",
+        n_ws.alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.round(n_bpe / n_ws, 6).alias("bpe_per_word"),
+    )

@@ -1034,6 +1034,34 @@ WHERE a.event_type = 'click' AND b.event_type = 'purchase'
 """
 
 
+def _q_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    return text.bpe_token_counts(load_table(spark, sf, "documents"))
+
+
+_SQL_BPE_TOKENS = f"""
+SELECT doc_id, lang,
+       CAST(len({_DUCK_TOKS.format(col='text')}) AS INT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+')) AS INT)
+         AS n_bpe_tokens,
+       round(CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+')) AS DOUBLE)
+             / len({_DUCK_TOKS.format(col='text')}), 6) AS bpe_per_word
+FROM documents
+"""
+
+
+def _q_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    return relational.percentile_stats(load_table(spark, sf, "events"))
+
+
+_SQL_PERCENTILES = """
+SELECT event_type, count(*) AS n,
+       round(quantile_cont(value, 0.25), 6) AS p25,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90
+FROM events GROUP BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # filter-IR compiler (the reference's serialized logical plan, SURVEY §1.2)
 # --------------------------------------------------------------------------
@@ -1184,6 +1212,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "pandas_udf_value_transform": (_q_pandas_udf, _SQL_PANDAS_UDF),
     "exact_median_by_group": (_q_median, _SQL_MEDIAN),
     "ann_ivf_topk": (_q_ann_ivf, None),
+    "bpe_token_counts": (_q_bpe_tokens, _SQL_BPE_TOKENS),
+    "percentile_stats": (_q_percentiles, _SQL_PERCENTILES),
     "ir_contacts_poll": (_q_ir_contacts, _SQL_IR_CONTACTS),
     "ir_disjunctive_search": (_q_ir_disjunctive, _SQL_IR_DISJUNCTIVE),
     "ir_token_search": (_q_ir_token_search, _SQL_IR_TOKEN_SEARCH),

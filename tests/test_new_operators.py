@@ -96,3 +96,35 @@ def test_q2_returns_one_min_per_nation_at_least(spark, sf_dir):
         by_nation.setdefault(r.n_name, []).append(r.acctbal)
     for n, bals in by_nation.items():
         assert len(set(bals)) == 1  # all tied at the minimum
+
+
+def test_approx_percentile_tracks_exact(spark, sf_dir):
+    """The t-digest sketch (the 100 TB path) must land near the exact
+    sort-based percentiles the oracle verifies."""
+    from kinesis_dstream_spark.operators.relational import percentile_stats
+    from kinesis_dstream_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = {r.event_type: (r.p25, r.p50, r.p90) for r in percentile_stats(ev).collect()}
+    approx = {
+        r.event_type: (r.a25, r.a50, r.a90)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.approx_percentile("value", 0.25, 10000).alias("a25"),
+            F.approx_percentile("value", 0.5, 10000).alias("a50"),
+            F.approx_percentile("value", 0.9, 10000).alias("a90"),
+        )
+        .collect()
+    }
+    for et, (p25, p50, p90) in exact.items():
+        a25, a50, a90 = approx[et]
+        for e, a in [(p25, a25), (p50, a50), (p90, a90)]:
+            assert abs(e - a) <= max(2.0, 0.02 * abs(e))
+
+
+def test_bpe_tokens_at_least_words(spark, sf_dir):
+    from kinesis_dstream_spark.operators.text import bpe_token_counts
+    from kinesis_dstream_spark.tables import load_table
+
+    out = bpe_token_counts(load_table(spark, sf_dir, "documents"))
+    assert out.filter(F.col("n_bpe_tokens") < F.col("n_ws_tokens")).count() == 0
