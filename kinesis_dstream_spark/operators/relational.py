@@ -594,3 +594,30 @@ def percentile_stats(events: DataFrame) -> DataFrame:
             F.round(F.percentile("value", 0.9), 6).alias("p90"),
         )
     )
+
+
+def user_activity_streaks(events: DataFrame) -> DataFrame:
+    """Gaps-and-islands (E-5): longest run of consecutive active days.
+
+    distinct (user, day) → day_no − row_number() is constant within a
+    consecutive run (the island id) → count per island, max per user.
+    Two window passes over the same (user_id) partitioning, so Catalyst
+    plans a single Exchange; the distinct is the only other shuffle.
+    """
+    days = (
+        events.select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day_no"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day_no")
+    islands = days.withColumn(
+        "grp", F.col("day_no") - F.row_number().over(w)
+    )
+    return (
+        islands.groupBy("user_id", "grp")
+        .agg(F.count("*").alias("streak"))
+        .groupBy("user_id")
+        .agg(F.max("streak").cast("int").alias("longest_streak"))
+    )

@@ -1034,6 +1034,74 @@ WHERE a.event_type = 'click' AND b.event_type = 'purchase'
 """
 
 
+# gaps-and-islands: day_no − row_number() is constant within a
+# consecutive-day run; longest run per user. Shared by the batch
+# window-function twin and the applyInPandasWithState streaming variant.
+_SQL_STREAKS = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(datediff('day', DATE '1970-01-01', ts) AS INT) AS day_no
+  FROM events
+), islands AS (
+  SELECT user_id,
+         day_no - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day_no) AS INT) AS grp
+  FROM days
+)
+SELECT user_id, CAST(max(streak) AS INT) AS longest_streak
+FROM (SELECT user_id, grp, count(*) AS streak FROM islands GROUP BY user_id, grp)
+GROUP BY user_id
+"""
+
+
+def _q_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.functions import skew
+
+    ev = load_table(spark, sf, "events").withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    out = skew.salted_agg_count_sum(ev, ["event_type"], "cents")
+    return out.select(
+        "event_type",
+        "n_rows",
+        F.round(F.col("sum_cents") / 100.0, 2).alias("sum_value"),
+    )
+
+
+_SQL_SALTED_AGG = """
+SELECT event_type, count(*) AS n_rows,
+       round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+def _q_salted_join(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.functions import skew
+
+    ev = load_table(spark, sf, "events")
+    cust = load_table(spark, sf, "customer")
+    return (
+        skew.salted_join(ev, cust, "user_id", "c_custkey")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+_SQL_SALTED_JOIN = """
+SELECT c_mktsegment, event_type, count(*) AS n_events
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment, event_type
+"""
+
+
+def _q_batch_streaks(spark: SparkSession, sf: str) -> DataFrame:
+    return relational.user_activity_streaks(load_table(spark, sf, "events"))
+
+
+def _q_stream_streaks(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.streaming import jobs
+
+    return jobs.streaming_user_streaks(spark, sf)
+
+
 def _q_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
     return text.bpe_token_counts(load_table(spark, sf, "documents"))
 
@@ -1248,6 +1316,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "streaming_sliding_windows": (_q_stream_sliding, _SQL_STREAM_SLIDING),
     "streaming_dedup_keys": (_q_stream_dedup, _SQL_STREAM_DEDUP),
     "streaming_stream_stream_join": (_q_stream_stream_join, _SQL_STREAM_STREAM_JOIN),
+    "user_activity_streaks": (_q_batch_streaks, _SQL_STREAKS),
+    "streaming_user_streaks": (_q_stream_streaks, _SQL_STREAKS),
+    "salted_agg_by_type": (_q_salted_agg, _SQL_SALTED_AGG),
+    "salted_skew_join": (_q_salted_join, _SQL_SALTED_JOIN),
 }
 
 

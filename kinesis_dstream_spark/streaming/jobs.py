@@ -278,3 +278,67 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).select(F.col("c_user").alias("user_id"), "click_id", "purchase_id")
     return _run_bounded(joined, "stream_stream_join", "append")
+
+
+def streaming_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState`` (E-9):
+    longest run of consecutive active calendar days per user.
+
+    The per-key state is three scalars (last_day, current_streak,
+    best_streak) — constant memory per user regardless of history, which
+    is the property that lets this run forever on an unbounded stream.
+    Each micro-batch folds its (sorted) new days into the state and emits
+    the updated best. The bounded fixture run drains in one batch; the
+    same code runs incrementally under a processingTime trigger.
+
+    The batch twin (``relational.user_activity_streaks``) shares the
+    gaps-and-islands SQL oracle; this streaming variant is itself
+    oracle-checked because the bounded drain sees every event.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    import pandas as pd
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("longest_streak", IntegerType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("last_day", LongType()),
+            StructField("cur", IntegerType()),
+            StructField("best", IntegerType()),
+        ]
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        if state.exists:
+            last_day, cur, best = state.get
+        else:
+            last_day, cur, best = None, 0, 0
+        days = set()
+        for pdf in pdf_iter:
+            days.update(int(d) for d in pdf["day_no"])
+        for d in sorted(days):
+            if last_day is not None and d == last_day:
+                continue
+            cur = cur + 1 if (last_day is not None and d == last_day + 1) else 1
+            best = max(best, cur)
+            last_day = d
+        state.update((last_day if last_day is not None else -1, cur, best))
+        yield pd.DataFrame({"user_id": [key[0]], "longest_streak": [best]})
+
+    ev = _events_stream(spark, sf_dir).select(
+        "user_id", F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day_no")
+    )
+    streaks = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_bounded(streaks, "stream_user_streaks", "update")

@@ -128,3 +128,53 @@ def test_bpe_tokens_at_least_words(spark, sf_dir):
 
     out = bpe_token_counts(load_table(spark, sf_dir, "documents"))
     assert out.filter(F.col("n_bpe_tokens") < F.col("n_ws_tokens")).count() == 0
+
+
+def test_salted_agg_equals_plain(spark, sf_dir):
+    from kinesis_dstream_spark.functions import skew
+    from kinesis_dstream_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    salted = {
+        (r.event_type, r.n_rows, r.sum_cents)
+        for r in skew.salted_agg_count_sum(ev, ["event_type"], "cents").collect()
+    }
+    plain = {
+        (r.event_type, r.n_rows, r.sum_cents)
+        for r in ev.groupBy("event_type")
+        .agg(F.count("*").alias("n_rows"), F.sum("cents").alias("sum_cents"))
+        .collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_equals_plain(spark, sf_dir):
+    from kinesis_dstream_spark.functions import skew
+    from kinesis_dstream_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    salted = skew.salted_join(ev, cust, "user_id", "c_custkey")
+    plain = ev.join(cust, ev["user_id"] == cust["c_custkey"])
+    assert salted.count() == plain.count()
+    s = {(r.event_id, r.c_custkey) for r in salted.select("event_id", "c_custkey").collect()}
+    p = {(r.event_id, r.c_custkey) for r in plain.select("event_id", "c_custkey").collect()}
+    assert s == p
+
+
+def test_streaming_streaks_equal_batch(spark, sf_dir):
+    from kinesis_dstream_spark.operators.relational import user_activity_streaks
+    from kinesis_dstream_spark.streaming import jobs
+    from kinesis_dstream_spark.tables import load_table
+
+    batch = {
+        (r.user_id, r.longest_streak)
+        for r in user_activity_streaks(load_table(spark, sf_dir, "events")).collect()
+    }
+    streamed = {
+        (r.user_id, r.longest_streak)
+        for r in jobs.streaming_user_streaks(spark, sf_dir).collect()
+    }
+    assert streamed == batch
