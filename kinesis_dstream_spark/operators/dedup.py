@@ -365,3 +365,60 @@ def dedup_embedding_cosine(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def dedup_clusters(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
+    """Connected components over a near-dup pair graph (iterative).
+
+    Near-dup *pairs* (from any of the pair operators above) say "these
+    two are the same document"; what a pipeline actually needs is the
+    transitive closure — one canonical representative per duplicate
+    CLUSTER, so A~B, B~C collapses all three. Classic min-label
+    propagation: every node starts labeled with its own id; each round
+    takes the min of its neighbors' labels; fixpoint = component minimum,
+    reached in at most graph-diameter rounds (near-dup components are
+    shallow in practice — a handful of rounds).
+
+    Scale notes: each round is one join + one aggregate keyed on node id.
+    ``localCheckpoint`` after each round is load-bearing — without it the
+    lineage (and thus the physical plan) doubles every iteration.
+    Convergence is detected with a single scalar aggregate (sum of
+    labels, strictly decreasing until fixpoint) instead of a row-level
+    diff. Returns (doc_id, cluster_rep, cluster_size) for every node that
+    appears in ≥1 pair.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
+        .union(pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("s").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("label"))
+        .localCheckpoint()
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["d"] == labels["doc_id"])
+            .groupBy("s")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr_min, labels["doc_id"] == nbr_min["s"], "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "label").select(
+        "doc_id", F.col("label").alias("cluster_rep"), "cluster_size"
+    )

@@ -1052,6 +1052,35 @@ GROUP BY user_id
 """
 
 
+def _q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return dedup.dedup_clusters(dedup.dedup_ngram_jaccard(docs))
+
+
+# transitive closure of the exact jaccard pair graph via recursive CTE;
+# cluster rep = component minimum (same fixpoint the iterative min-label
+# propagation reaches on the Spark side)
+_SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE jpairs AS ({_SQL_DEDUP_JACCARD}),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM jpairs
+  UNION
+  SELECT doc_b AS s, doc_a AS d FROM jpairs
+),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+),
+closure AS (
+  SELECT s AS doc_id, least(s, min(d)) AS cluster_rep FROM reach GROUP BY s
+)
+SELECT doc_id, cluster_rep,
+       count(*) OVER (PARTITION BY cluster_rep) AS cluster_size
+FROM closure
+"""
+
+
 def _q_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
     from kinesis_dstream_spark.functions import skew
 
@@ -1320,6 +1349,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "streaming_user_streaks": (_q_stream_streaks, _SQL_STREAKS),
     "salted_agg_by_type": (_q_salted_agg, _SQL_SALTED_AGG),
     "salted_skew_join": (_q_salted_join, _SQL_SALTED_JOIN),
+    "dedup_clusters": (_q_dedup_clusters, _SQL_DEDUP_CLUSTERS),
 }
 
 

@@ -101,3 +101,19 @@ def test_embedding_cosine_pandas_path_matches_native(spark, sf_dir):
         ).collect()
     }
     assert native == pandas_
+
+
+def test_cluster_assignment_is_consistent(spark, sf_dir):
+    """Both endpoints of every near-dup pair share a representative, and
+    the representative is the minimum doc_id of its cluster."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.dedup_ngram_jaccard(docs)
+    clusters = dedup.dedup_clusters(pairs)
+    rep = {r.doc_id: r.cluster_rep for r in clusters.collect()}
+    for p in pairs.collect():
+        assert rep[p.doc_a] == rep[p.doc_b]
+    by_rep = {}
+    for d, r in rep.items():
+        by_rep.setdefault(r, []).append(d)
+    for r, members in by_rep.items():
+        assert r == min(members)

@@ -119,3 +119,43 @@ def test_broadcast_in_ann_bruteforce(spark, sf_dir):
     plan = _plan(similarity.ann_bruteforce_topk(emb))
     # query side broadcast: corpus is never shuffled for scoring
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    """Bucketing is the 100 TB co-located-join strategy: both sides
+    bucketed+sorted on the join key join with ZERO Exchange (and zero
+    sort) in the plan — the shuffle happened once at write time."""
+    import io
+    from contextlib import redirect_stdout
+
+    from kinesis_dstream_spark.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    for df, name, key in [(orders, "orders_bkt", "o_orderkey"), (lineitem, "lineitem_bkt", "l_orderkey")]:
+        (
+            df.write.mode("overwrite")
+            .option("path", str(tmp_path / name))
+            .bucketBy(8, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("lineitem_bkt").join(
+            spark.table("orders_bkt"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+        n = joined.count()
+        assert n == lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
+        spark.sql("DROP TABLE IF EXISTS orders_bkt")
