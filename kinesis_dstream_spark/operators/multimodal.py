@@ -21,7 +21,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -199,4 +201,76 @@ def media_frame_index(documents: DataFrame) -> DataFrame:
             F.count("*").alias("n_frames"),
             F.countDistinct("frame_sha").alias("n_unique_frames"),
         )
+    )
+
+
+EMBED_DIM = 16
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("embedding", ArrayType(DoubleType())),
+    ]
+)
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Feature extraction over binary payloads (E-13 → E-11 bridge).
+
+    A real pipeline would run an image/audio encoder here; the container
+    has no model runtime, so the deterministic stand-in is an L2-
+    normalized 16-bin byte histogram — computed *vectorized* with numpy
+    over each Arrow batch (``np.frombuffer`` + ``bincount``; no per-byte
+    Python). What this verifies end-to-end: binary columns through Arrow,
+    batch-shaped UDF compute, and an ``array<double>`` embedding column
+    that the similarity operators consume unchanged.
+    """
+    import numpy as np
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            embs = []
+            for p in pdf["payload"]:
+                a = np.frombuffer(bytes(p), dtype=np.uint8)
+                h = np.bincount(a >> 4, minlength=EMBED_DIM).astype("float64")
+                norm = float(np.linalg.norm(h))
+                embs.append((h / norm if norm > 0 else h).tolist())
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"].astype("int64"), "embedding": embs}
+            )
+
+    return media.mapInPandas(featurize, FEATURES_SCHEMA)
+
+
+def media_embedding_topk(
+    documents: DataFrame, n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    """Nearest media by extracted-feature cosine: the full multimodal
+    retrieval path (payload → embedding → top-k) on one plan.
+
+    Same broadcast-queries + window top-k shape as
+    ``similarity.ann_bruteforce_topk``; embeddings are unit-norm so the
+    dot product IS the cosine. Deterministic fake features → rows-only
+    driver check; pytest pins determinism and self-exclusion.
+    """
+    from pyspark.sql import Window
+
+    from kinesis_dstream_spark.functions import vectors as V
+
+    feats = extract_features(to_media_table(documents))
+    queries = feats.filter(F.col("media_id") < n_queries).select(
+        F.col("media_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = feats.join(
+        F.broadcast(queries), F.col("media_id") != F.col("q_id")
+    ).select(
+        "q_id",
+        F.col("media_id").alias("c_id"),
+        F.round(V.dot(F.col("q_emb"), F.col("embedding")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "c_id", "cos_sim", "rk")
     )

@@ -986,6 +986,10 @@ FROM f GROUP BY doc_id
 """
 
 
+def _q_media_topk(spark: SparkSession, sf: str) -> DataFrame:
+    return multimodal.media_embedding_topk(load_table(spark, sf, "documents"))
+
+
 def _q_stream_sessions(spark: SparkSession, sf: str) -> DataFrame:
     from kinesis_dstream_spark.streaming import jobs
 
@@ -1336,6 +1340,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "media_dedup_by_content": (_q_media_dedup, _SQL_MEDIA_DEDUP),
     "media_decode_stats": (_q_media_decode, None),
     "media_frame_index": (_q_media_frames, _SQL_MEDIA_FRAMES),
+    "media_embedding_topk": (_q_media_topk, None),
     # streaming (E-9)
     "streaming_tumbling_counts": (_q_stream_tumbling, _SQL_STREAM_TUMBLING),
     "streaming_distinct_users": (_q_stream_distinct, _SQL_STREAM_DISTINCT),

@@ -51,3 +51,29 @@ def test_media_dedup_groups_by_content(spark):
     )
     rows = {(r.keep_id, r.n_copies) for r in multimodal.media_dedup_by_content(df).collect()}
     assert rows == {(1, 2), (3, 1)}
+
+
+def test_extract_features_unit_norm_and_deterministic(spark, sf_dir):
+    from kinesis_dstream_spark.operators.multimodal import extract_features, to_media_table
+    from kinesis_dstream_spark.tables import load_table
+
+    media = to_media_table(load_table(spark, sf_dir, "documents"))
+    a = {r.media_id: tuple(r.embedding) for r in extract_features(media).collect()}
+    b = {r.media_id: tuple(r.embedding) for r in extract_features(media).collect()}
+    assert a == b
+    for emb in list(a.values())[:20]:
+        assert abs(sum(x * x for x in emb) - 1.0) < 1e-9
+
+
+def test_media_embedding_topk_shape(spark, sf_dir):
+    from kinesis_dstream_spark.operators.multimodal import media_embedding_topk
+    from kinesis_dstream_spark.tables import load_table
+
+    out = media_embedding_topk(load_table(spark, sf_dir, "documents"), n_queries=5, k=3)
+    rows = out.collect()
+    per_q = {}
+    for r in rows:
+        assert r.q_id != r.c_id
+        per_q.setdefault(r.q_id, []).append(r.rk)
+    for q, rks in per_q.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1))
