@@ -621,3 +621,50 @@ def user_activity_streaks(events: DataFrame) -> DataFrame:
         .groupBy("user_id")
         .agg(F.max("streak").cast("int").alias("longest_streak"))
     )
+
+
+def q10_top_customer_revenue(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1996-04-01",
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10 shape: top customers by returned-quarter revenue.
+
+    Aggregate lineitem revenue per customer FIRST (the big shuffle keyed
+    on o_custkey, fully partial-aggregated map-side), then join the small
+    result to the dims — customer joins after reduction, nation
+    broadcast. Revenue in integer cents for hash-exact oracle parity.
+    """
+    rev = (
+        lineitem.join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit(date_lo).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(date_hi).cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast(
+                    "long"
+                )
+            ).alias("rev_cents")
+        )
+    )
+    return (
+        rev.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.round(F.col("rev_cents") / 100.0, 2).alias("revenue"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(k)
+    )

@@ -1056,6 +1056,55 @@ GROUP BY user_id
 """
 
 
+def _q_batch_poll_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch read through the custom paged_poll Python Data Source: every
+    page (the reference's limit=100 cursor unit) is an input partition
+    scanned in parallel; the result must equal a plain table scan."""
+    from kinesis_dstream_spark.sources import polling
+
+    polling.register(spark)
+    return (
+        spark.read.format(polling.FORMAT_NAME)
+        .option("path", f"{sf}/events.parquet")
+        .option("page_size", 500)
+        .load()
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+        )
+    )
+
+
+_SQL_BATCH_POLL = """
+SELECT event_id, user_id, event_type, round(value, 4) AS value FROM events
+"""
+
+
+def _q10_returned_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    t = load_tables(spark, sf)
+    return relational.q10_top_customer_revenue(t["customer"], t["orders"], t["lineitem"], t["nation"])
+
+
+_SQL_Q10 = """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY o_custkey
+)
+SELECT c_custkey, c_name, n_name, round(rev_cents / 100.0, 2) AS revenue
+FROM rev JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
 def _q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     return dedup.dedup_clusters(dedup.dedup_ngram_jaccard(docs))
@@ -1355,6 +1404,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "salted_agg_by_type": (_q_salted_agg, _SQL_SALTED_AGG),
     "salted_skew_join": (_q_salted_join, _SQL_SALTED_JOIN),
     "dedup_clusters": (_q_dedup_clusters, _SQL_DEDUP_CLUSTERS),
+    "batch_poll_source_scan": (_q_batch_poll_scan, _SQL_BATCH_POLL),
+    "q10_top_customer_revenue": (_q10_returned_revenue, _SQL_Q10),
 }
 
 
