@@ -1023,6 +1023,12 @@ SELECT DISTINCT user_id, event_type FROM events
 """
 
 
+def _q_stream_changelog_merge(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.streaming import jobs
+
+    return jobs.streaming_changelog_merge(spark, sf)
+
+
 def _q_stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
     from kinesis_dstream_spark.streaming import jobs
 
@@ -1398,6 +1404,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "streaming_session_windows": (_q_stream_sessions, None),
     "streaming_sliding_windows": (_q_stream_sliding, _SQL_STREAM_SLIDING),
     "streaming_dedup_keys": (_q_stream_dedup, _SQL_STREAM_DEDUP),
+    "streaming_changelog_merge": (_q_stream_changelog_merge, _SQL_CHANGELOG),
     "streaming_stream_stream_join": (_q_stream_stream_join, _SQL_STREAM_STREAM_JOIN),
     "user_activity_streaks": (_q_batch_streaks, _SQL_STREAKS),
     "streaming_user_streaks": (_q_stream_streaks, _SQL_STREAKS),

@@ -342,3 +342,62 @@ def streaming_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return _run_bounded(streaks, "stream_user_streaks", "update")
+
+
+def streaming_changelog_merge(
+    spark: SparkSession, sf_dir: str, state_dir: str | None = None
+) -> DataFrame:
+    """foreachBatch MERGE: materialize latest-state-per-key from the
+    changelog stream (SURVEY §1.3 upgrade path).
+
+    The reference re-emits a record on every modification and keeps no
+    state; consumers that need "current state per key" must merge. Each
+    micro-batch upserts into a parquet state table: union previous state
+    with the batch, keep the max-(ts, event_id) row per user_id, swap
+    atomically (write to tmp dir, rename). With a transactional table
+    format (Delta/Iceberg) the body becomes a single MERGE INTO — the
+    batch loop, checkpoint, and dedup-window logic are identical.
+
+    The bounded drain's final state must equal the batch
+    ``changelog_latest_state`` — which is exactly what the oracle checks.
+    """
+    import shutil
+
+    from pyspark.sql import Window
+
+    state_dir = state_dir or tempfile.mkdtemp(prefix="kds_state_")
+    cur_path = os.path.join(state_dir, "current")
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        merged = batch_df
+        if os.path.exists(cur_path):
+            merged = spark.read.parquet(cur_path).unionByName(batch_df)
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        latest = (
+            merged.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        tmp = os.path.join(state_dir, f"tmp_{batch_id}")
+        latest.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(cur_path):
+            shutil.rmtree(cur_path)
+        os.rename(tmp, cur_path)
+
+    ev = _events_stream(spark, sf_dir)
+    q = (
+        ev.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", os.path.join(state_dir, "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(cur_path).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
+    )

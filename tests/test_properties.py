@@ -1,0 +1,145 @@
+"""Property-based tests (hypothesis) for the compiler and text kernels.
+
+Each example generates a random dataset + random query payload, runs the
+Spark plan, and compares against a direct Python evaluation of the same
+semantics — the model-based testing the reference lacked entirely
+(SURVEY §5).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from kinesis_dstream_spark.plans import filter_ir
+
+ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=50),                      # x
+        st.sampled_from(["a", "b", "c"]),                            # t
+        st.one_of(st.none(), st.sampled_from(["p1", "p2"])),         # p
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+FILTERS = st.lists(
+    st.one_of(
+        st.builds(
+            lambda v: {"propertyName": "x", "operator": "LT", "value": v},
+            st.integers(0, 50),
+        ),
+        st.builds(
+            lambda v: {"propertyName": "x", "operator": "GTE", "value": v},
+            st.integers(0, 50),
+        ),
+        st.builds(
+            lambda lo, hi: {
+                "propertyName": "x",
+                "operator": "BETWEEN",
+                "value": min(lo, hi),
+                "highValue": max(lo, hi),
+            },
+            st.integers(0, 50),
+            st.integers(0, 50),
+        ),
+        st.builds(
+            lambda v: {"propertyName": "t", "operator": "EQ", "value": v},
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        st.builds(
+            lambda vs: {"propertyName": "t", "operator": "IN", "values": sorted(set(vs))},
+            st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=3),
+        ),
+        st.just({"propertyName": "p", "operator": "HAS_PROPERTY"}),
+        st.just({"propertyName": "p", "operator": "NOT_HAS_PROPERTY"}),
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+PAYLOADS = st.builds(
+    lambda groups: {"filterGroups": [{"filters": g} for g in groups]},
+    st.lists(FILTERS, min_size=1, max_size=3),
+)
+
+
+def _eval_filter(flt: dict, row: dict) -> bool:
+    p, op = flt["propertyName"], flt["operator"]
+    v = row[p]
+    if op == "HAS_PROPERTY":
+        return v is not None
+    if op == "NOT_HAS_PROPERTY":
+        return v is None
+    if v is None:
+        return False  # SQL three-valued logic: comparisons with NULL filter out
+    if op == "LT":
+        return v < flt["value"]
+    if op == "GTE":
+        return v >= flt["value"]
+    if op == "BETWEEN":
+        return flt["value"] <= v <= flt["highValue"]
+    if op == "EQ":
+        return v == flt["value"]
+    if op == "IN":
+        return v in flt["values"]
+    raise AssertionError(op)
+
+
+def _eval_payload(payload: dict, row: dict) -> bool:
+    return any(
+        all(_eval_filter(f, row) for f in g["filters"])
+        for g in payload["filterGroups"]
+        if g["filters"]
+    )
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=ROWS, payload=PAYLOADS)
+def test_filter_ir_matches_python_model(spark, rows, payload):
+    data = [(i, x, t, p) for i, (x, t, p) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, x int, t string, p string")
+    got = {
+        r.id for r in filter_ir.compile_payload(df, payload).select("id").collect()
+    }
+    want = {
+        i
+        for i, (x, t, p) in enumerate(rows)
+        if _eval_payload(payload, {"x": x, "t": t, "p": p})
+    }
+    assert got == want
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    toks=st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee"]), min_size=1, max_size=12),
+    k=st.integers(2, 4),
+)
+def test_word_shingles_model(spark, toks, k):
+    from kinesis_dstream_spark.functions.textfns import word_shingles
+
+    df = spark.createDataFrame([(toks,)], "toks array<string>")
+    got = df.select(word_shingles(F.col("toks"), k).alias("s")).collect()[0].s
+    if len(toks) >= k:
+        want = sorted({" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)})
+    else:
+        want = [" ".join(toks)]
+    assert sorted(got) == sorted(want)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(text=st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=80))
+def test_rolling_fingerprint_model(spark, text):
+    from kinesis_dstream_spark.functions.textfns import (
+        FP_BASE,
+        FP_MOD,
+        rolling_fingerprint,
+    )
+
+    df = spark.createDataFrame([(text,)], "t string")
+    got = df.select(rolling_fingerprint(F.col("t")).alias("fp")).collect()[0].fp
+    want = 0
+    for ch in text:
+        want = (want * FP_BASE + ord(ch)) % FP_MOD
+    assert got == want

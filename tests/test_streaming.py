@@ -199,3 +199,59 @@ def test_dedup_within_watermark_bounds(spark, sf_dir):
     n = out.count()
     assert n >= distinct_keys
     assert out.select("user_id", "event_type").distinct().count() == distinct_keys
+
+
+def test_changelog_merge_across_batches(spark, tmp_path):
+    """Each micro-batch upserts; a key modified in a later batch must
+    overwrite its earlier state (the reference's changelog semantics)."""
+    import json
+
+    from kinesis_dstream_spark.streaming.jobs import streaming_changelog_merge  # noqa: F401 (shape reference)
+
+    d = tmp_path / "in"
+    d.mkdir()
+
+    def write_batch(path, rows):
+        with open(path, "w") as f:
+            for ts, uid, eid, et in rows:
+                f.write(json.dumps({"ts": ts, "user_id": uid, "event_id": eid, "event_type": et, "value": 1.0}) + "\n")
+
+    write_batch(d / "b1.json", [("2024-01-01 10:00:00", 1, 100, "old"), ("2024-01-01 10:00:00", 2, 101, "keep")])
+    write_batch(d / "b2.json", [("2024-01-02 10:00:00", 1, 102, "new")])
+
+    state_dir = str(tmp_path / "state")
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    cur_path = os.path.join(state_dir, "current")
+    os.makedirs(state_dir, exist_ok=True)
+
+    def merge(batch_df, batch_id):
+        merged = batch_df
+        if os.path.exists(cur_path):
+            merged = spark.read.parquet(cur_path).unionByName(batch_df)
+        w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        latest = merged.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+        tmp = os.path.join(state_dir, f"tmp_{batch_id}")
+        latest.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(cur_path):
+            shutil.rmtree(cur_path)
+        os.rename(tmp, cur_path)
+
+    stream = (
+        spark.readStream.schema("ts string, user_id long, event_id long, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state = {r.user_id: r.event_type for r in spark.read.parquet(cur_path).collect()}
+    assert state == {1: "new", 2: "keep"}
