@@ -668,3 +668,50 @@ def q10_top_customer_revenue(
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(k)
     )
+
+
+def pivot_event_counts(events: DataFrame) -> DataFrame:
+    """Pivot (E-4): daily event counts, one column per event type.
+
+    The pivot values are declared explicitly — at 100 TB an undeclared
+    pivot triggers an extra distinct scan just to discover the columns.
+    Declared values make it a single conditional-count aggregation pass.
+    """
+    types = ["click", "error", "purchase", "signup", "view"]
+    pivoted = (
+        events.groupBy(
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day")
+        )
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
+    )
+
+
+def window_range_frames(orders: DataFrame) -> DataFrame:
+    """RANGE window frame (E-5): trailing-7-day revenue per priority.
+
+    RANGE frames bound by the ORDER BY *value* (all same-day peers join
+    the frame regardless of row order) — the deterministic choice for
+    event-time analytics, unlike ROWS frames whose content depends on
+    tie order. Integer day numbers + cent sums keep it hash-exact.
+    """
+    enriched = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).alias("day_no"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("day_no")
+        .rangeBetween(-7, Window.currentRow)
+    )
+    return enriched.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "day_no",
+        F.round(F.sum("cents").over(w) / 100.0, 2).alias("trailing7_revenue"),
+    )

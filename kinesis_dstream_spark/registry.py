@@ -1111,6 +1111,40 @@ LIMIT 20
 """
 
 
+def _q_pivot_counts(spark: SparkSession, sf: str) -> DataFrame:
+    return relational.pivot_event_counts(load_table(spark, sf, "events"))
+
+
+_SQL_PIVOT = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+       CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+       CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+       CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+FROM events GROUP BY 1
+"""
+
+
+def _q_range_frames(spark: SparkSession, sf: str) -> DataFrame:
+    return relational.window_range_frames(load_table(spark, sf, "orders"))
+
+
+_SQL_RANGE_FRAMES = """
+WITH e AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS INT) AS day_no,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT o_orderkey, o_orderpriority, day_no,
+       round(CAST(sum(cents) OVER (PARTITION BY o_orderpriority ORDER BY day_no
+                     RANGE BETWEEN 7 PRECEDING AND CURRENT ROW) AS BIGINT) / 100.0, 2)
+         AS trailing7_revenue
+FROM e
+"""
+
+
 def _q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     return dedup.dedup_clusters(dedup.dedup_ngram_jaccard(docs))
@@ -1413,6 +1447,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "dedup_clusters": (_q_dedup_clusters, _SQL_DEDUP_CLUSTERS),
     "batch_poll_source_scan": (_q_batch_poll_scan, _SQL_BATCH_POLL),
     "q10_top_customer_revenue": (_q10_returned_revenue, _SQL_Q10),
+    "pivot_event_counts": (_q_pivot_counts, _SQL_PIVOT),
+    "window_range_frames": (_q_range_frames, _SQL_RANGE_FRAMES),
 }
 
 

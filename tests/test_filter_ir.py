@@ -157,3 +157,28 @@ class TestPlanShape:
         assert "IsNotNull(event_type)" in text or "EqualTo(event_type,click)" in text
         # pruned read schema should not mention untouched wide columns
         assert "props" not in text.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_ir_composes_with_streams(spark, sf_dir):
+    """The IR compiler is source-agnostic: the same payload compiles onto
+    a streaming DataFrame and yields the same rows as the batch plan."""
+    from kinesis_dstream_spark.streaming.jobs import _events_stream, _run_bounded
+    from kinesis_dstream_spark.tables import load_table
+
+    payload = filter_ir.contacts_poll_payload(
+        1704412800000, 1705708800000, properties=["event_id", "user_id"]
+    )
+    batch = {
+        r.event_id
+        for r in filter_ir.compile_payload(
+            load_table(spark, sf_dir, "events"), payload, time_columns={"ts"}
+        ).collect()
+    }
+    streamed = _run_bounded(
+        filter_ir.compile_payload(
+            _events_stream(spark, sf_dir), payload, time_columns={"ts"}
+        ),
+        "ir_stream_compile",
+        "append",
+    )
+    assert {r.event_id for r in streamed.collect()} == batch

@@ -1,0 +1,97 @@
+"""Plan audit: join strategies / exchanges / pushdown per headline query.
+
+Usage: ``python tools/explain_audit.py [sf_dir] [query ...]`` — prints a
+markdown table plus the raw formatted plan per query when ``-v``. The
+fast feedback loop for "is this the plan I'd want at 100 TB": broadcast
+where a side is small, pushed filters on every scan, no stray exchanges.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from kinesis_dstream_spark import registry
+from kinesis_dstream_spark.session import get_spark
+
+DEFAULT_SF = "/root/testdata/sf0.01"
+
+# batch queries only: streaming jobs materialize eagerly and have no
+# single static plan to audit
+AUDIT_DEFAULT = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_top_customer_revenue",
+    "q18_large_volume_customers",
+    "asof_join_prev_order",
+    "changelog_latest_state",
+    "sessionize_events",
+    "dedup_content_hash",
+    "dedup_minhash_lsh",
+    "ann_bruteforce_topk",
+    "tfidf_top_terms",
+    "poll_window_filter",
+    "ir_contacts_poll",
+]
+
+
+def audit(name: str, df) -> dict:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # codegen spans only show as *(n) markers in simple mode
+    buf2 = io.StringIO()
+    with redirect_stdout(buf2):
+        df.explain()
+    simple = buf2.getvalue()
+    return {
+        "name": name,
+        "joins": ",".join(
+            sorted(
+                set(
+                    re.findall(
+                        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
+                        r"BroadcastNestedLoopJoin|CartesianProduct)",
+                        plan,
+                    )
+                )
+            )
+        )
+        or "-",
+        "exchanges": len(re.findall(r"\bExchange\b", plan)),
+        "pushed_scans": len(re.findall(r"PushedFilters: \[[^\]]", plan)),
+        "codegen_spans": len(set(re.findall(r"\*\((\d+)\)", simple))),
+        "plan": plan,
+    }
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if a != "-v"]
+    verbose = "-v" in sys.argv[1:]
+    sf = args[0] if args and os.path.isdir(args[0]) else DEFAULT_SF
+    names = args[1:] if args and os.path.isdir(args[0]) else args
+    names = names or AUDIT_DEFAULT
+    spark = get_spark("kds-explain-audit")
+    qs = registry.queries()
+    print("| query | joins | exchanges | pushed scans | codegen spans |")
+    print("|---|---|---|---|---|")
+    for name in names:
+        a = audit(name, qs[name](spark, sf))
+        print(
+            f"| {a['name']} | {a['joins']} | {a['exchanges']} "
+            f"| {a['pushed_scans']} | {a['codegen_spans']} |"
+        )
+        if verbose:
+            print(f"\n### {name}\n```\n{a['plan']}\n```\n")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
