@@ -1111,6 +1111,25 @@ LIMIT 20
 """
 
 
+# ANSI subset that runs verbatim on Spark SQL *and* DuckDB: the query is
+# its own oracle — exercising the spark.sql() entry point end-to-end.
+_SQL_API_QUERY = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY o_orderpriority
+"""
+
+
+def _q_sql_api(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.tables import register_views
+
+    register_views(spark, sf)
+    return spark.sql(_SQL_API_QUERY)
+
+
 def _q_pivot_counts(spark: SparkSession, sf: str) -> DataFrame:
     return relational.pivot_event_counts(load_table(spark, sf, "events"))
 
@@ -1447,6 +1466,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "dedup_clusters": (_q_dedup_clusters, _SQL_DEDUP_CLUSTERS),
     "batch_poll_source_scan": (_q_batch_poll_scan, _SQL_BATCH_POLL),
     "q10_top_customer_revenue": (_q10_returned_revenue, _SQL_Q10),
+    "sql_api_order_priorities": (_q_sql_api, _SQL_API_QUERY),
     "pivot_event_counts": (_q_pivot_counts, _SQL_PIVOT),
     "window_range_frames": (_q_range_frames, _SQL_RANGE_FRAMES),
 }

@@ -164,3 +164,35 @@ class PagedPollStreamReader(SimpleDataSourceStreamReader):
 def register(spark) -> None:
     """Register the source so ``format("paged_poll")`` resolves."""
     spark.dataSource.register(PagedPollDataSource)
+
+
+def _attach_writer() -> None:
+    """Attach the writer to PagedPollDataSource (Spark 4 Python Data
+    Source API: ``writer(schema, overwrite)`` on the DataSource)."""
+    from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+    class _Writer(DataSourceWriter):
+        def __init__(self, options):
+            self.out_dir = options["path"]
+
+        def write(self, iterator):
+            import json
+            import os
+            import uuid
+
+            os.makedirs(self.out_dir, exist_ok=True)
+            path = os.path.join(self.out_dir, f"part-{uuid.uuid4().hex}.jsonl")
+            n = 0
+            with open(path, "w") as f:
+                for row in iterator:
+                    f.write(json.dumps(row.asDict(recursive=True), default=str) + "\n")
+                    n += 1
+            return WriterCommitMessage()
+
+    def writer(self, schema, overwrite):  # noqa: ANN001
+        return _Writer(self.options)
+
+    PagedPollDataSource.writer = writer
+
+
+_attach_writer()

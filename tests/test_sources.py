@@ -84,3 +84,25 @@ def test_kinesis_sink_import_gate():
             KinesisPutRecordsSink("stream", "event_id")
     else:  # boto3 present: construction succeeds
         KinesisPutRecordsSink("stream", "event_id")
+
+
+def test_datasource_writer_roundtrip(spark, sf_dir, tmp_path):
+    """Write through the custom DataSource writer (one JSONL file per
+    task, collision-free names), read back, compare."""
+    import glob
+    import json
+
+    from kinesis_dstream_spark.sources import polling
+    from kinesis_dstream_spark.tables import load_table
+
+    polling.register(spark)
+    out = str(tmp_path / "sink")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    ev.write.format(polling.FORMAT_NAME).option("path", out).mode("append").save()
+    written = sorted(
+        (json.loads(line)["event_id"], json.loads(line)["event_type"])
+        for p in glob.glob(out + "/*.jsonl")
+        for line in open(p)
+    )
+    expected = sorted((r.event_id, r.event_type) for r in ev.collect())
+    assert written == expected
