@@ -215,6 +215,38 @@ def _shingle_sets(documents: DataFrame, k: int) -> DataFrame:
     ).filter(F.size("shingles") > 0)
 
 
+def _shingle_hash_sets(documents: DataFrame, k: int) -> DataFrame:
+    """(doc_id, hashed shingle set as array<long>) — the MinHash fast path.
+
+    Hash each token once (xxhash64), then combine k adjacent token hashes
+    positionally (rotate-xor folds) instead of concatenating strings:
+    the zip_with passes do long arithmetic with zero allocations, and the
+    resulting sets are 8 bytes/shingle — cheap to cache, cheap to
+    array_intersect at verification. 64-bit collisions are negligible at
+    corpus scale (<<2^-20 per pair). String shingles remain the oracle
+    path (``dedup_ngram_jaccard``); everything probabilistic uses this.
+    """
+    def mix(x, y):
+        # rotate-left-21 then xor: position-sensitive, overflow-free
+        # (ANSI mode forbids wrapping multiplies), bijective per step
+        rot = F.shiftleft(x, 21).bitwiseOR(F.shiftrightunsigned(x, 43))
+        return rot.bitwiseXOR(y)
+
+    toks = tokens(F.col("text"))
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    n = F.size(th)
+    m = F.greatest(n - (k - 1), F.lit(1))
+    acc = F.slice(th, 1, m)
+    for j in range(2, k + 1):
+        nxt = F.slice(th, j, m)
+        acc = F.zip_with(acc, nxt, mix)
+    whole = F.array(F.aggregate(th, F.lit(0).cast("long"), mix))
+    hsh = F.array_distinct(F.when(n >= k, acc).otherwise(whole))
+    return documents.select("doc_id", hsh.alias("shingles")).filter(
+        F.size("shingles") > 0
+    )
+
+
 def minhash_signatures_from_shingles(
     sh: DataFrame, num_hashes: int = 32, seed: int = 42
 ) -> DataFrame:
@@ -273,13 +305,12 @@ def dedup_minhash_lsh(
     ``dedup_ngram_jaccard`` instead.
     """
     num_hashes = bands * rows_per_band
-    # Shingling runs twice (signatures + verification) ON PURPOSE:
-    # caching the (doc_id, shingles) sets was measured slower than
-    # recomputing them — serializing 50-odd string shingles per document
-    # into the block store costs more than one extra narrow codegen pass.
-    # Only the signatures are cached (doc_id + 32 longs — tiny), because
-    # the band explode self-joins on them.
-    sh = _shingle_sets(documents, k)
+    # Hashed shingle sets (array<long>, ~8 bytes/shingle) are cheap
+    # enough to cache and reuse for BOTH the signature aggregate and the
+    # verification intersects — string shingle sets were measured slower
+    # to cache than to recompute. Signatures are cached too (33 longs per
+    # doc) because the band explode self-joins on them.
+    sh = _shingle_hash_sets(documents, k).cache()
     sigs = minhash_signatures_from_shingles(sh, num_hashes).cache()
     ids = sigs.select(
         "doc_id",
