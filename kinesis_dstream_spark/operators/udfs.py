@@ -96,3 +96,27 @@ def exact_median_by_group(events: DataFrame) -> DataFrame:
         )
 
     return events.groupBy("event_type").applyInPandas(median, _MEDIAN_SCHEMA)
+
+
+def udtf_token_explode(spark, documents: DataFrame) -> DataFrame:
+    """Python UDTF (E-14): one input row -> N output rows, SQL-lateral.
+
+    The table-function surface the reference lacks entirely: a Python
+    class whose eval() yields rows, registered and invoked laterally in
+    SQL. Token positions are emitted so the fan-out is order-preserving
+    and oracle-checkable (DuckDB zips parallel unnests).
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: int, token: string")
+    class TokenExplode:
+        def eval(self, text: str):
+            for i, tok in enumerate(text.split()):
+                yield i, tok
+
+    spark.udtf.register("token_explode", TokenExplode)
+    documents.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, s.pos, s.token "
+        "FROM _udtf_docs d, LATERAL token_explode(d.text) s"
+    )

@@ -1111,6 +1111,21 @@ LIMIT 20
 """
 
 
+def _q_udtf_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.operators import udfs
+
+    return udfs.udtf_token_explode(spark, load_table(spark, sf, "documents"))
+
+
+_SQL_UDTF_TOKENS = f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_TOKS.format(col='text')} AS toks FROM documents
+)
+SELECT doc_id, CAST(unnest(range(len(toks))) AS INT) AS pos, unnest(toks) AS token
+FROM t
+"""
+
+
 # ANSI subset that runs verbatim on Spark SQL *and* DuckDB: the query is
 # its own oracle — exercising the spark.sql() entry point end-to-end.
 _SQL_API_QUERY = """
@@ -1467,6 +1482,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "batch_poll_source_scan": (_q_batch_poll_scan, _SQL_BATCH_POLL),
     "q10_top_customer_revenue": (_q10_returned_revenue, _SQL_Q10),
     "sql_api_order_priorities": (_q_sql_api, _SQL_API_QUERY),
+    "udtf_token_explode": (_q_udtf_tokens, _SQL_UDTF_TOKENS),
     "pivot_event_counts": (_q_pivot_counts, _SQL_PIVOT),
     "window_range_frames": (_q_range_frames, _SQL_RANGE_FRAMES),
 }
