@@ -453,3 +453,35 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
     return labels.join(sizes, "label").select(
         "doc_id", F.col("label").alias("cluster_rep"), "cluster_size"
     )
+
+
+def dedup_edit_distance(
+    documents: DataFrame, prefix_len: int = 32, max_dist: int = 60
+) -> DataFrame:
+    """Fuzzy dedup: Levenshtein-verified pairs via prefix blocking.
+
+    Classic blocking-key design: candidates must share their first
+    ``prefix_len`` characters (an equi-join — distributes like any hash
+    join), then the quadratic edit-distance only runs on the tiny
+    candidate set. At 100 TB the blocking key is the knob: longer
+    prefixes → fewer candidates → lower recall, and multiple passes with
+    different keys (prefix, suffix, sorted-token prefix) union their
+    candidates. ``levenshtein`` is a native JVM expression.
+    """
+    b = documents.select(
+        "doc_id", "text", F.substring("text", 1, prefix_len).alias("blk")
+    )
+    a, c = b.alias("a"), b.alias("b")
+    return (
+        a.join(
+            c,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.levenshtein(F.col("a.text"), F.col("b.text")).alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= max_dist)
+    )

@@ -1111,6 +1111,19 @@ LIMIT 20
 """
 
 
+def _q_dedup_edit(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.dedup_edit_distance(load_table(spark, sf, "documents"))
+
+
+_SQL_DEDUP_EDIT = """
+WITH b AS (SELECT doc_id, text, substr(text, 1, 32) AS blk FROM documents)
+SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+       CAST(levenshtein(a.text, c.text) AS INT) AS edit_dist
+FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
+WHERE levenshtein(a.text, c.text) <= 60
+"""
+
+
 def _q_udtf_tokens(spark: SparkSession, sf: str) -> DataFrame:
     from kinesis_dstream_spark.operators import udfs
 
@@ -1479,6 +1492,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "salted_agg_by_type": (_q_salted_agg, _SQL_SALTED_AGG),
     "salted_skew_join": (_q_salted_join, _SQL_SALTED_JOIN),
     "dedup_clusters": (_q_dedup_clusters, _SQL_DEDUP_CLUSTERS),
+    "dedup_edit_distance": (_q_dedup_edit, _SQL_DEDUP_EDIT),
     "batch_poll_source_scan": (_q_batch_poll_scan, _SQL_BATCH_POLL),
     "q10_top_customer_revenue": (_q10_returned_revenue, _SQL_Q10),
     "sql_api_order_priorities": (_q_sql_api, _SQL_API_QUERY),

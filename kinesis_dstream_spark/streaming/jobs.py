@@ -401,3 +401,81 @@ def streaming_changelog_merge(
         "value",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
     )
+
+
+def streaming_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful processing on the NEWEST API (E-9):
+    ``transformWithStateInPandas`` + a ``StatefulProcessor`` keeping one
+    ValueState row per user (event count + value cents, both exact).
+
+    Compared to applyInPandasWithState (streaming_user_streaks), this is
+    the Spark 4 replacement: typed state handles, timers, and state
+    schema evolution — requires the RocksDB state store provider, which
+    is also the right provider at scale (state spills off-heap instead
+    of living in executor JVM heap).
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        # transformWithStateInPandas drives its state protocol over
+        # protobuf; absent here. The applyInPandasWithState variant
+        # (streaming_user_streaks) covers custom state without it.
+        raise NotImplementedError(
+            "transformWithStateInPandas requires the python 'protobuf' "
+            "package, not available in this environment"
+        ) from e
+
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("value_cents", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("cents", LongType())]
+    )
+
+    class UserTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.totals = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents = (self.totals.get() or (0, 0)) if self.totals.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(pdf["cents"].sum())
+            self.totals.update((n, cents))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "value_cents": [cents]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        ev = _events_stream(spark, sf_dir).select(
+            "user_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+        )
+        out = ev.groupBy("user_id").transformWithStateInPandas(
+            UserTotals(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+        return _run_bounded(out, "stream_user_totals_tws", "update")
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)

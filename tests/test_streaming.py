@@ -255,3 +255,27 @@ def test_changelog_merge_across_batches(spark, tmp_path):
     q.awaitTermination()
     state = {r.user_id: r.event_type for r in spark.read.parquet(cur_path).collect()}
     assert state == {1: "new", 2: "keep"}
+
+
+def test_tws_user_totals_or_documented_gap(spark, sf_dir):
+    """transformWithStateInPandas (Spark 4 stateful API) — runs when the
+    protobuf dependency exists; otherwise the operator must fail with the
+    documented NotImplementedError, never an opaque streaming crash."""
+    import pytest
+
+    from kinesis_dstream_spark.streaming.jobs import streaming_user_totals_tws
+    from kinesis_dstream_spark.tables import load_table
+
+    try:
+        out = streaming_user_totals_tws(spark, sf_dir)
+    except NotImplementedError:
+        pytest.skip("protobuf not available for transformWithStateInPandas")
+    got = {(r.user_id, r.n_events) for r in out.collect()}
+    want = {
+        (r.user_id, r.n)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
