@@ -182,3 +182,29 @@ def bpe_token_counts(documents: DataFrame) -> DataFrame:
         n_bpe.alias("n_bpe_tokens"),
         F.round(n_bpe / n_ws, 6).alias("bpe_per_word"),
     )
+
+
+def deterministic_split(documents: DataFrame, val_pct: int = 10, test_pct: int = 10) -> DataFrame:
+    """Reproducible train/val/test assignment by content-stable hash.
+
+    Training pipelines must NOT use ``df.sample`` for splits — Bernoulli
+    sampling depends on partitioning and reshuffles between runs. The
+    stable recipe: bucket = md5(doc_id) mod 100, split by bucket range.
+    Deterministic across engines, runs, and cluster sizes; adding data
+    never moves an existing document between splits.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < test_pct, F.lit("test"))
+        .when(bucket < test_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return (
+        documents.select("doc_id", "lang", split.alias("split"))
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"))
+    )

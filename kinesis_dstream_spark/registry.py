@@ -1111,6 +1111,24 @@ LIMIT 20
 """
 
 
+def _q_det_split(spark: SparkSession, sf: str) -> DataFrame:
+    return text.deterministic_split(load_table(spark, sf, "documents"))
+
+
+_SQL_DET_SPLIT = """
+WITH b AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 10 THEN 'test'
+            WHEN bucket < 20 THEN 'val'
+            ELSE 'train' END AS split,
+       lang, count(*) AS n_docs
+FROM b GROUP BY 1, 2
+"""
+
+
 def _q_dedup_edit(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.dedup_edit_distance(load_table(spark, sf, "documents"))
 
@@ -1493,6 +1511,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "salted_skew_join": (_q_salted_join, _SQL_SALTED_JOIN),
     "dedup_clusters": (_q_dedup_clusters, _SQL_DEDUP_CLUSTERS),
     "dedup_edit_distance": (_q_dedup_edit, _SQL_DEDUP_EDIT),
+    "deterministic_split": (_q_det_split, _SQL_DET_SPLIT),
     "batch_poll_source_scan": (_q_batch_poll_scan, _SQL_BATCH_POLL),
     "q10_top_customer_revenue": (_q10_returned_revenue, _SQL_Q10),
     "sql_api_order_priorities": (_q_sql_api, _SQL_API_QUERY),
