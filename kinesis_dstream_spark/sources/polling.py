@@ -38,11 +38,38 @@ FORMAT_NAME = "paged_poll"
 DEFAULT_PAGE_SIZE = 100  # the reference's limit=100 (app/hs_contacts.py:101)
 
 
+# Retry policy for the "remote" fetch (reference O-10: network error and
+# RATE_LIMIT both slept 10 s and retried the same page forever,
+# app/hs_contacts.py:106-111,129-133). Spark upgrade: bounded attempts
+# with exponential backoff inside the reader — beyond that, task retry
+# (spark.task.maxFailures) and streaming checkpoint/restart take over,
+# replaying from the committed offset instead of losing the window.
+FETCH_MAX_ATTEMPTS = 3
+FETCH_BACKOFF_S = 0.2
+
+
+def _fetch_with_retry(fetch, max_attempts: int = FETCH_MAX_ATTEMPTS):
+    """Run ``fetch()`` with bounded exponential-backoff retries on
+    transient (IO) errors; non-transient errors raise immediately —
+    mirroring the reference's fatal-vs-retryable branch."""
+    import time as _time
+
+    last = None
+    for attempt in range(max_attempts):
+        try:
+            return fetch()
+        except (OSError, IOError) as e:
+            last = e
+            if attempt + 1 < max_attempts:
+                _time.sleep(FETCH_BACKOFF_S * (2**attempt))
+    raise last
+
+
 def _read_table(path: str):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    table = pq.read_table(path)
+    table = _fetch_with_retry(lambda: pq.read_table(path))
     # Spark's Python row converter requires tz-aware datetimes; the
     # fixture's ns timestamps are tz-naive → cast to µs UTC here (ns→µs
     # truncation matches the engine-wide convention, see tables.py).

@@ -106,3 +106,40 @@ def test_datasource_writer_roundtrip(spark, sf_dir, tmp_path):
     )
     expected = sorted((r.event_id, r.event_type) for r in ev.collect())
     assert written == expected
+
+
+def test_fetch_retry_recovers_and_bounds(monkeypatch):
+    """O-10 semantics: transient IO errors retry with backoff and then
+    succeed; persistent errors surface after bounded attempts (never the
+    reference's infinite same-page loop)."""
+    import pytest
+
+    from kinesis_dstream_spark.sources import polling
+
+    monkeypatch.setattr(polling, "FETCH_BACKOFF_S", 0.001)
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise OSError("transient")
+        return "page"
+
+    assert polling._fetch_with_retry(flaky) == "page"
+    assert calls["n"] == 3
+
+    def dead():
+        raise OSError("still down")
+
+    with pytest.raises(OSError, match="still down"):
+        polling._fetch_with_retry(dead)
+
+    calls["n"] = 0
+
+    def fatal_counting():
+        calls["n"] += 1
+        raise ValueError("bad payload")
+
+    with pytest.raises(ValueError):
+        polling._fetch_with_retry(fatal_counting)
+    assert calls["n"] == 1  # non-transient: no retry
