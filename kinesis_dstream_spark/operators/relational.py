@@ -715,3 +715,67 @@ def window_range_frames(orders: DataFrame) -> DataFrame:
         "day_no",
         F.round(F.sum("cents").over(w) / 100.0, 2).alias("trailing7_revenue"),
     )
+
+
+def q7_volume_shipping(
+    tables: dict[str, DataFrame], nation_a: str = "NATION_1", nation_b: str = "NATION_2"
+) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume by year.
+
+    The 5-way join keyed on lineitem: both nation dims broadcast, the
+    disjunctive nation-pair predicate applied after the supplier/customer
+    joins, revenue in cents by (supp_nation, cust_nation, year). Only
+    lineitem is big — every other side broadcasts, so the plan is one
+    scan + one final aggregation shuffle.
+    """
+    t = tables
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == nation_a) & (F.col("cust_nation") == nation_b)
+    ) | ((F.col("supp_nation") == nation_b) & (F.col("cust_nation") == nation_a))
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast(
+        "long"
+    )
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.round(F.sum(cents) / 100.0, 2).alias("revenue"))
+    )
+
+
+def q9_product_profit(tables: dict[str, DataFrame], name_like: str = "%red%") -> DataFrame:
+    """TPC-H Q9 shape: profit by nation and year for matching parts.
+
+    (The fixture ships no partsupp, so profit is discounted revenue —
+    the join tree l⋈p⋈s⋈n + LIKE filter + (nation, year) rollup is the
+    exercised shape.) Part filter pushes to the part scan, then the
+    filtered dim broadcasts into the lineitem join.
+    """
+    t = tables
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast(
+        "long"
+    )
+    return (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"].filter(F.col("p_name").like(name_like))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").alias("o_year"))
+        .agg(F.round(F.sum(cents) / 100.0, 2).alias("sum_profit"), F.count("*").alias("n_lines"))
+    )

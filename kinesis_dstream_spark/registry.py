@@ -1111,6 +1111,45 @@ LIMIT 20
 """
 
 
+def _q7(spark: SparkSession, sf: str) -> DataFrame:
+    return relational.q7_volume_shipping(load_tables(spark, sf))
+
+
+_SQL_Q7 = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+             AS BIGINT) / 100.0, 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+"""
+
+
+def _q9(spark: SparkSession, sf: str) -> DataFrame:
+    return relational.q9_product_profit(load_tables(spark, sf))
+
+
+_SQL_Q9 = """
+SELECT n_name AS nation, CAST(year(l_shipdate) AS INT) AS o_year,
+       round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+             AS BIGINT) / 100.0, 2) AS sum_profit,
+       count(*) AS n_lines
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, o_year
+"""
+
+
 def _q_det_split(spark: SparkSession, sf: str) -> DataFrame:
     return text.deterministic_split(load_table(spark, sf, "documents"))
 
@@ -1514,6 +1553,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "deterministic_split": (_q_det_split, _SQL_DET_SPLIT),
     "batch_poll_source_scan": (_q_batch_poll_scan, _SQL_BATCH_POLL),
     "q10_top_customer_revenue": (_q10_returned_revenue, _SQL_Q10),
+    "q7_volume_shipping": (_q7, _SQL_Q7),
+    "q9_product_profit": (_q9, _SQL_Q9),
     "sql_api_order_priorities": (_q_sql_api, _SQL_API_QUERY),
     "udtf_token_explode": (_q_udtf_tokens, _SQL_UDTF_TOKENS),
     "pivot_event_counts": (_q_pivot_counts, _SQL_PIVOT),
