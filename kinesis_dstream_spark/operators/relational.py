@@ -779,3 +779,58 @@ def q9_product_profit(tables: dict[str, DataFrame], name_like: str = "%red%") ->
         .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").alias("o_year"))
         .agg(F.round(F.sum(cents) / 100.0, 2).alias("sum_profit"), F.count("*").alias("n_lines"))
     )
+
+
+def q17_small_quantity_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q17 shape: per-part correlated AVG subquery, decorrelated.
+
+    WHERE l_quantity < 0.2 * (SELECT avg(l_quantity) ... same part)
+    becomes a per-part aggregate broadcast back onto lineitem — the
+    standard rewrite that turns a correlated scan-per-row into one extra
+    aggregation pass.
+    """
+    thresholds = (
+        lineitem.groupBy(F.col("l_partkey").alias("t_partkey"))
+        .agg((F.avg("l_quantity") * 0.2).alias("qty_threshold"))
+    )
+    small = lineitem.join(
+        F.broadcast(thresholds),
+        (F.col("l_partkey") == F.col("t_partkey"))
+        & (F.col("l_quantity") < F.col("qty_threshold")),
+    )
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    return small.join(
+        F.broadcast(part.filter(F.col("p_brand") == "Brand#1")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    ).agg(
+        F.round(F.sum(cents) / 100.0 / 7.0, 2).alias("avg_yearly"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+def q22_global_sales_opportunity(
+    customer: DataFrame, orders: DataFrame, date_hi: str = "2000-01-01"
+) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery (global avg) + anti join.
+
+    Customers with above-average positive balance and no *recent* order
+    (the fixture gives every customer some order, so the anti side is
+    date-windowed to keep the shape non-degenerate). The global average
+    is a one-row broadcast (scalar subquery decorrelation); "no recent
+    order" is a left anti join.
+    """
+    avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    recent = orders.filter(F.col("o_orderdate") >= F.lit(date_hi).cast("timestamp"))
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("long")) / 100.0, 2)
+            .alias("totacctbal"),
+        )
+    )

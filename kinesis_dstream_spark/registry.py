@@ -1150,6 +1150,43 @@ GROUP BY n_name, o_year
 """
 
 
+def _q17(spark: SparkSession, sf: str) -> DataFrame:
+    t = load_tables(spark, sf)
+    return relational.q17_small_quantity_revenue(t["lineitem"], t["part"])
+
+
+_SQL_Q17 = """
+WITH th AS (
+  SELECT l_partkey AS t_partkey, avg(l_quantity) * 0.2 AS qty_threshold
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             / 100.0 / 7.0, 2) AS avg_yearly,
+       count(*) AS n_lines
+FROM lineitem
+JOIN th ON l_partkey = t_partkey AND l_quantity < qty_threshold
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#1'
+"""
+
+
+def _q22(spark: SparkSession, sf: str) -> DataFrame:
+    t = load_tables(spark, sf)
+    return relational.q22_global_sales_opportunity(t["customer"], t["orders"])
+
+
+_SQL_Q22 = """
+SELECT c_nationkey AS nationkey, count(*) AS numcust,
+       round(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) / 100.0, 2)
+         AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY c_nationkey
+"""
+
+
 def _q_det_split(spark: SparkSession, sf: str) -> DataFrame:
     return text.deterministic_split(load_table(spark, sf, "documents"))
 
@@ -1555,6 +1592,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q10_top_customer_revenue": (_q10_returned_revenue, _SQL_Q10),
     "q7_volume_shipping": (_q7, _SQL_Q7),
     "q9_product_profit": (_q9, _SQL_Q9),
+    "q17_small_quantity_revenue": (_q17, _SQL_Q17),
+    "q22_global_sales_opportunity": (_q22, _SQL_Q22),
     "sql_api_order_priorities": (_q_sql_api, _SQL_API_QUERY),
     "udtf_token_explode": (_q_udtf_tokens, _SQL_UDTF_TOKENS),
     "pivot_event_counts": (_q_pivot_counts, _SQL_PIVOT),

@@ -143,3 +143,31 @@ def test_rolling_fingerprint_model(spark, text):
     for ch in text:
         want = (want * FP_BASE + ord(ch)) % FP_MOD
     assert got == want
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1000, max_value=1000, allow_nan=False, width=32),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_exact_sum_matches_decimal_model(spark, vals):
+    """Fixed-point sums equal the Decimal reference regardless of
+    accumulation order — the property the oracle hashing relies on."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from kinesis_dstream_spark.functions.exact import exact_sum
+
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    got = df.agg(exact_sum(F.col("v")).alias("s")).collect()[0].s
+    # Spark's round() is HALF_UP (not Python's banker's rounding)
+    want = float(
+        sum(
+            Decimal(repr(float(v) * 100)).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+            for v in vals
+        )
+        / 100
+    )
+    assert abs(got - want) < 1e-9
