@@ -834,3 +834,56 @@ def q22_global_sales_opportunity(
             .alias("totacctbal"),
         )
     )
+
+
+def q15_top_supplier(lineitem: DataFrame, supplier: DataFrame,
+                     date_lo: str = "1996-01-01", date_hi: str = "1996-04-01") -> DataFrame:
+    """TPC-H Q15 shape: revenue view + WHERE total = (SELECT max(...)).
+
+    The scalar-max subquery decorrelates into a rank-over-empty-partition:
+    compute per-supplier revenue once, keep rank()==1 (ties included,
+    matching SQL's = max semantics). One aggregation shuffle, one
+    all-reduce window over the small aggregate.
+    """
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast("long")
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_lo).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_hi).cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.round(F.sum(cents) / 100.0, 2).alias("total_revenue"))
+    )
+    w = Window.orderBy(F.col("total_revenue").desc())
+    best = rev.withColumn("rk", F.rank().over(w)).filter(F.col("rk") == 1).drop("rk")
+    return (
+        best.join(F.broadcast(supplier), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q19_disjunctive_predicates(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19 shape: join with OR-of-conjunctions mixing both sides.
+
+    The equi-join key (partkey) still drives the join; the disjunctive
+    brand/size/quantity residual is evaluated as a post-join filter —
+    Catalyst keeps the equi-join hashable instead of degrading to a
+    nested-loop over the full cross space.
+    """
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 10))
+         & (F.col("l_quantity").between(1, 15)))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size").between(1, 20))
+           & (F.col("l_quantity").between(10, 25)))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size").between(1, 30))
+           & (F.col("l_quantity").between(20, 35)))
+    )
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast("long")
+    return (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            F.round(F.sum(cents) / 100.0, 2).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )

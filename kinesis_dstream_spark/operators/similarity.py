@@ -251,3 +251,23 @@ def ann_ivf_topk(
         .filter(F.col("rk") <= k)
         .select("q_id", "c_id", "cos_sim", "rk")
     )
+
+
+def array_hof_stats(embeddings: DataFrame) -> DataFrame:
+    """Array higher-order functions (E-8): filter / exists / forall /
+    reduce over the embedding vectors, mirrored by DuckDB list lambdas.
+
+    These are the APIs a pipeline uses for cheap vector hygiene checks
+    (NaN guards, sparsity, range screens) without leaving the JVM row
+    path — fine at this width; bulk FLOPs belong in the Arrow path.
+    """
+    e = F.col("embedding").cast("array<double>")
+    return embeddings.select(
+        "vec_id",
+        F.size(F.filter(e, lambda x: x > 0)).alias("n_positive"),
+        F.exists(e, lambda x: x > 2.0).alias("has_gt2"),
+        F.forall(e, lambda x: F.abs(x) < 10.0).alias("all_lt10"),
+        F.round(
+            F.aggregate(e, F.lit(0.0), lambda acc, x: acc + F.abs(x)), 4
+        ).alias("l1_norm"),
+    )

@@ -1187,6 +1187,58 @@ GROUP BY c_nationkey
 """
 
 
+def _q15(spark: SparkSession, sf: str) -> DataFrame:
+    t = load_tables(spark, sf)
+    return relational.q15_top_supplier(t["lineitem"], t["supplier"])
+
+
+_SQL_Q15 = """
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no,
+         round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+               AS BIGINT) / 100.0, 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON supplier_no = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+"""
+
+
+def _q19(spark: SparkSession, sf: str) -> DataFrame:
+    t = load_tables(spark, sf)
+    return relational.q19_disjunctive_predicates(t["lineitem"], t["part"])
+
+
+_SQL_Q19 = """
+SELECT round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+             AS BIGINT) / 100.0, 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 25)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 20 AND 35)
+"""
+
+
+def _q_array_hof(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.array_hof_stats(load_table(spark, sf, "embeddings"))
+
+
+_SQL_ARRAY_HOF = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+SELECT vec_id,
+       CAST(len(list_filter(emb, x -> x > 0)) AS INT) AS n_positive,
+       len(list_filter(emb, x -> x > 2.0)) > 0 AS has_gt2,
+       len(list_filter(emb, x -> abs(x) >= 10.0)) = 0 AS all_lt10,
+       round(list_aggregate(list_transform(emb, x -> abs(x)), 'sum'), 4) AS l1_norm
+FROM e
+"""
+
+
 def _q_det_split(spark: SparkSession, sf: str) -> DataFrame:
     return text.deterministic_split(load_table(spark, sf, "documents"))
 
@@ -1593,6 +1645,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q7_volume_shipping": (_q7, _SQL_Q7),
     "q9_product_profit": (_q9, _SQL_Q9),
     "q17_small_quantity_revenue": (_q17, _SQL_Q17),
+    "q15_top_supplier": (_q15, _SQL_Q15),
+    "q19_disjunctive_predicates": (_q19, _SQL_Q19),
+    "array_hof_stats": (_q_array_hof, _SQL_ARRAY_HOF),
     "q22_global_sales_opportunity": (_q22, _SQL_Q22),
     "sql_api_order_priorities": (_q_sql_api, _SQL_API_QUERY),
     "udtf_token_explode": (_q_udtf_tokens, _SQL_UDTF_TOKENS),
