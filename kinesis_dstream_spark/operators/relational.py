@@ -887,3 +887,68 @@ def q19_disjunctive_predicates(lineitem: DataFrame, part: DataFrame) -> DataFram
             F.count("*").alias("n_lines"),
         )
     )
+
+
+def q8_market_share(
+    tables: dict[str, DataFrame],
+    target_nation: str = "NATION_1",
+    region_name: str = "EUROPE",
+) -> DataFrame:
+    """TPC-H Q8 shape: market share = conditional share of a grouped sum.
+
+    Numerator and denominator come out of ONE aggregation pass
+    (sum(CASE WHEN supplier-nation = target)) / sum(all) per year — never
+    two scans. Joins: customer-region chain restricts the order side;
+    supplier-nation tags each line with the supplier's nation.
+    """
+    t = tables
+    region_nations = (
+        t["nation"]
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == region_name)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("cust_nkey"))
+    )
+    supp_nation = t["nation"].select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast("long")
+    lines = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(region_nations), F.col("c_nationkey") == F.col("cust_nkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("s_nkey"))
+    )
+    target = F.when(F.col("supp_nation") == target_nation, cents).otherwise(F.lit(0))
+    return (
+        lines.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(F.sum(target) * 1.0 / F.sum(cents), 6).alias("mkt_share"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+def q13_customer_distribution(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count.
+
+    Left outer join (zero-order customers kept) → count per customer →
+    count per count. Two aggregations, each with map-side partials; the
+    second one's input is already tiny (one row per customer).
+    """
+    per_cust = (
+        customer.join(
+            orders.filter(~F.col("o_orderpriority").startswith("1")),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )

@@ -1239,6 +1239,48 @@ FROM e
 """
 
 
+def _q8(spark: SparkSession, sf: str) -> DataFrame:
+    return relational.q8_market_share(load_tables(spark, sf))
+
+
+_SQL_Q8 = """
+WITH lines AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS cents,
+         ns.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation nc ON c_nationkey = nc.n_nationkey
+  JOIN region    ON nc.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  WHERE r_name = 'EUROPE'
+)
+SELECT o_year,
+       round(CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN cents ELSE 0 END) AS BIGINT)
+             * 1.0 / CAST(sum(cents) AS BIGINT), 6) AS mkt_share,
+       count(*) AS n_lines
+FROM lines GROUP BY o_year
+"""
+
+
+def _q13(spark: SparkSession, sf: str) -> DataFrame:
+    t = load_tables(spark, sf)
+    return relational.q13_customer_distribution(t["customer"], t["orders"])
+
+
+_SQL_Q13 = """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '1%'
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist FROM per_cust GROUP BY c_count
+"""
+
+
 def _q_det_split(spark: SparkSession, sf: str) -> DataFrame:
     return text.deterministic_split(load_table(spark, sf, "documents"))
 
@@ -1646,6 +1688,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q9_product_profit": (_q9, _SQL_Q9),
     "q17_small_quantity_revenue": (_q17, _SQL_Q17),
     "q15_top_supplier": (_q15, _SQL_Q15),
+    "q8_market_share": (_q8, _SQL_Q8),
+    "q13_customer_distribution": (_q13, _SQL_Q13),
     "q19_disjunctive_predicates": (_q19, _SQL_Q19),
     "array_hof_stats": (_q_array_hof, _SQL_ARRAY_HOF),
     "q22_global_sales_opportunity": (_q22, _SQL_Q22),
