@@ -1592,6 +1592,113 @@ WHERE regexp_matches(text, '(^|\s)join(\s|$)')
 """
 
 
+def _q11(spark: SparkSession, sf: str) -> DataFrame:
+    t = load_tables(spark, sf)
+    return relational.q11_important_part_value(
+        t["lineitem"], t["supplier"], t["nation"]
+    )
+
+
+_SQL_Q11 = """
+WITH per_part AS (
+  SELECT l_partkey AS partkey,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+           AS value_cents
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_1'
+  GROUP BY l_partkey
+)
+SELECT partkey,
+       round(CAST(value_cents AS BIGINT) / 100.0, 2) AS part_value
+FROM per_part
+WHERE value_cents > (SELECT sum(value_cents) * 0.001 FROM per_part)
+"""
+
+
+def _q16(spark: SparkSession, sf: str) -> DataFrame:
+    t = load_tables(spark, sf)
+    return relational.q16_supplier_count_by_part(
+        t["lineitem"], t["part"], t["supplier"]
+    )
+
+
+_SQL_Q16 = """
+WITH pairs AS (
+  SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey FROM lineitem
+)
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT ps_suppkey) AS supplier_cnt
+FROM pairs
+JOIN part ON ps_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def _q20(spark: SparkSession, sf: str) -> DataFrame:
+    t = load_tables(spark, sf)
+    return relational.q20_excess_stock_suppliers(
+        t["lineitem"], t["part"], t["supplier"], t["nation"]
+    )
+
+
+_SQL_Q20 = """
+WITH pair_qty AS (
+  SELECT l_partkey, l_suppkey,
+         sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                   AND l_shipdate <  TIMESTAMP '1998-01-01'
+                  THEN l_quantity ELSE 0 END) AS avail_qty,
+         sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                   AND l_shipdate <  TIMESTAMP '1997-01-01'
+                  THEN l_quantity ELSE 0 END) AS demand_qty
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT s_name, s_acctbal
+FROM supplier
+WHERE s_suppkey IN (SELECT l_suppkey FROM pair_qty
+                    WHERE demand_qty > 0 AND avail_qty > 0.5 * demand_qty)
+  AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_2')
+"""
+
+
+def _q21(spark: SparkSession, sf: str) -> DataFrame:
+    t = load_tables(spark, sf)
+    return relational.q21_waiting_suppliers(
+        t["lineitem"], t["orders"], t["supplier"]
+    )
+
+
+_SQL_Q21 = """
+WITH flagged AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL 90 DAY AS is_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+),
+per_order AS (
+  SELECT l_orderkey AS a_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN is_late THEN l_suppkey END) AS n_late_supp
+  FROM flagged GROUP BY l_orderkey
+)
+SELECT s_name, count(*) AS numwait
+FROM flagged
+JOIN per_order ON l_orderkey = a_orderkey
+JOIN supplier  ON l_suppkey = s_suppkey
+WHERE is_late AND n_supp >= 2 AND n_late_supp = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
 # --------------------------------------------------------------------------
 # registry assembly
 # --------------------------------------------------------------------------
@@ -1691,6 +1798,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q8_market_share": (_q8, _SQL_Q8),
     "q13_customer_distribution": (_q13, _SQL_Q13),
     "q19_disjunctive_predicates": (_q19, _SQL_Q19),
+    "q11_important_part_value": (_q11, _SQL_Q11),
+    "q16_supplier_count_by_part": (_q16, _SQL_Q16),
+    "q20_excess_stock_suppliers": (_q20, _SQL_Q20),
+    "q21_waiting_suppliers": (_q21, _SQL_Q21),
     "array_hof_stats": (_q_array_hof, _SQL_ARRAY_HOF),
     "q22_global_sales_opportunity": (_q22, _SQL_Q22),
     "sql_api_order_priorities": (_q_sql_api, _SQL_API_QUERY),

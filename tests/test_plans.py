@@ -159,3 +159,51 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
         spark.sql("DROP TABLE IF EXISTS orders_bkt")
+
+
+def test_q11_single_fact_scan_and_broadcast_threshold(spark, sf_dir):
+    """Q11's HAVING-vs-global-scalar must not rescan lineitem: the
+    threshold is a window SUM over the already-aggregated per-part rows,
+    so the fact table appears in the plan exactly once."""
+    t = load_tables(spark, sf_dir)
+    plan = _plan(
+        relational.q11_important_part_value(t["lineitem"], t["supplier"], t["nation"])
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # supplier/nation dims ride broadcasts
+    assert plan.count("lineitem.parquet") == 1  # single fact scan
+    assert "Window" in plan
+
+
+def test_q16_anti_join_and_two_phase_distinct(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    plan = _plan(
+        relational.q16_supplier_count_by_part(t["lineitem"], t["part"], t["supplier"])
+    )
+    # NOT IN (complaints) compiles to a broadcast anti join, not a filter UDF
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # count(DISTINCT) plans as expand + two hash aggregates
+    assert "HashAggregate" in plan
+
+
+def test_q20_semi_join_chain(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    plan = _plan(
+        relational.q20_excess_stock_suppliers(
+            t["lineitem"], t["part"], t["supplier"], t["nation"]
+        )
+    )
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_no_fact_self_join(spark, sf_dir):
+    """The EXISTS/NOT-EXISTS pair must decorrelate into one per-order
+    aggregate — never a row-to-row self-join of lineitem."""
+    t = load_tables(spark, sf_dir)
+    df = relational.q21_waiting_suppliers(t["lineitem"], t["orders"], t["supplier"])
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-100, not a global sort
+    # supplier name lookup rides a broadcast
+    assert "BroadcastHashJoin" in plan
