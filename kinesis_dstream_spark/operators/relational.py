@@ -1151,3 +1151,34 @@ def q21_waiting_suppliers(
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
         .limit(topk)
     )
+
+
+def grouping_sets_sales(lineitem: DataFrame) -> DataFrame:
+    """Irregular GROUPING SETS aggregate (E-4) via the DataFrame API.
+
+    ``rollup_sales`` covers the ROLLUP special case; this one uses an
+    arbitrary set list — (flag, status), (status), () — that no
+    rollup/cube can express. Spark plans it as one Expand + a single
+    hash aggregate: still exactly one shuffle regardless of how many
+    sets are requested, which is why grouping sets beat unioning three
+    separate aggregations at 100 TB (3 scans → 1 scan).
+    """
+    return (
+        lineitem.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            exact_sum(F.col("l_extendedprice")).alias("sum_price"),
+            F.grouping_id().alias("gid"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_rows",
+            "sum_price",
+            "gid",
+        )
+    )

@@ -1699,6 +1699,39 @@ LIMIT 100
 """
 
 
+def _q_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    return relational.grouping_sets_sales(load_table(spark, sf, "lineitem"))
+
+
+_SQL_GROUPING_SETS = f"""
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*) AS n_rows,
+       {sum_sql('l_extendedprice')} AS sum_price,
+       CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+"""
+
+
+def _q_csv_json_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.sources import formats
+
+    return formats.csv_json_roundtrip_stats(spark, sf)
+
+
+_SQL_CSV_JSON_ROUNDTRIP = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             / 100.0, 2) AS total_price,
+       min(year(o_orderdate)) AS first_year,
+       max(year(o_orderdate)) AS last_year
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
 # --------------------------------------------------------------------------
 # registry assembly
 # --------------------------------------------------------------------------
@@ -1721,6 +1754,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "customers_with_high_value_orders": (_q_semi, _SQL_SEMI),
     "outer_join_order_counts": (_q_outer, _SQL_OUTER),
     "rollup_sales": (_q_rollup, _SQL_ROLLUP),
+    "grouping_sets_sales": (_q_grouping_sets, _SQL_GROUPING_SETS),
+    "csv_json_roundtrip_stats": (_q_csv_json_roundtrip, _SQL_CSV_JSON_ROUNDTRIP),
     "distinct_agg_stats": (_q_distinct_agg, _SQL_DISTINCT_AGG),
     "approx_distinct_users": (_q_approx_distinct, None),
     "window_rank_parts": (_q_window_rank, _SQL_WINDOW_RANK),

@@ -1,0 +1,88 @@
+"""Batch file-format scans & sinks beyond parquet (SURVEY §2B E-1).
+
+The reference's only "format" is the JSON body of an HTTP response
+(`app/hs_contacts.py:91-104`); persistent formats all come from Spark
+built-ins here. CSV and JSON are the interchange paths a pipeline at
+100 TB still needs at its edges (vendor drops, log ingestion) even
+though parquet is the storage format.
+
+Scale notes:
+- Explicit schemas ALWAYS — `inferSchema`/schema-of-JSON sampling is an
+  extra full scan of the input before the real one.
+- CSV/JSON readers split by file and by block for uncompressed input, so
+  a directory of files parallelizes; one giant .gz file does not (gzip
+  is not splittable — the classic single-task scan trap).
+- Casting/parsing happens in the scan itself (no Python), and column
+  pruning still applies: unread JSON fields are never parsed thanks to
+  the Jackson streaming parser.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kinesis_dstream_spark.tables import load_table
+
+_CSV_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+
+_CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+    ]
+)
+
+_JSON_SCHEMA = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_orderdate", T.TimestampNTZType()),
+        T.StructField("o_orderpriority", T.StringType()),
+    ]
+)
+
+
+def roundtrip_dir(sf_dir: str) -> str:
+    """Deterministic per-sf staging dir (overwritten each run)."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return os.path.join("/tmp", "kds_formats_roundtrip", tag)
+
+
+def csv_json_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → CSV + JSON sinks → scan both back → join → aggregate.
+
+    Exercises the E-1 surface end-to-end: `df.write.csv/json` and
+    `spark.read.csv/json` with explicit schemas. The numeric columns ride
+    the CSV path, the timestamp column rides JSON (ISO-8601 text), and
+    the final aggregate joins the two round-tripped halves on the key —
+    so a lossy write or a mis-parsed read in EITHER format breaks the
+    DuckDB oracle, which computes the same aggregate straight from
+    parquet.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    base = roundtrip_dir(sf_dir)
+    csv_dir, json_dir = os.path.join(base, "csv"), os.path.join(base, "json")
+    orders.select(*_CSV_COLS).write.mode("overwrite").option("header", True).csv(csv_dir)
+    orders.select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    ).write.mode("overwrite").json(json_dir)
+
+    csv_df = spark.read.schema(_CSV_SCHEMA).option("header", True).csv(csv_dir)
+    json_df = spark.read.schema(_JSON_SCHEMA).json(json_dir)
+
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    return (
+        csv_df.join(json_df, "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum(cents) / 100.0, 2).alias("total_price"),
+            F.min(F.year("o_orderdate")).alias("first_year"),
+            F.max(F.year("o_orderdate")).alias("last_year"),
+        )
+    )

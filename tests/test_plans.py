@@ -207,3 +207,13 @@ def test_q21_no_fact_self_join(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan  # top-100, not a global sort
     # supplier name lookup rides a broadcast
     assert "BroadcastHashJoin" in plan
+
+
+def test_grouping_sets_single_shuffle(spark, sf_dir):
+    """Three grouping sets must plan as Expand + ONE aggregation pass
+    (one Exchange) — not a union of three separate scans."""
+    li = load_table(spark, sf_dir, "lineitem")
+    plan = _plan(relational.grouping_sets_sales(li))
+    assert "Expand" in plan
+    assert plan.count("lineitem.parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -143,3 +143,29 @@ def test_fetch_retry_recovers_and_bounds(monkeypatch):
     with pytest.raises(ValueError):
         polling._fetch_with_retry(fatal_counting)
     assert calls["n"] == 1  # non-transient: no retry
+
+
+def test_csv_json_roundtrip_lossless(spark, sf_dir):
+    """E-1 format scans: CSV and JSON round-trips must preserve row count,
+    keys, totals, and timestamp values exactly."""
+    from pyspark.sql import functions as F
+
+    from kinesis_dstream_spark.sources import formats
+    from kinesis_dstream_spark.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = formats.csv_json_roundtrip_stats(spark, sf_dir)
+    expect = (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(
+                F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")) / 100.0, 2
+            ).alias("total_price"),
+            F.min(F.year("o_orderdate")).alias("first_year"),
+            F.max(F.year("o_orderdate")).alias("last_year"),
+        )
+    )
+    got = {tuple(r) for r in out.collect()}
+    want = {tuple(r) for r in expect.collect()}
+    assert got == want
