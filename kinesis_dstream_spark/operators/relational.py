@@ -1182,3 +1182,25 @@ def grouping_sets_sales(lineitem: DataFrame) -> DataFrame:
             "gid",
         )
     )
+
+
+def unpivot_measure_stats(lineitem: DataFrame) -> DataFrame:
+    """Wide→long melt (E-7 adjacent): `DataFrame.unpivot` + re-aggregate.
+
+    Turns four measure columns into (measure, value) rows, then hash-
+    aggregates per (returnflag, measure). At scale the melt is a pure
+    map-side Expand (one row in → 4 rows out, no shuffle); the only
+    shuffle is the final aggregation — same cost profile as aggregating
+    the wide table directly, so long-format exports don't multiply scan
+    cost.
+    """
+    long = lineitem.unpivot(
+        ids=["l_returnflag"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+    return long.groupBy("l_returnflag", "measure").agg(
+        F.count("*").alias("n_vals"),
+        exact_sum(F.col("value")).alias("sum_value"),
+    )

@@ -1732,6 +1732,44 @@ GROUP BY o_orderpriority
 """
 
 
+def _q_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    return relational.unpivot_measure_stats(load_table(spark, sf, "lineitem"))
+
+
+_SQL_UNPIVOT = f"""
+SELECT l_returnflag, measure,
+       count(*) AS n_vals,
+       {sum_sql('value')} AS sum_value
+FROM (
+    SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+    UNION ALL
+    SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+    UNION ALL
+    SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_returnflag, 'l_tax', l_tax FROM lineitem
+)
+GROUP BY l_returnflag, measure
+"""
+
+
+def _q_partitioned_prune(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.sources import formats
+
+    return formats.partitioned_orders_prune_stats(spark, sf)
+
+
+_SQL_PARTITIONED_PRUNE = f"""
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       {sum_sql('o_totalprice')} AS total_price,
+       count(DISTINCT o_custkey) AS n_customers
+FROM orders
+WHERE year(o_orderdate) = 1995
+GROUP BY o_orderstatus
+"""
+
+
 # --------------------------------------------------------------------------
 # registry assembly
 # --------------------------------------------------------------------------
@@ -1756,6 +1794,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "rollup_sales": (_q_rollup, _SQL_ROLLUP),
     "grouping_sets_sales": (_q_grouping_sets, _SQL_GROUPING_SETS),
     "csv_json_roundtrip_stats": (_q_csv_json_roundtrip, _SQL_CSV_JSON_ROUNDTRIP),
+    "unpivot_measure_stats": (_q_unpivot, _SQL_UNPIVOT),
+    "partitioned_prune_stats": (_q_partitioned_prune, _SQL_PARTITIONED_PRUNE),
     "distinct_agg_stats": (_q_distinct_agg, _SQL_DISTINCT_AGG),
     "approx_distinct_users": (_q_approx_distinct, None),
     "window_rank_parts": (_q_window_rank, _SQL_WINDOW_RANK),

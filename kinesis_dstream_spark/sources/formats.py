@@ -86,3 +86,36 @@ def csv_json_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.year("o_orderdate")).alias("last_year"),
         )
     )
+
+
+def partitioned_orders_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned parquet write + partition-pruned read (E-1).
+
+    Writes orders partitioned by order year (`partitionBy("o_year")`),
+    then reads back with a filter on the partition column. At 100 TB this
+    is THE layout decision that matters most: the year filter is resolved
+    against directory names during planning (PartitionFilters), so a
+    one-year query lists and reads ~1/7 of the files — zero bytes of the
+    other years are ever opened. The plan test asserts the pruning shows
+    up as a PartitionFilter, not a post-scan data filter.
+    """
+    from kinesis_dstream_spark.functions.exact import exact_sum
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = os.path.join(roundtrip_dir(sf_dir), "orders_by_year")
+    (
+        orders.withColumn("o_year", F.year("o_orderdate"))
+        .write.mode("overwrite")
+        .partitionBy("o_year")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return (
+        back.filter(F.col("o_year") == 1995)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            exact_sum(F.col("o_totalprice")).alias("total_price"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )

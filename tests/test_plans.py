@@ -217,3 +217,30 @@ def test_grouping_sets_single_shuffle(spark, sf_dir):
     assert "Expand" in plan
     assert plan.count("lineitem.parquet") == 1
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir):
+    """A filter on the partition column must become a PartitionFilter
+    (resolved against directory names at planning time) — not a post-scan
+    data filter over all years' files."""
+    from kinesis_dstream_spark.sources import formats
+
+    plan = _formatted(formats.partitioned_orders_prune_stats(spark, sf_dir))
+    scan = plan[plan.index("Scan parquet") :]
+    part_line = [ln for ln in scan.splitlines() if "PartitionFilters" in ln][0]
+    assert "o_year" in part_line and "1995" in part_line
+    # the partition predicate must NOT be re-evaluated as a row filter
+    # (best case: no PushedFilters line at all — nothing left to filter)
+    for ln in scan.splitlines():
+        if "PushedFilters" in ln:
+            assert "o_year" not in ln
+
+
+def test_unpivot_is_mapside_expand(spark, sf_dir):
+    """unpivot = Expand (map-side 1→4 rows), so the whole melt costs one
+    scan and one aggregation shuffle — never a 4-way self-union."""
+    li = load_table(spark, sf_dir, "lineitem")
+    plan = _plan(relational.unpivot_measure_stats(li))
+    assert "Expand" in plan
+    assert plan.count("lineitem.parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
