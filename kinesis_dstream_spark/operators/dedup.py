@@ -317,18 +317,20 @@ def dedup_minhash_lsh(
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band_no"),
-                        # hash of the band's signature slice = the bucket key
-                        F.hash(
-                            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
-                        ).alias("band_hash"),
+                    # band index folded INTO the bucket hash: one join key
+                    # instead of (band_no, band_hash) — narrower shuffle
+                    # rows and a single-column hash join. A cross-band
+                    # hash collision only creates a false candidate,
+                    # which exact verification discards.
+                    F.hash(
+                        F.lit(b),
+                        *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)],
                     )
                     for b in range(bands)
                 ]
             )
-        ).alias("band"),
-    ).select("doc_id", "band.band_no", "band.band_hash")
+        ).alias("band_hash"),
+    )
     # candidate generation on id pairs only: the heavy shingle arrays do
     # NOT ride through the band join/dedup shuffle — they are joined back
     # once per unique candidate pair for verification.
@@ -337,8 +339,7 @@ def dedup_minhash_lsh(
     candidates = (
         a.join(
             b,
-            (F.col("a.band_no") == F.col("b.band_no"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
