@@ -1770,6 +1770,21 @@ GROUP BY o_orderstatus
 """
 
 
+def _q_bucketed_join(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.sources import formats
+
+    return formats.bucketed_join_stats(spark, sf)
+
+
+_SQL_BUCKETED_JOIN = f"""
+SELECT o_orderpriority,
+       count(*) AS n_items,
+       {sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 # --------------------------------------------------------------------------
 # registry assembly
 # --------------------------------------------------------------------------
@@ -1796,6 +1811,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "csv_json_roundtrip_stats": (_q_csv_json_roundtrip, _SQL_CSV_JSON_ROUNDTRIP),
     "unpivot_measure_stats": (_q_unpivot, _SQL_UNPIVOT),
     "partitioned_prune_stats": (_q_partitioned_prune, _SQL_PARTITIONED_PRUNE),
+    "bucketed_join_stats": (_q_bucketed_join, _SQL_BUCKETED_JOIN),
     "distinct_agg_stats": (_q_distinct_agg, _SQL_DISTINCT_AGG),
     "approx_distinct_users": (_q_approx_distinct, None),
     "window_rank_parts": (_q_window_rank, _SQL_WINDOW_RANK),

@@ -119,3 +119,50 @@ def partitioned_orders_prune_stats(spark: SparkSession, sf_dir: str) -> DataFram
             F.countDistinct("o_custkey").alias("n_customers"),
         )
     )
+
+
+def bucketed_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed write + shuffle-free co-located join (E-1/E-3).
+
+    Both sides are written `bucketBy(8, <join key>)` (same Murmur3 hash
+    family as shuffle partitioning), so at read time Catalyst proves the
+    partitionings line up and plans the orders⋈lineitem join with NO
+    Exchange on either side — at 100 TB that's the difference between
+    re-shuffling the fact table on every run and paying the shuffle once
+    at ingest. The pre-write `repartition(8, key)` gives one file per
+    bucket per table instead of files × tasks.
+    """
+    from kinesis_dstream_spark.functions.exact import exact_sum
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    loc = os.path.join(roundtrip_dir(sf_dir), "bucketed")
+    (
+        orders.select("o_orderkey", "o_orderpriority")
+        .repartition(8, "o_orderkey")
+        .write.mode("overwrite")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", os.path.join(loc, "orders"))
+        .saveAsTable("kds_orders_bucketed")
+    )
+    (
+        lineitem.select("l_orderkey", "l_extendedprice", "l_discount")
+        .repartition(8, "l_orderkey")
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", os.path.join(loc, "lineitem"))
+        .saveAsTable("kds_lineitem_bucketed")
+    )
+    o = spark.table("kds_orders_bucketed")
+    li = spark.table("kds_lineitem_bucketed")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            exact_sum(revenue).alias("revenue"),
+        )
+    )

@@ -244,3 +244,22 @@ def test_unpivot_is_mapside_expand(spark, sf_dir):
     assert "Expand" in plan
     assert plan.count("lineitem.parquet") == 1
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_bucketed_join_needs_no_exchange(spark, sf_dir):
+    """Both sides bucketed 8-way on the join key → Catalyst must prove
+    the partitionings compatible and plan the join with ZERO exchanges;
+    the only shuffle left is the final aggregation. (Broadcast disabled
+    so the bucketed sort-merge path is what's exercised — at 100 TB
+    neither fact side is broadcastable.)"""
+    from kinesis_dstream_spark.sources import formats
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(formats.bucketed_join_stats(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan
+    # exactly ONE exchange in the whole plan: the groupBy — none for the join
+    assert plan.count("Exchange hashpartitioning") == 1
