@@ -513,6 +513,10 @@ def _q_dedup_cosine(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.dedup_embedding_cosine(load_table(spark, sf, "embeddings"))
 
 
+def _q_dedup_cosine_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.dedup_embedding_cosine_lsh(load_table(spark, sf, "embeddings"))
+
+
 _SQL_DEDUP_COSINE = """
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -1887,6 +1891,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "salted_agg_by_type": (_q_salted_agg, _SQL_SALTED_AGG),
     "salted_skew_join": (_q_salted_join, _SQL_SALTED_JOIN),
     "user_activity_streaks": (_q_batch_streaks, _SQL_STREAKS),
+    # sketch-path twin of dedup_embedding_cosine (probabilistic recall →
+    # rows-only; pytest bounds recall vs the exact operator)
+    "dedup_embedding_cosine_lsh": (_q_dedup_cosine_lsh, None),
     # scalar-function / UDF showcases (E-2, E-8, E-14)
     "scalar_functions_showcase": (_q_scalar_fns, _SQL_SCALAR_FNS),
     "date_functions_showcase": (_q_date_fns, _SQL_DATE_FNS),

@@ -117,3 +117,92 @@ def test_cluster_assignment_is_consistent(spark, sf_dir):
         by_rep.setdefault(r, []).append(d)
     for r, members in by_rep.items():
         assert r == min(members)
+
+
+def test_embedding_cosine_pruned_equals_allpairs(spark, sf_dir):
+    """The metric-pruned join is exact BY CONSTRUCTION (angular triangle
+    inequality), so it must reproduce the naive all-pairs result bit-for-
+    bit regardless of how KMeans happened to cluster."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pruned = {
+        (r.vec_a, r.vec_b, r.cos_sim)
+        for r in dedup.dedup_embedding_cosine(emb, threshold=0.35).collect()
+    }
+    naive = {
+        (r.vec_a, r.vec_b, r.cos_sim)
+        for r in dedup.dedup_embedding_cosine_allpairs(emb, threshold=0.35).collect()
+    }
+    assert pruned == naive
+
+
+def test_embedding_cosine_plan_has_no_cartesian(spark, sf_dir):
+    """The registered cosine-dedup path must never plan a cartesian:
+    candidates come from broadcast cell pairs + hash equi-joins."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = (
+        dedup.dedup_embedding_cosine(emb)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def _clustered_embeddings(spark, n_clusters=20, per_cluster=10, dim=64, noise=0.25):
+    """Synthetic corpus in LSH's target regime: tight clusters whose
+    members are true near-dups (cos >= ~0.85), plus isotropic background."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        center = rng.randn(dim)
+        center /= np.linalg.norm(center)
+        for _ in range(per_cluster):
+            v = center + noise * rng.randn(dim) / np.sqrt(dim)
+            rows.append((vid, c, [float(x) for x in v]))
+            vid += 1
+    for _ in range(200):  # background noise vectors
+        rows.append((vid, -1, [float(x) for x in rng.randn(dim)]))
+        vid += 1
+    return spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+
+
+def test_embedding_cosine_lsh_recall_in_target_regime(spark):
+    """Multi-table sign-LSH on clustered data: high recall at cos>=0.8,
+    zero false positives (candidates are exactly verified), and the
+    candidate join key prevents any all-pairs plan."""
+    emb = _clustered_embeddings(spark)
+    exact = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in dedup.dedup_embedding_cosine_allpairs(emb, threshold=0.8).collect()
+    }
+    approx = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in dedup.dedup_embedding_cosine_lsh(emb, threshold=0.8).collect()
+    }
+    assert set(approx) <= set(exact)  # exact verify -> no false positives
+    assert exact, "fixture must contain true near-dups"
+    recall = len(set(approx) & set(exact)) / len(exact)
+    assert recall >= 0.9, f"recall {recall}"
+    for pair, cos in approx.items():
+        assert cos == exact[pair]  # same scoring arithmetic on both paths
+
+
+def test_embedding_cosine_lsh_recall_on_fixture(spark, sf_dir):
+    """Worst-case regime for hyperplane LSH (isotropic vectors, threshold
+    barely above the random-pair distribution): the 4x16 defaults must
+    still clear 85% recall with zero false positives."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in dedup.dedup_embedding_cosine(emb).collect()
+    }
+    approx = {
+        (r.vec_a, r.vec_b)
+        for r in dedup.dedup_embedding_cosine_lsh(emb).collect()
+    }
+    assert approx <= exact
+    assert len(approx & exact) / max(len(exact), 1) >= 0.85
