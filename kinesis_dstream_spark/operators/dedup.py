@@ -148,26 +148,59 @@ def dedup_simhash(
     )
 
 
-def dedup_ngram_jaccard(
-    documents: DataFrame, k: int = 3, threshold: float = 0.6
+def capped_shingles(
+    documents: DataFrame, k: int = 3, max_df: int | None = None
 ) -> DataFrame:
-    """Exact n-gram-shingle Jaccard pairs ≥ threshold via inverted index.
+    """(doc_id, shingle) inverted-index rows with hot shingles dropped.
 
-    shingle-explode → self-join on shingle (the inverted index) →
-    per-pair intersection count → |A∪B| = |A|+|B|−|A∩B|. The only big
-    shuffle is keyed by shingle; hot shingles (stop-phrases) are the skew
-    risk at 100 TB — mitigated by dropping ultra-frequent shingles
-    (``max_df``-style) the same way MinHashLSH drops dense rows, or by
-    AQE skew splitting. Here the fixture vocabulary is tiny so we keep
-    all shingles for exact-oracle semantics.
+    The document-frequency cap is the skew guard for the shingle
+    self-join: one stop-phrase shared by 1% of a web corpus would put
+    (0.01n)² pairs on a single join key. df is computed with a plain
+    hash aggregate (map-side partial aggregation absorbs the hot keys —
+    an agg never skews the way a join does), the few shingles over the
+    cap form a tiny table that is broadcast anti-joined away. Dropping
+    near-universal shingles also *improves* dedup precision: a phrase in
+    >2% of documents carries no duplicate signal, the same reason tf-idf
+    discounts it. Default cap: max(20, ceil(2% of corpus)).
     """
-    sh = documents.select(
-        "doc_id", word_shingles(tokens(F.col("text")), k).alias("shingles")
+    import math
+
+    if max_df is None:
+        max_df = max(20, math.ceil(0.02 * documents.count()))
+    exploded = documents.select(
+        "doc_id", F.explode(word_shingles(tokens(F.col("text")), k)).alias("shingle")
     )
-    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
-    exploded = sh.select("doc_id", F.explode("shingles").alias("shingle"))
-    a = exploded.alias("a")
-    b = exploded.alias("b")
+    hot = (
+        exploded.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("shingle")
+    )
+    return exploded.join(F.broadcast(hot), "shingle", "left_anti")
+
+
+def dedup_ngram_jaccard(
+    documents: DataFrame,
+    k: int = 3,
+    threshold: float = 0.6,
+    max_df: int | None = None,
+) -> DataFrame:
+    """n-gram-shingle Jaccard pairs ≥ threshold via capped inverted index.
+
+    shingle-explode → df-cap hot shingles (see ``capped_shingles``) →
+    self-join on shingle (the inverted index) → per-pair intersection
+    count → |A∪B| = |A|+|B|−|A∩B| over the *retained* shingle sets. The
+    only big shuffle is keyed by shingle, and the cap bounds every key's
+    pair count by max_df², so no stop-phrase can create a quadratic
+    partition. Semantics are deterministic (exact Jaccard over the
+    df-capped shingle vocabulary) — the DuckDB oracle applies the same
+    cap; on this fixture no shingle reaches the default cap, so values
+    equal the uncapped definition.
+    """
+    kept = capped_shingles(documents, k, max_df)
+    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = kept.alias("a")
+    b = kept.alias("b")
     inter = (
         a.join(
             b,

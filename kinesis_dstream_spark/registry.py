@@ -487,10 +487,16 @@ WITH toks AS (
          list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
                                       i -> array_to_string(t[i:i+2], ' '))) AS shingles
   FROM toks
-), sizes AS (
-  SELECT doc_id, len(shingles) AS n_sh FROM sh
-), ex AS (
+), ex0 AS (
   SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), hot AS (
+  -- same df cap as capped_shingles: max(20, ceil(2% of corpus))
+  SELECT shingle FROM ex0 GROUP BY shingle
+  HAVING count(*) > (SELECT greatest(20, ceil(0.02 * count(*))) FROM documents)
+), ex AS (
+  SELECT * FROM ex0 WHERE shingle NOT IN (SELECT shingle FROM hot)
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id
 ), inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
   FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id

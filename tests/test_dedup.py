@@ -206,3 +206,60 @@ def test_embedding_cosine_lsh_recall_on_fixture(spark, sf_dir):
     }
     assert approx <= exact
     assert len(approx & exact) / max(len(exact), 1) >= 0.85
+
+
+def test_jaccard_hot_shingle_cap_bounds_candidates(spark):
+    """Adversarial corpus: one stop-phrase in 50% of documents. Without
+    the df cap the inverted index puts a quadratic pair count on that
+    phrase's join key; with it the hot shingles vanish and candidates
+    collapse to the planted true duplicates."""
+    import itertools
+
+    stop = "breaking news update for today readers"
+    texts = []
+    for i in range(80):
+        tail = f"unique tail {i} alpha beta gamma delta epsilon"
+        texts.append((stop + " " + tail) if i % 2 == 0 else tail)
+    texts.append(texts[0])  # one planted exact duplicate pair
+    docs = _docs(spark, texts)
+
+    def n_candidates(max_df):
+        kept = dedup.capped_shingles(docs, k=3, max_df=max_df)
+        a, b = kept.alias("a"), kept.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select("a.doc_id", "b.doc_id")
+            .distinct()
+            .count()
+        )
+
+    uncapped = n_candidates(max_df=10**9)
+    capped = n_candidates(max_df=8)  # phrase df=41 >> 8; tails are unique
+    assert uncapped > 40 * 40 / 2  # the quadratic key is real
+    assert capped < 0.05 * uncapped, (capped, uncapped)
+
+    # capped semantics stay correct: the planted duplicate pair survives
+    # with Jaccard computed over the retained shingle vocabulary
+    pairs = dedup.dedup_ngram_jaccard(docs, max_df=8, threshold=0.6).collect()
+    assert {(r.doc_a, r.doc_b) for r in pairs} == {(0, 80)}
+    assert all(r.jaccard == 1.0 for r in pairs)
+
+
+def test_jaccard_default_cap_is_inert_on_fixture(spark, sf_dir):
+    """On the fixture no shingle reaches the default cap, so the capped
+    operator must equal the uncapped definition exactly — this pins the
+    oracle-facing semantics."""
+    docs = load_table(spark, sf_dir, "documents")
+    capped = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.dedup_ngram_jaccard(docs).collect()
+    }
+    uncapped = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.dedup_ngram_jaccard(docs, max_df=10**9).collect()
+    }
+    assert capped == uncapped and capped
