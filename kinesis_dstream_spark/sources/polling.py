@@ -14,21 +14,33 @@ source:
   collapses to a monotone row offset over the replayed event log);
   ``rows_per_batch`` emulates ``maxOffsetsPerTrigger``-style rate control
   (the Spark upgrade of the reference's sleep-based backpressure, O-10).
+  The default reader plans page-grained partitions per micro-batch and
+  fetches on the EXECUTORS (``DataSourceStreamReader`` — the shape that
+  survives 100×: shards ≅ partitions); ``option("reader", "simple")``
+  selects the driver-prefetch ``SimpleDataSourceStreamReader`` for
+  remotes that are inherently serial.
 
-The "remote API" is emulated by a local parquet file read via pyarrow
-(the container has no network); the reader structure — plan offsets,
-fetch a page, convert to rows — is exactly what an HTTP-backed
-implementation would keep, swapping ``_fetch_page`` for a request call
-with retry/backoff (reference O-10 semantics).
+The "remote API" sits behind a picklable transport seam. The default
+transport reads a local parquet file via pyarrow (the container has no
+network); an HTTP implementation swaps ``ParquetPageTransport`` for a
+request-backed one and keeps everything else. The error taxonomy
+mirrors the reference's branch structure (``app/hs_contacts.py:106-137``):
+transport/network failures and RATE_LIMIT responses retry the same page
+(bounded exponential backoff here — the reference slept 10 s forever),
+5xx responses back off the same way, and any other HTTP error is fatal
+and raises immediately. ``FlakyTransport`` scripts those failures
+deterministically for tests.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 
+from pyspark.errors import PySparkNotImplementedError
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
     SimpleDataSourceStreamReader,
 )
@@ -38,41 +50,66 @@ FORMAT_NAME = "paged_poll"
 DEFAULT_PAGE_SIZE = 100  # the reference's limit=100 (app/hs_contacts.py:101)
 
 
-# Retry policy for the "remote" fetch (reference O-10: network error and
-# RATE_LIMIT both slept 10 s and retried the same page forever,
-# app/hs_contacts.py:106-111,129-133). Spark upgrade: bounded attempts
-# with exponential backoff inside the reader — beyond that, task retry
-# (spark.task.maxFailures) and streaming checkpoint/restart take over,
-# replaying from the committed offset instead of losing the window.
+# --------------------------------------------------------------------------
+# error taxonomy + retry (reference O-10, app/hs_contacts.py:106-137)
+# --------------------------------------------------------------------------
+
+
+class PollError(Exception):
+    """Base for classified poll-source errors."""
+
+
+class RateLimitError(PollError):
+    """Remote said RATE_LIMIT: retryable, same page (reference :129-133)."""
+
+
+class TransientHTTPError(PollError):
+    """5xx-style remote failure: retryable with backoff."""
+
+
+class FatalPollError(PollError):
+    """4xx-style remote failure: never retried (reference :134-137 raises)."""
+
+
+# Bounded attempts with exponential backoff inside the reader — the Spark
+# upgrade of the reference's sleep-10-forever loop. Beyond the budget,
+# task retry (spark.task.maxFailures) and streaming checkpoint/restart
+# take over, replaying from the committed offset instead of losing data.
 FETCH_MAX_ATTEMPTS = 3
 FETCH_BACKOFF_S = 0.2
+_RETRYABLE = (OSError, IOError, RateLimitError, TransientHTTPError)
 
 
 def _fetch_with_retry(fetch, max_attempts: int = FETCH_MAX_ATTEMPTS):
     """Run ``fetch()`` with bounded exponential-backoff retries on
-    transient (IO) errors; non-transient errors raise immediately —
-    mirroring the reference's fatal-vs-retryable branch."""
+    transient errors (network, RATE_LIMIT, 5xx); fatal errors raise
+    immediately — the reference's fatal-vs-retryable branch."""
     import time as _time
 
     last = None
     for attempt in range(max_attempts):
         try:
             return fetch()
-        except (OSError, IOError) as e:
+        except FatalPollError:
+            raise
+        except _RETRYABLE as e:
             last = e
             if attempt + 1 < max_attempts:
                 _time.sleep(FETCH_BACKOFF_S * (2**attempt))
     raise last
 
 
-def _read_table(path: str):
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+# --------------------------------------------------------------------------
+# transports: the injectable "remote API"
+# --------------------------------------------------------------------------
 
-    table = _fetch_with_retry(lambda: pq.read_table(path))
-    # Spark's Python row converter requires tz-aware datetimes; the
-    # fixture's ns timestamps are tz-naive → cast to µs UTC here (ns→µs
-    # truncation matches the engine-wide convention, see tables.py).
+
+def _normalize_tz(table):
+    """Spark's Python row/arrow converters require tz-aware datetimes; the
+    fixture's ns timestamps are tz-naive → cast to µs UTC (ns→µs
+    truncation matches the engine-wide convention, see tables.py)."""
+    import pyarrow as pa
+
     for i, field in enumerate(table.schema):
         if pa.types.is_timestamp(field.type) and field.type.tz is None:
             table = table.set_column(
@@ -81,6 +118,71 @@ def _read_table(path: str):
                 table.column(i).cast(pa.timestamp("us", tz="UTC"), safe=False),
             )
     return table
+
+
+class ParquetPageTransport:
+    """Local-parquet stand-in for the remote HTTP API (no network in the
+    container). Picklable: ships to executors inside the reader so page
+    fetches happen executor-side. An HTTP transport implements the same
+    two methods with a requests call, classifying the response into the
+    PollError taxonomy."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def total_rows(self) -> int:
+        """The remote's current high-water mark — NOT memoized, so a
+        growing source keeps advancing (polled once per offset poll)."""
+        import pyarrow.parquet as pq
+
+        return pq.read_metadata(self.path).num_rows
+
+    def fetch_page(self, start: int, n: int):
+        """Rows [start, start+n) as an arrow table."""
+        import pyarrow.parquet as pq
+
+        return _normalize_tz(pq.read_table(self.path).slice(start, n))
+
+
+class FlakyTransport:
+    """Deterministic fault-injection wrapper for tests.
+
+    ``script`` is a comma-separated token list consumed one per
+    ``fetch_page`` call: ``ok`` delegates, ``rate_limit`` raises
+    RateLimitError, ``http_5xx`` raises TransientHTTPError, ``io_error``
+    raises OSError, ``http_4xx`` raises FatalPollError. When the script
+    is exhausted every call is ``ok``. State is per-instance — each
+    pickled executor copy replays its own script, so every partition
+    exercises the same branch sequence deterministically.
+    """
+
+    _RAISES = {
+        "rate_limit": lambda: RateLimitError("errorType=RATE_LIMIT"),
+        "http_5xx": lambda: TransientHTTPError("HTTP 503"),
+        "io_error": lambda: OSError("connection reset"),
+        "http_4xx": lambda: FatalPollError("HTTP 400"),
+    }
+
+    def __init__(self, inner, script: str):
+        self.inner = inner
+        self.script = [t.strip() for t in script.split(",") if t.strip()]
+        self.calls = 0
+
+    def total_rows(self) -> int:
+        return self.inner.total_rows()
+
+    def fetch_page(self, start: int, n: int):
+        tok = self.script[self.calls] if self.calls < len(self.script) else "ok"
+        self.calls += 1
+        if tok != "ok":
+            raise self._RAISES[tok]()
+        return self.inner.fetch_page(start, n)
+
+
+def _make_transport(options: dict):
+    base = ParquetPageTransport(options["path"])
+    script = options.get("error_script")
+    return FlakyTransport(base, script) if script else base
 
 
 def _arrow_schema_to_spark(path: str) -> StructType:
@@ -99,7 +201,9 @@ class _PageRange(InputPartition):
 
 
 class PagedPollDataSource(DataSource):
-    """Options: ``path`` (parquet file), ``page_size`` (rows per page)."""
+    """Options: ``path`` (parquet file), ``page_size`` (rows per page),
+    ``rows_per_batch`` (streaming rate control), ``reader``
+    ("partitioned" default | "simple"), ``error_script`` (tests)."""
 
     @classmethod
     def name(cls) -> str:
@@ -111,67 +215,130 @@ class PagedPollDataSource(DataSource):
     def reader(self, schema: StructType) -> "PagedPollBatchReader":
         return PagedPollBatchReader(schema, self.options)
 
+    def streamReader(self, schema: StructType) -> "PagedPollPartitionStreamReader":
+        if self.options.get("reader", "partitioned") == "simple":
+            # raising NOT_IMPLEMENTED makes Spark fall back to
+            # simpleStreamReader() (pyspark datasource_internal._streamReader)
+            raise PySparkNotImplementedError(
+                errorClass="NOT_IMPLEMENTED",
+                messageParameters={"feature": "streamReader (reader=simple)"},
+            )
+        return PagedPollPartitionStreamReader(schema, self.options)
+
     def simpleStreamReader(self, schema: StructType) -> "PagedPollStreamReader":
         return PagedPollStreamReader(schema, self.options)
 
 
 class PagedPollBatchReader(DataSourceReader):
-    """One partition per page: the parallel version of cursor pagination."""
+    """One partition per page: the parallel version of cursor pagination.
+
+    The transport is pickled into each task, so page fetches (and their
+    retry/classification loop) run on the executors."""
 
     def __init__(self, schema: StructType, options: dict):
-        self.path = options["path"]
+        self.transport = _make_transport(options)
         self.page_size = int(options.get("page_size", DEFAULT_PAGE_SIZE))
-        self.fields = schema.fieldNames()
 
     def partitions(self):
-        import pyarrow.parquet as pq
-
-        n_rows = pq.read_metadata(self.path).num_rows
+        n_rows = _fetch_with_retry(self.transport.total_rows)
         return [
             _PageRange(start, min(start + self.page_size, n_rows))
             for start in range(0, n_rows, self.page_size)
         ]
 
     def read(self, partition: _PageRange):
-        # Arrow-sliced page fetch; yields arrow batches directly (the
-        # fast path the Python DataSource API supports — no per-row
-        # Python tuples).
-        table = _read_table(self.path).slice(
-            partition.start, partition.end - partition.start
+        # Arrow page fetch; yields arrow batches directly (the fast path
+        # the Python DataSource API supports — no per-row Python tuples).
+        table = _fetch_with_retry(
+            lambda: self.transport.fetch_page(
+                partition.start, partition.end - partition.start
+            )
         )
         yield from table.to_batches()
 
 
-class PagedPollStreamReader(SimpleDataSourceStreamReader):
-    """Micro-batch reader: offsets are row cursors over the event log.
+class PagedPollPartitionStreamReader(DataSourceStreamReader):
+    """Partition-planning micro-batch reader — the default, 100×-ready
+    shape (reference intent: Kinesis shards ≅ partitions, README.md:2).
 
-    The reference's window bookkeeping lived in process memory
-    (``begin_time``, ``after``) and died with the process; here the
-    offset dict is checkpointed by Spark, giving exactly-once planning
-    for free (SURVEY §4 fault-tolerance row).
+    The driver only plans: each offset poll re-reads the remote's
+    high-water mark (a growing source keeps advancing) and rate-limits
+    the batch to ``rows_per_batch``; the planned cursor range splits into
+    page-grained partitions whose rows are fetched BY THE EXECUTORS
+    through the pickled transport — no driver prefetch, unlike the
+    Simple reader. Offsets are checkpointed by Spark: restart replays
+    from the committed cursor (SURVEY §4 fault-tolerance row).
     """
 
     def __init__(self, schema: StructType, options: dict):
-        self.path = options["path"]
+        self.transport = _make_transport(options)
         self.rows_per_batch = int(options.get("rows_per_batch", 500))
-        self._n_rows = None
+        self.page_size = int(options.get("page_size", DEFAULT_PAGE_SIZE))
+        self._planned = 0  # high-water cursor this reader has planned
 
-    def _total_rows(self) -> int:
-        if self._n_rows is None:
-            import pyarrow.parquet as pq
+    def initialOffset(self) -> dict:
+        return {"cursor": 0}
 
-            self._n_rows = pq.read_metadata(self.path).num_rows
-        return self._n_rows
+    def latestOffset(self) -> dict:
+        total = _fetch_with_retry(self.transport.total_rows)
+        self._planned = min(total, self._planned + self.rows_per_batch)
+        return {"cursor": self._planned}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["cursor"], end["cursor"]
+        # after a restart Spark re-plans from the checkpointed offset,
+        # which can trail this instance's _planned — clamp, never reread
+        self._planned = max(self._planned, hi)
+        if hi <= lo:
+            return [_PageRange(lo, lo)]
+        return [
+            _PageRange(s, min(s + self.page_size, hi))
+            for s in range(lo, hi, self.page_size)
+        ]
+
+    def read(self, partition: _PageRange):
+        if partition.end <= partition.start:
+            return
+        table = _fetch_with_retry(
+            lambda: self.transport.fetch_page(
+                partition.start, partition.end - partition.start
+            )
+        )
+        yield from table.to_batches()
+
+    def commit(self, end: dict) -> None:
+        # nothing to acknowledge: the "remote" is a replayable log; an
+        # HTTP transport would release server-side cursors here
+        pass
+
+
+class PagedPollStreamReader(SimpleDataSourceStreamReader):
+    """Driver-prefetch micro-batch reader (``option("reader","simple")``).
+
+    For remotes that are themselves serial (one HTTP cursor — the
+    reference's actual regime): pages are fetched and pickled on the
+    driver. The offset dict is still checkpointed by Spark, giving
+    exactly-once planning; the partitioned reader above is the default.
+    """
+
+    def __init__(self, schema: StructType, options: dict):
+        self.transport = _make_transport(options)
+        self.rows_per_batch = int(options.get("rows_per_batch", 500))
 
     def initialOffset(self) -> dict:
         return {"cursor": 0}
 
     def read(self, start: dict):
         cursor = start["cursor"]
-        end = min(cursor + self.rows_per_batch, self._total_rows())
+        # fresh high-water mark every poll: a growing source advances
+        end = min(
+            cursor + self.rows_per_batch, _fetch_with_retry(self.transport.total_rows)
+        )
         if end <= cursor:
             return iter([]), {"cursor": cursor}
-        table = _read_table(self.path).slice(cursor, end - cursor)
+        table = _fetch_with_retry(
+            lambda: self.transport.fetch_page(cursor, end - cursor)
+        )
         # SimpleDataSourceStreamReader prefetches driver-side and pickles
         # the batch into its cache — must be a materialized list, not a
         # generator; rows_per_batch bounds the memory footprint.
@@ -182,7 +349,9 @@ class PagedPollStreamReader(SimpleDataSourceStreamReader):
 
     def readBetweenOffsets(self, start: dict, end: dict):
         cursor, stop = start["cursor"], end["cursor"]
-        table = _read_table(self.path).slice(cursor, stop - cursor)
+        table = _fetch_with_retry(
+            lambda: self.transport.fetch_page(cursor, stop - cursor)
+        )
         return (
             tuple(row[f] for f in table.schema.names) for row in table.to_pylist()
         )

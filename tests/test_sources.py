@@ -169,3 +169,177 @@ def test_csv_json_roundtrip_lossless(spark, sf_dir):
     got = {tuple(r) for r in out.collect()}
     want = {tuple(r) for r in expect.collect()}
     assert got == want
+
+
+def test_error_classification_branches(monkeypatch):
+    """The reference's three error branches (app/hs_contacts.py:106-137),
+    scripted deterministically: RATE_LIMIT and 5xx retry the same page;
+    4xx is fatal on the first attempt."""
+    import pytest
+
+    monkeypatch.setattr(polling, "FETCH_BACKOFF_S", 0.001)
+
+    class _Counting:
+        def __init__(self):
+            self.fetches = 0
+
+        def total_rows(self):
+            return 10
+
+        def fetch_page(self, start, n):
+            self.fetches += 1
+            return ("page", start, n)
+
+    # RATE_LIMIT -> retry same page, then succeed
+    inner = _Counting()
+    t = polling.FlakyTransport(inner, "rate_limit,ok")
+    assert polling._fetch_with_retry(lambda: t.fetch_page(0, 5)) == ("page", 0, 5)
+    assert inner.fetches == 1 and t.calls == 2
+
+    # 5xx -> backoff retry, then succeed
+    t = polling.FlakyTransport(_Counting(), "http_5xx,http_5xx,ok")
+    assert polling._fetch_with_retry(lambda: t.fetch_page(5, 5))[1] == 5
+    assert t.calls == 3  # used every bounded attempt
+
+    # persistent 5xx -> bounded attempts then raise (never infinite)
+    t = polling.FlakyTransport(_Counting(), "http_5xx,http_5xx,http_5xx,http_5xx")
+    with pytest.raises(polling.TransientHTTPError):
+        polling._fetch_with_retry(lambda: t.fetch_page(0, 5))
+    assert t.calls == polling.FETCH_MAX_ATTEMPTS
+
+    # 4xx -> fatal immediately, exactly one attempt
+    t = polling.FlakyTransport(_Counting(), "http_4xx,ok")
+    with pytest.raises(polling.FatalPollError):
+        polling._fetch_with_retry(lambda: t.fetch_page(0, 5))
+    assert t.calls == 1
+
+
+def test_batch_source_survives_scripted_rate_limits(spark, sf_dir):
+    """End-to-end through Spark: every partition's first fetch gets
+    RATE_LIMIT (each task replays its own script copy) and the retry
+    loop still produces the complete, correct scan."""
+    polling.register(spark)
+    df = (
+        spark.read.format(polling.FORMAT_NAME)
+        .option("path", f"{sf_dir}/events.parquet")
+        .option("page_size", 997)
+        .option("error_script", "rate_limit,ok")
+        .load()
+    )
+    assert df.count() == load_table(spark, sf_dir, "events").count()
+
+
+def test_batch_source_fatal_error_fails_fast(spark, sf_dir):
+    """A 4xx-class remote error must surface, not be retried away."""
+    import pytest
+
+    polling.register(spark)
+    df = (
+        spark.read.format(polling.FORMAT_NAME)
+        .option("path", f"{sf_dir}/events.parquet")
+        .option("error_script", "http_4xx")
+        .load()
+    )
+    with pytest.raises(Exception, match="HTTP 400"):
+        df.count()
+
+
+def test_partitioned_stream_reader_contract(sf_dir):
+    """The DataSourceStreamReader walk, without Spark: offsets advance by
+    rows_per_batch against a freshly-polled total, ranges split into
+    page-grained partitions, and read() yields executor-side arrow
+    batches covering exactly the planned range."""
+    schema = polling._arrow_schema_to_spark(f"{sf_dir}/events.parquet")
+    r = polling.PagedPollPartitionStreamReader(
+        schema,
+        {"path": f"{sf_dir}/events.parquet", "rows_per_batch": "1000", "page_size": "300"},
+    )
+    total = polling.ParquetPageTransport(f"{sf_dir}/events.parquet").total_rows()
+    assert r.initialOffset() == {"cursor": 0}
+    first = r.latestOffset()
+    assert first == {"cursor": min(1000, total)}
+    parts = r.partitions({"cursor": 0}, first)
+    assert [p.start for p in parts] == list(range(0, first["cursor"], 300))
+    assert all(p.end - p.start <= 300 for p in parts)
+    n = sum(b.num_rows for p in parts for b in r.read(p))
+    assert n == first["cursor"]
+    # the cursor keeps advancing on later polls until the source drains
+    second = r.latestOffset()
+    assert second["cursor"] == min(2000, total)
+    # empty range (no new data) planner-clamps instead of failing
+    empty = r.partitions(second, second)
+    assert sum(b.num_rows for p in empty for b in r.read(p)) == 0
+
+
+def test_stream_reader_dispatch(sf_dir):
+    """Default = partition-planning reader; reader=simple opts back into
+    the driver-prefetch SimpleDataSourceStreamReader via the documented
+    NOT_IMPLEMENTED fallback."""
+    import pytest
+    from pyspark.errors import PySparkNotImplementedError
+
+    schema = polling._arrow_schema_to_spark(f"{sf_dir}/events.parquet")
+    ds = polling.PagedPollDataSource({"path": f"{sf_dir}/events.parquet"})
+    assert isinstance(
+        ds.streamReader(schema), polling.PagedPollPartitionStreamReader
+    )
+    ds_simple = polling.PagedPollDataSource(
+        {"path": f"{sf_dir}/events.parquet", "reader": "simple"}
+    )
+    with pytest.raises(PySparkNotImplementedError):
+        ds_simple.streamReader(schema)
+    assert isinstance(
+        ds_simple.simpleStreamReader(schema), polling.PagedPollStreamReader
+    )
+
+
+def test_multi_entity_poll_fanout(spark, sf_dir):
+    """Reference runs one poller process per entity (hs_contacts.py:171,
+    hs_engagements.py:163); here N paged_poll streams run concurrently in
+    ONE session under the StreamingJobRegistry control plane."""
+    import time
+
+    from kinesis_dstream_spark.streaming.control import StreamingJobRegistry
+
+    polling.register(spark)
+    entities = ["events", "orders", "customer"]
+    reg = StreamingJobRegistry(spark)
+
+    def make_builder(table):
+        def build():
+            return (
+                spark.readStream.format(polling.FORMAT_NAME)
+                .option("path", f"{sf_dir}/{table}.parquet")
+                .option("rows_per_batch", 100000)
+                .load()
+                .writeStream.format("memory")
+                .queryName(f"fanout_{table}")
+                .outputMode("append")
+                .trigger(processingTime="0 seconds")
+                .start()
+            )
+
+        return build
+
+    try:
+        for t in entities:
+            reg.start(f"poll_{t}", make_builder(t))
+        assert sorted(reg.active()) == [f"poll_{t}" for t in sorted(entities)]
+        # all three drain their fixture completely and concurrently
+        deadline = time.time() + 120
+        want = {t: load_table(spark, sf_dir, t).count() for t in entities}
+        while time.time() < deadline:
+            got = {t: spark.table(f"fanout_{t}").count() for t in entities}
+            if got == want:
+                break
+            time.sleep(0.5)
+        assert got == want
+        statuses = reg.check()
+        assert len(statuses) == 3 and all(s["active"] for s in statuses)
+    finally:
+        for t in entities:
+            try:
+                reg.stop(f"poll_{t}")
+            except Exception:
+                pass
+    assert reg.active() == []
