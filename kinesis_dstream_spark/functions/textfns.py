@@ -9,10 +9,11 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# 61-bit Mersenne prime modulus + base for polynomial rolling hashes.
-# Products stay within int64 only because char codes are small; Spark and
-# DuckDB both evaluate the fold left-to-right with 64-bit ints, so the
-# fingerprints are bit-identical across engines.
+# Modulus (1e9+7, a 30-bit prime) + base for polynomial rolling hashes.
+# Residues stay < 2^30, so base*residue+char products stay well within
+# int64 with no overflow; Spark and DuckDB both evaluate the fold
+# left-to-right with 64-bit ints, so the fingerprints are bit-identical
+# across engines.
 FP_MOD = 1_000_000_007
 FP_BASE = 31
 

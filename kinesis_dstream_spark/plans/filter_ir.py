@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import re
 from collections.abc import Iterable
+from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -93,10 +94,18 @@ def compile_filter(flt: dict, time_columns: Iterable[str] = ()) -> Column:
         return col.between(
             _literal(flt["value"], is_time), _literal(flt["highValue"], is_time)
         )
-    if op == "IN":
-        return col.isin([v for v in flt["values"]])
-    if op == "NOT_IN":
-        return ~col.isin([v for v in flt["values"]])
+    if op in ("IN", "NOT_IN"):
+        values = list(flt["values"])
+        if is_time:
+            # isin() takes plain values, not Columns, so epoch-ms strings
+            # would be cast to timestamp as NULL and match nothing —
+            # convert through _literal and OR the equalities instead.
+            pred = reduce(
+                Column.__or__, [col == _literal(v, True) for v in values]
+            ) if values else F.lit(False)
+        else:
+            pred = col.isin(values) if values else F.lit(False)
+        return ~pred if op == "NOT_IN" else pred
     if op == "CONTAINS_TOKEN":
         return col.rlike(_token_regex(flt["value"]))
     if op == "NOT_CONTAINS_TOKEN":

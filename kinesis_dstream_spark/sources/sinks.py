@@ -37,6 +37,8 @@ class KinesisPutRecordsSink:
     partition_key_col: str
     region: str = "us-east-1"
     chunk_size: int = 500  # Kinesis PutRecords hard limit
+    max_attempts: int = 5  # partial-failure re-put budget per chunk
+    backoff_s: float = 0.2
 
     def __post_init__(self):
         try:
@@ -55,6 +57,11 @@ class KinesisPutRecordsSink:
             self.chunk_size,
         )
 
+        max_attempts, backoff_s = self.max_attempts, self.backoff_s
+
+        def put_chunk(client, records):
+            _put_records_with_retry(client, stream, records, max_attempts, backoff_s)
+
         def put_partition(rows):
             import boto3
 
@@ -69,27 +76,82 @@ class KinesisPutRecordsSink:
                     }
                 )
                 if len(buf) >= chunk:
-                    client.put_records(StreamName=stream, Records=buf)
+                    put_chunk(client, buf)
                     buf = []
             if buf:
-                client.put_records(StreamName=stream, Records=buf)
+                put_chunk(client, buf)
 
         # Empty-batch elision (reference O-8): foreachPartition on an
         # empty frame is a no-op, no guard needed.
         batch_df.foreachPartition(put_partition)
 
 
+def _put_records_with_retry(
+    client, stream: str, records: list, max_attempts: int, backoff_s: float
+) -> None:
+    """put_records with partial-failure re-puts.
+
+    Kinesis routinely PARTIALLY fails (FailedRecordCount > 0 under
+    throttling) while returning HTTP 200; dropping those records would
+    silently lose the at-least-once delivery the reference's RATE_LIMIT
+    retry loop provided. Re-put only the entries that carry an
+    ErrorCode — order within the response array matches the request
+    array — with bounded exponential backoff, raising if the budget
+    exhausts so the micro-batch retries instead of ack'ing lost data.
+    """
+    import time as _time
+
+    pending = records
+    for attempt in range(max_attempts):
+        resp = client.put_records(StreamName=stream, Records=pending)
+        if not resp.get("FailedRecordCount"):
+            return
+        pending = [
+            rec for rec, res in zip(pending, resp["Records"]) if res.get("ErrorCode")
+        ]
+        if attempt + 1 < max_attempts:
+            _time.sleep(backoff_s * (2**attempt))
+    raise RuntimeError(
+        f"Kinesis put_records: {len(pending)} records still failing after "
+        f"{max_attempts} attempts"
+    )
+
+
 @dataclass
 class JsonLogSink:
     """Local JSON-lines sink — the reference's implemented log sink,
-    minus the 1 MB rotation (Spark's file sink semantics replace it)."""
+    minus the 1 MB rotation (Spark's file sink semantics replace it).
+
+    Executors stream their own partitions to ``batch-NNNNNN-part-*.jsonl``
+    files (``foreachPartition``, like the Kinesis sink) — the micro-batch
+    is never collected to the driver, so batch size is bounded by
+    executor memory, not driver memory. ``out_dir`` must be a shared
+    filesystem on a real cluster (it's local disk on local[_])."""
 
     out_dir: str
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        os.makedirs(self.out_dir, exist_ok=True)
-        rows = [r.asDict(recursive=True) for r in batch_df.collect()]
-        path = os.path.join(self.out_dir, f"batch-{batch_id:06d}.jsonl")
-        with open(path, "w") as f:
-            for d in rows:
-                f.write(json.dumps(d, default=str) + "\n")
+        out_dir = self.out_dir
+        os.makedirs(out_dir, exist_ok=True)
+
+        def write_partition(rows):
+            import json as _json
+            import os as _os
+            import uuid as _uuid
+
+            first = next(rows, None)
+            if first is None:  # empty-partition elision: no empty files
+                return
+            path = _os.path.join(
+                out_dir, f"batch-{batch_id:06d}-part-{_uuid.uuid4().hex}.jsonl"
+            )
+            with open(path, "w") as f:
+                for row in _chain_one(first, rows):
+                    f.write(_json.dumps(row.asDict(recursive=True), default=str) + "\n")
+
+        batch_df.foreachPartition(write_partition)
+
+
+def _chain_one(first, rest):
+    yield first
+    yield from rest

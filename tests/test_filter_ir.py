@@ -182,3 +182,35 @@ def test_ir_composes_with_streams(spark, sf_dir):
         "append",
     )
     assert {r.event_id for r in streamed.collect()} == batch
+
+
+class TestTimeColumnIn:
+    def test_in_on_time_column_converts_epoch_ms(self, spark):
+        """IN/NOT_IN literals on a time column are epoch-ms strings on the
+        wire; they must convert like every other operator instead of being
+        cast to NULL timestamps that silently match nothing."""
+        df = spark.createDataFrame(
+            [("2024-01-05 00:00:00",), ("2024-01-06 00:00:00",)], "s string"
+        ).select(F.col("s").cast("timestamp").alias("ts"))
+        jan5_ms = 1704412800000
+        inn = df.filter(
+            filter_ir.compile_filter(
+                _flt("ts", "IN", values=[str(jan5_ms)]), time_columns={"ts"}
+            )
+        )
+        assert inn.count() == 1
+        notin = df.filter(
+            filter_ir.compile_filter(
+                _flt("ts", "NOT_IN", values=[str(jan5_ms)]), time_columns={"ts"}
+            )
+        )
+        assert notin.count() == 1
+
+    def test_in_empty_values(self, spark):
+        df = spark.createDataFrame([(1,), (2,)], "x int")
+        assert df.filter(
+            filter_ir.compile_filter(_flt("x", "IN", values=[]))
+        ).count() == 0
+        assert df.filter(
+            filter_ir.compile_filter(_flt("x", "NOT_IN", values=[]))
+        ).count() == 2

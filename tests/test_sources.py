@@ -59,15 +59,22 @@ def test_batch_source_projection_and_filter(spark, sf_dir):
 
 def test_json_log_sink_writes_batches(spark, sf_dir, tmp_path):
     """The reference's implemented sink is a log file
-    (app/hs_contacts.py:120-123); JsonLogSink is its foreachBatch twin."""
+    (app/hs_contacts.py:120-123); JsonLogSink is its foreachBatch twin —
+    executor partitions stream their own files, nothing is collected to
+    the driver, and empty partitions leave no files behind."""
+    import glob
+
     out = str(tmp_path / "log_sink")
     sink = JsonLogSink(out)
     df = load_table(spark, sf_dir, "events").limit(5)
     sink(df, batch_id=7)
-    path = os.path.join(out, "batch-000007.jsonl")
-    assert os.path.exists(path)
-    lines = [json.loads(line) for line in open(path)]
+    paths = glob.glob(os.path.join(out, "batch-000007-part-*.jsonl"))
+    assert paths
+    lines = [json.loads(line) for p in paths for line in open(p)]
     assert len(lines) == 5 and "event_id" in lines[0]
+    # empty micro-batch: elided entirely (reference O-8)
+    sink(df.limit(0), batch_id=8)
+    assert glob.glob(os.path.join(out, "batch-000008-*")) == []
 
 
 def test_kinesis_sink_import_gate():
@@ -343,3 +350,50 @@ def test_multi_entity_poll_fanout(spark, sf_dir):
             except Exception:
                 pass
     assert reg.active() == []
+
+
+def test_kinesis_partial_failure_reput(monkeypatch):
+    """Kinesis partially fails under throttling (FailedRecordCount > 0 on
+    an HTTP 200); only the ErrorCode entries are re-put, and an exhausted
+    budget raises instead of ack'ing lost records."""
+    import pytest
+
+    from kinesis_dstream_spark.sources import sinks
+
+    class FakeClient:
+        def __init__(self, fail_twice_for):
+            self.fail_twice_for = fail_twice_for
+            self.calls = []
+
+        def put_records(self, StreamName, Records):
+            self.calls.append([r["PartitionKey"] for r in Records])
+            results, failed = [], 0
+            for r in Records:
+                attempts_so_far = sum(
+                    1 for c in self.calls for k in c if k == r["PartitionKey"]
+                )
+                if r["PartitionKey"] in self.fail_twice_for and attempts_so_far <= 2:
+                    results.append({"ErrorCode": "ProvisionedThroughputExceededException"})
+                    failed += 1
+                else:
+                    results.append({"SequenceNumber": "1"})
+            return {"FailedRecordCount": failed, "Records": results}
+
+    recs = [{"Data": b"{}", "PartitionKey": str(i)} for i in range(5)]
+    client = FakeClient(fail_twice_for={"1", "3"})
+    sinks._put_records_with_retry(client, "s", recs, max_attempts=5, backoff_s=0.001)
+    # first call ships all 5, re-puts carry ONLY the failed subset
+    assert client.calls[0] == ["0", "1", "2", "3", "4"]
+    assert client.calls[1] == ["1", "3"] and client.calls[2] == ["1", "3"]
+
+    class AlwaysThrottled:
+        def put_records(self, StreamName, Records):
+            return {
+                "FailedRecordCount": len(Records),
+                "Records": [{"ErrorCode": "Throttled"} for _ in Records],
+            }
+
+    with pytest.raises(RuntimeError, match="still failing"):
+        sinks._put_records_with_retry(
+            AlwaysThrottled(), "s", recs, max_attempts=3, backoff_s=0.001
+        )
