@@ -79,9 +79,11 @@ def exact_median_by_group(events: DataFrame) -> DataFrame:
     numpy's interpolated median matches DuckDB's ``median`` on doubles
     exactly (both average the two middle values).
 
-    Scale note: groups must fit in one executor's memory — fine for
-    low-cardinality keys like event_type; for high-cardinality keys use
-    an approx sketch or a two-pass exact algorithm instead.
+    Scale note: each group materializes as ONE in-memory pandas frame —
+    fine for low-cardinality keys like event_type; for high-cardinality
+    or skewed keys use ``exact_median_by_group_ranked`` (same result,
+    JVM-side, spill-safe) — the two are pinned equal by pytest and share
+    one oracle.
     """
 
     def median(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -96,6 +98,40 @@ def exact_median_by_group(events: DataFrame) -> DataFrame:
         )
 
     return events.groupBy("event_type").applyInPandas(median, _MEDIAN_SCHEMA)
+
+
+def exact_median_by_group_ranked(events: DataFrame) -> DataFrame:
+    """Exact per-group median, fully distributed (the scale path).
+
+    Rank-selection instead of per-group materialization: one shuffle
+    keyed by the group, a window sort that SPILLS (UnsafeExternalSorter)
+    instead of building a pandas frame per group, then only the middle
+    one/two rows per group survive into a tiny final aggregate. Works
+    for any key cardinality and any group size; ties among equal values
+    don't affect which VALUES the middle positions hold, so the result
+    is deterministic and equals numpy/DuckDB interpolated median
+    (average of the two middle values on even counts).
+    """
+    from pyspark.sql import Window
+
+    by_group = Window.partitionBy("event_type")
+    ordered = by_group.orderBy("value")
+    mid = (
+        events.select(
+            "event_type",
+            "value",
+            F.row_number().over(ordered).alias("rn"),
+            F.count("*").over(by_group).alias("n"),
+        )
+        # middle one (odd n) or two (even n) rows: (n+1)//2 and (n+2)//2
+        .filter(
+            (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+            | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
+        )
+    )
+    return mid.groupBy("event_type").agg(
+        F.max("n").alias("n"), F.avg("value").alias("median_value")
+    )
 
 
 def udtf_token_explode(spark, documents: DataFrame) -> DataFrame:

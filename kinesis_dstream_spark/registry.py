@@ -970,6 +970,12 @@ FROM events GROUP BY event_type
 """
 
 
+def _q_median_ranked(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.operators import udfs
+
+    return udfs.exact_median_by_group_ranked(load_table(spark, sf, "events"))
+
+
 def _q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.ann_ivf_topk(load_table(spark, sf, "embeddings"))
 
@@ -1886,6 +1892,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "approx_distinct_users": (_q_approx_distinct, None),
     "percentile_stats": (_q_percentiles, _SQL_PERCENTILES),
     "exact_median_by_group": (_q_median, _SQL_MEDIAN),
+    "exact_median_by_group_ranked": (_q_median_ranked, _SQL_MEDIAN),
     "window_rank_parts": (_q_window_rank, _SQL_WINDOW_RANK),
     "window_running_totals": (_q_window_running, _SQL_WINDOW_RUNNING),
     "window_ntile_frames": (_q_ntile, _SQL_NTILE),

@@ -178,3 +178,35 @@ def test_streaming_streaks_equal_batch(spark, sf_dir):
         for r in jobs.streaming_user_streaks(spark, sf_dir).collect()
     }
     assert streamed == batch
+
+
+def test_ranked_median_equals_pandas_path(spark, sf_dir):
+    """The spill-safe rank-selection median must agree with the
+    applyInPandas twin on the fixture AND on synthetic groups that hit
+    every parity case (odd n, even n, n=1, duplicated middle values,
+    high key cardinality)."""
+    ev = load_table(spark, sf_dir, "events")
+    a = {tuple(r) for r in udfs.exact_median_by_group(ev).collect()}
+    b = {tuple(r) for r in udfs.exact_median_by_group_ranked(ev).collect()}
+    assert a == b
+
+    rows = []
+    for g in range(200):  # high-cardinality keys, varied group sizes
+        for i in range(g % 7 + 1):
+            rows.append((f"g{g}", float((i * 13) % 5)))  # dup values too
+    syn = spark.createDataFrame(rows, "event_type string, value double")
+    a = {tuple(r) for r in udfs.exact_median_by_group(syn).collect()}
+    b = {tuple(r) for r in udfs.exact_median_by_group_ranked(syn).collect()}
+    assert a == b
+
+
+def test_ranked_median_stays_on_jvm(spark, sf_dir):
+    """The scale path must not fall off the JVM: no Python eval in the
+    plan (its applyInPandas twin is the deliberate Python exhibit)."""
+    plan = (
+        udfs.exact_median_by_group_ranked(load_table(spark, sf_dir, "events"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan and "FlatMapGroupsInPandas" not in plan
