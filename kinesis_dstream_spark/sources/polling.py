@@ -275,21 +275,45 @@ class PagedPollPartitionStreamReader(DataSourceStreamReader):
         self.rows_per_batch = int(options.get("rows_per_batch", 500))
         self.page_size = int(options.get("page_size", DEFAULT_PAGE_SIZE))
         self._planned = 0  # high-water cursor this reader has planned
+        self._primed = False  # has this instance planned a batch yet?
 
     def initialOffset(self) -> dict:
+        # only called on a FRESH start (no checkpoint) — pacing from 0 is
+        # then correct, so seed the pacing state here
+        self._planned = 0
+        self._primed = True
         return {"cursor": 0}
 
     def latestOffset(self) -> dict:
         total = _fetch_with_retry(self.transport.total_rows)
-        self._planned = min(total, self._planned + self.rows_per_batch)
+        if not self._primed:
+            # First poll after a RESTART whose last batch was committed:
+            # initialOffset()/partitions() were never called on this fresh
+            # instance, so its pacing state (0) can trail the checkpointed
+            # cursor — and Spark compares offsets only for equality, so a
+            # regressed cursor would be planned and re-read delivered rows.
+            # The remote high-water mark is ≥ any committed cursor for an
+            # append-only log: return it uncapped once, resume pacing after.
+            self._planned = total
+            self._primed = True
+        else:
+            self._planned = min(total, self._planned + self.rows_per_batch)
         return {"cursor": self._planned}
 
     def partitions(self, start: dict, end: dict):
         lo, hi = start["cursor"], end["cursor"]
-        # after a restart Spark re-plans from the checkpointed offset,
-        # which can trail this instance's _planned — clamp, never reread
+        if hi < lo:
+            # a planned range behind the committed start means duplicate
+            # delivery — refuse loudly rather than silently re-reading
+            raise ValueError(
+                f"paged_poll: planned offset {hi} is behind committed offset "
+                f"{lo}; refusing to re-read delivered rows"
+            )
+        # replayed batches (restart with a pending batch) re-plan [lo, hi]
+        # that this fresh instance never saw — keep pacing state ahead of it
         self._planned = max(self._planned, hi)
-        if hi <= lo:
+        self._primed = True
+        if hi == lo:
             return [_PageRange(lo, lo)]
         return [
             _PageRange(s, min(s + self.page_size, hi))

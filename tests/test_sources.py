@@ -72,6 +72,14 @@ def test_json_log_sink_writes_batches(spark, sf_dir, tmp_path):
     assert paths
     lines = [json.loads(line) for p in paths for line in open(p)]
     assert len(lines) == 5 and "event_id" in lines[0]
+    # a retried/replayed task overwrites its predecessor's file (names are
+    # (batch_id, partitionId)-deterministic), never duplicates rows
+    sink(df, batch_id=7)
+    paths2 = glob.glob(os.path.join(out, "batch-000007-part-*.jsonl"))
+    assert sorted(paths2) == sorted(paths)
+    lines2 = [json.loads(line) for p in paths2 for line in open(p)]
+    assert len(lines2) == 5
+    assert not glob.glob(os.path.join(out, "*.tmp"))
     # empty micro-batch: elided entirely (reference O-8)
     sink(df.limit(0), batch_id=8)
     assert glob.glob(os.path.join(out, "batch-000008-*")) == []
@@ -278,6 +286,41 @@ def test_partitioned_stream_reader_contract(sf_dir):
     assert sum(b.num_rows for p in empty for b in r.read(p)) == 0
 
 
+def test_partitioned_stream_reader_restart_no_regression(sf_dir):
+    """Restart semantics: a FRESH reader instance (checkpoint present, so
+    initialOffset is never called) must not return a cursor behind the
+    committed one. Spark compares offsets only for equality, so a
+    regressed cursor would be planned and delivered rows re-read."""
+    import pytest
+
+    opts = {
+        "path": f"{sf_dir}/events.parquet",
+        "rows_per_batch": "100",
+        "page_size": "300",
+    }
+    schema = polling._arrow_schema_to_spark(f"{sf_dir}/events.parquet")
+    total = polling.ParquetPageTransport(f"{sf_dir}/events.parquet").total_rows()
+    assert total > 200  # fixture sanity: a committed cursor can exceed one batch
+
+    # restart path A: last batch committed → first call is latestOffset();
+    # must be the uncapped high-water mark (≥ any committed cursor)
+    r = polling.PagedPollPartitionStreamReader(schema, dict(opts))
+    assert r.latestOffset() == {"cursor": total}
+
+    # restart path B: pending batch replayed first → partitions(lo, hi)
+    # seeds pacing at hi, and the next poll paces forward from there
+    r2 = polling.PagedPollPartitionStreamReader(schema, dict(opts))
+    committed = 200
+    r2.partitions({"cursor": 100}, {"cursor": committed})
+    nxt = r2.latestOffset()
+    assert nxt["cursor"] == min(committed + 100, total)
+
+    # a regressed range is refused loudly, never silently re-read
+    r3 = polling.PagedPollPartitionStreamReader(schema, dict(opts))
+    with pytest.raises(ValueError, match="behind committed"):
+        r3.partitions({"cursor": 500}, {"cursor": 400})
+
+
 def test_stream_reader_dispatch(sf_dir):
     """Default = partition-planning reader; reader=simple opts back into
     the driver-prefetch SimpleDataSourceStreamReader via the documented
@@ -397,3 +440,64 @@ def test_kinesis_partial_failure_reput(monkeypatch):
         sinks._put_records_with_retry(
             AlwaysThrottled(), "s", recs, max_attempts=3, backoff_s=0.001
         )
+
+
+def test_firehose_partial_failure_reput():
+    """Firehose's put_record_batch twin (README.md:2 names 'Kinesis Data
+    Stream or Firehose'): FailedPutCount > 0 re-puts ONLY the ErrorCode
+    entries (response key RequestResponses, unlike Kinesis' Records), and
+    an exhausted budget raises."""
+    import pytest
+
+    from kinesis_dstream_spark.sources import sinks
+
+    class FakeFirehose:
+        def __init__(self, fail_once_idx):
+            self.fail_once_idx = fail_once_idx
+            self.calls = []
+
+        def put_record_batch(self, DeliveryStreamName, Records):
+            self.calls.append([r["Data"] for r in Records])
+            results, failed = [], 0
+            for r in Records:
+                seen = sum(1 for c in self.calls for d in c if d == r["Data"])
+                if r["Data"] in self.fail_once_idx and seen <= 1:
+                    results.append({"ErrorCode": "ServiceUnavailableException"})
+                    failed += 1
+                else:
+                    results.append({"RecordId": "x"})
+            return {"FailedPutCount": failed, "RequestResponses": results}
+
+    recs = [{"Data": f"row{i}\n".encode()} for i in range(4)]
+    client = FakeFirehose(fail_once_idx={b"row2\n"})
+    sinks._put_record_batch_with_retry(client, "d", recs, max_attempts=4, backoff_s=0.001)
+    assert client.calls[0] == [b"row0\n", b"row1\n", b"row2\n", b"row3\n"]
+    assert client.calls[1] == [b"row2\n"]
+
+    class AlwaysFailing:
+        def put_record_batch(self, DeliveryStreamName, Records):
+            return {
+                "FailedPutCount": len(Records),
+                "RequestResponses": [{"ErrorCode": "Throttled"} for _ in Records],
+            }
+
+    with pytest.raises(RuntimeError, match="Firehose put_record_batch"):
+        sinks._put_record_batch_with_retry(
+            AlwaysFailing(), "d", recs, max_attempts=2, backoff_s=0.001
+        )
+
+
+def test_firehose_sink_import_gate():
+    """Without boto3 the Firehose sink must fail at construction with a
+    clear message, not inside executors."""
+    import importlib.util
+
+    import pytest
+
+    from kinesis_dstream_spark.sources.sinks import FirehosePutRecordBatchSink
+
+    if importlib.util.find_spec("boto3") is None:
+        with pytest.raises(ImportError, match="boto3"):
+            FirehosePutRecordBatchSink("delivery")
+    else:
+        FirehosePutRecordBatchSink("delivery")
