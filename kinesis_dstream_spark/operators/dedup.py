@@ -420,6 +420,7 @@ def dedup_embedding_cosine(
     n_cells: int = 16,
     seed: int = 42,
     use_pandas: bool = False,
+    train_fraction: float = 1.0,
 ) -> DataFrame:
     """Embedding near-dup: ALL pairs with cosine ≥ threshold — exact,
     with no cartesian product anywhere in the plan.
@@ -446,13 +447,19 @@ def dedup_embedding_cosine(
     that regime use ``dedup_embedding_cosine_lsh``.
 
     ``use_pandas`` switches verification to the Arrow/numpy dot.
+    ``train_fraction`` bounds the codebook fit (see ``codebook.py``):
+    clustering quality shifts only how much gets pruned, never the
+    result, so the fit runs on ``sample(train_fraction).limit(cap)``
+    instead of the full corpus — at 100 TB that turns 5 Lloyd's passes
+    over everything into 5 passes over ≤1e5 cached rows; assignment of
+    the full corpus stays a single ``model.transform`` pass.
     """
     import math
 
-    from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     from kinesis_dstream_spark.functions import vectors as V
+    from kinesis_dstream_spark.operators.codebook import fit_sampled_kmeans
 
     spark = embeddings.sparkSession
     assigned = (
@@ -462,8 +469,8 @@ def dedup_embedding_cosine(
         )
         .withColumn("features", array_to_vector(F.col("unit")))
     )
-    model = KMeans(k=n_cells, seed=seed, maxIter=5, featuresCol="features").fit(
-        assigned
+    model = fit_sampled_kmeans(
+        assigned, k=n_cells, seed=seed, max_iter=5, train_fraction=train_fraction
     )
     # cached: feeds the radius aggregate and BOTH sides of the pair join
     assigned = (
@@ -570,7 +577,7 @@ def dedup_embedding_cosine_lsh(
     threshold: float = 0.4,
     n_planes: int = 4,
     n_tables: int = 16,
-    dim: int = 64,
+    dim: int | None = None,
     seed: int = 42,
 ) -> DataFrame:
     """Sign-LSH near-dup pairs — the sub-quadratic sketch path (E-10).
@@ -596,15 +603,29 @@ def dedup_embedding_cosine_lsh(
 
     from kinesis_dstream_spark.functions import vectors as V
 
-    rng = np.random.RandomState(seed)
-    planes = rng.randn(n_tables * n_planes, dim)  # closed over by the UDF
     pows = 1 << np.arange(n_planes)
     offs = np.arange(n_tables, dtype="int64") << n_planes
+    # Hyperplanes are derived lazily from the OBSERVED embedding width
+    # (seeded, so every executor derives identical planes) rather than a
+    # hardcoded dim — a fixture with a different width must bucket
+    # correctly, not die in a matmul shape error. An explicit ``dim``
+    # turns a mismatch into a clear assertion instead.
+    plane_cache: dict[int, np.ndarray] = {}
+
+    def _planes_for(d: int) -> np.ndarray:
+        if dim is not None and d != dim:
+            raise ValueError(
+                f"dedup_embedding_cosine_lsh: embeddings have dim {d}, "
+                f"but dim={dim} was requested"
+            )
+        if d not in plane_cache:
+            plane_cache[d] = np.random.RandomState(seed).randn(n_tables * n_planes, d)
+        return plane_cache[d]
 
     @F.pandas_udf(ArrayType(LongType()))
     def buckets_udf(emb: pd.Series) -> pd.Series:
         x = np.stack(emb.to_numpy())
-        bits = (x @ planes.T >= 0).reshape(len(x), n_tables, n_planes)
+        bits = (x @ _planes_for(x.shape[1]).T >= 0).reshape(len(x), n_tables, n_planes)
         codes = (bits @ pows).astype("int64") + offs  # table folded in
         return pd.Series(list(codes))
 

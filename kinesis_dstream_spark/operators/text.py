@@ -131,12 +131,19 @@ def tfidf_top_terms(documents: DataFrame, top_k: int = 3, max_doc_id: int = 100)
 
     Term frequencies are per-doc (map-side after one explode); document
     frequency is the one true shuffle (term key). idf = ln((N+1)/(df+1)).
-    Output restricted to doc_id < max_doc_id to keep result sets bounded;
-    the computation itself always runs over the full corpus (df is
-    corpus-wide — restricting early would change the semantics).
+    Output restricted to doc_id < max_doc_id to keep result sets bounded.
+    Only the df branch needs the full corpus (df is corpus-wide by
+    definition); the tf branch filters to the output docs BEFORE its
+    groupBy, so the tf shuffle carries max_doc_id docs' terms, not the
+    corpus's — at the default max_doc_id=100 that is ~99% less tf-side
+    shuffle while producing byte-identical results (oracle-pinned).
     """
     toks = documents.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    tf = (
+        toks.filter(F.col("doc_id") < max_doc_id)
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
     df_ = toks.select("doc_id", "term").distinct().groupBy("term").agg(
         F.count("*").alias("df")
     )
@@ -147,7 +154,6 @@ def tfidf_top_terms(documents: DataFrame, top_k: int = 3, max_doc_id: int = 100)
             "tfidf",
             F.round(F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 6),
         )
-        .filter(F.col("doc_id") < max_doc_id)
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
     return (

@@ -110,14 +110,18 @@ def exact_median_by_group_ranked(events: DataFrame) -> DataFrame:
     for any key cardinality and any group size; ties among equal values
     don't affect which VALUES the middle positions hold, so the result
     is deterministic and equals numpy/DuckDB interpolated median
-    (average of the two middle values on even counts).
+    (average of the two middle values on even counts). NULL values are
+    dropped before ranking (and excluded from n) so this path, the
+    applyInPandas twin (pandas skips NaN), and the SQL oracle's MEDIAN
+    agree on any fixture.
     """
     from pyspark.sql import Window
 
     by_group = Window.partitionBy("event_type")
     ordered = by_group.orderBy("value")
     mid = (
-        events.select(
+        events.filter(F.col("value").isNotNull())
+        .select(
             "event_type",
             "value",
             F.row_number().over(ordered).alias("rn"),

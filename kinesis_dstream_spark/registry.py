@@ -566,6 +566,32 @@ def _q_centroid_sim(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.centroid_similarity_by_label(load_table(spark, sf, "embeddings"))
 
 
+# DuckDB twin of the posexplode/groupBy centroid: parallel unnests zip
+# (pos, x) per row, avg per (label, pos), list(... ORDER BY pos) rebuilds
+# the centroid, list_cosine_similarity scores each vector against its own
+# label's centroid. 4-dp rounding on the final avg absorbs FP summation
+# order differences between the two engines.
+_SQL_CENTROID_SIM = """
+WITH dims AS (
+  SELECT label,
+         unnest(generate_series(1, len(embedding))) AS pos,
+         unnest(CAST(embedding AS DOUBLE[])) AS x
+  FROM embeddings
+),
+centroids AS (
+  SELECT label, list(mean_x ORDER BY pos) AS centroid FROM (
+    SELECT label, pos, avg(x) AS mean_x FROM dims GROUP BY label, pos
+  ) GROUP BY label
+)
+SELECT e.label AS label,
+       count(*) AS n_vecs,
+       round(avg(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        c.centroid)), 4) AS avg_cos_to_centroid
+FROM embeddings e JOIN centroids c USING (label)
+GROUP BY e.label
+"""
+
+
 # --------------------------------------------------------------------------
 # text analysis (E-12)
 # --------------------------------------------------------------------------
@@ -1849,7 +1875,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "ann_bruteforce_topk": (_q_ann_brute, _SQL_ANN_BRUTE),
     "ann_lsh_topk": (_q_ann_lsh, None),
     "ann_ivf_topk": (_q_ann_ivf, None),
-    "centroid_similarity_by_label": (_q_centroid_sim, None),
+    "centroid_similarity_by_label": (_q_centroid_sim, _SQL_CENTROID_SIM),
     # -- driver-checked prefix: text analysis (E-12) --
     "lang_id": (_q_lang_id, _SQL_LANG_ID),
     "text_quality_score": (_q_quality, _SQL_QUALITY),

@@ -34,23 +34,44 @@ def test_bruteforce_topk_matches_numpy(spark, sf_dir):
 
 
 def test_lsh_topk_recall_vs_bruteforce(spark, sf_dir):
-    """Sign-LSH recall on random-ish vectors is modest by design — assert
-    the true top-1 neighbor is found for a decent fraction of queries and
-    every returned pair is honestly scored (subset of brute-force
-    ordering)."""
+    """Multi-table OR-amplification makes recall tunable via n_tables:
+    at the defaults (6 planes x 32 tables) the true top-1 neighbor must
+    be recovered for >=80% of queries even on this near-isotropic
+    fixture, and every returned pair must be honestly scored (same dot
+    product as the brute-force path)."""
     emb = load_table(spark, sf_dir, "embeddings")
     brute = similarity.ann_bruteforce_topk(emb, n_queries=10, k=5).collect()
-    lsh = similarity.ann_lsh_topk(emb, n_queries=10, k=5, n_planes=4).collect()
+    lsh = similarity.ann_lsh_topk(emb, n_queries=10, k=5).collect()
     brute_scores = {(r.q_id, r.c_id): r.cos_sim for r in brute}
-    lsh_by_q: dict[int, list] = {}
+    top1 = {r.q_id: r.c_id for r in brute if r.rk == 1}
+    lsh_by_q: dict[int, set] = {}
     for r in lsh:
-        lsh_by_q.setdefault(r.q_id, []).append(r)
+        lsh_by_q.setdefault(r.q_id, set()).add(r.c_id)
     # scores must agree where pairs overlap (same dot product both paths)
     for r in lsh:
         if (r.q_id, r.c_id) in brute_scores:
             assert math.isclose(r.cos_sim, brute_scores[(r.q_id, r.c_id)], abs_tol=1e-9)
-    # every query bucket returns something at 16 buckets / 500 vectors
+    # every query returns a full result set
     assert len(lsh_by_q) == 10
+    # recall floor: the exact top-1 neighbor appears in the LSH top-k
+    hits = sum(1 for q, c in top1.items() if c in lsh_by_q.get(q, set()))
+    assert hits >= 8, f"top-1 recall {hits}/10 below 0.8 floor"
+
+
+def test_lsh_topk_more_tables_more_recall(spark, sf_dir):
+    """The amplification knob works: 8 tables must recover at least as
+    many brute-force top-k pairs as 1 table at the same n_planes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    brute = similarity.ann_bruteforce_topk(emb, n_queries=10, k=5).collect()
+    bset = {(r.q_id, r.c_id) for r in brute}
+
+    def overlap(n_tables: int) -> int:
+        rows = similarity.ann_lsh_topk(
+            emb, n_queries=10, k=5, n_planes=6, n_tables=n_tables
+        ).collect()
+        return len(bset & {(r.q_id, r.c_id) for r in rows})
+
+    assert overlap(8) >= overlap(1)
 
 
 def test_centroid_similarity_sane(spark, sf_dir):
