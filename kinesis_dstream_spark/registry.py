@@ -1838,6 +1838,14 @@ GROUP BY o_orderpriority
 # the full TPC-H suite, the LLM-pipeline dedup/ANN/text families, and the
 # reference-semantics core — sit in the checked prefix; showcases and the
 # bounded-streaming variants (each pytest-covered) follow.
+#
+# Evaluation-scope tradeoff, stated explicitly: entries past slot 50 are
+# OUTSIDE the driver's oracle window. They are NOT unchecked — every
+# oracle-paired query in this dict (window or not) runs the identical
+# hash comparison in tests/test_oracle_parity.py on each pytest run, and
+# tools/check_parity.py sweeps the whole registry at any sf on demand —
+# but their per-round record in CORRECTNESS_r{N}.json is absent, so the
+# tail's guarantee is CI-level, not driver-level.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- driver-checked prefix: TPC-H (all 22 shapes, fixture-adapted) --
     "q1_pricing_summary": (_q1, _SQL_Q1),
