@@ -449,39 +449,29 @@ def dedup_embedding_cosine(
     ``use_pandas`` switches verification to the Arrow/numpy dot.
     ``train_fraction`` bounds the codebook fit (see ``codebook.py``):
     clustering quality shifts only how much gets pruned, never the
-    result, so the fit runs on ``sample(train_fraction).limit(cap)``
-    instead of the full corpus — at 100 TB that turns 5 Lloyd's passes
-    over everything into 5 passes over ≤1e5 cached rows; assignment of
-    the full corpus stays a single ``model.transform`` pass.
+    result, so the fit runs on a driver-collected
+    ``sample(train_fraction).limit(cap)`` (numpy Lloyd's, no per-
+    iteration Spark jobs); assignment of the full corpus is a single
+    Arrow pass with the codebook in the UDF closure.
     """
     import math
 
-    from pyspark.ml.functions import array_to_vector
-
     from kinesis_dstream_spark.functions import vectors as V
-    from kinesis_dstream_spark.operators.codebook import fit_sampled_kmeans
+    from kinesis_dstream_spark.operators.codebook import assign_cells, fit_sampled_kmeans
 
     spark = embeddings.sparkSession
-    assigned = (
-        embeddings.select(
-            "vec_id",
-            V.l2_normalize(F.col("embedding").cast("array<double>")).alias("unit"),
-        )
-        .withColumn("features", array_to_vector(F.col("unit")))
+    normed = embeddings.select(
+        "vec_id",
+        V.l2_normalize(F.col("embedding").cast("array<double>")).alias("unit"),
     )
-    model = fit_sampled_kmeans(
-        assigned, k=n_cells, seed=seed, max_iter=5, train_fraction=train_fraction
+    centroids = fit_sampled_kmeans(
+        normed, k=n_cells, seed=seed, max_iter=5, train_fraction=train_fraction
     )
     # cached: feeds the radius aggregate and BOTH sides of the pair join
-    assigned = (
-        model.transform(assigned)
-        .select("vec_id", "unit", F.col("prediction").alias("cell"))
-        .cache()
-    )
+    assigned = assign_cells(normed, centroids).cache()
 
     chat = []
-    for c in model.clusterCenters():
-        arr = np.asarray(c, dtype=float)
+    for arr in centroids:
         nrm = float(np.linalg.norm(arr))
         chat.append(arr / nrm if nrm > 0 else arr)
     cent_df = spark.createDataFrame(

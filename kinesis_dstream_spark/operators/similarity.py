@@ -242,31 +242,28 @@ def ann_ivf_topk(
     adapts to the data distribution.
 
     Training cost is bounded structurally (``codebook.fit_sampled_kmeans``):
-    the Lloyd's iterations run over ``sample(train_fraction).limit(cap)``
-    — ≤1e5 cached rows no matter the corpus size — because codebook
-    quality moves only recall (pytest-bounded), never scoring. Assignment
-    of the full corpus is the single ``model.transform`` pass. Probing
-    stays in DataFrame land. Probabilistic -> pytest recall bounds, no
-    SQL oracle.
+    the Lloyd's iterations run as numpy matmuls over a driver-collected
+    ``sample(train_fraction).limit(cap)`` — ≤1e5 rows no matter the
+    corpus size, no per-iteration Spark jobs — because codebook quality
+    moves only recall (pytest-bounded), never scoring. Assignment of the
+    full corpus is a single Arrow pass with the codebook in the UDF
+    closure; probing stays in DataFrame land. Probabilistic -> pytest
+    recall bounds, no SQL oracle.
     """
-    from pyspark.ml.functions import array_to_vector
+    from kinesis_dstream_spark.operators.codebook import assign_cells, fit_sampled_kmeans
 
-    from kinesis_dstream_spark.operators.codebook import fit_sampled_kmeans
-
-    normed = _normalized(embeddings).withColumn(
-        "features", array_to_vector(F.col("unit"))
-    )
-    model = fit_sampled_kmeans(
+    normed = _normalized(embeddings).select("vec_id", "unit")
+    cents = fit_sampled_kmeans(
         normed, k=n_cells, seed=seed, max_iter=5, train_fraction=train_fraction
     )
-    assigned = model.transform(normed).select(
-        "vec_id", "unit", F.col("prediction").alias("cell")
-    )
+    assigned = assign_cells(normed, cents)
 
-    # centroid table is tiny: ship to the driver once, broadcast as rows
-    centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    # centroid table is tiny: broadcast as rows for the probe ranking
     spark = embeddings.sparkSession
-    cent_df = spark.createDataFrame(centroids, "cell int, centroid array<double>")
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cell int, centroid array<double>",
+    )
 
     queries = assigned.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), F.col("unit").alias("q_unit")
