@@ -132,11 +132,17 @@ def tfidf_top_terms(documents: DataFrame, top_k: int = 3, max_doc_id: int = 100)
     Term frequencies are per-doc (map-side after one explode); document
     frequency is the one true shuffle (term key). idf = ln((N+1)/(df+1)).
     Output restricted to doc_id < max_doc_id to keep result sets bounded.
+
     Only the df branch needs the full corpus (df is corpus-wide by
     definition); the tf branch filters to the output docs BEFORE its
     groupBy, so the tf shuffle carries max_doc_id docs' terms, not the
     corpus's — at the default max_doc_id=100 that is ~99% less tf-side
     shuffle while producing byte-identical results (oracle-pinned).
+    (A derive-df-from-tf single-shuffle variant was measured and lost:
+    Catalyst pushes the group-key filter below the tf aggregate, so the
+    branches diverge and ReuseExchange never fires — the corpus-wide
+    agg then runs for BOTH branches unless cached, and caching the full
+    vocabulary is exactly what a 100 TB run must not do.)
     """
     toks = documents.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
     tf = (

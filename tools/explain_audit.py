@@ -34,7 +34,11 @@ AUDIT_DEFAULT = [
     "sessionize_events",
     "dedup_content_hash",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
     "ann_bruteforce_topk",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
     "tfidf_top_terms",
     "poll_window_filter",
     "ir_contacts_poll",
