@@ -57,6 +57,13 @@ def fit_sampled_kmeans(
         train = train.sample(withReplacement=False, fraction=train_fraction, seed=seed)
     pdf = train.limit(train_cap).toPandas()
     x = np.stack(pdf[features_col].to_numpy()).astype(np.float64)
+    return _lloyds(x, k, seed, max_iter)
+
+
+def _lloyds(x: np.ndarray, k: int, seed: int, max_iter: int = 5) -> np.ndarray:
+    """Seeded kmeans++ init + vectorized Lloyd's over an in-memory (n,
+    dim) sample; shared by the cell codebooks and the per-sub-space PQ
+    codebooks. An emptied cluster keeps its previous position."""
     n = len(x)
     k = min(k, n)
     rng = np.random.RandomState(seed)

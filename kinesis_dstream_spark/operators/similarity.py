@@ -1,17 +1,23 @@
 """Similarity search over embeddings (SURVEY §2B E-11).
 
-Two paths, same top-k semantics:
+Four paths, same top-k output schema:
 
 - ``ann_bruteforce_topk``: exact — broadcast the (small) query set against
   the full corpus, score every pair, per-query top-k via window. The
   corpus is never shuffled: queries are broadcast, scoring is map-side,
   and only k rows per query survive into the final exchange. This is the
   correct *exact* plan even at 100 TB when |queries| is small.
-- ``ann_lsh_topk``: approximate — random-hyperplane (sign) LSH buckets
-  both sides; scoring happens only within matching buckets. Sub-linear
-  candidate generation for large query sets; recall is tested against the
-  brute-force oracle in pytest (design informed by the distributed
-  similarity-join/top-k literature, PAPERS.md).
+- ``ann_lsh_topk``: approximate — multi-table random-hyperplane (sign)
+  LSH buckets both sides; scoring happens only within matching buckets.
+  Sub-linear candidate generation for large query sets; recall is tested
+  against the brute-force oracle in pytest (design informed by the
+  distributed similarity-join/top-k literature, PAPERS.md).
+- ``ann_ivf_topk``: approximate — k-means coarse quantizer, score only
+  the n_probe nearest cells per query.
+- ``ann_pq_topk``: approximate — product-quantized corpus (m sub-space
+  codebooks, one byte-ish code per sub-space) scored by asymmetric
+  distance (query-side lookup tables). The compression path: the scan
+  reads m small ints per vector instead of dim floats.
 """
 
 from __future__ import annotations
@@ -295,6 +301,156 @@ def ann_ivf_topk(
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id").asc())
     return (
         scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "c_id", "cos_sim", "rk")
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    m: int = 8,
+    nbits: int = 4,
+    seed: int = 42,
+    train_fraction: float = 1.0,
+) -> tuple[DataFrame, np.ndarray]:
+    """Product-quantize the corpus: (codes DataFrame, codebooks array).
+
+    Splits each unit vector into ``m`` contiguous sub-vectors and trains
+    an independent k-means codebook (k = 2^nbits) per sub-space on a
+    bounded driver-side sample (``codebook.fit_sampled_kmeans`` shape:
+    sample → local numpy Lloyd's → closure-broadcast codebooks). Encoding
+    is ONE Arrow pass producing an ``array<int>`` of length m — at
+    dim=64, m=8 that stores 8 small ints instead of 64 doubles per
+    vector (~64x less I/O for every scan that follows, the property that
+    makes PQ the 100 TB vector-store layout; Jégou et al., TPAMI 2011).
+
+    Returns the codes DataFrame (vec_id, codes) and the (m, 2^nbits,
+    dim/m) codebook tensor for query-side lookup-table construction.
+    """
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    from kinesis_dstream_spark.operators.codebook import DEFAULT_TRAIN_CAP
+
+    normed = _normalized(embeddings).select("vec_id", "unit")
+    train = normed.select("unit")
+    if train_fraction < 1.0:
+        train = train.sample(withReplacement=False, fraction=train_fraction, seed=seed)
+    sample = np.stack(train.limit(DEFAULT_TRAIN_CAP).toPandas()["unit"].to_numpy())
+    dim = sample.shape[1]
+    if dim % m:
+        raise ValueError(f"pq_encode: dim {dim} not divisible by m={m}")
+    sub = dim // m
+    k = 1 << nbits
+
+    # per-sub-space Lloyd's on the sample — local numpy, no Spark jobs
+    from kinesis_dstream_spark.operators.codebook import _lloyds
+
+    books = np.stack(
+        [_lloyds(sample[:, j * sub : (j + 1) * sub], k, seed + j) for j in range(m)]
+    )
+
+    half = 0.5 * (books * books).sum(axis=2)  # (m, k)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def encode_udf(vecs: pd.Series) -> pd.Series:
+        x = np.stack(vecs.to_numpy())  # (batch, dim)
+        parts = x.reshape(len(x), m, sub)  # (batch, m, sub)
+        # argmin ||part − c||² per sub-space: one einsum per batch
+        scores = np.einsum("bms,mks->bmk", parts, books) - half  # (batch, m, k)
+        return pd.Series(list(scores.argmax(axis=2).astype("int32")))
+
+    return normed.select("vec_id", encode_udf(F.col("unit")).alias("codes")), books
+
+
+def ann_pq_topk(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    m: int = 16,
+    nbits: int = 4,
+    oversample: int = 16,
+    seed: int = 42,
+    train_fraction: float = 1.0,
+) -> DataFrame:
+    """PQ-compressed ANN top-k: asymmetric distance shortlist + exact
+    re-rank (the faiss IVF-PQ serving shape, minus the coarse stage).
+
+    Queries stay uncompressed; for each query a (m, 2^nbits) lookup
+    table of sub-space partial dots is precomputed on the driver and
+    shipped in the scoring UDF's closure (kilobytes). A corpus vector's
+    approximate cosine is then m table lookups summed — no float vector
+    is read for the corpus side in the scan phase, so the scan cost at
+    100 TB is the codes column only (~64x narrower). The top
+    ``k*oversample`` ADC candidates per query are then re-scored with
+    the EXACT dot product (float vectors fetched for only those rows via
+    an id equi-join) and the final top-k ranks on true cosine — returned
+    scores are always honest; only recall is approximate
+    (pytest-bounded vs brute force, no SQL oracle).
+    """
+    from pyspark.sql.types import DoubleType
+
+    codes_df, books = pq_encode(
+        embeddings, m=m, nbits=nbits, seed=seed, train_fraction=train_fraction
+    )
+    normed = _normalized(embeddings).select("vec_id", "unit")
+    q_rows = (
+        normed.filter(F.col("vec_id") < n_queries).toPandas().sort_values("vec_id")
+    )
+    sub = books.shape[2]
+    # (n_q, m, k) tables: LUT[q][j][c] = q_sub_j · codebook[j][c]
+    q_mat = np.stack(q_rows["unit"].to_numpy())
+    luts = np.einsum("qms,mks->qmk", q_mat.reshape(len(q_rows), m, sub), books)
+    q_ids = q_rows["vec_id"].to_numpy()
+    lut_by_qid = {int(qid): luts[i] for i, qid in enumerate(q_ids)}
+
+    @F.pandas_udf(DoubleType())
+    def adc_udf(qid: pd.Series, codes: pd.Series) -> pd.Series:
+        c = np.stack(codes.to_numpy())  # (batch, m)
+        out = np.empty(len(c))
+        cols = np.arange(m)
+        for q, lut in lut_by_qid.items():
+            mask = (qid == q).to_numpy()
+            if mask.any():
+                out[mask] = lut[cols, c[mask]].sum(axis=1)
+        return pd.Series(out)
+
+    spark = embeddings.sparkSession
+    q_df = spark.createDataFrame([(int(q),) for q in q_ids], "q_id int")
+    adc = (
+        codes_df.join(F.broadcast(q_df), F.col("q_id") != F.col("vec_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("c_id"),
+            adc_udf(F.col("q_id"), F.col("codes")).alias("approx_cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("approx_cos").desc(), F.col("c_id").asc())
+    shortlist = (
+        adc.withColumn("adc_rk", F.row_number().over(w))
+        .filter(F.col("adc_rk") <= k * oversample)
+        .select("q_id", "c_id")
+    )
+    # exact re-rank: float vectors are fetched ONLY for the shortlist
+    # (|queries|·k·oversample rows), never for the corpus at large
+    q_units = spark.createDataFrame(
+        [(int(qid), [float(v) for v in vec]) for qid, vec in zip(q_ids, q_mat)],
+        "q_id int, q_unit array<double>",
+    )
+    rescored = (
+        shortlist.join(
+            normed.select(F.col("vec_id").alias("c_id"), F.col("unit").alias("c_unit")),
+            "c_id",
+        )
+        .join(F.broadcast(q_units), "q_id")
+        .select(
+            "q_id",
+            "c_id",
+            F.round(V.dot(F.col("q_unit"), F.col("c_unit")), 4).alias("cos_sim"),
+        )
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id").asc())
+    return (
+        rescored.withColumn("rk", F.row_number().over(w2))
         .filter(F.col("rk") <= k)
         .select("q_id", "c_id", "cos_sim", "rk")
     )

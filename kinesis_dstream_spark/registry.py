@@ -566,6 +566,10 @@ def _q_centroid_sim(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.centroid_similarity_by_label(load_table(spark, sf, "embeddings"))
 
 
+def _q_ann_pq(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.ann_pq_topk(load_table(spark, sf, "embeddings"))
+
+
 # DuckDB twin of the posexplode/groupBy centroid: parallel unnests zip
 # (pos, x) per row, avg per (label, pos), list(... ORDER BY pos) rebuilds
 # the centroid, list_cosine_similarity scores each vector against its own
@@ -1941,6 +1945,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # sketch-path twin of dedup_embedding_cosine (probabilistic recall →
     # rows-only; pytest bounds recall vs the exact operator)
     "dedup_embedding_cosine_lsh": (_q_dedup_cosine_lsh, None),
+    # PQ-compressed ANN (ADC shortlist + exact re-rank; recall pytest-bounded)
+    "ann_pq_topk": (_q_ann_pq, None),
     # scalar-function / UDF showcases (E-2, E-8, E-14)
     "scalar_functions_showcase": (_q_scalar_fns, _SQL_SCALAR_FNS),
     "date_functions_showcase": (_q_date_fns, _SQL_DATE_FNS),

@@ -74,6 +74,38 @@ def test_lsh_topk_more_tables_more_recall(spark, sf_dir):
     assert overlap(8) >= overlap(1)
 
 
+def test_pq_topk_recall_and_honest_scores(spark, sf_dir):
+    """PQ ADC shortlist + exact re-rank: recall floor 0.8 on top-1, and
+    every returned score must equal the brute-force dot exactly (the
+    re-rank guarantees honest cosines even when recall is approximate)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    brute = similarity.ann_bruteforce_topk(emb, n_queries=10, k=5).collect()
+    bscores = {(r.q_id, r.c_id): r.cos_sim for r in brute}
+    top1 = {r.q_id: r.c_id for r in brute if r.rk == 1}
+    pq = similarity.ann_pq_topk(emb, n_queries=10, k=5).collect()
+    got: dict[int, set] = {}
+    for r in pq:
+        got.setdefault(r.q_id, set()).add(r.c_id)
+        if (r.q_id, r.c_id) in bscores:
+            assert math.isclose(r.cos_sim, bscores[(r.q_id, r.c_id)], abs_tol=1e-9)
+    assert len(got) == 10
+    hits = sum(1 for q, c in top1.items() if c in got.get(q, set()))
+    assert hits >= 8, f"PQ top-1 recall {hits}/10 below 0.8 floor"
+
+
+def test_pq_encode_shapes(spark, sf_dir):
+    """Codes are length-m int arrays in [0, 2^nbits); codebooks are
+    (m, 2^nbits, dim/m)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes_df, books = similarity.pq_encode(emb, m=8, nbits=4)
+    assert books.shape[0] == 8 and books.shape[1] == 16
+    rows = codes_df.collect()
+    assert len(rows) == emb.count()
+    for r in rows[:20]:
+        assert len(r.codes) == 8
+        assert all(0 <= c < 16 for c in r.codes)
+
+
 def test_centroid_similarity_sane(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     rows = similarity.centroid_similarity_by_label(emb).collect()
