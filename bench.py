@@ -44,7 +44,9 @@ BENCH_QUERIES = {
     "ann_bruteforce": "ann_bruteforce_topk",
     "ann_lsh": "ann_lsh_topk",
     "ann_ivf": "ann_ivf_topk",
+    "ann_pq": "ann_pq_topk",
     "tfidf": "tfidf_top_terms",
+    "curation": "corpus_curation",
     "streaming_drain": "streaming_tumbling_counts",
 }
 

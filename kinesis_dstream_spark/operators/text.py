@@ -169,6 +169,76 @@ def tfidf_top_terms(documents: DataFrame, top_k: int = 3, max_doc_id: int = 100)
     )
 
 
+def corpus_curation(
+    documents: DataFrame,
+    min_quality: float = 0.3,
+    min_tokens: int = 5,
+    val_pct: int = 10,
+    test_pct: int = 10,
+) -> DataFrame:
+    """End-to-end curation pipeline: quality gate → exact dedup →
+    deterministic split → per-(split, lang) token budget.
+
+    The composition a pretraining data pipeline runs nightly, as ONE
+    declarative plan so Catalyst sees every stage at once: (1) per-doc
+    quality scoring (map-side, same formula as ``quality_score``), (2)
+    drop docs under the quality/length floors BEFORE any shuffle — at
+    100 TB the gate typically removes most of the corpus, so it must
+    precede the dedup exchange, (3) exact dedup keeping the lowest
+    doc_id per content hash (one shuffle keyed on sha2(text) — 32-byte
+    keys, never full text), (4) content-stable split assignment
+    (md5-bucket, the ``deterministic_split`` recipe), (5) per-(split,
+    lang) doc counts and ws/BPE-ish token budgets with order-independent
+    fixed-point sums.
+    """
+    from kinesis_dstream_spark.functions.exact import exact_avg
+
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    en_stop = F.array(*[F.lit(m) for m in LANG_MARKERS["en"]])
+    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(en_stop, t)))
+    quality = (
+        F.least(n_tok / F.lit(200.0), F.lit(1.0)) * 0.4
+        + (n_uniq / n_tok) * 0.4
+        + F.least((stop_hits / n_tok) * 5, F.lit(1.0)) * 0.2
+    )
+    n_bpe = F.greatest(F.ceil(F.length("text") / 4.0), n_tok.cast("long"))
+    scored = documents.select(
+        "doc_id",
+        "lang",
+        "text",
+        n_tok.alias("n_ws"),
+        n_bpe.alias("n_bpe"),
+        quality.alias("quality"),
+    )
+    kept = scored.filter(
+        (F.col("quality") >= min_quality) & (F.col("n_ws") >= min_tokens)
+    )
+    dedup_w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
+    uniq = kept.withColumn("rn", F.row_number().over(dedup_w)).filter(F.col("rn") == 1)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < test_pct, F.lit("test"))
+        .when(bucket < test_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return (
+        uniq.select(split.alias("split"), "lang", "n_ws", "n_bpe", "quality")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_ws").alias("total_ws_tokens"),
+            F.sum("n_bpe").alias("total_bpe_tokens"),
+            exact_avg(F.col("quality"), scale=10_000, dp=4).alias("avg_quality"),
+        )
+    )
+
+
 # RE2-portable subword pattern (no lookarounds): a leading-space word, a
 # leading-space number run, a leading-space punctuation run, or bare
 # whitespace — the GPT-2 tokenizer's pre-tokenization shape minus its

@@ -1327,6 +1327,53 @@ SELECT c_count, count(*) AS custdist FROM per_cust GROUP BY c_count
 """
 
 
+def _q_corpus_curation(spark: SparkSession, sf: str) -> DataFrame:
+    return text.corpus_curation(load_table(spark, sf, "documents"))
+
+
+# quality formula and split recipe are the _SQL_QUALITY / _SQL_DET_SPLIT
+# twins verbatim; dedup keeps the lowest doc_id per text; avg_quality is
+# the fixed-point order-independent mean.
+_SQL_CORPUS_CURATION = f"""
+WITH t AS (
+  SELECT doc_id, lang, text, length(text) AS n_char,
+         {_DUCK_TOKS.format(col='text')} AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id, lang, text,
+         CAST(len(toks) AS INT) AS n_ws,
+         greatest(CAST(ceil(length(text) / 4.0) AS BIGINT),
+                  CAST(len(toks) AS BIGINT)) AS n_bpe,
+         least(len(toks) / 200.0, 1.0) * 0.4
+           + (len(list_distinct(toks)) / len(toks)) * 0.4
+           + least((len(list_filter(toks,
+                        t -> t IN ('the','a','of','and','is','to','in')))
+                    / len(toks)) * 5, 1.0) * 0.2 AS quality
+  FROM t
+), kept AS (
+  SELECT * FROM m WHERE quality >= 0.3 AND n_ws >= 5
+), uniq AS (
+  SELECT * FROM kept
+  QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+), sp AS (
+  SELECT CASE WHEN bucket < 10 THEN 'test'
+              WHEN bucket < 20 THEN 'val'
+              ELSE 'train' END AS split,
+         lang, n_ws, n_bpe, quality
+  FROM (
+    SELECT *, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              % 100 AS bucket
+    FROM uniq
+  )
+)
+SELECT split, lang, count(*) AS n_docs,
+       CAST(sum(n_ws) AS BIGINT) AS total_ws_tokens,
+       CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens,
+       {avg_sql('quality', 10000, 4)} AS avg_quality
+FROM sp GROUP BY split, lang
+"""
+
+
 def _q_det_split(spark: SparkSession, sf: str) -> DataFrame:
     return text.deterministic_split(load_table(spark, sf, "documents"))
 
@@ -1947,6 +1994,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "dedup_embedding_cosine_lsh": (_q_dedup_cosine_lsh, None),
     # PQ-compressed ANN (ADC shortlist + exact re-rank; recall pytest-bounded)
     "ann_pq_topk": (_q_ann_pq, None),
+    # end-to-end curation composite (quality gate -> dedup -> split -> budget)
+    "corpus_curation": (_q_corpus_curation, _SQL_CORPUS_CURATION),
     # scalar-function / UDF showcases (E-2, E-8, E-14)
     "scalar_functions_showcase": (_q_scalar_fns, _SQL_SCALAR_FNS),
     "date_functions_showcase": (_q_date_fns, _SQL_DATE_FNS),

@@ -64,3 +64,22 @@ def test_tfidf_common_words_score_low(spark):
     rows = text.tfidf_top_terms(df, top_k=1, max_doc_id=10).collect()
     # top term per doc is never the ubiquitous 'common'
     assert all(r.term != "common" for r in rows)
+
+
+def test_corpus_curation_semantics(spark):
+    """Gate drops short/low-quality docs, dedup keeps one copy (lowest
+    doc_id), and budgets count only surviving docs."""
+    df = _docs(
+        spark,
+        [
+            "the quick brown fox jumps over the lazy dog every day",  # keeper
+            "the quick brown fox jumps over the lazy dog every day",  # dupe
+            "tiny",  # under min_tokens
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa",  # keeper
+        ],
+    )
+    rows = text.corpus_curation(df, min_quality=0.0, min_tokens=5).collect()
+    assert sum(r.n_docs for r in rows) == 2  # dupe + short doc removed
+    assert all(r.split in ("train", "val", "test") for r in rows)
+    assert all(r.total_bpe_tokens >= r.total_ws_tokens for r in rows)
+    assert all(0.0 <= r.avg_quality <= 1.0 for r in rows)
