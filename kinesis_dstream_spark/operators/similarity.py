@@ -436,11 +436,11 @@ def ann_pq_topk(
         [(int(qid), [float(v) for v in vec]) for qid, vec in zip(q_ids, q_mat)],
         "q_id int, q_unit array<double>",
     )
+    # shortlist is |queries|*k*oversample rows — broadcast it so the
+    # corpus-side unit fetch is a map-side semi-join, never an id shuffle
     rescored = (
-        shortlist.join(
-            normed.select(F.col("vec_id").alias("c_id"), F.col("unit").alias("c_unit")),
-            "c_id",
-        )
+        normed.select(F.col("vec_id").alias("c_id"), F.col("unit").alias("c_unit"))
+        .join(F.broadcast(shortlist), "c_id")
         .join(F.broadcast(q_units), "q_id")
         .select(
             "q_id",
