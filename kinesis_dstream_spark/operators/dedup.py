@@ -201,39 +201,58 @@ def dedup_ngram_jaccard(
     """n-gram-shingle Jaccard pairs ≥ threshold via capped inverted index.
 
     shingle-explode → df-cap hot shingles (see ``capped_shingles``) →
-    self-join on shingle (the inverted index) → per-pair intersection
-    count → |A∪B| = |A|+|B|−|A∩B| over the *retained* shingle sets. The
-    only big shuffle is keyed by shingle, and the cap bounds every key's
-    pair count by max_df², so no stop-phrase can create a quadratic
-    partition. Semantics are deterministic (exact Jaccard over the
-    df-capped shingle vocabulary) — the DuckDB oracle applies the same
-    cap; on this fixture no shingle reaches the default cap, so values
-    equal the uncapped definition.
+    self-join on shingle (the inverted index, with a length-ratio
+    prefilter in the join condition) → per-pair intersection count →
+    |A∪B| = |A|+|B|−|A∩B| over the *retained* shingle sets. The only big
+    shuffle is keyed by shingle, and the cap bounds every key's pair
+    count by max_df², so no stop-phrase can create a quadratic partition.
+
+    Two exactness-preserving prunes (the PPJoin length-filter family):
+    each index row carries its document's retained-set size, so (1) the
+    join condition drops pairs with min(|A|,|B|) < t·max(|A|,|B|) —
+    J ≤ min/max, so no qualifying pair is ever lost — before any
+    intersection row is emitted, and (2) the sizes ride the group-by
+    keys (functionally dependent on the pair), eliminating the two
+    end-stage size joins the previous shape paid. Semantics stay
+    deterministic (exact Jaccard over the df-capped shingle vocabulary)
+    — the DuckDB oracle applies the same cap; on this fixture no shingle
+    reaches the default cap, so values equal the uncapped definition.
     """
-    # cached (narrow long pairs): feeds the sizes agg and BOTH self-join
-    # sides, which would otherwise re-run the anti-join three times
-    kept = capped_shingles(documents, k, max_df).cache()
-    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    from pyspark.sql import Window
+
+    # cached (narrow long pairs + one int): feeds BOTH self-join sides,
+    # which would otherwise re-run the anti-join and size window twice
+    kept = (
+        capped_shingles(documents, k, max_df)
+        .withColumn("n_sh", F.count("*").over(Window.partitionBy("doc_id")))
+        .cache()
+    )
     a = kept.alias("a")
     b = kept.alias("b")
+    eps = 1e-9  # float slack: a pair at exactly J = t must survive
     inter = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.least(F.col("a.n_sh"), F.col("b.n_sh"))
+                >= threshold * F.greatest(F.col("a.n_sh"), F.col("b.n_sh")) - eps
+            ),
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
         .agg(F.count("*").alias("n_inter"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     jac = F.round(
         F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
     )
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("jaccard", jac)
+        inter.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
