@@ -142,7 +142,10 @@ def sessionize_events(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """
     by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_us = gap_minutes * 60 * 1_000_000  # integer µs: exact & engine-portable
-    us = F.unix_micros(F.col("ts"))
+    # events.ts is TIMESTAMP_NTZ in the parquet; unix_micros requires
+    # TIMESTAMP. Session tz is pinned to UTC (session.py:53), so the cast
+    # is a fixed-offset reinterpretation and all µs *differences* are exact.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
     with_flag = events.withColumn(
         "new_session",
         F.when(F.col("ts").isNotNull() & (us - F.lag(us).over(by_user) > F.lit(gap_us)), 1)

@@ -53,8 +53,15 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set(NANOS_AS_LONG_CONF, "true")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = spark.readStream.schema(raw_schema).parquet(_events_stream_dir(sf_dir))
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # Watermarks require TimestampType; the fixture parquet reads as
+        # TIMESTAMP_NTZ under Spark 4's NTZ inference. Session tz is pinned
+        # UTC (session.py:53) so this cast is a pure reinterpretation —
+        # wall-clock values (window bounds, date_format) are unchanged.
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
