@@ -1,0 +1,231 @@
+"""Training-corpus curation operators (SURVEY §2B E-10/E-12 extensions).
+
+The quality/safety stages a pretraining data pipeline runs between raw
+crawl and tokenizer: statistical-LM quality scoring, repetition
+filtering (Gopher-style), benchmark-contamination detection, and
+deterministic domain mixing. Complements ``operators/text.py`` (per-doc
+scans) and ``operators/dedup.py`` (near-dup): these are the
+corpus-relative stages — each needs one corpus-wide aggregate (vocab,
+benchmark shingle set) that is small enough to broadcast, so the
+per-document work stays embarrassingly parallel.
+
+Reference scope note: the reference engine (app/app.py) is a poll/filter
+pipeline with no corpus analytics; these operators are part of the
+mandated LLM-pipeline extension surface, not reference parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kinesis_dstream_spark.functions.exact import fixedpoint
+from kinesis_dstream_spark.functions.textfns import tokens, word_shingles
+
+# Fixed-point scale for per-token log-probabilities: 6 decimal places
+# keeps ln() engine differences (last-ulp libm variance ~1e-16) far from
+# rounding boundaries while int64 sums stay exact for docs of any length.
+_LP_SCALE = 1_000_000
+
+
+def unigram_logprob_score(documents: DataFrame, vocab_size: int = 1000) -> DataFrame:
+    """Perplexity-proxy quality score from a corpus unigram LM.
+
+    The classic cheap stand-in for model-based perplexity filtering:
+    train a unigram LM on the corpus itself (top ``vocab_size`` words),
+    score each document by its mean per-token log-probability, and
+    report a perplexity proxy ``exp(-mean_lp)``. Low-probability
+    (gibberish / OOV-heavy) documents surface at the bottom.
+
+    Scale shape (100 TB): ONE aggregation shuffle builds the word-count
+    table (map-side partial aggs make it |vocab|-bounded per partition);
+    the top-K vocabulary is by definition tiny and is broadcast, so
+    scoring is a map-side hash join + one reaggregation keyed on doc_id.
+    The corpus token total comes from a map-side ``sum(size(tokens))``
+    scan — no explode, no shuffle.
+
+    Determinism: per-token log-probs are rounded to fixed-point integers
+    (µ-units) BEFORE the per-doc sum, so the double sum-order hazard is
+    gone and DuckDB reproduces the exact doubles (see functions/exact.py).
+    Vocabulary ties break on (count DESC, term ASC).
+    """
+    toks = documents.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    counts = toks.groupBy("term").agg(F.count("*").alias("cnt"))
+    # Distributed top-K (TakeOrderedAndProject), NOT a global row_number
+    # window: the word-count table has |distinct words| rows (easily 10^8+
+    # on web text) and a no-partition window would drag it all to one
+    # task. (cnt DESC, term ASC) is a total order, so the cut is
+    # deterministic either way.
+    vocab = counts.orderBy(F.col("cnt").desc(), F.col("term").asc()).limit(vocab_size)
+    # Corpus token total: narrow scan, no explode. (int64 exact)
+    n_total = documents.select(
+        F.sum(F.size(tokens(F.col("text")))).alias("n")
+    ).collect()[0][0]
+    # OOV floor = ln(1/N): an unseen word is treated as a count-1 event.
+    lp = F.when(
+        F.col("cnt").isNotNull(), F.log(F.col("cnt") * F.lit(1.0) / F.lit(float(n_total)))
+    ).otherwise(F.log(F.lit(1.0) / F.lit(float(n_total))))
+    scored = toks.join(F.broadcast(vocab), "term", "left").select(
+        "doc_id", fixedpoint(lp, _LP_SCALE).alias("lp_fp")
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), F.sum("lp_fp").alias("lp_sum"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("lp_sum") / F.col("n_tokens") / _LP_SCALE, 4).alias(
+                "avg_logprob"
+            ),
+            F.round(
+                F.exp(-(F.col("lp_sum") / F.col("n_tokens") / _LP_SCALE)), 4
+            ).alias("ppl_proxy"),
+        )
+    )
+
+
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals per document.
+
+    Three signals from the Gopher/MassiveText filter family: fraction of
+    duplicate words, fraction of the document taken by its single most
+    frequent word, and fraction taken by its most frequent bigram.
+    Boilerplate / templated / looping documents spike all three.
+
+    Plan: one explode feeds a (doc_id, term) count, whose re-aggregation
+    to doc_id yields n_tokens, n_unique AND top-word count in one pass;
+    bigrams go through the same two-level shape. Both branches then join
+    on doc_id. All aggregates are int counts — no float-order hazard.
+    At 100 TB the (doc_id, term) keys are near-unique so partial aggs do
+    little, but the keyspace is per-doc-bounded — no skew possible: the
+    hottest key is (one doc, one word).
+    """
+    toks = tokens(F.col("text"))
+    words = documents.select("doc_id", F.explode(toks).alias("term"))
+    wstats = (
+        words.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.count("*").alias("n_unique"),
+            F.max("cnt").alias("top_word_n"),
+        )
+    )
+    # Bigrams: shifted-slice zip (no per-position array allocation).
+    n = F.size(toks)
+    m = F.greatest(n - 1, F.lit(1))
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, m),
+            F.slice(toks, 2, m),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    bg = documents.select("doc_id", F.explode(bigrams).alias("bigram"))
+    bstats = (
+        bg.groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.sum("cnt").alias("n_bigrams"), F.max("cnt").alias("top_bigram_n"))
+    )
+    return wstats.join(bstats, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        F.round(1.0 - F.col("n_unique") / F.col("n_tokens"), 4).alias("dup_word_frac"),
+        F.round(F.col("top_word_n") / F.col("n_tokens"), 4).alias("top_word_frac"),
+        F.round(F.col("top_bigram_n") / F.col("n_bigrams"), 4).alias("top_bigram_frac"),
+        (
+            (F.col("top_word_n") / F.col("n_tokens") > 0.2)
+            | (F.col("top_bigram_n") / F.col("n_bigrams") > 0.18)
+            | (1.0 - F.col("n_unique") / F.col("n_tokens") > 0.6)
+        ).alias("repetitive"),
+    )
+
+
+def contamination_check(
+    documents: DataFrame, benchmark_source: str = "src0", k: int = 5
+) -> DataFrame:
+    """Benchmark-contamination detection by k-word shingle overlap.
+
+    Standard eval-decontamination: any training document sharing enough
+    k-gram shingles with a held-out benchmark set is flagged. Here the
+    "benchmark" is the fixture's ``source = benchmark_source`` slice and
+    the candidates are every other document.
+
+    Scale shape: the benchmark set is SMALL by definition (evals are
+    thousands of prompts, not terabytes) — its distinct shingle set is
+    built once and broadcast, so the 100 TB side is a map-side hash
+    semi-join per shingle + one count-shuffle keyed on doc_id. The
+    training corpus is never shuffled on shingle keys (contrast with
+    self-join dedup, where both sides are big).
+
+    Output: contaminated docs only (n_overlap >= 1) with their overlap
+    fraction — the action list for the filter stage.
+    """
+    sh = word_shingles(tokens(F.col("text")), k=k)
+    bench = (
+        documents.filter(F.col("source") == benchmark_source)
+        .select(F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+    cand = documents.filter(F.col("source") != benchmark_source).select(
+        "doc_id", F.size(sh).alias("n_shingles"), F.explode(sh).alias("shingle")
+    )
+    return (
+        cand.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id", "n_shingles")
+        .agg(F.count("*").alias("n_overlap"))
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_overlap",
+            F.round(F.col("n_overlap") / F.col("n_shingles"), 4).alias("contam_frac"),
+        )
+    )
+
+
+# Per-source keep rates (percent) for the domain-mix demonstration; any
+# source absent from the map falls back to DEFAULT_MIX_RATE.
+DEFAULT_MIX_RATES: dict[str, int] = {"src0": 100, "src1": 75, "src2": 50, "src3": 25}
+DEFAULT_MIX_RATE = 10
+
+
+def domain_mix_sample(
+    documents: DataFrame, rates: dict[str, int] | None = None
+) -> DataFrame:
+    """Deterministic stratified domain mixing (per-source keep rates).
+
+    Corpus mixing must be reproducible across runs, engines, and cluster
+    sizes — ``df.sample`` is none of those. Recipe: a content-stable
+    md5 bucket in [0,100) per document (salted 'mix:' so it is
+    independent of the train/val/test split hash), kept iff
+    bucket < rate(source). Adding documents never flips an existing
+    document's keep decision.
+
+    One narrow scan + one small groupBy(source) shuffle; reports
+    per-source totals, kept counts and realized vs target rates.
+    """
+    rates = DEFAULT_MIX_RATES if rates is None else rates
+    rate = F.lit(DEFAULT_MIX_RATE)
+    for src, r in sorted(rates.items()):
+        rate = F.when(F.col("source") == src, F.lit(r)).otherwise(rate)
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    kept = (bucket < rate).cast("int")
+    return (
+        documents.select("source", rate.alias("target_pct"), kept.alias("kept"))
+        .groupBy("source", "target_pct")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("kept").alias("n_kept"),
+            F.round(F.sum("kept") * 100.0 / F.count("*"), 4).alias("realized_pct"),
+        )
+    )

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from kinesis_dstream_spark.functions.exact import avg_sql, sum_sql
 from kinesis_dstream_spark.operators import (
+    curation,
     dedup,
     multimodal,
     reference_ops,
@@ -1879,6 +1880,124 @@ GROUP BY o_orderpriority
 
 
 # --------------------------------------------------------------------------
+# corpus-curation family (E-10/E-12 extensions, operators/curation.py)
+# --------------------------------------------------------------------------
+
+
+def _q_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    return curation.unigram_logprob_score(load_table(spark, sf, "documents"))
+
+
+_SQL_UNIGRAM_LOGPROB = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_DUCK_TOKS.format(col='text')}) AS term FROM documents
+), counts AS (
+  SELECT term, count(*) AS cnt FROM toks GROUP BY term
+), vocab AS (
+  SELECT term, cnt FROM (
+    SELECT term, cnt, row_number() OVER (ORDER BY cnt DESC, term ASC) AS rk FROM counts
+  ) WHERE rk <= 1000
+), n AS (
+  SELECT CAST(sum(len({_DUCK_TOKS.format(col='text')})) AS DOUBLE) AS n_total
+  FROM documents
+), lp AS (
+  SELECT t.doc_id,
+         CAST(round(ln(coalesce(v.cnt, 1) * 1.0 / n.n_total) * 1000000) AS BIGINT) AS lp_fp
+  FROM toks t LEFT JOIN vocab v USING (term) CROSS JOIN n
+)
+SELECT doc_id, count(*) AS n_tokens,
+       round(CAST(sum(lp_fp) AS BIGINT) / count(*) / 1000000.0, 4) AS avg_logprob,
+       round(exp(-(CAST(sum(lp_fp) AS BIGINT) / count(*) / 1000000.0)), 4) AS ppl_proxy
+FROM lp GROUP BY doc_id
+"""
+
+
+def _q_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    return curation.repetition_stats(load_table(spark, sf, "documents"))
+
+
+_SQL_REPETITION = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKS.format(col='text')} AS t FROM documents
+), wc AS (
+  SELECT doc_id, term, count(*) AS cnt
+  FROM (SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY doc_id, term
+), ws AS (
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens, count(*) AS n_unique,
+         max(cnt) AS top_word_n
+  FROM wc GROUP BY doc_id
+), bc AS (
+  SELECT doc_id, bigram, count(*) AS cnt
+  FROM (SELECT doc_id,
+               unnest(CASE WHEN len(t) >= 2
+                 THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+                 ELSE [array_to_string(t, ' ')] END) AS bigram
+        FROM toks) GROUP BY doc_id, bigram
+), bs AS (
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams, max(cnt) AS top_bigram_n
+  FROM bc GROUP BY doc_id
+)
+SELECT ws.doc_id, n_tokens,
+       round(1.0 - n_unique / n_tokens, 4) AS dup_word_frac,
+       round(top_word_n / n_tokens, 4) AS top_word_frac,
+       round(top_bigram_n / n_bigrams, 4) AS top_bigram_frac,
+       (top_word_n / n_tokens > 0.2 OR top_bigram_n / n_bigrams > 0.18
+        OR 1.0 - n_unique / n_tokens > 0.6) AS repetitive
+FROM ws JOIN bs ON ws.doc_id = bs.doc_id
+"""
+
+
+def _q_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    return curation.contamination_check(load_table(spark, sf, "documents"))
+
+
+# shingle construction mirrors _SQL_DEDUP_JACCARD: truncated slices make
+# the <k-token case collapse to one whole-document shingle, matching
+# textfns.word_shingles exactly.
+_SQL_CONTAMINATION = f"""
+WITH toks AS (
+  SELECT doc_id, source, {_DUCK_TOKS.format(col='text')} AS t FROM documents
+), sh AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(range(1, greatest(len(t) - 4, 1) + 1),
+                                      i -> array_to_string(t[i:i+4], ' '))) AS shingles
+  FROM toks
+), bench AS (
+  SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE source = 'src0'
+), cand AS (
+  SELECT doc_id, CAST(len(shingles) AS INT) AS n_shingles,
+         unnest(shingles) AS shingle
+  FROM sh WHERE source <> 'src0'
+)
+SELECT doc_id, n_shingles, count(*) AS n_overlap,
+       round(count(*) / n_shingles, 4) AS contam_frac
+FROM cand JOIN bench USING (shingle)
+GROUP BY doc_id, n_shingles
+"""
+
+
+def _q_domain_mix(spark: SparkSession, sf: str) -> DataFrame:
+    return curation.domain_mix_sample(load_table(spark, sf, "documents"))
+
+
+_SQL_DOMAIN_MIX = """
+WITH t AS (
+  SELECT source,
+         CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 75
+                     WHEN 'src2' THEN 50 WHEN 'src3' THEN 25 ELSE 10 END AS target_pct,
+         CASE WHEN CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+                   < CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 75
+                                 WHEN 'src2' THEN 50 WHEN 'src3' THEN 25 ELSE 10 END
+              THEN 1 ELSE 0 END AS kept
+  FROM documents
+)
+SELECT source, target_pct, count(*) AS n_docs, CAST(sum(kept) AS BIGINT) AS n_kept,
+       round(CAST(sum(kept) AS BIGINT) * 100.0 / count(*), 4) AS realized_pct
+FROM t GROUP BY source, target_pct
+"""
+
+
+# --------------------------------------------------------------------------
 # registry assembly
 # --------------------------------------------------------------------------
 
@@ -1996,6 +2115,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "ann_pq_topk": (_q_ann_pq, None),
     # end-to-end curation composite (quality gate -> dedup -> split -> budget)
     "corpus_curation": (_q_corpus_curation, _SQL_CORPUS_CURATION),
+    # corpus-relative curation stages (operators/curation.py)
+    "unigram_logprob_score": (_q_unigram_logprob, _SQL_UNIGRAM_LOGPROB),
+    "repetition_stats": (_q_repetition, _SQL_REPETITION),
+    "contamination_check": (_q_contamination, _SQL_CONTAMINATION),
+    "domain_mix_sample": (_q_domain_mix, _SQL_DOMAIN_MIX),
     # scalar-function / UDF showcases (E-2, E-8, E-14)
     "scalar_functions_showcase": (_q_scalar_fns, _SQL_SCALAR_FNS),
     "date_functions_showcase": (_q_date_fns, _SQL_DATE_FNS),
