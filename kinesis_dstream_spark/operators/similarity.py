@@ -456,6 +456,160 @@ def ann_pq_topk(
     )
 
 
+def ann_ivf_pq_topk(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 16,
+    nbits: int = 4,
+    oversample: int = 16,
+    seed: int = 42,
+    train_fraction: float = 1.0,
+) -> DataFrame:
+    """IVF-PQ ANN: coarse cells × product-quantized ADC × exact re-rank —
+    the full faiss serving architecture (Jégou et al., TPAMI 2011),
+    composed from the two stages this package already proves separately.
+
+    Why the composition is what 100 TB actually runs: IVF alone
+    (``ann_ivf_topk``) prunes WHICH vectors are scored (n_probe/n_cells
+    of the corpus) but still reads full float vectors for them; PQ alone
+    (``ann_pq_topk``) shrinks every READ (m ints vs dim floats) but still
+    scans the whole corpus. Together: the scan touches only the probed
+    cells AND reads only codes inside them — cost ≈
+    (n_probe/n_cells) × (m/dim·4) of brute force, here ~1/64th.
+
+    Stage shape:
+    1. ONE bounded driver-side sample trains BOTH codebooks (coarse
+       k-means + m per-sub-space PQ books) — no full-corpus iteration.
+    2. ONE Arrow pass encodes the corpus: (vec_id, cell, codes). Plain
+       PQ on the unit vectors, not faiss's residual encoding — residuals
+       would couple the two codebooks (re-train PQ whenever cells move);
+       at ADC+re-rank accuracy the decoupled form's recall loss is
+       absorbed by the oversampled exact re-rank, which keeps reported
+       scores honest either way.
+    3. Query cells are ranked driver-side (|queries| × n_cells dots —
+       control-plane arithmetic), the (q_id, cell) probe list and
+       per-query LUTs broadcast.
+    4. ADC scores codes in probed cells only (cell equi-join, no corpus
+       shuffle), keeps k·oversample per query, then the exact re-rank
+       fetches float vectors for just the shortlist (broadcast semi-join)
+       and the final top-k ranks on TRUE cosine.
+
+    Probabilistic recall (pytest-bounded vs brute force) → no SQL oracle.
+    """
+    from pyspark.sql.types import ArrayType, DoubleType, IntegerType, StructField, StructType
+
+    from kinesis_dstream_spark.operators.codebook import DEFAULT_TRAIN_CAP, _lloyds
+
+    normed = _normalized(embeddings).select("vec_id", "unit")
+
+    # -- stage 1: one sample, both codebooks --
+    train = normed.select("unit")
+    if train_fraction < 1.0:
+        train = train.sample(withReplacement=False, fraction=train_fraction, seed=seed)
+    sample = np.stack(train.limit(DEFAULT_TRAIN_CAP).toPandas()["unit"].to_numpy())
+    dim = sample.shape[1]
+    if dim % m:
+        raise ValueError(f"ann_ivf_pq_topk: dim {dim} not divisible by m={m}")
+    sub = dim // m
+    cents = _lloyds(sample, n_cells, seed)
+    books = np.stack(
+        [_lloyds(sample[:, j * sub : (j + 1) * sub], 1 << nbits, seed + j) for j in range(m)]
+    )
+    cent_half = 0.5 * (cents * cents).sum(axis=1)
+    book_half = 0.5 * (books * books).sum(axis=2)  # (m, 2^nbits)
+
+    # -- stage 2: one Arrow pass → cell + codes --
+    enc_schema = StructType(
+        [
+            StructField("cell", IntegerType()),
+            StructField("codes", ArrayType(IntegerType())),
+        ]
+    )
+
+    @F.pandas_udf(enc_schema)
+    def encode_udf(vecs: pd.Series) -> pd.DataFrame:
+        x = np.stack(vecs.to_numpy())
+        cell = (x @ cents.T - cent_half).argmax(axis=1).astype("int32")
+        parts = x.reshape(len(x), m, sub)
+        codes = (np.einsum("bms,mks->bmk", parts, books) - book_half).argmax(axis=2)
+        return pd.DataFrame({"cell": cell, "codes": list(codes.astype("int32"))})
+
+    encoded = normed.select("vec_id", encode_udf(F.col("unit")).alias("e")).select(
+        "vec_id", F.col("e.cell").alias("cell"), F.col("e.codes").alias("codes")
+    )
+
+    # -- stage 3: driver-side probe ranking + LUTs (|queries| rows) --
+    q_rows = normed.filter(F.col("vec_id") < n_queries).toPandas().sort_values("vec_id")
+    q_mat = np.stack(q_rows["unit"].to_numpy())
+    q_ids = q_rows["vec_id"].to_numpy()
+    probe_order = np.argsort(-(q_mat @ cents.T), axis=1, kind="stable")[:, :n_probe]
+    luts = np.einsum("qms,mks->qmk", q_mat.reshape(len(q_rows), m, sub), books)
+    lut_by_qid = {int(qid): luts[i] for i, qid in enumerate(q_ids)}
+
+    spark = embeddings.sparkSession
+    probes = spark.createDataFrame(
+        [
+            (int(qid), int(cell))
+            for i, qid in enumerate(q_ids)
+            for cell in probe_order[i]
+        ],
+        "q_id int, q_cell int",
+    )
+
+    @F.pandas_udf(DoubleType())
+    def adc_udf(qid: pd.Series, codes: pd.Series) -> pd.Series:
+        c = np.stack(codes.to_numpy())
+        out = np.empty(len(c))
+        cols = np.arange(m)
+        for q, lut in lut_by_qid.items():
+            mask = (qid == q).to_numpy()
+            if mask.any():
+                out[mask] = lut[cols, c[mask]].sum(axis=1)
+        return pd.Series(out)
+
+    # -- stage 4: ADC in probed cells → shortlist → exact re-rank --
+    adc = (
+        encoded.join(
+            F.broadcast(probes),
+            (F.col("cell") == F.col("q_cell")) & (F.col("vec_id") != F.col("q_id")),
+        )
+        .select(
+            "q_id",
+            F.col("vec_id").alias("c_id"),
+            adc_udf(F.col("q_id"), F.col("codes")).alias("approx_cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("approx_cos").desc(), F.col("c_id").asc())
+    shortlist = (
+        adc.withColumn("adc_rk", F.row_number().over(w))
+        .filter(F.col("adc_rk") <= k * oversample)
+        .select("q_id", "c_id")
+    )
+    q_units = spark.createDataFrame(
+        [(int(qid), [float(v) for v in vec]) for qid, vec in zip(q_ids, q_mat)],
+        "q_id int, q_unit array<double>",
+    )
+    rescored = (
+        normed.select(F.col("vec_id").alias("c_id"), F.col("unit").alias("c_unit"))
+        .join(F.broadcast(shortlist), "c_id")
+        .join(F.broadcast(q_units), "q_id")
+        .select(
+            "q_id",
+            "c_id",
+            F.round(V.dot(F.col("q_unit"), F.col("c_unit")), 4).alias("cos_sim"),
+        )
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id").asc())
+    return (
+        rescored.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "c_id", "cos_sim", "rk")
+    )
+
+
 def array_hof_stats(embeddings: DataFrame) -> DataFrame:
     """Array higher-order functions (E-8): filter / exists / forall /
     reduce over the embedding vectors, mirrored by DuckDB list lambdas.

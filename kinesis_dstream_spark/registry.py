@@ -571,6 +571,10 @@ def _q_ann_pq(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.ann_pq_topk(load_table(spark, sf, "embeddings"))
 
 
+def _q_ann_ivf_pq(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.ann_ivf_pq_topk(load_table(spark, sf, "embeddings"))
+
+
 # DuckDB twin of the posexplode/groupBy centroid: parallel unnests zip
 # (pos, x) per row, avg per (label, pos), list(... ORDER BY pos) rebuilds
 # the centroid, list_cosine_similarity scores each vector against its own
@@ -2113,6 +2117,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "dedup_embedding_cosine_lsh": (_q_dedup_cosine_lsh, None),
     # PQ-compressed ANN (ADC shortlist + exact re-rank; recall pytest-bounded)
     "ann_pq_topk": (_q_ann_pq, None),
+    # composed IVF-PQ (coarse cells x ADC x exact re-rank; recall pytest-bounded)
+    "ann_ivf_pq_topk": (_q_ann_ivf_pq, None),
     # end-to-end curation composite (quality gate -> dedup -> split -> budget)
     "corpus_curation": (_q_corpus_curation, _SQL_CORPUS_CURATION),
     # corpus-relative curation stages (operators/curation.py)

@@ -93,6 +93,44 @@ def test_pq_topk_recall_and_honest_scores(spark, sf_dir):
     assert hits >= 8, f"PQ top-1 recall {hits}/10 below 0.8 floor"
 
 
+def test_ivf_pq_topk_recall_and_honest_scores(spark, sf_dir):
+    """Composed IVF-PQ: the probed-cells-only + codes-only scan must still
+    find most true top-1 neighbors (floor 0.6 at fixture scale — both
+    stages' recall losses compound), and re-ranked scores are exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    brute = similarity.ann_bruteforce_topk(emb, n_queries=10, k=5).collect()
+    bscores = {(r.q_id, r.c_id): r.cos_sim for r in brute}
+    top1 = {r.q_id: r.c_id for r in brute if r.rk == 1}
+    ivfpq = similarity.ann_ivf_pq_topk(emb, n_queries=10, k=5).collect()
+    got: dict[int, set] = {}
+    for r in ivfpq:
+        got.setdefault(r.q_id, set()).add(r.c_id)
+        if (r.q_id, r.c_id) in bscores:
+            assert math.isclose(r.cos_sim, bscores[(r.q_id, r.c_id)], abs_tol=1e-9)
+    assert len(got) == 10
+    hits = sum(1 for q, c in top1.items() if c in got.get(q, set()))
+    assert hits >= 6, f"IVF-PQ top-1 recall {hits}/10 below 0.6 floor"
+
+
+def test_ivf_pq_more_probes_more_candidates(spark, sf_dir):
+    """n_probe is the recall knob: probing every cell must recover at
+    least as many true top-1 neighbors as the pruned default."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    brute = similarity.ann_bruteforce_topk(emb, n_queries=5, k=3).collect()
+    top1 = {r.q_id: r.c_id for r in brute if r.rk == 1}
+
+    def hits(n_probe: int) -> int:
+        rows = similarity.ann_ivf_pq_topk(
+            emb, n_queries=5, k=3, n_cells=8, n_probe=n_probe
+        ).collect()
+        got: dict[int, set] = {}
+        for r in rows:
+            got.setdefault(r.q_id, set()).add(r.c_id)
+        return sum(1 for q, c in top1.items() if c in got.get(q, set()))
+
+    assert hits(8) >= hits(2)
+
+
 def test_pq_encode_shapes(spark, sf_dir):
     """Codes are length-m int arrays in [0, 2^nbits); codebooks are
     (m, 2^nbits, dim/m)."""
