@@ -45,8 +45,11 @@ BENCH_QUERIES = {
     "ann_lsh": "ann_lsh_topk",
     "ann_ivf": "ann_ivf_topk",
     "ann_pq": "ann_pq_topk",
+    "ann_ivf_pq": "ann_ivf_pq_topk",
     "tfidf": "tfidf_top_terms",
     "curation": "corpus_curation",
+    "unigram_logprob": "unigram_logprob_score",
+    "contamination": "contamination_check",
     "streaming_drain": "streaming_tumbling_counts",
 }
 

@@ -92,29 +92,21 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
     frequent word, and fraction taken by its most frequent bigram.
     Boilerplate / templated / looping documents spike all three.
 
-    Plan: one explode feeds a (doc_id, term) count, whose re-aggregation
-    to doc_id yields n_tokens, n_unique AND top-word count in one pass;
-    bigrams go through the same two-level shape. Both branches then join
-    on doc_id. All aggregates are int counts — no float-order hazard.
-    At 100 TB the (doc_id, term) keys are near-unique so partial aggs do
-    little, but the keyspace is per-doc-bounded — no skew possible: the
-    hottest key is (one doc, one word).
+    Plan: words and bigrams ride ONE exploded stream, tagged with a
+    'W '/'B ' marker prefix, so a single (doc_id, item) count + one
+    re-aggregation to doc_id (conditional aggs per kind) produces every
+    signal — two shuffles total, and crucially NO per-doc join between a
+    word branch and a bigram branch (at 100 TB neither side of that join
+    is broadcastable; this shape never asks the question). All aggregates
+    are int counts — no float-order hazard. The (doc_id, item) keyspace
+    is per-doc-bounded, so no skew is possible: the hottest key is (one
+    doc, one word).
     """
     toks = tokens(F.col("text"))
-    words = documents.select("doc_id", F.explode(toks).alias("term"))
-    wstats = (
-        words.groupBy("doc_id", "term")
-        .agg(F.count("*").alias("cnt"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum("cnt").alias("n_tokens"),
-            F.count("*").alias("n_unique"),
-            F.max("cnt").alias("top_word_n"),
-        )
-    )
-    # Bigrams: shifted-slice zip (no per-position array allocation).
     n = F.size(toks)
     m = F.greatest(n - 1, F.lit(1))
+    # Bigrams: shifted-slice zip (no per-position array allocation);
+    # single-token docs fall back to the whole-doc "bigram".
     bigrams = F.when(
         n >= 2,
         F.zip_with(
@@ -123,14 +115,25 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
             lambda x, y: F.concat(x, F.lit(" "), y),
         ),
     ).otherwise(F.array(F.concat_ws(" ", toks)))
-    bg = documents.select("doc_id", F.explode(bigrams).alias("bigram"))
-    bstats = (
-        bg.groupBy("doc_id", "bigram")
+    tagged = F.concat(
+        F.transform(toks, lambda t: F.concat(F.lit("W "), t)),
+        F.transform(bigrams, lambda b: F.concat(F.lit("B "), b)),
+    )
+    items = documents.select("doc_id", F.explode(tagged).alias("item"))
+    is_word = F.col("item").startswith("W ")
+    per_doc = (
+        items.groupBy("doc_id", "item")
         .agg(F.count("*").alias("cnt"))
         .groupBy("doc_id")
-        .agg(F.sum("cnt").alias("n_bigrams"), F.max("cnt").alias("top_bigram_n"))
+        .agg(
+            F.sum(F.when(is_word, F.col("cnt"))).alias("n_tokens"),
+            F.count(F.when(is_word, F.lit(1))).alias("n_unique"),
+            F.max(F.when(is_word, F.col("cnt"))).alias("top_word_n"),
+            F.sum(F.when(~is_word, F.col("cnt"))).alias("n_bigrams"),
+            F.max(F.when(~is_word, F.col("cnt"))).alias("top_bigram_n"),
+        )
     )
-    return wstats.join(bstats, "doc_id").select(
+    return per_doc.select(
         "doc_id",
         "n_tokens",
         F.round(1.0 - F.col("n_unique") / F.col("n_tokens"), 4).alias("dup_word_frac"),

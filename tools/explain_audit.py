@@ -39,7 +39,14 @@ AUDIT_DEFAULT = [
     "ann_bruteforce_topk",
     "ann_ivf_topk",
     "ann_lsh_topk",
+    "ann_pq_topk",
+    "ann_ivf_pq_topk",
     "tfidf_top_terms",
+    "corpus_curation",
+    "unigram_logprob_score",
+    "repetition_stats",
+    "contamination_check",
+    "domain_mix_sample",
     "poll_window_filter",
     "ir_contacts_poll",
 ]
