@@ -16,7 +16,7 @@ mandated LLM-pipeline extension surface, not reference parity.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from kinesis_dstream_spark.functions.exact import fixedpoint
@@ -185,6 +185,59 @@ def contamination_check(
             "n_shingles",
             "n_overlap",
             F.round(F.col("n_overlap") / F.col("n_shingles"), 4).alias("contam_frac"),
+        )
+    )
+
+
+def pack_sequences(
+    documents: DataFrame, budget_tokens: int = 512, n_shards: int = 8
+) -> DataFrame:
+    """Sequential sequence packing: assign documents to fixed-token-budget
+    training bins (the pretraining batch-packing stage).
+
+    Pretraining concatenates documents in a deterministic order and cuts
+    every ``budget_tokens``; the useful statistic is how full the bins
+    run. Recipe: shard each document by a content-stable md5 bucket
+    (packing must be reproducible — same argument as the split/mix
+    operators), order within the shard by doc_id, and place each doc in
+    the bin its exclusive running-token-offset falls into. A document
+    straddling a boundary belongs to the bin where it starts.
+
+    Scale shape: ONE shuffle — the per-shard window sort. Shard count is
+    the parallelism knob (thousands at 100 TB); each shard's window is an
+    independent sort of |corpus|/n_shards rows, and the follow-up bin
+    aggregation reuses the same shard-prefixed key. No global sort, no
+    single-partition window.
+    """
+    toks = tokens(F.col("text"))
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("pack:"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_shards
+    )
+    per_doc = documents.select(
+        "doc_id", shard.alias("shard"), F.size(toks).cast("long").alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = per_doc.withColumn(
+        "bin_id",
+        F.floor(F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / budget_tokens),
+    )
+    return (
+        binned.groupBy("shard", "bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.round(F.sum("n_tok") / F.lit(float(budget_tokens)), 4).alias("fill_ratio"),
         )
     )
 

@@ -1980,6 +1980,29 @@ GROUP BY doc_id, n_shingles
 """
 
 
+def _q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    return curation.pack_sequences(load_table(spark, sf, "documents"))
+
+
+_SQL_PACK_SEQUENCES = f"""
+WITH per_doc AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS shard,
+         CAST(len({_DUCK_TOKS.format(col='text')}) AS BIGINT) AS n_tok
+  FROM documents
+), binned AS (
+  SELECT shard, n_tok,
+         CAST(floor(coalesce(sum(n_tok) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512) AS BIGINT) AS bin_id
+  FROM per_doc
+)
+SELECT shard, bin_id, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       round(CAST(sum(n_tok) AS BIGINT) / 512.0, 4) AS fill_ratio
+FROM binned GROUP BY shard, bin_id
+"""
+
+
 def _q_domain_mix(spark: SparkSession, sf: str) -> DataFrame:
     return curation.domain_mix_sample(load_table(spark, sf, "documents"))
 
@@ -2126,6 +2149,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "repetition_stats": (_q_repetition, _SQL_REPETITION),
     "contamination_check": (_q_contamination, _SQL_CONTAMINATION),
     "domain_mix_sample": (_q_domain_mix, _SQL_DOMAIN_MIX),
+    "pack_sequences": (_q_pack_sequences, _SQL_PACK_SEQUENCES),
     # scalar-function / UDF showcases (E-2, E-8, E-14)
     "scalar_functions_showcase": (_q_scalar_fns, _SQL_SCALAR_FNS),
     "date_functions_showcase": (_q_date_fns, _SQL_DATE_FNS),

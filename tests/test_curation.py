@@ -113,6 +113,26 @@ def test_domain_mix_is_md5_deterministic(spark):
     assert out["src0"]["n_kept"] == expect
 
 
+def test_pack_sequences_conserves_tokens_and_respects_offsets(spark):
+    # 10 docs of 4 tokens each, one shard, budget 16 -> bins of exactly
+    # 4 docs / 16 tokens until the tail.
+    rows = [(i, "a b c d", "s") for i in range(10)]
+    out = curation.pack_sequences(_docs(spark, rows), budget_tokens=16, n_shards=1).collect()
+    assert sum(r["n_tokens"] for r in out) == 40  # token conservation
+    by_bin = {r["bin_id"]: r for r in out}
+    assert by_bin[0]["n_docs"] == 4 and by_bin[0]["fill_ratio"] == 1.0
+    assert by_bin[2]["n_docs"] == 2  # tail bin half-full
+    assert by_bin[2]["fill_ratio"] == 0.5
+
+
+def test_pack_sequences_shards_are_stable(spark):
+    # same doc_ids -> same shard/bin assignment regardless of row order
+    rows = [(i, "w " * (i % 5 + 1), "s") for i in range(50)]
+    a = sorted(map(tuple, curation.pack_sequences(_docs(spark, rows)).collect()))
+    b = sorted(map(tuple, curation.pack_sequences(_docs(spark, rows[::-1])).collect()))
+    assert a == b
+
+
 def test_domain_mix_default_rates_cover_unknown_sources(spark):
     rows = [(i, "text", "mystery") for i in range(100)]
     out = curation.domain_mix_sample(_docs(spark, rows)).collect()[0]
