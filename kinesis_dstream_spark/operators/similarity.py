@@ -362,6 +362,31 @@ def pq_encode(
     return normed.select("vec_id", encode_udf(F.col("unit")).alias("codes")), books
 
 
+def _make_adc_udf(lut_by_qid: dict[int, np.ndarray], m: int):
+    """Arrow ADC scorer: one fancy-gather per batch, no per-query loop.
+
+    The per-query LUTs are stacked once into a (n_q, m, 2^nbits) tensor
+    (closure-shipped, kilobytes); each batch maps qid → stack index via
+    searchsorted and gathers all m sub-space partials for every row in a
+    single vectorized index — O(batch · m) regardless of query count,
+    where the per-query boolean-mask loop was O(batch · n_q).
+    """
+    from pyspark.sql.types import DoubleType
+
+    qids_sorted = np.array(sorted(lut_by_qid), dtype="int64")
+    lut_stack = np.stack([lut_by_qid[int(q)] for q in qids_sorted])
+    cols = np.arange(m)
+
+    @F.pandas_udf(DoubleType())
+    def adc_udf(qid: pd.Series, codes: pd.Series) -> pd.Series:
+        c = np.stack(codes.to_numpy())  # (batch, m)
+        idx = np.searchsorted(qids_sorted, qid.to_numpy())
+        out = lut_stack[idx[:, None], cols[None, :], c].sum(axis=1)
+        return pd.Series(out)
+
+    return adc_udf
+
+
 def ann_pq_topk(
     embeddings: DataFrame,
     n_queries: int = 10,
@@ -387,8 +412,6 @@ def ann_pq_topk(
     scores are always honest; only recall is approximate
     (pytest-bounded vs brute force, no SQL oracle).
     """
-    from pyspark.sql.types import DoubleType
-
     codes_df, books = pq_encode(
         embeddings, m=m, nbits=nbits, seed=seed, train_fraction=train_fraction
     )
@@ -401,18 +424,9 @@ def ann_pq_topk(
     q_mat = np.stack(q_rows["unit"].to_numpy())
     luts = np.einsum("qms,mks->qmk", q_mat.reshape(len(q_rows), m, sub), books)
     q_ids = q_rows["vec_id"].to_numpy()
-    lut_by_qid = {int(qid): luts[i] for i, qid in enumerate(q_ids)}
-
-    @F.pandas_udf(DoubleType())
-    def adc_udf(qid: pd.Series, codes: pd.Series) -> pd.Series:
-        c = np.stack(codes.to_numpy())  # (batch, m)
-        out = np.empty(len(c))
-        cols = np.arange(m)
-        for q, lut in lut_by_qid.items():
-            mask = (qid == q).to_numpy()
-            if mask.any():
-                out[mask] = lut[cols, c[mask]].sum(axis=1)
-        return pd.Series(out)
+    adc_udf = _make_adc_udf(
+        {int(qid): luts[i] for i, qid in enumerate(q_ids)}, m
+    )
 
     spark = embeddings.sparkSession
     q_df = spark.createDataFrame([(int(q),) for q in q_ids], "q_id int")
@@ -499,7 +513,7 @@ def ann_ivf_pq_topk(
 
     Probabilistic recall (pytest-bounded vs brute force) → no SQL oracle.
     """
-    from pyspark.sql.types import ArrayType, DoubleType, IntegerType, StructField, StructType
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
 
     from kinesis_dstream_spark.operators.codebook import DEFAULT_TRAIN_CAP, _lloyds
 
@@ -547,7 +561,9 @@ def ann_ivf_pq_topk(
     q_ids = q_rows["vec_id"].to_numpy()
     probe_order = np.argsort(-(q_mat @ cents.T), axis=1, kind="stable")[:, :n_probe]
     luts = np.einsum("qms,mks->qmk", q_mat.reshape(len(q_rows), m, sub), books)
-    lut_by_qid = {int(qid): luts[i] for i, qid in enumerate(q_ids)}
+    adc_udf = _make_adc_udf(
+        {int(qid): luts[i] for i, qid in enumerate(q_ids)}, m
+    )
 
     spark = embeddings.sparkSession
     probes = spark.createDataFrame(
@@ -558,17 +574,6 @@ def ann_ivf_pq_topk(
         ],
         "q_id int, q_cell int",
     )
-
-    @F.pandas_udf(DoubleType())
-    def adc_udf(qid: pd.Series, codes: pd.Series) -> pd.Series:
-        c = np.stack(codes.to_numpy())
-        out = np.empty(len(c))
-        cols = np.arange(m)
-        for q, lut in lut_by_qid.items():
-            mask = (qid == q).to_numpy()
-            if mask.any():
-                out[mask] = lut[cols, c[mask]].sum(axis=1)
-        return pd.Series(out)
 
     # -- stage 4: ADC in probed cells → shortlist → exact re-rank --
     adc = (
