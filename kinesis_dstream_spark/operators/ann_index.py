@@ -1,0 +1,222 @@
+"""Persisted ANN index: cell-partitioned parquet + PQ codes (E-11).
+
+``ann_ivf_pq_topk`` proves the IVF-PQ *computation*; this module gives it
+the missing lifecycle for a 100 TB corpus: the encoded corpus is
+MATERIALIZED as a parquet table partitioned by coarse cell, so serving a
+query batch physically reads only the probed cells' files — Spark's
+partition pruning IS the inverted-file index structure. Build once
+(one bounded codebook fit + one Arrow encode pass + one partitioned
+write), serve many times (each search touches n_probe/n_cells of the
+files and reads codes for ADC; float vectors are fetched only for the
+re-rank shortlist).
+
+Layout:
+    <path>/cell=<i>/*.parquet      vec_id, codes, unit
+    <path>/_codebooks.npz          cents (n_cells, dim), books (m, 2^nbits, dim/m)
+
+The ``_``-prefixed sidecar is invisible to Spark's file readers (hidden
+path convention), so the directory stays a clean parquet table.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kinesis_dstream_spark.functions import vectors as V
+from kinesis_dstream_spark.operators.codebook import DEFAULT_TRAIN_CAP, _lloyds
+from kinesis_dstream_spark.operators.similarity import _make_adc_udf, _normalized
+
+SIDECAR = "_codebooks.npz"
+
+
+def ann_index_build(
+    embeddings: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    m: int = 16,
+    nbits: int = 4,
+    seed: int = 42,
+    train_fraction: float = 1.0,
+) -> None:
+    """Build the cell-partitioned IVF-PQ index at ``path``.
+
+    One bounded driver-side sample trains both codebooks (coarse +
+    per-sub-space PQ); one Arrow pass encodes the corpus; one
+    partitioned write lays the files out by cell. At 100 TB the write is
+    the only full-corpus pass, and it shuffles nothing — partitionBy
+    splits each task's output by cell value (n_cells output files per
+    task; keep n_cells moderate or repartition("cell") first to bound
+    file count).
+
+    Storing ``unit`` beside the codes keeps the re-rank self-contained;
+    a production layout would split floats into a colder table — the
+    scan path below never reads them except for the shortlist, so the
+    I/O behavior already matches that split (parquet column pruning).
+    """
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    normed = _normalized(embeddings).select("vec_id", "unit")
+    train = normed.select("unit")
+    if train_fraction < 1.0:
+        train = train.sample(withReplacement=False, fraction=train_fraction, seed=seed)
+    sample = np.stack(train.limit(DEFAULT_TRAIN_CAP).toPandas()["unit"].to_numpy())
+    dim = sample.shape[1]
+    if dim % m:
+        raise ValueError(f"ann_index_build: dim {dim} not divisible by m={m}")
+    sub = dim // m
+    cents = _lloyds(sample, n_cells, seed)
+    books = np.stack(
+        [_lloyds(sample[:, j * sub : (j + 1) * sub], 1 << nbits, seed + j) for j in range(m)]
+    )
+    cent_half = 0.5 * (cents * cents).sum(axis=1)
+    book_half = 0.5 * (books * books).sum(axis=2)
+
+    enc_schema = StructType(
+        [
+            StructField("cell", IntegerType()),
+            StructField("codes", ArrayType(IntegerType())),
+        ]
+    )
+
+    @F.pandas_udf(enc_schema)
+    def encode_udf(vecs: pd.Series) -> pd.DataFrame:
+        x = np.stack(vecs.to_numpy())
+        cell = (x @ cents.T - cent_half).argmax(axis=1).astype("int32")
+        parts = x.reshape(len(x), m, sub)
+        codes = (np.einsum("bms,mks->bmk", parts, books) - book_half).argmax(axis=2)
+        return pd.DataFrame({"cell": cell, "codes": list(codes.astype("int32"))})
+
+    (
+        normed.select("vec_id", "unit", encode_udf(F.col("unit")).alias("e"))
+        .select("vec_id", "unit", F.col("e.cell").alias("cell"), F.col("e.codes").alias("codes"))
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    np.savez(os.path.join(path, SIDECAR), cents=cents, books=books)
+
+
+def ann_index_search(
+    spark: SparkSession,
+    path: str,
+    n_queries: int = 10,
+    k: int = 5,
+    n_probe: int = 4,
+    oversample: int = 16,
+) -> DataFrame:
+    """Serve top-k from a built index; scans ONLY the probed cells.
+
+    The probe set (union over the query batch) lands in the scan as a
+    partition filter — ``cell IN (...)`` prunes whole directories before
+    a byte is read (plan-asserted in pytest). ADC runs on the codes
+    column of the pruned scan; the exact re-rank fetches ``unit`` for
+    the shortlist rows only, so parquet column pruning keeps float
+    vectors out of the wide scan entirely.
+
+    Queries here are taken from the index itself (vec_id < n_queries) to
+    stay self-contained and oracle-comparable; a production entry point
+    would accept an external (q_id, vector) batch — the physics are
+    identical from the probe ranking on.
+    """
+    blob = np.load(os.path.join(path, SIDECAR))
+    cents, books = blob["cents"], blob["books"]
+    m = books.shape[0]
+    sub = books.shape[2]
+
+    index = spark.read.parquet(path)
+    q_rows = (
+        index.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "unit")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    q_mat = np.stack(q_rows["unit"].to_numpy())
+    q_ids = q_rows["vec_id"].to_numpy()
+    probe_order = np.argsort(-(q_mat @ cents.T), axis=1, kind="stable")[:, :n_probe]
+    luts = np.einsum("qms,mks->qmk", q_mat.reshape(len(q_rows), m, sub), books)
+    adc_udf = _make_adc_udf({int(qid): luts[i] for i, qid in enumerate(q_ids)}, m)
+
+    probes = spark.createDataFrame(
+        [
+            (int(qid), int(cell))
+            for i, qid in enumerate(q_ids)
+            for cell in probe_order[i]
+        ],
+        "q_id int, q_cell int",
+    )
+    probed_cells = sorted({int(c) for row in probe_order for c in row})
+
+    # partition-pruned scan: only probed cells' directories are listed/read
+    pruned = index.filter(F.col("cell").isin(probed_cells))
+    adc = (
+        pruned.select("vec_id", "cell", "codes")
+        .join(
+            F.broadcast(probes),
+            (F.col("cell") == F.col("q_cell")) & (F.col("vec_id") != F.col("q_id")),
+        )
+        .select(
+            "q_id",
+            F.col("vec_id").alias("c_id"),
+            adc_udf(F.col("q_id"), F.col("codes")).alias("approx_cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("approx_cos").desc(), F.col("c_id").asc())
+    shortlist = (
+        adc.withColumn("adc_rk", F.row_number().over(w))
+        .filter(F.col("adc_rk") <= k * oversample)
+        .select("q_id", "c_id")
+    )
+    q_units = spark.createDataFrame(
+        [(int(qid), [float(v) for v in vec]) for qid, vec in zip(q_ids, q_mat)],
+        "q_id int, q_unit array<double>",
+    )
+    rescored = (
+        pruned.select(F.col("vec_id").alias("c_id"), F.col("unit").alias("c_unit"))
+        .join(F.broadcast(shortlist), "c_id")
+        .join(F.broadcast(q_units), "q_id")
+        .select(
+            "q_id",
+            "c_id",
+            F.round(V.dot(F.col("q_unit"), F.col("c_unit")), 4).alias("cos_sim"),
+        )
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id").asc())
+    return (
+        rescored.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "c_id", "cos_sim", "rk")
+    )
+
+
+def ann_index_topk(
+    embeddings: DataFrame,
+    index_path: str,
+    n_queries: int = 10,
+    k: int = 5,
+    **kwargs,
+) -> DataFrame:
+    """Build-if-absent then search — the registry/bench entry point.
+
+    The sidecar's presence marks a completed build (it is written last,
+    after the parquet commit), so a partial/failed build re-runs.
+    """
+    if not os.path.exists(os.path.join(index_path, SIDECAR)):
+        build_keys = {"n_cells", "m", "nbits", "seed", "train_fraction"}
+        ann_index_build(
+            embeddings,
+            index_path,
+            **{kw: v for kw, v in kwargs.items() if kw in build_keys},
+        )
+    search_keys = {"n_probe", "oversample"}
+    return ann_index_search(
+        embeddings.sparkSession,
+        index_path,
+        n_queries=n_queries,
+        k=k,
+        **{kw: v for kw, v in kwargs.items() if kw in search_keys},
+    )

@@ -575,6 +575,15 @@ def _q_ann_ivf_pq(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.ann_ivf_pq_topk(load_table(spark, sf, "embeddings"))
 
 
+def _q_ann_index(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.operators import ann_index
+
+    tag = sf.strip("/").replace("/", "_")
+    return ann_index.ann_index_topk(
+        load_table(spark, sf, "embeddings"), f"/tmp/kds_ann_index_{tag}"
+    )
+
+
 # DuckDB twin of the posexplode/groupBy centroid: parallel unnests zip
 # (pos, x) per row, avg per (label, pos), list(... ORDER BY pos) rebuilds
 # the centroid, list_cosine_similarity scores each vector against its own
@@ -2142,6 +2151,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "ann_pq_topk": (_q_ann_pq, None),
     # composed IVF-PQ (coarse cells x ADC x exact re-rank; recall pytest-bounded)
     "ann_ivf_pq_topk": (_q_ann_ivf_pq, None),
+    # persisted index twin: cell-partitioned parquet, partition-pruned serving
+    "ann_index_topk": (_q_ann_index, None),
     # end-to-end curation composite (quality gate -> dedup -> split -> budget)
     "corpus_curation": (_q_corpus_curation, _SQL_CORPUS_CURATION),
     # corpus-relative curation stages (operators/curation.py)

@@ -131,6 +131,47 @@ def test_ivf_pq_more_probes_more_candidates(spark, sf_dir):
     assert hits(8) >= hits(2)
 
 
+def test_ann_index_build_search_recall(spark, sf_dir, tmp_path):
+    """Persisted-index serving matches in-memory IVF-PQ semantics: recall
+    floor vs brute force, honest re-ranked scores."""
+    from kinesis_dstream_spark.operators import ann_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "idx")
+    out = ann_index.ann_index_topk(emb, path, n_queries=10, k=5).collect()
+    brute = similarity.ann_bruteforce_topk(emb, n_queries=10, k=5).collect()
+    bscores = {(r.q_id, r.c_id): r.cos_sim for r in brute}
+    top1 = {r.q_id: r.c_id for r in brute if r.rk == 1}
+    got: dict[int, set] = {}
+    for r in out:
+        got.setdefault(r.q_id, set()).add(r.c_id)
+        if (r.q_id, r.c_id) in bscores:
+            assert math.isclose(r.cos_sim, bscores[(r.q_id, r.c_id)], abs_tol=1e-9)
+    assert len(got) == 10
+    hits = sum(1 for q, c in top1.items() if c in got.get(q, set()))
+    assert hits >= 6, f"index top-1 recall {hits}/10 below 0.6 floor"
+
+
+def test_ann_index_scan_is_partition_pruned(spark, sf_dir, tmp_path):
+    """The probe set must land as a partition filter: the serving scan
+    lists only probed cell directories (the inverted-file property)."""
+    from kinesis_dstream_spark.operators import ann_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "idx")
+    ann_index.ann_index_build(emb, path, n_cells=8)
+    df = ann_index.ann_index_search(spark, path, n_queries=3, k=3, n_probe=2)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters", 1)[1][:200]
+    # sidecar written last marks a complete build; rebuild is skipped
+    import os
+
+    assert os.path.exists(os.path.join(path, ann_index.SIDECAR))
+
+
 def test_pq_encode_shapes(spark, sf_dir):
     """Codes are length-m int arrays in [0, 2^nbits); codebooks are
     (m, 2^nbits, dim/m)."""
