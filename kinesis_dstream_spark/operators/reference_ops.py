@@ -87,6 +87,32 @@ def json_props_extract(events: DataFrame) -> DataFrame:
     )
 
 
+def variant_props_stats(events: DataFrame) -> DataFrame:
+    """Semi-structured aggregation via VariantType (Spark 4).
+
+    The modern path for the reference's dynamic JSON property bags
+    (SURVEY §1.1): ``parse_json`` shreds the payload ONCE into Spark's
+    binary Variant encoding, then ``variant_get`` does typed, O(1)
+    field access — contrast ``json_props_extract``'s per-access string
+    parsing (``get_json_object`` re-parses the JSON text for every
+    field). At 100 TB with multi-field bags the one-shred/many-reads
+    shape is the difference between one and N text parses per row;
+    both stay fully JVM-side.
+    """
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return (
+        events.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 def page_limit_topk(events: DataFrame, n: int = 100) -> DataFrame:
     """O-6 limit semantics: first ``n`` rows in event-time order.
 

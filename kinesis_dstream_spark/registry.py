@@ -101,6 +101,21 @@ WHERE CAST(json_extract_string(props, '$.k') AS INT) IS NOT NULL
 """
 
 
+def _q_variant_props(spark: SparkSession, sf: str) -> DataFrame:
+    return reference_ops.variant_props_stats(load_table(spark, sf, "events"))
+
+
+_SQL_VARIANT_PROPS = """
+WITH t AS (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k
+  FROM events
+)
+SELECT event_type, count(*) AS n_events, CAST(sum(k) AS BIGINT) AS sum_k,
+       round(CAST(sum(k) AS BIGINT) / count(*), 4) AS avg_k, max(k) AS max_k
+FROM t WHERE k IS NOT NULL GROUP BY event_type
+"""
+
+
 def _q_tumbling(spark: SparkSession, sf: str) -> DataFrame:
     return reference_ops.microbatch_tumbling_counts(load_table(spark, sf, "events"))
 
@@ -2113,6 +2128,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # reference semantics, remainder
     "ir_token_search": (_q_ir_token_search, _SQL_IR_TOKEN_SEARCH),
     "json_props_extract": (_q_json_props, _SQL_JSON_PROPS),
+    "variant_props_stats": (_q_variant_props, _SQL_VARIANT_PROPS),
     "microbatch_tumbling_counts": (_q_tumbling, _SQL_TUMBLING),
     "page_limit_topk": (_q_page_limit, _SQL_PAGE_LIMIT),
     "sessionize_events": (_q_sessionize, _SQL_SESSIONIZE),
