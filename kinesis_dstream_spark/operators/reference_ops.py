@@ -196,6 +196,49 @@ def sessionize_events(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def events_gap_fill(events: DataFrame) -> DataFrame:
+    """Zero-filled daily activity per user — the date-spine pattern.
+
+    Time-series reporting over sparse event data needs explicit zero
+    rows for silent days (rates, streak math, charting). Recipe: per-user
+    daily aggregate, then a generated date spine (``sequence`` between
+    each user's first and last active day, exploded) left-joined back,
+    gaps coalesced to zero.
+
+    Scale shape: two aggregations and one join, all keyed on user_id —
+    the same shuffle partitioning end-to-end, so Catalyst/AQE reuses it.
+    The spine explode generates at most (active span in days) rows per
+    user — output-sized, never corpus-sized. Value sums use fixed-point
+    aggregation (order-independent, oracle-exact).
+    """
+    from kinesis_dstream_spark.functions.exact import exact_sum
+
+    day = F.date_trunc("day", F.col("ts"))
+    daily = events.groupBy(F.col("user_id"), day.alias("day")).agg(
+        F.count("*").alias("n_events"),
+        exact_sum(F.col("value")).alias("sum_value"),
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("d0"), F.col("d1"), F.expr("interval 1 day"))
+            ).alias("day"),
+        )
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+            F.coalesce(F.col("sum_value"), F.lit(0.0)).alias("sum_value"),
+        )
+    )
+
+
 def parse_text_table(lines: DataFrame, pattern: str) -> DataFrame:
     """O-12: unstructured text scan → regex filter → positional projection.
 

@@ -116,6 +116,27 @@ FROM t WHERE k IS NOT NULL GROUP BY event_type
 """
 
 
+def _q_gap_fill(spark: SparkSession, sf: str) -> DataFrame:
+    return reference_ops.events_gap_fill(load_table(spark, sf, "events"))
+
+
+_SQL_GAP_FILL = f"""
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day, count(*) AS n_events,
+         {sum_sql('"value"')} AS sum_value
+  FROM events GROUP BY user_id, date_trunc('day', ts)
+), rng AS (
+  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id
+), spine AS (
+  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM rng
+)
+SELECT s.user_id, strftime(s.day, '%Y-%m-%d') AS day,
+       coalesce(d.n_events, 0) AS n_events,
+       coalesce(d.sum_value, 0.0) AS sum_value
+FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+"""
+
+
 def _q_tumbling(spark: SparkSession, sf: str) -> DataFrame:
     return reference_ops.microbatch_tumbling_counts(load_table(spark, sf, "events"))
 
@@ -2129,6 +2150,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "ir_token_search": (_q_ir_token_search, _SQL_IR_TOKEN_SEARCH),
     "json_props_extract": (_q_json_props, _SQL_JSON_PROPS),
     "variant_props_stats": (_q_variant_props, _SQL_VARIANT_PROPS),
+    "events_gap_fill": (_q_gap_fill, _SQL_GAP_FILL),
     "microbatch_tumbling_counts": (_q_tumbling, _SQL_TUMBLING),
     "page_limit_topk": (_q_page_limit, _SQL_PAGE_LIMIT),
     "sessionize_events": (_q_sessionize, _SQL_SESSIONIZE),
