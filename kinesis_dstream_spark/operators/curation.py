@@ -166,6 +166,13 @@ def contamination_check(
 
     Output: contaminated docs only (n_overlap >= 1) with their overlap
     fraction — the action list for the filter stage.
+
+    The exploded candidate stream carries ONLY (doc_id, shingle); the
+    per-doc shingle count joins back to the (small by construction)
+    overlap result afterwards. Carrying ``size(shingles)`` through the
+    explode reads nicely but is a measured 50x trap: codegen inlines the
+    whole shingle-construction expression into the generated column, so
+    it re-evaluates per exploded row instead of per document.
     """
     sh = word_shingles(tokens(F.col("text")), k=k)
     bench = (
@@ -173,19 +180,19 @@ def contamination_check(
         .select(F.explode(sh).alias("shingle"))
         .distinct()
     )
-    cand = documents.filter(F.col("source") != benchmark_source).select(
-        "doc_id", F.size(sh).alias("n_shingles"), F.explode(sh).alias("shingle")
-    )
-    return (
+    eval_docs = documents.filter(F.col("source") != benchmark_source)
+    cand = eval_docs.select("doc_id", F.explode(sh).alias("shingle"))
+    overlaps = (
         cand.join(F.broadcast(bench), "shingle")
-        .groupBy("doc_id", "n_shingles")
+        .groupBy("doc_id")
         .agg(F.count("*").alias("n_overlap"))
-        .select(
-            "doc_id",
-            "n_shingles",
-            "n_overlap",
-            F.round(F.col("n_overlap") / F.col("n_shingles"), 4).alias("contam_frac"),
-        )
+    )
+    per_doc_n = eval_docs.select("doc_id", F.size(sh).alias("n_shingles"))
+    return overlaps.join(per_doc_n, "doc_id").select(
+        "doc_id",
+        "n_shingles",
+        "n_overlap",
+        F.round(F.col("n_overlap") / F.col("n_shingles"), 4).alias("contam_frac"),
     )
 
 

@@ -88,10 +88,15 @@ def test_contamination_finds_shared_shingles_only(spark):
 
 
 def test_contamination_broadcasts_benchmark_side(spark):
+    # The SHINGLE join must broadcast the benchmark set (the corpus is
+    # never shuffled on shingle keys). The final overlap↔count join on
+    # doc_id is left to AQE: its small side is data-dependent
+    # (contaminated-doc count), so a static broadcast hint would be a
+    # 100 TB OOM bet — the static plan may show a sort-merge there.
     rows = [(i, f"w{i} x y z q r s", "src0" if i % 2 else "src1") for i in range(10)]
     plan = _plan(curation.contamination_check(_docs(spark, rows)))
-    assert "BroadcastHashJoin" in plan
-    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # the shingle join (explicit hint)
+    assert "CartesianProduct" not in plan
 
 
 def test_domain_mix_is_md5_deterministic(spark):
