@@ -196,6 +196,31 @@ def contamination_check(
     )
 
 
+def grouped_sample(documents: DataFrame, n_per_group: int = 20) -> DataFrame:
+    """Deterministic N-per-group sample (eval/inspection set construction).
+
+    Uniform-without-replacement per source, reproducible across engines
+    and runs: rank by a salted content-stable md5 of the doc id within
+    each group, keep the first N. The md5 orders documents uniformly at
+    random but identically everywhere — ``TABLESAMPLE``/``rand()`` can't
+    promise that, and eval sets must not silently change between runs.
+
+    One window shuffle keyed on source; with a bounded group count the
+    rank truncation makes the output |groups|×N rows regardless of
+    corpus size. (For very hot groups at 100 TB, pre-filtering with
+    bucket < ~4·N·100/|group| bounds the window sort input first — not
+    needed at fixture scale.)
+    """
+    h = F.md5(F.concat(F.lit("sample:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(h, F.col("doc_id"))
+    return (
+        documents.select("doc_id", "source", h.alias("sort_key"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= n_per_group)
+        .select("source", "doc_id", "rk")
+    )
+
+
 def pack_sequences(
     documents: DataFrame, budget_tokens: int = 512, n_shards: int = 8
 ) -> DataFrame:

@@ -2028,6 +2028,22 @@ GROUP BY doc_id, n_shingles
 """
 
 
+def _q_grouped_sample(spark: SparkSession, sf: str) -> DataFrame:
+    return curation.grouped_sample(load_table(spark, sf, "documents"))
+
+
+_SQL_GROUPED_SAMPLE = """
+SELECT source, doc_id, rk FROM (
+  SELECT source, doc_id,
+         CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('sample:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS INT) AS rk
+  FROM documents
+) WHERE rk <= 20
+"""
+
+
 def _q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     return curation.pack_sequences(load_table(spark, sf, "documents"))
 
@@ -2202,6 +2218,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "contamination_check": (_q_contamination, _SQL_CONTAMINATION),
     "domain_mix_sample": (_q_domain_mix, _SQL_DOMAIN_MIX),
     "pack_sequences": (_q_pack_sequences, _SQL_PACK_SEQUENCES),
+    "grouped_sample": (_q_grouped_sample, _SQL_GROUPED_SAMPLE),
     # scalar-function / UDF showcases (E-2, E-8, E-14)
     "scalar_functions_showcase": (_q_scalar_fns, _SQL_SCALAR_FNS),
     "date_functions_showcase": (_q_date_fns, _SQL_DATE_FNS),
