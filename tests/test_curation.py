@@ -99,6 +99,19 @@ def test_contamination_broadcasts_benchmark_side(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_grouped_sample_is_uniform_per_group_and_stable(spark):
+    rows = [(i, "text", f"s{i % 3}") for i in range(300)]
+    out = curation.grouped_sample(_docs(spark, rows), n_per_group=10).collect()
+    by_src: dict[str, list] = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    assert set(by_src) == {"s0", "s1", "s2"}
+    assert all(len(v) == 10 for v in by_src.values())
+    # stable across input order
+    out2 = curation.grouped_sample(_docs(spark, rows[::-1]), n_per_group=10).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
 def test_domain_mix_is_md5_deterministic(spark):
     rows = [(i, "text", "src%d" % (i % 2)) for i in range(200)]
     out = {
