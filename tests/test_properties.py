@@ -145,6 +145,75 @@ def test_rolling_fingerprint_model(spark, text):
     assert got == want
 
 
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["w1", "w2", "w3", "w4"]), min_size=1, max_size=8),
+        min_size=1,
+        max_size=12,
+    ),
+    budget=st.integers(2, 10),
+)
+def test_pack_sequences_model(spark, docs, budget):
+    """Packing conserves tokens and bins follow the exclusive running
+    offset within each shard — checked against a direct Python model."""
+    import hashlib
+
+    from kinesis_dstream_spark.operators import curation
+
+    rows = [(i, " ".join(toks), "s") for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        (r["shard"], r["bin_id"]): (r["n_docs"], r["n_tokens"])
+        for r in curation.pack_sequences(df, budget_tokens=budget, n_shards=2).collect()
+    }
+
+    def shard(doc_id: int) -> int:
+        return int(hashlib.md5(f"pack:{doc_id}".encode()).hexdigest()[:8], 16) % 2
+
+    want: dict = {}
+    for s in (0, 1):
+        offset = 0
+        for i, toks in enumerate(docs):  # doc_id order
+            if shard(i) != s:
+                continue
+            b = offset // budget
+            n, t = want.get((s, b), (0, 0))
+            want[(s, b)] = (n + 1, t + len(toks))
+            offset += len(toks)
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=10),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_repetition_stats_model(spark, docs):
+    """Word/bigram fractions match a direct Python count model."""
+    from collections import Counter
+
+    from kinesis_dstream_spark.operators import curation
+
+    rows = [(i, " ".join(toks), "s") for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["doc_id"]: r for r in curation.repetition_stats(df).collect()}
+    for i, toks in enumerate(docs):
+        wc = Counter(toks)
+        bigrams = (
+            [" ".join(p) for p in zip(toks, toks[1:])] if len(toks) >= 2 else [" ".join(toks)]
+        )
+        bc = Counter(bigrams)
+        r = got[i]
+        assert r["n_tokens"] == len(toks)
+        assert r["dup_word_frac"] == round(1.0 - len(wc) / len(toks), 4)
+        assert r["top_word_frac"] == round(max(wc.values()) / len(toks), 4)
+        assert r["top_bigram_frac"] == round(max(bc.values()) / len(bigrams), 4)
+
+
 @settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     vals=st.lists(
