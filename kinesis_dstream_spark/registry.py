@@ -1119,6 +1119,18 @@ SELECT DISTINCT user_id, event_type FROM events
 """
 
 
+def _q_stream_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.streaming import jobs
+
+    return jobs.streaming_dedup_documents(spark, sf)
+
+
+_SQL_STREAM_DEDUP_DOCS = """
+SELECT source, count(DISTINCT sha256(text)) AS n_unique_docs
+FROM documents GROUP BY source
+"""
+
+
 def _q_stream_changelog_merge(spark: SparkSession, sf: str) -> DataFrame:
     from kinesis_dstream_spark.streaming import jobs
 
@@ -2239,6 +2251,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "streaming_session_windows": (_q_stream_sessions, None),
     "streaming_sliding_windows": (_q_stream_sliding, _SQL_STREAM_SLIDING),
     "streaming_dedup_keys": (_q_stream_dedup, _SQL_STREAM_DEDUP),
+    "streaming_dedup_documents": (_q_stream_dedup_docs, _SQL_STREAM_DEDUP_DOCS),
     "streaming_changelog_merge": (_q_stream_changelog_merge, _SQL_CHANGELOG),
     "streaming_stream_stream_join": (_q_stream_stream_join, _SQL_STREAM_STREAM_JOIN),
     "streaming_user_streaks": (_q_stream_streaks, _SQL_STREAKS),

@@ -25,20 +25,24 @@ from kinesis_dstream_spark.functions.exact import exact_sum
 from kinesis_dstream_spark.tables import load_table
 
 
-def _events_stream_dir(sf_dir: str) -> str:
-    """Stage a directory containing (a symlink to) the events parquet.
+def _table_stream_dir(sf_dir: str, table: str) -> str:
+    """Stage a directory containing (a symlink to) a fixture parquet.
 
     Spark's file streaming source requires a *directory* path; the
     fixture ships single files. A symlink dir under tmp keeps the
     fixture read-only and copies nothing.
     """
     tag = sf_dir.strip("/").replace("/", "_")
-    d = os.path.join(tempfile.gettempdir(), f"kds_stream_{tag}", "events")
+    d = os.path.join(tempfile.gettempdir(), f"kds_stream_{tag}", table)
     os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, "events.parquet")
+    link = os.path.join(d, f"{table}.parquet")
     if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/events.parquet", link)
+        os.symlink(f"{sf_dir}/{table}.parquet", link)
     return d
+
+
+def _events_stream_dir(sf_dir: str) -> str:
+    return _table_stream_dir(sf_dir, "events")
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -255,6 +259,36 @@ def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = _events_stream(spark, sf_dir).select("user_id", "event_type")
     return _run_bounded(ev.dropDuplicates(["user_id", "event_type"]), "stream_dedup_keys", "append")
+
+
+def streaming_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time document dedup (E-9 × E-10): the streaming half of
+    the curation pipeline.
+
+    A training-data ingest stream must drop exact duplicates BEFORE they
+    reach storage — re-crawls and mirrors produce the same bytes again
+    days later, far beyond any watermark, so the dedup state must be
+    global (no eviction), exactly like the batch ledger it replaces. The
+    state entry is (source, sha256) — 40-ish bytes per distinct document
+    ever seen, never the text itself; per-source counts summarize the
+    retained set.
+
+    Keying the state on (source, sha) rather than bare sha makes the
+    bounded drain deterministic (a duplicate's surviving copy is
+    per-key, not racing across sources), which is what lets the DuckDB
+    oracle hash-check this query instead of settling for rows-only.
+    """
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    docs = spark.readStream.schema(raw_schema).parquet(
+        _table_stream_dir(sf_dir, "documents")
+    )
+    deduped = (
+        docs.select("source", F.sha2(F.col("text"), 256).alias("content_sha"))
+        .dropDuplicates(["source", "content_sha"])
+        .groupBy("source")
+        .agg(F.count("*").alias("n_unique_docs"))
+    )
+    return _run_bounded(deduped, "stream_dedup_documents", "complete")
 
 
 def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
