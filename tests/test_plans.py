@@ -263,3 +263,38 @@ def test_bucketed_join_needs_no_exchange(spark, sf_dir):
     assert "SortMergeJoin" in plan
     # exactly ONE exchange in the whole plan: the groupBy — none for the join
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_variant_props_pushes_and_stays_jvm(spark, sf_dir):
+    """VariantType shredding is JVM expression work: pruned two-column
+    scan, pushed null filter, partial+final hash agg, no Python eval."""
+    ev = load_table(spark, sf_dir, "events")
+    plan = _formatted(reference_ops.variant_props_stats(ev))
+    assert "BatchEvalPython" not in plan
+    assert "variant_get" in plan
+    assert "PushedFilters: [IsNotNull(props)]" in plan
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "value" not in read_schema and "props" in read_schema
+
+
+def test_gap_fill_reuses_user_partitioning(spark, sf_dir):
+    """The spine explode, both aggregations and the join all key on
+    user_id: at most the two aggregation exchanges may appear — the
+    spine join must not introduce a third repartitioning of the data."""
+    ev = load_table(spark, sf_dir, "events")
+    plan = _plan(reference_ops.events_gap_fill(ev))
+    assert "Generate explode(sequence" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_pack_sequences_single_shuffle_window(spark, sf_dir):
+    """Packing's only exchange is the per-shard window sort; the bin
+    aggregation reuses the shard partitioning (partial+final on the
+    same keys, no second exchange)."""
+    from kinesis_dstream_spark.operators import curation
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(curation.pack_sequences(docs))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan and "windowspecdefinition(shard" in plan
