@@ -1092,6 +1092,32 @@ def _q_stream_sessions(spark: SparkSession, sf: str) -> DataFrame:
     return jobs.streaming_session_windows(spark, sf)
 
 
+# Gaps-and-islands twin of session_window: a session's start is its
+# first event's ts (windows are [ts, ts+gap) merged), and boundary-equal
+# events MERGE (probed: new session strictly when diff > gap) — the
+# same rule as the batch sessionize lag test. Only the extended close
+# bound (last_ts+gap) is non-portable, and the query never outputs it.
+_SQL_STREAM_SESSIONS = """
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sid
+HAVING count(*) >= 3
+"""
+
+
 def _q_stream_sliding(spark: SparkSession, sf: str) -> DataFrame:
     from kinesis_dstream_spark.streaming import jobs
 
@@ -2248,7 +2274,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "streaming_tumbling_counts": (_q_stream_tumbling, _SQL_STREAM_TUMBLING),
     "streaming_distinct_users": (_q_stream_distinct, _SQL_STREAM_DISTINCT),
     "streaming_stream_static_join": (_q_stream_static_join, _SQL_STREAM_STATIC_JOIN),
-    "streaming_session_windows": (_q_stream_sessions, None),
+    "streaming_session_windows": (_q_stream_sessions, _SQL_STREAM_SESSIONS),
     "streaming_sliding_windows": (_q_stream_sliding, _SQL_STREAM_SLIDING),
     "streaming_dedup_keys": (_q_stream_dedup, _SQL_STREAM_DEDUP),
     "streaming_dedup_documents": (_q_stream_dedup_docs, _SQL_STREAM_DEDUP_DOCS),

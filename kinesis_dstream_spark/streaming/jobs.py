@@ -205,10 +205,14 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str, gap: str = "30 m
     merges events per user whose gaps are below ``gap``.
 
     The streaming twin of the batch ``sessionize_events`` operator —
-    session *membership* matches it exactly (same gap rule); the window
-    bounds differ by construction (session_window extends end by gap).
-    Verified against the batch operator in pytest; rows-only for the
-    driver (the close-bound arithmetic isn't ANSI-SQL-portable).
+    session *membership* matches it exactly (same gap rule: boundary-
+    equal events merge, a new session starts strictly when diff > gap);
+    the window bounds differ by construction (session_window extends end
+    by gap). Verified against the batch operator in pytest AND
+    hash-checked against a gaps-and-islands DuckDB oracle: the output
+    exposes only the session *start* (= first event's ts), which is
+    ANSI-portable — only the extended close bound isn't, and the query
+    never outputs it.
     """
     ev = _events_stream(spark, sf_dir)
     agg = (
