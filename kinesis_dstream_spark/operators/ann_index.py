@@ -58,8 +58,6 @@ def ann_index_build(
     scan path below never reads them except for the shortlist, so the
     I/O behavior already matches that split (parquet column pruning).
     """
-    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
-
     normed = _normalized(embeddings).select("vec_id", "unit")
     train = normed.select("unit")
     if train_fraction < 1.0:
@@ -73,6 +71,17 @@ def ann_index_build(
     books = np.stack(
         [_lloyds(sample[:, j * sub : (j + 1) * sub], 1 << nbits, seed + j) for j in range(m)]
     )
+    _write_encoded(normed, cents, books, path, mode="overwrite")
+    np.savez(os.path.join(path, SIDECAR), cents=cents, books=books)
+
+
+def _write_encoded(
+    normed: DataFrame, cents: np.ndarray, books: np.ndarray, path: str, mode: str
+) -> None:
+    """Encode (cell + PQ codes) in one Arrow pass and write by cell."""
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    m, _, sub = books.shape
     cent_half = 0.5 * (cents * cents).sum(axis=1)
     book_half = 0.5 * (books * books).sum(axis=2)
 
@@ -95,10 +104,27 @@ def ann_index_build(
         normed.select("vec_id", "unit", encode_udf(F.col("unit")).alias("e"))
         .select("vec_id", "unit", F.col("e.cell").alias("cell"), F.col("e.codes").alias("codes"))
         .write.partitionBy("cell")
-        .mode("overwrite")
+        .mode(mode)
         .parquet(path)
     )
-    np.savez(os.path.join(path, SIDECAR), cents=cents, books=books)
+
+
+def ann_index_append(embeddings: DataFrame, path: str) -> None:
+    """Append new vectors to an existing index under its FROZEN codebooks.
+
+    The daily-ingest path: re-training (and re-encoding 100 TB) per batch
+    is off the table, so appends reuse the sidecar codebooks — new rows
+    land in existing cell directories as additional parquet files.
+    Codebook drift (new data far from the trained distribution) degrades
+    only pruning efficiency/recall, never the honesty of re-ranked
+    scores; re-build when recall telemetry says so. The sidecar is
+    untouched, so a crash mid-append leaves a readable index (parquet
+    files commit atomically per task; duplicate vec_ids are the caller's
+    contract, as with any append-only table).
+    """
+    blob = np.load(os.path.join(path, SIDECAR))
+    normed = _normalized(embeddings).select("vec_id", "unit")
+    _write_encoded(normed, blob["cents"], blob["books"], path, mode="append")
 
 
 def ann_index_search(

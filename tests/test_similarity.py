@@ -152,6 +152,25 @@ def test_ann_index_build_search_recall(spark, sf_dir, tmp_path):
     assert hits >= 6, f"index top-1 recall {hits}/10 below 0.6 floor"
 
 
+def test_ann_index_append_grows_index_under_frozen_codebooks(spark, sf_dir, tmp_path):
+    """Build on half the corpus, append the rest: the index holds every
+    vector, searches see appended rows, and recall matches a full build
+    (same codebooks ⇒ appended vectors land in their nearest cells)."""
+    from kinesis_dstream_spark.operators import ann_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    half = n // 2
+    path = str(tmp_path / "idx")
+    ann_index.ann_index_build(emb.filter(F.col("vec_id") < half), path)
+    ann_index.ann_index_append(emb.filter(F.col("vec_id") >= half), path)
+    assert spark.read.parquet(path).count() == n
+    out = ann_index.ann_index_search(spark, path, n_queries=5, k=5).collect()
+    assert len({r.q_id for r in out}) == 5
+    # appended half is reachable: at least one neighbor from vec_id >= half
+    assert any(r.c_id >= half for r in out)
+
+
 def test_ann_index_scan_is_partition_pruned(spark, sf_dir, tmp_path):
     """The probe set must land as a partition filter: the serving scan
     lists only probed cell directories (the inverted-file property)."""
