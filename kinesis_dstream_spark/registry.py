@@ -804,6 +804,26 @@ def _q_media_decode(spark: SparkSession, sf: str) -> DataFrame:
     return multimodal.media_decode_stats(load_table(spark, sf, "documents"))
 
 
+# Oracle for the DETERMINISTIC-FAKE decode branch (w = 64 + first byte,
+# h = 64 + last byte, 3 channels — multimodal._decode_payload): valid in
+# any environment without codec libs, which this container is. If PIL
+# were installed the operator would decode for real and this oracle
+# must be retired to rows-only again. Fixture text is ASCII, so byte
+# values equal code points.
+_SQL_MEDIA_DECODE = """
+WITH d AS (
+  SELECT octet_length(encode(text)) AS n_bytes,
+         64 + CASE WHEN strlen(text) = 0 THEN 0 ELSE ascii(substr(text, 1, 1)) END AS w,
+         64 + CASE WHEN strlen(text) = 0 THEN 0 ELSE ascii(substr(text, -1, 1)) END AS h
+  FROM documents
+)
+SELECT 'fake' AS decoder, CAST(3 AS INT) AS channels, count(*) AS n_media,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       round(avg(w), 4) AS avg_width, round(avg(h), 4) AS avg_height
+FROM d GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # streaming (E-9 / O-1..O-11): bounded availableNow runs
 # --------------------------------------------------------------------------
@@ -1079,6 +1099,39 @@ WITH idx AS (
 SELECT doc_id AS media_id, count(*) AS n_frames,
        count(DISTINCT fsha) AS n_unique_frames
 FROM f GROUP BY doc_id
+"""
+
+
+# Oracle for the deterministic fake features (multimodal.extract_features:
+# L2-normalized 16-bin byte histogram; fixture text is ASCII so chars =
+# bytes). Counts are integers ⇒ the norm's sum-of-squares is exact in
+# any accumulation order; the final dot is rounded to 6 dp on BOTH sides
+# and ranks order by the rounded value, mirroring the Spark window.
+_SQL_MEDIA_TOPK = """
+WITH bins AS (
+  SELECT doc_id AS media_id,
+         list_transform(str_split(text, ''), c -> ascii(c) // 16) AS bs
+  FROM documents
+), hist AS (
+  SELECT media_id,
+         list_transform(range(0, 16), b -> CAST(len(list_filter(bs, x -> x = b)) AS DOUBLE)) AS h
+  FROM bins
+), emb AS (
+  SELECT media_id,
+         CASE WHEN sqrt(list_sum(list_transform(h, x -> x * x))) > 0
+              THEN list_transform(h, x -> x / sqrt(list_sum(list_transform(h, y -> y * y))))
+              ELSE h END AS e
+  FROM hist
+)
+SELECT q_id, c_id, cos_sim, rk FROM (
+  SELECT q.media_id AS q_id, c.media_id AS c_id,
+         round(list_dot_product(q.e, c.e), 6) AS cos_sim,
+         CAST(row_number() OVER (
+           PARTITION BY q.media_id
+           ORDER BY round(list_dot_product(q.e, c.e), 6) DESC, c.media_id ASC
+         ) AS INT) AS rk
+  FROM emb q JOIN emb c ON q.media_id < 10 AND c.media_id != q.media_id
+) WHERE rk <= 5
 """
 
 
@@ -2268,8 +2321,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "pivot_event_counts": (_q_pivot_counts, _SQL_PIVOT),
     "sql_api_order_priorities": (_q_sql_api, _SQL_API_QUERY),
     # multimodal, remainder (rows-only pinned-deterministic)
-    "media_decode_stats": (_q_media_decode, None),
-    "media_embedding_topk": (_q_media_topk, None),
+    "media_decode_stats": (_q_media_decode, _SQL_MEDIA_DECODE),
+    "media_embedding_topk": (_q_media_topk, _SQL_MEDIA_TOPK),
     # streaming (E-9), bounded availableNow runs
     "streaming_tumbling_counts": (_q_stream_tumbling, _SQL_STREAM_TUMBLING),
     "streaming_distinct_users": (_q_stream_distinct, _SQL_STREAM_DISTINCT),
