@@ -47,6 +47,10 @@ AUDIT_DEFAULT = [
     "repetition_stats",
     "contamination_check",
     "domain_mix_sample",
+    "pack_sequences",
+    "grouped_sample",
+    "variant_props_stats",
+    "events_gap_fill",
     "poll_window_filter",
     "ir_contacts_poll",
 ]
