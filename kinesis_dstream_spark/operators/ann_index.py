@@ -33,6 +33,33 @@ from kinesis_dstream_spark.operators.similarity import _make_adc_udf, _normalize
 
 SIDECAR = "_codebooks.npz"
 
+# Bump when the encode/build layout changes incompatibly: a persisted index
+# whose sidecar carries a different version is rebuilt, not served.
+INDEX_FORMAT_VERSION = 2
+
+
+def corpus_fingerprint(embeddings: DataFrame, **build_params) -> str:
+    """Content+params fingerprint for build-if-absent staleness detection.
+
+    One cheap aggregate over the corpus (count + order-insensitive XOR of
+    per-row xxhash64 over id and vector) combined with the build params
+    and the index format version. A stale index — regenerated fixtures,
+    changed build params, or a format bump — no longer fingerprint-matches
+    and is rebuilt instead of silently served. The scan is a single
+    columnar pass; production serving that cannot afford it calls
+    ``ann_index_search`` directly and owns lifecycle externally.
+    """
+    import hashlib
+
+    row = embeddings.agg(
+        F.count("*").alias("n"),
+        # XOR, not SUM: order-insensitive and cannot overflow under ANSI mode
+        F.expr("bit_xor(xxhash64(vec_id, embedding))").alias("h"),
+    ).collect()[0]
+    params = sorted(build_params.items())
+    blob = f"v{INDEX_FORMAT_VERSION}|n={row['n']}|h={row['h']}|{params}"
+    return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
 
 def ann_index_build(
     embeddings: DataFrame,
@@ -72,7 +99,10 @@ def ann_index_build(
         [_lloyds(sample[:, j * sub : (j + 1) * sub], 1 << nbits, seed + j) for j in range(m)]
     )
     _write_encoded(normed, cents, books, path, mode="overwrite")
-    np.savez(os.path.join(path, SIDECAR), cents=cents, books=books)
+    fp = corpus_fingerprint(
+        embeddings, n_cells=n_cells, m=m, nbits=nbits, seed=seed, train_fraction=train_fraction
+    )
+    np.savez(os.path.join(path, SIDECAR), cents=cents, books=books, fingerprint=np.array(fp))
 
 
 def _write_encoded(
@@ -229,15 +259,24 @@ def ann_index_topk(
     """Build-if-absent then search — the registry/bench entry point.
 
     The sidecar's presence marks a completed build (it is written last,
-    after the parquet commit), so a partial/failed build re-runs.
+    after the parquet commit), so a partial/failed build re-runs. The
+    sidecar also carries a corpus+params fingerprint: an index left over
+    from regenerated fixtures, different build params, or an older index
+    format fingerprint-mismatches and is rebuilt rather than silently
+    served stale.
     """
-    if not os.path.exists(os.path.join(index_path, SIDECAR)):
-        build_keys = {"n_cells", "m", "nbits", "seed", "train_fraction"}
-        ann_index_build(
-            embeddings,
-            index_path,
-            **{kw: v for kw, v in kwargs.items() if kw in build_keys},
-        )
+    build_defaults = {"n_cells": 16, "m": 16, "nbits": 4, "seed": 42, "train_fraction": 1.0}
+    build_params = {
+        kw: kwargs.get(kw, default) for kw, default in build_defaults.items()
+    }
+    expected_fp = corpus_fingerprint(embeddings, **build_params)
+    sidecar = os.path.join(index_path, SIDECAR)
+    stored_fp = None
+    if os.path.exists(sidecar):
+        blob = np.load(sidecar)
+        stored_fp = str(blob["fingerprint"]) if "fingerprint" in blob.files else None
+    if stored_fp != expected_fp:
+        ann_index_build(embeddings, index_path, **build_params)
     search_keys = {"n_probe", "oversample"}
     return ann_index_search(
         embeddings.sparkSession,

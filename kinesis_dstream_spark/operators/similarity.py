@@ -380,8 +380,15 @@ def _make_adc_udf(lut_by_qid: dict[int, np.ndarray], m: int):
     @F.pandas_udf(DoubleType())
     def adc_udf(qid: pd.Series, codes: pd.Series) -> pd.Series:
         c = np.stack(codes.to_numpy())  # (batch, m)
-        idx = np.searchsorted(qids_sorted, qid.to_numpy())
-        out = lut_stack[idx[:, None], cols[None, :], c].sum(axis=1)
+        q = qid.to_numpy()
+        idx = np.searchsorted(qids_sorted, q)
+        # fail fast on a qid with no LUT: an unclamped searchsorted would
+        # silently gather a neighboring query's LUT (or index past the end)
+        idx_safe = np.minimum(idx, len(qids_sorted) - 1)
+        if not np.array_equal(qids_sorted[idx_safe], q):
+            unknown = sorted(set(q[qids_sorted[idx_safe] != q].tolist()))
+            raise ValueError(f"ADC batch contains qids with no LUT: {unknown[:5]}")
+        out = lut_stack[idx_safe[:, None], cols[None, :], c].sum(axis=1)
         return pd.Series(out)
 
     return adc_udf

@@ -157,7 +157,15 @@ def streaming_poll_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Python streaming sources don't support Trigger.AvailableNow (Spark
     # falls back to a single micro-batch), so drain explicitly: run with a
-    # fast processing-time trigger until the cursor stops advancing.
+    # fast processing-time trigger until every fixture row has landed.
+    # The fixture is bounded, so the expected total is knowable upfront
+    # (metadata-only parquet count) — draining to that count is fully
+    # deterministic, where the old wall-clock "count stable for N polls"
+    # heuristic could end early on any >0.75s micro-batch stall and yield
+    # a partial, flaky result. (Engine-idle signals don't work here:
+    # Spark emits no progress events for dataless triggers, so
+    # numInputRows==0 batches never appear.)
+    expected = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     name = "stream_poll_scan"
     q = (
         ev.writeStream.format("memory")
@@ -167,14 +175,11 @@ def streaming_poll_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     try:
-        # drain: wait for the first rows to land (startup can take a few
-        # seconds), then stop once the count is stable for 4 polls.
         deadline = time.time() + 120
-        stable, last = 0, -1
-        while stable < 3 and time.time() < deadline:
+        while time.time() < deadline:
+            if spark.table(name).count() >= expected:
+                break
             time.sleep(0.25)
-            n = spark.table(name).count()
-            stable, last = (stable + 1, n) if (n == last and n > 0) else (0, n)
     finally:
         q.stop()
         q.awaitTermination(30)

@@ -191,6 +191,65 @@ def test_ann_index_scan_is_partition_pruned(spark, sf_dir, tmp_path):
     assert os.path.exists(os.path.join(path, ann_index.SIDECAR))
 
 
+def test_ann_index_stale_fingerprint_triggers_rebuild(spark, sf_dir, tmp_path):
+    """A persisted index whose sidecar fingerprint no longer matches the
+    corpus+params (regenerated fixtures, changed build params, older
+    format) is rebuilt instead of silently served stale."""
+    import os
+
+    import numpy as np
+
+    from kinesis_dstream_spark.operators import ann_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "idx")
+    # Build on a 2/3 subset (simulating an old fixture generation)...
+    n = emb.count()
+    old = emb.filter(F.col("vec_id") < 2 * n // 3)
+    ann_index.ann_index_topk(old, path, n_queries=3, k=3).collect()
+    assert spark.read.parquet(path).count() == old.count()
+    # ...then serve the full corpus through the same path: fingerprint
+    # mismatch must force a rebuild that includes every vector.
+    ann_index.ann_index_topk(emb, path, n_queries=3, k=3).collect()
+    assert spark.read.parquet(path).count() == n
+    # Same corpus + same params: sidecar mtime unchanged ⇒ no rebuild.
+    sidecar = os.path.join(path, ann_index.SIDECAR)
+    mtime = os.path.getmtime(sidecar)
+    ann_index.ann_index_topk(emb, path, n_queries=3, k=3).collect()
+    assert os.path.getmtime(sidecar) == mtime
+    # Changed build params ⇒ rebuild (fingerprint includes params).
+    ann_index.ann_index_topk(emb, path, n_queries=3, k=3, n_cells=8).collect()
+    assert os.path.getmtime(sidecar) > mtime
+    blob = np.load(sidecar)
+    assert blob["cents"].shape[0] == 8
+
+
+def test_adc_udf_rejects_unknown_qid(spark):
+    """An ADC batch with a qid missing from the LUT stack must fail fast,
+    not silently gather a neighboring query's LUT."""
+    import numpy as np
+
+    from kinesis_dstream_spark.operators.similarity import _make_adc_udf
+
+    m, nbits = 4, 2
+    luts = {1: np.ones((m, 1 << nbits)), 5: 2 * np.ones((m, 1 << nbits))}
+    udf = _make_adc_udf(luts, m)
+    df = spark.createDataFrame(
+        [(1, [0, 1, 2, 3]), (3, [0, 0, 0, 0]), (9, [1, 1, 1, 1])],
+        "qid long, codes array<int>",
+    )
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception, match="no LUT|PythonException") as exc:
+        df.select(udf("qid", "codes").alias("s")).collect()
+    assert "no LUT" in str(exc.value)
+    # known qids alone score fine
+    ok = spark.createDataFrame([(1, [0, 1, 2, 3]), (5, [0, 0, 0, 0])], "qid long, codes array<int>")
+    rows = {r.qid: r.s for r in ok.select("qid", udf("qid", "codes").alias("s")).collect()}
+    assert rows[1] == m * 1.0 and rows[5] == m * 2.0
+
+
 def test_pq_encode_shapes(spark, sf_dir):
     """Codes are length-m int arrays in [0, 2^nbits); codebooks are
     (m, 2^nbits, dim/m)."""

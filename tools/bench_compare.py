@@ -34,11 +34,15 @@ def main() -> None:
         total_old += a
         total_new += b
         sign = "+" if b > a else ""
-        print(f"| {q} | {a:.3f} | {b:.3f} | {sign}{(b - a) / a * 100:.0f}% |")
+        delta = f"{sign}{(b - a) / a * 100:.0f}%" if a > 0 else "n/a"
+        print(f"| {q} | {a:.3f} | {b:.3f} | {delta} |")
     sign = "+" if total_new > total_old else ""
+    total_delta = (
+        f"{sign}{(total_new - total_old) / total_old * 100:.0f}%" if total_old > 0 else "n/a"
+    )
     print(
         f"| **shared total ({len(shared)})** | {total_old:.3f} | {total_new:.3f} "
-        f"| {sign}{(total_new - total_old) / total_old * 100:.0f}% |"
+        f"| {total_delta} |"
     )
     added, removed = sorted(set(nq) - set(oq)), sorted(set(oq) - set(nq))
     if added:
