@@ -222,7 +222,10 @@ def grouped_sample(documents: DataFrame, n_per_group: int = 20) -> DataFrame:
 
 
 def pack_sequences(
-    documents: DataFrame, budget_tokens: int = 512, n_shards: int = 8
+    documents: DataFrame,
+    budget_tokens: int = 512,
+    n_shards: int = 8,
+    merges: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """Sequential sequence packing: assign documents to fixed-token-budget
     training bins (the pretraining batch-packing stage).
@@ -240,8 +243,19 @@ def pack_sequences(
     independent sort of |corpus|/n_shards rows, and the follow-up bin
     aggregation reuses the same shard-prefixed key. No global sort, no
     single-partition window.
+
+    ``merges``: pass learned BPE merges (``operators/bpe.fit_bpe``) to
+    budget bins in REAL tokenizer tokens instead of whitespace words —
+    the count the training batch actually pays for. Whitespace stays the
+    default so the oracle-backed registry shape is unchanged.
     """
     toks = tokens(F.col("text"))
+    if merges is not None:
+        from kinesis_dstream_spark.operators.bpe import bpe_count_udf
+
+        n_tok_col = bpe_count_udf(merges)(F.col("text"))
+    else:
+        n_tok_col = F.size(toks).cast("long")
     shard = (
         F.conv(
             F.substring(
@@ -252,9 +266,7 @@ def pack_sequences(
         ).cast("long")
         % n_shards
     )
-    per_doc = documents.select(
-        "doc_id", shard.alias("shard"), F.size(toks).cast("long").alias("n_tok")
-    )
+    per_doc = documents.select("doc_id", shard.alias("shard"), n_tok_col.alias("n_tok"))
     w = (
         Window.partitionBy("shard")
         .orderBy("doc_id")

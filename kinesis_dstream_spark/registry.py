@@ -2139,6 +2139,19 @@ def _q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     return curation.pack_sequences(load_table(spark, sf, "documents"))
 
 
+def _q_bpe_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.operators import bpe
+
+    return bpe.bpe_token_stats(load_table(spark, sf, "documents"))
+
+
+def _q_bpe_pack(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.operators import bpe
+
+    docs = load_table(spark, sf, "documents")
+    return curation.pack_sequences(docs, merges=bpe.fit_bpe(docs))
+
+
 _SQL_PACK_SEQUENCES = f"""
 WITH per_doc AS (
   SELECT doc_id,
@@ -2316,6 +2329,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "domain_mix_sample": (_q_domain_mix, _SQL_DOMAIN_MIX),
     "pack_sequences": (_q_pack_sequences, _SQL_PACK_SEQUENCES),
     "grouped_sample": (_q_grouped_sample, _SQL_GROUPED_SAMPLE),
+    # real learned-merge BPE (merges are trained state — no SQL oracle;
+    # exactness pinned by the pure-Python model check in tests/test_bpe.py)
+    "bpe_token_stats": (_q_bpe_stats, None),
+    "bpe_pack_sequences": (_q_bpe_pack, None),
     # scalar-function / UDF showcases (E-2, E-8, E-14)
     "scalar_functions_showcase": (_q_scalar_fns, _SQL_SCALAR_FNS),
     "date_functions_showcase": (_q_date_fns, _SQL_DATE_FNS),
