@@ -157,6 +157,65 @@ def ann_index_append(embeddings: DataFrame, path: str) -> None:
     _write_encoded(normed, blob["cents"], blob["books"], path, mode="append")
 
 
+def ann_index_compact(
+    spark: SparkSession, path: str, max_files_per_cell: int = 4
+) -> dict[str, int]:
+    """Rewrite cells whose parquet file count exceeds the threshold.
+
+    ``ann_index_append`` adds one file per cell per ingest batch, so a
+    daily-append index accumulates unbounded small files — the classic
+    streaming-ingest file-count problem. Compaction repartitions each
+    oversized cell's rows to a single file and commits via Spark's
+    *dynamic* partition overwrite, which replaces ONLY the partitions
+    present in the written data; untouched cells' files are never
+    rewritten, so compaction cost is bounded by the oversized cells'
+    data volume, not the index size. The rows are localCheckpoint-ed
+    before the overwrite so the read plan no longer depends on the files
+    the commit is about to replace (self-overwrite hazard). Codebooks
+    and the sidecar fingerprint are untouched — compaction changes the
+    file layout, never the index content (pytest asserts identical
+    search results before/after).
+
+    Returns ``{"cells_compacted": n, "files_before": a, "files_after": b}``.
+    """
+    oversized = [
+        int(entry.split("=", 1)[1])
+        for entry in os.listdir(path)
+        if entry.startswith("cell=")
+        and _n_parquet_files(os.path.join(path, entry)) > max_files_per_cell
+    ]
+    files_before = _n_parquet_files(path)
+    if not oversized:
+        return {"cells_compacted": 0, "files_before": files_before, "files_after": files_before}
+
+    rows = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(oversized))
+        .repartition("cell")
+        .localCheckpoint()
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        rows.write.partitionBy("cell").mode("overwrite").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return {
+        "cells_compacted": len(oversized),
+        "files_before": files_before,
+        "files_after": _n_parquet_files(path),
+    }
+
+
+def _n_parquet_files(root: str) -> int:
+    return sum(
+        1
+        for dirpath, _, names in os.walk(root)
+        for f in names
+        if f.endswith(".parquet")
+    )
+
+
 def ann_index_search(
     spark: SparkSession,
     path: str,

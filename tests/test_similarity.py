@@ -191,6 +191,45 @@ def test_ann_index_scan_is_partition_pruned(spark, sf_dir, tmp_path):
     assert os.path.exists(os.path.join(path, ann_index.SIDECAR))
 
 
+def test_ann_index_compaction_preserves_results(spark, sf_dir, tmp_path):
+    """Repeated appends accumulate small files per cell; compaction must
+    drop the file count without changing a single search result."""
+    import os
+
+    from kinesis_dstream_spark.operators import ann_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    path = str(tmp_path / "idx")
+    ann_index.ann_index_build(emb.filter(F.col("vec_id") < n // 4), path, n_cells=4)
+    for i in range(1, 4):
+        ann_index.ann_index_append(
+            emb.filter(
+                (F.col("vec_id") >= i * n // 4) & (F.col("vec_id") < (i + 1) * n // 4)
+            ),
+            path,
+        )
+    before = sorted(
+        map(tuple, ann_index.ann_index_search(spark, path, n_queries=5, k=5).collect())
+    )
+    files_before = ann_index._n_parquet_files(path)
+    stats = ann_index.ann_index_compact(spark, path, max_files_per_cell=1)
+    assert stats["cells_compacted"] > 0
+    assert stats["files_after"] < files_before
+    # one file per compacted cell
+    for entry in os.listdir(path):
+        if entry.startswith("cell="):
+            assert ann_index._n_parquet_files(os.path.join(path, entry)) == 1
+    after = sorted(
+        map(tuple, ann_index.ann_index_search(spark, path, n_queries=5, k=5).collect())
+    )
+    assert after == before
+    assert spark.read.parquet(path).count() == 4 * (n // 4)
+    # idempotent: a second compact is a no-op
+    again = ann_index.ann_index_compact(spark, path, max_files_per_cell=1)
+    assert again["cells_compacted"] == 0
+
+
 def test_ann_index_stale_fingerprint_triggers_rebuild(spark, sf_dir, tmp_path):
     """A persisted index whose sidecar fingerprint no longer matches the
     corpus+params (regenerated fixtures, changed build params, older
