@@ -86,23 +86,60 @@ def ann_index_build(
     I/O behavior already matches that split (parquet column pruning).
     """
     normed = _normalized(embeddings).select("vec_id", "unit")
+    cents, books = _fit_codebooks(normed, n_cells, m, nbits, seed, train_fraction)
+    _write_encoded(normed, cents, books, path, mode="overwrite")
+    fp = corpus_fingerprint(
+        embeddings, n_cells=n_cells, m=m, nbits=nbits, seed=seed, train_fraction=train_fraction
+    )
+    np.savez(os.path.join(path, SIDECAR), cents=cents, books=books, fingerprint=np.array(fp))
+
+
+def _fit_codebooks(
+    normed: DataFrame,
+    n_cells: int,
+    m: int,
+    nbits: int,
+    seed: int,
+    train_fraction: float,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Bounded-sample fit of coarse + PQ codebooks (shared by build/init)."""
     train = normed.select("unit")
     if train_fraction < 1.0:
         train = train.sample(withReplacement=False, fraction=train_fraction, seed=seed)
     sample = np.stack(train.limit(DEFAULT_TRAIN_CAP).toPandas()["unit"].to_numpy())
     dim = sample.shape[1]
     if dim % m:
-        raise ValueError(f"ann_index_build: dim {dim} not divisible by m={m}")
+        raise ValueError(f"ann_index codebook fit: dim {dim} not divisible by m={m}")
     sub = dim // m
     cents = _lloyds(sample, n_cells, seed)
     books = np.stack(
         [_lloyds(sample[:, j * sub : (j + 1) * sub], 1 << nbits, seed + j) for j in range(m)]
     )
-    _write_encoded(normed, cents, books, path, mode="overwrite")
-    fp = corpus_fingerprint(
-        embeddings, n_cells=n_cells, m=m, nbits=nbits, seed=seed, train_fraction=train_fraction
-    )
-    np.savez(os.path.join(path, SIDECAR), cents=cents, books=books, fingerprint=np.array(fp))
+    return cents, books
+
+
+def ann_index_init(
+    embeddings: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    m: int = 16,
+    nbits: int = 4,
+    seed: int = 42,
+    train_fraction: float = 1.0,
+) -> None:
+    """Train codebooks and write ONLY the sidecar — zero rows ingested.
+
+    The streaming-ingest bootstrap: codebooks come from a bounded sample
+    of a representative batch corpus (same fit as ``ann_index_build``,
+    so a fully-drained streaming ingest is bit-identical to a batch
+    build); rows then arrive via ``ann_index_append`` under these frozen
+    codebooks. No fingerprint is stored — a growing index has no fixed
+    corpus to fingerprint; its lifecycle is owned by the ingest job.
+    """
+    normed = _normalized(embeddings).select("vec_id", "unit")
+    cents, books = _fit_codebooks(normed, n_cells, m, nbits, seed, train_fraction)
+    os.makedirs(path, exist_ok=True)
+    np.savez(os.path.join(path, SIDECAR), cents=cents, books=books)
 
 
 def _write_encoded(

@@ -2139,6 +2139,12 @@ def _q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     return curation.pack_sequences(load_table(spark, sf, "documents"))
 
 
+def _q_stream_ann_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.streaming import jobs
+
+    return jobs.streaming_ann_index_ingest(spark, sf)
+
+
 def _q_bpe_stats(spark: SparkSession, sf: str) -> DataFrame:
     from kinesis_dstream_spark.operators import bpe
 
@@ -2357,6 +2363,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "streaming_changelog_merge": (_q_stream_changelog_merge, _SQL_CHANGELOG),
     "streaming_stream_stream_join": (_q_stream_stream_join, _SQL_STREAM_STREAM_JOIN),
     "streaming_user_streaks": (_q_stream_streaks, _SQL_STREAKS),
+    # streaming ingestion into the persisted ANN index (rows-only: PQ/ADC
+    # is not SQL-expressible; pytest pins batch-equivalence + replay safety)
+    "streaming_ann_index_ingest": (_q_stream_ann_ingest, None),
 }
 
 

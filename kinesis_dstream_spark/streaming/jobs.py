@@ -462,6 +462,83 @@ def streaming_changelog_merge(
     )
 
 
+def _embeddings_multifile_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
+    """Stage the embeddings fixture as an n-file parquet dir so the file
+    stream delivers multiple micro-batches (maxFilesPerTrigger=1); the
+    single-file fixture would otherwise drain in one batch and never
+    exercise the append/replay machinery."""
+    tag = sf_dir.strip("/").replace("/", "_")
+    d = os.path.join(tempfile.gettempdir(), f"kds_stream_{tag}", f"embeddings_x{n_files}")
+    if not os.path.exists(os.path.join(d, "_SUCCESS")):
+        load_table(spark, sf_dir, "embeddings").repartition(n_files).write.mode(
+            "overwrite"
+        ).parquet(d)
+    return d
+
+
+def streaming_ann_index_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    index_path: str | None = None,
+    checkpoint_dir: str | None = None,
+    n_files: int = 4,
+) -> DataFrame:
+    """Streaming ingestion into the persisted ANN index (O-1 ∘ E-11):
+    the reference's poll→sink loop with the cell-partitioned index as
+    the sink.
+
+    Lifecycle: ``ann_index_init`` bootstraps codebooks once from a
+    bounded sample of the batch corpus (frozen thereafter — the daily
+    ingest never retrains); each micro-batch then (1) dedups on vec_id
+    inside the batch, (2) anti-joins the already-ingested ids, and
+    (3) ``ann_index_append``s the remainder. Step 2 makes replay safe:
+    appends are not idempotent on their own, so a batch re-delivered
+    after a crash-before-checkpoint (or a full re-run against the same
+    index) adds zero duplicate rows — pytest drains the stream twice
+    and asserts the index is unchanged.
+
+    Scale shape: the anti-join reads ONLY the index's vec_id column
+    (parquet column pruning) and broadcasts nothing large; at 100 TB a
+    production sink would swap step 2 for an id bloom-filter sidecar or
+    a Delta/Iceberg MERGE, keeping the same per-batch contract. The
+    drained result is searched with the standard partition-pruned path
+    and equals a batch build bit-for-bit (same codebook fit — pytest
+    batch-equivalence).
+    """
+    from kinesis_dstream_spark.operators import ann_index
+
+    work = tempfile.mkdtemp(prefix="kds_annstream_")
+    index_path = index_path or os.path.join(work, "idx")
+    checkpoint_dir = checkpoint_dir or os.path.join(work, "chk")
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    if not os.path.exists(os.path.join(index_path, ann_index.SIDECAR)):
+        ann_index.ann_index_init(emb, index_path)
+
+    src = _embeddings_multifile_dir(spark, sf_dir, n_files)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.dropDuplicates(["vec_id"])
+        if ann_index._n_parquet_files(index_path):
+            existing = spark.read.parquet(index_path).select("vec_id")
+            batch = batch.join(existing, "vec_id", "left_anti")
+        if not batch.isEmpty():
+            ann_index.ann_index_append(batch, index_path)
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return ann_index.ann_index_search(spark, index_path, n_queries=5, k=5)
+
+
 def streaming_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary stateful processing on the NEWEST API (E-9):
     ``transformWithStateInPandas`` + a ``StatefulProcessor`` keeping one

@@ -279,3 +279,50 @@ def test_tws_user_totals_or_documented_gap(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_ann_index_ingest_matches_batch_build(spark, sf_dir, tmp_path):
+    """A fully-drained streaming ingest must equal a batch index build
+    bit-for-bit: same bounded codebook fit, same frozen codebooks, so
+    every cell assignment, PQ code, and search result coincides."""
+    from kinesis_dstream_spark.operators import ann_index
+    from kinesis_dstream_spark.streaming.jobs import streaming_ann_index_ingest
+    from kinesis_dstream_spark.tables import load_table
+
+    out = streaming_ann_index_ingest(
+        spark,
+        sf_dir,
+        index_path=str(tmp_path / "idx"),
+        checkpoint_dir=str(tmp_path / "chk"),
+    )
+    streamed = sorted(map(tuple, out.collect()))
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    batch_path = str(tmp_path / "batch_idx")
+    ann_index.ann_index_build(emb, batch_path)
+    batch = sorted(
+        map(tuple, ann_index.ann_index_search(spark, batch_path, n_queries=5, k=5).collect())
+    )
+    assert streamed == batch
+    n = emb.count()
+    assert spark.read.parquet(str(tmp_path / "idx")).count() == n
+
+
+def test_streaming_ann_index_ingest_replay_safe(spark, sf_dir, tmp_path):
+    """Appends are not idempotent on their own; the per-batch id
+    anti-join must make them so. Re-running the drained job with the
+    same checkpoint (no new data) AND with a fresh checkpoint (full
+    re-delivery of every file) must both leave the index unchanged."""
+    from kinesis_dstream_spark.streaming.jobs import streaming_ann_index_ingest
+    from kinesis_dstream_spark.tables import load_table
+
+    idx = str(tmp_path / "idx")
+    streaming_ann_index_ingest(spark, sf_dir, index_path=idx, checkpoint_dir=str(tmp_path / "chk"))
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert spark.read.parquet(idx).count() == n
+    # same checkpoint: no new offsets, no appends
+    streaming_ann_index_ingest(spark, sf_dir, index_path=idx, checkpoint_dir=str(tmp_path / "chk"))
+    assert spark.read.parquet(idx).count() == n
+    # fresh checkpoint: every batch re-delivered; anti-join absorbs all of it
+    streaming_ann_index_ingest(spark, sf_dir, index_path=idx, checkpoint_dir=str(tmp_path / "chk2"))
+    assert spark.read.parquet(idx).count() == n
