@@ -729,6 +729,100 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
     )
 
 
+def dedup_clusters_star(
+    pairs: DataFrame, max_iter: int = 20, stats: dict | None = None
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — the round-bounded twin of ``dedup_clusters``.
+
+    Min-label propagation needs O(graph diameter) full-edge rounds: a
+    chain of n near-identical documents (common on boilerplate crawls —
+    each page ~= the next) costs n rounds of join+agg. The star
+    operations instead REWRITE the edge set each round: large-star hangs
+    every larger neighbor directly off its neighborhood minimum,
+    small-star flattens the smaller neighbors, and alternating the two
+    halves the effective height — convergence in O(log n) rounds on any
+    topology. Each round is the same one-join-one-agg shape as a
+    min-label round, so the per-round cost is identical; only the round
+    COUNT changes (pytest pins ~log₂ rounds vs the chain length, and
+    label-for-label equality with ``dedup_clusters``).
+
+    Fixpoint: the edge set is a star forest — every node points at its
+    component minimum. Detected by the (count, Σsrc, Σdst) triple going
+    stationary; the triple strictly shrinks lexicographically while any
+    rewrite happens (dst labels only ever decrease), the same scalar
+    convergence trick the min-label loop uses. ``stats``, when passed,
+    receives {"rounds": n} for observability.
+
+    Returns (doc_id, cluster_rep, cluster_size), identical contract and
+    values to ``dedup_clusters``.
+    """
+    # directed working set; symmetric closure is taken inside large-star
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_sig = None
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        # --- large-star: ∀u, m = min(Γ(u) ∪ {u}); emit (v, m) ∀v ∈ Γ(u), v > u
+        sym = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least(F.col("u"), F.col("mv")).alias("m"))
+        )
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # --- small-star: edges now all point down (v < u); ∀u over its
+        # smaller neighbors N, m = min(N); emit (u, m) and (v, m) ∀v ∈ N\{m}
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        edges = (
+            large.join(mins2, "u")
+            .select(
+                F.when(F.col("v") == F.col("m"), F.col("u"))
+                .otherwise(F.col("v"))
+                .alias("u"),
+                F.col("m").alias("v"),
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        sig = tuple(
+            edges.agg(
+                F.count("*"), F.sum("u"), F.sum("v")
+            ).collect()[0]
+        )
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    if stats is not None:
+        stats["rounds"] = rounds
+    # star forest → labels: members point at their root; roots label themselves
+    members = edges.select(F.col("u").alias("doc_id"), F.col("v").alias("label"))
+    roots = (
+        edges.select("v")
+        .distinct()
+        .select(F.col("v").alias("doc_id"), F.col("v").alias("label"))
+    )
+    labels = members.union(roots).distinct()
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "label").select(
+        "doc_id", F.col("label").alias("cluster_rep"), "cluster_size"
+    )
+
+
 def dedup_edit_distance(
     documents: DataFrame, prefix_len: int = 32, max_dist: int = 60
 ) -> DataFrame:

@@ -1622,6 +1622,11 @@ def _q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.dedup_clusters(dedup.dedup_ngram_jaccard(docs))
 
 
+def _q_dedup_clusters_star(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return dedup.dedup_clusters_star(dedup.dedup_ngram_jaccard(docs))
+
+
 # transitive closure of the exact jaccard pair graph via recursive CTE;
 # cluster rep = component minimum (same fixpoint the iterative min-label
 # propagation reaches on the Spark side)
@@ -2339,6 +2344,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # exactness pinned by the pure-Python model check in tests/test_bpe.py)
     "bpe_token_stats": (_q_bpe_stats, None),
     "bpe_pack_sequences": (_q_bpe_pack, None),
+    # O(log n)-round connected components (same fixpoint as dedup_clusters,
+    # so it shares the recursive-CTE oracle)
+    "dedup_clusters_star": (_q_dedup_clusters_star, _SQL_DEDUP_CLUSTERS),
     # scalar-function / UDF showcases (E-2, E-8, E-14)
     "scalar_functions_showcase": (_q_scalar_fns, _SQL_SCALAR_FNS),
     "date_functions_showcase": (_q_date_fns, _SQL_DATE_FNS),

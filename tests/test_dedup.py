@@ -263,3 +263,34 @@ def test_jaccard_default_cap_is_inert_on_fixture(spark, sf_dir):
         for r in dedup.dedup_ngram_jaccard(docs, max_df=10**9).collect()
     }
     assert capped == uncapped and capped
+
+
+def test_dedup_clusters_star_matches_min_label(spark, sf_dir):
+    """Star-algorithm components must be label-for-label identical to
+    min-label propagation on the fixture's near-dup pair graph."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.dedup_ngram_jaccard(docs)
+    a = sorted(map(tuple, dedup.dedup_clusters(pairs).collect()))
+    b = sorted(map(tuple, dedup.dedup_clusters_star(pairs).collect()))
+    assert a == b and a
+
+
+def test_dedup_clusters_star_logarithmic_rounds_on_chain(spark):
+    """A 48-node chain (the worst case for min-label: diameter rounds)
+    must converge in O(log n) star rounds with the correct single
+    component."""
+    n = 48
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a int, doc_b int"
+    )
+    stats: dict = {}
+    out = dedup.dedup_clusters_star(pairs, max_iter=30, stats=stats).collect()
+    assert {r.doc_id for r in out} == set(range(n))
+    assert all(r.cluster_rep == 0 and r.cluster_size == n for r in out)
+    # log₂(48) ≈ 5.6; allow slack for the alternation + the stationary
+    # confirmation round — but far below the ~47 min-label rounds
+    assert stats["rounds"] <= 12, stats
+    # min-label on the same chain needs ~diameter rounds to reach the
+    # same labels; verify equality at a high-enough cap
+    ml = sorted(map(tuple, dedup.dedup_clusters(pairs, max_iter=60).collect()))
+    assert ml == sorted(map(tuple, out))
