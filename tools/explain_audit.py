@@ -8,11 +8,9 @@ where a side is small, pushed filters on every scan, no stray exchanges.
 
 from __future__ import annotations
 
-import io
 import os
 import re
 import sys
-from contextlib import redirect_stdout
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -57,15 +55,25 @@ AUDIT_DEFAULT = [
 
 
 def audit(name: str, df) -> dict:
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        df.explain("formatted")
-    plan = buf.getvalue()
-    # codegen spans only show as *(n) markers in simple mode
-    buf2 = io.StringIO()
-    with redirect_stdout(buf2):
-        df.explain()
-    simple = buf2.getvalue()
+    # Audit the EXECUTED plan: under AQE the unexecuted explain prints
+    # `AdaptiveSparkPlan isFinalPlan=false` — no codegen ids, and join
+    # strategies may still change at runtime. Run the query first, then
+    # read the finalized plan off the same QueryExecution.
+    df.collect()
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    # The executed AQE explain prints the Final Plan tree, then the
+    # pre-runtime Initial Plan tree, then one detail block per node id
+    # from BOTH trees. Count only the final tree + its nodes' details,
+    # or every metric double-counts.
+    tree = plan.split("== Initial Plan ==")[0]
+    final_ids = set(re.findall(r"\((\d+)\)", tree))
+    details = {
+        m.group(1): m.group(0)
+        for m in re.finditer(r"^\((\d+)\) .*?(?=^\(\d+\) |\Z)", plan, re.M | re.S)
+    }
+    final_detail = "\n".join(t for i, t in details.items() if i in final_ids)
     return {
         "name": name,
         "joins": ",".join(
@@ -74,15 +82,19 @@ def audit(name: str, df) -> dict:
                     re.findall(
                         r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
                         r"BroadcastNestedLoopJoin|CartesianProduct)",
-                        plan,
+                        tree,
                     )
                 )
             )
         )
         or "-",
-        "exchanges": len(re.findall(r"\bExchange\b", plan)),
-        "pushed_scans": len(re.findall(r"PushedFilters: \[[^\]]", plan)),
-        "codegen_spans": len(set(re.findall(r"\*\((\d+)\)", simple))),
+        # distinct node ids: AQE stage reuse renders one physical shuffle
+        # in several subtrees — count it once (it executes once)
+        "exchanges": len(set(re.findall(r"\bExchange \((\d+)\)", tree))),
+        "pushed_scans": len(re.findall(r"PushedFilters: \[[^\]]", final_detail)),
+        # details annotate codegen membership as `[codegen id : N]`;
+        # distinct ids among final-plan nodes = whole-stage codegen spans
+        "codegen_spans": len(set(re.findall(r"codegen id : (\d+)", final_detail))),
         "plan": plan,
     }
 
