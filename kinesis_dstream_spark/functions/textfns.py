@@ -23,8 +23,8 @@ def tokens(text: Column) -> Column:
     return F.split(F.trim(F.regexp_replace(text, r"\s+", " ")), " ")
 
 
-def word_shingles(toks: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles of a token array (native, no UDF).
+def word_shingles(toks: Column, k: int = 3, distinct: bool = True) -> Column:
+    """k-word shingles of a token array (native, no UDF).
 
     Built as k-1 pairwise ``zip_with`` concats over shifted slices of the
     token array — O(n·k) string concats total. (The obvious
@@ -32,6 +32,9 @@ def word_shingles(toks: Column, k: int = 3) -> Column:
     fresh k-array per position inside an interpreted lambda and measured
     ~2x slower at bench scale.) Documents shorter than k tokens produce a
     single whole-document shingle so they still participate in dedup.
+
+    ``distinct=False`` keeps one shingle per POSITION (needed when the
+    consumer counts duplicated spans, not set overlap).
     """
     n = F.size(toks)
     m = F.greatest(n - (k - 1), F.lit(1))  # number of shingles
@@ -40,7 +43,7 @@ def word_shingles(toks: Column, k: int = 3) -> Column:
         nxt = F.slice(toks, j, m)
         acc = F.zip_with(acc, nxt, lambda x, y: F.concat(x, F.lit(" "), y))
     shingled = F.when(n >= k, acc).otherwise(F.array(F.concat_ws(" ", toks)))
-    return F.array_distinct(shingled)
+    return F.array_distinct(shingled) if distinct else shingled
 
 
 def rolling_fingerprint(text: Column) -> Column:

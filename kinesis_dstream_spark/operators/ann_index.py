@@ -260,6 +260,7 @@ def ann_index_search(
     k: int = 5,
     n_probe: int = 4,
     oversample: int = 16,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """Serve top-k from a built index; scans ONLY the probed cells.
 
@@ -270,10 +271,13 @@ def ann_index_search(
     the shortlist rows only, so parquet column pruning keeps float
     vectors out of the wide scan entirely.
 
-    Queries here are taken from the index itself (vec_id < n_queries) to
-    stay self-contained and oracle-comparable; a production entry point
-    would accept an external (q_id, vector) batch — the physics are
-    identical from the probe ranking on.
+    By default queries are taken from the index itself (vec_id <
+    n_queries) to stay self-contained and oracle-comparable; the
+    production entry point passes ``queries`` — an external (q_id,
+    embedding) batch, normalized here, identical physics from the probe
+    ranking on. The query batch is collected to the driver by contract
+    (it is the small side — LUTs ship in the UDF closure), so callers
+    keep batches to control-plane size and loop over mega-batches.
     """
     blob = np.load(os.path.join(path, SIDECAR))
     cents, books = blob["cents"], blob["books"]
@@ -281,12 +285,22 @@ def ann_index_search(
     sub = books.shape[2]
 
     index = spark.read.parquet(path)
-    q_rows = (
-        index.filter(F.col("vec_id") < n_queries)
-        .select("vec_id", "unit")
-        .toPandas()
-        .sort_values("vec_id")
-    )
+    if queries is None:
+        q_rows = (
+            index.filter(F.col("vec_id") < n_queries)
+            .select("vec_id", "unit")
+            .toPandas()
+            .sort_values("vec_id")
+        )
+    else:
+        q_rows = (
+            queries.select(
+                F.col("q_id").alias("vec_id"),
+                V.l2_normalize(F.col("embedding").cast("array<double>")).alias("unit"),
+            )
+            .toPandas()
+            .sort_values("vec_id")
+        )
     q_mat = np.stack(q_rows["unit"].to_numpy())
     q_ids = q_rows["vec_id"].to_numpy()
     probe_order = np.argsort(-(q_mat @ cents.T), axis=1, kind="stable")[:, :n_probe]
@@ -303,14 +317,16 @@ def ann_index_search(
     )
     probed_cells = sorted({int(c) for row in probe_order for c in row})
 
-    # partition-pruned scan: only probed cells' directories are listed/read
+    # partition-pruned scan: only probed cells' directories are listed/read.
+    # Self-queries exclude the query row itself; external query ids live in
+    # their own id space, so no exclusion applies there.
+    join_cond = F.col("cell") == F.col("q_cell")
+    if queries is None:
+        join_cond = join_cond & (F.col("vec_id") != F.col("q_id"))
     pruned = index.filter(F.col("cell").isin(probed_cells))
     adc = (
         pruned.select("vec_id", "cell", "codes")
-        .join(
-            F.broadcast(probes),
-            (F.col("cell") == F.col("q_cell")) & (F.col("vec_id") != F.col("q_id")),
-        )
+        .join(F.broadcast(probes), join_cond)
         .select(
             "q_id",
             F.col("vec_id").alias("c_id"),
@@ -345,14 +361,8 @@ def ann_index_search(
     )
 
 
-def ann_index_topk(
-    embeddings: DataFrame,
-    index_path: str,
-    n_queries: int = 10,
-    k: int = 5,
-    **kwargs,
-) -> DataFrame:
-    """Build-if-absent then search — the registry/bench entry point.
+def ann_index_ensure(embeddings: DataFrame, index_path: str, **kwargs) -> None:
+    """Build-if-absent with staleness detection.
 
     The sidecar's presence marks a completed build (it is written last,
     after the parquet commit), so a partial/failed build re-runs. The
@@ -373,6 +383,61 @@ def ann_index_topk(
         stored_fp = str(blob["fingerprint"]) if "fingerprint" in blob.files else None
     if stored_fp != expected_fp:
         ann_index_build(embeddings, index_path, **build_params)
+
+
+def ann_index_recall_probe(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    path: str,
+    n_queries: int = 20,
+    k: int = 5,
+    n_probe: int = 4,
+    oversample: int = 16,
+) -> DataFrame:
+    """Serving-recall telemetry: recall@k of the persisted index vs the
+    exact brute-force answer on a bounded self-query sample.
+
+    The append path freezes codebooks, so distribution drift silently
+    degrades recall — the documented rebuild trigger is "recall
+    telemetry says so", and this operator IS that telemetry: run it
+    after ingest windows, alert/rebuild when recall_at_k drops below the
+    SLO. Cost is bounded: the exact side is a brute-force pass for
+    n_queries queries only (broadcast query side, corpus scanned once),
+    the approx side is the standard partition-pruned serve.
+
+    Returns one row: (n_queries, k, n_probe, n_hits, n_exact,
+    recall_at_k).
+    """
+    from kinesis_dstream_spark.operators.similarity import ann_bruteforce_topk
+
+    approx = ann_index_search(
+        spark, path, n_queries=n_queries, k=k, n_probe=n_probe, oversample=oversample
+    ).select("q_id", "c_id")
+    exact = ann_bruteforce_topk(embeddings, n_queries=n_queries, k=k).select(
+        "q_id", "c_id"
+    )
+    hits = approx.join(exact, ["q_id", "c_id"]).agg(F.count("*").alias("n_hits"))
+    totals = exact.agg(F.count("*").alias("n_exact"))
+    return hits.crossJoin(totals).select(
+        F.lit(n_queries).alias("n_queries"),
+        F.lit(k).alias("k"),
+        F.lit(n_probe).alias("n_probe"),
+        "n_hits",
+        "n_exact",
+        F.round(F.col("n_hits") / F.col("n_exact"), 4).alias("recall_at_k"),
+    )
+
+
+def ann_index_topk(
+    embeddings: DataFrame,
+    index_path: str,
+    n_queries: int = 10,
+    k: int = 5,
+    **kwargs,
+) -> DataFrame:
+    """Build-if-absent then search — the registry/bench entry point
+    (see ``ann_index_ensure`` for the staleness contract)."""
+    ann_index_ensure(embeddings, index_path, **kwargs)
     search_keys = {"n_probe", "oversample"}
     return ann_index_search(
         embeddings.sparkSession,

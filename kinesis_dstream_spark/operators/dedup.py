@@ -729,6 +729,57 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
     )
 
 
+def dedup_substring(
+    documents: DataFrame, k: int = 8, min_docs: int = 2
+) -> DataFrame:
+    """Duplicated-span detection: per-document fraction of word k-gram
+    positions whose k-gram also occurs in ≥ ``min_docs`` documents —
+    the scalable approximation of exact-substring training-data dedup
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better": suffix-array substring dedup ≈ long-k-gram match).
+
+    Whole-doc dedup misses partially-copied documents (a page quoting a
+    boilerplate paragraph); span-level stats catch them. Shape: one
+    explode to per-POSITION k-grams (not the distinct shingle set), one
+    aggregation shuffle on the gram key for document frequency, one
+    equi-join of the gram stream against the duplicated keys, one
+    per-doc reaggregation. The gram string itself never rides a
+    shuffle — keys are xxhash64(gram) (8 bytes vs ~50; collision odds
+    n²/2⁶⁵ are negligible below ~10¹² distinct grams, and a collision
+    only perturbs one count, never correctness of the pipeline gate).
+    At 100 TB this is the same two-shuffle + equi-join posture as
+    ``contamination_check``, except the dup-key side is corpus-derived
+    (not broadcastable by definition) — so it stays a shuffle join on
+    8-byte keys, the cheapest join this computation can possibly have.
+
+    Returns (doc_id, n_grams, n_dup_grams, dup_frac) for documents with
+    at least one duplicated span.
+    """
+    toks = tokens(F.col("text"))
+    grams = documents.select(
+        "doc_id",
+        F.explode(word_shingles(toks, k, distinct=False)).alias("gram"),
+    ).select("doc_id", F.xxhash64("gram").alias("g"))
+    dup_keys = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("g")
+    )
+    totals = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    dups = (
+        grams.join(dup_keys, "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_dup_grams"))
+    )
+    return totals.join(dups, "doc_id").select(
+        "doc_id",
+        "n_grams",
+        "n_dup_grams",
+        F.round(F.col("n_dup_grams") / F.col("n_grams"), 4).alias("dup_frac"),
+    )
+
+
 def dedup_clusters_star(
     pairs: DataFrame, max_iter: int = 20, stats: dict | None = None
 ) -> DataFrame:

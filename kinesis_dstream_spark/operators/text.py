@@ -266,6 +266,40 @@ def bpe_token_counts(documents: DataFrame) -> DataFrame:
     )
 
 
+def normalize_text_stats(documents: DataFrame) -> DataFrame:
+    """Text-normalization stage stats: lowercase, strip non-letter/digit
+    runs (unicode property classes, so CJK/accents survive), collapse
+    whitespace — the canonicalization pass that runs before hashing,
+    shingling, or tokenizing a crawl.
+
+    Shuffle shape: per-doc JVM column expressions + one small
+    groupBy(lang) aggregate — cost is parquet read throughput. The
+    regexes are deliberately RE2-portable (``\\p{L}``/``\\p{N}``, no
+    lookarounds) so DuckDB reproduces every byte of the normalized
+    output (oracle-checked).
+    """
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^\p{L}\p{N}\s]+", " "),
+            r"\s+",
+            " ",
+        )
+    )
+    per_doc = documents.select(
+        "lang",
+        F.length("text").alias("len_raw"),
+        F.length(norm).alias("len_norm"),
+        (norm != F.col("text")).cast("int").alias("changed"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("changed").alias("n_changed"),
+        F.sum("len_raw").alias("total_chars_raw"),
+        F.sum("len_norm").alias("total_chars_norm"),
+        F.round(F.sum("len_norm") / F.sum("len_raw"), 4).alias("keep_ratio"),
+    )
+
+
 def deterministic_split(documents: DataFrame, val_pct: int = 10, test_pct: int = 10) -> DataFrame:
     """Reproducible train/val/test assignment by content-stable hash.
 

@@ -620,6 +620,16 @@ def _q_ann_index(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_ann_recall_probe(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.operators import ann_index
+
+    emb = load_table(spark, sf, "embeddings")
+    tag = sf.strip("/").replace("/", "_")
+    path = f"/tmp/kds_ann_index_{tag}"
+    ann_index.ann_index_ensure(emb, path)
+    return ann_index.ann_index_recall_probe(spark, emb, path)
+
+
 # DuckDB twin of the posexplode/groupBy centroid: parallel unnests zip
 # (pos, x) per row, avg per (label, pos), list(... ORDER BY pos) rebuilds
 # the centroid, list_cosine_similarity scores each vector against its own
@@ -1549,6 +1559,58 @@ WHERE levenshtein(a.text, c.text) <= 60
 """
 
 
+def _q_normalize_text(spark: SparkSession, sf: str) -> DataFrame:
+    return text.normalize_text_stats(load_table(spark, sf, "documents"))
+
+
+_SQL_NORMALIZE_TEXT = r"""
+WITH n AS (
+  SELECT lang,
+         length(text) AS len_raw,
+         trim(regexp_replace(regexp_replace(lower(text),
+              '[^\p{L}\p{N}\s]+', ' ', 'g'), '\s+', ' ', 'g')) AS norm,
+         text
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       sum(CASE WHEN norm <> text THEN 1 ELSE 0 END) AS n_changed,
+       sum(len_raw) AS total_chars_raw,
+       sum(length(norm)) AS total_chars_norm,
+       round(sum(length(norm)) / CAST(sum(len_raw) AS DOUBLE), 4) AS keep_ratio
+FROM n GROUP BY lang
+"""
+
+
+def _q_dedup_substring(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.dedup_substring(load_table(spark, sf, "documents"))
+
+
+# DuckDB twin keys on the raw gram strings where Spark ships
+# xxhash64(gram) — identical counts unless xxhash64 collides (odds
+# n²/2⁶⁵; zero at fixture scale). Short docs (<8 words) collapse to a
+# single whole-document gram on both sides.
+_SQL_DEDUP_SUBSTRING = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKS.format(col='text')} AS t FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - 7, 1) + 1),
+                               i -> array_to_string(t[i:i+7], ' '))) AS gram
+  FROM toks
+), dup AS (
+  SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+), tot AS (
+  SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id
+), dups AS (
+  SELECT doc_id, count(*) AS n_dup_grams FROM g JOIN dup USING (gram)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_grams, n_dup_grams,
+       round(n_dup_grams / n_grams, 4) AS dup_frac
+FROM tot JOIN dups USING (doc_id)
+"""
+
+
 def _q_udtf_tokens(spark: SparkSession, sf: str) -> DataFrame:
     from kinesis_dstream_spark.operators import udfs
 
@@ -2331,6 +2393,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "ann_ivf_pq_topk": (_q_ann_ivf_pq, None),
     # persisted index twin: cell-partitioned parquet, partition-pruned serving
     "ann_index_topk": (_q_ann_index, None),
+    # serving-recall telemetry (the documented rebuild trigger for the
+    # frozen-codebook append path; recall floor + probe monotonicity in pytest)
+    "ann_index_recall_probe": (_q_ann_recall_probe, None),
     # end-to-end curation composite (quality gate -> dedup -> split -> budget)
     "corpus_curation": (_q_corpus_curation, _SQL_CORPUS_CURATION),
     # corpus-relative curation stages (operators/curation.py)
@@ -2347,6 +2412,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # O(log n)-round connected components (same fixpoint as dedup_clusters,
     # so it shares the recursive-CTE oracle)
     "dedup_clusters_star": (_q_dedup_clusters_star, _SQL_DEDUP_CLUSTERS),
+    # span-level duplicated-substring stats (oracle keys on raw grams
+    # where Spark ships xxhash64 keys)
+    "dedup_substring": (_q_dedup_substring, _SQL_DEDUP_SUBSTRING),
+    # canonicalization pass before hashing/shingling/tokenizing
+    "normalize_text_stats": (_q_normalize_text, _SQL_NORMALIZE_TEXT),
     # scalar-function / UDF showcases (E-2, E-8, E-14)
     "scalar_functions_showcase": (_q_scalar_fns, _SQL_SCALAR_FNS),
     "date_functions_showcase": (_q_date_fns, _SQL_DATE_FNS),

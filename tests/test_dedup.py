@@ -294,3 +294,22 @@ def test_dedup_clusters_star_logarithmic_rounds_on_chain(spark):
     # same labels; verify equality at a high-enough cap
     ml = sorted(map(tuple, dedup.dedup_clusters(pairs, max_iter=60).collect()))
     assert ml == sorted(map(tuple, out))
+
+
+def test_dedup_substring_detects_shared_spans(spark):
+    """A paragraph copied between two documents must surface as
+    duplicated k-gram positions in both; a unique doc must not."""
+    shared = " ".join(f"w{i}" for i in range(12))  # 12 words > k=8
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma", "en", "src0"),
+            (2, f"{shared} delta epsilon zeta", "en", "src0"),
+            (3, "totally unrelated text with enough words to form grams here ok", "en", "src0"),
+        ],
+        "doc_id int, text string, lang string, source string",
+    )
+    rows = {r.doc_id: r for r in dedup.dedup_substring(docs, k=8).collect()}
+    assert set(rows) == {1, 2}  # doc 3 shares nothing
+    for d in (1, 2):
+        assert rows[d].n_dup_grams >= 5  # the 12-word span yields 5 shared 8-grams
+        assert 0 < rows[d].dup_frac <= 1

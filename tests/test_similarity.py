@@ -289,6 +289,58 @@ def test_adc_udf_rejects_unknown_qid(spark):
     assert rows[1] == m * 1.0 and rows[5] == m * 2.0
 
 
+def test_ann_index_external_queries_match_self_queries(spark, sf_dir, tmp_path):
+    """The production entry point (external (q_id, embedding) batch)
+    must return exactly what self-querying the same vectors returns —
+    modulo the self-exclusion rule, which only applies to self-queries."""
+    from kinesis_dstream_spark.operators import ann_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "idx")
+    ann_index.ann_index_build(emb, path)
+    self_rows = ann_index.ann_index_search(spark, path, n_queries=5, k=5).collect()
+    ext = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1000).alias("q_id"), "embedding"
+    )
+    ext_rows = ann_index.ann_index_search(spark, path, k=5, queries=ext).collect()
+    # external ids are offset by 1000 and include the query vector itself
+    # (it lives in the index under a different id) as its own top-1
+    got = {}
+    for r in ext_rows:
+        got.setdefault(r.q_id - 1000, []).append((r.rk, r.c_id))
+    for q in range(5):
+        ranked = [c for _, c in sorted(got[q])]
+        assert ranked[0] == q  # the identical vector is the 1-NN
+    want = {(r.q_id, r.c_id) for r in self_rows}
+    # self-results (which exclude the query row) must be a subset of the
+    # external results shifted down one rank
+    ext_pairs = {(r.q_id - 1000, r.c_id) for r in ext_rows if r.c_id != r.q_id - 1000}
+    assert len(want & ext_pairs) >= int(0.8 * len(want))
+
+
+def test_ann_index_recall_probe_floor_and_monotone(spark, sf_dir, tmp_path):
+    """Recall telemetry: one row, recall in (0,1], >=0.6 at defaults,
+    non-decreasing in n_probe."""
+    from kinesis_dstream_spark.operators import ann_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "idx")
+    ann_index.ann_index_build(emb, path, n_cells=8)
+
+    def recall(n_probe):
+        rows = ann_index.ann_index_recall_probe(
+            spark, emb, path, n_queries=10, k=5, n_probe=n_probe
+        ).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r.n_exact == 50 and 0 < r.recall_at_k <= 1
+        return r.recall_at_k
+
+    r_default = recall(4)
+    assert r_default >= 0.6
+    assert recall(8) >= r_default
+
+
 def test_pq_encode_shapes(spark, sf_dir):
     """Codes are length-m int arrays in [0, 2^nbits); codebooks are
     (m, 2^nbits, dim/m)."""
