@@ -16,6 +16,7 @@ mandated LLM-pipeline extension surface, not reference parity.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -218,6 +219,156 @@ def grouped_sample(documents: DataFrame, n_per_group: int = 20) -> DataFrame:
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= n_per_group)
         .select("source", "doc_id", "rk")
+    )
+
+
+def materialize_corpus(
+    documents: DataFrame,
+    out_dir: str,
+    val_pct: int = 10,
+    test_pct: int = 10,
+    max_records_per_file: int = 1_000_000,
+) -> DataFrame:
+    """Materialize the curated corpus as a partitioned parquet table and
+    return its manifest — the final "write the training data" step.
+
+    Layout: ``partitionBy(split, lang)`` so downstream training jobs
+    partition-prune to exactly the split+language they read, with
+    ``maxRecordsPerFile`` bounding file sizes (the write-side analog of
+    the small-files problem the ANN compactor solves on ingest). Split
+    assignment reuses the content-stable md5 recipe of
+    ``deterministic_split`` — re-materializing never moves a document
+    between splits. The manifest is computed from the WRITTEN table
+    (read back post-write), so it certifies what landed on disk, not
+    what was intended — and the DuckDB oracle recomputes the same
+    numbers from the source table, closing the loop end-to-end.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < test_pct, F.lit("test"))
+        .when(bucket < test_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    (
+        documents.withColumn("split", split)
+        .write.partitionBy("split", "lang")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .mode("overwrite")
+        .parquet(out_dir)
+    )
+    written = documents.sparkSession.read.parquet(out_dir)
+    return written.groupBy("split", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )
+
+
+DEFAULT_CLF_FEATURES = 1 << 18
+
+
+def fit_quality_classifier(
+    documents: DataFrame,
+    positive_source: str = "src0",
+    n_features: int = DEFAULT_CLF_FEATURES,
+    epochs: int = 5,
+    lr: float = 0.5,
+    train_cap: int = 50_000,
+    seed: int = 42,
+):
+    """Train a fasttext-style linear quality classifier on a bounded
+    sample (CCNet recipe: positives = a trusted source, negatives =
+    the rest; at production the caller passes real curated labels).
+
+    Same bounded-fit shape as the codebooks and BPE: ``limit(cap)``
+    collect of (text, label) to the driver, hashed bag-of-words
+    features (crc32 mod n_features — process-stable, reproducible in
+    any language), seeded SGD logistic regression in numpy. The weight
+    vector (n_features doubles ≈ 2 MB) broadcasts in the scoring UDF's
+    closure. Returns the weight vector + bias.
+    """
+    import zlib
+
+    import numpy as np
+
+    rows = (
+        documents.select(
+            "text", (F.col("source") == positive_source).cast("int").alias("y")
+        )
+        .limit(train_cap)
+        .toPandas()
+    )
+    w = np.zeros(n_features)
+    b = 0.0
+    rng = np.random.RandomState(seed)
+    feats = []
+    for t in rows["text"]:
+        toks = (t or "").lower().split()
+        idx = np.array(
+            [zlib.crc32(tok.encode()) % n_features for tok in toks] or [0],
+            dtype=np.int64,
+        )
+        feats.append((idx, 1.0 / len(idx)))
+    y = rows["y"].to_numpy()
+    order = np.arange(len(rows))
+    for _ in range(epochs):
+        rng.shuffle(order)
+        for i in order:
+            idx, val = feats[i]
+            p = 1.0 / (1.0 + np.exp(-(w[idx].sum() * val + b)))
+            g = lr * (y[i] - p)
+            # np.add.at, not fancy-index +=: a token appearing twice in a
+            # doc must contribute two gradient increments (buffered
+            # fancy-index assignment silently collapses duplicates)
+            np.add.at(w, idx, g * val)
+            b += g
+    return w, b
+
+
+def quality_classifier_scores(
+    documents: DataFrame,
+    positive_source: str = "src0",
+    n_features: int = DEFAULT_CLF_FEATURES,
+    **fit_kwargs,
+) -> DataFrame:
+    """Score the corpus with the trained classifier; report per-source
+    calibration (the model should rank the positive source highest).
+
+    Scoring is one Arrow pass; the featurizer is the same crc32 hash as
+    training, so train/serve skew is structurally impossible. Rows-only
+    in the registry (learned weights have no SQL oracle); pytest pins
+    source separation and determinism.
+    """
+    import zlib
+
+    import numpy as np
+    from pyspark.sql.types import DoubleType
+
+    w, b = fit_quality_classifier(
+        documents, positive_source, n_features, **fit_kwargs
+    )
+
+    @F.pandas_udf(DoubleType())
+    def score(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = (t or "").lower().split()
+            idx = np.array(
+                [zlib.crc32(tok.encode()) % n_features for tok in toks] or [0],
+                dtype=np.int64,
+            )
+            out.append(1.0 / (1.0 + np.exp(-(w[idx].sum() / len(idx) + b))))
+        return pd.Series(out)
+
+    per_doc = documents.select("source", score(F.col("text")).alias("p"))
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("p"), 4).alias("avg_quality_prob"),
+        F.round(F.min("p"), 4).alias("min_prob"),
+        F.round(F.max("p"), 4).alias("max_prob"),
     )
 
 

@@ -266,6 +266,52 @@ def bpe_token_counts(documents: DataFrame) -> DataFrame:
     )
 
 
+# RE2-portable PII patterns (no lookarounds/backrefs): conservative
+# email / phone-ish / IPv4 shapes. Production pipelines tune these per
+# jurisdiction; the operator contract is the redaction pass itself.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+}
+
+
+def pii_scrub_stats(documents: DataFrame) -> DataFrame:
+    """PII redaction pass: replace email/phone/IPv4 shapes with typed
+    placeholder tokens and report per-language hit counts — the
+    compliance stage every crawl corpus runs before training.
+
+    Shuffle shape: per-doc JVM ``regexp_replace``/``regexp_count``
+    chains + one small groupBy(lang) — parquet-throughput bound, no
+    Python in the hot path. Patterns are RE2-portable so the oracle
+    reproduces both the counts and the redacted lengths exactly.
+    """
+    counts = {
+        name: F.regexp_count(F.col("text"), F.lit(pat))
+        for name, pat in PII_PATTERNS.items()
+    }
+    scrubbed = F.col("text")
+    for name, pat in PII_PATTERNS.items():
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{name}>")
+    per_doc = documents.select(
+        "lang",
+        counts["email"].alias("n_email"),
+        counts["phone"].alias("n_phone"),
+        counts["ipv4"].alias("n_ipv4"),
+        F.length(scrubbed).alias("len_scrubbed"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_email").alias("total_email"),
+        F.sum("n_phone").alias("total_phone"),
+        F.sum("n_ipv4").alias("total_ipv4"),
+        F.sum(
+            (F.col("n_email") + F.col("n_phone") + F.col("n_ipv4") > 0).cast("int")
+        ).alias("n_docs_with_pii"),
+        F.sum("len_scrubbed").alias("total_chars_scrubbed"),
+    )
+
+
 def normalize_text_stats(documents: DataFrame) -> DataFrame:
     """Text-normalization stage stats: lowercase, strip non-letter/digit
     runs (unicode property classes, so CJK/accents survive), collapse

@@ -1581,6 +1581,40 @@ FROM n GROUP BY lang
 """
 
 
+def _q_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    return text.pii_scrub_stats(load_table(spark, sf, "documents"))
+
+
+def _sql_pii_scrub() -> str:
+    from kinesis_dstream_spark.operators.text import PII_PATTERNS
+
+    e, p, i = (PII_PATTERNS[k].replace("'", "''") for k in ("email", "phone", "ipv4"))
+    return """
+WITH per AS (
+  SELECT lang,
+         len(regexp_extract_all(text, '{e}')) AS n_email,
+         len(regexp_extract_all(text, '{p}')) AS n_phone,
+         len(regexp_extract_all(text, '{i}')) AS n_ipv4,
+         length(regexp_replace(regexp_replace(regexp_replace(text,
+                 '{e}', '<email>', 'g'),
+                 '{p}', '<phone>', 'g'),
+                 '{i}', '<ipv4>', 'g')) AS len_scrubbed
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       sum(n_email) AS total_email,
+       sum(n_phone) AS total_phone,
+       sum(n_ipv4) AS total_ipv4,
+       sum(CASE WHEN n_email + n_phone + n_ipv4 > 0 THEN 1 ELSE 0 END)
+         AS n_docs_with_pii,
+       sum(len_scrubbed) AS total_chars_scrubbed
+FROM per GROUP BY lang
+""".format(e=e, p=p, i=i)
+
+
+_SQL_PII_SCRUB = _sql_pii_scrub()
+
+
 def _q_dedup_substring(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.dedup_substring(load_table(spark, sf, "documents"))
 
@@ -2212,6 +2246,34 @@ def _q_stream_ann_ingest(spark: SparkSession, sf: str) -> DataFrame:
     return jobs.streaming_ann_index_ingest(spark, sf)
 
 
+def _q_materialize_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    tag = sf.strip("/").replace("/", "_")
+    out = f"{tempfile.gettempdir()}/kds_corpus_{tag}"
+    return curation.materialize_corpus(load_table(spark, sf, "documents"), out)
+
+
+# oracle recomputes the manifest from the SOURCE table with the same
+# md5 split recipe; equality certifies the written partitioned table
+_SQL_MATERIALIZE_CORPUS = """
+WITH b AS (
+  SELECT doc_id, lang, length(text) AS n_chars,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 10 THEN 'test'
+            WHEN bucket < 20 THEN 'val'
+            ELSE 'train' END AS split,
+       lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+FROM b GROUP BY 1, 2
+"""
+
+
+def _q_quality_clf(spark: SparkSession, sf: str) -> DataFrame:
+    return curation.quality_classifier_scores(load_table(spark, sf, "documents"))
+
+
 def _q_bpe_stats(spark: SparkSession, sf: str) -> DataFrame:
     from kinesis_dstream_spark.operators import bpe
 
@@ -2409,6 +2471,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # exactness pinned by the pure-Python model check in tests/test_bpe.py)
     "bpe_token_stats": (_q_bpe_stats, None),
     "bpe_pack_sequences": (_q_bpe_pack, None),
+    # fasttext-style linear quality classifier (learned weights — no SQL
+    # oracle; pytest pins source separation + determinism)
+    "quality_classifier_scores": (_q_quality_clf, None),
+    # partitioned corpus write + read-back manifest (oracle recomputes
+    # the manifest from the source table — certifies the written data)
+    "materialize_corpus_manifest": (_q_materialize_corpus, _SQL_MATERIALIZE_CORPUS),
     # O(log n)-round connected components (same fixpoint as dedup_clusters,
     # so it shares the recursive-CTE oracle)
     "dedup_clusters_star": (_q_dedup_clusters_star, _SQL_DEDUP_CLUSTERS),
@@ -2417,6 +2485,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "dedup_substring": (_q_dedup_substring, _SQL_DEDUP_SUBSTRING),
     # canonicalization pass before hashing/shingling/tokenizing
     "normalize_text_stats": (_q_normalize_text, _SQL_NORMALIZE_TEXT),
+    # PII redaction compliance pass (typed placeholders, per-lang counts)
+    "pii_scrub_stats": (_q_pii_scrub, _SQL_PII_SCRUB),
     # scalar-function / UDF showcases (E-2, E-8, E-14)
     "scalar_functions_showcase": (_q_scalar_fns, _SQL_SCALAR_FNS),
     "date_functions_showcase": (_q_date_fns, _SQL_DATE_FNS),

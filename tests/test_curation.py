@@ -156,3 +156,61 @@ def test_domain_mix_default_rates_cover_unknown_sources(spark):
     out = curation.domain_mix_sample(_docs(spark, rows)).collect()[0]
     assert out["target_pct"] == curation.DEFAULT_MIX_RATE
     assert 0 <= out["n_kept"] <= 100
+
+
+def test_quality_classifier_separates_sources(spark, sf_dir):
+    """Trained on source labels, the classifier must score the positive
+    source above every other source on average, and be deterministic."""
+    from kinesis_dstream_spark.operators import curation
+    from kinesis_dstream_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = {r.source: r.avg_quality_prob for r in curation.quality_classifier_scores(docs).collect()}
+    b = {r.source: r.avg_quality_prob for r in curation.quality_classifier_scores(docs).collect()}
+    assert a == b  # seeded fit + stable hash => identical scores
+    pos = a.pop("src0")
+    # fixture sources share most vocabulary, so per-source ranking can
+    # tie — but the positive source must sit above the negative mean
+    # (clean separation is pinned on the synthetic corpus below)
+    assert pos > sum(a.values()) / len(a), (pos, a)
+
+
+def test_quality_classifier_synthetic_separation(spark):
+    """On a synthetic corpus with disjoint vocabularies the classifier
+    must separate cleanly (avg positive prob > 0.9 > avg negative)."""
+    from kinesis_dstream_spark.operators import curation
+
+    rows = [(i, "good clean prose " * 5, "en", "src0") for i in range(30)]
+    rows += [(100 + i, "spam junk garbage " * 5, "en", "srcX") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id int, text string, lang string, source string")
+    got = {r.source: r.avg_quality_prob for r in curation.quality_classifier_scores(docs).collect()}
+    assert got["src0"] > 0.9
+    assert got["srcX"] < 0.1
+
+
+def test_materialize_corpus_partition_layout(spark, sf_dir, tmp_path):
+    """The written table must be physically partitioned by split/lang
+    (so training reads partition-prune) and hold every document."""
+    import os
+
+    from kinesis_dstream_spark.operators import curation
+    from kinesis_dstream_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "corpus")
+    manifest = curation.materialize_corpus(docs, out).collect()
+    assert sum(r.n_docs for r in manifest) == docs.count()
+    splits = {e for e in os.listdir(out) if e.startswith("split=")}
+    assert splits == {"split=train", "split=val", "split=test"}
+    assert any(e.startswith("lang=") for e in os.listdir(out + "/split=train"))
+    # partition pruning on the read-back path
+    df = spark.read.parquet(out).filter(
+        (F.col("split") == "train") & (F.col("lang") == "en")
+    )
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan
+    # re-materializing is stable: same manifest
+    again = curation.materialize_corpus(docs, out).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, manifest))

@@ -83,3 +83,24 @@ def test_corpus_curation_semantics(spark):
     assert all(r.split in ("train", "val", "test") for r in rows)
     assert all(r.total_bpe_tokens >= r.total_ws_tokens for r in rows)
     assert all(0.0 <= r.avg_quality <= 1.0 for r in rows)
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from kinesis_dstream_spark.operators import text as t
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@example.co.uk or call +1 (555) 123-4567", "en", "s"),
+            (2, "server at 10.0.255.3 responded; backup 192.168.1.1 down", "en", "s"),
+            (3, "no sensitive content here at all", "en", "s"),
+        ],
+        "doc_id int, text string, lang string, source string",
+    )
+    row = t.pii_scrub_stats(docs).collect()[0]
+    assert row.total_email == 1
+    assert row.total_phone == 1
+    assert row.total_ipv4 == 2
+    assert row.n_docs_with_pii == 2
+    # redaction really shrinks the scrubbed text
+    raw_total = sum(len(r[1]) for r in docs.select("doc_id", "text").collect())
+    assert row.total_chars_scrubbed < raw_total
