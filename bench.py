@@ -52,6 +52,7 @@ BENCH_QUERIES = {
     "dedup_simhash": "dedup_simhash",
     "dedup_ngram_jaccard": "dedup_ngram_jaccard",
     "dedup_clusters_star": "dedup_clusters_star",
+    "dedup_substring": "dedup_substring",
     "ann_bruteforce": "ann_bruteforce_topk",
     "ann_lsh": "ann_lsh_topk",
     "ann_ivf": "ann_ivf_topk",
@@ -62,6 +63,8 @@ BENCH_QUERIES = {
     "curation": "corpus_curation",
     "unigram_logprob": "unigram_logprob_score",
     "contamination": "contamination_check",
+    "pii_scrub": "pii_scrub_stats",
+    "quality_clf": "quality_classifier_scores",
     "streaming_drain": "streaming_tumbling_counts",
 }
 

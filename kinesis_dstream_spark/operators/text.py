@@ -266,6 +266,28 @@ def bpe_token_counts(documents: DataFrame) -> DataFrame:
     )
 
 
+def corpus_length_stats(documents: DataFrame) -> DataFrame:
+    """Token-length distribution telemetry per language: exact p50/p90/
+    p99 plus mean — the dashboard numbers a pipeline watches to catch
+    crawl drift (a p99 collapse means truncation upstream; a p50 spike
+    means boilerplate flooding in).
+
+    Exact ``percentile`` (not approx_percentile) so the oracle matches
+    bit-for-bit; at 100 TB swap in ``approx_percentile`` (t-digest, one
+    pass, mergeable) — the aggregation shape is identical, and the
+    driver-visible contract (one row per lang) doesn't change.
+    """
+    n_tok = F.size(tokens(F.col("text")))
+    per_doc = documents.select("lang", n_tok.cast("double").alias("n"))
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n"), 4).alias("mean_tokens"),
+        F.round(F.expr("percentile(n, 0.5)"), 4).alias("p50_tokens"),
+        F.round(F.expr("percentile(n, 0.9)"), 4).alias("p90_tokens"),
+        F.round(F.expr("percentile(n, 0.99)"), 4).alias("p99_tokens"),
+    )
+
+
 # RE2-portable PII patterns (no lookarounds/backrefs): conservative
 # email / phone-ish / IPv4 shapes. Production pipelines tune these per
 # jurisdiction; the operator contract is the redaction pass itself.

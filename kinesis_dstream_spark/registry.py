@@ -1581,6 +1581,25 @@ FROM n GROUP BY lang
 """
 
 
+def _q_corpus_length(spark: SparkSession, sf: str) -> DataFrame:
+    return text.corpus_length_stats(load_table(spark, sf, "documents"))
+
+
+# quantile_cont = linear interpolation, same as Spark's exact percentile
+_SQL_CORPUS_LENGTH = f"""
+WITH t AS (
+  SELECT lang, CAST(len({_DUCK_TOKS.format(col='text')}) AS DOUBLE) AS n
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       round(avg(n), 4) AS mean_tokens,
+       round(quantile_cont(n, 0.5), 4) AS p50_tokens,
+       round(quantile_cont(n, 0.9), 4) AS p90_tokens,
+       round(quantile_cont(n, 0.99), 4) AS p99_tokens
+FROM t GROUP BY lang
+"""
+
+
 def _q_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
     return text.pii_scrub_stats(load_table(spark, sf, "documents"))
 
@@ -2487,6 +2506,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "normalize_text_stats": (_q_normalize_text, _SQL_NORMALIZE_TEXT),
     # PII redaction compliance pass (typed placeholders, per-lang counts)
     "pii_scrub_stats": (_q_pii_scrub, _SQL_PII_SCRUB),
+    # token-length distribution telemetry (exact percentiles; approx at scale)
+    "corpus_length_stats": (_q_corpus_length, _SQL_CORPUS_LENGTH),
     # scalar-function / UDF showcases (E-2, E-8, E-14)
     "scalar_functions_showcase": (_q_scalar_fns, _SQL_SCALAR_FNS),
     "date_functions_showcase": (_q_date_fns, _SQL_DATE_FNS),

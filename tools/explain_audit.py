@@ -44,6 +44,10 @@ AUDIT_DEFAULT = [
     "unigram_logprob_score",
     "repetition_stats",
     "contamination_check",
+    "dedup_substring",
+    "normalize_text_stats",
+    "pii_scrub_stats",
+    "corpus_length_stats",
     "domain_mix_sample",
     "pack_sequences",
     "grouped_sample",
