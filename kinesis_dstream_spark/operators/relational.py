@@ -362,6 +362,66 @@ def asof_join_prev_order(orders: DataFrame, horizon_days: int = 90) -> DataFrame
     )
 
 
+def asof_join_events(
+    events: DataFrame,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    direction: str = "backward",
+    tolerance_minutes: int = 120,
+) -> DataFrame:
+    """Generalized event-stream as-of join: for each ``left_type`` event,
+    the same user's nearest ``right_type`` event, looking ``backward``
+    (most recent at-or-before) or ``forward`` (earliest at-or-after),
+    within a tolerance window — pandas ``merge_asof`` semantics on a
+    distributed table.
+
+    Same scalable shape as ``asof_join_prev_order``: the tolerance bound
+    turns the inequality join into a BAND equi-join on user_id (the
+    quadratic-blowup guard), then one per-left-row window argmin picks
+    the nearest. "Nearest within tolerance" == "nearest overall, kept if
+    within tolerance" (anything nearer than the nearest doesn't exist),
+    which is exactly DuckDB's native ASOF JOIN + tolerance filter — the
+    oracle cross-validates our composition against a real ASOF
+    implementation.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join_events: bad direction {direction!r}")
+    left = events.filter(F.col("event_type") == left_type).select(
+        F.col("event_id").alias("l_id"),
+        F.col("user_id").alias("l_user"),
+        F.col("ts").alias("l_ts"),
+    )
+    right = events.filter(F.col("event_type") == right_type).select(
+        F.col("user_id").alias("r_user"),
+        F.col("event_id").alias("r_id"),
+        F.col("ts").alias("r_ts"),
+    )
+    tol = F.expr(f"INTERVAL {tolerance_minutes} MINUTES")
+    if direction == "backward":
+        band = (F.col("r_ts") <= F.col("l_ts")) & (F.col("r_ts") >= F.col("l_ts") - tol)
+        order = [F.col("r_ts").desc(), F.col("r_id").asc()]
+    else:
+        band = (F.col("r_ts") >= F.col("l_ts")) & (F.col("r_ts") <= F.col("l_ts") + tol)
+        order = [F.col("r_ts").asc(), F.col("r_id").asc()]
+    joined = left.join(right, (F.col("l_user") == F.col("r_user")) & band)
+    w = Window.partitionBy("l_id").orderBy(*order)
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("l_id").alias("event_id"),
+            F.col("l_user").alias("user_id"),
+            F.col("r_id").alias("matched_event_id"),
+            # ts is TIMESTAMP_NTZ; unix_micros needs TimestampType and the
+            # session tz is pinned UTC, so the cast is a reinterpretation
+            (
+                F.unix_micros(F.col("l_ts").cast("timestamp"))
+                - F.unix_micros(F.col("r_ts").cast("timestamp"))
+            ).alias("gap_micros"),
+        )
+    )
+
+
 def range_join_value_bands(spark, events: DataFrame) -> DataFrame:
     """Non-equi (range) join (E-3): bucket events into value bands.
 

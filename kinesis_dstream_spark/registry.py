@@ -427,6 +427,44 @@ def _q_asof(spark: SparkSession, sf: str) -> DataFrame:
     return relational.asof_join_prev_order(load_table(spark, sf, "orders"))
 
 
+def _q_asof_events_backward(spark: SparkSession, sf: str) -> DataFrame:
+    return relational.asof_join_events(load_table(spark, sf, "events"))
+
+
+def _q_asof_events_forward(spark: SparkSession, sf: str) -> DataFrame:
+    return relational.asof_join_events(
+        load_table(spark, sf, "events"), direction="forward"
+    )
+
+
+# cross-validates the band-join + window-argmin composition against
+# DuckDB's NATIVE ASOF JOIN (nearest overall + tolerance filter ==
+# nearest-within-tolerance; fixtures have no (user,type,ts) ties)
+_SQL_ASOF_EVENTS_BACKWARD = """
+WITH j AS (
+  SELECT l.event_id AS event_id, l.user_id AS user_id,
+         r.event_id AS matched_event_id,
+         date_diff('microsecond', r.ts, l.ts) AS gap_micros
+  FROM (SELECT * FROM events WHERE event_type = 'click') l
+  ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+    ON l.user_id = r.user_id AND l.ts >= r.ts
+)
+SELECT * FROM j WHERE gap_micros <= CAST(120 AS BIGINT) * 60 * 1000000
+"""
+
+_SQL_ASOF_EVENTS_FORWARD = """
+WITH j AS (
+  SELECT l.event_id AS event_id, l.user_id AS user_id,
+         r.event_id AS matched_event_id,
+         date_diff('microsecond', r.ts, l.ts) AS gap_micros
+  FROM (SELECT * FROM events WHERE event_type = 'click') l
+  ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+    ON l.user_id = r.user_id AND l.ts <= r.ts
+)
+SELECT * FROM j WHERE -gap_micros <= CAST(120 AS BIGINT) * 60 * 1000000
+"""
+
+
 _SQL_ASOF = """
 SELECT o_orderkey, o_custkey, prev_orderkey, prev_orderdate, days_since_prev
 FROM (
@@ -2461,6 +2499,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "global_topk_orders": (_q_global_topk, _SQL_GLOBAL_TOPK),
     "set_ops_customers": (_q_setops, _SQL_SETOPS),
     "asof_join_prev_order": (_q_asof, _SQL_ASOF),
+    "asof_join_events_backward": (_q_asof_events_backward, _SQL_ASOF_EVENTS_BACKWARD),
+    "asof_join_events_forward": (_q_asof_events_forward, _SQL_ASOF_EVENTS_FORWARD),
     "range_join_value_bands": (_q_range_join, _SQL_RANGE_JOIN),
     "salted_agg_by_type": (_q_salted_agg, _SQL_SALTED_AGG),
     "salted_skew_join": (_q_salted_join, _SQL_SALTED_JOIN),

@@ -210,3 +210,36 @@ def test_ranked_median_stays_on_jvm(spark, sf_dir):
         .toString()
     )
     assert "EvalPython" not in plan and "FlatMapGroupsInPandas" not in plan
+
+
+def test_asof_join_events_directions(spark):
+    """Backward picks the most recent at-or-before match, forward the
+    earliest at-or-after; tolerance drops distant matches; gap sign
+    encodes direction."""
+    import datetime as dt
+
+    from kinesis_dstream_spark.operators import relational
+
+    t0 = dt.datetime(2025, 1, 1, 12, 0, 0)
+
+    def ev(eid, minutes, typ):
+        return (eid, t0 + dt.timedelta(minutes=minutes), 1, typ, 1.0, "{}")
+
+    rows = [
+        ev(1, 0, "purchase"),     # 12:00
+        ev(2, 50, "click"),       # 12:50 -> backward matches 1 (50m)
+        ev(3, 60, "purchase"),    # 13:00 -> forward match for 2 (10m)
+        ev(4, 300, "click"),      # 17:00 -> nothing within 120m
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
+    )
+    back = {r.event_id: r for r in relational.asof_join_events(events).collect()}
+    assert set(back) == {2}
+    assert back[2].matched_event_id == 1 and back[2].gap_micros == 50 * 60 * 1_000_000
+    fwd = {
+        r.event_id: r
+        for r in relational.asof_join_events(events, direction="forward").collect()
+    }
+    assert set(fwd) == {2}
+    assert fwd[2].matched_event_id == 3 and fwd[2].gap_micros == -10 * 60 * 1_000_000
