@@ -204,6 +204,91 @@ def bpe_count_udf(merges: list[tuple[str, str]]):
     return n_bpe
 
 
+def bpe_vocab(merges: list[tuple[str, str]]) -> list[str]:
+    """Deterministic id-ordered vocabulary implied by a merge list.
+
+    Ids 0..255 are the byte/char base alphabet slots that actually occur
+    is not knowable without the corpus, so the base tier is the sorted
+    set of single characters appearing in the merges' parts; merged
+    symbols follow in merge order (the standard BPE vocab layout:
+    learned symbols' ids encode their merge priority).
+    """
+    base = sorted({ch for a, b in merges for ch in a + b if len(ch) == 1})
+    seen = set(base)
+    vocab = list(base)
+    for a, b in merges:
+        s = a + b
+        if s not in seen:
+            seen.add(s)
+            vocab.append(s)
+    return vocab
+
+
+def bpe_encode_ids(
+    documents: DataFrame,
+    merges: list[tuple[str, str]],
+    max_len: int | None = None,
+) -> DataFrame:
+    """Encode documents to BPE token-id arrays — the artifact a training
+    pipeline actually feeds the model.
+
+    Same Arrow pass + per-executor memo as the counter; out-of-alphabet
+    symbols (characters never seen in any merge) map to an OOV id
+    (|vocab|). ``max_len`` truncates to a fixed context length. Returns
+    (doc_id, ids, n_tokens, truncated).
+    """
+    from pyspark.sql.types import (
+        ArrayType,
+        BooleanType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    vocab = bpe_vocab(merges)
+    tok2id = {t: i for i, t in enumerate(vocab)}
+    oov = len(vocab)
+    pat = re.compile(BPE_ISH_PATTERN)
+    cache: dict[str, list[int]] = {}
+
+    out_schema = StructType(
+        [
+            StructField("ids", ArrayType(IntegerType())),
+            StructField("n_tokens", LongType()),
+            StructField("truncated", BooleanType()),
+        ]
+    )
+
+    @F.pandas_udf(out_schema)
+    def encode(texts):
+        import pandas as pd
+
+        rows = []
+        for t in texts:
+            ids: list[int] = []
+            for w in pat.findall(t or ""):
+                got = cache.get(w)
+                if got is None:
+                    got = [tok2id.get(s, oov) for s in apply_merges(w, ranks)]
+                    cache[w] = got
+                ids.extend(got)
+            n = len(ids)
+            trunc = max_len is not None and n > max_len
+            rows.append((ids[:max_len] if trunc else ids, n, trunc))
+        return pd.DataFrame(rows, columns=["ids", "n_tokens", "truncated"])
+
+    return documents.select(
+        "doc_id", encode(F.col("text")).alias("e")
+    ).select(
+        "doc_id",
+        F.col("e.ids").alias("ids"),
+        F.col("e.n_tokens").alias("n_tokens"),
+        F.col("e.truncated").alias("truncated"),
+    )
+
+
 def bpe_token_stats(
     documents: DataFrame,
     n_merges: int = DEFAULT_N_MERGES,

@@ -2344,6 +2344,13 @@ def _q_bpe_pack(spark: SparkSession, sf: str) -> DataFrame:
     return curation.pack_sequences(docs, merges=bpe.fit_bpe(docs))
 
 
+def _q_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.operators import bpe
+
+    docs = load_table(spark, sf, "documents")
+    return bpe.bpe_encode_ids(docs, bpe.fit_bpe(docs), max_len=64)
+
+
 _SQL_PACK_SEQUENCES = f"""
 WITH per_doc AS (
   SELECT doc_id,
@@ -2530,6 +2537,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # exactness pinned by the pure-Python model check in tests/test_bpe.py)
     "bpe_token_stats": (_q_bpe_stats, None),
     "bpe_pack_sequences": (_q_bpe_pack, None),
+    # token-id arrays with truncation (the model-input artifact;
+    # round-trip + truncation contract pinned in tests/test_bpe.py)
+    "bpe_encode_ids": (_q_bpe_encode, None),
     # fasttext-style linear quality classifier (learned weights — no SQL
     # oracle; pytest pins source separation + determinism)
     "quality_classifier_scores": (_q_quality_clf, None),

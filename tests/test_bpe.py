@@ -194,3 +194,38 @@ def test_learn_and_apply_match_model_on_random_corpora(texts):
             "".join(bpe.apply_merges(w, ranks)) for w in _PAT.findall(t)
         )
         assert joined == "".join(_PAT.findall(t))
+
+
+def test_bpe_encode_ids_roundtrip_and_truncation(spark, sf_dir):
+    """Ids decode back to the exact pre-token concatenation (lossless
+    below max_len); counts agree with the counter UDF; truncation caps
+    the array but reports the true length."""
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    merges = bpe.fit_bpe(docs, n_merges=60)
+    vocab = bpe.bpe_vocab(merges)
+    # merge-implied symbols are unique and every merged pair is present
+    assert len(vocab) == len(set(vocab))
+    id2tok = dict(enumerate(vocab))
+
+    full = {r.doc_id: r for r in bpe.bpe_encode_ids(docs, merges).collect()}
+    counts = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", bpe.bpe_count_udf(merges)(F.col("text")).alias("n")
+        ).collect()
+    }
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    oov = len(vocab)
+    for d, r in full.items():
+        assert r.n_tokens == counts[d]
+        assert not r.truncated and len(r.ids) == r.n_tokens
+        decoded = "".join(id2tok.get(i, "\x00") for i in r.ids)
+        pretokens = "".join(_PAT.findall(texts[d]))
+        if oov not in set(r.ids):  # fully in-alphabet: exact round-trip
+            assert decoded == pretokens
+
+    capped = {r.doc_id: r for r in bpe.bpe_encode_ids(docs, merges, max_len=16).collect()}
+    for d, r in capped.items():
+        assert len(r.ids) <= 16
+        assert r.n_tokens == counts[d]  # true length survives truncation
+        assert r.truncated == (counts[d] > 16)
