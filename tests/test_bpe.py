@@ -229,3 +229,19 @@ def test_bpe_encode_ids_roundtrip_and_truncation(spark, sf_dir):
         assert len(r.ids) <= 16
         assert r.n_tokens == counts[d]  # true length survives truncation
         assert r.truncated == (counts[d] > 16)
+
+
+def test_bpe_empty_and_degenerate_corpora(spark):
+    """Empty corpus -> no merges; single-char docs -> no merges; encode
+    of empty text -> zero tokens. No crashes anywhere."""
+    empty = spark.createDataFrame([], "doc_id long, text string, lang string, source string")
+    assert bpe.fit_bpe(empty) == []
+    assert bpe.learn_merges([]) == []
+    docs = spark.createDataFrame(
+        [(1, "", "en", "s"), (2, "a", "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    merges = bpe.fit_bpe(docs)  # nothing repeatable to merge
+    got = {r.doc_id: r for r in bpe.bpe_encode_ids(docs, merges).collect()}
+    assert got[1].n_tokens == 0 and got[1].ids == []
+    assert got[2].n_tokens == 1

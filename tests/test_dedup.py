@@ -313,3 +313,16 @@ def test_dedup_substring_detects_shared_spans(spark):
     for d in (1, 2):
         assert rows[d].n_dup_grams >= 5  # the 12-word span yields 5 shared 8-grams
         assert 0 < rows[d].dup_frac <= 1
+
+
+def test_dedup_substring_empty_and_no_dups(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string, lang string, source string")
+    assert dedup.dedup_substring(empty).count() == 0
+    uniq = spark.createDataFrame(
+        [(1, "one singular document with no twin anywhere at all", "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    assert dedup.dedup_substring(uniq).count() == 0
+    assert dedup.dedup_clusters_star(
+        spark.createDataFrame([], "doc_a long, doc_b long")
+    ).count() == 0
