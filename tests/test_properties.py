@@ -240,3 +240,72 @@ def test_exact_sum_matches_decimal_model(spark, vals):
         / 100
     )
     assert abs(got - want) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# as-of event join vs the pandas merge_asof model
+# ---------------------------------------------------------------------------
+
+import datetime as _dt
+
+import pandas as _pd
+
+from kinesis_dstream_spark.operators import relational as _rel
+
+_T0 = _dt.datetime(2025, 1, 1)
+
+# (user, minute-offset, type) triples; (user, ts) pairs deduped below so
+# tie-break conventions (which differ between implementations) never bite
+_EVENTS = st.lists(
+    st.tuples(
+        st.integers(0, 3),
+        st.integers(0, 500),
+        st.sampled_from(["click", "purchase", "view"]),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(rows=_EVENTS, direction=st.sampled_from(["backward", "forward"]), tol=st.integers(1, 240))
+def test_asof_join_events_matches_pandas_merge_asof(spark, rows, direction, tol):
+    seen: set[tuple[int, int]] = set()
+    uniq = []
+    for i, (u, m, t) in enumerate(rows):
+        if (u, m) in seen:
+            continue
+        seen.add((u, m))
+        uniq.append((i, _T0 + _dt.timedelta(minutes=m), u, t, 1.0, "{}"))
+    events = spark.createDataFrame(
+        uniq,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+    )
+    got = {
+        r.event_id: r.matched_event_id
+        for r in _rel.asof_join_events(
+            events, direction=direction, tolerance_minutes=tol
+        ).collect()
+    }
+
+    pdf = _pd.DataFrame(uniq, columns=["event_id", "ts", "user_id", "event_type", "value", "props"])
+    left = pdf[pdf.event_type == "click"].sort_values("ts")
+    right = pdf[pdf.event_type == "purchase"].sort_values("ts")
+    if left.empty or right.empty:
+        assert got == {}
+        return
+    merged = _pd.merge_asof(
+        left,
+        right[["ts", "user_id", "event_id"]].rename(columns={"event_id": "m_id"}),
+        on="ts",
+        by="user_id",
+        direction=direction,
+        tolerance=_pd.Timedelta(minutes=tol),
+        allow_exact_matches=True,
+    )
+    want = {
+        int(r.event_id): int(r.m_id)
+        for r in merged.itertuples()
+        if not _pd.isna(r.m_id)
+    }
+    assert got == want
