@@ -326,3 +326,55 @@ def test_streaming_ann_index_ingest_replay_safe(spark, sf_dir, tmp_path):
     # fresh checkpoint: every batch re-delivered; anti-join absorbs all of it
     streaming_ann_index_ingest(spark, sf_dir, index_path=idx, checkpoint_dir=str(tmp_path / "chk2"))
     assert spark.read.parquet(idx).count() == n
+
+
+def test_end_to_end_poll_source_to_log_sink_exactly_once(spark, sf_dir, tmp_path):
+    """The reference's FULL implemented pipeline as one Spark job:
+    paged_poll streaming source (O-1/O-6/O-7) -> foreachBatch ->
+    JSON-lines log sink (O-9, the reference's actual sink at
+    app/hs_contacts.py:120-123). Every fixture event must land in the
+    log exactly once after the bounded drain."""
+    import glob
+    import json
+    import time
+
+    from kinesis_dstream_spark.sources import polling, sinks
+
+    polling.register(spark)
+    ev = (
+        spark.readStream.format(polling.FORMAT_NAME)
+        .option("path", f"{sf_dir}/events.parquet")
+        .option("rows_per_batch", 400)
+        .option("page_size", 100)
+        .load()
+        .select("event_id", "user_id", "event_type")
+    )
+    out = str(tmp_path / "log")
+    expected = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    q = (
+        ev.writeStream.foreachBatch(sinks.JsonLogSink(out))
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+
+    def logged() -> list[int]:
+        ids = []
+        for p in glob.glob(out + "/*.jsonl"):
+            with open(p) as f:
+                ids.extend(json.loads(line)["event_id"] for line in f)
+        return ids
+
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline and len(logged()) < expected:
+            time.sleep(0.25)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+    ids = logged()
+    assert len(ids) == expected, f"{len(ids)} != {expected}"
+    assert len(set(ids)) == expected  # exactly once, no duplicates
+    batch_ids = {r.event_id for r in spark.read.parquet(f"{sf_dir}/events.parquet").collect()}
+    assert set(ids) == batch_ids
