@@ -756,10 +756,18 @@ def dedup_substring(
     at least one duplicated span.
     """
     toks = tokens(F.col("text"))
-    grams = documents.select(
-        "doc_id",
-        F.explode(word_shingles(toks, k, distinct=False)).alias("gram"),
-    ).select("doc_id", F.xxhash64("gram").alias("g"))
+    # cache the (doc_id, hash) stream: three consumers (df count, per-doc
+    # totals, dup join) shuffle on different keys, so without the cache
+    # the zip_with shingle chain — per-row interpreted HOFs, the
+    # expensive part — would run three times (measured ~2x end-to-end)
+    grams = (
+        documents.select(
+            "doc_id",
+            F.explode(word_shingles(toks, k, distinct=False)).alias("gram"),
+        )
+        .select("doc_id", F.xxhash64("gram").alias("g"))
+        .cache()
+    )
     dup_keys = (
         grams.groupBy("g")
         .agg(F.count_distinct("doc_id").alias("nd"))

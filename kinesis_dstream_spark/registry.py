@@ -1672,6 +1672,18 @@ FROM per GROUP BY lang
 _SQL_PII_SCRUB = _sql_pii_scrub()
 
 
+def _q_dedup_index_check(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    from kinesis_dstream_spark.operators import dedup_index
+
+    tag = sf.strip("/").replace("/", "_")
+    path = f"{tempfile.gettempdir()}/kds_dedup_index_{tag}"
+    return dedup_index.dedup_index_search_self(
+        load_table(spark, sf, "documents"), path
+    )
+
+
 def _q_dedup_substring(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.dedup_substring(load_table(spark, sf, "documents"))
 
@@ -2552,6 +2564,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # span-level duplicated-substring stats (oracle keys on raw grams
     # where Spark ships xxhash64 keys)
     "dedup_substring": (_q_dedup_substring, _SQL_DEDUP_SUBSTRING),
+    # persisted near-dup index: check-new-against-history (LSH recall →
+    # rows-only; pytest pins cross-half recall + replay-safe ingest)
+    "dedup_index_check": (_q_dedup_index_check, None),
     # canonicalization pass before hashing/shingling/tokenizing
     "normalize_text_stats": (_q_normalize_text, _SQL_NORMALIZE_TEXT),
     # PII redaction compliance pass (typed placeholders, per-lang counts)

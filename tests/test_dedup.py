@@ -326,3 +326,59 @@ def test_dedup_substring_empty_and_no_dups(spark):
     assert dedup.dedup_clusters_star(
         spark.createDataFrame([], "doc_a long, doc_b long")
     ).count() == 0
+
+
+def test_dedup_index_build_check_recall(spark, sf_dir, tmp_path):
+    """Cross-half near-dup pairs found by the full-corpus exact operator
+    must be recovered by the persisted index check with recall >= 0.8
+    (the LSH pytest convention), with exact-verified scores."""
+    from kinesis_dstream_spark.operators import dedup_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    path = str(tmp_path / "didx")
+    dedup_index.dedup_index_build(hist, path)
+    got = {
+        (r.new_doc_id, r.dup_doc_id): r.jaccard
+        for r in dedup_index.dedup_index_check(new, path, threshold=0.5).collect()
+    }
+    # ground truth: exact jaccard pairs crossing the halves
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.dedup_ngram_jaccard(docs, threshold=0.5).collect()
+    }
+    cross = {
+        (a, b) if a % 2 == 1 else (b, a): j
+        for (a, b), j in exact.items()
+        if (a % 2) != (b % 2)
+    }
+    assert cross, "fixture must contain cross-half near-dups"
+    hits = sum(1 for p in cross if p in got)
+    assert hits / len(cross) >= 0.8, f"recall {hits}/{len(cross)}"
+
+
+def test_dedup_index_ingest_is_replay_safe(spark, sf_dir, tmp_path):
+    """Ingesting the same batch twice: the second pass flags every doc
+    as a jaccard-1.0 dup of its first-pass twin and appends nothing."""
+    from kinesis_dstream_spark.operators import dedup_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") < 100)
+    batch = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 140))
+    path = str(tmp_path / "didx")
+    dedup_index.dedup_index_build(hist, path)
+    n_sh = spark.read.parquet(path + "/shingles").count()
+    dedup_index.dedup_index_ingest(batch, path)
+    n_after_first = spark.read.parquet(path + "/shingles").count()
+    assert n_after_first > n_sh
+    dups = dedup_index.dedup_index_ingest(batch, path)
+    flagged = {r.new_doc_id for r in dups.collect()}
+    batch_ids = {r.doc_id for r in batch.select("doc_id").collect()}
+    # every replayed doc is flagged: appended twins match at 1.0; docs
+    # that were near-dups of history on the first pass (and so were
+    # never appended) still match history above threshold
+    assert flagged == batch_ids
+    exact = {r.new_doc_id for r in dups.filter(F.col("jaccard") == 1.0).collect()}
+    assert exact  # the appended twins really do match themselves
+    assert spark.read.parquet(path + "/shingles").count() == n_after_first
