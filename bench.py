@@ -53,6 +53,7 @@ BENCH_QUERIES = {
     "dedup_ngram_jaccard": "dedup_ngram_jaccard",
     "dedup_clusters_star": "dedup_clusters_star",
     "dedup_substring": "dedup_substring",
+    "dedup_index_check": "dedup_index_check",
     "ann_bruteforce": "ann_bruteforce_topk",
     "ann_lsh": "ann_lsh_topk",
     "ann_ivf": "ann_ivf_topk",

@@ -161,6 +161,31 @@ def dedup_index_ingest(
     return dups
 
 
+def dedup_index_compact(
+    spark: SparkSession, path: str, max_files: int = 8
+) -> dict[str, int]:
+    """Bound the per-append file growth: rewrite each sub-table whose
+    parquet file count exceeds the threshold down to its shuffle-
+    partition count. localCheckpoint breaks the read dependency before
+    the overwrite (the ann_index_compact convention); check results are
+    identical before/after (pytest)."""
+    from kinesis_dstream_spark.operators.ann_index import _n_parquet_files
+
+    stats = {"tables_compacted": 0, "files_before": 0, "files_after": 0}
+    for sub in ("bands", "shingles"):
+        d = os.path.join(path, sub)
+        n = _n_parquet_files(d)
+        stats["files_before"] += n
+        if n <= max_files:
+            stats["files_after"] += n
+            continue
+        rows = spark.read.parquet(d).repartition(max_files).localCheckpoint()
+        rows.write.mode("overwrite").parquet(d)
+        stats["tables_compacted"] += 1
+        stats["files_after"] += _n_parquet_files(d)
+    return stats
+
+
 def dedup_index_search_self(
     documents: DataFrame, path: str, n_check: int = 50, threshold: float = 0.5
 ) -> DataFrame:

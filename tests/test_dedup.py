@@ -382,3 +382,26 @@ def test_dedup_index_ingest_is_replay_safe(spark, sf_dir, tmp_path):
     exact = {r.new_doc_id for r in dups.filter(F.col("jaccard") == 1.0).collect()}
     assert exact  # the appended twins really do match themselves
     assert spark.read.parquet(path + "/shingles").count() == n_after_first
+
+
+def test_dedup_index_compaction_preserves_checks(spark, sf_dir, tmp_path):
+    from kinesis_dstream_spark.operators import dedup_index
+    from kinesis_dstream_spark.operators.ann_index import _n_parquet_files
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "didx")
+    dedup_index.dedup_index_build(docs.filter(F.col("doc_id") < 100), path)
+    for lo in range(100, 200, 25):
+        dedup_index.dedup_index_append(
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 25)), path
+        )
+    probe = docs.filter(F.col("doc_id") >= 400)
+    before = sorted(map(tuple, dedup_index.dedup_index_check(probe, path, 0.5).collect()))
+    files_before = _n_parquet_files(path)
+    stats = dedup_index.dedup_index_compact(spark, path, max_files=4)
+    assert stats["tables_compacted"] == 2
+    assert _n_parquet_files(path) < files_before
+    after = sorted(map(tuple, dedup_index.dedup_index_check(probe, path, 0.5).collect()))
+    assert after == before
+    # idempotent
+    assert dedup_index.dedup_index_compact(spark, path, max_files=4)["tables_compacted"] == 0
