@@ -68,6 +68,20 @@ def _band_rows(documents: DataFrame, k: int, bands: int, rows_per_band: int, see
     return band_rows, sh
 
 
+def corpus_fingerprint(documents: DataFrame, **params) -> str:
+    """Content+params fingerprint (the ann_index convention): a stale
+    index from regenerated fixtures or changed sketch params is rebuilt
+    by ``dedup_index_search_self``, never silently served."""
+    import hashlib
+
+    row = documents.agg(
+        F.count("*").alias("n"),
+        F.expr("bit_xor(xxhash64(doc_id, text))").alias("h"),
+    ).collect()[0]
+    blob = f"n={row['n']}|h={row['h']}|{sorted(params.items())}"
+    return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+
 def dedup_index_build(
     documents: DataFrame,
     path: str,
@@ -75,13 +89,17 @@ def dedup_index_build(
     bands: int = 8,
     rows_per_band: int = 4,
     seed: int = 42,
+    fingerprint: str | None = None,
 ) -> None:
     """Materialize band buckets + shingle store; meta written last."""
     band_rows, sh = _band_rows(documents, k, bands, rows_per_band, seed)
     band_rows.write.mode("overwrite").parquet(os.path.join(path, "bands"))
     sh.write.mode("overwrite").parquet(os.path.join(path, "shingles"))
+    meta = {"k": k, "bands": bands, "rows_per_band": rows_per_band, "seed": seed}
+    if fingerprint is not None:
+        meta["fingerprint"] = fingerprint
     with open(os.path.join(path, META), "w") as f:
-        json.dump({"k": k, "bands": bands, "rows_per_band": rows_per_band, "seed": seed}, f)
+        json.dump(meta, f)
 
 
 def _meta(path: str) -> dict:
@@ -191,9 +209,17 @@ def dedup_index_search_self(
 ) -> DataFrame:
     """Registry entry: build-if-absent on even doc_ids, check the first
     ``n_check`` odd doc_ids against it — deterministic end-to-end run of
-    the build→check lifecycle on one fixture."""
-    if not os.path.exists(os.path.join(path, META)):
-        dedup_index_build(documents.filter(F.col("doc_id") % 2 == 0), path)
+    the build→check lifecycle on one fixture. Fingerprint-validated:
+    regenerated fixtures or changed params trigger a rebuild."""
+    hist = documents.filter(F.col("doc_id") % 2 == 0)
+    fp = corpus_fingerprint(hist)
+    meta_path = os.path.join(path, META)
+    stored = None
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            stored = json.load(f).get("fingerprint")
+    if stored != fp:
+        dedup_index_build(hist, path, fingerprint=fp)
     probe = documents.filter(
         (F.col("doc_id") % 2 == 1) & (F.col("doc_id") < 2 * n_check)
     )
