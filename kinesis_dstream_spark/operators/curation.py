@@ -277,6 +277,7 @@ def fit_quality_classifier(
     epochs: int = 5,
     lr: float = 0.5,
     train_cap: int = 50_000,
+    train_fraction: float = 1.0,
     seed: int = 42,
 ):
     """Train a fasttext-style linear quality classifier on a bounded
@@ -294,13 +295,17 @@ def fit_quality_classifier(
 
     import numpy as np
 
-    rows = (
-        documents.select(
-            "text", (F.col("source") == positive_source).cast("int").alias("y")
-        )
-        .limit(train_cap)
-        .toPandas()
+    # limit() alone takes the FIRST cap rows — source-biased when data
+    # is laid out by source. At corpus scale set train_fraction << 1 so
+    # the Bernoulli pre-sample spreads the cap across the whole input
+    # (the codebook.fit_sampled_kmeans recipe); fixture-scale defaults
+    # keep the whole corpus for determinism.
+    train = documents.select(
+        "text", (F.col("source") == positive_source).cast("int").alias("y")
     )
+    if train_fraction < 1.0:
+        train = train.sample(withReplacement=False, fraction=train_fraction, seed=seed)
+    rows = train.limit(train_cap).toPandas()
     w = np.zeros(n_features)
     b = 0.0
     rng = np.random.RandomState(seed)
