@@ -817,10 +817,16 @@ def dedup_clusters_star(
     Returns (doc_id, cluster_rep, cluster_size), identical contract and
     values to ``dedup_clusters``.
     """
-    # directed working set; symmetric closure is taken inside large-star
+    # Directed working set, kept ORIENTED (v < u after normalization /
+    # after every small-star): then edges and swap(edges) are disjoint by
+    # construction, so the symmetric closure needs NO distinct — that
+    # dedup was a full extra shuffle per round.
     edges = (
-        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        pairs.select(
+            F.greatest("doc_a", "doc_b").alias("u"),
+            F.least("doc_a", "doc_b").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint()
     )
@@ -829,9 +835,7 @@ def dedup_clusters_star(
     for _ in range(max_iter):
         rounds += 1
         # --- large-star: ∀u, m = min(Γ(u) ∪ {u}); emit (v, m) ∀v ∈ Γ(u), v > u
-        sym = edges.union(
-            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        ).distinct()
+        sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
         mins = (
             sym.groupBy("u")
             .agg(F.min("v").alias("mv"))
