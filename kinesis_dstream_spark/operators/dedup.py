@@ -788,6 +788,69 @@ def dedup_substring(
     )
 
 
+def dedup_substring_cut(
+    documents: DataFrame, k: int = 8, min_docs: int = 2
+) -> DataFrame:
+    """The ACTION step of substring dedup: remove every word span whose
+    k-gram occurs in ≥ ``min_docs`` documents, and report the per-doc
+    cut statistics (Lee et al.'s dedup actually rewrites the corpus —
+    ``dedup_substring`` only measures it).
+
+    Pipeline: per-position k-grams with positions (posexplode), one
+    aggregation shuffle for document frequency, dup positions collected
+    per doc, then the cut itself is pure JVM array HOFs — the covered
+    token-index set is ``flatten(transform(positions, p → sequence(p,
+    p+k-1)))`` and kept tokens are a ``filter`` over the indexed token
+    array. No Python in the rewrite path. Keys are the raw grams here
+    (not xxhash64) so the DuckDB oracle reproduces the rewrite
+    byte-for-byte; the measurement twin documents the hashed-key scale
+    variant.
+    """
+    toks = tokens(F.col("text"))
+    base = documents.select("doc_id", toks.alias("t")).filter(F.size("t") > 0)
+    grams = base.select(
+        "doc_id",
+        F.posexplode(word_shingles(F.col("t"), k, distinct=False)).alias("pos0", "gram"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("p"), "gram")
+    dup_keys = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gram")
+    )
+    dup_pos = (
+        grams.join(dup_keys, "gram")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("p")).alias("dup_starts"))
+    )
+    joined = base.join(dup_pos, "doc_id", "left").select(
+        "doc_id",
+        "t",
+        F.coalesce("dup_starts", F.array().cast("array<int>")).alias("dup_starts"),
+    )
+    n = F.size("t")
+    # a short doc (< k tokens) collapses to ONE whole-doc gram: its span
+    # covers every token, mirrored by capping sequence() at n
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.col("dup_starts"),
+                lambda p: F.sequence(p, F.least(p + F.lit(k - 1), n)),
+            )
+        )
+    )
+    kept = F.filter(
+        F.zip_with(F.col("t"), F.sequence(F.lit(1), n), lambda tok, i: F.struct(tok.alias("tok"), i.alias("i"))),
+        lambda s: ~F.array_contains(covered, s["i"]),
+    )
+    return joined.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.size(covered).alias("n_removed"),
+        F.concat_ws(" ", F.transform(kept, lambda s: s["tok"])).alias("kept_text"),
+    )
+
+
 def dedup_clusters_star(
     pairs: DataFrame, max_iter: int = 20, stats: dict | None = None
 ) -> DataFrame:

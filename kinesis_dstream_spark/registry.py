@@ -1714,6 +1714,45 @@ FROM tot JOIN dups USING (doc_id)
 """
 
 
+def _q_dedup_substring_cut(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.dedup_substring_cut(load_table(spark, sf, "documents"))
+
+
+# byte-for-byte rewrite mirror: parallel unnests zip (p, gram) per doc;
+# DuckDB range(a,b) is half-open where Spark sequence is inclusive
+_SQL_DEDUP_SUBSTRING_CUT = f"""
+WITH base AS (
+  SELECT doc_id, {_DUCK_TOKS.format(col='text')} AS t FROM documents
+), b AS (
+  SELECT doc_id, t, len(t) AS n, greatest(len(t) - 7, 1) AS m
+  FROM base WHERE len(t) > 0
+), g AS (
+  SELECT doc_id,
+         unnest(range(1, m + 1)) AS p,
+         unnest(list_transform(range(1, m + 1),
+                               i -> array_to_string(t[i:i+7], ' '))) AS gram
+  FROM b
+), dup AS (
+  SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+), dp AS (
+  SELECT doc_id, list_sort(list(p)) AS ds
+  FROM g JOIN dup USING (gram) GROUP BY doc_id
+), c AS (
+  SELECT b.doc_id, b.t, b.n,
+         list_distinct(flatten(list_transform(coalesce(dp.ds, []),
+             p -> range(p, least(p + 7, b.n) + 1)))) AS covered
+  FROM b LEFT JOIN dp ON b.doc_id = dp.doc_id
+)
+SELECT doc_id,
+       n AS n_tokens,
+       len(covered) AS n_removed,
+       coalesce(array_to_string(
+           list_filter(t, (tok, i) -> NOT list_contains(covered, i)), ' '),
+           '') AS kept_text
+FROM c
+"""
+
+
 def _q_udtf_tokens(spark: SparkSession, sf: str) -> DataFrame:
     from kinesis_dstream_spark.operators import udfs
 
@@ -2567,6 +2606,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # persisted near-dup index: check-new-against-history (LSH recall →
     # rows-only; pytest pins cross-half recall + replay-safe ingest)
     "dedup_index_check": (_q_dedup_index_check, None),
+    # the rewrite step of substring dedup (cut duplicated spans; the
+    # oracle reproduces the rewritten text byte-for-byte)
+    "dedup_substring_cut": (_q_dedup_substring_cut, _SQL_DEDUP_SUBSTRING_CUT),
     # canonicalization pass before hashing/shingling/tokenizing
     "normalize_text_stats": (_q_normalize_text, _SQL_NORMALIZE_TEXT),
     # PII redaction compliance pass (typed placeholders, per-lang counts)

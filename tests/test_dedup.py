@@ -405,3 +405,28 @@ def test_dedup_index_compaction_preserves_checks(spark, sf_dir, tmp_path):
     assert after == before
     # idempotent
     assert dedup_index.dedup_index_compact(spark, path, max_files=4)["tables_compacted"] == 0
+
+
+def test_dedup_substring_cut_removes_shared_spans_only(spark):
+    """The copied span vanishes from both docs; unique text survives
+    verbatim; short and unique docs are untouched."""
+    shared = " ".join(f"w{i}" for i in range(9))
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma", "en", "s"),
+            (2, f"{shared} end", "en", "s"),
+            (3, "unrelated text entirely different from others totally", "en", "s"),
+            (4, "tiny", "en", "s"),
+        ],
+        "doc_id int, text string, lang string, source string",
+    )
+    out = {r.doc_id: r for r in dedup.dedup_substring_cut(docs, k=8).collect()}
+    assert out[1].kept_text == "alpha beta gamma" and out[1].n_removed == 9
+    assert out[2].kept_text == "end" and out[2].n_removed == 9
+    assert out[3].n_removed == 0
+    assert out[3].kept_text == "unrelated text entirely different from others totally"
+    assert out[4].n_removed == 0 and out[4].kept_text == "tiny"
+    # conservation: kept + removed == total
+    for r in out.values():
+        kept_n = len(r.kept_text.split()) if r.kept_text else 0
+        assert kept_n + r.n_removed == r.n_tokens
