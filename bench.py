@@ -54,6 +54,7 @@ BENCH_QUERIES = {
     "dedup_clusters_star": "dedup_clusters_star",
     "dedup_substring": "dedup_substring",
     "dedup_index_check": "dedup_index_check",
+    "dedup_substring_cut": "dedup_substring_cut",
     "ann_bruteforce": "ann_bruteforce_topk",
     "ann_lsh": "ann_lsh_topk",
     "ann_ivf": "ann_ivf_topk",

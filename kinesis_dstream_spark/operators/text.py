@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from kinesis_dstream_spark.functions.exact import exact_sum
 from kinesis_dstream_spark.functions.textfns import rolling_fingerprint, tokens
 
 # Tiny per-language marker-word sets for the n-gram/stopword heuristic.
@@ -264,6 +265,66 @@ def bpe_token_counts(documents: DataFrame) -> DataFrame:
         n_bpe.alias("n_bpe_tokens"),
         F.round(n_bpe / n_ws, 6).alias("bpe_per_word"),
     )
+
+
+DEFAULT_BM25_QUERY = ("data", "system", "model")
+
+
+def bm25_search(
+    documents: DataFrame,
+    query_terms: tuple[str, ...] = DEFAULT_BM25_QUERY,
+    top_k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 document ranking for a fixed query-term set — the retrieval
+    primitive a training pipeline uses for targeted corpus slicing
+    ("find documents about X") and contamination triage.
+
+    Scale shape: the query-term set is tiny by definition, so the
+    term-match filter is an ``isin`` pushed into the token explode (no
+    join, no shuffle of the corpus on term keys); per-(doc, term) tf is
+    one aggregation; df and avgdl are two small corpus aggregates (df
+    only over the query terms — |terms| rows). Scoring is pure column
+    math; the final cut is a distributed top-k (TakeOrderedAndProject).
+    idf uses the standard Robertson form ln(1 + (N-df+0.5)/(df+0.5)).
+    """
+    toks = tokens(F.lower(F.col("text")))
+    n_docs = documents.count()
+    avgdl_row = documents.agg(F.avg(F.size(toks)).alias("a")).collect()[0]
+    avgdl = float(avgdl_row["a"])
+
+    terms = [t.lower() for t in query_terms]
+    per_doc = documents.select(
+        "doc_id", F.size(toks).alias("dl"), F.explode(toks).alias("term")
+    ).filter(F.col("term").isin(terms))
+    tf = per_doc.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "w",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl)),
+        )
+        .groupBy("doc_id")
+        .agg(
+            # fixed-point per-term weights before the sum: the 3-term sum
+            # is order-independent, so the DuckDB oracle reproduces the
+            # exact doubles and the top-k cut (the exact.py convention)
+            exact_sum(F.col("w"), scale=1_000_000, dp=4).alias("bm25"),
+            F.count("*").alias("n_terms_hit"),
+        )
+    )
+    return scored.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(top_k)
 
 
 def corpus_length_stats(documents: DataFrame) -> DataFrame:

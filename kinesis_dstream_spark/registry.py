@@ -1619,6 +1619,39 @@ FROM n GROUP BY lang
 """
 
 
+def _q_bm25(spark: SparkSession, sf: str) -> DataFrame:
+    return text.bm25_search(load_table(spark, sf, "documents"))
+
+
+# fixed-point per-term weights (1e-6 units) before the per-doc sum make
+# the 3-term double sum order-independent, so both engines produce the
+# identical bm25 and the identical top-k cut
+_SQL_BM25 = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKS.format(col='lower(text)')} AS t FROM documents
+), meta AS (
+  SELECT count(*) AS n, avg(len(t)) AS avgdl FROM toks
+), hit AS (
+  SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks
+), tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf FROM hit
+  WHERE term IN ('data', 'system', 'model') GROUP BY 1, 2, 3
+), dfx AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+)
+SELECT doc_id,
+       round(sum(CAST(round(
+           ln(1 + (n - df + 0.5) / (df + 0.5))
+           * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+           * 1000000) AS BIGINT)) / 1000000.0, 4) AS bm25,
+       count(*) AS n_terms_hit
+FROM tf JOIN dfx USING (term), meta
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT 20
+"""
+
+
 def _q_corpus_length(spark: SparkSession, sf: str) -> DataFrame:
     return text.corpus_length_stats(load_table(spark, sf, "documents"))
 
@@ -2615,6 +2648,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "pii_scrub_stats": (_q_pii_scrub, _SQL_PII_SCRUB),
     # token-length distribution telemetry (exact percentiles; approx at scale)
     "corpus_length_stats": (_q_corpus_length, _SQL_CORPUS_LENGTH),
+    # BM25 retrieval for targeted corpus slicing (broadcast term set,
+    # distributed top-k; fixed-point weights for cross-engine equality)
+    "bm25_search": (_q_bm25, _SQL_BM25),
     # scalar-function / UDF showcases (E-2, E-8, E-14)
     "scalar_functions_showcase": (_q_scalar_fns, _SQL_SCALAR_FNS),
     "date_functions_showcase": (_q_date_fns, _SQL_DATE_FNS),

@@ -104,3 +104,24 @@ def test_pii_scrub_redacts_and_counts(spark):
     # redaction really shrinks the scrubbed text
     raw_total = sum(len(r[1]) for r in docs.select("doc_id", "text").collect())
     assert row.total_chars_scrubbed < raw_total
+
+
+def test_bm25_ranks_term_dense_docs_higher(spark):
+    from kinesis_dstream_spark.operators import text as t
+
+    docs = spark.createDataFrame(
+        [
+            (1, "data data data system model", "en", "s"),     # dense in query terms
+            (2, "data and some other words here about stuff", "en", "s"),
+            (3, "nothing relevant in this one at all", "en", "s"),
+            (4, "model system", "en", "s"),                    # short, 2 distinct terms
+        ],
+        "doc_id int, text string, lang string, source string",
+    )
+    rows = t.bm25_search(docs, top_k=10).collect()
+    ids = [r.doc_id for r in rows]
+    assert 3 not in ids                      # no query term, never returned
+    assert set(ids) == {1, 2, 4}
+    by_id = {r.doc_id: r for r in rows}
+    assert by_id[1].n_terms_hit == 3 and by_id[4].n_terms_hit == 2
+    assert by_id[1].bm25 > by_id[2].bm25     # 3 distinct terms beat 1
