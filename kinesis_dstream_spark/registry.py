@@ -34,6 +34,7 @@ from kinesis_dstream_spark.operators import (
     reference_ops,
     relational,
     similarity,
+    sketches,
     text,
 )
 from kinesis_dstream_spark.tables import load_table, load_tables
@@ -2476,6 +2477,35 @@ FROM t GROUP BY source, target_pct
 
 
 # --------------------------------------------------------------------------
+# mergeable-sketch telemetry (operators/sketches.py)
+# --------------------------------------------------------------------------
+
+
+def _q_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    return sketches.heavy_hitter_tokens(load_table(spark, sf, "documents"))
+
+
+_SQL_HEAVY_HITTERS = f"""
+WITH tok AS (
+  SELECT unnest({_DUCK_TOKS.format(col="text")}) AS token FROM documents
+)
+SELECT token, count(*) AS n_occurrences
+FROM tok WHERE token <> ''
+GROUP BY token
+ORDER BY n_occurrences DESC, token ASC
+LIMIT 20
+"""
+
+
+def _q_hll_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    return sketches.hll_distinct_rollup(load_table(spark, sf, "events"))
+
+
+def _q_cms_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    return sketches.cms_heavy_hitters(load_table(spark, sf, "documents"))
+
+
+# --------------------------------------------------------------------------
 # registry assembly
 # --------------------------------------------------------------------------
 
@@ -2651,6 +2681,13 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # BM25 retrieval for targeted corpus slicing (broadcast term set,
     # distributed top-k; fixed-point weights for cross-engine equality)
     "bm25_search": (_q_bm25, _SQL_BM25),
+    # mergeable-sketch telemetry (E-4 at 100 TB: range rollups from
+    # persisted sketches, never raw-row rescans)
+    "heavy_hitter_tokens": (_q_heavy_hitters, _SQL_HEAVY_HITTERS),
+    # HLL / CMS estimates are probabilistic — rows-only; pytest pins the
+    # published error bounds + lossless-merge properties (test_sketches.py)
+    "hll_distinct_rollup": (_q_hll_rollup, None),
+    "cms_heavy_hitters": (_q_cms_heavy_hitters, None),
     # scalar-function / UDF showcases (E-2, E-8, E-14)
     "scalar_functions_showcase": (_q_scalar_fns, _SQL_SCALAR_FNS),
     "date_functions_showcase": (_q_date_fns, _SQL_DATE_FNS),

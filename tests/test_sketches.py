@@ -1,0 +1,123 @@
+"""Mergeable-sketch guarantees (operators/sketches.py).
+
+The sketch estimates are probabilistic, so the driver registers them
+rows-only; THESE tests are the correctness story — the published
+HLL / CMS guarantees pinned on the fixtures, plus the mergeability
+properties that justify the persisted-granule design.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from kinesis_dstream_spark.operators import sketches
+from kinesis_dstream_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+@pytest.fixture(scope="module")
+def documents(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+class TestHllRollup:
+    def test_estimate_within_relative_error(self, events):
+        est = {
+            r["event_type"]: r["est_users"]
+            for r in sketches.hll_distinct_rollup(events, lgk=12).collect()
+        }
+        exact = {
+            r["event_type"]: r["x"]
+            for r in events.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("x"))
+            .collect()
+        }
+        assert set(est) == set(exact)
+        # rel stderr ≈ 1.04/sqrt(2^12) ≈ 1.6%; allow 5 sigma
+        tol = 5 * 1.04 / math.sqrt(2**12)
+        for k, v in exact.items():
+            assert abs(est[k] - v) <= max(1, tol * v), (k, est[k], v)
+
+    def test_union_of_daily_sketches_is_lossless(self, events):
+        """Rolling up persisted daily sketches must equal sketching the
+        raw rows directly — the property that lets a 100 TB pipeline
+        answer range queries from sketches alone."""
+        rolled = {
+            r["event_type"]: r["est_users"]
+            for r in sketches.hll_distinct_rollup(events, lgk=12).collect()
+        }
+        direct = {
+            r["event_type"]: r["e"]
+            for r in events.groupBy("event_type")
+            .agg(
+                F.hll_sketch_estimate(
+                    F.hll_sketch_agg("user_id", F.lit(12))
+                ).alias("e")
+            )
+            .collect()
+        }
+        assert rolled == direct
+
+    def test_rollup_counts_cover_all_events(self, events):
+        out = sketches.hll_distinct_rollup(events).agg(F.sum("n_events")).first()[0]
+        assert out == events.count()
+
+
+class TestCmsHeavyHitters:
+    def test_exact_twin_matches_groupby(self, documents):
+        top = sketches.heavy_hitter_tokens(documents, k=10).collect()
+        assert len(top) == 10
+        # descending counts, token tie-break
+        pairs = [(r["n_occurrences"], r["token"]) for r in top]
+        assert pairs == sorted(pairs, key=lambda p: (-p[0], p[1]))
+
+    def test_cms_never_underestimates_and_bounded_over(self, documents):
+        rows = sketches.cms_heavy_hitters(documents, k=20).collect()
+        assert len(rows) == 20
+        n_total = documents.select(
+            F.explode(sketches.tokens(F.col("text"))).alias("t")
+        ).filter(F.col("t") != "").count()
+        eps = math.e / sketches.CMS_WIDTH
+        for r in rows:
+            assert r["cms_estimate"] >= r["n_occurrences"], r
+            # standard CMS bound, generous multiplier for the union of
+            # 20 probes (per-probe failure prob e^-depth ≈ 1.8%)
+            assert r["cms_estimate"] <= r["n_occurrences"] + 3 * eps * n_total, r
+
+    def test_cms_table_is_mergeable(self, spark, documents):
+        """CMS of the whole corpus == counter-wise sum of the CMS of two
+        disjoint halves — the relational form of sketch merge."""
+        whole = sketches.cms_table(documents)
+        h1 = sketches.cms_table(documents.filter(F.col("doc_id") % 2 == 0))
+        h2 = sketches.cms_table(documents.filter(F.col("doc_id") % 2 == 1))
+        merged = (
+            h1.unionByName(h2).groupBy("r", "b").agg(F.sum("cnt").alias("cnt"))
+        )
+        diff = whole.alias("w").join(
+            merged.alias("m"), ["r", "b"], "full"
+        ).filter(
+            F.coalesce(F.col("w.cnt"), F.lit(0))
+            != F.coalesce(F.col("m.cnt"), F.lit(0))
+        )
+        assert diff.count() == 0
+
+    def test_cms_total_mass(self, documents):
+        """Every row of the sketch holds the full occurrence count."""
+        n_total = documents.select(
+            F.explode(sketches.tokens(F.col("text"))).alias("t")
+        ).filter(F.col("t") != "").count()
+        per_row = (
+            sketches.cms_table(documents)
+            .groupBy("r")
+            .agg(F.sum("cnt").alias("mass"))
+            .collect()
+        )
+        assert len(per_row) == sketches.CMS_DEPTH
+        assert all(r["mass"] == n_total for r in per_row)
