@@ -2477,6 +2477,43 @@ FROM t GROUP BY source, target_pct
 
 
 # --------------------------------------------------------------------------
+# embedding-space decontamination (curation.py; semantic twin of
+# contamination_check)
+# --------------------------------------------------------------------------
+
+
+def _q_embedding_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    return curation.embedding_contamination(load_table(spark, sf, "embeddings"))
+
+
+# Oracle = brute-force cross join + window argmax; the Spark side is the
+# cell-pruned exact plan, so values must agree row-for-row.
+_SQL_EMBEDDING_CONTAMINATION = """
+WITH bench AS (
+  SELECT vec_id AS bench_id, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings WHERE vec_id % 10 = 0
+),
+corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings WHERE vec_id % 10 <> 0
+),
+hits AS (
+  SELECT c.vec_id, b.bench_id,
+         round(list_cosine_similarity(c.e, b.e), 4) AS cos_sim
+  FROM corpus c CROSS JOIN bench b
+  WHERE round(list_cosine_similarity(c.e, b.e), 4) >= 0.3
+),
+best AS (
+  SELECT vec_id, bench_id, cos_sim,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos_sim DESC, bench_id ASC) AS rn
+  FROM hits
+)
+SELECT vec_id, bench_id, cos_sim FROM best WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
 # mergeable-sketch telemetry (operators/sketches.py)
 # --------------------------------------------------------------------------
 
@@ -2644,6 +2681,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "unigram_logprob_score": (_q_unigram_logprob, _SQL_UNIGRAM_LOGPROB),
     "repetition_stats": (_q_repetition, _SQL_REPETITION),
     "contamination_check": (_q_contamination, _SQL_CONTAMINATION),
+    # semantic (embedding-space) decontamination twin — exact via the
+    # cross-table cell-pruning bound, oracle is the brute-force join
+    "embedding_contamination": (_q_embedding_contamination, _SQL_EMBEDDING_CONTAMINATION),
     "domain_mix_sample": (_q_domain_mix, _SQL_DOMAIN_MIX),
     "pack_sequences": (_q_pack_sequences, _SQL_PACK_SEQUENCES),
     "grouped_sample": (_q_grouped_sample, _SQL_GROUPED_SAMPLE),

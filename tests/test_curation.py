@@ -14,6 +14,7 @@ import hashlib
 from pyspark.sql import functions as F
 
 from kinesis_dstream_spark.operators import curation
+from kinesis_dstream_spark.tables import load_table
 
 
 def _docs(spark, rows):
@@ -214,3 +215,59 @@ def test_materialize_corpus_partition_layout(spark, sf_dir, tmp_path):
     # re-materializing is stable: same manifest
     again = curation.materialize_corpus(docs, out).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, manifest))
+
+
+class TestEmbeddingContamination:
+    def _ground_truth(self, spark, sf_dir, threshold=0.3):
+        import numpy as np
+
+        pdf = load_table(spark, sf_dir, "embeddings").toPandas()
+        x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        x = x / np.linalg.norm(x, axis=1, keepdims=True)
+        ids = pdf["vec_id"].to_numpy()
+        is_b = ids % 10 == 0
+        cos = np.round(x[~is_b] @ x[is_b].T, 4)
+        bench_ids = ids[is_b]
+        out = {}
+        for i, vid in enumerate(ids[~is_b]):
+            best = None
+            for j, bid in enumerate(bench_ids):
+                if cos[i, j] >= threshold:
+                    key = (cos[i, j], -bid)
+                    if best is None or key > best[0]:
+                        best = (key, bid, cos[i, j])
+            if best is not None:
+                out[int(vid)] = (int(best[1]), float(best[2]))
+        return out
+
+    def test_exact_vs_bruteforce(self, spark, sf_dir):
+        from kinesis_dstream_spark.operators import curation as C
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        got = {
+            r["vec_id"]: (r["bench_id"], r["cos_sim"])
+            for r in C.embedding_contamination(emb, threshold=0.3).collect()
+        }
+        assert got == self._ground_truth(spark, sf_dir, 0.3)
+
+    def test_invariant_to_clustering(self, spark, sf_dir):
+        """Cell pruning must never change the result — exactness holds
+        for ANY codebook, including the degenerate 1-cell one."""
+        from kinesis_dstream_spark.operators import curation as C
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        base = sorted(
+            map(tuple, C.embedding_contamination(emb, n_cells=16).collect())
+        )
+        for k in (1, 5):
+            alt = sorted(
+                map(tuple, C.embedding_contamination(emb, n_cells=k).collect())
+            )
+            assert alt == base, f"n_cells={k} diverged"
+
+    def test_plan_has_no_cartesian(self, spark, sf_dir):
+        from kinesis_dstream_spark.operators import curation as C
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        plan = C.embedding_contamination(emb)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
