@@ -13,4 +13,14 @@ Modules:
 - ``text`` — language-ID, quality scoring, token counting, fingerprints,
   tf-idf (E-12).
 - ``multimodal`` — binary-column plumbing + decode stubs (E-13).
+- ``curation`` — corpus-curation stages: quality gates, contamination
+  (shingle + embedding-space), domain mix, packing (E-12).
+- ``bpe`` — learned-merge BPE tokenizer (E-12).
+- ``codebook`` — bounded-sample k-means codebooks shared by the
+  IVF/PQ/cell-pruning families.
+- ``ann_index`` / ``dedup_index`` — persisted, partition-pruned serving
+  indexes with append/compaction lifecycles (E-11/E-10).
+- ``sketches`` — mergeable HLL / count-min telemetry (E-4 at scale).
+- ``layout`` — z-order multi-dimensional file-skipping layout (E-1/E-6).
+- ``udfs`` — the UDF surface exhibits (E-14).
 """

@@ -1,0 +1,159 @@
+"""Data-layout clustering: z-order (Morton) interleaving for multi-dim
+file skipping (SURVEY §2B E-1/E-6 depth).
+
+At 100 TB the cheapest predicate is the one that never reads the file:
+parquet min/max footer stats prune whole files when the data is
+CLUSTERED on the filter column. Sorting clusters exactly one dimension —
+a corpus laid out by time answers time filters with near-perfect
+skipping but scans everything for a user/domain filter. The standard
+multi-dimensional fix (Delta OPTIMIZE ZORDER, Hudi/Iceberg z-ordering)
+is to sort by the Z-ORDER VALUE — the bit-interleave of the quantized
+dimensions — so every file covers a small RECTANGLE of the key space and
+min/max stats prune on BOTH dimensions.
+
+Everything here is integer arithmetic on JVM-side expressions (exact,
+DuckDB-reproducible), and the layout machinery is Spark-native:
+quantization is fixed-bin integer scaling off a min/max aggregate (no
+global sort, unlike ntile), and the physical write is
+``repartitionByRange`` on the z-value — Spark's range partitioner
+samples boundaries, so the 100 TB path never total-sorts either.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+Z_BITS = 8  # 8 bits/dim -> 16-bit z-values, 256x256 grid
+
+
+def interleave_bits(x: Column, y: Column, bits: int = Z_BITS) -> Column:
+    """Morton z-value of two `bits`-bit non-negative ints: x takes the
+    even bit positions, y the odd. Pure integer shifts/masks — identical
+    in any engine with 64-bit integer semantics."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftrightunsigned(x.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftrightunsigned(y.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def _quantize(col: Column, lo: Column, hi: Column, bits: int = Z_BITS) -> Column:
+    """Fixed-bin quantization to [0, 2^bits): ((v-lo)*2^bits) div (hi-lo+1).
+
+    Integer div keeps it exact and engine-portable. Fixed bins (not
+    quantiles) are the scale-friendly choice — one min/max aggregate
+    instead of a global sort; skew across bins only unbalances file
+    sizes, which the range partitioner re-balances at write time.
+    """
+    return F.floor(
+        ((col.cast("long") - lo) * F.lit(1 << bits)) / (hi - lo + F.lit(1))
+    ).cast("long")
+
+
+def with_zorder_key(
+    events: DataFrame, dim_x: str = "user_id", dim_y_ms: str = "ts", bits: int = Z_BITS
+) -> DataFrame:
+    """Attach quantized dims (qx, qy) and their z-value to each row.
+
+    The min/max bounds ride a broadcast single-row cross join (scalars
+    only — the classic pattern for corpus-level constants; no driver
+    collect in the plan, so the whole thing stays one lazy DataFrame).
+    """
+    # events.ts reads as TIMESTAMP_NTZ; container TZ is UTC, so the cast
+    # to TIMESTAMP is value-preserving (reference_ops.py:171-174 pattern)
+    ms = F.unix_millis(F.col(dim_y_ms).cast("timestamp"))
+    bounds = events.agg(
+        F.min(dim_x).alias("lo_x"),
+        F.max(dim_x).alias("hi_x"),
+        F.min(ms).alias("lo_y"),
+        F.max(ms).alias("hi_y"),
+    )
+    qx = _quantize(F.col(dim_x), F.col("lo_x"), F.col("hi_x"), bits)
+    qy = _quantize(ms, F.col("lo_y"), F.col("hi_y"), bits)
+    return (
+        events.join(F.broadcast(bounds))
+        .withColumn("qx", qx)
+        .withColumn("qy", qy)
+        .withColumn("zval", interleave_bits(F.col("qx"), F.col("qy"), bits))
+    )
+
+
+def zorder_layout_stats(
+    events: DataFrame, n_buckets: int = 64, bits: int = Z_BITS
+) -> DataFrame:
+    """Quantified skipping benefit of z-order vs single-dim layouts.
+
+    Assigns every row to one of `n_buckets` "files" under three layouts —
+    clustered by time, clustered by user, clustered by z-value (each
+    bucket = an equal slice of that key's range, what a range-partitioned
+    write produces) — then reports the average per-file bounding box over
+    the (user, time) grid: avg span of each dim and avg box area, all in
+    quantized units. Small area ⇒ min/max stats prune on both dims.
+
+    Deterministic integer arithmetic end-to-end → DuckDB-oracle-backed.
+    The single unpivoted pass (one explode, one shuffle on
+    (layout, bucket)) scans the corpus once for all three layouts.
+    """
+    keyed = with_zorder_key(events, bits=bits)
+    shift = 2 * bits  # z-values live in [0, 2^(2*bits))
+    layouts = keyed.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("by_ts").alias("layout"),
+                    F.floor(F.col("qy") * n_buckets / F.lit(1 << bits))
+                    .cast("long")
+                    .alias("bucket"),
+                ),
+                F.struct(
+                    F.lit("by_user").alias("layout"),
+                    F.floor(F.col("qx") * n_buckets / F.lit(1 << bits))
+                    .cast("long")
+                    .alias("bucket"),
+                ),
+                F.struct(
+                    F.lit("zorder").alias("layout"),
+                    F.floor(F.col("zval") * n_buckets / F.lit(1 << shift))
+                    .cast("long")
+                    .alias("bucket"),
+                ),
+            )
+        ).alias("lb"),
+        "qx",
+        "qy",
+    ).select("lb.layout", "lb.bucket", "qx", "qy")
+    per_file = layouts.groupBy("layout", "bucket").agg(
+        (F.max("qx") - F.min("qx") + 1).alias("span_x"),
+        (F.max("qy") - F.min("qy") + 1).alias("span_y"),
+        F.count("*").alias("n_rows"),
+    )
+    return (
+        per_file.groupBy("layout")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.round(F.avg("span_x"), 4).alias("avg_user_span"),
+            F.round(F.avg("span_y"), 4).alias("avg_ts_span"),
+            F.round(F.avg(F.col("span_x") * F.col("span_y")), 4).alias("avg_box_area"),
+        )
+        .orderBy("layout")
+    )
+
+
+def write_zorder(
+    events: DataFrame, path: str, n_files: int = 16, bits: int = Z_BITS
+) -> None:
+    """Materialize the z-ordered layout: range-partition on the z-value
+    (sampled boundaries — no total sort) and sort WITHIN each partition
+    so parquet row-group stats are tight too. One file per partition;
+    each covers a compact z-range ⇒ a small (user, time) rectangle."""
+    (
+        with_zorder_key(events, bits=bits)
+        .repartitionByRange(n_files, "zval")
+        .sortWithinPartitions("zval")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

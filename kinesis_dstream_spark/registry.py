@@ -32,6 +32,7 @@ from kinesis_dstream_spark.operators import (
     dedup,
     multimodal,
     reference_ops,
+    layout,
     relational,
     similarity,
     sketches,
@@ -2514,6 +2515,57 @@ SELECT vec_id, bench_id, cos_sim FROM best WHERE rn = 1
 
 
 # --------------------------------------------------------------------------
+# z-order data layout (operators/layout.py)
+# --------------------------------------------------------------------------
+
+
+def _q_zorder_stats(spark: SparkSession, sf: str) -> DataFrame:
+    return layout.zorder_layout_stats(load_table(spark, sf, "events"))
+
+
+# Morton interleave as pure integer arithmetic — the same expression the
+# Spark side builds with shiftleft/shiftrightunsigned
+_DUCK_INTERLEAVE = " + ".join(
+    f"(((qx >> {i}) & 1) << {2 * i}) + (((qy >> {i}) & 1) << {2 * i + 1})"
+    for i in range(8)
+)
+
+_SQL_ZORDER_STATS = f"""
+WITH e AS (
+  SELECT user_id, epoch_ms(ts) AS ms FROM events
+),
+b AS (
+  SELECT min(user_id) AS lo_x, max(user_id) AS hi_x,
+         min(ms) AS lo_y, max(ms) AS hi_y FROM e
+),
+q AS (
+  SELECT CAST(floor(((user_id - lo_x) * 256) / (hi_x - lo_x + 1)) AS BIGINT) AS qx,
+         CAST(floor(((ms - lo_y) * 256) / (hi_y - lo_y + 1)) AS BIGINT) AS qy
+  FROM e CROSS JOIN b
+),
+z AS (SELECT qx, qy, {_DUCK_INTERLEAVE} AS zval FROM q),
+l AS (
+  SELECT 'by_ts' AS layout, CAST(floor(qy * 64 / 256) AS BIGINT) AS bucket, qx, qy FROM z
+  UNION ALL
+  SELECT 'by_user', CAST(floor(qx * 64 / 256) AS BIGINT), qx, qy FROM z
+  UNION ALL
+  SELECT 'zorder', CAST(floor(zval * 64 / 65536) AS BIGINT), qx, qy FROM z
+),
+pf AS (
+  SELECT layout, bucket,
+         max(qx) - min(qx) + 1 AS span_x,
+         max(qy) - min(qy) + 1 AS span_y
+  FROM l GROUP BY layout, bucket
+)
+SELECT layout, count(*) AS n_files,
+       round(avg(span_x), 4) AS avg_user_span,
+       round(avg(span_y), 4) AS avg_ts_span,
+       round(avg(span_x * span_y), 4) AS avg_box_area
+FROM pf GROUP BY layout ORDER BY layout
+"""
+
+
+# --------------------------------------------------------------------------
 # mergeable-sketch telemetry (operators/sketches.py)
 # --------------------------------------------------------------------------
 
@@ -2724,6 +2776,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # mergeable-sketch telemetry (E-4 at 100 TB: range rollups from
     # persisted sketches, never raw-row rescans)
     "heavy_hitter_tokens": (_q_heavy_hitters, _SQL_HEAVY_HITTERS),
+    # z-order layout: multi-dim file-skipping quality, exact int arithmetic
+    "zorder_layout_stats": (_q_zorder_stats, _SQL_ZORDER_STATS),
     # HLL / CMS estimates are probabilistic — rows-only; pytest pins the
     # published error bounds + lossless-merge properties (test_sketches.py)
     "hll_distinct_rollup": (_q_hll_rollup, None),
