@@ -2389,6 +2389,12 @@ def _q_stream_ann_ingest(spark: SparkSession, sf: str) -> DataFrame:
     return jobs.streaming_ann_index_ingest(spark, sf)
 
 
+def _q_stream_hll_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.streaming import jobs
+
+    return jobs.streaming_hll_rollup(spark, sf)
+
+
 def _q_materialize_corpus(spark: SparkSession, sf: str) -> DataFrame:
     import tempfile
 
@@ -2809,6 +2815,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # streaming ingestion into the persisted ANN index (rows-only: PQ/ADC
     # is not SQL-expressible; pytest pins batch-equivalence + replay safety)
     "streaming_ann_index_ingest": (_q_stream_ann_ingest, None),
+    # replay-safe streaming sketch maintenance (HLL estimates are
+    # probabilistic -> rows-only; pytest pins batch-equality + replay)
+    "streaming_hll_rollup": (_q_stream_hll_rollup, None),
 }
 
 

@@ -478,6 +478,87 @@ def _table_multifile_dir(
     return d
 
 
+def streaming_hll_rollup(
+    spark: SparkSession,
+    sf_dir: str,
+    state_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+    lgk: int = 12,
+) -> DataFrame:
+    """Streaming maintenance of the mergeable-sketch granule
+    (operators/sketches.py): per-(event_type, day) HLL sketches of
+    distinct users, updated each micro-batch via lossless ``hll_union_agg``
+    and swapped atomically (tmp dir + rename, the changelog_merge
+    pattern).
+
+    REPLAY-SAFE BY CONSTRUCTION: HLL insertion has set semantics — a
+    micro-batch re-processed after a checkpoint-less restart unions the
+    same items into the same registers and changes no estimate. That is
+    the reason sketches, not counters, are the right streaming state for
+    distinct-count telemetry (counters double-count on replay; see
+    ``tests/test_streaming.py``). The drained state must equal the batch
+    ``hll_distinct_rollup`` estimates exactly (same algorithm, same
+    lgConfigK, lossless merges) — pinned by pytest.
+
+    The streamed table is staged as multiple files with
+    maxFilesPerTrigger=1, so the union path is exercised across real
+    micro-batch boundaries, not a single batch.
+    """
+    import shutil
+
+    state_dir = state_dir or tempfile.mkdtemp(prefix="kds_hll_state_")
+    cur_path = os.path.join(state_dir, "current")
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        batch_sk = (
+            batch_df.select(
+                "event_type", F.date_trunc("day", "ts").alias("day"), "user_id"
+            )
+            .groupBy("event_type", "day")
+            .agg(F.hll_sketch_agg("user_id", F.lit(lgk)).alias("user_sketch"))
+        )
+        merged = batch_sk
+        if os.path.exists(cur_path):
+            merged = (
+                spark.read.parquet(cur_path)
+                .unionByName(batch_sk)
+                .groupBy("event_type", "day")
+                .agg(F.hll_union_agg("user_sketch").alias("user_sketch"))
+            )
+        tmp = os.path.join(state_dir, f"tmp_{batch_id}")
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(cur_path):
+            shutil.rmtree(cur_path)
+        os.rename(tmp, cur_path)
+
+    from kinesis_dstream_spark.tables import NANOS_AS_LONG_CONF
+
+    spark.conf.set(NANOS_AS_LONG_CONF, "true")
+    src = _table_multifile_dir(spark, sf_dir, "events", n_files=4)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    if dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option(
+            "checkpointLocation", checkpoint_dir or os.path.join(state_dir, "chk")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(cur_path)
+        .groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("user_sketch")).alias("est_users"),
+            F.count("*").alias("n_days"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _embeddings_multifile_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
     return _table_multifile_dir(spark, sf_dir, "embeddings", n_files)
 

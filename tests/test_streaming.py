@@ -409,3 +409,44 @@ def test_streaming_dedup_index_ingest_covers_corpus_and_replays_safely(
         spark, sf_dir, index_path=idx, checkpoint_dir=str(tmp_path / "chk2")
     )
     assert spark.read.parquet(idx + "/shingles").count() == n_indexed_first
+
+
+def test_streaming_hll_rollup_equals_batch_and_replays_safely(spark, sf_dir, tmp_path):
+    """The drained sketch state must give EXACTLY the batch rollup's
+    estimates (lossless union at equal lgConfigK), and replaying data
+    into existing state must change nothing — HLL insertion has set
+    semantics, which is the whole argument for sketch-valued streaming
+    state over counters."""
+    from kinesis_dstream_spark.operators import sketches
+    from kinesis_dstream_spark.streaming.jobs import streaming_hll_rollup
+
+    state = str(tmp_path / "hll_state")
+    streamed = {
+        (r["event_type"], r["est_users"], r["n_days"])
+        for r in streaming_hll_rollup(spark, sf_dir, state_dir=state).collect()
+    }
+    batch = {
+        (r["event_type"], r["est_users"], r["n_days"])
+        for r in sketches.hll_distinct_rollup(
+            load_table(spark, sf_dir, "events")
+        ).collect()
+    }
+    assert streamed == batch
+
+    # replay the whole table into the existing state with a fresh
+    # checkpoint: estimates must be bit-identical
+    replayed = {
+        (r["event_type"], r["est_users"], r["n_days"])
+        for r in streaming_hll_rollup(spark, sf_dir, state_dir=str(tmp_path / "s2"))
+        .collect()
+    }
+    assert replayed == streamed
+    # TRUE replay: same sketch state, FRESH checkpoint -> every
+    # micro-batch re-processed into already-populated sketches
+    again = {
+        (r["event_type"], r["est_users"], r["n_days"])
+        for r in streaming_hll_rollup(
+            spark, sf_dir, state_dir=state, checkpoint_dir=str(tmp_path / "chk_b")
+        ).collect()
+    }
+    assert again == streamed
