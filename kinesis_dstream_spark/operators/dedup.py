@@ -904,12 +904,16 @@ def dedup_clusters_star(
             .agg(F.min("v").alias("mv"))
             .select("u", F.least(F.col("u"), F.col("mv")).alias("m"))
         )
+        # cache (not checkpoint): `large` feeds BOTH the min aggregate
+        # and the rewrite join below, and caching makes the shared
+        # subtree compute once inside the round's single materializing
+        # job — an eager checkpoint here was a whole extra job per round
         large = (
             sym.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .distinct()
-            .localCheckpoint()
+            .cache()
         )
         # --- small-star: edges now all point down (v < u); ∀u over its
         # smaller neighbors N, m = min(N); emit (u, m) and (v, m) ∀v ∈ N\{m}
@@ -923,13 +927,17 @@ def dedup_clusters_star(
                 F.col("m").alias("v"),
             )
             .distinct()
-            .localCheckpoint()
+            # lazy: the signature aggregate right below is the round's
+            # one materializing action — it computes the round AND pins
+            # the checkpoint blocks in the same job
+            .localCheckpoint(eager=False)
         )
         sig = tuple(
             edges.agg(
                 F.count("*"), F.sum("u"), F.sum("v")
             ).collect()[0]
         )
+        large.unpersist()
         if sig == prev_sig:
             break
         prev_sig = sig
