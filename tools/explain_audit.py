@@ -55,6 +55,14 @@ AUDIT_DEFAULT = [
     "events_gap_fill",
     "poll_window_filter",
     "ir_contacts_poll",
+    # r5 additions
+    "embedding_contamination",
+    "heavy_hitter_tokens",
+    "hll_distinct_rollup",
+    "cms_heavy_hitters",
+    "zorder_layout_stats",
+    "bm25_search",
+    "dedup_clusters_star",
 ]
 
 
