@@ -160,3 +160,57 @@ def udtf_token_explode(spark, documents: DataFrame) -> DataFrame:
         "SELECT d.doc_id, s.pos, s.token "
         "FROM _udtf_docs d, LATERAL token_explode(d.text) s"
     )
+
+
+def arrow_norm_stats(embeddings: DataFrame) -> DataFrame:
+    """mapInArrow (E-14 tier 2b): zero-copy Arrow batch transform.
+
+    One tier below pandas UDFs: batches arrive as ``pyarrow.RecordBatch``
+    with NO pandas conversion — for kernels that operate on Arrow
+    buffers directly (here: the list<float> embedding column is viewed
+    as one flat numpy array + offsets, L2 norms computed with a single
+    reshaped einsum — no per-row objects anywhere). This is the shape
+    feature-extraction / model-inference stages want at 100 TB: fixed
+    batch cost, no object churn, and the output schema is declared so
+    Catalyst plans around it like any other node.
+
+    Deterministic float arithmetic (float64, rounded; max_abs is a
+    single-element pick so it is exact) → oracle-checked against DuckDB
+    list aggregation. The fixture's vectors are unit-norm, so l2_norm
+    doubles as a fixture sanity column; max_abs/n_dims vary per row and
+    carry the real per-row check.
+    """
+    import pyarrow as pa
+
+    def norms(batches):
+        import numpy as np
+
+        for batch in batches:
+            ids = batch.column("vec_id")
+            emb = batch.column("embedding")
+            # flat values buffer + offsets: zero-copy views of the Arrow
+            # memory; fixture vectors are fixed-dim so one reshape does it
+            flat = emb.values.to_numpy(zero_copy_only=False).astype(np.float64)
+            offsets = emb.offsets.to_numpy(zero_copy_only=False)
+            widths = np.diff(offsets)
+            if len(widths) and (widths == widths[0]).all():
+                m = flat.reshape(len(widths), widths[0])
+                sq = (m**2).sum(axis=1)
+                mx = np.abs(m).max(axis=1)
+            else:  # ragged fallback: per-row slices off the same buffer
+                rows = [flat[offsets[i] : offsets[i + 1]] for i in range(len(widths))]
+                sq = np.array([(r**2).sum() for r in rows])
+                mx = np.array([np.abs(r).max() if len(r) else 0.0 for r in rows])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(widths.astype("int32"), pa.int32()),
+                    pa.array(np.round(np.sqrt(sq), 4), pa.float64()),
+                    pa.array(np.round(mx, 6), pa.float64()),
+                ],
+                ["vec_id", "n_dims", "l2_norm", "max_abs"],
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInArrow(
+        norms, "vec_id long, n_dims int, l2_norm double, max_abs double"
+    )

@@ -1794,6 +1794,24 @@ def _q_udtf_tokens(spark: SparkSession, sf: str) -> DataFrame:
     return udfs.udtf_token_explode(spark, load_table(spark, sf, "documents"))
 
 
+def _q_arrow_norms(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.operators import udfs
+
+    return udfs.arrow_norm_stats(load_table(spark, sf, "embeddings"))
+
+
+# max_abs is a single-element pick (exact); l2_norm rounds to 4 so the
+# numpy-pairwise vs DuckDB-sequential accumulation difference (~1e-16)
+# can't straddle a rounding boundary
+_SQL_ARROW_NORMS = """
+SELECT vec_id,
+       CAST(len(embedding) AS INT) AS n_dims,
+       round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 4) AS l2_norm,
+       round(list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))), 6) AS max_abs
+FROM embeddings
+"""
+
+
 _SQL_UDTF_TOKENS = f"""
 WITH t AS (
   SELECT doc_id, {_DUCK_TOKS.format(col='text')} AS toks FROM documents
@@ -2796,6 +2814,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "udf_token_counts": (_q_udf_tokens, _SQL_UDF_TOKENS),
     "pandas_udf_value_transform": (_q_pandas_udf, _SQL_PANDAS_UDF),
     "udtf_token_explode": (_q_udtf_tokens, _SQL_UDTF_TOKENS),
+    # mapInArrow zero-copy batch transform (E-14 tier 2b)
+    "arrow_norm_stats": (_q_arrow_norms, _SQL_ARROW_NORMS),
     "pivot_event_counts": (_q_pivot_counts, _SQL_PIVOT),
     "sql_api_order_priorities": (_q_sql_api, _SQL_API_QUERY),
     # multimodal, remainder (rows-only pinned-deterministic)

@@ -243,3 +243,46 @@ def test_asof_join_events_directions(spark):
     }
     assert set(fwd) == {2}
     assert fwd[2].matched_event_id == 3 and fwd[2].gap_micros == -10 * 60 * 1_000_000
+
+
+def test_arrow_norm_stats_matches_native_expressions(spark, sf_dir):
+    """mapInArrow kernel vs JVM aggregate HOFs on the same column."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = {r["vec_id"]: r for r in udfs.arrow_norm_stats(emb).collect()}
+    ref = emb.select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.transform(F.col("embedding").cast("array<double>"), lambda x: x * x),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+            ),
+            4,
+        ).alias("l2_norm"),
+        F.round(
+            F.array_max(
+                F.transform(F.col("embedding").cast("array<double>"), lambda x: F.abs(x))
+            ),
+            6,
+        ).alias("max_abs"),
+    ).collect()
+    for r in ref:
+        g = got[r["vec_id"]]
+        assert g["n_dims"] == r["n_dims"]
+        assert abs(g["l2_norm"] - r["l2_norm"]) <= 1e-4
+        assert g["max_abs"] == r["max_abs"]
+
+
+def test_arrow_norm_stats_ragged_fallback(spark):
+    """Mixed-width vectors exercise the per-row-slice branch."""
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [1.0]), (3, [0.0, 0.0, 5.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["vec_id"]: r for r in udfs.arrow_norm_stats(df).collect()}
+    assert got[1]["l2_norm"] == 5.0 and got[1]["n_dims"] == 2
+    assert got[2]["l2_norm"] == 1.0 and got[2]["max_abs"] == 1.0
+    assert got[3]["l2_norm"] == 5.0 and got[3]["max_abs"] == 5.0
