@@ -274,3 +274,135 @@ def media_embedding_topk(
         .filter(F.col("rk") <= k)
         .select("q_id", "c_id", "cos_sim", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL audio decode (stdlib wave — no external codec libs needed)
+# ---------------------------------------------------------------------------
+
+WAV_SAMPLE_RATE = 8000
+_WAV_PERIOD = 16  # square-wave period in samples (8 high, 8 low)
+
+
+def synth_wav_table(documents: DataFrame) -> DataFrame:
+    """(media_id, payload) where payload is a GENUINE RIFF/WAV container:
+    PCM16 mono square wave, written by stdlib ``wave`` inside mapInPandas.
+
+    Unlike ``to_media_table`` (text bytes posing as media), these
+    payloads are real audio files any WAV reader can open. Duration and
+    amplitude derive deterministically from doc_id:
+
+        n_samples = 800 + (doc_id % 5) * 80      (100-140 ms @ 8 kHz)
+        amplitude = 1000 + (doc_id % 7) * 500    (peak sample value)
+
+    which makes every decoded property analytically predictable — the
+    foundation of the ``wav_decode_stats`` oracle: a DuckDB query can
+    compute the expected stats from doc_id alone, so a hash-match PROVES
+    the Spark side really parsed the container and the sample frames.
+    """
+    import io
+    import wave
+
+    import numpy as np
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                n = 800 + (int(doc_id) % 5) * 80
+                amp = 1000 + (int(doc_id) % 7) * 500
+                half = _WAV_PERIOD // 2
+                pattern = np.concatenate(
+                    [np.full(half, amp), np.full(half, -amp)]
+                ).astype("<i2")
+                samples = np.tile(pattern, n // _WAV_PERIOD + 1)[:n]
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(WAV_SAMPLE_RATE)
+                    w.writeframes(samples.tobytes())
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        synth, "media_id long, payload binary"
+    )
+
+
+WAV_STATS_SCHEMA = (
+    "media_id long, sample_rate int, n_channels int, n_samples long, "
+    "duration_ms double, peak int, rms double"
+)
+
+
+def decode_wav_batch(media: DataFrame) -> DataFrame:
+    """REAL media decode (E-13, non-stub): parse the WAV container with
+    stdlib ``wave``, then compute signal stats off the PCM frames.
+
+    Same Arrow-batch shape as ``decode_media_batch``; the difference is
+    that nothing here is faked — header fields come from the RIFF
+    chunks, peak/rms from the int16 samples. Malformed payloads yield a
+    null-stats row instead of failing the batch (the 100 TB posture:
+    quarantine, don't crash)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    with wave.open(io.BytesIO(payload), "rb") as w:
+                        sr = w.getframerate()
+                        nch = w.getnchannels()
+                        nf = w.getnframes()
+                        frames = np.frombuffer(
+                            w.readframes(nf), dtype="<i2"
+                        ).astype(np.float64)
+                    rows.append(
+                        (
+                            int(mid),
+                            sr,
+                            nch,
+                            nf,
+                            round(nf * 1000.0 / sr, 3),
+                            int(np.abs(frames).max()) if len(frames) else 0,
+                            round(float(np.sqrt((frames**2).mean())), 4)
+                            if len(frames)
+                            else 0.0,
+                        )
+                    )
+                except Exception:
+                    rows.append((int(mid), None, None, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "sample_rate",
+                    "n_channels",
+                    "n_samples",
+                    "duration_ms",
+                    "peak",
+                    "rms",
+                ],
+            )
+
+    return media.mapInPandas(decode, WAV_STATS_SCHEMA)
+
+
+def wav_decode_stats(documents: DataFrame) -> DataFrame:
+    """Synthesize real WAVs, decode them back, emit per-file stats.
+
+    End-to-end REAL-decode exhibit: bytes → container parse → sample
+    math, all inside one mapInPandas chain (the synth and decode stages
+    fuse into a single pass — no shuffle anywhere). The oracle predicts
+    every value analytically from doc_id (square wave: rms == peak ==
+    amplitude; duration = n_samples/8 ms), so the driver's hash check
+    certifies the decoder, not a fixture copy of its output.
+    """
+    return decode_wav_batch(synth_wav_table(documents))

@@ -2539,6 +2539,31 @@ SELECT vec_id, bench_id, cos_sim FROM best WHERE rn = 1
 
 
 # --------------------------------------------------------------------------
+# real WAV decode (operators/multimodal.py — stdlib wave, no codec libs)
+# --------------------------------------------------------------------------
+
+
+def _q_wav_decode(spark: SparkSession, sf: str) -> DataFrame:
+    return multimodal.wav_decode_stats(load_table(spark, sf, "documents"))
+
+
+# Every decoded property is analytically predictable from doc_id (square
+# wave: |sample| == amplitude everywhere, so rms == peak == amplitude;
+# duration_ms = n_samples/8 at 8 kHz) — the hash match certifies that the
+# Spark side REALLY parsed the RIFF container and the PCM frames.
+_SQL_WAV_DECODE = """
+SELECT doc_id AS media_id,
+       8000 AS sample_rate,
+       1 AS n_channels,
+       800 + (doc_id % 5) * 80 AS n_samples,
+       round((800 + (doc_id % 5) * 80) / 8.0, 3) AS duration_ms,
+       CAST(1000 + (doc_id % 7) * 500 AS INT) AS peak,
+       round(CAST(1000 + (doc_id % 7) * 500 AS DOUBLE), 4) AS rms
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
 # z-order data layout (operators/layout.py)
 # --------------------------------------------------------------------------
 
@@ -2820,6 +2845,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "sql_api_order_priorities": (_q_sql_api, _SQL_API_QUERY),
     # multimodal, remainder (rows-only pinned-deterministic)
     "media_decode_stats": (_q_media_decode, _SQL_MEDIA_DECODE),
+    # REAL container decode (stdlib wave): oracle predicts every value
+    # analytically, so hash-match certifies the decoder itself
+    "wav_decode_stats": (_q_wav_decode, _SQL_WAV_DECODE),
     "media_embedding_topk": (_q_media_topk, _SQL_MEDIA_TOPK),
     # streaming (E-9), bounded availableNow runs
     "streaming_tumbling_counts": (_q_stream_tumbling, _SQL_STREAM_TUMBLING),
