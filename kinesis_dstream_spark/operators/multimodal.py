@@ -406,3 +406,118 @@ def wav_decode_stats(documents: DataFrame) -> DataFrame:
     certifies the decoder, not a fixture copy of its output.
     """
     return decode_wav_batch(synth_wav_table(documents))
+
+
+# ---------------------------------------------------------------------------
+# REAL image decode (hand-rolled BMP: pure stdlib struct, no codec libs)
+# ---------------------------------------------------------------------------
+
+
+def synth_bmp_table(documents: DataFrame) -> DataFrame:
+    """(media_id, payload) where payload is a GENUINE 24bpp BMP file —
+    BITMAPFILEHEADER + BITMAPINFOHEADER + bottom-up padded BGR rows,
+    openable by any image viewer. Dimensions and pixels derive from
+    doc_id:
+
+        width  = 8 + doc_id % 8, height = 8 + doc_id % 5
+        B = doc_id % 256 (constant), G = 128 (constant),
+        R = 255 on the (x+y)-even checkerboard cells else 0
+
+    The checkerboard forces the decoder to traverse every pixel (a
+    header-only or first-byte cheat cannot reproduce avg_r), while
+    keeping every decoded stat analytically computable from doc_id —
+    the same certify-the-decoder oracle design as ``wav_decode_stats``.
+    """
+    import struct
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 8 + d % 8, 8 + d % 5
+                b, g = d % 256, 128
+                row_pad = (-(w * 3)) % 4
+                rows = []
+                for y in range(h - 1, -1, -1):  # bottom-up
+                    row = bytearray()
+                    for x in range(w):
+                        r = 255 if (x + y) % 2 == 0 else 0
+                        row += bytes((b, g, r))  # BGR
+                    rows.append(bytes(row) + b"\x00" * row_pad)
+                pixels = b"".join(rows)
+                header = struct.pack(
+                    "<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54
+                ) + struct.pack(
+                    "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+                )
+                payloads.append(header + pixels)
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        synth, "media_id long, payload binary"
+    )
+
+
+BMP_STATS_SCHEMA = (
+    "media_id long, width int, height int, bpp int, "
+    "avg_b double, avg_g double, avg_r double"
+)
+
+
+def decode_bmp_batch(media: DataFrame) -> DataFrame:
+    """REAL image decode: parse BMP headers with stdlib struct, walk the
+    bottom-up padded pixel rows, average each channel. Malformed
+    payloads quarantine to null rows (same posture as WAV)."""
+    import struct
+
+    import numpy as np
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    p = bytes(payload)
+                    magic, _, _, _, offset = struct.unpack_from("<2sIHHI", p, 0)
+                    if magic != b"BM":
+                        raise ValueError("not a BMP")
+                    (hsz, w, h, planes, bpp) = struct.unpack_from("<IiiHH", p, 14)
+                    if bpp != 24 or planes != 1 or w <= 0 or h == 0:
+                        raise ValueError("unsupported BMP variant")
+                    stride = (w * 3 + 3) // 4 * 4
+                    nrows = abs(h)
+                    px = np.frombuffer(
+                        p, dtype=np.uint8, count=stride * nrows, offset=offset
+                    ).reshape(nrows, stride)[:, : w * 3].reshape(nrows, w, 3)
+                    means = px.astype(np.float64).mean(axis=(0, 1))
+                    rows.append(
+                        (
+                            int(mid),
+                            w,
+                            nrows,
+                            bpp,
+                            round(float(means[0]), 4),
+                            round(float(means[1]), 4),
+                            round(float(means[2]), 4),
+                        )
+                    )
+                except Exception:
+                    rows.append((int(mid), None, None, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "bpp", "avg_b", "avg_g", "avg_r",
+                ],
+            )
+
+    return media.mapInPandas(decode, BMP_STATS_SCHEMA)
+
+
+def bmp_decode_stats(documents: DataFrame) -> DataFrame:
+    """Synthesize real BMPs, decode them back, emit per-image stats —
+    the image twin of ``wav_decode_stats`` (one fused mapInPandas chain,
+    no shuffle; oracle computes every stat from doc_id analytically)."""
+    return decode_bmp_batch(synth_bmp_table(documents))

@@ -2563,6 +2563,25 @@ FROM documents
 """
 
 
+def _q_bmp_decode(spark: SparkSession, sf: str) -> DataFrame:
+    return multimodal.bmp_decode_stats(load_table(spark, sf, "documents"))
+
+
+# Checkerboard R channel forces pixel-level traversal: even-(x+y) cells
+# in a w x h grid number ceil(w*h/2), so avg_r = ceil(wh/2)*255/wh.
+_SQL_BMP_DECODE = """
+SELECT doc_id AS media_id,
+       CAST(8 + doc_id % 8 AS INT) AS width,
+       CAST(8 + doc_id % 5 AS INT) AS height,
+       24 AS bpp,
+       round(CAST(doc_id % 256 AS DOUBLE), 4) AS avg_b,
+       CAST(128.0 AS DOUBLE) AS avg_g,
+       round(ceil((8 + doc_id % 8) * (8 + doc_id % 5) / 2.0) * 255.0
+             / ((8 + doc_id % 8) * (8 + doc_id % 5)), 4) AS avg_r
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # z-order data layout (operators/layout.py)
 # --------------------------------------------------------------------------
@@ -2848,6 +2867,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # REAL container decode (stdlib wave): oracle predicts every value
     # analytically, so hash-match certifies the decoder itself
     "wav_decode_stats": (_q_wav_decode, _SQL_WAV_DECODE),
+    "bmp_decode_stats": (_q_bmp_decode, _SQL_BMP_DECODE),
     "media_embedding_topk": (_q_media_topk, _SQL_MEDIA_TOPK),
     # streaming (E-9), bounded availableNow runs
     "streaming_tumbling_counts": (_q_stream_tumbling, _SQL_STREAM_TUMBLING),

@@ -109,3 +109,34 @@ def test_wav_decode_quarantines_malformed_payloads(spark):
     assert len(rows) == 3
     for r in rows.values():
         assert r["sample_rate"] is None and r["rms"] is None
+
+
+def test_bmp_payloads_are_real_bmp_files(spark, sf_dir):
+    """Headers must parse with stdlib struct outside Spark, and the
+    pixel section must be exactly stride*height bytes."""
+    import struct
+
+    from kinesis_dstream_spark.operators.multimodal import synth_bmp_table
+    from kinesis_dstream_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    for r in synth_bmp_table(docs).collect():
+        p = bytes(r["payload"])
+        magic, fsize, _, _, offset = struct.unpack_from("<2sIHHI", p, 0)
+        assert magic == b"BM" and fsize == len(p) and offset == 54
+        _, w, h, planes, bpp = struct.unpack_from("<IiiHH", p, 14)
+        stride = (w * 3 + 3) // 4 * 4
+        assert planes == 1 and bpp == 24
+        assert len(p) - offset == stride * h
+
+
+def test_bmp_decode_quarantines_malformed_payloads(spark):
+    from kinesis_dstream_spark.operators.multimodal import decode_bmp_batch
+
+    df = spark.createDataFrame(
+        [(1, b"GIF89a junk"), (2, b""), (3, b"BM\x00\x00truncated")],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in decode_bmp_batch(df).collect()}
+    assert len(rows) == 3
+    assert all(r["width"] is None and r["avg_r"] is None for r in rows.values())
