@@ -521,3 +521,112 @@ def bmp_decode_stats(documents: DataFrame) -> DataFrame:
     the image twin of ``wav_decode_stats`` (one fused mapInPandas chain,
     no shuffle; oracle computes every stat from doc_id analytically)."""
     return decode_bmp_batch(synth_bmp_table(documents))
+
+
+# ---------------------------------------------------------------------------
+# REAL video decode (YUV4MPEG2 / .y4m: text header + raw planes, stdlib-only)
+# ---------------------------------------------------------------------------
+
+
+def synth_y4m_table(documents: DataFrame) -> DataFrame:
+    """(media_id, payload) where payload is a GENUINE .y4m video stream —
+    `YUV4MPEG2` header + per-frame `FRAME` markers + raw C444 planes,
+    playable by ffmpeg/mpv. Deterministic from doc_id:
+
+        width = 8 + doc_id % 4, height = 8 + doc_id % 3
+        n_frames = 2 + doc_id % 4
+        frame f: Y plane constant (doc_id % 200) + 10*f, U = V = 128
+
+    Y stays < 230 < 256 (no modular wrap) so the mean luma across frames
+    is analytically `doc_id % 200 + 5 * (n_frames - 1)` — the
+    certify-the-decoder oracle again, now over MULTIPLE frames: a
+    decoder that miscounts frames or misreads plane sizes cannot
+    reproduce avg_y."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h, n = 8 + d % 4, 8 + d % 3, 2 + d % 4
+                parts = [f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C444\n".encode()]
+                for f in range(n):
+                    parts.append(b"FRAME\n")
+                    parts.append(bytes([d % 200 + 10 * f]) * (w * h))  # Y
+                    parts.append(bytes([128]) * (w * h))  # U
+                    parts.append(bytes([128]) * (w * h))  # V
+                payloads.append(b"".join(parts))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        synth, "media_id long, payload binary"
+    )
+
+
+Y4M_STATS_SCHEMA = (
+    "media_id long, width int, height int, n_frames int, colorspace string, "
+    "avg_y double"
+)
+
+
+def decode_y4m_batch(media: DataFrame) -> DataFrame:
+    """REAL video decode: parse the YUV4MPEG2 stream header, iterate
+    FRAME sections, accumulate per-frame Y-plane means. Malformed
+    payloads quarantine to null rows."""
+    import numpy as np
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    p = bytes(payload)
+                    nl = p.index(b"\n")
+                    head = p[:nl].decode("ascii").split()
+                    if head[0] != "YUV4MPEG2":
+                        raise ValueError("not y4m")
+                    params = {t[0]: t[1:] for t in head[1:]}
+                    w, h = int(params["W"]), int(params["H"])
+                    cs = params.get("C", "420")
+                    if cs == "444":
+                        frame_bytes = w * h * 3
+                    elif cs in ("420", "420jpeg", "420mpeg2", "420paldv"):
+                        frame_bytes = w * h * 3 // 2
+                    else:
+                        raise ValueError(f"unsupported colorspace {cs}")
+                    pos, y_means, nf = nl + 1, [], 0
+                    while pos < len(p):
+                        fnl = p.index(b"\n", pos)
+                        if not p[pos:fnl].startswith(b"FRAME"):
+                            raise ValueError("bad frame marker")
+                        plane = np.frombuffer(
+                            p, dtype=np.uint8, count=w * h, offset=fnl + 1
+                        )
+                        y_means.append(plane.astype(np.float64).mean())
+                        pos = fnl + 1 + frame_bytes
+                        nf += 1
+                    rows.append(
+                        (
+                            int(mid), w, h, nf, f"C{cs}",
+                            round(float(np.mean(y_means)), 4) if nf else None,
+                        )
+                    )
+                except Exception:
+                    rows.append((int(mid), None, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "n_frames", "colorspace", "avg_y",
+                ],
+            )
+
+    return media.mapInPandas(decode, Y4M_STATS_SCHEMA)
+
+
+def y4m_decode_stats(documents: DataFrame) -> DataFrame:
+    """Synthesize real .y4m videos, decode them back, emit per-video
+    stats — the video member of the real-decode family (WAV / BMP /
+    Y4M). One fused mapInPandas chain; analytic DuckDB oracle."""
+    return decode_y4m_batch(synth_y4m_table(documents))

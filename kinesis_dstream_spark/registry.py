@@ -2582,6 +2582,23 @@ FROM documents
 """
 
 
+def _q_y4m_decode(spark: SparkSession, sf: str) -> DataFrame:
+    return multimodal.y4m_decode_stats(load_table(spark, sf, "documents"))
+
+
+# avg_y = mean over frames of (doc_id % 200 + 10*f), f = 0..n-1
+#       = doc_id % 200 + 5*(n-1), n = 2 + doc_id % 4
+_SQL_Y4M_DECODE = """
+SELECT doc_id AS media_id,
+       CAST(8 + doc_id % 4 AS INT) AS width,
+       CAST(8 + doc_id % 3 AS INT) AS height,
+       CAST(2 + doc_id % 4 AS INT) AS n_frames,
+       'C444' AS colorspace,
+       round(CAST(doc_id % 200 + 5 * (1 + doc_id % 4) AS DOUBLE), 4) AS avg_y
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # z-order data layout (operators/layout.py)
 # --------------------------------------------------------------------------
@@ -2868,6 +2885,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # analytically, so hash-match certifies the decoder itself
     "wav_decode_stats": (_q_wav_decode, _SQL_WAV_DECODE),
     "bmp_decode_stats": (_q_bmp_decode, _SQL_BMP_DECODE),
+    "y4m_decode_stats": (_q_y4m_decode, _SQL_Y4M_DECODE),
     "media_embedding_topk": (_q_media_topk, _SQL_MEDIA_TOPK),
     # streaming (E-9), bounded availableNow runs
     "streaming_tumbling_counts": (_q_stream_tumbling, _SQL_STREAM_TUMBLING),

@@ -140,3 +140,38 @@ def test_bmp_decode_quarantines_malformed_payloads(spark):
     rows = {r["media_id"]: r for r in decode_bmp_batch(df).collect()}
     assert len(rows) == 3
     assert all(r["width"] is None and r["avg_r"] is None for r in rows.values())
+
+
+def test_y4m_payloads_have_valid_stream_structure(spark, sf_dir):
+    """Validate the y4m container independently: header magic, frame
+    markers at exactly frame_bytes intervals, total length consistent."""
+    from kinesis_dstream_spark.operators.multimodal import synth_y4m_table
+    from kinesis_dstream_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    for r in synth_y4m_table(docs).collect():
+        p = bytes(r["payload"])
+        nl = p.index(b"\n")
+        head = p[:nl].decode().split()
+        assert head[0] == "YUV4MPEG2"
+        params = {t[0]: t[1:] for t in head[1:]}
+        w, h = int(params["W"]), int(params["H"])
+        frame_bytes = w * h * 3
+        pos, frames = nl + 1, 0
+        while pos < len(p):
+            assert p[pos : pos + 6] == b"FRAME\n"
+            pos += 6 + frame_bytes
+            frames += 1
+        assert pos == len(p) and frames >= 2
+
+
+def test_y4m_decode_quarantines_malformed_payloads(spark):
+    from kinesis_dstream_spark.operators.multimodal import decode_y4m_batch
+
+    df = spark.createDataFrame(
+        [(1, b"MPEG nope\n"), (2, b""), (3, b"YUV4MPEG2 W8 H8 C999\nFRAME\n")],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in decode_y4m_batch(df).collect()}
+    assert len(rows) == 3
+    assert all(r["width"] is None and r["avg_y"] is None for r in rows.values())
