@@ -81,6 +81,8 @@ BENCH_QUERIES = {
     "cms_sketch": "cms_heavy_hitters",
     "hll_rollup": "hll_distinct_rollup",
     "zorder_stats": "zorder_layout_stats",
+    "wav_decode": "wav_decode_stats",
+    "y4m_decode": "y4m_decode_stats",
     "streaming_drain": "streaming_tumbling_counts",
 }
 

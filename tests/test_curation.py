@@ -250,24 +250,21 @@ class TestEmbeddingContamination:
         }
         assert got == self._ground_truth(spark, sf_dir, 0.3)
 
-    def test_invariant_to_clustering(self, spark, sf_dir):
-        """Cell pruning must never change the result — exactness holds
-        for ANY codebook, including the degenerate 1-cell one."""
+    def test_bench_cap_guard(self, spark, sf_dir):
+        import pytest as _pytest
+
         from kinesis_dstream_spark.operators import curation as C
 
         emb = load_table(spark, sf_dir, "embeddings")
-        base = sorted(
-            map(tuple, C.embedding_contamination(emb, n_cells=16).collect())
-        )
-        for k in (1, 5):
-            alt = sorted(
-                map(tuple, C.embedding_contamination(emb, n_cells=k).collect())
-            )
-            assert alt == base, f"n_cells={k} diverged"
+        with _pytest.raises(ValueError, match="bench_cap"):
+            C.embedding_contamination(emb, bench_cap=3)
 
-    def test_plan_has_no_cartesian(self, spark, sf_dir):
+    def test_plan_is_shuffle_free(self, spark, sf_dir):
+        """The corpus side must be ONE narrow mapInPandas pass: no join,
+        no aggregation, no Exchange anywhere in the plan."""
         from kinesis_dstream_spark.operators import curation as C
 
         emb = load_table(spark, sf_dir, "embeddings")
         plan = C.embedding_contamination(emb)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
         assert "CartesianProduct" not in plan
