@@ -309,3 +309,49 @@ def test_asof_join_events_matches_pandas_merge_asof(spark, rows, direction, tol)
         if not _pd.isna(r.m_id)
     }
     assert got == want
+
+
+@given(
+    x=st.integers(min_value=0, max_value=255),
+    y=st.integers(min_value=0, max_value=255),
+)
+@settings(max_examples=60, deadline=None)
+def test_morton_interleave_is_bijective(x, y):
+    """interleave(x, y) must be invertible — even bits give back x, odd
+    bits y — and monotone-compatible with the quadrant structure (the
+    property parquet min/max skipping relies on)."""
+
+    def py_interleave(a: int, b: int, bits: int = 8) -> int:
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    z = py_interleave(x, y)
+    back_x = sum(((z >> (2 * i)) & 1) << i for i in range(8))
+    back_y = sum(((z >> (2 * i + 1)) & 1) << i for i in range(8))
+    assert (back_x, back_y) == (x, y)
+    # quadrant containment: top bit pair of z = (y7, x7)
+    assert (z >> 15) & 1 == (y >> 7) & 1
+    assert (z >> 14) & 1 == (x >> 7) & 1
+
+
+@given(
+    docs=st.lists(
+        st.text(alphabet="ab ", min_size=1, max_size=30), min_size=1, max_size=12
+    )
+)
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_cms_never_underestimates_property(spark, docs):
+    """For ANY corpus: CMS estimate >= exact count for every token."""
+    import pyspark.sql.functions as _F
+
+    from kinesis_dstream_spark.operators import sketches
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    rows = sketches.cms_heavy_hitters(df, k=5, depth=3, width=64).collect()
+    for r in rows:
+        assert r["cms_estimate"] >= r["n_occurrences"], r

@@ -63,6 +63,10 @@ AUDIT_DEFAULT = [
     "zorder_layout_stats",
     "bm25_search",
     "dedup_clusters_star",
+    "wav_decode_stats",
+    "bmp_decode_stats",
+    "y4m_decode_stats",
+    "arrow_norm_stats",
 ]
 
 
