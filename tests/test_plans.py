@@ -298,3 +298,26 @@ def test_pack_sequences_single_shuffle_window(spark, sf_dir):
     plan = _plan(curation.pack_sequences(docs))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Window" in plan and "windowspecdefinition(shard" in plan
+
+
+def test_heavy_hitter_topk_uses_take_ordered(spark, sf_dir):
+    """The exact heavy-hitter cut must be a distributed top-k (per-
+    partition heap + driver merge), never a global sort of the full
+    token-count table."""
+    from kinesis_dstream_spark.operators import sketches
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(sketches.heavy_hitter_tokens(docs))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [n_occurrences" not in plan.replace("TakeOrderedAndProject", "")
+
+
+def test_cms_probe_join_broadcasts(spark, sf_dir):
+    """Both CMS join sides are tiny post-aggregate; the probe join must
+    broadcast, and nothing may cartesian."""
+    from kinesis_dstream_spark.operators import sketches
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(sketches.cms_heavy_hitters(docs))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
