@@ -453,3 +453,76 @@ def deterministic_split(documents: DataFrame, val_pct: int = 10, test_pct: int =
         .groupBy("split", "lang")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+def hashed_embeddings(documents: DataFrame, dim: int = 64) -> DataFrame:
+    """Text → dense vector via the feature-hashing trick (E-12→E-11
+    bridge): each token hashes to a coordinate ``md5_32(tok) mod dim``
+    with a ±1 sign from an independent md5 nibble; a document's
+    embedding is the signed count vector — the classic cheap, training-
+    free text embedder (Weinberger et al.'s hashing trick), good enough
+    to feed every ANN/dedup operator in ``operators/similarity.py``.
+
+    Returns (doc_id, embedding array<double>), UNnormalized — compose
+    with ``functions.vectors.l2_normalize`` for cosine work (the ANN
+    operators normalize internally anyway).
+
+    Scale shape: explode → one (doc_id, idx) hash-aggregate (map-side
+    partials; the keyspace is |docs|·dim) → per-doc dense assembly with
+    ``map_from_entries`` + a ``sequence`` transform, all JVM-side — one
+    shuffle total, no UDF, no vocabulary state (that statelessness is
+    the point of hashing: the embedder is a pure function, so streaming
+    ingest and historical backfill produce identical vectors).
+
+    Determinism/portability: md5-derived hashes (textfns.md5_bits32
+    pattern) — bit-identical in DuckDB, which is what lets
+    ``hashed_embedding_stats`` be driver-oracle-checked.
+    """
+    from kinesis_dstream_spark.functions.textfns import md5_bits32
+
+    toks = documents.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    entries = toks.select(
+        "doc_id",
+        F.pmod(md5_bits32(F.col("tok")), F.lit(dim)).alias("idx"),
+        # sign nibble: 9th md5 hex char, independent of the index bits
+        F.when(
+            F.conv(F.substring(F.md5(F.col("tok")), 9, 1), 16, 10).cast("long") % 2
+            == 0,
+            F.lit(1.0),
+        )
+        .otherwise(F.lit(-1.0))
+        .alias("v"),
+    )
+    sparse = (
+        entries.groupBy("doc_id", "idx")
+        .agg(F.sum("v").alias("val"))
+        .groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("idx"), F.col("val")))
+            ).alias("m")
+        )
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("m"), i.cast("int")), F.lit(0.0)),
+    )
+    return sparse.select("doc_id", dense.alias("embedding"))
+
+
+def hashed_embedding_stats(documents: DataFrame, dim: int = 64) -> DataFrame:
+    """Checkable projection of ``hashed_embeddings``: per-doc nnz, l2
+    norm, and a position-weighted checksum computed FROM the assembled
+    dense array (posexplode), so the oracle certifies coordinate
+    placement, not just the sparse aggregate. All arithmetic is ±1 sums
+    and integer weights — exact in float64, no accumulation-order hazard.
+    """
+    emb = hashed_embeddings(documents, dim)
+    coords = emb.select("doc_id", F.posexplode("embedding").alias("i", "x"))
+    return coords.groupBy("doc_id").agg(
+        F.count(F.when(F.col("x") != 0.0, 1)).alias("nnz"),
+        F.round(F.sqrt(F.sum(F.col("x") * F.col("x"))), 4).alias("l2_norm"),
+        F.round(F.sum(F.col("x") * (F.col("i") + 1)), 4).alias("checksum"),
+    )

@@ -2539,6 +2539,39 @@ SELECT vec_id, bench_id, cos_sim FROM best WHERE rn = 1
 
 
 # --------------------------------------------------------------------------
+# feature-hashing text embedder (operators/text.py — the E-12 -> E-11 bridge)
+# --------------------------------------------------------------------------
+
+
+def _q_hashed_embedding_stats(spark: SparkSession, sf: str) -> DataFrame:
+    return text.hashed_embedding_stats(load_table(spark, sf, "documents"))
+
+
+# md5-derived index/sign (the md5_bits32 portability pattern): DuckDB
+# reproduces every coordinate bit-identically; the stats are computed
+# from the ASSEMBLED dense array on the Spark side, so the hash match
+# certifies coordinate placement, not just the sparse aggregate.
+_SQL_HASHED_EMB = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_DUCK_TOKS.format(col="text")}) AS t FROM documents
+),
+e AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 64 AS idx,
+         CASE WHEN CAST(('0x' || substr(md5(t), 9, 1)) AS BIGINT) % 2 = 0
+              THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS v
+  FROM tok WHERE t <> ''
+),
+s AS (SELECT doc_id, idx, sum(v) AS val FROM e GROUP BY doc_id, idx)
+SELECT doc_id,
+       CAST(count(CASE WHEN val <> 0 THEN 1 END) AS BIGINT) AS nnz,
+       round(sqrt(sum(val * val)), 4) AS l2_norm,
+       round(sum(val * (idx + 1)), 4) AS checksum
+FROM s GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # real WAV decode (operators/multimodal.py — stdlib wave, no codec libs)
 # --------------------------------------------------------------------------
 
@@ -2861,6 +2894,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # mergeable-sketch telemetry (E-4 at 100 TB: range rollups from
     # persisted sketches, never raw-row rescans)
     "heavy_hitter_tokens": (_q_heavy_hitters, _SQL_HEAVY_HITTERS),
+    # feature-hashing embedder (text -> vector bridge; dense-assembly
+    # certified by the posexplode stats oracle)
+    "hashed_embedding_stats": (_q_hashed_embedding_stats, _SQL_HASHED_EMB),
     # z-order layout: multi-dim file-skipping quality, exact int arithmetic
     "zorder_layout_stats": (_q_zorder_stats, _SQL_ZORDER_STATS),
     # HLL / CMS estimates are probabilistic — rows-only; pytest pins the

@@ -125,3 +125,54 @@ def test_bm25_ranks_term_dense_docs_higher(spark):
     by_id = {r.doc_id: r for r in rows}
     assert by_id[1].n_terms_hit == 3 and by_id[4].n_terms_hit == 2
     assert by_id[1].bm25 > by_id[2].bm25     # 3 distinct terms beat 1
+
+
+class TestHashedEmbeddings:
+    def test_deterministic_and_dense(self, spark, sf_dir):
+        from kinesis_dstream_spark.operators import text as T
+        from kinesis_dstream_spark.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents").limit(50)
+        a = {r["doc_id"]: list(r["embedding"]) for r in T.hashed_embeddings(docs).collect()}
+        b = {r["doc_id"]: list(r["embedding"]) for r in T.hashed_embeddings(docs).collect()}
+        assert a == b
+        assert all(len(v) == 64 for v in a.values())
+
+    def test_matches_python_hashing_model(self, spark):
+        """Pure-Python feature-hashing twin on a tiny corpus."""
+        import hashlib
+
+        from kinesis_dstream_spark.operators import text as T
+
+        rows = [(1, "alpha beta alpha"), (2, "gamma"), (3, "beta beta beta")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: list(r["embedding"]) for r in T.hashed_embeddings(df).collect()}
+
+        def model(txt: str, dim: int = 64) -> list[float]:
+            v = [0.0] * dim
+            for tok in txt.split():
+                h = hashlib.md5(tok.encode()).hexdigest()
+                idx = int(h[:8], 16) % dim
+                sign = 1.0 if int(h[8], 16) % 2 == 0 else -1.0
+                v[idx] += sign
+            return v
+
+        assert got == {d: model(t) for d, t in rows}
+
+    def test_feeds_ann_bruteforce(self, spark, sf_dir):
+        """Composition: text -> hashed embedding -> cosine top-k runs
+        end-to-end and returns a full result set (the E-12 -> E-11 bridge)."""
+        from kinesis_dstream_spark.operators import similarity
+        from kinesis_dstream_spark.operators import text as T
+        from kinesis_dstream_spark.tables import load_table
+
+        from pyspark.sql import functions as _F
+
+        docs = load_table(spark, sf_dir, "documents").limit(100)
+        emb = T.hashed_embeddings(docs).select(
+            _F.col("doc_id").alias("vec_id"),
+            "embedding",
+            (_F.col("doc_id") % 10).cast("int").alias("label"),
+        )
+        out = similarity.ann_bruteforce_topk(emb, n_queries=3, k=5).collect()
+        assert len(out) == 15
