@@ -67,6 +67,7 @@ AUDIT_DEFAULT = [
     "bmp_decode_stats",
     "y4m_decode_stats",
     "arrow_norm_stats",
+    "hashed_embedding_stats",
 ]
 
 
