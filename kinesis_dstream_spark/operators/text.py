@@ -526,3 +526,65 @@ def hashed_embedding_stats(documents: DataFrame, dim: int = 64) -> DataFrame:
         F.round(F.sqrt(F.sum(F.col("x") * F.col("x"))), 4).alias("l2_norm"),
         F.round(F.sum(F.col("x") * (F.col("i") + 1)), 4).alias("checksum"),
     )
+
+
+def text_semantic_topk(
+    documents: DataFrame, n_queries: int = 10, k: int = 5, dim: int = 64
+) -> DataFrame:
+    """End-to-end semantic retrieval over raw text in ONE query:
+    hashed embeddings (``hashed_embeddings``) → exact cosine top-k —
+    the lexical counterpart of ``bm25_search`` and the composition the
+    E-12 → E-11 bridge exists for. Queries = doc_id < n_queries; returns
+    (q_id, c_id, cos_sim, rk).
+
+    Fully DuckDB-oracle-backed despite being a vector search: hashed
+    embedding coordinates are small integers, so every dot product is
+    EXACT in float64 regardless of accumulation order, and cosine is
+    computed as exact_dot / (norm_a · norm_b) — the identical operand
+    tree the oracle's sparse-coordinate SQL builds, hence bit-identical
+    doubles (contrast with pre-normalized dots, where operand order
+    diverges engines at the last ulp).
+
+    Scale shape: the bounded query side broadcasts (ann_bruteforce
+    pattern); corpus scanned once; per-query top-k via window over
+    |queries|·|corpus| scored pairs — for big corpora swap the tail for
+    the IVF/PQ family, which consumes the same hashed vectors.
+    Zero-norm documents (all coordinates cancelled) are excluded from
+    both sides, mirroring the oracle's HAVING guard.
+    """
+    emb = hashed_embeddings(documents, dim)
+    with_norm = emb.select(
+        "doc_id",
+        "embedding",
+        F.sqrt(
+            F.aggregate(
+                F.col("embedding"), F.lit(0.0), lambda a, x: a + x * x
+            )
+        ).alias("nrm"),
+    ).filter(F.col("nrm") > 0)
+    q = with_norm.filter(F.col("doc_id") < n_queries).select(
+        F.col("doc_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    c = with_norm.select(
+        F.col("doc_id").alias("c_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("q_emb"), F.col("c_emb"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = c.join(F.broadcast(q), F.col("q_id") != F.col("c_id")).select(
+        "q_id",
+        "c_id",
+        F.round(dot / (F.col("q_nrm") * F.col("c_nrm")), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "c_id", "cos_sim", "rk")
+    )

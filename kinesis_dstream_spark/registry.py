@@ -2571,6 +2571,56 @@ FROM s GROUP BY doc_id
 """
 
 
+def _q_text_semantic_topk(spark: SparkSession, sf: str) -> DataFrame:
+    return text.text_semantic_topk(load_table(spark, sf, "documents"))
+
+
+# Sparse-coordinate twin of the dense Spark computation: dots are sums
+# of integer-valued doubles (exact), cosine = dot/(nrm_q*nrm_c) with the
+# same operand tree -> bit-identical doubles. LEFT JOIN keeps pairs with
+# no shared coordinate at cos 0.
+_SQL_TEXT_SEMANTIC_TOPK = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_DUCK_TOKS.format(col="text")}) AS t FROM documents
+),
+e AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 64 AS idx,
+         CASE WHEN CAST(('0x' || substr(md5(t), 9, 1)) AS BIGINT) % 2 = 0
+              THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS v
+  FROM tok WHERE t <> ''
+),
+s AS (SELECT doc_id, idx, sum(v) AS val FROM e GROUP BY doc_id, idx),
+n AS (
+  SELECT doc_id, sqrt(sum(val * val)) AS nrm
+  FROM s GROUP BY doc_id HAVING sum(val * val) > 0
+),
+qn AS (SELECT * FROM n WHERE doc_id < 10),
+pairs AS (
+  SELECT q.doc_id AS q_id, q.nrm AS q_nrm, c.doc_id AS c_id, c.nrm AS c_nrm
+  FROM qn q JOIN n c ON c.doc_id <> q.doc_id
+),
+dots AS (
+  SELECT sa.doc_id AS q_id, sb.doc_id AS c_id, sum(sa.val * sb.val) AS dp
+  FROM s sa JOIN s sb ON sa.idx = sb.idx AND sb.doc_id <> sa.doc_id
+  WHERE sa.doc_id < 10
+  GROUP BY sa.doc_id, sb.doc_id
+),
+scored AS (
+  SELECT p.q_id, p.c_id,
+         round(COALESCE(d.dp, CAST(0.0 AS DOUBLE)) / (p.q_nrm * p.c_nrm), 4) AS cos_sim
+  FROM pairs p LEFT JOIN dots d ON d.q_id = p.q_id AND d.c_id = p.c_id
+),
+ranked AS (
+  SELECT q_id, c_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos_sim DESC, c_id ASC) AS rk
+  FROM scored
+)
+SELECT q_id, c_id, cos_sim, CAST(rk AS INT) AS rk FROM ranked WHERE rk <= 5
+"""
+
+
 # --------------------------------------------------------------------------
 # real WAV decode (operators/multimodal.py — stdlib wave, no codec libs)
 # --------------------------------------------------------------------------
@@ -2897,6 +2947,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # feature-hashing embedder (text -> vector bridge; dense-assembly
     # certified by the posexplode stats oracle)
     "hashed_embedding_stats": (_q_hashed_embedding_stats, _SQL_HASHED_EMB),
+    # end-to-end text -> vector -> cosine top-k retrieval, fully
+    # oracle-backed (integer-exact dots; see the SQL comment)
+    "text_semantic_topk": (_q_text_semantic_topk, _SQL_TEXT_SEMANTIC_TOPK),
     # z-order layout: multi-dim file-skipping quality, exact int arithmetic
     "zorder_layout_stats": (_q_zorder_stats, _SQL_ZORDER_STATS),
     # HLL / CMS estimates are probabilistic — rows-only; pytest pins the

@@ -176,3 +176,24 @@ class TestHashedEmbeddings:
         )
         out = similarity.ann_bruteforce_topk(emb, n_queries=3, k=5).collect()
         assert len(out) == 15
+
+
+def test_text_semantic_topk_contract(spark, sf_dir):
+    """Determinism, self-exclusion, k rows per query, rank ordering."""
+    from kinesis_dstream_spark.operators import text as T
+    from kinesis_dstream_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = T.text_semantic_topk(docs, n_queries=5, k=4).collect()
+    assert len(rows) == 20
+    by_q = {}
+    for r in rows:
+        assert r["q_id"] != r["c_id"]
+        by_q.setdefault(r["q_id"], []).append((r["rk"], r["cos_sim"], r["c_id"]))
+    for q, lst in by_q.items():
+        lst.sort()
+        assert [t[0] for t in lst] == [1, 2, 3, 4]
+        sims = [t[1] for t in lst]
+        assert sims == sorted(sims, reverse=True)
+    again = T.text_semantic_topk(docs, n_queries=5, k=4).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
