@@ -2413,6 +2413,12 @@ def _q_stream_hll_rollup(spark: SparkSession, sf: str) -> DataFrame:
     return jobs.streaming_hll_rollup(spark, sf)
 
 
+def _q_stream_wav_decode(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.streaming import jobs
+
+    return jobs.streaming_wav_decode(spark, sf)
+
+
 def _q_materialize_corpus(spark: SparkSession, sf: str) -> DataFrame:
     import tempfile
 
@@ -2993,6 +2999,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # replay-safe streaming sketch maintenance (HLL estimates are
     # probabilistic -> rows-only; pytest pins batch-equality + replay)
     "streaming_hll_rollup": (_q_stream_hll_rollup, None),
+    # in-stream REAL media decode; same analytic oracle as the batch twin
+    "streaming_wav_decode": (_q_stream_wav_decode, _SQL_WAV_DECODE),
 }
 
 

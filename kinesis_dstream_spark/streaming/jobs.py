@@ -559,6 +559,29 @@ def streaming_hll_rollup(
     )
 
 
+def streaming_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming media-decode pipeline (E-9 x E-13): each micro-batch of
+    the documents stream synthesizes and REALLY decodes WAV payloads
+    (operators/multimodal.py, stdlib wave) via mapInPandas — the decode
+    stage runs inside the stream exactly as it does in batch, because
+    mapInPandas is trigger-agnostic. Bounded drain over a multi-file
+    staging (maxFilesPerTrigger=1) so the decode crosses real
+    micro-batch boundaries; the result must equal the batch
+    ``wav_decode_stats`` row set, which is what the analytic oracle
+    (same SQL) checks.
+    """
+    from kinesis_dstream_spark.operators.multimodal import (
+        decode_wav_batch,
+        synth_wav_table,
+    )
+
+    src = _table_multifile_dir(spark, sf_dir, "documents", n_files=4)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    decoded = decode_wav_batch(synth_wav_table(stream.select("doc_id")))
+    return _run_bounded(decoded, "stream_wav_decode", "append")
+
+
 def _embeddings_multifile_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
     return _table_multifile_dir(spark, sf_dir, "embeddings", n_files)
 
