@@ -83,6 +83,7 @@ BENCH_QUERIES = {
     "zorder_stats": "zorder_layout_stats",
     "wav_decode": "wav_decode_stats",
     "y4m_decode": "y4m_decode_stats",
+    "text_semantic_topk": "text_semantic_topk",
     "streaming_drain": "streaming_tumbling_counts",
 }
 

@@ -588,3 +588,81 @@ def text_semantic_topk(
         .filter(F.col("rk") <= k)
         .select("q_id", "c_id", "cos_sim", "rk")
     )
+
+
+def hybrid_search_rrf(
+    documents: DataFrame,
+    query_terms: tuple[str, ...] = DEFAULT_BM25_QUERY,
+    top_n: int = 50,
+    k: int = 20,
+    rrf_k: int = 60,
+    dim: int = 64,
+) -> DataFrame:
+    """Hybrid retrieval: BM25 (lexical) + hashed-embedding cosine
+    (semantic) fused by Reciprocal Rank Fusion —
+    ``score(d) = Σ_r 1/(rrf_k + rank_r(d))`` (Cormack et al., SIGIR'09),
+    the standard modern corpus-slicing retriever (lexical catches exact
+    terminology, semantic catches paraphrase; RRF needs no score
+    calibration between the two).
+
+    Both rankers cut to their top_n BEFORE fusion (the production shape:
+    fusion is over shortlists, so the full-corpus work is exactly one
+    BM25 pass + one embedding scan), then a full outer join on doc_id
+    fuses ranks; documents missing from a ranker contribute 0 from it.
+    The query's own embedding comes from the SAME ``hashed_embeddings``
+    operator applied to the query string — one tiny driver-side job, no
+    second implementation to drift.
+
+    Exactness: ranks are integers, RRF terms are 1/(rrf_k+rank) doubles
+    summed in a fixed (lex, sem) order — bit-identical in DuckDB, so
+    the whole hybrid pipeline is oracle-backed.
+    """
+    import math
+
+    spark = documents.sparkSession
+    qtext = " ".join(t.lower() for t in query_terms)
+    qrow = hashed_embeddings(
+        spark.createDataFrame([(0, qtext)], "doc_id long, text string"), dim
+    ).first()
+    qvec = [float(x) for x in qrow["embedding"]]
+    qn = math.sqrt(sum(x * x for x in qvec))
+
+    w_lex = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    lex = bm25_search(documents, query_terms, top_n).select(
+        "doc_id", F.row_number().over(w_lex).alias("rank_lex")
+    )
+
+    emb = hashed_embeddings(documents, dim)
+    qcol = F.array(*[F.lit(x) for x in qvec])
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding"), qcol, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = F.sqrt(
+        F.aggregate(F.col("embedding"), F.lit(0.0), lambda a, x: a + x * x)
+    )
+    sem_scored = (
+        emb.select("doc_id", nrm.alias("nrm"), dot.alias("dp"))
+        # guard BEFORE dividing: a zero vector (every coordinate
+        # cancelled) would give 0/0 = NaN, which sorts unpredictably;
+        # the oracle mirrors this with HAVING sum(val*val) > 0
+        .filter(F.col("nrm") > 0)
+        .select("doc_id", (F.col("dp") / (F.col("nrm") * F.lit(qn))).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col("doc_id").asc())
+        .limit(top_n)
+    )
+    w_sem = Window.orderBy(F.col("cos").desc(), F.col("doc_id").asc())
+    sem = sem_scored.select("doc_id", F.row_number().over(w_sem).alias("rank_sem"))
+
+    fused = lex.join(sem, "doc_id", "full").select(
+        "doc_id",
+        "rank_lex",
+        "rank_sem",
+        F.round(
+            F.coalesce(1.0 / (F.lit(rrf_k) + F.col("rank_lex")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("rank_sem")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc()).limit(k)

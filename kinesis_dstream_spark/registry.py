@@ -2627,6 +2627,86 @@ SELECT q_id, c_id, cos_sim, CAST(rk AS INT) AS rk FROM ranked WHERE rk <= 5
 """
 
 
+def _q_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
+    return text.hybrid_search_rrf(load_table(spark, sf, "documents"))
+
+
+# BM25 shortlist + hashed-embedding cosine shortlist, fused by RRF.
+# Every rank is an integer and every RRF term 1/(60+rank) is computed
+# from identical operands in a fixed order -> bit-identical doubles.
+_SQL_HYBRID_RRF = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKS.format(col='lower(text)')} AS t FROM documents
+), meta AS (
+  SELECT count(*) AS n, avg(len(t)) AS avgdl FROM toks
+), hit AS (
+  SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks
+), tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf FROM hit
+  WHERE term IN ('data', 'system', 'model') GROUP BY 1, 2, 3
+), dfx AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), bm AS (
+  SELECT doc_id,
+         round(sum(CAST(round(
+             ln(1 + (n - df + 0.5) / (df + 0.5))
+             * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+             * 1000000) AS BIGINT)) / 1000000.0, 4) AS bm25
+  FROM tf JOIN dfx USING (term), meta
+  GROUP BY doc_id
+), lex AS (
+  SELECT doc_id, rank_lex FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank_lex
+    FROM bm
+  ) WHERE rank_lex <= 50
+), rawtok AS (
+  SELECT doc_id, unnest({_DUCK_TOKS.format(col="text")}) AS t FROM documents
+), e AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 64 AS idx,
+         CASE WHEN CAST(('0x' || substr(md5(t), 9, 1)) AS BIGINT) % 2 = 0
+              THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS v
+  FROM rawtok WHERE t <> ''
+), s AS (
+  SELECT doc_id, idx, sum(v) AS val FROM e GROUP BY doc_id, idx
+), n2 AS (
+  SELECT doc_id, sqrt(sum(val * val)) AS nrm
+  FROM s GROUP BY doc_id HAVING sum(val * val) > 0
+), qe AS (
+  SELECT CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 64 AS idx,
+         CASE WHEN CAST(('0x' || substr(md5(t), 9, 1)) AS BIGINT) % 2 = 0
+              THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS v
+  FROM unnest(['data', 'system', 'model']) AS u(t)
+), qs AS (
+  SELECT idx, sum(v) AS val FROM qe GROUP BY idx
+), qn AS (
+  SELECT sqrt(sum(val * val)) AS qnrm FROM qs
+), dots AS (
+  SELECT s.doc_id, sum(s.val * qs.val) AS dp
+  FROM s JOIN qs USING (idx) GROUP BY s.doc_id
+), semsc AS (
+  SELECT n2.doc_id,
+         COALESCE(d.dp, CAST(0.0 AS DOUBLE)) / (n2.nrm * qn.qnrm) AS cos
+  FROM n2 LEFT JOIN dots d ON d.doc_id = n2.doc_id, qn
+), sem AS (
+  SELECT doc_id, rank_sem FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS rank_sem
+    FROM semsc
+  ) WHERE rank_sem <= 50
+)
+SELECT COALESCE(l.doc_id, m.doc_id) AS doc_id,
+       l.rank_lex AS rank_lex,
+       m.rank_sem AS rank_sem,
+       round(COALESCE(CAST(1.0 AS DOUBLE) / (60 + l.rank_lex), 0)
+             + COALESCE(CAST(1.0 AS DOUBLE) / (60 + m.rank_sem), 0), 6) AS rrf_score
+FROM lex l FULL JOIN sem m ON l.doc_id = m.doc_id
+ORDER BY rrf_score DESC, doc_id ASC
+LIMIT 20
+"""
+
+
 # --------------------------------------------------------------------------
 # real WAV decode (operators/multimodal.py — stdlib wave, no codec libs)
 # --------------------------------------------------------------------------
@@ -2956,6 +3036,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # end-to-end text -> vector -> cosine top-k retrieval, fully
     # oracle-backed (integer-exact dots; see the SQL comment)
     "text_semantic_topk": (_q_text_semantic_topk, _SQL_TEXT_SEMANTIC_TOPK),
+    # hybrid lexical+semantic retrieval (RRF fusion), fully oracle-backed
+    "hybrid_search_rrf": (_q_hybrid_rrf, _SQL_HYBRID_RRF),
     # z-order layout: multi-dim file-skipping quality, exact int arithmetic
     "zorder_layout_stats": (_q_zorder_stats, _SQL_ZORDER_STATS),
     # HLL / CMS estimates are probabilistic — rows-only; pytest pins the

@@ -197,3 +197,30 @@ def test_text_semantic_topk_contract(spark, sf_dir):
         assert sims == sorted(sims, reverse=True)
     again = T.text_semantic_topk(docs, n_queries=5, k=4).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
+def test_hybrid_rrf_fuses_both_rankers(spark, sf_dir):
+    """RRF output must contain docs from both shortlists; a doc ranked
+    top by BOTH rankers must beat a doc present in only one."""
+    from kinesis_dstream_spark.operators import text as T
+    from kinesis_dstream_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = T.hybrid_search_rrf(docs, k=20).collect()
+    assert 0 < len(rows) <= 20
+    # scores strictly ordered, ties by doc_id
+    key = [(-r["rrf_score"], r["doc_id"]) for r in rows]
+    assert key == sorted(key)
+    both = [r for r in rows if r["rank_lex"] is not None and r["rank_sem"] is not None]
+    one = [r for r in rows if (r["rank_lex"] is None) != (r["rank_sem"] is None)]
+    if both and one:
+        # any doc in both shortlists with decent ranks outscores a
+        # doc with a single contribution at a similar rank
+        assert max(r["rrf_score"] for r in both) > min(r["rrf_score"] for r in one)
+    for r in rows:
+        expect = 0.0
+        if r["rank_lex"] is not None:
+            expect += 1.0 / (60 + r["rank_lex"])
+        if r["rank_sem"] is not None:
+            expect += 1.0 / (60 + r["rank_sem"])
+        assert abs(r["rrf_score"] - round(expect, 6)) < 1e-9
