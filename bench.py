@@ -84,6 +84,7 @@ BENCH_QUERIES = {
     "wav_decode": "wav_decode_stats",
     "y4m_decode": "y4m_decode_stats",
     "text_semantic_topk": "text_semantic_topk",
+    "hybrid_rrf": "hybrid_search_rrf",
     "streaming_drain": "streaming_tumbling_counts",
 }
 

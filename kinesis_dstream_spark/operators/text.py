@@ -655,14 +655,31 @@ def hybrid_search_rrf(
     w_sem = Window.orderBy(F.col("cos").desc(), F.col("doc_id").asc())
     sem = sem_scored.select("doc_id", F.row_number().over(w_sem).alias("rank_sem"))
 
-    fused = lex.join(sem, "doc_id", "full").select(
+    # Fusion WITHOUT a join: each shortlist contributes (doc_id, term,
+    # which-rank) rows; one tiny hash aggregate sums the RRF terms. A
+    # full-outer join of the two shortlists would plan as SortMergeJoin
+    # (the static planner can't see through the limits); union+agg is
+    # join-free at any shortlist size. A doc appears in ≤2 rows, and
+    # two-term double addition is commutative, so the aggregated sum is
+    # bit-identical to the oracle's fixed-order lex+sem expression.
+    contrib = lex.select(
         "doc_id",
-        "rank_lex",
-        "rank_sem",
-        F.round(
-            F.coalesce(1.0 / (F.lit(rrf_k) + F.col("rank_lex")), F.lit(0.0))
-            + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("rank_sem")), F.lit(0.0)),
-            6,
-        ).alias("rrf_score"),
+        (1.0 / (F.lit(rrf_k) + F.col("rank_lex"))).alias("term"),
+        F.col("rank_lex").alias("rank_lex"),
+        F.lit(None).cast("int").alias("rank_sem"),
+    ).unionByName(
+        sem.select(
+            "doc_id",
+            (1.0 / (F.lit(rrf_k) + F.col("rank_sem"))).alias("term"),
+            F.lit(None).cast("int").alias("rank_lex"),
+            F.col("rank_sem").alias("rank_sem"),
+        )
     )
-    return fused.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc()).limit(k)
+    fused = contrib.groupBy("doc_id").agg(
+        F.max("rank_lex").alias("rank_lex"),
+        F.max("rank_sem").alias("rank_sem"),
+        F.round(F.sum("term"), 6).alias("rrf_score"),
+    )
+    return fused.select(
+        "doc_id", "rank_lex", "rank_sem", "rrf_score"
+    ).orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc()).limit(k)

@@ -68,6 +68,8 @@ AUDIT_DEFAULT = [
     "y4m_decode_stats",
     "arrow_norm_stats",
     "hashed_embedding_stats",
+    "text_semantic_topk",
+    "hybrid_search_rrf",
 ]
 
 
