@@ -683,3 +683,46 @@ def hybrid_search_rrf(
     return fused.select(
         "doc_id", "rank_lex", "rank_sem", "rrf_score"
     ).orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc()).limit(k)
+
+
+def chunk_documents(
+    documents: DataFrame, chunk_tokens: int = 64, overlap: int = 16
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the stage
+    between raw documents and context-window-bounded training /
+    retrieval indexing (``pack_sequences`` consumes bounded pieces;
+    chunking is where long documents become them).
+
+    Windows start every ``stride = chunk_tokens - overlap`` tokens, so
+    consecutive chunks share ``overlap`` tokens (retrieval-friendly:
+    no answer span is ever split without a copy). The start sequence
+    ``1, 1+stride, ...`` runs to ``max(n - overlap, 1)``, which provably
+    covers the last token. Output: (doc_id, chunk_no, start_tok,
+    n_tokens, chunk_sha, chunk_text); chunk_no is pure arithmetic from
+    the start offset (no window function), chunk_sha is the
+    content-address for downstream chunk-level dedup.
+
+    Scale shape: one narrow pass — tokenize, per-row ``sequence`` of
+    starts, ONE explode, per-chunk ``slice``; no shuffle at all (the
+    chunk fan-out is row-local). Everything is integer/string exact →
+    full DuckDB oracle.
+    """
+    stride = chunk_tokens - overlap
+    assert stride > 0, "overlap must be smaller than chunk_tokens"
+    toks = tokens(F.col("text"))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(toks) - overlap, F.lit(1)), F.lit(stride)
+    )
+    exploded = documents.select(
+        "doc_id", toks.alias("toks"), F.explode(starts).alias("start_tok")
+    )
+    chunk = F.slice(F.col("toks"), F.col("start_tok"), chunk_tokens)
+    chunk_text = F.concat_ws(" ", chunk)
+    return exploded.select(
+        "doc_id",
+        ((F.col("start_tok") - 1) / stride).cast("int").alias("chunk_no"),
+        "start_tok",
+        F.size(chunk).alias("n_tokens"),
+        F.sha2(chunk_text, 256).alias("chunk_sha"),
+        chunk_text.alias("chunk_text"),
+    )

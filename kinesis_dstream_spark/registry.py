@@ -2627,6 +2627,28 @@ SELECT q_id, c_id, cos_sim, CAST(rk AS INT) AS rk FROM ranked WHERE rk <= 5
 """
 
 
+def _q_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
+    return text.chunk_documents(load_table(spark, sf, "documents"))
+
+
+_SQL_CHUNK_DOCS = f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_TOKS.format(col="text")} AS toks FROM documents
+), st AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, greatest(len(toks) - 16, 1), 48)) AS start_tok
+  FROM t
+)
+SELECT doc_id,
+       CAST((start_tok - 1) / 48 AS INT) AS chunk_no,
+       CAST(start_tok AS INT) AS start_tok,
+       CAST(len(list_slice(toks, start_tok, start_tok + 63)) AS INT) AS n_tokens,
+       sha256(array_to_string(list_slice(toks, start_tok, start_tok + 63), ' ')) AS chunk_sha,
+       array_to_string(list_slice(toks, start_tok, start_tok + 63), ' ') AS chunk_text
+FROM st
+"""
+
+
 def _q_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
     return text.hybrid_search_rrf(load_table(spark, sf, "documents"))
 
@@ -3038,6 +3060,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "text_semantic_topk": (_q_text_semantic_topk, _SQL_TEXT_SEMANTIC_TOPK),
     # hybrid lexical+semantic retrieval (RRF fusion), fully oracle-backed
     "hybrid_search_rrf": (_q_hybrid_rrf, _SQL_HYBRID_RRF),
+    # overlapping token-window chunking (the stage upstream of
+    # pack_sequences; row-local fan-out, zero shuffle)
+    "chunk_documents": (_q_chunk_documents, _SQL_CHUNK_DOCS),
     # z-order layout: multi-dim file-skipping quality, exact int arithmetic
     "zorder_layout_stats": (_q_zorder_stats, _SQL_ZORDER_STATS),
     # HLL / CMS estimates are probabilistic — rows-only; pytest pins the

@@ -224,3 +224,35 @@ def test_hybrid_rrf_fuses_both_rankers(spark, sf_dir):
         if r["rank_sem"] is not None:
             expect += 1.0 / (60 + r["rank_sem"])
         assert abs(r["rrf_score"] - round(expect, 6)) < 1e-9
+
+
+def test_chunk_documents_covers_every_token_with_overlap(spark, sf_dir):
+    """Every token index must fall inside >=1 chunk; consecutive chunks
+    of one doc share exactly `overlap` start offsets; reassembling
+    non-overlapping parts reproduces the document."""
+    from kinesis_dstream_spark.operators import text as T
+    from kinesis_dstream_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    chunks = T.chunk_documents(docs, chunk_tokens=64, overlap=16).collect()
+    n_toks = {
+        r["doc_id"]: len(r["text"].split())
+        for r in docs.select("doc_id", "text").collect()
+    }
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(n_toks)
+    for doc_id, lst in by_doc.items():
+        lst.sort(key=lambda r: r["chunk_no"])
+        # stride spacing and full coverage of the last token
+        for a, b in zip(lst, lst[1:]):
+            assert b["start_tok"] - a["start_tok"] == 48
+        last = lst[-1]
+        assert last["start_tok"] + last["n_tokens"] - 1 >= n_toks[doc_id]
+        # non-overlapping reassembly equals the original token stream
+        parts = [lst[0]["chunk_text"].split()] + [
+            r["chunk_text"].split()[16:] for r in lst[1:]
+        ]
+        rebuilt = [t for p in parts for t in p]
+        assert len(rebuilt) == n_toks[doc_id]
