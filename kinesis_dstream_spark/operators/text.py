@@ -726,3 +726,38 @@ def chunk_documents(
         F.sha2(chunk_text, 256).alias("chunk_sha"),
         chunk_text.alias("chunk_text"),
     )
+
+
+def chunk_dedup_stats(
+    documents: DataFrame, chunk_tokens: int = 64, overlap: int = 16, min_docs: int = 2
+) -> DataFrame:
+    """Cross-document duplicated chunks: content-addressed chunk groups
+    appearing in ≥ min_docs distinct documents — span-granular
+    copy-paste detection (complements ``dedup_substring``'s 8-gram
+    spans with retrieval-sized 64-token units, and is exactly the
+    "dedup the chunk store" step a RAG/training-chunk pipeline runs).
+
+    One shuffle keyed on the 32-byte sha (uniform — no skew possible
+    beyond true duplicates); representative = min (doc_id, chunk_no)
+    for determinism. Fully oracle-backed via the chunking oracle + a
+    regular aggregate.
+    """
+    chunks = chunk_documents(documents, chunk_tokens, overlap)
+    return (
+        chunks.groupBy("chunk_sha")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_copies"),
+            F.min(F.struct("doc_id", "chunk_no")).alias("rep"),
+            F.max("n_tokens").alias("n_tokens"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .select(
+            "chunk_sha",
+            "n_docs",
+            "n_copies",
+            F.col("rep.doc_id").alias("rep_doc_id"),
+            F.col("rep.chunk_no").alias("rep_chunk_no"),
+            "n_tokens",
+        )
+    )

@@ -2649,6 +2649,36 @@ FROM st
 """
 
 
+def _q_chunk_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    return text.chunk_dedup_stats(load_table(spark, sf, "documents"))
+
+
+_SQL_CHUNK_DEDUP = f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_TOKS.format(col="text")} AS toks FROM documents
+), st AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, greatest(len(toks) - 16, 1), 48)) AS start_tok
+  FROM t
+), ch AS (
+  SELECT doc_id,
+         CAST((start_tok - 1) / 48 AS INT) AS chunk_no,
+         len(list_slice(toks, start_tok, start_tok + 63)) AS n_tokens,
+         sha256(array_to_string(list_slice(toks, start_tok, start_tok + 63), ' ')) AS chunk_sha
+  FROM st
+)
+SELECT chunk_sha,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       count(*) AS n_copies,
+       min(doc_id) AS rep_doc_id,
+       CAST(min(chunk_no) FILTER (doc_id = (SELECT min(doc_id) FROM ch c2 WHERE c2.chunk_sha = ch.chunk_sha)) AS INT) AS rep_chunk_no,
+       CAST(max(n_tokens) AS INT) AS n_tokens
+FROM ch
+GROUP BY chunk_sha
+HAVING count(DISTINCT doc_id) >= 2
+"""
+
+
 def _q_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
     return text.hybrid_search_rrf(load_table(spark, sf, "documents"))
 
@@ -3063,6 +3093,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # overlapping token-window chunking (the stage upstream of
     # pack_sequences; row-local fan-out, zero shuffle)
     "chunk_documents": (_q_chunk_documents, _SQL_CHUNK_DOCS),
+    # span-granular copy-paste detection over the chunk store
+    "chunk_dedup_stats": (_q_chunk_dedup, _SQL_CHUNK_DEDUP),
     # z-order layout: multi-dim file-skipping quality, exact int arithmetic
     "zorder_layout_stats": (_q_zorder_stats, _SQL_ZORDER_STATS),
     # HLL / CMS estimates are probabilistic — rows-only; pytest pins the
