@@ -455,7 +455,12 @@ def deterministic_split(documents: DataFrame, val_pct: int = 10, test_pct: int =
     )
 
 
-def hashed_embeddings(documents: DataFrame, dim: int = 64) -> DataFrame:
+def hashed_embeddings(
+    documents: DataFrame,
+    dim: int = 64,
+    id_cols: tuple[str, ...] = ("doc_id",),
+    text_col: str = "text",
+) -> DataFrame:
     """Text → dense vector via the feature-hashing trick (E-12→E-11
     bridge): each token hashes to a coordinate ``md5_32(tok) mod dim``
     with a ±1 sign from an independent md5 nibble; a document's
@@ -480,11 +485,12 @@ def hashed_embeddings(documents: DataFrame, dim: int = 64) -> DataFrame:
     """
     from kinesis_dstream_spark.functions.textfns import md5_bits32
 
+    ids = list(id_cols)
     toks = documents.select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+        *ids, F.explode(tokens(F.col(text_col))).alias("tok")
     ).filter(F.col("tok") != "")
     entries = toks.select(
-        "doc_id",
+        *ids,
         F.pmod(md5_bits32(F.col("tok")), F.lit(dim)).alias("idx"),
         # sign nibble: 9th md5 hex char, independent of the index bits
         F.when(
@@ -496,9 +502,9 @@ def hashed_embeddings(documents: DataFrame, dim: int = 64) -> DataFrame:
         .alias("v"),
     )
     sparse = (
-        entries.groupBy("doc_id", "idx")
+        entries.groupBy(*ids, "idx")
         .agg(F.sum("v").alias("val"))
-        .groupBy("doc_id")
+        .groupBy(*ids)
         .agg(
             F.map_from_entries(
                 F.collect_list(F.struct(F.col("idx"), F.col("val")))
@@ -509,7 +515,7 @@ def hashed_embeddings(documents: DataFrame, dim: int = 64) -> DataFrame:
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda i: F.coalesce(F.element_at(F.col("m"), i.cast("int")), F.lit(0.0)),
     )
-    return sparse.select("doc_id", dense.alias("embedding"))
+    return sparse.select(*ids, dense.alias("embedding"))
 
 
 def hashed_embedding_stats(documents: DataFrame, dim: int = 64) -> DataFrame:
@@ -761,3 +767,64 @@ def chunk_dedup_stats(
             "n_tokens",
         )
     )
+
+
+def chunk_semantic_topk(
+    documents: DataFrame,
+    query_terms: tuple[str, ...] = DEFAULT_BM25_QUERY,
+    k: int = 20,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """Chunk-granular semantic retrieval — the RAG serving shape: the
+    query embedding scores every CHUNK (not whole documents), so a long
+    document with one relevant passage ranks by that passage. Composes
+    ``chunk_documents`` + the generalized ``hashed_embeddings`` (keyed
+    on (doc_id, chunk_no)) + the closure-side query vector from
+    ``hashed_embeddings`` on the query string itself.
+
+    Returns (doc_id, chunk_no, cos_sim, rk) for the global top-k chunks
+    (ties by doc_id, chunk_no). Exact integer dots → fully oracle-backed
+    like ``text_semantic_topk``; one explode + one hash-aggregate + a
+    TakeOrdered cut, no join against the corpus anywhere.
+    """
+    import math
+
+    spark = documents.sparkSession
+    qtext = " ".join(t.lower() for t in query_terms)
+    qrow = hashed_embeddings(
+        spark.createDataFrame([(0, qtext)], "doc_id long, text string"), dim
+    ).first()
+    qvec = [float(x) for x in qrow["embedding"]]
+    qn = math.sqrt(sum(x * x for x in qvec))
+
+    chunks = chunk_documents(documents, chunk_tokens, overlap).select(
+        "doc_id", "chunk_no", "chunk_text"
+    )
+    emb = hashed_embeddings(
+        chunks, dim, id_cols=("doc_id", "chunk_no"), text_col="chunk_text"
+    )
+    qcol = F.array(*[F.lit(x) for x in qvec])
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding"), qcol, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = F.sqrt(F.aggregate(F.col("embedding"), F.lit(0.0), lambda a, x: a + x * x))
+    scored = (
+        emb.select("doc_id", "chunk_no", nrm.alias("nrm"), dot.alias("dp"))
+        .filter(F.col("nrm") > 0)
+        .select(
+            "doc_id",
+            "chunk_no",
+            F.round(F.col("dp") / (F.col("nrm") * F.lit(qn)), 4).alias("cos_sim"),
+        )
+    )
+    top = scored.orderBy(
+        F.col("cos_sim").desc(), F.col("doc_id").asc(), F.col("chunk_no").asc()
+    ).limit(k)
+    w = Window.orderBy(
+        F.col("cos_sim").desc(), F.col("doc_id").asc(), F.col("chunk_no").asc()
+    )
+    return top.select("doc_id", "chunk_no", "cos_sim", F.row_number().over(w).alias("rk"))

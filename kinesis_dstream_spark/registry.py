@@ -2679,6 +2679,56 @@ HAVING count(DISTINCT doc_id) >= 2
 """
 
 
+def _q_chunk_semantic_topk(spark: SparkSession, sf: str) -> DataFrame:
+    return text.chunk_semantic_topk(load_table(spark, sf, "documents"))
+
+
+_SQL_CHUNK_SEMANTIC_TOPK = f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_TOKS.format(col="text")} AS toks FROM documents
+), st AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, greatest(len(toks) - 16, 1), 48)) AS start_tok
+  FROM t
+), ctok AS (
+  SELECT doc_id, CAST((start_tok - 1) / 48 AS INT) AS chunk_no,
+         unnest(list_slice(toks, start_tok, start_tok + 63)) AS tk
+  FROM st
+), e AS (
+  SELECT doc_id, chunk_no,
+         CAST(('0x' || substr(md5(tk), 1, 8)) AS BIGINT) % 64 AS idx,
+         CASE WHEN CAST(('0x' || substr(md5(tk), 9, 1)) AS BIGINT) % 2 = 0
+              THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS v
+  FROM ctok WHERE tk <> ''
+), s AS (
+  SELECT doc_id, chunk_no, idx, sum(v) AS val FROM e GROUP BY 1, 2, 3
+), n2 AS (
+  SELECT doc_id, chunk_no, sqrt(sum(val * val)) AS nrm
+  FROM s GROUP BY doc_id, chunk_no HAVING sum(val * val) > 0
+), qe AS (
+  SELECT CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 64 AS idx,
+         CASE WHEN CAST(('0x' || substr(md5(t), 9, 1)) AS BIGINT) % 2 = 0
+              THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS v
+  FROM unnest(['data', 'system', 'model']) AS u(t)
+), qs AS (
+  SELECT idx, sum(v) AS val FROM qe GROUP BY idx
+), qn AS (SELECT sqrt(sum(val * val)) AS qnrm FROM qs),
+dots AS (
+  SELECT s.doc_id, s.chunk_no, sum(s.val * qs.val) AS dp
+  FROM s JOIN qs USING (idx) GROUP BY s.doc_id, s.chunk_no
+), scored AS (
+  SELECT n2.doc_id, n2.chunk_no,
+         round(COALESCE(d.dp, CAST(0.0 AS DOUBLE)) / (n2.nrm * qn.qnrm), 4) AS cos_sim
+  FROM n2 LEFT JOIN dots d ON d.doc_id = n2.doc_id AND d.chunk_no = n2.chunk_no, qn
+)
+SELECT doc_id, chunk_no, cos_sim, CAST(rk AS INT) AS rk FROM (
+  SELECT doc_id, chunk_no, cos_sim,
+         row_number() OVER (ORDER BY cos_sim DESC, doc_id ASC, chunk_no ASC) AS rk
+  FROM scored
+) WHERE rk <= 20
+"""
+
+
 def _q_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
     return text.hybrid_search_rrf(load_table(spark, sf, "documents"))
 
@@ -3095,6 +3145,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "chunk_documents": (_q_chunk_documents, _SQL_CHUNK_DOCS),
     # span-granular copy-paste detection over the chunk store
     "chunk_dedup_stats": (_q_chunk_dedup, _SQL_CHUNK_DEDUP),
+    # chunk-granular semantic retrieval (the RAG serving shape)
+    "chunk_semantic_topk": (_q_chunk_semantic_topk, _SQL_CHUNK_SEMANTIC_TOPK),
     # z-order layout: multi-dim file-skipping quality, exact int arithmetic
     "zorder_layout_stats": (_q_zorder_stats, _SQL_ZORDER_STATS),
     # HLL / CMS estimates are probabilistic — rows-only; pytest pins the
