@@ -2419,6 +2419,30 @@ def _q_stream_wav_decode(spark: SparkSession, sf: str) -> DataFrame:
     return jobs.streaming_wav_decode(spark, sf)
 
 
+def _q_stream_chunk_store(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.streaming import jobs
+
+    return jobs.streaming_chunk_store_ingest(spark, sf)
+
+
+# the drained chunk store must equal batch chunking (sans chunk_text)
+_SQL_STREAM_CHUNK_STORE = f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_TOKS.format(col="text")} AS toks FROM documents
+), st AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, greatest(len(toks) - 16, 1), 48)) AS start_tok
+  FROM t
+)
+SELECT doc_id,
+       CAST((start_tok - 1) / 48 AS INT) AS chunk_no,
+       CAST(start_tok AS INT) AS start_tok,
+       CAST(len(list_slice(toks, start_tok, start_tok + 63)) AS INT) AS n_tokens,
+       sha256(array_to_string(list_slice(toks, start_tok, start_tok + 63), ' ')) AS chunk_sha
+FROM st
+"""
+
+
 def _q_materialize_corpus(spark: SparkSession, sf: str) -> DataFrame:
     import tempfile
 
@@ -3192,6 +3216,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "streaming_hll_rollup": (_q_stream_hll_rollup, None),
     # in-stream REAL media decode; same analytic oracle as the batch twin
     "streaming_wav_decode": (_q_stream_wav_decode, _SQL_WAV_DECODE),
+    # replay-safe chunk-store maintenance; drained state == batch chunking
+    "streaming_chunk_store_ingest": (_q_stream_chunk_store, _SQL_STREAM_CHUNK_STORE),
 }
 
 

@@ -582,6 +582,52 @@ def streaming_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_bounded(decoded, "stream_wav_decode", "append")
 
 
+def streaming_chunk_store_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    store_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Streaming maintenance of the content-addressed CHUNK STORE
+    (operators/text.chunk_documents): each micro-batch chunks its
+    documents and appends only chunks whose (chunk_sha, doc_id,
+    chunk_no) key is NEW — the left-anti-join-against-state pattern that
+    makes replays and restarts idempotent (same pattern as the dedup
+    index ingest; chunk_sha alone is NOT the key because distinct
+    (doc, position) copies of a duplicated span are distinct chunks —
+    chunk-level dedup is a downstream query, ``chunk_dedup_stats``).
+
+    Returns the drained store (doc_id, chunk_no, start_tok, n_tokens,
+    chunk_sha), which must equal the batch ``chunk_documents`` output
+    minus chunk_text — checked by the chunking oracle.
+    """
+    from kinesis_dstream_spark.operators.text import chunk_documents
+
+    store_dir = store_dir or tempfile.mkdtemp(prefix="kds_chunk_store_")
+    cur = os.path.join(store_dir, "chunks")
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        chunks = chunk_documents(batch_df).drop("chunk_text")
+        if os.path.exists(cur):
+            existing = spark.read.parquet(cur).select("doc_id", "chunk_no")
+            chunks = chunks.join(existing, ["doc_id", "chunk_no"], "left_anti")
+        chunks.write.mode("append").parquet(cur)
+
+    src = _table_multifile_dir(spark, sf_dir, "documents", n_files=4)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option(
+            "checkpointLocation", checkpoint_dir or os.path.join(store_dir, "chk")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(cur)
+
+
 def _embeddings_multifile_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
     return _table_multifile_dir(spark, sf_dir, "embeddings", n_files)
 
