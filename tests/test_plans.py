@@ -321,3 +321,40 @@ def test_cms_probe_join_broadcasts(spark, sf_dir):
     plan = _plan(sketches.cms_heavy_hitters(docs))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
+    """Spark's runtime row-level filtering: a selective filter on the
+    creation side of a shuffle join injects a bloom filter into the
+    application side's scan (`might_contain`), pruning rows before the
+    shuffle. At 100 TB the size heuristics fire on their own (the
+    application-side threshold defaults to 10 GB scans); at fixture
+    scale we force eligibility via the scan-size threshold — scoped to
+    this test and restored, since semantics are unchanged either way."""
+    scan_conf = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    bc_conf = "spark.sql.autoBroadcastJoinThreshold"
+    old_scan, old_bc = spark.conf.get(scan_conf), spark.conf.get(bc_conf)
+    try:
+        spark.conf.set(scan_conf, "0")
+        # the injection rule skips creation sides it could broadcast
+        # (a broadcast join already prunes via the hash relation), so
+        # disable broadcast to exercise the shuffle-join bloom path
+        spark.conf.set(bc_conf, "-1")
+        li = load_table(spark, sf_dir, "lineitem")
+        od = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(od, li.l_orderkey == od.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        n = j.count()
+        assert n >= 1
+        plan = j._sc._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "formatted"
+        )
+        assert "might_contain" in plan.lower()
+    finally:
+        spark.conf.set(scan_conf, old_scan)
+        spark.conf.set(bc_conf, old_bc)
