@@ -1264,3 +1264,36 @@ def unpivot_measure_stats(lineitem: DataFrame) -> DataFrame:
         F.count("*").alias("n_vals"),
         exact_sum(F.col("value")).alias("sum_value"),
     )
+
+
+def observed_write_metrics(documents: DataFrame) -> tuple[DataFrame, "object"]:
+    """Free pipeline telemetry via ``Dataset.observe`` (E-1/E-9 ops
+    pattern): named aggregate metrics ride an EXISTING action — no
+    second scan, no extra job. The canonical 100 TB use: a nightly
+    corpus write also reports row counts / byte totals / null rates for
+    data-quality gates, at zero marginal cost (the metrics accumulate
+    in the same tasks that produce the output).
+
+    Returns (df, observation): run any ONE action on ``df``, then read
+    ``observation.get`` for the metrics dict. In Structured Streaming
+    the same call surfaces per-batch metrics through
+    ``StreamingQueryListener`` (observable metrics), which is how the
+    reference's per-poll log line (`hs_contacts.py:120-123`) upgrades
+    to structured telemetry.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("corpus_write")
+    observed = documents.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.sum(F.when(F.col("text").isNull() | (F.col("text") == ""), 1).otherwise(0)).alias(
+            "n_empty"
+        ),
+        # DISTINCT aggregates are disallowed in observed metrics (they
+        # need a per-key shuffle; metrics must accumulate in-task) —
+        # the sketch-based distinct is the observable substitute
+        F.approx_count_distinct(F.col("source")).alias("n_sources_approx"),
+    )
+    return observed, obs

@@ -286,3 +286,17 @@ def test_arrow_norm_stats_ragged_fallback(spark):
     assert got[1]["l2_norm"] == 5.0 and got[1]["n_dims"] == 2
     assert got[2]["l2_norm"] == 1.0 and got[2]["max_abs"] == 1.0
     assert got[3]["l2_norm"] == 5.0 and got[3]["max_abs"] == 5.0
+
+
+def test_observe_metrics_ride_the_action_for_free(spark, sf_dir):
+    """Observed metrics must equal direct aggregates, computed without
+    a second scan (one action on the observed frame populates them)."""
+    docs = load_table(spark, sf_dir, "documents")
+    observed, obs = relational.observed_write_metrics(docs)
+    n = observed.count()  # the ONE action; metrics accumulate in its tasks
+    m = obs.get
+    assert m["n_rows"] == n == docs.count()
+    assert m["total_chars"] == docs.agg(F.sum(F.length("text"))).first()[0]
+    assert m["n_empty"] == docs.filter(F.col("text").isNull() | (F.col("text") == "")).count()
+    exact_sources = docs.select("source").distinct().count()
+    assert abs(m["n_sources_approx"] - exact_sources) <= max(1, 0.05 * exact_sources)
