@@ -628,6 +628,32 @@ def streaming_chunk_store_ingest(
     return spark.read.parquet(cur)
 
 
+def chunk_store_compact(
+    spark: SparkSession, store_dir: str, max_files: int = 8
+) -> int:
+    """Compact the streaming chunk store when micro-batch appends have
+    accumulated more than ``max_files`` parquet files (every persisted
+    append-path here carries a compaction pass — ann_index and
+    dedup_index set the pattern; an uncompacted store grows one
+    file-set per batch forever). Rewrites the store to a repartitioned
+    copy via tmp-dir + atomic rename; content is byte-identical
+    (pytest-pinned). Returns the resulting file count.
+    """
+    import glob
+    import shutil
+
+    cur = os.path.join(store_dir, "chunks")
+    files = glob.glob(os.path.join(cur, "*.parquet"))
+    if len(files) <= max_files:
+        return len(files)
+    df = spark.read.parquet(cur)
+    tmp = os.path.join(store_dir, "chunks_compact_tmp")
+    df.repartition(max_files).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(cur)
+    os.rename(tmp, cur)
+    return len(glob.glob(os.path.join(cur, "*.parquet")))
+
+
 def _embeddings_multifile_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
     return _table_multifile_dir(spark, sf_dir, "embeddings", n_files)
 

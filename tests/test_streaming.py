@@ -468,3 +468,23 @@ def test_streaming_chunk_store_replays_safely(spark, sf_dir, tmp_path):
     assert replayed.count() == n_first
     # key uniqueness holds after replay
     assert replayed.select("doc_id", "chunk_no").distinct().count() == n_first
+
+
+def test_chunk_store_compaction_preserves_content(spark, sf_dir, tmp_path):
+    import glob
+
+    from kinesis_dstream_spark.streaming.jobs import (
+        chunk_store_compact,
+        streaming_chunk_store_ingest,
+    )
+
+    store = str(tmp_path / "cstore")
+    before = streaming_chunk_store_ingest(spark, sf_dir, store_dir=store)
+    rows_before = sorted(map(tuple, before.collect()))
+    n_files_before = len(glob.glob(store + "/chunks/*.parquet"))
+    n_after = chunk_store_compact(spark, store, max_files=2)
+    assert n_after <= max(2, n_files_before)
+    after = spark.read.parquet(store + "/chunks")
+    assert sorted(map(tuple, after.collect())) == rows_before
+    # idempotent: second compact is a no-op
+    assert chunk_store_compact(spark, store, max_files=2) == n_after
