@@ -1,0 +1,119 @@
+"""Changelog-derived state operators: SCD-2 history and CDC snapshot+merge.
+
+The reference's stream is a LAST-MODIFIED CHANGELOG (SURVEY §1.3): every
+record re-appears each time it is modified (`/root/reference/app/
+hs_contacts.py:59-81` — the poll predicate is on `lastmodifieddate`, so
+updates are re-captured by design). `reference_ops.changelog_latest_state`
+already materializes "current state" from that log; this module adds the
+two other things warehouses build from exactly such a log:
+
+* **SCD Type-2 history** (`scd2_from_changelog`) — every change becomes a
+  versioned row with a validity interval `[valid_from, valid_to)`; the
+  open interval is the current version. One shuffle on the key, then
+  per-partition `row_number` + `lead` over the same window spec — Spark
+  computes both functions in a single Window physical operator, so the
+  whole build is scan → exchange(key) → sort → project. At 100 TB the
+  shuffle is on the entity key (high cardinality, no skew hot-spot) and
+  nothing else is materialized.
+
+* **CDC apply = snapshot + merge** (`build_snapshot` / `cdc_apply`) —
+  the incremental-maintenance contract: applying the changelog tail to a
+  snapshot at time T must equal recomputing state from the full log.
+  Deletes ride the log as tombstone rows (here: `event_type = 'error'`
+  marks a key dead, mirroring how CRM APIs deliver archived records as
+  just another modified row). The merge is the canonical
+  full-outer-join-coalesce MERGE shape: changelog-latest wins where
+  present, else the snapshot row survives, tombstones drop the key.
+  Both sides of the join are pre-collapsed to one row per key BEFORE
+  the join (map-side window argmax), so the join is 1:1 on the key —
+  no row explosion, and AQE can pick a broadcast side when the tail is
+  small (the common case: a day's changes vs. years of snapshot).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Tombstone marker: a changelog row whose event_type equals this value
+# declares the key deleted as of that row's timestamp.
+TOMBSTONE = "error"
+
+_STATE_COLS = ("user_id", "event_id", "event_type", "value", "ts")
+
+
+def scd2_from_changelog(events: DataFrame) -> DataFrame:
+    """Build a Type-2 slowly-changing-dimension history from the changelog.
+
+    Each change row becomes a version: ``valid_from`` = its timestamp,
+    ``valid_to`` = the NEXT change's timestamp for the same key (null ⇒
+    still current). ``version`` numbers changes per key from 1.
+
+    `row_number` and `lead` share one window spec, so Catalyst evaluates
+    both in a single Window operator after one exchange on ``user_id``.
+    """
+    w = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.col("ts").alias("valid_from"),
+    ).select(
+        "*",
+        F.row_number().over(w).alias("version"),
+        F.lead("valid_from").over(w).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+def _latest_per_key(log: DataFrame) -> DataFrame:
+    """Distributed argmax: the max-(ts, event_id) row per key."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(*_STATE_COLS)
+    )
+
+
+def build_snapshot(events: DataFrame, cutoff: Column) -> DataFrame:
+    """State table as of ``cutoff``: latest non-tombstone version per key.
+
+    A key whose latest change at the cutoff is a tombstone is absent —
+    the snapshot holds live rows only, like any materialized state table.
+    """
+    latest = _latest_per_key(events.filter(F.col("ts") <= cutoff))
+    return latest.filter(F.col("event_type") != TOMBSTONE)
+
+
+def cdc_apply(snapshot: DataFrame, changelog_tail: DataFrame) -> DataFrame:
+    """Apply a changelog tail to a snapshot (incremental MERGE).
+
+    Per key: the tail's latest row wins if the key appears in the tail
+    (a tombstone there deletes the key); otherwise the snapshot row
+    survives unchanged. Both inputs are one-row-per-key (the tail is
+    collapsed here), so the full outer join is 1:1.
+
+    Invariant (pinned by the registry oracle and tests):
+    ``cdc_apply(build_snapshot(log, T), log WHERE ts > T)`` ==
+    ``latest non-tombstone state over the FULL log`` — incremental
+    maintenance equals recomputation.
+    """
+    tail_latest = _latest_per_key(changelog_tail)
+    snap = snapshot.select(
+        *[F.col(c).alias(f"snap_{c}") for c in _STATE_COLS]
+    )
+    tail = tail_latest.select(
+        *[F.col(c).alias(f"tail_{c}") for c in _STATE_COLS]
+    )
+    merged = snap.join(
+        tail, snap["snap_user_id"] == tail["tail_user_id"], "full_outer"
+    )
+    in_tail = F.col("tail_user_id").isNotNull()
+    keep = ~in_tail | (F.col("tail_event_type") != TOMBSTONE)
+    pick = lambda c: F.when(in_tail, F.col(f"tail_{c}")).otherwise(  # noqa: E731
+        F.col(f"snap_{c}")
+    ).alias(c)
+    return merged.filter(keep).select(*[pick(c) for c in _STATE_COLS])

@@ -33,7 +33,7 @@ ground truth the CMS query reports against and the driver-checkable row.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kinesis_dstream_spark.functions.textfns import tokens
@@ -172,4 +172,210 @@ def cms_heavy_hitters(
         .groupBy("token", "n_occurrences")
         .agg(F.min("cnt").alias("cms_estimate"))
         .orderBy(F.desc("n_occurrences"), F.asc("token"))
+    )
+
+
+# --------------------------------------------------------------------------
+# KMV bottom-k sample granules → mergeable quantiles (deterministic)
+# --------------------------------------------------------------------------
+
+KMV_K = 256  # sample size per granule and for the merged sample
+
+
+def _kmv_rank_key():
+    """Deterministic uniform rank: md5 of the row's primary key.
+
+    Hash-rank sampling makes "keep the k smallest hashes" a UNIFORM
+    random sample that is MERGEABLE: bottom-k of a union equals bottom-k
+    of the concatenated per-part bottom-k's. md5 (not xxhash) because the
+    DuckDB oracle computes the identical hex string, making the whole
+    sketch — selection included — exactly reproducible in SQL.
+    """
+    return F.md5(F.col("event_id").cast("string"))
+
+
+def kmv_day_granules(events: DataFrame, k: int = KMV_K, shards: int = 8) -> DataFrame:
+    """Per-day bottom-k sample of ``value`` by hash rank.
+
+    This is the persisted granule: k rows per day, written once when the
+    day closes. Two-level tournament so no single window partition ever
+    sees a full day's rows (a day at 100 TB is billions of events — a
+    plain ``Window.partitionBy(day)`` would sort them all in one task):
+    stage 1 keeps bottom-k per (day, shard) — 'shards' parallel
+    partitions, each a partial sort cut to k rows; stage 2 merges the
+    ≤ shards·k survivors per day. Bottom-k mergeability makes the
+    two-level result IDENTICAL to the direct per-day bottom-k, which is
+    what the (single-level) DuckDB oracle computes.
+    """
+    base = events.select(
+        F.date_trunc("day", "ts").alias("day"),
+        F.pmod(F.xxhash64("event_id"), F.lit(shards)).alias("shard"),
+        _kmv_rank_key().alias("rk"),
+        "value",
+        "event_id",
+    )
+    w1 = Window.partitionBy("day", "shard").orderBy("rk", "event_id")
+    w2 = Window.partitionBy("day").orderBy("rk", "event_id")
+    return (
+        base.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= k)
+        .drop("rn", "shard")
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def kmv_quantile_rollup(
+    spark: SparkSession, events: DataFrame, k: int = KMV_K
+) -> DataFrame:
+    """Quantile estimates for ``value`` from merged per-day KMV granules.
+
+    Merge = global bottom-k over all granule rows (|days|·k inputs — a
+    TakeOrderedAndProject, never a full sort), then the q-quantile
+    estimate is the sample's order statistic at index floor(q·(n−1)).
+    Every step is deterministic hash arithmetic + order statistics, so
+    unlike HLL/CMS this sketch IS oracle-checkable end to end; the
+    sampling-error bound (|est_rank − q| = O(1/√k)) is pinned in pytest
+    against the exact percentiles.
+    """
+    merged = (
+        kmv_day_granules(events, k)
+        .orderBy("rk", "event_id")
+        .limit(k)
+        .select("value", "event_id")
+    )
+    w = Window.orderBy("value", "event_id")
+    ordered = merged.select(
+        "value",
+        (F.row_number().over(w) - 1).alias("idx"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    qs = spark.createDataFrame([(0.5,), (0.9,), (0.99,)], "q double")
+    return (
+        ordered.join(
+            qs, F.col("idx") == F.floor(F.col("q") * (F.col("n") - 1)).cast("long")
+        )
+        .select("q", F.col("value").alias("est_value"), "n")
+        .orderBy("q")
+    )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter membership granules (deterministic → oracle-backed)
+# --------------------------------------------------------------------------
+
+BLOOM_M = 8192  # bits per granule
+BLOOM_H = 3  # hash functions
+
+
+def _bloom_positions(key, m: int = BLOOM_M, h: int = BLOOM_H):
+    """The h bit positions of ``key``: salted-md5 prefixes mod m.
+
+    md5 again (not xxhash) so the DuckDB oracle reproduces the exact
+    bit pattern: first 8 hex chars → 32-bit int → mod m, per salt.
+    """
+    return F.array_distinct(
+        F.array(
+            *[
+                F.pmod(
+                    F.conv(
+                        F.substring(F.md5(F.concat(key, F.lit(f"#{s}"))), 1, 8),
+                        16,
+                        10,
+                    ).cast("long"),
+                    F.lit(m),
+                )
+                for s in range(h)
+            ]
+        )
+    )
+
+
+def bloom_granules(documents: DataFrame, m: int = BLOOM_M, h: int = BLOOM_H) -> DataFrame:
+    """Per-source bloom filter over document texts, as (source, bit) rows.
+
+    The relational encoding of a bitset — same trick as the CMS table:
+    ≤ m distinct rows per source regardless of corpus size, so partial
+    aggregation collapses each scan partition before the shuffle and
+    merging two corpora's filters is a plain ``union().distinct()``.
+    A production pipeline persists these granules per source/day and
+    answers "have we ever ingested this document?" without re-scanning
+    history; false positives possible (bit collisions at m=8192), false
+    negatives impossible — both pinned in pytest, and the whole filter
+    is deterministic md5 arithmetic so the membership REPORT is
+    oracle-checked too.
+    """
+    return (
+        documents.select(
+            "source", F.explode(_bloom_positions(F.col("text"), m, h)).alias("bit")
+        )
+        .distinct()
+    )
+
+
+def bloom_membership_stats(
+    spark: SparkSession,
+    documents: DataFrame,
+    m: int = BLOOM_M,
+    h: int = BLOOM_H,
+    n_absent: int = 200,
+) -> DataFrame:
+    """Probe the per-source bloom granules with two key sets.
+
+    'present' = every distinct src0 text (must claim membership in src0:
+    no false negatives); 'absent' = synthetic keys never ingested (any
+    claim is a false positive — expected ≈ n_sources·n_keys·(1−e^{−hn/m})^h).
+    A key claims membership in a source iff ALL h of its bit positions
+    are set in that source's granule: probe bits equi-join granule bits,
+    then count matched distinct bits per (key, source). Output is one
+    row per probe set: keys probed, (key, source) membership claims.
+    """
+    granules = bloom_granules(documents, m, h)
+    present = (
+        documents.filter(F.col("source") == "src0")
+        .select(F.col("text").alias("probe_key"))
+        .distinct()
+        .withColumn("set_tag", F.lit("present"))
+    )
+    absent = spark.range(n_absent).select(
+        F.concat(F.lit("miss-"), F.col("id").cast("string")).alias("probe_key"),
+        F.lit("absent").alias("set_tag"),
+    )
+    probes = present.unionByName(absent).select(
+        "set_tag",
+        "probe_key",
+        F.posexplode(_bloom_positions(F.col("probe_key"), m, h)).alias("pos", "bit"),
+    )
+    n_pos = Window.partitionBy("set_tag", "probe_key")
+    probe_bits = probes.select(
+        "set_tag",
+        "probe_key",
+        "bit",
+        F.count("*").over(n_pos).alias("n_bits"),
+    )
+    claims = (
+        probe_bits.join(granules, "bit")
+        .groupBy("set_tag", "probe_key", "source", "n_bits")
+        .agg(F.count("*").alias("n_matched"))
+        .filter(F.col("n_matched") == F.col("n_bits"))
+    )
+    n_keys = (
+        probe_bits.select("set_tag", "probe_key")
+        .distinct()
+        .groupBy("set_tag")
+        .agg(F.count("*").alias("n_keys"))
+    )
+    return (
+        n_keys.join(
+            claims.groupBy("set_tag").agg(F.count("*").alias("claimed_pairs")),
+            "set_tag",
+            "left",
+        )
+        .select(
+            "set_tag",
+            "n_keys",
+            F.coalesce("claimed_pairs", F.lit(0)).alias("claimed_pairs"),
+        )
+        .orderBy("set_tag")
     )

@@ -23,13 +23,15 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kinesis_dstream_spark.functions.exact import avg_sql, sum_sql
 from kinesis_dstream_spark.operators import (
+    changelog,
     curation,
     dedup,
+    linkage,
     multimodal,
     reference_ops,
     layout,
@@ -2975,6 +2977,272 @@ def _q_cms_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# changelog-derived state (SURVEY §1.3 depth): SCD-2 history + CDC merge
+# --------------------------------------------------------------------------
+
+
+def _q_scd2(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return changelog.scd2_from_changelog(ev).select(
+        "user_id",
+        "version",
+        "event_id",
+        "event_type",
+        "value",
+        F.date_format("valid_from", TS_FMT_SPARK).alias("valid_from_s"),
+        F.date_format("valid_to", TS_FMT_SPARK).alias("valid_to_s"),
+        "is_current",
+    )
+
+
+_SQL_SCD2 = f"""
+SELECT user_id, row_number() OVER w AS version, event_id, event_type, value,
+       strftime(ts, '{TS_FMT_DUCK}') AS valid_from_s,
+       strftime(lead(ts) OVER w, '{TS_FMT_DUCK}') AS valid_to_s,
+       (lead(ts) OVER w IS NULL) AS is_current
+FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+# Snapshot cutoff for the CDC exhibit: mid-month, so both the snapshot
+# and the changelog tail are non-trivial at every fixture sf.
+_CDC_CUTOFF = "2024-01-15"
+
+
+def _q_cdc_apply(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental state maintenance == full recomputation (the invariant).
+
+    Spark side does the REAL two-stage pipeline: materialize a snapshot
+    at the cutoff, then MERGE the changelog tail into it (full-outer 1:1
+    join, tombstones delete). The oracle recomputes final state from the
+    whole log in one window query — hash equality IS the
+    incremental-equals-batch proof, per round, at the driver's sf.
+    """
+    from kinesis_dstream_spark.operators import changelog as cl
+
+    ev = load_table(spark, sf, "events")
+    cutoff = F.lit(_CDC_CUTOFF).cast("timestamp")
+    snap = cl.build_snapshot(ev, cutoff)
+    applied = cl.cdc_apply(snap, ev.filter(F.col("ts") > cutoff))
+    return applied.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.date_format("ts", TS_FMT_SPARK).alias("ts_s"),
+    )
+
+
+_SQL_CDC_APPLY = f"""
+SELECT user_id, event_id, event_type, value, strftime(ts, '{TS_FMT_DUCK}') AS ts_s
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND event_type <> '{changelog.TOMBSTONE}'
+"""
+
+
+# --------------------------------------------------------------------------
+# record linkage / entity resolution (E-10 adjacent: fuzzy entity matching)
+# --------------------------------------------------------------------------
+
+
+def _q_record_link(spark: SparkSession, sf: str) -> DataFrame:
+    """Blocked ER over part names; oracle = the declarative spec.
+
+    The Spark side runs the scale pipeline (head-noun + length-bucket
+    blocking with neighbor probes, length prune, Levenshtein verify,
+    best-match window); the oracle states the SPEC it must equal — all
+    same-noun pairs within edit distance 4, best match per left key.
+    Blocking is provably lossless here (len diff ≤ 4 ⇒ adjacent length
+    buckets at width 9), so implementation == spec, hash-checked.
+    """
+    return linkage.best_matches(load_table(spark, sf, "part"), 4)
+
+
+_SQL_RECORD_LINK = """
+WITH cand AS (
+  SELECT a.p_partkey AS a_key, a.p_name AS a_name,
+         b.p_partkey AS b_key, b.p_name AS b_name,
+         levenshtein(a.p_name, b.p_name) AS distance
+  FROM part a JOIN part b
+    ON list_extract(str_split(a.p_name, ' '), len(str_split(a.p_name, ' ')))
+     = list_extract(str_split(b.p_name, ' '), len(str_split(b.p_name, ' ')))
+   AND a.p_partkey < b.p_partkey
+   AND abs(length(a.p_name) - length(b.p_name)) <= 4
+  WHERE levenshtein(a.p_name, b.p_name) <= 4
+)
+SELECT a_key, a_name, b_key, b_name, distance FROM (
+  SELECT *, row_number() OVER (PARTITION BY a_key ORDER BY distance, b_key) AS rn
+  FROM cand
+) WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# deterministic mergeable sketches: KMV quantiles + bloom membership
+# --------------------------------------------------------------------------
+
+
+def _q_kmv_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    return sketches.kmv_quantile_rollup(spark, load_table(spark, sf, "events"))
+
+
+_SQL_KMV_QUANTILES = f"""
+WITH granule AS (
+  SELECT rk, value, event_id FROM (
+    SELECT md5(CAST(event_id AS VARCHAR)) AS rk, value, event_id,
+           row_number() OVER (PARTITION BY date_trunc('day', ts)
+                              ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+    FROM events) t WHERE rn <= {sketches.KMV_K}
+),
+merged AS (
+  SELECT value, event_id FROM (
+    SELECT value, event_id, row_number() OVER (ORDER BY rk, event_id) AS rn
+    FROM granule) t
+  WHERE rn <= {sketches.KMV_K}
+),
+ordered AS (
+  SELECT value, row_number() OVER (ORDER BY value, event_id) - 1 AS idx,
+         count(*) OVER () AS n
+  FROM merged
+)
+SELECT CAST(q AS DOUBLE) AS q, value AS est_value, n FROM ordered
+JOIN (VALUES (0.5), (0.9), (0.99)) AS qs(q)
+  ON idx = CAST(floor(q * (n - 1)) AS BIGINT)
+ORDER BY q
+"""
+
+
+def _q_bloom_membership(spark: SparkSession, sf: str) -> DataFrame:
+    return sketches.bloom_membership_stats(spark, load_table(spark, sf, "documents"))
+
+
+_SQL_BLOOM_MEMBERSHIP = f"""
+WITH pos AS (
+  SELECT CAST(('0x' || substr(md5(d.text || '#' || s.salt), 1, 8)) AS BIGINT)
+           % {sketches.BLOOM_M} AS bit,
+         d.source
+  FROM documents d CROSS JOIN (VALUES (0), (1), (2)) AS s(salt)
+),
+granules AS (SELECT DISTINCT source, bit FROM pos),
+probe_keys AS (
+  SELECT 'present' AS set_tag, text AS probe_key
+  FROM (SELECT DISTINCT text FROM documents WHERE source = 'src0')
+  UNION ALL
+  SELECT 'absent' AS set_tag, 'miss-' || CAST(i AS VARCHAR) AS probe_key
+  FROM range(200) t(i)
+),
+probe_bits AS (
+  SELECT DISTINCT set_tag, probe_key,
+         CAST(('0x' || substr(md5(probe_key || '#' || s.salt), 1, 8)) AS BIGINT)
+           % {sketches.BLOOM_M} AS bit
+  FROM probe_keys CROSS JOIN (VALUES (0), (1), (2)) AS s(salt)
+),
+pb AS (
+  SELECT set_tag, probe_key, bit,
+         count(*) OVER (PARTITION BY set_tag, probe_key) AS n_bits
+  FROM probe_bits
+),
+claims AS (
+  SELECT set_tag, probe_key, source FROM pb JOIN granules USING (bit)
+  GROUP BY set_tag, probe_key, source, n_bits
+  HAVING count(*) = n_bits
+),
+nk AS (SELECT set_tag, count(DISTINCT probe_key) AS n_keys FROM pb GROUP BY set_tag)
+SELECT nk.set_tag, n_keys, coalesce(c.claimed_pairs, 0) AS claimed_pairs
+FROM nk LEFT JOIN (
+  SELECT set_tag, count(*) AS claimed_pairs FROM claims GROUP BY set_tag
+) c USING (set_tag)
+ORDER BY set_tag
+"""
+
+
+# --------------------------------------------------------------------------
+# dedup retention policy: keep the best document per near-dup cluster
+# --------------------------------------------------------------------------
+
+
+def _q_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup clusters + quality scores → survivorship decision.
+
+    The production question after dedup is never "which docs match" but
+    "which copy do we KEEP". Compose the (oracle-backed) connected
+    components over n-gram-Jaccard edges with the (oracle-backed)
+    quality score: per cluster keep the highest-scoring doc, ties to the
+    lowest doc_id; singletons survive trivially. One extra shuffle on
+    cluster_rep over the cluster output — the corpus-side score is a
+    map-side computation joined on doc_id.
+    """
+    docs = load_table(spark, sf, "documents")
+    clusters = dedup.dedup_clusters(dedup.dedup_ngram_jaccard(docs))
+    scores = text.quality_score(docs).select(
+        "doc_id", F.col("quality").alias("q_score")
+    )
+    labeled = (
+        scores.join(clusters.select("doc_id", "cluster_rep", "cluster_size"), "doc_id", "left")
+        .withColumn("cluster_rep", F.coalesce("cluster_rep", "doc_id"))
+        .withColumn("cluster_size", F.coalesce("cluster_size", F.lit(1)))
+    )
+    w = Window.partitionBy("cluster_rep").orderBy(F.desc("q_score"), F.asc("doc_id"))
+    return (
+        labeled.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cluster_rep", F.col("doc_id").alias("kept_doc_id"), "cluster_size", "q_score")
+    )
+
+
+_SQL_DEDUP_KEEP_BEST = f"""
+WITH RECURSIVE jpairs AS ({_SQL_DEDUP_JACCARD}),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM jpairs
+  UNION
+  SELECT doc_b AS s, doc_a AS d FROM jpairs
+),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+),
+closure AS (
+  SELECT s AS doc_id, least(s, min(d)) AS cluster_rep FROM reach GROUP BY s
+),
+sized AS (
+  SELECT doc_id, cluster_rep,
+         count(*) OVER (PARTITION BY cluster_rep) AS cluster_size
+  FROM closure
+),
+scored AS ({_SQL_QUALITY}),
+labeled AS (
+  SELECT coalesce(z.cluster_rep, q.doc_id) AS cluster_rep, q.doc_id,
+         coalesce(z.cluster_size, 1) AS cluster_size,
+         q.quality AS q_score
+  FROM scored q LEFT JOIN sized z ON q.doc_id = z.doc_id
+)
+SELECT cluster_rep, doc_id AS kept_doc_id, cluster_size, q_score FROM (
+  SELECT *, row_number() OVER (PARTITION BY cluster_rep
+                               ORDER BY q_score DESC, doc_id ASC) AS rn
+  FROM labeled
+) WHERE rn = 1
+"""
+
+
+def _q_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.sources import formats
+
+    return formats.orc_roundtrip_stats(spark, sf)
+
+
+_SQL_ORC_ROUNDTRIP = f"""
+SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+       {sum_sql("l_extendedprice")} AS sum_price,
+       {avg_sql("l_quantity")} AS avg_qty
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
 # registry assembly
 # --------------------------------------------------------------------------
 
@@ -3177,6 +3445,19 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # published error bounds + lossless-merge properties (test_sketches.py)
     "hll_distinct_rollup": (_q_hll_rollup, None),
     "cms_heavy_hitters": (_q_cms_heavy_hitters, None),
+    # deterministic mergeable sketches (r6) — hash-based, so unlike HLL/CMS
+    # these ARE oracle-checked end to end; pytest adds the error bounds
+    "kmv_quantile_rollup": (_q_kmv_quantiles, _SQL_KMV_QUANTILES),
+    "bloom_membership_stats": (_q_bloom_membership, _SQL_BLOOM_MEMBERSHIP),
+    # changelog-derived state (r6): SCD-2 history + incremental CDC merge
+    "scd2_from_changelog": (_q_scd2, _SQL_SCD2),
+    "cdc_apply_changelog": (_q_cdc_apply, _SQL_CDC_APPLY),
+    # record linkage / entity resolution (r6): blocked fuzzy matching
+    "record_link_parts": (_q_record_link, _SQL_RECORD_LINK),
+    # dedup survivorship (r6): keep the best doc per near-dup cluster
+    "dedup_keep_best": (_q_dedup_keep_best, _SQL_DEDUP_KEEP_BEST),
+    # ORC columnar roundtrip (r6, E-1)
+    "orc_roundtrip_stats": (_q_orc_roundtrip, _SQL_ORC_ROUNDTRIP),
     # scalar-function / UDF showcases (E-2, E-8, E-14)
     "scalar_functions_showcase": (_q_scalar_fns, _SQL_SCALAR_FNS),
     "date_functions_showcase": (_q_date_fns, _SQL_DATE_FNS),

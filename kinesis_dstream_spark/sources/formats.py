@@ -166,3 +166,40 @@ def bucketed_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_sum(revenue).alias("revenue"),
         )
     )
+
+
+def orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem → ORC sink → scan back → aggregate (E-1).
+
+    ORC is Spark's other first-class columnar format (`df.write.orc` /
+    `spark.read.orc`), common where Hive-era warehouses feed a Spark
+    pipeline. Same pushdown machinery as parquet: the shipdate filter
+    and the 5-column projection reach the ORC scan (predicate pushdown +
+    column pruning), so the read-back pays for a fraction of the file
+    bytes. The DuckDB oracle computes the identical aggregate straight
+    from the source parquet — any loss or type drift in the ORC
+    write/read path (timestamps are the usual suspect) breaks the hash.
+    """
+    from kinesis_dstream_spark.functions.exact import exact_avg, exact_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = os.path.join(roundtrip_dir(sf_dir), "lineitem_orc")
+    li.select(
+        "l_orderkey",
+        "l_quantity",
+        "l_extendedprice",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipdate",
+    ).write.mode("overwrite").orc(out)
+
+    back = spark.read.orc(out)
+    return (
+        back.filter(F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            exact_sum(F.col("l_extendedprice")).alias("sum_price"),
+            exact_avg(F.col("l_quantity")).alias("avg_qty"),
+        )
+    )

@@ -121,3 +121,75 @@ class TestCmsHeavyHitters:
         )
         assert len(per_row) == sketches.CMS_DEPTH
         assert all(r["mass"] == n_total for r in per_row)
+
+
+class TestKMVQuantiles:
+    def test_two_level_tournament_equals_direct_bottom_k(self, spark, sf_dir):
+        """Sharded granule build == single-level per-day bottom-k
+        (bottom-k mergeability — the property that makes the sketch safe
+        to build without a whole-day window partition)."""
+        from pyspark.sql import Window
+
+        ev = load_table(spark, sf_dir, "events")
+        sharded = sketches.kmv_day_granules(ev, k=64, shards=8).select(
+            "day", "event_id"
+        )
+        base = ev.select(
+            F.date_trunc("day", "ts").alias("day"),
+            F.md5(F.col("event_id").cast("string")).alias("rk"),
+            "event_id",
+        )
+        w = Window.partitionBy("day").orderBy("rk", "event_id")
+        direct = (
+            base.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 64)
+            .select("day", "event_id")
+        )
+        assert sharded.exceptAll(direct).count() == 0
+        assert direct.exceptAll(sharded).count() == 0
+
+    def test_quantile_estimates_within_sampling_error(self, spark, sf_dir):
+        """The estimated q-quantile's TRUE rank in the full data is within
+        the DKW-style sampling band q ± 3/sqrt(k)."""
+        ev = load_table(spark, sf_dir, "events")
+        n_total = ev.count()
+        ests = sketches.kmv_quantile_rollup(spark, ev).collect()
+        assert [r["q"] for r in ests] == [0.5, 0.9, 0.99]
+        eps = 3.0 / (sketches.KMV_K ** 0.5) + 1.0 / min(n_total, sketches.KMV_K)
+        for r in ests:
+            true_rank = ev.filter(F.col("value") <= r["est_value"]).count() / n_total
+            assert abs(true_rank - r["q"]) <= eps, (r["q"], true_rank)
+
+
+class TestBloomGranules:
+    def test_no_false_negatives(self, spark, sf_dir):
+        """Every src0 text must claim membership in src0's granule."""
+        docs = load_table(spark, sf_dir, "documents")
+        stats = {
+            r["set_tag"]: r
+            for r in sketches.bloom_membership_stats(spark, docs).collect()
+        }
+        assert stats["present"]["claimed_pairs"] >= stats["present"]["n_keys"]
+
+    def test_false_positive_rate_bounded(self, spark, sf_dir):
+        """Absent keys were never ingested: any claim is a false positive.
+        At m=8192, h=3 and fixture-scale sources the expected FP rate is
+        far below 5% of probed (key, source) pairs."""
+        docs = load_table(spark, sf_dir, "documents")
+        n_sources = docs.select("source").distinct().count()
+        stats = {
+            r["set_tag"]: r
+            for r in sketches.bloom_membership_stats(spark, docs).collect()
+        }
+        absent = stats["absent"]
+        assert absent["claimed_pairs"] <= 0.05 * absent["n_keys"] * n_sources
+
+    def test_granule_merge_is_union(self, spark, sf_dir):
+        """Filter of a union of corpora == union of the filters."""
+        docs = load_table(spark, sf_dir, "documents")
+        h1 = sketches.bloom_granules(docs.filter(F.col("doc_id") % 2 == 0))
+        h2 = sketches.bloom_granules(docs.filter(F.col("doc_id") % 2 == 1))
+        merged = h1.unionByName(h2).distinct()
+        whole = sketches.bloom_granules(docs)
+        assert merged.exceptAll(whole).count() == 0
+        assert whole.exceptAll(merged).count() == 0
