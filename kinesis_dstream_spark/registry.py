@@ -2427,6 +2427,25 @@ def _q_stream_chunk_store(spark: SparkSession, sf: str) -> DataFrame:
     return jobs.streaming_chunk_store_ingest(spark, sf)
 
 
+def _q_stream_scd2(spark: SparkSession, sf: str) -> DataFrame:
+    """Drained incremental SCD-2 store == batch rebuild (same oracle as
+    ``scd2_from_changelog`` — streaming maintenance is hash-checked
+    against one-shot recomputation)."""
+    from kinesis_dstream_spark.streaming import jobs
+
+    out = jobs.streaming_scd2_maintenance(spark, sf)
+    return out.select(
+        "user_id",
+        "version",
+        "event_id",
+        "event_type",
+        "value",
+        F.date_format("valid_from", TS_FMT_SPARK).alias("valid_from_s"),
+        F.date_format("valid_to", TS_FMT_SPARK).alias("valid_to_s"),
+        "is_current",
+    )
+
+
 # the drained chunk store must equal batch chunking (sans chunk_text)
 _SQL_STREAM_CHUNK_STORE = f"""
 WITH t AS (
@@ -3499,6 +3518,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "streaming_wav_decode": (_q_stream_wav_decode, _SQL_WAV_DECODE),
     # replay-safe chunk-store maintenance; drained state == batch chunking
     "streaming_chunk_store_ingest": (_q_stream_chunk_store, _SQL_STREAM_CHUNK_STORE),
+    # incremental SCD-2 maintenance drains to the BATCH oracle (r6)
+    "streaming_scd2_maintenance": (_q_stream_scd2, _SQL_SCD2),
 }
 
 

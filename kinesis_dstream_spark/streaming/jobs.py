@@ -15,6 +15,7 @@ At production scale the same builders run unbounded with
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import time
 
@@ -854,3 +855,82 @@ def streaming_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def streaming_scd2_maintenance(
+    spark: SparkSession,
+    sf_dir: str,
+    store_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Streaming maintenance of the SCD-2 history table
+    (operators/changelog.scd2_from_changelog): each micro-batch of
+    changelog rows rewrites ONLY the histories of the keys it touches.
+
+    Per batch: (1) replay guard — anti-join the batch against the
+    store on event_id, so a restarted/replayed batch appends nothing
+    (foreachBatch is at-least-once; the reference's gapless closed
+    windows re-deliver boundary rows the same way,
+    /root/reference/app/hs_contacts.py:139-147); (2) affected keys =
+    the batch's distinct user_ids; (3) rebuild those keys' full
+    histories from (their stored versions converted back to changelog
+    rows) ∪ (the new rows) — re-versioning is per-key window work over
+    a few rows; (4) untouched keys' rows are carried over verbatim.
+    At scale the store is key-partitioned, so step 4 is a
+    partition-pruned copy and the rewrite touches only the affected
+    partitions — the same bounded-rewrite argument as the ANN-index
+    cell append.
+
+    Returns the drained store, which must equal the BATCH
+    ``scd2_from_changelog`` over the full table — the registry wires it
+    to the identical SQL oracle, so incremental streaming maintenance
+    is hash-checked against one-shot recomputation per round.
+    """
+    from kinesis_dstream_spark.operators.changelog import scd2_from_changelog
+
+    store_dir = store_dir or tempfile.mkdtemp(prefix="kds_scd2_store_")
+    cur = os.path.join(store_dir, "scd2")
+    cols = ["user_id", "event_id", "event_type", "value", "ts"]
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.select(*cols).dropDuplicates(["event_id"])
+        if os.path.exists(cur):
+            store = spark.read.parquet(cur)
+            batch = batch.join(
+                store.select("event_id"), "event_id", "left_anti"
+            )
+            affected = batch.select("user_id").distinct()
+            touched_as_log = (
+                store.join(affected, "user_id")
+                .select(
+                    "user_id",
+                    "event_id",
+                    "event_type",
+                    "value",
+                    F.col("valid_from").alias("ts"),
+                )
+            )
+            untouched = store.join(affected, "user_id", "left_anti")
+            rebuilt = scd2_from_changelog(touched_as_log.unionByName(batch))
+            out = untouched.unionByName(rebuilt)
+        else:
+            out = scd2_from_changelog(batch)
+        tmp = cur + "_tmp"
+        out.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(cur):
+            shutil.rmtree(cur)
+        os.rename(tmp, cur)
+
+    src = _table_multifile_dir(spark, sf_dir, "events", n_files=4)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option(
+            "checkpointLocation", checkpoint_dir or os.path.join(store_dir, "chk")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(cur)

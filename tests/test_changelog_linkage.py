@@ -115,3 +115,25 @@ def test_linkage_best_match_unique_and_bounded(spark, sf_dir):
         assert best.filter(F.col("distance") > 4).count() == 0
     finally:
         best.unpersist()
+
+
+def test_streaming_scd2_replay_safe(spark, sf_dir, tmp_path):
+    """Re-draining the whole source into an existing store (fresh
+    checkpoint → every file re-delivered) must change nothing: the
+    event_id replay guard makes ingestion idempotent."""
+    from kinesis_dstream_spark.streaming import jobs
+
+    store = str(tmp_path / "store")
+    first = jobs.streaming_scd2_maintenance(
+        spark, sf_dir, store_dir=store, checkpoint_dir=str(tmp_path / "chk1")
+    )
+    n_first = first.count()
+    second = jobs.streaming_scd2_maintenance(
+        spark, sf_dir, store_dir=store, checkpoint_dir=str(tmp_path / "chk2")
+    )
+    assert second.count() == n_first
+    batch = changelog.scd2_from_changelog(
+        load_table(spark, sf_dir, "events")
+    ).select("user_id", "version", "event_id")
+    assert second.select("user_id", "version", "event_id").exceptAll(batch).count() == 0
+    assert batch.exceptAll(second.select("user_id", "version", "event_id")).count() == 0
