@@ -630,3 +630,86 @@ def y4m_decode_stats(documents: DataFrame) -> DataFrame:
     stats — the video member of the real-decode family (WAV / BMP /
     Y4M). One fused mapInPandas chain; analytic DuckDB oracle."""
     return decode_y4m_batch(synth_y4m_table(documents))
+
+
+# --------------------------------------------------------------------------
+# binaryFile source: media ingestion from raw files (E-1 × E-13)
+# --------------------------------------------------------------------------
+
+
+def stage_media_files(spark: DataFrame, sf_dir: str) -> str:
+    """Stage each document's payload as one raw ``<doc_id>.bin`` file.
+
+    This materializes the fixture corpus the way real media actually
+    arrives — a directory of opaque files, not rows in a table. Writing
+    happens in ``foreachPartition`` on the executors (no driver-side
+    collect); in local mode all executors share /tmp, which stands in
+    for the shared object store a cluster would write to. Staged once
+    per sf behind a marker file.
+    """
+    import os
+    import tempfile
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    d = os.path.join(tempfile.gettempdir(), "kds_binary_media", tag)
+    marker = os.path.join(d, "_STAGED")
+    if not os.path.exists(marker):
+        os.makedirs(d, exist_ok=True)
+        from kinesis_dstream_spark.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+        def write_part(rows) -> None:
+            for r in rows:
+                with open(os.path.join(d, f"{r.doc_id}.bin"), "wb") as f:
+                    f.write(r.text.encode("utf-8"))
+
+        docs.foreachPartition(write_part)
+        with open(marker, "w"):
+            pass
+    return d
+
+
+def binary_file_media_stats(spark, sf_dir: str) -> DataFrame:
+    """Ingest raw media files via Spark's ``binaryFile`` source.
+
+    ``spark.read.format("binaryFile")`` is the production entry point
+    for bulk media: each file becomes (path, modificationTime, length,
+    content) with the bytes as a first-class binary column — exactly the
+    payload column `to_media_table` models. The scan parallelizes over
+    files; content hashing (`sha2`) runs JVM-side per Arrow batch. The
+    file id parsed from the path joins the metadata table (the standard
+    "object store + catalog" layout), and the per-source rollup is
+    oracle-checked: DuckDB recomputes byte counts and sha256 digests
+    from the source texts, so a corrupted write, a lossy read, or a
+    mis-parsed filename all break the hash.
+    """
+    from kinesis_dstream_spark.tables import load_table
+
+    d = stage_media_files(spark, sf_dir)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(d)
+        .select(
+            F.regexp_extract(
+                F.element_at(F.split(F.col("path"), "/"), -1), r"(\d+)\.bin", 1
+            )
+            .cast("long")
+            .alias("media_id"),
+            F.sha2(F.col("content"), 256).alias("content_sha"),
+            F.col("length").alias("n_bytes"),
+        )
+    )
+    meta = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"), "source"
+    )
+    return (
+        files.join(meta, "media_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.countDistinct("content_sha").alias("n_unique_payloads"),
+        )
+    )

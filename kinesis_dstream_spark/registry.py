@@ -3251,6 +3251,19 @@ def _q_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     return formats.orc_roundtrip_stats(spark, sf)
 
 
+def _q_binary_file_media(spark: SparkSession, sf: str) -> DataFrame:
+    return multimodal.binary_file_media_stats(spark, sf)
+
+
+_SQL_BINARY_FILE_MEDIA = """
+SELECT source, count(*) AS n_files,
+       sum(octet_length(encode(text))) AS total_bytes,
+       count(DISTINCT sha256(text)) AS n_unique_payloads
+FROM documents
+GROUP BY source
+"""
+
+
 _SQL_ORC_ROUNDTRIP = f"""
 SELECT l_returnflag, l_linestatus, count(*) AS n_items,
        {sum_sql("l_extendedprice")} AS sum_price,
@@ -3477,6 +3490,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "dedup_keep_best": (_q_dedup_keep_best, _SQL_DEDUP_KEEP_BEST),
     # ORC columnar roundtrip (r6, E-1)
     "orc_roundtrip_stats": (_q_orc_roundtrip, _SQL_ORC_ROUNDTRIP),
+    # binaryFile source: raw-file media ingestion + catalog join (r6)
+    "binary_file_media_stats": (_q_binary_file_media, _SQL_BINARY_FILE_MEDIA),
     # scalar-function / UDF showcases (E-2, E-8, E-14)
     "scalar_functions_showcase": (_q_scalar_fns, _SQL_SCALAR_FNS),
     "date_functions_showcase": (_q_date_fns, _SQL_DATE_FNS),
