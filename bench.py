@@ -86,6 +86,14 @@ BENCH_QUERIES = {
     "text_semantic_topk": "text_semantic_topk",
     "hybrid_rrf": "hybrid_search_rrf",
     "streaming_drain": "streaming_tumbling_counts",
+    # r6 additions: changelog state, ER, deterministic sketches, survivorship
+    "scd2": "scd2_from_changelog",
+    "cdc_apply": "cdc_apply_changelog",
+    "record_linkage": "record_link_parts",
+    "kmv_quantiles": "kmv_quantile_rollup",
+    "bloom_membership": "bloom_membership_stats",
+    "dedup_keep_best": "dedup_keep_best",
+    "orc_roundtrip": "orc_roundtrip_stats",
 }
 
 
