@@ -94,6 +94,11 @@ BENCH_QUERIES = {
     "bloom_membership": "bloom_membership_stats",
     "dedup_keep_best": "dedup_keep_best",
     "orc_roundtrip": "orc_roundtrip_stats",
+    # event-flow analytics (funnel/cohort/EWMA/anomaly/Markov)
+    "funnel": "funnel_conversion",
+    "cohort_retention": "cohort_retention",
+    "ewma": "ewma_user_value",
+    "zscore_outliers": "rolling_zscore_outliers",
 }
 
 

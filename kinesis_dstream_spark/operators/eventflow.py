@@ -1,0 +1,361 @@
+"""Event-flow analytics: funnel, cohort retention, EWMA, outliers, transitions.
+
+The product-analytics layer over an event stream — the queries a team
+runs on the data the reference engine ingests (its pollers emit exactly
+this shape: entity events keyed by id with a last-modified event time,
+see /root/reference/app/hs_contacts.py:59-81). The reference itself has
+no analytics executor; these are part of the mandated extension surface
+(SURVEY §2B), expressed Spark-first.
+
+Every operator here is one-or-two-shuffle by construction and fully
+deterministic (fixed-point integer arithmetic before any float division,
+see functions/exact.py), so each has an exact DuckDB SQL oracle.
+
+Scale shapes (100 TB):
+- funnel / EWMA / transitions: ONE shuffle on ``user_id``; all
+  subsequent window passes reuse the same partitioning (Catalyst elides
+  the re-exchange), and the final rollups aggregate map-side first.
+- cohort retention: one shuffle on ``user_id`` for first-touch, one on
+  the (cohort, offset) pair — whose cardinality is O(weeks²), tiny.
+- rolling z-score: one shuffle on ``event_type``. NOTE: event_type is a
+  low-cardinality key, so at 100 TB this window would hot-spot its
+  partitions; the operator documents that callers should sub-key (e.g.
+  (event_type, entity_shard)) when a per-type total order is not
+  required. The per-type ordered scan itself is the semantics — a
+  trailing-window baseline is inherently sequential per key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kinesis_dstream_spark.functions.exact import fixedpoint
+
+# Fixed-point scale for event values (2 decimal places in the fixture;
+# 100 keeps int64 sums exact for any realistic window).
+_V_SCALE = 100
+
+
+def funnel_conversion(
+    events: DataFrame, stages: tuple[str, str, str] = ("view", "click", "purchase")
+) -> DataFrame:
+    """Ordered three-stage funnel: users reaching each stage *in order*.
+
+    A user counts for stage k only if an event of type ``stages[k]``
+    happened at-or-after their earliest chained stage k-1 time — the
+    standard product-funnel semantics (not mere set intersection).
+
+    Plan: one shuffle on ``user_id``; the three chained window minima
+    run over the same partitioning (no re-exchange); the per-user
+    reduction and the final single-row rollup are map-side-combined.
+    """
+    s1, s2, s3 = stages
+    w = Window.partitionBy("user_id")
+    ts, et = F.col("ts"), F.col("event_type")
+    step1 = events.withColumn("t1", F.min(F.when(et == s1, ts)).over(w))
+    step2 = step1.withColumn(
+        "t2", F.min(F.when((et == s2) & (ts >= F.col("t1")), ts)).over(w)
+    )
+    step3 = step2.withColumn(
+        "t3", F.min(F.when((et == s3) & (ts >= F.col("t2")), ts)).over(w)
+    )
+    per_user = step3.groupBy("user_id").agg(
+        F.max(F.col("t1").isNotNull()).alias("r1"),
+        F.max(F.col("t2").isNotNull()).alias("r2"),
+        F.max(F.col("t3").isNotNull()).alias("r3"),
+    )
+    cnt = lambda c: F.sum(F.col(c).cast("long"))  # noqa: E731
+    return per_user.agg(
+        cnt("r1").alias("stage1_users"),
+        cnt("r2").alias("stage2_users"),
+        cnt("r3").alias("stage3_users"),
+        F.round(cnt("r2") / cnt("r1"), 4).alias("conv_stage2"),
+        F.round(cnt("r3") / cnt("r1"), 4).alias("conv_stage3"),
+    )
+
+
+def funnel_sql(stages: tuple[str, str, str] = ("view", "click", "purchase")) -> str:
+    """DuckDB twin of funnel_conversion (identical chained-min logic)."""
+    s1, s2, s3 = stages
+    return f"""
+WITH w1 AS (
+  SELECT *, min(CASE WHEN event_type = '{s1}' THEN ts END)
+            OVER (PARTITION BY user_id) AS t1
+  FROM events
+), w2 AS (
+  SELECT *, min(CASE WHEN event_type = '{s2}' AND ts >= t1 THEN ts END)
+            OVER (PARTITION BY user_id) AS t2
+  FROM w1
+), w3 AS (
+  SELECT *, min(CASE WHEN event_type = '{s3}' AND ts >= t2 THEN ts END)
+            OVER (PARTITION BY user_id) AS t3
+  FROM w2
+), per_user AS (
+  SELECT user_id, max(t1 IS NOT NULL) AS r1, max(t2 IS NOT NULL) AS r2,
+         max(t3 IS NOT NULL) AS r3
+  FROM w3 GROUP BY user_id
+)
+SELECT CAST(sum(CAST(r1 AS BIGINT)) AS BIGINT) AS stage1_users,
+       CAST(sum(CAST(r2 AS BIGINT)) AS BIGINT) AS stage2_users,
+       CAST(sum(CAST(r3 AS BIGINT)) AS BIGINT) AS stage3_users,
+       round(CAST(sum(CAST(r2 AS BIGINT)) AS BIGINT)
+             / CAST(sum(CAST(r1 AS BIGINT)) AS BIGINT), 4) AS conv_stage2,
+       round(CAST(sum(CAST(r3 AS BIGINT)) AS BIGINT)
+             / CAST(sum(CAST(r1 AS BIGINT)) AS BIGINT), 4) AS conv_stage3
+FROM per_user
+"""
+
+
+_EPOCH = "2024-01-01"  # fixture epoch: week indices are days-since /7
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Weekly cohort retention: active users by (first-touch week, offset).
+
+    ``cohort_week`` indexes the week of a user's first event;
+    ``week_offset`` is whole weeks between an activity day and the
+    user's first day. ``retention_pct`` normalizes by the cohort's
+    offset-0 population (== cohort size, since every user is active in
+    their first week by definition).
+
+    Plan: first-touch is a window min over the ``user_id`` shuffle;
+    the rollup shuffles on (cohort_week, week_offset) — O(weeks²) keys.
+    The distinct-users count is the only expensive agg and Spark
+    map-side partial-aggregates it per user automatically.
+    """
+    w = Window.partitionBy("user_id")
+    first_day = F.min(F.to_date("ts")).over(w)
+    base = events.select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        first_day.alias("first_day"),
+    )
+    shaped = base.select(
+        "user_id",
+        F.expr(f"datediff(first_day, DATE '{_EPOCH}') DIV 7").alias("cohort_week"),
+        F.expr("datediff(day, first_day) DIV 7").alias("week_offset"),
+    )
+    counts = shaped.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("user_id").alias("active_users")
+    )
+    wc = Window.partitionBy("cohort_week")
+    return counts.select(
+        "cohort_week",
+        "week_offset",
+        "active_users",
+        F.round(
+            F.col("active_users")
+            / F.max(F.when(F.col("week_offset") == 0, F.col("active_users"))).over(wc),
+            4,
+        ).alias("retention_pct"),
+    )
+
+
+COHORT_RETENTION_SQL = f"""
+WITH firsts AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         min(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS first_day
+  FROM events
+), shaped AS (
+  SELECT user_id,
+         date_diff('day', DATE '{_EPOCH}', first_day) // 7 AS cohort_week,
+         date_diff('day', first_day, day) // 7 AS week_offset
+  FROM firsts
+), counts AS (
+  SELECT cohort_week, week_offset, count(DISTINCT user_id) AS active_users
+  FROM shaped GROUP BY cohort_week, week_offset
+)
+SELECT cohort_week, week_offset, active_users,
+       round(active_users / max(CASE WHEN week_offset = 0 THEN active_users END)
+                            OVER (PARTITION BY cohort_week), 4) AS retention_pct
+FROM counts
+"""
+
+
+_EWMA_K = 16  # trailing kernel length (current row + 15 preceding)
+
+
+def ewma_user_value(events: DataFrame) -> DataFrame:
+    """Per-user exponential smoothing of ``value`` (dyadic α = 1/2).
+
+    Truncated-kernel EWMA over the trailing {K} events:
+    ``ewma_t = Σ_d v_{{t-d}}·2^(K-1-d) / Σ_d 2^(K-1-d)`` — the newest
+    event carries half the total weight, matching α=1/2 exactly while
+    keeping all arithmetic in int64 until one final division.
+
+    Determinism: values are fixed-pointed (×100) first, weights are
+    powers of two, and the numerator/denominator are exact integer sums,
+    so Spark and the SQL oracle produce bit-identical doubles (scaling
+    num and den by the same 2^c cancels in IEEE division).
+
+    Plan: ONE shuffle on ``user_id``; the frame collect + weighting run
+    as JVM higher-order functions (no UDF, no self-join — the oracle's
+    O(K·n) self-join is the *specification*, not the implementation).
+    """
+    iv = fixedpoint(F.col("value"), _V_SCALE)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_EWMA_K - 1), 0)
+    )
+    arr = F.collect_list(iv).over(w)
+    # pow(2.0, i) is an exact double for i ≤ 15, so the cast-to-long
+    # weights are exact; the running aggregate stays in int64.
+    weighted = F.transform(
+        arr, lambda x, i: x * F.pow(F.lit(2.0), i).cast("long")
+    )
+    num = F.aggregate(weighted, F.lit(0).cast("long"), lambda a, x: a + x)
+    den = F.pow(F.lit(2.0), F.size(arr)).cast("long") - 1
+    return events.select(
+        "user_id",
+        "event_id",
+        num.alias("_num"),
+        den.alias("_den"),
+    ).select(
+        "user_id",
+        "event_id",
+        F.round(F.col("_num") / F.col("_den") / float(_V_SCALE), 4).alias("ewma"),
+    )
+
+
+EWMA_SQL = f"""
+WITH o AS (
+  SELECT user_id, event_id, CAST(round(value * {_V_SCALE}) AS BIGINT) AS iv,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT a.user_id, a.event_id,
+       round(CAST(sum(b.iv * CAST(power(2, {_EWMA_K - 1} - a.rn + b.rn) AS BIGINT))
+                  AS BIGINT)
+             / CAST(sum(CAST(power(2, {_EWMA_K - 1} - a.rn + b.rn) AS BIGINT))
+                    AS BIGINT)
+             / {_V_SCALE}.0, 4) AS ewma
+FROM o a JOIN o b
+  ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - {_EWMA_K - 1} AND a.rn
+GROUP BY a.user_id, a.event_id
+"""
+
+
+_Z_LOOKBACK = 20
+_Z_THRESHOLD = 2.5
+_Z_MIN_BASELINE = 5
+
+
+def rolling_zscore_outliers(events: DataFrame) -> DataFrame:
+    """Trailing-window anomaly detection per event type.
+
+    Each event's ``value`` is z-scored against the {N} events preceding
+    it (same type, event-time order, current row excluded so an outlier
+    can't mask itself); |z| > {T} flags an outlier. Output is the
+    per-type rollup: events scored, outliers, and the largest |z|.
+
+    Determinism: with s1 = Σiv, s2 = Σiv² (exact int64 over the frame),
+    ``z = (iv·n − s1) / sqrt((n·s2 − s1²)·n / (n−1))`` uses only
+    integer ops until two IEEE divisions and one sqrt — bit-identical
+    across engines, so even the > threshold flags match exactly.
+    """
+    iv = fixedpoint(F.col("value"), _V_SCALE)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-_Z_LOOKBACK, -1)
+    )
+    n = F.count(F.lit(1)).over(w)
+    s1 = F.sum(iv).over(w)
+    s2 = F.sum(iv * iv).over(w)
+    scored = events.select(
+        "event_type",
+        iv.alias("iv"),
+        n.alias("n"),
+        s1.alias("s1"),
+        s2.alias("s2"),
+    ).where(F.col("n") >= _Z_MIN_BASELINE)
+    den = F.sqrt(
+        F.nullif(
+            (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+            * F.col("n")
+            / (F.col("n") - 1),
+            F.lit(0.0),
+        )
+    )
+    z = (F.col("iv") * F.col("n") - F.col("s1")) / den
+    return (
+        scored.select("event_type", z.alias("z"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.sum((F.abs("z") > _Z_THRESHOLD).cast("long")).alias("n_outliers"),
+            F.round(F.max(F.abs("z")), 4).alias("max_abs_z"),
+        )
+    )
+
+
+ZSCORE_SQL = f"""
+WITH framed AS (
+  SELECT event_type, CAST(round(value * {_V_SCALE}) AS BIGINT) AS iv,
+         count(*) OVER w AS n,
+         CAST(sum(CAST(round(value * {_V_SCALE}) AS BIGINT)) OVER w AS BIGINT) AS s1,
+         CAST(sum(CAST(round(value * {_V_SCALE}) AS BIGINT)
+                  * CAST(round(value * {_V_SCALE}) AS BIGINT)) OVER w
+              AS BIGINT) AS s2
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN {_Z_LOOKBACK} PRECEDING AND 1 PRECEDING)
+), scored AS (
+  SELECT event_type,
+         (iv * n - s1) / sqrt(nullif((n * s2 - s1 * s1) * n / (n - 1), 0.0)) AS z
+  FROM framed WHERE n >= {_Z_MIN_BASELINE}
+)
+SELECT event_type, count(*) AS n_scored,
+       CAST(sum(CAST(abs(z) > {_Z_THRESHOLD} AS BIGINT)) AS BIGINT) AS n_outliers,
+       round(max(abs(z)), 4) AS max_abs_z
+FROM scored GROUP BY event_type
+"""
+
+
+def event_transition_matrix(events: DataFrame) -> DataFrame:
+    """First-order Markov transition counts/probabilities per user path.
+
+    For each user's event-time-ordered path, count consecutive
+    (prev_type → next_type) pairs and normalize per source state — the
+    classic behavioral-flow summary. All-integer until one division.
+
+    Plan: one shuffle on ``user_id`` for the lag, one tiny rollup on
+    the (prev, next) pair — at most |event_types|² keys.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = events.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).where(F.col("prev_type").isNotNull())
+    counts = pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    wp = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(wp), 4
+        ).alias("transition_pct"),
+    )
+
+
+TRANSITION_SQL = """
+WITH pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type,
+         event_type AS next_type
+  FROM events
+), counts AS (
+  SELECT prev_type, next_type, count(*) AS n_transitions
+  FROM pairs WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+)
+SELECT prev_type, next_type, n_transitions,
+       round(n_transitions / CAST(sum(n_transitions)
+             OVER (PARTITION BY prev_type) AS BIGINT), 4) AS transition_pct
+FROM counts
+"""

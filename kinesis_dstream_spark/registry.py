@@ -31,6 +31,7 @@ from kinesis_dstream_spark.operators import (
     changelog,
     curation,
     dedup,
+    eventflow,
     linkage,
     multimodal,
     reference_ops,
@@ -3280,6 +3281,26 @@ GROUP BY l_returnflag, l_linestatus
 
 # name -> (spark_builder, oracle_sql_or_None)
 #
+def _q_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    return eventflow.funnel_conversion(load_table(spark, sf, "events"))
+
+
+def _q_cohort(spark: SparkSession, sf: str) -> DataFrame:
+    return eventflow.cohort_retention(load_table(spark, sf, "events"))
+
+
+def _q_ewma(spark: SparkSession, sf: str) -> DataFrame:
+    return eventflow.ewma_user_value(load_table(spark, sf, "events"))
+
+
+def _q_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    return eventflow.rolling_zscore_outliers(load_table(spark, sf, "events"))
+
+
+def _q_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    return eventflow.event_transition_matrix(load_table(spark, sf, "events"))
+
+
 # ORDER MATTERS: the driver's correctness gate covers the FIRST 50 entries
 # (round-1 CORRECTNESS_r01 cut off there), so the highest-value operators —
 # the full TPC-H suite, the LLM-pipeline dedup/ANN/text families, and the
@@ -3360,6 +3381,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "dedup_minhash_lsh": (_q_dedup_minhash, None),
     "ann_lsh_topk": (_q_ann_lsh, None),
     "ann_ivf_topk": (_q_ann_ivf, None),
+    # event-flow analytics (r5: funnel / cohort / EWMA / anomaly / Markov)
+    "funnel_conversion": (_q_funnel, eventflow.funnel_sql()),
+    "cohort_retention": (_q_cohort, eventflow.COHORT_RETENTION_SQL),
+    "ewma_user_value": (_q_ewma, eventflow.EWMA_SQL),
+    "rolling_zscore_outliers": (_q_zscore, eventflow.ZSCORE_SQL),
+    "event_transition_matrix": (_q_transitions, eventflow.TRANSITION_SQL),
     # reference semantics, remainder
     "ir_token_search": (_q_ir_token_search, _SQL_IR_TOKEN_SEARCH),
     "json_props_extract": (_q_json_props, _SQL_JSON_PROPS),

@@ -1,0 +1,122 @@
+"""Event-flow analytics: semantics + plan-shape pins.
+
+Oracle parity for all five queries runs in tests/test_oracle_parity.py
+(they are all oracle-paired); here we pin the *invariants* the oracle
+can't see — monotonicity, normalization, bounds — and the plan shapes
+that make them scale (single user_id shuffle, no cartesian, no Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kinesis_dstream_spark.operators import eventflow
+from kinesis_dstream_spark.tables import load_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_funnel_monotone_and_bounded(spark, sf_dir):
+    row = eventflow.funnel_conversion(load_table(spark, sf_dir, "events")).collect()[0]
+    assert row.stage1_users >= row.stage2_users >= row.stage3_users >= 0
+    assert 0.0 <= row.conv_stage3 <= row.conv_stage2 <= 1.0
+
+
+def test_funnel_order_matters(spark, sf_dir):
+    """Chained semantics: an impossible stage order must not count users
+    that merely *have* all three types (set-intersection would)."""
+    ev = load_table(spark, sf_dir, "events")
+    # earliest-purchase-then-earliest-view-before-it is a much rarer path
+    fwd = eventflow.funnel_conversion(ev, ("view", "click", "purchase")).collect()[0]
+    # users having all three types regardless of order (upper bound)
+    have_all = (
+        ev.groupBy("user_id")
+        .agg(F.collect_set("event_type").alias("types"))
+        .where(
+            F.arrays_overlap("types", F.array(F.lit("view")))
+            & F.array_contains("types", "click")
+            & F.array_contains("types", "purchase")
+        )
+        .count()
+    )
+    assert fwd.stage3_users <= have_all
+
+
+def test_cohort_offset_zero_is_full(spark, sf_dir):
+    rows = eventflow.cohort_retention(load_table(spark, sf_dir, "events")).collect()
+    for r in rows:
+        assert r.week_offset >= 0
+        assert 0.0 < r.retention_pct <= 1.0
+        if r.week_offset == 0:
+            assert r.retention_pct == 1.0
+
+
+def test_ewma_within_value_range(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min("value"), F.max("value")).collect()[0]
+    out = eventflow.ewma_user_value(ev)
+    bad = out.where((F.col("ewma") < lo - 0.01) | (F.col("ewma") > hi + 0.01)).count()
+    assert bad == 0  # convex combination of observed values
+    assert out.count() == ev.count()  # one smoothed point per event
+
+
+def test_ewma_newest_half_weight(spark):
+    """α=1/2 semantics: with a saturated window, the newest value holds
+    ~half the total weight — check on a constructed two-level series."""
+    import datetime as dt
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 0, 0, i), 7, "click", 0.0, "{}")
+        for i in range(16)
+    ] + [(16, dt.datetime(2024, 1, 1, 0, 1, 0), 7, "click", 100.0, "{}")]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    out = {r.event_id: r.ewma for r in eventflow.ewma_user_value(df).collect()}
+    # newest weight = 2^15 / (2^16 - 1) ≈ 0.50000763
+    assert abs(out[16] - 50.0008) < 0.001
+
+
+def test_zscore_rollup_shape(spark, sf_dir):
+    rows = eventflow.rolling_zscore_outliers(
+        load_table(spark, sf_dir, "events")
+    ).collect()
+    assert {r.event_type for r in rows} == {
+        "signup", "view", "click", "purchase", "error",
+    }
+    for r in rows:
+        assert 0 <= r.n_outliers <= r.n_scored
+        assert r.max_abs_z >= 0.0
+
+
+def test_transition_rows_normalize(spark, sf_dir):
+    df = eventflow.event_transition_matrix(load_table(spark, sf_dir, "events"))
+    sums = (
+        df.groupBy("prev_type").agg(F.sum("transition_pct").alias("s")).collect()
+    )
+    for r in sums:  # rounding to 4dp keeps row sums within ±0.002 of 1
+        assert abs(r.s - 1.0) < 2e-3
+
+
+def test_eventflow_plans_are_scale_safe(spark, sf_dir):
+    """One user_id exchange for the chained-window ops; no cartesian
+    product, no Python eval anywhere in the family."""
+    ev = load_table(spark, sf_dir, "events")
+    for df in (
+        eventflow.funnel_conversion(ev),
+        eventflow.ewma_user_value(ev),
+        eventflow.event_transition_matrix(ev),
+        eventflow.cohort_retention(ev),
+        eventflow.rolling_zscore_outliers(ev),
+    ):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+    # the three chained funnel windows must share ONE user_id shuffle
+    funnel_plan = _plan(eventflow.funnel_conversion(ev))
+    assert funnel_plan.count("Exchange hashpartitioning(user_id") == 1
+    # EWMA: single shuffle, HOF stays JVM-side
+    ewma_plan = _plan(eventflow.ewma_user_value(ev))
+    assert ewma_plan.count("Exchange hashpartitioning") == 1
