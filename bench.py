@@ -99,6 +99,8 @@ BENCH_QUERIES = {
     "cohort_retention": "cohort_retention",
     "ewma": "ewma_user_value",
     "zscore_outliers": "rolling_zscore_outliers",
+    "gapfill_interp": "gap_fill_interpolate",
+    "hier_rollup": "hierarchical_time_rollup",
 }
 
 

@@ -343,6 +343,204 @@ def event_transition_matrix(events: DataFrame) -> DataFrame:
     )
 
 
+# Fixed-point scale for interpolated hourly means: the hourly sum is
+# already ×100; one more ×100 for the truncating mean division keeps
+# 4 decimal places while every intermediate stays int64-exact.
+_M_SCALE = _V_SCALE * 100
+_US_PER_HOUR = 3_600_000_000
+
+
+def gap_fill_interpolate(events: DataFrame) -> DataFrame:
+    """Hourly series per event type with LOCF and linear interpolation.
+
+    The continuous-aggregate + gapfill shape (TimescaleDB's
+    ``time_bucket_gapfill`` + ``locf``/``interpolate``): bucket events
+    into hours, generate the full hour spine per type, and fill silent
+    hours two ways — last-observation-carried-forward and linear
+    interpolation between the neighboring observed hours. Hours outside
+    the observed range stay null (no extrapolation).
+
+    Determinism: hourly means are truncating fixed-point integers
+    (scale {S}); the interpolation formula multiplies/divides those
+    int64s in a fixed order, so both engines emit identical doubles.
+
+    Plan: one shuffle on (event_type, hour) for the bucket agg, one on
+    event_type for the spine + fills. The spine explode is
+    span-bounded (hours in the observed range), never corpus-sized;
+    the fill windows run over the already-aggregated hourly table.
+    """
+    hourly = (
+        events.select(
+            "event_type",
+            F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {_US_PER_HOUR}").alias(
+                "hidx"
+            ),
+            fixedpoint(F.col("value"), _V_SCALE).alias("iv"),
+        )
+        .groupBy("event_type", "hidx")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("iv").alias("s"))
+        # NB: Spark DIV and DuckDB // both truncate toward zero, so the
+        # truncating mean is engine-portable even for negative sums.
+        .withColumn("m", F.expr("s * 100 DIV n_events"))
+    )
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hidx").alias("h0"), F.max("hidx").alias("h1"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("h0", "h1")).alias("hidx"),
+        )
+    )
+    joined = spine.join(hourly, ["event_type", "hidx"], "left")
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("hidx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("hidx")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    prev_v = F.last("m", ignorenulls=True).over(w_prev)
+    prev_h = F.last(F.when(F.col("m").isNotNull(), F.col("hidx")), True).over(w_prev)
+    next_v = F.first("m", ignorenulls=True).over(w_next)
+    next_h = F.first(F.when(F.col("m").isNotNull(), F.col("hidx")), True).over(w_next)
+    # Exact rational interpolation, rounded to the integer fixed-point
+    # grid IN INTEGER ARITHMETIC (half-up via floor((2·num + den)/2den)).
+    # Rounding the double instead is a trap: the interpolated rational
+    # can land exactly on a 4-decimal boundary, where Spark's
+    # BigDecimal HALF_UP and DuckDB's raw-double rounding disagree.
+    num2 = (
+        2 * (prev_v * (next_h - prev_h) + (next_v - prev_v) * (F.col("hidx") - prev_h))
+        + (next_h - prev_h)
+    )
+    den2 = 2 * (next_h - prev_h)
+    floored = (num2 - F.pmod(num2, den2)) / den2  # exact: remainder removed
+    interp_int = F.when(F.col("m").isNotNull(), F.col("m")).otherwise(
+        floored.cast("long")
+    )
+    return joined.select(
+        "event_type",
+        "hidx",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.round(prev_v / float(_M_SCALE), 4).alias("v_locf"),
+        F.round(interp_int / float(_M_SCALE), 4).alias("v_interp"),
+    )
+
+
+GAP_FILL_INTERP_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, epoch_us(ts) // {_US_PER_HOUR} AS hidx,
+         count(*) AS n_events,
+         CAST(sum(CAST(round(value * {_V_SCALE}) AS BIGINT)) AS BIGINT) AS s
+  FROM events GROUP BY 1, 2
+), hm AS (
+  SELECT *, s * 100 // n_events AS m FROM hourly
+), rng AS (
+  SELECT event_type, min(hidx) AS h0, max(hidx) AS h1 FROM hm GROUP BY event_type
+), spine AS (
+  SELECT event_type, unnest(generate_series(h0, h1)) AS hidx FROM rng
+), joined AS (
+  SELECT s.event_type, s.hidx, h.n_events, h.m
+  FROM spine s LEFT JOIN hm h ON s.event_type = h.event_type AND s.hidx = h.hidx
+), filled AS (
+  SELECT event_type, hidx, n_events, m,
+         last_value(m IGNORE NULLS) OVER wp AS prev_v,
+         last_value(CASE WHEN m IS NOT NULL THEN hidx END IGNORE NULLS)
+           OVER wp AS prev_h,
+         first_value(m IGNORE NULLS) OVER wn AS next_v,
+         first_value(CASE WHEN m IS NOT NULL THEN hidx END IGNORE NULLS)
+           OVER wn AS next_h
+  FROM joined
+  WINDOW wp AS (PARTITION BY event_type ORDER BY hidx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY event_type ORDER BY hidx
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, hidx, coalesce(n_events, 0) AS n_events,
+       round(prev_v / {float(_M_SCALE)}, 4) AS v_locf,
+       round(CASE WHEN m IS NOT NULL THEN m
+                  ELSE (num2 - (((num2 % den2) + den2) % den2)) // den2 END
+             / {float(_M_SCALE)}, 4) AS v_interp
+FROM (
+  SELECT *,
+         2 * (prev_v * (next_h - prev_h)
+              + (next_v - prev_v) * (hidx - prev_h))
+           + (next_h - prev_h) AS num2,
+         2 * (next_h - prev_h) AS den2
+  FROM filled
+) t
+"""
+
+
+_US_PER_MINUTE = 60_000_000
+
+
+def hierarchical_time_rollup(events: DataFrame) -> DataFrame:
+    """Continuous-aggregate hierarchy: minute → hour → day, merged upward.
+
+    The hypertable-rollup shape: the fine (minute) grain is aggregated
+    ONCE from raw; every coarser grain is computed by merging the grain
+    below it, never by rescanning raw data. Exact int64 partials
+    (count + fixed-point sum) make the merge lossless — the oracle
+    computes hour/day straight from raw, so the hash match *proves*
+    mergeability. Output is the hour and day grains, tagged.
+
+    Plan: one shuffle builds the minute grain; each rollup shuffles the
+    (already tiny) granule table on its coarser key. At 100 TB the
+    minute grain is the only corpus-sized pass; reusing granules makes
+    every additional grain O(granules), the entire point of the shape.
+    """
+    minute = (
+        events.select(
+            "event_type",
+            F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {_US_PER_MINUTE}").alias(
+                "midx"
+            ),
+            fixedpoint(F.col("value"), _V_SCALE).alias("iv"),
+        )
+        .groupBy("event_type", "midx")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("iv").alias("s"))
+    )
+    hour = (
+        minute.groupBy("event_type", F.expr("midx DIV 60").alias("bucket"))
+        .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+    )
+    day = (
+        hour.groupBy("event_type", F.expr("bucket DIV 24").alias("bucket"))
+        .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+    )
+    shape = lambda df, g: df.select(  # noqa: E731
+        F.lit(g).alias("grain"),
+        "event_type",
+        "bucket",
+        F.col("n").alias("n_events"),
+        F.round(F.col("s") / float(_V_SCALE), 2).alias("sum_value"),
+    )
+    return shape(hour, "hour").unionByName(shape(day, "day"))
+
+
+HIERARCHICAL_ROLLUP_SQL = f"""
+WITH raw AS (
+  SELECT event_type, epoch_us(ts) AS us,
+         CAST(round(value * {_V_SCALE}) AS BIGINT) AS iv
+  FROM events
+), hour AS (
+  SELECT 'hour' AS grain, event_type, us // {_US_PER_HOUR} AS bucket,
+         count(*) AS n_events,
+         round(CAST(sum(iv) AS BIGINT) / {float(_V_SCALE)}, 2) AS sum_value
+  FROM raw GROUP BY 2, 3
+), day AS (
+  SELECT 'day' AS grain, event_type, us // {_US_PER_HOUR * 24} AS bucket,
+         count(*) AS n_events,
+         round(CAST(sum(iv) AS BIGINT) / {float(_V_SCALE)}, 2) AS sum_value
+  FROM raw GROUP BY 2, 3
+)
+SELECT * FROM hour UNION ALL SELECT * FROM day
+"""
+
+
 TRANSITION_SQL = """
 WITH pairs AS (
   SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)

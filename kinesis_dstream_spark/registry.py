@@ -3301,6 +3301,14 @@ def _q_transitions(spark: SparkSession, sf: str) -> DataFrame:
     return eventflow.event_transition_matrix(load_table(spark, sf, "events"))
 
 
+def _q_gapfill_interp(spark: SparkSession, sf: str) -> DataFrame:
+    return eventflow.gap_fill_interpolate(load_table(spark, sf, "events"))
+
+
+def _q_hier_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    return eventflow.hierarchical_time_rollup(load_table(spark, sf, "events"))
+
+
 # ORDER MATTERS: the driver's correctness gate covers the FIRST 50 entries
 # (round-1 CORRECTNESS_r01 cut off there), so the highest-value operators —
 # the full TPC-H suite, the LLM-pipeline dedup/ANN/text families, and the
@@ -3387,6 +3395,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "ewma_user_value": (_q_ewma, eventflow.EWMA_SQL),
     "rolling_zscore_outliers": (_q_zscore, eventflow.ZSCORE_SQL),
     "event_transition_matrix": (_q_transitions, eventflow.TRANSITION_SQL),
+    "gap_fill_interpolate": (_q_gapfill_interp, eventflow.GAP_FILL_INTERP_SQL),
+    "hierarchical_time_rollup": (_q_hier_rollup, eventflow.HIERARCHICAL_ROLLUP_SQL),
     # reference semantics, remainder
     "ir_token_search": (_q_ir_token_search, _SQL_IR_TOKEN_SEARCH),
     "json_props_extract": (_q_json_props, _SQL_JSON_PROPS),

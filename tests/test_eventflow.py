@@ -100,6 +100,50 @@ def test_transition_rows_normalize(spark, sf_dir):
         assert abs(r.s - 1.0) < 2e-3
 
 
+def test_gapfill_interp_semantics(spark, sf_dir):
+    """Observed hours reproduce their own mean in both fills; gap hours
+    interpolate strictly between the neighbors; spine is contiguous."""
+    df = eventflow.gap_fill_interpolate(load_table(spark, sf_dir, "events"))
+    rows = sorted(df.collect(), key=lambda r: (r.event_type, r.hidx))
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for series in by_type.values():
+        hidxs = [r.hidx for r in series]
+        assert hidxs == list(range(hidxs[0], hidxs[-1] + 1))  # gapless spine
+        for r in series:
+            if r.n_events > 0:
+                assert r.v_locf == r.v_interp  # observed hour: both = mean
+    # at least one silent hour got a value strictly between its neighbors
+    interp_gaps = [
+        (prev, cur, nxt)
+        for series in by_type.values()
+        for prev, cur, nxt in zip(series, series[1:], series[2:])
+        if cur.n_events == 0 and prev.n_events > 0 and nxt.n_events > 0
+    ]
+    assert interp_gaps
+    for prev, cur, nxt in interp_gaps:
+        lo, hi = sorted((prev.v_interp, nxt.v_interp))
+        assert lo - 0.0001 <= cur.v_interp <= hi + 0.0001
+        assert cur.v_locf == prev.v_locf or cur.v_locf == prev.v_interp
+
+
+def test_hierarchical_rollup_merges_losslessly(spark, sf_dir):
+    """Day granules (merged from hours) must equal a direct day agg —
+    and hour counts must sum to day counts."""
+    df = eventflow.hierarchical_time_rollup(load_table(spark, sf_dir, "events"))
+    hours = df.where(F.col("grain") == "hour")
+    days = {(r.event_type, r.bucket): r for r in df.where(F.col("grain") == "day").collect()}
+    re_rolled = (
+        hours.groupBy("event_type", F.expr("bucket DIV 24").alias("bucket"))
+        .agg(F.sum("n_events").alias("n"))
+        .collect()
+    )
+    assert len(re_rolled) == len(days)
+    for r in re_rolled:
+        assert days[(r.event_type, r.bucket)].n_events == r.n
+
+
 def test_eventflow_plans_are_scale_safe(spark, sf_dir):
     """One user_id exchange for the chained-window ops; no cartesian
     product, no Python eval anywhere in the family."""
