@@ -492,7 +492,12 @@ def hierarchical_time_rollup(events: DataFrame) -> DataFrame:
     minute grain is the only corpus-sized pass; reusing granules makes
     every additional grain O(granules), the entire point of the shape.
     """
-    minute = (
+    return rollup_from_minute_granules(minute_granules(events))
+
+
+def minute_granules(events: DataFrame) -> DataFrame:
+    """Exact minute-grain partials (count + fixed-point sum) from raw."""
+    return (
         events.select(
             "event_type",
             F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {_US_PER_MINUTE}").alias(
@@ -503,13 +508,21 @@ def hierarchical_time_rollup(events: DataFrame) -> DataFrame:
         .groupBy("event_type", "midx")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("iv").alias("s"))
     )
-    hour = (
-        minute.groupBy("event_type", F.expr("midx DIV 60").alias("bucket"))
-        .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+
+
+def rollup_from_minute_granules(minute: DataFrame) -> DataFrame:
+    """Merge minute granules upward to the tagged hour+day output.
+
+    ``minute`` may contain SEVERAL partial rows per (event_type, midx)
+    — e.g. one per streaming micro-batch — because count and
+    fixed-point sum are mergeable by addition; the first groupBy here
+    folds them losslessly.
+    """
+    hour = minute.groupBy("event_type", F.expr("midx DIV 60").alias("bucket")).agg(
+        F.sum("n").alias("n"), F.sum("s").alias("s")
     )
-    day = (
-        hour.groupBy("event_type", F.expr("bucket DIV 24").alias("bucket"))
-        .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+    day = hour.groupBy("event_type", F.expr("bucket DIV 24").alias("bucket")).agg(
+        F.sum("n").alias("n"), F.sum("s").alias("s")
     )
     shape = lambda df, g: df.select(  # noqa: E731
         F.lit(g).alias("grain"),

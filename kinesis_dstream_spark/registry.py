@@ -2416,6 +2416,15 @@ def _q_stream_hll_rollup(spark: SparkSession, sf: str) -> DataFrame:
     return jobs.streaming_hll_rollup(spark, sf)
 
 
+def _q_stream_cagg_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Drained continuous-aggregate granule store == batch rollup
+    (shares ``hierarchical_time_rollup``'s DuckDB oracle — int64
+    partials merge losslessly across any micro-batch boundaries)."""
+    from kinesis_dstream_spark.streaming import jobs
+
+    return jobs.streaming_hierarchical_rollup(spark, sf)
+
+
 def _q_stream_wav_decode(spark: SparkSession, sf: str) -> DataFrame:
     from kinesis_dstream_spark.streaming import jobs
 
@@ -3566,6 +3575,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # replay-safe streaming sketch maintenance (HLL estimates are
     # probabilistic -> rows-only; pytest pins batch-equality + replay)
     "streaming_hll_rollup": (_q_stream_hll_rollup, None),
+    "streaming_hierarchical_rollup": (_q_stream_cagg_rollup, eventflow.HIERARCHICAL_ROLLUP_SQL),
     # in-stream REAL media decode; same analytic oracle as the batch twin
     "streaming_wav_decode": (_q_stream_wav_decode, _SQL_WAV_DECODE),
     # replay-safe chunk-store maintenance; drained state == batch chunking

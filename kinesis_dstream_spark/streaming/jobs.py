@@ -934,3 +934,70 @@ def streaming_scd2_maintenance(
     )
     q.awaitTermination()
     return spark.read.parquet(cur)
+
+
+def streaming_hierarchical_rollup(
+    spark: SparkSession,
+    sf_dir: str,
+    state_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Streaming maintenance of the continuous-aggregate granule store
+    (operators/eventflow.py): per-(event_type, minute) exact partials
+    (count + fixed-point sum), appended per micro-batch and merged
+    upward at read time — the streaming half of the hypertable shape.
+
+    REPLAY-SAFE VIA BATCH-ID KEYED IDEMPOTENT UPSERT: additive partials
+    are NOT naturally replay-safe (re-adding a replayed batch
+    double-counts — the opposite of the HLL job's set semantics). The
+    production-standard fix is used here: partial rows carry the epoch's
+    ``batch_id``; the upsert first DELETES any rows with this batch_id
+    (a restart re-delivers the same batch under the same id with a
+    checkpointed file source), then writes the fresh partials, so replay
+    overwrites instead of accumulating. Pinned by pytest re-running an
+    upsert with a duplicate batch id.
+
+    The drained hour/day output must equal the batch
+    ``hierarchical_time_rollup`` EXACTLY (int64 partials merge
+    losslessly in any batching), so this streaming query shares the
+    batch twin's DuckDB oracle in the registry.
+    """
+    from kinesis_dstream_spark.operators import eventflow
+    from kinesis_dstream_spark.tables import NANOS_AS_LONG_CONF
+
+    state_dir = state_dir or tempfile.mkdtemp(prefix="kds_cagg_state_")
+    cur_path = os.path.join(state_dir, "current")
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        partials = eventflow.minute_granules(batch_df).withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        )
+        merged = partials
+        if os.path.exists(cur_path):
+            kept = spark.read.parquet(cur_path).where(
+                F.col("batch_id") != batch_id
+            )
+            merged = kept.unionByName(partials)
+        tmp = os.path.join(state_dir, f"tmp_{batch_id}")
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(cur_path):
+            shutil.rmtree(cur_path)
+        os.rename(tmp, cur_path)
+
+    spark.conf.set(NANOS_AS_LONG_CONF, "true")
+    src = _table_multifile_dir(spark, sf_dir, "events", n_files=4)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    if dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option(
+            "checkpointLocation", checkpoint_dir or os.path.join(state_dir, "chk")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    granules = spark.read.parquet(cur_path).drop("batch_id")
+    return eventflow.rollup_from_minute_granules(granules)

@@ -488,3 +488,25 @@ def test_chunk_store_compaction_preserves_content(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, after.collect())) == rows_before
     # idempotent: second compact is a no-op
     assert chunk_store_compact(spark, store, max_files=2) == n_after
+
+
+def test_streaming_hierarchical_rollup_replays_safely(spark, sf_dir, tmp_path):
+    """Batch-id-keyed upsert: replaying all micro-batches into an
+    existing granule store (fresh checkpoint, same state) must OVERWRITE
+    each batch's partials, not accumulate them — and the drained rollup
+    must equal the batch twin exactly (lossless int64 granule merge)."""
+    from kinesis_dstream_spark.operators.eventflow import hierarchical_time_rollup
+    from kinesis_dstream_spark.streaming.jobs import streaming_hierarchical_rollup
+    from kinesis_dstream_spark.tables import load_table
+
+    state = str(tmp_path / "cagg")
+    first = streaming_hierarchical_rollup(spark, sf_dir, state_dir=state)
+    rows_first = sorted(map(tuple, first.collect()))
+    batch_rows = sorted(
+        map(tuple, hierarchical_time_rollup(load_table(spark, sf_dir, "events")).collect())
+    )
+    assert rows_first == batch_rows
+    replayed = streaming_hierarchical_rollup(
+        spark, sf_dir, state_dir=state, checkpoint_dir=str(tmp_path / "chk2")
+    )
+    assert sorted(map(tuple, replayed.collect())) == batch_rows
