@@ -1,0 +1,119 @@
+"""Graph analytics over derived document graphs (SURVEY §2B E-10/E-15).
+
+Complements ``dedup.dedup_clusters`` (connected components): where CC
+answers "which docs form one duplicate group", PageRank ranks nodes by
+centrality inside the near-dup graph — the standard signal for picking
+canonical documents (the most-linked variant) and for surfacing
+template/boilerplate hubs in a crawl.
+
+Integer-exact iterations: ranks live on a 1e-9 fixed-point grid and
+every per-iteration step is int64 arithmetic with truncating division
+(identical in Spark ``DIV`` and DuckDB ``//``), so a bounded-iteration
+run has an *exact* SQL oracle — no float drift across engines ever.
+
+Scale shape (100 TB): each iteration is one equi-join of the edge list
+with the rank vector plus one aggregation — the canonical distributed
+PageRank; rounds are fixed (k), not convergence-polled, so there is no
+driver-side loop over data. The only ``collect``-class action is the
+node count (a control-plane scalar). Edge lists from the dedup family
+are banded/blocked equi-join outputs — never materialized all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 1e9 fixed-point grid: total rank mass. With int64 sums, safe for
+# graphs up to ~9e9 nodes of accumulated contribution per vertex.
+_MASS = 1_000_000_000
+_DAMP_NUM, _DAMP_DEN = 85, 100  # damping 0.85 as an exact ratio
+
+
+def pagerank(edges: DataFrame, n_iter: int = 3) -> DataFrame:
+    """Fixed-iteration PageRank on a directed edge list (src, dst).
+
+    ``r_{k+1}(v) = base + (Σ_{u→v} r_k(u) DIV outdeg(u)) · 85 DIV 100``
+    with ``base = (MASS·15 DIV 100) DIV n``. Truncating integer division
+    loses ≤1 unit (1e-9 of mass) per term — negligible for ranking and
+    the price of bit-exact cross-engine reproducibility.
+
+    Nodes are the distinct edge sources (callers pass symmetric edge
+    lists for undirected graphs, so every node has outdeg ≥ 1 — no
+    dangling-mass redistribution needed).
+    """
+    deg = edges.groupBy(F.col("src")).agg(F.count(F.lit(1)).alias("outdeg"))
+    n = deg.count()  # control-plane scalar: node count only
+    base = (_MASS * 15 // _DAMP_DEN) // n
+    ranks = deg.select(F.col("src").alias("node"), F.lit(_MASS // n).alias("r"))
+    for _ in range(n_iter):
+        contrib = (
+            edges.join(ranks, ranks["node"] == edges["src"])
+            .join(deg, "src")
+            .select("dst", F.expr("r DIV outdeg").alias("share"))
+            .groupBy("dst")
+            .agg(F.sum("share").alias("contrib"))
+        )
+        ranks = (
+            ranks.join(contrib, ranks["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(f"coalesce(contrib, 0) * {_DAMP_NUM} DIV {_DAMP_DEN}")
+                ).alias("r"),
+            )
+        )
+    return ranks
+
+
+def pagerank_near_dup_graph(documents: DataFrame, n_iter: int = 3) -> DataFrame:
+    """PageRank centrality inside the n-gram-Jaccard near-dup graph.
+
+    Symmetrizes the pair list from ``dedup.dedup_ngram_jaccard`` (the
+    capped-inverted-index candidate join — the scale-safe pair source)
+    and runs ``n_iter`` exact-arithmetic rounds. High-rank docs are the
+    hubs of duplication — the natural canonical-representative choice.
+    """
+    from kinesis_dstream_spark.operators.dedup import dedup_ngram_jaccard
+
+    pairs = dedup_ngram_jaccard(documents).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    out = pagerank(edges, n_iter=n_iter)
+    return out.select(
+        F.col("node").alias("doc_id"),
+        F.round(F.col("r") / float(_MASS), 6).alias("pr"),
+    )
+
+
+def pagerank_oracle_sql(pairs_sql: str, n_iter: int = 3) -> str:
+    """DuckDB twin: same integer recurrence, iterations unrolled."""
+    prev, cte = "r0", ""
+    for k in range(1, n_iter + 1):
+        cte += f""", it{k} AS (
+  SELECT e.dst AS node, CAST(sum({prev}.r // d.outdeg) AS BIGINT) AS contrib
+  FROM edges e JOIN {prev} ON {prev}.node = e.src JOIN deg d ON d.src = e.src
+  GROUP BY e.dst
+), r{k} AS (
+  SELECT {prev}.node,
+         ({_MASS} * 15 // {_DAMP_DEN}) // (SELECT n FROM params)
+           + coalesce(it{k}.contrib, 0) * {_DAMP_NUM} // {_DAMP_DEN} AS r
+  FROM {prev} LEFT JOIN it{k} ON it{k}.node = {prev}.node
+)"""
+        prev = f"r{k}"
+    return f"""
+WITH pairs AS ({pairs_sql}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+params AS (SELECT count(*) AS n FROM deg),
+r0 AS (
+  SELECT src AS node, {_MASS} // (SELECT n FROM params) AS r FROM deg
+){cte}
+SELECT node AS doc_id, round(r / {float(_MASS)}, 6) AS pr FROM {prev}
+"""

@@ -86,11 +86,73 @@ def candidate_pairs(part: DataFrame, max_dist: int = 4) -> DataFrame:
 
 
 def best_matches(part: DataFrame, max_dist: int = 4) -> DataFrame:
-    """One best (closest, then lowest-key) match per left record."""
-    pairs = candidate_pairs(part, max_dist)
+    """One best (closest, then lowest-key) match per left record.
+
+    NAME-CLASS REWRITE (r5 perf): semantically identical to running the
+    window over ``candidate_pairs`` (pinned by
+    ``tests/test_changelog_linkage.py::test_best_matches_equals_pair_level``),
+    but never materializes record-level pairs. Dirty catalogs are *dense*
+    — many records per distinct name (the fixture: 20k records, 64
+    names) — so the record-pair set is quadratic in class size (~38M at
+    sf0.1, 87 s and an OOM risk) while the NAME-pair set is quadratic in
+    the distinct-name count (512 pairs). Verify Levenshtein once per
+    name pair; per record, the best partner of a class is simply that
+    class's smallest key above the record's own (the a<b, ties-on-b_key
+    rule), read from a broadcast per-class sorted key array.
+
+    Cost: |records| × (candidate classes per name) rows with an O(|class|)
+    array scan each — vs |records|² /|names| pairs with an O(len²) edit
+    distance each. When names are near-unique the class table degenerates
+    to the record table and this is the same block join as
+    ``candidate_pairs`` minus the pair materialization — never worse.
+    100 TB caveat: a single name shared by ~10⁸ records would make its
+    key array a giant row; at that density the right tool is the
+    distance-0 fast path (same-name window `lead`) before classing.
+    """
+    classes = (
+        part.groupBy(F.col("p_name"))
+        .agg(F.sort_array(F.collect_list("p_partkey")).alias("keys"))
+        .withColumn("noun", F.element_at(F.split("p_name", " "), -1))
+        .withColumn(
+            "bucket",
+            (F.length("p_name") / F.lit(2 * max_dist + 1)).cast("int"),
+        )
+    )
+    a_cls = classes.select(
+        F.col("p_name").alias("a_name"),
+        F.col("noun"),
+        F.col("bucket").alias("a_bucket"),
+    )
+    b_cls = classes.select(
+        F.col("p_name").alias("b_name"),
+        F.col("noun"),
+        F.col("bucket").alias("b_bucket"),
+        F.col("keys").alias("b_keys"),
+    )
+    # name-level verify: same predicates as candidate_pairs' blocking
+    # (noun equality + |bucket diff| ≤ 1 == the ±1 probe, + length prune)
+    np = (
+        a_cls.join(b_cls, "noun")
+        .filter(F.abs(F.col("a_bucket") - F.col("b_bucket")) <= 1)
+        .filter(F.abs(F.length("a_name") - F.length("b_name")) <= F.lit(max_dist))
+        .withColumn("distance", F.levenshtein("a_name", "b_name"))
+        .filter(F.col("distance") <= F.lit(max_dist))
+        .select("a_name", "b_name", "distance", "b_keys")
+    )
+    recs = part.select(
+        F.col("p_partkey").alias("a_key"), F.col("p_name").alias("a_name")
+    )
+    ka = F.col("a_key")
+    cand = (
+        recs.join(F.broadcast(np), "a_name")
+        .withColumn(
+            "b_key", F.array_min(F.filter("b_keys", lambda x: x > ka))
+        )
+        .filter(F.col("b_key").isNotNull())
+    )
     w = Window.partitionBy("a_key").orderBy("distance", "b_key")
     return (
-        pairs.withColumn("rn", F.row_number().over(w))
+        cand.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("a_key", "a_name", "b_key", "b_name", "distance")
     )

@@ -32,9 +32,17 @@ def get_spark(
     Honors ``SPARK_GRAFT_CPUS`` for local core count (default: all cores).
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    # Local mode runs ALL executor threads inside the driver JVM, whose
+    # default heap is 1g — badly undersized for 32 concurrent tasks
+    # (bench r5 OOMed in a blocked-join stage exactly this way). Size it
+    # like the per-executor memory a real cluster node would get. Only
+    # effective when this process launches the JVM (always true for
+    # bench/pytest, which start fresh interpreters).
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
+        .config("spark.driver.memory", driver_mem)
         # Adaptive Query Execution: coalesce post-shuffle partitions and
         # split skewed ones at runtime — essential at 100 TB where static
         # partition counts are always wrong for some stage.

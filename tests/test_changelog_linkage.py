@@ -7,6 +7,7 @@ incremental==batch under many cutoffs, blocking losslessness.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from kinesis_dstream_spark.operators import changelog, linkage, reference_ops
@@ -137,3 +138,20 @@ def test_streaming_scd2_replay_safe(spark, sf_dir, tmp_path):
     ).select("user_id", "version", "event_id")
     assert second.select("user_id", "version", "event_id").exceptAll(batch).count() == 0
     assert batch.exceptAll(second.select("user_id", "version", "event_id")).count() == 0
+
+
+def test_best_matches_equals_pair_level(spark, sf_dir):
+    """The name-class rewrite must reproduce the pair-level definition
+    (window over candidate_pairs) row for row."""
+    part = load_table(spark, sf_dir, "part")
+    fast = {tuple(r) for r in linkage.best_matches(part, 4).collect()}
+    pairs = linkage.candidate_pairs(part, 4)
+    w = Window.partitionBy("a_key").orderBy("distance", "b_key")
+    slow = {
+        tuple(r)
+        for r in pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("a_key", "a_name", "b_key", "b_name", "distance")
+        .collect()
+    }
+    assert fast == slow
