@@ -101,6 +101,7 @@ BENCH_QUERIES = {
     "zscore_outliers": "rolling_zscore_outliers",
     "gapfill_interp": "gap_fill_interpolate",
     "hier_rollup": "hierarchical_time_rollup",
+    "pagerank": "pagerank_near_dup",
 }
 
 

@@ -98,7 +98,7 @@ def pagerank_oracle_sql(pairs_sql: str, n_iter: int = 3) -> str:
   GROUP BY e.dst
 ), r{k} AS (
   SELECT {prev}.node,
-         ({_MASS} * 15 // {_DAMP_DEN}) // (SELECT n FROM params)
+         (CAST({_MASS} AS BIGINT) * 15 // {_DAMP_DEN}) // (SELECT n FROM params)
            + coalesce(it{k}.contrib, 0) * {_DAMP_NUM} // {_DAMP_DEN} AS r
   FROM {prev} LEFT JOIN it{k} ON it{k}.node = {prev}.node
 )"""
@@ -113,7 +113,8 @@ edges AS (
 deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
 params AS (SELECT count(*) AS n FROM deg),
 r0 AS (
-  SELECT src AS node, {_MASS} // (SELECT n FROM params) AS r FROM deg
+  SELECT src AS node, CAST({_MASS} AS BIGINT) // (SELECT n FROM params) AS r
+  FROM deg
 ){cte}
 SELECT node AS doc_id, round(r / {float(_MASS)}, 6) AS pr FROM {prev}
 """

@@ -32,6 +32,7 @@ from kinesis_dstream_spark.operators import (
     curation,
     dedup,
     eventflow,
+    graph,
     linkage,
     multimodal,
     reference_ops,
@@ -3310,6 +3311,10 @@ def _q_transitions(spark: SparkSession, sf: str) -> DataFrame:
     return eventflow.event_transition_matrix(load_table(spark, sf, "events"))
 
 
+def _q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    return graph.pagerank_near_dup_graph(load_table(spark, sf, "documents"))
+
+
 def _q_gapfill_interp(spark: SparkSession, sf: str) -> DataFrame:
     return eventflow.gap_fill_interpolate(load_table(spark, sf, "events"))
 
@@ -3405,6 +3410,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "rolling_zscore_outliers": (_q_zscore, eventflow.ZSCORE_SQL),
     "event_transition_matrix": (_q_transitions, eventflow.TRANSITION_SQL),
     "gap_fill_interpolate": (_q_gapfill_interp, eventflow.GAP_FILL_INTERP_SQL),
+    "pagerank_near_dup": (_q_pagerank, graph.pagerank_oracle_sql(_SQL_DEDUP_JACCARD)),
     "hierarchical_time_rollup": (_q_hier_rollup, eventflow.HIERARCHICAL_ROLLUP_SQL),
     # reference semantics, remainder
     "ir_token_search": (_q_ir_token_search, _SQL_IR_TOKEN_SEARCH),

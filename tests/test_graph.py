@@ -1,0 +1,37 @@
+"""PageRank semantics (oracle parity runs in test_oracle_parity.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kinesis_dstream_spark.operators import graph
+from kinesis_dstream_spark.tables import load_table
+
+
+def test_pagerank_star_center_dominates(spark):
+    """On a star (hub ↔ 4 leaves) the hub must out-rank every leaf."""
+    pairs = [(0, leaf) for leaf in (1, 2, 3, 4)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs], "src long, dst long"
+    )
+    ranks = {r.node: r.r for r in graph.pagerank(edges, n_iter=3).collect()}
+    assert all(ranks[0] > ranks[leaf] for leaf in (1, 2, 3, 4))
+    assert ranks[1] == ranks[2] == ranks[3] == ranks[4]  # symmetry
+
+
+def test_pagerank_mass_roughly_conserved(spark, sf_dir):
+    """Total rank ≈ 1: truncating division only ever LOSES mass, ≤1e-9
+    per term per round — the sum must sit just under 1, never over."""
+    out = graph.pagerank_near_dup_graph(load_table(spark, sf_dir, "documents"))
+    rows = out.collect()
+    assert rows, "near-dup graph should be non-empty on the fixture"
+    total = sum(r.pr for r in rows)
+    assert 0.95 < total <= 1.0 + 1e-9
+    assert all(r.pr > 0 for r in rows)
+
+
+def test_pagerank_plan_no_cartesian(spark, sf_dir):
+    df = graph.pagerank_near_dup_graph(load_table(spark, sf_dir, "documents"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
