@@ -102,6 +102,7 @@ BENCH_QUERIES = {
     "gapfill_interp": "gap_fill_interpolate",
     "hier_rollup": "hierarchical_time_rollup",
     "pagerank": "pagerank_near_dup",
+    "dq_report": "dq_constraint_report",
 }
 
 

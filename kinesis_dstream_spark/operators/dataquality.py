@@ -1,0 +1,200 @@
+"""Declarative data-quality constraint checking (Deequ/GE-style).
+
+A production ingestion pipeline (the reference's poller feeds exactly
+such a pipeline) gates loads on constraint reports: completeness,
+uniqueness, referential integrity, value ranges, set membership. This
+module evaluates a constraint suite over the fixture warehouse and
+emits one row per constraint — counts, violations, verdict.
+
+Scale shape (100 TB): all row-local predicates on one table fold into a
+SINGLE aggregation pass (conditional sums — one scan, map-side
+partials); uniqueness is one groupBy on the key; referential integrity
+is a broadcast anti-join against the (small) dimension key set. Nothing
+materializes violation row sets — only counts travel. A report over N
+tables costs N scans, independent of constraint count.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_dstream_spark.tables import load_table
+
+
+def _report_row(
+    constraint: str, table: str, n_rows, n_violations
+) -> list:  # Column spec helper, see suite below
+    return [
+        F.lit(constraint).alias("constraint"),
+        F.lit(table).alias("table_name"),
+        n_rows.alias("n_rows"),
+        n_violations.alias("n_violations"),
+        (n_violations == 0).alias("passed"),
+    ]
+
+
+def _single_pass(df: DataFrame, table: str, checks: list[tuple[str, F.Column]]) -> DataFrame:
+    """All row-local constraints on ``df`` in ONE aggregation scan.
+
+    The per-constraint rows come from EXPLODING an array of structs over
+    the single agg row — NOT from a union of selects, which would
+    re-plan (and re-scan) the aggregation subtree once per constraint
+    (no CSE across union branches; pinned in tests/test_dataquality.py).
+    """
+    aggs = [F.count(F.lit(1)).alias("_n")] + [
+        F.sum(F.when(violation, 1).otherwise(0)).cast("long").alias(f"_v{i}")
+        for i, (_, violation) in enumerate(checks)
+    ]
+    row = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(name).alias("constraint"),
+            F.lit(table).alias("table_name"),
+            F.col("_n").alias("n_rows"),
+            F.col(f"_v{i}").alias("n_violations"),
+            (F.col(f"_v{i}") == 0).alias("passed"),
+        )
+        for i, (name, _) in enumerate(checks)
+    ]
+    return row.select(F.explode(F.array(*structs)).alias("r")).select("r.*")
+
+
+def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint suite over the warehouse: one verdict row each.
+
+    Row-local suites run one scan per table; `unique_key` adds one
+    aggregation on the key; `ref_integrity` one broadcast anti-join.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+    events = load_table(spark, sf_dir, "events")
+
+    orders_pass = _single_pass(
+        orders,
+        "orders",
+        [
+            ("complete_custkey", F.col("o_custkey").isNull()),
+            (
+                "status_in_domain",
+                ~F.col("o_orderstatus").isin("O", "F", "P"),
+            ),
+            ("nonneg_totalprice", F.col("o_totalprice") < 0),
+        ],
+    )
+    lineitem_pass = _single_pass(
+        lineitem,
+        "lineitem",
+        [
+            ("quantity_range_1_50", ~F.col("l_quantity").between(1, 50)),
+            ("discount_range_0_1", ~F.col("l_discount").between(0.0, 1.0)),
+            (
+                "ship_before_receipt_proxy",
+                F.col("l_shipdate").isNull(),
+            ),
+        ],
+    )
+    events_pass = _single_pass(
+        events,
+        "events",
+        [
+            ("event_ts_complete", F.col("ts").isNull()),
+            (
+                "event_type_in_domain",
+                ~F.col("event_type").isin(
+                    "signup", "view", "click", "purchase", "error"
+                ),
+            ),
+        ],
+    )
+
+    # uniqueness: one aggregation keyed on the candidate key
+    dup_parts = (
+        part.groupBy("p_partkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).cast("long").alias("_v"),
+        )
+        .select(*_report_row("unique_partkey", "part", F.col("_n"), F.col("_v")))
+    )
+
+    # referential integrity: broadcast anti-join against the dim keys
+    orphan = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey")),
+            orders["o_custkey"] == customer["c_custkey"],
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("_v"))
+        .crossJoin(orders.agg(F.count(F.lit(1)).alias("_n")))
+        .select(
+            *_report_row(
+                "orders_custkey_in_customer", "orders", F.col("_n"), F.col("_v")
+            )
+        )
+    )
+
+    return reduce(
+        lambda a, b: a.unionByName(b),
+        [orders_pass, lineitem_pass, events_pass, dup_parts, orphan],
+    )
+
+
+DQ_REPORT_SQL = """
+WITH o AS (
+  SELECT count(*) AS n,
+         CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+         CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END)
+              AS BIGINT) AS v1,
+         CAST(sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT) AS v2
+  FROM orders
+), l AS (
+  SELECT count(*) AS n,
+         CAST(sum(CASE WHEN l_quantity NOT BETWEEN 1 AND 50 THEN 1 ELSE 0 END)
+              AS BIGINT) AS v0,
+         CAST(sum(CASE WHEN l_discount NOT BETWEEN 0.0 AND 1.0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS v1,
+         CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v2
+  FROM lineitem
+), e AS (
+  SELECT count(*) AS n,
+         CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+         CAST(sum(CASE WHEN event_type NOT IN
+                  ('signup','view','click','purchase','error')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS v1
+  FROM events
+), pk AS (
+  SELECT count(*) AS n,
+         CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS v
+  FROM (SELECT p_partkey, count(*) AS c FROM part GROUP BY p_partkey)
+), ri AS (
+  SELECT (SELECT count(*) FROM orders) AS n,
+         (SELECT count(*) FROM orders
+          WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) AS v
+)
+SELECT 'complete_custkey' AS constraint, 'orders' AS table_name,
+       n AS n_rows, v0 AS n_violations, v0 = 0 AS passed FROM o
+UNION ALL
+SELECT 'status_in_domain', 'orders', n, v1, v1 = 0 FROM o
+UNION ALL
+SELECT 'nonneg_totalprice', 'orders', n, v2, v2 = 0 FROM o
+UNION ALL
+SELECT 'quantity_range_1_50', 'lineitem', n, v0, v0 = 0 FROM l
+UNION ALL
+SELECT 'discount_range_0_1', 'lineitem', n, v1, v1 = 0 FROM l
+UNION ALL
+SELECT 'ship_before_receipt_proxy', 'lineitem', n, v2, v2 = 0 FROM l
+UNION ALL
+SELECT 'event_ts_complete', 'events', n, v0, v0 = 0 FROM e
+UNION ALL
+SELECT 'event_type_in_domain', 'events', n, v1, v1 = 0 FROM e
+UNION ALL
+SELECT 'unique_partkey', 'part', n, v, v = 0 FROM pk
+UNION ALL
+SELECT 'orders_custkey_in_customer', 'orders', n, v, v = 0 FROM ri
+"""

@@ -30,6 +30,7 @@ from kinesis_dstream_spark.functions.exact import avg_sql, sum_sql
 from kinesis_dstream_spark.operators import (
     changelog,
     curation,
+    dataquality,
     dedup,
     eventflow,
     graph,
@@ -3311,6 +3312,10 @@ def _q_transitions(spark: SparkSession, sf: str) -> DataFrame:
     return eventflow.event_transition_matrix(load_table(spark, sf, "events"))
 
 
+def _q_dq_report(spark: SparkSession, sf: str) -> DataFrame:
+    return dataquality.dq_constraint_report(spark, sf)
+
+
 def _q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     return graph.pagerank_near_dup_graph(load_table(spark, sf, "documents"))
 
@@ -3411,6 +3416,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "event_transition_matrix": (_q_transitions, eventflow.TRANSITION_SQL),
     "gap_fill_interpolate": (_q_gapfill_interp, eventflow.GAP_FILL_INTERP_SQL),
     "pagerank_near_dup": (_q_pagerank, graph.pagerank_oracle_sql(_SQL_DEDUP_JACCARD)),
+    "dq_constraint_report": (_q_dq_report, dataquality.DQ_REPORT_SQL),
     "hierarchical_time_rollup": (_q_hier_rollup, eventflow.HIERARCHICAL_ROLLUP_SQL),
     # reference semantics, remainder
     "ir_token_search": (_q_ir_token_search, _SQL_IR_TOKEN_SEARCH),

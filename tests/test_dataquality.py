@@ -1,0 +1,68 @@
+"""DQ constraint report: violation detection + single-scan plan shape.
+
+Oracle parity (all-pass verdicts on the clean fixtures) runs in
+test_oracle_parity.py; here we prove the checks actually FIRE on dirty
+data and that row-local suites cost one scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kinesis_dstream_spark.operators import dataquality
+
+
+def test_violations_fire_on_dirty_data(spark):
+    dirty = spark.createDataFrame(
+        [
+            (1, "O", 10.0),
+            (None, "O", 20.0),  # null custkey
+            (3, "X", 30.0),  # bad status
+            (4, "F", -5.0),  # negative price
+            (5, "P", 40.0),
+        ],
+        "o_custkey long, o_orderstatus string, o_totalprice double",
+    )
+    report = {
+        r.constraint: r
+        for r in dataquality._single_pass(
+            dirty,
+            "orders",
+            [
+                ("complete_custkey", F.col("o_custkey").isNull()),
+                ("status_in_domain", ~F.col("o_orderstatus").isin("O", "F", "P")),
+                ("nonneg_totalprice", F.col("o_totalprice") < 0),
+            ],
+        ).collect()
+    }
+    assert all(r.n_rows == 5 for r in report.values())
+    assert report["complete_custkey"].n_violations == 1
+    assert report["status_in_domain"].n_violations == 1
+    assert report["nonneg_totalprice"].n_violations == 1
+    assert not any(r.passed for r in report.values())
+
+
+def test_report_shape_on_fixture(spark, sf_dir):
+    rows = dataquality.dq_constraint_report(spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert all(r.passed for r in rows)  # driver fixtures are clean
+    assert {r.table_name for r in rows} == {"orders", "lineitem", "events", "part"}
+
+
+def test_row_local_suite_is_one_scan(spark, sf_dir):
+    """All three orders constraints share a single aggregation over one
+    scan — constraint count must not multiply scans."""
+    from kinesis_dstream_spark.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    df = dataquality._single_pass(
+        orders,
+        "orders",
+        [
+            ("a", F.col("o_custkey").isNull()),
+            ("b", ~F.col("o_orderstatus").isin("O", "F", "P")),
+            ("c", F.col("o_totalprice") < 0),
+        ],
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") <= 1  # union reuses the one agg

@@ -70,6 +70,16 @@ AUDIT_DEFAULT = [
     "hashed_embedding_stats",
     "text_semantic_topk",
     "hybrid_search_rrf",
+    # r5 event-flow / time-series / graph / linkage additions
+    "funnel_conversion",
+    "cohort_retention",
+    "ewma_user_value",
+    "rolling_zscore_outliers",
+    "event_transition_matrix",
+    "gap_fill_interpolate",
+    "hierarchical_time_rollup",
+    "pagerank_near_dup",
+    "record_link_parts",
 ]
 
 
