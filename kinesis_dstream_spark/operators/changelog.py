@@ -117,3 +117,24 @@ def cdc_apply(snapshot: DataFrame, changelog_tail: DataFrame) -> DataFrame:
         F.col(f"snap_{c}")
     ).alias(c)
     return merged.filter(keep).select(*[pick(c) for c in _STATE_COLS])
+
+
+def scd2_as_of(events: DataFrame, as_of: Column) -> DataFrame:
+    """Point-in-time table reconstruction ("time travel") from history.
+
+    The snapshot AS OF ``as_of`` is the version row whose validity
+    interval covers it: ``valid_from <= T < valid_to`` (open current
+    versions have null ``valid_to``). One row per key that existed at T;
+    keys first seen after T are absent — the temporal-table AS OF query
+    every warehouse offers, derived purely from the changelog.
+
+    Plan shape: the SCD-2 build's single key shuffle, then a row-local
+    interval filter — no extra exchange. At 100 TB an as-of query over a
+    PERSISTED history table is a partition-pruned scan + this filter;
+    building history inline (as here) is the fixture-scale stand-in.
+    """
+    hist = scd2_from_changelog(events)
+    return hist.where(
+        (F.col("valid_from") <= as_of)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > as_of))
+    )

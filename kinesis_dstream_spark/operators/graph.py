@@ -11,6 +11,11 @@ every per-iteration step is int64 arithmetic with truncating division
 (identical in Spark ``DIV`` and DuckDB ``//``), so a bounded-iteration
 run has an *exact* SQL oracle — no float drift across engines ever.
 
+Reference scope note: the reference engine (/root/reference/app/app.py)
+is a poll/filter pipeline with no graph executor; this module is part of
+the mandated LLM-pipeline extension surface (corpus curation needs a
+canonical-doc signal over duplicate clusters), not reference parity.
+
 Scale shape (100 TB): each iteration is one equi-join of the edge list
 with the rank vector plus one aggregation — the canonical distributed
 PageRank; rounds are fixed (k), not convergence-polled, so there is no

@@ -3039,6 +3039,35 @@ FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 _CDC_CUTOFF = "2024-01-15"
 
 
+def _q_scd2_as_of(spark: SparkSession, sf: str) -> DataFrame:
+    """Temporal AS OF query: reconstruct the table as it stood mid-month."""
+    from kinesis_dstream_spark.operators import changelog as cl
+
+    ev = load_table(spark, sf, "events")
+    snap = cl.scd2_as_of(ev, F.lit(_CDC_CUTOFF).cast("timestamp"))
+    return snap.select(
+        "user_id",
+        "version",
+        "event_id",
+        "event_type",
+        "value",
+        F.date_format("valid_from", TS_FMT_SPARK).alias("valid_from_s"),
+    )
+
+
+_SQL_SCD2_AS_OF = f"""
+SELECT user_id, version, event_id, event_type, value, valid_from_s
+FROM (
+  SELECT user_id, row_number() OVER w AS version, event_id, event_type, value,
+         ts AS valid_from, strftime(ts, '{TS_FMT_DUCK}') AS valid_from_s,
+         lead(ts) OVER w AS valid_to
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+WHERE valid_from <= TIMESTAMP '{_CDC_CUTOFF}'
+  AND (valid_to IS NULL OR valid_to > TIMESTAMP '{_CDC_CUTOFF}')
+"""
+
+
 def _q_cdc_apply(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental state maintenance == full recomputation (the invariant).
 
@@ -3542,6 +3571,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # changelog-derived state (r6): SCD-2 history + incremental CDC merge
     "scd2_from_changelog": (_q_scd2, _SQL_SCD2),
     "cdc_apply_changelog": (_q_cdc_apply, _SQL_CDC_APPLY),
+    "scd2_as_of_snapshot": (_q_scd2_as_of, _SQL_SCD2_AS_OF),
     # record linkage / entity resolution (r6): blocked fuzzy matching
     "record_link_parts": (_q_record_link, _SQL_RECORD_LINK),
     # dedup survivorship (r6): keep the best doc per near-dup cluster

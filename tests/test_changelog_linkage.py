@@ -155,3 +155,21 @@ def test_best_matches_equals_pair_level(spark, sf_dir):
         .collect()
     }
     assert fast == slow
+
+
+def test_scd2_as_of_matches_filtered_latest(spark, sf_dir):
+    """AS OF T must equal the argmax-per-key over events ≤ T (every key
+    seen by T appears exactly once, carrying its last pre-T change)."""
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+    snap = changelog.scd2_as_of(ev, cutoff)
+    assert snap.groupBy("user_id").count().filter("count > 1").count() == 0
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    expect = (
+        ev.filter(F.col("ts") <= cutoff)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id")
+    )
+    got = snap.select("user_id", "event_id")
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in expect.collect()}
