@@ -554,6 +554,197 @@ SELECT * FROM hour UNION ALL SELECT * FROM day
 """
 
 
+_FUNNEL_WINDOW_DAYS = 7
+
+
+def funnel_conversion_windowed(
+    events: DataFrame,
+    stages: tuple[str, str, str] = ("view", "click", "purchase"),
+    window_days: int = _FUNNEL_WINDOW_DAYS,
+) -> DataFrame:
+    """Conversion-window funnel: each stage must land within
+    ``window_days`` of the PREVIOUS stage's chained timestamp.
+
+    The unbounded funnel (``funnel_conversion``) overcounts long-horizon
+    conversions; product funnels bound each hop ("clicked within 7 days
+    of first view"). Same one-shuffle chained-window plan, with the
+    upper bound folded into each stage's conditional minimum.
+    """
+    s1, s2, s3 = stages
+    w = Window.partitionBy("user_id")
+    ts, et = F.col("ts"), F.col("event_type")
+    lim = F.expr(f"INTERVAL {window_days} DAYS")
+    step1 = events.withColumn("t1", F.min(F.when(et == s1, ts)).over(w))
+    in2 = (et == s2) & (ts >= F.col("t1")) & (ts <= F.col("t1") + lim)
+    step2 = step1.withColumn("t2", F.min(F.when(in2, ts)).over(w))
+    in3 = (et == s3) & (ts >= F.col("t2")) & (ts <= F.col("t2") + lim)
+    step3 = step2.withColumn("t3", F.min(F.when(in3, ts)).over(w))
+    per_user = step3.groupBy("user_id").agg(
+        F.max(F.col("t1").isNotNull()).alias("r1"),
+        F.max(F.col("t2").isNotNull()).alias("r2"),
+        F.max(F.col("t3").isNotNull()).alias("r3"),
+    )
+    cnt = lambda c: F.sum(F.col(c).cast("long"))  # noqa: E731
+    return per_user.agg(
+        cnt("r1").alias("stage1_users"),
+        cnt("r2").alias("stage2_users"),
+        cnt("r3").alias("stage3_users"),
+        F.round(cnt("r2") / cnt("r1"), 4).alias("conv_stage2"),
+        F.round(cnt("r3") / cnt("r1"), 4).alias("conv_stage3"),
+    )
+
+
+def funnel_windowed_sql(
+    stages: tuple[str, str, str] = ("view", "click", "purchase"),
+    window_days: int = _FUNNEL_WINDOW_DAYS,
+) -> str:
+    s1, s2, s3 = stages
+    return f"""
+WITH w1 AS (
+  SELECT *, min(CASE WHEN event_type = '{s1}' THEN ts END)
+            OVER (PARTITION BY user_id) AS t1
+  FROM events
+), w2 AS (
+  SELECT *, min(CASE WHEN event_type = '{s2}' AND ts >= t1
+                      AND ts <= t1 + INTERVAL {window_days} DAY THEN ts END)
+            OVER (PARTITION BY user_id) AS t2
+  FROM w1
+), w3 AS (
+  SELECT *, min(CASE WHEN event_type = '{s3}' AND ts >= t2
+                      AND ts <= t2 + INTERVAL {window_days} DAY THEN ts END)
+            OVER (PARTITION BY user_id) AS t3
+  FROM w2
+), per_user AS (
+  SELECT user_id, max(t1 IS NOT NULL) AS r1, max(t2 IS NOT NULL) AS r2,
+         max(t3 IS NOT NULL) AS r3
+  FROM w3 GROUP BY user_id
+)
+SELECT CAST(sum(CAST(r1 AS BIGINT)) AS BIGINT) AS stage1_users,
+       CAST(sum(CAST(r2 AS BIGINT)) AS BIGINT) AS stage2_users,
+       CAST(sum(CAST(r3 AS BIGINT)) AS BIGINT) AS stage3_users,
+       round(CAST(sum(CAST(r2 AS BIGINT)) AS BIGINT)
+             / CAST(sum(CAST(r1 AS BIGINT)) AS BIGINT), 4) AS conv_stage2,
+       round(CAST(sum(CAST(r3 AS BIGINT)) AS BIGINT)
+             / CAST(sum(CAST(r1 AS BIGINT)) AS BIGINT), 4) AS conv_stage3
+FROM per_user
+"""
+
+
+_PATH_TOPK = 25
+
+
+def top_event_paths(events: DataFrame, k: int = _PATH_TOPK) -> DataFrame:
+    """Most common 3-step behavioral paths (second-order sequences).
+
+    Two lags over the per-user event-time order produce every
+    consecutive (a → b → c) triple; the rollup keys on at most
+    |types|³ paths. Distributed top-k via orderBy+limit compiles to
+    TakeOrderedAndProject — no global sort materializes. The
+    (n_paths DESC, path ASC) order is total, so the cut is
+    deterministic.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    triples = events.select(
+        F.lag("event_type", 2).over(w).alias("step1"),
+        F.lag("event_type", 1).over(w).alias("step2"),
+        F.col("event_type").alias("step3"),
+    ).where(F.col("step1").isNotNull())
+    return (
+        triples.groupBy("step1", "step2", "step3")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .withColumn(
+            "path", F.concat_ws(">", "step1", "step2", "step3")
+        )
+        .select("path", "n_paths")
+        .orderBy(F.col("n_paths").desc(), F.col("path").asc())
+        .limit(k)
+    )
+
+
+TOP_PATHS_SQL = f"""
+WITH triples AS (
+  SELECT lag(event_type, 2) OVER w AS step1,
+         lag(event_type, 1) OVER w AS step2,
+         event_type AS step3
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT step1 || '>' || step2 || '>' || step3 AS path, count(*) AS n_paths
+FROM triples WHERE step1 IS NOT NULL
+GROUP BY step1, step2, step3
+ORDER BY n_paths DESC, path ASC
+LIMIT {_PATH_TOPK}
+"""
+
+
+def rfm_segments(events: DataFrame) -> DataFrame:
+    """RFM segmentation: recency/frequency/monetary quartiles per user.
+
+    The classic customer-value segmentation over purchase events:
+    recency = days from last purchase to the corpus horizon, frequency =
+    purchase count, monetary = fixed-point purchase value sum. Each
+    dimension is quartiled with ``ntile(4)`` under a TOTAL order (metric,
+    then user_id) so tie assignment is deterministic and
+    engine-identical; the output is the segment-level rollup.
+
+    Plan: one aggregation shuffle on user_id; the three ntiles run over
+    the (already user-grained) aggregate — at 100 TB that table is
+    |users|, and a no-partition ntile would single-task it, so the
+    production variant quartiles by bucketed approx quantiles instead;
+    here the exact ntile IS the point (oracle-exact segment counts).
+    """
+    horizon = F.lit("2024-02-01").cast("timestamp")
+    per_user = (
+        events.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.datediff(horizon, F.max("ts")).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(fixedpoint(F.col("value"), _V_SCALE)).alias("monetary_fp"),
+        )
+    )
+    # recency: smaller is better → ascending ntile gives 1 = most recent
+    wr = Window.orderBy(F.col("recency_days").asc(), F.col("user_id").asc())
+    wf = Window.orderBy(F.col("frequency").desc(), F.col("user_id").asc())
+    wm = Window.orderBy(F.col("monetary_fp").desc(), F.col("user_id").asc())
+    scored = per_user.select(
+        "user_id",
+        F.ntile(4).over(wr).alias("r_quartile"),
+        F.ntile(4).over(wf).alias("f_quartile"),
+        F.ntile(4).over(wm).alias("m_quartile"),
+        "monetary_fp",
+    )
+    return (
+        scored.groupBy("r_quartile", "f_quartile", "m_quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.sum("monetary_fp") / float(_V_SCALE), 2).alias("segment_value"),
+        )
+    )
+
+
+RFM_SQL = f"""
+WITH per_user AS (
+  SELECT user_id,
+         date_diff('day', max(ts), TIMESTAMP '2024-02-01') AS recency_days,
+         count(*) AS frequency,
+         CAST(sum(CAST(round(value * {_V_SCALE}) AS BIGINT)) AS BIGINT)
+           AS monetary_fp
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+), scored AS (
+  SELECT user_id,
+         ntile(4) OVER (ORDER BY recency_days ASC, user_id ASC) AS r_quartile,
+         ntile(4) OVER (ORDER BY frequency DESC, user_id ASC) AS f_quartile,
+         ntile(4) OVER (ORDER BY monetary_fp DESC, user_id ASC) AS m_quartile,
+         monetary_fp
+  FROM per_user
+)
+SELECT r_quartile, f_quartile, m_quartile, count(*) AS n_users,
+       round(CAST(sum(monetary_fp) AS BIGINT) / {float(_V_SCALE)}, 2)
+         AS segment_value
+FROM scored GROUP BY r_quartile, f_quartile, m_quartile
+"""
+
+
 TRANSITION_SQL = """
 WITH pairs AS (
   SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)

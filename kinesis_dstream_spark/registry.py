@@ -3349,6 +3349,18 @@ def _q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     return graph.pagerank_near_dup_graph(load_table(spark, sf, "documents"))
 
 
+def _q_funnel_windowed(spark: SparkSession, sf: str) -> DataFrame:
+    return eventflow.funnel_conversion_windowed(load_table(spark, sf, "events"))
+
+
+def _q_top_paths(spark: SparkSession, sf: str) -> DataFrame:
+    return eventflow.top_event_paths(load_table(spark, sf, "events"))
+
+
+def _q_rfm(spark: SparkSession, sf: str) -> DataFrame:
+    return eventflow.rfm_segments(load_table(spark, sf, "events"))
+
+
 def _q_gapfill_interp(spark: SparkSession, sf: str) -> DataFrame:
     return eventflow.gap_fill_interpolate(load_table(spark, sf, "events"))
 
@@ -3446,6 +3458,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "gap_fill_interpolate": (_q_gapfill_interp, eventflow.GAP_FILL_INTERP_SQL),
     "pagerank_near_dup": (_q_pagerank, graph.pagerank_oracle_sql(_SQL_DEDUP_JACCARD)),
     "dq_constraint_report": (_q_dq_report, dataquality.DQ_REPORT_SQL),
+    "funnel_conversion_windowed": (_q_funnel_windowed, eventflow.funnel_windowed_sql()),
+    "top_event_paths": (_q_top_paths, eventflow.TOP_PATHS_SQL),
+    "rfm_segments": (_q_rfm, eventflow.RFM_SQL),
     "hierarchical_time_rollup": (_q_hier_rollup, eventflow.HIERARCHICAL_ROLLUP_SQL),
     # reference semantics, remainder
     "ir_token_search": (_q_ir_token_search, _SQL_IR_TOKEN_SEARCH),

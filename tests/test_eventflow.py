@@ -100,6 +100,40 @@ def test_transition_rows_normalize(spark, sf_dir):
         assert abs(r.s - 1.0) < 2e-3
 
 
+def test_windowed_funnel_bounded_by_unbounded(spark, sf_dir):
+    """Adding a conversion window can only shrink stage counts."""
+    ev = load_table(spark, sf_dir, "events")
+    unb = eventflow.funnel_conversion(ev).collect()[0]
+    win = eventflow.funnel_conversion_windowed(ev, window_days=7).collect()[0]
+    assert win.stage1_users == unb.stage1_users  # stage 1 has no window
+    assert win.stage2_users <= unb.stage2_users
+    assert win.stage3_users <= unb.stage3_users
+    tight = eventflow.funnel_conversion_windowed(ev, window_days=0).collect()[0]
+    assert tight.stage3_users <= win.stage3_users  # monotone in window
+
+
+def test_top_paths_counts(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    rows = eventflow.top_event_paths(ev, k=1000).collect()
+    # total triples == Σ max(events_per_user - 2, 0)
+    per_user = ev.groupBy("user_id").count().collect()
+    expect = sum(max(r["count"] - 2, 0) for r in per_user)
+    assert sum(r.n_paths for r in rows) == expect
+    assert all(len(r.path.split(">")) == 3 for r in rows)
+
+
+def test_rfm_covers_every_purchaser_once(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    seg = eventflow.rfm_segments(ev).collect()
+    n_purchasers = (
+        ev.where(F.col("event_type") == "purchase").select("user_id").distinct().count()
+    )
+    assert sum(r.n_users for r in seg) == n_purchasers
+    for r in seg:
+        assert 1 <= r.r_quartile <= 4 and 1 <= r.f_quartile <= 4
+        assert 1 <= r.m_quartile <= 4
+
+
 def test_gapfill_interp_semantics(spark, sf_dir):
     """Observed hours reproduce their own mean in both fills; gap hours
     interpolate strictly between the neighbors; spine is contiguous."""
