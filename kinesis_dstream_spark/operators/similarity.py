@@ -73,6 +73,50 @@ def ann_bruteforce_topk(
     )
 
 
+def ann_filtered_topk(
+    embeddings: DataFrame, n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    """Filtered vector search: exact cosine top-k UNDER a metadata
+    predicate — each query retrieves only from ITS OWN label's slice
+    ("search within my collection"), the headline vector-DB feature that
+    pure ANN indexes struggle with (post-filtering an index shortlist
+    can starve k; pre-filtering rebuilds per predicate).
+
+    Spark-first answer: the predicate joins the scan — label equality
+    rides the broadcast join condition, so the corpus is scanned once
+    and each candidate row is scored only against same-label queries.
+    No index to invalidate, exact results, any predicate expressible as
+    a join condition works unchanged. At 100 TB with a label-partitioned
+    corpus layout this prunes to the matching partitions.
+    """
+    normed = _normalized(embeddings)
+    queries = normed.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("unit").alias("q_unit"),
+    )
+    corpus = normed.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("label").alias("c_label"),
+        F.col("unit").alias("c_unit"),
+    )
+    scored = corpus.join(
+        F.broadcast(queries),
+        (F.col("q_label") == F.col("c_label")) & (F.col("q_id") != F.col("c_id")),
+    ).select(
+        "q_id",
+        "c_id",
+        F.col("c_label").alias("label"),
+        F.round(V.dot(F.col("q_unit"), F.col("c_unit")), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "c_id", "label", "cos_sim", "rk")
+    )
+
+
 def lsh_bucket_ids(
     embeddings: DataFrame,
     n_planes: int = 8,

@@ -640,6 +640,27 @@ SELECT q_id, c_id, cos_sim, rk FROM (
 """
 
 
+def _q_ann_filtered(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.ann_filtered_topk(load_table(spark, sf, "embeddings"))
+
+
+_SQL_ANN_FILTERED = """
+SELECT q_id, c_id, label, cos_sim, rk FROM (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id, c.label AS label,
+         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])), 4) AS cos_sim,
+         CAST(row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                 CAST(c.embedding AS DOUBLE[])), 4) DESC,
+                    c.vec_id ASC
+         ) AS INT) AS rk
+  FROM embeddings q JOIN embeddings c
+    ON q.vec_id < 10 AND c.label = q.label AND c.vec_id != q.vec_id
+) WHERE rk <= 5
+"""
+
+
 def _q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.ann_lsh_topk(load_table(spark, sf, "embeddings"))
 
@@ -3461,6 +3482,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "funnel_conversion_windowed": (_q_funnel_windowed, eventflow.funnel_windowed_sql()),
     "top_event_paths": (_q_top_paths, eventflow.TOP_PATHS_SQL),
     "rfm_segments": (_q_rfm, eventflow.RFM_SQL),
+    "ann_filtered_topk": (_q_ann_filtered, _SQL_ANN_FILTERED),
     "hierarchical_time_rollup": (_q_hier_rollup, eventflow.HIERARCHICAL_ROLLUP_SQL),
     # reference semantics, remainder
     "ir_token_search": (_q_ir_token_search, _SQL_IR_TOKEN_SEARCH),

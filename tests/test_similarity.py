@@ -377,3 +377,26 @@ def test_approx_count_distinct_error_bound(spark, sf_dir):
     }
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(3, 0.1 * n), (k, approx[k], n)
+
+
+def test_ann_filtered_respects_predicate(spark, sf_dir):
+    """Every retrieved neighbor shares its query's label, and filtered
+    results are a subset-or-lower-scored view of the unfiltered top-k."""
+    from kinesis_dstream_spark.operators.similarity import (
+        ann_bruteforce_topk,
+        ann_filtered_topk,
+    )
+    from kinesis_dstream_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    out = ann_filtered_topk(emb).collect()
+    assert out
+    for r in out:
+        assert labels[r.c_id] == labels[r.q_id]
+        assert r.label == labels[r.c_id]
+    # per query: filtered top-1 score ≤ unfiltered top-1 score
+    unf = {r.q_id: r.cos_sim for r in ann_bruteforce_topk(emb).collect() if r.rk == 1}
+    for r in out:
+        if r.rk == 1:
+            assert r.cos_sim <= unf[r.q_id] + 1e-9
