@@ -80,6 +80,12 @@ AUDIT_DEFAULT = [
     "hierarchical_time_rollup",
     "pagerank_near_dup",
     "record_link_parts",
+    "dq_constraint_report",
+    "funnel_conversion_windowed",
+    "top_event_paths",
+    "rfm_segments",
+    "ann_filtered_topk",
+    "scd2_as_of_snapshot",
 ]
 
 
