@@ -103,6 +103,11 @@ BENCH_QUERIES = {
     "hier_rollup": "hierarchical_time_rollup",
     "pagerank": "pagerank_near_dup",
     "dq_report": "dq_constraint_report",
+    "funnel_windowed": "funnel_conversion_windowed",
+    "top_paths": "top_event_paths",
+    "rfm": "rfm_segments",
+    "ann_filtered": "ann_filtered_topk",
+    "scd2_as_of": "scd2_as_of_snapshot",
 }
 
 
