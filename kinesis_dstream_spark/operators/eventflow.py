@@ -676,6 +676,113 @@ LIMIT {_PATH_TOPK}
 """
 
 
+_SESSION_GAP_MIN = 30
+
+
+def session_funnel(
+    events: DataFrame,
+    stages: tuple[str, str, str] = ("view", "click", "purchase"),
+    gap_minutes: int = _SESSION_GAP_MIN,
+) -> DataFrame:
+    """Within-session funnel: stage progression counted per session.
+
+    The composition every product-analytics stack ships: gap-based
+    sessionization (30-min inactivity cut, identical recurrence to
+    ``reference_ops.sessionize_events``) feeding the chained-minimum
+    funnel, partitioned by (user, session) instead of user — "did this
+    VISIT convert", not "did this user ever convert". Output is the
+    session-level rollup: sessions reaching each stage + conversion
+    rates.
+
+    Plan: sessionization's lag + running-sum and all three funnel
+    minima partition by ``user_id`` (session_id is a function of the
+    user's own order), so the whole pipeline still rides ONE user_id
+    exchange before the final rollup.
+    """
+    s1, s2, s3 = stages
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = gap_minutes * 60 * 1_000_000
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    flagged = events.withColumn(
+        "new_session",
+        F.when(us - F.lag(us).over(by_user) > F.lit(gap_us), 1).otherwise(0),
+    ).withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            by_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    w = Window.partitionBy("user_id", "session_id")
+    ts, et = F.col("ts"), F.col("event_type")
+    step1 = flagged.withColumn("t1", F.min(F.when(et == s1, ts)).over(w))
+    step2 = step1.withColumn(
+        "t2", F.min(F.when((et == s2) & (ts >= F.col("t1")), ts)).over(w)
+    )
+    step3 = step2.withColumn(
+        "t3", F.min(F.when((et == s3) & (ts >= F.col("t2")), ts)).over(w)
+    )
+    per_session = step3.groupBy("user_id", "session_id").agg(
+        F.max(F.col("t1").isNotNull()).alias("r1"),
+        F.max(F.col("t2").isNotNull()).alias("r2"),
+        F.max(F.col("t3").isNotNull()).alias("r3"),
+    )
+    cnt = lambda c: F.sum(F.col(c).cast("long"))  # noqa: E731
+    return per_session.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        cnt("r1").alias("stage1_sessions"),
+        cnt("r2").alias("stage2_sessions"),
+        cnt("r3").alias("stage3_sessions"),
+        F.round(cnt("r2") / cnt("r1"), 4).alias("conv_stage2"),
+        F.round(cnt("r3") / cnt("r1"), 4).alias("conv_stage3"),
+    )
+
+
+def session_funnel_sql(
+    stages: tuple[str, str, str] = ("view", "click", "purchase"),
+    gap_minutes: int = _SESSION_GAP_MIN,
+) -> str:
+    s1, s2, s3 = stages
+    gap_us = gap_minutes * 60 * 1_000_000
+    return f"""
+WITH flagged AS (
+  SELECT *, CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  > {gap_us} THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sess AS (
+  SELECT *, sum(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+  ) AS session_id
+  FROM flagged
+), w1 AS (
+  SELECT *, min(CASE WHEN event_type = '{s1}' THEN ts END)
+            OVER (PARTITION BY user_id, session_id) AS t1
+  FROM sess
+), w2 AS (
+  SELECT *, min(CASE WHEN event_type = '{s2}' AND ts >= t1 THEN ts END)
+            OVER (PARTITION BY user_id, session_id) AS t2
+  FROM w1
+), w3 AS (
+  SELECT *, min(CASE WHEN event_type = '{s3}' AND ts >= t2 THEN ts END)
+            OVER (PARTITION BY user_id, session_id) AS t3
+  FROM w2
+), per_session AS (
+  SELECT user_id, session_id, max(t1 IS NOT NULL) AS r1,
+         max(t2 IS NOT NULL) AS r2, max(t3 IS NOT NULL) AS r3
+  FROM w3 GROUP BY user_id, session_id
+)
+SELECT count(*) AS n_sessions,
+       CAST(sum(CAST(r1 AS BIGINT)) AS BIGINT) AS stage1_sessions,
+       CAST(sum(CAST(r2 AS BIGINT)) AS BIGINT) AS stage2_sessions,
+       CAST(sum(CAST(r3 AS BIGINT)) AS BIGINT) AS stage3_sessions,
+       round(CAST(sum(CAST(r2 AS BIGINT)) AS BIGINT)
+             / CAST(sum(CAST(r1 AS BIGINT)) AS BIGINT), 4) AS conv_stage2,
+       round(CAST(sum(CAST(r3 AS BIGINT)) AS BIGINT)
+             / CAST(sum(CAST(r1 AS BIGINT)) AS BIGINT), 4) AS conv_stage3
+FROM per_session
+"""
+
+
 def rfm_segments(events: DataFrame) -> DataFrame:
     """RFM segmentation: recency/frequency/monetary quartiles per user.
 

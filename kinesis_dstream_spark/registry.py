@@ -3382,6 +3382,10 @@ def _q_rfm(spark: SparkSession, sf: str) -> DataFrame:
     return eventflow.rfm_segments(load_table(spark, sf, "events"))
 
 
+def _q_session_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    return eventflow.session_funnel(load_table(spark, sf, "events"))
+
+
 def _q_gapfill_interp(spark: SparkSession, sf: str) -> DataFrame:
     return eventflow.gap_fill_interpolate(load_table(spark, sf, "events"))
 
@@ -3483,6 +3487,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "top_event_paths": (_q_top_paths, eventflow.TOP_PATHS_SQL),
     "rfm_segments": (_q_rfm, eventflow.RFM_SQL),
     "ann_filtered_topk": (_q_ann_filtered, _SQL_ANN_FILTERED),
+    "session_funnel_conversion": (_q_session_funnel, eventflow.session_funnel_sql()),
     "hierarchical_time_rollup": (_q_hier_rollup, eventflow.HIERARCHICAL_ROLLUP_SQL),
     # reference semantics, remainder
     "ir_token_search": (_q_ir_token_search, _SQL_IR_TOKEN_SEARCH),

@@ -134,6 +134,22 @@ def test_rfm_covers_every_purchaser_once(spark, sf_dir):
         assert 1 <= r.m_quartile <= 4
 
 
+def test_session_funnel_bounded_by_user_funnel(spark, sf_dir):
+    """Session-level conversion can never exceed user-level: a session
+    reaching stage 3 implies its user reached stage 3 (same ordering
+    constraint inside a narrower partition)."""
+    ev = load_table(spark, sf_dir, "events")
+    sess = eventflow.session_funnel(ev).collect()[0]
+    user = eventflow.funnel_conversion(ev).collect()[0]
+    assert sess.n_sessions >= sess.stage1_sessions >= sess.stage2_sessions
+    assert sess.stage2_sessions >= sess.stage3_sessions
+    # users whose ANY session converted ⊆ users who converted unbounded
+    assert sess.stage3_sessions == 0 or user.stage3_users > 0
+    # single user_id exchange end-to-end (session id derives from it)
+    plan = eventflow.session_funnel(ev)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning(user_id") <= 2
+
+
 def test_gapfill_interp_semantics(spark, sf_dir):
     """Observed hours reproduce their own mean in both fills; gap hours
     interpolate strictly between the neighbors; spine is contiguous."""
