@@ -676,6 +676,101 @@ LIMIT {_PATH_TOPK}
 """
 
 
+_SIM_N_QUERIES = 10
+_SIM_K = 5
+
+
+def user_similarity_topk(
+    events: DataFrame, n_queries: int = _SIM_N_QUERIES, k: int = _SIM_K
+) -> DataFrame:
+    """Audience lookalikes: cosine top-k over behavioral count vectors.
+
+    Each user's profile is their event-type count vector (exact
+    integers), so cosine similarity is an integer dot product over two
+    integer norms — bit-identical across engines after one sqrt and one
+    division (both IEEE-exact on identical inputs). The E-11 broadcast
+    pattern applied to behavior instead of embeddings: the bounded query
+    side broadcasts, the user-profile table is scanned once, per-query
+    top-k rides a window.
+
+    Scale: profiles are |users| × |types| — the only corpus-sized pass
+    is the one groupBy building them. For all-pairs at 10⁹ users the
+    E-11 LSH/IVF machinery applies unchanged to these vectors.
+    """
+    profiles = (
+        events.groupBy("user_id")
+        .pivot("event_type", ["signup", "view", "click", "purchase", "error"])
+        .count()
+        .na.fill(0)
+        .select(
+            "user_id",
+            F.array("signup", "view", "click", "purchase", "error").alias("vec"),
+        )
+    )
+    q = profiles.filter(F.col("user_id") < n_queries).select(
+        F.col("user_id").alias("q_user"), F.col("vec").alias("q_vec")
+    )
+    c = profiles.select(F.col("user_id").alias("c_user"), F.col("vec").alias("c_vec"))
+    dot = F.aggregate(
+        F.zip_with("q_vec", "c_vec", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(col, lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+    )
+    scored = c.join(F.broadcast(q), F.col("q_user") != F.col("c_user")).select(
+        "q_user",
+        "c_user",
+        F.round(dot / (norm(F.col("q_vec")) * norm(F.col("c_vec"))), 4).alias(
+            "cos_sim"
+        ),
+    )
+    w = Window.partitionBy("q_user").orderBy(
+        F.col("cos_sim").desc(), F.col("c_user").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_user", "c_user", "cos_sim", "rk")
+    )
+
+
+USER_SIM_SQL = f"""
+WITH profiles AS (
+  SELECT user_id,
+         [CAST(sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT)]
+           AS vec
+  FROM events GROUP BY user_id
+), scored AS (
+  SELECT q.user_id AS q_user, c.user_id AS c_user,
+         round(
+           CAST(list_sum(list_transform(range(1, 6),
+                i -> q.vec[i] * c.vec[i])) AS BIGINT)
+           / (sqrt(CAST(list_sum(list_transform(range(1, 6),
+                        i -> q.vec[i] * q.vec[i])) AS BIGINT))
+              * sqrt(CAST(list_sum(list_transform(range(1, 6),
+                          i -> c.vec[i] * c.vec[i])) AS BIGINT))), 4) AS cos_sim
+  FROM profiles q JOIN profiles c
+    ON q.user_id < {_SIM_N_QUERIES} AND c.user_id != q.user_id
+)
+SELECT q_user, c_user, cos_sim, rk FROM (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY q_user ORDER BY cos_sim DESC, c_user ASC
+  ) AS INT) AS rk
+  FROM scored
+) WHERE rk <= {_SIM_K}
+"""
+
+
 _SESSION_GAP_MIN = 30
 
 

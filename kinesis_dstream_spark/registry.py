@@ -3386,6 +3386,10 @@ def _q_session_funnel(spark: SparkSession, sf: str) -> DataFrame:
     return eventflow.session_funnel(load_table(spark, sf, "events"))
 
 
+def _q_user_sim(spark: SparkSession, sf: str) -> DataFrame:
+    return eventflow.user_similarity_topk(load_table(spark, sf, "events"))
+
+
 def _q_gapfill_interp(spark: SparkSession, sf: str) -> DataFrame:
     return eventflow.gap_fill_interpolate(load_table(spark, sf, "events"))
 
@@ -3488,6 +3492,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "rfm_segments": (_q_rfm, eventflow.RFM_SQL),
     "ann_filtered_topk": (_q_ann_filtered, _SQL_ANN_FILTERED),
     "session_funnel_conversion": (_q_session_funnel, eventflow.session_funnel_sql()),
+    "user_similarity_topk": (_q_user_sim, eventflow.USER_SIM_SQL),
     "hierarchical_time_rollup": (_q_hier_rollup, eventflow.HIERARCHICAL_ROLLUP_SQL),
     # reference semantics, remainder
     "ir_token_search": (_q_ir_token_search, _SQL_IR_TOKEN_SEARCH),

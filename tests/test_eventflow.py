@@ -214,3 +214,20 @@ def test_eventflow_plans_are_scale_safe(spark, sf_dir):
     # EWMA: single shuffle, HOF stays JVM-side
     ewma_plan = _plan(eventflow.ewma_user_value(ev))
     assert ewma_plan.count("Exchange hashpartitioning") == 1
+
+
+def test_user_similarity_topk_shape(spark, sf_dir):
+    """Self excluded, k per query, similarity in [0,1] (count vectors
+    are non-negative), deterministic rank order."""
+    ev = load_table(spark, sf_dir, "events")
+    rows = eventflow.user_similarity_topk(ev).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert r.q_user != r.c_user
+        assert 0.0 <= r.cos_sim <= 1.0
+        by_q.setdefault(r.q_user, []).append(r)
+    for q, rs in by_q.items():
+        assert len(rs) == 5
+        ordered = sorted(rs, key=lambda r: r.rk)
+        sims = [r.cos_sim for r in ordered]
+        assert sims == sorted(sims, reverse=True)
