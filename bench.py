@@ -108,6 +108,8 @@ BENCH_QUERIES = {
     "rfm": "rfm_segments",
     "ann_filtered": "ann_filtered_topk",
     "scd2_as_of": "scd2_as_of_snapshot",
+    "session_funnel": "session_funnel_conversion",
+    "user_lookalikes": "user_similarity_topk",
 }
 
 
