@@ -2448,6 +2448,15 @@ def _q_stream_cagg_rollup(spark: SparkSession, sf: str) -> DataFrame:
     return jobs.streaming_hierarchical_rollup(spark, sf)
 
 
+def _q_stream_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """Drained incremental transition view == batch recomputation
+    (shares ``event_transition_matrix``'s oracle — order-sensitive
+    aggregates maintained by affected-user recompute, not granules)."""
+    from kinesis_dstream_spark.streaming import jobs
+
+    return jobs.streaming_transition_maintenance(spark, sf)
+
+
 def _q_stream_wav_decode(spark: SparkSession, sf: str) -> DataFrame:
     from kinesis_dstream_spark.streaming import jobs
 
@@ -3665,6 +3674,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # probabilistic -> rows-only; pytest pins batch-equality + replay)
     "streaming_hll_rollup": (_q_stream_hll_rollup, None),
     "streaming_hierarchical_rollup": (_q_stream_cagg_rollup, eventflow.HIERARCHICAL_ROLLUP_SQL),
+    "streaming_transition_maintenance": (_q_stream_transitions, eventflow.TRANSITION_SQL),
     # in-stream REAL media decode; same analytic oracle as the batch twin
     "streaming_wav_decode": (_q_stream_wav_decode, _SQL_WAV_DECODE),
     # replay-safe chunk-store maintenance; drained state == batch chunking

@@ -1001,3 +1001,110 @@ def streaming_hierarchical_rollup(
     q.awaitTermination()
     granules = spark.read.parquet(cur_path).drop("batch_id")
     return eventflow.rollup_from_minute_granules(granules)
+
+
+def streaming_transition_maintenance(
+    spark: SparkSession,
+    sf_dir: str,
+    store_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Streaming maintenance of the Markov transition view
+    (operators/eventflow.event_transition_matrix) — incremental upkeep
+    of an ORDER-SENSITIVE aggregate, which additive granules cannot
+    express: a consecutive (prev → next) pair can span a micro-batch
+    boundary, and late/out-of-order rows can split previously-adjacent
+    pairs, so per-batch pair counts are NOT mergeable.
+
+    The affected-key recompute pattern (same as streaming_scd2): per
+    batch (1) replay-guard new events against the event store on
+    event_id; (2) affected users = the batch's users, computed BEFORE
+    the guard so a replayed batch still repairs its users' partials if
+    a prior run crashed between the event append and the partial
+    rewrite; (3) append the genuinely-new events; (4) recompute the
+    per-user (prev, next) pair counts for affected users only from the
+    store, and overwrite just those users' partial rows. Untouched
+    users' partials carry over verbatim — at scale both stores are
+    user-partitioned so the rewrite is partition-pruned, and the
+    append-only event store takes the chunk-store compaction pass.
+
+    The drained rollup (sum partials, per-source normalize) must equal
+    the batch twin over the full table — the registry wires it to the
+    identical SQL oracle.
+    """
+    from pyspark.sql import Window
+
+    store_dir = store_dir or tempfile.mkdtemp(prefix="kds_trans_store_")
+    ev_store = os.path.join(store_dir, "events")
+    pair_store = os.path.join(store_dir, "pairs")
+    cols = ["user_id", "event_id", "event_type", "ts"]
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.select(*cols).dropDuplicates(["event_id"])
+        affected = batch.select("user_id").distinct().localCheckpoint()
+        if os.path.exists(ev_store):
+            new_rows = batch.join(
+                spark.read.parquet(ev_store).select("event_id"),
+                "event_id",
+                "left_anti",
+            )
+        else:
+            new_rows = batch
+        new_rows.write.mode("append").parquet(ev_store)
+        aff_events = spark.read.parquet(ev_store).join(affected, "user_id")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        partials = (
+            aff_events.select(
+                "user_id",
+                F.lag("event_type").over(w).alias("prev_type"),
+                F.col("event_type").alias("next_type"),
+            )
+            .where(F.col("prev_type").isNotNull())
+            .groupBy("user_id", "prev_type", "next_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        merged = partials
+        if os.path.exists(pair_store):
+            kept = spark.read.parquet(pair_store).join(
+                affected, "user_id", "left_anti"
+            )
+            merged = kept.unionByName(partials)
+        tmp = os.path.join(store_dir, f"pairs_tmp_{batch_id}")
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(pair_store):
+            shutil.rmtree(pair_store)
+        os.rename(tmp, pair_store)
+
+    from kinesis_dstream_spark.tables import NANOS_AS_LONG_CONF
+
+    spark.conf.set(NANOS_AS_LONG_CONF, "true")
+    src = _table_multifile_dir(spark, sf_dir, "events", n_files=4)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    if dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option(
+            "checkpointLocation", checkpoint_dir or os.path.join(store_dir, "chk")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    counts = (
+        spark.read.parquet(pair_store)
+        .groupBy("prev_type", "next_type")
+        .agg(F.sum("n").alias("n_transitions"))
+    )
+    from pyspark.sql import Window as W2
+
+    wp = W2.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(wp), 4
+        ).alias("transition_pct"),
+    )

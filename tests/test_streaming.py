@@ -510,3 +510,24 @@ def test_streaming_hierarchical_rollup_replays_safely(spark, sf_dir, tmp_path):
         spark, sf_dir, state_dir=state, checkpoint_dir=str(tmp_path / "chk2")
     )
     assert sorted(map(tuple, replayed.collect())) == batch_rows
+
+
+def test_streaming_transition_replays_safely(spark, sf_dir, tmp_path):
+    """Order-sensitive incremental view: drained == batch twin, and a
+    full re-drain into live state (fresh checkpoint) changes nothing —
+    the event_id guard + affected-user recompute make it idempotent."""
+    from kinesis_dstream_spark.operators.eventflow import event_transition_matrix
+    from kinesis_dstream_spark.streaming.jobs import streaming_transition_maintenance
+    from kinesis_dstream_spark.tables import load_table
+
+    store = str(tmp_path / "trans")
+    first = streaming_transition_maintenance(spark, sf_dir, store_dir=store)
+    rows_first = sorted(map(tuple, first.collect()))
+    batch_rows = sorted(
+        map(tuple, event_transition_matrix(load_table(spark, sf_dir, "events")).collect())
+    )
+    assert rows_first == batch_rows
+    replayed = streaming_transition_maintenance(
+        spark, sf_dir, store_dir=store, checkpoint_dir=str(tmp_path / "chk2")
+    )
+    assert sorted(map(tuple, replayed.collect())) == batch_rows
