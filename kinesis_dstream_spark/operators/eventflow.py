@@ -904,7 +904,13 @@ def rfm_segments(events: DataFrame) -> DataFrame:
             F.sum(fixedpoint(F.col("value"), _V_SCALE)).alias("monetary_fp"),
         )
     )
-    # recency: smaller is better → ascending ntile gives 1 = most recent
+    return rfm_from_per_user(per_user)
+
+
+def rfm_from_per_user(per_user: DataFrame) -> DataFrame:
+    """Quartile + rollup over per-user RFM statistics (the holistic,
+    non-mergeable half — shared by the batch query and the streaming
+    granule drain). Recency ntile ascends (1 = most recent)."""
     wr = Window.orderBy(F.col("recency_days").asc(), F.col("user_id").asc())
     wf = Window.orderBy(F.col("frequency").desc(), F.col("user_id").asc())
     wm = Window.orderBy(F.col("monetary_fp").desc(), F.col("user_id").asc())

@@ -1108,3 +1108,80 @@ def streaming_transition_maintenance(
             F.col("n_transitions") / F.sum("n_transitions").over(wp), 4
         ).alias("transition_pct"),
     )
+
+
+def streaming_rfm_maintenance(
+    spark: SparkSession,
+    sf_dir: str,
+    state_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Streaming maintenance of the RFM segmentation's per-user granules
+    (operators/eventflow.rfm_segments): recency (max purchase ts),
+    frequency (count), monetary (fixed-point sum) are ALL mergeable —
+    max by max, counts/sums by addition — so the granule store takes the
+    batch-id-keyed idempotent upsert (the continuous-aggregate pattern:
+    replay overwrites its own epoch, never double-counts). The
+    NON-mergeable part — global quartiling — runs at drain over the
+    merged per-user granules, where it is exact. Drained output shares
+    the batch ``rfm_segments`` oracle.
+
+    This is the general shape for segmentation-over-stream: keep the
+    distributive statistics incremental, defer the holistic step (ntile)
+    to serve time where it costs O(|users|), not O(|events|).
+    """
+    from kinesis_dstream_spark.functions.exact import fixedpoint
+    from kinesis_dstream_spark.operators import eventflow
+
+    state_dir = state_dir or tempfile.mkdtemp(prefix="kds_rfm_state_")
+    cur_path = os.path.join(state_dir, "current")
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        partials = (
+            batch_df.where(F.col("event_type") == "purchase")
+            .groupBy("user_id")
+            .agg(
+                F.max("ts").alias("last_ts"),
+                F.count(F.lit(1)).alias("n"),
+                F.sum(fixedpoint(F.col("value"), 100)).alias("s"),
+            )
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+        )
+        merged = partials
+        if os.path.exists(cur_path):
+            kept = spark.read.parquet(cur_path).where(F.col("batch_id") != batch_id)
+            merged = kept.unionByName(partials)
+        tmp = os.path.join(state_dir, f"tmp_{batch_id}")
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(cur_path):
+            shutil.rmtree(cur_path)
+        os.rename(tmp, cur_path)
+
+    from kinesis_dstream_spark.tables import NANOS_AS_LONG_CONF
+
+    spark.conf.set(NANOS_AS_LONG_CONF, "true")
+    src = _table_multifile_dir(spark, sf_dir, "events", n_files=4)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    if dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option(
+            "checkpointLocation", checkpoint_dir or os.path.join(state_dir, "chk")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    horizon = F.lit("2024-02-01").cast("timestamp")
+    per_user = (
+        spark.read.parquet(cur_path)
+        .groupBy("user_id")
+        .agg(
+            F.datediff(horizon, F.max("last_ts")).alias("recency_days"),
+            F.sum("n").alias("frequency"),
+            F.sum("s").alias("monetary_fp"),
+        )
+    )
+    return eventflow.rfm_from_per_user(per_user)

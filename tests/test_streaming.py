@@ -531,3 +531,24 @@ def test_streaming_transition_replays_safely(spark, sf_dir, tmp_path):
         spark, sf_dir, store_dir=store, checkpoint_dir=str(tmp_path / "chk2")
     )
     assert sorted(map(tuple, replayed.collect())) == batch_rows
+
+
+def test_streaming_rfm_replays_safely(spark, sf_dir, tmp_path):
+    """Distributive RFM granules stream; quartiling at drain. Drained
+    segments equal the batch twin; re-draining into live state with a
+    fresh checkpoint changes nothing (batch-id-keyed upsert)."""
+    from kinesis_dstream_spark.operators.eventflow import rfm_segments
+    from kinesis_dstream_spark.streaming.jobs import streaming_rfm_maintenance
+    from kinesis_dstream_spark.tables import load_table
+
+    state = str(tmp_path / "rfm")
+    first = streaming_rfm_maintenance(spark, sf_dir, state_dir=state)
+    rows_first = sorted(map(tuple, first.collect()))
+    batch_rows = sorted(
+        map(tuple, rfm_segments(load_table(spark, sf_dir, "events")).collect())
+    )
+    assert rows_first == batch_rows
+    replayed = streaming_rfm_maintenance(
+        spark, sf_dir, state_dir=state, checkpoint_dir=str(tmp_path / "chk2")
+    )
+    assert sorted(map(tuple, replayed.collect())) == batch_rows
