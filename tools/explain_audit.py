@@ -86,6 +86,8 @@ AUDIT_DEFAULT = [
     "rfm_segments",
     "ann_filtered_topk",
     "scd2_as_of_snapshot",
+    "session_funnel_conversion",
+    "user_similarity_topk",
 ]
 
 
