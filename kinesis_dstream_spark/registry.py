@@ -2457,6 +2457,15 @@ def _q_stream_transitions(spark: SparkSession, sf: str) -> DataFrame:
     return jobs.streaming_transition_maintenance(spark, sf)
 
 
+def _q_stream_cohort(spark: SparkSession, sf: str) -> DataFrame:
+    """Drained distinct-(user, day) store == batch cohort retention
+    (shares ``cohort_retention``'s oracle — set-semantics granules,
+    cohort shaping at drain)."""
+    from kinesis_dstream_spark.streaming import jobs
+
+    return jobs.streaming_cohort_maintenance(spark, sf)
+
+
 def _q_stream_rfm(spark: SparkSession, sf: str) -> DataFrame:
     """Drained RFM granule store == batch segmentation (shares
     ``rfm_segments``'s oracle — distributive stats stream, the holistic
@@ -3685,6 +3694,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "streaming_hierarchical_rollup": (_q_stream_cagg_rollup, eventflow.HIERARCHICAL_ROLLUP_SQL),
     "streaming_transition_maintenance": (_q_stream_transitions, eventflow.TRANSITION_SQL),
     "streaming_rfm_maintenance": (_q_stream_rfm, eventflow.RFM_SQL),
+    "streaming_cohort_maintenance": (_q_stream_cohort, eventflow.COHORT_RETENTION_SQL),
     # in-stream REAL media decode; same analytic oracle as the batch twin
     "streaming_wav_decode": (_q_stream_wav_decode, _SQL_WAV_DECODE),
     # replay-safe chunk-store maintenance; drained state == batch chunking

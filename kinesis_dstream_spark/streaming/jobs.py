@@ -1185,3 +1185,88 @@ def streaming_rfm_maintenance(
         )
     )
     return eventflow.rfm_from_per_user(per_user)
+
+
+def streaming_cohort_maintenance(
+    spark: SparkSession,
+    sf_dir: str,
+    store_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Streaming maintenance of cohort retention's base view: the
+    DISTINCT (user_id, activity_day) set — SET-SEMANTICS granules, the
+    fourth maintenance class in this module's taxonomy:
+
+    * additive granules + batch-id upsert  → hierarchical rollup
+    * distributive granules + drain-time holistic step → RFM
+    * order-sensitive → affected-key recompute (transitions, SCD-2)
+    * set semantics → append-if-absent (here, and the HLL/doc-dedup jobs)
+
+    Insertion into a set is naturally idempotent, so replay safety needs
+    only the anti-join guard on the key — no batch-id bookkeeping. The
+    cohort shaping (per-user first-touch min, week offsets, distinct
+    counts, offset-0 normalization) runs at drain over the |user×day|
+    store — ~3 orders smaller than the event log it summarizes. Late
+    first-touch arrivals are handled FOR FREE by drain-time shaping:
+    an earlier day appearing later just becomes the new min — exactly
+    the case that breaks eager per-event cohort labeling.
+
+    Drained output shares the batch ``cohort_retention`` oracle.
+    """
+    store_dir = store_dir or tempfile.mkdtemp(prefix="kds_cohort_store_")
+    cur = os.path.join(store_dir, "user_days")
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        days = (
+            batch_df.select("user_id", F.to_date("ts").alias("day")).distinct()
+        )
+        if os.path.exists(cur):
+            days = days.join(spark.read.parquet(cur), ["user_id", "day"], "left_anti")
+        days.write.mode("append").parquet(cur)
+
+    from kinesis_dstream_spark.tables import NANOS_AS_LONG_CONF
+
+    spark.conf.set(NANOS_AS_LONG_CONF, "true")
+    src = _table_multifile_dir(spark, sf_dir, "events", n_files=4)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    if dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option(
+            "checkpointLocation", checkpoint_dir or os.path.join(store_dir, "chk")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    from pyspark.sql import Window as W
+
+    store = spark.read.parquet(cur)
+    wuser = W.partitionBy("user_id")
+    shaped = (
+        store.withColumn("first_day", F.min("day").over(wuser))
+        .select(
+            "user_id",
+            F.expr("datediff(first_day, DATE '2024-01-01') DIV 7").alias(
+                "cohort_week"
+            ),
+            F.expr("datediff(day, first_day) DIV 7").alias("week_offset"),
+        )
+    )
+    counts = shaped.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("user_id").alias("active_users")
+    )
+    wc = W.partitionBy("cohort_week")
+    return counts.select(
+        "cohort_week",
+        "week_offset",
+        "active_users",
+        F.round(
+            F.col("active_users")
+            / F.max(F.when(F.col("week_offset") == 0, F.col("active_users"))).over(wc),
+            4,
+        ).alias("retention_pct"),
+    )

@@ -552,3 +552,23 @@ def test_streaming_rfm_replays_safely(spark, sf_dir, tmp_path):
         spark, sf_dir, state_dir=state, checkpoint_dir=str(tmp_path / "chk2")
     )
     assert sorted(map(tuple, replayed.collect())) == batch_rows
+
+
+def test_streaming_cohort_replays_safely(spark, sf_dir, tmp_path):
+    """Set-semantics granules: re-draining the whole source into a live
+    store adds zero rows; drained retention equals the batch twin."""
+    from kinesis_dstream_spark.operators.eventflow import cohort_retention
+    from kinesis_dstream_spark.streaming.jobs import streaming_cohort_maintenance
+    from kinesis_dstream_spark.tables import load_table
+
+    store = str(tmp_path / "cohort")
+    first = streaming_cohort_maintenance(spark, sf_dir, store_dir=store)
+    rows_first = sorted(map(tuple, first.collect()))
+    batch_rows = sorted(
+        map(tuple, cohort_retention(load_table(spark, sf_dir, "events")).collect())
+    )
+    assert rows_first == batch_rows
+    replayed = streaming_cohort_maintenance(
+        spark, sf_dir, store_dir=store, checkpoint_dir=str(tmp_path / "chk2")
+    )
+    assert sorted(map(tuple, replayed.collect())) == batch_rows
