@@ -510,6 +510,24 @@ def minute_granules(events: DataFrame) -> DataFrame:
     )
 
 
+def minute_granules_by_user(events: DataFrame) -> DataFrame:
+    """Subject-keyed minute granules — the derived-store variant whose
+    rows remain attributable to a user (and therefore erasable; see
+    operators/governance.py)."""
+    return (
+        events.select(
+            "user_id",
+            "event_type",
+            F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {_US_PER_MINUTE}").alias(
+                "midx"
+            ),
+            fixedpoint(F.col("value"), _V_SCALE).alias("iv"),
+        )
+        .groupBy("user_id", "event_type", "midx")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("iv").alias("s"))
+    )
+
+
 def rollup_from_minute_granules(minute: DataFrame) -> DataFrame:
     """Merge minute granules upward to the tagged hour+day output.
 

@@ -33,6 +33,7 @@ from kinesis_dstream_spark.operators import (
     dataquality,
     dedup,
     eventflow,
+    governance,
     graph,
     linkage,
     multimodal,
@@ -3393,6 +3394,10 @@ def _q_dq_report(spark: SparkSession, sf: str) -> DataFrame:
     return dataquality.dq_constraint_report(spark, sf)
 
 
+def _q_erasure_report(spark: SparkSession, sf: str) -> DataFrame:
+    return governance.erasure_report(spark, sf)
+
+
 def _q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     return graph.pagerank_near_dup_graph(load_table(spark, sf, "documents"))
 
@@ -3520,6 +3525,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "ann_filtered_topk": (_q_ann_filtered, _SQL_ANN_FILTERED),
     "session_funnel_conversion": (_q_session_funnel, eventflow.session_funnel_sql()),
     "user_similarity_topk": (_q_user_sim, eventflow.USER_SIM_SQL),
+    "gdpr_erasure_report": (_q_erasure_report, governance.ERASURE_REPORT_SQL),
     "hierarchical_time_rollup": (_q_hier_rollup, eventflow.HIERARCHICAL_ROLLUP_SQL),
     # reference semantics, remainder
     "ir_token_search": (_q_ir_token_search, _SQL_IR_TOKEN_SEARCH),
