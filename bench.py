@@ -110,6 +110,7 @@ BENCH_QUERIES = {
     "scd2_as_of": "scd2_as_of_snapshot",
     "session_funnel": "session_funnel_conversion",
     "user_lookalikes": "user_similarity_topk",
+    "gdpr_erasure": "gdpr_erasure_report",
 }
 
 

@@ -88,6 +88,7 @@ AUDIT_DEFAULT = [
     "scd2_as_of_snapshot",
     "session_funnel_conversion",
     "user_similarity_topk",
+    "gdpr_erasure_report",
 ]
 
 
