@@ -111,6 +111,7 @@ BENCH_QUERIES = {
     "session_funnel": "session_funnel_conversion",
     "user_lookalikes": "user_similarity_topk",
     "gdpr_erasure": "gdpr_erasure_report",
+    "graph_stats": "near_dup_graph_stats",
 }
 
 

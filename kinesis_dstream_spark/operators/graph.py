@@ -98,6 +98,92 @@ def pagerank_near_dup_graph(documents: DataFrame, n_iter: int = 3) -> DataFrame:
     )
 
 
+def near_dup_graph_stats(documents: DataFrame) -> DataFrame:
+    """Structural profile of the near-dup graph: size, degrees,
+    triangles, global clustering coefficient.
+
+    Curation teams read this before acting on dedup output: a high
+    clustering coefficient means duplication is block-shaped (template
+    farms — safe to keep one per cluster); low clustering with high
+    degree means chain/star shapes (partial overlaps — keep-best needs
+    care). Triangle counting uses the oriented-edge join (each triangle
+    counted once as u<v<w): two equi-joins on node keys, the standard
+    distributed formulation — never an all-pairs pass. Every output is
+    an exact integer or one final division of exact integers.
+
+    Scale: edges come from the capped inverted index (bounded per key);
+    the triangle join's fan-out is Σ deg² worst case — the df cap that
+    bounds candidate pairs bounds this identically.
+    """
+    from kinesis_dstream_spark.operators.dedup import dedup_ngram_jaccard
+
+    pairs = dedup_ngram_jaccard(documents).select(
+        F.least("doc_a", "doc_b").alias("u"), F.greatest("doc_a", "doc_b").alias("v")
+    ).distinct().localCheckpoint()
+    sym = pairs.union(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    # oriented wedge u<v<w: join (u,v) with (v,w), close with (u,w)
+    e1 = pairs.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = pairs.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    wedges = e1.join(e2, "b")
+    triangles = wedges.join(
+        pairs.select(F.col("u").alias("a"), F.col("v").alias("c")), ["a", "c"]
+    ).count()
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum("d") / 2).cast("long").alias("n_edges"),
+        F.max("d").alias("max_degree"),
+        F.round(F.sum("d") / F.count(F.lit(1)), 4).alias("avg_degree"),
+        # open+closed triads: Σ d·(d−1)/2, exact int64
+        (F.sum(F.expr("d * (d - 1)")) / 2).cast("long").alias("n_triads"),
+    )
+    spark = documents.sparkSession
+    tri_df = spark.createDataFrame([(triangles,)], "n_triangles long")
+    return stats.crossJoin(tri_df).select(
+        "n_nodes",
+        "n_edges",
+        "max_degree",
+        "avg_degree",
+        "n_triangles",
+        F.round(
+            3 * F.col("n_triangles") / F.nullif(F.col("n_triads").cast("double"), F.lit(0.0)),
+            4,
+        ).alias("clustering_coeff"),
+    )
+
+
+def graph_stats_oracle_sql(pairs_sql: str) -> str:
+    """DuckDB twin: same oriented-triangle join and exact-int degrees."""
+    return f"""
+WITH jp AS ({pairs_sql}),
+pairs AS (
+  SELECT DISTINCT least(doc_a, doc_b) AS u, greatest(doc_a, doc_b) AS v FROM jp
+),
+sym AS (
+  SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs
+),
+deg AS (SELECT u, count(*) AS d FROM sym GROUP BY u),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM pairs e1
+  JOIN pairs e2 ON e1.v = e2.u
+  JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+stats AS (
+  SELECT count(*) AS n_nodes,
+         CAST(CAST(sum(d) AS BIGINT) / 2 AS BIGINT) AS n_edges,
+         max(d) AS max_degree,
+         round(CAST(sum(d) AS BIGINT) / count(*), 4) AS avg_degree,
+         CAST(CAST(sum(d * (d - 1)) AS BIGINT) / 2 AS BIGINT) AS n_triads
+  FROM deg
+)
+SELECT n_nodes, n_edges, max_degree, avg_degree, n_triangles,
+       round(3 * n_triangles / nullif(CAST(n_triads AS DOUBLE), 0.0), 4)
+         AS clustering_coeff
+FROM stats, tri
+"""
+
+
 def pagerank_oracle_sql(pairs_sql: str, n_iter: int = 3) -> str:
     """DuckDB twin: same integer recurrence, iterations unrolled."""
     prev, cte = "r0", ""

@@ -3402,6 +3402,10 @@ def _q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     return graph.pagerank_near_dup_graph(load_table(spark, sf, "documents"))
 
 
+def _q_graph_stats(spark: SparkSession, sf: str) -> DataFrame:
+    return graph.near_dup_graph_stats(load_table(spark, sf, "documents"))
+
+
 def _q_funnel_windowed(spark: SparkSession, sf: str) -> DataFrame:
     return eventflow.funnel_conversion_windowed(load_table(spark, sf, "events"))
 
@@ -3518,6 +3522,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "event_transition_matrix": (_q_transitions, eventflow.TRANSITION_SQL),
     "gap_fill_interpolate": (_q_gapfill_interp, eventflow.GAP_FILL_INTERP_SQL),
     "pagerank_near_dup": (_q_pagerank, graph.pagerank_oracle_sql(_SQL_DEDUP_JACCARD)),
+    "near_dup_graph_stats": (_q_graph_stats, graph.graph_stats_oracle_sql(_SQL_DEDUP_JACCARD)),
     "dq_constraint_report": (_q_dq_report, dataquality.DQ_REPORT_SQL),
     "funnel_conversion_windowed": (_q_funnel_windowed, eventflow.funnel_windowed_sql()),
     "top_event_paths": (_q_top_paths, eventflow.TOP_PATHS_SQL),

@@ -35,3 +35,35 @@ def test_pagerank_plan_no_cartesian(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_graph_stats_invariants(spark, sf_dir):
+    """Handshake identity, triangle bound (≤ triads/3 when every triad
+    closes), clustering ∈ [0, 1]."""
+    r = graph.near_dup_graph_stats(load_table(spark, sf_dir, "documents")).collect()[0]
+    assert r.n_nodes > 0 and r.n_edges > 0
+    assert abs(r.avg_degree - 2 * r.n_edges / r.n_nodes) < 1e-3  # handshake
+    assert r.max_degree >= r.avg_degree
+    assert r.n_triangles >= 0
+    if r.clustering_coeff is not None:
+        assert 0.0 <= r.clustering_coeff <= 1.0
+
+
+def test_triangle_count_on_known_graph(spark):
+    """K4 has 4 triangles; adding a pendant edge adds none."""
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b] + [(3, 9)]
+    edges = spark.createDataFrame(k4, "doc_a long, doc_b long")
+    # count via the same oriented-join shape the operator uses
+    from pyspark.sql import functions as F2
+
+    pairs = edges.select(
+        F2.least("doc_a", "doc_b").alias("u"), F2.greatest("doc_a", "doc_b").alias("v")
+    ).distinct()
+    e1 = pairs.select(F2.col("u").alias("a"), F2.col("v").alias("b"))
+    e2 = pairs.select(F2.col("u").alias("b"), F2.col("v").alias("c"))
+    tri = (
+        e1.join(e2, "b")
+        .join(pairs.select(F2.col("u").alias("a"), F2.col("v").alias("c")), ["a", "c"])
+        .count()
+    )
+    assert tri == 4

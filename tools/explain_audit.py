@@ -89,6 +89,7 @@ AUDIT_DEFAULT = [
     "session_funnel_conversion",
     "user_similarity_topk",
     "gdpr_erasure_report",
+    "near_dup_graph_stats",
 ]
 
 
