@@ -379,10 +379,17 @@ def gap_fill_interpolate(events: DataFrame) -> DataFrame:
         )
         .groupBy("event_type", "hidx")
         .agg(F.count(F.lit(1)).alias("n_events"), F.sum("iv").alias("s"))
-        # NB: Spark DIV and DuckDB // both truncate toward zero, so the
-        # truncating mean is engine-portable even for negative sums.
-        .withColumn("m", F.expr("s * 100 DIV n_events"))
     )
+    return gap_fill_from_hourly(hourly)
+
+
+def gap_fill_from_hourly(hourly: DataFrame) -> DataFrame:
+    """Spine + LOCF/interpolation over an hourly (n_events, s) table —
+    the drain-shaping half, shared with the streaming granule job
+    (additive hourly partials merge first, then this runs span-bounded)."""
+    # NB: Spark DIV and DuckDB // both truncate toward zero, so the
+    # truncating mean is engine-portable even for negative sums.
+    hourly = hourly.withColumn("m", F.expr("s * 100 DIV n_events"))
     spine = (
         hourly.groupBy("event_type")
         .agg(F.min("hidx").alias("h0"), F.max("hidx").alias("h1"))

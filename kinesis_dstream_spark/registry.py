@@ -2458,6 +2458,14 @@ def _q_stream_transitions(spark: SparkSession, sf: str) -> DataFrame:
     return jobs.streaming_transition_maintenance(spark, sf)
 
 
+def _q_stream_gapfill(spark: SparkSession, sf: str) -> DataFrame:
+    """Drained hourly granule store, spine-filled at serve time ==
+    batch gap-fill (shares ``gap_fill_interpolate``'s oracle)."""
+    from kinesis_dstream_spark.streaming import jobs
+
+    return jobs.streaming_gapfill_maintenance(spark, sf)
+
+
 def _q_stream_cohort(spark: SparkSession, sf: str) -> DataFrame:
     """Drained distinct-(user, day) store == batch cohort retention
     (shares ``cohort_retention``'s oracle — set-semantics granules,
@@ -3706,6 +3714,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "streaming_transition_maintenance": (_q_stream_transitions, eventflow.TRANSITION_SQL),
     "streaming_rfm_maintenance": (_q_stream_rfm, eventflow.RFM_SQL),
     "streaming_cohort_maintenance": (_q_stream_cohort, eventflow.COHORT_RETENTION_SQL),
+    "streaming_gapfill_maintenance": (_q_stream_gapfill, eventflow.GAP_FILL_INTERP_SQL),
     # in-stream REAL media decode; same analytic oracle as the batch twin
     "streaming_wav_decode": (_q_stream_wav_decode, _SQL_WAV_DECODE),
     # replay-safe chunk-store maintenance; drained state == batch chunking

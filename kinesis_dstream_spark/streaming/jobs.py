@@ -1270,3 +1270,75 @@ def streaming_cohort_maintenance(
             4,
         ).alias("retention_pct"),
     )
+
+
+def streaming_gapfill_maintenance(
+    spark: SparkSession,
+    sf_dir: str,
+    state_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Streaming maintenance of the gap-fill series' hourly granules
+    (operators/eventflow.gap_fill_interpolate): hourly (count,
+    fixed-point sum) partials are ADDITIVE → batch-id-keyed idempotent
+    upsert, same class as the hierarchical rollup. The spine generation
+    and LOCF/interpolation windows run at drain over the merged hourly
+    table (span-bounded, not corpus-bounded) — and late data is
+    absorbed exactly: a late event just adds into its hour's partials,
+    and every interpolated value downstream of that hour is recomputed
+    at drain, where eager per-gap materialization would have gone stale.
+
+    Drained output shares the batch ``gap_fill_interpolate`` oracle.
+    """
+    from kinesis_dstream_spark.functions.exact import fixedpoint
+    from kinesis_dstream_spark.operators import eventflow
+
+    state_dir = state_dir or tempfile.mkdtemp(prefix="kds_gapfill_state_")
+    cur_path = os.path.join(state_dir, "current")
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        partials = (
+            batch_df.select(
+                "event_type",
+                F.expr(
+                    "unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000"
+                ).alias("hidx"),
+                fixedpoint(F.col("value"), 100).alias("iv"),
+            )
+            .groupBy("event_type", "hidx")
+            .agg(F.count(F.lit(1)).alias("n_events"), F.sum("iv").alias("s"))
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+        )
+        merged = partials
+        if os.path.exists(cur_path):
+            kept = spark.read.parquet(cur_path).where(F.col("batch_id") != batch_id)
+            merged = kept.unionByName(partials)
+        tmp = os.path.join(state_dir, f"tmp_{batch_id}")
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(cur_path):
+            shutil.rmtree(cur_path)
+        os.rename(tmp, cur_path)
+
+    from kinesis_dstream_spark.tables import NANOS_AS_LONG_CONF
+
+    spark.conf.set(NANOS_AS_LONG_CONF, "true")
+    src = _table_multifile_dir(spark, sf_dir, "events", n_files=4)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    if dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option(
+            "checkpointLocation", checkpoint_dir or os.path.join(state_dir, "chk")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    hourly = (
+        spark.read.parquet(cur_path)
+        .groupBy("event_type", "hidx")
+        .agg(F.sum("n_events").alias("n_events"), F.sum("s").alias("s"))
+    )
+    return eventflow.gap_fill_from_hourly(hourly)

@@ -572,3 +572,24 @@ def test_streaming_cohort_replays_safely(spark, sf_dir, tmp_path):
         spark, sf_dir, store_dir=store, checkpoint_dir=str(tmp_path / "chk2")
     )
     assert sorted(map(tuple, replayed.collect())) == batch_rows
+
+
+def test_streaming_gapfill_replays_safely(spark, sf_dir, tmp_path):
+    """Additive hourly granules (batch-id-keyed) + drain-time spine/
+    interpolation: drained equals the batch twin; re-drain changes
+    nothing."""
+    from kinesis_dstream_spark.operators.eventflow import gap_fill_interpolate
+    from kinesis_dstream_spark.streaming.jobs import streaming_gapfill_maintenance
+    from kinesis_dstream_spark.tables import load_table
+
+    state = str(tmp_path / "gapfill")
+    first = streaming_gapfill_maintenance(spark, sf_dir, state_dir=state)
+    rows_first = sorted(map(tuple, first.collect()))
+    batch_rows = sorted(
+        map(tuple, gap_fill_interpolate(load_table(spark, sf_dir, "events")).collect())
+    )
+    assert rows_first == batch_rows
+    replayed = streaming_gapfill_maintenance(
+        spark, sf_dir, state_dir=state, checkpoint_dir=str(tmp_path / "chk2")
+    )
+    assert sorted(map(tuple, replayed.collect())) == batch_rows
