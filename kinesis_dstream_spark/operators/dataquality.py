@@ -174,8 +174,14 @@ WITH o AS (
   FROM (SELECT p_partkey, count(*) AS c FROM part GROUP BY p_partkey)
 ), ri AS (
   SELECT (SELECT count(*) FROM orders) AS n,
-         (SELECT count(*) FROM orders
-          WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) AS v
+         -- NOT EXISTS, not NOT IN: NOT IN's three-valued logic returns
+         -- UNKNOWN (drops the row) whenever any c_custkey is NULL,
+         -- silently diverging from the Spark side's left_anti join,
+         -- which counts such rows as orphans. NOT EXISTS is null-safe
+         -- and matches anti-join semantics exactly.
+         (SELECT count(*) FROM orders o2
+          WHERE NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o2.o_custkey)) AS v
 )
 SELECT 'complete_custkey' AS constraint, 'orders' AS table_name,
        n AS n_rows, v0 AS n_violations, v0 = 0 AS passed FROM o

@@ -173,8 +173,16 @@ def dedup_index_ingest(
     at jaccard 1.0 and are not re-appended.
     """
     dups = dedup_index_check(new_docs, path, threshold)
-    dup_ids = [r["new_doc_id"] for r in dups.select("new_doc_id").distinct().collect()]
-    novel = new_docs.filter(~F.col("doc_id").isin(dup_ids)) if dup_ids else new_docs
+    # localCheckpoint: the anti-join below AND the returned DataFrame
+    # both consume `dups`; materializing once also pins the check
+    # against the pre-append index state (an un-checkpointed lazy plan
+    # re-read after the append would see the batch's own rows).
+    dups = dups.localCheckpoint()
+    novel = new_docs.join(
+        dups.select(F.col("new_doc_id").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_anti",
+    )
     dedup_index_append(novel, path)
     return dups
 

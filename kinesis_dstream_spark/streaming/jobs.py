@@ -957,6 +957,20 @@ def streaming_hierarchical_rollup(
     overwrites instead of accumulating. Pinned by pytest re-running an
     upsert with a duplicate batch id.
 
+    REPLAY CONTRACT (required, not assumed): batch-id-keyed upsert is
+    safe only when a replay re-delivers the SAME batch_id→content
+    mapping — i.e. the source is checkpointed (Spark's file source
+    replays identical epochs from the offset log) — or when the entire
+    source is re-drained from scratch against the same store (every id
+    is overwritten, stale partials cannot survive). A PARTIAL replay
+    with shifted batch ids (e.g. a new checkpoint dir over a store
+    built under the old one) violates the contract: epoch k's delete
+    would clear a different epoch's rows and leave undelivered ids'
+    stale partials in place. Operationally: never discard the
+    checkpoint without also discarding (or fully re-draining) the
+    store. The tests exercise both sanctioned modes (checkpointed
+    restart, full re-drain).
+
     The drained hour/day output must equal the batch
     ``hierarchical_time_rollup`` EXACTLY (int64 partials merge
     losslessly in any batching), so this streaming query shares the
