@@ -361,6 +361,66 @@ def ann_index_search(
     )
 
 
+# Control-plane cap for one serve call: the query batch is collected to
+# the driver by contract (LUTs ship in the UDF closure), so a single
+# ann_index_search call must stay driver-sized. Mega-batches go through
+# ann_index_search_batched, which chunks to this bound and unions.
+QUERY_BATCH_ROWS = 4096
+
+
+def ann_index_search_batched(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    oversample: int = 16,
+    batch_rows: int = QUERY_BATCH_ROWS,
+) -> DataFrame:
+    """Serve an arbitrarily large query batch by control-plane chunks.
+
+    ``ann_index_search`` collects its query batch to the driver by
+    documented contract; this is the loop that contract presumes.
+    The query set is split into ``ceil(n / batch_rows)`` chunks keyed
+    by ``xxhash64(q_id) mod n_chunks`` (deterministic, balanced w.h.p.
+    for arbitrary id spaces — no global sort of the query set), each
+    chunk is served through the standard partition-pruned path, and the
+    per-chunk results are unioned. Search is per-q_id independent, so
+    the union is IDENTICAL to a single oversized call (pytest pins a
+    batch larger than the cap against the single-batch result).
+
+    Scale shape: driver memory is bounded by one chunk (≤ ~batch_rows
+    rows of unit vectors + LUTs) regardless of total query count; the
+    corpus side stays partition-pruned per chunk. The loop is
+    driver-paced by design — each chunk's probe set must reach the
+    driver to become a partition filter.
+    """
+    n = queries.count()  # control-plane scalar
+    if n == 0:
+        return ann_index_search(spark, path, k=k, n_probe=n_probe,
+                                oversample=oversample, queries=queries)
+    n_chunks = -(-n // batch_rows)
+    if n_chunks == 1:
+        return ann_index_search(spark, path, k=k, n_probe=n_probe,
+                                oversample=oversample, queries=queries)
+    chunked = queries.withColumn(
+        "_chunk", F.pmod(F.xxhash64(F.col("q_id")), F.lit(n_chunks))
+    )
+    parts = []
+    for b in range(n_chunks):
+        part = chunked.filter(F.col("_chunk") == b).drop("_chunk")
+        parts.append(
+            ann_index_search(
+                spark, path, k=k, n_probe=n_probe,
+                oversample=oversample, queries=part,
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def ann_index_ensure(embeddings: DataFrame, index_path: str, **kwargs) -> None:
     """Build-if-absent with staleness detection.
 

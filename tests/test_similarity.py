@@ -400,3 +400,28 @@ def test_ann_filtered_respects_predicate(spark, sf_dir):
     for r in out:
         if r.rk == 1:
             assert r.cos_sim <= unf[r.q_id] + 1e-9
+
+
+def test_ann_index_search_batched_equals_single_batch(spark, sf_dir, tmp_path):
+    """The mega-batch serve loop: a query batch LARGER than the chunk
+    cap, served in chunks, must union to exactly the single-call result
+    (search is per-q_id independent). batch_rows=7 over 30 queries
+    forces 5 chunks through the real chunking path."""
+    from kinesis_dstream_spark.operators import ann_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "idx")
+    ann_index.ann_index_build(emb, path)
+    ext = emb.filter(F.col("vec_id") < 30).select(
+        (F.col("vec_id") + 1000).alias("q_id"), "embedding"
+    )
+    single = ann_index.ann_index_search(spark, path, k=5, queries=ext).collect()
+    batched = ann_index.ann_index_search_batched(
+        spark, path, ext, k=5, batch_rows=7
+    ).collect()
+    assert sorted(map(tuple, batched)) == sorted(map(tuple, single))
+    # under-cap path short-circuits to a single call, same result
+    small = ext.filter(F.col("q_id") < 1005)
+    one = ann_index.ann_index_search_batched(spark, path, small, k=5).collect()
+    ref = ann_index.ann_index_search(spark, path, k=5, queries=small).collect()
+    assert sorted(map(tuple, one)) == sorted(map(tuple, ref))
