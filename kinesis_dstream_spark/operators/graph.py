@@ -72,17 +72,25 @@ def pagerank(edges: DataFrame, n_iter: int = 3) -> DataFrame:
     return ranks
 
 
-def pagerank_near_dup_graph(documents: DataFrame, n_iter: int = 3) -> DataFrame:
+def pagerank_near_dup_graph(
+    documents: DataFrame, n_iter: int = 3, pairs: DataFrame | None = None
+) -> DataFrame:
     """PageRank centrality inside the n-gram-Jaccard near-dup graph.
 
     Symmetrizes the pair list from ``dedup.dedup_ngram_jaccard`` (the
     capped-inverted-index candidate join — the scale-safe pair source)
     and runs ``n_iter`` exact-arithmetic rounds. High-rank docs are the
     hubs of duplication — the natural canonical-representative choice.
+
+    ``pairs``: pre-computed (doc_a, doc_b, …) pair list — pass the
+    persisted artifact (``pairs_store.near_dup_pairs_ensure``) to skip
+    the corpus-wide shingle join; None recomputes live.
     """
     from kinesis_dstream_spark.operators.dedup import dedup_ngram_jaccard
 
-    pairs = dedup_ngram_jaccard(documents).select("doc_a", "doc_b")
+    if pairs is None:
+        pairs = dedup_ngram_jaccard(documents)
+    pairs = pairs.select("doc_a", "doc_b")
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
@@ -98,7 +106,9 @@ def pagerank_near_dup_graph(documents: DataFrame, n_iter: int = 3) -> DataFrame:
     )
 
 
-def near_dup_graph_stats(documents: DataFrame) -> DataFrame:
+def near_dup_graph_stats(
+    documents: DataFrame, pairs: DataFrame | None = None
+) -> DataFrame:
     """Structural profile of the near-dup graph: size, degrees,
     triangles, global clustering coefficient.
 
@@ -114,10 +124,15 @@ def near_dup_graph_stats(documents: DataFrame) -> DataFrame:
     Scale: edges come from the capped inverted index (bounded per key);
     the triangle join's fan-out is Σ deg² worst case — the df cap that
     bounds candidate pairs bounds this identically.
+
+    ``pairs``: pre-computed pair list (the persisted artifact) — None
+    recomputes live from the corpus.
     """
     from kinesis_dstream_spark.operators.dedup import dedup_ngram_jaccard
 
-    pairs = dedup_ngram_jaccard(documents).select(
+    if pairs is None:
+        pairs = dedup_ngram_jaccard(documents)
+    pairs = pairs.select(
         F.least("doc_a", "doc_b").alias("u"), F.greatest("doc_a", "doc_b").alias("v")
     ).distinct().localCheckpoint()
     sym = pairs.union(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))

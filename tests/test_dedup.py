@@ -430,3 +430,37 @@ def test_dedup_substring_cut_removes_shared_spans_only(spark):
     for r in out.values():
         kept_n = len(r.kept_text.split()) if r.kept_text else 0
         assert kept_n + r.n_removed == r.n_tokens
+
+
+def test_near_dup_pairs_artifact_matches_live_and_detects_staleness(
+    spark, sf_dir, tmp_path
+):
+    """The persisted pairs artifact must serve EXACTLY the live
+    dedup_ngram_jaccard rows, reuse the parquet on a second call (no
+    rebuild — meta mtime unchanged), and rebuild when the corpus
+    changes (fingerprint staleness)."""
+    import json
+    import os
+
+    from kinesis_dstream_spark.operators import pairs_store
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "ndpairs")
+    got = pairs_store.near_dup_pairs_ensure(docs, path).collect()
+    want = dedup.dedup_ngram_jaccard(docs).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    meta = os.path.join(path, pairs_store.META)
+    with open(meta) as f:
+        fp1 = json.load(f)["fingerprint"]
+    t1 = os.path.getmtime(meta)
+    again = pairs_store.near_dup_pairs_ensure(docs, path).collect()
+    assert os.path.getmtime(meta) == t1  # served, not rebuilt
+    assert sorted(map(tuple, again)) == sorted(map(tuple, want))
+    # a different corpus under the same path must rebuild
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    rebuilt = pairs_store.near_dup_pairs_ensure(half, path).collect()
+    with open(meta) as f:
+        fp2 = json.load(f)["fingerprint"]
+    assert fp2 != fp1
+    want_half = dedup.dedup_ngram_jaccard(half).collect()
+    assert sorted(map(tuple, rebuilt)) == sorted(map(tuple, want_half))
