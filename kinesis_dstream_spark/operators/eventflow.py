@@ -19,10 +19,11 @@ Scale shapes (100 TB):
   the (cohort, offset) pair — whose cardinality is O(weeks²), tiny.
 - rolling z-score: one shuffle on ``event_type``. NOTE: event_type is a
   low-cardinality key, so at 100 TB this window would hot-spot its
-  partitions; the operator documents that callers should sub-key (e.g.
-  (event_type, entity_shard)) when a per-type total order is not
-  required. The per-type ordered scan itself is the semantics — a
-  trailing-window baseline is inherently sequential per key.
+  partitions; ``rolling_zscore_outliers_sharded`` is the implemented
+  mitigation — sub-keys the window by (event_type, user_id % shards)
+  so no partition sorts more than ~1/shards of a type. The unsharded
+  variant remains for when a per-type total order IS the semantics —
+  a trailing-window baseline is inherently sequential per key.
 """
 
 from __future__ import annotations
@@ -301,6 +302,96 @@ WITH framed AS (
               AS BIGINT) AS s2
   FROM events
   WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN {_Z_LOOKBACK} PRECEDING AND 1 PRECEDING)
+), scored AS (
+  SELECT event_type,
+         (iv * n - s1) / sqrt(nullif((n * s2 - s1 * s1) * n / (n - 1), 0.0)) AS z
+  FROM framed WHERE n >= {_Z_MIN_BASELINE}
+)
+SELECT event_type, count(*) AS n_scored,
+       CAST(sum(CAST(abs(z) > {_Z_THRESHOLD} AS BIGINT)) AS BIGINT) AS n_outliers,
+       round(max(abs(z)), 4) AS max_abs_z
+FROM scored GROUP BY event_type
+"""
+
+
+_Z_SHARDS = 8
+
+
+def rolling_zscore_outliers_sharded(
+    events: DataFrame, shards: int = _Z_SHARDS
+) -> DataFrame:
+    """Sharded trailing z-score: the 100 TB shape of
+    ``rolling_zscore_outliers``.
+
+    The plain variant's window partitions by ``event_type`` alone — a
+    low-cardinality key whose partitions hold a full type's rows, the
+    classic hot-spot at scale. This variant sub-keys the window by
+    ``(event_type, user_id % shards)`` — the documented entity-shard
+    mitigation, now code: each event is z-scored against the trailing
+    {N} same-type events OF ITS ENTITY SHARD (a per-shard baseline is
+    statistically interchangeable with the global one when events are
+    hash-spread across shards, which user-keyed traffic is), so no
+    window partition ever sorts more than ~1/shards of a type's rows,
+    and adding shards scales the sort out linearly.
+
+    The two-level merge mirrors ``sketches.kmv_day_granules``: stage 1
+    computes shard-local exact moments + flags inside the sharded
+    window; stage 2's per-type rollup merges shard results EXACTLY
+    (counts are additive, max is distributive), so the merge introduces
+    no approximation — only the baseline's membership changes, and that
+    change is part of the operator's declared semantics with its own
+    exact DuckDB oracle (the oracle computes the identical sharded
+    window, so flags match bit-for-bit).
+    """
+    iv = fixedpoint(F.col("value"), _V_SCALE)
+    shard = F.pmod(F.col("user_id"), F.lit(shards))
+    w = (
+        Window.partitionBy("event_type", "shard")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-_Z_LOOKBACK, -1)
+    )
+    base = events.select(
+        "event_type", shard.alias("shard"), "ts", "event_id", iv.alias("iv")
+    )
+    scored = base.select(
+        "event_type",
+        "iv",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("iv").over(w).alias("s1"),
+        F.sum(F.col("iv") * F.col("iv")).over(w).alias("s2"),
+    ).where(F.col("n") >= _Z_MIN_BASELINE)
+    den = F.sqrt(
+        F.nullif(
+            (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+            * F.col("n")
+            / (F.col("n") - 1),
+            F.lit(0.0),
+        )
+    )
+    z = (F.col("iv") * F.col("n") - F.col("s1")) / den
+    return (
+        scored.select("event_type", z.alias("z"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.sum((F.abs("z") > _Z_THRESHOLD).cast("long")).alias("n_outliers"),
+            F.round(F.max(F.abs("z")), 4).alias("max_abs_z"),
+        )
+    )
+
+
+ZSCORE_SHARDED_SQL = f"""
+WITH framed AS (
+  SELECT event_type, CAST(round(value * {_V_SCALE}) AS BIGINT) AS iv,
+         count(*) OVER w AS n,
+         CAST(sum(CAST(round(value * {_V_SCALE}) AS BIGINT)) OVER w AS BIGINT) AS s1,
+         CAST(sum(CAST(round(value * {_V_SCALE}) AS BIGINT)
+                  * CAST(round(value * {_V_SCALE}) AS BIGINT)) OVER w
+              AS BIGINT) AS s2
+  FROM events
+  WINDOW w AS (PARTITION BY event_type, user_id % {_Z_SHARDS}
+               ORDER BY ts, event_id
                ROWS BETWEEN {_Z_LOOKBACK} PRECEDING AND 1 PRECEDING)
 ), scored AS (
   SELECT event_type,

@@ -358,3 +358,26 @@ def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
     finally:
         spark.conf.set(scan_conf, old_scan)
         spark.conf.set(bc_conf, old_bc)
+
+
+def test_zscore_sharded_window_partitions_on_entity_shard(spark, sf_dir):
+    """The sharded z-score's window exchange must hash on
+    (event_type, shard) — the whole point of the variant: no partition
+    ever sorts more than ~1/shards of a type's rows. The unsharded
+    variant's exchange hashes on event_type alone (pinned here as the
+    contrast, documenting WHY the sharded one exists)."""
+    from kinesis_dstream_spark.operators import eventflow
+
+    events = load_table(spark, sf_dir, "events")
+    sharded = _plan(eventflow.rolling_zscore_outliers_sharded(events))
+    keys = [
+        part.split(")")[0]
+        for part in sharded.split("hashpartitioning(")[1:]
+    ]
+    # the window's exchange carries both keys
+    assert any("event_type" in k and "shard" in k for k in keys)
+    plain = _plan(eventflow.rolling_zscore_outliers(events))
+    plain_keys = [
+        part.split(")")[0] for part in plain.split("hashpartitioning(")[1:]
+    ]
+    assert all("shard" not in k for k in plain_keys)
