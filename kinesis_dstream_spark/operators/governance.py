@@ -23,6 +23,7 @@ part of the mandated extension surface.
 
 from __future__ import annotations
 
+import os
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
@@ -80,6 +81,223 @@ def erasure_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reduce(lambda a, b: a.unionByName(b), reports)
 
 
+def _copy_tree(src: str, dst: str) -> None:
+    import shutil
+
+    shutil.copytree(src, dst)
+
+
+def erase_parquet_store(
+    spark: SparkSession, data_path: str, requests: DataFrame, key: str
+) -> None:
+    """PHYSICAL erasure of subject rows from an on-disk parquet store.
+
+    Read → anti-join on the subject key → rewrite via tmp-dir + atomic
+    rename (the streaming-SCD2 rewrite convention, so a crash mid-erase
+    leaves either the old store or the new one, never a torn mix).
+    Partition columns (e.g. the ANN index's ``cell``) survive because
+    the rewrite re-partitions by the same layout when present.
+    """
+    import shutil
+
+    df = spark.read.parquet(data_path)
+    kept = df.join(F.broadcast(requests), key, "left_anti").localCheckpoint()
+    tmp = data_path.rstrip("/") + "_erase_tmp"
+    writer = kept.write.mode("overwrite")
+    if "cell" in df.columns:
+        writer = writer.partitionBy("cell")
+    writer.parquet(tmp)
+    shutil.rmtree(data_path)
+    os.rename(tmp, data_path)
+
+
+_GOV_STORE_META = "_gov_meta.json"
+
+
+def _ensure_gov_stores(spark: SparkSession, sf_dir: str, base: str) -> dict[str, str]:
+    """Build-if-absent PRISTINE copies of the three persisted derived
+    stores (ANN index, chunk store, MinHash dedup index) for this
+    corpus, fingerprint-validated like every persisted artifact in the
+    repo. Erasure always runs on a fresh copy of these, never in place,
+    so the report query is deterministic across invocations."""
+    import json
+
+    from kinesis_dstream_spark.operators import ann_index, dedup_index
+    from kinesis_dstream_spark.operators.text import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    paths = {
+        "ann_index": os.path.join(base, "ann_index"),
+        "chunk_store": os.path.join(base, "chunk_store"),
+        "minhash_dedup_index": os.path.join(base, "dedup_index"),
+    }
+    ann_index.ann_index_ensure(emb, paths["ann_index"])
+
+    doc_fp = dedup_index.corpus_fingerprint(docs)
+    chunk_meta = os.path.join(paths["chunk_store"], _GOV_STORE_META)
+    stored = None
+    if os.path.exists(chunk_meta):
+        with open(chunk_meta) as f:
+            stored = json.load(f).get("fingerprint")
+    if stored != doc_fp:
+        chunk_documents(docs).write.mode("overwrite").parquet(
+            os.path.join(paths["chunk_store"], "chunks")
+        )
+        with open(chunk_meta, "w") as f:
+            json.dump({"fingerprint": doc_fp}, f)
+
+    di_meta = os.path.join(paths["minhash_dedup_index"], dedup_index.META)
+    stored = None
+    if os.path.exists(di_meta):
+        with open(di_meta) as f:
+            stored = json.load(f).get("fingerprint")
+    if stored != doc_fp:
+        dedup_index.dedup_index_build(
+            docs, paths["minhash_dedup_index"], fingerprint=doc_fp
+        )
+    return paths
+
+
+def erasure_report_full(
+    spark: SparkSession, sf_dir: str, work_dir: str | None = None
+) -> DataFrame:
+    """Subject erasure across ALL SIX stores — the raw/derived trio of
+    the basic report PLUS the persisted derived stores that hold
+    subject-derived text and vectors on disk: the ANN index, the chunk
+    store, and the MinHash dedup index. Erasure that skips these is not
+    erasure — they contain the subject's content verbatim (chunk text,
+    shingle hashes, unit vectors).
+
+    Subject→asset mapping: the fixture stand-in keys events by
+    ``user_id % 37``, documents by ``doc_id % 37``, vectors by
+    ``vec_id % 37`` — one modular request set per key space. A real
+    deployment resolves a subject to their owned doc/vec ids through a
+    lineage table; the erase mechanics from that point are identical.
+
+    Mechanics: pristine stores are built once per corpus (fingerprint
+    build-if-absent), COPIED to a fresh work dir, and the copies are
+    PHYSICALLY erased (anti-join + tmp-dir + atomic-rename rewrite) —
+    so the report's rows_after figures are read back from the erased
+    parquet on disk, not inferred. rows_before comes from the pristine
+    store; rows_before = rows_erased + rows_after by construction, and
+    the pytest proves zero residual subject rows in every store.
+
+    Model-parameter caveat, stated honestly: the ANN index's codebooks
+    (sidecar) are aggregate statistics fitted over the full corpus;
+    row erasure removes the subject's vectors and codes but does not
+    refit centroids. Whether trained parameters are personal data is a
+    model-inversion policy question; a deployment requiring it refits
+    with ``ann_index_build`` after erasure.
+
+    Scale shape: each store pays one scan + one broadcast anti-join +
+    one rewrite, no shuffle; with subject-partitioned layouts the
+    rewrite prunes to affected partitions. Counts only travel; erased
+    contents are never collected.
+    """
+    import tempfile
+
+    from kinesis_dstream_spark.operators import changelog, eventflow
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    pristine = _ensure_gov_stores(
+        spark, sf_dir, f"{tempfile.gettempdir()}/kds_gov_stores_{tag}"
+    )
+    work_dir = work_dir or tempfile.mkdtemp(prefix="kds_gov_erase_")
+    erased_paths = {}
+    for name, src in pristine.items():
+        dst = os.path.join(work_dir, name)
+        _copy_tree(src, dst)
+        erased_paths[name] = dst
+
+    events = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    req_users = (
+        events.select("user_id").distinct().where(F.col("user_id") % _ERASE_MOD == 0)
+    )
+    req_docs = (
+        docs.select("doc_id").distinct().where(F.col("doc_id") % _ERASE_MOD == 0)
+    )
+    req_vecs = (
+        emb.select(F.col("vec_id")).distinct().where(F.col("vec_id") % _ERASE_MOD == 0)
+    )
+
+    erase_parquet_store(spark, erased_paths["ann_index"], req_vecs, "vec_id")
+    erase_parquet_store(
+        spark, os.path.join(erased_paths["chunk_store"], "chunks"), req_docs, "doc_id"
+    )
+    for sub in ("bands", "shingles"):
+        erase_parquet_store(
+            spark,
+            os.path.join(erased_paths["minhash_dedup_index"], sub),
+            req_docs,
+            "doc_id",
+        )
+
+    # logical (in-memory derived) stores: anti-join views, as in the
+    # basic report
+    logical = {
+        "events_raw": (events, req_users, "user_id"),
+        "scd2_history": (changelog.scd2_from_changelog(events), req_users, "user_id"),
+        "minute_granules": (
+            eventflow.minute_granules_by_user(events),
+            req_users,
+            "user_id",
+        ),
+    }
+    reports = []
+    for name, (df, req, key) in logical.items():
+        after = erase_subjects(df, req, key)
+        reports.append(
+            df.agg(F.count(F.lit(1)).alias("rows_before")).crossJoin(
+                after.agg(F.count(F.lit(1)).alias("rows_after"))
+            ).select(F.lit(name).alias("store"), "rows_before", "rows_after")
+        )
+    # persisted stores: before from the pristine parquet, after from the
+    # physically erased copy on disk
+    persisted = {
+        "ann_index": (pristine["ann_index"], erased_paths["ann_index"]),
+        "chunk_store": (
+            os.path.join(pristine["chunk_store"], "chunks"),
+            os.path.join(erased_paths["chunk_store"], "chunks"),
+        ),
+    }
+    for name, (pre, post) in persisted.items():
+        reports.append(
+            spark.read.parquet(pre)
+            .agg(F.count(F.lit(1)).alias("rows_before"))
+            .crossJoin(
+                spark.read.parquet(post).agg(F.count(F.lit(1)).alias("rows_after"))
+            )
+            .select(F.lit(name).alias("store"), "rows_before", "rows_after")
+        )
+    # dedup index: bands + shingles accounted as one store
+    di_pre = [os.path.join(pristine["minhash_dedup_index"], s) for s in ("bands", "shingles")]
+    di_post = [os.path.join(erased_paths["minhash_dedup_index"], s) for s in ("bands", "shingles")]
+    pre_cnt = (
+        spark.read.parquet(di_pre[0]).agg(F.count(F.lit(1)).alias("b"))
+        .crossJoin(spark.read.parquet(di_pre[1]).agg(F.count(F.lit(1)).alias("s")))
+        .select((F.col("b") + F.col("s")).alias("rows_before"))
+    )
+    post_cnt = (
+        spark.read.parquet(di_post[0]).agg(F.count(F.lit(1)).alias("b"))
+        .crossJoin(spark.read.parquet(di_post[1]).agg(F.count(F.lit(1)).alias("s")))
+        .select((F.col("b") + F.col("s")).alias("rows_after"))
+    )
+    reports.append(
+        pre_cnt.crossJoin(post_cnt).select(
+            F.lit("minhash_dedup_index").alias("store"), "rows_before", "rows_after"
+        )
+    )
+    return reduce(lambda a, b: a.unionByName(b), reports).select(
+        "store",
+        "rows_before",
+        (F.col("rows_before") - F.col("rows_after")).alias("rows_erased"),
+        "rows_after",
+    )
+
+
 ERASURE_REPORT_SQL = f"""
 WITH requests AS (
   SELECT DISTINCT user_id FROM events WHERE user_id % {_ERASE_MOD} = 0
@@ -106,4 +324,63 @@ UNION ALL
 SELECT 'scd2_history', before, erased, before - erased FROM ev
 UNION ALL
 SELECT 'minute_granules', before, erased, before - erased FROM gran
+"""
+
+
+# DuckDB twin of the six-store report. Derived-store cardinalities are
+# re-derived from the raw tables: the ANN index holds one row per
+# vector; the chunk store one row per (doc, 48-stride token window)
+# (the chunk_documents oracle's series); the MinHash dedup index holds
+# bands(8) band rows + 1 shingle-set row per document (every document
+# tokenizes to >=1 shingle under the whole-doc fallback, so the count
+# is exactly 9 per doc).
+_DUCK_TOKS_GOV = "str_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')"
+
+ERASURE_FULL_SQL = f"""
+WITH ev AS (
+  SELECT count(*) AS before,
+         CAST(sum(CASE WHEN user_id % {_ERASE_MOD} = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS erased
+  FROM events
+), gran AS (
+  SELECT count(*) AS before,
+         CAST(sum(CASE WHEN user_id % {_ERASE_MOD} = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS erased
+  FROM (
+    SELECT user_id, event_type, epoch_us(ts) // 60000000 AS midx
+    FROM events GROUP BY user_id, event_type, epoch_us(ts) // 60000000
+  )
+), ann AS (
+  SELECT count(*) AS before,
+         CAST(sum(CASE WHEN vec_id % {_ERASE_MOD} = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS erased
+  FROM embeddings
+), ch AS (
+  SELECT count(*) AS before,
+         CAST(sum(CASE WHEN doc_id % {_ERASE_MOD} = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS erased
+  FROM (
+    SELECT doc_id,
+           unnest(generate_series(1, greatest(len({_DUCK_TOKS_GOV}) - 16, 1), 48))
+             AS start_tok
+    FROM documents
+  )
+), di AS (
+  SELECT 9 * count(*) AS before,
+         9 * CAST(sum(CASE WHEN doc_id % {_ERASE_MOD} = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS erased
+  FROM documents
+)
+SELECT 'events_raw' AS store, before AS rows_before, erased AS rows_erased,
+       before - erased AS rows_after FROM ev
+UNION ALL
+SELECT 'scd2_history', before, erased, before - erased FROM ev
+UNION ALL
+SELECT 'minute_granules', before, erased, before - erased FROM gran
+UNION ALL
+SELECT 'ann_index', before, erased, before - erased FROM ann
+UNION ALL
+SELECT 'chunk_store', before, erased, before - erased FROM ch
+UNION ALL
+SELECT 'minhash_dedup_index', before, erased, before - erased FROM di
 """

@@ -3466,6 +3466,10 @@ def _q_zscore_sharded(spark: SparkSession, sf: str) -> DataFrame:
     return eventflow.rolling_zscore_outliers_sharded(load_table(spark, sf, "events"))
 
 
+def _q_erasure_full(spark: SparkSession, sf: str) -> DataFrame:
+    return governance.erasure_report_full(spark, sf)
+
+
 # ORDER MATTERS: the driver's correctness gate covers the FIRST 50 entries
 # (round-1 CORRECTNESS_r01 cut off there), so the highest-value operators —
 # the full TPC-H suite, the LLM-pipeline dedup/ANN/text families, and the
@@ -3750,6 +3754,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "rolling_zscore_outliers_sharded": (
         _q_zscore_sharded,
         eventflow.ZSCORE_SHARDED_SQL,
+    ),
+    # six-store subject erasure incl. PHYSICAL deletion from the
+    # persisted ANN index / chunk store / MinHash dedup index
+    "gdpr_erasure_full_report": (
+        _q_erasure_full,
+        governance.ERASURE_FULL_SQL,
     ),
 }
 
