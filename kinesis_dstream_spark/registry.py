@@ -606,13 +606,40 @@ def _q_dedup_cosine_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.dedup_embedding_cosine_lsh(load_table(spark, sf, "embeddings"))
 
 
-_SQL_DEDUP_COSINE = """
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                    CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                   CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
+# BIT-EXACT cosine twin: DuckDB's list_cosine_similarity computes
+# dot/(|a||b|) in its own float order, which can land on the other side
+# of the 4dp rounding boundary from Spark's normalize-then-sequential-
+# fold — flipping rank ties or threshold membership at some data scale.
+# This CTE mirrors Spark's exact float path instead: unit = x/sqrt(seq
+# fold of squares), cosine = sequential left fold of unit products
+# (list_reduce is left-to-right, and IEEE `0.0 + x == x`, so the
+# fold-with-init and reduce-without-init are bitwise identical).
+# Verified bit-exact on every fixture pair.
+_DUCK_UNIT_CTE = """
+e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), u AS (
+  SELECT vec_id, label,
+         list_transform(v, x -> x /
+           sqrt(list_reduce(list_transform(v, y -> y * y), (a, b) -> a + b))
+         ) AS unit
+  FROM e
+)"""
+
+_DUCK_SEQ_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}), s -> s[1] * s[2]),"
+    " (a, b) -> a + b)"
+)
+
+_COS_QC = _DUCK_SEQ_DOT.format(a="q.unit", b="c.unit")
+
+_SQL_DEDUP_COSINE = f"""
+WITH {_DUCK_UNIT_CTE}
+SELECT vec_a, vec_b, cos_sim FROM (
+  SELECT q.vec_id AS vec_a, c.vec_id AS vec_b,
+         round({_COS_QC}, 4) AS cos_sim
+  FROM u q JOIN u c ON q.vec_id < c.vec_id
+) WHERE cos_sim >= 0.4
 """
 
 
@@ -625,18 +652,17 @@ def _q_ann_brute(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.ann_bruteforce_topk(load_table(spark, sf, "embeddings"))
 
 
-_SQL_ANN_BRUTE = """
+# bit-exact float path: see _DUCK_UNIT_CTE note above
+_SQL_ANN_BRUTE = f"""
+WITH {_DUCK_UNIT_CTE}
 SELECT q_id, c_id, cos_sim, rk FROM (
   SELECT q.vec_id AS q_id, c.vec_id AS c_id,
-         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-                                      CAST(c.embedding AS DOUBLE[])), 4) AS cos_sim,
+         round({_COS_QC}, 4) AS cos_sim,
          CAST(row_number() OVER (
            PARTITION BY q.vec_id
-           ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-                                                 CAST(c.embedding AS DOUBLE[])), 4) DESC,
-                    c.vec_id ASC
+           ORDER BY round({_COS_QC}, 4) DESC, c.vec_id ASC
          ) AS INT) AS rk
-  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id != q.vec_id
+  FROM u q JOIN u c ON q.vec_id < 10 AND c.vec_id != q.vec_id
 ) WHERE rk <= 5
 """
 
@@ -645,18 +671,17 @@ def _q_ann_filtered(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.ann_filtered_topk(load_table(spark, sf, "embeddings"))
 
 
-_SQL_ANN_FILTERED = """
+# bit-exact float path: see _DUCK_UNIT_CTE note above
+_SQL_ANN_FILTERED = f"""
+WITH {_DUCK_UNIT_CTE}
 SELECT q_id, c_id, label, cos_sim, rk FROM (
   SELECT q.vec_id AS q_id, c.vec_id AS c_id, c.label AS label,
-         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-                                      CAST(c.embedding AS DOUBLE[])), 4) AS cos_sim,
+         round({_COS_QC}, 4) AS cos_sim,
          CAST(row_number() OVER (
            PARTITION BY q.vec_id
-           ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-                                                 CAST(c.embedding AS DOUBLE[])), 4) DESC,
-                    c.vec_id ASC
+           ORDER BY round({_COS_QC}, 4) DESC, c.vec_id ASC
          ) AS INT) AS rk
-  FROM embeddings q JOIN embeddings c
+  FROM u q JOIN u c
     ON q.vec_id < 10 AND c.label = q.label AND c.vec_id != q.vec_id
 ) WHERE rk <= 5
 """
