@@ -112,6 +112,9 @@ BENCH_QUERIES = {
     "user_lookalikes": "user_similarity_topk",
     "gdpr_erasure": "gdpr_erasure_report",
     "graph_stats": "near_dup_graph_stats",
+    # r6 additions: sharded window shape + six-store physical erasure
+    "zscore_sharded": "rolling_zscore_outliers_sharded",
+    "gdpr_erasure_full": "gdpr_erasure_full_report",
 }
 
 
