@@ -19,6 +19,16 @@ codebook fit + corpus encode + search, the no-persisted-index variant),
 `ann_index_serve` times ONLY the recurring cost: partition-pruned
 codes-only search against an already-built index.
 
+Regression chase (r6, re: the r5 verdict's q9/changelog_latest/
+sessionize/streaming_drain deltas): a SOLO re-run (no concurrent Spark
+jobs, pinned 8g driver heap) restored all four to r4 levels — q9
+0.88 s (r4 0.91), changelog_latest 0.26 (r4 0.29), sessionize 0.44
+(r4 0.44), streaming_drain 1.57 (r4 1.47, +7%) — confirming the r5
+numbers were 65-query-run JVM contention, not plan changes (plans
+audited identical). Same run: the shared near-dup pairs artifact cut
+dedup_clusters_star/dedup_keep_best/graph_stats/pagerank by 69-74%
+each (shared-65 total 75.4 s -> 56.1 s, -26%).
+
 Variance note (r5, re: the r4 verdict's simhash/minhash deltas):
 isolated re-measurement of the shuffle-heavy dedup queries at sf0.1
 shows ±20-40% run-to-run spread at the ~2 s scale even after warm-up
