@@ -593,3 +593,32 @@ def test_streaming_gapfill_replays_safely(spark, sf_dir, tmp_path):
         spark, sf_dir, state_dir=state, checkpoint_dir=str(tmp_path / "chk2")
     )
     assert sorted(map(tuple, replayed.collect())) == batch_rows
+
+
+def test_streaming_near_dup_pairs_equals_batch_and_replays_safely(
+    spark, sf_dir, tmp_path
+):
+    """The incremental pairs maintenance must drain to EXACTLY the
+    batch builder's pair list (the later-doc decomposition is exact
+    under the frozen vocabulary), and replaying every micro-batch into
+    the existing store (fresh checkpoint) must change nothing — the
+    novel-doc anti-join makes re-delivery a no-op."""
+    from kinesis_dstream_spark.operators.dedup import dedup_ngram_jaccard
+    from kinesis_dstream_spark.streaming.jobs import (
+        streaming_near_dup_pairs_maintenance,
+    )
+    from kinesis_dstream_spark.tables import load_table
+
+    store = str(tmp_path / "pairs_store")
+    drained = streaming_near_dup_pairs_maintenance(spark, sf_dir, store_dir=store)
+    got = sorted(map(tuple, drained.collect()))
+    want = sorted(
+        map(tuple, dedup_ngram_jaccard(load_table(spark, sf_dir, "documents")).collect())
+    )
+    assert got == want and len(got) > 0
+    rows_n = spark.read.parquet(store + "/shingle_rows").count()
+    replayed = streaming_near_dup_pairs_maintenance(
+        spark, sf_dir, store_dir=store, checkpoint_dir=str(tmp_path / "chk2")
+    )
+    assert sorted(map(tuple, replayed.collect())) == want
+    assert spark.read.parquet(store + "/shingle_rows").count() == rows_n
