@@ -1085,3 +1085,89 @@ SELECT prev_type, next_type, n_transitions,
              OVER (PARTITION BY prev_type) AS BIGINT), 4) AS transition_pct
 FROM counts
 """
+
+
+_TOUCH_TYPES = ("view", "click", "signup")
+
+
+def revenue_attribution(events: DataFrame) -> DataFrame:
+    """First-touch / last-touch revenue attribution — which acquisition
+    touchpoint gets credit for each purchase.
+
+    For every ``purchase``, the LAST-touch model credits the most
+    recent preceding touch event (view/click/signup) by the same user;
+    the FIRST-touch model credits the user's earliest touch at-or-
+    before the purchase. Purchases with no preceding touch credit
+    ``direct``. Output: one row per (model, touch_type) with purchase
+    count and exact attributed revenue.
+
+    Determinism: both credits are IGNORE NULLS window picks over the
+    (ts, event_id) total order — no ties possible; revenue sums run on
+    fixed-point int64 (the module convention) with one final division,
+    so the DuckDB twin matches bit-for-bit.
+
+    Plan: ONE shuffle on ``user_id``; both window picks share the
+    partitioning (no re-exchange) and the final rollup's key space is
+    |models| x |touch types| — tiny, map-side combined.
+
+    At 100 TB this is the same shape as the funnel: per-user event-time
+    scans parallelize across users (high-cardinality key), and no
+    state beyond the window frame exists.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col("event_type").isin(*_TOUCH_TYPES), F.col("event_type"))
+    credited = (
+        events.select(
+            "user_id",
+            "event_type",
+            fixedpoint(F.col("value"), _V_SCALE).alias("iv"),
+            F.last(touch, ignorenulls=True).over(w).alias("last_touch"),
+            F.first(touch, ignorenulls=True).over(w).alias("first_touch"),
+        )
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.coalesce("last_touch", F.lit("direct")).alias("last_touch"),
+            F.coalesce("first_touch", F.lit("direct")).alias("first_touch"),
+            "iv",
+        )
+    )
+    def rollup(model: str, col: str) -> DataFrame:
+        return credited.groupBy(F.col(col).alias("touch_type")).agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("iv") / _V_SCALE, 2).alias("revenue"),
+        ).select(F.lit(model).alias("model"), "touch_type", "n_purchases", "revenue")
+
+    return rollup("last_touch", "last_touch").unionByName(
+        rollup("first_touch", "first_touch")
+    )
+
+
+ATTRIBUTION_SQL = f"""
+WITH credited AS (
+  SELECT event_type,
+         CAST(round(value * {_V_SCALE}) AS BIGINT) AS iv,
+         last_value(CASE WHEN event_type IN {_TOUCH_TYPES} THEN event_type END
+                    IGNORE NULLS) OVER w AS last_touch,
+         first_value(CASE WHEN event_type IN {_TOUCH_TYPES} THEN event_type END
+                     IGNORE NULLS) OVER w AS first_touch
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), purchases AS (
+  SELECT coalesce(last_touch, 'direct') AS last_touch,
+         coalesce(first_touch, 'direct') AS first_touch, iv
+  FROM credited WHERE event_type = 'purchase'
+)
+SELECT 'last_touch' AS model, last_touch AS touch_type,
+       count(*) AS n_purchases,
+       round(CAST(sum(iv) AS BIGINT) / {_V_SCALE}, 2) AS revenue
+FROM purchases GROUP BY last_touch
+UNION ALL
+SELECT 'first_touch', first_touch, count(*),
+       round(CAST(sum(iv) AS BIGINT) / {_V_SCALE}, 2)
+FROM purchases GROUP BY first_touch
+"""

@@ -3501,6 +3501,10 @@ def _q_stream_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return jobs.streaming_near_dup_pairs_maintenance(spark, sf)
 
 
+def _q_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    return eventflow.revenue_attribution(load_table(spark, sf, "events"))
+
+
 # ORDER MATTERS: the driver's correctness gate covers the FIRST 50 entries
 # (round-1 CORRECTNESS_r01 cut off there), so the highest-value operators —
 # the full TPC-H suite, the LLM-pipeline dedup/ANN/text families, and the
@@ -3796,6 +3800,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # the batch builder row-for-row (exact later-doc decomposition
     # under the frozen df-cap vocabulary), so it shares the batch twin
     "streaming_near_dup_pairs": (_q_stream_pairs, _SQL_DEDUP_JACCARD),
+    # first-/last-touch revenue attribution (E-15 depth)
+    "revenue_attribution": (_q_attribution, eventflow.ATTRIBUTION_SQL),
 }
 
 

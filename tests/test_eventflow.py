@@ -231,3 +231,29 @@ def test_user_similarity_topk_shape(spark, sf_dir):
         ordered = sorted(rs, key=lambda r: r.rk)
         sims = [r.cos_sim for r in ordered]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_revenue_attribution_conserves_total_revenue(spark, sf_dir):
+    """Attribution must be CONSERVATIVE: each model's attributed
+    revenue and purchase counts sum to exactly the corpus's total
+    purchase revenue/count — credit moves between touchpoints, it is
+    never created or lost."""
+    ev = load_table(spark, sf_dir, "events")
+    rows = eventflow.revenue_attribution(ev).collect()
+    models = {r.model for r in rows}
+    assert models == {"first_touch", "last_touch"}
+    purchases = ev.where(F.col("event_type") == "purchase")
+    n_total = purchases.count()
+    rev_total = round(
+        purchases.select(F.round(F.sum(F.round(F.col("value") * 100)) / 100, 2))
+        .collect()[0][0],
+        2,
+    )
+    for m in models:
+        mrows = [r for r in rows if r.model == m]
+        assert sum(r.n_purchases for r in mrows) == n_total
+        assert round(sum(r.revenue for r in mrows), 2) == rev_total
+        # every touch_type is a real touch or 'direct'
+        assert {r.touch_type for r in mrows} <= {
+            "view", "click", "signup", "direct",
+        }
