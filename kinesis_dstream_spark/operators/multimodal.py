@@ -523,6 +523,77 @@ def bmp_decode_stats(documents: DataFrame) -> DataFrame:
     return decode_bmp_batch(synth_bmp_table(documents))
 
 
+def resize_bmp_batch(media: DataFrame, factor: int = 3) -> DataFrame:
+    """REAL image resize: decode each BMP, nearest-neighbor downsample
+    by ``factor`` in image space (top-origin pixel (x, y) samples
+    source (factor·x, factor·y)), and RE-ENCODE a genuine 24bpp
+    bottom-up BMP — output payloads are valid image files, so the
+    existing certified decoder can read them (which is exactly how
+    ``bmp_resize_stats`` verifies this encoder).
+
+    The mandated multimodal `resize` step, structured for scale like
+    every decode here: mapInPandas, codec logic in the closure, zero
+    exchange; payloads never leave the executor except as the resized
+    bytes. Malformed inputs quarantine to null payloads.
+    """
+    import struct
+
+    import numpy as np
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    p = bytes(payload)
+                    magic, _, _, _, offset = struct.unpack_from("<2sIHHI", p, 0)
+                    if magic != b"BM":
+                        raise ValueError("not a BMP")
+                    (_, w, h, planes, bpp) = struct.unpack_from("<IiiHH", p, 14)
+                    if bpp != 24 or planes != 1 or w <= 0 or h <= 0:
+                        raise ValueError("unsupported BMP variant")
+                    stride = (w * 3 + 3) // 4 * 4
+                    px = np.frombuffer(
+                        p, dtype=np.uint8, count=stride * h, offset=offset
+                    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+                    img = px[::-1]  # bottom-up storage -> image space
+                    w2, h2 = max(w // factor, 1), max(h // factor, 1)
+                    small = img[: h2 * factor : factor, : w2 * factor : factor]
+                    pad = (-(w2 * 3)) % 4
+                    body = b"".join(
+                        bytes(small[y].tobytes()) + b"\x00" * pad
+                        for y in range(h2 - 1, -1, -1)  # re-encode bottom-up
+                    )
+                    hdr = struct.pack(
+                        "<2sIHHI", b"BM", 54 + len(body), 0, 0, 54
+                    ) + struct.pack(
+                        "<IiiHHIIiiII",
+                        40, w2, h2, 1, 24, 0, len(body), 2835, 2835, 0, 0,
+                    )
+                    out.append((int(mid), hdr + body))
+                except Exception:
+                    out.append((int(mid), None))
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    return media.mapInPandas(resize, "media_id long, payload binary")
+
+
+def bmp_resize_stats(documents: DataFrame, factor: int = 3) -> DataFrame:
+    """Synthesize real BMPs, RESIZE them (decode → NN downsample →
+    re-encode), then decode the resized files with the standard
+    decoder and emit per-image stats.
+
+    Factor 3 preserves the source checkerboard's parity structure
+    (pixel (3x, 3y) has parity(x + y)), so every stat of the RESIZED
+    image is analytically computable from doc_id: the oracle predicts
+    dimensions, constant channels, and avg_r = 255·|even cells|/(w₂h₂)
+    — a hash match certifies decode, sampling arithmetic, AND the
+    re-encoder, since the stats are read from the re-encoded bytes.
+    One fused mapInPandas chain, no shuffle.
+    """
+    return decode_bmp_batch(resize_bmp_batch(synth_bmp_table(documents), factor))
+
+
 # ---------------------------------------------------------------------------
 # REAL video decode (YUV4MPEG2 / .y4m: text header + raw planes, stdlib-only)
 # ---------------------------------------------------------------------------

@@ -3505,6 +3505,36 @@ def _q_attribution(spark: SparkSession, sf: str) -> DataFrame:
     return eventflow.revenue_attribution(load_table(spark, sf, "events"))
 
 
+def _q_bmp_resize(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.operators import multimodal
+
+    return multimodal.bmp_resize_stats(load_table(spark, sf, "documents"))
+
+
+# Analytic twin of the full resize chain: source dims from doc_id,
+# factor-3 NN sampling preserves the checkerboard parity (pixel (3x,3y)
+# has parity(x+y)), so avg_r = 255 * |{(x,y): (x+y) even}| / (w2*h2)
+# with |even cells| = (w2*h2 + (w2%2)*(h2%2)) // 2; B and G are
+# constant. A hash match certifies decode + sampling + re-encode.
+_SQL_BMP_RESIZE = """
+WITH dims AS (
+  SELECT doc_id,
+         (8 + doc_id % 8) // 3 AS w2,
+         (8 + doc_id % 5) // 3 AS h2
+  FROM documents
+)
+SELECT doc_id AS media_id,
+       CAST(w2 AS INT) AS width,
+       CAST(h2 AS INT) AS height,
+       24 AS bpp,
+       round(CAST(doc_id % 256 AS DOUBLE), 4) AS avg_b,
+       CAST(128.0 AS DOUBLE) AS avg_g,
+       round(255.0 * ((w2 * h2 + (w2 % 2) * (h2 % 2)) // 2) / (w2 * h2), 4)
+         AS avg_r
+FROM dims
+"""
+
+
 # ORDER MATTERS: the driver's correctness gate covers the FIRST 50 entries
 # (round-1 CORRECTNESS_r01 cut off there), so the highest-value operators —
 # the full TPC-H suite, the LLM-pipeline dedup/ANN/text families, and the
@@ -3802,6 +3832,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "streaming_near_dup_pairs": (_q_stream_pairs, _SQL_DEDUP_JACCARD),
     # first-/last-touch revenue attribution (E-15 depth)
     "revenue_attribution": (_q_attribution, eventflow.ATTRIBUTION_SQL),
+    # REAL image resize: decode -> NN downsample -> re-encode -> decode;
+    # the analytic oracle certifies the whole chain incl. the encoder
+    "bmp_resize_stats": (_q_bmp_resize, _SQL_BMP_RESIZE),
 }
 
 

@@ -175,3 +175,28 @@ def test_y4m_decode_quarantines_malformed_payloads(spark):
     rows = {r["media_id"]: r for r in decode_y4m_batch(df).collect()}
     assert len(rows) == 3
     assert all(r["width"] is None and r["avg_y"] is None for r in rows.values())
+
+
+def test_bmp_resize_roundtrip_and_quarantine(spark, sf_dir):
+    """Resized payloads must be genuine BMPs (the standard decoder
+    reads them), dimensions must be exactly src//3, and the parity
+    structure must survive sampling; malformed inputs quarantine to
+    null payloads rather than poisoning the batch."""
+    from kinesis_dstream_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    resized = multimodal.resize_bmp_batch(multimodal.synth_bmp_table(docs))
+    stats = {
+        r.media_id: r for r in multimodal.decode_bmp_batch(resized).collect()
+    }
+    for r in multimodal.decode_bmp_batch(multimodal.synth_bmp_table(docs)).collect():
+        s = stats[r.media_id]
+        assert s.width == r.width // 3 and s.height == r.height // 3
+        assert s.bpp == 24
+        assert s.avg_b == r.avg_b and s.avg_g == 128.0
+    # malformed payload -> null payload, well-formed neighbor survives
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"not a bmp")), ], "media_id long, payload binary"
+    )
+    out = multimodal.resize_bmp_batch(bad).collect()
+    assert len(out) == 1 and out[0].payload is None
