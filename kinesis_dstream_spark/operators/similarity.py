@@ -684,3 +684,66 @@ def array_hof_stats(embeddings: DataFrame) -> DataFrame:
             F.aggregate(e, F.lit(0.0), lambda acc, x: acc + F.abs(x)), 4
         ).alias("l1_norm"),
     )
+
+
+def contrastive_pair_mining(
+    embeddings: DataFrame, n_queries: int = 10
+) -> DataFrame:
+    """Mine (anchor, positive, hard-negative) triplets for contrastive
+    training: for each anchor, the nearest SAME-label vector is the
+    positive and the nearest DIFFERENT-label vector is the hard
+    negative — the standard triplet-mining recipe (hard negatives are
+    what make contrastive embeddings sharp; random negatives teach
+    nothing at scale).
+
+    Output: (anchor_id, pos_id, pos_sim, neg_id, neg_sim, margin) with
+    margin = pos_sim − neg_sim; a negative margin flags anchors whose
+    nearest neighbor crosses the label boundary — exactly the triplets
+    a curation pass routes to relabeling.
+
+    Plan: ONE corpus scan; the anchor batch broadcasts, each corpus row
+    is scored once, and the positive/negative picks are two window
+    top-1s over the same (anchor, rounded-cosine, id) ordering — ties
+    broken by lowest candidate id, mirroring the SQL twin exactly
+    (scores use the bit-exact normalize-then-sequential-fold path). At
+    100 TB this is the ann_filtered shape: label partitioning prunes
+    the positive side, and the mega-batch loop (`ann_index_search_
+    batched`) applies unchanged if anchors outgrow the driver.
+    """
+    normed = _normalized(embeddings)
+    anchors = normed.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("a_label"),
+        F.col("unit").alias("a_unit"),
+    )
+    corpus = normed.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("label").alias("c_label"),
+        F.col("unit").alias("c_unit"),
+    )
+    scored = corpus.join(
+        F.broadcast(anchors), F.col("anchor_id") != F.col("c_id")
+    ).select(
+        "anchor_id",
+        "c_id",
+        (F.col("c_label") == F.col("a_label")).alias("same"),
+        F.round(V.dot(F.col("a_unit"), F.col("c_unit")), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy("anchor_id", "same").orderBy(
+        F.col("cos_sim").desc(), F.col("c_id").asc()
+    )
+    top1 = scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    pos = top1.filter(F.col("same")).select(
+        "anchor_id", F.col("c_id").alias("pos_id"), F.col("cos_sim").alias("pos_sim")
+    )
+    neg = top1.filter(~F.col("same")).select(
+        "anchor_id", F.col("c_id").alias("neg_id"), F.col("cos_sim").alias("neg_sim")
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id",
+        "pos_id",
+        "pos_sim",
+        "neg_id",
+        "neg_sim",
+        F.round(F.col("pos_sim") - F.col("neg_sim"), 4).alias("margin"),
+    )

@@ -3516,6 +3516,31 @@ def _q_bmp_resize(spark: SparkSession, sf: str) -> DataFrame:
 # has parity(x+y)), so avg_r = 255 * |{(x,y): (x+y) even}| / (w2*h2)
 # with |even cells| = (w2*h2 + (w2%2)*(h2%2)) // 2; B and G are
 # constant. A hash match certifies decode + sampling + re-encode.
+def _q_contrastive(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.contrastive_pair_mining(load_table(spark, sf, "embeddings"))
+
+
+# same bit-exact float path as the other cosine twins (_DUCK_UNIT_CTE)
+_SQL_CONTRASTIVE = f"""
+WITH {_DUCK_UNIT_CTE}, scored AS (
+  SELECT q.vec_id AS anchor_id, c.vec_id AS c_id,
+         (c.label = q.label) AS same,
+         round({_COS_QC}, 4) AS cos_sim
+  FROM u q JOIN u c ON q.vec_id < 10 AND c.vec_id != q.vec_id
+), t AS (
+  SELECT *, row_number() OVER (PARTITION BY anchor_id, same
+                               ORDER BY cos_sim DESC, c_id ASC) AS rk
+  FROM scored
+)
+SELECT p.anchor_id, p.c_id AS pos_id, p.cos_sim AS pos_sim,
+       n.c_id AS neg_id, n.cos_sim AS neg_sim,
+       round(p.cos_sim - n.cos_sim, 4) AS margin
+FROM t p JOIN t n
+  ON p.anchor_id = n.anchor_id AND p.rk = 1 AND n.rk = 1
+     AND p.same AND NOT n.same
+"""
+
+
 _SQL_BMP_RESIZE = """
 WITH dims AS (
   SELECT doc_id,
@@ -3835,6 +3860,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # REAL image resize: decode -> NN downsample -> re-encode -> decode;
     # the analytic oracle certifies the whole chain incl. the encoder
     "bmp_resize_stats": (_q_bmp_resize, _SQL_BMP_RESIZE),
+    # contrastive triplet mining: nearest same-label positive + hardest
+    # cross-label negative per anchor (bit-exact cosine path)
+    "contrastive_pair_mining": (_q_contrastive, _SQL_CONTRASTIVE),
 }
 
 

@@ -425,3 +425,32 @@ def test_ann_index_search_batched_equals_single_batch(spark, sf_dir, tmp_path):
     one = ann_index.ann_index_search_batched(spark, path, small, k=5).collect()
     ref = ann_index.ann_index_search(spark, path, k=5, queries=small).collect()
     assert sorted(map(tuple, one)) == sorted(map(tuple, ref))
+
+
+def test_contrastive_pairs_consistent_with_filtered_topk(spark, sf_dir):
+    """Each anchor's positive must equal ann_filtered_topk's rank-1
+    same-label hit, and the negative must score >= every same-label
+    candidate BELOW the positive is not required — but the negative
+    must be the global best among cross-label candidates: verify
+    against a brute-force numpy recomputation."""
+    import numpy as np
+
+    from kinesis_dstream_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = {r.anchor_id: r for r in similarity.contrastive_pair_mining(emb).collect()}
+    pdf = emb.toPandas().sort_values("vec_id")
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    labels = pdf["label"].to_numpy()
+    ids = pdf["vec_id"].to_numpy()
+    for a in range(10):
+        sims = np.round(mat[a] @ mat.T, 4)
+        sims[a] = -2
+        same = labels == labels[a]
+        pos_best = sims[same & (ids != ids[a])].max()
+        neg_best = sims[~same].max()
+        r = rows[a]
+        assert abs(r.pos_sim - pos_best) < 1e-9
+        assert abs(r.neg_sim - neg_best) < 1e-9
+        assert abs(r.margin - round(r.pos_sim - r.neg_sim, 4)) < 1e-9
