@@ -3541,6 +3541,36 @@ FROM t p JOIN t n
 """
 
 
+def _q_wav_resample(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.operators import multimodal
+
+    return multimodal.wav_resample_stats(load_table(spark, sf, "documents"))
+
+
+# Analytic twin of the resample chain. The 5-sample block-mean over the
+# 16-sample square wave cycles through 16 start offsets (5 coprime 16):
+# 8 phases mean +-amp, 4 mean +-3/5 amp, 4 mean +-1/5 amp, and every
+# fixture n_samples is divisible by 80, so
+# rms^2 = amp^2 * (8*25 + 4*9 + 4*1) / (16*25) = 0.6 amp^2 EXACTLY
+# (amp % 10 == 0 makes every block mean and its square an exact int).
+_SQL_WAV_RESAMPLE = """
+WITH base AS (
+  SELECT doc_id,
+         800 + (doc_id % 5) * 80 AS n,
+         1000 + (doc_id % 7) * 500 AS amp
+  FROM documents
+)
+SELECT doc_id AS media_id,
+       1600 AS sample_rate,
+       1 AS n_channels,
+       CAST(n // 5 AS BIGINT) AS n_samples,
+       round((n // 5) * 1000.0 / 1600, 3) AS duration_ms,
+       CAST(amp AS INT) AS peak,
+       round(sqrt(0.6 * amp * amp), 4) AS rms
+FROM base
+"""
+
+
 _SQL_BMP_RESIZE = """
 WITH dims AS (
   SELECT doc_id,
@@ -3863,6 +3893,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # contrastive triplet mining: nearest same-label positive + hardest
     # cross-label negative per anchor (bit-exact cosine path)
     "contrastive_pair_mining": (_q_contrastive, _SQL_CONTRASTIVE),
+    # REAL audio resample: decode -> block-mean decimate -> re-encode ->
+    # decode; rms = amp*sqrt(0.6) certifies true averaging
+    "wav_resample_stats": (_q_wav_resample, _SQL_WAV_RESAMPLE),
 }
 
 

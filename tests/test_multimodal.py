@@ -200,3 +200,30 @@ def test_bmp_resize_roundtrip_and_quarantine(spark, sf_dir):
     )
     out = multimodal.resize_bmp_batch(bad).collect()
     assert len(out) == 1 and out[0].payload is None
+
+
+def test_wav_resample_certifies_true_averaging(spark, sf_dir):
+    """The resampled square wave's rms must be amp*sqrt(0.6) — the
+    signature of real block-mean decimation (a pick-every-Nth shortcut
+    returns amp); headers must carry rate/5 and n/5; malformed
+    payloads quarantine."""
+    import math
+
+    from kinesis_dstream_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    src = {r.media_id: r for r in multimodal.wav_decode_stats(docs).collect()}
+    out = multimodal.decode_wav_batch(
+        multimodal.resample_wav_batch(multimodal.synth_wav_table(docs))
+    ).collect()
+    assert len(out) == 40
+    for r in out:
+        s = src[r.media_id]
+        assert r.sample_rate == s.sample_rate // 5
+        assert r.n_samples == s.n_samples // 5
+        assert r.peak == s.peak
+        assert abs(r.rms - round(s.peak * math.sqrt(0.6), 4)) < 1e-9
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"RIFFjunk"))], "media_id long, payload binary"
+    )
+    assert multimodal.resample_wav_batch(bad).collect()[0].payload is None
