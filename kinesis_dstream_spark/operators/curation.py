@@ -568,3 +568,44 @@ def embedding_contamination(
     return normed.filter(~F.col("is_bench")).select("vec_id", "unit").mapInPandas(
         score, "vec_id long, bench_id long, cos_sim double"
     )
+
+
+def curriculum_assignment(documents: DataFrame, n_stages: int = 4) -> DataFrame:
+    """Curriculum staging for training: quality-quartile x length-bucket
+    cohort sizes — the assignment table a curriculum-ordered training
+    run consumes (start on high-quality short documents, anneal toward
+    the long tail).
+
+    Stage = ntile({n}) over the (quality, doc_id) total order (quality
+    from the oracle-backed ``text.quality_score``); length buckets are
+    fixed token bands. Output per (stage, len_bucket): doc count, exact
+    quality extrema (order statistics — deterministic, unlike a float
+    mean), and the token budget the cohort contributes.
+
+    Scale note: the global ntile is a single ordered pass at fixture
+    scale; at 100 TB the stage boundaries come from the KMV quantile
+    granules (sketches.py) and the assignment becomes a map-side
+    comparison against broadcast boundaries — same output contract,
+    no global sort. The RFM segmentation documents the same tradeoff.
+    """
+    from pyspark.sql import Window
+
+    from kinesis_dstream_spark.operators.text import quality_score
+
+    scored = quality_score(documents)
+    staged = scored.select(
+        "doc_id",
+        "quality",
+        "n_tokens",
+        F.ntile(n_stages).over(Window.orderBy("quality", "doc_id")).alias("stage"),
+        F.when(F.col("n_tokens") < 64, "short")
+        .when(F.col("n_tokens") < 256, "medium")
+        .otherwise("long")
+        .alias("len_bucket"),
+    )
+    return staged.groupBy("stage", "len_bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("quality").alias("min_quality"),
+        F.max("quality").alias("max_quality"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )

@@ -3571,6 +3571,52 @@ FROM base
 """
 
 
+def _q_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.sources import formats
+
+    return formats.schema_evolution_stats(spark, sf)
+
+
+# gen1 (even keys) has no price column -> every row NULL under the
+# merged schema; gen2 (odd keys) is fully priced. A read that invents
+# values, drops the column, or loses rows in either generation breaks
+# this accounting.
+_SQL_SCHEMA_EVOLUTION = """
+SELECT CAST(1 AS INT) AS gen, count(*) AS n_rows,
+       count(*) AS null_price_rows,
+       CAST(0.00 AS DOUBLE) AS priced_total,
+       CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses
+FROM orders WHERE o_orderkey % 2 = 0
+UNION ALL
+SELECT CAST(2 AS INT), count(*), 0,
+       round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             / 100.0, 2),
+       CAST(count(DISTINCT o_orderstatus) AS BIGINT)
+FROM orders WHERE o_orderkey % 2 = 1
+"""
+
+
+def _q_curriculum(spark: SparkSession, sf: str) -> DataFrame:
+    return curation.curriculum_assignment(load_table(spark, sf, "documents"))
+
+
+_SQL_CURRICULUM = f"""
+WITH scored AS ({_SQL_QUALITY}),
+staged AS (
+  SELECT doc_id, quality, n_tokens,
+         CAST(ntile(4) OVER (ORDER BY quality, doc_id) AS INT) AS stage,
+         CASE WHEN n_tokens < 64 THEN 'short'
+              WHEN n_tokens < 256 THEN 'medium'
+              ELSE 'long' END AS len_bucket
+  FROM scored
+)
+SELECT stage, len_bucket, count(*) AS n_docs,
+       min(quality) AS min_quality, max(quality) AS max_quality,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM staged GROUP BY stage, len_bucket
+"""
+
+
 _SQL_BMP_RESIZE = """
 WITH dims AS (
   SELECT doc_id,
@@ -3896,6 +3942,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # REAL audio resample: decode -> block-mean decimate -> re-encode ->
     # decode; rms = amp*sqrt(0.6) certifies true averaging
     "wav_resample_stats": (_q_wav_resample, _SQL_WAV_RESAMPLE),
+    # schema drift across parquet generations; mergeSchema NULL semantics
+    "schema_evolution_stats": (_q_schema_evolution, _SQL_SCHEMA_EVOLUTION),
+    # curriculum staging: quality-quartile x length-bucket cohorts
+    "curriculum_assignment": (_q_curriculum, _SQL_CURRICULUM),
 }
 
 

@@ -203,3 +203,49 @@ def orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_avg(F.col("l_quantity")).alias("avg_qty"),
         )
     )
+
+
+def schema_evolution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema drift across parquet generations + mergeSchema read (E-1).
+
+    The production scenario every long-lived dataset hits: generation 1
+    files were written before a column existed; generation 2 adds it.
+    Orders split by key parity: gen1 writes (o_orderkey, o_custkey,
+    o_orderstatus); gen2 additionally carries o_totalprice. A
+    ``mergeSchema`` read reconciles the union schema and surfaces the
+    missing column as NULLs on gen1 rows — the report counts rows and
+    nulls per generation plus the priced total, so a read that dropped
+    the new column, invented values for old rows, or lost rows in
+    either generation breaks the oracle (which computes the same
+    accounting from the raw table).
+
+    Scale note: schema merging is a FOOTER-ONLY operation (no data
+    bytes read to reconcile schemas), but footer-listing cost grows
+    with file count — at 100 TB the schema belongs in a catalog
+    (Delta/Iceberg metadata), with mergeSchema as the migration path;
+    the NULL-for-missing semantics shown here are identical there.
+    """
+    from kinesis_dstream_spark.functions.exact import exact_sum
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = os.path.join(roundtrip_dir(sf_dir), "orders_generations")
+    gen1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    gen2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    gen1.write.mode("overwrite").parquet(os.path.join(base, "gen=1"))
+    gen2.write.mode("overwrite").parquet(os.path.join(base, "gen=2"))
+    merged = spark.read.option("mergeSchema", True).parquet(base)
+    return (
+        merged.groupBy("gen")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_totalprice").isNull().cast("long")).alias("null_price_rows"),
+            exact_sum(F.coalesce(F.col("o_totalprice"), F.lit(0.0))).alias(
+                "priced_total"
+            ),
+            F.countDistinct("o_orderstatus").alias("n_statuses"),
+        )
+    )

@@ -268,3 +268,27 @@ class TestEmbeddingContamination:
         plan = C.embedding_contamination(emb)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
         assert "CartesianProduct" not in plan
+
+
+def test_curriculum_stages_are_balanced_and_ordered(spark, sf_dir):
+    """ntile staging must conserve the corpus, keep stage sizes within
+    1 of each other, and produce non-overlapping quality ranges in
+    stage order — the properties a curriculum scheduler relies on."""
+    from kinesis_dstream_spark.operators.curation import curriculum_assignment
+    from kinesis_dstream_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = curriculum_assignment(docs).collect()
+    n_total = docs.count()
+    assert sum(r.n_docs for r in rows) == n_total
+    by_stage = {}
+    for r in rows:
+        s = by_stage.setdefault(r.stage, {"n": 0, "lo": 1e9, "hi": -1e9})
+        s["n"] += r.n_docs
+        s["lo"] = min(s["lo"], r.min_quality)
+        s["hi"] = max(s["hi"], r.max_quality)
+    sizes = [by_stage[s]["n"] for s in sorted(by_stage)]
+    assert len(sizes) == 4 and max(sizes) - min(sizes) <= 1
+    for a, b in zip(sorted(by_stage), sorted(by_stage)[1:]):
+        assert by_stage[a]["hi"] <= by_stage[b]["lo"] + 1e-9
+    assert {r.len_bucket for r in rows} <= {"short", "medium", "long"}

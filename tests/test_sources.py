@@ -501,3 +501,21 @@ def test_firehose_sink_import_gate():
             FirehosePutRecordBatchSink("delivery")
     else:
         FirehosePutRecordBatchSink("delivery")
+
+
+def test_schema_evolution_merges_with_null_semantics(spark, sf_dir):
+    """mergeSchema must surface the union schema with NULLs exactly on
+    the generation that lacked the column, and conserve row counts."""
+    from kinesis_dstream_spark.sources.formats import schema_evolution_stats
+    from kinesis_dstream_spark.tables import load_table
+
+    from pyspark.sql import functions as F
+
+    rows = {r.gen: r for r in schema_evolution_stats(spark, sf_dir).collect()}
+    orders = load_table(spark, sf_dir, "orders")
+    n_even = orders.where(F.col("o_orderkey") % 2 == 0).count()
+    n_odd = orders.count() - n_even
+    assert rows[1].n_rows == n_even and rows[1].null_price_rows == n_even
+    assert rows[1].priced_total == 0.0
+    assert rows[2].n_rows == n_odd and rows[2].null_price_rows == 0
+    assert rows[2].priced_total > 0
