@@ -122,9 +122,17 @@ BENCH_QUERIES = {
     "user_lookalikes": "user_similarity_topk",
     "gdpr_erasure": "gdpr_erasure_report",
     "graph_stats": "near_dup_graph_stats",
-    # r6 additions: sharded window shape + six-store physical erasure
+    # r6 additions: sharded window shape + six-store physical erasure,
+    # incremental pairs maintenance, triplet mining, attribution,
+    # media resize/resample, curriculum staging
     "zscore_sharded": "rolling_zscore_outliers_sharded",
     "gdpr_erasure_full": "gdpr_erasure_full_report",
+    "streaming_pairs": "streaming_near_dup_pairs",
+    "contrastive_mining": "contrastive_pair_mining",
+    "revenue_attribution": "revenue_attribution",
+    "bmp_resize": "bmp_resize_stats",
+    "wav_resample": "wav_resample_stats",
+    "curriculum": "curriculum_assignment",
 }
 
 

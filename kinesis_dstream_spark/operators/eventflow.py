@@ -1135,14 +1135,28 @@ def revenue_attribution(events: DataFrame) -> DataFrame:
             "iv",
         )
     )
-    def rollup(model: str, col: str) -> DataFrame:
-        return credited.groupBy(F.col(col).alias("touch_type")).agg(
-            F.count(F.lit(1)).alias("n_purchases"),
-            F.round(F.sum("iv") / _V_SCALE, 2).alias("revenue"),
-        ).select(F.lit(model).alias("model"), "touch_type", "n_purchases", "revenue")
-
-    return rollup("last_touch", "last_touch").unionByName(
-        rollup("first_touch", "first_touch")
+    # single pass: a union of two rollups would re-run the window scan
+    # per branch (plan-audited); exploding each purchase into its two
+    # (model, touch) credits keeps ONE window exchange + ONE tiny rollup
+    exploded = credited.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("last_touch").alias("model"),
+                    F.col("last_touch").alias("touch_type"),
+                    F.col("iv").alias("iv"),
+                ),
+                F.struct(
+                    F.lit("first_touch").alias("model"),
+                    F.col("first_touch").alias("touch_type"),
+                    F.col("iv").alias("iv"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.model", "e.touch_type", "e.iv")
+    return exploded.groupBy("model", "touch_type").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.round(F.sum("iv") / _V_SCALE, 2).alias("revenue"),
     )
 
 
