@@ -3571,6 +3571,25 @@ FROM base
 """
 
 
+def _q_quarantine(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.sources import formats
+
+    return formats.corrupt_record_quarantine_stats(spark, sf)
+
+
+# a parser that silently dropped corrupt lines (count mismatch) or
+# coerced them (total mismatch) breaks this accounting
+_SQL_QUARANTINE = """
+SELECT o_orderstatus AS bucket, count(*) AS n_rows,
+       round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             / 100.0, 2) AS total_price
+FROM orders WHERE o_orderkey % 37 <> 0 GROUP BY o_orderstatus
+UNION ALL
+SELECT '__quarantined__', count(*), CAST(0.00 AS DOUBLE)
+FROM orders WHERE o_orderkey % 37 = 0
+"""
+
+
 def _q_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
     from kinesis_dstream_spark.sources import formats
 
@@ -3946,6 +3965,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "schema_evolution_stats": (_q_schema_evolution, _SQL_SCHEMA_EVOLUTION),
     # curriculum staging: quality-quartile x length-bucket cohorts
     "curriculum_assignment": (_q_curriculum, _SQL_CURRICULUM),
+    # PERMISSIVE CSV ingest with corrupt-record quarantine accounting
+    "corrupt_record_quarantine": (_q_quarantine, _SQL_QUARANTINE),
 }
 
 

@@ -249,3 +249,75 @@ def schema_evolution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("o_orderstatus").alias("n_statuses"),
         )
     )
+
+
+def corrupt_record_quarantine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record quarantine on CSV ingest (E-1 / the record-level
+    analog of the reference's transport retry taxonomy, O-10): real
+    pipelines receive broken lines, and the production posture is
+    PERMISSIVE parse + corrupt-record capture — load what parses,
+    quarantine what doesn't, account for both. (The reference handles
+    transport-level faults with retries, app/hs_contacts.py:83-105;
+    record-level faults need this sink-side path.)
+
+    Staging corrupts a deterministic subset (every o_orderkey % 37 == 0
+    gets a non-numeric price field) of an orders CSV; the read uses an
+    explicit schema + ``columnNameOfCorruptRecord``, so broken lines
+    surface as all-null rows carrying the raw line. The report buckets
+    rows into per-status totals (good) and one ``__quarantined__`` row
+    — counts and exact totals match the oracle computed from the raw
+    table, so a parser that silently dropped OR silently coerced
+    corrupt lines breaks the hash.
+
+    Scale: the corrupt-record column costs nothing on clean rows; the
+    quarantine path is a filter, not an exception — no per-record
+    Python, no job failure from bad input (the 100 TB posture:
+    quarantine, don't crash — same as the media decoders).
+    """
+    from kinesis_dstream_spark.functions.exact import exact_sum
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    staged = os.path.join(roundtrip_dir(sf_dir), "orders_corrupt_csv")
+    price_field = F.when(
+        F.col("o_orderkey") % 37 == 0, F.lit("#CORRUPT#")
+    ).otherwise(F.format_number(F.col("o_totalprice"), 2))
+    lines = orders.select(
+        F.concat_ws(
+            ",",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.regexp_replace(price_field, ",", ""),
+        ).alias("value")
+    )
+    lines.write.mode("overwrite").text(staged)
+
+    schema = StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("o_orderstatus", StringType()),
+            StructField("o_totalprice", DoubleType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    parsed = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(staged)
+    )
+    return (
+        parsed.groupBy(
+            F.when(F.col("_corrupt_record").isNotNull(), "__quarantined__")
+            .otherwise(F.col("o_orderstatus"))
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            exact_sum(F.coalesce(F.col("o_totalprice"), F.lit(0.0))).alias(
+                "total_price"
+            ),
+        )
+    )

@@ -519,3 +519,23 @@ def test_schema_evolution_merges_with_null_semantics(spark, sf_dir):
     assert rows[1].priced_total == 0.0
     assert rows[2].n_rows == n_odd and rows[2].null_price_rows == 0
     assert rows[2].priced_total > 0
+
+
+def test_corrupt_record_quarantine_accounts_for_every_line(spark, sf_dir):
+    """PERMISSIVE ingest: quarantined + good row counts must equal the
+    staged line count, quarantined rows carry the raw line (no silent
+    drop), and good-row totals are unaffected by the corruption."""
+    from pyspark.sql import functions as F
+
+    from kinesis_dstream_spark.sources.formats import (
+        corrupt_record_quarantine_stats,
+    )
+    from kinesis_dstream_spark.tables import load_table
+
+    rows = {r.bucket: r for r in corrupt_record_quarantine_stats(spark, sf_dir).collect()}
+    orders = load_table(spark, sf_dir, "orders")
+    n_corrupt = orders.where(F.col("o_orderkey") % 37 == 0).count()
+    assert rows["__quarantined__"].n_rows == n_corrupt
+    assert rows["__quarantined__"].total_price == 0.0
+    good = sum(r.n_rows for b, r in rows.items() if b != "__quarantined__")
+    assert good + n_corrupt == orders.count()
