@@ -764,6 +764,73 @@ def y4m_decode_stats(documents: DataFrame) -> DataFrame:
     return decode_y4m_batch(synth_y4m_table(documents))
 
 
+def sample_y4m_frames(media: DataFrame, every: int = 2) -> DataFrame:
+    """REAL video temporal downsample: parse the YUV4MPEG2 stream, keep
+    every ``every``-th FRAME section (frames 0, every, 2·every, …), and
+    re-emit a genuine .y4m with the frame rate denominator scaled —
+    the frame-sampling step of a video-training pipeline (dense frames
+    are redundant; models train on sampled ones), operating on real
+    container bytes rather than a row index.
+
+    Output payloads are valid streams the standard decoder reads back,
+    which is how ``y4m_frame_sample_stats`` certifies the sampler: the
+    synthetic per-frame luma ramp makes the kept-frame mean analytic
+    (kept frames 0,2,…  ⇒ avg_y = base + 10·(n_kept−1)), so keeping
+    the wrong frames — or all of them — hash-mismatches. mapInPandas,
+    zero exchange, malformed payloads quarantined.
+    """
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    p = bytes(payload)
+                    nl = p.index(b"\n")
+                    head = p[:nl].decode("ascii").split()
+                    if head[0] != "YUV4MPEG2":
+                        raise ValueError("not y4m")
+                    params = {t[0]: t[1:] for t in head[1:]}
+                    w, h = int(params["W"]), int(params["H"])
+                    cs = params.get("C", "420")
+                    if cs == "444":
+                        frame_bytes = w * h * 3
+                    elif cs.startswith("420"):
+                        frame_bytes = w * h * 3 // 2
+                    else:
+                        raise ValueError(f"unsupported colorspace {cs}")
+                    num, den = (params.get("F", "25:1")).split(":")
+                    new_head = " ".join(
+                        t if not t.startswith("F") else f"F{num}:{int(den) * every}"
+                        for t in head
+                    ).encode("ascii")
+                    parts, pos, fidx = [new_head + b"\n"], nl + 1, 0
+                    while pos < len(p):
+                        fnl = p.index(b"\n", pos)
+                        if not p[pos:fnl].startswith(b"FRAME"):
+                            raise ValueError("bad frame marker")
+                        end = fnl + 1 + frame_bytes
+                        if fidx % every == 0:
+                            parts.append(p[pos:end])
+                        pos, fidx = end, fidx + 1
+                    out.append((int(mid), b"".join(parts)))
+                except Exception:
+                    out.append((int(mid), None))
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    return media.mapInPandas(sample, "media_id long, payload binary")
+
+
+def y4m_frame_sample_stats(documents: DataFrame, every: int = 2) -> DataFrame:
+    """Synthesize real videos, temporally downsample (keep every 2nd
+    frame), decode the sampled streams with the standard decoder, emit
+    stats. Completes the REAL media-transform trio: image resize
+    (spatial), audio resample (temporal 1-D), video frame-sample
+    (temporal frames) — each certified by an analytic oracle over the
+    re-encoded bytes. One fused mapInPandas chain, no shuffle.
+    """
+    return decode_y4m_batch(sample_y4m_frames(synth_y4m_table(documents), every))
+
+
 # --------------------------------------------------------------------------
 # binaryFile source: media ingestion from raw files (E-1 × E-13)
 # --------------------------------------------------------------------------

@@ -3571,6 +3571,30 @@ FROM base
 """
 
 
+def _q_y4m_sample(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.operators import multimodal
+
+    return multimodal.y4m_frame_sample_stats(load_table(spark, sf, "documents"))
+
+
+# kept frames are 0,2,... of the per-frame luma ramp (base + 10f), so
+# avg_y = base + 10*(n_kept - 1) — keeping the wrong frames (or all of
+# them) shifts the mean and hash-mismatches
+_SQL_Y4M_SAMPLE = """
+WITH base AS (
+  SELECT doc_id, 2 + doc_id % 4 AS n FROM documents
+)
+SELECT doc_id AS media_id,
+       CAST(8 + doc_id % 4 AS INT) AS width,
+       CAST(8 + doc_id % 3 AS INT) AS height,
+       CAST((n + 1) // 2 AS INT) AS n_frames,
+       'C444' AS colorspace,
+       round(CAST(doc_id % 200 AS DOUBLE) + 10.0 * ((n + 1) // 2 - 1), 4)
+         AS avg_y
+FROM base
+"""
+
+
 def _q_quarantine(spark: SparkSession, sf: str) -> DataFrame:
     from kinesis_dstream_spark.sources import formats
 
@@ -3967,6 +3991,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "curriculum_assignment": (_q_curriculum, _SQL_CURRICULUM),
     # PERMISSIVE CSV ingest with corrupt-record quarantine accounting
     "corrupt_record_quarantine": (_q_quarantine, _SQL_QUARANTINE),
+    # REAL video temporal downsample: keep every 2nd FRAME, re-encode,
+    # re-decode; luma-ramp oracle certifies WHICH frames were kept
+    "y4m_frame_sample_stats": (_q_y4m_sample, _SQL_Y4M_SAMPLE),
 }
 
 

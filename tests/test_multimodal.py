@@ -227,3 +227,26 @@ def test_wav_resample_certifies_true_averaging(spark, sf_dir):
         [(1, bytearray(b"RIFFjunk"))], "media_id long, payload binary"
     )
     assert multimodal.resample_wav_batch(bad).collect()[0].payload is None
+
+
+def test_y4m_frame_sampler_keeps_the_right_frames(spark, sf_dir):
+    """The sampler must keep frames 0,2,... (the luma ramp pins WHICH
+    frames survived), halve the frame-rate denominator in the header,
+    and quarantine malformed payloads."""
+    from kinesis_dstream_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").limit(30)
+    sampled = multimodal.sample_y4m_frames(multimodal.synth_y4m_table(docs))
+    payloads = {r.media_id: bytes(r.payload) for r in sampled.collect()}
+    for d, p in payloads.items():
+        head = p[: p.index(b"\n")].decode()
+        assert "F25:2" in head
+        n = 2 + d % 4
+        assert p.count(b"FRAME\n") == (n + 1) // 2
+        # first kept frame is frame 0: its Y plane is the base luma
+        first_y = p[p.index(b"FRAME\n") + 6]
+        assert first_y == d % 200
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"YUV4MPEG2 garbage"))], "media_id long, payload binary"
+    )
+    assert multimodal.sample_y4m_frames(bad).collect()[0].payload is None
