@@ -609,3 +609,52 @@ def curriculum_assignment(documents: DataFrame, n_stages: int = 4) -> DataFrame:
         F.max("quality").alias("max_quality"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
     )
+
+
+def corpus_snapshot_diff(documents: DataFrame) -> DataFrame:
+    """Content-level diff between two corpus snapshots — the audit a
+    daily ingest pipeline runs before promoting a snapshot: how many
+    documents appeared, vanished, changed content, or carried over.
+
+    The fixture's OLD snapshot is derived deterministically (every 7th
+    doc absent — an addition in the new snapshot; every 11th doc's text
+    perturbed — a content change), so the diff has an exact oracle. The
+    comparison is content-addressed: a FULL OUTER join on doc_id
+    comparing sha256(text), the only scalable definition of "changed"
+    (byte-compare via hash, never text-compare across the join).
+
+    Plan: one shuffle on doc_id for the outer join (both sides are the
+    corpus — no broadcast), map-side sha hashing, one single-row
+    rollup. At 100 TB both snapshots are id-partitioned on disk and the
+    join is co-located; the hash comparison never moves text bytes —
+    only 32-byte digests ride the shuffle.
+    """
+    new = documents.select("doc_id", F.sha2(F.col("text"), 256).alias("sha_new"))
+    old = (
+        documents.filter(F.col("doc_id") % 7 != 3)
+        .select(
+            "doc_id",
+            F.sha2(
+                F.when(
+                    F.col("doc_id") % 11 == 5,
+                    F.concat(F.col("text"), F.lit(" [rev1]")),
+                ).otherwise(F.col("text")),
+                256,
+            ).alias("sha_old"),
+        )
+    )
+    joined = new.join(old, "doc_id", "full_outer")
+    return joined.agg(
+        F.sum(F.col("sha_old").isNull().cast("long")).alias("n_added"),
+        F.sum(F.col("sha_new").isNull().cast("long")).alias("n_removed"),
+        F.sum(
+            (
+                F.col("sha_old").isNotNull()
+                & F.col("sha_new").isNotNull()
+                & (F.col("sha_old") != F.col("sha_new"))
+            ).cast("long")
+        ).alias("n_changed"),
+        F.sum((F.col("sha_old") == F.col("sha_new")).cast("long")).alias(
+            "n_unchanged"
+        ),
+    )

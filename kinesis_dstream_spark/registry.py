@@ -3571,6 +3571,67 @@ FROM base
 """
 
 
+def _q_stream_erasure(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.streaming import jobs
+
+    return jobs.streaming_erasure_propagation(spark, sf)
+
+
+# the three derived-store rows of the batch six-store report (erasure
+# commutes over request batching, so streamed == batch exactly)
+_SQL_STREAM_ERASURE = """
+WITH ann AS (
+  SELECT count(*) AS before,
+         CAST(sum(CASE WHEN vec_id % 37 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS erased
+  FROM embeddings
+), ch AS (
+  SELECT count(*) AS before,
+         CAST(sum(CASE WHEN doc_id % 37 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS erased
+  FROM (
+    SELECT doc_id,
+           unnest(generate_series(
+             1,
+             greatest(len(str_split(trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                                    ' ')) - 16, 1),
+             48)) AS start_tok
+    FROM documents
+  )
+), di AS (
+  SELECT 9 * count(*) AS before,
+         9 * CAST(sum(CASE WHEN doc_id % 37 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS erased
+  FROM documents
+)
+SELECT 'ann_index' AS store, before AS rows_before, erased AS rows_erased,
+       before - erased AS rows_after FROM ann
+UNION ALL
+SELECT 'chunk_store', before, erased, before - erased FROM ch
+UNION ALL
+SELECT 'minhash_dedup_index', before, erased, before - erased FROM di
+"""
+
+
+def _q_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    return curation.corpus_snapshot_diff(load_table(spark, sf, "documents"))
+
+
+# the fixture's old snapshot: every 7th doc absent (-> added in new),
+# every 11th survivor's text perturbed (-> changed); old is a subset of
+# new's ids so n_removed is structurally 0 on this fixture
+_SQL_SNAPSHOT_DIFF = """
+SELECT CAST(sum(CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_added,
+       CAST(0 AS BIGINT) AS n_removed,
+       CAST(sum(CASE WHEN doc_id % 7 <> 3 AND doc_id % 11 = 5
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       CAST(sum(CASE WHEN doc_id % 7 <> 3 AND doc_id % 11 <> 5
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+FROM documents
+"""
+
+
 def _q_y4m_sample(spark: SparkSession, sf: str) -> DataFrame:
     from kinesis_dstream_spark.operators import multimodal
 
@@ -3994,6 +4055,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # REAL video temporal downsample: keep every 2nd FRAME, re-encode,
     # re-decode; luma-ramp oracle certifies WHICH frames were kept
     "y4m_frame_sample_stats": (_q_y4m_sample, _SQL_Y4M_SAMPLE),
+    # content-addressed snapshot diff: promote-or-not audit per ingest
+    "corpus_snapshot_diff": (_q_snapshot_diff, _SQL_SNAPSHOT_DIFF),
+    # erasure requests as a stream against the persisted stores;
+    # anti-join erasure commutes over batching -> batch-report oracle
+    "streaming_erasure_propagation": (_q_stream_erasure, _SQL_STREAM_ERASURE),
 }
 
 

@@ -1516,3 +1516,142 @@ def streaming_near_dup_pairs_maintenance(
     )
     q.awaitTermination()
     return spark.read.parquet(pairs_path)
+
+
+def streaming_erasure_propagation(
+    spark: SparkSession,
+    sf_dir: str,
+    work_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Erasure requests processed as a STREAM against the persisted
+    derived stores (E-9 x E-18): in production, right-to-be-forgotten
+    requests arrive continuously on a queue and must propagate to every
+    store within the compliance window — not wait for a batch job.
+
+    Each micro-batch of (key_kind, key) requests is applied to the
+    on-disk stores with the same physical erase the batch path uses
+    (broadcast anti-join + atomic-rename rewrite): doc-keyed requests
+    hit the chunk store and both MinHash index tables, vec-keyed
+    requests hit the ANN index. Anti-join erasure COMMUTES over request
+    batching (erasing R1 then R2 equals erasing R1 ∪ R2) and is
+    idempotent (a replayed request erases nothing new), so the drained
+    accounting equals the batch six-store report's derived-store rows
+    exactly — which is what the registry oracle checks — and replays
+    are safe with no extra machinery (pytest drains twice).
+
+    Scale shape: requests per batch are tiny and broadcast; each store
+    pays one scan + rewrite per batch — production batches requests per
+    trigger interval precisely to amortize this, and a
+    subject-partitioned layout prunes the rewrite to affected
+    partitions.
+    """
+    from kinesis_dstream_spark.operators.governance import (
+        _ensure_gov_stores,
+        erase_parquet_store,
+    )
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    pristine = _ensure_gov_stores(
+        spark, sf_dir, f"{tempfile.gettempdir()}/kds_gov_stores_{tag}"
+    )
+    work_dir = work_dir or tempfile.mkdtemp(prefix="kds_gov_stream_")
+    stores = {}
+    for name, src in pristine.items():
+        dst = os.path.join(work_dir, name)
+        if not os.path.exists(dst):
+            import shutil
+
+            shutil.copytree(src, dst)
+        stores[name] = dst
+
+    # stage the request queue as a 4-file parquet dir (multi-batch drain)
+    req_dir = os.path.join(work_dir, "requests")
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    requests = (
+        docs.select(F.lit("doc").alias("key_kind"), F.col("doc_id").alias("key"))
+        .where(F.col("key") % 37 == 0)
+        .unionByName(
+            emb.select(
+                F.lit("vec").alias("key_kind"), F.col("vec_id").alias("key")
+            ).where(F.col("key") % 37 == 0)
+        )
+    )
+    if not os.path.exists(os.path.join(req_dir, "_SUCCESS")):
+        requests.repartition(4).write.mode("overwrite").parquet(req_dir)
+
+    doc_stores = [
+        os.path.join(stores["chunk_store"], "chunks"),
+        os.path.join(stores["minhash_dedup_index"], "bands"),
+        os.path.join(stores["minhash_dedup_index"], "shingles"),
+    ]
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        doc_req = (
+            batch_df.filter(F.col("key_kind") == "doc")
+            .select(F.col("key").alias("doc_id"))
+            .localCheckpoint()
+        )
+        vec_req = (
+            batch_df.filter(F.col("key_kind") == "vec")
+            .select(F.col("key").alias("vec_id"))
+            .localCheckpoint()
+        )
+        if doc_req.count() > 0:
+            for p in doc_stores:
+                erase_parquet_store(spark, p, doc_req, "doc_id")
+        if vec_req.count() > 0:
+            erase_parquet_store(spark, stores["ann_index"], vec_req, "vec_id")
+
+    schema = spark.read.parquet(req_dir).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(req_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option(
+            "checkpointLocation", checkpoint_dir or os.path.join(work_dir, "chk")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # accounting: before from pristine, after read back from disk
+    from functools import reduce
+
+    reports = []
+    for name in ("ann_index", "chunk_store", "minhash_dedup_index"):
+        if name == "ann_index":
+            pre = [pristine[name]]
+            post = [stores[name]]
+        elif name == "chunk_store":
+            pre = [os.path.join(pristine[name], "chunks")]
+            post = [os.path.join(stores[name], "chunks")]
+        else:
+            pre = [os.path.join(pristine[name], s) for s in ("bands", "shingles")]
+            post = [os.path.join(stores[name], s) for s in ("bands", "shingles")]
+        before = reduce(
+            lambda a, b: a.crossJoin(b),
+            [
+                spark.read.parquet(p).agg(F.count(F.lit(1)).alias(f"b{i}"))
+                for i, p in enumerate(pre)
+            ],
+        ).select(sum(F.col(f"b{i}") for i in range(len(pre))).alias("rows_before"))
+        after = reduce(
+            lambda a, b: a.crossJoin(b),
+            [
+                spark.read.parquet(p).agg(F.count(F.lit(1)).alias(f"a{i}"))
+                for i, p in enumerate(post)
+            ],
+        ).select(sum(F.col(f"a{i}") for i in range(len(post))).alias("rows_after"))
+        reports.append(
+            before.crossJoin(after).select(
+                F.lit(name).alias("store"),
+                "rows_before",
+                (F.col("rows_before") - F.col("rows_after")).alias("rows_erased"),
+                "rows_after",
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), reports)

@@ -622,3 +622,41 @@ def test_streaming_near_dup_pairs_equals_batch_and_replays_safely(
     )
     assert sorted(map(tuple, replayed.collect())) == want
     assert spark.read.parquet(store + "/shingle_rows").count() == rows_n
+
+
+def test_streaming_erasure_matches_batch_and_replays_safely(spark, sf_dir, tmp_path):
+    """Streamed request batches must leave the stores in EXACTLY the
+    state the batch erasure produces (anti-join erasure commutes over
+    batching), every store on disk must hold zero residual subject
+    rows, and a full replay with a fresh checkpoint must change
+    nothing (idempotence)."""
+    import os
+
+    from kinesis_dstream_spark.streaming.jobs import streaming_erasure_propagation
+
+    work = str(tmp_path / "gov_stream")
+    rows = {
+        r.store: r
+        for r in streaming_erasure_propagation(spark, sf_dir, work_dir=work).collect()
+    }
+    assert set(rows) == {"ann_index", "chunk_store", "minhash_dedup_index"}
+    for r in rows.values():
+        assert r.rows_before == r.rows_erased + r.rows_after
+        assert r.rows_erased > 0
+    checks = [
+        ("vec_id", os.path.join(work, "ann_index")),
+        ("doc_id", os.path.join(work, "chunk_store", "chunks")),
+        ("doc_id", os.path.join(work, "minhash_dedup_index", "bands")),
+        ("doc_id", os.path.join(work, "minhash_dedup_index", "shingles")),
+    ]
+    for key, p in checks:
+        assert spark.read.parquet(p).where(F.col(key) % 37 == 0).count() == 0, p
+    replayed = {
+        r.store: r
+        for r in streaming_erasure_propagation(
+            spark, sf_dir, work_dir=work, checkpoint_dir=str(tmp_path / "chk2")
+        ).collect()
+    }
+    for name, r in rows.items():
+        assert replayed[name].rows_after == r.rows_after
+        assert replayed[name].rows_erased == r.rows_erased
