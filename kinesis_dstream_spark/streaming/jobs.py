@@ -1655,3 +1655,35 @@ def streaming_erasure_propagation(
             )
         )
     return reduce(lambda a, b: a.unionByName(b), reports)
+
+
+def pairs_store_compact(
+    spark: SparkSession, store_dir: str, max_files: int = 8
+) -> dict[str, int]:
+    """Bound the per-batch file growth of the streaming pairs store:
+    rewrite each sub-table (pairs, shingle_rows) whose parquet file
+    count exceeds the threshold, via tmp-dir + atomic rename (every
+    persisted append path here carries a compaction pass — ann_index /
+    dedup_index / chunk_store set the convention). Content is
+    byte-identical before/after (pytest); the frozen hot table is a
+    single write and never needs compaction.
+    """
+    import glob
+    import shutil
+
+    stats = {"tables_compacted": 0, "files_before": 0, "files_after": 0}
+    for sub in ("pairs", "shingle_rows"):
+        cur = os.path.join(store_dir, sub)
+        files = glob.glob(os.path.join(cur, "*.parquet"))
+        stats["files_before"] += len(files)
+        if len(files) <= max_files:
+            stats["files_after"] += len(files)
+            continue
+        df = spark.read.parquet(cur)
+        tmp = cur + "_compact_tmp"
+        df.repartition(max_files).write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(cur)
+        os.rename(tmp, cur)
+        stats["tables_compacted"] += 1
+        stats["files_after"] += len(glob.glob(os.path.join(cur, "*.parquet")))
+    return stats

@@ -660,3 +660,26 @@ def test_streaming_erasure_matches_batch_and_replays_safely(spark, sf_dir, tmp_p
     for name, r in rows.items():
         assert replayed[name].rows_after == r.rows_after
         assert replayed[name].rows_erased == r.rows_erased
+
+
+def test_pairs_store_compaction_preserves_content(spark, sf_dir, tmp_path):
+    from kinesis_dstream_spark.streaming.jobs import (
+        pairs_store_compact,
+        streaming_near_dup_pairs_maintenance,
+    )
+
+    store = str(tmp_path / "pstore")
+    drained = streaming_near_dup_pairs_maintenance(spark, sf_dir, store_dir=store)
+    pairs_before = sorted(map(tuple, drained.collect()))
+    rows_before = sorted(
+        map(tuple, spark.read.parquet(store + "/shingle_rows").collect())
+    )
+    stats = pairs_store_compact(spark, store, max_files=2)
+    assert stats["files_after"] <= max(4, stats["files_before"])
+    assert sorted(map(tuple, spark.read.parquet(store + "/pairs").collect())) == pairs_before
+    assert sorted(
+        map(tuple, spark.read.parquet(store + "/shingle_rows").collect())
+    ) == rows_before
+    # idempotent: a second compact is a no-op on file counts
+    again = pairs_store_compact(spark, store, max_files=2)
+    assert again["files_after"] == stats["files_after"]
