@@ -828,3 +828,133 @@ def chunk_semantic_topk(
         F.col("cos_sim").desc(), F.col("doc_id").asc(), F.col("chunk_no").asc()
     )
     return top.select("doc_id", "chunk_no", "cos_sim", F.row_number().over(w).alias("rk"))
+
+
+_LI_DIM = 32  # trigram hash buckets for per-token vectors
+
+
+def _char_trigram_vectors(vocab: DataFrame, dim: int = _LI_DIM) -> DataFrame:
+    """(token, idx, val): signed hashed char-trigram counts per token —
+    the per-TOKEN embedding for late-interaction scoring. Tokens
+    shorter than 3 chars contribute themselves as one gram. md5-based
+    hash + sign (the ``hashed_embeddings`` convention) so the DuckDB
+    twin is bit-identical."""
+    from kinesis_dstream_spark.functions.textfns import md5_bits32
+
+    t = F.col("token")
+    n = F.length(t)
+    grams = F.when(n < 3, F.array(t)).otherwise(
+        F.transform(F.sequence(F.lit(1), n - 2), lambda i: F.substr(t, i, F.lit(3)))
+    )
+    sign = F.when(
+        F.conv(F.substring(F.md5(F.col("g")), 9, 1), 16, 10).cast("long") % 2 == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    return (
+        vocab.select("token", F.explode(grams).alias("g"))
+        .select(
+            "token",
+            F.pmod(md5_bits32(F.col("g")), F.lit(dim)).alias("idx"),
+            sign.cast("long").alias("s"),
+        )
+        .groupBy("token", "idx")
+        .agg(F.sum("s").alias("val"))
+    )
+
+
+def late_interaction_topk(
+    documents: DataFrame, n_queries: int = 5, k: int = 3, dim: int = _LI_DIM
+) -> DataFrame:
+    """ColBERT-style late-interaction retrieval (MaxSim):
+    score(Q, D) = Σ_{q∈toks(Q)} max(0, max_{d∈toks(D)} cos(v_q, v_d))
+    over per-TOKEN signed hashed char-trigram vectors — token-level
+    matching that survives typos and inflections (shared trigrams
+    score high), where a single pooled document vector would blur
+    every token together. The modern retrieval family's third member
+    beside BM25 (term-weighted) and the pooled-embedding semantic
+    top-k. Per-token COSINE (not raw dot) is what ColBERT normalizes
+    for, and matters: with raw dots a fat-vocabulary document
+    out-scores an exact copy of the query (Cauchy-Schwarz lets a
+    larger-norm token dot higher than self-similarity); under cosine,
+    self-match is the per-token maximum (pytest-pinned).
+
+    Exactness: vectors are integer counts; each pair similarity is
+    ``round(1e6·dot/√(|q|²·|d|²))`` — one deterministic double from an
+    identical operand tree on both engines, then LONG fixed-point, so
+    max/Σ run on integers (no float accumulation order anywhere). The
+    rounding can never land on a .5 tie: a tie needs the residue of
+    1e6·dot mod s (s = √ of the norm product ≤ 100) to equal s/2, and
+    residues inherit 2-adic valuation ≥ v₂(s) from 1e6 while s/2 has
+    exactly v₂(s)−1 — impossible. Hence bit-identical ranks.
+
+    Scale shape: pair scoring is computed once per DISTINCT
+    (query-token, corpus-token) pair sharing a hash bucket (the
+    record-linkage distinct-pair trick); the query-side vocabulary is
+    control-plane sized and broadcasts, so the corpus pays one
+    vocabulary aggregation + one bucket-keyed broadcast join +
+    two grouped aggs (per-(doc, q_tok) max, per-(q, doc) sum) — no
+    all-pairs token matrix ever materializes, and document text is
+    touched exactly once to extract its distinct tokens.
+    """
+    toks_all = documents.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
+    ).filter(F.col("tok") != "")
+    q_toks = toks_all.filter(F.col("doc_id") < n_queries).select(
+        F.col("doc_id").alias("q_id"), F.col("tok").alias("q_tok")
+    )
+    d_toks = toks_all.filter(F.col("doc_id") >= n_queries).select(
+        "doc_id", F.col("tok").alias("d_tok")
+    )
+    qv = _char_trigram_vectors(
+        q_toks.select(F.col("q_tok").alias("token")).distinct(), dim
+    )
+    dv = _char_trigram_vectors(
+        d_toks.select(F.col("d_tok").alias("token")).distinct(), dim
+    )
+    norm2 = lambda v: v.groupBy("token").agg(  # noqa: E731
+        F.sum(F.col("val") * F.col("val")).alias("n2")
+    )
+    qn, dn = norm2(qv), norm2(dv)
+    dots = (
+        dv.alias("d")
+        .join(F.broadcast(qv.alias("q")), F.col("d.idx") == F.col("q.idx"))
+        .groupBy(
+            F.col("q.token").alias("q_tok"), F.col("d.token").alias("d_tok")
+        )
+        .agg(F.sum(F.col("d.val") * F.col("q.val")).alias("dot"))
+        .filter(F.col("dot") > 0)
+    )
+    scores = (
+        dots.join(F.broadcast(qn.select(F.col("token").alias("q_tok"), F.col("n2").alias("qn2"))), "q_tok")
+        .join(dn.select(F.col("token").alias("d_tok"), F.col("n2").alias("dn2")), "d_tok")
+        .select(
+            "q_tok",
+            "d_tok",
+            F.round(
+                F.lit(1000000.0)
+                * F.col("dot")
+                / F.sqrt((F.col("qn2") * F.col("dn2")).cast("double"))
+            )
+            .cast("long")
+            .alias("s"),
+        )
+        .filter(F.col("s") > 0)
+    )
+    per_tok_doc = (
+        d_toks.join(scores, "d_tok")
+        .groupBy("doc_id", "q_tok")
+        .agg(F.max("s").alias("m"))
+    )
+    maxsim = (
+        per_tok_doc.join(q_toks.distinct(), "q_tok")
+        .groupBy("q_id", "doc_id")
+        .agg(F.round(F.sum("m") / 1000000.0, 6).alias("maxsim"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.col("maxsim").desc(), F.col("doc_id").asc())
+    return (
+        maxsim.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "doc_id", "maxsim", "rk")
+    )

@@ -3571,6 +3571,75 @@ FROM base
 """
 
 
+def _q_late_interaction(spark: SparkSession, sf: str) -> DataFrame:
+    return text.late_interaction_topk(load_table(spark, sf, "documents"))
+
+
+# exact-integer MaxSim twin: same md5 trigram hashing/sign as the Spark
+# side; every score is an int64, so rank order matches bit-for-bit
+_SQL_LATE_INTERACTION = f"""
+WITH dt AS (
+  SELECT doc_id, unnest(list_distinct({_DUCK_TOKS.format(col='text')})) AS tok
+  FROM documents
+), toks AS (
+  SELECT doc_id, tok FROM dt WHERE tok <> ''
+), vocab_q AS (
+  SELECT DISTINCT tok FROM toks WHERE doc_id < 5
+), vocab_d AS (
+  SELECT DISTINCT tok FROM toks WHERE doc_id >= 5
+), grams AS (
+  SELECT tok, unnest(CASE WHEN len(tok) < 3 THEN [tok]
+                     ELSE list_transform(range(1, len(tok) - 1),
+                                         i -> tok[i:i+2]) END) AS g
+  FROM (SELECT tok FROM vocab_q UNION SELECT tok FROM vocab_d)
+), vecs AS (
+  SELECT tok,
+         CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 32 AS idx,
+         CAST(sum(CASE WHEN CAST(('0x' || substr(md5(g), 9, 1)) AS BIGINT) % 2 = 0
+                  THEN 1 ELSE -1 END) AS BIGINT) AS val
+  FROM grams GROUP BY tok, idx
+), norms AS (
+  SELECT tok, CAST(sum(val * val) AS BIGINT) AS n2 FROM vecs GROUP BY tok
+), dots AS (
+  SELECT q.tok AS q_tok, d.tok AS d_tok, CAST(sum(q.val * d.val) AS BIGINT) AS dot
+  FROM (SELECT v.* FROM vecs v JOIN vocab_q ON vocab_q.tok = v.tok) q
+  JOIN (SELECT v.* FROM vecs v JOIN vocab_d ON vocab_d.tok = v.tok) d
+    ON q.idx = d.idx
+  GROUP BY q.tok, d.tok
+  HAVING CAST(sum(q.val * d.val) AS BIGINT) > 0
+), scores AS (
+  -- per-token cosine in 1e-6 fixed point: ONE deterministic double
+  -- from the identical operand tree, then integer max/sum (no float
+  -- accumulation order anywhere)
+  SELECT d.q_tok, d.d_tok,
+         CAST(round(1000000.0 * d.dot
+                    / sqrt(CAST(nq.n2 * nd.n2 AS DOUBLE))) AS BIGINT) AS s
+  FROM dots d
+  JOIN norms nq ON nq.tok = d.q_tok
+  JOIN norms nd ON nd.tok = d.d_tok
+  WHERE CAST(round(1000000.0 * d.dot
+                   / sqrt(CAST(nq.n2 * nd.n2 AS DOUBLE))) AS BIGINT) > 0
+), per AS (
+  SELECT t.doc_id, s.q_tok, max(s.s) AS m
+  FROM toks t JOIN scores s ON s.d_tok = t.tok
+  WHERE t.doc_id >= 5
+  GROUP BY t.doc_id, s.q_tok
+), ms AS (
+  SELECT qt.doc_id AS q_id, per.doc_id,
+         round(CAST(sum(per.m) AS BIGINT) / 1000000.0, 6) AS maxsim
+  FROM per JOIN (SELECT DISTINCT doc_id, tok FROM toks WHERE doc_id < 5) qt
+    ON qt.tok = per.q_tok
+  GROUP BY qt.doc_id, per.doc_id
+)
+SELECT q_id, doc_id, maxsim, rk FROM (
+  SELECT q_id, doc_id, maxsim,
+         CAST(row_number() OVER (PARTITION BY q_id
+                                 ORDER BY maxsim DESC, doc_id ASC) AS INT) AS rk
+  FROM ms
+) WHERE rk <= 3
+"""
+
+
 def _q_stream_erasure(spark: SparkSession, sf: str) -> DataFrame:
     from kinesis_dstream_spark.streaming import jobs
 
@@ -4060,6 +4129,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # erasure requests as a stream against the persisted stores;
     # anti-join erasure commutes over batching -> batch-report oracle
     "streaming_erasure_propagation": (_q_stream_erasure, _SQL_STREAM_ERASURE),
+    # ColBERT-style late-interaction MaxSim retrieval, exact-integer
+    "late_interaction_topk": (_q_late_interaction, _SQL_LATE_INTERACTION),
 }
 
 

@@ -256,3 +256,43 @@ def test_chunk_documents_covers_every_token_with_overlap(spark, sf_dir):
         ]
         rebuilt = [t for p in parts for t in p]
         assert len(rebuilt) == n_toks[doc_id]
+
+
+def test_late_interaction_favors_token_overlap(spark, sf_dir):
+    """MaxSim semantics: a corpus doc sharing MORE query tokens must
+    never rank below one sharing none (each shared token contributes
+    its full self-similarity, the max over the doc's tokens); scores
+    are positive integers and ranks are dense per query."""
+    from pyspark.sql import functions as F
+
+    from kinesis_dstream_spark.operators.text import late_interaction_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = late_interaction_topk(docs).collect()
+    assert len(rows) > 0
+    by_q = {}
+    for r in rows:
+        assert r.maxsim > 0 and r.rk >= 1
+        by_q.setdefault(r.q_id, []).append((r.rk, r.maxsim))
+    for q, rs in by_q.items():
+        rs.sort()
+        assert [rk for rk, _ in rs] == list(range(1, len(rs) + 1))
+        sims = [s for _, s in rs]
+        assert sims == sorted(sims, reverse=True)
+    # per-token cosine caps each contribution at 1.0, so an exact copy
+    # of the query achieves the MAXIMUM possible score (= its distinct
+    # token count); any doc tying it must also contain a cos-1.0 match
+    # for every query token. Pin: with the copy present, q1's top-1
+    # maxsim equals exactly n_distinct_tokens(q1).
+    base = docs.limit(40).select("doc_id", "text")
+    copy = base.where(F.col("doc_id") == 1).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    out = late_interaction_topk(base.unionByName(copy)).collect()
+    n_toks = (
+        base.where(F.col("doc_id") == 1)
+        .select(F.explode(F.array_distinct(F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " "))))
+        .count()
+    )
+    top1_sim = {r.q_id: r.maxsim for r in out if r.rk == 1}
+    assert abs(top1_sim[1] - float(n_toks)) < 1e-6
