@@ -1185,3 +1185,108 @@ SELECT 'first_touch', first_touch, count(*),
        round(CAST(sum(iv) AS BIGINT) / {_V_SCALE}, 2)
 FROM purchases GROUP BY first_touch
 """
+
+
+def mad_outliers(events: DataFrame) -> DataFrame:
+    """Robust anomaly rollup via Median Absolute Deviation — the
+    heavy-tail-safe complement to ``rolling_zscore_outliers``: mean/std
+    are themselves dragged by outliers, while median/MAD are not
+    (50% breakdown point), so MAD flags what z-scores mask when the
+    contamination is heavy.
+
+    Integer-exact end to end: values live on the fixed-point grid, and
+    both location (median) and scale (MAD) use the LOWER-median order
+    statistic (rank ⌈n/2⌉) — a selection, not an average — so every
+    intermediate is an int64 and the flag rule |x − med| > 3·MAD
+    compares integers. The DuckDB twin replicates the same order
+    statistic; only the two display divisions produce doubles.
+
+    Plan: two rank-selection passes over the same event_type
+    partitioning (the spill-safe ``exact_median_by_group_ranked``
+    shape — a window sort that spills, never a per-group pandas
+    frame), one broadcast join of the per-type medians, one rollup.
+    Same low-cardinality-key caveat as the z-score family: sub-key the
+    sort at 100 TB (the sharded z-score documents the pattern; MAD's
+    selection is shard-mergeable the same way bottom-k is).
+    """
+    from pyspark.sql import Window
+
+    iv = fixedpoint(F.col("value"), _V_SCALE)
+    base = events.select("event_type", iv.alias("iv"))
+    by_type = Window.partitionBy("event_type")
+
+    def lower_median(df: DataFrame, col: str, out: str) -> DataFrame:
+        w = by_type.orderBy(col)
+        return (
+            df.select(
+                "event_type",
+                F.col(col),
+                F.row_number().over(w).alias("rn"),
+                F.count("*").over(by_type).alias("n"),
+            )
+            .filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+            .select("event_type", F.col(col).alias(out), "n")
+        )
+
+    med = lower_median(base, "iv", "med")
+    dev = base.join(F.broadcast(med.select("event_type", "med")), "event_type").select(
+        "event_type", F.abs(F.col("iv") - F.col("med")).alias("d")
+    )
+    mad = lower_median(dev, "d", "mad").select("event_type", "mad")
+    flagged = (
+        base.join(F.broadcast(med.select("event_type", "med")), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.max("med") / _V_SCALE, 2).alias("median_value"),
+            F.round(F.max("mad") / _V_SCALE, 2).alias("mad_value"),
+            F.sum(
+                (F.abs(F.col("iv") - F.col("med")) > 3 * F.col("mad")).cast("long")
+            ).alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "median_value",
+            "mad_value",
+            "n_outliers",
+            F.round(F.col("n_outliers") / F.col("n"), 4).alias("outlier_pct"),
+        )
+    )
+    return flagged
+
+
+MAD_OUTLIERS_SQL = f"""
+WITH base AS (
+  SELECT event_type, CAST(round(value * {_V_SCALE}) AS BIGINT) AS iv FROM events
+), med AS (
+  SELECT event_type, iv AS med FROM (
+    SELECT event_type, iv,
+           row_number() OVER (PARTITION BY event_type ORDER BY iv) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM base
+  ) WHERE rn = (n + 1) // 2
+), dev AS (
+  SELECT b.event_type, abs(b.iv - m.med) AS d
+  FROM base b JOIN med m ON m.event_type = b.event_type
+), mad AS (
+  SELECT event_type, d AS mad FROM (
+    SELECT event_type, d,
+           row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM dev
+  ) WHERE rn = (n + 1) // 2
+)
+SELECT b.event_type, count(*) AS n,
+       round(CAST(max(m.med) AS BIGINT) / {_V_SCALE}, 2) AS median_value,
+       round(CAST(max(x.mad) AS BIGINT) / {_V_SCALE}, 2) AS mad_value,
+       CAST(sum(CASE WHEN abs(b.iv - m.med) > 3 * x.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       round(CAST(sum(CASE WHEN abs(b.iv - m.med) > 3 * x.mad THEN 1 ELSE 0 END)
+                  AS BIGINT) / count(*), 4) AS outlier_pct
+FROM base b
+JOIN med m ON m.event_type = b.event_type
+JOIN mad x ON x.event_type = b.event_type
+GROUP BY b.event_type
+"""

@@ -3571,6 +3571,10 @@ FROM base
 """
 
 
+def _q_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    return eventflow.mad_outliers(load_table(spark, sf, "events"))
+
+
 def _q_late_interaction(spark: SparkSession, sf: str) -> DataFrame:
     return text.late_interaction_topk(load_table(spark, sf, "documents"))
 
@@ -4131,6 +4135,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "streaming_erasure_propagation": (_q_stream_erasure, _SQL_STREAM_ERASURE),
     # ColBERT-style late-interaction MaxSim retrieval, exact-integer
     "late_interaction_topk": (_q_late_interaction, _SQL_LATE_INTERACTION),
+    # robust MAD anomaly rollup: lower-median order statistics, all int
+    "mad_outliers": (_q_mad_outliers, eventflow.MAD_OUTLIERS_SQL),
 }
 
 

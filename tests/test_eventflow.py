@@ -257,3 +257,35 @@ def test_revenue_attribution_conserves_total_revenue(spark, sf_dir):
         assert {r.touch_type for r in mrows} <= {
             "view", "click", "signup", "direct",
         }
+
+
+def test_mad_outliers_robust_to_contamination(spark, sf_dir):
+    """MAD's whole point: contaminating 5% of one event type's values
+    with a huge spike must barely move its median/MAD (both selection
+    statistics) while flagging the injected rows as outliers."""
+    ev = load_table(spark, sf_dir, "events")
+    base = {r.event_type: r for r in eventflow.mad_outliers(ev).collect()}
+    spiked = ev.withColumn(
+        "value",
+        F.when(
+            (F.col("event_type") == "click") & (F.col("event_id") % 20 == 0),
+            F.lit(1e6),
+        ).otherwise(F.col("value")),
+    )
+    after = {r.event_type: r for r in eventflow.mad_outliers(spiked).collect()}
+    b, a = base["click"], after["click"]
+    # breakdown-point claim: with 5% of values at 1e6, median and MAD
+    # stay at the CLEAN data's magnitude (rank shift of ~2.5%), while a
+    # mean/std pair would be dragged to the spike's scale (~5e4)
+    assert a.median_value < 10 * max(b.median_value, 1)
+    assert a.mad_value < 10 * max(b.mad_value, 1)
+    n_spiked = ev.where(
+        (F.col("event_type") == "click") & (F.col("event_id") % 20 == 0)
+    ).count()
+    # all spikes flag (|1e6 - med| >> 3*MAD); the slightly larger MAD
+    # may un-flag a few borderline previous outliers, so the NET rise
+    # is bounded below by half the spike count
+    assert a.n_outliers >= n_spiked
+    assert a.n_outliers - b.n_outliers >= n_spiked // 2
+    for r in after.values():
+        assert 0.0 <= r.outlier_pct <= 1.0 and r.n >= r.n_outliers
