@@ -203,7 +203,17 @@ def erasure_report_full(
     pristine = _ensure_gov_stores(
         spark, sf_dir, f"{tempfile.gettempdir()}/kds_gov_stores_{tag}"
     )
-    work_dir = work_dir or tempfile.mkdtemp(prefix="kds_gov_erase_")
+    # fixed per-sf work dir, recreated per run: bounds temp growth to
+    # ONE erased copy regardless of invocation count (a fresh mkdtemp
+    # per run would leak a copy each time). Single-reader contract: the
+    # returned report reads this dir lazily, so collect it before the
+    # next erasure run against the same sf.
+    if work_dir is None:
+        import shutil
+
+        work_dir = f"{tempfile.gettempdir()}/kds_gov_erase_{tag}"
+        if os.path.exists(work_dir):
+            shutil.rmtree(work_dir)
     erased_paths = {}
     for name, src in pristine.items():
         dst = os.path.join(work_dir, name)

@@ -1555,7 +1555,12 @@ def streaming_erasure_propagation(
     pristine = _ensure_gov_stores(
         spark, sf_dir, f"{tempfile.gettempdir()}/kds_gov_stores_{tag}"
     )
-    work_dir = work_dir or tempfile.mkdtemp(prefix="kds_gov_stream_")
+    # fixed per-sf work dir: reuse-if-exists is CORRECT here because
+    # anti-join erasure is idempotent — a rerun against already-erased
+    # copies drains zero new requests and reports identical accounting
+    # (rows_before always comes from the pristine stores). Also bounds
+    # temp growth to one copy.
+    work_dir = work_dir or f"{tempfile.gettempdir()}/kds_gov_stream_{tag}"
     stores = {}
     for name, src in pristine.items():
         dst = os.path.join(work_dir, name)
