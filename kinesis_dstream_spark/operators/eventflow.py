@@ -1290,3 +1290,58 @@ JOIN med m ON m.event_type = b.event_type
 JOIN mad x ON x.event_type = b.event_type
 GROUP BY b.event_type
 """
+
+
+def cumulative_distinct_users(events: DataFrame) -> DataFrame:
+    """Cumulative distinct users per day — the first-touch transform.
+
+    The naive formulation is ``COUNT(DISTINCT user_id) OVER (ORDER BY
+    day ROWS UNBOUNDED PRECEDING)``, which Spark (correctly) refuses:
+    a distinct over a growing frame keeps O(users) state per frame and
+    is O(days x users) work. The scale-correct rewrite is EXACT and
+    linear: a user contributes to the cumulative count on exactly one
+    day — their first — so (1) reduce events to per-user first days
+    (one user_id shuffle with map-side partial min), (2) count first
+    days per day (a days-cardinality rollup), (3) running-sum those
+    new-user counts over the day axis. The only unpartitioned window
+    runs over #days rows (~36.5k rows for a century of days), so the
+    single-partition sort is a non-issue at any corpus scale.
+
+    ``daily_active`` (plain per-day distinct) rides along for the
+    new-vs-returning read; Spark partial-aggregates it per user
+    map-side before the day rollup.
+    """
+    firsts = events.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("day"))
+    new_per_day = firsts.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.countDistinct("user_id").alias("daily_active")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.join(new_per_day, "day", "left")
+        .na.fill({"new_users": 0})
+        .select(
+            "day",
+            "daily_active",
+            "new_users",
+            F.sum("new_users").over(w).alias("cumulative_users"),
+        )
+    )
+
+
+CUMULATIVE_DISTINCT_USERS_SQL = """
+WITH firsts AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY user_id
+), new_per_day AS (
+  SELECT day, count(*) AS new_users FROM firsts GROUP BY day
+), daily AS (
+  SELECT CAST(ts AS DATE) AS day, count(DISTINCT user_id) AS daily_active
+  FROM events GROUP BY 1
+)
+SELECT d.day, d.daily_active,
+       coalesce(n.new_users, 0) AS new_users,
+       CAST(sum(coalesce(n.new_users, 0)) OVER (
+         ORDER BY d.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS cumulative_users
+FROM daily d LEFT JOIN new_per_day n ON n.day = d.day
+"""

@@ -3575,6 +3575,10 @@ def _q_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
     return eventflow.mad_outliers(load_table(spark, sf, "events"))
 
 
+def _q_cumulative_users(spark: SparkSession, sf: str) -> DataFrame:
+    return eventflow.cumulative_distinct_users(load_table(spark, sf, "events"))
+
+
 def _q_late_interaction(spark: SparkSession, sf: str) -> DataFrame:
     return text.late_interaction_topk(load_table(spark, sf, "documents"))
 
@@ -4137,6 +4141,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "late_interaction_topk": (_q_late_interaction, _SQL_LATE_INTERACTION),
     # robust MAD anomaly rollup: lower-median order statistics, all int
     "mad_outliers": (_q_mad_outliers, eventflow.MAD_OUTLIERS_SQL),
+    # growing-frame COUNT(DISTINCT) rewritten as first-touch + running
+    # sum: exact, linear, window limited to #days rows
+    "cumulative_distinct_users": (
+        _q_cumulative_users,
+        eventflow.CUMULATIVE_DISTINCT_USERS_SQL,
+    ),
 }
 
 

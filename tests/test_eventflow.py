@@ -289,3 +289,32 @@ def test_mad_outliers_robust_to_contamination(spark, sf_dir):
     assert a.n_outliers - b.n_outliers >= n_spiked // 2
     for r in after.values():
         assert 0.0 <= r.outlier_pct <= 1.0 and r.n >= r.n_outliers
+
+
+def test_cumulative_distinct_users_invariants(spark, sf_dir):
+    """The first-touch rewrite must equal the definitional cumulative
+    distinct: final cumulative == global COUNT(DISTINCT user_id), the
+    series is monotone non-decreasing, new_users sums to it, and every
+    day's cumulative >= that day's active count."""
+    ev = load_table(spark, sf_dir, "events")
+    rows = (
+        eventflow.cumulative_distinct_users(ev).orderBy("day").collect()
+    )
+    total_users = ev.select("user_id").distinct().count()
+    assert rows[-1].cumulative_users == total_users
+    assert sum(r.new_users for r in rows) == total_users
+    prev = 0
+    for r in rows:
+        assert r.cumulative_users >= prev
+        assert r.cumulative_users >= r.daily_active
+        prev = r.cumulative_users
+
+
+def test_cumulative_distinct_users_plan_is_linear(spark, sf_dir):
+    """No expand/distinct-over-window: the plan must be two hash
+    aggregates + one window over the tiny day axis, never a
+    per-frame distinct."""
+    plan = _plan(eventflow.cumulative_distinct_users(load_table(spark, sf_dir, "events")))
+    assert "WindowGroupLimit" not in plan  # not a top-k shape
+    assert plan.count("Window") <= 2  # one logical window (+AQE echo)
+    assert "CartesianProduct" not in plan
