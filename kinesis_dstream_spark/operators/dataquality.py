@@ -204,3 +204,78 @@ SELECT 'unique_partkey', 'part', n, v, v = 0 FROM pk
 UNION ALL
 SELECT 'orders_custkey_in_customer', 'orders', n, v, v = 0 FROM ri
 """
+
+
+def key_skew_profile(events: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Join/agg-key skew diagnostics — the profile a pipeline runs
+    BEFORE picking a shuffle strategy (salt? broadcast? AQE skew
+    threshold?) for a new key at 100 TB.
+
+    One row per candidate shuffle key with the three numbers that
+    decide the physical plan:
+
+    - ``skew_ratio`` — max key count / mean key count. AQE's skew-join
+      trigger is exactly this shape (skewedPartitionFactor); >5-10
+      says salt or let AQE split.
+    - ``top_share`` — heaviest key's fraction of all rows. A single
+      key holding >1/parallelism of the table caps speedup no matter
+      the partition count (one straggler task).
+    - ``hhi`` — Herfindahl concentration Σ(cᵢ/n)². Its reciprocal is
+      the "effective number of keys": the real parallelism an even
+      hash partitioner can extract.
+
+    All three derive from ONE groupBy per key column (map-side partial
+    counts) followed by a scalar rollup — integer-exact numerators
+    (counts and Σc² are int64; c≤n≤9e9 keeps Σc² under 2⁶³ up to ~9B
+    rows per key, beyond which the rollup should move to DECIMAL), one
+    deterministic double per displayed ratio. Never materializes the
+    key list; only per-key counts travel, and they collapse to one row
+    per profiled column.
+    """
+    def profile(df: DataFrame, column: str, table: str) -> DataFrame:
+        counts = df.groupBy(column).agg(F.count(F.lit(1)).alias("c"))
+        return counts.agg(
+            F.lit(f"{table}.{column}").alias("key"),
+            F.sum("c").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("c").alias("max_key_rows"),
+            F.round(F.max("c") / (F.sum("c") / F.count(F.lit(1))), 2).alias(
+                "skew_ratio"
+            ),
+            F.round(F.max("c") / F.sum("c"), 4).alias("top_share"),
+            F.round(F.sum(F.col("c") * F.col("c")) / (F.sum("c") * F.sum("c")), 6).alias(
+                "hhi"
+            ),
+        )
+    return (
+        profile(events, "event_type", "events")
+        .unionAll(profile(events, "user_id", "events"))
+        .unionAll(profile(lineitem, "l_orderkey", "lineitem"))
+        .unionAll(profile(lineitem, "l_suppkey", "lineitem"))
+    )
+
+
+KEY_SKEW_PROFILE_SQL = """
+WITH prof AS (
+  SELECT 'events.event_type' AS key, event_type::VARCHAR AS k FROM events
+  UNION ALL
+  SELECT 'events.user_id', user_id::VARCHAR FROM events
+  UNION ALL
+  SELECT 'lineitem.l_orderkey', l_orderkey::VARCHAR FROM lineitem
+  UNION ALL
+  SELECT 'lineitem.l_suppkey', l_suppkey::VARCHAR FROM lineitem
+), counts AS (
+  SELECT key, k, count(*) AS c FROM prof GROUP BY key, k
+)
+SELECT key,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(max(c) AS BIGINT) AS max_key_rows,
+       round(CAST(max(c) AS BIGINT)
+             / (CAST(sum(c) AS BIGINT) / CAST(count(*) AS BIGINT)), 2)
+         AS skew_ratio,
+       round(CAST(max(c) AS BIGINT) / CAST(sum(c) AS BIGINT), 4) AS top_share,
+       round(CAST(sum(c * c) AS BIGINT)
+             / (CAST(sum(c) AS BIGINT) * CAST(sum(c) AS BIGINT)), 6) AS hhi
+FROM counts GROUP BY key
+"""

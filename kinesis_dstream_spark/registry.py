@@ -3579,6 +3579,12 @@ def _q_cumulative_users(spark: SparkSession, sf: str) -> DataFrame:
     return eventflow.cumulative_distinct_users(load_table(spark, sf, "events"))
 
 
+def _q_key_skew(spark: SparkSession, sf: str) -> DataFrame:
+    return dataquality.key_skew_profile(
+        load_table(spark, sf, "events"), load_table(spark, sf, "lineitem")
+    )
+
+
 def _q_late_interaction(spark: SparkSession, sf: str) -> DataFrame:
     return text.late_interaction_topk(load_table(spark, sf, "documents"))
 
@@ -4147,6 +4153,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _q_cumulative_users,
         eventflow.CUMULATIVE_DISTINCT_USERS_SQL,
     ),
+    # shuffle-key skew diagnostics: skew-ratio / top-share / HHI per
+    # candidate key, one groupBy + scalar rollup each
+    "key_skew_profile": (_q_key_skew, dataquality.KEY_SKEW_PROFILE_SQL),
 }
 
 

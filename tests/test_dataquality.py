@@ -66,3 +66,33 @@ def test_row_local_suite_is_one_scan(spark, sf_dir):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan parquet") <= 1  # union reuses the one agg
+
+
+def test_key_skew_profile_semantics(spark, sf_dir):
+    """Bounds every ratio must satisfy by construction: top_share in
+    (0,1], hhi in [1/n_keys, 1], skew_ratio >= 1, and the uniform-ish
+    l_orderkey key must profile as less skewed than event_type (7
+    values over 10k rows is structurally hot)."""
+    from kinesis_dstream_spark.operators.dataquality import key_skew_profile
+    from kinesis_dstream_spark.tables import load_table
+
+    rows = {
+        r.key: r
+        for r in key_skew_profile(
+            load_table(spark, sf_dir, "events"),
+            load_table(spark, sf_dir, "lineitem"),
+        ).collect()
+    }
+    assert set(rows) == {
+        "events.event_type",
+        "events.user_id",
+        "lineitem.l_orderkey",
+        "lineitem.l_suppkey",
+    }
+    for r in rows.values():
+        assert 0 < r.top_share <= 1.0
+        assert r.skew_ratio >= 1.0
+        assert 1.0 / r.n_keys <= r.hhi + 1e-9 <= 1.0
+        assert r.max_key_rows <= r.n_rows
+    # low-cardinality key concentrates: fewer keys -> higher hhi
+    assert rows["events.event_type"].hhi > rows["events.user_id"].hhi
