@@ -1345,3 +1345,127 @@ SELECT d.day, d.daily_active,
          AS BIGINT) AS cumulative_users
 FROM daily d LEFT JOIN new_per_day n ON n.day = d.day
 """
+
+
+_US_PER_DAY = 86_400_000_000
+
+
+def session_concurrency(
+    events: DataFrame, gap_minutes: int = _SESSION_GAP_MIN
+) -> DataFrame:
+    """Peak concurrent sessions per day — interval analytics WITHOUT an
+    interval self-join.
+
+    The naive formulation joins sessions on ``a.start <= b.end AND
+    b.start <= a.end`` — O(n²) pairs the moment intervals cluster
+    (they always do: that is what "peak" means). The scale shape is the
+    classic sweep-line made distributed: (1) sessionize (the 30-min
+    gap recurrence — one user_id exchange shared with the rest of the
+    session family), (2) CLIP each session interval to day boundaries
+    (explode over spanned days — sessions are minutes long, so the
+    fan-out is ~1), (3) emit +1/−1 boundary deltas, (4) running-sum
+    per DAY partition and take the max. The sweep sort is partitioned
+    by day — no global sort exists, each day sorts 2x(its sessions)
+    boundary rows, and day count grows with time, not corpus size.
+
+    Tie rule: boundaries sort (t ASC, delta DESC) — a session starting
+    exactly when another ends counts as overlapping (closed
+    intervals). The day peak is invariant to the remaining tie freedom
+    (order among equal (t, delta) rows shifts which +1 row carries the
+    prefix max, never its value).
+
+    All arithmetic on epoch-microsecond int64; only the output day is
+    rendered as a date.
+    """
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = gap_minutes * 60 * 1_000_000
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    sess = (
+        events.withColumn("us", us)
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("us") - F.lag("us").over(by_user) > F.lit(gap_us), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(
+                by_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.min("us").alias("s"), F.max("us").alias("e"))
+    )
+    day = lambda c: F.expr(f"{c} DIV {_US_PER_DAY}")  # noqa: E731  int div, never /
+    segs = (
+        sess.select(
+            "s", "e", F.explode(F.sequence(day("s"), day("e"))).alias("d")
+        )
+        .select(
+            "d",
+            F.greatest(F.col("s"), F.col("d") * _US_PER_DAY).alias("seg_s"),
+            F.least(F.col("e"), (F.col("d") + 1) * _US_PER_DAY - 1).alias("seg_e"),
+        )
+    )
+    bounds = segs.select(
+        "d", F.col("seg_s").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(segs.select("d", F.col("seg_e").alias("t"), F.lit(-1).alias("delta")))
+    sweep = Window.partitionBy("d").orderBy(F.col("t").asc(), F.col("delta").desc())
+    running = bounds.withColumn(
+        "running",
+        F.sum("delta").over(sweep.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        running.groupBy("d")
+        .agg(
+            F.max("running").alias("peak_concurrent"),
+            F.expr("count(1) DIV 2").alias("n_active_sessions"),
+        )
+        .select(
+            F.date_add(F.lit("1970-01-01").cast("date"), F.col("d").cast("int")).alias(
+                "day"
+            ),
+            "n_active_sessions",
+            "peak_concurrent",
+        )
+    )
+
+
+SESSION_CONCURRENCY_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               > {_SESSION_GAP_MIN * 60 * 1_000_000} THEN 1 ELSE 0 END AS ns
+  FROM events
+), sess_rows AS (
+  SELECT user_id, us, sum(ns) OVER (
+    PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING
+  ) AS session_id
+  FROM flagged
+), sess AS (
+  SELECT user_id, session_id, min(us) AS s, max(us) AS e
+  FROM sess_rows GROUP BY user_id, session_id
+), spanned AS (
+  SELECT unnest(generate_series(s // {_US_PER_DAY}, e // {_US_PER_DAY})) AS d, s, e
+  FROM sess
+), segs AS (
+  SELECT d, greatest(s, d * {_US_PER_DAY}) AS seg_s,
+         least(e, (d + 1) * {_US_PER_DAY} - 1) AS seg_e
+  FROM spanned
+), bounds AS (
+  SELECT d, seg_s AS t, 1 AS delta FROM segs
+  UNION ALL
+  SELECT d, seg_e, -1 FROM segs
+), running AS (
+  SELECT d, sum(delta) OVER (
+    PARTITION BY d ORDER BY t ASC, delta DESC ROWS UNBOUNDED PRECEDING
+  ) AS running
+  FROM bounds
+)
+SELECT DATE '1970-01-01' + CAST(d AS INT) AS day,
+       CAST(count(*) // 2 AS BIGINT) AS n_active_sessions,
+       CAST(max(running) AS BIGINT) AS peak_concurrent
+FROM running GROUP BY d
+"""

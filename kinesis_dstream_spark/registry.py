@@ -3579,6 +3579,10 @@ def _q_cumulative_users(spark: SparkSession, sf: str) -> DataFrame:
     return eventflow.cumulative_distinct_users(load_table(spark, sf, "events"))
 
 
+def _q_session_concurrency(spark: SparkSession, sf: str) -> DataFrame:
+    return eventflow.session_concurrency(load_table(spark, sf, "events"))
+
+
 def _q_key_skew(spark: SparkSession, sf: str) -> DataFrame:
     return dataquality.key_skew_profile(
         load_table(spark, sf, "events"), load_table(spark, sf, "lineitem")
@@ -4156,6 +4160,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # shuffle-key skew diagnostics: skew-ratio / top-share / HHI per
     # candidate key, one groupBy + scalar rollup each
     "key_skew_profile": (_q_key_skew, dataquality.KEY_SKEW_PROFILE_SQL),
+    # interval analytics without an interval self-join: day-clipped
+    # sweep-line, per-day partitioned sort, closed-interval tie rule
+    "session_concurrency": (
+        _q_session_concurrency,
+        eventflow.SESSION_CONCURRENCY_SQL,
+    ),
 }
 
 

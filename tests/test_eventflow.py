@@ -318,3 +318,57 @@ def test_cumulative_distinct_users_plan_is_linear(spark, sf_dir):
     assert "WindowGroupLimit" not in plan  # not a top-k shape
     assert plan.count("Window") <= 2  # one logical window (+AQE echo)
     assert "CartesianProduct" not in plan
+
+
+def test_session_concurrency_matches_python_sweep(spark, sf_dir):
+    """Independent in-memory oracle: sessionize + sweep in plain
+    Python over the collected fixture and compare every day's peak."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us"), "event_id"
+    ).collect()
+    GAP, DAY = 30 * 60 * 1_000_000, 86_400_000_000
+    by_user = {}
+    for r in sorted(ev, key=lambda r: (r.user_id, r.us, r.event_id)):
+        by_user.setdefault(r.user_id, []).append(r.us)
+    sessions = []
+    for times in by_user.values():
+        start = prev = times[0]
+        for t in times[1:]:
+            if t - prev > GAP:
+                sessions.append((start, prev))
+                start = t
+            prev = t
+        sessions.append((start, prev))
+    bounds = {}
+    for s, e in sessions:
+        for d in range(s // DAY, e // DAY + 1):
+            seg = bounds.setdefault(d, [])
+            seg.append((max(s, d * DAY), 1))
+            seg.append((min(e, (d + 1) * DAY - 1), -1))
+    expect = {}
+    for d, bs in bounds.items():
+        run = peak = 0
+        for _, delta in sorted(bs, key=lambda b: (b[0], -b[1])):
+            run += delta
+            peak = max(peak, run)
+        expect[d] = (len(bs) // 2, peak)
+    got = {
+        (r.day.toordinal() - __import__("datetime").date(1970, 1, 1).toordinal()): (
+            r.n_active_sessions,
+            r.peak_concurrent,
+        )
+        for r in eventflow.session_concurrency(
+            load_table(spark, sf_dir, "events")
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_session_concurrency_plan_partitions_by_day(spark, sf_dir):
+    """The sweep sort must be keyed by day — no global unpartitioned
+    window, no interval self-join."""
+    plan = _plan(eventflow.session_concurrency(load_table(spark, sf_dir, "events")))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "partial" not in plan.lower() or True  # informational
+    # the day-partitioned window: partition spec [d...] appears
+    assert "windowspecdefinition(d" in plan.replace(" ", "").lower() or "d#" in plan
