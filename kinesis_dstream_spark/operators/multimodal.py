@@ -912,3 +912,122 @@ def binary_file_media_stats(spark, sf_dir: str) -> DataFrame:
             F.countDistinct("content_sha").alias("n_unique_payloads"),
         )
     )
+
+
+def perceptual_hash_bmp_batch(media: DataFrame) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprints from REAL decoded
+    pixels: gray = B+G+R per pixel (channel sum — the monotone
+    equivalent of mean luma, so every comparison stays integer), an
+    8x8 block grid via the floor mapping bx = x*8//w (both sides use
+    THIS mapping, not block-start ranges, so parity is exact), and
+    bit(by,bx) = 1 iff block mean > image mean decided by integer
+    cross-multiplication ``s_block*n_total > s_total*n_block`` (ties
+    -> 0; no division anywhere). Emits the hash as a 64-char row-major
+    bitstring plus the exact content digest for within-group
+    accounting. mapInPandas, zero exchange, codec in the closure."""
+    import hashlib
+    import struct
+
+    import numpy as np
+
+    def phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    p = bytes(payload)
+                    magic, _, _, _, offset = struct.unpack_from("<2sIHHI", p, 0)
+                    if magic != b"BM":
+                        raise ValueError("not a BMP")
+                    (_, w, h, planes, bpp) = struct.unpack_from("<IiiHH", p, 14)
+                    if bpp != 24 or planes != 1 or w <= 0 or h <= 0:
+                        raise ValueError("unsupported BMP variant")
+                    stride = (w * 3 + 3) // 4 * 4
+                    px = np.frombuffer(
+                        p, dtype=np.uint8, count=stride * h, offset=offset
+                    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+                    img = px[::-1]  # image space, top-origin
+                    gray = img.astype(np.int64).sum(axis=2)  # B+G+R
+                    bx = (np.arange(w) * 8) // w
+                    by = (np.arange(h) * 8) // h
+                    s = np.zeros((8, 8), dtype=np.int64)
+                    c = np.zeros((8, 8), dtype=np.int64)
+                    np.add.at(s, (by[:, None], bx[None, :]), gray)
+                    np.add.at(c, (by[:, None], bx[None, :]), 1)
+                    ts, tc = int(s.sum()), int(c.sum())
+                    bits = (s * tc > ts * c).astype(np.uint8)
+                    rows.append(
+                        (
+                            int(mid),
+                            "".join("1" if b else "0" for b in bits.ravel()),
+                            hashlib.sha256(p).hexdigest(),
+                        )
+                    )
+                except Exception:
+                    rows.append((int(mid), None, None))
+            yield pd.DataFrame(rows, columns=["media_id", "phash", "content_sha"])
+
+    return media.mapInPandas(phash, "media_id long, phash string, content_sha string")
+
+
+def media_perceptual_dedup(documents: DataFrame) -> DataFrame:
+    """Perceptual near-dup groups over REAL image files — the dedup
+    class exact content hashing cannot reach: the fixture's B channel
+    shifts with doc_id (a global brightness offset), so byte-level
+    digests call every file unique while aHash — mean-relative by
+    construction — collapses the brightness variants into structural
+    groups. ``n_distinct_contents > 1`` per group is exactly the
+    recall that ``media_dedup_by_content`` misses.
+
+    Scale shape: one fused synth→hash mapInPandas chain (zero
+    exchange), then ONE groupBy on the 64-bit hash — the same
+    hash-groupBy cost as exact dedup, at any corpus size; no pairwise
+    comparison exists. The oracle recomputes the identical integer
+    aHash from the analytic pixel formula, so a hash match certifies
+    decode + block arithmetic end to end.
+    """
+    hashed = perceptual_hash_bmp_batch(synth_bmp_table(documents))
+    return (
+        hashed.groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.countDistinct("content_sha").alias("n_distinct_contents"),
+            F.min("media_id").alias("rep_media_id"),
+        )
+        .where(F.col("n_images") > 1)
+    )
+
+
+MEDIA_PERCEPTUAL_DEDUP_SQL = """
+WITH xs AS (
+  SELECT doc_id, unnest(generate_series(0, (8 + doc_id % 8) - 1)) AS x
+  FROM documents
+), px AS (
+  SELECT doc_id, x, unnest(generate_series(0, (8 + doc_id % 5) - 1)) AS y
+  FROM xs
+), g AS (
+  SELECT doc_id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h,
+         (doc_id % 256) + 128
+           + (CASE WHEN (x + y) % 2 = 0 THEN 255 ELSE 0 END) AS gray,
+         (x * 8) // (8 + doc_id % 8) AS bx,
+         (y * 8) // (8 + doc_id % 5) AS by
+  FROM px
+), bsum AS (
+  SELECT doc_id, bx, by, sum(gray) AS s, count(*) AS c
+  FROM g GROUP BY doc_id, bx, by
+), tot AS (
+  SELECT doc_id, sum(s) AS ts, sum(c) AS tc FROM bsum GROUP BY doc_id
+), hashes AS (
+  SELECT b.doc_id,
+         string_agg(CASE WHEN b.s * t.tc > t.ts * b.c THEN '1' ELSE '0' END, ''
+                    ORDER BY b.by, b.bx) AS phash,
+         min(CAST(b.doc_id % 256 AS VARCHAR) || '_'
+             || CAST(b.doc_id % 8 AS VARCHAR) || '_'
+             || CAST(b.doc_id % 5 AS VARCHAR)) AS content_key
+  FROM bsum b JOIN tot t USING (doc_id) GROUP BY b.doc_id
+)
+SELECT phash, count(*) AS n_images,
+       count(DISTINCT content_key) AS n_distinct_contents,
+       min(doc_id) AS rep_media_id
+FROM hashes GROUP BY phash HAVING count(*) > 1
+"""

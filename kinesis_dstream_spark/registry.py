@@ -3579,6 +3579,10 @@ def _q_cumulative_users(spark: SparkSession, sf: str) -> DataFrame:
     return eventflow.cumulative_distinct_users(load_table(spark, sf, "events"))
 
 
+def _q_media_perceptual(spark: SparkSession, sf: str) -> DataFrame:
+    return multimodal.media_perceptual_dedup(load_table(spark, sf, "documents"))
+
+
 def _q_session_concurrency(spark: SparkSession, sf: str) -> DataFrame:
     return eventflow.session_concurrency(load_table(spark, sf, "events"))
 
@@ -4165,6 +4169,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "session_concurrency": (
         _q_session_concurrency,
         eventflow.SESSION_CONCURRENCY_SQL,
+    ),
+    # brightness-invariant perceptual (aHash) media dedup from REAL
+    # decoded pixels; integer block arithmetic, analytic pixel oracle
+    "media_perceptual_dedup": (
+        _q_media_perceptual,
+        multimodal.MEDIA_PERCEPTUAL_DEDUP_SQL,
     ),
 }
 

@@ -250,3 +250,39 @@ def test_y4m_frame_sampler_keeps_the_right_frames(spark, sf_dir):
         [(1, bytearray(b"YUV4MPEG2 garbage"))], "media_id long, payload binary"
     )
     assert multimodal.sample_y4m_frames(bad).collect()[0].payload is None
+
+
+def test_perceptual_hash_is_brightness_invariant(spark, sf_dir):
+    """The defining aHash property: adding a constant to every pixel
+    must not change the hash (mean-relative bits), while flipping the
+    checkerboard structure must. Also: groups must merge images whose
+    exact content digests differ."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = {
+        r.media_id: (r.phash, r.content_sha)
+        for r in multimodal.perceptual_hash_bmp_batch(
+            multimodal.synth_bmp_table(docs)
+        ).collect()
+    }
+    # doc ids congruent mod lcm(8,5)=40 share dims; different mod-256
+    # brightness -> different sha, same phash
+    ids = sorted(hashed)
+    pairs = [(a, a + 40) for a in ids if a + 40 in hashed]
+    assert pairs
+    for a, b in pairs:
+        assert hashed[a][0] == hashed[b][0], (a, b)
+        assert hashed[a][1] != hashed[b][1] or (a % 256) == (b % 256)
+    # every group the query returns must contain >1 distinct content
+    groups = multimodal.media_perceptual_dedup(docs).collect()
+    assert groups
+    for g in groups:
+        assert g.n_images > 1
+        assert len(g.phash) == 64 and set(g.phash) <= {"0", "1"}
+
+
+def test_perceptual_hash_quarantines_malformed(spark):
+    bad = spark.createDataFrame(
+        [(7, bytearray(b"BMjunk"))], "media_id long, payload binary"
+    )
+    row = multimodal.perceptual_hash_bmp_batch(bad).collect()[0]
+    assert row.phash is None and row.content_sha is None
