@@ -958,3 +958,84 @@ def late_interaction_topk(
         .filter(F.col("rk") <= k)
         .select("q_id", "doc_id", "maxsim", "rk")
     )
+
+
+def adaptive_quality_gate(documents: DataFrame, drop_pct: int = 20) -> DataFrame:
+    """Per-language adaptive quality filtering — the curation gate a
+    multilingual corpus actually needs: a single global threshold
+    calibrated on the majority language silently deletes low-resource
+    languages whose score DISTRIBUTION sits lower, so the cut must be
+    a per-language order statistic ("drop each language's bottom 20%"),
+    not a constant.
+
+    The quality key is integer fixed-point end to end (1e4 grid,
+    floor-division components — length saturation, type-token ratio,
+    stopword saturation, the same signals as ``quality_score``), so
+    the per-language rank selection is tie-deterministic (iq, doc_id)
+    and the DuckDB twin reproduces the cut bit-for-bit; only display
+    columns divide.
+
+    Scale: ONE lang-partitioned window sort (rank + count ride the
+    same exchange), then a per-lang rollup. Languages are the classic
+    skewed key (en is most of the web) — at 100 TB the sort sub-keys
+    exactly like ``rolling_zscore_outliers_sharded``: shard-local
+    bottom-k(n·p) merge exactly to the global bottom-k because
+    selection is shard-decomposable.
+    """
+    toks = tokens(F.col("text"))
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+    n_uniq = F.size(F.array_distinct(toks))
+    en_stop = F.array(*[F.lit(m) for m in LANG_MARKERS["en"]])
+    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(en_stop, t)))
+    scored = documents.select(
+        "doc_id",
+        "lang",
+        n_tok.alias("n_tok"),
+        n_uniq.alias("n_uniq"),
+        stop_hits.alias("stop_hits"),
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.expr("least(n_tok, 200) * 10000 DIV 200")
+            + F.expr("n_uniq * 10000 DIV n_tok")
+            + F.expr("least(stop_hits * 50000 DIV n_tok, 10000)")
+        ).alias("iq"),
+    )
+    w = Window.partitionBy("lang").orderBy("iq", "doc_id")
+    ranked = scored.select(
+        "lang",
+        "iq",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+    ).withColumn("cut", F.expr(f"n * {drop_pct} DIV 100"))
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.max("n").alias("n_docs"),
+            F.max("cut").alias("n_dropped"),
+            (F.max("n") - F.max("cut")).alias("n_kept"),
+            F.round(
+                F.coalesce(
+                    F.max(F.when(F.col("rn") == F.col("cut"), F.col("iq"))), F.lit(0)
+                )
+                / 10000.0,
+                4,
+            ).alias("threshold_q"),
+            F.round(
+                F.sum(F.when(F.col("rn") > F.col("cut"), F.col("iq")))
+                / (F.max("n") - F.max("cut"))
+                / 10000.0,
+                4,
+            ).alias("avg_kept_q"),
+            F.when(
+                F.max("cut") > 0,
+                F.round(
+                    F.sum(F.when(F.col("rn") <= F.col("cut"), F.col("iq")))
+                    / F.max("cut")
+                    / 10000.0,
+                    4,
+                ),
+            ).alias("avg_dropped_q"),
+        )
+    )

@@ -3579,6 +3579,51 @@ def _q_cumulative_users(spark: SparkSession, sf: str) -> DataFrame:
     return eventflow.cumulative_distinct_users(load_table(spark, sf, "events"))
 
 
+def _q_adaptive_quality(spark: SparkSession, sf: str) -> DataFrame:
+    return text.adaptive_quality_gate(load_table(spark, sf, "documents"))
+
+
+# integer fixed-point quality key (floor-division components) makes the
+# per-language rank selection tie-deterministic across engines
+_SQL_ADAPTIVE_QUALITY = f"""
+WITH t AS (
+  SELECT doc_id, lang, {_DUCK_TOKS.format(col='text')} AS toks FROM documents
+), m AS (
+  SELECT doc_id, lang,
+         greatest(len(toks), 1) AS n_tok,
+         len(list_distinct(toks)) AS n_uniq,
+         len(list_filter(toks,
+             t -> t IN ('the','a','of','and','is','to','in'))) AS stop_hits
+  FROM t
+), scored AS (
+  SELECT doc_id, lang,
+         (least(n_tok, 200) * 10000 // 200)
+         + (n_uniq * 10000 // n_tok)
+         + least(stop_hits * 50000 // n_tok, 10000) AS iq
+  FROM m
+), ranked AS (
+  SELECT lang, iq,
+         row_number() OVER (PARTITION BY lang ORDER BY iq, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM scored
+), cutted AS (
+  SELECT *, n * 20 // 100 AS cut FROM ranked
+)
+SELECT lang,
+       CAST(max(n) AS BIGINT) AS n_docs,
+       CAST(max(cut) AS BIGINT) AS n_dropped,
+       CAST(max(n) - max(cut) AS BIGINT) AS n_kept,
+       round(coalesce(max(CASE WHEN rn = cut THEN iq END), 0) / 10000.0, 4)
+         AS threshold_q,
+       round(sum(CASE WHEN rn > cut THEN iq END)
+             / (max(n) - max(cut)) / 10000.0, 4) AS avg_kept_q,
+       CASE WHEN max(cut) > 0 THEN
+         round(sum(CASE WHEN rn <= cut THEN iq END) / max(cut) / 10000.0, 4)
+       END AS avg_dropped_q
+FROM cutted GROUP BY lang
+"""
+
+
 def _q_media_perceptual(spark: SparkSession, sf: str) -> DataFrame:
     return multimodal.media_perceptual_dedup(load_table(spark, sf, "documents"))
 
@@ -4176,6 +4221,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _q_media_perceptual,
         multimodal.MEDIA_PERCEPTUAL_DEDUP_SQL,
     ),
+    # per-language adaptive quality cut: exact order-statistic
+    # threshold per group, integer fixed-point key
+    "adaptive_quality_gate": (_q_adaptive_quality, _SQL_ADAPTIVE_QUALITY),
 }
 
 

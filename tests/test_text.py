@@ -296,3 +296,20 @@ def test_late_interaction_favors_token_overlap(spark, sf_dir):
     )
     top1_sim = {r.q_id: r.maxsim for r in out if r.rk == 1}
     assert abs(top1_sim[1] - float(n_toks)) < 1e-6
+
+
+def test_adaptive_quality_gate_semantics(spark, sf_dir):
+    """Per-language accounting must be conservation-exact, the drop
+    fraction must approximate drop_pct within integer-floor error for
+    EVERY language (the property a global threshold violates), and
+    kept quality must dominate dropped quality."""
+    from kinesis_dstream_spark.operators.text import adaptive_quality_gate
+    from kinesis_dstream_spark.tables import load_table
+
+    rows = adaptive_quality_gate(load_table(spark, sf_dir, "documents")).collect()
+    assert rows
+    for r in rows:
+        assert r.n_kept + r.n_dropped == r.n_docs
+        assert r.n_dropped == r.n_docs * 20 // 100  # exact floor, per lang
+        if r.n_dropped > 0:
+            assert r.avg_dropped_q <= r.threshold_q <= r.avg_kept_q
