@@ -747,3 +747,108 @@ def contrastive_pair_mining(
         "neg_sim",
         F.round(F.col("pos_sim") - F.col("neg_sim"), 4).alias("margin"),
     )
+
+
+def _jl_signs(d: int, m: int) -> list[list[int]]:
+    """Deterministic ±1 Johnson–Lindenstrauss sign matrix, derived from
+    md5 of the (i, j) coordinate — no state to store or broadcast: any
+    engine (the DuckDB oracle included) rematerializes the identical
+    matrix from the formula. Row j lists the d input signs for output
+    dimension j."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{i}_{j}".encode()).hexdigest()[:2], 16) % 2 == 0
+            else -1
+            for i in range(d)
+        ]
+        for j in range(m)
+    ]
+
+
+def random_projection_topk(
+    embeddings: DataFrame,
+    out_dims: int = 16,
+    n_queries: int = 10,
+    k: int = 5,
+    fp_scale: int = 1_000_000,
+) -> DataFrame:
+    """Dimensionality-reduced shortlist retrieval: project 64-d vectors
+    to ``out_dims`` with a dense ±1 JL matrix (Achlioptas), rank by
+    dot product IN THE PROJECTED SPACE, take top-k per query.
+
+    This is the shortlist generator of a two-stage retriever (like
+    PQ's ADC pass): at 100 TB the projection cuts per-pair multiply
+    count and broadcast bytes by d/m (4× here) while JL preserves
+    inner products to O(1/√m) — and because the projection is a
+    hash-derived formula, there is NO trained state to version, ship,
+    or invalidate (contrast: the PQ codebook freeze). Re-scoring the
+    shortlist with exact cosine is the existing brute-force operator.
+
+    Honest fixture caveat (same as the IVF/LSH family): the fixture
+    corpus is isotropic — every cosine is near 0, so exact-rank
+    recall after ANY lossy projection is weak (measured ~0.2 at a 4×
+    shortlist). What JL guarantees, and what the pytest asserts, is
+    the additive inner-product error bound |ŷ−cos| ~ 1/√m, which is
+    distribution-free; on clustered production embeddings that same
+    bound preserves rank because true gaps exceed it.
+
+    Exactness: inputs land on a 1e-6 fixed-point grid BEFORE
+    projection, so projected coordinates and every pair dot are int64
+    (|y| ≤ 64·2e6·... well under 2⁶³) — the ranking is deterministic
+    integer arithmetic, bit-equal cross-engine; ties break on c_id.
+
+    Plan: projection is a map-side expression chain (zip_with +
+    aggregate over literal sign arrays — JVM codegen, no Python); the
+    tiny projected query side broadcasts; per-query top-k via
+    row_number keeps the shuffle at |queries|·k rows.
+
+    Contract: embedding dim is constant (one bounded first() row pins
+    it); a mixed-dim corpus must project per-dim-group.
+    """
+    first = embeddings.select(F.size("embedding").alias("d")).first()
+    d = int(first["d"])
+    signs = _jl_signs(d, out_dims)
+    # normalize FIRST (projected dot then tracks cosine, the metric the
+    # exact re-scorer uses), then land unit coords on the fixed-point
+    # grid — the oracle replays the identical normalize→round path
+    iv = F.transform(
+        F.col("unit"), lambda x: F.round(x * fp_scale).cast("long")
+    )
+    proj = _normalized(embeddings).select(
+        "vec_id",
+        F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        iv,
+                        F.array(*[F.lit(s) for s in signs[j]]),
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                )
+                for j in range(out_dims)
+            ]
+        ).alias("yv"),
+    )
+    queries = proj.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("yv").alias("q_yv")
+    )
+    corpus = proj.select(F.col("vec_id").alias("c_id"), F.col("yv").alias("c_yv"))
+    dot = F.aggregate(
+        F.zip_with(F.col("q_yv"), F.col("c_yv"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = corpus.join(F.broadcast(queries), F.col("q_id") != F.col("c_id")).select(
+        "q_id", "c_id", dot.alias("proj_dot")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("proj_dot").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "c_id", "proj_dot", "rk")
+    )

@@ -3579,6 +3579,44 @@ def _q_cumulative_users(spark: SparkSession, sf: str) -> DataFrame:
     return eventflow.cumulative_distinct_users(load_table(spark, sf, "events"))
 
 
+def _q_random_proj(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.random_projection_topk(load_table(spark, sf, "embeddings"))
+
+
+# the ±1 sign matrix is md5-derived from (i, j), so the oracle
+# rematerializes the identical matrix; every coordinate and dot is int64
+_SQL_RANDOM_PROJ = f"""
+WITH {_DUCK_UNIT_CTE}, fe AS (
+  SELECT vec_id,
+         list_transform(unit, x -> CAST(round(x * 1000000) AS BIGINT)) AS iv
+  FROM u
+), coords AS (
+  SELECT i.i, j.j,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(i.i AS VARCHAR) || '_' ||
+                   CAST(j.j AS VARCHAR)), 1, 2)) AS INT) % 2 = 0
+              THEN 1 ELSE -1 END AS s
+  FROM (SELECT unnest(generate_series(0, 63)) AS i) i,
+       (SELECT unnest(generate_series(0, 15)) AS j) j
+), proj AS (
+  SELECT fe.vec_id, c.j, CAST(sum(fe.iv[c.i + 1] * c.s) AS BIGINT) AS y
+  FROM fe, coords c GROUP BY fe.vec_id, c.j
+), pv AS (
+  SELECT vec_id, list(y ORDER BY j) AS yv FROM proj GROUP BY vec_id
+), scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         list_reduce(list_transform(list_zip(q.yv, c.yv), s -> s[1] * s[2]),
+                     (a, b) -> a + b) AS proj_dot
+  FROM pv q JOIN pv c ON q.vec_id < 10 AND c.vec_id != q.vec_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY proj_dot DESC, c_id ASC) AS rk
+  FROM scored
+)
+SELECT q_id, c_id, CAST(proj_dot AS BIGINT) AS proj_dot, CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= 5
+"""
+
+
 def _q_adaptive_quality(spark: SparkSession, sf: str) -> DataFrame:
     return text.adaptive_quality_gate(load_table(spark, sf, "documents"))
 
@@ -4224,6 +4262,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # per-language adaptive quality cut: exact order-statistic
     # threshold per group, integer fixed-point key
     "adaptive_quality_gate": (_q_adaptive_quality, _SQL_ADAPTIVE_QUALITY),
+    # stateless JL projection shortlist: hash-derived ±1 matrix, int64
+    # projected coords/dots, 4x cheaper pair math than full-dim
+    "random_projection_topk": (_q_random_proj, _SQL_RANDOM_PROJ),
 }
 
 

@@ -454,3 +454,33 @@ def test_contrastive_pairs_consistent_with_filtered_topk(spark, sf_dir):
         assert abs(r.pos_sim - pos_best) < 1e-9
         assert abs(r.neg_sim - neg_best) < 1e-9
         assert abs(r.margin - round(r.pos_sim - r.neg_sim, 4)) < 1e-9
+
+
+def test_random_projection_jl_error_bound(spark, sf_dir):
+    """JL guarantee (distribution-free, unlike rank recall on the
+    isotropic fixture): the unbiased estimator proj_dot/(m·scale²)
+    tracks exact cosine with MAE ≈ √(2/π)/√m. Assert a 25% slack
+    over theory, plus determinism of the hash-derived matrix."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    m = 16
+    exact = {
+        (r.q_id, r.c_id): r.cos_sim
+        for r in similarity.ann_bruteforce_topk(emb, k=10**9).collect()
+    }
+    jl = similarity.random_projection_topk(emb, out_dims=m, k=10**9).collect()
+    errs = [abs(r.proj_dot / (m * 1e12) - exact[(r.q_id, r.c_id)]) for r in jl]
+    mae = sum(errs) / len(errs)
+    assert mae < 1.25 * (2 / 3.14159) ** 0.5 / m**0.5  # theory + 25%
+    again = similarity.random_projection_topk(emb, out_dims=m, k=10**9).collect()
+    assert {(r.q_id, r.c_id, r.proj_dot) for r in jl} == {
+        (r.q_id, r.c_id, r.proj_dot) for r in again
+    }
+
+
+def test_random_projection_plan_is_jvm_side(spark, sf_dir):
+    """Projection must be codegen'd expressions + a broadcast join —
+    no Python UDF, no cartesian without broadcast."""
+    df = similarity.random_projection_topk(load_table(spark, sf_dir, "embeddings"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
