@@ -279,3 +279,95 @@ SELECT key,
              / (CAST(sum(c) AS BIGINT) * CAST(sum(c) AS BIGINT)), 6) AS hhi
 FROM counts GROUP BY key
 """
+
+
+def join_size_estimate(
+    orders: DataFrame, lineitem: DataFrame, customer: DataFrame, events: DataFrame
+) -> DataFrame:
+    """Pre-shuffle join cardinality: predict |A ⋈ B| from per-key
+    counts BEFORE paying for the join. For an equi-join the identity
+    |A ⋈_k B| = Σ_k c_A(k)·c_B(k) is exact, and the prediction costs
+    two count-shaped aggregations (map-side partials, key-cardinality
+    shuffles) plus a join of two COUNT TABLES — at 100 TB that is the
+    difference between a metadata-sized query and materializing a
+    possibly-quadratic result to discover it was quadratic.
+
+    The ``events_self_user`` row is the cautionary case this exists
+    for: Σ c(u)² is the size of any per-user pairwise design, and the
+    estimate flags the blowup (≫ input rows) without running it.
+
+    Each output row also carries ``actual_rows`` computed by really
+    joining — the demo certifies the identity; production runs only
+    the estimate. All counts/products int64-exact.
+    """
+    def one(name: str, a: DataFrame, ka: str, b: DataFrame, kb: str) -> DataFrame:
+        ca = a.groupBy(F.col(ka).alias("k")).agg(F.count(F.lit(1)).alias("ca"))
+        cb = b.groupBy(F.col(kb).alias("k")).agg(F.count(F.lit(1)).alias("cb"))
+        predicted = ca.join(cb, "k").agg(
+            F.coalesce(F.sum(F.col("ca") * F.col("cb")), F.lit(0)).alias(
+                "predicted_rows"
+            )
+        )
+        actual = (
+            a.select(F.col(ka).alias("_ka"))
+            .join(b.select(F.col(kb).alias("_kb")), F.col("_ka") == F.col("_kb"))
+            .agg(F.count(F.lit(1)).alias("actual_rows"))
+        )
+        lhs = a.agg(F.count(F.lit(1)).alias("lhs_rows"))
+        rhs = b.agg(F.count(F.lit(1)).alias("rhs_rows"))
+        return (
+            lhs.crossJoin(rhs)
+            .crossJoin(predicted)
+            .crossJoin(actual)
+            .select(
+                F.lit(name).alias("join_name"),
+                "lhs_rows",
+                "rhs_rows",
+                "predicted_rows",
+                "actual_rows",
+            )
+        )
+
+    return (
+        one("lineitem_orders", lineitem, "l_orderkey", orders, "o_orderkey")
+        .unionAll(one("orders_customer", orders, "o_custkey", customer, "c_custkey"))
+        .unionAll(one("events_self_user", events, "user_id", events, "user_id"))
+    )
+
+
+JOIN_SIZE_ESTIMATE_SQL = """
+WITH pairs AS (
+  SELECT 'lineitem_orders' AS join_name,
+         (SELECT count(*) FROM lineitem) AS lhs_rows,
+         (SELECT count(*) FROM orders) AS rhs_rows,
+         (SELECT CAST(sum(ca * cb) AS BIGINT) FROM
+            (SELECT l_orderkey AS k, count(*) AS ca FROM lineitem GROUP BY 1) a
+            JOIN (SELECT o_orderkey AS k, count(*) AS cb FROM orders GROUP BY 1) b
+            USING (k)) AS predicted_rows,
+         (SELECT count(*) FROM lineitem l JOIN orders o
+            ON l.l_orderkey = o.o_orderkey) AS actual_rows
+  UNION ALL
+  SELECT 'orders_customer',
+         (SELECT count(*) FROM orders),
+         (SELECT count(*) FROM customer),
+         (SELECT CAST(sum(ca * cb) AS BIGINT) FROM
+            (SELECT o_custkey AS k, count(*) AS ca FROM orders GROUP BY 1) a
+            JOIN (SELECT c_custkey AS k, count(*) AS cb FROM customer GROUP BY 1) b
+            USING (k)),
+         (SELECT count(*) FROM orders o JOIN customer c
+            ON o.o_custkey = c.c_custkey)
+  UNION ALL
+  SELECT 'events_self_user',
+         (SELECT count(*) FROM events),
+         (SELECT count(*) FROM events),
+         (SELECT CAST(sum(ca * cb) AS BIGINT) FROM
+            (SELECT user_id AS k, count(*) AS ca FROM events GROUP BY 1) a
+            JOIN (SELECT user_id AS k, count(*) AS cb FROM events GROUP BY 1) b
+            USING (k)),
+         (SELECT count(*) FROM events a JOIN events b ON a.user_id = b.user_id)
+)
+SELECT join_name, CAST(lhs_rows AS BIGINT) AS lhs_rows,
+       CAST(rhs_rows AS BIGINT) AS rhs_rows, predicted_rows,
+       CAST(actual_rows AS BIGINT) AS actual_rows
+FROM pairs
+"""

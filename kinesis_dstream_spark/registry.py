@@ -3579,6 +3579,15 @@ def _q_cumulative_users(spark: SparkSession, sf: str) -> DataFrame:
     return eventflow.cumulative_distinct_users(load_table(spark, sf, "events"))
 
 
+def _q_join_size(spark: SparkSession, sf: str) -> DataFrame:
+    return dataquality.join_size_estimate(
+        load_table(spark, sf, "orders"),
+        load_table(spark, sf, "lineitem"),
+        load_table(spark, sf, "customer"),
+        load_table(spark, sf, "events"),
+    )
+
+
 def _q_random_proj(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.random_projection_topk(load_table(spark, sf, "embeddings"))
 
@@ -4265,6 +4274,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # stateless JL projection shortlist: hash-derived ±1 matrix, int64
     # projected coords/dots, 4x cheaper pair math than full-dim
     "random_projection_topk": (_q_random_proj, _SQL_RANDOM_PROJ),
+    # exact equi-join cardinality from count tables — the Σ cA·cB
+    # pre-shuffle diagnostic, incl. the self-join blowup row
+    "join_size_estimate": (_q_join_size, dataquality.JOIN_SIZE_ESTIMATE_SQL),
 }
 
 

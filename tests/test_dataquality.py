@@ -96,3 +96,23 @@ def test_key_skew_profile_semantics(spark, sf_dir):
         assert r.max_key_rows <= r.n_rows
     # low-cardinality key concentrates: fewer keys -> higher hhi
     assert rows["events.event_type"].hhi > rows["events.user_id"].hhi
+
+
+def test_join_size_estimate_identity_and_blowup(spark, sf_dir):
+    """The count-table identity must be exact for every row, and the
+    self-join row must flag the quadratic blowup (predicted >> input)."""
+    from kinesis_dstream_spark.operators.dataquality import join_size_estimate
+    from kinesis_dstream_spark.tables import load_table
+
+    rows = {
+        r.join_name: r
+        for r in join_size_estimate(
+            load_table(spark, sf_dir, "orders"),
+            load_table(spark, sf_dir, "lineitem"),
+            load_table(spark, sf_dir, "customer"),
+            load_table(spark, sf_dir, "events"),
+        ).collect()
+    }
+    for r in rows.values():
+        assert r.predicted_rows == r.actual_rows  # exact identity
+    assert rows["events_self_user"].predicted_rows > rows["events_self_user"].lhs_rows
