@@ -3579,6 +3579,27 @@ def _q_cumulative_users(spark: SparkSession, sf: str) -> DataFrame:
     return eventflow.cumulative_distinct_users(load_table(spark, sf, "events"))
 
 
+def _q_stream_late_audit(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.streaming import jobs
+
+    return jobs.streaming_late_data_audit(spark, sf)
+
+
+# declarative twin of the watermark contract: finalized windows are
+# days <= max_day - 2 (window end < max_ts - 1 day; fixture max ts is
+# never exactly midnight), the two-batches-late slice is excluded, the
+# one-batch-behind buffer slice is admitted
+_SQL_STREAM_LATE_AUDIT = """
+WITH mx AS (SELECT max(CAST(ts AS DATE)) AS md FROM events)
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS win_day,
+       event_type, count(*) AS n_events
+FROM events, mx
+WHERE CAST(ts AS DATE) <= md - 2
+  AND NOT (user_id % 50 = 0 AND CAST(ts AS DATE) < md - 1)
+GROUP BY 1, 2
+"""
+
+
 def _q_join_size(spark: SparkSession, sf: str) -> DataFrame:
     return dataquality.join_size_estimate(
         load_table(spark, sf, "orders"),
@@ -4277,6 +4298,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # exact equi-join cardinality from count tables — the Σ cA·cB
     # pre-shuffle diagnostic, incl. the self-join blowup row
     "join_size_estimate": (_q_join_size, dataquality.JOIN_SIZE_ESTIMATE_SQL),
+    # watermark completeness audit: finalized-windows-only counts with
+    # the late slice provably excluded; oracle states the contract set
+    "streaming_late_data_audit": (_q_stream_late_audit, _SQL_STREAM_LATE_AUDIT),
 }
 
 

@@ -1692,3 +1692,136 @@ def pairs_store_compact(
         stats["tables_compacted"] += 1
         stats["files_after"] += len(glob.glob(os.path.join(cur, "*.parquet")))
     return stats
+
+
+def _late_audit_stage(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the events fixture as a 3-file out-of-order arrival
+    sequence (ascending mtimes pin file-source order):
+
+      00_bulk   — everything except the buffer/late slices; contains
+                  the global max event time, so processing it advances
+                  the watermark to (max_ts − 1 day)
+      01_buffer — the ``user_id % 50 == 1`` slice; one batch of
+                  in-watermark traffic (the engine applies the
+                  watermark computed from batches ≤ N−2, so THESE
+                  rows are admitted even where old — pinned here)
+      02_late   — the ``user_id % 50 == 0 AND day < max_day − 1``
+                  slice: every row is beyond the now-advanced
+                  watermark and must be dropped
+
+    Rebuilt per (sf) under a fixed dir; reuse-if-exists is safe
+    because the split is a pure function of the fixture.
+    """
+    import glob
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = f"{tempfile.gettempdir()}/kds_late_audit_{tag}"
+    stage = os.path.join(base, "stage")
+    if os.path.exists(os.path.join(stage, "_DONE")):
+        return stage
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(stage)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "ts")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    md = ev.agg(F.max(F.to_date("ts"))).collect()[0][0]
+    late = (F.col("user_id") % 50 == 0) & (
+        F.to_date("ts") < F.lit(md.isoformat()).cast("date") - 1
+    )
+    buffer = (~late) & (F.col("user_id") % 50 == 1)
+    parts = [
+        ("00_bulk", ev.filter(~late & ~buffer)),
+        ("01_buffer", ev.filter(buffer)),
+        ("02_late", ev.filter(late)),
+    ]
+    for i, (name, df) in enumerate(parts):
+        tmp = os.path.join(base, name)
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = glob.glob(os.path.join(tmp, "*.parquet"))[0]
+        dst = os.path.join(stage, f"{name}.parquet")
+        shutil.copy(src, dst)
+        os.utime(dst, (1_000_000 + i * 1000,) * 2)
+    open(os.path.join(stage, "_DONE"), "w").close()
+    return stage
+
+
+def streaming_late_data_audit(
+    spark: SparkSession, sf_dir: str, with_metrics: bool = False
+):
+    """Watermark late-data semantics, end to end and auditable: an
+    out-of-order arrival sequence (bulk → buffer → late) through a
+    1-day watermark and day-window counts in APPEND mode. The result
+    is exactly what a downstream consumer of the stream sees:
+
+    - FINALIZED windows only — window end < final watermark
+      (global max_ts − 1 day), i.e. days ≤ max_day − 2; the trailing
+      two windows are withheld as still-open state;
+    - late arrivals fully EXCLUDED — the 02_late file lands two
+      batches after the watermark advanced past it, so none of its
+      rows contribute (Spark applies to batch N the watermark from
+      batches ≤ N−2 — why the audit needs the buffer batch, and why
+      a one-batch-behind straggler is still admitted: that slice
+      (01_buffer) is in the counts);
+    - ``numRowsDroppedByWatermark`` > 0 in the final batch's state
+      metrics (counted post-partial-aggregation, so it tallies
+      dropped GROUPS, not input rows — asserted sign-only in pytest
+      via ``with_metrics``).
+
+    The oracle states the same contract declaratively: rows with
+    day ≤ max_day − 2 excluding the late slice. A hash match proves
+    the watermark pipeline admits/finalizes EXACTLY the contracted
+    set — the audit a compliance-grade streaming deployment runs
+    before trusting its completeness SLO. (Fixture contract: max ts
+    is not exactly midnight, true at every sf.)
+    """
+    stage = _late_audit_stage(spark, sf_dir)
+    schema = spark.read.parquet(stage).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    if dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("win"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd").alias("win_day"),
+            "event_type",
+            "n_events",
+        )
+    )
+    name = "stream_late_audit"
+    if name in [t.name for t in spark.catalog.listTables()]:
+        spark.catalog.dropTempView(name)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    result = spark.table(name)
+    if with_metrics:
+        dropped = 0
+        for p in q.recentProgress:
+            for so in p["stateOperators"]:
+                dropped += so.get("numRowsDroppedByWatermark", 0) or 0
+        return result, dropped
+    return result
+
+
+STREAM_LATE_AUDIT_SQL = """
+WITH mx AS (SELECT max(CAST(ts AS DATE)) AS md FROM events)
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS win_day,
+       event_type, count(*) AS n_events
+FROM events, mx
+WHERE CAST(ts AS DATE) <= md - 2
+  AND NOT (user_id % 50 = 0 AND CAST(ts AS DATE) < md - 1)
+GROUP BY 1, 2
+"""

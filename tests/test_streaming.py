@@ -683,3 +683,35 @@ def test_pairs_store_compaction_preserves_content(spark, sf_dir, tmp_path):
     # idempotent: a second compact is a no-op on file counts
     again = pairs_store_compact(spark, store, max_files=2)
     assert again["files_after"] == stats["files_after"]
+
+
+def test_late_data_audit_drops_and_metrics(spark, sf_dir):
+    """The late slice must be invisible in the finalized counts, the
+    buffer (one-batch-behind) slice must be admitted, and the state
+    metrics must record watermark drops in the final batch."""
+    import shutil
+    import tempfile
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kinesis_dstream_spark.streaming import jobs
+    from kinesis_dstream_spark.tables import load_table
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    shutil.rmtree(f"{tempfile.gettempdir()}/kds_late_audit_{tag}", ignore_errors=True)
+    result, dropped = jobs.streaming_late_data_audit(spark, sf_dir, with_metrics=True)
+    assert dropped > 0  # group-granular, so sign-only
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date(F.col("ts").cast("timestamp"))
+    )
+    md = ev.agg(F.max("day")).collect()[0][0]
+    emitted_total = result.agg(F.sum("n_events")).collect()[0][0]
+    late_n = ev.filter(
+        (F.col("user_id") % 50 == 0)
+        & (F.col("day") < F.lit(md.isoformat()).cast("date") - 1)
+    ).count()
+    finalized_all = ev.filter(
+        F.col("day") <= F.lit(md.isoformat()).cast("date") - 2
+    ).count()
+    assert emitted_total == finalized_all - late_n  # late excluded, buffer in
