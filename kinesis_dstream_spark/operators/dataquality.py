@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kinesis_dstream_spark.tables import load_table
@@ -370,4 +370,101 @@ SELECT join_name, CAST(lhs_rows AS BIGINT) AS lhs_rows,
        CAST(rhs_rows AS BIGINT) AS rhs_rows, predicted_rows,
        CAST(actual_rows AS BIGINT) AS actual_rows
 FROM pairs
+"""
+
+
+_HIST_BUCKETS = 8
+_PRICE_SCALE = 100
+
+
+def column_histogram_equidepth(lineitem: DataFrame, buckets: int = _HIST_BUCKETS) -> DataFrame:
+    """Exact equi-depth histogram of ``l_extendedprice`` — the
+    optimizer statistic (Spark CBO's ANALYZE ... FOR COLUMNS shape)
+    computed the way it scales, NOT the way it's usually written.
+
+    The textbook formulation sorts all rows and buckets by global
+    row_number — an unpartitioned window that funnels the corpus
+    through one task. This operator never ranks rows. It aggregates to
+    the VALUE DOMAIN first (one groupBy: value → count, map-side
+    combinable), then does rank arithmetic on the domain: a running
+    sum over distinct values yields each value's global rank interval
+    [cum−cnt+1, cum], and the overlap of that interval with bucket
+    k's rank range [⌈kn/B⌉+1, ⌈(k+1)n/B⌉] is a closed-form integer
+    expression. The only ordered pass runs over DISTINCT values —
+    bounded by the column's domain (prices: ~millions), not the
+    corpus; the same day-axis argument as ``cumulative_distinct_users``.
+
+    A value spanning a bucket boundary contributes its exact row
+    split to both buckets and counts toward both buckets'
+    ``n_distinct`` (standard equi-depth semantics). Everything is
+    int64 on the cents grid; only display bounds divide.
+    """
+    iv = F.expr(f"CAST(round(l_extendedprice * {_PRICE_SCALE}) AS BIGINT)")
+    vals = lineitem.select(iv.alias("iv")).groupBy("iv").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.orderBy("iv").rowsBetween(Window.unboundedPreceding, 0)
+    cum = vals.select(
+        "iv", "cnt", F.sum("cnt").over(w).alias("cum")
+    ).crossJoin(F.broadcast(lineitem.agg(F.count(F.lit(1)).alias("n"))))
+    spans = cum.select(
+        "iv",
+        "cnt",
+        "cum",
+        "n",
+        F.explode(
+            F.sequence(
+                F.expr(f"(cum - cnt) * {buckets} DIV n"),
+                F.expr(f"(cum - 1) * {buckets} DIV n"),
+            )
+        ).alias("bucket"),
+    )
+    lo_rank = F.expr(f"(bucket * n + {buckets} - 1) DIV {buckets} + 1")
+    hi_rank = F.expr(f"((bucket + 1) * n + {buckets} - 1) DIV {buckets}")
+    rows_in = F.least(F.col("cum"), hi_rank) - F.greatest(
+        F.col("cum") - F.col("cnt") + 1, lo_rank
+    ) + 1
+    return (
+        spans.select("bucket", "iv", rows_in.alias("rows_in"))
+        .groupBy("bucket")
+        .agg(
+            F.round(F.min("iv") / _PRICE_SCALE, 2).alias("lo_price"),
+            F.round(F.max("iv") / _PRICE_SCALE, 2).alias("hi_price"),
+            F.sum("rows_in").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_distinct"),
+        )
+    )
+
+
+COLUMN_HISTOGRAM_SQL = f"""
+WITH vals AS (
+  SELECT CAST(round(l_extendedprice * {_PRICE_SCALE}) AS BIGINT) AS iv,
+         count(*) AS cnt
+  FROM lineitem GROUP BY 1
+), cum AS (
+  SELECT iv, CAST(cnt AS BIGINT) AS cnt,
+         CAST(sum(cnt) OVER (ORDER BY iv ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum,
+         CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n
+  FROM vals
+), spans AS (
+  SELECT iv, cnt, cum, n,
+         unnest(generate_series(CAST((cum - cnt) * {_HIST_BUCKETS} // n AS BIGINT),
+                                CAST((cum - 1) * {_HIST_BUCKETS} // n AS BIGINT)))
+           AS bucket
+  FROM cum
+), sized AS (
+  SELECT bucket, iv,
+         least(cum, ((bucket + 1) * n + {_HIST_BUCKETS} - 1) // {_HIST_BUCKETS})
+         - greatest(cum - cnt + 1,
+                    (bucket * n + {_HIST_BUCKETS} - 1) // {_HIST_BUCKETS} + 1)
+         + 1 AS rows_in
+  FROM spans
+)
+SELECT bucket,
+       round(min(iv) / {_PRICE_SCALE}, 2) AS lo_price,
+       round(max(iv) / {_PRICE_SCALE}, 2) AS hi_price,
+       CAST(sum(rows_in) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_distinct
+FROM sized GROUP BY bucket
 """

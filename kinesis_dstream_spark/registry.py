@@ -3579,6 +3579,10 @@ def _q_cumulative_users(spark: SparkSession, sf: str) -> DataFrame:
     return eventflow.cumulative_distinct_users(load_table(spark, sf, "events"))
 
 
+def _q_column_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    return dataquality.column_histogram_equidepth(load_table(spark, sf, "lineitem"))
+
+
 def _q_stream_late_audit(spark: SparkSession, sf: str) -> DataFrame:
     from kinesis_dstream_spark.streaming import jobs
 
@@ -4301,6 +4305,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # watermark completeness audit: finalized-windows-only counts with
     # the late slice provably excluded; oracle states the contract set
     "streaming_late_data_audit": (_q_stream_late_audit, _SQL_STREAM_LATE_AUDIT),
+    # exact equi-depth histogram via value-domain rank arithmetic —
+    # the ANALYZE statistic without a global row sort
+    "column_histogram_equidepth": (
+        _q_column_histogram,
+        dataquality.COLUMN_HISTOGRAM_SQL,
+    ),
 }
 
 

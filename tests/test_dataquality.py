@@ -116,3 +116,24 @@ def test_join_size_estimate_identity_and_blowup(spark, sf_dir):
     for r in rows.values():
         assert r.predicted_rows == r.actual_rows  # exact identity
     assert rows["events_self_user"].predicted_rows > rows["events_self_user"].lhs_rows
+
+
+def test_column_histogram_equidepth_invariants(spark, sf_dir):
+    """Equi-depth law: bucket k holds ranks ceil(kn/B)+1..ceil((k+1)n/B),
+    so sizes differ by at most 1; totals conserve; bucket bounds are
+    ordered and non-overlapping except at shared boundary values."""
+    from kinesis_dstream_spark.operators.dataquality import (
+        column_histogram_equidepth,
+    )
+    from kinesis_dstream_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = sorted(column_histogram_equidepth(li).collect(), key=lambda r: r.bucket)
+    n = li.count()
+    assert [r.bucket for r in rows] == list(range(8))
+    assert sum(r.n_rows for r in rows) == n
+    sizes = [r.n_rows for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi_price <= b.lo_price  # boundary value may be shared
+        assert a.lo_price <= a.hi_price
