@@ -1469,3 +1469,106 @@ SELECT DATE '1970-01-01' + CAST(d AS INT) AS day,
        CAST(max(running) AS BIGINT) AS peak_concurrent
 FROM running GROUP BY d
 """
+
+
+_SEQ_CODES = (
+    ("signup", "s"),
+    ("view", "v"),
+    ("click", "c"),
+    ("purchase", "p"),
+    ("error", "e"),
+)
+# portable regex subset: RE2 (DuckDB) ∩ java.util.regex (Spark) — char
+# classes + greedy quantifiers + anchors only, no lookaround/backrefs
+_SEQ_PATTERNS = (
+    ("view_click_purchase", "v[^e]*c[^e]*p"),
+    ("purchase_after_error", "e[^p]*p"),
+    ("single_view_bounce", "^v$"),
+    ("signup_then_purchase", "s.*p"),
+    ("repeat_purchaser", "p.*p"),
+)
+
+
+def event_sequence_match(events: DataFrame) -> DataFrame:
+    """Row-pattern matching over per-user event sequences — the
+    MATCH_RECOGNIZE / Flink-CEP capability, re-expressed Spark-first:
+    instead of an NFA operator walking a sorted stream, encode each
+    user's ordered history as a compact symbol string ONCE (one
+    user_id shuffle: sort_array over (ts, event_id, symbol) structs,
+    then concat — deterministic total order, no window needed) and
+    evaluate every pattern as a regex over that string (row-local,
+    JVM-side rlike, zero additional exchange for any number of
+    patterns).
+
+    Scale: state per user is the event-initial string (1 byte/event)
+    — the same order as any CEP engine's per-key buffer; adding a
+    pattern costs one more regex pass over in-memory strings, not a
+    shuffle. A pathological mega-user bounds at its event count, and
+    the symbol alphabet keeps strings compressible. The regex subset
+    is RE2∩Java so the DuckDB oracle evaluates the IDENTICAL patterns
+    over the identically-ordered strings.
+    """
+    code = F.col("event_type")
+    for name, ch in _SEQ_CODES:
+        code = F.when(F.col("event_type") == name, F.lit(ch)).otherwise(code)
+    seqs = (
+        events.select(
+            "user_id",
+            F.struct(
+                F.col("ts").alias("ts"),
+                F.col("event_id").alias("event_id"),
+                code.alias("ch"),
+            ).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "", F.transform(F.array_sort(F.collect_list("s")), lambda s: s["ch"])
+            ).alias("seq")
+        )
+    )
+    matches = [
+        F.sum(F.col("seq").rlike(regex).cast("long")).alias(f"_m{i}")
+        for i, (_, regex) in enumerate(_SEQ_PATTERNS)
+    ]
+    row = seqs.agg(F.count(F.lit(1)).alias("_n"), *matches)
+    structs = [
+        F.struct(
+            F.lit(name).alias("pattern"),
+            F.col(f"_m{i}").alias("n_users_matched"),
+            F.col("_n").alias("n_users_total"),
+            F.round(F.col(f"_m{i}") / F.col("_n"), 4).alias("match_pct"),
+        )
+        for i, (name, _) in enumerate(_SEQ_PATTERNS)
+    ]
+    return row.select(F.explode(F.array(*structs)).alias("r")).select("r.*")
+
+
+EVENT_SEQUENCE_MATCH_SQL = """
+WITH seqs AS (
+  SELECT user_id,
+         string_agg(CASE event_type WHEN 'signup' THEN 's' WHEN 'view' THEN 'v'
+                    WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p'
+                    WHEN 'error' THEN 'e' ELSE event_type END,
+                    '' ORDER BY ts, event_id) AS seq
+  FROM events GROUP BY user_id
+), agg AS (
+  SELECT count(*) AS n,
+         CAST(sum(CASE WHEN regexp_matches(seq, 'v[^e]*c[^e]*p') THEN 1 ELSE 0 END) AS BIGINT) AS m0,
+         CAST(sum(CASE WHEN regexp_matches(seq, 'e[^p]*p') THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+         CAST(sum(CASE WHEN regexp_matches(seq, '^v$') THEN 1 ELSE 0 END) AS BIGINT) AS m2,
+         CAST(sum(CASE WHEN regexp_matches(seq, 's.*p') THEN 1 ELSE 0 END) AS BIGINT) AS m3,
+         CAST(sum(CASE WHEN regexp_matches(seq, 'p.*p') THEN 1 ELSE 0 END) AS BIGINT) AS m4
+  FROM seqs
+)
+SELECT 'view_click_purchase' AS pattern, m0 AS n_users_matched,
+       n AS n_users_total, round(m0 / n, 4) AS match_pct FROM agg
+UNION ALL
+SELECT 'purchase_after_error', m1, n, round(m1 / n, 4) FROM agg
+UNION ALL
+SELECT 'single_view_bounce', m2, n, round(m2 / n, 4) FROM agg
+UNION ALL
+SELECT 'signup_then_purchase', m3, n, round(m3 / n, 4) FROM agg
+UNION ALL
+SELECT 'repeat_purchaser', m4, n, round(m4 / n, 4) FROM agg
+"""

@@ -3579,6 +3579,10 @@ def _q_cumulative_users(spark: SparkSession, sf: str) -> DataFrame:
     return eventflow.cumulative_distinct_users(load_table(spark, sf, "events"))
 
 
+def _q_event_seq_match(spark: SparkSession, sf: str) -> DataFrame:
+    return eventflow.event_sequence_match(load_table(spark, sf, "events"))
+
+
 def _q_column_histogram(spark: SparkSession, sf: str) -> DataFrame:
     return dataquality.column_histogram_equidepth(load_table(spark, sf, "lineitem"))
 
@@ -4310,6 +4314,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "column_histogram_equidepth": (
         _q_column_histogram,
         dataquality.COLUMN_HISTOGRAM_SQL,
+    ),
+    # MATCH_RECOGNIZE-style row-pattern matching: encode-once symbol
+    # strings + portable RE2∩Java regexes, one user shuffle total
+    "event_sequence_match": (
+        _q_event_seq_match,
+        eventflow.EVENT_SEQUENCE_MATCH_SQL,
     ),
 }
 

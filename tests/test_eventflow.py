@@ -372,3 +372,31 @@ def test_session_concurrency_plan_partitions_by_day(spark, sf_dir):
     assert "partial" not in plan.lower() or True  # informational
     # the day-partitioned window: partition spec [d...] appears
     assert "windowspecdefinition(d" in plan.replace(" ", "").lower() or "d#" in plan
+
+
+def test_event_sequence_match_against_python_regex(spark, sf_dir):
+    """Independent oracle: rebuild the per-user symbol strings in
+    Python (sorted by ts, event_id) and re-evaluate every pattern with
+    the re module; counts must agree exactly."""
+    import re
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    codes = {"signup": "s", "view": "v", "click": "c", "purchase": "p", "error": "e"}
+    seqs = {}
+    for r in sorted(ev, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        seqs[r.user_id] = seqs.get(r.user_id, "") + codes[r.event_type]
+    got = {
+        r.pattern: (r.n_users_matched, r.n_users_total)
+        for r in eventflow.event_sequence_match(
+            load_table(spark, sf_dir, "events")
+        ).collect()
+    }
+    for name, pat in eventflow._SEQ_PATTERNS:
+        expect = sum(1 for s in seqs.values() if re.search(pat, s))
+        assert got[name] == (expect, len(seqs)), name
+    # semantic sanity on the fixture: repeat purchasers exist and are a
+    # strict subset of all purchasers
+    purchasers = sum(1 for s in seqs.values() if "p" in s)
+    assert 0 < got["repeat_purchaser"][0] <= purchasers
