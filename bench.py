@@ -133,6 +133,15 @@ BENCH_QUERIES = {
     "bmp_resize": "bmp_resize_stats",
     "wav_resample": "wav_resample_stats",
     "curriculum": "curriculum_assignment",
+    # r6 third wave: perceptual media dedup, JL shortlist, sweep-line
+    # concurrency, domain-arithmetic histogram, per-lang quality cut,
+    # CEP-style sequence matching
+    "media_perceptual": "media_perceptual_dedup",
+    "random_projection": "random_projection_topk",
+    "session_concurrency": "session_concurrency",
+    "column_histogram": "column_histogram_equidepth",
+    "adaptive_quality": "adaptive_quality_gate",
+    "event_seq_match": "event_sequence_match",
 }
 
 
