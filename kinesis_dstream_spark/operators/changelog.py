@@ -138,3 +138,81 @@ def scd2_as_of(events: DataFrame, as_of: Column) -> DataFrame:
         (F.col("valid_from") <= as_of)
         & (F.col("valid_to").isNull() | (F.col("valid_to") > as_of))
     )
+
+
+def pit_feature_join(events: DataFrame) -> DataFrame:
+    """Point-in-time (PIT) feature join — the feature-store correctness
+    primitive for training-set assembly: each label row (a purchase)
+    must see the entity's feature state STRICTLY BEFORE the label
+    event, never at-or-after it (feature leakage inverts offline vs
+    online metrics silently).
+
+    The naive plan joins labels against the SCD-2 validity intervals
+    (``valid_from <= ts < valid_to``) — per-entity fan-out of
+    |labels|x|versions| before the filter. The scale-correct plan
+    never builds intervals: UNION the version stream (non-purchase
+    change events) with the label stream, one window per entity over
+    the merged (ts, event_id) order, and read the feature with
+    last_value(IGNORE NULLS) over the PRECEDING frame — the strict
+    "<" of the leakage guard falls out of the frame bound
+    (rowsBetween(unboundedPreceding, -1)), and the whole join is ONE
+    user_id exchange, linear in the merged stream. (Same engine
+    pattern as revenue attribution's touch pick; generalizes to any
+    feature table by tagging sources before the union.)
+
+    Output: one row per label that has a prior feature version —
+    feature value, its version ordinal, and feature_age_us (label ts
+    − feature ts, epoch-µs int64), the staleness column a feature
+    audit reads first.
+    """
+    is_version = F.col("event_type") != "purchase"
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prior = w.rowsBetween(Window.unboundedPreceding, -1)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    merged = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        us.alias("us"),
+        F.when(is_version, F.col("value")).alias("v_value"),
+        F.when(is_version, us).alias("v_us"),
+        is_version.cast("long").alias("is_v"),
+    ).select(
+        "*",
+        F.last("v_value", ignorenulls=True).over(prior).alias("feature_value"),
+        F.last("v_us", ignorenulls=True).over(prior).alias("feature_us"),
+        F.sum("is_v").over(prior).alias("feature_version"),
+    )
+    return (
+        merged.filter((F.col("event_type") == "purchase") & F.col("feature_us").isNotNull())
+        .select(
+            F.col("event_id").alias("label_event_id"),
+            "user_id",
+            F.round("feature_value", 4).alias("feature_value"),
+            "feature_version",
+            (F.col("us") - F.col("feature_us")).alias("feature_age_us"),
+        )
+    )
+
+
+PIT_FEATURE_JOIN_SQL = """
+WITH merged AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+         last_value(CASE WHEN event_type <> 'purchase' THEN value END
+                    IGNORE NULLS) OVER w AS feature_value,
+         last_value(CASE WHEN event_type <> 'purchase' THEN epoch_us(ts) END
+                    IGNORE NULLS) OVER w AS feature_us,
+         sum(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END)
+           OVER w AS feature_version
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id AS label_event_id, user_id,
+       round(feature_value, 4) AS feature_value,
+       CAST(feature_version AS BIGINT) AS feature_version,
+       CAST(us - feature_us AS BIGINT) AS feature_age_us
+FROM merged
+WHERE event_type = 'purchase' AND feature_us IS NOT NULL
+"""

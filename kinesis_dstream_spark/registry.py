@@ -3579,6 +3579,10 @@ def _q_cumulative_users(spark: SparkSession, sf: str) -> DataFrame:
     return eventflow.cumulative_distinct_users(load_table(spark, sf, "events"))
 
 
+def _q_pit_features(spark: SparkSession, sf: str) -> DataFrame:
+    return changelog.pit_feature_join(load_table(spark, sf, "events"))
+
+
 def _q_event_seq_match(spark: SparkSession, sf: str) -> DataFrame:
     return eventflow.event_sequence_match(load_table(spark, sf, "events"))
 
@@ -4321,6 +4325,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _q_event_seq_match,
         eventflow.EVENT_SEQUENCE_MATCH_SQL,
     ),
+    # feature-store PIT correctness: strict-before feature reads via
+    # union + IGNORE NULLS window — one exchange, no interval join
+    "pit_feature_join": (_q_pit_features, changelog.PIT_FEATURE_JOIN_SQL),
 }
 
 

@@ -173,3 +173,40 @@ def test_scd2_as_of_matches_filtered_latest(spark, sf_dir):
     )
     got = snap.select("user_id", "event_id")
     assert {tuple(r) for r in got.collect()} == {tuple(r) for r in expect.collect()}
+
+
+def test_pit_feature_join_never_leaks(spark, sf_dir):
+    """Leakage guard: every feature must come from an event strictly
+    earlier in the per-user (ts, event_id) order than its label, the
+    feature value must equal the chronologically previous non-purchase
+    event's value (checked row-for-row against a Python replay), and
+    purchases with no prior state must be absent."""
+    from kinesis_dstream_spark.operators.changelog import pit_feature_join
+    from kinesis_dstream_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = pit_feature_join(ev).collect()
+    assert rows
+    raw = ev.select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.round("value", 4).alias("v"),
+    ).collect()
+    state, version, expect = {}, {}, {}
+    for r in sorted(raw, key=lambda r: (r.user_id, r.us, r.event_id)):
+        if r.event_type == "purchase":
+            if r.user_id in state:
+                expect[r.event_id] = (
+                    state[r.user_id][0], version[r.user_id], r.us - state[r.user_id][1]
+                )
+        else:
+            state[r.user_id] = (r.v, r.us)
+            version[r.user_id] = version.get(r.user_id, 0) + 1
+    got = {
+        r.label_event_id: (r.feature_value, r.feature_version, r.feature_age_us)
+        for r in rows
+    }
+    assert got == expect
+    for r in rows:
+        assert r.feature_age_us >= 0
