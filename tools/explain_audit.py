@@ -90,6 +90,17 @@ AUDIT_DEFAULT = [
     "user_similarity_topk",
     "gdpr_erasure_report",
     "near_dup_graph_stats",
+    # r6 third-wave additions
+    "cumulative_distinct_users",
+    "key_skew_profile",
+    "session_concurrency",
+    "media_perceptual_dedup",
+    "adaptive_quality_gate",
+    "random_projection_topk",
+    "join_size_estimate",
+    "column_histogram_equidepth",
+    "event_sequence_match",
+    "pit_feature_join",
 ]
 
 
