@@ -29,6 +29,14 @@ audited identical). Same run: the shared near-dup pairs artifact cut
 dedup_clusters_star/dedup_keep_best/graph_stats/pagerank by 69-74%
 each (shared-65 total 75.4 s -> 56.1 s, -26%).
 
+Third-wave check (r6, solo run, sf0.1): the 65 queries shared with
+BENCH_r05 total 59.8 s vs r5's 75.4 s (-21%) with ZERO >40%
+regressions — the pairs-artifact consumers hold their cuts
+(keep_best 5.45 -> 1.44, clusters_star 4.86 -> 1.84, graph_stats
+3.90 -> 1.02, pagerank 3.24 -> 0.95). New entries are all sub-2.4 s
+(heaviest: random_projection 2.35 s — 16 x 64-term codegen
+expressions; media_perceptual 0.75 s; column_histogram 1.08 s).
+
 Variance note (r5, re: the r4 verdict's simhash/minhash deltas):
 isolated re-measurement of the shuffle-heavy dedup queries at sf0.1
 shows ±20-40% run-to-run spread at the ~2 s scale even after warm-up
