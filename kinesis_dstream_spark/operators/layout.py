@@ -157,3 +157,74 @@ def write_zorder(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+_COMPACT_SMALL_FILES = 40
+_COMPACT_ROWS_PER_FILE = 5000
+
+
+def compact_small_files(
+    spark,
+    sf_dir: str,
+    rows_per_file: int = _COMPACT_ROWS_PER_FILE,
+) -> DataFrame:
+    """Small-file compaction — the table-maintenance job every
+    long-running ingest needs: streaming/micro-batch writers emit a
+    file per (trigger × partition), and a 100 TB table quietly decays
+    into millions of KB-sized files whose open/footer/seek overhead
+    dominates scans and whose listing stalls planning. Compaction
+    rewrites them into row-budgeted files.
+
+    Demo shape: stage the events fixture as 40 tiny files (the decay
+    state), then compact to ⌈rows / rows_per_file⌉ files via
+    ``repartition(k)`` — an all-to-all that writes exactly k
+    uniformly-sized files. At 100 TB the same job runs per partition
+    (compact WITHIN date/hour directories, preserving partition
+    pruning), picks k from target BYTES (file-size stats, not row
+    counts), and uses ``repartitionByRange`` on the table's cluster
+    key + ``maxRecordsPerFile`` so compaction also restores sort
+    locality — the zorder writer above is exactly that path.
+
+    Returns the before/after accounting read back FROM DISK (file
+    census + re-read row counts), which is what makes the oracle
+    honest: rows must be conserved and the file count must equal the
+    computed bin count.
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from kinesis_dstream_spark.tables import load_table
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = f"{tempfile.gettempdir()}/kds_compact_{tag}"
+    small, compacted = os.path.join(base, "small"), os.path.join(base, "compacted")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    if not os.path.exists(os.path.join(small, "_SUCCESS")):
+        shutil.rmtree(base, ignore_errors=True)
+        ev.repartition(_COMPACT_SMALL_FILES).write.mode("overwrite").parquet(small)
+    n_rows = spark.read.parquet(small).count()
+    k = -(-n_rows // rows_per_file)  # ceil
+    spark.read.parquet(small).repartition(k).write.mode("overwrite").parquet(compacted)
+
+    def census(path: str) -> tuple[int, int]:
+        files = glob.glob(os.path.join(path, "*.parquet"))
+        return len(files), spark.read.parquet(path).count()
+
+    bf, br = census(small)
+    af, ar = census(compacted)
+    return spark.createDataFrame(
+        [("before", bf, br), ("after", af, ar)],
+        "stage string, n_files int, n_rows long",
+    )
+
+
+COMPACT_SMALL_FILES_SQL = f"""
+WITH n AS (SELECT count(*) AS c FROM events)
+SELECT 'before' AS stage, {_COMPACT_SMALL_FILES} AS n_files,
+       CAST(c AS BIGINT) AS n_rows FROM n
+UNION ALL
+SELECT 'after', CAST((c + {_COMPACT_ROWS_PER_FILE} - 1) // {_COMPACT_ROWS_PER_FILE} AS INT),
+       CAST(c AS BIGINT) FROM n
+"""

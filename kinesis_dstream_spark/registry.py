@@ -3579,6 +3579,10 @@ def _q_cumulative_users(spark: SparkSession, sf: str) -> DataFrame:
     return eventflow.cumulative_distinct_users(load_table(spark, sf, "events"))
 
 
+def _q_compact_files(spark: SparkSession, sf: str) -> DataFrame:
+    return layout.compact_small_files(spark, sf)
+
+
 def _q_pit_features(spark: SparkSession, sf: str) -> DataFrame:
     return changelog.pit_feature_join(load_table(spark, sf, "events"))
 
@@ -4328,6 +4332,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # feature-store PIT correctness: strict-before feature reads via
     # union + IGNORE NULLS window — one exchange, no interval join
     "pit_feature_join": (_q_pit_features, changelog.PIT_FEATURE_JOIN_SQL),
+    # table maintenance: small-file compaction with on-disk census —
+    # rows conserved, file count = computed bin count
+    "compact_small_files": (_q_compact_files, layout.COMPACT_SMALL_FILES_SQL),
 }
 
 

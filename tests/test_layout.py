@@ -88,3 +88,24 @@ def test_zorder_write_roundtrip_preserves_rows(spark, sf_dir, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == ev.count()
     assert back.select(F.countDistinct("event_id")).first()[0] == ev.count()
+
+
+def test_compact_small_files_conserves_and_bins(spark, sf_dir):
+    """Rows conserved through the rewrite; after-count equals the bin
+    formula; the compacted census is read from disk, not claimed."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from kinesis_dstream_spark.operators.layout import compact_small_files
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    shutil.rmtree(f"{tempfile.gettempdir()}/kds_compact_{tag}", ignore_errors=True)
+    rows = {r.stage: r for r in compact_small_files(spark, sf_dir).collect()}
+    assert rows["before"].n_rows == rows["after"].n_rows
+    assert rows["before"].n_files == 40
+    assert rows["after"].n_files == -(-rows["after"].n_rows // 5000)
+    # disk truth
+    comp = f"{tempfile.gettempdir()}/kds_compact_{tag}/compacted"
+    assert len(glob.glob(os.path.join(comp, "*.parquet"))) == rows["after"].n_files
