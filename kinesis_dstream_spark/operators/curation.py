@@ -658,3 +658,77 @@ def corpus_snapshot_diff(documents: DataFrame) -> DataFrame:
             "n_unchanged"
         ),
     )
+
+
+_MIX_TOTAL = 10_000
+_MIX_SQRT_SCALE = 1_000_000
+
+
+def temperature_mix_quotas(documents: DataFrame, total: int = _MIX_TOTAL) -> DataFrame:
+    """Temperature-based sampling quotas (α = 0.5) with EXACT integer
+    apportionment — the multilingual data-mixing step (mT5/XLM-R's
+    p_i ∝ c_i^α): proportional sampling drowns low-resource languages,
+    uniform sampling starves the head, α ∈ (0,1) interpolates. α is
+    pinned to 0.5 because sqrt is the one power IEEE-754 guarantees
+    correctly rounded — the SINGLE float op in the pipeline lands on
+    identical bits in every engine, and everything after it is int64.
+
+    Quota allocation is largest-remainder (Hamilton) apportionment,
+    not naive rounding: base_i = ⌊total·s_i/S⌋, then the leftover
+    seats go to the largest remainders (tie → lang asc) — quotas sum
+    to EXACTLY ``total`` by construction, which per-group rounding
+    cannot promise. ``oversample_factor`` > 1 marks the languages the
+    temperature boosts.
+
+    Scale: one lang-cardinality groupBy; apportionment runs on the
+    group table (|langs| rows) — the window is domain-bounded like the
+    histogram's. Everything is decided by integer comparisons, so the
+    DuckDB twin reproduces the allocation seat for seat.
+    """
+    counts = documents.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+    s = F.expr(f"CAST(round(sqrt(c) * {_MIX_SQRT_SCALE}) AS BIGINT)")
+    base = counts.select("lang", "c", s.alias("s")).crossJoin(
+        F.broadcast(
+            counts.agg(
+                F.sum("c").alias("ctot"),
+                F.sum(s).alias("stot"),
+            )
+        )
+    )
+    shaped = base.select(
+        "lang",
+        "c",
+        "ctot",
+        "stot",
+        F.expr(f"{total} * s DIV stot").alias("base_q"),
+        F.expr(f"({total} * s) % stot").alias("rem"),
+        F.round(F.col("s") / F.col("stot"), 4).alias("temp_share"),
+        F.round(F.col("c") / F.col("ctot"), 4).alias("raw_share"),
+    )
+    w = Window.orderBy(F.col("rem").desc(), F.col("lang").asc())
+    leftover = F.col("lb_total") - F.col("base_sum")
+    return (
+        shaped.crossJoin(
+            F.broadcast(
+                shaped.agg(
+                    F.sum("base_q").alias("base_sum"), F.lit(total).alias("lb_total")
+                )
+            )
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn(
+            "quota",
+            F.col("base_q")
+            + F.when(F.col("rk") <= leftover, F.lit(1)).otherwise(F.lit(0)),
+        )
+        .select(
+            "lang",
+            F.col("c").alias("n_docs"),
+            "raw_share",
+            "temp_share",
+            "quota",
+            F.round(
+                (F.col("quota") * F.col("ctot")) / (F.lit(total) * F.col("c")), 4
+            ).alias("oversample_factor"),
+        )
+    )

@@ -3579,6 +3579,39 @@ def _q_cumulative_users(spark: SparkSession, sf: str) -> DataFrame:
     return eventflow.cumulative_distinct_users(load_table(spark, sf, "events"))
 
 
+def _q_temp_mix(spark: SparkSession, sf: str) -> DataFrame:
+    return curation.temperature_mix_quotas(load_table(spark, sf, "documents"))
+
+
+# sqrt is the one power IEEE guarantees correctly rounded — identical
+# bits cross-engine; all allocation decisions are int64 comparisons
+_SQL_TEMP_MIX = """
+WITH counts AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY lang
+), tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS ctot,
+         CAST(sum(CAST(round(sqrt(c) * 1000000) AS BIGINT)) AS BIGINT) AS stot
+  FROM counts
+), shaped AS (
+  SELECT lang, c, ctot, stot,
+         10000 * CAST(round(sqrt(c) * 1000000) AS BIGINT) // stot AS base_q,
+         (10000 * CAST(round(sqrt(c) * 1000000) AS BIGINT)) % stot AS rem,
+         round(CAST(round(sqrt(c) * 1000000) AS BIGINT) / stot, 4) AS temp_share,
+         round(c / ctot, 4) AS raw_share
+  FROM counts, tot
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY rem DESC, lang ASC) AS rk,
+         (SELECT 10000 - sum(base_q) FROM shaped) AS leftover
+  FROM shaped
+)
+SELECT lang, c AS n_docs, raw_share, temp_share,
+       CAST(base_q + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota,
+       round(((base_q + CASE WHEN rk <= leftover THEN 1 ELSE 0 END) * ctot)
+             / (10000 * c), 4) AS oversample_factor
+FROM ranked
+"""
+
+
 def _q_compact_files(spark: SparkSession, sf: str) -> DataFrame:
     return layout.compact_small_files(spark, sf)
 
@@ -4335,6 +4368,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # table maintenance: small-file compaction with on-disk census —
     # rows conserved, file count = computed bin count
     "compact_small_files": (_q_compact_files, layout.COMPACT_SMALL_FILES_SQL),
+    # α=0.5 temperature mix with exact largest-remainder apportionment
+    "temperature_mix_quotas": (_q_temp_mix, _SQL_TEMP_MIX),
 }
 
 

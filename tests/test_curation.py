@@ -292,3 +292,31 @@ def test_curriculum_stages_are_balanced_and_ordered(spark, sf_dir):
     for a, b in zip(sorted(by_stage), sorted(by_stage)[1:]):
         assert by_stage[a]["hi"] <= by_stage[b]["lo"] + 1e-9
     assert {r.len_bucket for r in rows} <= {"short", "medium", "long"}
+
+
+def test_temperature_mix_quotas_apportionment(spark, sf_dir):
+    """Hamilton-apportionment law: quotas sum to EXACTLY the total;
+    every quota within 1 of its real-valued share; the temperature
+    boosts tail languages (oversample > 1 iff share below uniform-ish
+    crossover) and quotas follow counts monotonically."""
+    from kinesis_dstream_spark.operators.curation import temperature_mix_quotas
+    from kinesis_dstream_spark.tables import load_table
+
+    rows = temperature_mix_quotas(load_table(spark, sf_dir, "documents")).collect()
+    total = 10_000
+    assert sum(r.quota for r in rows) == total
+    import math
+
+    s = {r.lang: math.sqrt(r.n_docs) for r in rows}
+    S = sum(s.values())
+    for r in rows:
+        ideal = total * s[r.lang] / S
+        assert abs(r.quota - ideal) < 1.0 + 1e-9  # within one seat
+    by_count = sorted(rows, key=lambda r: r.n_docs)
+    quotas = [r.quota for r in by_count]
+    assert quotas == sorted(quotas)  # monotone in counts
+    # temperature flattens: smallest lang over-sampled vs raw share,
+    # largest under-sampled (strict when counts differ)
+    if by_count[0].n_docs < by_count[-1].n_docs:
+        assert by_count[0].oversample_factor > 1.0
+        assert by_count[-1].oversample_factor < 1.0
