@@ -852,3 +852,53 @@ def random_projection_topk(
         .filter(F.col("rk") <= k)
         .select("q_id", "c_id", "proj_dot", "rk")
     )
+
+
+def two_stage_retrieval_topk(
+    embeddings: DataFrame,
+    out_dims: int = 16,
+    shortlist: int = 20,
+    n_queries: int = 10,
+    k: int = 5,
+) -> DataFrame:
+    """Two-stage retrieval, end to end: JL-projected shortlist
+    (``random_projection_topk``, 4×-cheaper integer dots) → exact
+    cosine re-rank of the shortlist → final top-k. This is the
+    production ANN serving shape (shortlist-then-rerank — PQ's ADC
+    pass, ColBERT's candidate stage, every vector DB's refine step)
+    expressed as a composition of two already-certified operators.
+
+    The candidate multiplier (shortlist/k = 4× here) is the recall
+    knob the JL docstring discusses: re-ranking recovers exact ORDER
+    for whatever the shortlist caught, so end-to-end recall equals
+    shortlist recall@k — measured against the exact baseline in
+    pytest, while the oracle pins determinism of the full pipeline
+    (both stages replicated in SQL, bit-for-bit).
+
+    Scale: stage 1 scans the corpus once with reduced-dim broadcast
+    dots; stage 2 touches only |queries|·shortlist rows — the
+    re-rank join BROADCASTS the tiny shortlist against the corpus
+    (scan-side pruned by the hash join), so full-dim math never runs
+    corpus-wide.
+    """
+    sl = random_projection_topk(
+        embeddings, out_dims=out_dims, n_queries=n_queries, k=shortlist
+    ).select("q_id", "c_id")
+    normed = _normalized(embeddings)
+    queries = normed.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("unit").alias("q_unit")
+    )
+    cands = normed.join(
+        F.broadcast(sl), normed["vec_id"] == sl["c_id"]
+    ).select("q_id", "c_id", F.col("unit").alias("c_unit"))
+    scored = cands.join(F.broadcast(queries), "q_id").select(
+        "q_id",
+        "c_id",
+        F.round(V.dot(F.col("q_unit"), F.col("c_unit")), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "c_id", "cos_sim", "rk")
+    )

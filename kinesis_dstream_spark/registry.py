@@ -3579,6 +3579,52 @@ def _q_cumulative_users(spark: SparkSession, sf: str) -> DataFrame:
     return eventflow.cumulative_distinct_users(load_table(spark, sf, "events"))
 
 
+def _q_two_stage(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.two_stage_retrieval_topk(load_table(spark, sf, "embeddings"))
+
+
+# stage 1 = the JL shortlist chain (rk <= 20), stage 2 = exact cosine
+# re-rank over the shortlist with the engine's normalize-then-dot path
+_SQL_TWO_STAGE = f"""
+WITH {_DUCK_UNIT_CTE}, fe AS (
+  SELECT vec_id,
+         list_transform(unit, x -> CAST(round(x * 1000000) AS BIGINT)) AS iv
+  FROM u
+), coords AS (
+  SELECT i.i, j.j,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(i.i AS VARCHAR) || '_' ||
+                   CAST(j.j AS VARCHAR)), 1, 2)) AS INT) % 2 = 0
+              THEN 1 ELSE -1 END AS s
+  FROM (SELECT unnest(generate_series(0, 63)) AS i) i,
+       (SELECT unnest(generate_series(0, 15)) AS j) j
+), proj AS (
+  SELECT fe.vec_id, c.j, CAST(sum(fe.iv[c.i + 1] * c.s) AS BIGINT) AS y
+  FROM fe, coords c GROUP BY fe.vec_id, c.j
+), pv AS (
+  SELECT vec_id, list(y ORDER BY j) AS yv FROM proj GROUP BY vec_id
+), sl_scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         list_reduce(list_transform(list_zip(q.yv, c.yv), s -> s[1] * s[2]),
+                     (a, b) -> a + b) AS proj_dot
+  FROM pv q JOIN pv c ON q.vec_id < 10 AND c.vec_id != q.vec_id
+), sl AS (
+  SELECT q_id, c_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                                 ORDER BY proj_dot DESC, c_id ASC) AS rk
+    FROM sl_scored
+  ) WHERE rk <= 20
+), rescored AS (
+  SELECT sl.q_id, sl.c_id, round({_COS_QC}, 4) AS cos_sim
+  FROM sl JOIN u q ON q.vec_id = sl.q_id JOIN u c ON c.vec_id = sl.c_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY cos_sim DESC, c_id ASC) AS rk
+  FROM rescored
+)
+SELECT q_id, c_id, cos_sim, CAST(rk AS INT) AS rk FROM ranked WHERE rk <= 5
+"""
+
+
 def _q_temp_mix(spark: SparkSession, sf: str) -> DataFrame:
     return curation.temperature_mix_quotas(load_table(spark, sf, "documents"))
 
@@ -4370,6 +4416,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "compact_small_files": (_q_compact_files, layout.COMPACT_SMALL_FILES_SQL),
     # α=0.5 temperature mix with exact largest-remainder apportionment
     "temperature_mix_quotas": (_q_temp_mix, _SQL_TEMP_MIX),
+    # two-stage retrieval: JL shortlist -> exact cosine re-rank, both
+    # stages deterministic so the full pipeline is hash-checkable
+    "two_stage_retrieval_topk": (_q_two_stage, _SQL_TWO_STAGE),
 }
 
 

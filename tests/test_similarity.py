@@ -484,3 +484,28 @@ def test_random_projection_plan_is_jvm_side(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_two_stage_retrieval_recall_equals_shortlist_recall(spark, sf_dir):
+    """Re-ranking recovers exact order for whatever the shortlist
+    caught: end-to-end hits must be exactly (shortlist ∩ exact top-k),
+    and every returned score must equal the brute-force score."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.q_id, r.c_id): r.cos_sim
+        for r in similarity.ann_bruteforce_topk(emb, k=10**9).collect()
+    }
+    exact_top5 = {}
+    for (q, c), s in exact.items():
+        exact_top5.setdefault(q, []).append((-s, c))
+    for q in exact_top5:
+        exact_top5[q] = {c for _, c in sorted(exact_top5[q])[:5]}
+    sl = {}
+    for r in similarity.random_projection_topk(emb, k=20).collect():
+        sl.setdefault(r.q_id, set()).add(r.c_id)
+    got = {}
+    for r in similarity.two_stage_retrieval_topk(emb).collect():
+        got.setdefault(r.q_id, set()).add(r.c_id)
+        assert r.cos_sim == exact[(r.q_id, r.c_id)]  # re-rank is exact
+    for q in got:
+        assert got[q] & exact_top5[q] == sl[q] & exact_top5[q]
