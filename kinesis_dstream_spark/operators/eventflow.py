@@ -1572,3 +1572,101 @@ SELECT 'signup_then_purchase', m3, n, round(m3 / n, 4) FROM agg
 UNION ALL
 SELECT 'repeat_purchaser', m4, n, round(m4 / n, 4) FROM agg
 """
+
+
+_WINSOR_PCT = 5
+
+
+def winsorize_stats(events: DataFrame, pct: int = _WINSOR_PCT) -> DataFrame:
+    """Winsorization — the robust feature-prep step before training on
+    heavy-tailed values: clamp each event_type's values at its exact
+    p05/p95 order statistics and report how much mass moved. Clipping
+    at a GLOBAL percentile repeats the adaptive-quality-gate mistake
+    (one hot type's tail sets every type's cut), so the cuts are
+    per-group rank selections.
+
+    Integer-exact: values on the fixed-point grid, cut ranks are the
+    closed-form lo = max(1, n·p DIV 100) and its mirror
+    hi = n + 1 − lo (selection, not interpolation — the oracle
+    reproduces the exact same ranks), clip counts are integer
+    comparisons, and both means come from int64 sums with one display
+    division each. Plan: ONE event_type window sort (the MAD shape —
+    rank and count ride the same exchange), a broadcast join of the
+    two cut rows per type, one rollup. Same 100 TB sub-keying note as
+    the z-score family.
+    """
+    iv = fixedpoint(F.col("value"), _V_SCALE)
+    w = Window.partitionBy("event_type").orderBy("iv", "event_id")
+    ranked = events.select(
+        "event_type", iv.alias("iv"), "event_id"
+    ).select(
+        "event_type",
+        "iv",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    lo_rank = F.expr(f"greatest(1, n * {pct} DIV 100)")
+    cuts = (
+        ranked.withColumn("lo_rank", lo_rank)
+        .withColumn("hi_rank", F.col("n") + 1 - F.col("lo_rank"))
+        .withColumn(
+            "cut",
+            F.when(F.col("rn") == F.col("lo_rank"), F.lit("lo")).when(
+                F.col("rn") == F.col("hi_rank"), F.lit("hi")
+            ),
+        )
+        .filter(F.col("cut").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.max(F.when(F.col("cut") == "lo", F.col("iv"))).alias("lo"),
+            F.max(F.when(F.col("cut") == "hi", F.col("iv"))).alias("hi"),
+        )
+    )
+    clipped = ranked.join(F.broadcast(cuts), "event_type").select(
+        "event_type",
+        "iv",
+        "lo",
+        "hi",
+        F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("iv"))).alias("cv"),
+    )
+    return clipped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.max("lo") / _V_SCALE, 2).alias("lo_cut"),
+        F.round(F.max("hi") / _V_SCALE, 2).alias("hi_cut"),
+        F.sum((F.col("iv") < F.col("lo")).cast("long")).alias("n_clipped_lo"),
+        F.sum((F.col("iv") > F.col("hi")).cast("long")).alias("n_clipped_hi"),
+        F.round(F.sum("iv") / F.count(F.lit(1)) / _V_SCALE, 4).alias("mean_before"),
+        F.round(F.sum("cv") / F.count(F.lit(1)) / _V_SCALE, 4).alias("mean_after"),
+    )
+
+
+WINSORIZE_STATS_SQL = f"""
+WITH ranked AS (
+  SELECT event_type,
+         CAST(round(value * {_V_SCALE}) AS BIGINT) AS iv,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY CAST(round(value * {_V_SCALE}) AS BIGINT),
+                                     event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+), cuts AS (
+  SELECT event_type,
+         max(CASE WHEN rn = greatest(1, n * {_WINSOR_PCT} // 100)
+                  THEN iv END) AS lo,
+         max(CASE WHEN rn = n + 1 - greatest(1, n * {_WINSOR_PCT} // 100)
+                  THEN iv END) AS hi
+  FROM ranked GROUP BY event_type
+), clipped AS (
+  SELECT r.event_type, r.iv, c.lo, c.hi,
+         greatest(c.lo, least(c.hi, r.iv)) AS cv
+  FROM ranked r JOIN cuts c ON c.event_type = r.event_type
+)
+SELECT event_type, count(*) AS n,
+       round(CAST(max(lo) AS BIGINT) / {_V_SCALE}, 2) AS lo_cut,
+       round(CAST(max(hi) AS BIGINT) / {_V_SCALE}, 2) AS hi_cut,
+       CAST(sum(CASE WHEN iv < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+       CAST(sum(CASE WHEN iv > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+       round(CAST(sum(iv) AS BIGINT) / count(*) / {_V_SCALE}, 4) AS mean_before,
+       round(CAST(sum(cv) AS BIGINT) / count(*) / {_V_SCALE}, 4) AS mean_after
+FROM clipped GROUP BY event_type
+"""

@@ -3579,6 +3579,10 @@ def _q_cumulative_users(spark: SparkSession, sf: str) -> DataFrame:
     return eventflow.cumulative_distinct_users(load_table(spark, sf, "events"))
 
 
+def _q_winsorize(spark: SparkSession, sf: str) -> DataFrame:
+    return eventflow.winsorize_stats(load_table(spark, sf, "events"))
+
+
 def _q_two_stage(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.two_stage_retrieval_topk(load_table(spark, sf, "embeddings"))
 
@@ -4419,6 +4423,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # two-stage retrieval: JL shortlist -> exact cosine re-rank, both
     # stages deterministic so the full pipeline is hash-checkable
     "two_stage_retrieval_topk": (_q_two_stage, _SQL_TWO_STAGE),
+    # robust feature prep: per-type winsorization at exact p05/p95
+    # rank selections, clip accounting + before/after means
+    "winsorize_stats": (_q_winsorize, eventflow.WINSORIZE_STATS_SQL),
 }
 
 

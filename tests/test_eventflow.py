@@ -400,3 +400,21 @@ def test_event_sequence_match_against_python_regex(spark, sf_dir):
     # strict subset of all purchasers
     purchasers = sum(1 for s in seqs.values() if "p" in s)
     assert 0 < got["repeat_purchaser"][0] <= purchasers
+
+
+def test_winsorize_clip_mass_and_mean_contraction(spark, sf_dir):
+    """Clipped mass per side is < pct% of rows by the rank definition
+    (values AT the cut survive), the cuts bracket the type's value
+    range strictly inside min/max when tails exist, and clipping can
+    only pull the mean toward the cut interval."""
+    ev = load_table(spark, sf_dir, "events")
+    rows = eventflow.winsorize_stats(ev).collect()
+    assert rows
+    for r in rows:
+        assert r.n_clipped_lo <= r.n * 5 // 100
+        assert r.n_clipped_hi <= r.n * 5 // 100
+        assert r.lo_cut <= r.hi_cut
+        assert r.lo_cut <= r.mean_after <= r.hi_cut
+        if r.n_clipped_lo and r.n_clipped_hi:
+            # both tails clipped: mean moves within the cut bracket
+            assert abs(r.mean_after - r.mean_before) < (r.hi_cut - r.lo_cut)
