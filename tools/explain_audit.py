@@ -101,6 +101,9 @@ AUDIT_DEFAULT = [
     "column_histogram_equidepth",
     "event_sequence_match",
     "pit_feature_join",
+    "temperature_mix_quotas",
+    "two_stage_retrieval_topk",
+    "winsorize_stats",
 ]
 
 
