@@ -3579,6 +3579,31 @@ def _q_cumulative_users(spark: SparkSession, sf: str) -> DataFrame:
     return eventflow.cumulative_distinct_users(load_table(spark, sf, "events"))
 
 
+def _q_dynamic_prune(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.sources import formats
+
+    return formats.dynamic_partition_prune_stats(spark, sf)
+
+
+_SQL_DYNAMIC_PRUNE = """
+WITH yearly AS (
+  SELECT year(o_orderdate) AS o_year,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+  GROUP BY 1
+), top2 AS (
+  SELECT o_year FROM yearly ORDER BY rev DESC, o_year ASC LIMIT 2
+)
+SELECT o.o_year, count(*) AS n_orders,
+       round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             / 100.0, 2) AS total_price
+FROM (SELECT year(o_orderdate) AS o_year, o_totalprice FROM orders) o
+JOIN top2 USING (o_year)
+GROUP BY o.o_year
+"""
+
+
 def _q_winsorize(spark: SparkSession, sf: str) -> DataFrame:
     return eventflow.winsorize_stats(load_table(spark, sf, "events"))
 
@@ -4426,6 +4451,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # robust feature prep: per-type winsorization at exact p05/p95
     # rank selections, clip accounting + before/after means
     "winsorize_stats": (_q_winsorize, eventflow.WINSORIZE_STATS_SQL),
+    # join-driven DYNAMIC partition pruning: runtime dim values injected
+    # as a partition filter into the fact scan (plan-pinned)
+    "dynamic_partition_prune_stats": (_q_dynamic_prune, _SQL_DYNAMIC_PRUNE),
 }
 
 

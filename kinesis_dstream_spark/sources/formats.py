@@ -321,3 +321,77 @@ def corrupt_record_quarantine_stats(spark: SparkSession, sf_dir: str) -> DataFra
             ),
         )
     )
+
+
+def dynamic_partition_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning (E-1/E-3 optimizer depth) — the
+    join-driven sibling of ``partitioned_orders_prune_stats``: there
+    the pruning literal sits in the query text; here the prunable
+    years are only discoverable by EXECUTING the dimension side (top-2
+    revenue years from the small per-year rollup), the real shape of
+    every fact⋈dim star query ("this quarter's partitions", "these
+    campaign days"). Static planning cannot prune — Spark's DPP
+    instead broadcasts the dim's join-key values at runtime and
+    injects them as a partition filter into the fact scan
+    (``dynamicpruning#`` subquery in the plan, pinned in
+    tests/test_plans.py), so a 100 TB fact table opens only the
+    matching year directories even though no year literal exists
+    anywhere in the query.
+
+    The oracle computes the same top-2-years rollup declaratively —
+    the hash match proves runtime pruning changed WHAT was read, not
+    what was computed.
+    """
+    from kinesis_dstream_spark.functions.exact import exact_sum
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = os.path.join(roundtrip_dir(sf_dir), "orders_by_year")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        (
+            orders.withColumn("o_year", F.year("o_orderdate"))
+            .write.mode("overwrite")
+            .partitionBy("o_year")
+            .parquet(out)
+        )
+    fact = spark.read.parquet(out)
+    # dimension side: top-2 years by exact revenue among 1995+ — values
+    # knowable only at runtime (deterministic: integer revenue, year
+    # tiebreak). The date filter matters twice: it is the business cut
+    # AND the "selective predicate" Spark's DPP rule requires on the
+    # pruning side before it will inject the runtime filter.
+    dim = (
+        orders.filter(F.col("o_orderdate") >= F.lit("1995-01-01"))
+        .withColumn("o_year", F.year("o_orderdate"))
+        .groupBy("o_year")
+        .agg(exact_sum(F.col("o_totalprice")).alias("rev"))
+        .orderBy(F.col("rev").desc(), F.col("o_year").asc())
+        .limit(2)
+        .select("o_year")
+    )
+    return (
+        fact.join(dim, "o_year")
+        .groupBy("o_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum(F.col("o_totalprice")).alias("total_price"),
+        )
+    )
+
+
+DYNAMIC_PRUNE_SQL = """
+WITH yearly AS (
+  SELECT year(o_orderdate) AS o_year,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+  GROUP BY 1
+), top2 AS (
+  SELECT o_year FROM yearly ORDER BY rev DESC, o_year ASC LIMIT 2
+)
+SELECT o.o_year, count(*) AS n_orders,
+       round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             / 100.0, 2) AS total_price
+FROM (SELECT year(o_orderdate) AS o_year, o_totalprice FROM orders) o
+JOIN top2 USING (o_year)
+GROUP BY o.o_year
+"""

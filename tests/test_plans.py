@@ -381,3 +381,21 @@ def test_zscore_sharded_window_partitions_on_entity_shard(spark, sf_dir):
         part.split(")")[0] for part in plain.split("hashpartitioning(")[1:]
     ]
     assert all("shard" not in k for k in plain_keys)
+
+
+def test_dynamic_partition_pruning_injected(spark, sf_dir):
+    """The fact scan must carry a runtime dynamicpruning filter on the
+    partition column — proving the dim's years reached the scan at
+    execution time, not via any literal in the query."""
+    from kinesis_dstream_spark.sources import formats
+
+    df = formats.dynamic_partition_prune_stats(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    # and it prunes the PARTITION column, not a data column
+    scan_lines = [
+        ln for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "dynamicpruning" in ln.lower()
+    ]
+    assert scan_lines and "o_year" in scan_lines[0]
