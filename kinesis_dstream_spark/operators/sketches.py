@@ -379,3 +379,163 @@ def bloom_membership_stats(
         )
         .orderBy("set_tag")
     )
+
+
+_THETA_K = 64
+_POW2_60 = 1 << 60
+
+
+def theta_set_intersection(events: DataFrame, k: int = _THETA_K) -> DataFrame:
+    """Theta-sketch SET ALGEBRA — the capability that makes sketch
+    families (Apache DataSketches) more than fast counters: estimate
+    |A∩B| and |A∪B| from two bottom-k samples WITHOUT touching the
+    raw sets again. A = viewers, B = purchasers (distinct user_ids).
+
+    Theta math, verbatim: h(u) = 60-bit md5 integer; θ_X = k-th
+    smallest hash of X (or 1.0 when |X| < k — the sketch is exact
+    below k); for set ops θ = min(θ_A, θ_B) and the estimate is
+    (matching hashes below θ) / θ. Because the "random" hash is
+    deterministic md5, every selection and count is integer-exact and
+    the DuckDB oracle reproduces the ESTIMATES bit-for-bit — the
+    rare case where approximation itself is hash-checkable. rel_err
+    columns report estimate quality against the exact cardinalities
+    computed alongside (~1/√k ≈ 12% at k=64).
+
+    Scale: the entire sketch state is k hashes per set — the
+    intersection of two 100 TB-derived sets costs two bottom-k
+    selections (shard-mergeable, see kmv_day_granules) plus math on
+    128 rows. The exact twin columns are the fixture-scale
+    certificate, not part of the production plan.
+    """
+    user_h = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10).cast("long")
+    sets = (
+        events.filter(F.col("event_type").isin("view", "purchase"))
+        .select(F.col("event_type").alias("s"), "user_id")
+        .distinct()
+        .withColumn("h", user_h)
+    )
+    n_per = sets.groupBy("s").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("s").orderBy("h", "user_id")
+    kth = (
+        sets.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == k)
+        .select("s", F.col("h").alias("hk"))
+    )
+    theta = (
+        n_per.join(kth, "s", "left")
+        .select(
+            "s",
+            "n",
+            F.when(F.col("n") < k, F.lit(_POW2_60)).otherwise(F.col("hk")).alias("th"),
+        )
+    )
+    est_set = theta.select(
+        "s",
+        F.col("n").alias("exact_distinct"),
+        F.when(F.col("n") < k, F.col("n").cast("double"))
+        .otherwise(F.lit(float((k - 1) * _POW2_60)) / F.col("th"))
+        .alias("est"),
+    )
+    a = theta.filter(F.col("s") == "view").select(F.col("th").alias("tha"))
+    b = theta.filter(F.col("s") == "purchase").select(F.col("th").alias("thb"))
+    thmin = a.crossJoin(b).select(F.least("tha", "thb").alias("th"))
+    va = sets.filter(F.col("s") == "view").select("user_id", "h")
+    vb = sets.filter(F.col("s") == "purchase").select("user_id", F.col("h").alias("hb"))
+    inter = (
+        va.join(vb, "user_id")
+        .crossJoin(F.broadcast(thmin))
+        .agg(
+            F.count(F.lit(1)).alias("exact_n"),
+            F.sum((F.col("h") < F.col("th")).cast("long")).alias("cnt"),
+            F.max("th").alias("th"),
+        )
+        .select(
+            F.lit("intersection").alias("s"),
+            F.col("exact_n").alias("exact_distinct"),
+            F.when(F.col("th") == _POW2_60, F.col("cnt").cast("double"))
+            .otherwise(F.col("cnt") * F.lit(float(_POW2_60)) / F.col("th"))
+            .alias("est"),
+        )
+    )
+    uni = (
+        sets.select("user_id", "h")
+        .distinct()
+        .crossJoin(F.broadcast(thmin))
+        .agg(
+            F.count(F.lit(1)).alias("exact_n"),
+            F.sum((F.col("h") < F.col("th")).cast("long")).alias("cnt"),
+            F.max("th").alias("th"),
+        )
+        .select(
+            F.lit("union").alias("s"),
+            F.col("exact_n").alias("exact_distinct"),
+            F.when(F.col("th") == _POW2_60, F.col("cnt").cast("double"))
+            .otherwise(F.col("cnt") * F.lit(float(_POW2_60)) / F.col("th"))
+            .alias("est"),
+        )
+    )
+    return (
+        est_set.unionAll(inter)
+        .unionAll(uni)
+        .select(
+            F.col("s").alias("set_name"),
+            "exact_distinct",
+            F.round("est", 2).alias("est_distinct"),
+            F.round((F.col("est") - F.col("exact_distinct")) / F.col("exact_distinct"), 4).alias(
+                "rel_err"
+            ),
+        )
+    )
+
+
+THETA_SET_INTERSECTION_SQL = f"""
+WITH sets AS (
+  SELECT DISTINCT event_type AS s, user_id FROM events
+  WHERE event_type IN ('view', 'purchase')
+), hashed AS (
+  SELECT s, user_id,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM sets
+), n_per AS (
+  SELECT s, CAST(count(*) AS BIGINT) AS n FROM hashed GROUP BY s
+), kth AS (
+  SELECT s, h AS hk FROM (
+    SELECT s, h, row_number() OVER (PARTITION BY s ORDER BY h, user_id) AS rn
+    FROM hashed
+  ) WHERE rn = {_THETA_K}
+), theta AS (
+  SELECT n_per.s, n,
+         CASE WHEN n < {_THETA_K} THEN {_POW2_60} ELSE hk END AS th
+  FROM n_per LEFT JOIN kth ON kth.s = n_per.s
+), est_set AS (
+  SELECT s, n AS exact_distinct,
+         CASE WHEN n < {_THETA_K} THEN CAST(n AS DOUBLE)
+              ELSE {float((_THETA_K - 1) * _POW2_60)!r} / th END AS est
+  FROM theta
+), thmin AS (
+  SELECT least((SELECT th FROM theta WHERE s = 'view'),
+               (SELECT th FROM theta WHERE s = 'purchase')) AS th
+), inter AS (
+  SELECT 'intersection' AS s,
+         CAST(count(*) AS BIGINT) AS exact_distinct,
+         CASE WHEN max(t.th) = {_POW2_60}
+              THEN CAST(sum(CASE WHEN a.h < t.th THEN 1 ELSE 0 END) AS DOUBLE)
+              ELSE CAST(sum(CASE WHEN a.h < t.th THEN 1 ELSE 0 END) AS BIGINT)
+                   * {float(_POW2_60)!r} / max(t.th) END AS est
+  FROM hashed a JOIN hashed b
+    ON a.s = 'view' AND b.s = 'purchase' AND a.user_id = b.user_id, thmin t
+), uni AS (
+  SELECT 'union' AS s,
+         CAST(count(*) AS BIGINT) AS exact_distinct,
+         CASE WHEN max(t.th) = {_POW2_60}
+              THEN CAST(sum(CASE WHEN u.h < t.th THEN 1 ELSE 0 END) AS DOUBLE)
+              ELSE CAST(sum(CASE WHEN u.h < t.th THEN 1 ELSE 0 END) AS BIGINT)
+                   * {float(_POW2_60)!r} / max(t.th) END AS est
+  FROM (SELECT DISTINCT user_id, h FROM hashed) u, thmin t
+)
+SELECT s AS set_name, exact_distinct,
+       round(est, 2) AS est_distinct,
+       round((est - exact_distinct) / exact_distinct, 4) AS rel_err
+FROM (SELECT * FROM est_set UNION ALL SELECT * FROM inter
+      UNION ALL SELECT * FROM uni)
+"""

@@ -3579,6 +3579,10 @@ def _q_cumulative_users(spark: SparkSession, sf: str) -> DataFrame:
     return eventflow.cumulative_distinct_users(load_table(spark, sf, "events"))
 
 
+def _q_theta_sets(spark: SparkSession, sf: str) -> DataFrame:
+    return sketches.theta_set_intersection(load_table(spark, sf, "events"))
+
+
 def _q_dynamic_prune(spark: SparkSession, sf: str) -> DataFrame:
     from kinesis_dstream_spark.sources import formats
 
@@ -4454,6 +4458,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # join-driven DYNAMIC partition pruning: runtime dim values injected
     # as a partition filter into the fact scan (plan-pinned)
     "dynamic_partition_prune_stats": (_q_dynamic_prune, _SQL_DYNAMIC_PRUNE),
+    # theta-sketch set algebra: ∩/∪ estimates from two bottom-k
+    # sketches; deterministic md5 makes the ESTIMATES hash-checkable
+    "theta_set_intersection": (
+        _q_theta_sets,
+        sketches.THETA_SET_INTERSECTION_SQL,
+    ),
 }
 
 

@@ -193,3 +193,27 @@ class TestBloomGranules:
         whole = sketches.bloom_granules(docs)
         assert merged.exceptAll(whole).count() == 0
         assert whole.exceptAll(merged).count() == 0
+
+
+def test_theta_set_algebra_bounds(spark, sf_dir):
+    """Sketch-theory invariants: estimates within ~5/√k relative error
+    of exact (k=64 → 62%— generous CI for one draw; typical ~12%),
+    intersection ≤ min(|A|,|B|), union ≥ max and consistent with
+    inclusion-exclusion on the EXACT columns."""
+    from kinesis_dstream_spark.operators.sketches import theta_set_intersection
+    from kinesis_dstream_spark.tables import load_table
+
+    rows = {
+        r.set_name: r
+        for r in theta_set_intersection(load_table(spark, sf_dir, "events")).collect()
+    }
+    assert set(rows) == {"view", "purchase", "intersection", "union"}
+    v, p, i, u = rows["view"], rows["purchase"], rows["intersection"], rows["union"]
+    assert i.exact_distinct <= min(v.exact_distinct, p.exact_distinct)
+    assert u.exact_distinct >= max(v.exact_distinct, p.exact_distinct)
+    assert u.exact_distinct == v.exact_distinct + p.exact_distinct - i.exact_distinct
+    for r in rows.values():
+        if r.exact_distinct >= 64:  # sketch regime
+            assert abs(r.rel_err) < 0.625, (r.set_name, r.rel_err)
+        else:  # exact regime below k
+            assert r.est_distinct == float(r.exact_distinct)
