@@ -1670,3 +1670,77 @@ SELECT event_type, count(*) AS n,
        round(CAST(sum(cv) AS BIGINT) / count(*) / {_V_SCALE}, 4) AS mean_after
 FROM clipped GROUP BY event_type
 """
+
+
+def value_trend_regression(events: DataFrame) -> DataFrame:
+    """Per-type least-squares trend (value vs day) from EXACT integer
+    normal equations — drift detection ("is purchase value declining?")
+    as one aggregation, no ML library, no iteration.
+
+    x = days since the fixture epoch (≤ thousands — rebasing x to days
+    is what keeps every moment in int64: with x in epoch-µs, Σx² blows
+    past 2⁶³ immediately), y = fixed-point value. One scan collects
+    the five sufficient statistics (n, Σx, Σy, Σxy, Σx²[, Σy²]) with
+    map-side partials; slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) and r²
+    derive in closed form — the only doubles are the display
+    divisions (and the two explicit casts in r², both mirrored in the
+    oracle). Fixture-scale headroom is ~10⁴×; at 100 TB row counts
+    the numerators need DECIMAL(38) or per-shard moment merge (the
+    KMV shard pattern) — noted, not silently wrong.
+
+    Scale: this is the cheapest possible shape — a single groupBy
+    with 6 integer partial aggregates; no window, no join, no sort.
+    """
+    x = F.expr("datediff(to_date(ts), DATE '2024-01-01')").cast("long")
+    y = fixedpoint(F.col("value"), _V_SCALE)
+    base = events.select("event_type", x.alias("x"), y.alias("y"))
+    agg = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    A = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    B = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    C = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return agg.select(
+        "event_type",
+        "n",
+        F.round(A / B / _V_SCALE, 6).alias("slope_per_day"),
+        F.round(
+            (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")) / B / _V_SCALE,
+            4,
+        ).alias("intercept"),
+        F.round(
+            (A.cast("double") * A.cast("double"))
+            / (B.cast("double") * C.cast("double")),
+            4,
+        ).alias("r2"),
+    )
+
+
+VALUE_TREND_REGRESSION_SQL = f"""
+WITH base AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+         CAST(round(value * {_V_SCALE}) AS BIGINT) AS y
+  FROM events
+), agg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM base GROUP BY event_type
+)
+SELECT event_type, n,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx) / {_V_SCALE}, 6)
+         AS slope_per_day,
+       round((sy * sxx - sx * sxy) / (n * sxx - sx * sx) / {_V_SCALE}, 4)
+         AS intercept,
+       round((CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE))
+             / (CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(n * syy - sy * sy AS DOUBLE)), 4) AS r2
+FROM agg
+"""

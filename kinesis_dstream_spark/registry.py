@@ -3579,6 +3579,10 @@ def _q_cumulative_users(spark: SparkSession, sf: str) -> DataFrame:
     return eventflow.cumulative_distinct_users(load_table(spark, sf, "events"))
 
 
+def _q_trend(spark: SparkSession, sf: str) -> DataFrame:
+    return eventflow.value_trend_regression(load_table(spark, sf, "events"))
+
+
 def _q_theta_sets(spark: SparkSession, sf: str) -> DataFrame:
     return sketches.theta_set_intersection(load_table(spark, sf, "events"))
 
@@ -4464,6 +4468,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _q_theta_sets,
         sketches.THETA_SET_INTERSECTION_SQL,
     ),
+    # exact least-squares drift per type: integer normal equations,
+    # one aggregation, day-rebased x keeps moments in int64
+    "value_trend_regression": (_q_trend, eventflow.VALUE_TREND_REGRESSION_SQL),
 }
 
 

@@ -418,3 +418,27 @@ def test_winsorize_clip_mass_and_mean_contraction(spark, sf_dir):
         if r.n_clipped_lo and r.n_clipped_hi:
             # both tails clipped: mean moves within the cut bracket
             assert abs(r.mean_after - r.mean_before) < (r.hi_cut - r.lo_cut)
+
+
+def test_value_trend_regression_matches_numpy(spark, sf_dir):
+    """Independent oracle: numpy polyfit on the same (day, value)
+    pairs must agree with the closed-form integer path to float
+    tolerance, and r2 must be in [0, 1]."""
+    import numpy as np
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = eventflow.value_trend_regression(ev).collect()
+    raw = ev.select(
+        "event_type",
+        F.expr("datediff(to_date(ts), DATE '2024-01-01')").alias("x"),
+        F.round(F.col("value"), 2).alias("y"),
+    ).collect()
+    by_type = {}
+    for r in raw:
+        by_type.setdefault(r.event_type, []).append((r.x, r.y))
+    for r in rows:
+        xs, ys = zip(*by_type[r.event_type])
+        slope, intercept = np.polyfit(np.array(xs, dtype=float), np.array(ys), 1)
+        assert abs(r.slope_per_day - slope) < 1e-4, r.event_type
+        assert abs(r.intercept - intercept) < 1e-2, r.event_type
+        assert 0.0 <= r.r2 <= 1.0
