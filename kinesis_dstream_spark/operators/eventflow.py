@@ -1744,3 +1744,91 @@ SELECT event_type, n,
                 * CAST(n * syy - sy * sy AS DOUBLE)), 4) AS r2
 FROM agg
 """
+
+
+def rolling_active_users(events: DataFrame) -> DataFrame:
+    """Exact DAU / WAU(7) / MAU(28) per day — THE product-analytics
+    headline series, computed the way exact sliding distinct actually
+    scales: reduce to DISTINCT (user, day) pairs first (one shuffle,
+    map-side combinable — the fan-in that makes everything after
+    cheap), then each pair CONTRIBUTES ITSELF FORWARD to every day
+    whose trailing window covers it (explode of a ≤28-day sequence)
+    and each target day counts distinct users once per window width.
+
+    No window function exists here at all: COUNT(DISTINCT) OVER a
+    RANGE frame is the quadratic trap (per-frame distinct state);
+    the contribution explode is linear ×W on the deduped pair set,
+    and the per-day distinct is one aggregation. The approximate
+    sibling at extreme scale is the HLL granule rollup
+    (``hll_distinct_rollup``) — this is the exact twin. Day axis is
+    clipped to the observed range so leading days have honest
+    partial-window values (stated, not hidden).
+    """
+    pairs = events.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    bounds = pairs.agg(
+        F.min("day").alias("min_day"), F.max("day").alias("max_day")
+    )
+    widths = [("dau", 1), ("wau", 7), ("mau", 28)]
+    contrib = (
+        pairs.crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(name).alias("w"),
+                            F.sequence(
+                                F.col("day"),
+                                F.least(
+                                    F.date_add(F.col("day"), width - 1),
+                                    F.col("max_day"),
+                                ),
+                            ).alias("targets"),
+                        )
+                        for name, width in widths
+                    ]
+                )
+            ).alias("e"),
+        )
+        .select("user_id", F.col("e.w").alias("w"), F.explode("e.targets").alias("day"))
+    )
+    counts = contrib.groupBy("day", "w").agg(
+        F.countDistinct("user_id").alias("c")
+    )
+    return (
+        counts.groupBy("day")
+        .pivot("w", ["dau", "wau", "mau"])
+        .agg(F.max("c"))
+        .select("day", "dau", "wau", "mau")
+    )
+
+
+ROLLING_ACTIVE_USERS_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), bounds AS (
+  SELECT max(day) AS max_day FROM pairs
+), contrib AS (
+  SELECT user_id, 'dau' AS w, day FROM pairs
+  UNION ALL
+  SELECT user_id, 'wau',
+         unnest(generate_series(day, least(day + 6, (SELECT max_day FROM bounds)),
+                                INTERVAL 1 DAY))::DATE
+  FROM pairs
+  UNION ALL
+  SELECT user_id, 'mau',
+         unnest(generate_series(day, least(day + 27, (SELECT max_day FROM bounds)),
+                                INTERVAL 1 DAY))::DATE
+  FROM pairs
+), counts AS (
+  SELECT day, w, count(DISTINCT user_id) AS c FROM contrib GROUP BY day, w
+)
+SELECT day,
+       max(CASE WHEN w = 'dau' THEN c END) AS dau,
+       max(CASE WHEN w = 'wau' THEN c END) AS wau,
+       max(CASE WHEN w = 'mau' THEN c END) AS mau
+FROM counts GROUP BY day
+"""

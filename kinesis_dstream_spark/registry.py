@@ -3579,6 +3579,10 @@ def _q_cumulative_users(spark: SparkSession, sf: str) -> DataFrame:
     return eventflow.cumulative_distinct_users(load_table(spark, sf, "events"))
 
 
+def _q_rolling_active(spark: SparkSession, sf: str) -> DataFrame:
+    return eventflow.rolling_active_users(load_table(spark, sf, "events"))
+
+
 def _q_trend(spark: SparkSession, sf: str) -> DataFrame:
     return eventflow.value_trend_regression(load_table(spark, sf, "events"))
 
@@ -4471,6 +4475,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # exact least-squares drift per type: integer normal equations,
     # one aggregation, day-rebased x keeps moments in int64
     "value_trend_regression": (_q_trend, eventflow.VALUE_TREND_REGRESSION_SQL),
+    # exact DAU/WAU/MAU: forward-contribution explode on deduped
+    # (user, day) pairs — no distinct-over-frame state, one agg
+    "rolling_active_users": (
+        _q_rolling_active,
+        eventflow.ROLLING_ACTIVE_USERS_SQL,
+    ),
 }
 
 

@@ -442,3 +442,26 @@ def test_value_trend_regression_matches_numpy(spark, sf_dir):
         assert abs(r.slope_per_day - slope) < 1e-4, r.event_type
         assert abs(r.intercept - intercept) < 1e-2, r.event_type
         assert 0.0 <= r.r2 <= 1.0
+
+
+def test_rolling_active_users_nesting_and_truth(spark, sf_dir):
+    """DAU <= WAU <= MAU per day (window nesting), WAU on a given day
+    equals a brute-force distinct over the trailing 7 days, and MAU on
+    the last day equals distinct users over the trailing 28."""
+    ev = load_table(spark, sf_dir, "events")
+    rows = {r.day: r for r in eventflow.rolling_active_users(ev).collect()}
+    for r in rows.values():
+        dau = r.dau or 0
+        assert dau <= r.wau <= r.mau
+    pairs = ev.select("user_id", F.to_date("ts").alias("day")).distinct().collect()
+    last = max(rows)
+    import datetime
+
+    def brute(day, w):
+        lo = day - datetime.timedelta(days=w - 1)
+        return len({p.user_id for p in pairs if lo <= p.day <= day})
+
+    assert rows[last].mau == brute(last, 28)
+    mid = sorted(rows)[len(rows) // 2]
+    assert rows[mid].wau == brute(mid, 7)
+    assert (rows[mid].dau or 0) == brute(mid, 1)
