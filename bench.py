@@ -150,6 +150,15 @@ BENCH_QUERIES = {
     "column_histogram": "column_histogram_equidepth",
     "adaptive_quality": "adaptive_quality_gate",
     "event_seq_match": "event_sequence_match",
+    # r6 fourth wave: PIT features, serving-split retrieval, sketch set
+    # algebra, robust prep, drift, DAU/WAU/MAU, runtime pruning
+    "pit_features": "pit_feature_join",
+    "two_stage_retrieval": "two_stage_retrieval_topk",
+    "theta_sets": "theta_set_intersection",
+    "winsorize": "winsorize_stats",
+    "value_trend": "value_trend_regression",
+    "rolling_active": "rolling_active_users",
+    "dynamic_prune": "dynamic_partition_prune_stats",
 }
 
 

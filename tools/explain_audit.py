@@ -104,6 +104,9 @@ AUDIT_DEFAULT = [
     "temperature_mix_quotas",
     "two_stage_retrieval_topk",
     "winsorize_stats",
+    "theta_set_intersection",
+    "value_trend_regression",
+    "rolling_active_users",
 ]
 
 
