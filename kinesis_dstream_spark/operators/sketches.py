@@ -389,7 +389,9 @@ def theta_set_intersection(events: DataFrame, k: int = _THETA_K) -> DataFrame:
     """Theta-sketch SET ALGEBRA — the capability that makes sketch
     families (Apache DataSketches) more than fast counters: estimate
     |A∩B| and |A∪B| from two bottom-k samples WITHOUT touching the
-    raw sets again. A = viewers, B = purchasers (distinct user_ids).
+    raw sets again. A = high-spend users (Σ value over a fixed
+    threshold), B = high-activity users (event count over a fixed
+    threshold) — audience segments with real partial overlap.
 
     Theta math, verbatim: h(u) = 60-bit md5 integer; θ_X = k-th
     smallest hash of X (or 1.0 when |X| < k — the sketch is exact
@@ -408,10 +410,28 @@ def theta_set_intersection(events: DataFrame, k: int = _THETA_K) -> DataFrame:
     certificate, not part of the production plan.
     """
     user_h = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10).cast("long")
+    # audience sets from per-user aggregates (the fixture's users all
+    # emit every event TYPE, so type-membership sets are degenerate;
+    # value/activity thresholds give real partial overlap): A = high
+    # total spend, B = high event count
+    per_user = events.groupBy("user_id").agg(
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("sv"),
+        F.count(F.lit(1)).alias("ne"),
+    )
     sets = (
-        events.filter(F.col("event_type").isin("view", "purchase"))
-        .select(F.col("event_type").alias("s"), "user_id")
-        .distinct()
+        per_user.select(
+            "user_id",
+            F.explode(
+                F.concat(
+                    F.when(F.col("sv") > 350_000, F.array(F.lit("high_value"))).otherwise(
+                        F.array().cast("array<string>")
+                    ),
+                    F.when(F.col("ne") > 70, F.array(F.lit("high_activity"))).otherwise(
+                        F.array().cast("array<string>")
+                    ),
+                )
+            ).alias("s"),
+        )
         .withColumn("h", user_h)
     )
     n_per = sets.groupBy("s").agg(F.count(F.lit(1)).alias("n"))
@@ -436,11 +456,11 @@ def theta_set_intersection(events: DataFrame, k: int = _THETA_K) -> DataFrame:
         .otherwise(F.lit(float((k - 1) * _POW2_60)) / F.col("th"))
         .alias("est"),
     )
-    a = theta.filter(F.col("s") == "view").select(F.col("th").alias("tha"))
-    b = theta.filter(F.col("s") == "purchase").select(F.col("th").alias("thb"))
-    thmin = a.crossJoin(b).select(F.least("tha", "thb").alias("th"))
-    va = sets.filter(F.col("s") == "view").select("user_id", "h")
-    vb = sets.filter(F.col("s") == "purchase").select("user_id", F.col("h").alias("hb"))
+    a = theta.filter(F.col("s") == "high_value").select(F.col("th").alias("tha"))
+    b = theta.filter(F.col("s") == "high_activity").select(F.col("th").alias("thb"))
+    thmin = a.crossJoin(F.broadcast(b)).select(F.least("tha", "thb").alias("th"))
+    va = sets.filter(F.col("s") == "high_value").select("user_id", "h")
+    vb = sets.filter(F.col("s") == "high_activity").select("user_id", F.col("h").alias("hb"))
     inter = (
         va.join(vb, "user_id")
         .crossJoin(F.broadcast(thmin))
@@ -489,9 +509,15 @@ def theta_set_intersection(events: DataFrame, k: int = _THETA_K) -> DataFrame:
 
 
 THETA_SET_INTERSECTION_SQL = f"""
-WITH sets AS (
-  SELECT DISTINCT event_type AS s, user_id FROM events
-  WHERE event_type IN ('view', 'purchase')
+WITH per_user AS (
+  SELECT user_id,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sv,
+         count(*) AS ne
+  FROM events GROUP BY user_id
+), sets AS (
+  SELECT 'high_value' AS s, user_id FROM per_user WHERE sv > 350000
+  UNION ALL
+  SELECT 'high_activity', user_id FROM per_user WHERE ne > 70
 ), hashed AS (
   SELECT s, user_id,
          CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
@@ -513,8 +539,8 @@ WITH sets AS (
               ELSE {float((_THETA_K - 1) * _POW2_60)!r} / th END AS est
   FROM theta
 ), thmin AS (
-  SELECT least((SELECT th FROM theta WHERE s = 'view'),
-               (SELECT th FROM theta WHERE s = 'purchase')) AS th
+  SELECT least((SELECT th FROM theta WHERE s = 'high_value'),
+               (SELECT th FROM theta WHERE s = 'high_activity')) AS th
 ), inter AS (
   SELECT 'intersection' AS s,
          CAST(count(*) AS BIGINT) AS exact_distinct,
@@ -523,7 +549,7 @@ WITH sets AS (
               ELSE CAST(sum(CASE WHEN a.h < t.th THEN 1 ELSE 0 END) AS BIGINT)
                    * {float(_POW2_60)!r} / max(t.th) END AS est
   FROM hashed a JOIN hashed b
-    ON a.s = 'view' AND b.s = 'purchase' AND a.user_id = b.user_id, thmin t
+    ON a.s = 'high_value' AND b.s = 'high_activity' AND a.user_id = b.user_id, thmin t
 ), uni AS (
   SELECT 'union' AS s,
          CAST(count(*) AS BIGINT) AS exact_distinct,

@@ -207,8 +207,9 @@ def test_theta_set_algebra_bounds(spark, sf_dir):
         r.set_name: r
         for r in theta_set_intersection(load_table(spark, sf_dir, "events")).collect()
     }
-    assert set(rows) == {"view", "purchase", "intersection", "union"}
-    v, p, i, u = rows["view"], rows["purchase"], rows["intersection"], rows["union"]
+    assert set(rows) == {"high_value", "high_activity", "intersection", "union"}
+    v, p, i, u = (rows["high_value"], rows["high_activity"],
+                  rows["intersection"], rows["union"])
     assert i.exact_distinct <= min(v.exact_distinct, p.exact_distinct)
     assert u.exact_distinct >= max(v.exact_distinct, p.exact_distinct)
     assert u.exact_distinct == v.exact_distinct + p.exact_distinct - i.exact_distinct
