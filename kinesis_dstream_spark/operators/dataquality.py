@@ -233,19 +233,33 @@ def key_skew_profile(events: DataFrame, lineitem: DataFrame) -> DataFrame:
     per profiled column.
     """
     def profile(df: DataFrame, column: str, table: str) -> DataFrame:
+        # Display ratios via INTEGER half-up division onto a decimal
+        # grid, then one exact /10^k — never round() on a float chain:
+        # Java's BigDecimal round and DuckDB's sprintf-style round
+        # disagree on boundary doubles (observed: 99/(100000/1500) =
+        # 1.4849999999999999 → Spark 1.48, DuckDB 1.49 at sf0.1).
         counts = df.groupBy(column).agg(F.count(F.lit(1)).alias("c"))
         return counts.agg(
             F.lit(f"{table}.{column}").alias("key"),
             F.sum("c").alias("n_rows"),
             F.count(F.lit(1)).alias("n_keys"),
             F.max("c").alias("max_key_rows"),
-            F.round(F.max("c") / (F.sum("c") / F.count(F.lit(1))), 2).alias(
-                "skew_ratio"
-            ),
-            F.round(F.max("c") / F.sum("c"), 4).alias("top_share"),
-            F.round(F.sum(F.col("c") * F.col("c")) / (F.sum("c") * F.sum("c")), 6).alias(
-                "hhi"
-            ),
+            (
+                F.expr(
+                    "(200 * max(c) * count(1) + sum(c)) DIV (2 * sum(c))"
+                )
+                / 100.0
+            ).alias("skew_ratio"),
+            (
+                F.expr("(20000 * max(c) + sum(c)) DIV (2 * sum(c))") / 10000.0
+            ).alias("top_share"),
+            (
+                F.expr(
+                    "(2000000 * sum(c * c) + sum(c) * sum(c))"
+                    " DIV (2 * sum(c) * sum(c))"
+                )
+                / 1000000.0
+            ).alias("hhi"),
         )
     return (
         profile(events, "event_type", "events")
@@ -271,12 +285,15 @@ SELECT key,
        CAST(sum(c) AS BIGINT) AS n_rows,
        CAST(count(*) AS BIGINT) AS n_keys,
        CAST(max(c) AS BIGINT) AS max_key_rows,
-       round(CAST(max(c) AS BIGINT)
-             / (CAST(sum(c) AS BIGINT) / CAST(count(*) AS BIGINT)), 2)
-         AS skew_ratio,
-       round(CAST(max(c) AS BIGINT) / CAST(sum(c) AS BIGINT), 4) AS top_share,
-       round(CAST(sum(c * c) AS BIGINT)
-             / (CAST(sum(c) AS BIGINT) * CAST(sum(c) AS BIGINT)), 6) AS hhi
+       CAST((200 * CAST(max(c) AS BIGINT) * CAST(count(*) AS BIGINT)
+             + CAST(sum(c) AS BIGINT))
+            // (2 * CAST(sum(c) AS BIGINT)) AS BIGINT) / 100.0 AS skew_ratio,
+       CAST((20000 * CAST(max(c) AS BIGINT) + CAST(sum(c) AS BIGINT))
+            // (2 * CAST(sum(c) AS BIGINT)) AS BIGINT) / 10000.0 AS top_share,
+       CAST((2000000 * CAST(sum(c * c) AS BIGINT)
+             + CAST(sum(c) AS BIGINT) * CAST(sum(c) AS BIGINT))
+            // (2 * CAST(sum(c) AS BIGINT) * CAST(sum(c) AS BIGINT)) AS BIGINT)
+         / 1000000.0 AS hhi
 FROM counts GROUP BY key
 """
 
