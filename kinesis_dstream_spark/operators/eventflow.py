@@ -32,10 +32,17 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from kinesis_dstream_spark.functions.exact import fixedpoint
+from kinesis_dstream_spark.operators.selection import grid_rank_select
 
 # Fixed-point scale for event values (2 decimal places in the fixture;
 # 100 keeps int64 sums exact for any realistic window).
 _V_SCALE = 100
+
+# Histogram-refinement bucket width for order-statistic selection over
+# the iv grid (selection.py): ~10.24 value units per bucket — a few
+# hundred buckets for realistic event-value ranges, so the bucket table
+# is tiny and the refine pass touches ~1/|buckets| of the rows.
+_GRID_BUCKET = 1024
 
 
 def funnel_conversion(
@@ -1201,31 +1208,29 @@ def mad_outliers(events: DataFrame) -> DataFrame:
     compares integers. The DuckDB twin replicates the same order
     statistic; only the two display divisions produce doubles.
 
-    Plan: two rank-selection passes over the same event_type
-    partitioning (the spill-safe ``exact_median_by_group_ranked``
-    shape — a window sort that spills, never a per-group pandas
-    frame), one broadcast join of the per-type medians, one rollup.
-    Same low-cardinality-key caveat as the z-score family: sub-key the
-    sort at 100 TB (the sharded z-score documents the pattern; MAD's
-    selection is shard-mergeable the same way bottom-k is).
+    Plan (the r6 "weak" fix, selection.py): both medians come from
+    exact histogram-refinement selection — a (event_type, bucket)
+    count aggregate, a bucket-table window, a one-bucket refine — so
+    no partition sorts a full event_type's rows. A median is the case
+    where the prescribed bottom-k shard merge degenerates COMPLETELY
+    (rank ≈ n/2 means every shard's bottom-k is its whole lower half);
+    counting-based selection is the shard-mergeable decomposition that
+    works at every rank — the map-side partial counts ARE the
+    shard-local stage, with additive merge. Medians broadcast back;
+    one rollup.
     """
-    from pyspark.sql import Window
-
     iv = fixedpoint(F.col("value"), _V_SCALE)
     base = events.select("event_type", iv.alias("iv"))
-    by_type = Window.partitionBy("event_type")
 
     def lower_median(df: DataFrame, col: str, out: str) -> DataFrame:
-        w = by_type.orderBy(col)
-        return (
-            df.select(
-                "event_type",
-                F.col(col),
-                F.row_number().over(w).alias("rn"),
-                F.count("*").over(by_type).alias("n"),
-            )
-            .filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
-            .select("event_type", F.col(col).alias(out), "n")
+        totals = df.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+        ranks = totals.select(
+            "event_type",
+            F.lit(out).alias("sel"),
+            F.expr("(n + 1) DIV 2").alias("r"),
+        )
+        return grid_rank_select(df, "event_type", col, ranks, _GRID_BUCKET).select(
+            "event_type", F.col("value").alias(out)
         )
 
     med = lower_median(base, "iv", "med")
@@ -1590,39 +1595,39 @@ def winsorize_stats(events: DataFrame, pct: int = _WINSOR_PCT) -> DataFrame:
     hi = n + 1 − lo (selection, not interpolation — the oracle
     reproduces the exact same ranks), clip counts are integer
     comparisons, and both means come from int64 sums with one display
-    division each. Plan: ONE event_type window sort (the MAD shape —
-    rank and count ride the same exchange), a broadcast join of the
-    two cut rows per type, one rollup. Same 100 TB sub-keying note as
-    the z-score family.
+    division each.
+
+    Plan (the r6 "weak" fix, selection.py): the p05/p95 order
+    statistics come from exact histogram-refinement selection — a
+    (event_type, value-bucket) count aggregate, a bucket-table window,
+    and a one-bucket refine — so NO partition ever sorts a full
+    event_type's rows (the old plan's single per-type row_number sort;
+    the prescribed bottom-k shard merge would still funnel 2·p·S of
+    the rows into one merge partition — see selection.py's degeneracy
+    note). Cuts broadcast back; one rollup. The lo and hi cuts are
+    selected INDEPENDENTLY, so the degenerate n=1 group (lo_rank ==
+    hi_rank) yields lo == hi == the value, exactly as the SQL twin's
+    two independent CASEs do.
     """
     iv = fixedpoint(F.col("value"), _V_SCALE)
-    w = Window.partitionBy("event_type").orderBy("iv", "event_id")
-    ranked = events.select(
-        "event_type", iv.alias("iv"), "event_id"
-    ).select(
-        "event_type",
-        "iv",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
-    )
+    base = events.select("event_type", iv.alias("iv"))
+    totals = base.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     lo_rank = F.expr(f"greatest(1, n * {pct} DIV 100)")
-    cuts = (
-        ranked.withColumn("lo_rank", lo_rank)
-        .withColumn("hi_rank", F.col("n") + 1 - F.col("lo_rank"))
-        .withColumn(
-            "cut",
-            F.when(F.col("rn") == F.col("lo_rank"), F.lit("lo")).when(
-                F.col("rn") == F.col("hi_rank"), F.lit("hi")
-            ),
-        )
-        .filter(F.col("cut").isNotNull())
-        .groupBy("event_type")
-        .agg(
-            F.max(F.when(F.col("cut") == "lo", F.col("iv"))).alias("lo"),
-            F.max(F.when(F.col("cut") == "hi", F.col("iv"))).alias("hi"),
+    ranks = totals.select(
+        "event_type", F.lit("lo").alias("sel"), lo_rank.alias("r")
+    ).unionByName(
+        totals.select(
+            "event_type",
+            F.lit("hi").alias("sel"),
+            (F.col("n") + 1 - lo_rank).alias("r"),
         )
     )
-    clipped = ranked.join(F.broadcast(cuts), "event_type").select(
+    sel = grid_rank_select(base, "event_type", "iv", ranks, _GRID_BUCKET)
+    cuts = sel.groupBy("event_type").agg(
+        F.max(F.when(F.col("sel") == "lo", F.col("value"))).alias("lo"),
+        F.max(F.when(F.col("sel") == "hi", F.col("value"))).alias("hi"),
+    )
+    clipped = base.join(F.broadcast(cuts), "event_type").select(
         "event_type",
         "iv",
         "lo",

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from kinesis_dstream_spark.functions.exact import exact_sum
 from kinesis_dstream_spark.functions.textfns import rolling_fingerprint, tokens
+from kinesis_dstream_spark.operators.selection import grid_rank_select
 
 # Tiny per-language marker-word sets for the n-gram/stopword heuristic.
 # Deliberately simple + engine-portable: the oracle replicates the exact
@@ -975,12 +976,21 @@ def adaptive_quality_gate(documents: DataFrame, drop_pct: int = 20) -> DataFrame
     and the DuckDB twin reproduces the cut bit-for-bit; only display
     columns divide.
 
-    Scale: ONE lang-partitioned window sort (rank + count ride the
-    same exchange), then a per-lang rollup. Languages are the classic
-    skewed key (en is most of the web) — at 100 TB the sort sub-keys
-    exactly like ``rolling_zscore_outliers_sharded``: shard-local
-    bottom-k(n·p) merge exactly to the global bottom-k because
-    selection is shard-decomposable.
+    Scale (the r6 "weak" fix, selection.py): the per-language cut
+    value comes from exact histogram-refinement selection — a
+    (lang, iq DIV 256) count aggregate whose exchange spreads a hot
+    language across the cluster by value (iq is bounded in [0, 30000]
+    by construction, so the bucket table is ≤ 118 rows per language
+    REGARDLESS of corpus size), a bucket-table window, and a
+    one-bucket refine. The prescribed shard-local bottom-k(n·p) merge
+    degenerates here: with p = 20% and S = 8, each shard's exactness
+    floor is min(n·p, n/S) = its entire content, so the "merge" would
+    sort every row in one partition per language (see selection.py).
+    The rollup is then value-based — sums/counts against the broadcast
+    cut value t, with the c − count(iq < t) threshold-tie rows
+    contributing exactly (c − cnt_lt)·t because ties share the value —
+    so no per-row rank exists anywhere and the DuckDB oracle (which
+    ranks explicitly) still matches bit-for-bit.
     """
     toks = tokens(F.col("text"))
     n_tok = F.greatest(F.size(toks), F.lit(1))
@@ -1002,40 +1012,48 @@ def adaptive_quality_gate(documents: DataFrame, drop_pct: int = 20) -> DataFrame
             + F.expr("least(stop_hits * 50000 DIV n_tok, 10000)")
         ).alias("iq"),
     )
-    w = Window.partitionBy("lang").orderBy("iq", "doc_id")
-    ranked = scored.select(
+    base = scored.select("lang", "iq")
+    totals = base.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    ranks = totals.select(
         "lang",
-        "iq",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
-    ).withColumn("cut", F.expr(f"n * {drop_pct} DIV 100"))
-    return (
-        ranked.groupBy("lang")
+        F.lit("cut").alias("sel"),
+        F.expr(f"n * {drop_pct} DIV 100").alias("r"),
+    ).where(F.col("r") >= 1)
+    cuts = grid_rank_select(base, "lang", "iq", ranks, 256).select(
+        "lang", F.col("value").alias("t")
+    )
+    stats = (
+        base.join(F.broadcast(cuts), "lang", "left")
+        .groupBy("lang")
         .agg(
-            F.max("n").alias("n_docs"),
-            F.max("cut").alias("n_dropped"),
-            (F.max("n") - F.max("cut")).alias("n_kept"),
-            F.round(
-                F.coalesce(
-                    F.max(F.when(F.col("rn") == F.col("cut"), F.col("iq"))), F.lit(0)
-                )
-                / 10000.0,
-                4,
-            ).alias("threshold_q"),
-            F.round(
-                F.sum(F.when(F.col("rn") > F.col("cut"), F.col("iq")))
-                / (F.max("n") - F.max("cut"))
-                / 10000.0,
-                4,
-            ).alias("avg_kept_q"),
-            F.when(
-                F.max("cut") > 0,
-                F.round(
-                    F.sum(F.when(F.col("rn") <= F.col("cut"), F.col("iq")))
-                    / F.max("cut")
-                    / 10000.0,
-                    4,
-                ),
-            ).alias("avg_dropped_q"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("iq").alias("s_tot"),
+            F.coalesce(
+                F.sum(F.when(F.col("iq") < F.col("t"), F.col("iq"))), F.lit(0)
+            ).alias("s_lt"),
+            F.coalesce(
+                F.sum((F.col("iq") < F.col("t")).cast("long")), F.lit(0)
+            ).alias("c_lt"),
+            F.max("t").alias("t"),
         )
+        .withColumn("c", F.expr(f"n * {drop_pct} DIV 100"))
+        .withColumn(
+            "s_drop",
+            F.col("s_lt") + (F.col("c") - F.col("c_lt")) * F.coalesce("t", F.lit(0)),
+        )
+    )
+    return stats.select(
+        "lang",
+        F.col("n").alias("n_docs"),
+        F.col("c").alias("n_dropped"),
+        (F.col("n") - F.col("c")).alias("n_kept"),
+        F.round(F.coalesce(F.col("t"), F.lit(0)) / 10000.0, 4).alias("threshold_q"),
+        F.round(
+            (F.col("s_tot") - F.col("s_drop")) / (F.col("n") - F.col("c")) / 10000.0,
+            4,
+        ).alias("avg_kept_q"),
+        F.when(
+            F.col("c") > 0,
+            F.round(F.col("s_drop") / F.col("c") / 10000.0, 4),
+        ).alias("avg_dropped_q"),
     )

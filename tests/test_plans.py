@@ -399,3 +399,50 @@ def test_dynamic_partition_pruning_injected(spark, sf_dir):
         if "PartitionFilters" in ln and "dynamicpruning" in ln.lower()
     ]
     assert scan_lines and "o_year" in scan_lines[0]
+
+
+def _window_specs(plan: str) -> list[str]:
+    """Partition/order spec of every Window node in an executed plan."""
+    return [
+        part.split(")")[0]
+        for part in plan.split("windowspecdefinition(")[1:]
+    ]
+
+
+def test_grid_selection_replaces_full_row_key_sorts(spark, sf_dir):
+    """r6 task 1: winsorize_stats / mad_outliers / adaptive_quality_gate
+    must no longer contain a row_number window over the raw rows
+    partitioned by the bare low-cardinality key (the 100 TB hot-spot).
+    With histogram-refinement selection (selection.py), (a) the count
+    aggregate's exchange hashes on (key, bucket) — a hot key spreads by
+    value — and (b) every remaining Window partitions on either the
+    bucket table (tiny: |value range| / bucket width rows per key) or
+    the (key, sel) refine groups (one bucket's residents). A bare-key
+    windowspec over raw rows failing this test means the operator
+    regressed to the single-partition sort."""
+    from kinesis_dstream_spark.operators import eventflow, text
+
+    events = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+    for df, key in [
+        (eventflow.winsorize_stats(events), "event_type"),
+        (eventflow.mad_outliers(events), "event_type"),
+        (text.adaptive_quality_gate(docs), "lang"),
+    ]:
+        plan = _plan(df)
+        keys = [
+            part.split(")")[0]
+            for part in plan.split("hashpartitioning(")[1:]
+        ]
+        # (a) the selection count-aggregate exchange carries (key, bucket)
+        assert any(key in k and "bucket" in k for k in keys), keys
+        # (b) no Window sorts raw rows on the bare key: every windowspec
+        # carries the bucket column or the per-selection refine key
+        specs = _window_specs(plan)
+        assert specs, "expected the selection windows in the plan"
+        for s in specs:
+            assert "bucket" in s or "sel" in s, s
+        # (c) map-side partial aggregation feeds the (key, bucket) count
+        assert "partial_count" in plan or "partial count" in plan.lower(), (
+            "bucket counts must combine map-side"
+        )
