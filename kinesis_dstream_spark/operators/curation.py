@@ -611,6 +611,87 @@ def curriculum_assignment(documents: DataFrame, n_stages: int = 4) -> DataFrame:
     )
 
 
+def curriculum_assignment_kmv(
+    documents: DataFrame, n_stages: int = 4, k: int = 256, shards: int = 8
+) -> DataFrame:
+    """Curriculum staging via broadcast KMV boundaries — the 100 TB
+    variant of ``curriculum_assignment`` (the r6 review's task 2): the
+    exact version's global ``ntile`` is a single-task total sort of
+    every document, the one plan that cannot scale out. Here the stage
+    boundaries come from a KMV bottom-k hash-rank sample (the
+    ``sketches.kmv_day_granules`` machinery: md5 rank keeps the sample
+    uniform AND mergeable, the two-level shard tournament keeps every
+    sort partition ≤ max(n/shards, shards·k) rows, and bottom-k
+    mergeability makes the two-level sample IDENTICAL to the direct
+    bottom-k the single-level DuckDB twin computes). Assignment is then
+    a map-side comparison of (quality, doc_id) against the ≤ n_stages−1
+    broadcast boundary tuples — no global sort anywhere.
+
+    Fully deterministic, so unlike most sketches this is hash-exact
+    oracle-checkable end to end: sample membership (md5 ranks), the
+    boundary order statistics (sample idx = m·j DIV n_stages in
+    (quality, doc_id) order), and the lexicographic tuple comparison
+    all replay identically in SQL. Stage sizes deviate from the exact
+    quartiles by O(n/√k) (DKW) — pinned in pytest against the exact
+    ``curriculum_assignment`` per-stage totals.
+
+    Same output contract as the exact twin: per (stage, len_bucket)
+    doc count, exact quality extrema, token budget.
+    """
+    from kinesis_dstream_spark.operators.text import quality_score
+
+    scored = quality_score(documents)
+    ranked = scored.select(
+        "doc_id",
+        "quality",
+        F.md5(F.col("doc_id").cast("string")).alias("rk"),
+        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(shards)).alias("shard"),
+    )
+    w1 = Window.partitionBy("shard").orderBy("rk", "doc_id")
+    samp = (
+        ranked.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= k)
+        .orderBy("rk", "doc_id")
+        .limit(k)
+        .select("doc_id", "quality")
+    )
+    ws = Window.orderBy("quality", "doc_id")
+    ordered = samp.select(
+        F.col("quality").alias("q_b"),
+        F.col("doc_id").alias("d_b"),
+        F.row_number().over(ws).alias("idx"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+    )
+    stages = samp.sparkSession.range(1, n_stages).withColumnRenamed("id", "j")
+    bounds = ordered.join(
+        stages, F.col("idx") == F.expr(f"m * j DIV {n_stages}")
+    ).agg(F.sort_array(F.collect_list(F.struct("q_b", "d_b"))).alias("bs"))
+    staged = scored.crossJoin(F.broadcast(bounds)).select(
+        "quality",
+        "n_tokens",
+        (
+            F.lit(1)
+            + F.size(
+                F.filter(
+                    "bs",
+                    lambda b: (F.col("quality") > b["q_b"])
+                    | ((F.col("quality") == b["q_b"]) & (F.col("doc_id") > b["d_b"])),
+                )
+            )
+        ).cast("int").alias("stage"),
+        F.when(F.col("n_tokens") < 64, "short")
+        .when(F.col("n_tokens") < 256, "medium")
+        .otherwise("long")
+        .alias("len_bucket"),
+    )
+    return staged.groupBy("stage", "len_bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("quality").alias("min_quality"),
+        F.max("quality").alias("max_quality"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+
+
 def corpus_snapshot_diff(documents: DataFrame) -> DataFrame:
     """Content-level diff between two corpus snapshots — the audit a
     daily ingest pipeline runs before promoting a snapshot: how many

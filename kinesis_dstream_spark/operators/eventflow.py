@@ -1053,6 +1053,148 @@ def rfm_from_per_user(per_user: DataFrame) -> DataFrame:
     )
 
 
+def rfm_segments_kmv(events: DataFrame, k: int = 256, shards: int = 8) -> DataFrame:
+    """RFM segmentation via broadcast KMV quartile boundaries — the
+    production variant the exact ``rfm_segments`` docstring promises
+    ("quartiles by bucketed approx quantiles"): the three no-partition
+    ``ntile``\\ s over the |users| table each single-task a total sort at
+    scale; here each dimension's three quartile boundaries come from
+    one shared KMV bottom-k hash-rank sample of users (md5 rank —
+    uniform, mergeable, hash-exact in SQL; two-level shard tournament
+    so no sort partition exceeds max(|users|/shards, shards·k) rows),
+    and assignment is a map-side lexicographic comparison against the
+    ≤ 9 broadcast boundary tuples. Fully deterministic → hash-exact
+    DuckDB twin; per-dimension quartile sizes deviate from |users|/4
+    by O(|users|/√k) (pinned in pytest vs the exact ntile variant).
+
+    Output contract matches ``rfm_segments``: per (r,f,m)-quartile
+    segment user counts and fixed-point segment value.
+    """
+    horizon = F.lit("2024-02-01").cast("timestamp")
+    per_user = (
+        events.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.datediff(horizon, F.max("ts")).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(fixedpoint(F.col("value"), _V_SCALE)).alias("monetary_fp"),
+        )
+    )
+    ranked = per_user.select(
+        "*",
+        F.md5(F.col("user_id").cast("string")).alias("rk"),
+        F.pmod(F.xxhash64(F.col("user_id")), F.lit(shards)).alias("shard"),
+    )
+    w1 = Window.partitionBy("shard").orderBy("rk", "user_id")
+    samp = (
+        ranked.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= k)
+        .orderBy("rk", "user_id")
+        .limit(k)
+        .select("user_id", "recency_days", "frequency", "monetary_fp")
+    )
+    stages = events.sparkSession.range(1, 4).withColumnRenamed("id", "j")
+
+    def dim_bounds(metric: str, ascending: bool, name: str) -> DataFrame:
+        order = [
+            F.col(metric).asc() if ascending else F.col(metric).desc(),
+            F.col("user_id").asc(),
+        ]
+        ordered = samp.select(
+            F.col(metric).alias("q_b"),
+            F.col("user_id").alias("d_b"),
+            F.row_number().over(Window.orderBy(*order)).alias("idx"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+        )
+        return ordered.join(stages, F.col("idx") == F.expr("m * j DIV 4")).agg(
+            F.sort_array(F.collect_list(F.struct("q_b", "d_b"))).alias(name)
+        )
+
+    bounds = (
+        dim_bounds("recency_days", True, "br")
+        .crossJoin(dim_bounds("frequency", False, "bf"))
+        .crossJoin(dim_bounds("monetary_fp", False, "bm"))
+    )
+
+    def beyond(metric: str, arr: str, ascending: bool):
+        if ascending:
+            cmp = lambda b: (F.col(metric) > b["q_b"]) | (  # noqa: E731
+                (F.col(metric) == b["q_b"]) & (F.col("user_id") > b["d_b"])
+            )
+        else:
+            cmp = lambda b: (F.col(metric) < b["q_b"]) | (  # noqa: E731
+                (F.col(metric) == b["q_b"]) & (F.col("user_id") > b["d_b"])
+            )
+        return (F.lit(1) + F.size(F.filter(arr, cmp))).cast("int")
+
+    scored = per_user.crossJoin(F.broadcast(bounds)).select(
+        beyond("recency_days", "br", True).alias("r_quartile"),
+        beyond("frequency", "bf", False).alias("f_quartile"),
+        beyond("monetary_fp", "bm", False).alias("m_quartile"),
+        "monetary_fp",
+    )
+    return scored.groupBy("r_quartile", "f_quartile", "m_quartile").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(F.sum("monetary_fp") / float(_V_SCALE), 2).alias("segment_value"),
+    )
+
+
+RFM_KMV_SQL = f"""
+WITH per_user AS (
+  SELECT user_id,
+         date_diff('day', max(ts), TIMESTAMP '2024-02-01') AS recency_days,
+         count(*) AS frequency,
+         CAST(sum(CAST(round(value * {_V_SCALE}) AS BIGINT)) AS BIGINT)
+           AS monetary_fp
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+), samp AS (
+  SELECT * FROM per_user
+  ORDER BY md5(CAST(user_id AS VARCHAR)), user_id LIMIT 256
+), js AS (SELECT unnest(range(1, 4)) AS j),
+br AS (
+  SELECT q_b, d_b FROM (
+    SELECT recency_days AS q_b, user_id AS d_b,
+           row_number() OVER (ORDER BY recency_days ASC, user_id ASC) AS idx,
+           count(*) OVER () AS m
+    FROM samp
+  ) o JOIN js ON o.idx = o.m * js.j // 4
+), bf AS (
+  SELECT q_b, d_b FROM (
+    SELECT frequency AS q_b, user_id AS d_b,
+           row_number() OVER (ORDER BY frequency DESC, user_id ASC) AS idx,
+           count(*) OVER () AS m
+    FROM samp
+  ) o JOIN js ON o.idx = o.m * js.j // 4
+), bm AS (
+  SELECT q_b, d_b FROM (
+    SELECT monetary_fp AS q_b, user_id AS d_b,
+           row_number() OVER (ORDER BY monetary_fp DESC, user_id ASC) AS idx,
+           count(*) OVER () AS m
+    FROM samp
+  ) o JOIN js ON o.idx = o.m * js.j // 4
+), scored AS (
+  SELECT CAST(1 + (SELECT count(*) FROM br b
+                   WHERE u.recency_days > b.q_b
+                      OR (u.recency_days = b.q_b AND u.user_id > b.d_b))
+              AS INT) AS r_quartile,
+         CAST(1 + (SELECT count(*) FROM bf b
+                   WHERE u.frequency < b.q_b
+                      OR (u.frequency = b.q_b AND u.user_id > b.d_b))
+              AS INT) AS f_quartile,
+         CAST(1 + (SELECT count(*) FROM bm b
+                   WHERE u.monetary_fp < b.q_b
+                      OR (u.monetary_fp = b.q_b AND u.user_id > b.d_b))
+              AS INT) AS m_quartile,
+         monetary_fp
+  FROM per_user u
+)
+SELECT r_quartile, f_quartile, m_quartile, count(*) AS n_users,
+       round(CAST(sum(monetary_fp) AS BIGINT) / {float(_V_SCALE)}, 2)
+         AS segment_value
+FROM scored GROUP BY r_quartile, f_quartile, m_quartile
+"""
+
+
 RFM_SQL = f"""
 WITH per_user AS (
   SELECT user_id,

@@ -3511,11 +3511,6 @@ def _q_bmp_resize(spark: SparkSession, sf: str) -> DataFrame:
     return multimodal.bmp_resize_stats(load_table(spark, sf, "documents"))
 
 
-# Analytic twin of the full resize chain: source dims from doc_id,
-# factor-3 NN sampling preserves the checkerboard parity (pixel (3x,3y)
-# has parity(x+y)), so avg_r = 255 * |{(x,y): (x+y) even}| / (w2*h2)
-# with |even cells| = (w2*h2 + (w2%2)*(h2%2)) // 2; B and G are
-# constant. A hash match certifies decode + sampling + re-encode.
 def _q_contrastive(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.contrastive_pair_mining(load_table(spark, sf, "embeddings"))
 
@@ -4061,6 +4056,57 @@ FROM staged GROUP BY stage, len_bucket
 """
 
 
+def _q_curriculum_kmv(spark: SparkSession, sf: str) -> DataFrame:
+    return curation.curriculum_assignment_kmv(load_table(spark, sf, "documents"))
+
+
+def _q_rfm_kmv(spark: SparkSession, sf: str) -> DataFrame:
+    return eventflow.rfm_segments_kmv(load_table(spark, sf, "events"))
+
+
+# Hash-exact twin of the KMV-boundary curriculum: the single-level
+# bottom-k (ORDER BY md5 LIMIT k) equals Spark's two-level shard
+# tournament by bottom-k mergeability; boundaries are the sample's
+# order statistics at idx = m*j DIV 4; assignment is the identical
+# lexicographic (quality, doc_id) comparison.
+_SQL_CURRICULUM_KMV = f"""
+WITH scored AS ({_SQL_QUALITY}),
+samp AS (
+  SELECT doc_id, quality FROM scored
+  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 256
+),
+ordered AS (
+  SELECT quality AS q_b, doc_id AS d_b,
+         row_number() OVER (ORDER BY quality, doc_id) AS idx,
+         count(*) OVER () AS m
+  FROM samp
+),
+bounds AS (
+  SELECT q_b, d_b FROM ordered
+  JOIN (SELECT unnest(range(1, 4)) AS j) js ON idx = m * js.j // 4
+),
+staged AS (
+  SELECT s.quality, s.n_tokens,
+         CAST(1 + (SELECT count(*) FROM bounds b
+                   WHERE s.quality > b.q_b
+                      OR (s.quality = b.q_b AND s.doc_id > b.d_b)) AS INT) AS stage,
+         CASE WHEN s.n_tokens < 64 THEN 'short'
+              WHEN s.n_tokens < 256 THEN 'medium'
+              ELSE 'long' END AS len_bucket
+  FROM scored s
+)
+SELECT stage, len_bucket, count(*) AS n_docs,
+       min(quality) AS min_quality, max(quality) AS max_quality,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM staged GROUP BY stage, len_bucket
+"""
+
+
+# Analytic twin of the full resize chain: source dims from doc_id,
+# factor-3 NN sampling preserves the checkerboard parity (pixel (3x,3y)
+# has parity(x+y)), so avg_r = 255 * |{(x,y): (x+y) even}| / (w2*h2)
+# with |even cells| = (w2*h2 + (w2%2)*(h2%2)) // 2; B and G are
+# constant. A hash match certifies decode + sampling + re-encode.
 _SQL_BMP_RESIZE = """
 WITH dims AS (
   SELECT doc_id,
@@ -4481,6 +4527,14 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _q_rolling_active,
         eventflow.ROLLING_ACTIVE_USERS_SQL,
     ),
+    # -- round 7 additions (past the frozen driver window) --
+    # curriculum staging from broadcast KMV sample boundaries: no
+    # global ntile sort; deterministic md5 hash-rank sample makes even
+    # the sampling step hash-exact in SQL
+    "curriculum_assignment_kmv": (_q_curriculum_kmv, _SQL_CURRICULUM_KMV),
+    # RFM quartiles from the same broadcast-KMV-boundary pattern: no
+    # global ntile sorts over the |users| table
+    "rfm_segments_kmv": (_q_rfm_kmv, eventflow.RFM_KMV_SQL),
 }
 
 

@@ -320,3 +320,37 @@ def test_temperature_mix_quotas_apportionment(spark, sf_dir):
     if by_count[0].n_docs < by_count[-1].n_docs:
         assert by_count[0].oversample_factor > 1.0
         assert by_count[-1].oversample_factor < 1.0
+
+
+def test_curriculum_kmv_stage_sizes_near_exact_quartiles(spark, sf_dir):
+    """r6 task 2: the KMV-boundary curriculum must land each stage
+    within the sketch's sampling error of the exact ntile quartiles.
+    With k = 256, the DKW envelope on the sample CDF is
+    sqrt(ln(2/delta)/(2k)) ~ 0.085 at delta = 0.05; the fixture is a
+    fixed draw, so we pin a 10% tolerance with margin."""
+    from kinesis_dstream_spark.operators import curation
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        r["stage"]: r["n"]
+        for r in curation.curriculum_assignment(docs)
+        .groupBy("stage")
+        .agg(F.sum("n_docs").alias("n"))
+        .collect()
+    }
+    kmv = {
+        r["stage"]: r["n"]
+        for r in curation.curriculum_assignment_kmv(docs)
+        .groupBy("stage")
+        .agg(F.sum("n_docs").alias("n"))
+        .collect()
+    }
+    n = sum(exact.values())
+    assert n == sum(kmv.values())  # a partition, not a sample, of the corpus
+    assert set(kmv) == {1, 2, 3, 4}
+    for stage in exact:
+        assert abs(kmv.get(stage, 0) - exact[stage]) <= 0.10 * n, (
+            stage,
+            kmv,
+            exact,
+        )

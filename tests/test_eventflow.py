@@ -465,3 +465,21 @@ def test_rolling_active_users_nesting_and_truth(spark, sf_dir):
     mid = sorted(rows)[len(rows) // 2]
     assert rows[mid].wau == brute(mid, 7)
     assert (rows[mid].dau or 0) == brute(mid, 1)
+
+
+def test_rfm_kmv_quartile_sizes_near_exact(spark, sf_dir):
+    """KMV-boundary RFM: per-dimension quartile populations must sit
+    within the sample's DKW envelope (~0.085 at k=256) of the exact
+    ntile quartiles; fixed fixture draw -> 10% tolerance with margin."""
+    from kinesis_dstream_spark.operators import eventflow
+
+    events = load_table(spark, sf_dir, "events")
+    exact = eventflow.rfm_segments(events).collect()
+    kmv = eventflow.rfm_segments_kmv(events).collect()
+    n = sum(r["n_users"] for r in exact)
+    assert n == sum(r["n_users"] for r in kmv)
+    for dim in ("r_quartile", "f_quartile", "m_quartile"):
+        for q in (1, 2, 3, 4):
+            e = sum(r["n_users"] for r in exact if r[dim] == q)
+            k_ = sum(r["n_users"] for r in kmv if r[dim] == q)
+            assert abs(k_ - e) <= 0.10 * n, (dim, q, k_, e)
