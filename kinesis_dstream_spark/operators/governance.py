@@ -92,13 +92,16 @@ def erase_parquet_store(
 ) -> None:
     """PHYSICAL erasure of subject rows from an on-disk parquet store.
 
-    Read → anti-join on the subject key → rewrite via tmp-dir + atomic
-    rename (the streaming-SCD2 rewrite convention, so a crash mid-erase
-    leaves either the old store or the new one, never a torn mix).
-    Partition columns (e.g. the ANN index's ``cell``) survive because
-    the rewrite re-partitions by the same layout when present.
+    Read → anti-join on the subject key → rewrite via tmp-dir +
+    aside-rename swap (``stores.swap_dir``): the live path holds either
+    the complete old store or the complete new one at every instant,
+    and in the one-rename window where it briefly holds neither, both
+    full copies still exist on disk (``*_old`` and ``*_erase_tmp``) —
+    a crash mid-erase is recoverable, never a torn mix. Partition
+    columns (e.g. the ANN index's ``cell``) survive because the
+    rewrite re-partitions by the same layout when present.
     """
-    import shutil
+    from kinesis_dstream_spark.stores import swap_dir
 
     df = spark.read.parquet(data_path)
     kept = df.join(F.broadcast(requests), key, "left_anti").localCheckpoint()
@@ -107,8 +110,7 @@ def erase_parquet_store(
     if "cell" in df.columns:
         writer = writer.partitionBy("cell")
     writer.parquet(tmp)
-    shutil.rmtree(data_path)
-    os.rename(tmp, data_path)
+    swap_dir(tmp, data_path)
 
 
 _GOV_STORE_META = "_gov_meta.json"
@@ -177,7 +179,7 @@ def erasure_report_full(
 
     Mechanics: pristine stores are built once per corpus (fingerprint
     build-if-absent), COPIED to a fresh work dir, and the copies are
-    PHYSICALLY erased (anti-join + tmp-dir + atomic-rename rewrite) —
+    PHYSICALLY erased (anti-join + tmp-dir + aside-rename swap) —
     so the report's rows_after figures are read back from the erased
     parquet on disk, not inferred. rows_before comes from the pristine
     store; rows_before = rows_erased + rows_after by construction, and

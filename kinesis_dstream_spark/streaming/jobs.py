@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kinesis_dstream_spark.functions.exact import exact_sum
+from kinesis_dstream_spark.stores import swap_dir
 from kinesis_dstream_spark.tables import load_table
 
 
@@ -414,7 +415,9 @@ def streaming_changelog_merge(
     state; consumers that need "current state per key" must merge. Each
     micro-batch upserts into a parquet state table: union previous state
     with the batch, keep the max-(ts, event_id) row per user_id, swap
-    atomically (write to tmp dir, rename). With a transactional table
+    via the aside-rename swap (stores.swap_dir: complete-old or
+    complete-new at the live path, both copies on disk in the one-
+    rename window). With a transactional table
     format (Delta/Iceberg) the body becomes a single MERGE INTO — the
     batch loop, checkpoint, and dedup-window logic are identical.
 
@@ -442,9 +445,7 @@ def streaming_changelog_merge(
         )
         tmp = os.path.join(state_dir, f"tmp_{batch_id}")
         latest.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(cur_path):
-            shutil.rmtree(cur_path)
-        os.rename(tmp, cur_path)
+        swap_dir(tmp, cur_path)
 
     ev = _events_stream(spark, sf_dir)
     q = (
@@ -489,7 +490,7 @@ def streaming_hll_rollup(
     """Streaming maintenance of the mergeable-sketch granule
     (operators/sketches.py): per-(event_type, day) HLL sketches of
     distinct users, updated each micro-batch via lossless ``hll_union_agg``
-    and swapped atomically (tmp dir + rename, the changelog_merge
+    and swapped crash-safely (stores.swap_dir, the changelog_merge
     pattern).
 
     REPLAY-SAFE BY CONSTRUCTION: HLL insertion has set semantics — a
@@ -528,9 +529,7 @@ def streaming_hll_rollup(
             )
         tmp = os.path.join(state_dir, f"tmp_{batch_id}")
         merged.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(cur_path):
-            shutil.rmtree(cur_path)
-        os.rename(tmp, cur_path)
+        swap_dir(tmp, cur_path)
 
     from kinesis_dstream_spark.tables import NANOS_AS_LONG_CONF
 
@@ -637,7 +636,7 @@ def chunk_store_compact(
     append-path here carries a compaction pass — ann_index and
     dedup_index set the pattern; an uncompacted store grows one
     file-set per batch forever). Rewrites the store to a repartitioned
-    copy via tmp-dir + atomic rename; content is byte-identical
+    copy via tmp-dir + aside-rename swap; content is byte-identical
     (pytest-pinned). Returns the resulting file count.
     """
     import glob
@@ -650,8 +649,7 @@ def chunk_store_compact(
     df = spark.read.parquet(cur)
     tmp = os.path.join(store_dir, "chunks_compact_tmp")
     df.repartition(max_files).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(cur)
-    os.rename(tmp, cur)
+    swap_dir(tmp, cur)
     return len(glob.glob(os.path.join(cur, "*.parquet")))
 
 
@@ -917,9 +915,7 @@ def streaming_scd2_maintenance(
             out = scd2_from_changelog(batch)
         tmp = cur + "_tmp"
         out.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(cur):
-            shutil.rmtree(cur)
-        os.rename(tmp, cur)
+        swap_dir(tmp, cur)
 
     src = _table_multifile_dir(spark, sf_dir, "events", n_files=4)
     schema = spark.read.parquet(src).schema
@@ -994,9 +990,7 @@ def streaming_hierarchical_rollup(
             merged = kept.unionByName(partials)
         tmp = os.path.join(state_dir, f"tmp_{batch_id}")
         merged.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(cur_path):
-            shutil.rmtree(cur_path)
-        os.rename(tmp, cur_path)
+        swap_dir(tmp, cur_path)
 
     spark.conf.set(NANOS_AS_LONG_CONF, "true")
     src = _table_multifile_dir(spark, sf_dir, "events", n_files=4)
@@ -1085,9 +1079,7 @@ def streaming_transition_maintenance(
             merged = kept.unionByName(partials)
         tmp = os.path.join(store_dir, f"pairs_tmp_{batch_id}")
         merged.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(pair_store):
-            shutil.rmtree(pair_store)
-        os.rename(tmp, pair_store)
+        swap_dir(tmp, pair_store)
 
     from kinesis_dstream_spark.tables import NANOS_AS_LONG_CONF
 
@@ -1167,9 +1159,7 @@ def streaming_rfm_maintenance(
             merged = kept.unionByName(partials)
         tmp = os.path.join(state_dir, f"tmp_{batch_id}")
         merged.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(cur_path):
-            shutil.rmtree(cur_path)
-        os.rename(tmp, cur_path)
+        swap_dir(tmp, cur_path)
 
     from kinesis_dstream_spark.tables import NANOS_AS_LONG_CONF
 
@@ -1329,9 +1319,7 @@ def streaming_gapfill_maintenance(
             merged = kept.unionByName(partials)
         tmp = os.path.join(state_dir, f"tmp_{batch_id}")
         merged.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(cur_path):
-            shutil.rmtree(cur_path)
-        os.rename(tmp, cur_path)
+        swap_dir(tmp, cur_path)
 
     from kinesis_dstream_spark.tables import NANOS_AS_LONG_CONF
 
@@ -1446,8 +1434,30 @@ def streaming_near_dup_pairs_maintenance(
     are one file-set per batch (compaction: pairs_store_compact).
     """
     from kinesis_dstream_spark.operators.dedup import _shingle_hash_sets
+    from kinesis_dstream_spark.operators.dedup_index import corpus_fingerprint
 
-    store_dir = store_dir or tempfile.mkdtemp(prefix="kds_pairstream_")
+    # Fixed per-sf store (the kds_gov_stream_/kds_ndpairs_ one-copy
+    # temp-bound convention): repeat invocations at the same sf drain
+    # zero new files against the existing checkpoint and serve the
+    # stored pairs — the operator's actual incremental cost, instead of
+    # re-paying the full bootstrap per call and leaking a store copy.
+    # Content+params fingerprint (dedup_index convention) wipes and
+    # rebuilds on regenerated fixtures or changed pair definitions.
+    if store_dir is None:
+        tag = sf_dir.strip("/").replace("/", "_")
+        store_dir = f"{tempfile.gettempdir()}/kds_pairstream_{tag}"
+    fp = corpus_fingerprint(
+        load_table(spark, sf_dir, "documents"), k=k, threshold=threshold
+    )
+    meta_path = os.path.join(store_dir, "_meta.json")
+    stored_fp = None
+    if os.path.exists(meta_path):
+        import json
+
+        with open(meta_path) as f:
+            stored_fp = json.load(f).get("fingerprint")
+    if stored_fp != fp and os.path.exists(store_dir):
+        shutil.rmtree(store_dir)
     rows_path = os.path.join(store_dir, "shingle_rows")
     pairs_path = os.path.join(store_dir, "pairs")
     hot_path = os.path.join(store_dir, "hot")
@@ -1505,7 +1515,10 @@ def streaming_near_dup_pairs_maintenance(
 
     src = _table_multifile_dir(spark, sf_dir, "documents", n_files=4)
     schema = spark.read.parquet(src).schema
-    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    # two files per trigger: still a genuine multi-batch drain (intra-
+    # and cross-batch pair discovery both exercised, replay pytest
+    # unchanged) at half the fixed per-micro-batch overhead
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 2).parquet(src)
     q = (
         stream.writeStream.foreachBatch(ingest)
         .option(
@@ -1515,6 +1528,10 @@ def streaming_near_dup_pairs_maintenance(
         .start()
     )
     q.awaitTermination()
+    import json
+
+    with open(meta_path, "w") as f:
+        json.dump({"fingerprint": fp, "k": k, "threshold": threshold}, f)
     return spark.read.parquet(pairs_path)
 
 
@@ -1531,7 +1548,7 @@ def streaming_erasure_propagation(
 
     Each micro-batch of (key_kind, key) requests is applied to the
     on-disk stores with the same physical erase the batch path uses
-    (broadcast anti-join + atomic-rename rewrite): doc-keyed requests
+    (broadcast anti-join + aside-rename swap rewrite): doc-keyed requests
     hit the chunk store and both MinHash index tables, vec-keyed
     requests hit the ANN index. Anti-join erasure COMMUTES over request
     batching (erasing R1 then R2 equals erasing R1 ∪ R2) and is
@@ -1667,7 +1684,7 @@ def pairs_store_compact(
 ) -> dict[str, int]:
     """Bound the per-batch file growth of the streaming pairs store:
     rewrite each sub-table (pairs, shingle_rows) whose parquet file
-    count exceeds the threshold, via tmp-dir + atomic rename (every
+    count exceeds the threshold, via tmp-dir + aside-rename swap (every
     persisted append path here carries a compaction pass — ann_index /
     dedup_index / chunk_store set the convention). Content is
     byte-identical before/after (pytest); the frozen hot table is a
@@ -1687,8 +1704,7 @@ def pairs_store_compact(
         df = spark.read.parquet(cur)
         tmp = cur + "_compact_tmp"
         df.repartition(max_files).write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(cur)
-        os.rename(tmp, cur)
+        swap_dir(tmp, cur)
         stats["tables_compacted"] += 1
         stats["files_after"] += len(glob.glob(os.path.join(cur, "*.parquet")))
     return stats
