@@ -86,12 +86,20 @@ def ann_index_build(
     I/O behavior already matches that split (parquet column pruning).
     """
     normed = _normalized(embeddings).select("vec_id", "unit")
-    cents, books = _fit_codebooks(normed, n_cells, m, nbits, seed, train_fraction)
+    cents, books, train_ids = _fit_codebooks(
+        normed, n_cells, m, nbits, seed, train_fraction
+    )
     _write_encoded(normed, cents, books, path, mode="overwrite")
     fp = corpus_fingerprint(
         embeddings, n_cells=n_cells, m=m, nbits=nbits, seed=seed, train_fraction=train_fraction
     )
-    np.savez(os.path.join(path, SIDECAR), cents=cents, books=books, fingerprint=np.array(fp))
+    np.savez(
+        os.path.join(path, SIDECAR),
+        cents=cents,
+        books=books,
+        fingerprint=np.array(fp),
+        train_vec_ids=train_ids,
+    )
 
 
 def _fit_codebooks(
@@ -102,11 +110,18 @@ def _fit_codebooks(
     seed: int,
     train_fraction: float,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Bounded-sample fit of coarse + PQ codebooks (shared by build/init)."""
-    train = normed.select("unit")
+    """Bounded-sample fit of coarse + PQ codebooks (shared by build/init).
+
+    Also returns the vec_ids of the training sample — stored in the
+    sidecar as model provenance, so erasure audits can PROVE which rows
+    the codebooks saw (the refit-after-erasure test asserts no erased
+    subject in it)."""
+    train = normed.select("vec_id", "unit")
     if train_fraction < 1.0:
         train = train.sample(withReplacement=False, fraction=train_fraction, seed=seed)
-    sample = np.stack(train.limit(DEFAULT_TRAIN_CAP).toPandas()["unit"].to_numpy())
+    pdf = train.limit(DEFAULT_TRAIN_CAP).toPandas()
+    train_ids = pdf["vec_id"].to_numpy().astype("int64")
+    sample = np.stack(pdf["unit"].to_numpy())
     dim = sample.shape[1]
     if dim % m:
         raise ValueError(f"ann_index codebook fit: dim {dim} not divisible by m={m}")
@@ -115,7 +130,7 @@ def _fit_codebooks(
     books = np.stack(
         [_lloyds(sample[:, j * sub : (j + 1) * sub], 1 << nbits, seed + j) for j in range(m)]
     )
-    return cents, books
+    return cents, books, train_ids
 
 
 def ann_index_init(
@@ -137,9 +152,13 @@ def ann_index_init(
     corpus to fingerprint; its lifecycle is owned by the ingest job.
     """
     normed = _normalized(embeddings).select("vec_id", "unit")
-    cents, books = _fit_codebooks(normed, n_cells, m, nbits, seed, train_fraction)
+    cents, books, train_ids = _fit_codebooks(
+        normed, n_cells, m, nbits, seed, train_fraction
+    )
     os.makedirs(path, exist_ok=True)
-    np.savez(os.path.join(path, SIDECAR), cents=cents, books=books)
+    np.savez(
+        os.path.join(path, SIDECAR), cents=cents, books=books, train_vec_ids=train_ids
+    )
 
 
 def _write_encoded(
@@ -443,6 +462,31 @@ def ann_index_ensure(embeddings: DataFrame, index_path: str, **kwargs) -> None:
         stored_fp = str(blob["fingerprint"]) if "fingerprint" in blob.files else None
     if stored_fp != expected_fp:
         ann_index_build(embeddings, index_path, **build_params)
+
+
+def ann_index_invalidate_codebooks(path: str) -> None:
+    """Erasure hook: poison the sidecar fingerprint so the NEXT
+    ``ann_index_ensure`` refits the codebooks on the post-erasure
+    corpus.
+
+    Row erasure removes a subject's vectors and codes, but the
+    centroids/codebooks are aggregate statistics fitted over a sample
+    that may have included them — a strict right-to-be-forgotten
+    reading wants the model parameters retrained, not footnoted.
+    Invalidating (rather than refitting inline) keeps erasure itself a
+    bounded scan-and-rewrite and makes the retrain land on the normal
+    build-if-absent path; cents/books stay readable meanwhile, so
+    read-only serving degrades to "stale-model, erased-rows" instead of
+    going dark — the same contract as post-append drift awaiting its
+    recall-telemetry rebuild. The sentinel can never equal a real
+    corpus fingerprint (hex-only alphabet), so the rebuild is
+    unconditional.
+    """
+    sidecar = os.path.join(path, SIDECAR)
+    blob = np.load(sidecar)
+    data = {k: blob[k] for k in blob.files}
+    data["fingerprint"] = np.array("invalidated-by-erasure")
+    np.savez(sidecar, **data)
 
 
 def ann_index_recall_probe(

@@ -110,6 +110,19 @@ def erase_parquet_store(
     if "cell" in df.columns:
         writer = writer.partitionBy("cell")
     writer.parquet(tmp)
+    # carry over store metadata (sidecars like the ANN _codebooks.npz,
+    # _meta.json): row erasure must not destroy them — Spark ignores
+    # underscore-prefixed files on read, and the codebook REFIT story is
+    # handled separately via ann_index_invalidate_codebooks. Without
+    # this the erased index lost its codebooks and could not serve
+    # (latent until the refit test read the sidecar back).
+    import shutil
+
+    for name in os.listdir(data_path):
+        src = os.path.join(data_path, name)
+        dst = os.path.join(tmp, name)
+        if name.startswith("_") and os.path.isfile(src) and not os.path.exists(dst):
+            shutil.copy2(src, dst)
     swap_dir(tmp, data_path)
 
 
@@ -185,12 +198,15 @@ def erasure_report_full(
     store; rows_before = rows_erased + rows_after by construction, and
     the pytest proves zero residual subject rows in every store.
 
-    Model-parameter caveat, stated honestly: the ANN index's codebooks
-    (sidecar) are aggregate statistics fitted over the full corpus;
-    row erasure removes the subject's vectors and codes but does not
-    refit centroids. Whether trained parameters are personal data is a
-    model-inversion policy question; a deployment requiring it refits
-    with ``ann_index_build`` after erasure.
+    Model parameters are covered, not footnoted: after the ANN index's
+    rows are erased, ``ann_index_invalidate_codebooks`` poisons the
+    sidecar fingerprint, so the next ``ann_index_ensure`` against the
+    erased corpus REFITS the centroids/PQ codebooks — parameters
+    trained on a sample that may have contained the subject's vectors
+    never fingerprint-match again. The sidecar stores the training
+    sample's vec_ids as provenance; the pytest erases, rebuilds, and
+    proves the new train sample excludes every erased subject while
+    serving still meets the brute-force recall floor.
 
     Scale shape: each store pays one scan + one broadcast anti-join +
     one rewrite, no shuffle; with subject-partitioned layouts the
@@ -236,6 +252,12 @@ def erasure_report_full(
     )
 
     erase_parquet_store(spark, erased_paths["ann_index"], req_vecs, "vec_id")
+    # model-parameter erasure: force a codebook refit on next ensure
+    from kinesis_dstream_spark.operators.ann_index import (
+        ann_index_invalidate_codebooks,
+    )
+
+    ann_index_invalidate_codebooks(erased_paths["ann_index"])
     erase_parquet_store(
         spark, os.path.join(erased_paths["chunk_store"], "chunks"), req_docs, "doc_id"
     )

@@ -114,3 +114,43 @@ def test_erase_parquet_store_is_exact_and_preserves_survivors(spark, tmp_path):
     )
     assert got == want
     assert not os.path.exists(path.rstrip("/") + "_erase_tmp")
+
+
+def test_erasure_invalidates_codebooks_and_refit_excludes_subjects(
+    spark, sf_dir, tmp_path
+):
+    """r6 task 5: full erasure must poison the ANN sidecar fingerprint;
+    the next ann_index_ensure on the erased corpus must retrain, the
+    stored train-sample provenance must contain zero erased subjects,
+    and serving on the refit index must still clear the brute-force
+    recall floor (the ann_index family's pytest bound)."""
+    import numpy as np
+
+    from kinesis_dstream_spark.operators import ann_index, governance
+    from kinesis_dstream_spark.tables import load_table
+
+    work = str(tmp_path / "gov_full")
+    governance.erasure_report_full(spark, sf_dir, work_dir=work).collect()
+    index_path = work + "/ann_index"
+    sidecar = index_path + "/" + ann_index.SIDECAR
+
+    blob = np.load(sidecar)
+    assert str(blob["fingerprint"]) == "invalidated-by-erasure"
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    erased_emb = emb.where(F.col("vec_id") % 37 != 0)
+    ann_index.ann_index_ensure(erased_emb, index_path)
+
+    blob2 = np.load(sidecar)
+    assert str(blob2["fingerprint"]) == ann_index.corpus_fingerprint(
+        erased_emb, n_cells=16, m=16, nbits=4, seed=42, train_fraction=1.0
+    )
+    train_ids = blob2["train_vec_ids"]
+    assert len(train_ids) > 0
+    assert not any(int(v) % 37 == 0 for v in train_ids)
+    # the refit index holds no erased rows and still serves accurately
+    assert (
+        spark.read.parquet(index_path).where(F.col("vec_id") % 37 == 0).count() == 0
+    )
+    probe = ann_index.ann_index_recall_probe(spark, erased_emb, index_path).collect()[0]
+    assert probe["recall_at_k"] >= 0.6, probe
