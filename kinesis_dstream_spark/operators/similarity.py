@@ -749,6 +749,49 @@ def contrastive_pair_mining(
     )
 
 
+def _local_topk(
+    scored: DataFrame, key: str, order_col: str, tie_col: str, k: int
+) -> DataFrame:
+    """Partition-local exact top-k pre-reduction (the map-side combine
+    Spark's aggregates lack for "bounded heap per key").
+
+    Every global top-k row (by ``order_col`` DESC, ``tie_col`` ASC) is
+    by definition in the top-k of whichever partition holds it, so the
+    downstream per-key window over this output is EXACT — but its
+    exchange now carries at most n_partitions·|keys|·k rows instead of
+    every scored row. Spark has no declarative way to truncate before
+    the exchange (a groupBy collect_list ships full lists; slice
+    applies post-shuffle), so this is one Arrow pass: vectorized
+    sort + groupby-head per partition, concatenating at most
+    ~200k rows at a time to bound executor memory.
+    """
+    import pandas as pd
+
+    schema = scored.schema
+
+    def topk_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [key, order_col, tie_col],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return pdf.groupby(key, sort=False).head(k)
+
+    def reduce_part(batches):
+        frames: list[pd.DataFrame] = []
+        pending = 0
+        for pdf in batches:
+            frames.append(pdf)
+            pending += len(pdf)
+            if pending > 200_000:
+                frames = [topk_pdf(pd.concat(frames))]
+                pending = len(frames[0])
+        if frames:
+            yield topk_pdf(pd.concat(frames))
+
+    return scored.mapInPandas(reduce_part, schema)
+
+
 def _jl_signs(d: int, m: int) -> list[list[int]]:
     """Deterministic ±1 Johnson–Lindenstrauss sign matrix, derived from
     md5 of the (i, j) coordinate — no state to store or broadcast: any
@@ -802,8 +845,13 @@ def random_projection_topk(
 
     Plan: projection is a map-side expression chain (zip_with +
     aggregate over literal sign arrays — JVM codegen, no Python); the
-    tiny projected query side broadcasts; per-query top-k via
-    row_number keeps the shuffle at |queries|·k rows.
+    tiny projected query side broadcasts. The per-query top-k is TWO
+    stages: a partition-local exact top-k pre-reduction
+    (``_local_topk`` — the r6 review's fix for this docstring's old
+    overclaim: a bare row_number window would shuffle ALL
+    |corpus|·|queries| scored rows into n_queries partitions), then
+    the row_number merge over the ≤ n_partitions·|queries|·k
+    survivors.
 
     Contract: embedding dim is constant (one bounded first() row pins
     it); a mixed-dim corpus must project per-dim-group.
@@ -846,9 +894,10 @@ def random_projection_topk(
     scored = corpus.join(F.broadcast(queries), F.col("q_id") != F.col("c_id")).select(
         "q_id", "c_id", dot.alias("proj_dot")
     )
+    reduced = _local_topk(scored, "q_id", "proj_dot", "c_id", k)
     w = Window.partitionBy("q_id").orderBy(F.col("proj_dot").desc(), F.col("c_id").asc())
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        reduced.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("q_id", "c_id", "proj_dot", "rk")
     )
@@ -876,10 +925,13 @@ def two_stage_retrieval_topk(
     (both stages replicated in SQL, bit-for-bit).
 
     Scale: stage 1 scans the corpus once with reduced-dim broadcast
-    dots; stage 2 touches only |queries|·shortlist rows — the
+    dots and pre-reduces per partition (``_local_topk`` — its window
+    merge sees ≤ n_partitions·|queries|·shortlist rows, never the
+    corpus); stage 2 touches only |queries|·shortlist rows — the
     re-rank join BROADCASTS the tiny shortlist against the corpus
     (scan-side pruned by the hash join), so full-dim math never runs
-    corpus-wide.
+    corpus-wide, and its own row_number window sorts that same tiny
+    relation.
     """
     sl = random_projection_topk(
         embeddings, out_dims=out_dims, n_queries=n_queries, k=shortlist

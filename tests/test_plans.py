@@ -446,3 +446,21 @@ def test_grid_selection_replaces_full_row_key_sorts(spark, sf_dir):
         assert "partial_count" in plan or "partial count" in plan.lower(), (
             "bucket counts must combine map-side"
         )
+
+
+def test_jl_topk_pre_reduces_before_window_exchange(spark, sf_dir):
+    """r6 task 6: the JL shortlist's per-query top-k must pre-reduce
+    partition-locally (MapInPandas) BEFORE the row_number merge, so the
+    window exchange carries <= n_partitions*|queries|*k rows, not the
+    |corpus|*|queries| scored relation. The plan must show the Arrow
+    reduction feeding the window's exchange."""
+    from kinesis_dstream_spark.operators import similarity
+    from kinesis_dstream_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = _plan(similarity.random_projection_topk(emb))
+    assert "MapInPandas" in plan
+    # the reduction happens upstream of the q_id window exchange
+    window_pos = plan.find("Window")
+    map_pos = plan.find("MapInPandas")
+    assert 0 <= window_pos < map_pos, (window_pos, map_pos)
