@@ -159,6 +159,10 @@ BENCH_QUERIES = {
     "value_trend": "value_trend_regression",
     "rolling_active": "rolling_active_users",
     "dynamic_prune": "dynamic_partition_prune_stats",
+    # r7: grid-selection robust stats + KMV-boundary assignment
+    "mad_outliers": "mad_outliers",
+    "curriculum_kmv": "curriculum_assignment_kmv",
+    "rfm_kmv": "rfm_segments_kmv",
 }
 
 
@@ -229,10 +233,13 @@ def main() -> None:
             runs.append(time.time() - t0)
             assert n == warm_n, f"{label}: warm-up rows {warm_n} != timed rows {n}"
         timings[label] = round(sorted(runs)[len(runs) // 2], 3)
+        # stdout, not stderr: the driver records the bench run's tail,
+        # and the per-query run lists are the round-over-round
+        # regression record (the r6 BENCH file lost them — r5's kept
+        # them precisely because they shared the JSON line's stream)
         print(
             f"# {label}: {warm_n} rows, median {timings[label]}s "
-            f"of {[round(r, 3) for r in runs]}",
-            file=sys.stderr,
+            f"of {[round(r, 3) for r in runs]}"
         )
 
     total = round(sum(timings.values()), 3)

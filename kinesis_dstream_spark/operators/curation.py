@@ -692,6 +692,53 @@ def curriculum_assignment_kmv(
     )
 
 
+def stratified_sample_quota(
+    documents: DataFrame, quota: int = 50, shards: int = 8
+) -> DataFrame:
+    """Deterministic per-language quota sampling — the corpus-ablation
+    primitive ("give me exactly N uniformly-random docs per language,
+    reproducibly"): bottom-``quota`` by md5 hash rank WITHIN each
+    language, via the KMV two-level shard tournament so no window
+    partition holds more than ~1/shards of a language (bottom-k
+    mergeability makes the two-level winner set identical to the
+    single-level one the DuckDB twin computes — the zscore/kmv family's
+    argument, per (lang, shard) here).
+
+    Output certifies sample MEMBERSHIP, not just size: per language the
+    count, the sum of sampled doc_ids and sampled token mass (any
+    membership difference moves the sums), and the max hash rank (the
+    KMV threshold — two engines agree on it only if they picked the
+    identical set).
+    """
+    from kinesis_dstream_spark.operators.text import quality_score
+
+    scored = quality_score(documents).select("doc_id", "n_tokens")
+    base = documents.select("doc_id", "lang").join(scored, "doc_id").select(
+        "lang",
+        "doc_id",
+        "n_tokens",
+        F.md5(F.col("doc_id").cast("string")).alias("rk"),
+        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(shards)).alias("shard"),
+    )
+    w1 = Window.partitionBy("lang", "shard").orderBy("rk", "doc_id")
+    w2 = Window.partitionBy("lang").orderBy("rk", "doc_id")
+    samp = (
+        base.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= quota)
+        .drop("rn", "shard")
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= quota)
+    )
+    totals = documents.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    per_lang = samp.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("doc_id").alias("sum_sampled_ids"),
+        F.sum("n_tokens").cast("long").alias("sampled_tokens"),
+        F.max("rk").alias("max_rank"),
+    )
+    return totals.join(per_lang, "lang")
+
+
 def corpus_snapshot_diff(documents: DataFrame) -> DataFrame:
     """Content-level diff between two corpus snapshots — the audit a
     daily ingest pipeline runs before promoting a snapshot: how many

@@ -485,3 +485,143 @@ SELECT bucket,
        CAST(count(*) AS BIGINT) AS n_distinct
 FROM sized GROUP BY bucket
 """
+
+
+# --------------------------------------------------------------------------
+# Grouped percentiles + equal-frequency binning (grid selection engine)
+# --------------------------------------------------------------------------
+
+_PCT_SCALE = 100  # events.value fixed-point grid (2dp)
+_PCT_BUCKET = 1024  # histogram-refinement bucket width (selection.py)
+
+
+def grouped_percentiles(events: DataFrame) -> DataFrame:
+    """Exact p50/p90/p99 of ``value`` per event_type — the latency-SLO
+    style rollup, computed by histogram-refinement selection
+    (operators/selection.py) instead of a per-type full-row sort:
+    one (event_type, bucket) count aggregate with map-side combine, a
+    bucket-table window, one one-bucket refine per requested rank.
+    Nearest-rank definition (r = ceil(p·n/100)) so every percentile is
+    an order statistic the DuckDB twin reproduces bit-for-bit.
+    """
+    from kinesis_dstream_spark.functions.exact import fixedpoint
+    from kinesis_dstream_spark.operators.selection import grid_rank_select
+
+    base = events.select(
+        "event_type", fixedpoint(F.col("value"), _PCT_SCALE).alias("iv")
+    )
+    totals = base.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    ranks = None
+    for p in (50, 90, 99):
+        r = totals.select(
+            "event_type",
+            F.lit(f"p{p}").alias("sel"),
+            F.expr(f"(n * {p} + 99) DIV 100").alias("r"),
+        )
+        ranks = r if ranks is None else ranks.unionByName(r)
+    sel = grid_rank_select(base, "event_type", "iv", ranks, _PCT_BUCKET)
+    pivoted = sel.groupBy("event_type").agg(
+        *[
+            F.round(
+                F.max(F.when(F.col("sel") == f"p{p}", F.col("value")))
+                / _PCT_SCALE,
+                2,
+            ).alias(f"p{p}")
+            for p in (50, 90, 99)
+        ]
+    )
+    return totals.join(pivoted, "event_type").select(
+        "event_type", "n", "p50", "p90", "p99"
+    )
+
+
+GROUPED_PERCENTILES_SQL = f"""
+WITH base AS (
+  SELECT event_type, CAST(round(value * {_PCT_SCALE}) AS BIGINT) AS iv FROM events
+), ranked AS (
+  SELECT event_type, iv,
+         row_number() OVER (PARTITION BY event_type ORDER BY iv) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM base
+)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+       round(CAST(max(CASE WHEN rn = (n * 50 + 99) // 100 THEN iv END) AS BIGINT)
+             / {_PCT_SCALE}, 2) AS p50,
+       round(CAST(max(CASE WHEN rn = (n * 90 + 99) // 100 THEN iv END) AS BIGINT)
+             / {_PCT_SCALE}, 2) AS p90,
+       round(CAST(max(CASE WHEN rn = (n * 99 + 99) // 100 THEN iv END) AS BIGINT)
+             / {_PCT_SCALE}, 2) AS p99
+FROM ranked GROUP BY event_type
+"""
+
+
+def value_decile_binning(events: DataFrame, bins: int = 10) -> DataFrame:
+    """Equal-frequency (decile) feature binning per event_type — the
+    training-feature discretization step: bin boundaries are the exact
+    ceil(j·n/bins) order statistics from histogram-refinement selection
+    (never a per-type row sort), broadcast back, and assignment is a
+    value comparison (ties at a boundary go to the lower bin — a
+    deterministic, rank-free rule both engines replay). Per-bin counts
+    differ from n/bins exactly where boundary ties lump — that lumping
+    is part of the declared semantics and the oracle checks it.
+    """
+    from kinesis_dstream_spark.functions.exact import fixedpoint
+    from kinesis_dstream_spark.operators.selection import grid_rank_select
+
+    base = events.select(
+        "event_type", fixedpoint(F.col("value"), _PCT_SCALE).alias("iv")
+    )
+    totals = base.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    ranks = None
+    for j in range(1, bins):
+        r = totals.select(
+            "event_type",
+            F.lit(f"b{j}").alias("sel"),
+            F.expr(f"(n * {j} + {bins - 1}) DIV {bins}").alias("r"),
+        )
+        ranks = r if ranks is None else ranks.unionByName(r)
+    bounds = (
+        grid_rank_select(base, "event_type", "iv", ranks, _PCT_BUCKET)
+        .groupBy("event_type")
+        .agg(F.sort_array(F.collect_list("value")).alias("bs"))
+    )
+    binned = base.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "iv",
+        (
+            F.lit(1)
+            + F.size(F.filter("bs", lambda b: F.col("iv") > b))
+        ).cast("int").alias("bin"),
+    )
+    return binned.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.min("iv") / _PCT_SCALE, 2).alias("lo_value"),
+        F.round(F.max("iv") / _PCT_SCALE, 2).alias("hi_value"),
+    )
+
+
+VALUE_DECILE_BINNING_SQL = f"""
+WITH base AS (
+  SELECT event_type, CAST(round(value * {_PCT_SCALE}) AS BIGINT) AS iv FROM events
+), ranked AS (
+  SELECT event_type, iv,
+         row_number() OVER (PARTITION BY event_type ORDER BY iv) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM base
+), bounds AS (
+  SELECT r.event_type, r.iv AS b
+  FROM ranked r
+  JOIN (SELECT unnest(range(1, 10)) AS j) js
+    ON r.rn = (r.n * js.j + 9) // 10
+), binned AS (
+  SELECT b.event_type, b.iv,
+         CAST(1 + (SELECT count(*) FROM bounds x
+                   WHERE x.event_type = b.event_type AND b.iv > x.b)
+              AS INT) AS bin
+  FROM base b
+)
+SELECT event_type, bin, count(*) AS n_rows,
+       round(CAST(min(iv) AS BIGINT) / {_PCT_SCALE}, 2) AS lo_value,
+       round(CAST(max(iv) AS BIGINT) / {_PCT_SCALE}, 2) AS hi_value
+FROM binned GROUP BY event_type, bin
+"""

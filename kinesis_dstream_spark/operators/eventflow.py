@@ -1979,3 +1979,74 @@ SELECT day,
        max(CASE WHEN w = 'mau' THEN c END) AS mau
 FROM counts GROUP BY day
 """
+
+
+def event_type_cooccurrence(events: DataFrame) -> DataFrame:
+    """Behavioral co-occurrence with lift — association mining over the
+    event stream ("users who purchase also refund?"): for every
+    unordered event-type pair, how many users exhibit both, against the
+    independence baseline lift = n_both·n_users / (n_a·n_b).
+
+    Plan: dedupe to distinct (user, type) once (ONE shuffle on
+    user_id; per-user type sets are tiny — at most |vocabulary|), then
+    a user-keyed self-join whose fan-out is bounded by
+    (types-per-user choose 2) — never a cross of the raw stream — and
+    a rollup on the pair space (|vocab|² at most, trivially
+    broadcast-scale). All counts integer; lift is one int/int→double
+    division each engine performs identically, rounded at 4dp.
+    """
+    ut = events.select("user_id", "event_type").distinct()
+    tot = events.agg(F.countDistinct("user_id").alias("n_users"))
+    per_type = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    a = ut.alias("a")
+    b = ut.alias("b")
+    pairs = (
+        a.join(b, "user_id")
+        .where(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(per_type.withColumnRenamed("event_type", "type_a")), "type_a"
+        )
+        .withColumnRenamed("n_t", "n_a")
+        .join(
+            F.broadcast(per_type.withColumnRenamed("event_type", "type_b")), "type_b"
+        )
+        .withColumnRenamed("n_t", "n_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_both") * F.col("n_users") / (F.col("n_a") * F.col("n_b")), 4
+            ).alias("lift"),
+        )
+    )
+
+
+EVENT_COOCCURRENCE_SQL = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+tot AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
+per_type AS (SELECT event_type, count(*) AS n_t FROM ut GROUP BY event_type),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*) AS n_both
+  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT p.type_a, p.type_b, CAST(p.n_both AS BIGINT) AS n_both,
+       CAST(x.n_t AS BIGINT) AS n_a, CAST(y.n_t AS BIGINT) AS n_b,
+       round(p.n_both * t.n_users / (x.n_t * y.n_t), 4) AS lift
+FROM pairs p
+JOIN per_type x ON x.event_type = p.type_a
+JOIN per_type y ON y.event_type = p.type_b
+CROSS JOIN tot t
+"""

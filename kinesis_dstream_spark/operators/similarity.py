@@ -954,3 +954,83 @@ def two_stage_retrieval_topk(
         .filter(F.col("rk") <= k)
         .select("q_id", "c_id", "cos_sim", "rk")
     )
+
+
+_DRIFT_SCALE = 1_000_000
+
+
+def embedding_drift_report(embeddings: DataFrame) -> DataFrame:
+    """Embedding-distribution drift between two corpus snapshots — the
+    monitoring query a vector pipeline runs before trusting a refreshed
+    encoder or ingest batch: per-dimension mean shift between the OLD
+    and NEW halves (fixture stand-in: vec_id parity; production feeds
+    two snapshot scans), rolled up to the drift verdict.
+
+    Exact by construction: coordinates land on the 1e-6 fixed-point
+    grid, per-dimension sums are int64, and the two means divide
+    identically in both engines, so even the drifted-dimension count is
+    deterministic. Plan: ONE posexplode pass (map-side) into a hash
+    aggregate keyed by (dim, half) — 128 groups regardless of corpus
+    size, fully map-combinable; the rollup is a second tiny aggregate.
+    No window, no join, no sort.
+    """
+    coords = embeddings.select(
+        (F.col("vec_id") % 2 == 0).alias("is_old"),
+        F.posexplode("embedding").alias("dim", "x"),
+    ).select(
+        "is_old",
+        (F.col("dim") + 1).alias("dim"),  # 1-based, matching SQL ordinality
+        F.round(F.col("x") * _DRIFT_SCALE).cast("long").alias("ix"),
+    )
+    per_dim = (
+        coords.groupBy("dim")
+        .agg(
+            F.sum(F.when(F.col("is_old"), F.col("ix"))).alias("s_old"),
+            F.sum(F.when(F.col("is_old"), 1).otherwise(0)).alias("n_old"),
+            F.sum(F.when(~F.col("is_old"), F.col("ix"))).alias("s_new"),
+            F.sum(F.when(~F.col("is_old"), 1).otherwise(0)).alias("n_new"),
+        )
+        .select(
+            "dim",
+            (
+                F.abs(
+                    F.col("s_old") * F.col("n_new") - F.col("s_new") * F.col("n_old")
+                )
+                / (F.col("n_old") * F.col("n_new"))
+                / _DRIFT_SCALE
+            ).alias("abs_shift"),
+        )
+    )
+    return per_dim.agg(
+        F.count(F.lit(1)).alias("n_dims"),
+        F.round(F.max("abs_shift"), 6).alias("max_abs_shift"),
+        F.round(F.avg("abs_shift"), 6).alias("mean_abs_shift"),
+        F.sum((F.col("abs_shift") > 0.01).cast("long")).alias("n_dims_drifted"),
+    )
+
+
+EMBEDDING_DRIFT_SQL = f"""
+WITH dims AS (
+  SELECT unnest(range(1, (SELECT max(len(embedding)) FROM embeddings) + 1)) AS dim
+), coords AS (
+  SELECT (vec_id % 2 = 0) AS is_old, d.dim,
+         CAST(round(embedding[d.dim] * {_DRIFT_SCALE}) AS BIGINT) AS ix
+  FROM embeddings, dims d
+), per_dim AS (
+  SELECT dim,
+         abs(CAST(sum(CASE WHEN is_old THEN ix END) AS BIGINT)
+             * CAST(sum(CASE WHEN NOT is_old THEN 1 ELSE 0 END) AS BIGINT)
+             - CAST(sum(CASE WHEN NOT is_old THEN ix END) AS BIGINT)
+             * CAST(sum(CASE WHEN is_old THEN 1 ELSE 0 END) AS BIGINT))
+         / (CAST(sum(CASE WHEN is_old THEN 1 ELSE 0 END) AS BIGINT)
+            * CAST(sum(CASE WHEN NOT is_old THEN 1 ELSE 0 END) AS BIGINT))
+         / {_DRIFT_SCALE} AS abs_shift
+  FROM coords GROUP BY dim
+)
+SELECT CAST(count(*) AS BIGINT) AS n_dims,
+       round(max(abs_shift), 6) AS max_abs_shift,
+       round(avg(abs_shift), 6) AS mean_abs_shift,
+       CAST(sum(CASE WHEN abs_shift > 0.01 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dims_drifted
+FROM per_dim
+"""

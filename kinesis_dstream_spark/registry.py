@@ -4064,6 +4064,58 @@ def _q_rfm_kmv(spark: SparkSession, sf: str) -> DataFrame:
     return eventflow.rfm_segments_kmv(load_table(spark, sf, "events"))
 
 
+def _q_grouped_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.operators import dataquality
+
+    return dataquality.grouped_percentiles(load_table(spark, sf, "events"))
+
+
+def _q_decile_binning(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.operators import dataquality
+
+    return dataquality.value_decile_binning(load_table(spark, sf, "events"))
+
+
+def _q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    return curation.stratified_sample_quota(load_table(spark, sf, "documents"))
+
+
+def _q_cooccurrence(spark: SparkSession, sf: str) -> DataFrame:
+    return eventflow.event_type_cooccurrence(load_table(spark, sf, "events"))
+
+
+def _q_embedding_drift(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.embedding_drift_report(load_table(spark, sf, "embeddings"))
+
+
+# Hash-exact twin of the per-language quota sample: single-level
+# bottom-quota by md5 rank == Spark's two-level (lang, shard)
+# tournament, by bottom-k mergeability; token counts reuse the
+# quality-score tokenizer so membership differences move the sums.
+_SQL_STRATIFIED_SAMPLE = f"""
+WITH scored AS (
+  SELECT doc_id, lang, len({_DUCK_TOKS.format(col='text')}) AS n_tokens
+  FROM documents
+), ranked AS (
+  SELECT lang, doc_id, n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS rk,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM scored
+), samp AS (SELECT * FROM ranked WHERE rn <= 50)
+SELECT t.lang, t.n_docs, s.n_sampled, s.sum_sampled_ids, s.sampled_tokens,
+       s.max_rank
+FROM (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang) t
+JOIN (
+  SELECT lang, count(*) AS n_sampled,
+         CAST(sum(doc_id) AS BIGINT) AS sum_sampled_ids,
+         CAST(sum(n_tokens) AS BIGINT) AS sampled_tokens,
+         max(rk) AS max_rank
+  FROM samp GROUP BY lang
+) s ON s.lang = t.lang
+"""
+
+
 # Hash-exact twin of the KMV-boundary curriculum: the single-level
 # bottom-k (ORDER BY md5 LIMIT k) equals Spark's two-level shard
 # tournament by bottom-k mergeability; boundaries are the sample's
@@ -4535,6 +4587,23 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # RFM quartiles from the same broadcast-KMV-boundary pattern: no
     # global ntile sorts over the |users| table
     "rfm_segments_kmv": (_q_rfm_kmv, eventflow.RFM_KMV_SQL),
+    # grid-selection showcase: exact per-type p50/p90/p99 and
+    # equal-frequency feature binning with zero per-key row sorts
+    "grouped_percentiles": (
+        _q_grouped_percentiles,
+        dataquality.GROUPED_PERCENTILES_SQL,
+    ),
+    "value_decile_binning": (
+        _q_decile_binning,
+        dataquality.VALUE_DECILE_BINNING_SQL,
+    ),
+    # deterministic per-language quota sample (KMV shard tournament);
+    # output certifies membership, not just counts
+    "stratified_sample_quota": (_q_stratified_sample, _SQL_STRATIFIED_SAMPLE),
+    # association mining: distinct-pair co-occurrence with lift
+    "event_type_cooccurrence": (_q_cooccurrence, eventflow.EVENT_COOCCURRENCE_SQL),
+    # snapshot-to-snapshot embedding drift, int64-exact per-dim means
+    "embedding_drift_report": (_q_embedding_drift, similarity.EMBEDDING_DRIFT_SQL),
 }
 
 

@@ -354,3 +354,17 @@ def test_curriculum_kmv_stage_sizes_near_exact_quartiles(spark, sf_dir):
             kmv,
             exact,
         )
+
+
+def test_stratified_sample_quota_size_and_determinism(spark, sf_dir):
+    from kinesis_dstream_spark.operators import curation
+
+    docs = load_table(spark, sf_dir, "documents")
+    out1 = {r["lang"]: r for r in curation.stratified_sample_quota(docs).collect()}
+    out2 = {r["lang"]: r for r in curation.stratified_sample_quota(docs).collect()}
+    assert out1.keys() == out2.keys() and len(out1) > 1
+    for lang, r in out1.items():
+        assert r["n_sampled"] == min(50, r["n_docs"])
+        # deterministic: identical membership fingerprints across runs
+        assert r["sum_sampled_ids"] == out2[lang]["sum_sampled_ids"]
+        assert r["max_rank"] == out2[lang]["max_rank"]

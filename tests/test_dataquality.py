@@ -137,3 +137,43 @@ def test_column_histogram_equidepth_invariants(spark, sf_dir):
     for a, b in zip(rows, rows[1:]):
         assert a.hi_price <= b.lo_price  # boundary value may be shared
         assert a.lo_price <= a.hi_price
+
+
+def test_grouped_percentiles_ordered_and_exact_vs_local(spark, sf_dir):
+    """p50 <= p90 <= p99 per type, and each equals the local nearest-rank
+    order statistic computed in Python."""
+    from kinesis_dstream_spark.operators import dataquality
+    from kinesis_dstream_spark.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    rows = {r["event_type"]: r for r in dataquality.grouped_percentiles(events).collect()}
+    vals = {}
+    for r in events.select("event_type", "value").collect():
+        vals.setdefault(r["event_type"], []).append(int(round(r["value"] * 100)))
+    for et, r in rows.items():
+        xs = sorted(vals[et])
+        n = len(xs)
+        assert r["n"] == n
+        for p in (50, 90, 99):
+            want = xs[(n * p + 99) // 100 - 1] / 100
+            assert abs(r[f"p{p}"] - round(want, 2)) < 1e-9, (et, p)
+        assert r["p50"] <= r["p90"] <= r["p99"]
+
+
+def test_value_decile_binning_partitions_and_monotone(spark, sf_dir):
+    """Bins partition each type's rows (counts sum to n) and bin value
+    ranges are non-overlapping and ordered."""
+    from kinesis_dstream_spark.operators import dataquality
+    from kinesis_dstream_spark.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    out = dataquality.value_decile_binning(events).collect()
+    n_total = events.count()
+    assert sum(r["n_rows"] for r in out) == n_total
+    by_type = {}
+    for r in out:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for et, rs in by_type.items():
+        rs.sort(key=lambda r: r["bin"])
+        for a, b in zip(rs, rs[1:]):
+            assert a["hi_value"] <= b["lo_value"], (et, a, b)

@@ -483,3 +483,15 @@ def test_rfm_kmv_quartile_sizes_near_exact(spark, sf_dir):
             e = sum(r["n_users"] for r in exact if r[dim] == q)
             k_ = sum(r["n_users"] for r in kmv if r[dim] == q)
             assert abs(k_ - e) <= 0.10 * n, (dim, q, k_, e)
+
+
+def test_cooccurrence_bounds_and_lift(spark, sf_dir):
+    from kinesis_dstream_spark.operators import eventflow
+
+    events = load_table(spark, sf_dir, "events")
+    out = eventflow.event_type_cooccurrence(events).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["type_a"] < r["type_b"]
+        assert 0 < r["n_both"] <= min(r["n_a"], r["n_b"])
+        assert r["lift"] > 0

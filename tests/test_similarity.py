@@ -509,3 +509,23 @@ def test_two_stage_retrieval_recall_equals_shortlist_recall(spark, sf_dir):
         assert r.cos_sim == exact[(r.q_id, r.c_id)]  # re-rank is exact
     for q in got:
         assert got[q] & exact_top5[q] == sl[q] & exact_top5[q]
+
+
+def test_embedding_drift_detects_injected_shift(spark):
+    """A constructed corpus where odd (new) vectors shift dimension 0 by
+    +0.5 must report exactly one drifted dimension with that shift."""
+    from kinesis_dstream_spark.operators import similarity
+
+    rows = []
+    for i in range(40):
+        v = [0.1] * 8
+        if i % 2 == 1:
+            v[0] += 0.5
+        rows.append((i, "x", v))
+    df = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>"
+    )
+    r = similarity.embedding_drift_report(df).collect()[0]
+    assert r["n_dims"] == 8
+    assert r["n_dims_drifted"] == 1
+    assert abs(r["max_abs_shift"] - 0.5) < 1e-9
