@@ -47,9 +47,15 @@ def ann_bruteforce_topk(
     """Exact cosine top-k: queries = vec_id < n_queries vs whole corpus.
 
     Join condition is only q ≠ c, so Catalyst plans a broadcast nested
-    loop with the tiny query side broadcast — a single map-side pass over
-    the corpus. Per-query top-k via row_number keeps the shuffle at
-    |queries| × k rows. Ties broken on vec_id for determinism.
+    loop with the tiny query side broadcast — a single map-side pass
+    over the corpus. The per-query top-k window shuffles the scored
+    pairs into |queries| partitions — |corpus|·|queries| rows, which is
+    the honest price of this operator's role as the EXACT oracle twin
+    and is bounded by the small serving query batch; this path stays
+    deliberately 100% JVM (plan-pinned: no Python eval), while the
+    serving-scale variants pre-reduce partition-locally first
+    (``_local_topk`` in the filtered/JL paths). Ties broken on vec_id
+    for determinism.
     """
     normed = _normalized(embeddings)
     queries = normed.filter(F.col("vec_id") < n_queries).select(
@@ -109,9 +115,12 @@ def ann_filtered_topk(
         F.col("c_label").alias("label"),
         F.round(V.dot(F.col("q_unit"), F.col("c_unit")), 4).alias("cos_sim"),
     )
+    # partition-local exact pre-reduction: the merge window sees
+    # <= n_partitions*|queries|*k rows, never the scored relation
+    reduced = _local_topk(scored, "q_id", "cos_sim", "c_id", k)
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id").asc())
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        reduced.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("q_id", "c_id", "label", "cos_sim", "rk")
     )
@@ -844,14 +853,15 @@ def random_projection_topk(
     integer arithmetic, bit-equal cross-engine; ties break on c_id.
 
     Plan: projection is a map-side expression chain (zip_with +
-    aggregate over literal sign arrays — JVM codegen, no Python); the
-    tiny projected query side broadcasts. The per-query top-k is TWO
-    stages: a partition-local exact top-k pre-reduction
-    (``_local_topk`` — the r6 review's fix for this docstring's old
-    overclaim: a bare row_number window would shuffle ALL
-    |corpus|·|queries| scored rows into n_queries partitions), then
-    the row_number merge over the ≤ n_partitions·|queries|·k
-    survivors.
+    aggregate over literal sign arrays — JVM codegen, no Python).
+    Scoring + per-query top-k is ONE fused Arrow pass (int64 matmul
+    against the bounded collected query batch, partition-local exact
+    top-k — the r6 review's fix for this docstring's old overclaim: a
+    bare row_number window would shuffle ALL |corpus|·|queries| scored
+    rows into n_queries partitions), then a row_number merge over the
+    ≤ n_partitions·|queries|·k survivors. The matmul is the identical
+    int64 arithmetic as a per-element fold, so the DuckDB oracle still
+    matches bit-for-bit.
 
     Contract: embedding dim is constant (one bounded first() row pins
     it); a mixed-dim corpus must project per-dim-group.
@@ -882,19 +892,43 @@ def random_projection_topk(
             ]
         ).alias("yv"),
     )
-    queries = proj.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("q_id"), F.col("yv").alias("q_yv")
-    )
-    corpus = proj.select(F.col("vec_id").alias("c_id"), F.col("yv").alias("c_yv"))
-    dot = F.aggregate(
-        F.zip_with(F.col("q_yv"), F.col("c_yv"), lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    scored = corpus.join(F.broadcast(queries), F.col("q_id") != F.col("c_id")).select(
-        "q_id", "c_id", dot.alias("proj_dot")
-    )
-    reduced = _local_topk(scored, "q_id", "proj_dot", "c_id", k)
+    # bounded query-batch collect (n_queries rows of m ints — the same
+    # driver bound as the codebook samples); scoring is then ONE Arrow
+    # pass over the projected corpus: an int64 matmul (bit-equal to the
+    # per-pair fold: every product/sum is the same int64 arithmetic)
+    # fused with the partition-local exact top-k, so no |corpus|·|q|
+    # relation ever materializes and the only exchange is the
+    # ≤ n_partitions·|q|·k-row merge. (An interpreted zip_with/
+    # aggregate fold per pair measured ~10× slower — the
+    # lsh_bucket_ids finding repeated.)
+    qrows = proj.filter(F.col("vec_id") < n_queries).collect()
+    q_ids = np.array([int(r["vec_id"]) for r in qrows], dtype=np.int64)
+    q_mat = np.array([r["yv"] for r in qrows], dtype=np.int64)
+
+    def score(batches):
+        acc: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        for pdf in batches:
+            c_mat = np.stack(pdf["yv"].to_numpy()).astype(np.int64)
+            cid = pdf["vec_id"].to_numpy().astype(np.int64)
+            dots = c_mat @ q_mat.T
+            for j in range(len(q_ids)):
+                mask = cid != q_ids[j]
+                dj, cj = dots[mask, j], cid[mask]
+                prev = acc.get(j)
+                if prev is not None:
+                    dj = np.concatenate([prev[0], dj])
+                    cj = np.concatenate([prev[1], cj])
+                order = np.lexsort((cj, -dj))[:k]
+                acc[j] = (dj[order], cj[order])
+        out = {"q_id": [], "c_id": [], "proj_dot": []}
+        for j, (dj, cj) in acc.items():
+            out["q_id"].extend([int(q_ids[j])] * len(cj))
+            out["c_id"].extend(cj.tolist())
+            out["proj_dot"].extend(dj.tolist())
+        if out["q_id"]:
+            yield pd.DataFrame(out)
+
+    reduced = proj.mapInPandas(score, "q_id long, c_id long, proj_dot long")
     w = Window.partitionBy("q_id").orderBy(F.col("proj_dot").desc(), F.col("c_id").asc())
     return (
         reduced.withColumn("rk", F.row_number().over(w))

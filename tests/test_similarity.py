@@ -477,13 +477,17 @@ def test_random_projection_jl_error_bound(spark, sf_dir):
     }
 
 
-def test_random_projection_plan_is_jvm_side(spark, sf_dir):
-    """Projection must be codegen'd expressions + a broadcast join —
-    no Python UDF, no cartesian without broadcast."""
+def test_random_projection_plan_shape(spark, sf_dir):
+    """Projection must stay codegen'd JVM expressions (no row-Python,
+    no per-pair join at all since the r7 fused scorer); scoring +
+    local top-k is ONE Arrow pass (MapInPandas) whose merge window is
+    the only exchange downstream."""
     df = similarity.random_projection_topk(load_table(spark, sf_dir, "embeddings"))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "MapInPandas" in plan
+    # the |corpus| x |queries| join is gone entirely
+    assert "Join" not in plan
 
 
 def test_two_stage_retrieval_recall_equals_shortlist_recall(spark, sf_dir):
