@@ -4088,6 +4088,12 @@ def _q_embedding_drift(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.embedding_drift_report(load_table(spark, sf, "embeddings"))
 
 
+def _q_stream_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.streaming import jobs
+
+    return jobs.streaming_percentile_maintenance(spark, sf)
+
+
 # Hash-exact twin of the per-language quota sample: single-level
 # bottom-quota by md5 rank == Spark's two-level (lang, shard)
 # tournament, by bottom-k mergeability; token counts reuse the
@@ -4604,6 +4610,14 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "event_type_cooccurrence": (_q_cooccurrence, eventflow.EVENT_COOCCURRENCE_SQL),
     # snapshot-to-snapshot embedding drift, int64-exact per-dim means
     "embedding_drift_report": (_q_embedding_drift, similarity.EMBEDDING_DRIFT_SQL),
+    # streaming half of the selection engine: additive value-frequency
+    # granules (epoch-keyed upsert), exact percentile drain — shares
+    # the batch twin's oracle because nearest-rank selection from
+    # summed counts is batching-invariant
+    "streaming_grouped_percentiles": (
+        _q_stream_percentiles,
+        dataquality.GROUPED_PERCENTILES_SQL,
+    ),
 }
 
 

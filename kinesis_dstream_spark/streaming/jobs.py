@@ -1011,6 +1011,106 @@ def streaming_hierarchical_rollup(
     return eventflow.rollup_from_minute_granules(granules)
 
 
+def streaming_percentile_maintenance(
+    spark: SparkSession,
+    sf_dir: str,
+    state_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Streaming maintenance of per-type exact percentiles — the
+    streaming half of the histogram-refinement selection engine
+    (operators/selection.py): the maintained state is the VALUE-
+    FREQUENCY table (event_type, iv, count) on the fixed-point grid,
+    which is the exact sufficient statistic for every order statistic;
+    the drain computes p50/p90/p99 from cumulative counts over the
+    distinct-value table — no raw-row re-read, no sort of event rows,
+    ever.
+
+    Maintenance class: ADDITIVE (the taxonomy's simplest case — counts
+    merge losslessly under any batching), so the replay story is the
+    epoch-keyed upsert shared with the hierarchical rollup: granules
+    carry their foreachBatch batch_id and an upsert deletes-own-epoch-
+    then-writes, making re-delivery of any epoch idempotent. Same
+    REPLAY CONTRACT as streaming_hierarchical_rollup: checkpointed
+    restart or full re-drain, never a fresh checkpoint over a
+    partially-built store.
+
+    The drained output must equal the batch ``grouped_percentiles``
+    EXACTLY (nearest-rank selection from summed counts is batching-
+    invariant), so the registry wires it to the identical DuckDB
+    oracle.
+    """
+    from kinesis_dstream_spark.functions.exact import fixedpoint
+    from kinesis_dstream_spark.operators.dataquality import _PCT_SCALE
+
+    state_dir = state_dir or tempfile.mkdtemp(prefix="kds_pctl_state_")
+    cur_path = os.path.join(state_dir, "current")
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        partials = (
+            batch_df.select(
+                "event_type", fixedpoint(F.col("value"), _PCT_SCALE).alias("iv")
+            )
+            .groupBy("event_type", "iv")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+        )
+        merged = partials
+        if os.path.exists(cur_path):
+            kept = spark.read.parquet(cur_path).where(F.col("batch_id") != batch_id)
+            merged = kept.unionByName(partials)
+        tmp = os.path.join(state_dir, f"tmp_{batch_id}")
+        merged.write.mode("overwrite").parquet(tmp)
+        swap_dir(tmp, cur_path)
+
+    src = _table_multifile_dir(spark, sf_dir, "events", n_files=4)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option(
+            "checkpointLocation", checkpoint_dir or os.path.join(state_dir, "chk")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from pyspark.sql import Window
+
+    freq = (
+        spark.read.parquet(cur_path)
+        .groupBy("event_type", "iv")
+        .agg(F.sum("c").alias("c"))
+    )
+    cum_w = (
+        Window.partitionBy("event_type")
+        .orderBy("iv")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = freq.select(
+        "event_type",
+        "iv",
+        F.sum("c").over(cum_w).alias("cum"),
+        F.sum("c").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    return cum.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        *[
+            F.round(
+                F.min(
+                    F.when(
+                        F.col("cum") >= F.expr(f"(n * {p} + 99) DIV 100"),
+                        F.col("iv"),
+                    )
+                )
+                / _PCT_SCALE,
+                2,
+            ).alias(f"p{p}")
+            for p in (50, 90, 99)
+        ],
+    )
+
+
 def streaming_transition_maintenance(
     spark: SparkSession,
     sf_dir: str,

@@ -715,3 +715,32 @@ def test_late_data_audit_drops_and_metrics(spark, sf_dir):
         F.col("day") <= F.lit(md.isoformat()).cast("date") - 2
     ).count()
     assert emitted_total == finalized_all - late_n  # late excluded, buffer in
+
+
+def test_streaming_percentiles_equal_batch_and_replay_safely(spark, sf_dir, tmp_path):
+    """The additive value-frequency granules must drain to EXACTLY the
+    batch grouped_percentiles output, and a full re-drain with a fresh
+    checkpoint over the same store (the sanctioned replay mode: every
+    epoch overwritten) must change nothing."""
+    from kinesis_dstream_spark.operators import dataquality
+    from kinesis_dstream_spark.streaming.jobs import (
+        streaming_percentile_maintenance,
+    )
+    from kinesis_dstream_spark.tables import load_table
+
+    state = str(tmp_path / "pctl")
+    drained = streaming_percentile_maintenance(spark, sf_dir, state_dir=state)
+    got = sorted(map(tuple, drained.collect()))
+    want = sorted(
+        map(
+            tuple,
+            dataquality.grouped_percentiles(
+                load_table(spark, sf_dir, "events")
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+    replayed = streaming_percentile_maintenance(
+        spark, sf_dir, state_dir=state, checkpoint_dir=str(tmp_path / "chk2")
+    )
+    assert sorted(map(tuple, replayed.collect())) == want
