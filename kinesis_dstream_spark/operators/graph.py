@@ -229,3 +229,93 @@ r0 AS (
 ){cte}
 SELECT node AS doc_id, round(r / {float(_MASS)}, 6) AS pr FROM {prev}
 """
+
+
+def label_propagation_communities(
+    documents: DataFrame, n_iter: int = 3, pairs: DataFrame | None = None
+) -> DataFrame:
+    """Synchronous label-propagation communities over the near-dup
+    graph — the third graph lens after connected components ("what is
+    transitively linked") and PageRank ("what is central"): LPA finds
+    DENSE substructure, splitting a chain of weak bridges into the
+    template-farm blocks curation actually deduplicates against.
+
+    Deterministic by construction (the usual LPA randomness removed):
+    labels start as node ids; each round every node SYNCHRONOUSLY
+    adopts the most frequent label among its neighbors, ties broken by
+    smallest label; rounds are fixed (n_iter), not convergence-polled.
+    That makes the whole algorithm an exact relational recurrence —
+    join, count, top-1-per-node window — with an unrolled DuckDB twin
+    (``label_propagation_oracle_sql``), like the PageRank oracle.
+
+    Scale: per round one equi-join of the symmetric edge list with the
+    |nodes|-row label vector and one (node, label) count aggregate;
+    the top-1 window partitions on node with fan-in bounded by degree
+    (the dedup family's df cap). Edge list localCheckpointed once.
+
+    ``pairs``: pass the persisted artifact to skip the shingle join.
+    """
+    from pyspark.sql import Window
+
+    from kinesis_dstream_spark.operators.dedup import dedup_ngram_jaccard
+
+    if pairs is None:
+        pairs = dedup_ngram_jaccard(documents)
+    p = pairs.select("doc_a", "doc_b")
+    edges = (
+        p.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(p.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+    )
+    top1 = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("lbl").asc())
+    for _ in range(n_iter):
+        votes = (
+            edges.join(labels, labels["node"] == edges["src"])
+            .groupBy(F.col("dst").alias("node2"), F.col("lbl"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumnRenamed("node2", "node")
+        )
+        labels = (
+            votes.withColumn("rk", F.row_number().over(top1))
+            .filter(F.col("rk") == 1)
+            .select("node", "lbl")
+        )
+    return labels.groupBy(F.col("lbl").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("node").alias("sum_member_ids"),
+    )
+
+
+def label_propagation_oracle_sql(pairs_sql: str, n_iter: int = 3) -> str:
+    """DuckDB twin: identical synchronous recurrence, rounds unrolled."""
+    prev, cte = "l0", ""
+    for k in range(1, n_iter + 1):
+        cte += f""", v{k} AS (
+  SELECT e.dst AS node, {prev}.lbl, count(*) AS c
+  FROM edges e JOIN {prev} ON {prev}.node = e.src
+  GROUP BY e.dst, {prev}.lbl
+), l{k} AS (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl ASC) AS rk
+    FROM v{k}
+  ) WHERE rk = 1
+)"""
+        prev = f"l{k}"
+    return f"""
+WITH jp AS ({pairs_sql}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM jp
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM jp
+),
+l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges){cte}
+SELECT lbl AS community, count(*) AS n_members,
+       CAST(sum(node) AS BIGINT) AS sum_member_ids
+FROM {prev} GROUP BY lbl
+"""

@@ -4094,6 +4094,12 @@ def _q_stream_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     return jobs.streaming_percentile_maintenance(spark, sf)
 
 
+def _q_lpa(spark: SparkSession, sf: str) -> DataFrame:
+    return graph.label_propagation_communities(
+        load_table(spark, sf, "documents"), pairs=_near_dup_pairs(spark, sf)
+    )
+
+
 # Hash-exact twin of the per-language quota sample: single-level
 # bottom-quota by md5 rank == Spark's two-level (lang, shard)
 # tournament, by bottom-k mergeability; token counts reuse the
@@ -4617,6 +4623,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "streaming_grouped_percentiles": (
         _q_stream_percentiles,
         dataquality.GROUPED_PERCENTILES_SQL,
+    ),
+    # deterministic synchronous LPA over the shared pairs artifact;
+    # exact unrolled-recurrence oracle like the PageRank twin
+    "label_propagation_communities": (
+        _q_lpa,
+        graph.label_propagation_oracle_sql(_SQL_DEDUP_JACCARD),
     ),
 }
 

@@ -67,3 +67,27 @@ def test_triangle_count_on_known_graph(spark):
         .count()
     )
     assert tri == 4
+
+
+def test_lpa_on_constructed_two_block_graph(spark):
+    """Two 4-cliques joined by one bridge edge: CC sees one component,
+    LPA must keep two communities (the bridge cannot outvote a
+    clique), each labeled by its minimum member."""
+    from kinesis_dstream_spark.operators import graph
+
+    edges = []
+    a = [1, 2, 3, 4]
+    b = [10, 11, 12, 13]
+    for blk in (a, b):
+        for i in range(len(blk)):
+            for j in range(i + 1, len(blk)):
+                edges.append((blk[i], blk[j]))
+    edges.append((4, 10))  # bridge
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    out = {
+        r["community"]: r
+        for r in graph.label_propagation_communities(None, pairs=pairs).collect()
+    }
+    assert set(out) == {1, 10}
+    assert out[1]["n_members"] == 4 and out[1]["sum_member_ids"] == 10
+    assert out[10]["n_members"] == 4 and out[10]["sum_member_ids"] == 46
