@@ -107,6 +107,17 @@ AUDIT_DEFAULT = [
     "theta_set_intersection",
     "value_trend_regression",
     "rolling_active_users",
+    # r7 additions: grid-selection robust stats, KMV-boundary
+    # assignment, quota sampling, association mining, drift, LPA
+    "mad_outliers",
+    "grouped_percentiles",
+    "value_decile_binning",
+    "curriculum_assignment_kmv",
+    "rfm_segments_kmv",
+    "stratified_sample_quota",
+    "event_type_cooccurrence",
+    "embedding_drift_report",
+    "label_propagation_communities",
 ]
 
 
