@@ -539,3 +539,33 @@ def test_corrupt_record_quarantine_accounts_for_every_line(spark, sf_dir):
     assert rows["__quarantined__"].total_price == 0.0
     good = sum(r.n_rows for b, r in rows.items() if b != "__quarantined__")
     assert good + n_corrupt == orders.count()
+
+
+def test_swap_dir_promotes_and_sweeps_leftovers(tmp_path):
+    """stores.swap_dir: promotes tmp to live, removes the old copy,
+    and sweeps a stale *_old left by a crashed previous swap."""
+    import os
+
+    from kinesis_dstream_spark.stores import swap_dir
+
+    cur = tmp_path / "store"
+    cur.mkdir()
+    (cur / "a.txt").write_text("old")
+    stale = tmp_path / "store_old"
+    stale.mkdir()
+    (stale / "junk").write_text("crashed swap leftover")
+    tmp = tmp_path / "store_tmp"
+    tmp.mkdir()
+    (tmp / "a.txt").write_text("new")
+    swap_dir(str(tmp), str(cur))
+    assert (cur / "a.txt").read_text() == "new"
+    assert not os.path.exists(stale)
+    assert not os.path.exists(tmp)
+    assert not os.path.exists(str(cur) + "_old")
+    # first-ever swap: no live dir yet
+    cur2 = tmp_path / "fresh"
+    tmp2 = tmp_path / "fresh_tmp"
+    tmp2.mkdir()
+    (tmp2 / "x").write_text("1")
+    swap_dir(str(tmp2), str(cur2))
+    assert (cur2 / "x").read_text() == "1"

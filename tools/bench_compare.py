@@ -14,11 +14,39 @@ import sys
 
 
 def _load(path: str) -> dict:
+    """Accept any of: a bare bench JSON record, raw bench.py stdout
+    (note lines + one JSON line), or the driver wrapper — including
+    wrappers whose ``parsed`` is null and whose ``tail`` is a
+    front-truncated string capture (regex-recover the query timings)."""
+    import re
+
     with open(path) as f:
-        data = json.load(f)
-    if data.get("parsed") is not None:  # driver wrapper format
-        data = data["parsed"]
-    return data
+        text = f.read()
+    # raw stdout: last line that parses as a JSON object wins
+    for line in reversed(text.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                data = json.loads(line)
+                break
+            except json.JSONDecodeError:
+                continue
+    else:
+        raise ValueError(f"{path}: no JSON object found")
+    if "queries" in data:
+        return data
+    if data.get("parsed") is not None:  # driver wrapper, parsed ok
+        return data["parsed"]
+    tail = data.get("tail", "")
+    start = tail.find('{"metric"')
+    if start >= 0:
+        return json.loads(tail[start:].strip())
+    # front-truncated tail: recover the name->seconds pairs directly
+    pairs = re.findall(r'"([a-z0-9_]+)": ([0-9.]+)', tail)
+    queries = {k: float(v) for k, v in pairs if k not in ("sf", "value")}
+    if not queries:
+        raise ValueError(f"{path}: could not recover query timings")
+    return {"queries": queries}
 
 
 def main() -> None:
