@@ -22,17 +22,21 @@ def _load(path: str) -> dict:
 
     with open(path) as f:
         text = f.read()
-    # raw stdout: last line that parses as a JSON object wins
-    for line in reversed(text.strip().splitlines()):
-        line = line.strip()
-        if line.startswith("{"):
-            try:
-                data = json.loads(line)
-                break
-            except json.JSONDecodeError:
-                continue
-    else:
-        raise ValueError(f"{path}: no JSON object found")
+    try:
+        # a bare record or pretty-printed driver wrapper
+        data = json.loads(text)
+    except json.JSONDecodeError:
+        # raw stdout: last line that parses as a JSON object wins
+        for line in reversed(text.strip().splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    data = json.loads(line)
+                    break
+                except json.JSONDecodeError:
+                    continue
+        else:
+            raise ValueError(f"{path}: no JSON object found")
     if "queries" in data:
         return data
     if data.get("parsed") is not None:  # driver wrapper, parsed ok
