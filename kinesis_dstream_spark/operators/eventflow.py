@@ -2050,3 +2050,102 @@ JOIN per_type x ON x.event_type = p.type_a
 JOIN per_type y ON y.event_type = p.type_b
 CROSS JOIN tot t
 """
+
+
+_CUSUM_SHARDS = 8
+_CUSUM_H = 40 * _V_SCALE  # alarm threshold, fixed-point units
+
+
+def cusum_changepoints(events: DataFrame, shards: int = _CUSUM_SHARDS) -> DataFrame:
+    """One-sided CUSUM change detection per event type — the classic
+    drift alarm (Page 1954): alarm when the cumulative excess of value
+    over a reference level exceeds a threshold. Complements the
+    z-score family (point anomalies) and value-trend (global slope)
+    with SUSTAINED-shift detection.
+
+    The recurrence S_t = max(0, S_{t-1} + y_t) looks per-row
+    sequential, but its closed form is windowable: with prefix sums
+    P_t over y and P_0 = 0, S_t = P_t − min(0, min_{j≤t} P_j) — one
+    running sum and one running min over the same ordered window, so
+    the whole detector is two window expressions both engines compute
+    identically in int64.
+
+    Reference level = the type's exact p90 order statistic from the
+    histogram-refinement selection engine (selection.py — no
+    sort-by-key pass), broadcast back: with right-skewed values the
+    in-control drift E[x − ref] must be negative or the statistic
+    ramps and every row alarms (a median reference does exactly that
+    on this corpus; p90 keeps alarms at the sustained-excursion
+    tail). Streams are sub-keyed by
+    (event_type, user_id % shards), the z-score family's entity-shard
+    convention: a per-shard alarm is statistically interchangeable
+    with the global one under hash-spread traffic, and no window
+    partition ever sorts more than ~1/shards of a type. All
+    arithmetic int64 until the display divisions, so the DuckDB twin
+    (identical windows, identical median rank) matches bit-for-bit.
+    """
+    iv = fixedpoint(F.col("value"), _V_SCALE)
+    base = events.select(
+        "event_type",
+        F.pmod(F.col("user_id"), F.lit(shards)).alias("shard"),
+        "ts",
+        "event_id",
+        iv.alias("iv"),
+    )
+    totals = base.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    ranks = totals.select(
+        "event_type",
+        F.lit("ref").alias("sel"),
+        F.expr("(n * 90 + 99) DIV 100").alias("r"),
+    )
+    ref = grid_rank_select(
+        base.select("event_type", "iv"), "event_type", "iv", ranks, _GRID_BUCKET
+    ).select("event_type", F.col("value").alias("ref"))
+    w = Window.partitionBy("event_type", "shard").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    scored = (
+        base.join(F.broadcast(ref), "event_type")
+        .withColumn("y", F.col("iv") - F.col("ref"))
+        .withColumn("p", F.sum("y").over(run))
+        .withColumn("s", F.col("p") - F.least(F.lit(0), F.min("p").over(run)))
+    )
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.max("ref") / _V_SCALE, 2).alias("ref_level"),
+        F.sum((F.col("s") > _CUSUM_H).cast("long")).alias("n_alarm_rows"),
+        F.round(F.max("s") / _V_SCALE, 2).alias("max_cusum"),
+    )
+
+
+CUSUM_SQL = f"""
+WITH base AS (
+  SELECT event_type, user_id % {_CUSUM_SHARDS} AS shard, ts, event_id,
+         CAST(round(value * {_V_SCALE}) AS BIGINT) AS iv
+  FROM events
+), med AS (
+  SELECT event_type, iv AS med FROM (
+    SELECT event_type, iv,
+           row_number() OVER (PARTITION BY event_type ORDER BY iv) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM base
+  ) WHERE rn = (n * 90 + 99) // 100
+), pre AS (
+  SELECT b.event_type, b.shard, b.ts, b.event_id, m.med,
+         sum(b.iv - m.med) OVER (PARTITION BY b.event_type, b.shard
+                                 ORDER BY b.ts, b.event_id
+                                 ROWS UNBOUNDED PRECEDING) AS p
+  FROM base b JOIN med m USING (event_type)
+), scored AS (
+  SELECT event_type, med,
+         p - least(0, min(p) OVER (PARTITION BY event_type, shard
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING)) AS s
+  FROM pre
+)
+SELECT event_type, count(*) AS n,
+       round(CAST(max(med) AS BIGINT) / {_V_SCALE}, 2) AS ref_level,
+       CAST(sum(CASE WHEN s > {_CUSUM_H} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_alarm_rows,
+       round(CAST(max(s) AS BIGINT) / {_V_SCALE}, 2) AS max_cusum
+FROM scored GROUP BY event_type
+"""

@@ -4094,6 +4094,10 @@ def _q_stream_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     return jobs.streaming_percentile_maintenance(spark, sf)
 
 
+def _q_cusum(spark: SparkSession, sf: str) -> DataFrame:
+    return eventflow.cusum_changepoints(load_table(spark, sf, "events"))
+
+
 def _q_lpa(spark: SparkSession, sf: str) -> DataFrame:
     return graph.label_propagation_communities(
         load_table(spark, sf, "documents"), pairs=_near_dup_pairs(spark, sf)
@@ -4630,6 +4634,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _q_lpa,
         graph.label_propagation_oracle_sql(_SQL_DEDUP_JACCARD),
     ),
+    # sustained-shift detection: windowable CUSUM closed form over
+    # entity-sharded streams, reference level from grid selection
+    "cusum_changepoints": (_q_cusum, eventflow.CUSUM_SQL),
 }
 
 

