@@ -2149,3 +2149,100 @@ SELECT event_type, count(*) AS n,
        round(CAST(max(s) AS BIGINT) / {_V_SCALE}, 2) AS max_cusum
 FROM scored GROUP BY event_type
 """
+
+
+def funnel_time_to_convert(
+    events: DataFrame, stages: tuple[str, str, str] = ("view", "click", "purchase")
+) -> DataFrame:
+    """Time-through-funnel percentiles — the product-metrics companion
+    to ``funnel_conversion``: for users who complete the ordered
+    chain, how long did first-touch → final stage take (p50/p90 and
+    mean minutes)?
+
+    Latency is exact int64 end to end: epoch-microsecond difference,
+    truncating division to minutes (identical Spark DIV / DuckDB //),
+    and the percentiles are nearest-rank order statistics from the
+    histogram-refinement selection engine (selection.py) over the
+    converted-user latencies — no global sort even when every user
+    converts. One user_id shuffle for the stage chain (the funnel's
+    own plan), one map-combinable latency-bucket count, one one-bucket
+    refine.
+    """
+    s1, s2, s3 = stages
+    w = Window.partitionBy("user_id")
+    ts, et = F.col("ts"), F.col("event_type")
+    chain = (
+        events.withColumn("t1", F.min(F.when(et == s1, ts)).over(w))
+        .withColumn("t2", F.min(F.when((et == s2) & (ts >= F.col("t1")), ts)).over(w))
+        .withColumn("t3", F.min(F.when((et == s3) & (ts >= F.col("t2")), ts)).over(w))
+    )
+    lat = (
+        chain.groupBy("user_id")
+        .agg(F.max("t1").alias("t1"), F.max("t3").alias("t3"))
+        .where(F.col("t3").isNotNull())
+        .select(
+            F.lit("funnel").alias("g"),
+            # ts loads as TIMESTAMP_NTZ; the cast to TIMESTAMP applies
+            # the session TZ (UTC) to both endpoints, so the DIFFERENCE
+            # is TZ-invariant and micro-exact
+            F.expr(
+                "(unix_micros(cast(t3 as timestamp))"
+                " - unix_micros(cast(t1 as timestamp))) DIV 60000000"
+            ).alias("lat_min"),
+        )
+    )
+    totals = lat.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("lat_min").alias("s")
+    )
+    ranks = None
+    for p in (50, 90):
+        r = totals.select(
+            "g", F.lit(f"p{p}").alias("sel"), F.expr(f"(n * {p} + 99) DIV 100").alias("r")
+        )
+        ranks = r if ranks is None else ranks.unionByName(r)
+    sel = grid_rank_select(lat, "g", "lat_min", ranks, 1024)
+    pcts = sel.groupBy("g").agg(
+        F.max(F.when(F.col("sel") == "p50", F.col("value"))).alias("p50_minutes"),
+        F.max(F.when(F.col("sel") == "p90", F.col("value"))).alias("p90_minutes"),
+    )
+    return totals.join(pcts, "g").select(
+        F.col("n").alias("n_converted"),
+        "p50_minutes",
+        "p90_minutes",
+        F.round(F.col("s") / F.col("n"), 4).alias("mean_minutes"),
+    )
+
+
+FUNNEL_TIME_SQL = """
+WITH chain AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS t1,
+         ts, event_type
+  FROM events
+), chain2 AS (
+  SELECT user_id, t1,
+         min(CASE WHEN event_type = 'click' AND ts >= t1 THEN ts END)
+           OVER (PARTITION BY user_id) AS t2,
+         ts, event_type
+  FROM chain
+), chain3 AS (
+  SELECT user_id, t1,
+         min(CASE WHEN event_type = 'purchase' AND ts >= t2 THEN ts END)
+           OVER (PARTITION BY user_id) AS t3
+  FROM chain2
+), lat AS (
+  SELECT CAST((epoch_us(t3) - epoch_us(t1)) // 60000000 AS BIGINT) AS lat_min
+  FROM (SELECT user_id, max(t1) AS t1, max(t3) AS t3 FROM chain3 GROUP BY user_id)
+  WHERE t3 IS NOT NULL
+), ranked AS (
+  SELECT lat_min, row_number() OVER (ORDER BY lat_min) AS rn,
+         count(*) OVER () AS n, sum(lat_min) OVER () AS s
+  FROM lat
+)
+SELECT max(n) AS n_converted,
+       max(CASE WHEN rn = (n * 50 + 99) // 100 THEN lat_min END) AS p50_minutes,
+       max(CASE WHEN rn = (n * 90 + 99) // 100 THEN lat_min END) AS p90_minutes,
+       round(CAST(max(s) AS BIGINT) / max(n), 4) AS mean_minutes
+FROM ranked
+"""

@@ -1014,7 +1014,7 @@ def embedding_drift_report(embeddings: DataFrame) -> DataFrame:
     ).select(
         "is_old",
         (F.col("dim") + 1).alias("dim"),  # 1-based, matching SQL ordinality
-        F.round(F.col("x") * _DRIFT_SCALE).cast("long").alias("ix"),
+        F.round(F.col("x").cast("double") * _DRIFT_SCALE).cast("long").alias("ix"),
     )
     per_dim = (
         coords.groupBy("dim")
@@ -1048,7 +1048,8 @@ WITH dims AS (
   SELECT unnest(range(1, (SELECT max(len(embedding)) FROM embeddings) + 1)) AS dim
 ), coords AS (
   SELECT (vec_id % 2 = 0) AS is_old, d.dim,
-         CAST(round(embedding[d.dim] * {_DRIFT_SCALE}) AS BIGINT) AS ix
+         CAST(round(CAST(embedding[d.dim] AS DOUBLE) * {_DRIFT_SCALE})
+              AS BIGINT) AS ix
   FROM embeddings, dims d
 ), per_dim AS (
   SELECT dim,
@@ -1067,4 +1068,101 @@ SELECT CAST(count(*) AS BIGINT) AS n_dims,
        CAST(sum(CASE WHEN abs_shift > 0.01 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_dims_drifted
 FROM per_dim
+"""
+
+
+def embedding_quantization_calibration(embeddings: DataFrame) -> DataFrame:
+    """Per-dimension int8 quantization calibration — the table a
+    serving stack derives before quantizing an embedding corpus:
+    symmetric scale from the CLIPPED abs-max (the p99.9 |coordinate|
+    order statistic, so one outlier coordinate cannot blow up the
+    whole dimension's resolution — the standard absmax-with-clipping
+    recipe), plus the outlier accounting (how many coordinates the
+    clip saturates).
+
+    Exact: coordinates land on the 1e-6 fixed-point grid; the p99.9
+    level is a nearest-rank order statistic from the histogram-
+    refinement selection engine (selection.py) keyed by dimension —
+    values spread by (dim, bucket), no per-dim row sort; scale is a
+    truncating integer division by 127 before the single display
+    division. One posexplode pass feeds both the selection counts and
+    the rollup; every output replays bit-for-bit in SQL.
+    """
+    from kinesis_dstream_spark.operators.selection import grid_rank_select
+
+    coords = embeddings.select(
+        F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        (F.col("dim") + 1).alias("dim"),
+        # widen float32 -> double BEFORE scaling: DuckDB otherwise
+        # multiplies in single precision and rounds a different value
+        # (observed: 0.44081148f*1e6 = float 440811.5 vs double
+        # 440811.485 - a 1-unit grid split on exactly the order
+        # statistics this operator outputs)
+        F.abs(
+            F.round(F.col("x").cast("double") * _DRIFT_SCALE).cast("long")
+        ).alias("ax"),
+    )
+    totals = coords.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"), F.max("ax").alias("amax")
+    )
+    ranks = totals.select(
+        "dim",
+        F.lit("p999").alias("sel"),
+        F.expr("(n * 999 + 999) DIV 1000").alias("r"),
+    )
+    clip = grid_rank_select(coords, "dim", "ax", ranks, 4096).select(
+        "dim", F.col("value").alias("clip_fp")
+    )
+    stats = (
+        coords.join(F.broadcast(clip), "dim")
+        .groupBy("dim")
+        .agg(
+            F.sum((F.col("ax") > F.col("clip_fp")).cast("long")).alias("n_clipped"),
+            F.max("clip_fp").alias("clip_fp"),
+        )
+    )
+    return (
+        totals.join(stats, "dim")
+        .select(
+            "dim",
+            F.round(F.col("amax") / _DRIFT_SCALE, 6).alias("abs_max"),
+            F.round(F.col("clip_fp") / _DRIFT_SCALE, 6).alias("clip_level"),
+            F.round(F.expr("clip_fp DIV 127") / _DRIFT_SCALE, 6).alias("scale"),
+            "n_clipped",
+            F.round(F.col("n_clipped") / F.col("n"), 6).alias("clip_pct"),
+        )
+    )
+
+
+EMBEDDING_QUANT_SQL = f"""
+WITH dims AS (
+  SELECT unnest(range(1, (SELECT max(len(embedding)) FROM embeddings) + 1)) AS dim
+), coords AS (
+  SELECT d.dim,
+         abs(CAST(round(CAST(embedding[d.dim] AS DOUBLE) * {_DRIFT_SCALE})
+                 AS BIGINT)) AS ax
+  FROM embeddings, dims d
+), ranked AS (
+  SELECT dim, ax,
+         row_number() OVER (PARTITION BY dim ORDER BY ax) AS rn,
+         count(*) OVER (PARTITION BY dim) AS n,
+         max(ax) OVER (PARTITION BY dim) AS amax
+  FROM coords
+), clip AS (
+  SELECT dim, max(n) AS n, max(amax) AS amax,
+         max(CASE WHEN rn = (n * 999 + 999) // 1000 THEN ax END) AS clip_fp
+  FROM ranked GROUP BY dim
+)
+SELECT c.dim,
+       round(CAST(c.amax AS BIGINT) / {_DRIFT_SCALE}, 6) AS abs_max,
+       round(CAST(c.clip_fp AS BIGINT) / {_DRIFT_SCALE}, 6) AS clip_level,
+       round(CAST(c.clip_fp // 127 AS BIGINT) / {_DRIFT_SCALE}, 6) AS scale,
+       CAST(x.n_clipped AS BIGINT) AS n_clipped,
+       round(CAST(x.n_clipped AS BIGINT) / c.n, 6) AS clip_pct
+FROM clip c
+JOIN (
+  SELECT r.dim, sum(CASE WHEN r.ax > cl.clip_fp THEN 1 ELSE 0 END) AS n_clipped
+  FROM ranked r JOIN clip cl ON cl.dim = r.dim GROUP BY r.dim
+) x ON x.dim = c.dim
 """

@@ -4098,6 +4098,16 @@ def _q_cusum(spark: SparkSession, sf: str) -> DataFrame:
     return eventflow.cusum_changepoints(load_table(spark, sf, "events"))
 
 
+def _q_funnel_time(spark: SparkSession, sf: str) -> DataFrame:
+    return eventflow.funnel_time_to_convert(load_table(spark, sf, "events"))
+
+
+def _q_quant_calib(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.embedding_quantization_calibration(
+        load_table(spark, sf, "embeddings")
+    )
+
+
 def _q_lpa(spark: SparkSession, sf: str) -> DataFrame:
     return graph.label_propagation_communities(
         load_table(spark, sf, "documents"), pairs=_near_dup_pairs(spark, sf)
@@ -4637,6 +4647,15 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # sustained-shift detection: windowable CUSUM closed form over
     # entity-sharded streams, reference level from grid selection
     "cusum_changepoints": (_q_cusum, eventflow.CUSUM_SQL),
+    # time-through-funnel percentiles: exact epoch-us latencies,
+    # nearest-rank selection via the grid engine
+    "funnel_time_to_convert": (_q_funnel_time, eventflow.FUNNEL_TIME_SQL),
+    # int8 quantization calibration: clipped-absmax scales per
+    # dimension, p99.9 order statistic from grid selection
+    "embedding_quantization_calibration": (
+        _q_quant_calib,
+        similarity.EMBEDDING_QUANT_SQL,
+    ),
 }
 
 

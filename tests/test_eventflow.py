@@ -530,3 +530,14 @@ def test_cusum_fires_on_sustained_shift_only(spark):
     assert out["shifted"]["n_alarm_rows"] > 0
     # the shifted type's excursion dwarfs the threshold
     assert out["shifted"]["max_cusum"] > 40
+
+
+def test_funnel_time_percentiles_consistent(spark, sf_dir):
+    from kinesis_dstream_spark.operators import eventflow
+
+    events = load_table(spark, sf_dir, "events")
+    r = eventflow.funnel_time_to_convert(events).collect()[0]
+    converted = eventflow.funnel_conversion(events).collect()[0]["stage3_users"]
+    assert r["n_converted"] == converted
+    assert 0 <= r["p50_minutes"] <= r["p90_minutes"]
+    assert r["mean_minutes"] > 0

@@ -533,3 +533,19 @@ def test_embedding_drift_detects_injected_shift(spark):
     assert r["n_dims"] == 8
     assert r["n_dims_drifted"] == 1
     assert abs(r["max_abs_shift"] - 0.5) < 1e-9
+
+
+def test_quantization_calibration_bounds(spark, sf_dir):
+    """Per-dim invariants: clip_level <= abs_max, scale ~ clip_level/127,
+    clipped fraction <= 0.1% + grid slack, one row per dimension."""
+    from kinesis_dstream_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    rows = similarity.embedding_quantization_calibration(emb).collect()
+    assert len(rows) == dim
+    n = emb.count()
+    for r in rows:
+        assert 0 < r["clip_level"] <= r["abs_max"]
+        assert abs(r["scale"] - (r["clip_level"] / 127)) < 1e-5
+        assert r["n_clipped"] <= max(1, n // 1000)
