@@ -759,12 +759,18 @@ def contrastive_pair_mining(
 
 
 def _local_topk(
-    scored: DataFrame, key: str, order_col: str, tie_col: str, k: int
+    scored: DataFrame,
+    key: str,
+    order_col: str,
+    tie_col: str,
+    k: int,
+    ascending: bool = False,
 ) -> DataFrame:
     """Partition-local exact top-k pre-reduction (the map-side combine
     Spark's aggregates lack for "bounded heap per key").
 
-    Every global top-k row (by ``order_col`` DESC, ``tie_col`` ASC) is
+    Every global top-k row (by ``order_col`` DESC — or ASC with
+    ``ascending=True`` for bottom-k ranks — then ``tie_col`` ASC) is
     by definition in the top-k of whichever partition holds it, so the
     downstream per-key window over this output is EXACT — but its
     exchange now carries at most n_partitions·|keys|·k rows instead of
@@ -781,7 +787,7 @@ def _local_topk(
     def topk_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(
             [key, order_col, tie_col],
-            ascending=[True, False, True],
+            ascending=[True, ascending, True],
             kind="mergesort",
         )
         return pdf.groupby(key, sort=False).head(k)
@@ -1165,4 +1171,61 @@ JOIN (
   SELECT r.dim, sum(CASE WHEN r.ax > cl.clip_fp THEN 1 ELSE 0 END) AS n_clipped
   FROM ranked r JOIN clip cl ON cl.dim = r.dim GROUP BY r.dim
 ) x ON x.dim = c.dim
+"""
+
+
+def negative_sampling_pairs(
+    embeddings: DataFrame, n_anchors: int = 10, k: int = 8
+) -> DataFrame:
+    """Deterministic uniform negative sampling for contrastive
+    training — the companion to ``contrastive_pair_mining``'s
+    hard-negative path: for each anchor, ``k`` negatives drawn
+    uniformly at random from the OTHER-label corpus by
+    md5(anchor, candidate) hash rank. Hash-rank draws are the KMV
+    trick applied to pair sampling: reproducible across engines,
+    epochs, and retries (no RNG state), uniform because md5 is, and
+    mergeable — the bottom-k of a union is the bottom-k of per-part
+    bottom-k's, so the partition-local pre-reduction
+    (``_local_topk`` ascending) is exact and the merge exchange
+    carries ≤ n_partitions·|anchors|·k rows.
+
+    Plan: anchors broadcast into one corpus scan (label inequality in
+    the join condition — the ann_filtered shape), rank expression
+    map-side, local bottom-k, tiny merge window.
+    """
+    anchors = embeddings.filter(F.col("vec_id") < n_anchors).select(
+        F.col("vec_id").alias("a_id"), F.col("label").alias("a_label")
+    )
+    cands = embeddings.select(
+        F.col("vec_id").alias("c_id"), F.col("label").alias("c_label")
+    )
+    scored = cands.join(
+        F.broadcast(anchors), F.col("c_label") != F.col("a_label")
+    ).select(
+        "a_id",
+        "c_id",
+        F.md5(F.concat_ws("_", F.col("a_id"), F.col("c_id"))).alias("rk"),
+    )
+    reduced = _local_topk(scored, "a_id", "rk", "c_id", k, ascending=True)
+    w = Window.partitionBy("a_id").orderBy(F.col("rk").asc(), F.col("c_id").asc())
+    return (
+        reduced.withColumn("neg_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("neg_rank") <= k)
+        .select("a_id", "c_id", "neg_rank")
+    )
+
+
+NEGATIVE_SAMPLING_SQL = """
+WITH anchors AS (
+  SELECT vec_id AS a_id, label AS a_label FROM embeddings WHERE vec_id < 10
+), scored AS (
+  SELECT a.a_id, c.vec_id AS c_id,
+         md5(CAST(a.a_id AS VARCHAR) || '_' || CAST(c.vec_id AS VARCHAR)) AS rk
+  FROM embeddings c JOIN anchors a ON c.label != a.a_label
+)
+SELECT a_id, c_id,
+       CAST(row_number() OVER (PARTITION BY a_id ORDER BY rk, c_id) AS INT)
+         AS neg_rank
+FROM scored
+QUALIFY neg_rank <= 8
 """

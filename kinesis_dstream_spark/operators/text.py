@@ -1057,3 +1057,30 @@ def adaptive_quality_gate(documents: DataFrame, drop_pct: int = 20) -> DataFrame
             F.round(F.col("s_drop") / F.col("c") / 10000.0, 4),
         ).alias("avg_dropped_q"),
     )
+
+
+def lang_id_confusion(documents: DataFrame) -> DataFrame:
+    """Model-evaluation rollup for the language identifier — the
+    confusion matrix + per-label precision/recall a curation team reads
+    before trusting ``lang_id`` to gate a corpus: counts per
+    (labeled, predicted) cell and the per-labeled-language recall /
+    per-predicted-language precision, all from ONE aggregation over the
+    classifier's own output (no second scoring pass).
+
+    Integer counts; the two ratios are single int/int→double divisions
+    rounded at 4dp, identical cross-engine. Cell space is bounded by
+    |languages|² — broadcast-scale forever.
+    """
+    pred = lang_id(documents).select("labeled_lang", "pred_lang")
+    cells = pred.groupBy("labeled_lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    by_label = Window.partitionBy("labeled_lang")
+    by_pred = Window.partitionBy("pred_lang")
+    return cells.select(
+        "labeled_lang",
+        "pred_lang",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(by_label), 4).alias("recall"),
+        F.round(F.col("n") / F.sum("n").over(by_pred), 4).alias("precision"),
+    )

@@ -4108,6 +4108,27 @@ def _q_quant_calib(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_lang_confusion(spark: SparkSession, sf: str) -> DataFrame:
+    return text.lang_id_confusion(load_table(spark, sf, "documents"))
+
+
+def _q_neg_sampling(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.negative_sampling_pairs(load_table(spark, sf, "embeddings"))
+
+
+_SQL_LANG_CONFUSION = f"""
+WITH pred AS ({_SQL_LANG_ID}),
+cells AS (
+  SELECT labeled_lang, pred_lang, count(*) AS n
+  FROM pred GROUP BY labeled_lang, pred_lang
+)
+SELECT labeled_lang, pred_lang, n,
+       round(n / sum(n) OVER (PARTITION BY labeled_lang), 4) AS recall,
+       round(n / sum(n) OVER (PARTITION BY pred_lang), 4) AS precision
+FROM cells
+"""
+
+
 def _q_lpa(spark: SparkSession, sf: str) -> DataFrame:
     return graph.label_propagation_communities(
         load_table(spark, sf, "documents"), pairs=_near_dup_pairs(spark, sf)
@@ -4656,6 +4677,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _q_quant_calib,
         similarity.EMBEDDING_QUANT_SQL,
     ),
+    # classifier-eval rollup: confusion cells + precision/recall from
+    # one aggregation over lang_id's own output
+    "lang_id_confusion": (_q_lang_confusion, _SQL_LANG_CONFUSION),
+    # deterministic uniform negatives by md5 hash rank (KMV trick on
+    # pairs): reproducible, mergeable, local-bottom-k pre-reduced
+    "negative_sampling_pairs": (_q_neg_sampling, similarity.NEGATIVE_SAMPLING_SQL),
 }
 
 

@@ -549,3 +549,23 @@ def test_quantization_calibration_bounds(spark, sf_dir):
         assert 0 < r["clip_level"] <= r["abs_max"]
         assert abs(r["scale"] - (r["clip_level"] / 127)) < 1e-5
         assert r["n_clipped"] <= max(1, n // 1000)
+
+
+def test_negative_sampling_uniform_and_label_disjoint(spark, sf_dir):
+    """Every anchor gets exactly k negatives, none sharing its label,
+    and the draw is reproducible (same set on re-run). Uniformity
+    smoke: across anchors the negatives are not degenerate (more
+    distinct candidates than one anchor's k)."""
+    from kinesis_dstream_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    rows = similarity.negative_sampling_pairs(emb).collect()
+    by_a: dict[int, list] = {}
+    for r in rows:
+        by_a.setdefault(r["a_id"], []).append(r["c_id"])
+        assert labels[r["c_id"]] != labels[r["a_id"]]
+    assert all(len(v) == 8 for v in by_a.values())
+    again = {(r["a_id"], r["c_id"]) for r in similarity.negative_sampling_pairs(emb).collect()}
+    assert again == {(r["a_id"], r["c_id"]) for r in rows}
+    assert len({c for v in by_a.values() for c in v}) > 8
