@@ -188,6 +188,20 @@ BENCH_QUERIES = {
     "mad_outliers": "mad_outliers",
     "curriculum_kmv": "curriculum_assignment_kmv",
     "rfm_kmv": "rfm_segments_kmv",
+    # r7 second wave: selection-engine consumers, streaming percentile
+    # granules, LPA communities, drift/calibration, sampling, CEP-adjacent
+    "grouped_percentiles": "grouped_percentiles",
+    "decile_binning": "value_decile_binning",
+    "stratified_sample": "stratified_sample_quota",
+    "cooccurrence": "event_type_cooccurrence",
+    "embedding_drift": "embedding_drift_report",
+    "streaming_percentiles": "streaming_grouped_percentiles",
+    "label_propagation": "label_propagation_communities",
+    "cusum": "cusum_changepoints",
+    "funnel_time": "funnel_time_to_convert",
+    "quant_calibration": "embedding_quantization_calibration",
+    "lang_confusion": "lang_id_confusion",
+    "negative_sampling": "negative_sampling_pairs",
 }
 
 

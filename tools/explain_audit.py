@@ -118,6 +118,11 @@ AUDIT_DEFAULT = [
     "event_type_cooccurrence",
     "embedding_drift_report",
     "label_propagation_communities",
+    "cusum_changepoints",
+    "funnel_time_to_convert",
+    "embedding_quantization_calibration",
+    "lang_id_confusion",
+    "negative_sampling_pairs",
 ]
 
 
