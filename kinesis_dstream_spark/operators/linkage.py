@@ -150,9 +150,21 @@ def best_matches(part: DataFrame, max_dist: int = 4) -> DataFrame:
         )
         .filter(F.col("b_key").isNotNull())
     )
-    w = Window.partitionBy("a_key").orderBy("distance", "b_key")
+    # best partner = MIN over (distance, b_key): a struct-min AGGREGATE,
+    # not a window — lexicographic struct ordering implements the
+    # (distance asc, b_key asc) rule exactly, and the hash aggregate
+    # combines map-side, so the exchange carries one row per record
+    # instead of every candidate row feeding a per-key sort (r7 solo
+    # medians at sf0.1: ~3.0-3.9 s window → ~2.1-2.5 s aggregate; same
+    # rows, pinned by the pair-level equivalence test).
     return (
-        cand.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("a_key", "a_name", "b_key", "b_name", "distance")
+        cand.groupBy("a_key", "a_name")
+        .agg(F.min(F.struct("distance", "b_key", "b_name")).alias("m"))
+        .select(
+            "a_key",
+            "a_name",
+            F.col("m.b_key").alias("b_key"),
+            F.col("m.b_name").alias("b_name"),
+            F.col("m.distance").alias("distance"),
+        )
     )
