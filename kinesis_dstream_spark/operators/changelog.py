@@ -67,13 +67,23 @@ def scd2_from_changelog(events: DataFrame) -> DataFrame:
 
 
 def _latest_per_key(log: DataFrame) -> DataFrame:
-    """Distributed argmax: the max-(ts, event_id) row per key."""
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
+    """Distributed argmax: the max-(ts, event_id) row per key.
+
+    max_by with a (ts, event_id) struct ordinal instead of a
+    row_number window (r7): the hash aggregate pre-combines map-side,
+    so the exchange carries one partial state per (partition, key)
+    instead of the key's full history feeding a per-key sort.
+    (ts, event_id) is unique, so the argmax is deterministic.
+    """
+    val_cols = [c for c in _STATE_COLS if c != "user_id"]
     return (
-        log.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        log.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct(*val_cols), F.struct("ts", "event_id")
+            ).alias("m")
+        )
+        .select("user_id", *[F.col(f"m.{c}").alias(c) for c in val_cols])
         .select(*_STATE_COLS)
     )
 

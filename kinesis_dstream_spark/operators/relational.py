@@ -332,6 +332,12 @@ def asof_join_prev_order(orders: DataFrame, horizon_days: int = 90) -> DataFrame
     up) into a band join AQE can handle, and is the same trick a
     range-bucketed implementation would formalize. Informed by the
     distributed range/top-k join literature (PAPERS.md).
+
+    The argmax is a lexicographic struct-MAX aggregate, not a
+    row_number window (r7): the hash aggregate combines map-side, so
+    the exchange carries one row per order rather than the full
+    band-join fan-out (up to horizon_days matches per order) feeding a
+    per-key sort — the part of the plan that grows with match density.
     """
     prev = orders.select(
         F.col("o_custkey").alias("p_custkey"),
@@ -346,18 +352,17 @@ def asof_join_prev_order(orders: DataFrame, horizon_days: int = 90) -> DataFrame
         & (F.col("p_orderdate") >= lo)
         & (F.col("p_orderkey") != F.col("o_orderkey")),
     )
-    w = Window.partitionBy("o_orderkey").orderBy(
-        F.col("p_orderdate").desc(), F.col("p_orderkey").desc()
-    )
     return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        joined.groupBy("o_orderkey", "o_custkey", "o_orderdate")
+        .agg(F.max(F.struct("p_orderdate", "p_orderkey")).alias("m"))
         .select(
             "o_orderkey",
             "o_custkey",
-            F.col("p_orderkey").alias("prev_orderkey"),
-            F.date_format("p_orderdate", "yyyy-MM-dd").alias("prev_orderdate"),
-            F.datediff(F.col("o_orderdate"), F.col("p_orderdate")).alias("days_since_prev"),
+            F.col("m.p_orderkey").alias("prev_orderkey"),
+            F.date_format("m.p_orderdate", "yyyy-MM-dd").alias("prev_orderdate"),
+            F.datediff(F.col("o_orderdate"), F.col("m.p_orderdate")).alias(
+                "days_since_prev"
+            ),
         )
     )
 
