@@ -52,14 +52,18 @@ plan regression; both sit inside the documented ±20-40% band for
 r6 verdict asked for; per-query run lists are back on stdout so the
 BENCH_r07 record carries them.
 
-Machine-state drift measured directly (r7): three full solo runs of
-the identical code over ~2 h scored the shared-86 subset at 69.1 s,
-74.7 s, and 76.2 s — a monotonic ~10% host-level slowdown with the
-inflation concentrated in the shuffle-heavy dedup class (simhash
-±40%, clusters_star ±38% between runs), while scan-agg queries moved
-<5%. Round-over-round totals therefore carry an up-to-±10%
-environmental term on top of per-query jitter; judge the trend on
-plan changes + the per-query note lines, not single totals.
+Machine-state drift measured directly (r7): FOUR full solo runs of
+near-identical code over ~3 h scored the shared-86 subset at 69.1,
+74.7, 76.2, and 85.0 s — a monotonic ~20% host-level slowdown with
+the inflation concentrated in the shuffle-heavy class (simhash ±40%,
+record_linkage 2.3→3.9 s across runs with NO code path change
+between the last two), while scan-agg queries moved <5%. Root cause
+evidence: the container shows load average ~3.0 while completely
+idle (no JVMs, no Python) — an external noisy neighbor on the host.
+Round-over-round totals therefore carry an up-to-±20% environmental
+term on top of per-query jitter; judge the trend on plan changes +
+the per-query note lines (and in-session A/B numbers recorded in
+PLANS.md), never on single totals.
 
 r7 plan-shape changes that move bench numbers: streaming_pairs now
 drains against a fixed per-sf fingerprinted store — the bench measures
