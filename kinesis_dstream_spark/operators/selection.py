@@ -1,8 +1,9 @@
 """Exact distributed rank selection via histogram refinement.
 
-The order-statistic engine behind ``winsorize_stats``, ``mad_outliers``
-and ``adaptive_quality_gate`` — the three operators whose naive plan is
-a full-row ``row_number`` window partitioned by a low-cardinality key
+The order-statistic engine behind ``winsorize_stats``, ``mad_outliers``,
+``adaptive_quality_gate``, ``grouped_percentiles`` and
+``value_decile_binning`` — the operators whose naive plan is a full-row
+``row_number`` window partitioned by a low-cardinality key
 (``event_type`` ~5 values, ``lang`` with English most of the web): at
 100 TB one partition sorts most of the data. The r6 review prescribed
 the entity-sharded bottom-k pattern (shard-local bottom-k(n·p) on
@@ -19,7 +20,7 @@ for exactly these call sites, which is why this module exists instead:
   shard count.
 
 Histogram refinement is the selection algorithm that IS exact at every
-rank and never materializes a per-key total order:
+rank and (since r8) never sorts rows at all — only count tables:
 
 1. **Bucket counts** — one ``groupBy(key, value DIV B)`` count. The
    exchange hashes on (key, bucket), so a hot key spreads across the
@@ -32,22 +33,38 @@ rank and never materializes a per-key total order:
    (|buckets| rows ≤ value_range/B, independent of n) finds, for each
    requested rank r, the single bucket where the cumulative count
    crosses r, and how many rows precede that bucket (``base``).
-3. **Refine** — re-scan filtered to the hit buckets via a broadcast
-   join (~n/|buckets| rows survive), rank inside each (key, sel) group,
-   and pick row base−r. The only row-level sort left is over one
-   bucket's residents.
+3. **Refine by exact value frequency** — re-scan filtered to the hit
+   buckets via a broadcast join (~n/|buckets| rows survive), then
+   ``groupBy(key, sel, value)`` count. Because ``value`` is integral
+   (fixed-point contract), a bucket of width B holds at most B distinct
+   values, so this frequency table has ≤ B rows per (key, sel) — and
+   the final locate is the same running-count crossing over THAT table.
+   No row-level sort exists anywhere in the plan.
+
+The r7 version sorted the hit bucket's resident ROWS with
+``row_number``, which re-created the bare-key hot-spot one data shape
+away: a zero-inflated metric or single dominant price point puts nearly
+all of a hot key's rows in ONE bucket, and the refine window sorted
+them in one task. The value-frequency refine closes that tail
+structurally: a hot VALUE is absorbed by map-side partial counting
+(each input partition emits one combined row per (key, sel, value)),
+and the only windows in the plan run over count tables bounded by
+value_range/B and B rows per group respectively — independent of n.
+No data-dependent recursion or share-threshold branch is needed; the
+degenerate shape simply has nowhere to concentrate.
 
 Truncating division (Spark ``DIV``) is monotone non-decreasing, so
 bucket ids order consistently with values even for negatives (bucket 0
 spans both signs — harmless, ordering across buckets is what matters).
 
-Exactness: the selected VALUE at rank r under any (value, tiebreak)
-total order equals the r-th smallest value — ties share the value — so
-``row_number`` over ``value`` alone inside the bucket is deterministic
-in its output even though tie ranks are not. Every consumer derives its
-remaining outputs from the selected values with value-based integer
-comparisons (count/sum of rows beyond a cut never depends on WHICH
-tie-rows straddle it), keeping the DuckDB oracles bit-exact.
+Exactness: the (key, sel, value, count) table is an exact multiset
+representation of the hit bucket's residents, so the value whose
+cumulative frequency first reaches the residual rank r − base IS the
+r-th smallest value — ties share the value by construction. Every
+consumer derives its remaining outputs from the selected values with
+value-based integer comparisons (count/sum of rows beyond a cut never
+depends on WHICH tie-rows straddle it), keeping the DuckDB oracles
+bit-exact.
 
 Reference tie: the reference engine has no local executor at all — its
 only "selection" is the remote server's ORDER BY + paging
@@ -94,20 +111,35 @@ def grid_rank_select(
         .where((F.col("base") < F.col("r")) & (F.col("r") <= F.col("base") + F.col("c")))
         .select(key, "sel", "bucket", "base", "r")
     )
-    # bucket rides the partition spec redundantly (it is constant within
-    # a (key, sel) group): when a caller requests a single selection,
-    # Catalyst constant-folds the literal `sel` out of the spec, and the
-    # plan tests identify refine windows by the surviving bucket column.
-    in_bucket = Window.partitionBy(key, "sel", "bucket").orderBy("v")
-    return (
+    # Exact value-frequency refine: bucket/base/r are constant within a
+    # (key, sel) group, so grouping by them avoids a re-join, and bucket
+    # riding the window spec keeps the refine window identifiable in
+    # plan tests even when Catalyst constant-folds a literal `sel` out
+    # of a single-selection call. The exchange hashes on (key, sel, v)
+    # — a hot value cannot hot-spot because the partial aggregate
+    # combines it map-side.
+    vfreq = (
         cand.join(F.broadcast(hits), [key, "bucket"])
-        .select(
+        .groupBy(key, "sel", "bucket", "base", "r", "v")
+        .agg(F.count(F.lit(1)).alias("vc"))
+    )
+    in_sel = (
+        Window.partitionBy(key, "sel", "bucket")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        vfreq.select(
             key,
             "sel",
             "v",
+            "vc",
             (F.col("r") - F.col("base")).alias("pos"),
-            F.row_number().over(in_bucket).alias("rn"),
+            F.coalesce(F.sum("vc").over(in_sel), F.lit(0)).alias("vbase"),
         )
-        .where(F.col("rn") == F.col("pos"))
+        .where(
+            (F.col("vbase") < F.col("pos"))
+            & (F.col("pos") <= F.col("vbase") + F.col("vc"))
+        )
         .select(key, "sel", F.col("v").alias("value"))
     )

