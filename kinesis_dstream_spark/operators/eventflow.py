@@ -352,7 +352,12 @@ def rolling_zscore_outliers_sharded(
     window, so flags match bit-for-bit).
     """
     iv = fixedpoint(F.col("value"), _V_SCALE)
-    shard = F.pmod(F.col("user_id"), F.lit(shards))
+    # `%` (not pmod): the shard is SEMANTIC — it sub-keys the window the
+    # oracle twin computes with `user_id % shards`, and DuckDB's % takes
+    # the dividend's sign while pmod is always non-negative, so a
+    # negative user_id would silently diverge between engines (r7
+    # ADVICE). Spark's % matches DuckDB's remainder semantics exactly.
+    shard = F.expr(f"user_id % {int(shards)}")
     w = (
         Window.partitionBy("event_type", "shard")
         .orderBy("ts", "event_id")
@@ -1139,7 +1144,14 @@ def rfm_segments_kmv(events: DataFrame, k: int = 256, shards: int = 8) -> DataFr
     )
 
 
-RFM_KMV_SQL = f"""
+def rfm_kmv_sql(k: int = 256) -> str:
+    """DuckDB twin generated from the same ``k`` as
+    ``rfm_segments_kmv`` (r7 ADVICE: a hardcoded twin silently
+    diverges from a non-default call). ``shards`` is result-invariant
+    — the shard tournament only reshapes the plan; the bottom-k of a
+    union equals the bottom-k of per-shard bottom-k's — so the twin
+    takes no shards parameter."""
+    return f"""
 WITH per_user AS (
   SELECT user_id,
          date_diff('day', max(ts), TIMESTAMP '2024-02-01') AS recency_days,
@@ -1149,7 +1161,7 @@ WITH per_user AS (
   FROM events WHERE event_type = 'purchase' GROUP BY user_id
 ), samp AS (
   SELECT * FROM per_user
-  ORDER BY md5(CAST(user_id AS VARCHAR)), user_id LIMIT 256
+  ORDER BY md5(CAST(user_id AS VARCHAR)), user_id LIMIT {int(k)}
 ), js AS (SELECT unnest(range(1, 4)) AS j),
 br AS (
   SELECT q_b, d_b FROM (
@@ -1193,6 +1205,9 @@ SELECT r_quartile, f_quartile, m_quartile, count(*) AS n_users,
          AS segment_value
 FROM scored GROUP BY r_quartile, f_quartile, m_quartile
 """
+
+
+RFM_KMV_SQL = rfm_kmv_sql()
 
 
 RFM_SQL = f"""
@@ -2085,9 +2100,11 @@ def cusum_changepoints(events: DataFrame, shards: int = _CUSUM_SHARDS) -> DataFr
     (identical windows, identical median rank) matches bit-for-bit.
     """
     iv = fixedpoint(F.col("value"), _V_SCALE)
+    # `%` (not pmod): semantic shard, must match the twin's
+    # `user_id % shards` on negative ids — see zscore_outliers.
     base = events.select(
         "event_type",
-        F.pmod(F.col("user_id"), F.lit(shards)).alias("shard"),
+        F.expr(f"user_id % {int(shards)}").alias("shard"),
         "ts",
         "event_id",
         iv.alias("iv"),

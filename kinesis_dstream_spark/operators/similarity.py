@@ -1215,9 +1215,14 @@ def negative_sampling_pairs(
     )
 
 
-NEGATIVE_SAMPLING_SQL = """
+def negative_sampling_sql(n_anchors: int = 10, k: int = 8) -> str:
+    """DuckDB twin generated from the same (n_anchors, k) as
+    ``negative_sampling_pairs`` (r7 ADVICE: a hardcoded twin silently
+    diverges from a non-default call)."""
+    return f"""
 WITH anchors AS (
-  SELECT vec_id AS a_id, label AS a_label FROM embeddings WHERE vec_id < 10
+  SELECT vec_id AS a_id, label AS a_label FROM embeddings
+  WHERE vec_id < {int(n_anchors)}
 ), scored AS (
   SELECT a.a_id, c.vec_id AS c_id,
          md5(CAST(a.a_id AS VARCHAR) || '_' || CAST(c.vec_id AS VARCHAR)) AS rk
@@ -1227,5 +1232,8 @@ SELECT a_id, c_id,
        CAST(row_number() OVER (PARTITION BY a_id ORDER BY rk, c_id) AS INT)
          AS neg_rank
 FROM scored
-QUALIFY neg_rank <= 8
+QUALIFY neg_rank <= {int(k)}
 """
+
+
+NEGATIVE_SAMPLING_SQL = negative_sampling_sql()

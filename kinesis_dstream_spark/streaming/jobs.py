@@ -1068,6 +1068,12 @@ def streaming_percentile_maintenance(
                 stored = json.load(f).get("fingerprint")
         if stored != fp and os.path.exists(state_dir):
             shutil.rmtree(state_dir)
+            # an external checkpoint must die with the state it indexed:
+            # wiping only the state would make the next drain see every
+            # file as already processed and serve empty/stale granules
+            # (r7 ADVICE)
+            if checkpoint_dir is not None and os.path.exists(checkpoint_dir):
+                shutil.rmtree(checkpoint_dir)
         os.makedirs(state_dir, exist_ok=True)
         meta_fp = (meta, fp)  # written AFTER a completed drain
     else:
@@ -1591,6 +1597,10 @@ def streaming_near_dup_pairs_maintenance(
             stored_fp = json.load(f).get("fingerprint")
     if stored_fp != fp and os.path.exists(store_dir):
         shutil.rmtree(store_dir)
+        # external checkpoint dies with the store it indexed (r7 ADVICE
+        # on streaming_percentile_maintenance — same hazard here)
+        if checkpoint_dir is not None and os.path.exists(checkpoint_dir):
+            shutil.rmtree(checkpoint_dir)
     rows_path = os.path.join(store_dir, "shingle_rows")
     pairs_path = os.path.join(store_dir, "pairs")
     hot_path = os.path.join(store_dir, "hot")

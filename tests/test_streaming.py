@@ -744,3 +744,50 @@ def test_streaming_percentiles_equal_batch_and_replay_safely(spark, sf_dir, tmp_
         spark, sf_dir, state_dir=state, checkpoint_dir=str(tmp_path / "chk2")
     )
     assert sorted(map(tuple, replayed.collect())) == want
+
+
+def test_percentile_store_wipe_also_wipes_external_checkpoint(
+    spark, sf_dir, tmp_path
+):
+    """r7 ADVICE: with the auto-managed store (state_dir=None) and a
+    caller-provided checkpoint_dir, a fingerprint-triggered store wipe
+    must also wipe that external checkpoint — otherwise the next drain
+    sees every file as already processed and serves empty granules."""
+    import json
+    import os
+    import tempfile
+
+    from kinesis_dstream_spark.operators import dataquality
+    from kinesis_dstream_spark.streaming.jobs import (
+        streaming_percentile_maintenance,
+    )
+    from kinesis_dstream_spark.tables import load_table
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    auto_state = f"{tempfile.gettempdir()}/kds_pctl_state_{tag}"
+    cp = str(tmp_path / "ext_chk")
+
+    want = sorted(
+        map(
+            tuple,
+            dataquality.grouped_percentiles(
+                load_table(spark, sf_dir, "events")
+            ).collect(),
+        )
+    )
+
+    first = streaming_percentile_maintenance(
+        spark, sf_dir, state_dir=None, checkpoint_dir=cp
+    )
+    assert sorted(map(tuple, first.collect())) == want
+    assert os.path.exists(cp)
+
+    # corrupt the fingerprint to force the wipe path on the next call
+    meta = os.path.join(auto_state, "_meta.json")
+    with open(meta, "w") as f:
+        json.dump({"fingerprint": "bogus"}, f)
+
+    again = streaming_percentile_maintenance(
+        spark, sf_dir, state_dir=None, checkpoint_dir=cp
+    )
+    assert sorted(map(tuple, again.collect())) == want
