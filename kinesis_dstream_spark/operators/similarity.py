@@ -832,6 +832,7 @@ def random_projection_topk(
     n_queries: int = 10,
     k: int = 5,
     fp_scale: int = 1_000_000,
+    query_batch_rows: int = 4096,
 ) -> DataFrame:
     """Dimensionality-reduced shortlist retrieval: project 64-d vectors
     to ``out_dims`` with a dense ±1 JL matrix (Achlioptas), rank by
@@ -871,6 +872,23 @@ def random_projection_topk(
 
     Contract: embedding dim is constant (one bounded first() row pins
     it); a mixed-dim corpus must project per-dim-group.
+
+    EAGER-EVALUATION semantics (r7 ADVICE, documented by contract):
+    building this DataFrame runs Spark jobs — the dim probe and one
+    bounded ``collect()`` per query chunk — because the query matrix
+    must reach the driver to become the executor-side matmul operand
+    (mapInPandas closures pickle at plan-construction time, so the
+    collect cannot be deferred to execution). Consequently the query
+    batch is FROZEN at build time; rebuild the plan to see new rows.
+    ``explain``/plan-audit callers pay the same jobs.
+
+    Mega-batch serving (r7 verdict task): the query side is served in
+    ``ceil(n_queries / query_batch_rows)`` vec_id-range chunks — the
+    ``ann_index_search_batched`` loop shape — so driver memory is
+    bounded by one chunk (≤ query_batch_rows rows of m int64s)
+    regardless of total query count. Per-q_id results are independent,
+    so the chunk union is identical to a single oversized batch
+    (pytest-pinned); the final merge window runs once over the union.
     """
     first = embeddings.select(F.size("embedding").alias("d")).first()
     d = int(first["d"])
@@ -907,34 +925,57 @@ def random_projection_topk(
     # ≤ n_partitions·|q|·k-row merge. (An interpreted zip_with/
     # aggregate fold per pair measured ~10× slower — the
     # lsh_bucket_ids finding repeated.)
-    qrows = proj.filter(F.col("vec_id") < n_queries).collect()
-    q_ids = np.array([int(r["vec_id"]) for r in qrows], dtype=np.int64)
-    q_mat = np.array([r["yv"] for r in qrows], dtype=np.int64)
+    def make_score(q_ids: np.ndarray, q_mat: np.ndarray):
+        def score(batches):
+            acc: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+            for pdf in batches:
+                c_mat = np.stack(pdf["yv"].to_numpy()).astype(np.int64)
+                cid = pdf["vec_id"].to_numpy().astype(np.int64)
+                dots = c_mat @ q_mat.T
+                for j in range(len(q_ids)):
+                    mask = cid != q_ids[j]
+                    dj, cj = dots[mask, j], cid[mask]
+                    prev = acc.get(j)
+                    if prev is not None:
+                        dj = np.concatenate([prev[0], dj])
+                        cj = np.concatenate([prev[1], cj])
+                    order = np.lexsort((cj, -dj))[:k]
+                    acc[j] = (dj[order], cj[order])
+            out = {"q_id": [], "c_id": [], "proj_dot": []}
+            for j, (dj, cj) in acc.items():
+                out["q_id"].extend([int(q_ids[j])] * len(cj))
+                out["c_id"].extend(cj.tolist())
+                out["proj_dot"].extend(dj.tolist())
+            if out["q_id"]:
+                yield pd.DataFrame(out)
 
-    def score(batches):
-        acc: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-        for pdf in batches:
-            c_mat = np.stack(pdf["yv"].to_numpy()).astype(np.int64)
-            cid = pdf["vec_id"].to_numpy().astype(np.int64)
-            dots = c_mat @ q_mat.T
-            for j in range(len(q_ids)):
-                mask = cid != q_ids[j]
-                dj, cj = dots[mask, j], cid[mask]
-                prev = acc.get(j)
-                if prev is not None:
-                    dj = np.concatenate([prev[0], dj])
-                    cj = np.concatenate([prev[1], cj])
-                order = np.lexsort((cj, -dj))[:k]
-                acc[j] = (dj[order], cj[order])
-        out = {"q_id": [], "c_id": [], "proj_dot": []}
-        for j, (dj, cj) in acc.items():
-            out["q_id"].extend([int(q_ids[j])] * len(cj))
-            out["c_id"].extend(cj.tolist())
-            out["proj_dot"].extend(dj.tolist())
-        if out["q_id"]:
-            yield pd.DataFrame(out)
+        return score
 
-    reduced = proj.mapInPandas(score, "q_id long, c_id long, proj_dot long")
+    n_chunks = max(1, -(-int(n_queries) // int(query_batch_rows)))
+    parts: list[DataFrame] = []
+    for b in range(n_chunks):
+        lo = b * int(query_batch_rows)
+        hi = min((b + 1) * int(query_batch_rows), int(n_queries))
+        chunk = proj.filter(F.col("vec_id") < hi)
+        if b > 0:
+            chunk = chunk.filter(F.col("vec_id") >= lo)
+        qrows = chunk.collect()  # bounded: <= query_batch_rows rows
+        if not qrows:
+            continue
+        q_ids = np.array([int(r["vec_id"]) for r in qrows], dtype=np.int64)
+        q_mat = np.array([r["yv"] for r in qrows], dtype=np.int64)
+        parts.append(
+            proj.mapInPandas(
+                make_score(q_ids, q_mat), "q_id long, c_id long, proj_dot long"
+            )
+        )
+    if not parts:
+        return embeddings.sparkSession.createDataFrame(
+            [], "q_id long, c_id long, proj_dot long, rk int"
+        )
+    reduced = parts[0]
+    for p in parts[1:]:
+        reduced = reduced.unionByName(p)
     w = Window.partitionBy("q_id").orderBy(F.col("proj_dot").desc(), F.col("c_id").asc())
     return (
         reduced.withColumn("rk", F.row_number().over(w))

@@ -569,3 +569,26 @@ def test_negative_sampling_uniform_and_label_disjoint(spark, sf_dir):
     again = {(r["a_id"], r["c_id"]) for r in similarity.negative_sampling_pairs(emb).collect()}
     assert again == {(r["a_id"], r["c_id"]) for r in rows}
     assert len({c for v in by_a.values() for c in v}) > 8
+
+
+def test_random_projection_chunked_equals_single_batch(spark, sf_dir):
+    """r7 verdict task 4: the JL query side serves in vec_id-range
+    chunks under a driver-size cap (the ann_index_search_batched loop
+    shape). Per-q_id independence makes the chunk union identical to
+    one oversized batch."""
+    from kinesis_dstream_spark.operators import similarity
+    from kinesis_dstream_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    single = sorted(
+        map(tuple, similarity.random_projection_topk(emb, n_queries=10).collect())
+    )
+    chunked = sorted(
+        map(
+            tuple,
+            similarity.random_projection_topk(
+                emb, n_queries=10, query_batch_rows=3
+            ).collect(),
+        )
+    )
+    assert chunked == single and len(single) > 0
