@@ -555,6 +555,46 @@ FROM ranked GROUP BY event_type
 """
 
 
+def percentiles_from_value_frequency(freq: DataFrame) -> DataFrame:
+    """p50/p90/p99 + n per event_type from an exact value-frequency
+    table (event_type, iv, c) — the serving half shared by the
+    streaming granule drain (streaming/jobs.py) and the
+    ``grouped_percentiles_from_store`` batch fast path: nearest-rank
+    selection is a cumulative-count crossing over the DISTINCT-value
+    table, so no raw row is ever read or sorted. Output is identical
+    to ``grouped_percentiles`` by construction (the frequency table is
+    the exact sufficient statistic for every order statistic)."""
+    from pyspark.sql import Window
+
+    cum_w = (
+        Window.partitionBy("event_type")
+        .orderBy("iv")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = freq.select(
+        "event_type",
+        "iv",
+        F.sum("c").over(cum_w).alias("cum"),
+        F.sum("c").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    return cum.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        *[
+            F.round(
+                F.min(
+                    F.when(
+                        F.col("cum") >= F.expr(f"(n * {p} + 99) DIV 100"),
+                        F.col("iv"),
+                    )
+                )
+                / _PCT_SCALE,
+                2,
+            ).alias(f"p{p}")
+            for p in (50, 90, 99)
+        ],
+    )
+
+
 def value_decile_binning(events: DataFrame, bins: int = 10) -> DataFrame:
     """Equal-frequency (decile) feature binning per event_type — the
     training-feature discretization step: bin boundaries are the exact

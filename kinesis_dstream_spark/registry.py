@@ -4094,6 +4094,12 @@ def _q_stream_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     return jobs.streaming_percentile_maintenance(spark, sf)
 
 
+def _q_percentiles_from_store(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.streaming import jobs
+
+    return jobs.grouped_percentiles_from_store(spark, sf)
+
+
 def _q_cusum(spark: SparkSession, sf: str) -> DataFrame:
     return eventflow.cusum_changepoints(load_table(spark, sf, "events"))
 
@@ -4683,6 +4689,14 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # deterministic uniform negatives by md5 hash rank (KMV trick on
     # pairs): reproducible, mergeable, local-bottom-k pre-reduced
     "negative_sampling_pairs": (_q_neg_sampling, similarity.NEGATIVE_SAMPLING_SQL),
+    # continuous-aggregate serving: batch percentiles read from the
+    # streaming-maintained value-frequency store when its fingerprint
+    # matches the events table, scan fallback otherwise — both exact,
+    # so the oracle is the identical batch SQL
+    "grouped_percentiles_from_store": (
+        _q_percentiles_from_store,
+        dataquality.GROUPED_PERCENTILES_SQL,
+    ),
 }
 
 

@@ -791,3 +791,41 @@ def test_percentile_store_wipe_also_wipes_external_checkpoint(
         spark, sf_dir, state_dir=None, checkpoint_dir=cp
     )
     assert sorted(map(tuple, again.collect())) == want
+
+
+def test_grouped_percentiles_from_store_serves_granules(spark, sf_dir):
+    """r7 verdict task 3: with a fresh fingerprinted store the batch
+    fast path must serve the maintained value-frequency granules (its
+    scan reads ONLY store files — no events re-scan) and equal the
+    scan-path grouped_percentiles exactly; with the store absent it
+    falls back to the scan path, still exact."""
+    import shutil
+    import tempfile
+
+    from kinesis_dstream_spark.operators import dataquality
+    from kinesis_dstream_spark.streaming import jobs
+    from kinesis_dstream_spark.tables import load_table
+
+    want = sorted(
+        map(
+            tuple,
+            dataquality.grouped_percentiles(
+                load_table(spark, sf_dir, "events")
+            ).collect(),
+        )
+    )
+
+    auto_state = jobs._percentile_store_dir(sf_dir)
+    shutil.rmtree(auto_state, ignore_errors=True)
+
+    # absent store -> scan fallback, exact
+    fallback = jobs.grouped_percentiles_from_store(spark, sf_dir)
+    assert sorted(map(tuple, fallback.collect())) == want
+    assert any("events.parquet" in f for f in fallback.inputFiles())
+
+    # build the store, then the fast path must read only store files
+    jobs.streaming_percentile_maintenance(spark, sf_dir).collect()
+    served = jobs.grouped_percentiles_from_store(spark, sf_dir)
+    assert sorted(map(tuple, served.collect())) == want
+    files = served.inputFiles()
+    assert files and all(auto_state in f for f in files), files
