@@ -665,3 +665,195 @@ SELECT event_type, bin, count(*) AS n_rows,
        round(CAST(max(iv) AS BIGINT) / {_PCT_SCALE}, 2) AS hi_value
 FROM binned GROUP BY event_type, bin
 """
+
+
+def value_ks_drift(events: DataFrame) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov distance between each event
+    type's ``value`` distribution and the pooled rest — the
+    distribution-drift test a feature pipeline runs before trusting a
+    segment: KS is the max gap between empirical CDFs, and on the
+    fixed-point grid it is EXACT integer arithmetic (no sampling, no
+    binning error): D_t = max_x |F_t(x) − F_rest(x)| =
+    max_x |cum_t(x)·n_rest − cum_rest(x)·n_t| / (n_t·n_rest), with the
+    numerator reported as the hash-exact ``ks_num`` and the statistic
+    as a 6dp round of one int→double division.
+
+    Plan: one (type, iv) count (the only row-grain shuffle, spread by
+    value like the selection engine), then everything operates on the
+    |distinct values| grid: a partition-less cumulative window over
+    the grid table (grid-bounded, independent of row count — same
+    boundedness argument as selection.py's bucket table), a broadcast
+    |types|-row cross join, and a per-type cumulative window over
+    |grid|·|types| rows. int64 bound: cum·n products need
+    n_t·n ≲ 9·10¹⁸ (n ≤ ~3·10⁹ rows); beyond that cast the two
+    products to decimal(38,0) — one line, identical semantics.
+    """
+    from kinesis_dstream_spark.functions.exact import fixedpoint
+    from pyspark.sql import Window
+
+    base = events.select(
+        "event_type", fixedpoint(F.col("value"), _PCT_SCALE).alias("iv")
+    )
+    counts = base.groupBy("event_type", "iv").agg(F.count(F.lit(1)).alias("c"))
+    grid = counts.groupBy("iv").agg(F.sum("c").alias("c_all"))
+    cum_all_w = Window.orderBy("iv").rowsBetween(Window.unboundedPreceding, 0)
+    grid_cum = grid.select(
+        "iv", F.sum("c_all").over(cum_all_w).alias("cum_all")
+    )
+    totals = counts.groupBy("event_type").agg(F.sum("c").alias("n_t"))
+    grand = totals.agg(F.sum("n_t").alias("n"))
+    pairs = grid_cum.crossJoin(F.broadcast(totals.crossJoin(grand)))
+    cum_t_w = (
+        Window.partitionBy("event_type")
+        .orderBy("iv")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    joined = (
+        pairs.join(counts, ["event_type", "iv"], "left")
+        .select(
+            "event_type",
+            "iv",
+            "cum_all",
+            "n_t",
+            "n",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        )
+        .withColumn("cum_t", F.sum("c").over(cum_t_w))
+    )
+    stat = F.abs(
+        F.col("cum_t") * (F.col("n") - F.col("n_t"))
+        - (F.col("cum_all") - F.col("cum_t")) * F.col("n_t")
+    )
+    return (
+        joined.select("event_type", "n_t", "n", stat.alias("d"))
+        .groupBy("event_type")
+        .agg(
+            F.max("n_t").alias("n_type"),
+            (F.max("n") - F.max("n_t")).alias("n_rest"),
+            F.max("d").alias("ks_num"),
+        )
+        .select(
+            "event_type",
+            "n_type",
+            "n_rest",
+            "ks_num",
+            F.round(
+                F.col("ks_num") / (F.col("n_type") * F.col("n_rest")), 6
+            ).alias("ks_stat"),
+        )
+    )
+
+
+VALUE_KS_DRIFT_SQL = f"""
+WITH base AS (
+  SELECT event_type, CAST(round(value * {_PCT_SCALE}) AS BIGINT) AS iv
+  FROM events
+), counts AS (
+  SELECT event_type, iv, count(*) AS c FROM base GROUP BY event_type, iv
+), grid AS (
+  SELECT iv, sum(c) AS c_all FROM counts GROUP BY iv
+), grid_cum AS (
+  SELECT iv, sum(c_all) OVER (ORDER BY iv) AS cum_all FROM grid
+), totals AS (
+  SELECT event_type, CAST(sum(c) AS BIGINT) AS n_t FROM counts
+  GROUP BY event_type
+), grand AS (SELECT CAST(sum(n_t) AS BIGINT) AS n FROM totals),
+joined AS (
+  SELECT t.event_type, g.iv, g.cum_all, t.n_t, gr.n,
+         coalesce(c.c, 0) AS c
+  FROM grid_cum g CROSS JOIN totals t CROSS JOIN grand gr
+  LEFT JOIN counts c ON c.event_type = t.event_type AND c.iv = g.iv
+), cum AS (
+  SELECT event_type, n_t, n, cum_all,
+         sum(c) OVER (PARTITION BY event_type ORDER BY iv) AS cum_t
+  FROM joined
+)
+SELECT event_type, CAST(max(n_t) AS BIGINT) AS n_type,
+       CAST(max(n) - max(n_t) AS BIGINT) AS n_rest,
+       CAST(max(abs(cum_t * (n - n_t) - (cum_all - cum_t) * n_t))
+            AS BIGINT) AS ks_num,
+       round(CAST(max(abs(cum_t * (n - n_t) - (cum_all - cum_t) * n_t))
+                  AS BIGINT)
+             / (CAST(max(n_t) AS BIGINT) * (max(n) - max(n_t))), 6)
+         AS ks_stat
+FROM cum GROUP BY event_type
+"""
+
+
+def value_gini_by_type(events: DataFrame) -> DataFrame:
+    """Exact Gini coefficient of ``value`` per event type — the
+    inequality/concentration lens on value mass (companion to
+    ``event_concentration_hhi``'s user-concentration): G = (2·Σ i·x₍ᵢ₎
+    − (n+1)·Σx) / (n·Σx) over the ascending sort — computed WITHOUT
+    sorting rows, from the (type, iv, count) value-frequency table:
+    rows sharing a value contribute a closed-form rank sum
+    (c·cum_before + c(c+1)/2), so 2·Σ i·x₍ᵢ₎ =
+    Σ_v iv·(2·c·cum_before + c² + c) — integer arithmetic end to end,
+    one row-grain (type, iv) count then a grid-bounded cumulative
+    window, the selection-engine plan shape. Defined for non-negative
+    value columns (standard Gini domain); the formula itself is
+    deterministic regardless. 6dp round of one int→double division.
+    """
+    from kinesis_dstream_spark.functions.exact import fixedpoint
+    from pyspark.sql import Window
+
+    base = events.select(
+        "event_type", fixedpoint(F.col("value"), _PCT_SCALE).alias("iv")
+    )
+    freq = base.groupBy("event_type", "iv").agg(F.count(F.lit(1)).alias("c"))
+    before = (
+        Window.partitionBy("event_type")
+        .orderBy("iv")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    terms = freq.select(
+        "event_type",
+        "c",
+        "iv",
+        F.coalesce(F.sum("c").over(before), F.lit(0)).alias("cb"),
+    )
+    agg = terms.groupBy("event_type").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("iv") * F.col("c")).alias("s"),
+        F.sum(
+            F.col("iv")
+            * (
+                F.lit(2) * F.col("c") * F.col("cb")
+                + F.col("c") * F.col("c")
+                + F.col("c")
+            )
+        ).alias("t2"),
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        F.round(F.col("s") / _PCT_SCALE, 2).alias("total_value"),
+        F.round(
+            (F.col("t2") - (F.col("n") + 1) * F.col("s"))
+            / (F.col("n") * F.col("s")),
+            6,
+        ).alias("gini"),
+    )
+
+
+VALUE_GINI_SQL = f"""
+WITH base AS (
+  SELECT event_type, CAST(round(value * {_PCT_SCALE}) AS BIGINT) AS iv
+  FROM events
+), freq AS (
+  SELECT event_type, iv, count(*) AS c FROM base GROUP BY event_type, iv
+), terms AS (
+  SELECT event_type, iv, c,
+         coalesce(sum(c) OVER (PARTITION BY event_type ORDER BY iv
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM freq
+), agg AS (
+  SELECT event_type, CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(iv * c) AS BIGINT) AS s,
+         CAST(sum(iv * (2 * c * cb + c * c + c)) AS BIGINT) AS t2
+  FROM terms GROUP BY event_type
+)
+SELECT event_type, n, round(s / {_PCT_SCALE}, 2) AS total_value,
+       round((t2 - (n + 1) * s) / (n * s), 6) AS gini
+FROM agg
+"""

@@ -2263,3 +2263,125 @@ SELECT max(n) AS n_converted,
        round(CAST(max(s) AS BIGINT) / max(n), 4) AS mean_minutes
 FROM ranked
 """
+
+
+def interarrival_percentiles(events: DataFrame) -> DataFrame:
+    """Exact p50/p90/p99 of the inter-arrival gap (seconds) between a
+    user's consecutive events of the same type — the traffic-model /
+    staleness-SLO statistic behind polling-cadence choices (the
+    reference's only cadence knob is a fixed sleep,
+    /root/reference/app/hs_contacts.py:139-147; this measures what the
+    cadence SHOULD be per entity type).
+
+    Gaps are exact int64 end to end: epoch-microsecond difference,
+    truncating division to whole seconds (Spark DIV == DuckDB //),
+    deterministic ordering by (ts, event_id). Percentiles are
+    nearest-rank order statistics from the histogram-refinement
+    selection engine (selection.py) — the lag window partitions on
+    (user_id, event_type), a user-grain key that scales out, and no
+    per-type sort of raw gaps exists anywhere.
+    """
+    us = F.expr("unix_micros(cast(ts as timestamp))")
+    seq = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = (
+        events.select("user_id", "event_type", "ts", "event_id", us.alias("us"))
+        .withColumn("prev_us", F.lag("us").over(seq))
+        .where(F.col("prev_us").isNotNull())
+        .select(
+            "event_type",
+            F.expr("(us - prev_us) DIV 1000000").alias("gap_s"),
+        )
+    )
+    from kinesis_dstream_spark.operators.selection import grid_rank_select
+
+    totals = gaps.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_gaps"))
+    ranks = None
+    for p in (50, 90, 99):
+        r = totals.select(
+            "event_type",
+            F.lit(f"p{p}").alias("sel"),
+            F.expr(f"(n_gaps * {p} + 99) DIV 100").alias("r"),
+        )
+        ranks = r if ranks is None else ranks.unionByName(r)
+    sel = grid_rank_select(gaps, "event_type", "gap_s", ranks, _GRID_BUCKET)
+    pcts = sel.groupBy("event_type").agg(
+        *[
+            F.max(F.when(F.col("sel") == f"p{p}", F.col("value"))).alias(
+                f"p{p}_s"
+            )
+            for p in (50, 90, 99)
+        ]
+    )
+    return totals.join(pcts, "event_type").select(
+        "event_type", "n_gaps", "p50_s", "p90_s", "p99_s"
+    )
+
+
+INTERARRIVAL_SQL = """
+WITH gaps AS (
+  SELECT event_type,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+            PARTITION BY user_id, event_type ORDER BY ts, event_id
+          )) // 1000000 AS gap_s
+  FROM events
+), g AS (SELECT event_type, gap_s FROM gaps WHERE gap_s IS NOT NULL),
+ranked AS (
+  SELECT event_type, gap_s,
+         row_number() OVER (PARTITION BY event_type ORDER BY gap_s) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM g
+)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n_gaps,
+       max(CASE WHEN rn = (n * 50 + 99) // 100 THEN gap_s END) AS p50_s,
+       max(CASE WHEN rn = (n * 90 + 99) // 100 THEN gap_s END) AS p90_s,
+       max(CASE WHEN rn = (n * 99 + 99) // 100 THEN gap_s END) AS p99_s
+FROM ranked GROUP BY event_type
+"""
+
+
+def event_concentration_hhi(events: DataFrame) -> DataFrame:
+    """Per-type activity concentration across users — the
+    Herfindahl–Hirschman index the abuse/skew dashboards watch: a type
+    whose traffic is one bot is a partition-skew hazard AND a data-
+    quality smell, and HHI = Σ share_u² detects it in one pass.
+
+    Exact: per-(type, user) counts are int64, hhi_num = Σ c_u² and
+    n_events² divide as one double operation, rounded to 6dp — both
+    engines perform the identical int→double division. Plan: two hash
+    aggregates ((type, user) then type — the first is the only
+    row-grain shuffle, user-grain keyed), no window, no join. int64
+    bound: c_u ≤ 3·10⁹ keeps c_u² in range; beyond that cast the
+    squares to decimal(38,0) (one line, same semantics).
+    """
+    per_user = events.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        per_user.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("c").alias("n_events"),
+            F.sum(F.col("c") * F.col("c")).alias("hhi_num"),
+        )
+        .select(
+            "event_type",
+            "n_users",
+            "n_events",
+            F.round(
+                F.col("hhi_num") / (F.col("n_events") * F.col("n_events")), 6
+            ).alias("hhi"),
+        )
+    )
+
+
+EVENT_HHI_SQL = """
+WITH per_user AS (
+  SELECT event_type, user_id, count(*) AS c FROM events
+  GROUP BY event_type, user_id
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(c) AS BIGINT) AS n_events,
+       round(CAST(sum(c * c) AS BIGINT) / (CAST(sum(c) AS BIGINT) * sum(c)), 6)
+         AS hhi
+FROM per_user GROUP BY event_type
+"""

@@ -57,6 +57,13 @@ Truncating division (Spark ``DIV``) is monotone non-decreasing, so
 bucket ids order consistently with values even for negatives (bucket 0
 spans both signs — harmless, ordering across buckets is what matters).
 
+``grid_weighted_rank_select`` generalizes the same engine to weighted
+order statistics: every count becomes a weight SUM (equally additive
+and map-combinable), ranks address cumulative weight instead of row
+count, and zero-weight rows are transparently skipped by the crossing
+condition. The plan shape and the degenerate-distribution immunity are
+identical — ``grid_rank_select`` is the weight≡1 special case.
+
 Exactness: the (key, sel, value, count) table is an exact multiset
 representation of the hit bucket's residents, so the value whose
 cumulative frequency first reaches the residual rank r − base IS the
@@ -92,9 +99,48 @@ def grid_rank_select(
     ``ranks``: one row per request — (key, sel, r), 1 ≤ r ≤ n(key).
     Output: (key, sel, value) — the order statistic at ascending rank r.
     """
+    return _grid_select(df, key, value, ranks, bucket_width, F.lit(1))
+
+
+def grid_weighted_rank_select(
+    df: DataFrame,
+    key: str,
+    value: str,
+    weight: str,
+    ranks: DataFrame,
+    bucket_width: int,
+) -> DataFrame:
+    """Weighted order statistics on the same two-level count-table
+    engine: return, per (key, sel) request, the smallest ``value``
+    whose cumulative ``weight`` (ascending by value) reaches rank
+    ``r`` — i.e. the exact weighted quantile at mass r of the key's
+    total weight W = Σ weight, 1 ≤ r ≤ W.
+
+    ``weight`` must be a non-negative integral column; every
+    "count" in the unweighted engine simply becomes a weight SUM
+    (additive and map-combinable in exactly the same way), so the
+    plan shape, the degenerate-distribution immunity, and the
+    exactness argument carry over verbatim: the (key, sel, value,
+    weight-sum) table is an exact representation of the weighted
+    multiset, and the crossing value is unique because cumulative
+    weight is non-decreasing in value with ties sharing a value row.
+    """
+    return _grid_select(df, key, value, ranks, bucket_width, F.col(weight))
+
+
+def _grid_select(
+    df: DataFrame,
+    key: str,
+    value: str,
+    ranks: DataFrame,
+    bucket_width: int,
+    measure,
+) -> DataFrame:
     bucket = F.expr(f"{value} DIV {bucket_width}")
-    cand = df.select(key, F.col(value).alias("v"), bucket.alias("bucket"))
-    bcounts = cand.groupBy(key, "bucket").agg(F.count(F.lit(1)).alias("c"))
+    cand = df.select(
+        key, F.col(value).alias("v"), bucket.alias("bucket"), measure.alias("m")
+    )
+    bcounts = cand.groupBy(key, "bucket").agg(F.sum("m").alias("c"))
     before = (
         Window.partitionBy(key)
         .orderBy("bucket")
@@ -121,7 +167,7 @@ def grid_rank_select(
     vfreq = (
         cand.join(F.broadcast(hits), [key, "bucket"])
         .groupBy(key, "sel", "bucket", "base", "r", "v")
-        .agg(F.count(F.lit(1)).alias("vc"))
+        .agg(F.sum("m").alias("vc"))
     )
     in_sel = (
         Window.partitionBy(key, "sel", "bucket")

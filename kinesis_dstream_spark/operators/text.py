@@ -1084,3 +1084,77 @@ def lang_id_confusion(documents: DataFrame) -> DataFrame:
         F.round(F.col("n") / F.sum("n").over(by_label), 4).alias("recall"),
         F.round(F.col("n") / F.sum("n").over(by_pred), 4).alias("precision"),
     )
+
+
+def char_weighted_length_percentiles(documents: DataFrame) -> DataFrame:
+    """Char-weighted document-length percentiles per language — the
+    curation statistic that answers "where does the median BYTE live?"
+    rather than "where does the median DOC live?": a corpus can be 90%
+    short docs yet 90% long-doc characters, and token budgets follow
+    mass, not document count (the count-weighted twin is
+    ``adaptive_quality_gate``'s cut).
+
+    wp50/wp90 are exact weighted order statistics: the smallest length
+    L such that documents of length ≤ L hold ≥ p% of the language's
+    total characters — computed by ``grid_weighted_rank_select``
+    (selection.py), the weighted generalization of the histogram-
+    refinement engine: every count becomes a weight SUM (additive,
+    map-combinable), so no per-language sort of raw docs exists and
+    the degenerate-distribution immunity carries over unchanged.
+    Languages with zero total weight are excluded (weighted
+    percentiles are undefined there) — both engines filter on W > 0.
+    """
+    from kinesis_dstream_spark.operators.selection import (
+        grid_weighted_rank_select,
+    )
+
+    base = documents.select(
+        "lang", F.col("n_chars").alias("len"), F.col("n_chars").alias("w")
+    )
+    totals = (
+        base.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("w").alias("total_chars"),
+        )
+        .where(F.col("total_chars") > 0)
+    )
+    ranks = None
+    for p in (50, 90):
+        r = totals.select(
+            "lang",
+            F.lit(f"p{p}").alias("sel"),
+            F.expr(f"(total_chars * {p} + 99) DIV 100").alias("r"),
+        )
+        ranks = r if ranks is None else ranks.unionByName(r)
+    sel = grid_weighted_rank_select(base, "lang", "len", "w", ranks, 1024)
+    pcts = sel.groupBy("lang").agg(
+        F.max(F.when(F.col("sel") == "p50", F.col("value"))).alias("wp50_len"),
+        F.max(F.when(F.col("sel") == "p90", F.col("value"))).alias("wp90_len"),
+    )
+    return totals.join(pcts, "lang").select(
+        "lang", "n_docs", "total_chars", "wp50_len", "wp90_len"
+    )
+
+
+CHAR_WEIGHTED_LENGTH_SQL = """
+WITH base AS (SELECT lang, n_chars AS len FROM documents),
+tot AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len) AS BIGINT) AS total_chars
+  FROM base GROUP BY lang HAVING sum(len) > 0
+), vals AS (
+  SELECT lang, len, sum(len) AS c FROM base GROUP BY lang, len
+), cum AS (
+  SELECT lang, len,
+         sum(c) OVER (PARTITION BY lang ORDER BY len) AS cw
+  FROM vals
+)
+SELECT t.lang, t.n_docs, t.total_chars,
+       min(CASE WHEN cw >= (total_chars * 50 + 99) // 100 THEN len END)
+         AS wp50_len,
+       min(CASE WHEN cw >= (total_chars * 90 + 99) // 100 THEN len END)
+         AS wp90_len
+FROM cum c JOIN tot t ON c.lang = t.lang
+GROUP BY t.lang, t.n_docs, t.total_chars
+"""

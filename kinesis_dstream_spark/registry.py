@@ -4100,6 +4100,28 @@ def _q_percentiles_from_store(spark: SparkSession, sf: str) -> DataFrame:
     return jobs.grouped_percentiles_from_store(spark, sf)
 
 
+def _q_interarrival(spark: SparkSession, sf: str) -> DataFrame:
+    return eventflow.interarrival_percentiles(load_table(spark, sf, "events"))
+
+
+def _q_event_hhi(spark: SparkSession, sf: str) -> DataFrame:
+    return eventflow.event_concentration_hhi(load_table(spark, sf, "events"))
+
+
+def _q_char_weighted_lengths(spark: SparkSession, sf: str) -> DataFrame:
+    return text.char_weighted_length_percentiles(
+        load_table(spark, sf, "documents")
+    )
+
+
+def _q_value_ks_drift(spark: SparkSession, sf: str) -> DataFrame:
+    return dataquality.value_ks_drift(load_table(spark, sf, "events"))
+
+
+def _q_value_gini(spark: SparkSession, sf: str) -> DataFrame:
+    return dataquality.value_gini_by_type(load_table(spark, sf, "events"))
+
+
 def _q_cusum(spark: SparkSession, sf: str) -> DataFrame:
     return eventflow.cusum_changepoints(load_table(spark, sf, "events"))
 
@@ -4697,6 +4719,24 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _q_percentiles_from_store,
         dataquality.GROUPED_PERCENTILES_SQL,
     ),
+    # polling-cadence statistic: exact same-type inter-arrival gap
+    # percentiles via lag + grid selection (user-grain lag window)
+    "interarrival_percentiles": (_q_interarrival, eventflow.INTERARRIVAL_SQL),
+    # per-type activity concentration across users (HHI) — two hash
+    # aggregates, exact int arithmetic to one rounded division
+    "event_concentration_hhi": (_q_event_hhi, eventflow.EVENT_HHI_SQL),
+    # weighted order statistics: char-weighted doc-length percentiles
+    # on grid_weighted_rank_select (counts -> weight sums)
+    "char_weighted_length_percentiles": (
+        _q_char_weighted_lengths,
+        text.CHAR_WEIGHTED_LENGTH_SQL,
+    ),
+    # exact integer two-sample KS distance per type vs pooled rest —
+    # CDF gap maximized over the fixed-point value grid
+    "value_ks_drift": (_q_value_ks_drift, dataquality.VALUE_KS_DRIFT_SQL),
+    # exact Gini from the value-frequency table (closed-form tied-rank
+    # sums; no row sort)
+    "value_gini_by_type": (_q_value_gini, dataquality.VALUE_GINI_SQL),
 }
 
 

@@ -114,3 +114,48 @@ def test_randomized_against_sorted(spark):
         ]:
             ranks.append((k, sel, r))
     _check(spark, rows, ranks, bucket_width=512)
+
+
+def test_weighted_rank_select_against_local(spark):
+    """grid_weighted_rank_select: the smallest value whose cumulative
+    weight reaches rank r must match a local weighted scan, including
+    zero-weight rows (transparently skipped) and ties sharing a
+    value."""
+    from kinesis_dstream_spark.operators.selection import (
+        grid_weighted_rank_select,
+    )
+
+    rows = [
+        ("a", 10, 3),
+        ("a", 10, 2),
+        ("a", 5, 0),
+        ("a", 7, 4),
+        ("a", 2000, 1),
+        ("b", -4, 5),
+        ("b", 0, 5),
+    ]
+    df = spark.createDataFrame(rows, "key string, v long, w long")
+
+    def local(key, r):
+        items = sorted((v, w) for k, v, w in rows if k == key)
+        cum = 0
+        for v, w in items:
+            cum += w
+            if cum >= r:
+                return v
+        raise AssertionError("rank beyond total weight")
+
+    ranks = []
+    want = {}
+    totals = {"a": 10, "b": 10}
+    for key, tot in totals.items():
+        for p in (1, 30, 50, 90, 100):
+            r = max(1, (tot * p + 99) // 100)
+            ranks.append((key, f"p{p}", r))
+            want[(key, f"p{p}")] = local(key, r)
+    rdf = spark.createDataFrame(ranks, "key string, sel string, r long")
+    got = {
+        (r["key"], r["sel"]): r["value"]
+        for r in grid_weighted_rank_select(df, "key", "v", "w", rdf, 8).collect()
+    }
+    assert got == want
