@@ -1,0 +1,352 @@
+"""Deterministic embedding clustering + semantic (cluster-scoped)
+dedup — the SemDeDup-style curation pass (SURVEY §2B E-10/E-11).
+
+Near-dup dedup (MinHash/simhash/cosine-LSH) removes *copies*; semantic
+dedup removes *redundancy*: documents that say the same thing in
+different words. The published recipe (SemDeDup, Abbas et al. 2023;
+see PAPERS.md) is (1) k-means-cluster the embedding space, (2) compare
+pairs ONLY within a cluster, (3) drop all but one of each semantic
+group. Clustering is what makes the quadratic pairwise step tractable:
+the cluster is the candidate block, exactly like LSH bands are for
+near-dup — and this module implements both stages Spark-first with a
+bit-exact relational oracle.
+
+Determinism/exactness contract (the house fixed-point discipline):
+
+- Vectors are L2-normalized with the sequential left-to-right fold
+  (bitwise-equal to the DuckDB twin's ``list_reduce`` — the
+  ``_DUCK_UNIT_CTE`` argument, registry.py), then land on the 1e-6
+  fixed-point grid. Everything after is int64 arithmetic.
+- Lloyd iterations are FIXED (``n_assign`` assignment rounds with one
+  truncating-division centroid update between), not convergence-polled,
+  so the whole algorithm is an exact relational recurrence with an
+  unrolled DuckDB twin — the PageRank/LPA oracle pattern (graph.py).
+- Seeds are the ``k`` smallest md5 hash ranks of vec_id — the repo's
+  deterministic-draw idiom (KMV/negative-sampling): reproducible across
+  runs/partitionings with no RNG state. (Production k-means++ would
+  sample seeds the same hash-rank way.)
+- Distances: squared L2 on the unit grid (rank-equivalent to cosine
+  for unit vectors: ||a−b||² = 2−2·cos). Bounds: coords ≤ 1e6,
+  per-dim diff² ≤ 4e12, ×64 dims ≤ 2.6e14 — comfortably int64.
+- Argmin ties break toward the smallest centroid id (array_position
+  returns the FIRST minimum; the oracle's min-join replays it).
+
+Plan shape (100 TB story):
+
+- Assignment is PURE MAP-SIDE: centroids are collected to the driver
+  (k·d int64s — the bounded "codebook" collect the PQ family already
+  uses) and compiled into the row expression as literal arrays, so
+  scoring is a JVM ``zip_with``/``aggregate`` fold per centroid with
+  NO join and NO shuffle. The only exchange per update round is the
+  (cid, pos) partial-sum aggregate: map-combined to ≤ partitions·k·d
+  rows — independent of corpus size.
+- Like the JL/PQ paths, building the plan therefore runs bounded Spark
+  jobs (one k·d collect per centroid state) — the documented
+  EAGER-EVALUATION house semantics (similarity.py): centroids freeze
+  at plan-build; rebuild the plan to re-fit.
+- SemDeDup's pair stage joins the capped member list with itself on
+  cluster id. The deterministic per-cluster cap (md5-ranked
+  representatives, default 256) bounds every cluster's pairwise work
+  to cap²/2 dots regardless of data volume — the skew bound: 8 cluster
+  keys would otherwise be 8 straggler tasks whose size tracks the
+  corpus. Production scales k with n (SemDeDup uses k ≈ n/⟨cluster⟩)
+  so clusters stay small; the cap is the belt-and-braces guarantee on
+  top, and dropping only among representatives is itself the paper's
+  subsampling variant.
+
+Fixture caveat (same as the JL/IVF family): the synthetic corpus is
+isotropic, so within-cluster cosines sit near 0 and τ is calibrated to
+0.40 to exercise the drop path (~5% drops); production embeddings
+cluster tightly and use τ ≈ 0.95+. τ enters as an exact integer
+threshold on the grid (τ·S² — no float compare).
+
+Reference tie: the reference engine (/root/reference/app/app.py) is an
+HTTP poll/filter pipeline with no vector executor; this module is part
+of the mandated LLM-pipeline extension surface, not reference parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kinesis_dstream_spark.operators.similarity import _normalized
+
+_SCALE = 1_000_000
+_K = 8
+_N_ASSIGN = 2  # assignment rounds; one centroid update between
+_SEM_TAU_FP = 400_000_000_000  # τ=0.40 on the unit grid: τ·S²
+_SEM_CAP = 256
+
+
+def _unit_int_arrays(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, iu): unit vector on the 1e-6 fixed-point grid."""
+    return _normalized(embeddings).select(
+        "vec_id",
+        F.transform("unit", lambda x: F.round(x * _SCALE).cast("long")).alias(
+            "iu"
+        ),
+    )
+
+
+def _collect_seed_centroids(
+    embeddings: DataFrame, iarr: DataFrame, k: int
+) -> list[tuple[int, list[int]]]:
+    """The k hash-rank seed vectors, as (cid, coords) driver literals."""
+    seeds = (
+        embeddings.select(
+            "vec_id",
+            F.md5(
+                F.concat(F.lit("kmeans:"), F.col("vec_id").cast("string"))
+            ).alias("rk"),
+        )
+        .orderBy("rk", "vec_id")
+        .limit(k)
+    )
+    rows = (
+        iarr.join(seeds, "vec_id")
+        .select("rk", "vec_id", "iu")
+        .orderBy("rk", "vec_id")
+        .collect()
+    )
+    return [(cid, [int(x) for x in r["iu"]]) for cid, r in enumerate(rows)]
+
+
+def _assign_expr(iarr: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
+    """Map-side assignment against literal centroids: no join, no
+    shuffle — dist per centroid is a JVM zip_with/aggregate fold."""
+    dists = [
+        F.aggregate(
+            F.zip_with(
+                F.col("iu"),
+                F.array(*[F.lit(c) for c in coords]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        for _, coords in cents
+    ]
+    darr = F.array(*dists)
+    cid_arr = F.array(*[F.lit(cid) for cid, _ in cents])
+    return iarr.select(
+        "vec_id",
+        "iu",
+        F.array_min(darr).alias("dist"),
+        # first minimum == smallest centroid id (cents is cid-ordered)
+        F.element_at(cid_arr, F.array_position(darr, F.array_min(darr)).cast("int"))
+        .alias("cluster_id"),
+    )
+
+
+def embedding_kmeans_assign(
+    embeddings: DataFrame, k: int = _K, n_assign: int = _N_ASSIGN
+) -> DataFrame:
+    """Deterministic fixed-point Lloyd assignment:
+    (vec_id, iu, dist, cluster_id) after ``n_assign`` assignment rounds
+    with a truncating-division centroid update between each pair.
+
+    A centroid that captures no members simply drops out of the next
+    round's literal list (its id is never reassigned) — identical
+    group-by semantics in the oracle, deterministic in both engines.
+    """
+    iarr = _unit_int_arrays(embeddings).localCheckpoint()
+    cents = _collect_seed_centroids(embeddings, iarr, k)
+    asg = _assign_expr(iarr, cents)
+    for _ in range(n_assign - 1):
+        upd = (
+            asg.select("cluster_id", F.posexplode("iu").alias("pos0", "v"))
+            .groupBy("cluster_id", "pos0")
+            # trunc division toward zero: Spark DIV == DuckDB // (the
+            # determinism-trap contract) — numpy-validated in pytest
+            .agg(F.expr("sum(v) DIV count(1)").alias("cv"))
+            .groupBy("cluster_id")
+            .agg(F.sort_array(F.collect_list(F.struct("pos0", "cv"))).alias("cs"))
+            .orderBy("cluster_id")
+            .collect()  # bounded: ≤ k rows of d int64s (the PQ codebook bound)
+        )
+        cents = [
+            (int(r["cluster_id"]), [int(s["cv"]) for s in r["cs"]]) for r in upd
+        ]
+        asg = _assign_expr(iarr, cents)
+    return asg
+
+
+def embedding_kmeans_profile(
+    embeddings: DataFrame, k: int = _K, n_assign: int = _N_ASSIGN
+) -> DataFrame:
+    """Per-cluster fit profile: size, exact integer inertia, mean
+    squared unit-space distance (one int/int division at the end)."""
+    asg = embedding_kmeans_assign(embeddings, k, n_assign)
+    return (
+        asg.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("dist").alias("inertia_num"),
+        )
+        .select(
+            "cluster_id",
+            "n_members",
+            "inertia_num",
+            # same left-to-right division chain as the DuckDB twin
+            F.round(
+                F.col("inertia_num")
+                / F.col("n_members")
+                / float(_SCALE)
+                / float(_SCALE),
+                6,
+            ).alias("mean_sq_dist"),
+        )
+    )
+
+
+def semantic_cluster_dedup(
+    embeddings: DataFrame,
+    k: int = _K,
+    n_assign: int = _N_ASSIGN,
+    tau_fp: int = _SEM_TAU_FP,
+    cap: int = _SEM_CAP,
+) -> DataFrame:
+    """SemDeDup: within each k-means cluster, drop every member that
+    has a LOWER-id capped representative within cosine τ (exact
+    integer dot ≥ τ·S² on the unit grid). Greedy-by-id — the paper's
+    "keep one per semantic group" with a deterministic keeper.
+
+    Returns per-cluster accounting: (cluster_id, n_members, n_dropped,
+    n_kept). Members beyond the md5-ranked cap are kept by default
+    (dedup runs among representatives — the subsampling variant; the
+    cap is the per-cluster work bound, see module docstring).
+    """
+    asg = embedding_kmeans_assign(embeddings, k, n_assign).localCheckpoint()
+    mrk = Window.partitionBy("cluster_id").orderBy(
+        F.md5(F.concat(F.lit("sem:"), F.col("vec_id").cast("string"))), "vec_id"
+    )
+    capped = (
+        asg.withColumn("mrk", F.row_number().over(mrk))
+        .filter(F.col("mrk") <= cap)
+        .select("vec_id", "cluster_id", "iu")
+    )
+    a = capped.select(
+        F.col("cluster_id").alias("cid"),
+        F.col("vec_id").alias("a_id"),
+        F.col("iu").alias("a_iu"),
+    )
+    b = capped.select(
+        F.col("cluster_id").alias("cid"),
+        F.col("vec_id").alias("b_id"),
+        F.col("iu").alias("b_iu"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("a_iu"), F.col("b_iu"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    dropped = (
+        a.join(b, ["cid"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .where(dot >= F.lit(tau_fp))
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        asg.join(dropped.withColumn("dr", F.lit(1)), "vec_id", "left")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.count("dr").alias("n_dropped"),
+            (F.count(F.lit(1)) - F.count("dr")).alias("n_kept"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB twins: the same recurrence unrolled (PageRank-oracle pattern).
+# ---------------------------------------------------------------------------
+
+
+def kmeans_oracle_cte(k: int = _K, n_assign: int = _N_ASSIGN) -> str:
+    """WITH-chain ending in ``a{n_assign}`` = (vec_id, cid, dist),
+    plus ``iarr`` (vec_id, iu list) for downstream pair dots."""
+    chain = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), u AS (
+  SELECT vec_id,
+         list_transform(v, x -> x /
+           sqrt(list_reduce(list_transform(v, y -> y * y), (a, b) -> a + b))
+         ) AS unit
+  FROM e
+), iarr AS (
+  SELECT vec_id,
+         list_transform(unit, x -> CAST(round(x * {_SCALE}) AS BIGINT)) AS iu
+  FROM u
+), lg AS (
+  SELECT vec_id, unnest(generate_series(1, len(iu))) AS pos, unnest(iu) AS iu
+  FROM iarr
+), seeds AS (
+  SELECT vec_id,
+         row_number() OVER (
+           ORDER BY md5('kmeans:' || CAST(vec_id AS VARCHAR)), vec_id) - 1
+           AS cid
+  FROM embeddings
+  ORDER BY md5('kmeans:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT {k}
+), c0 AS (
+  SELECT s.cid, l.pos, l.iu AS cv FROM seeds s JOIN lg l USING (vec_id)
+)"""
+    prev = "c0"
+    for i in range(1, n_assign + 1):
+        chain += f""", d{i} AS (
+  SELECT l.vec_id, c.cid,
+         CAST(sum((l.iu - c.cv) * (l.iu - c.cv)) AS BIGINT) AS dist
+  FROM lg l JOIN {prev} c ON c.pos = l.pos GROUP BY 1, 2
+), m{i} AS (SELECT vec_id, min(dist) AS md FROM d{i} GROUP BY 1),
+a{i} AS (
+  SELECT d.vec_id, min(d.cid) AS cid, min(d.dist) AS dist
+  FROM d{i} d JOIN m{i} ON m{i}.vec_id = d.vec_id AND d.dist = m{i}.md
+  GROUP BY 1
+)"""
+        if i < n_assign:
+            chain += f""", c{i} AS (
+  SELECT a.cid, l.pos,
+         CAST(CAST(sum(l.iu) AS BIGINT) // count(*) AS BIGINT) AS cv
+  FROM a{i} a JOIN lg l USING (vec_id) GROUP BY 1, 2
+)"""
+            prev = f"c{i}"
+    return chain
+
+
+KMEANS_PROFILE_SQL = (
+    kmeans_oracle_cte()
+    + f"""
+SELECT cid AS cluster_id, count(*) AS n_members,
+       CAST(sum(dist) AS BIGINT) AS inertia_num,
+       round(CAST(sum(dist) AS BIGINT) / count(*) / {_SCALE}.0 / {_SCALE}.0, 6)
+         AS mean_sq_dist
+FROM a{_N_ASSIGN} GROUP BY 1
+"""
+)
+
+
+SEMANTIC_DEDUP_SQL = (
+    kmeans_oracle_cte()
+    + f""", mem AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY cid
+            ORDER BY md5('sem:' || CAST(vec_id AS VARCHAR)), vec_id) AS mrk
+  FROM a{_N_ASSIGN}
+), capped AS (SELECT vec_id, cid FROM mem WHERE mrk <= {_SEM_CAP}),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM capped a JOIN capped b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  JOIN iarr ia ON ia.vec_id = a.vec_id
+  JOIN iarr ib ON ib.vec_id = b.vec_id
+  WHERE list_reduce(list_transform(list_zip(ia.iu, ib.iu), s -> s[1] * s[2]),
+                    (x, y) -> x + y) >= {_SEM_TAU_FP}
+)
+SELECT f.cid AS cluster_id, count(*) AS n_members,
+       CAST(count(d.vec_id) AS BIGINT) AS n_dropped,
+       CAST(count(*) - count(d.vec_id) AS BIGINT) AS n_kept
+FROM a{_N_ASSIGN} f LEFT JOIN dropped d ON d.vec_id = f.vec_id
+GROUP BY 1
+"""
+)

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from kinesis_dstream_spark.functions.exact import avg_sql, sum_sql
 from kinesis_dstream_spark.operators import (
     changelog,
+    clustering,
     curation,
     dataquality,
     dedup,
@@ -4122,6 +4123,14 @@ def _q_value_gini(spark: SparkSession, sf: str) -> DataFrame:
     return dataquality.value_gini_by_type(load_table(spark, sf, "events"))
 
 
+def _q_kmeans_profile(spark: SparkSession, sf: str) -> DataFrame:
+    return clustering.embedding_kmeans_profile(load_table(spark, sf, "embeddings"))
+
+
+def _q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    return clustering.semantic_cluster_dedup(load_table(spark, sf, "embeddings"))
+
+
 def _q_cusum(spark: SparkSession, sf: str) -> DataFrame:
     return eventflow.cusum_changepoints(load_table(spark, sf, "events"))
 
@@ -4737,6 +4746,13 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # exact Gini from the value-frequency table (closed-form tied-rank
     # sums; no row sort)
     "value_gini_by_type": (_q_value_gini, dataquality.VALUE_GINI_SQL),
+    # deterministic fixed-point Lloyd on the unit grid: map-side
+    # assignment vs collected literal centroids (PQ-codebook bound),
+    # unrolled exact recurrence oracle like PageRank/LPA
+    "embedding_kmeans_profile": (_q_kmeans_profile, clustering.KMEANS_PROFILE_SQL),
+    # SemDeDup: within-cluster capped-representative pair dots on the
+    # int grid, greedy-by-id drops — exact relational twin end-to-end
+    "semantic_cluster_dedup": (_q_semantic_dedup, clustering.SEMANTIC_DEDUP_SQL),
 }
 
 

@@ -1,0 +1,163 @@
+"""Semantic clustering + SemDeDup: numpy reference, edge cases, plan."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from kinesis_dstream_spark.operators import clustering
+from kinesis_dstream_spark.tables import load_table
+
+S = clustering._SCALE
+
+
+def _numpy_reference(rows, k, n_assign):
+    """Independent Lloyd re-implementation (fold-norm, trunc-div)."""
+    ids = np.array([r[0] for r in rows])
+    V = [r[1] for r in rows]
+
+    def fold_norm(v):
+        acc = 0.0
+        for y in v:
+            acc += float(y) * float(y)
+        return math.sqrt(acc)
+
+    IU = np.array(
+        [[round(float(x) / fold_norm(v) * S) for x in v] for v in V],
+        dtype=np.int64,
+    )
+    order = sorted(
+        range(len(ids)),
+        key=lambda i: (hashlib.md5(f"kmeans:{ids[i]}".encode()).hexdigest(), ids[i]),
+    )
+    cents = {c: IU[order[c]].copy() for c in range(k)}
+
+    def assign(cents):
+        cids = sorted(cents)
+        C = np.stack([cents[c] for c in cids])
+        d = ((IU[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)  # first min == smallest cid
+        return (
+            np.array([cids[j] for j in a]),
+            d[np.arange(len(ids)), a],
+        )
+
+    cid, dist = assign(cents)
+    for _ in range(n_assign - 1):
+        nxt = {}
+        for c in sorted(cents):
+            m = IU[cid == c]
+            if len(m):  # empty centroid drops out
+                nxt[c] = np.trunc(m.sum(axis=0) / len(m)).astype(np.int64)
+        cents = nxt
+        cid, dist = assign(cents)
+    return ids, cid, dist
+
+
+def test_kmeans_matches_numpy_reference(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.select("vec_id", "embedding").collect()
+    ]
+    ids, cid, dist = _numpy_reference(rows, clustering._K, clustering._N_ASSIGN)
+    expected = {int(i): (int(c), int(d)) for i, c, d in zip(ids, cid, dist)}
+    got = {
+        int(r["vec_id"]): (int(r["cluster_id"]), int(r["dist"]))
+        for r in clustering.embedding_kmeans_assign(emb).collect()
+    }
+    assert got == expected
+
+
+def test_semantic_dedup_matches_numpy_reference(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.select("vec_id", "embedding").collect()
+    ]
+    ids, cid, _ = _numpy_reference(rows, clustering._K, clustering._N_ASSIGN)
+    IU = {}
+    for r_id, v in rows:
+
+        def fold_norm(v):
+            acc = 0.0
+            for y in v:
+                acc += float(y) * float(y)
+            return math.sqrt(acc)
+
+        IU[r_id] = np.array([round(float(x) / fold_norm(v) * S) for x in v], np.int64)
+    dropped = set()
+    for c in set(cid.tolist()):
+        members = sorted(int(i) for i in ids[cid == c])
+        capped = sorted(
+            sorted(
+                members,
+                key=lambda v: (hashlib.md5(f"sem:{v}".encode()).hexdigest(), v),
+            )[: clustering._SEM_CAP]
+        )
+        for bi, b in enumerate(capped):
+            for a in capped[:bi]:
+                if int(IU[a] @ IU[b]) >= clustering._SEM_TAU_FP:
+                    dropped.add(b)
+                    break
+    expected = {}
+    for c in set(cid.tolist()):
+        mem = [int(i) for i in ids[cid == c]]
+        dr = sum(1 for v in mem if v in dropped)
+        expected[int(c)] = (len(mem), dr, len(mem) - dr)
+    got = {
+        int(r["cluster_id"]): (
+            int(r["n_members"]),
+            int(r["n_dropped"]),
+            int(r["n_kept"]),
+        )
+        for r in clustering.semantic_cluster_dedup(emb).collect()
+    }
+    assert got == expected
+    assert sum(v[1] for v in got.values()) > 0, "τ must exercise the drop path"
+
+
+def test_empty_centroid_drops_out(spark):
+    # three coincident points, k=2: every point picks cid 0 (tie→min),
+    # the update leaves centroid 1 memberless, the final round must run
+    # with the surviving centroid only
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.0, 0.0], 0) for i in range(3)],
+        "vec_id long, embedding array<double>, label long",
+    )
+    out = clustering.embedding_kmeans_profile(df, k=2, n_assign=2).collect()
+    assert len(out) == 1
+    assert out[0]["n_members"] == 3
+    assert out[0]["inertia_num"] == 0
+
+
+def test_cap_bounds_pair_stage(spark):
+    # 4 identical vectors in one cluster, cap=2: only the two capped
+    # representatives can pair, so exactly ONE drop (the higher-id of
+    # the capped pair) even though all 4 are mutually identical
+    df = spark.createDataFrame(
+        [(i, [0.0, 1.0, 0.0, 0.0], 0) for i in range(4)],
+        "vec_id long, embedding array<double>, label long",
+    )
+    out = clustering.semantic_cluster_dedup(
+        df, k=1, n_assign=2, tau_fp=int(0.99 * S * S), cap=2
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["n_members"] == 4
+    assert out[0]["n_dropped"] == 1
+    assert out[0]["n_kept"] == 3
+
+
+def test_assignment_is_joinless_map_side(spark, sf_dir):
+    # the scale contract: scoring against literal centroids must not
+    # introduce a join or an exchange before the argmin — the plan of
+    # the assignment DataFrame contains no Exchange at all
+    emb = load_table(spark, sf_dir, "embeddings")
+    asg = clustering.embedding_kmeans_assign(emb)
+    plan = asg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
