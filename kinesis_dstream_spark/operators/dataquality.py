@@ -689,12 +689,22 @@ def value_ks_drift(events: DataFrame) -> DataFrame:
     products to decimal(38,0) — one line, identical semantics.
     """
     from kinesis_dstream_spark.functions.exact import fixedpoint
-    from pyspark.sql import Window
 
     base = events.select(
         "event_type", fixedpoint(F.col("value"), _PCT_SCALE).alias("iv")
     )
     counts = base.groupBy("event_type", "iv").agg(F.count(F.lit(1)).alias("c"))
+    return ks_from_value_frequency(counts)
+
+
+def ks_from_value_frequency(counts: DataFrame) -> DataFrame:
+    """KS drift from the (event_type, iv, c) value-frequency table —
+    the selection engine's sufficient statistic, so this entry point
+    serves both the raw scan above and the streaming-maintained granule
+    store (``streaming/jobs.value_ks_from_store``): every quantity in
+    the KS statistic is a cumulative count over the grid."""
+    from pyspark.sql import Window
+
     grid = counts.groupBy("iv").agg(F.sum("c").alias("c_all"))
     cum_all_w = Window.orderBy("iv").rowsBetween(Window.unboundedPreceding, 0)
     grid_cum = grid.select(

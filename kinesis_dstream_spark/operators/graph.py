@@ -333,3 +333,88 @@ SELECT lbl AS community, count(*) AS n_members,
        CAST(sum(node) AS BIGINT) AS sum_member_ids
 FROM {prev} GROUP BY lbl
 """
+
+
+def k_core_members(
+    documents: DataFrame, k: int = 2, n_iter: int = 3, pairs: DataFrame | None = None
+) -> DataFrame:
+    """Fixed-round k-core peeling over the near-dup graph — the fourth
+    graph lens: where CC finds *any* connectivity, LPA dense blocks,
+    and PageRank hubs, the k-core strips pendant chains and leaves the
+    mutually-reinforcing duplication skeleton (every survivor keeps ≥ k
+    neighbors among survivors). Curation reads it as "template farm
+    membership with multiplicity": a doc that near-dups ≥ k OTHER
+    still-surviving docs is boilerplate with high confidence, while
+    chain/star peripheries peel away.
+
+    Bounded-iteration determinism (the PageRank/LPA contract): rounds
+    are FIXED (``n_iter``), not peeled-to-fixpoint, so the recurrence
+    is exactly relational and the DuckDB twin unrolls it; after the
+    final round the surviving subgraph's degree is reported. (The true
+    k-core is the fixpoint; each extra round only removes more nodes,
+    and on the fixture graph 3 rounds reach it. A convergence-polled
+    variant would poll a count per round — same per-round plan.)
+
+    Per round: two semi-joins of the (localCheckpointed) edge list
+    against the |alive|-row node set and one degree count — the
+    alive set broadcasts today (AQE, under the threshold at test
+    scale); beyond autoBroadcastJoinThreshold both semi-joins flip to
+    shuffles that re-use the edge exchange, the same documented
+    per-round cost as PageRank's rank vector.
+
+    ``pairs``: pass the persisted artifact to skip the shingle join.
+    """
+    from kinesis_dstream_spark.operators.dedup import dedup_ngram_jaccard
+
+    if pairs is None:
+        pairs = dedup_ngram_jaccard(documents)
+    p = pairs.select("doc_a", "doc_b")
+    edges = (
+        p.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(p.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .localCheckpoint()
+    )
+    alive = edges.select(F.col("src").alias("node")).distinct()
+    for _ in range(n_iter):
+        deg = (
+            edges.join(alive, edges["src"] == alive["node"], "left_semi")
+            .join(alive, F.col("dst") == alive["node"], "left_semi")
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        alive = deg.filter(F.col("c") >= k).select(F.col("src").alias("node"))
+    final_deg = (
+        edges.join(alive, edges["src"] == alive["node"], "left_semi")
+        .join(alive, F.col("dst") == alive["node"], "left_semi")
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+    )
+    return final_deg.select(F.col("src").alias("doc_id"), "core_degree")
+
+
+def k_core_oracle_sql(pairs_sql: str, k: int = 2, n_iter: int = 3) -> str:
+    """DuckDB twin: identical peel recurrence, rounds unrolled."""
+    prev, cte = "alive0", ""
+    for i in range(1, n_iter + 1):
+        cte += f""", deg{i} AS (
+  SELECT e.src, count(*) AS c
+  FROM edges e
+  JOIN {prev} a1 ON a1.node = e.src
+  JOIN {prev} a2 ON a2.node = e.dst
+  GROUP BY e.src
+), alive{i} AS (SELECT src AS node FROM deg{i} WHERE c >= {k})"""
+        prev = f"alive{i}"
+    return f"""
+WITH jp AS ({pairs_sql}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM jp
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM jp
+),
+alive0 AS (SELECT DISTINCT src AS node FROM edges){cte}
+SELECT e.src AS doc_id, count(*) AS core_degree
+FROM edges e
+JOIN {prev} a1 ON a1.node = e.src
+JOIN {prev} a2 ON a2.node = e.dst
+GROUP BY e.src
+"""

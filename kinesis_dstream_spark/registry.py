@@ -4101,6 +4101,12 @@ def _q_percentiles_from_store(spark: SparkSession, sf: str) -> DataFrame:
     return jobs.grouped_percentiles_from_store(spark, sf)
 
 
+def _q_ks_from_store(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.streaming import jobs
+
+    return jobs.value_ks_from_store(spark, sf)
+
+
 def _q_interarrival(spark: SparkSession, sf: str) -> DataFrame:
     return eventflow.interarrival_percentiles(load_table(spark, sf, "events"))
 
@@ -4121,6 +4127,12 @@ def _q_value_ks_drift(spark: SparkSession, sf: str) -> DataFrame:
 
 def _q_value_gini(spark: SparkSession, sf: str) -> DataFrame:
     return dataquality.value_gini_by_type(load_table(spark, sf, "events"))
+
+
+def _q_kcore(spark: SparkSession, sf: str) -> DataFrame:
+    return graph.k_core_members(
+        load_table(spark, sf, "documents"), pairs=_near_dup_pairs(spark, sf)
+    )
 
 
 def _q_kmeans_profile(spark: SparkSession, sf: str) -> DataFrame:
@@ -4746,6 +4758,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # exact Gini from the value-frequency table (closed-form tied-rank
     # sums; no row sort)
     "value_gini_by_type": (_q_value_gini, dataquality.VALUE_GINI_SQL),
+    # second continuous-aggregate consumer of the percentile granule
+    # store: KS drift from the maintained value-frequency table
+    "value_ks_from_store": (_q_ks_from_store, dataquality.VALUE_KS_DRIFT_SQL),
+    # fixed-round k-core peeling over the shared pairs artifact:
+    # unrolled peel-recurrence oracle (PageRank/LPA pattern)
+    "k_core_members": (_q_kcore, graph.k_core_oracle_sql(_SQL_DEDUP_JACCARD)),
     # deterministic fixed-point Lloyd on the unit grid: map-side
     # assignment vs collected literal centroids (PQ-codebook bound),
     # unrolled exact recurrence oracle like PageRank/LPA

@@ -1186,6 +1186,39 @@ def grouped_percentiles_from_store(
     return dataquality.grouped_percentiles(load_table(spark, sf_dir, "events"))
 
 
+def value_ks_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS drift SERVED FROM the streaming-maintained
+    value-frequency store when fresh — a second continuous-aggregate
+    consumer of the SAME granules as ``grouped_percentiles_from_store``
+    (the point of maintaining a sufficient statistic rather than a
+    materialized answer: every downstream that is a function of the
+    (event_type, iv, count) table — percentiles, KS, Gini, deciles —
+    rides one maintenance stream for free).
+
+    Freshness gate and fallback are identical to the percentile path:
+    fingerprint match → read |distinct values| granule rows and run
+    ``ks_from_value_frequency``; stale/absent → scan-path
+    ``value_ks_drift``. Both exact, results identical (pytest-pinned),
+    oracle = the same VALUE_KS_DRIFT_SQL.
+    """
+    from kinesis_dstream_spark.operators import dataquality
+    from kinesis_dstream_spark.tables import load_table
+
+    state_dir = _percentile_store_dir(sf_dir)
+    cur_path = os.path.join(state_dir, "current")
+    meta = os.path.join(state_dir, "_meta.json")
+    if os.path.exists(cur_path) and _stored_fingerprint(
+        meta
+    ) == _events_fingerprint(spark, sf_dir):
+        freq = (
+            spark.read.parquet(cur_path)
+            .groupBy("event_type", "iv")
+            .agg(F.sum("c").alias("c"))
+        )
+        return dataquality.ks_from_value_frequency(freq)
+    return dataquality.value_ks_drift(load_table(spark, sf_dir, "events"))
+
+
 def streaming_transition_maintenance(
     spark: SparkSession,
     sf_dir: str,

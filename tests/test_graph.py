@@ -91,3 +91,36 @@ def test_lpa_on_constructed_two_block_graph(spark):
     assert set(out) == {1, 10}
     assert out[1]["n_members"] == 4 and out[1]["sum_member_ids"] == 10
     assert out[10]["n_members"] == 4 and out[10]["sum_member_ids"] == 46
+
+
+def test_k_core_fixed_round_peel(spark):
+    """Hand graph: triangle {10,11,12} + pendant chain 12-20-21.
+    2-core peeling removes 21 (deg 1) in round 1, then 20 (deg 1 after
+    21 left) in round 2; the triangle survives with degree 2 each."""
+    from kinesis_dstream_spark.operators import graph
+
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (10, 12), (12, 20), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    out = {
+        r["doc_id"]: r["core_degree"]
+        for r in graph.k_core_members(None, k=2, n_iter=3, pairs=pairs).collect()
+    }
+    assert out == {10: 2, 11: 2, 12: 2}
+
+
+def test_k_core_oracle_unrolls_same_recurrence(spark, duck, sf_dir):
+    from kinesis_dstream_spark.operators import graph
+    from kinesis_dstream_spark.operators.dedup import dedup_ngram_jaccard
+    from kinesis_dstream_spark.registry import _SQL_DEDUP_JACCARD
+    from kinesis_dstream_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = sorted(
+        map(tuple, graph.k_core_members(docs, pairs=dedup_ngram_jaccard(docs)).collect())
+    )
+    want = sorted(
+        map(tuple, duck.execute(graph.k_core_oracle_sql(_SQL_DEDUP_JACCARD)).fetchall())
+    )
+    assert got == want and len(got) > 0

@@ -829,3 +829,37 @@ def test_grouped_percentiles_from_store_serves_granules(spark, sf_dir):
     assert sorted(map(tuple, served.collect())) == want
     files = served.inputFiles()
     assert files and all(auto_state in f for f in files), files
+
+
+def test_value_ks_from_store_serves_granules(spark, sf_dir):
+    """Second consumer of the percentile granule store: KS drift from
+    the maintained value-frequency table must equal the scan path
+    exactly, and when the store is fresh its scan must read only store
+    files (the continuous-aggregate claim)."""
+    import shutil
+
+    from kinesis_dstream_spark.operators import dataquality
+    from kinesis_dstream_spark.streaming import jobs
+    from kinesis_dstream_spark.tables import load_table
+
+    want = sorted(
+        map(
+            tuple,
+            dataquality.value_ks_drift(
+                load_table(spark, sf_dir, "events")
+            ).collect(),
+        )
+    )
+
+    auto_state = jobs._percentile_store_dir(sf_dir)
+    shutil.rmtree(auto_state, ignore_errors=True)
+
+    fallback = jobs.value_ks_from_store(spark, sf_dir)
+    assert sorted(map(tuple, fallback.collect())) == want
+    assert any("events.parquet" in f for f in fallback.inputFiles())
+
+    jobs.streaming_percentile_maintenance(spark, sf_dir).collect()
+    served = jobs.value_ks_from_store(spark, sf_dir)
+    assert sorted(map(tuple, served.collect())) == want
+    files = served.inputFiles()
+    assert files and all(auto_state in f for f in files), files
