@@ -2385,3 +2385,123 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
          AS hhi
 FROM per_user GROUP BY event_type
 """
+
+
+def daily_count_autocorr(events: DataFrame, lags: tuple[int, ...] = (1, 7)) -> DataFrame:
+    """Autocorrelation of the per-type DAILY EVENT COUNT series at the
+    given lags — the seasonality probe a pipeline runs before trusting
+    a trend fit (value_trend_regression above): lag-1 says "is today
+    like yesterday", lag-7 "is today like last week". The series is
+    gap-filled with explicit zero days (an absent day IS a zero count —
+    skipping it would silently correlate only busy days).
+
+    Exactness discipline (the trend op's): everything is int64 moments;
+    sqrt never happens — the statistic is the SIGNED square
+    sign(cov)·cov²/(varx·vary), monotone in |r| with r's sign, plus
+    the exact integer ``cov_num`` for the hash gate. One double
+    division at the end, identical left-to-right in the twin.
+
+    Plan: one (type, day) count (map-combined, grid-bounded output), a
+    per-type min/max span, a sequence-explode day grid (|days| rows —
+    independent of event count), one self-join of the grid at ``+lag``
+    per lag, and a 6-sum moment aggregate. No window, no row sort; the
+    only row-grain shuffle is the initial daily count, keyed by
+    (type, day) so hot types spread across days.
+    """
+    d = F.expr("datediff(to_date(ts), DATE '2024-01-01')").cast("long")
+    daily = events.groupBy("event_type", d.alias("d")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    span = daily.groupBy("event_type").agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    grid = span.select(
+        "event_type", F.explode(F.sequence("d0", "d1")).alias("d")
+    )
+    filled = grid.join(daily, ["event_type", "d"], "left").select(
+        "event_type", "d", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    lag_df = filled.sparkSession.createDataFrame(
+        [(int(l),) for l in lags], "lag long"
+    )
+    a = filled.select("event_type", "d", F.col("c").alias("x"))
+    b = filled.select(
+        F.col("event_type").alias("et2"), F.col("d").alias("d2"), F.col("c").alias("y")
+    )
+    pairs = (
+        a.crossJoin(F.broadcast(lag_df))
+        .join(
+            b,
+            (F.col("et2") == F.col("event_type"))
+            & (F.col("d2") == F.col("d") + F.col("lag")),
+        )
+    )
+    agg = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    A = F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy")
+    B = F.col("n_pairs") * F.col("sxx") - F.col("sx") * F.col("sx")
+    C = F.col("n_pairs") * F.col("syy") - F.col("sy") * F.col("sy")
+    return agg.select(
+        "event_type",
+        "lag",
+        "n_pairs",
+        A.alias("cov_num"),
+        F.round(
+            F.signum(A.cast("double"))
+            * (A.cast("double") * A.cast("double"))
+            / (B.cast("double") * C.cast("double")),
+            6,
+        ).alias("acf_signed_r2"),
+    )
+
+
+def daily_autocorr_sql(lags: tuple[int, ...] = (1, 7)) -> str:
+    """DuckDB twin generated from the SAME lags parameter as the
+    Python function (the r7-ADVICE discipline: no silently-diverging
+    hardcoded twin of a parameterized operator)."""
+    lag_list = ", ".join(str(int(l)) for l in lags)
+    return f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT event_type, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1
+), grid AS (
+  SELECT event_type, unnest(generate_series(d0, d1)) AS d FROM span
+), filled AS (
+  SELECT g.event_type, g.d, coalesce(dl.c, 0) AS c
+  FROM grid g LEFT JOIN daily dl ON dl.event_type = g.event_type AND dl.d = g.d
+), lagt AS (SELECT unnest([{lag_list}]) AS lag),
+pairs AS (
+  SELECT a.event_type, l.lag, a.c AS x, b.c AS y
+  FROM filled a CROSS JOIN lagt l
+  JOIN filled b ON b.event_type = a.event_type AND b.d = a.d + l.lag
+), agg AS (
+  SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM pairs GROUP BY 1, 2
+)
+SELECT event_type, lag, n_pairs,
+       CAST(n_pairs * sxy - sx * sy AS BIGINT) AS cov_num,
+       round(sign(CAST(n_pairs * sxy - sx * sy AS DOUBLE))
+             * (CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+                * CAST(n_pairs * sxy - sx * sy AS DOUBLE))
+             / (CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+                * CAST(n_pairs * syy - sy * sy AS DOUBLE)), 6)
+         AS acf_signed_r2
+FROM agg
+"""
+
+
+DAILY_AUTOCORR_SQL = daily_autocorr_sql()

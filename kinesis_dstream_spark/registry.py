@@ -4129,6 +4129,10 @@ def _q_value_gini(spark: SparkSession, sf: str) -> DataFrame:
     return dataquality.value_gini_by_type(load_table(spark, sf, "events"))
 
 
+def _q_daily_autocorr(spark: SparkSession, sf: str) -> DataFrame:
+    return eventflow.daily_count_autocorr(load_table(spark, sf, "events"))
+
+
 def _q_kcore(spark: SparkSession, sf: str) -> DataFrame:
     return graph.k_core_members(
         load_table(spark, sf, "documents"), pairs=_near_dup_pairs(spark, sf)
@@ -4758,6 +4762,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # exact Gini from the value-frequency table (closed-form tied-rank
     # sums; no row sort)
     "value_gini_by_type": (_q_value_gini, dataquality.VALUE_GINI_SQL),
+    # seasonality probe: lag-1/lag-7 autocorrelation of zero-filled
+    # daily counts, signed-r2 moments (no sqrt), twin generated from
+    # the same lags parameter
+    "daily_count_autocorr": (_q_daily_autocorr, eventflow.DAILY_AUTOCORR_SQL),
     # second continuous-aggregate consumer of the percentile granule
     # store: KS drift from the maintained value-frequency table
     "value_ks_from_store": (_q_ks_from_store, dataquality.VALUE_KS_DRIFT_SQL),

@@ -541,3 +541,43 @@ def test_funnel_time_percentiles_consistent(spark, sf_dir):
     assert r["n_converted"] == converted
     assert 0 <= r["p50_minutes"] <= r["p90_minutes"]
     assert r["mean_minutes"] > 0
+
+
+def test_daily_autocorr_zero_fills_gap_days(spark):
+    """Synthetic alternating series with a missing day: the gap MUST
+    enter the pairs as an explicit zero. Days 0,1,2,4 have counts
+    2,1,2,2 -> filled series [2,1,2,0,2]; lag-1 pairs (2,1),(1,2),
+    (2,0),(0,2): cov_num = 4*12 - 5*5 = 23... computed by hand below."""
+    import datetime
+
+    from kinesis_dstream_spark.operators import eventflow
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for day, c in ((0, 2), (1, 1), (2, 2), (4, 2)):
+        for _ in range(c):
+            rows.append((eid, base + datetime.timedelta(days=day), 1, "a", 1.0, ""))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    out = {
+        (r["event_type"], r["lag"]): (r["n_pairs"], r["cov_num"], r["acf_signed_r2"])
+        for r in eventflow.daily_count_autocorr(df, lags=(1,)).collect()
+    }
+    series = [2, 1, 2, 0, 2]
+    x, y = series[:-1], series[1:]
+    n = len(x)
+    sx, sy = sum(x), sum(y)
+    sxy = sum(a * b for a, b in zip(x, y))
+    sxx, syy = sum(a * a for a in x), sum(b * b for b in y)
+    A = n * sxy - sx * sy
+    B = n * sxx - sx * sx
+    C = n * syy - sy * sy
+    import math
+
+    want = round(math.copysign(A * A, A) / (B * C), 6)
+    assert out[("a", 1)][0] == n
+    assert out[("a", 1)][1] == A
+    assert abs(out[("a", 1)][2] - want) < 1e-9
