@@ -244,6 +244,15 @@ BENCH_QUERIES = {
     # dict, so the store is warm); measures the O(|distinct values|)
     # serve cost vs grouped_percentiles' O(|events|) scan
     "pctl_from_store": "grouped_percentiles_from_store",
+    # r8 wave 2: semantic clustering (map-side Lloyd vs literal
+    # centroids), SemDeDup capped-pair dedup, fixed-round k-core over
+    # the shared pairs artifact, KS from the same granule store as
+    # pctl_from_store, zero-filled daily autocorrelation
+    "kmeans_profile": "embedding_kmeans_profile",
+    "semantic_dedup": "semantic_cluster_dedup",
+    "k_core": "k_core_members",
+    "ks_from_store": "value_ks_from_store",
+    "daily_autocorr": "daily_count_autocorr",
 }
 
 

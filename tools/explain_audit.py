@@ -123,6 +123,10 @@ AUDIT_DEFAULT = [
     "embedding_quantization_calibration",
     "lang_id_confusion",
     "negative_sampling_pairs",
+    "embedding_kmeans_profile",
+    "semantic_cluster_dedup",
+    "k_core_members",
+    "daily_count_autocorr",
 ]
 
 
