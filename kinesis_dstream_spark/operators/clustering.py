@@ -139,17 +139,11 @@ def _assign_expr(iarr: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFra
     )
 
 
-def embedding_kmeans_assign(
+def _fit_kmeans(
     embeddings: DataFrame, k: int = _K, n_assign: int = _N_ASSIGN
-) -> DataFrame:
-    """Deterministic fixed-point Lloyd assignment:
-    (vec_id, iu, dist, cluster_id) after ``n_assign`` assignment rounds
-    with a truncating-division centroid update between each pair.
-
-    A centroid that captures no members simply drops out of the next
-    round's literal list (its id is never reassigned) — identical
-    group-by semantics in the oracle, deterministic in both engines.
-    """
+) -> tuple[DataFrame, DataFrame, list[tuple[int, list[int]]]]:
+    """(iarr, assignment, final centroids) — the fit shared by the
+    profile, SemDeDup, and the deterministic-IVF serving path."""
     iarr = _unit_int_arrays(embeddings).localCheckpoint()
     cents = _collect_seed_centroids(embeddings, iarr, k)
     asg = _assign_expr(iarr, cents)
@@ -169,6 +163,21 @@ def embedding_kmeans_assign(
             (int(r["cluster_id"]), [int(s["cv"]) for s in r["cs"]]) for r in upd
         ]
         asg = _assign_expr(iarr, cents)
+    return iarr, asg, cents
+
+
+def embedding_kmeans_assign(
+    embeddings: DataFrame, k: int = _K, n_assign: int = _N_ASSIGN
+) -> DataFrame:
+    """Deterministic fixed-point Lloyd assignment:
+    (vec_id, iu, dist, cluster_id) after ``n_assign`` assignment rounds
+    with a truncating-division centroid update between each pair.
+
+    A centroid that captures no members simply drops out of the next
+    round's literal list (its id is never reassigned) — identical
+    group-by semantics in the oracle, deterministic in both engines.
+    """
+    _, asg, _ = _fit_kmeans(embeddings, k, n_assign)
     return asg
 
 
@@ -350,3 +359,130 @@ FROM a{_N_ASSIGN} f LEFT JOIN dropped d ON d.vec_id = f.vec_id
 GROUP BY 1
 """
 )
+
+
+def ivf_deterministic_topk(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    topk: int = 5,
+    n_probe: int = 2,
+    k: int = _K,
+    n_assign: int = _N_ASSIGN,
+) -> DataFrame:
+    """IVF ANN with NOTHING probabilistic left: coarse cells come from
+    the deterministic Lloyd fit above, the probe list is an exact
+    integer ranking of query→centroid distances, and the candidate
+    re-rank is the exact integer dot — so unlike the sampled-codebook
+    ``ann_ivf_topk`` (rows-only, recall-bounded in pytest), THIS IVF
+    is end-to-end hash-checkable against a relational oracle while
+    keeping the real IVF serving shape: each query scores only the
+    members of its ``n_probe`` nearest cells, never the corpus.
+
+    The approximation error is still honest ANN semantics (a true
+    neighbor living outside the probed cells is missed); recall vs the
+    exact brute-force operator is measured in pytest. What changed is
+    that the error is REPRODUCIBLE — certifiable row-for-row — which
+    is what a production retrieval pipeline wants from its serving
+    tier (the "same query, same shortlist, any replica" contract).
+
+    Plan: query→centroid scoring is map-side (k literal folds, tiny
+    query side), the probe pick a ≤ |q|·k-row window, and the
+    candidate join hashes on cluster_id — at 100 TB with the corpus
+    written cell-partitioned (the ann_index layout), that join is
+    partition-pruned to the probed cells. Ties: cells on (dist, cid),
+    results on (dot desc, c_id).
+    """
+    iarr, asg, cents = _fit_kmeans(embeddings, k, n_assign)
+    queries = iarr.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("iu").alias("q_iu")
+    )
+    dists = [
+        F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col("q_iu"),
+                    F.array(*[F.lit(c) for c in coords]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("cd"),
+            F.lit(cid).alias("cid"),
+        )
+        for cid, coords in cents
+    ]
+    probe_w = Window.partitionBy("q_id").orderBy("cd", "cid")
+    probes = (
+        queries.select("q_id", "q_iu", F.explode(F.array(*dists)).alias("s"))
+        .select("q_id", "q_iu", F.col("s.cd").alias("cd"), F.col("s.cid").alias("cid"))
+        .withColumn("pr", F.row_number().over(probe_w))
+        .filter(F.col("pr") <= n_probe)
+        .select("q_id", "q_iu", F.col("cid").alias("cluster_id"))
+    )
+    cand = asg.select("vec_id", "iu", "cluster_id").join(
+        F.broadcast(probes), "cluster_id"
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("q_iu"), F.col("iu"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = cand.filter(F.col("vec_id") != F.col("q_id")).select(
+        "q_id", F.col("vec_id").alias("c_id"), dot.alias("dot_num")
+    )
+    topk_w = Window.partitionBy("q_id").orderBy(F.col("dot_num").desc(), "c_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(topk_w))
+        .filter(F.col("rk") <= topk)
+        .select("q_id", "c_id", "dot_num", "rk")
+    )
+
+
+def ivf_deterministic_sql(
+    n_queries: int = 10,
+    topk: int = 5,
+    n_probe: int = 2,
+    k: int = _K,
+    n_assign: int = _N_ASSIGN,
+) -> str:
+    """DuckDB twin generated from the same parameters (the r7-ADVICE
+    discipline). The final centroid table is ``c{n_assign-1}`` (or the
+    seeds for a single-round fit)."""
+    cent_tbl = f"c{n_assign - 1}" if n_assign > 1 else "c0"
+    return (
+        kmeans_oracle_cte(k, n_assign)
+        + f""", q AS (
+  SELECT vec_id AS q_id, iu AS q_iu FROM iarr WHERE vec_id < {n_queries}
+), qd AS (
+  SELECT l.vec_id AS q_id, c.cid,
+         CAST(sum((l.iu - c.cv) * (l.iu - c.cv)) AS BIGINT) AS cd
+  FROM lg l JOIN {cent_tbl} c ON c.pos = l.pos
+  WHERE l.vec_id < {n_queries}
+  GROUP BY 1, 2
+), probes AS (
+  SELECT q_id, cid FROM (
+    SELECT q_id, cid, row_number() OVER (PARTITION BY q_id ORDER BY cd, cid) AS pr
+    FROM qd
+  ) WHERE pr <= {n_probe}
+), scored AS (
+  SELECT p.q_id, a.vec_id AS c_id,
+         CAST(list_reduce(list_transform(list_zip(q.q_iu, ia.iu),
+                                         s -> s[1] * s[2]),
+                          (x, y) -> x + y) AS BIGINT) AS dot_num
+  FROM probes p
+  JOIN a{n_assign} a ON a.cid = p.cid
+  JOIN q ON q.q_id = p.q_id
+  JOIN iarr ia ON ia.vec_id = a.vec_id
+  WHERE a.vec_id <> p.q_id
+)
+SELECT q_id, c_id, dot_num, rk FROM (
+  SELECT q_id, c_id, dot_num,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY dot_num DESC, c_id) AS rk
+  FROM scored
+) WHERE rk <= {topk}
+"""
+    )
+
+
+IVF_DETERMINISTIC_SQL = ivf_deterministic_sql()

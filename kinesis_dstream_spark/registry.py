@@ -4147,6 +4147,10 @@ def _q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return clustering.semantic_cluster_dedup(load_table(spark, sf, "embeddings"))
 
 
+def _q_ivf_deterministic(spark: SparkSession, sf: str) -> DataFrame:
+    return clustering.ivf_deterministic_topk(load_table(spark, sf, "embeddings"))
+
+
 def _q_cusum(spark: SparkSession, sf: str) -> DataFrame:
     return eventflow.cusum_changepoints(load_table(spark, sf, "events"))
 
@@ -4779,6 +4783,14 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # SemDeDup: within-cluster capped-representative pair dots on the
     # int grid, greedy-by-id drops — exact relational twin end-to-end
     "semantic_cluster_dedup": (_q_semantic_dedup, clustering.SEMANTIC_DEDUP_SQL),
+    # IVF ANN with a deterministic coarse quantizer: probe-ranked cells
+    # + exact integer re-rank — the first HASH-CHECKABLE ANN entry
+    # (the sampled-codebook IVF stays rows-only); recall vs brute
+    # force measured in pytest
+    "ann_ivf_deterministic_topk": (
+        _q_ivf_deterministic,
+        clustering.IVF_DETERMINISTIC_SQL,
+    ),
 }
 
 
