@@ -4151,6 +4151,44 @@ def _q_ivf_deterministic(spark: SparkSession, sf: str) -> DataFrame:
     return clustering.ivf_deterministic_topk(load_table(spark, sf, "embeddings"))
 
 
+def _q_dedup_setsim_prefix(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.dedup_setsim_prefix(load_table(spark, sf, "documents"))
+
+
+def _setsim_prefix_sql(k: int = 3, t_num: int = 3, t_den: int = 5) -> str:
+    """DuckDB twin generated from the SAME (k, t) parameters as
+    ``dedup.dedup_setsim_prefix`` (r7-ADVICE discipline). The oracle is
+    the direct all-pairs definition — the prefix filter is a Spark-side
+    index strategy whose exactness the hash gate certifies."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKS.format(col='text')} AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - {k - 1}, 1) + 1),
+                                      i -> array_to_string(t[i:i+{k - 1}], ' '))) AS shingles
+  FROM toks
+), ex AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM ex GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM ex a JOIN ex b ON b.shingle = a.shingle AND b.doc_id > a.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, sa.sz AS n_a, sb.sz AS n_b, i.n_inter,
+       CAST((i.n_inter * 1000000) // (sa.sz + sb.sz - i.n_inter) AS BIGINT) AS jac_ppm
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE {t_den} * i.n_inter >= {t_num} * (sa.sz + sb.sz - i.n_inter)
+"""
+
+
+_SQL_SETSIM_PREFIX = _setsim_prefix_sql()
+
+
 def _q_cusum(spark: SparkSession, sf: str) -> DataFrame:
     return eventflow.cusum_changepoints(load_table(spark, sf, "events"))
 
@@ -4791,6 +4829,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _q_ivf_deterministic,
         clustering.IVF_DETERMINISTIC_SQL,
     ),
+    # AllPairs/PPJoin prefix-filtered exact Jaccard join: third dedup
+    # index strategy (vs df-cap inverted index and MinHash bands) —
+    # uncapped vocabulary, integer-exact jac_ppm, oracle = all-pairs
+    "dedup_setsim_prefix": (_q_dedup_setsim_prefix, _SQL_SETSIM_PREFIX),
 }
 
 

@@ -464,3 +464,67 @@ def test_near_dup_pairs_artifact_matches_live_and_detects_staleness(
     assert fp2 != fp1
     want_half = dedup.dedup_ngram_jaccard(half).collect()
     assert sorted(map(tuple, rebuilt)) == sorted(map(tuple, want_half))
+
+
+def test_setsim_prefix_matches_bruteforce_and_shrinks_index(spark, sf_dir):
+    """The prefix filter must lose NO qualifying pair (AllPairs lemma)
+    and the index it joins must be a strict subset of the full
+    inverted index — the point of the strategy."""
+    docs = load_table(spark, sf_dir, "documents")
+    got = sorted(map(tuple, dedup.dedup_setsim_prefix(docs).collect()))
+
+    # brute-force twin: full inverted index, no prefix, same semantics
+    ex = dedup._shingle_sets(docs, 3).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    sz = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    want = sorted(
+        (
+            r["doc_a"],
+            r["doc_b"],
+            r["n_a"],
+            r["n_b"],
+            r["n_inter"],
+            r["n_inter"] * 1000000 // (r["n_a"] + r["n_b"] - r["n_inter"]),
+        )
+        for r in inter.join(
+            sz.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sz.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("n_b")),
+            "doc_b",
+        )
+        .collect()
+        if 5 * r["n_inter"] >= 3 * (r["n_a"] + r["n_b"] - r["n_inter"])
+    )
+    assert got == want
+    assert len(got) > 0
+
+    # the prefix index holds ~(1-t) of rows: assert a real reduction
+    from pyspark.sql import Window
+
+    wdoc = Window.partitionBy("doc_id")
+    dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        ex.join(dfreq, "shingle")
+        .withColumn("sz", F.count(F.lit(1)).over(wdoc))
+        .withColumn("pos", F.row_number().over(wdoc.orderBy("df", "shingle")))
+    )
+    plen = F.col("sz") - F.expr("(3 * sz + 4) div 5") + F.lit(1)
+    n_full = ex.count()
+    n_prefix = ranked.filter(F.col("pos") <= plen).count()
+    assert n_prefix < 0.55 * n_full
