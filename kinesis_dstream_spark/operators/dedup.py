@@ -1095,3 +1095,119 @@ def dedup_setsim_prefix(
             "jac_ppm"
         ),
     )
+
+
+def _global_rank(df: DataFrame, cols: list[str], rank_col: str) -> DataFrame:
+    """Scalable global row_number over ``cols`` (which must include a
+    unique tiebreaker, so the order is total): range-partition on the
+    order columns, rank locally, add per-partition offsets. This is the
+    2-pass pattern that replaces ``Window.orderBy(...)`` — whose plan is
+    a SINGLE-partition sort, the canonical driver-shaped bottleneck at
+    scale. The offsets table is ≤ numPartitions rows (a scalar-bounded
+    collect, same class as codebook samples); rank values are invariant
+    to where the range boundaries fall because they equal the row's
+    position in the total order.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    part = df.repartitionByRange(n_parts, *cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local = part.withColumn(
+        "_lrn", F.row_number().over(Window.partitionBy("_pid").orderBy(*cols))
+    )
+    counts = sorted(
+        (r["_pid"], r["_c"])
+        for r in local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c")).collect()
+    )
+    offs, acc = [], 0
+    for pid, c in counts:
+        offs.append((pid, acc))
+        acc += c
+    odf = spark.createDataFrame(offs, "_pid int, _off long")
+    return (
+        local.join(F.broadcast(odf), "_pid")
+        .withColumn(rank_col, F.col("_lrn") + F.col("_off"))
+        .drop("_pid", "_lrn", "_off")
+    )
+
+
+def dedup_sorted_neighborhood(
+    documents: DataFrame,
+    window: int = 4,
+    key_len: int = 24,
+    k: int = 3,
+    t_num: int = 3,
+    t_den: int = 5,
+) -> DataFrame:
+    """Sorted-neighborhood entity resolution (Hernández & Stolfo):
+    sort the corpus by a blocking key (here the normalized text
+    prefix), compare each record only to its ``window`` successors in
+    that order, verify candidates with exact shingle Jaccard ≥
+    t_num/t_den. The classic complement to hash blocking: near-dups
+    whose edits are NOT in the prefix sort adjacently and surface even
+    when no equi-join key survives the noise; multi-pass with other
+    keys (suffix, sorted-token prefix) unions candidates.
+
+    Scale shape: the global order comes from ``_global_rank`` (range
+    partition + local rank + broadcast offsets — no single-partition
+    window); the neighborhood join is ``window`` perfectly-balanced
+    equi-joins in one plan (explode j∈1..w, join rank+j == rank — every
+    join key is unique, so no skew is even possible); the verify join
+    rescans only candidate docs' shingle rows. Candidate count is
+    exactly w·(n−w) + w·(w−1)/2 ≈ w·n — linear in the corpus by
+    construction, the whole point of the method.
+
+    Output matches ``dedup_setsim_prefix``'s integer-exact convention
+    (jac_ppm trunc division) so downstream cluster/survivorship
+    consumers can union the two candidate generators.
+    """
+    keyed = documents.select(
+        "doc_id",
+        F.lower(
+            F.substring(
+                F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), 1, key_len
+            )
+        ).alias("bk"),
+    )
+    ranked = _global_rank(keyed, ["bk", "doc_id"], "r").select("doc_id", "r")
+    spark = documents.sparkSession
+    js = spark.range(1, window + 1).select(F.col("id").alias("j"))
+    probes = ranked.crossJoin(F.broadcast(js)).select(
+        F.col("doc_id").alias("id_a"), (F.col("r") + F.col("j")).alias("r2")
+    )
+    pairs = probes.join(
+        ranked.select(F.col("doc_id").alias("id_b"), F.col("r").alias("r2")), "r2"
+    ).select(
+        F.least("id_a", "id_b").alias("doc_a"),
+        F.greatest("id_a", "id_b").alias("doc_b"),
+    )
+    ex = (
+        _shingle_sets(documents, k)
+        .select("doc_id", F.explode("shingles").alias("shingle"))
+        .cache()
+    )
+    sz = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        pairs.join(ex.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(ex.select(F.col("doc_id").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        inter.join(sz.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("n_a")), "doc_a")
+        .join(sz.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("n_b")), "doc_b")
+    )
+    union = F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    return out.filter(t_den * F.col("n_inter") >= t_num * union).select(
+        "doc_a",
+        "doc_b",
+        "n_a",
+        "n_b",
+        "n_inter",
+        F.expr("CAST((n_inter * 1000000) div (n_a + n_b - n_inter) AS BIGINT)").alias(
+            "jac_ppm"
+        ),
+    )

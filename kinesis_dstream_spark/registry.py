@@ -4189,6 +4189,58 @@ WHERE {t_den} * i.n_inter >= {t_num} * (sa.sz + sb.sz - i.n_inter)
 _SQL_SETSIM_PREFIX = _setsim_prefix_sql()
 
 
+def _q_dedup_sorted_neighborhood(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.dedup_sorted_neighborhood(load_table(spark, sf, "documents"))
+
+
+def _sorted_neighborhood_sql(
+    window: int = 4, key_len: int = 24, k: int = 3, t_num: int = 3, t_den: int = 5
+) -> str:
+    """DuckDB twin generated from the SAME parameters as
+    ``dedup.dedup_sorted_neighborhood``. The oracle uses the plain
+    global window row_number — the Spark side's range-partition +
+    offset rank is value-identical by construction (rank = position in
+    the total (bk, doc_id) order)."""
+    return f"""
+WITH keyed AS (
+  SELECT doc_id,
+         lower(substr(trim(regexp_replace(text, '\\s+', ' ', 'g')), 1, {key_len})) AS bk
+  FROM documents
+), rk AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bk, doc_id) AS r FROM keyed
+), pairs AS (
+  SELECT least(a.doc_id, b.doc_id) AS doc_a, greatest(a.doc_id, b.doc_id) AS doc_b
+  FROM rk a JOIN rk b ON b.r BETWEEN a.r + 1 AND a.r + {window}
+), toks AS (
+  SELECT doc_id, {_DUCK_TOKS.format(col='text')} AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - {k - 1}, 1) + 1),
+                                      i -> array_to_string(t[i:i+{k - 1}], ' '))) AS shingles
+  FROM toks
+), ex AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), sz AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM ex GROUP BY 1
+), inter AS (
+  SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM pairs p
+  JOIN ex ea ON ea.doc_id = p.doc_a
+  JOIN ex eb ON eb.doc_id = p.doc_b AND eb.shingle = ea.shingle
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, sa.sz AS n_a, sb.sz AS n_b, i.n_inter,
+       CAST((i.n_inter * 1000000) // (sa.sz + sb.sz - i.n_inter) AS BIGINT) AS jac_ppm
+FROM inter i
+JOIN sz sa ON sa.doc_id = i.doc_a
+JOIN sz sb ON sb.doc_id = i.doc_b
+WHERE {t_den} * i.n_inter >= {t_num} * (sa.sz + sb.sz - i.n_inter)
+"""
+
+
+_SQL_SORTED_NEIGHBORHOOD = _sorted_neighborhood_sql()
+
+
 def _q_cusum(spark: SparkSession, sf: str) -> DataFrame:
     return eventflow.cusum_changepoints(load_table(spark, sf, "events"))
 
@@ -4833,6 +4885,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # index strategy (vs df-cap inverted index and MinHash bands) —
     # uncapped vocabulary, integer-exact jac_ppm, oracle = all-pairs
     "dedup_setsim_prefix": (_q_dedup_setsim_prefix, _SQL_SETSIM_PREFIX),
+    # sorted-neighborhood ER: range-partitioned global rank (no
+    # single-partition window), w balanced equi-joins, exact verify
+    "dedup_sorted_neighborhood": (
+        _q_dedup_sorted_neighborhood,
+        _SQL_SORTED_NEIGHBORHOOD,
+    ),
 }
 
 

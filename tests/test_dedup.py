@@ -528,3 +528,67 @@ def test_setsim_prefix_matches_bruteforce_and_shrinks_index(spark, sf_dir):
     n_full = ex.count()
     n_prefix = ranked.filter(F.col("pos") <= plen).count()
     assert n_prefix < 0.55 * n_full
+
+
+def test_global_rank_matches_single_partition_window(spark, sf_dir):
+    """The 2-pass range-partitioned rank must equal the plain global
+    window's row_number for every row (rank = position in the total
+    order, invariant to range boundaries)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.lower(
+            F.substring(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), 1, 24)
+        ).alias("bk"),
+    )
+    got = {
+        r["doc_id"]: r["r"]
+        for r in dedup._global_rank(keyed, ["bk", "doc_id"], "r").collect()
+    }
+    want = {
+        r["doc_id"]: r["r"]
+        for r in keyed.withColumn(
+            "r", F.row_number().over(Window.orderBy("bk", "doc_id"))
+        ).collect()
+    }
+    assert got == want
+    # and the ranked plan must not contain a single-partition global sort
+    plan = (
+        dedup._global_rank(keyed, ["bk", "doc_id"], "r")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in plan
+
+
+def test_sorted_neighborhood_candidates_are_linear(spark, sf_dir):
+    """w·n − w(w+1)/2 candidate pairs exactly — the linear-candidate
+    guarantee that makes the method viable at corpus scale — and every
+    emitted pair must clear the Jaccard threshold."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    w = 4
+    keyed = docs.select(
+        "doc_id",
+        F.lower(
+            F.substring(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), 1, 24)
+        ).alias("bk"),
+    )
+    ranked = dedup._global_rank(keyed, ["bk", "doc_id"], "r").select("doc_id", "r")
+    js = spark.range(1, w + 1).select(F.col("id").alias("j"))
+    probes = ranked.crossJoin(F.broadcast(js)).select(
+        F.col("doc_id").alias("id_a"), (F.col("r") + F.col("j")).alias("r2")
+    )
+    n_cand = probes.join(
+        ranked.select(F.col("doc_id").alias("id_b"), F.col("r").alias("r2")), "r2"
+    ).count()
+    assert n_cand == w * n - w * (w + 1) // 2
+
+    out = dedup.dedup_sorted_neighborhood(docs).collect()
+    assert len(out) > 0
+    for r in out:
+        assert 5 * r["n_inter"] >= 3 * (r["n_a"] + r["n_b"] - r["n_inter"])
+        assert r["doc_a"] < r["doc_b"]
