@@ -1278,3 +1278,175 @@ QUALIFY neg_rank <= {int(k)}
 
 
 NEGATIVE_SAMPLING_SQL = negative_sampling_sql()
+
+
+def mmr_diversified_topk(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    m: int = 12,
+    k: int = 5,
+    lam_num: int = 1,
+    lam_den: int = 2,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-rank (Carbonell & Goldstein): pick
+    ``k`` results per query from an ``m``-deep relevance shortlist,
+    greedily maximizing λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s) — the
+    diversity selection a training-data pipeline runs so its retrieved
+    context (or its curated examples) aren't k near-copies of the same
+    document. λ = lam_num/lam_den; every score is the exact int64
+    den-scaled form lam_num·rel − (lam_den−lam_num)·maxsim on the 1e-6
+    unit grid, so the greedy argmax (ties on c_id) is reproducible
+    row-for-row and the whole operator is hash-checkable.
+
+    The greedy loop is UNROLLED: k−1 DataFrame rounds, each a
+    shortlist⨝selected max-sim aggregate plus a per-query argmax
+    window. All per-round relations are bounded by |q|·m (shortlist)
+    and |q|·m² (pair sims) — serving-batch-sized, independent of corpus
+    size. The shortlist here is the exact integer top-m (the checkable
+    exhibit); in production any candidate generator slots in —
+    IVF/JL/two-stage produce the same (q_id, c_id, rel) shape, and MMR
+    only ever touches the shortlist.
+    """
+    from kinesis_dstream_spark.operators.clustering import _unit_int_arrays
+
+    iarr = _unit_int_arrays(embeddings)
+    queries = iarr.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("iu").alias("q_iu")
+    )
+    corpus = iarr.select(F.col("vec_id").alias("c_id"), F.col("iu").alias("c_iu"))
+
+    def idot(a, b):
+        return F.aggregate(
+            F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    scored = corpus.join(F.broadcast(queries), F.col("q_id") != F.col("c_id")).select(
+        "q_id", "c_id", "c_iu", idot("q_iu", "c_iu").alias("rel")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("rel").desc(), F.col("c_id"))
+    shortlist = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= m)
+        .select("q_id", "c_id", "c_iu", "rel")
+        .localCheckpoint()  # k-1 rounds re-read it; cut the lineage once
+    )
+    a = shortlist.select("q_id", F.col("c_id").alias("c_a"), F.col("c_iu").alias("iu_a"))
+    b = shortlist.select(
+        F.col("q_id").alias("q2"), F.col("c_id").alias("c_b"), F.col("c_iu").alias("iu_b")
+    )
+    sims = (
+        a.join(b, (F.col("q_id") == F.col("q2")) & (F.col("c_a") != F.col("c_b")))
+        .select("q_id", "c_a", "c_b", idot("iu_a", "iu_b").alias("sim"))
+        .localCheckpoint()
+    )
+    sl = shortlist.select("q_id", "c_id", "rel")
+    pick_w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("c_id"))
+    first = (
+        sl.withColumn("score", lam_num * F.col("rel"))
+        .withColumn("rn", F.row_number().over(pick_w))
+        .filter(F.col("rn") == 1)
+        .select("q_id", "c_id", "rel", F.lit(1).alias("step"))
+    )
+    selected = first
+    for i in range(2, k + 1):
+        ms = (
+            sims.join(
+                selected.select("q_id", F.col("c_id").alias("c_b")), ["q_id", "c_b"]
+            )
+            .groupBy("q_id", F.col("c_a").alias("c_id"))
+            .agg(F.max("sim").alias("ms"))
+        )
+        cands = sl.join(selected.select("q_id", "c_id"), ["q_id", "c_id"], "left_anti")
+        pick = (
+            cands.join(ms, ["q_id", "c_id"])
+            .withColumn(
+                "score", lam_num * F.col("rel") - (lam_den - lam_num) * F.col("ms")
+            )
+            .withColumn("rn", F.row_number().over(pick_w))
+            .filter(F.col("rn") == 1)
+            .select("q_id", "c_id", "rel", F.lit(i).alias("step"))
+        )
+        selected = selected.unionByName(pick)
+    return selected.withColumnRenamed("rel", "rel_num")
+
+
+def mmr_diversified_sql(
+    n_queries: int = 10,
+    m: int = 12,
+    k: int = 5,
+    lam_num: int = 1,
+    lam_den: int = 2,
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB twin generated from the SAME parameters (r7-ADVICE
+    discipline): the greedy unroll is emitted as k−1 chained
+    pick/sel CTE pairs mirroring the Spark rounds exactly."""
+    head = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), u AS (
+  SELECT vec_id,
+         list_transform(v, x -> x /
+           sqrt(list_reduce(list_transform(v, y -> y * y), (a, b) -> a + b))
+         ) AS unit
+  FROM e
+), iarr AS (
+  SELECT vec_id,
+         list_transform(unit, x -> CAST(round(x * {scale}) AS BIGINT)) AS iu
+  FROM u
+), rel AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         CAST(list_reduce(list_transform(list_zip(q.iu, c.iu),
+                                         s -> s[1] * s[2]),
+                          (x, y) -> x + y) AS BIGINT) AS rel
+  FROM iarr q JOIN iarr c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {n_queries}
+), shortlist AS (
+  SELECT q_id, c_id, rel FROM (
+    SELECT q_id, c_id, rel,
+           row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, c_id) AS rn
+    FROM rel
+  ) WHERE rn <= {m}
+), sims AS (
+  SELECT a.q_id, a.c_id AS c_a, b.c_id AS c_b,
+         CAST(list_reduce(list_transform(list_zip(ia.iu, ib.iu),
+                                         s -> s[1] * s[2]),
+                          (x, y) -> x + y) AS BIGINT) AS sim
+  FROM shortlist a
+  JOIN shortlist b ON b.q_id = a.q_id AND b.c_id <> a.c_id
+  JOIN iarr ia ON ia.vec_id = a.c_id
+  JOIN iarr ib ON ib.vec_id = b.c_id
+), sel1 AS (
+  SELECT q_id, c_id, rel, 1 AS step FROM (
+    SELECT q_id, c_id, rel,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY {lam_num} * rel DESC, c_id) AS rn
+    FROM shortlist
+  ) WHERE rn = 1
+)"""
+    for i in range(2, k + 1):
+        head += f""", pick{i} AS (
+  SELECT q_id, c_id, rel, {i} AS step FROM (
+    SELECT c.q_id, c.c_id, c.rel,
+           row_number() OVER (
+             PARTITION BY c.q_id
+             ORDER BY {lam_num} * c.rel - {lam_den - lam_num} * ms.ms DESC,
+                      c.c_id) AS rn
+    FROM shortlist c
+    JOIN (SELECT s.q_id, s.c_a AS c_id, max(s.sim) AS ms
+          FROM sims s JOIN sel{i - 1} t ON t.q_id = s.q_id AND t.c_id = s.c_b
+          GROUP BY 1, 2) ms ON ms.q_id = c.q_id AND ms.c_id = c.c_id
+    WHERE NOT EXISTS (SELECT 1 FROM sel{i - 1} p
+                      WHERE p.q_id = c.q_id AND p.c_id = c.c_id)
+  ) WHERE rn = 1
+), sel{i} AS (
+  SELECT * FROM sel{i - 1} UNION ALL SELECT * FROM pick{i}
+)"""
+    return head + f"""
+SELECT q_id, c_id, rel AS rel_num, step FROM sel{k}
+"""
+
+
+MMR_DIVERSIFIED_SQL = mmr_diversified_sql()

@@ -4241,6 +4241,10 @@ WHERE {t_den} * i.n_inter >= {t_num} * (sa.sz + sb.sz - i.n_inter)
 _SQL_SORTED_NEIGHBORHOOD = _sorted_neighborhood_sql()
 
 
+def _q_mmr_diversified(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.mmr_diversified_topk(load_table(spark, sf, "embeddings"))
+
+
 def _q_cusum(spark: SparkSession, sf: str) -> DataFrame:
     return eventflow.cusum_changepoints(load_table(spark, sf, "events"))
 
@@ -4891,6 +4895,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _q_dedup_sorted_neighborhood,
         _SQL_SORTED_NEIGHBORHOOD,
     ),
+    # MMR diversity re-rank: unrolled greedy over the int-grid
+    # shortlist — k−1 bounded rounds, hash-checkable end-to-end
+    "mmr_diversified_topk": (_q_mmr_diversified, similarity.MMR_DIVERSIFIED_SQL),
 }
 
 
