@@ -2505,3 +2505,115 @@ FROM agg
 
 
 DAILY_AUTOCORR_SQL = daily_autocorr_sql()
+
+
+def daily_seasonal_decomposition(events: DataFrame, period: int = 7) -> DataFrame:
+    """Additive seasonal decomposition of the per-type DAILY EVENT
+    COUNT series: count = seasonal(dow) + trend + residual — the
+    classic pre-fit decomposition a pipeline runs to separate weekly
+    rhythm from drift before alerting on either (the fit-side
+    complement of ``daily_count_autocorr``'s seasonality probe).
+
+    Exactness discipline: the series is zero-filled (an absent day IS a
+    zero), the seasonal term is the truncating integer mean of the
+    day-of-week bucket, the trend is the truncating centered
+    ``period``-day moving average (emitted only where the window is
+    full — edge days get NULL trend/resid rather than a biased
+    partial), and the residual is pure int64 subtraction. ``d % p``
+    matches DuckDB's ``%`` because d ≥ 0 by construction (days since
+    the fixture epoch); no pmod asymmetry (the r7-ADVICE CUSUM trap).
+
+    Plan: one map-combined (type, day) count — the only row-grain
+    shuffle; everything after runs on the |types|·|days| grid, which
+    scales with the TIME SPAN, not the event count. The trend window
+    partitions by type ordered by day: bounded partitions by the same
+    argument.
+    """
+    d = F.expr("datediff(to_date(ts), DATE '2024-01-01')").cast("long")
+    daily = events.groupBy("event_type", d.alias("d")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    span = daily.groupBy("event_type").agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    grid = span.select("event_type", F.explode(F.sequence("d0", "d1")).alias("d"))
+    filled = grid.join(daily, ["event_type", "d"], "left").select(
+        "event_type", "d", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    half = period // 2
+    seas = (
+        filled.groupBy("event_type", F.expr(f"d % {period}").alias("dow"))
+        .agg(F.expr("CAST(sum(c) div count(*) AS BIGINT)").alias("s"))
+        .withColumnRenamed("event_type", "et2")
+    )
+    wt = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rangeBetween(-half, half)
+    )
+    tr = filled.select(
+        "event_type",
+        "d",
+        F.col("c").cast("long").alias("c"),
+        # floor((double)sum/period) — the SAME double expression in the
+        # twin, so both engines agree bit-for-bit (sums << 2^53)
+        F.when(
+            F.count(F.lit(1)).over(wt) == period,
+            F.floor(F.sum("c").over(wt) / period),
+        ).alias("trend_c"),
+    )
+    out = tr.join(
+        seas,
+        (F.col("event_type") == F.col("et2"))
+        & (F.col("dow") == F.expr(f"d % {period}")),
+    ).select(
+        "event_type",
+        "d",
+        "c",
+        F.col("s").alias("seasonal_c"),
+        "trend_c",
+        F.when(
+            F.col("trend_c").isNotNull(),
+            F.col("c") - F.col("s") - F.col("trend_c"),
+        ).alias("resid"),
+    )
+    return out
+
+
+def daily_seasonal_sql(period: int = 7) -> str:
+    """DuckDB twin generated from the SAME period parameter."""
+    half = period // 2
+    return f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT event_type, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1
+), grid AS (
+  SELECT event_type, unnest(generate_series(d0, d1)) AS d FROM span
+), filled AS (
+  SELECT g.event_type, g.d, coalesce(dl.c, 0) AS c
+  FROM grid g LEFT JOIN daily dl ON dl.event_type = g.event_type AND dl.d = g.d
+), seas AS (
+  SELECT event_type, d % {period} AS dow,
+         CAST(CAST(sum(c) AS BIGINT) // count(*) AS BIGINT) AS s
+  FROM filled GROUP BY 1, 2
+), tr AS (
+  SELECT event_type, d, CAST(c AS BIGINT) AS c,
+         CASE WHEN count(*) OVER w = {period}
+              THEN CAST(floor(CAST(sum(c) OVER w AS BIGINT) / {period}) AS BIGINT)
+         END AS trend_c
+  FROM filled
+  WINDOW w AS (PARTITION BY event_type ORDER BY d
+               RANGE BETWEEN {half} PRECEDING AND {half} FOLLOWING)
+)
+SELECT t.event_type, t.d, t.c, s.s AS seasonal_c, t.trend_c,
+       CASE WHEN t.trend_c IS NOT NULL
+            THEN CAST(t.c - s.s - t.trend_c AS BIGINT) END AS resid
+FROM tr t JOIN seas s ON s.event_type = t.event_type AND s.dow = t.d % {period}
+"""
+
+
+DAILY_SEASONAL_SQL = daily_seasonal_sql()

@@ -4245,6 +4245,10 @@ def _q_mmr_diversified(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.mmr_diversified_topk(load_table(spark, sf, "embeddings"))
 
 
+def _q_seasonal_decomposition(spark: SparkSession, sf: str) -> DataFrame:
+    return eventflow.daily_seasonal_decomposition(load_table(spark, sf, "events"))
+
+
 def _q_cusum(spark: SparkSession, sf: str) -> DataFrame:
     return eventflow.cusum_changepoints(load_table(spark, sf, "events"))
 
@@ -4898,6 +4902,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # MMR diversity re-rank: unrolled greedy over the int-grid
     # shortlist — k−1 bounded rounds, hash-checkable end-to-end
     "mmr_diversified_topk": (_q_mmr_diversified, similarity.MMR_DIVERSIFIED_SQL),
+    # additive seasonal decomposition on the zero-filled daily grid:
+    # integer dow-means + full-window centered trend + int residual
+    "daily_seasonal_decomposition": (
+        _q_seasonal_decomposition,
+        eventflow.DAILY_SEASONAL_SQL,
+    ),
 }
 
 

@@ -581,3 +581,35 @@ def test_daily_autocorr_zero_fills_gap_days(spark):
     assert out[("a", 1)][0] == n
     assert out[("a", 1)][1] == A
     assert abs(out[("a", 1)][2] - want) < 1e-9
+
+
+def test_seasonal_decomposition_identity_and_grid(spark, sf_dir):
+    """c = seasonal + trend + resid wherever trend exists; the day grid
+    is contiguous per type (zero-fill); seasonal equals the truncating
+    dow-bucket mean recomputed locally."""
+    ev = load_table(spark, sf_dir, "events")
+    rows = eventflow.daily_seasonal_decomposition(ev).collect()
+    assert len(rows) > 0
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for et, rs in by_type.items():
+        days = sorted(r["d"] for r in rs)
+        assert days == list(range(days[0], days[-1] + 1)), et
+        # identity
+        for r in rs:
+            if r["trend_c"] is not None:
+                assert r["c"] - r["seasonal_c"] - r["trend_c"] == r["resid"]
+            else:
+                assert r["resid"] is None
+        # seasonal = trunc dow mean
+        dow_groups: dict = {}
+        for r in rs:
+            dow_groups.setdefault(r["d"] % 7, []).append(r)
+        for dow, g in dow_groups.items():
+            want = sum(x["c"] for x in g) // len(g)
+            assert all(x["seasonal_c"] == want for x in g), (et, dow)
+        # trend exists exactly on interior days (full 7-day window)
+        for r in rs:
+            interior = days[0] + 3 <= r["d"] <= days[-1] - 3
+            assert (r["trend_c"] is not None) == interior
