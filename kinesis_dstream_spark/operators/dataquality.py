@@ -867,3 +867,84 @@ SELECT event_type, n, round(s / {_PCT_SCALE}, 2) AS total_value,
        round((t2 - (n + 1) * s) / (n * s), 6) AS gini
 FROM agg
 """
+
+
+def categorical_association(
+    orders: DataFrame, col_a: str = "o_orderstatus", col_b: str = "o_orderpriority"
+) -> DataFrame:
+    """Chi-square contingency profile between two categorical columns —
+    the dependence screen a pipeline runs before trusting one column as
+    a stratification key for the other (independent ⇒ stratifying on A
+    doesn't bias B). Emits the FULL value grid (absent cells as
+    observed = 0 — they carry association signal too) with per-cell
+    exact-integer moments:
+
+      observed        raw cell count (bigint)
+      expected_ppm    trunc(10⁶·rowtot·coltot/N) — exact fixed-point
+      delta_num       observed·N − rowtot·coltot (the (O−E)·N numerator,
+                      exact; sign = over/under-representation)
+      chi_contrib     (O−E)²/E = delta_num²/(rowtot·coltot·N), evaluated
+                      as the SAME double expression in both engines
+
+    No cross-cell double sum is emitted (accumulation order would be
+    engine-dependent); the consumer sums chi_contrib at display grain.
+    int64 envelope: delta_num needs N·max(observed) < 2⁶³ — safe below
+    ~3·10⁹ rows per column pair; beyond that, switch the two products
+    to decimal(38,0) (same expressions, wider lattice).
+
+    Plan: three map-combined aggregates (cells, row margins, column
+    margins — the only row-grain work, one scan if the cell aggregate
+    feeds the margins, which it does here) and a broadcast-sized grid
+    join of the |A|·|B| margin cross product.
+    """
+    cells = orders.groupBy(
+        F.col(col_a).alias("va"), F.col(col_b).alias("vb")
+    ).agg(F.count(F.lit(1)).alias("observed"))
+    rt = cells.groupBy("va").agg(F.sum("observed").alias("rt"))
+    ct = cells.groupBy("vb").agg(F.sum("observed").alias("ct"))
+    n = cells.agg(F.sum("observed").alias("n"))
+    grid = rt.crossJoin(F.broadcast(ct)).crossJoin(F.broadcast(n))
+    full = grid.join(cells, ["va", "vb"], "left").select(
+        "va",
+        "vb",
+        F.coalesce("observed", F.lit(0)).cast("long").alias("observed"),
+        "rt",
+        "ct",
+        "n",
+    )
+    delta = F.col("observed") * F.col("n") - F.col("rt") * F.col("ct")
+    return full.select(
+        "va",
+        "vb",
+        "observed",
+        F.expr("CAST((1000000 * rt * ct) div n AS BIGINT)").alias("expected_ppm"),
+        delta.cast("long").alias("delta_num"),
+        (
+            delta.cast("double")
+            * delta.cast("double")
+            / (F.col("rt").cast("double") * F.col("ct") * F.col("n"))
+        ).alias("chi_contrib"),
+    )
+
+
+CATEGORICAL_ASSOCIATION_SQL = """
+WITH cells AS (
+  SELECT o_orderstatus AS va, o_orderpriority AS vb,
+         CAST(count(*) AS BIGINT) AS observed
+  FROM orders GROUP BY 1, 2
+), rt AS (SELECT va, CAST(sum(observed) AS BIGINT) AS rt FROM cells GROUP BY 1),
+ct AS (SELECT vb, CAST(sum(observed) AS BIGINT) AS ct FROM cells GROUP BY 1),
+n AS (SELECT CAST(sum(observed) AS BIGINT) AS n FROM cells),
+full_grid AS (
+  SELECT rt.va, ct.vb, coalesce(c.observed, 0) AS observed, rt.rt, ct.ct, n.n
+  FROM rt CROSS JOIN ct CROSS JOIN n
+  LEFT JOIN cells c ON c.va = rt.va AND c.vb = ct.vb
+)
+SELECT va, vb, CAST(observed AS BIGINT) AS observed,
+       CAST((1000000 * rt * ct) // n AS BIGINT) AS expected_ppm,
+       CAST(observed * n - rt * ct AS BIGINT) AS delta_num,
+       CAST(observed * n - rt * ct AS DOUBLE)
+         * CAST(observed * n - rt * ct AS DOUBLE)
+         / (CAST(rt AS DOUBLE) * ct * n) AS chi_contrib
+FROM full_grid
+"""

@@ -4249,6 +4249,10 @@ def _q_seasonal_decomposition(spark: SparkSession, sf: str) -> DataFrame:
     return eventflow.daily_seasonal_decomposition(load_table(spark, sf, "events"))
 
 
+def _q_categorical_association(spark: SparkSession, sf: str) -> DataFrame:
+    return dataquality.categorical_association(load_table(spark, sf, "orders"))
+
+
 def _q_cusum(spark: SparkSession, sf: str) -> DataFrame:
     return eventflow.cusum_changepoints(load_table(spark, sf, "events"))
 
@@ -4907,6 +4911,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "daily_seasonal_decomposition": (
         _q_seasonal_decomposition,
         eventflow.DAILY_SEASONAL_SQL,
+    ),
+    # chi-square contingency on the full value grid: exact int64
+    # moments per cell, no cross-cell double sum (order-dependent)
+    "categorical_association": (
+        _q_categorical_association,
+        dataquality.CATEGORICAL_ASSOCIATION_SQL,
     ),
 }
 

@@ -177,3 +177,44 @@ def test_value_decile_binning_partitions_and_monotone(spark, sf_dir):
         rs.sort(key=lambda r: r["bin"])
         for a, b in zip(rs, rs[1:]):
             assert a["hi_value"] <= b["lo_value"], (et, a, b)
+
+
+def test_categorical_association_margins_and_independence(spark, sf_dir):
+    """Cell moments must reconcile with margins; a synthetic
+    independent pair must yield delta_num == 0 everywhere; a perfectly
+    dependent pair must put all mass on the diagonal."""
+    from kinesis_dstream_spark.operators import dataquality as dq
+    from kinesis_dstream_spark.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    rows = dq.categorical_association(orders).collect()
+    n = sum(r["observed"] for r in rows)
+    # margins reconcile
+    rts: dict = {}
+    cts: dict = {}
+    for r in rows:
+        rts[r["va"]] = rts.get(r["va"], 0) + r["observed"]
+        cts[r["vb"]] = cts.get(r["vb"], 0) + r["observed"]
+    for r in rows:
+        assert r["delta_num"] == r["observed"] * n - rts[r["va"]] * cts[r["vb"]]
+        assert r["expected_ppm"] == (1000000 * rts[r["va"]] * cts[r["vb"]]) // n
+        want = r["delta_num"] ** 2 / (rts[r["va"]] * cts[r["vb"]] * n)
+        assert abs(r["chi_contrib"] - want) < 1e-9 * max(1.0, want)
+
+    # synthetic independent: uniform cross product
+    ind = spark.createDataFrame(
+        [(a, b) for a in "xy" for b in "pq" for _ in range(5)],
+        "o_orderstatus string, o_orderpriority string",
+    )
+    for r in dq.categorical_association(ind).collect():
+        assert r["delta_num"] == 0
+    # synthetic dependent: b == a
+    dep = spark.createDataFrame(
+        [(a, a) for a in "xy" for _ in range(5)],
+        "o_orderstatus string, o_orderpriority string",
+    )
+    for r in dq.categorical_association(dep).collect():
+        if r["va"] == r["vb"]:
+            assert r["delta_num"] > 0
+        else:
+            assert r["delta_num"] < 0
