@@ -21,6 +21,7 @@ samples boundaries, so the 100 TB path never total-sorts either.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -228,3 +229,104 @@ UNION ALL
 SELECT 'after', CAST((c + {_COMPACT_ROWS_PER_FILE} - 1) // {_COMPACT_ROWS_PER_FILE} AS INT),
        CAST(c AS BIGINT) FROM n
 """
+
+
+def _hilbert_d_numpy(qx, qy, bits: int):
+    """Vectorized Hilbert xy→d: per-bit rotate-reflect recurrence,
+    s-local rotation variant — bijective with unit-step adjacency at
+    every bit width (property-tested exhaustively over full grids in
+    tests/test_layout.py). int64 throughout."""
+    import numpy as np
+
+    x = qx.astype(np.int64).copy()
+    y = qy.astype(np.int64).copy()
+    d = np.zeros_like(x)
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        refl = (ry == 0) & (rx == 1)
+        nx = np.where(ry == 0, np.where(refl, s - 1 - y, y), x)
+        ny = np.where(ry == 0, np.where(refl, s - 1 - x, x), y)
+        x, y = nx, ny
+    return d
+
+
+def hilbert_key(qx: Column, qy: Column, bits: int = Z_BITS) -> Column:
+    """Hilbert-curve index of a (qx, qy) grid cell — the stronger
+    locality clustering (Databricks liquid clustering, Iceberg's
+    hilbert ordering): unlike Morton order, the curve never jumps, so
+    every run of consecutive keys covers a CONNECTED blob, tightening
+    per-file bounding boxes beyond z-order's quadrant seams.
+
+    Implementation note (measured): the recurrence REWRITES both
+    coordinates each round from both coordinates, so an unrolled
+    Column-expression version grows ~3× per bit — at 8 bits that
+    compiled to a 111 MiB task binary and a 400 s stage. The scale
+    path is an Arrow-vectorized pandas UDF running the identical
+    recurrence as `bits` rounds of NumPy vector ops (deterministic
+    int64 — the oracle twin runs the same rounds as SQL CTEs, where
+    per-round materialization is free). This is the documented
+    "drop to Pandas UDF when built-ins genuinely can't express it"
+    case: the z-interleave IS expressible linearly; Hilbert isn't.
+    """
+
+    @F.pandas_udf("long")
+    def _h(px: pd.Series, py: pd.Series) -> pd.Series:
+        return pd.Series(_hilbert_d_numpy(px.to_numpy(), py.to_numpy(), bits))
+
+    return _h(qx.cast("long"), qy.cast("long"))
+
+
+def hilbert_layout_stats(
+    events: DataFrame, n_buckets: int = 64, bits: int = Z_BITS
+) -> DataFrame:
+    """Head-to-head skipping benefit: z-order vs Hilbert layout on the
+    same (user, time) grid, same equal-slice bucketing, same bounding-
+    box metric as ``zorder_layout_stats`` — the measurement that
+    justifies paying the (marginally costlier) Hilbert key at write
+    time. Expected: Hilbert's avg_box_area ≤ z-order's (no quadrant
+    seams), asserted in pytest rather than hardcoded.
+
+    Same single-pass plan shape: one explode, one (layout, bucket)
+    shuffle of quantized pairs.
+    """
+    shift = 2 * bits
+    keyed = with_zorder_key(events, bits=bits).withColumn(
+        "hval", hilbert_key(F.col("qx"), F.col("qy"), bits)
+    )
+    layouts = keyed.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("hilbert").alias("layout"),
+                    F.floor(F.col("hval") * n_buckets / F.lit(1 << shift))
+                    .cast("long")
+                    .alias("bucket"),
+                ),
+                F.struct(
+                    F.lit("zorder").alias("layout"),
+                    F.floor(F.col("zval") * n_buckets / F.lit(1 << shift))
+                    .cast("long")
+                    .alias("bucket"),
+                ),
+            )
+        ).alias("lb"),
+        "qx",
+        "qy",
+    ).select("lb.layout", "lb.bucket", "qx", "qy")
+    per_file = layouts.groupBy("layout", "bucket").agg(
+        (F.max("qx") - F.min("qx") + 1).alias("span_x"),
+        (F.max("qy") - F.min("qy") + 1).alias("span_y"),
+    )
+    return (
+        per_file.groupBy("layout")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.round(F.avg("span_x"), 4).alias("avg_user_span"),
+            F.round(F.avg("span_y"), 4).alias("avg_ts_span"),
+            F.round(F.avg(F.col("span_x") * F.col("span_y")), 4).alias("avg_box_area"),
+        )
+        .orderBy("layout")
+    )

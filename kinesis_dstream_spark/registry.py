@@ -3077,6 +3077,76 @@ FROM pf GROUP BY layout ORDER BY layout
 """
 
 
+def _q_hilbert_stats(spark: SparkSession, sf: str) -> DataFrame:
+    return layout.hilbert_layout_stats(load_table(spark, sf, "events"))
+
+
+def _hilbert_stats_sql(bits: int = 8, n_buckets: int = 64) -> str:
+    """DuckDB twin generated from the SAME (bits, n_buckets) as
+    ``layout.hilbert_layout_stats``: the per-bit rotate-reflect
+    recurrence unrolls as one CTE per round, mirroring the Spark
+    expression chain exactly (same s-local rotation variant)."""
+    side = 1 << bits
+    area = 1 << (2 * bits)
+    sql = f"""
+WITH e AS (
+  SELECT user_id, epoch_ms(ts) AS ms FROM events
+),
+b AS (
+  SELECT min(user_id) AS lo_x, max(user_id) AS hi_x,
+         min(ms) AS lo_y, max(ms) AS hi_y FROM e
+),
+q AS (
+  SELECT CAST(floor(((user_id - lo_x) * {side}) / (hi_x - lo_x + 1)) AS BIGINT) AS qx,
+         CAST(floor(((ms - lo_y) * {side}) / (hi_y - lo_y + 1)) AS BIGINT) AS qy
+  FROM e CROSS JOIN b
+),
+r0 AS (
+  SELECT qx, qy, {_DUCK_INTERLEAVE} AS zval,
+         qx AS hx, qy AS hy, CAST(0 AS BIGINT) AS hd
+  FROM q
+)"""
+    prev = "r0"
+    for j, i in enumerate(range(bits - 1, -1, -1), start=1):
+        s = 1 << i
+        sql += f""", r{j} AS (
+  SELECT qx, qy, zval,
+         CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN {s - 1} - hy ELSE hy END)
+              ELSE hx END AS hx,
+         CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN {s - 1} - hx ELSE hx END)
+              ELSE hy END AS hy,
+         hd + {s * s} * xor(3 * rx, ry) AS hd
+  FROM (SELECT *, CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END AS rx,
+                  CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END AS ry
+        FROM {prev}) t
+)"""
+        prev = f"r{j}"
+    sql += f""", l AS (
+  SELECT 'hilbert' AS layout,
+         CAST(floor(hd * {n_buckets} / {area}) AS BIGINT) AS bucket, qx, qy
+  FROM {prev}
+  UNION ALL
+  SELECT 'zorder', CAST(floor(zval * {n_buckets} / {area}) AS BIGINT), qx, qy
+  FROM {prev}
+),
+pf AS (
+  SELECT layout, bucket,
+         max(qx) - min(qx) + 1 AS span_x,
+         max(qy) - min(qy) + 1 AS span_y
+  FROM l GROUP BY layout, bucket
+)
+SELECT layout, count(*) AS n_files,
+       round(avg(span_x), 4) AS avg_user_span,
+       round(avg(span_y), 4) AS avg_ts_span,
+       round(avg(span_x * span_y), 4) AS avg_box_area
+FROM pf GROUP BY layout ORDER BY layout
+"""
+    return sql
+
+
+_SQL_HILBERT_STATS = _hilbert_stats_sql()
+
+
 # --------------------------------------------------------------------------
 # mergeable-sketch telemetry (operators/sketches.py)
 # --------------------------------------------------------------------------
@@ -4918,6 +4988,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _q_categorical_association,
         dataquality.CATEGORICAL_ASSOCIATION_SQL,
     ),
+    # Hilbert vs z-order head-to-head on the same quantized grid:
+    # unrolled rotate-reflect recurrence, oracle = per-round CTEs
+    "hilbert_layout_stats": (_q_hilbert_stats, _SQL_HILBERT_STATS),
 }
 
 

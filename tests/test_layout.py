@@ -109,3 +109,40 @@ def test_compact_small_files_conserves_and_bins(spark, sf_dir):
     # disk truth
     comp = f"{tempfile.gettempdir()}/kds_compact_{tag}/compacted"
     assert len(glob.glob(os.path.join(comp, "*.parquet"))) == rows["after"].n_files
+
+
+def test_hilbert_curve_bijective_and_unit_steps():
+    """Exhaustive over full grids at several widths: the key is a
+    bijection onto [0, 4^bits) and consecutive keys are Manhattan-
+    adjacent cells — the defining Hilbert locality property (Morton
+    fails the adjacency test at every quadrant seam)."""
+    import numpy as np
+
+    for bits in (2, 3, 4, 6):
+        n = 1 << bits
+        xs, ys = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+        d = layout._hilbert_d_numpy(xs.ravel(), ys.ravel(), bits)
+        assert sorted(d.tolist()) == list(range(n * n)), bits
+        order = np.argsort(d)
+        px, py = xs.ravel()[order], ys.ravel()[order]
+        steps = np.abs(np.diff(px)) + np.abs(np.diff(py))
+        assert (steps == 1).all(), bits
+        # Morton, for contrast, jumps at seams
+        z = np.zeros(n * n, np.int64)
+        for i in range(bits):
+            z += ((xs.ravel() >> i) & 1) << (2 * i)
+            z += ((ys.ravel() >> i) & 1) << (2 * i + 1)
+        zorder = np.argsort(z)
+        zsteps = np.abs(np.diff(xs.ravel()[zorder])) + np.abs(
+            np.diff(ys.ravel()[zorder])
+        )
+        assert (zsteps > 1).any(), bits
+
+
+def test_hilbert_layout_tightens_boxes_vs_zorder(spark, sf_dir):
+    """The operator's reason to exist: on the fixture the Hilbert
+    layout's avg per-file bounding-box area must not exceed z-order's."""
+    ev = load_table(spark, sf_dir, "events")
+    rows = {r["layout"]: r for r in layout.hilbert_layout_stats(ev).collect()}
+    assert set(rows) == {"hilbert", "zorder"}
+    assert rows["hilbert"]["avg_box_area"] <= rows["zorder"]["avg_box_area"]
