@@ -253,6 +253,19 @@ BENCH_QUERIES = {
     "k_core": "k_core_members",
     "ks_from_store": "value_ks_from_store",
     "daily_autocorr": "daily_count_autocorr",
+    # r8 wave 3: deterministic IVF (probe-pruned, hash-checkable),
+    # prefix-filtered exact set-sim join (index ≈ 40% of shingle rows),
+    # sorted-neighborhood ER (2-pass global rank, w balanced joins),
+    # MMR diversity re-rank (k-1 bounded greedy rounds), seasonal
+    # decomposition + chi-square grid (grid-bounded aggregates),
+    # Hilbert-vs-zorder layout (Arrow-vectorized key recurrence)
+    "ann_ivf_det": "ann_ivf_deterministic_topk",
+    "setsim_prefix": "dedup_setsim_prefix",
+    "sorted_neighborhood": "dedup_sorted_neighborhood",
+    "mmr_rerank": "mmr_diversified_topk",
+    "seasonal_decomp": "daily_seasonal_decomposition",
+    "cat_association": "categorical_association",
+    "hilbert_layout": "hilbert_layout_stats",
 }
 
 

@@ -127,6 +127,14 @@ AUDIT_DEFAULT = [
     "semantic_cluster_dedup",
     "k_core_members",
     "daily_count_autocorr",
+    # r8 wave 3
+    "ann_ivf_deterministic_topk",
+    "dedup_setsim_prefix",
+    "dedup_sorted_neighborhood",
+    "mmr_diversified_topk",
+    "daily_seasonal_decomposition",
+    "categorical_association",
+    "hilbert_layout_stats",
 ]
 
 
