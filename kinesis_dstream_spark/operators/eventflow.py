@@ -2408,19 +2408,40 @@ def daily_count_autocorr(events: DataFrame, lags: tuple[int, ...] = (1, 7)) -> D
     only row-grain shuffle is the initial daily count, keyed by
     (type, day) so hot types spread across days.
     """
+    return autocorr_from_daily_counts(daily_event_counts(events), lags)
+
+
+def daily_event_counts(events: DataFrame) -> DataFrame:
+    """(event_type, d, c) daily counts — the shared additive sufficient
+    statistic for the whole daily-series family (autocorrelation,
+    seasonal decomposition); also exactly what the streaming granule
+    store maintains (streaming/jobs.py), so every consumer here can be
+    served from the store or the scan interchangeably."""
     d = F.expr("datediff(to_date(ts), DATE '2024-01-01')").cast("long")
-    daily = events.groupBy("event_type", d.alias("d")).agg(
+    return events.groupBy("event_type", d.alias("d")).agg(
         F.count(F.lit(1)).alias("c")
     )
+
+
+def _zero_filled(daily: DataFrame) -> DataFrame:
     span = daily.groupBy("event_type").agg(
         F.min("d").alias("d0"), F.max("d").alias("d1")
     )
     grid = span.select(
         "event_type", F.explode(F.sequence("d0", "d1")).alias("d")
     )
-    filled = grid.join(daily, ["event_type", "d"], "left").select(
+    return grid.join(daily, ["event_type", "d"], "left").select(
         "event_type", "d", F.coalesce("c", F.lit(0)).alias("c")
     )
+
+
+def autocorr_from_daily_counts(
+    daily: DataFrame, lags: tuple[int, ...] = (1, 7)
+) -> DataFrame:
+    """The autocorrelation statistic from a pre-aggregated
+    (event_type, d, c) table — scan path and granule-store path share
+    this exactly."""
+    filled = _zero_filled(daily)
     lag_df = filled.sparkSession.createDataFrame(
         [(int(l),) for l in lags], "lag long"
     )
@@ -2529,17 +2550,13 @@ def daily_seasonal_decomposition(events: DataFrame, period: int = 7) -> DataFram
     partitions by type ordered by day: bounded partitions by the same
     argument.
     """
-    d = F.expr("datediff(to_date(ts), DATE '2024-01-01')").cast("long")
-    daily = events.groupBy("event_type", d.alias("d")).agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    span = daily.groupBy("event_type").agg(
-        F.min("d").alias("d0"), F.max("d").alias("d1")
-    )
-    grid = span.select("event_type", F.explode(F.sequence("d0", "d1")).alias("d"))
-    filled = grid.join(daily, ["event_type", "d"], "left").select(
-        "event_type", "d", F.coalesce("c", F.lit(0)).alias("c")
-    )
+    return seasonal_from_daily_counts(daily_event_counts(events), period)
+
+
+def seasonal_from_daily_counts(daily: DataFrame, period: int = 7) -> DataFrame:
+    """The decomposition from a pre-aggregated (event_type, d, c)
+    table — scan path and granule-store path share this exactly."""
+    filled = _zero_filled(daily)
     half = period // 2
     seas = (
         filled.groupBy("event_type", F.expr(f"d % {period}").alias("dow"))

@@ -4177,6 +4177,24 @@ def _q_ks_from_store(spark: SparkSession, sf: str) -> DataFrame:
     return jobs.value_ks_from_store(spark, sf)
 
 
+def _q_stream_daily_counts(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.streaming import jobs
+
+    return jobs.streaming_daily_count_maintenance(spark, sf)
+
+
+def _q_seasonal_from_store(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.streaming import jobs
+
+    return jobs.seasonal_decomposition_from_store(spark, sf)
+
+
+def _q_autocorr_from_store(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.streaming import jobs
+
+    return jobs.daily_autocorr_from_store(spark, sf)
+
+
 def _q_interarrival(spark: SparkSession, sf: str) -> DataFrame:
     return eventflow.interarrival_percentiles(load_table(spark, sf, "events"))
 
@@ -4991,6 +5009,24 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # Hilbert vs z-order head-to-head on the same quantized grid:
     # unrolled rotate-reflect recurrence, oracle = per-round CTEs
     "hilbert_layout_stats": (_q_hilbert_stats, _SQL_HILBERT_STATS),
+    # daily-count granule store: additive epoch-keyed maintenance of
+    # the daily-series sufficient statistic; drain returns the seasonal
+    # decomposition (batch-equal by additivity — same oracle)
+    "streaming_daily_counts": (
+        _q_stream_daily_counts,
+        eventflow.DAILY_SEASONAL_SQL,
+    ),
+    # two continuous-aggregate consumers of the SAME granules:
+    # fingerprint-fresh store read (O(|days|)), scan fallback, results
+    # identical either way — same oracles as the scan-path twins
+    "seasonal_decomposition_from_store": (
+        _q_seasonal_from_store,
+        eventflow.DAILY_SEASONAL_SQL,
+    ),
+    "daily_autocorr_from_store": (
+        _q_autocorr_from_store,
+        eventflow.DAILY_AUTOCORR_SQL,
+    ),
 }
 
 

@@ -1219,6 +1219,145 @@ def value_ks_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dataquality.value_ks_drift(load_table(spark, sf_dir, "events"))
 
 
+def _dailyc_store_dir(sf_dir: str) -> str:
+    """Fixed per-sf daily-count granule store location."""
+    tag = sf_dir.strip("/").replace("/", "_")
+    return f"{tempfile.gettempdir()}/kds_dailyc_state_{tag}"
+
+
+def streaming_daily_count_maintenance(
+    spark: SparkSession,
+    sf_dir: str,
+    state_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Streaming maintenance of the (event_type, d, c) DAILY COUNT
+    granules — the shared sufficient statistic of the daily-series
+    family (``eventflow.daily_event_counts``): seasonal decomposition,
+    autocorrelation, and any other function of the daily series read
+    this one maintained table instead of re-scanning events.
+
+    Maintenance class: ADDITIVE (counts merge losslessly under any
+    batching), so the replay story is the epoch-keyed upsert shared
+    with the percentile granules: each granule carries its foreachBatch
+    batch_id; upsert deletes-own-epoch-then-writes, making re-delivery
+    of any epoch idempotent. Same fixed-per-sf store + content
+    fingerprint + checkpoint-dies-with-state rules as
+    ``streaming_percentile_maintenance`` (the r7-ADVICE wipe pairing).
+
+    The drained output is the seasonal decomposition computed from the
+    maintained granules — batch-equal by additivity, so the registry
+    wires it to the identical DAILY_SEASONAL_SQL oracle.
+    """
+    if state_dir is None:
+        state_dir = _dailyc_store_dir(sf_dir)
+        fp = _events_fingerprint(spark, sf_dir)
+        meta = os.path.join(state_dir, "_meta.json")
+        stored = _stored_fingerprint(meta)
+        if stored != fp and os.path.exists(state_dir):
+            shutil.rmtree(state_dir)
+            if checkpoint_dir is not None and os.path.exists(checkpoint_dir):
+                shutil.rmtree(checkpoint_dir)
+        os.makedirs(state_dir, exist_ok=True)
+        meta_fp = (meta, fp)  # written AFTER a completed drain
+    else:
+        meta_fp = None
+    cur_path = os.path.join(state_dir, "current")
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        from kinesis_dstream_spark.operators.eventflow import daily_event_counts
+
+        partials = daily_event_counts(batch_df).withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        )
+        merged = partials
+        if os.path.exists(cur_path):
+            kept = spark.read.parquet(cur_path).where(F.col("batch_id") != batch_id)
+            merged = kept.unionByName(partials)
+        tmp = os.path.join(state_dir, f"tmp_{batch_id}")
+        merged.write.mode("overwrite").parquet(tmp)
+        swap_dir(tmp, cur_path)
+
+    src = _table_multifile_dir(spark, sf_dir, "events", n_files=4)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option(
+            "checkpointLocation", checkpoint_dir or os.path.join(state_dir, "chk")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if meta_fp is not None:
+        import json
+
+        with open(meta_fp[0], "w") as f:
+            json.dump({"fingerprint": meta_fp[1]}, f)
+    from kinesis_dstream_spark.operators.eventflow import seasonal_from_daily_counts
+
+    daily = (
+        spark.read.parquet(cur_path)
+        .groupBy("event_type", "d")
+        .agg(F.sum("c").alias("c"))
+    )
+    return seasonal_from_daily_counts(daily)
+
+
+def _daily_counts_if_fresh(spark: SparkSession, sf_dir: str) -> DataFrame | None:
+    """The maintained daily-count table when the store is fresh, else
+    None (caller falls back to the scan path). Freshness = one
+    count+bit_xor aggregate, no raw-row shuffle."""
+    state_dir = _dailyc_store_dir(sf_dir)
+    cur_path = os.path.join(state_dir, "current")
+    meta = os.path.join(state_dir, "_meta.json")
+    if os.path.exists(cur_path) and _stored_fingerprint(
+        meta
+    ) == _events_fingerprint(spark, sf_dir):
+        return (
+            spark.read.parquet(cur_path)
+            .groupBy("event_type", "d")
+            .agg(F.sum("c").alias("c"))
+        )
+    return None
+
+
+def seasonal_decomposition_from_store(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Seasonal decomposition SERVED FROM the daily-count granule
+    store when fresh; scan-path fallback otherwise. Both paths run the
+    SAME ``seasonal_from_daily_counts`` on a value-identical daily
+    table, so results are identical either way (pytest-pinned) and the
+    oracle is the shared DAILY_SEASONAL_SQL. At 100 TB: an O(|days|)
+    read instead of an O(|events|) re-scan per refresh."""
+    from kinesis_dstream_spark.operators import eventflow
+    from kinesis_dstream_spark.tables import load_table
+
+    daily = _daily_counts_if_fresh(spark, sf_dir)
+    if daily is not None:
+        return eventflow.seasonal_from_daily_counts(daily)
+    return eventflow.daily_seasonal_decomposition(
+        load_table(spark, sf_dir, "events")
+    )
+
+
+def daily_autocorr_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation SERVED FROM the same daily-count granules — the
+    second consumer (the sufficient-statistic argument again: one
+    maintenance stream, every daily-series functional reads it)."""
+    from kinesis_dstream_spark.operators import eventflow
+    from kinesis_dstream_spark.tables import load_table
+
+    daily = _daily_counts_if_fresh(spark, sf_dir)
+    if daily is not None:
+        return eventflow.autocorr_from_daily_counts(daily)
+    return eventflow.daily_count_autocorr(load_table(spark, sf_dir, "events"))
+
+
 def streaming_transition_maintenance(
     spark: SparkSession,
     sf_dir: str,

@@ -863,3 +863,76 @@ def test_value_ks_from_store_serves_granules(spark, sf_dir):
     assert sorted(map(tuple, served.collect())) == want
     files = served.inputFiles()
     assert files and all(auto_state in f for f in files), files
+
+
+def test_daily_count_store_serves_both_consumers_exactly(spark, sf_dir):
+    """The maintained daily-count granules must serve BOTH the seasonal
+    decomposition and the autocorrelation identically to their scan
+    paths, and a second drain (zero new files) must be idempotent."""
+    from kinesis_dstream_spark.operators import eventflow
+    from kinesis_dstream_spark.streaming.jobs import (
+        daily_autocorr_from_store,
+        seasonal_decomposition_from_store,
+        streaming_daily_count_maintenance,
+    )
+    from kinesis_dstream_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    want_seas = sorted(
+        map(tuple, eventflow.daily_seasonal_decomposition(ev).collect())
+    )
+    want_acf = sorted(map(tuple, eventflow.daily_count_autocorr(ev).collect()))
+
+    first = streaming_daily_count_maintenance(spark, sf_dir)
+    assert sorted(map(tuple, first.collect())) == want_seas
+    # replay/idempotence: drain again against the same checkpoint
+    again = streaming_daily_count_maintenance(spark, sf_dir)
+    assert sorted(map(tuple, again.collect())) == want_seas
+
+    assert (
+        sorted(map(tuple, seasonal_decomposition_from_store(spark, sf_dir).collect()))
+        == want_seas
+    )
+    assert (
+        sorted(map(tuple, daily_autocorr_from_store(spark, sf_dir).collect()))
+        == want_acf
+    )
+
+
+def test_daily_count_store_stale_falls_back_to_scan(spark, sf_dir):
+    """A corrupted fingerprint must route the from-store consumers to
+    the scan path (identical values) rather than serving stale
+    granules."""
+    import json
+    import os
+
+    from kinesis_dstream_spark.operators import eventflow
+    from kinesis_dstream_spark.streaming.jobs import (
+        _dailyc_store_dir,
+        seasonal_decomposition_from_store,
+        streaming_daily_count_maintenance,
+    )
+    from kinesis_dstream_spark.tables import load_table
+
+    streaming_daily_count_maintenance(spark, sf_dir)
+    meta = os.path.join(_dailyc_store_dir(sf_dir), "_meta.json")
+    with open(meta) as f:
+        good = json.load(f)
+    with open(meta, "w") as f:
+        json.dump({"fingerprint": "bogus"}, f)
+    try:
+        want = sorted(
+            map(
+                tuple,
+                eventflow.daily_seasonal_decomposition(
+                    load_table(spark, sf_dir, "events")
+                ).collect(),
+            )
+        )
+        got = sorted(
+            map(tuple, seasonal_decomposition_from_store(spark, sf_dir).collect())
+        )
+        assert got == want
+    finally:
+        with open(meta, "w") as f:
+            json.dump(good, f)
