@@ -266,6 +266,12 @@ BENCH_QUERIES = {
     "seasonal_decomp": "daily_seasonal_decomposition",
     "cat_association": "categorical_association",
     "hilbert_layout": "hilbert_layout_stats",
+    # r8 wave 4: daily-count granule store (maintenance drain first so
+    # the two from-store serves measure the O(|days|) read, mirroring
+    # the pctl_from_store/ks_from_store pairing)
+    "streaming_daily_counts": "streaming_daily_counts",
+    "seasonal_from_store": "seasonal_decomposition_from_store",
+    "autocorr_from_store": "daily_autocorr_from_store",
 }
 
 

@@ -418,3 +418,150 @@ JOIN {prev} a1 ON a1.node = e.src
 JOIN {prev} a2 ON a2.node = e.dst
 GROUP BY e.src
 """
+
+
+def k_truss_edges(
+    documents: DataFrame, k: int = 3, n_iter: int = 2, pairs: DataFrame | None = None
+) -> DataFrame:
+    """Fixed-round k-truss peeling over the near-dup graph — the EDGE
+    analogue of the k-core: an edge survives only while it closes ≥ k−2
+    triangles among surviving edges. Curation reads the truss as
+    "confirmed template communities": a near-dup PAIR that no third
+    document corroborates is often an artifact (shared boilerplate
+    header), while an edge inside a triangle-dense block is real
+    duplication — the truss is the standard community-hardening step
+    above the core (Cohen, 2008).
+
+    Triangle enumeration is DEGREE-ORIENTED (each edge points from its
+    (deg, id)-smaller endpoint): every triangle has exactly one apex
+    with two out-edges, so wedge fan-out is bounded by the OUT-degree —
+    O(arboricity) per edge instead of O(max degree) — the standard
+    scale fix that keeps a celebrity node from generating deg² wedges.
+    Orientation changes enumeration cost only, never the support
+    counts, so the DuckDB twin uses the plain a<b<c closure and the
+    hash gate certifies the equivalence. Rounds are FIXED (the
+    k-core/LPA/PageRank bounded-iteration contract) so the recurrence
+    unrolls relationally; per round: one degree count, one wedge
+    self-join keyed on the apex, one closure join against the canonical
+    edge list, one 3-way explode + support count.
+
+    ``pairs``: pass the persisted artifact to skip the shingle join.
+    """
+    from kinesis_dstream_spark.operators.dedup import dedup_ngram_jaccard
+
+    if pairs is None:
+        pairs = dedup_ngram_jaccard(documents)
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .localCheckpoint()
+    )
+
+    def support(e: DataFrame) -> DataFrame:
+        und = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        o = (
+            und.join(deg.withColumnRenamed("u", "v").withColumnRenamed("deg", "dv"),
+                     "v")
+            .join(deg, "u")
+            .filter(
+                (F.col("deg") < F.col("dv"))
+                | ((F.col("deg") == F.col("dv")) & (F.col("u") < F.col("v")))
+            )
+            .select("u", "v")
+        )
+        w1 = o.select("u", F.col("v").alias("v1"))
+        w2 = o.select("u", F.col("v").alias("v2"))
+        wedges = w1.join(w2, "u").filter(F.col("v1") < F.col("v2"))
+        tri = wedges.join(
+            e.select(
+                F.col("a").alias("v1x"), F.col("b").alias("v2x")
+            ),
+            (F.least("v1", "v2") == F.col("v1x"))
+            & (F.greatest("v1", "v2") == F.col("v2x")),
+        ).select(
+            "u",
+            F.least("v1", "v2").alias("p"),
+            F.greatest("v1", "v2").alias("q"),
+        )
+        sides = (
+            tri.select(F.least("u", "p").alias("x"), F.greatest("u", "p").alias("y"))
+            .unionAll(
+                tri.select(
+                    F.least("u", "q").alias("x"), F.greatest("u", "q").alias("y")
+                )
+            )
+            .unionAll(tri.select(F.col("p").alias("x"), F.col("q").alias("y")))
+        )
+        return sides.groupBy("x", "y").agg(F.count(F.lit(1)).alias("s"))
+
+    for _ in range(n_iter):
+        supp = support(edges)
+        # localCheckpoint per round: support() reads its input ~6 times
+        # (union, wedge self-join, closure), so an uncut lineage grows
+        # ~6× per round — the k-core/LPA per-round materialization rule
+        edges = (
+            edges.join(
+                supp, (F.col("a") == F.col("x")) & (F.col("b") == F.col("y"))
+            )
+            .filter(F.col("s") >= k - 2)
+            .select("a", "b")
+            .localCheckpoint()
+        )
+    final = support(edges)
+    return (
+        edges.join(
+            final, (F.col("a") == F.col("x")) & (F.col("b") == F.col("y")), "left"
+        )
+        .select(
+            F.col("a").alias("doc_a"),
+            F.col("b").alias("doc_b"),
+            F.coalesce("s", F.lit(0)).cast("long").alias("truss_support"),
+        )
+    )
+
+
+def k_truss_oracle_sql(pairs_sql: str, k: int = 3, n_iter: int = 2) -> str:
+    """DuckDB twin: identical peel recurrence, rounds unrolled; plain
+    a<b<c triangle closure (orientation is a cost choice, not a
+    semantic one)."""
+    cte = ""
+    prev = "e0"
+    for i in range(1, n_iter + 1):
+        cte += f""", tri{i} AS MATERIALIZED (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM {prev} e1
+  JOIN {prev} e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN {prev} e3 ON e3.a = e1.b AND e3.b = e2.b
+), supp{i} AS MATERIALIZED (
+  SELECT x, y, CAST(count(*) AS BIGINT) AS s FROM (
+    SELECT a AS x, b AS y FROM tri{i}
+    UNION ALL SELECT a, c FROM tri{i}
+    UNION ALL SELECT b, c FROM tri{i}
+  ) GROUP BY 1, 2
+), e{i} AS MATERIALIZED (
+  SELECT e.a, e.b FROM {prev} e
+  JOIN supp{i} s ON s.x = e.a AND s.y = e.b
+  WHERE s.s >= {k - 2}
+)"""
+        prev = f"e{i}"
+    return f"""
+WITH jp AS MATERIALIZED ({pairs_sql}),
+e0 AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM jp){cte}, trif AS MATERIALIZED (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM {prev} e1
+  JOIN {prev} e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN {prev} e3 ON e3.a = e1.b AND e3.b = e2.b
+), suppf AS (
+  SELECT x, y, CAST(count(*) AS BIGINT) AS s FROM (
+    SELECT a AS x, b AS y FROM trif
+    UNION ALL SELECT a, c FROM trif
+    UNION ALL SELECT b, c FROM trif
+  ) GROUP BY 1, 2
+)
+SELECT e.a AS doc_a, e.b AS doc_b,
+       coalesce(s.s, 0) AS truss_support
+FROM {prev} e
+LEFT JOIN suppf s ON s.x = e.a AND s.y = e.b
+"""

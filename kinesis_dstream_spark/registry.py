@@ -4227,6 +4227,12 @@ def _q_kcore(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_ktruss(spark: SparkSession, sf: str) -> DataFrame:
+    return graph.k_truss_edges(
+        load_table(spark, sf, "documents"), pairs=_near_dup_pairs(spark, sf)
+    )
+
+
 def _q_kmeans_profile(spark: SparkSession, sf: str) -> DataFrame:
     return clustering.embedding_kmeans_profile(load_table(spark, sf, "embeddings"))
 
@@ -5027,6 +5033,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _q_autocorr_from_store,
         eventflow.DAILY_AUTOCORR_SQL,
     ),
+    # k-truss edge peeling: degree-oriented triangle enumeration in
+    # Spark, plain a<b<c closure in the twin — same supports
+    "k_truss_edges": (_q_ktruss, graph.k_truss_oracle_sql(_SQL_DEDUP_JACCARD)),
 }
 
 

@@ -124,3 +124,52 @@ def test_k_core_oracle_unrolls_same_recurrence(spark, duck, sf_dir):
         map(tuple, duck.execute(graph.k_core_oracle_sql(_SQL_DEDUP_JACCARD)).fetchall())
     )
     assert got == want and len(got) > 0
+
+
+def test_k_truss_fixed_round_peel(spark):
+    """Hand graph: K4 on {1,2,3,4} plus a lone triangle {4,5,6} plus a
+    pendant edge 6-9. k=4 truss (support ≥ 2): the lone triangle's
+    edges have support 1 → peeled round 1; the pendant has support 0;
+    K4's six edges each close 2 triangles and survive with support 2."""
+    from kinesis_dstream_spark.operators import graph
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    extra = [(4, 5), (4, 6), (5, 6), (6, 9)]
+    pairs = spark.createDataFrame(k4 + extra, "doc_a long, doc_b long")
+    out = {
+        (r["doc_a"], r["doc_b"]): r["truss_support"]
+        for r in graph.k_truss_edges(None, k=4, n_iter=2, pairs=pairs).collect()
+    }
+    assert out == {e: 2 for e in k4}
+
+
+def test_k_truss_orientation_matches_plain_closure(spark, duck, sf_dir):
+    """The degree-oriented Spark enumeration and the plain a<b<c oracle
+    closure must count identical supports on the fixture graph."""
+    from kinesis_dstream_spark.operators import graph
+    from kinesis_dstream_spark.operators.dedup import dedup_ngram_jaccard
+    from kinesis_dstream_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_ngram_jaccard(docs).localCheckpoint()
+    got = sorted(
+        map(tuple, graph.k_truss_edges(None, k=3, n_iter=2, pairs=pairs).collect())
+    )
+    # independent check: triangles via adjacency sets in plain Python
+    edges = {(r["doc_a"], r["doc_b"]) for r in pairs.select("doc_a", "doc_b").collect()}
+    es = set(edges)
+    for _ in range(2):
+        nbrs: dict = {}
+        for a, b in es:
+            nbrs.setdefault(a, set()).add(b)
+            nbrs.setdefault(b, set()).add(a)
+        supp = {
+            (a, b): len(nbrs[a] & nbrs[b]) for a, b in es
+        }
+        es = {e for e in es if supp[e] >= 1}
+    nbrs = {}
+    for a, b in es:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    want = sorted((a, b, len(nbrs[a] & nbrs[b])) for a, b in es)
+    assert got == want
