@@ -272,6 +272,7 @@ BENCH_QUERIES = {
     "streaming_daily_counts": "streaming_daily_counts",
     "seasonal_from_store": "seasonal_decomposition_from_store",
     "autocorr_from_store": "daily_autocorr_from_store",
+    "k_truss": "k_truss_edges",
 }
 
 

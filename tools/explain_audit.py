@@ -135,6 +135,7 @@ AUDIT_DEFAULT = [
     "daily_seasonal_decomposition",
     "categorical_association",
     "hilbert_layout_stats",
+    "k_truss_edges",
 ]
 
 
