@@ -948,3 +948,75 @@ SELECT va, vb, CAST(observed AS BIGINT) AS observed,
          / (CAST(rt AS DOUBLE) * ct * n) AS chi_contrib
 FROM full_grid
 """
+
+
+def rank_normalize_from_value_frequency(freq: DataFrame) -> DataFrame:
+    """Mid-rank quantile transform from the exact value-frequency
+    table: every distinct (event_type, value) maps to its tie-aware
+    mid-rank percentile ``rank_ppm = trunc(10⁶·(2·cum − c + 1)/(2n))``
+    — the rank/quantile normalization step of classic feature
+    preprocessing (makes any monotone-scaled metric comparable across
+    types), exact in int64 (the doubled mid-rank keeps the ½ out of
+    float). Output is at the DISTINCT-VALUE grain: |values| rows,
+    independent of event count — which is why this is the third
+    consumer of the streaming value-frequency granule store."""
+    from pyspark.sql import Window
+
+    cum_w = (
+        Window.partitionBy("event_type")
+        .orderBy("iv")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = freq.select(
+        "event_type",
+        "iv",
+        "c",
+        F.sum("c").over(cum_w).alias("cum"),
+        F.sum("c").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    return cum.select(
+        "event_type",
+        F.round(F.col("iv") / _PCT_SCALE, 2).alias("value"),
+        F.col("c").cast("long").alias("c"),
+        F.expr("CAST((1000000 * (2 * cum - c + 1)) DIV (2 * n) AS BIGINT)").alias(
+            "rank_ppm"
+        ),
+    )
+
+
+def value_rank_normalize(events: DataFrame) -> DataFrame:
+    """Scan-path twin of the rank/quantile transform: build the exact
+    (event_type, iv, c) frequency table (ONE map-combined row-grain
+    shuffle, spread by value so a hot type cannot hot-spot — the
+    selection-engine argument) and normalize on it. The store-served
+    variant (``streaming/jobs.rank_normalize_from_store``) reads the
+    maintained granules instead; both run
+    ``rank_normalize_from_value_frequency`` on a value-identical
+    table, so equality is structural."""
+    from kinesis_dstream_spark.functions.exact import fixedpoint
+
+    freq = (
+        events.select(
+            "event_type", fixedpoint(F.col("value"), _PCT_SCALE).alias("iv")
+        )
+        .groupBy("event_type", "iv")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return rank_normalize_from_value_frequency(freq)
+
+
+VALUE_RANK_NORMALIZE_SQL = f"""
+WITH base AS (
+  SELECT event_type, CAST(round(value * {_PCT_SCALE}) AS BIGINT) AS iv FROM events
+), freq AS (
+  SELECT event_type, iv, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, iv, c,
+         sum(c) OVER (PARTITION BY event_type ORDER BY iv) AS cum,
+         sum(c) OVER (PARTITION BY event_type) AS n
+  FROM freq
+)
+SELECT event_type, round(iv / {_PCT_SCALE}, 2) AS value, c,
+       CAST((1000000 * (2 * cum - c + 1)) // (2 * n) AS BIGINT) AS rank_ppm
+FROM cum
+"""

@@ -2634,3 +2634,95 @@ FROM tr t JOIN seas s ON s.event_type = t.event_type AND s.dow = t.d % {period}
 
 
 DAILY_SEASONAL_SQL = daily_seasonal_sql()
+
+
+def temporal_split_leakage(events: DataFrame, train_pct: int = 80) -> DataFrame:
+    """Temporal train/test split with entity-leakage accounting — the
+    split audit an ML pipeline runs before trusting offline metrics:
+    cut the event stream at the ``train_pct`` point of the day span
+    (time-based, never row-hash-based, so the test set is a true
+    future), then quantify how much of the test set belongs to users
+    already seen in training (those rows evaluate memorization, not
+    generalization — the classic entity-leakage term).
+
+    Three rows: ``train`` / ``test`` (events, distinct users, day
+    bounds) and ``overlap`` — n_users = users present on BOTH sides,
+    n_events = TEST events carried by those shared users (the leakage
+    volume a per-entity split would have removed). All counts exact;
+    the cutoff is integer arithmetic on the day span.
+
+    Plan: one span aggregate (1-row broadcast), one (split, user)
+    distinct — the only row-grain shuffle, keyed by user so it spreads
+    — one broadcast-sized semi-join for the shared-user set, and
+    map-combined count aggregates. The complement of
+    ``deterministic_split`` (hash split for IID data): time split for
+    forecasting-shaped data, with the leakage term made visible.
+    """
+    d = F.expr("datediff(to_date(ts), DATE '2024-01-01')").cast("long")
+    base = events.select("user_id", d.alias("d"))
+    span = base.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    tagged = base.crossJoin(F.broadcast(span)).select(
+        "user_id",
+        "d",
+        F.when(
+            F.col("d")
+            <= F.col("d0")
+            + F.expr(f"((d1 - d0) * {train_pct}) DIV 100"),
+            F.lit("train"),
+        )
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    per = tagged.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("d").alias("d_min"),
+        F.max("d").alias("d_max"),
+    )
+    tr_users = tagged.filter(F.col("split") == "train").select("user_id").distinct()
+    te = tagged.filter(F.col("split") == "test")
+    shared = te.join(tr_users, "user_id", "left_semi")
+    overlap = shared.agg(
+        F.lit("overlap").alias("split"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("d").alias("d_min"),
+        F.max("d").alias("d_max"),
+    )
+    return per.unionByName(overlap)
+
+
+def temporal_split_sql(train_pct: int = 80) -> str:
+    """DuckDB twin generated from the SAME train_pct parameter."""
+    return f"""
+WITH base AS (
+  SELECT user_id,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS d
+  FROM events
+), span AS (SELECT min(d) AS d0, max(d) AS d1 FROM base),
+tagged AS (
+  SELECT user_id, d,
+         CASE WHEN d <= d0 + ((d1 - d0) * {train_pct}) // 100
+              THEN 'train' ELSE 'test' END AS split
+  FROM base CROSS JOIN span
+), per AS (
+  SELECT split, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+         min(d) AS d_min, max(d) AS d_max
+  FROM tagged GROUP BY 1
+), tr_users AS (
+  SELECT DISTINCT user_id FROM tagged WHERE split = 'train'
+), shared AS (
+  SELECT t.user_id, t.d FROM tagged t
+  JOIN tr_users u ON u.user_id = t.user_id
+  WHERE t.split = 'test'
+)
+SELECT * FROM per
+UNION ALL
+SELECT 'overlap', CAST(count(*) AS BIGINT),
+       CAST(count(DISTINCT user_id) AS BIGINT), min(d), max(d)
+FROM shared
+"""
+
+
+TEMPORAL_SPLIT_SQL = temporal_split_sql()

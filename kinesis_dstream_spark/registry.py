@@ -4195,6 +4195,20 @@ def _q_autocorr_from_store(spark: SparkSession, sf: str) -> DataFrame:
     return jobs.daily_autocorr_from_store(spark, sf)
 
 
+def _q_rank_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    return dataquality.value_rank_normalize(load_table(spark, sf, "events"))
+
+
+def _q_rank_normalize_from_store(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.streaming import jobs
+
+    return jobs.rank_normalize_from_store(spark, sf)
+
+
+def _q_temporal_split(spark: SparkSession, sf: str) -> DataFrame:
+    return eventflow.temporal_split_leakage(load_table(spark, sf, "events"))
+
+
 def _q_interarrival(spark: SparkSession, sf: str) -> DataFrame:
     return eventflow.interarrival_percentiles(load_table(spark, sf, "events"))
 
@@ -5036,6 +5050,19 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # k-truss edge peeling: degree-oriented triangle enumeration in
     # Spark, plain a<b<c closure in the twin — same supports
     "k_truss_edges": (_q_ktruss, graph.k_truss_oracle_sql(_SQL_DEDUP_JACCARD)),
+    # tie-aware mid-rank quantile transform at the distinct-value
+    # grain; scan path + the store-served third granule consumer
+    "value_rank_normalize": (
+        _q_rank_normalize,
+        dataquality.VALUE_RANK_NORMALIZE_SQL,
+    ),
+    "rank_normalize_from_store": (
+        _q_rank_normalize_from_store,
+        dataquality.VALUE_RANK_NORMALIZE_SQL,
+    ),
+    # time-based train/test split with the entity-leakage term made
+    # visible (overlap row = shared users + their test-event volume)
+    "temporal_split_leakage": (_q_temporal_split, eventflow.TEMPORAL_SPLIT_SQL),
 }
 
 

@@ -1219,6 +1219,33 @@ def value_ks_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dataquality.value_ks_drift(load_table(spark, sf_dir, "events"))
 
 
+def rank_normalize_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank/quantile transform SERVED FROM the value-frequency granule
+    store when fresh — the THIRD consumer of the percentile granules
+    (after grouped percentiles and KS drift): the transform is a pure
+    function of the (event_type, iv, count) table, so it rides the
+    same maintenance stream for free. Freshness gate and fallback
+    identical to the siblings; both paths run
+    ``rank_normalize_from_value_frequency`` on a value-identical
+    table, oracle = the shared VALUE_RANK_NORMALIZE_SQL."""
+    from kinesis_dstream_spark.operators import dataquality
+    from kinesis_dstream_spark.tables import load_table
+
+    state_dir = _percentile_store_dir(sf_dir)
+    cur_path = os.path.join(state_dir, "current")
+    meta = os.path.join(state_dir, "_meta.json")
+    if os.path.exists(cur_path) and _stored_fingerprint(
+        meta
+    ) == _events_fingerprint(spark, sf_dir):
+        freq = (
+            spark.read.parquet(cur_path)
+            .groupBy("event_type", "iv")
+            .agg(F.sum("c").alias("c"))
+        )
+        return dataquality.rank_normalize_from_value_frequency(freq)
+    return dataquality.value_rank_normalize(load_table(spark, sf_dir, "events"))
+
+
 def _dailyc_store_dir(sf_dir: str) -> str:
     """Fixed per-sf daily-count granule store location."""
     tag = sf_dir.strip("/").replace("/", "_")

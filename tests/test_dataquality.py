@@ -218,3 +218,35 @@ def test_categorical_association_margins_and_independence(spark, sf_dir):
             assert r["delta_num"] > 0
         else:
             assert r["delta_num"] < 0
+
+
+def test_rank_normalize_midrank_and_store_path(spark, sf_dir):
+    """rank_ppm must equal the tie-aware mid-rank recomputed locally,
+    be monotone in value per type, and the granule-store serve must
+    equal the scan path exactly."""
+    from kinesis_dstream_spark.streaming.jobs import (
+        rank_normalize_from_store,
+        streaming_percentile_maintenance,
+    )
+    from kinesis_dstream_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = dataquality.value_rank_normalize(ev).collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for et, rs in by_type.items():
+        rs.sort(key=lambda r: r["value"])
+        n = sum(r["c"] for r in rs)
+        cum = 0
+        prev = -1
+        for r in rs:
+            cum += r["c"]
+            want = (1000000 * (2 * cum - r["c"] + 1)) // (2 * n)
+            assert r["rank_ppm"] == want, (et, r)
+            assert r["rank_ppm"] > prev
+            prev = r["rank_ppm"]
+
+    streaming_percentile_maintenance(spark, sf_dir)
+    got = sorted(map(tuple, rank_normalize_from_store(spark, sf_dir).collect()))
+    assert got == sorted(map(tuple, rows))

@@ -613,3 +613,32 @@ def test_seasonal_decomposition_identity_and_grid(spark, sf_dir):
         for r in rs:
             interior = days[0] + 3 <= r["d"] <= days[-1] - 3
             assert (r["trend_c"] is not None) == interior
+
+
+def test_temporal_split_accounting(spark, sf_dir):
+    """train+test partition the stream; test days strictly follow the
+    cutoff; the overlap row counts shared users and their test
+    events."""
+    ev = load_table(spark, sf_dir, "events")
+    rows = {r["split"]: r for r in eventflow.temporal_split_leakage(ev).collect()}
+    assert set(rows) == {"train", "test", "overlap"}
+    total = ev.count()
+    assert rows["train"]["n_events"] + rows["test"]["n_events"] == total
+    assert rows["train"]["d_max"] < rows["test"]["d_min"]
+    assert rows["overlap"]["n_users"] <= min(
+        rows["train"]["n_users"], rows["test"]["n_users"]
+    )
+    assert rows["overlap"]["n_events"] <= rows["test"]["n_events"]
+    # leakage definition recheck: shared users' test events
+    d = F.expr("datediff(to_date(ts), DATE '2024-01-01')")
+    base = ev.select("user_id", d.alias("d"))
+    rs = base.collect()
+    d0 = min(r["d"] for r in rs)
+    d1 = max(r["d"] for r in rs)
+    cut = d0 + ((d1 - d0) * 80) // 100
+    tr_u = {r["user_id"] for r in rs if r["d"] <= cut}
+    te = [r for r in rs if r["d"] > cut]
+    shared_events = sum(1 for r in te if r["user_id"] in tr_u)
+    shared_users = len({r["user_id"] for r in te if r["user_id"] in tr_u})
+    assert rows["overlap"]["n_events"] == shared_events
+    assert rows["overlap"]["n_users"] == shared_users
