@@ -273,6 +273,11 @@ BENCH_QUERIES = {
     "seasonal_from_store": "seasonal_decomposition_from_store",
     "autocorr_from_store": "daily_autocorr_from_store",
     "k_truss": "k_truss_edges",
+    # r8 wave 5: rank transform at the distinct-value grain (scan vs
+    # third granule-store consumer), temporal split audit
+    "rank_normalize": "value_rank_normalize",
+    "rank_norm_from_store": "rank_normalize_from_store",
+    "temporal_split": "temporal_split_leakage",
 }
 
 

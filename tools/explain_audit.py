@@ -136,6 +136,8 @@ AUDIT_DEFAULT = [
     "categorical_association",
     "hilbert_layout_stats",
     "k_truss_edges",
+    "value_rank_normalize",
+    "temporal_split_leakage",
 ]
 
 
