@@ -278,6 +278,9 @@ BENCH_QUERIES = {
     "rank_normalize": "value_rank_normalize",
     "rank_norm_from_store": "rank_normalize_from_store",
     "temporal_split": "temporal_split_leakage",
+    # r8 wave 6: basket-keyed association pairs, systematic sampler
+    "market_basket": "market_basket_pairs",
+    "systematic_sample2": "systematic_sample",
 }
 
 

@@ -860,3 +860,43 @@ def temperature_mix_quotas(documents: DataFrame, total: int = _MIX_TOTAL) -> Dat
             ).alias("oversample_factor"),
         )
     )
+
+
+def systematic_sample(documents: DataFrame, k: int = 25) -> DataFrame:
+    """Systematic (every k-th) sampling down an explicit order — the
+    survey-sampling complement of the hash (``deterministic_split``),
+    stratified-quota, and md5-rank (``grouped_sample``) samplers: sort
+    by (n_chars, doc_id) and keep ranks ≡ 1 (mod k), which by
+    construction spreads the sample EVENLY across the length
+    distribution (hash sampling only does so in expectation). The
+    pipeline use: eval sets that must cover short and long documents
+    proportionally, not just randomly.
+
+    The global order comes from ``dedup._global_rank`` (range
+    partition + local rank + broadcast offsets — no single-partition
+    window), so the systematic pick is scale-safe; the oracle twin
+    uses the plain window row_number, value-identical by the rank
+    invariance argument pinned in tests/test_dedup.py.
+    """
+    from kinesis_dstream_spark.operators.dedup import _global_rank
+
+    keyed = documents.select("doc_id", "n_chars")
+    ranked = _global_rank(keyed, ["n_chars", "doc_id"], "rk")
+    return (
+        ranked.filter((F.col("rk") % k) == 1)
+        .select("doc_id", "n_chars", "rk")
+    )
+
+
+def systematic_sample_sql(k: int = 25) -> str:
+    """DuckDB twin generated from the SAME k parameter."""
+    return f"""
+SELECT doc_id, n_chars, rk FROM (
+  SELECT doc_id, n_chars,
+         row_number() OVER (ORDER BY n_chars, doc_id) AS rk
+  FROM documents
+) WHERE rk % {k} = 1
+"""
+
+
+SYSTEMATIC_SAMPLE_SQL = systematic_sample_sql()

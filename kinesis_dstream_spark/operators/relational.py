@@ -1302,3 +1302,87 @@ def observed_write_metrics(documents: DataFrame) -> tuple[DataFrame, "object"]:
         F.approx_count_distinct(F.col("source")).alias("n_sources_approx"),
     )
     return observed, obs
+
+
+def market_basket_pairs(lineitem: DataFrame, top_k: int = 20) -> DataFrame:
+    """Market-basket pair mining over order line items — the
+    co-purchase half of association mining (``event_type_cooccurrence``
+    covers the per-user behavioral half): for the ``top_k`` part pairs
+    by basket co-occurrence, support counts, DIRECTED confidences
+    (conf(a→b) = n_both/n_a — the rule-strength asymmetry that matters
+    for recommendations), and lift against independence.
+
+    Plan at scale: the pair generator self-joins the deduped
+    (order, part) table on the ORDER key, so fan-out per join key is
+    (items-per-basket choose 2) — bounded by basket size, never by
+    catalog or corpus size (the same bounded-fanout argument as the
+    per-user co-occurrence join). Margins are map-combined counts; the
+    final top-k is a TakeOrderedAndProject. Confidences are exact ppm
+    (trunc division); lift is one int-ratio double, the identical
+    expression in the twin.
+    """
+    items = lineitem.select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    per_part = items.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count(F.lit(1)).alias("n_p")
+    )
+    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    both = (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    out = (
+        both.join(
+            F.broadcast(per_part.select(F.col("p").alias("part_a"), F.col("n_p").alias("n_a"))),
+            "part_a",
+        )
+        .join(
+            F.broadcast(per_part.select(F.col("p").alias("part_b"), F.col("n_p").alias("n_b"))),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.expr("CAST((n_both * 1000000) div n_a AS BIGINT)").alias("conf_a2b_ppm"),
+            F.expr("CAST((n_both * 1000000) div n_b AS BIGINT)").alias("conf_b2a_ppm"),
+            F.round(
+                F.col("n_both") * F.col("n_orders") / (F.col("n_a") * F.col("n_b")), 4
+            ).alias("lift"),
+        )
+    )
+    return out.orderBy(F.col("n_both").desc(), "part_a", "part_b").limit(top_k)
+
+
+MARKET_BASKET_SQL = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), n_o AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM items),
+per_part AS (
+  SELECT l_partkey AS p, CAST(count(*) AS BIGINT) AS n_p FROM items GROUP BY 1
+), both_t AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM items a JOIN items b
+    ON b.l_orderkey = a.l_orderkey AND b.l_partkey > a.l_partkey
+  GROUP BY 1, 2
+)
+SELECT part_a, part_b, n_both, pa.n_p AS n_a, pb.n_p AS n_b,
+       CAST((n_both * 1000000) // pa.n_p AS BIGINT) AS conf_a2b_ppm,
+       CAST((n_both * 1000000) // pb.n_p AS BIGINT) AS conf_b2a_ppm,
+       round(n_both * n_orders / (pa.n_p * pb.n_p), 4) AS lift
+FROM both_t
+JOIN per_part pa ON pa.p = part_a
+JOIN per_part pb ON pb.p = part_b
+CROSS JOIN n_o
+ORDER BY n_both DESC, part_a, part_b
+LIMIT 20
+"""

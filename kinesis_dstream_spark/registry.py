@@ -4195,6 +4195,14 @@ def _q_autocorr_from_store(spark: SparkSession, sf: str) -> DataFrame:
     return jobs.daily_autocorr_from_store(spark, sf)
 
 
+def _q_market_basket(spark: SparkSession, sf: str) -> DataFrame:
+    return relational.market_basket_pairs(load_table(spark, sf, "lineitem"))
+
+
+def _q_systematic_sample(spark: SparkSession, sf: str) -> DataFrame:
+    return curation.systematic_sample(load_table(spark, sf, "documents"))
+
+
 def _q_rank_normalize(spark: SparkSession, sf: str) -> DataFrame:
     return dataquality.value_rank_normalize(load_table(spark, sf, "events"))
 
@@ -5063,6 +5071,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # time-based train/test split with the entity-leakage term made
     # visible (overlap row = shared users + their test-event volume)
     "temporal_split_leakage": (_q_temporal_split, eventflow.TEMPORAL_SPLIT_SQL),
+    # basket-keyed co-purchase pairs: fan-out bounded by basket size,
+    # directed confidences + lift, TakeOrderedAndProject top-k
+    "market_basket_pairs": (_q_market_basket, relational.MARKET_BASKET_SQL),
+    # every-k-th down the (n_chars, doc_id) order via the 2-pass
+    # global rank — even coverage of the length distribution
+    "systematic_sample": (_q_systematic_sample, curation.SYSTEMATIC_SAMPLE_SQL),
 }
 
 

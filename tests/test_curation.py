@@ -368,3 +368,21 @@ def test_stratified_sample_quota_size_and_determinism(spark, sf_dir):
         # deterministic: identical membership fingerprints across runs
         assert r["sum_sampled_ids"] == out2[lang]["sum_sampled_ids"]
         assert r["max_rank"] == out2[lang]["max_rank"]
+
+
+def test_systematic_sample_even_spread(spark, sf_dir):
+    """Every k-th rank exactly; ranks 1, 1+k, 1+2k, ...; the sample's
+    length distribution must straddle the corpus (min-side and
+    max-side representation — the property hash sampling lacks)."""
+    from kinesis_dstream_spark.operators import curation as C
+    from kinesis_dstream_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    out = sorted(r["rk"] for r in C.systematic_sample(docs).collect())
+    assert out == list(range(1, n + 1, 25))
+    chars = [r["n_chars"] for r in C.systematic_sample(docs).collect()]
+    lo, hi = docs.agg(F.min("n_chars"), F.max("n_chars")).collect()[0]
+    span = hi - lo
+    assert min(chars) <= lo + span // 10
+    assert max(chars) >= hi - span // 10

@@ -138,6 +138,8 @@ AUDIT_DEFAULT = [
     "k_truss_edges",
     "value_rank_normalize",
     "temporal_split_leakage",
+    "market_basket_pairs",
+    "systematic_sample",
 ]
 
 
