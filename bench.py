@@ -280,7 +280,7 @@ BENCH_QUERIES = {
     "temporal_split": "temporal_split_leakage",
     # r8 wave 6: basket-keyed association pairs, systematic sampler
     "market_basket": "market_basket_pairs",
-    "systematic_sample2": "systematic_sample",
+    "systematic_sampling": "systematic_sample",
 }
 
 
