@@ -281,6 +281,9 @@ BENCH_QUERIES = {
     # r8 wave 6: basket-keyed association pairs, systematic sampler
     "market_basket": "market_basket_pairs",
     "systematic_sampling": "systematic_sample",
+    # r8 wave 7: Heaps-law vocabulary growth, FD discovery profile
+    "vocab_growth": "vocabulary_growth",
+    "fd_profile": "functional_dependency_profile",
 }
 
 

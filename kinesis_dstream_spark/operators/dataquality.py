@@ -1020,3 +1020,81 @@ SELECT event_type, round(iv / {_PCT_SCALE}, 2) AS value, c,
        CAST((1000000 * (2 * cum - c + 1)) // (2 * n) AS BIGINT) AS rank_ppm
 FROM cum
 """
+
+
+def functional_dependency_profile(
+    orders: DataFrame,
+    pairs: tuple[tuple[str, str], ...] = (
+        ("o_custkey", "o_orderstatus"),
+        ("o_orderkey", "o_orderpriority"),
+        ("o_orderpriority", "o_orderstatus"),
+        ("o_orderdate", "o_orderstatus"),
+    ),
+) -> DataFrame:
+    """Functional-dependency discovery over candidate column pairs —
+    the schema-profiling pass (Metanome/Deequ territory) that answers
+    "does A determine B in this data": for each candidate A→B, the
+    number of distinct A values, how many of them map to MORE than one
+    B (the violating keys), the worst fan-out, and the violation rate
+    in exact ppm. An FD that holds (0 violations) licenses
+    normalization, dedup survivorship rules, and join-cardinality
+    assumptions; one that almost-holds flags dirty keys.
+
+    One aggregation pair per candidate (distinct (A,B) count-down →
+    per-A distinct-B count — both map-combined), unioned into a single
+    result; no candidate scans the table twice wastefully at scale —
+    each is an independent column-pruned scan, and a consumer probing
+    many candidates batches them per LHS column.
+    """
+    out = None
+    for lhs, rhs in pairs:
+        per_key = (
+            orders.select(F.col(lhs).alias("k"), F.col(rhs).alias("v"))
+            .distinct()
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n_rhs"))
+        )
+        prof = per_key.agg(
+            F.lit(f"{lhs}->{rhs}").alias("candidate"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0)).alias(
+                "n_violating_keys"
+            ),
+            F.max("n_rhs").alias("max_fanout"),
+            F.expr(
+                "CAST((1000000 * sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END))"
+                " div count(*) AS BIGINT)"
+            ).alias("violation_ppm"),
+        )
+        out = prof if out is None else out.unionByName(prof)
+    return out
+
+
+def functional_dependency_sql(
+    pairs: tuple[tuple[str, str], ...] = (
+        ("o_custkey", "o_orderstatus"),
+        ("o_orderkey", "o_orderpriority"),
+        ("o_orderpriority", "o_orderstatus"),
+        ("o_orderdate", "o_orderstatus"),
+    ),
+) -> str:
+    """DuckDB twin generated from the SAME candidate list."""
+    parts = []
+    for lhs, rhs in pairs:
+        parts.append(f"""
+SELECT '{lhs}->{rhs}' AS candidate,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_keys,
+       CAST(max(n_rhs) AS BIGINT) AS max_fanout,
+       CAST((1000000 * sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END))
+            // count(*) AS BIGINT) AS violation_ppm
+FROM (
+  SELECT k, count(*) AS n_rhs FROM (
+    SELECT DISTINCT {lhs} AS k, {rhs} AS v FROM orders
+  ) GROUP BY k
+)""")
+    return "\nUNION ALL\n".join(parts)
+
+
+FUNCTIONAL_DEPENDENCY_SQL = functional_dependency_sql()

@@ -1158,3 +1158,66 @@ SELECT t.lang, t.n_docs, t.total_chars,
 FROM cum c JOIN tot t ON c.lang = t.lang
 GROUP BY t.lang, t.n_docs, t.total_chars
 """
+
+
+def vocabulary_growth(documents: DataFrame) -> DataFrame:
+    """Vocabulary-growth (Heaps-law) telemetry per source: processing
+    sources in lexicographic order, how many DISTINCT tokens each
+    source contributes that no earlier source contained, plus the
+    cumulative vocabulary — the curve a curation team reads to decide
+    whether the next crawl slice still adds linguistic coverage or
+    only repeats the vocabulary it already has.
+
+    Exact formulation (no iterative scan): a token's contributing
+    source is its MINIMUM source id — one (token, min) aggregate — so
+    per-source new-token counts are a second map-combined aggregate
+    and the cumulative curve is a running sum over the |sources|-row
+    table. The only row-grain shuffle keys on the token itself
+    (naturally spread); everything after is source-grain.
+    """
+    from kinesis_dstream_spark.functions.textfns import tokens
+
+    tok = documents.select(
+        "source", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
+    ).filter(F.col("tok") != "")
+    per_source_tokens = tok.groupBy("source").agg(
+        F.countDistinct("tok").alias("n_distinct_tokens")
+    )
+    first = tok.groupBy("tok").agg(F.min("source").alias("source"))
+    new_per_source = first.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_new_tokens")
+    )
+    w = Window.orderBy("source").rowsBetween(Window.unboundedPreceding, 0)
+    out = (
+        per_source_tokens.join(new_per_source, "source", "left")
+        .select(
+            "source",
+            "n_distinct_tokens",
+            F.coalesce("n_new_tokens", F.lit(0)).alias("n_new_tokens"),
+        )
+        # |sources|-row table: the unpartitioned running-sum window is
+        # bounded by the source count, not the corpus (same class as
+        # cumulative_distinct_users' #days window)
+        .withColumn("cum_vocab", F.sum("n_new_tokens").over(w))
+    )
+    return out
+
+
+VOCABULARY_GROWTH_SQL = """
+WITH tok AS (
+  SELECT DISTINCT source, unnest({toks}) AS tok FROM documents
+), tok2 AS (SELECT source, tok FROM tok WHERE tok <> ''),
+per_source AS (
+  SELECT source, CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct_tokens
+  FROM tok2 GROUP BY 1
+), first AS (
+  SELECT tok, min(source) AS source FROM tok2 GROUP BY 1
+), new_t AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_new_tokens FROM first GROUP BY 1
+)
+SELECT p.source, p.n_distinct_tokens,
+       CAST(coalesce(n.n_new_tokens, 0) AS BIGINT) AS n_new_tokens,
+       CAST(sum(coalesce(n.n_new_tokens, 0))
+            OVER (ORDER BY p.source) AS BIGINT) AS cum_vocab
+FROM per_source p LEFT JOIN new_t n ON n.source = p.source
+"""

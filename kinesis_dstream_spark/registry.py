@@ -4195,6 +4195,19 @@ def _q_autocorr_from_store(spark: SparkSession, sf: str) -> DataFrame:
     return jobs.daily_autocorr_from_store(spark, sf)
 
 
+def _q_vocab_growth(spark: SparkSession, sf: str) -> DataFrame:
+    return text.vocabulary_growth(load_table(spark, sf, "documents"))
+
+
+_SQL_VOCAB_GROWTH = text.VOCABULARY_GROWTH_SQL.format(
+    toks=_DUCK_TOKS.format(col="text")
+)
+
+
+def _q_fd_profile(spark: SparkSession, sf: str) -> DataFrame:
+    return dataquality.functional_dependency_profile(load_table(spark, sf, "orders"))
+
+
 def _q_market_basket(spark: SparkSession, sf: str) -> DataFrame:
     return relational.market_basket_pairs(load_table(spark, sf, "lineitem"))
 
@@ -5077,6 +5090,15 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # every-k-th down the (n_chars, doc_id) order via the 2-pass
     # global rank — even coverage of the length distribution
     "systematic_sample": (_q_systematic_sample, curation.SYSTEMATIC_SAMPLE_SQL),
+    # Heaps-law vocabulary growth: token-keyed min-source aggregate +
+    # |sources|-grain running sum
+    "vocabulary_growth": (_q_vocab_growth, _SQL_VOCAB_GROWTH),
+    # FD discovery over candidate pairs: two map-combined aggregates
+    # per candidate, exact ppm violation rates
+    "functional_dependency_profile": (
+        _q_fd_profile,
+        dataquality.FUNCTIONAL_DEPENDENCY_SQL,
+    ),
 }
 
 

@@ -250,3 +250,32 @@ def test_rank_normalize_midrank_and_store_path(spark, sf_dir):
     streaming_percentile_maintenance(spark, sf_dir)
     got = sorted(map(tuple, rank_normalize_from_store(spark, sf_dir).collect()))
     assert got == sorted(map(tuple, rows))
+
+
+def test_functional_dependency_profile_detects_key_fd(spark, sf_dir):
+    """o_orderkey is the table key, so o_orderkey→o_orderpriority must
+    hold exactly (0 violations, fanout 1); synthetic violating data
+    must report the exact violating-key count."""
+    from kinesis_dstream_spark.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    rows = {
+        r["candidate"]: r
+        for r in dataquality.functional_dependency_profile(orders).collect()
+    }
+    key_fd = rows["o_orderkey->o_orderpriority"]
+    assert key_fd["n_violating_keys"] == 0
+    assert key_fd["max_fanout"] == 1
+    assert key_fd["violation_ppm"] == 0
+
+    synth = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a"), (3, "c"), (3, "c")],
+        "o_custkey long, o_orderstatus string",
+    )
+    r = dataquality.functional_dependency_profile(
+        synth, pairs=(("o_custkey", "o_orderstatus"),)
+    ).collect()[0]
+    assert r["n_keys"] == 3
+    assert r["n_violating_keys"] == 1
+    assert r["max_fanout"] == 2
+    assert r["violation_ppm"] == 1000000 * 1 // 3

@@ -313,3 +313,23 @@ def test_adaptive_quality_gate_semantics(spark, sf_dir):
         assert r.n_dropped == r.n_docs * 20 // 100  # exact floor, per lang
         if r.n_dropped > 0:
             assert r.avg_dropped_q <= r.threshold_q <= r.avg_kept_q
+
+
+def test_vocabulary_growth_accounting(spark, sf_dir):
+    """n_new sums to the global vocabulary; cum_vocab is the running
+    sum; the first source's new == its distinct count; every source's
+    new ≤ distinct."""
+    from kinesis_dstream_spark.operators import text as T
+    from kinesis_dstream_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = sorted(T.vocabulary_growth(docs).collect(), key=lambda r: r["source"])
+    assert rows, "no sources"
+    total_vocab = rows[-1]["cum_vocab"]
+    assert sum(r["n_new_tokens"] for r in rows) == total_vocab
+    run = 0
+    for r in rows:
+        run += r["n_new_tokens"]
+        assert r["cum_vocab"] == run
+        assert r["n_new_tokens"] <= r["n_distinct_tokens"]
+    assert rows[0]["n_new_tokens"] == rows[0]["n_distinct_tokens"]

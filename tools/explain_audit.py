@@ -140,6 +140,8 @@ AUDIT_DEFAULT = [
     "temporal_split_leakage",
     "market_basket_pairs",
     "systematic_sample",
+    "vocabulary_growth",
+    "functional_dependency_profile",
 ]
 
 
