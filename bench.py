@@ -284,6 +284,9 @@ BENCH_QUERIES = {
     # r8 wave 7: Heaps-law vocabulary growth, FD discovery profile
     "vocab_growth": "vocabulary_growth",
     "fd_profile": "functional_dependency_profile",
+    # r8 wave 8: sequence-model floor eval, deseasonalized anomaly bands
+    "markov_baseline": "markov_baseline_hitrate",
+    "seasonal_anomaly": "seasonal_anomaly_bands",
 }
 
 

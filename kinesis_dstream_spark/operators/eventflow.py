@@ -2726,3 +2726,212 @@ FROM shared
 
 
 TEMPORAL_SPLIT_SQL = temporal_split_sql()
+
+
+def markov_baseline_hitrate(events: DataFrame) -> DataFrame:
+    """Hit-rate evaluation of the most-likely-next-event baseline —
+    the eval harness a pipeline runs BEFORE training a sequence model:
+    if "predict the modal next event per current state" already scores
+    X%, a learned model must beat X to justify itself. For each prev
+    state: the argmax next event (ties broken lexicographically — the
+    same deterministic-argmax contract as the transition matrix), the
+    number of evaluated transitions, hits, and the exact ppm hit rate;
+    plus an ``__overall__`` row (micro-average across states).
+
+    Exactness: train and eval use the SAME transition counts (in-sample
+    baseline — the honest label for what sequence-model papers call
+    the "majority class per context" floor), so everything is two
+    map-combined aggregates over the (prev, next) pair table after the
+    one user-keyed lag shuffle the transition matrix already pays.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = events.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).where(F.col("prev_type").isNotNull())
+    counts = pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    best_w = Window.partitionBy("prev_type").orderBy(
+        F.col("n").desc(), F.col("next_type")
+    )
+    best = (
+        counts.withColumn("rk", F.row_number().over(best_w))
+        .filter(F.col("rk") == 1)
+        .select("prev_type", F.col("next_type").alias("predicted"), F.col("n"))
+    )
+    per_state = (
+        counts.groupBy("prev_type")
+        .agg(F.sum("n").alias("n_eval"))
+        .join(best.select("prev_type", "predicted", F.col("n").alias("n_hits")), "prev_type")
+        .select(
+            "prev_type",
+            "predicted",
+            "n_eval",
+            "n_hits",
+            F.expr("CAST((1000000 * n_hits) div n_eval AS BIGINT)").alias(
+                "hitrate_ppm"
+            ),
+        )
+    )
+    overall = per_state.agg(
+        F.lit("__overall__").alias("prev_type"),
+        F.lit("").alias("predicted"),
+        F.sum("n_eval").alias("n_eval"),
+        F.sum("n_hits").alias("n_hits"),
+        F.expr(
+            "CAST((1000000 * sum(n_hits)) div sum(n_eval) AS BIGINT)"
+        ).alias("hitrate_ppm"),
+    )
+    return per_state.unionByName(overall)
+
+
+MARKOV_BASELINE_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+), pairs AS (
+  SELECT prev_type, event_type AS next_type FROM ordered
+  WHERE prev_type IS NOT NULL
+), counts AS (
+  SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+  FROM pairs GROUP BY 1, 2
+), best AS (
+  SELECT prev_type, next_type AS predicted, n FROM (
+    SELECT prev_type, next_type, n,
+           row_number() OVER (PARTITION BY prev_type
+                              ORDER BY n DESC, next_type) AS rk
+    FROM counts
+  ) WHERE rk = 1
+), per_state AS (
+  SELECT c.prev_type, b.predicted,
+         CAST(sum(c.n) AS BIGINT) AS n_eval,
+         CAST(max(b.n) AS BIGINT) AS n_hits
+  FROM counts c JOIN best b ON b.prev_type = c.prev_type
+  GROUP BY 1, 2
+)
+SELECT prev_type, predicted, n_eval, n_hits,
+       CAST((1000000 * n_hits) // n_eval AS BIGINT) AS hitrate_ppm
+FROM per_state
+UNION ALL
+SELECT '__overall__', '', CAST(sum(n_eval) AS BIGINT),
+       CAST(sum(n_hits) AS BIGINT),
+       CAST((1000000 * sum(n_hits)) // sum(n_eval) AS BIGINT)
+FROM per_state
+"""
+
+
+def seasonal_anomaly_bands(events: DataFrame, period: int = 7) -> DataFrame:
+    """Anomaly flags on the DESEASONALIZED daily series — the
+    composition the decomposition exists for: residual = count −
+    seasonal − trend (interior days only), per-type residual p05/p95
+    by nearest-rank over the residual value-frequency table (the exact
+    selection-engine formulation — residuals are small-domain ints, so
+    the frequency table IS the distribution), and each day flagged
+    below/inside/above the band. Raw-count thresholds alert every
+    weekend; residual bands alert on deviations FROM the weekly
+    rhythm.
+
+    All grid-grain: the only row-grain work is the daily count
+    inherited from the decomposition; bands and flags operate on
+    |types|·|days| rows.
+    """
+    dec = daily_seasonal_decomposition(events, period).filter(
+        F.col("resid").isNotNull()
+    )
+    freq = dec.groupBy("event_type", "resid").agg(F.count(F.lit(1)).alias("c"))
+    cum_w = (
+        Window.partitionBy("event_type")
+        .orderBy("resid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = freq.select(
+        "event_type",
+        "resid",
+        F.sum("c").over(cum_w).alias("cum"),
+        F.sum("c").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    bands = cum.groupBy("event_type").agg(
+        F.min(
+            F.when(F.col("cum") >= F.expr("(n * 5 + 99) DIV 100"), F.col("resid"))
+        ).alias("lo"),
+        F.min(
+            F.when(F.col("cum") >= F.expr("(n * 95 + 99) DIV 100"), F.col("resid"))
+        ).alias("hi"),
+    )
+    return (
+        dec.join(F.broadcast(bands), "event_type")
+        .select(
+            "event_type",
+            "d",
+            "c",
+            "resid",
+            "lo",
+            "hi",
+            F.when(F.col("resid") < F.col("lo"), F.lit("below"))
+            .when(F.col("resid") > F.col("hi"), F.lit("above"))
+            .otherwise(F.lit("inside"))
+            .alias("flag"),
+        )
+    )
+
+
+def seasonal_anomaly_sql(period: int = 7) -> str:
+    """DuckDB twin generated from the SAME period: decomposition CTEs
+    + nearest-rank residual bands + flags."""
+    half = period // 2
+    return f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT event_type, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1
+), grid AS (
+  SELECT event_type, unnest(generate_series(d0, d1)) AS d FROM span
+), filled AS (
+  SELECT g.event_type, g.d, coalesce(dl.c, 0) AS c
+  FROM grid g LEFT JOIN daily dl ON dl.event_type = g.event_type AND dl.d = g.d
+), seas AS (
+  SELECT event_type, d % {period} AS dow,
+         CAST(CAST(sum(c) AS BIGINT) // count(*) AS BIGINT) AS s
+  FROM filled GROUP BY 1, 2
+), tr AS (
+  SELECT event_type, d, CAST(c AS BIGINT) AS c,
+         CASE WHEN count(*) OVER w = {period}
+              THEN CAST(floor(CAST(sum(c) OVER w AS BIGINT) / {period}) AS BIGINT)
+         END AS trend_c
+  FROM filled
+  WINDOW w AS (PARTITION BY event_type ORDER BY d
+               RANGE BETWEEN {half} PRECEDING AND {half} FOLLOWING)
+), dec AS (
+  SELECT t.event_type, t.d, t.c,
+         CAST(t.c - s.s - t.trend_c AS BIGINT) AS resid
+  FROM tr t JOIN seas s ON s.event_type = t.event_type AND s.dow = t.d % {period}
+  WHERE t.trend_c IS NOT NULL
+), freq AS (
+  SELECT event_type, resid, CAST(count(*) AS BIGINT) AS cf
+  FROM dec GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, resid,
+         sum(cf) OVER (PARTITION BY event_type ORDER BY resid) AS cum,
+         sum(cf) OVER (PARTITION BY event_type) AS n
+  FROM freq
+), bands AS (
+  SELECT event_type,
+         min(CASE WHEN cum >= (n * 5 + 99) // 100 THEN resid END) AS lo,
+         min(CASE WHEN cum >= (n * 95 + 99) // 100 THEN resid END) AS hi
+  FROM cum GROUP BY 1
+)
+SELECT d.event_type, d.d, d.c, d.resid, b.lo, b.hi,
+       CASE WHEN d.resid < b.lo THEN 'below'
+            WHEN d.resid > b.hi THEN 'above'
+            ELSE 'inside' END AS flag
+FROM dec d JOIN bands b ON b.event_type = d.event_type
+"""
+
+
+SEASONAL_ANOMALY_SQL = seasonal_anomaly_sql()

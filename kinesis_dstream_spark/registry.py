@@ -4195,6 +4195,14 @@ def _q_autocorr_from_store(spark: SparkSession, sf: str) -> DataFrame:
     return jobs.daily_autocorr_from_store(spark, sf)
 
 
+def _q_markov_baseline(spark: SparkSession, sf: str) -> DataFrame:
+    return eventflow.markov_baseline_hitrate(load_table(spark, sf, "events"))
+
+
+def _q_seasonal_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    return eventflow.seasonal_anomaly_bands(load_table(spark, sf, "events"))
+
+
 def _q_vocab_growth(spark: SparkSession, sf: str) -> DataFrame:
     return text.vocabulary_growth(load_table(spark, sf, "documents"))
 
@@ -5099,6 +5107,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _q_fd_profile,
         dataquality.FUNCTIONAL_DEPENDENCY_SQL,
     ),
+    # modal-next-event baseline with exact ppm hit rate — the floor a
+    # sequence model must beat; reuses the transition-lag shuffle
+    "markov_baseline_hitrate": (_q_markov_baseline, eventflow.MARKOV_BASELINE_SQL),
+    # residual-band anomaly flags on the deseasonalized daily series:
+    # nearest-rank p05/p95 over the residual value-frequency table
+    "seasonal_anomaly_bands": (_q_seasonal_anomaly, eventflow.SEASONAL_ANOMALY_SQL),
 }
 
 

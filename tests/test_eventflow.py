@@ -642,3 +642,46 @@ def test_temporal_split_accounting(spark, sf_dir):
     shared_users = len({r["user_id"] for r in te if r["user_id"] in tr_u})
     assert rows["overlap"]["n_events"] == shared_events
     assert rows["overlap"]["n_users"] == shared_users
+
+
+def test_markov_baseline_hitrate_accounting(spark, sf_dir):
+    """Per-state hits = the modal transition's count; overall is the
+    micro-average; hit rate bounded by the modal share."""
+    ev = load_table(spark, sf_dir, "events")
+    rows = {r["prev_type"]: r for r in eventflow.markov_baseline_hitrate(ev).collect()}
+    overall = rows.pop("__overall__")
+    assert overall["n_eval"] == sum(r["n_eval"] for r in rows.values())
+    assert overall["n_hits"] == sum(r["n_hits"] for r in rows.values())
+    trans = {}
+    for r in eventflow.event_transition_matrix(ev).collect():
+        trans.setdefault(r["prev_type"], []).append((r["next_type"], r["n_transitions"]))
+    for st, r in rows.items():
+        pairs = trans[st]
+        best = min(pairs, key=lambda t: (-t[1], t[0]))
+        assert r["predicted"] == best[0]
+        assert r["n_hits"] == best[1]
+        assert r["n_eval"] == sum(n for _, n in pairs)
+        assert r["hitrate_ppm"] == 1000000 * r["n_hits"] // r["n_eval"]
+
+
+def test_seasonal_anomaly_bands_properties(spark, sf_dir):
+    """Bands must be the nearest-rank p05/p95 of the residuals, flags
+    consistent, and ≥90% of days inside the band by construction."""
+    ev = load_table(spark, sf_dir, "events")
+    rows = eventflow.seasonal_anomaly_bands(ev).collect()
+    assert rows
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for et, rs in by_type.items():
+        resids = sorted(r["resid"] for r in rs)
+        n = len(resids)
+        lo = resids[(n * 5 + 99) // 100 - 1]
+        hi = resids[(n * 95 + 99) // 100 - 1]
+        inside = 0
+        for r in rs:
+            assert (r["lo"], r["hi"]) == (lo, hi), et
+            want = "below" if r["resid"] < lo else "above" if r["resid"] > hi else "inside"
+            assert r["flag"] == want
+            inside += want == "inside"
+        assert inside >= 0.9 * n - 1

@@ -142,6 +142,8 @@ AUDIT_DEFAULT = [
     "systematic_sample",
     "vocabulary_growth",
     "functional_dependency_profile",
+    "markov_baseline_hitrate",
+    "seasonal_anomaly_bands",
 ]
 
 
