@@ -99,6 +99,19 @@ chunking change. New entry pctl_from_store 0.38 s: the
 continuous-aggregate serve of grouped_percentiles (0.95 s scan path)
 from the streaming-maintained granule store.
 
+r8 full-set solo run (this round, loadavg_start [3.0, 3.13, 2.5] — the
+documented noisy-neighbor band): 121 entries, total 122.6 s. Shared
+queries sit inside their own r7 bands (dedup_minhash_lsh 3.35 vs r7
+judge 3.63/chase 3.00; winsorize 0.86 — the intended selection-engine
+trade; streaming_pairs 0.38; random_projection 2.15; two_stage 2.89;
+ann_ivf 2.07). New r8 entries: mmr_rerank 5.98 (k−1 greedy rounds +
+eager shortlist checkpoint — serving-batch work, the exhibit price),
+setsim_prefix 4.82, ann_ivf_det 3.42 (pays the Lloyd fit per call; the
+persisted-centroid variant would split build/serve like the PQ index),
+sorted_neighborhood 2.68, k_truss 2.4, everything else sub-1.3 s;
+the three granule-store serves (pctl 0.36 / seasonal 0.45 / rank-norm
+sub-second) demonstrate the O(grid) read against their scan twins.
+
 Variance note (r5, re: the r4 verdict's simhash/minhash deltas):
 isolated re-measurement of the shuffle-heavy dedup queries at sf0.1
 shows ±20-40% run-to-run spread at the ~2 s scale even after warm-up
