@@ -171,6 +171,14 @@ def _ensure_gov_stores(spark: SparkSession, sf_dir: str, base: str) -> dict[str,
         dedup_index.dedup_index_build(
             docs, paths["minhash_dedup_index"], fingerprint=doc_fp
         )
+    # seventh store (r8): the shared near-dup pairs artifact — a
+    # (doc_a, doc_b, jaccard) row ASSERTS similarity of a subject's
+    # content; leaving it behind after erasing the document keeps
+    # metadata about erased data alive
+    from kinesis_dstream_spark.operators import pairs_store
+
+    paths["near_dup_pairs"] = os.path.join(base, "near_dup_pairs")
+    pairs_store.near_dup_pairs_ensure(docs, paths["near_dup_pairs"])
     return paths
 
 
@@ -268,6 +276,16 @@ def erasure_report_full(
             req_docs,
             "doc_id",
         )
+    # pairs artifact: a row dies if EITHER endpoint is erased — two
+    # sequential broadcast anti-joins (equivalent to the OR-removal,
+    # each a hash anti-join; an OR condition would force a nested loop)
+    pairs_data = os.path.join(erased_paths["near_dup_pairs"], "pairs")
+    erase_parquet_store(
+        spark, pairs_data, req_docs.withColumnRenamed("doc_id", "doc_a"), "doc_a"
+    )
+    erase_parquet_store(
+        spark, pairs_data, req_docs.withColumnRenamed("doc_id", "doc_b"), "doc_b"
+    )
 
     # logical (in-memory derived) stores: anti-join views, as in the
     # basic report
@@ -295,6 +313,10 @@ def erasure_report_full(
         "chunk_store": (
             os.path.join(pristine["chunk_store"], "chunks"),
             os.path.join(erased_paths["chunk_store"], "chunks"),
+        ),
+        "near_dup_pairs": (
+            os.path.join(pristine["near_dup_pairs"], "pairs"),
+            pairs_data,
         ),
     }
     for name, (pre, post) in persisted.items():
@@ -369,6 +391,26 @@ SELECT 'minute_granules', before, erased, before - erased FROM gran
 # tokenizes to >=1 shingle under the whole-doc fallback, so the count
 # is exactly 9 per doc).
 _DUCK_TOKS_GOV = "str_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')"
+
+def erasure_full_sql(pairs_sql: str) -> str:
+    """Seven-store DuckDB twin; the pairs-store accounting re-derives
+    the artifact from the SAME pair definition the registry uses
+    (pass ``_SQL_DEDUP_JACCARD`` — parameter discipline, no silently
+    diverging copy of the shingle join)."""
+    return (
+        ERASURE_FULL_SQL
+        + f"""
+UNION ALL
+SELECT 'near_dup_pairs', before, erased, before - erased FROM (
+  SELECT count(*) AS before,
+         CAST(sum(CASE WHEN doc_a % {_ERASE_MOD} = 0
+                        OR doc_b % {_ERASE_MOD} = 0
+                   THEN 1 ELSE 0 END) AS BIGINT) AS erased
+  FROM ({pairs_sql}) jp
+)
+"""
+    )
+
 
 ERASURE_FULL_SQL = f"""
 WITH ev AS (

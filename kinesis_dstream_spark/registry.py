@@ -4807,10 +4807,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         eventflow.ZSCORE_SHARDED_SQL,
     ),
     # six-store subject erasure incl. PHYSICAL deletion from the
-    # persisted ANN index / chunk store / MinHash dedup index
+    # persisted ANN index / chunk store / MinHash dedup index / pairs
+    # artifact (r8: seventh store — similarity rows about an erased
+    # subject's documents die with the documents)
     "gdpr_erasure_full_report": (
         _q_erasure_full,
-        governance.ERASURE_FULL_SQL,
+        governance.erasure_full_sql(_SQL_DEDUP_JACCARD),
     ),
     # incremental pairs-artifact maintenance: drained store must equal
     # the batch builder row-for-row (exact later-doc decomposition

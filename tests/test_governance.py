@@ -69,6 +69,7 @@ def test_full_erasure_physical_zero_residual_all_stores(spark, sf_dir, tmp_path)
     assert {r.store for r in rows} == {
         "events_raw", "scd2_history", "minute_granules",
         "ann_index", "chunk_store", "minhash_dedup_index",
+        "near_dup_pairs",
     }
     for r in rows:
         assert r.rows_before == r.rows_erased + r.rows_after
@@ -92,6 +93,15 @@ def test_full_erasure_physical_zero_residual_all_stores(spark, sf_dir, tmp_path)
             erased = spark.read.parquet(p)
             assert erased.where(F.col(key) % 37 == 0).count() == 0, p
             assert erased.where(F.col(key) % 37 != 0).count() == erased.count()
+
+    # seventh store: no pair row may reference an erased doc on EITHER
+    # endpoint (a similarity assertion about erased content is itself
+    # subject data)
+    pairs = spark.read.parquet(os.path.join(work, "near_dup_pairs", "pairs"))
+    assert (
+        pairs.where((F.col("doc_a") % 37 == 0) | (F.col("doc_b") % 37 == 0)).count()
+        == 0
+    )
 
 
 def test_erase_parquet_store_is_exact_and_preserves_survivors(spark, tmp_path):
