@@ -383,7 +383,8 @@ SELECT 'minute_granules', before, erased, before - erased FROM gran
 """
 
 
-# DuckDB twin of the six-store report. Derived-store cardinalities are
+# DuckDB twin of the base six-store report (erasure_full_sql appends
+# the seventh, pairs-artifact row from the registry's pair SQL). Derived-store cardinalities are
 # re-derived from the raw tables: the ANN index holds one row per
 # vector; the chunk store one row per (doc, 48-stride token window)
 # (the chunk_documents oracle's series); the MinHash dedup index holds

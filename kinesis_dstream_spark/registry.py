@@ -4806,7 +4806,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _q_zscore_sharded,
         eventflow.ZSCORE_SHARDED_SQL,
     ),
-    # six-store subject erasure incl. PHYSICAL deletion from the
+    # seven-store subject erasure incl. PHYSICAL deletion from the
     # persisted ANN index / chunk store / MinHash dedup index / pairs
     # artifact (r8: seventh store — similarity rows about an erased
     # subject's documents die with the documents)
