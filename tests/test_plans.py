@@ -464,3 +464,29 @@ def test_jl_topk_pre_reduces_before_window_exchange(spark, sf_dir):
     window_pos = plan.find("Window")
     map_pos = plan.find("MapInPandas")
     assert 0 <= window_pos < map_pos, (window_pos, map_pos)
+
+
+def test_r8_wave_plan_pins(spark, sf_dir):
+    """Round-8 operator plan shapes: the prefix-filtered set-sim join
+    and market-basket pair generator plan hash joins only (a
+    CartesianProduct would mean the candidate index stopped keying the
+    join); the Hilbert key evaluates via Arrow (a regression to the
+    unrolled Column form re-creates the measured 111 MiB task binary);
+    MMR's corpus-grain work is exactly one top-m window — every
+    post-shortlist round runs on serving-batch relations.
+    """
+    from kinesis_dstream_spark.operators import dedup, layout, relational
+
+    docs = load_table(spark, sf_dir, "documents")
+    p = _plan(dedup.dedup_setsim_prefix(docs))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = _plan(relational.market_basket_pairs(li))
+    assert "CartesianProduct" not in p
+    # top-k by co-occurrence is a TakeOrderedAndProject, not a sort
+    assert "TakeOrderedAndProject" in p
+
+    ev = load_table(spark, sf_dir, "events")
+    p = _formatted(layout.hilbert_layout_stats(ev))
+    assert "ArrowEvalPython" in p
