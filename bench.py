@@ -300,6 +300,8 @@ BENCH_QUERIES = {
     # r8 wave 8: sequence-model floor eval, deseasonalized anomaly bands
     "markov_baseline": "markov_baseline_hitrate",
     "seasonal_anomaly": "seasonal_anomaly_bands",
+    # r8 capstone: ER ablation — three generators + 8-region rollup
+    "generator_agreement": "near_dup_generator_agreement",
 }
 
 

@@ -1211,3 +1211,43 @@ def dedup_sorted_neighborhood(
             "jac_ppm"
         ),
     )
+
+
+def near_dup_generator_agreement(documents: DataFrame) -> DataFrame:
+    """Ablation report over the three candidate-generation strategies
+    (df-capped inverted index / rarity-ordered prefix index / sorted
+    neighborhood): Venn counts of the pair sets each emits at its own
+    threshold. The ER-ops question this answers is "which blocking
+    strategy is earning its keep" — a region like (ngram=1, setsim=1,
+    nbhd=0) counts near-dups whose edits fall inside the blocking-key
+    prefix (sorted-neighborhood blind spot), while (0, 1, 0) isolates
+    pairs only visible to the uncapped-vocabulary index. Production
+    multi-pass ER unions generators; this report is the evidence for
+    which passes to keep at 100 TB, where each pass is a real scan.
+
+    Plan: the three generators run as-is (each sub-quadratic by its
+    own index argument), then two pair-keyed full outer joins and one
+    8-region rollup — the joins carry only candidate pairs, never
+    corpus rows.
+    """
+    g1 = dedup_ngram_jaccard(documents).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_ngram")
+    )
+    g2 = dedup_setsim_prefix(documents).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_setsim")
+    )
+    g3 = dedup_sorted_neighborhood(documents).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_nbhd")
+    )
+    full = (
+        g1.join(g2, ["doc_a", "doc_b"], "full")
+        .join(g3, ["doc_a", "doc_b"], "full")
+        .select(
+            F.coalesce("in_ngram", F.lit(0)).alias("in_ngram"),
+            F.coalesce("in_setsim", F.lit(0)).alias("in_setsim"),
+            F.coalesce("in_nbhd", F.lit(0)).alias("in_nbhd"),
+        )
+    )
+    return full.groupBy("in_ngram", "in_setsim", "in_nbhd").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )

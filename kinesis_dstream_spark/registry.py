@@ -4195,6 +4195,36 @@ def _q_autocorr_from_store(spark: SparkSession, sf: str) -> DataFrame:
     return jobs.daily_autocorr_from_store(spark, sf)
 
 
+def _q_generator_agreement(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.near_dup_generator_agreement(load_table(spark, sf, "documents"))
+
+
+def _generator_agreement_sql() -> str:
+    """Twin assembled from the SAME three pair definitions the Spark
+    operator composes (parameter discipline — no diverging copies)."""
+    return f"""
+WITH r1 AS MATERIALIZED (SELECT doc_a, doc_b FROM ({_SQL_DEDUP_JACCARD})),
+r2 AS MATERIALIZED (SELECT doc_a, doc_b FROM ({_SQL_SETSIM_PREFIX})),
+r3 AS MATERIALIZED (SELECT doc_a, doc_b FROM ({_SQL_SORTED_NEIGHBORHOOD})),
+u AS (
+  SELECT doc_a, doc_b FROM r1
+  UNION
+  SELECT doc_a, doc_b FROM r2
+  UNION
+  SELECT doc_a, doc_b FROM r3
+)
+SELECT CASE WHEN a.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_ngram,
+       CASE WHEN b.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_setsim,
+       CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_nbhd,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM u
+LEFT JOIN r1 a ON a.doc_a = u.doc_a AND a.doc_b = u.doc_b
+LEFT JOIN r2 b ON b.doc_a = u.doc_a AND b.doc_b = u.doc_b
+LEFT JOIN r3 c ON c.doc_a = u.doc_a AND c.doc_b = u.doc_b
+GROUP BY 1, 2, 3
+"""
+
+
 def _q_markov_baseline(spark: SparkSession, sf: str) -> DataFrame:
     return eventflow.markov_baseline_hitrate(load_table(spark, sf, "events"))
 
@@ -5115,6 +5145,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # residual-band anomaly flags on the deseasonalized daily series:
     # nearest-rank p05/p95 over the residual value-frequency table
     "seasonal_anomaly_bands": (_q_seasonal_anomaly, eventflow.SEASONAL_ANOMALY_SQL),
+    # ER ablation: Venn counts over the three candidate generators —
+    # the evidence for which blocking passes to keep at scale
+    "near_dup_generator_agreement": (
+        _q_generator_agreement,
+        _generator_agreement_sql(),
+    ),
 }
 
 

@@ -592,3 +592,32 @@ def test_sorted_neighborhood_candidates_are_linear(spark, sf_dir):
     for r in out:
         assert 5 * r["n_inter"] >= 3 * (r["n_a"] + r["n_b"] - r["n_inter"])
         assert r["doc_a"] < r["doc_b"]
+
+
+def test_generator_agreement_regions(spark, sf_dir):
+    """On the fixture all three generators agree (one full-agreement
+    region — itself the finding); on a constructed corpus where the
+    duplicate pair's edit is IN the blocking prefix and 10 filler docs
+    separate them in sort order, sorted-neighborhood must miss the
+    pair while both index strategies find it."""
+    from kinesis_dstream_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = dedup.near_dup_generator_agreement(docs).collect()
+    total = sum(r["n_pairs"] for r in rows)
+    full_agree = sum(
+        r["n_pairs"] for r in rows
+        if (r["in_ngram"], r["in_setsim"], r["in_nbhd"]) == (1, 1, 1)
+    )
+    assert total > 0 and full_agree > 0
+
+    body = " ".join(f"tok{i}" for i in range(40))
+    texts = [f"aaa start {body}", f"zzz start {body}"]
+    texts += [f"mid{c} filler words {i} " + " ".join(f"x{i}y{j}" for j in range(30))
+              for i, c in enumerate("bcdefghijk")]
+    synth = _docs(spark, texts)
+    regions = {
+        (r["in_ngram"], r["in_setsim"], r["in_nbhd"]): r["n_pairs"]
+        for r in dedup.near_dup_generator_agreement(synth).collect()
+    }
+    assert regions.get((1, 1, 0), 0) >= 1, regions

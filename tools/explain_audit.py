@@ -144,6 +144,7 @@ AUDIT_DEFAULT = [
     "functional_dependency_profile",
     "markov_baseline_hitrate",
     "seasonal_anomaly_bands",
+    "near_dup_generator_agreement",
 ]
 
 
