@@ -111,6 +111,13 @@ persisted-centroid variant would split build/serve like the PQ index),
 sorted_neighborhood 2.68, k_truss 2.4, everything else sub-1.3 s;
 the three granule-store serves (pctl 0.36 / seasonal 0.45 / rank-norm
 sub-second) demonstrate the O(grid) read against their scan twins.
+Final r8 solo run (full 126-entry set, quiet host: loadavg_start
+0.07): total 148.7 s. generator_agreement 9.7 s = exactly the sum of
+its three generators (no composition overhead — an occasional
+ablation report, priced honestly). gdpr_erasure_full +3.3 s vs the
+mid-round run: the SEVENTH store (pairs-artifact ensure + copy + two
+endpoint anti-join rewrites) — intended coverage cost, not a
+regression.
 
 Variance note (r5, re: the r4 verdict's simhash/minhash deltas):
 isolated re-measurement of the shuffle-heavy dedup queries at sf0.1
