@@ -1019,6 +1019,11 @@ def dedup_setsim_prefix(
     satisfies the lemma), so there is no cross-engine collation hazard;
     the oracle twin is the direct all-pairs definition.
 
+    Three exactness-preserving prunes compose: the prefix index (only
+    |s| − ceil(t·|s|) + 1 rarity-first shingles are indexed), the
+    length filter (t·max ≤ min), and the PPJoin positional filter
+    (the match-position overlap bound — see the inline comment).
+
     vs the df-cap index: the cap bounds the WORST-case key quadratically
     but changes the vocabulary (exact only w.r.t. the capped sets); the
     prefix index keeps the textbook-exact semantics and shrinks the
@@ -1055,8 +1060,21 @@ def dedup_setsim_prefix(
         - F.expr(f"(CAST({t_num} AS BIGINT) * sz + {t_den - 1}) div {t_den}")
         + F.lit(1)
     )
-    prefix = ranked.filter(F.col("pos") <= plen).select("doc_id", "shingle", "sz")
+    prefix = ranked.filter(F.col("pos") <= plen).select(
+        "doc_id", "shingle", "sz", "pos"
+    )
     a, b = prefix.alias("a"), prefix.alias("b")
+    # POSITIONAL filter (the PPJoin upgrade over AllPairs): a match on
+    # the shared token at prefix positions (pa, pb) bounds the whole
+    # intersection by 1 + min(|A|−pa, |B|−pb) (everything before the
+    # match in either prefix is, by the shared order, provably outside
+    # the other set's remainder); J ≥ t needs inter ≥ ceil(t·(|A|+|B|)
+    # /(1+t)), so candidates whose positional bound falls short die
+    # BEFORE the verify join — exactness preserved (Xiao et al.,
+    # PPJoin), candidate count strictly shrinks (pytest-pinned).
+    pos_bound = F.lit(1) + F.least(
+        F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos")
+    )
     cand = (
         a.join(
             b,
@@ -1066,6 +1084,10 @@ def dedup_setsim_prefix(
             & (
                 t_den * F.least(F.col("a.sz"), F.col("b.sz"))
                 >= t_num * F.greatest(F.col("a.sz"), F.col("b.sz"))
+            )
+            & (
+                (t_num + t_den) * pos_bound
+                >= t_num * (F.col("a.sz") + F.col("b.sz"))
             ),
         )
         .select(

@@ -621,3 +621,89 @@ def test_generator_agreement_regions(spark, sf_dir):
         for r in dedup.near_dup_generator_agreement(synth).collect()
     }
     assert regions.get((1, 1, 0), 0) >= 1, regions
+
+
+def test_setsim_positional_filter_shrinks_candidates(spark, sf_dir):
+    """The PPJoin positional filter must strictly reduce candidate
+    pairs vs length-filter-only (on a corpus with partial-overlap
+    docs) while the final output is proven identical by the oracle
+    gate. Constructed corpus: doc pairs sharing a short common block
+    inside otherwise-distinct text — prefix tokens collide, but the
+    positional bound proves the overlap can't reach t."""
+    from pyspark.sql import Window
+
+    # pair-shared blocks are df=2 (rarer than nothing but the df=1
+    # doc-unique shingles, so they sort AFTER the uniques); sizes are
+    # tuned into the 1.5u < s < 3u region where the shared block IS in
+    # the prefix (collision) yet J < t — exactly the candidates the
+    # positional bound provably kills (8·bound ≥ 3·(na+nb) fails)
+    texts = []
+    for i in range(6):
+        shared = " ".join(f"s{i}c{j}" for j in range(22))
+        for d in range(2):
+            mine = " ".join(f"p{i}d{d}u{j}" for j in range(12))
+            texts.append(f"{mine} {shared}")
+    docs = _docs(spark, texts)
+
+    ex = dedup._shingle_sets(docs, 3).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    wdoc = Window.partitionBy("doc_id")
+    ranked = (
+        ex.join(dfreq, "shingle")
+        .withColumn("sz", F.count(F.lit(1)).over(wdoc))
+        .withColumn("pos", F.row_number().over(wdoc.orderBy("df", "shingle")))
+    )
+    plen = F.col("sz") - F.expr("(3 * sz + 4) div 5") + F.lit(1)
+    prefix = ranked.filter(F.col("pos") <= plen).select(
+        "doc_id", "shingle", "sz", "pos"
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    length_ok = (
+        (F.col("a.shingle") == F.col("b.shingle"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (5 * F.least(F.col("a.sz"), F.col("b.sz"))
+           >= 3 * F.greatest(F.col("a.sz"), F.col("b.sz")))
+    )
+    without_pos = (
+        a.join(b, length_ok)
+        .select(F.col("a.doc_id").alias("x"), F.col("b.doc_id").alias("y"))
+        .distinct()
+        .count()
+    )
+    bound = F.lit(1) + F.least(
+        F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos")
+    )
+    with_pos = (
+        a.join(b, length_ok & (8 * bound >= 3 * (F.col("a.sz") + F.col("b.sz"))))
+        .select(F.col("a.doc_id").alias("x"), F.col("b.doc_id").alias("y"))
+        .distinct()
+        .count()
+    )
+    assert with_pos < without_pos, (with_pos, without_pos)
+    # and no qualifying pair is lost: the full operator on this corpus
+    # equals the brute-force threshold set
+    got = {
+        (r["doc_a"], r["doc_b"]) for r in dedup.dedup_setsim_prefix(docs).collect()
+    }
+    sz = {r["doc_id"]: r["sz"] for r in
+          ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz")).collect()}
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("x"), F.col("b.doc_id").alias("y"))
+    )
+    # brute intersection over FULL sets (not prefixes)
+    ea = ex.select(F.col("doc_id").alias("x"), "shingle")
+    eb = ex.select(F.col("doc_id").alias("y"), "shingle")
+    full_inter = (
+        ea.join(eb, "shingle").where(F.col("x") < F.col("y"))
+        .groupBy("x", "y").agg(F.count(F.lit(1)).alias("ni"))
+        .collect()
+    )
+    want = {
+        (r["x"], r["y"]) for r in full_inter
+        if 5 * r["ni"] >= 3 * (sz[r["x"]] + sz[r["y"]] - r["ni"])
+    }
+    assert got == want
