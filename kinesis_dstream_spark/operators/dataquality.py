@@ -838,10 +838,17 @@ def value_gini_by_type(events: DataFrame) -> DataFrame:
         "event_type",
         "n",
         F.round(F.col("s") / _PCT_SCALE, 2).alias("total_value"),
-        F.round(
-            (F.col("t2") - (F.col("n") + 1) * F.col("s"))
-            / (F.col("n") * F.col("s")),
-            6,
+        # s = 0 (all-zero values for a type — plausible for
+        # zero-inflated metrics) would make this 0/0; emit NULL
+        # explicitly so Spark and the DuckDB twin agree at the hash
+        # gate instead of diverging NaN-vs-NULL.
+        F.when(
+            F.col("s") != 0,
+            F.round(
+                (F.col("t2") - (F.col("n") + 1) * F.col("s"))
+                / (F.col("n") * F.col("s")),
+                6,
+            ),
         ).alias("gini"),
     )
 
@@ -864,7 +871,9 @@ WITH base AS (
   FROM terms GROUP BY event_type
 )
 SELECT event_type, n, round(s / {_PCT_SCALE}, 2) AS total_value,
-       round((t2 - (n + 1) * s) / (n * s), 6) AS gini
+       CASE WHEN s <> 0
+            THEN round((t2 - (n + 1) * s) / (n * s), 6)
+            ELSE NULL END AS gini
 FROM agg
 """
 

@@ -1042,10 +1042,14 @@ def dedup_setsim_prefix(
 
     # cached: feeds the df aggregate, both prefix-join sides, and the
     # two verify-side rescans — five consumers of one explode
+    # localCheckpoint (not .cache()): blocks are released when the
+    # DataFrame goes out of scope (ContextCleaner), so registry sweeps
+    # composing several dedup generators don't accumulate pinned
+    # storage across queries the way an un-unpersisted cache does.
     ex = (
         _shingle_sets(documents, k)
         .select("doc_id", F.explode("shingles").alias("shingle"))
-        .cache()
+        .localCheckpoint(eager=True)
     )
     dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     wdoc = Window.partitionBy("doc_id")
@@ -1129,6 +1133,16 @@ def _global_rank(df: DataFrame, cols: list[str], rank_col: str) -> DataFrame:
     collect, same class as codebook samples); rank values are invariant
     to where the range boundaries fall because they equal the row's
     position in the total order.
+
+    CRITICAL (r9 fix): ``repartitionByRange`` samples its range
+    boundaries per JOB (the reservoir sample is re-seeded from the RDD
+    id), so without pinning, the counts job and every consuming job can
+    see DIFFERENT partitionings — offsets computed against one
+    partitioning applied to another duplicate/skip ranks (reproduced at
+    200k rows: 6644 duplicate ranks). ``localCheckpoint`` materializes
+    the partitioned+locally-ranked rows ONCE so offsets and consumers
+    read the same physical partitioning; the checkpoint also truncates
+    lineage for downstream self-joins.
     """
     from pyspark.sql import Window
 
@@ -1139,7 +1153,7 @@ def _global_rank(df: DataFrame, cols: list[str], rank_col: str) -> DataFrame:
     )
     local = part.withColumn(
         "_lrn", F.row_number().over(Window.partitionBy("_pid").orderBy(*cols))
-    )
+    ).localCheckpoint(eager=True)
     counts = sorted(
         (r["_pid"], r["_c"])
         for r in local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c")).collect()
@@ -1206,10 +1220,14 @@ def dedup_sorted_neighborhood(
         F.least("id_a", "id_b").alias("doc_a"),
         F.greatest("id_a", "id_b").alias("doc_b"),
     )
+    # localCheckpoint (not .cache()): blocks are released when the
+    # DataFrame goes out of scope (ContextCleaner), so registry sweeps
+    # composing several dedup generators don't accumulate pinned
+    # storage across queries the way an un-unpersisted cache does.
     ex = (
         _shingle_sets(documents, k)
         .select("doc_id", F.explode("shingles").alias("shingle"))
-        .cache()
+        .localCheckpoint(eager=True)
     )
     sz = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (

@@ -707,3 +707,28 @@ def test_setsim_positional_filter_shrinks_candidates(spark, sf_dir):
         if 5 * r["ni"] >= 3 * (sz[r["x"]] + sz[r["y"]] - r["ni"])
     }
     assert got == want
+
+
+def test_global_rank_is_permutation_across_jobs(spark):
+    """r9 regression (ADVICE high): repartitionByRange re-samples its
+    range boundaries per JOB, so an unpinned _global_rank could hand
+    the offsets job and each consuming job DIFFERENT partitionings —
+    duplicated/skipped ranks (6644 duplicate ranks reproduced at 200k
+    rows pre-fix). The localCheckpoint pin makes every consumer read
+    the one materialized partitioning; assert a perfect 1..n
+    permutation across two separate consuming jobs at a scale where
+    the boundary sample is non-exhaustive."""
+    n = 200_000
+    base = spark.range(n).select(
+        ((F.col("id") * 2654435761) % 1000003).alias("key"),
+        F.col("id").alias("uid"),
+    )
+    ranked = dedup._global_rank(base, ["key", "uid"], "r")
+    for _ in range(2):  # two jobs: the bug was per-job divergence
+        agg = ranked.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("r").alias("d"),
+            F.min("r").alias("lo"),
+            F.max("r").alias("hi"),
+        ).collect()[0]
+        assert (agg["n"], agg["d"], agg["lo"], agg["hi"]) == (n, n, 1, n)
