@@ -1,8 +1,14 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
+Prints ONE JSON line (the LAST stdout line, kept under 1900 chars so
+the driver's 2000-char stdout-tail capture always parses it):
   {"metric": "...", "value": <total_sec>, "unit": "sec",
-   "queries": {"q1": sec, ...}, "sf": <sf>}
+   "queries": {<top-5 slowest>: sec}, "n_queries": N, "sf": <sf>,
+   "loadavg_start": [...], "loadavg_end": [...],
+   "detail": "BENCH_DETAIL.json"}
+The FULL per-query map is written to the committed BENCH_DETAIL.json
+(the r6-r8 records lost the map because the one-line-with-126-queries
+form outgrew the driver's capture window).
 
 Headline set = the engine's heavy paths: wide scan-agg (q1), multi-join
 (q3/q5), windowed analytics, sessionization, as-of join, the LLM-pipeline
@@ -280,6 +286,9 @@ BENCH_QUERIES = {
     # decomposition + chi-square grid (grid-bounded aggregates),
     # Hilbert-vs-zorder layout (Arrow-vectorized key recurrence)
     "ann_ivf_det": "ann_ivf_deterministic_topk",
+    # r9: the recurring cost after the build/serve split — warm-up
+    # builds the persisted store, timed runs pay probe+prune+rerank only
+    "ann_ivf_det_serve": "ann_ivf_det_serve",
     "setsim_prefix": "dedup_setsim_prefix",
     "sorted_neighborhood": "dedup_sorted_neighborhood",
     "mmr_rerank": "mmr_diversified_topk",
@@ -401,19 +410,46 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "loadavg_start": loadavg_start,
-                "loadavg_end": _loadavg(),
-            }
-        )
+    loadavg_end = _loadavg()
+    # Full per-query record: committed to the repo so the
+    # round-over-round trend survives regardless of how much of stdout
+    # the driver captures (BENCH_r06..08 all lost the per-query map
+    # because the single JSON line outgrew the 2000-char stdout tail).
+    detail = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "loadavg_start": loadavg_start,
+        "loadavg_end": loadavg_end,
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    # LAST stdout line: a compact summary guaranteed to fit the
+    # driver's 2000-char tail capture. "queries" carries only the
+    # top-5 slowest (the regression headline); the full map lives in
+    # BENCH_DETAIL.json (committed).
+    top5 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_runtime",
+            "value": total,
+            "unit": "sec",
+            "queries": top5,
+            "queries_truncated_to_top5_slowest": True,
+            "n_queries": len(timings),
+            "sf": sf,
+            "loadavg_start": loadavg_start,
+            "loadavg_end": loadavg_end,
+            "detail": "BENCH_DETAIL.json",
+        }
     )
+    assert len(line) < 1900, f"summary line {len(line)} chars >= 1900"
+    print(line)
     spark.stop()
 
 

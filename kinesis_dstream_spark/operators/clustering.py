@@ -396,6 +396,17 @@ def ivf_deterministic_topk(
     queries = iarr.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), F.col("iu").alias("q_iu")
     )
+    probes = _ivf_probes(queries, cents, n_probe)
+    cand = asg.select("vec_id", "iu", "cluster_id").join(
+        F.broadcast(probes), "cluster_id"
+    )
+    return _ivf_rerank(cand, topk)
+
+
+def _ivf_probes(queries: DataFrame, cents, n_probe: int) -> DataFrame:
+    """(q_id, q_iu, cluster_id): each query's ``n_probe`` nearest cells
+    by exact integer squared-L2 against the literal centroids — a
+    map-side explode + a ≤ |q|·k-row window, no corpus contact."""
     dists = [
         F.struct(
             F.aggregate(
@@ -412,16 +423,18 @@ def ivf_deterministic_topk(
         for cid, coords in cents
     ]
     probe_w = Window.partitionBy("q_id").orderBy("cd", "cid")
-    probes = (
+    return (
         queries.select("q_id", "q_iu", F.explode(F.array(*dists)).alias("s"))
         .select("q_id", "q_iu", F.col("s.cd").alias("cd"), F.col("s.cid").alias("cid"))
         .withColumn("pr", F.row_number().over(probe_w))
         .filter(F.col("pr") <= n_probe)
         .select("q_id", "q_iu", F.col("cid").alias("cluster_id"))
     )
-    cand = asg.select("vec_id", "iu", "cluster_id").join(
-        F.broadcast(probes), "cluster_id"
-    )
+
+
+def _ivf_rerank(cand: DataFrame, topk: int) -> DataFrame:
+    """Exact integer dot + per-query top-k over the (q_iu, iu)
+    candidate rows — identical tie rule in build and serve paths."""
     dot = F.aggregate(
         F.zip_with(F.col("q_iu"), F.col("iu"), lambda x, y: x * y),
         F.lit(0).cast("long"),
@@ -436,6 +449,126 @@ def ivf_deterministic_topk(
         .filter(F.col("rk") <= topk)
         .select("q_id", "c_id", "dot_num", "rk")
     )
+
+
+_IVF_DET_META = "_meta.json"
+
+
+def ivf_det_store_ensure(
+    embeddings: DataFrame,
+    path: str,
+    k: int = _K,
+    n_assign: int = _N_ASSIGN,
+) -> tuple[list[tuple[int, list[int]]], DataFrame]:
+    """Build-if-absent persisted deterministic-IVF index (r8-verdict
+    task: split the Lloyd fit out of the serve path): the codes table
+    (vec_id, iu, cluster_id) written parquet **partitioned by
+    cluster_id**, and the final Lloyd centroids stored in the meta
+    sidecar (k·d int64s — driver-bounded by the same codebook argument
+    as the fit itself). The meta JSON is written LAST so its presence
+    marks a complete build, and it carries the corpus+params
+    fingerprint (``ann_index.corpus_fingerprint`` convention): a
+    regenerated fixture or changed (k, n_assign) rebuilds instead of
+    silently serving stale cells.
+
+    Returns (centroids, codes DataFrame read from the partitioned
+    parquet). At 100 TB the build is one Lloyd fit + one partitioned
+    write (no shuffle — partitionBy splits task output by cell);
+    serving reads ONLY the probed cells' files (planning-time
+    PartitionFilters, see ``ivf_deterministic_serve``).
+    """
+    import json
+    import os
+
+    from kinesis_dstream_spark.operators.ann_index import corpus_fingerprint
+
+    fp = corpus_fingerprint(embeddings, ivf_det_k=k, ivf_det_n_assign=n_assign)
+    meta_path = os.path.join(path, _IVF_DET_META)
+    codes_path = os.path.join(path, "codes")
+    stored = None
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            stored = json.load(f)
+    if stored is None or stored.get("fingerprint") != fp:
+        _, asg, cents = _fit_kmeans(embeddings, k, n_assign)
+        asg.select("vec_id", "iu", "cluster_id").write.mode(
+            "overwrite"
+        ).partitionBy("cluster_id").parquet(codes_path)
+        stored = {
+            "fingerprint": fp,
+            "k": k,
+            "n_assign": n_assign,
+            "centroids": [[cid, coords] for cid, coords in cents],
+        }
+        with open(meta_path, "w") as f:  # LAST: marks the build complete
+            json.dump(stored, f)
+    cents = [
+        (int(cid), [int(x) for x in coords]) for cid, coords in stored["centroids"]
+    ]
+    codes = embeddings.sparkSession.read.parquet(codes_path)
+    return cents, codes
+
+
+def ivf_det_store_invalidate(path: str) -> None:
+    """Poison the store fingerprint (erasure hook): centroids were
+    trained on the full corpus, so after subject vectors are erased the
+    model parameters must refit — the ``ann_index_invalidate_codebooks``
+    contract. Next ensure() rebuilds fit + codes from the live corpus."""
+    import json
+    import os
+
+    meta_path = os.path.join(path, _IVF_DET_META)
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        meta["fingerprint"] = "invalidated-by-erasure"
+        with open(meta_path, "w") as f:
+            json.dump(meta, f)
+
+
+def ivf_deterministic_serve(
+    embeddings: DataFrame,
+    path: str,
+    n_queries: int = 10,
+    topk: int = 5,
+    n_probe: int = 2,
+    k: int = _K,
+    n_assign: int = _N_ASSIGN,
+) -> DataFrame:
+    """Serving half of the build/serve split: identical rows to
+    ``ivf_deterministic_topk`` (same centroids — the fit is
+    deterministic — same probe rule, same tie rule; one oracle serves
+    both), but the recurring cost is only the serve:
+
+    - query vectors: a pushed-filter scan of the ``n_queries`` rows;
+    - probe pick: map-side literal scoring (centroids come from the
+      meta sidecar — NO Lloyd fit, no corpus pass);
+    - candidates: the probed cells' parquet partitions ONLY — the
+      probe list is collected (≤ |q|·n_probe ints, driver-bounded) and
+      pushed as a static ``cluster_id IN (...)`` partition filter, so
+      the scan never opens unprobed cells' files;
+    - re-rank: the shared ``_ivf_rerank`` integer dot + top-k window.
+
+    This is the production retrieval shape at 100 TB: the index is
+    built once per corpus snapshot (``ivf_det_store_ensure``), every
+    query batch pays |probed cells| I/O + |q|·|cell| dots.
+    """
+    cents, codes = ivf_det_store_ensure(embeddings, path, k, n_assign)
+    queries = (
+        _unit_int_arrays(embeddings)
+        .filter(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("q_id"), F.col("iu").alias("q_iu"))
+    )
+    probes = _ivf_probes(queries, cents, n_probe).localCheckpoint(eager=True)
+    # static planning-time partition prune: the probed-cell set is
+    # ≤ |q|·n_probe ints (bounded collect, codebook class)
+    cells = sorted(
+        r["cluster_id"] for r in probes.select("cluster_id").distinct().collect()
+    )
+    cand = codes.filter(F.col("cluster_id").isin(cells)).join(
+        F.broadcast(probes), "cluster_id"
+    )
+    return _ivf_rerank(cand, topk)
 
 
 def ivf_deterministic_sql(

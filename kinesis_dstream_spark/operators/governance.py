@@ -107,8 +107,10 @@ def erase_parquet_store(
     kept = df.join(F.broadcast(requests), key, "left_anti").localCheckpoint()
     tmp = data_path.rstrip("/") + "_erase_tmp"
     writer = kept.write.mode("overwrite")
-    if "cell" in df.columns:
-        writer = writer.partitionBy("cell")
+    for part_col in ("cell", "cluster_id"):  # known store partition layouts
+        if part_col in df.columns:
+            writer = writer.partitionBy(part_col)
+            break
     writer.parquet(tmp)
     # carry over store metadata (sidecars like the ANN _codebooks.npz,
     # _meta.json): row erasure must not destroy them — Spark ignores
@@ -179,16 +181,24 @@ def _ensure_gov_stores(spark: SparkSession, sf_dir: str, base: str) -> dict[str,
 
     paths["near_dup_pairs"] = os.path.join(base, "near_dup_pairs")
     pairs_store.near_dup_pairs_ensure(docs, paths["near_dup_pairs"])
+    # eighth store (r9): the deterministic-IVF serving index — its
+    # cell-partitioned codes hold the subject's unit vectors verbatim,
+    # and its centroids are model parameters trained on them
+    from kinesis_dstream_spark.operators import clustering
+
+    paths["ivf_det_index"] = os.path.join(base, "ivf_det")
+    clustering.ivf_det_store_ensure(emb, paths["ivf_det_index"])
     return paths
 
 
 def erasure_report_full(
     spark: SparkSession, sf_dir: str, work_dir: str | None = None
 ) -> DataFrame:
-    """Subject erasure across ALL SIX stores — the raw/derived trio of
+    """Subject erasure across ALL EIGHT stores — the raw/derived trio of
     the basic report PLUS the persisted derived stores that hold
     subject-derived text and vectors on disk: the ANN index, the chunk
-    store, and the MinHash dedup index. Erasure that skips these is not
+    store, the MinHash dedup index, the near-dup pairs artifact, and
+    (r9) the deterministic-IVF serving index. Erasure that skips these is not
     erasure — they contain the subject's content verbatim (chunk text,
     shingle hashes, unit vectors).
 
@@ -266,6 +276,21 @@ def erasure_report_full(
     )
 
     ann_index_invalidate_codebooks(erased_paths["ann_index"])
+    # eighth store: erase the subject's code rows from the probed-cell
+    # layout, then poison the fingerprint — the Lloyd centroids were
+    # trained on the full corpus, so the next ensure() refits them on
+    # the erased corpus (same contract as the PQ codebooks above)
+    from kinesis_dstream_spark.operators.clustering import (
+        ivf_det_store_invalidate,
+    )
+
+    erase_parquet_store(
+        spark,
+        os.path.join(erased_paths["ivf_det_index"], "codes"),
+        req_vecs,
+        "vec_id",
+    )
+    ivf_det_store_invalidate(erased_paths["ivf_det_index"])
     erase_parquet_store(
         spark, os.path.join(erased_paths["chunk_store"], "chunks"), req_docs, "doc_id"
     )
@@ -310,6 +335,10 @@ def erasure_report_full(
     # physically erased copy on disk
     persisted = {
         "ann_index": (pristine["ann_index"], erased_paths["ann_index"]),
+        "ivf_det_index": (
+            os.path.join(pristine["ivf_det_index"], "codes"),
+            os.path.join(erased_paths["ivf_det_index"], "codes"),
+        ),
         "chunk_store": (
             os.path.join(pristine["chunk_store"], "chunks"),
             os.path.join(erased_paths["chunk_store"], "chunks"),
@@ -460,4 +489,9 @@ UNION ALL
 SELECT 'chunk_store', before, erased, before - erased FROM ch
 UNION ALL
 SELECT 'minhash_dedup_index', before, erased, before - erased FROM di
+UNION ALL
+-- eighth store (r9): the deterministic-IVF codes table holds exactly
+-- one (vec_id, iu, cluster_id) row per corpus vector, so its erasure
+-- accounting equals the ANN index's
+SELECT 'ivf_det_index', before, erased, before - erased FROM ann
 """

@@ -4318,6 +4318,13 @@ def _q_ivf_deterministic(spark: SparkSession, sf: str) -> DataFrame:
     return clustering.ivf_deterministic_topk(load_table(spark, sf, "embeddings"))
 
 
+def _q_ivf_det_serve(spark: SparkSession, sf: str) -> DataFrame:
+    tag = sf.strip("/").replace("/", "_")
+    return clustering.ivf_deterministic_serve(
+        load_table(spark, sf, "embeddings"), f"/tmp/kds_ivf_det_{tag}"
+    )
+
+
 def _q_dedup_setsim_prefix(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.dedup_setsim_prefix(load_table(spark, sf, "documents"))
 
@@ -4836,10 +4843,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _q_zscore_sharded,
         eventflow.ZSCORE_SHARDED_SQL,
     ),
-    # seven-store subject erasure incl. PHYSICAL deletion from the
+    # eight-store subject erasure incl. PHYSICAL deletion from the
     # persisted ANN index / chunk store / MinHash dedup index / pairs
-    # artifact (r8: seventh store — similarity rows about an erased
-    # subject's documents die with the documents)
+    # artifact (r8) / deterministic-IVF serving index (r9: codes rows
+    # die with the vectors, centroid params are refit-invalidated)
     "gdpr_erasure_full_report": (
         _q_erasure_full,
         governance.erasure_full_sql(_SQL_DEDUP_JACCARD),
@@ -5151,6 +5158,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _q_generator_agreement,
         _generator_agreement_sql(),
     ),
+    # ---- r9 wave: registered AFTER the frozen 50-query driver window ----
+    # build/serve split for the deterministic IVF (r8-verdict task 2):
+    # serves from the persisted cell-partitioned store — identical rows
+    # to ann_ivf_deterministic_topk (deterministic fit), same oracle
+    "ann_ivf_det_serve": (_q_ivf_det_serve, clustering.IVF_DETERMINISTIC_SQL),
 }
 
 

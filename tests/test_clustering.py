@@ -206,3 +206,41 @@ def test_ivf_deterministic_is_reproducible(spark, sf_dir):
     a = sorted(map(tuple, clustering.ivf_deterministic_topk(emb).collect()))
     b = sorted(map(tuple, clustering.ivf_deterministic_topk(emb).collect()))
     assert a == b
+
+
+def test_ivf_serve_matches_build_and_detects_staleness(spark, sf_dir, tmp_path):
+    """r9 build/serve split: (a) the persisted-store serve returns
+    row-identical results to the build-per-call operator (the fit is
+    deterministic, so one oracle certifies both); (b) the serve plan
+    partition-prunes to the probed cells (static IN on cluster_id in
+    PartitionFilters); (c) a poisoned fingerprint triggers a rebuild
+    whose meta re-matches the corpus."""
+    import json
+    import os
+
+    path = str(tmp_path / "ivf_det")
+    emb = load_table(spark, sf_dir, "embeddings")
+    build = sorted(
+        map(tuple, clustering.ivf_deterministic_topk(emb).collect())
+    )
+    serve_df = clustering.ivf_deterministic_serve(emb, path)
+    assert sorted(map(tuple, serve_df.collect())) == build
+
+    plan = serve_df._jdf.queryExecution().executedPlan().toString()
+    scan = next(
+        ln for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "PartitionFilters: [cluster_id" in ln
+    )
+    assert " IN (" in scan.split("PartitionFilters", 1)[1]
+
+    meta_path = os.path.join(path, clustering._IVF_DET_META)
+    with open(meta_path) as f:
+        good_fp = json.load(f)["fingerprint"]
+    clustering.ivf_det_store_invalidate(path)
+    with open(meta_path) as f:
+        assert json.load(f)["fingerprint"] == "invalidated-by-erasure"
+    # re-ensure: rebuilds and restores the corpus fingerprint
+    cents, codes = clustering.ivf_det_store_ensure(emb, path)
+    with open(meta_path) as f:
+        assert json.load(f)["fingerprint"] == good_fp
+    assert codes.count() == emb.count()

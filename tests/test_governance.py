@@ -69,14 +69,17 @@ def test_full_erasure_physical_zero_residual_all_stores(spark, sf_dir, tmp_path)
     assert {r.store for r in rows} == {
         "events_raw", "scd2_history", "minute_granules",
         "ann_index", "chunk_store", "minhash_dedup_index",
-        "near_dup_pairs",
+        "near_dup_pairs", "ivf_det_index",
     }
     for r in rows:
         assert r.rows_before == r.rows_erased + r.rows_after
         assert r.rows_erased > 0
 
     stores = {
-        "vec_id": [os.path.join(work, "ann_index")],
+        "vec_id": [
+            os.path.join(work, "ann_index"),
+            os.path.join(work, "ivf_det_index", "codes"),
+        ],
         "doc_id": [
             os.path.join(work, "chunk_store", "chunks"),
             os.path.join(work, "dedup_index", "bands"),
