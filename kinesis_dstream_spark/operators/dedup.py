@@ -993,11 +993,73 @@ def dedup_edit_distance(
     )
 
 
+def _setsim_prefix_index(ex: DataFrame, t_num: int, t_den: int) -> DataFrame:
+    """The rarity-first PPJoin prefix index over exploded shingle rows:
+    per doc, the first |s| − ceil(t·|s|) + 1 shingles in (df asc,
+    shingle) order — the only rows the candidate self-join touches."""
+    from pyspark.sql import Window
+
+    dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    wdoc = Window.partitionBy("doc_id")
+    ranked = (
+        ex.join(dfreq, "shingle")
+        .withColumn("sz", F.count(F.lit(1)).over(wdoc))
+        .withColumn("pos", F.row_number().over(wdoc.orderBy("df", "shingle")))
+    )
+    # prefix length |s| − ceil(t·|s|) + 1, all-integer ceil
+    plen = (
+        F.col("sz")
+        - F.expr(f"(CAST({t_num} AS BIGINT) * sz + {t_den - 1}) div {t_den}")
+        + F.lit(1)
+    )
+    return ranked.filter(F.col("pos") <= plen).select(
+        "doc_id", "shingle", "sz", "pos"
+    )
+
+
+def setsim_prefix_cap_stats(
+    documents: DataFrame,
+    k: int = 3,
+    t_num: int = 3,
+    t_den: int = 5,
+    max_key_rows: int = 8,
+) -> DataFrame:
+    """Circuit-breaker accounting for the PPJoin prefix index: one row
+    of (n_prefix_keys, n_hot_keys, n_prefix_rows, n_dropped_rows) at
+    the given per-key cap. ``n_hot_keys > 0`` means a capped
+    ``dedup_setsim_prefix(..., max_key_rows=...)`` run has tripped the
+    breaker and its output is a lower bound (pairs whose only shared
+    prefix keys were hot are not generated) — the monitoring signal
+    that a corpus has degenerated toward near-identical (the hazard
+    the module docstring names).
+
+    Plan: the prefix index build (one shingle join + per-doc window),
+    one group-by on shingle, one scalar rollup — no pair stage at all,
+    so the report itself is safe to run on exactly the corpora that
+    would blow the uncapped join up.
+    """
+    ex = _shingle_sets(documents, k).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    prefix = _setsim_prefix_index(ex, t_num, t_den)
+    key_rows = prefix.groupBy("shingle").agg(F.count(F.lit(1)).alias("pk_rows"))
+    hot = F.col("pk_rows") > max_key_rows
+    return key_rows.agg(
+        F.count(F.lit(1)).alias("n_prefix_keys"),
+        F.sum(F.when(hot, 1).otherwise(0)).alias("n_hot_keys"),
+        F.sum("pk_rows").alias("n_prefix_rows"),
+        F.sum(F.when(hot, F.col("pk_rows")).otherwise(F.lit(0))).alias(
+            "n_dropped_rows"
+        ),
+    )
+
+
 def dedup_setsim_prefix(
     documents: DataFrame,
     k: int = 3,
     t_num: int = 3,
     t_den: int = 5,
+    max_key_rows: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard self-join via AllPairs/PPJoin PREFIX filtering —
     the third index strategy in the tier (vs the df-CAP inverted index
@@ -1028,8 +1090,21 @@ def dedup_setsim_prefix(
     but changes the vocabulary (exact only w.r.t. the capped sets); the
     prefix index keeps the textbook-exact semantics and shrinks the
     typical case, but a corpus of near-identical documents can still
-    concentrate candidates — compose with ``capped_shingles`` when a
-    hard bound matters more than uncapped exactness.
+    concentrate candidates.
+
+    Worst-case circuit breaker (r9, ``max_key_rows``): with the default
+    ``None`` the join is textbook-exact (the oracle-gated path). Set it
+    to drop prefix-index KEYS whose row count exceeds the cap before
+    the self-join — per-key candidate generation is then bounded by
+    max_key_rows²/2 no matter how degenerate the corpus (100 identical
+    docs would otherwise put every doc under the same rare shingles).
+    The cap applies to candidate GENERATION only; surviving candidates
+    are verified uncapped-exact, so emitted pairs are always true
+    positives — what the cap can cost is pairs whose ONLY shared
+    prefix keys were hot (on a truly near-identical corpus those pairs
+    are genuinely quadratic in number, which is exactly the blow-up
+    being refused). ``setsim_prefix_cap_stats`` reports how much the
+    cap dropped so ops can see when the breaker has tripped.
 
     Plan at 100 TB: df attach is a shingle-keyed join (linear per-key
     fan-out — AQE skew split applies cleanly, no pair blowup); the
@@ -1051,22 +1126,16 @@ def dedup_setsim_prefix(
         .select("doc_id", F.explode("shingles").alias("shingle"))
         .localCheckpoint(eager=True)
     )
-    dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    wdoc = Window.partitionBy("doc_id")
-    ranked = (
-        ex.join(dfreq, "shingle")
-        .withColumn("sz", F.count(F.lit(1)).over(wdoc))
-        .withColumn("pos", F.row_number().over(wdoc.orderBy("df", "shingle")))
-    )
-    # prefix length |s| − ceil(t·|s|) + 1, all-integer ceil
-    plen = (
-        F.col("sz")
-        - F.expr(f"(CAST({t_num} AS BIGINT) * sz + {t_den - 1}) div {t_den}")
-        + F.lit(1)
-    )
-    prefix = ranked.filter(F.col("pos") <= plen).select(
-        "doc_id", "shingle", "sz", "pos"
-    )
+    prefix = _setsim_prefix_index(ex, t_num, t_den)
+    if max_key_rows is not None:
+        key_rows = prefix.groupBy("shingle").agg(
+            F.count(F.lit(1)).alias("_pk_rows")
+        )
+        prefix = (
+            prefix.join(key_rows, "shingle")
+            .filter(F.col("_pk_rows") <= max_key_rows)
+            .drop("_pk_rows")
+        )
     a, b = prefix.alias("a"), prefix.alias("b")
     # POSITIONAL filter (the PPJoin upgrade over AllPairs): a match on
     # the shared token at prefix positions (pa, pb) bounds the whole
@@ -1200,26 +1269,53 @@ def dedup_sorted_neighborhood(
     (jac_ppm trunc division) so downstream cluster/survivorship
     consumers can union the two candidate generators.
     """
-    keyed = documents.select(
-        "doc_id",
-        F.lower(
-            F.substring(
-                F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), 1, key_len
-            )
-        ).alias("bk"),
-    )
+    pairs = _nbhd_candidate_pairs(documents, _nbhd_key_prefix(key_len), window)
+    return _verify_shingle_jaccard(documents, pairs, k, t_num, t_den)
+
+
+def _nbhd_key_prefix(key_len: int):
+    """Pass-1 blocking key: prefix of the whitespace-normalized text."""
+    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    return F.lower(F.substring(norm, 1, key_len))
+
+
+def _nbhd_key_suffix(key_len: int):
+    """Pass-2 blocking key: prefix of the REVERSED normalized text
+    (= suffix blocking). reverse-then-substr instead of a negative
+    substr start because Spark and DuckDB disagree on negative-start
+    semantics for short strings; reverse+positive-substr is
+    byte-identical in both engines."""
+    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    return F.lower(F.substring(F.reverse(norm), 1, key_len))
+
+
+def _nbhd_candidate_pairs(
+    documents: DataFrame, key_expr, window: int
+) -> DataFrame:
+    """One sorted-neighborhood pass: global rank by (key, doc_id) via
+    the 2-pass range-partitioned rank, then ``window`` unique-key
+    equi-joins (rank+j == rank — skew impossible). Exactly
+    w·n − w(w+1)/2 candidate pairs."""
+    keyed = documents.select("doc_id", key_expr.alias("bk"))
     ranked = _global_rank(keyed, ["bk", "doc_id"], "r").select("doc_id", "r")
     spark = documents.sparkSession
     js = spark.range(1, window + 1).select(F.col("id").alias("j"))
     probes = ranked.crossJoin(F.broadcast(js)).select(
         F.col("doc_id").alias("id_a"), (F.col("r") + F.col("j")).alias("r2")
     )
-    pairs = probes.join(
+    return probes.join(
         ranked.select(F.col("doc_id").alias("id_b"), F.col("r").alias("r2")), "r2"
     ).select(
         F.least("id_a", "id_b").alias("doc_a"),
         F.greatest("id_a", "id_b").alias("doc_b"),
     )
+
+
+def _verify_shingle_jaccard(
+    documents: DataFrame, pairs: DataFrame, k: int, t_num: int, t_den: int
+) -> DataFrame:
+    """Exact shingle-Jaccard verify over a candidate pair list —
+    rescans only candidate docs' shingle rows; integer-exact jac_ppm."""
     # localCheckpoint (not .cache()): blocks are released when the
     # DataFrame goes out of scope (ContextCleaner), so registry sweeps
     # composing several dedup generators don't accumulate pinned
@@ -1253,21 +1349,59 @@ def dedup_sorted_neighborhood(
     )
 
 
-def near_dup_generator_agreement(documents: DataFrame) -> DataFrame:
-    """Ablation report over the three candidate-generation strategies
-    (df-capped inverted index / rarity-ordered prefix index / sorted
-    neighborhood): Venn counts of the pair sets each emits at its own
-    threshold. The ER-ops question this answers is "which blocking
-    strategy is earning its keep" — a region like (ngram=1, setsim=1,
-    nbhd=0) counts near-dups whose edits fall inside the blocking-key
-    prefix (sorted-neighborhood blind spot), while (0, 1, 0) isolates
-    pairs only visible to the uncapped-vocabulary index. Production
-    multi-pass ER unions generators; this report is the evidence for
-    which passes to keep at 100 TB, where each pass is a real scan.
+def dedup_sorted_neighborhood_multipass(
+    documents: DataFrame,
+    window: int = 4,
+    key_len: int = 24,
+    k: int = 3,
+    t_num: int = 3,
+    t_den: int = 5,
+) -> DataFrame:
+    """Multi-pass sorted-neighborhood ER (Hernández & Stolfo's full
+    recipe): UNION the candidate pairs of two independent sort passes —
+    the text-prefix key and the text-suffix key (reversed-text prefix)
+    — then verify once with exact shingle Jaccard. The second pass is
+    what closes the single-pass blind spot: a near-dup whose edit falls
+    INSIDE the prefix key lands far away in the prefix sort but stays
+    adjacent in the suffix sort (and vice versa); any pair whose edits
+    hit both key regions is the residual miss that a third pass
+    (e.g. sorted-token key) would target.
 
-    Plan: the three generators run as-is (each sub-quadratic by its
-    own index argument), then two pair-keyed full outer joins and one
-    8-region rollup — the joins carry only candidate pairs, never
+    Scale shape: each pass is the linear-candidate neighborhood join
+    (w·n pairs, skew-free unique-rank equi-joins); the union carries
+    2·w·n candidate rows (distinct-deduped before verify so a pair
+    found by both passes is verified once); the verify rescans only
+    candidate docs' shingle rows. Cost is pass count × one corpus
+    sort — exactly the multi-pass economics the generator-agreement
+    report quantifies.
+
+    Output schema matches the single-pass (the convention all dedup
+    generators share) so downstream union/cluster consumers are
+    interchangeable.
+    """
+    p1 = _nbhd_candidate_pairs(documents, _nbhd_key_prefix(key_len), window)
+    p2 = _nbhd_candidate_pairs(documents, _nbhd_key_suffix(key_len), window)
+    pairs = p1.unionByName(p2).distinct()
+    return _verify_shingle_jaccard(documents, pairs, k, t_num, t_den)
+
+
+def near_dup_generator_agreement(documents: DataFrame) -> DataFrame:
+    """Ablation report over the FOUR candidate-generation strategies
+    (df-capped inverted index / rarity-ordered prefix index / sorted
+    neighborhood by text prefix / sorted neighborhood by text suffix):
+    Venn counts of the pair sets each emits at its own threshold. The
+    ER-ops question this answers is "which blocking strategy is earning
+    its keep" — a region like (ngram=1, setsim=1, nbhd=0, sfx=0) counts
+    near-dups whose edits fall inside BOTH neighborhood keys, while
+    (1, 1, 0, 1) isolates the prefix-pass blind spot that the r9 suffix
+    pass recovers (edit inside the prefix key → far in the prefix sort,
+    adjacent in the suffix sort). Production multi-pass ER unions
+    generators; this report is the evidence for which passes to keep at
+    100 TB, where each pass is a real scan.
+
+    Plan: the four generators run as-is (each sub-quadratic by its
+    own index argument), then three pair-keyed full outer joins and one
+    16-region rollup — the joins carry only candidate pairs, never
     corpus rows.
     """
     g1 = dedup_ngram_jaccard(documents).select(
@@ -1279,15 +1413,24 @@ def near_dup_generator_agreement(documents: DataFrame) -> DataFrame:
     g3 = dedup_sorted_neighborhood(documents).select(
         "doc_a", "doc_b", F.lit(1).alias("in_nbhd")
     )
+    g4 = _verify_shingle_jaccard(
+        documents,
+        _nbhd_candidate_pairs(documents, _nbhd_key_suffix(24), 4),
+        3,
+        3,
+        5,
+    ).select("doc_a", "doc_b", F.lit(1).alias("in_nbhd_sfx"))
     full = (
         g1.join(g2, ["doc_a", "doc_b"], "full")
         .join(g3, ["doc_a", "doc_b"], "full")
+        .join(g4, ["doc_a", "doc_b"], "full")
         .select(
             F.coalesce("in_ngram", F.lit(0)).alias("in_ngram"),
             F.coalesce("in_setsim", F.lit(0)).alias("in_setsim"),
             F.coalesce("in_nbhd", F.lit(0)).alias("in_nbhd"),
+            F.coalesce("in_nbhd_sfx", F.lit(0)).alias("in_nbhd_sfx"),
         )
     )
-    return full.groupBy("in_ngram", "in_setsim", "in_nbhd").agg(
+    return full.groupBy("in_ngram", "in_setsim", "in_nbhd", "in_nbhd_sfx").agg(
         F.count(F.lit(1)).alias("n_pairs")
     )

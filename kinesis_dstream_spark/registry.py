@@ -4200,28 +4200,34 @@ def _q_generator_agreement(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _generator_agreement_sql() -> str:
-    """Twin assembled from the SAME three pair definitions the Spark
-    operator composes (parameter discipline — no diverging copies)."""
+    """Twin assembled from the SAME four pair definitions the Spark
+    operator composes (parameter discipline — no diverging copies).
+    r9: the fourth generator is the suffix-key neighborhood pass."""
     return f"""
 WITH r1 AS MATERIALIZED (SELECT doc_a, doc_b FROM ({_SQL_DEDUP_JACCARD})),
 r2 AS MATERIALIZED (SELECT doc_a, doc_b FROM ({_SQL_SETSIM_PREFIX})),
 r3 AS MATERIALIZED (SELECT doc_a, doc_b FROM ({_SQL_SORTED_NEIGHBORHOOD})),
+r4 AS MATERIALIZED (SELECT doc_a, doc_b FROM ({_SQL_SORTED_NEIGHBORHOOD_SFX})),
 u AS (
   SELECT doc_a, doc_b FROM r1
   UNION
   SELECT doc_a, doc_b FROM r2
   UNION
   SELECT doc_a, doc_b FROM r3
+  UNION
+  SELECT doc_a, doc_b FROM r4
 )
 SELECT CASE WHEN a.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_ngram,
        CASE WHEN b.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_setsim,
        CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_nbhd,
+       CASE WHEN d.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_nbhd_sfx,
        CAST(count(*) AS BIGINT) AS n_pairs
 FROM u
 LEFT JOIN r1 a ON a.doc_a = u.doc_a AND a.doc_b = u.doc_b
 LEFT JOIN r2 b ON b.doc_a = u.doc_a AND b.doc_b = u.doc_b
 LEFT JOIN r3 c ON c.doc_a = u.doc_a AND c.doc_b = u.doc_b
-GROUP BY 1, 2, 3
+LEFT JOIN r4 d ON d.doc_a = u.doc_a AND d.doc_b = u.doc_b
+GROUP BY 1, 2, 3, 4
 """
 
 
@@ -4363,28 +4369,97 @@ WHERE {t_den} * i.n_inter >= {t_num} * (sa.sz + sb.sz - i.n_inter)
 _SQL_SETSIM_PREFIX = _setsim_prefix_sql()
 
 
+def _setsim_cap_stats_sql(
+    k: int = 3, t_num: int = 3, t_den: int = 5, max_key_rows: int = 8
+) -> str:
+    """Twin of ``dedup.setsim_prefix_cap_stats`` from the SAME
+    parameters — unlike the pair oracle this one MUST rebuild the
+    prefix index itself (the report is ABOUT the index), so it mirrors
+    the (df asc, shingle) rank and the integer ceil prefix length."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKS.format(col='text')} AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - {k - 1}, 1) + 1),
+                                      i -> array_to_string(t[i:i+{k - 1}], ' '))) AS shingles
+  FROM toks
+), ex AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), dfq AS (
+  SELECT shingle, CAST(count(*) AS BIGINT) AS df FROM ex GROUP BY 1
+), rk AS (
+  SELECT e.doc_id, e.shingle,
+         count(*) OVER (PARTITION BY e.doc_id) AS sz,
+         row_number() OVER (PARTITION BY e.doc_id
+                            ORDER BY d.df, e.shingle) AS pos
+  FROM ex e JOIN dfq d USING (shingle)
+), pfx AS (
+  SELECT * FROM rk
+  WHERE pos <= sz - (({t_num} * sz + {t_den - 1}) // {t_den}) + 1
+), keys AS (
+  SELECT shingle, CAST(count(*) AS BIGINT) AS pk_rows FROM pfx GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_prefix_keys,
+       CAST(sum(CASE WHEN pk_rows > {max_key_rows} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hot_keys,
+       CAST(sum(pk_rows) AS BIGINT) AS n_prefix_rows,
+       CAST(sum(CASE WHEN pk_rows > {max_key_rows} THEN pk_rows ELSE 0 END)
+            AS BIGINT) AS n_dropped_rows
+FROM keys
+"""
+
+
+def _q_setsim_cap_stats(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.setsim_prefix_cap_stats(load_table(spark, sf, "documents"))
+
+
 def _q_dedup_sorted_neighborhood(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.dedup_sorted_neighborhood(load_table(spark, sf, "documents"))
 
 
+def _nbhd_key_sql(key_len: int, suffix: bool) -> str:
+    """The blocking-key expression shared by the neighborhood twins:
+    prefix of the normalized text, or prefix of its reverse (= suffix
+    blocking; reverse+positive-substr because Spark and DuckDB disagree
+    on negative-start substr for short strings)."""
+    norm = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
+    if suffix:
+        norm = f"reverse({norm})"
+    return f"lower(substr({norm}, 1, {key_len}))"
+
+
 def _sorted_neighborhood_sql(
-    window: int = 4, key_len: int = 24, k: int = 3, t_num: int = 3, t_den: int = 5
+    window: int = 4,
+    key_len: int = 24,
+    k: int = 3,
+    t_num: int = 3,
+    t_den: int = 5,
+    passes: tuple[bool, ...] = (False,),
 ) -> str:
     """DuckDB twin generated from the SAME parameters as
-    ``dedup.dedup_sorted_neighborhood``. The oracle uses the plain
+    ``dedup.dedup_sorted_neighborhood`` (and, with
+    ``passes=(False, True)``, its r9 multipass variant — candidate
+    union across one rank order per pass). The oracle uses the plain
     global window row_number — the Spark side's range-partition +
     offset rank is value-identical by construction (rank = position in
     the total (bk, doc_id) order)."""
+    rank_ctes = ", ".join(
+        f"""k{i} AS (
+  SELECT doc_id, {_nbhd_key_sql(key_len, sfx)} AS bk FROM documents
+), r{i} AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bk, doc_id) AS r FROM k{i}
+)"""
+        for i, sfx in enumerate(passes)
+    )
+    pair_selects = "\n  UNION\n".join(
+        f"""  SELECT least(a.doc_id, b.doc_id) AS doc_a, greatest(a.doc_id, b.doc_id) AS doc_b
+  FROM r{i} a JOIN r{i} b ON b.r BETWEEN a.r + 1 AND a.r + {window}"""
+        for i in range(len(passes))
+    )
     return f"""
-WITH keyed AS (
-  SELECT doc_id,
-         lower(substr(trim(regexp_replace(text, '\\s+', ' ', 'g')), 1, {key_len})) AS bk
-  FROM documents
-), rk AS (
-  SELECT doc_id, row_number() OVER (ORDER BY bk, doc_id) AS r FROM keyed
-), pairs AS (
-  SELECT least(a.doc_id, b.doc_id) AS doc_a, greatest(a.doc_id, b.doc_id) AS doc_b
-  FROM rk a JOIN rk b ON b.r BETWEEN a.r + 1 AND a.r + {window}
+WITH {rank_ctes}, pairs AS (
+{pair_selects}
 ), toks AS (
   SELECT doc_id, {_DUCK_TOKS.format(col='text')} AS t FROM documents
 ), sh AS (
@@ -4413,6 +4488,14 @@ WHERE {t_den} * i.n_inter >= {t_num} * (sa.sz + sb.sz - i.n_inter)
 
 
 _SQL_SORTED_NEIGHBORHOOD = _sorted_neighborhood_sql()
+_SQL_SORTED_NEIGHBORHOOD_SFX = _sorted_neighborhood_sql(passes=(True,))
+_SQL_SORTED_NEIGHBORHOOD_MULTI = _sorted_neighborhood_sql(passes=(False, True))
+
+
+def _q_dedup_sorted_neighborhood_multi(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.dedup_sorted_neighborhood_multipass(
+        load_table(spark, sf, "documents")
+    )
 
 
 def _q_mmr_diversified(spark: SparkSession, sf: str) -> DataFrame:
@@ -5163,6 +5246,17 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # serves from the persisted cell-partitioned store — identical rows
     # to ann_ivf_deterministic_topk (deterministic fit), same oracle
     "ann_ivf_det_serve": (_q_ivf_det_serve, clustering.IVF_DETERMINISTIC_SQL),
+    # multi-pass sorted-neighborhood ER (r8-verdict task 3): prefix +
+    # suffix sort passes, candidate union, one exact-Jaccard verify —
+    # closes the single-pass blind spot for edits inside the prefix key
+    "dedup_sorted_neighborhood_multipass": (
+        _q_dedup_sorted_neighborhood_multi,
+        _SQL_SORTED_NEIGHBORHOOD_MULTI,
+    ),
+    # PPJoin circuit-breaker accounting (r8-verdict task 4): hot-key /
+    # dropped-row counts at the candidate cap — the tripped-breaker
+    # monitoring signal for near-identical corpora
+    "setsim_prefix_cap_stats": (_q_setsim_cap_stats, _setsim_cap_stats_sql()),
 }
 
 

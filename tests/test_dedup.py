@@ -732,3 +732,93 @@ def test_global_rank_is_permutation_across_jobs(spark):
             F.max("r").alias("hi"),
         ).collect()[0]
         assert (agg["n"], agg["d"], agg["lo"], agg["hi"]) == (n, n, 1, n)
+
+
+def test_multipass_recovers_suffix_only_pair(spark):
+    """r9 multipass ER: construct a near-dup pair whose ONLY edit is
+    inside the 24-char prefix blocking key — in the prefix sort the
+    two docs are separated by > window filler docs, so the single
+    (prefix) pass misses them; their suffixes are identical, so the
+    suffix pass sorts them adjacent and the multipass union finds
+    them. The 4-generator agreement report must count the pair in a
+    region with in_nbhd=0, in_nbhd_sfx=1."""
+    tail = " ".join(f"common{j}" for j in range(30))
+    texts = [f"aaaaaa edit one {tail}", f"zzzzzz edit two {tail}"]
+    # 6 fillers (> window=4) sorting strictly between 'aaaaaa' and
+    # 'zzzzzz' in prefix order, each with a unique vocabulary so no
+    # filler verifies as a near-dup of anything
+    for i in range(6):
+        texts.append(" ".join(f"m{i}tok{j}" for j in range(25)))
+    docs = _docs(spark, texts)
+
+    single = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.dedup_sorted_neighborhood(docs).collect()
+    }
+    multi = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.dedup_sorted_neighborhood_multipass(docs).collect()
+    }
+    assert (0, 1) not in single, "prefix pass should miss the pair"
+    assert (0, 1) in multi, "suffix pass should recover it"
+    assert single <= multi, "multipass must be a superset of pass 1"
+
+    regions = {
+        (r["in_ngram"], r["in_setsim"], r["in_nbhd"], r["in_nbhd_sfx"]): r["n_pairs"]
+        for r in dedup.near_dup_generator_agreement(docs).collect()
+    }
+    assert any(k[2] == 0 and k[3] == 1 and n >= 1 for k, n in regions.items()), regions
+
+
+def test_setsim_cap_bounds_degenerate_corpus(spark):
+    """r9 circuit breaker: 100 near-identical docs concentrate every
+    prefix-index key at df≈100 — the uncapped candidate stage would be
+    ~n²/2 pairs. With max_key_rows the prefix index drops hot keys
+    BEFORE the self-join (bounded per-key work), emitted pairs stay
+    verified-exact (subset of the uncapped output), and the cap-stats
+    report flags the trip. On a benign corpus the cap is inert."""
+    # 100 near-identical docs: 30 shared tokens + 1 unique token each
+    base = " ".join(f"w{j}" for j in range(30))
+    degenerate = _docs(spark, [f"{base} u{i}" for i in range(100)])
+
+    stats = dedup.setsim_prefix_cap_stats(degenerate, max_key_rows=8).collect()[0]
+    assert stats["n_hot_keys"] > 0 and stats["n_dropped_rows"] > 0
+    assert stats["n_prefix_rows"] >= stats["n_dropped_rows"]
+
+    # per-key candidate generation is bounded by the cap: rebuild the
+    # capped prefix index and check the max per-key row count
+    ex = dedup._shingle_sets(degenerate, 3).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    prefix = dedup._setsim_prefix_index(ex, 3, 5)
+    key_rows = prefix.groupBy("shingle").agg(F.count(F.lit(1)).alias("n"))
+    capped_max = (
+        prefix.join(key_rows.filter(F.col("n") <= 8), "shingle")
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n"))
+        .collect()[0][0]
+    )
+    assert capped_max is None or capped_max <= 8
+
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.dedup_setsim_prefix(degenerate, max_key_rows=8).collect()
+    }
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.dedup_setsim_prefix(degenerate).collect()
+    }
+    assert capped <= full  # never a false positive — verify is exact
+
+    # benign corpus: generous cap changes nothing (oracle-path parity)
+    benign = _docs(
+        spark,
+        [" ".join(f"d{i}t{j}" for j in range(20)) for i in range(10)]
+        + [" ".join(f"d0t{j}" for j in range(20)) + " extra"],
+    )
+    a = sorted(map(tuple, dedup.dedup_setsim_prefix(benign).collect()))
+    b = sorted(
+        map(tuple, dedup.dedup_setsim_prefix(benign, max_key_rows=64).collect())
+    )
+    assert a == b and len(a) >= 1
