@@ -139,6 +139,64 @@ def _assign_expr(iarr: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFra
     )
 
 
+# k·d literal terms above which the codegen'd zip_with/aggregate folds
+# degrade (giant expression trees, task-binary blowup — the Hilbert
+# lesson) and assignment flips to the Arrow matmul kernel. Fixture runs
+# (k=8, d=64 → 512 terms) stay on the literal path; the kernels are
+# pinned bit-identical in pytest.
+_ARROW_ASSIGN_MIN_TERMS = 200_000
+
+
+def _assign_arrow(iarr: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
+    """Arrow-matmul assignment — IDENTICAL semantics to ``_assign_expr``
+    (exact int64 squared-L2, argmin ties to the smallest centroid id)
+    computed as one numpy int64 matmul per Arrow batch instead of k
+    codegen'd folds: ||x−c||² = ||x||² − 2x·c + ||c||², argmin over the
+    k columns (numpy argmin returns the FIRST minimum; ``cents`` is
+    cid-ordered, replaying array_position's tie rule). Every product
+    and sum is the same int64 arithmetic as the literal expression, so
+    the flip is bit-invisible (pytest-pinned). Same plan shape: still a
+    map-only pass, no join, no shuffle — only the scoring kernel
+    changes, which is what lets k grow past codegen limits (SCALE.md).
+    Overflow headroom: coords ≤ 1e6 ⇒ ||x||², ||c||², dist ≤ 2.6e14 —
+    comfortably int64 (the module-docstring bound)."""
+    import numpy as np
+    import pandas as pd
+
+    cid_arr = np.array([cid for cid, _ in cents], dtype=np.int64)
+    C = np.array([coords for _, coords in cents], dtype=np.int64)
+    cn = (C * C).sum(axis=1)
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["iu"].to_numpy()).astype(np.int64)
+            dist = (X * X).sum(axis=1)[:, None] - 2 * (X @ C.T) + cn[None, :]
+            j = dist.argmin(axis=1)  # first minimum == smallest cid
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "iu": pdf["iu"],
+                    "dist": dist[np.arange(len(j)), j],
+                    "cluster_id": cid_arr[j].astype(np.int32),
+                }
+            )
+
+    return iarr.mapInPandas(
+        score, "vec_id long, iu array<long>, dist long, cluster_id int"
+    )
+
+
+def _assign(iarr: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
+    """Kernel dispatch: literal codegen folds for small k·d (JVM-side,
+    whole-stage-codegen'd into the scan), Arrow matmul past the gate."""
+    d = len(cents[0][1]) if cents else 0
+    if len(cents) * d >= _ARROW_ASSIGN_MIN_TERMS:
+        return _assign_arrow(iarr, cents)
+    return _assign_expr(iarr, cents)
+
+
 def _fit_kmeans(
     embeddings: DataFrame, k: int = _K, n_assign: int = _N_ASSIGN
 ) -> tuple[DataFrame, DataFrame, list[tuple[int, list[int]]]]:
@@ -146,7 +204,7 @@ def _fit_kmeans(
     profile, SemDeDup, and the deterministic-IVF serving path."""
     iarr = _unit_int_arrays(embeddings).localCheckpoint()
     cents = _collect_seed_centroids(embeddings, iarr, k)
-    asg = _assign_expr(iarr, cents)
+    asg = _assign(iarr, cents)
     for _ in range(n_assign - 1):
         upd = (
             asg.select("cluster_id", F.posexplode("iu").alias("pos0", "v"))
@@ -162,7 +220,7 @@ def _fit_kmeans(
         cents = [
             (int(r["cluster_id"]), [int(s["cv"]) for s in r["cs"]]) for r in upd
         ]
-        asg = _assign_expr(iarr, cents)
+        asg = _assign(iarr, cents)
     return iarr, asg, cents
 
 

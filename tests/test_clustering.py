@@ -244,3 +244,29 @@ def test_ivf_serve_matches_build_and_detects_staleness(spark, sf_dir, tmp_path):
     with open(meta_path) as f:
         assert json.load(f)["fingerprint"] == good_fp
     assert codes.count() == emb.count()
+
+
+def test_arrow_assignment_kernel_matches_literal_bit_for_bit(spark, sf_dir):
+    """r9 kernel flip (SCALE.md commitment): past k·d ≈ 2e5 terms the
+    literal zip_with folds hit codegen limits and assignment switches
+    to the Arrow int64 matmul. Both kernels must be BIT-identical —
+    same exact squared-L2, same first-minimum (smallest-cid) tie rule
+    — on the real fixture and on a constructed exact-tie case."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    iarr = clustering._unit_int_arrays(emb).localCheckpoint()
+    cents = clustering._collect_seed_centroids(emb, iarr, clustering._K)
+    lit = sorted(map(tuple, clustering._assign_expr(iarr, cents).collect()))
+    arw = sorted(map(tuple, clustering._assign_arrow(iarr, cents).collect()))
+    assert [(r[0], r[2], r[3]) for r in lit] == [(r[0], r[2], r[3]) for r in arw]
+
+    # constructed tie: two centroids equidistant from every point —
+    # both kernels must pick the smaller cid
+    rows = [(i, [int(x) for x in v]) for i, v in [(0, [5, 0]), (1, [0, 5])]]
+    tie_iarr = spark.createDataFrame(rows, "vec_id long, iu array<long>")
+    tie_cents = [(0, [10, 10]), (1, [10, 10]), (2, [-100, -100])]
+    for fn in (clustering._assign_expr, clustering._assign_arrow):
+        got = {r["vec_id"]: r["cluster_id"] for r in fn(tie_iarr, tie_cents).collect()}
+        assert got == {0: 0, 1: 0}, fn.__name__
+
+    # the dispatcher gate: fixture k·d sits far below the flip point
+    assert clustering._K * 64 < clustering._ARROW_ASSIGN_MIN_TERMS
