@@ -301,6 +301,9 @@ BENCH_QUERIES = {
     "streaming_daily_counts": "streaming_daily_counts",
     "seasonal_from_store": "seasonal_decomposition_from_store",
     "autocorr_from_store": "daily_autocorr_from_store",
+    # r9: third + fourth consumers of the (now value-moment) granules
+    "trend_from_store": "value_trend_from_store",
+    "anomaly_from_store": "seasonal_anomaly_from_store",
     "k_truss": "k_truss_edges",
     # r8 wave 5: rank transform at the distinct-value grain (scan vs
     # third granule-store consumer), temporal split audit

@@ -1850,37 +1850,13 @@ def value_trend_regression(events: DataFrame) -> DataFrame:
     the numerators need DECIMAL(38) or per-shard moment merge (the
     KMV shard pattern) — noted, not silently wrong.
 
-    Scale: this is the cheapest possible shape — a single groupBy
-    with 6 integer partial aggregates; no window, no join, no sort.
+    Scale: this is the cheapest possible shape — a (type, day) moment
+    granule (map-combined, grid-bounded) folded into 6 integer partial
+    aggregates; no window, no join, no sort. r9: delegates to the
+    shared granule form so the streaming daily-moment store can serve
+    the identical statistic (``value_trend_from_store``).
     """
-    x = F.expr("datediff(to_date(ts), DATE '2024-01-01')").cast("long")
-    y = fixedpoint(F.col("value"), _V_SCALE)
-    base = events.select("event_type", x.alias("x"), y.alias("y"))
-    agg = base.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-    )
-    A = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    B = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    C = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
-    return agg.select(
-        "event_type",
-        "n",
-        F.round(A / B / _V_SCALE, 6).alias("slope_per_day"),
-        F.round(
-            (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")) / B / _V_SCALE,
-            4,
-        ).alias("intercept"),
-        F.round(
-            (A.cast("double") * A.cast("double"))
-            / (B.cast("double") * C.cast("double")),
-            4,
-        ).alias("r2"),
-    )
+    return value_trend_from_daily_moments(daily_value_moments(events))
 
 
 VALUE_TREND_REGRESSION_SQL = f"""
@@ -2423,6 +2399,64 @@ def daily_event_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def daily_value_moments(events: DataFrame) -> DataFrame:
+    """(event_type, d, c, sy, syy) daily VALUE moments — the r9
+    widening of the daily-count granule: counts plus the fixed-point
+    value sum and sum-of-squares per (type, day). Still purely
+    ADDITIVE (every column merges losslessly under any batching), so
+    the streaming maintenance replay story is unchanged, and it is a
+    strict superset of ``daily_event_counts`` (project c to recover
+    it). One maintained table now serves the whole daily-series family
+    AND the per-type trend regression: Σx, Σxy, Σx² over events reduce
+    exactly to Σd·c, Σd·sy, Σd²·c over these granules (x is the day)."""
+    d = F.expr("datediff(to_date(ts), DATE '2024-01-01')").cast("long")
+    y = fixedpoint(F.col("value"), _V_SCALE)
+    return (
+        events.select("event_type", d.alias("d"), y.alias("y"))
+        .groupBy("event_type", "d")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )
+
+
+def value_trend_from_daily_moments(moments: DataFrame) -> DataFrame:
+    """The trend regression from pre-aggregated (event_type, d, c, sy,
+    syy) granules — scan path and granule-store path share this
+    exactly. The five per-event sufficient statistics fold exactly
+    onto the granules (x = day is constant within a granule):
+    n = Σc, Σx = Σd·c, Σy = Σsy, Σxy = Σd·sy, Σx² = Σd²·c, Σy² = Σsyy
+    — all int64, so the closed form below is bit-identical to the
+    event-grain aggregate."""
+    agg = moments.groupBy("event_type").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("d") * F.col("c")).alias("sx"),
+        F.sum("sy").alias("sy"),
+        F.sum(F.col("d") * F.col("sy")).alias("sxy"),
+        F.sum(F.col("d") * F.col("d") * F.col("c")).alias("sxx"),
+        F.sum("syy").alias("syy"),
+    )
+    A = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    B = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    C = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return agg.select(
+        "event_type",
+        "n",
+        F.round(A / B / _V_SCALE, 6).alias("slope_per_day"),
+        F.round(
+            (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")) / B / _V_SCALE,
+            4,
+        ).alias("intercept"),
+        F.round(
+            (A.cast("double") * A.cast("double"))
+            / (B.cast("double") * C.cast("double")),
+            4,
+        ).alias("r2"),
+    )
+
+
 def _zero_filled(daily: DataFrame) -> DataFrame:
     span = daily.groupBy("event_type").agg(
         F.min("d").alias("d0"), F.max("d").alias("d1")
@@ -2838,7 +2872,16 @@ def seasonal_anomaly_bands(events: DataFrame, period: int = 7) -> DataFrame:
     inherited from the decomposition; bands and flags operate on
     |types|·|days| rows.
     """
-    dec = daily_seasonal_decomposition(events, period).filter(
+    return seasonal_anomaly_from_daily_counts(daily_event_counts(events), period)
+
+
+def seasonal_anomaly_from_daily_counts(
+    daily: DataFrame, period: int = 7
+) -> DataFrame:
+    """The residual-band anomaly flags from a pre-aggregated
+    (event_type, d, c) table — scan path and granule-store path share
+    this exactly (r9: the store's fourth consumer)."""
+    dec = seasonal_from_daily_counts(daily, period).filter(
         F.col("resid").isNotNull()
     )
     freq = dec.groupBy("event_type", "resid").agg(F.count(F.lit(1)).alias("c"))

@@ -4195,6 +4195,18 @@ def _q_autocorr_from_store(spark: SparkSession, sf: str) -> DataFrame:
     return jobs.daily_autocorr_from_store(spark, sf)
 
 
+def _q_value_trend_from_store(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.streaming import jobs
+
+    return jobs.value_trend_from_store(spark, sf)
+
+
+def _q_seasonal_anomaly_from_store(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.streaming import jobs
+
+    return jobs.seasonal_anomaly_from_store(spark, sf)
+
+
 def _q_generator_agreement(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.near_dup_generator_agreement(load_table(spark, sf, "documents"))
 
@@ -5257,6 +5269,19 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # dropped-row counts at the candidate cap — the tripped-breaker
     # monitoring signal for near-identical corpora
     "setsim_prefix_cap_stats": (_q_setsim_cap_stats, _setsim_cap_stats_sql()),
+    # third + fourth consumers of the daily-granule store (r8-verdict
+    # task 7): trend regression folds exactly onto the r9 value-moment
+    # widening (c, sy, syy); anomaly bands project the counts. Fresh
+    # store → O(grid) read; stale/absent → identical scan path, so the
+    # oracles are the scan twins.
+    "value_trend_from_store": (
+        _q_value_trend_from_store,
+        eventflow.VALUE_TREND_REGRESSION_SQL,
+    ),
+    "seasonal_anomaly_from_store": (
+        _q_seasonal_anomaly_from_store,
+        eventflow.SEASONAL_ANOMALY_SQL,
+    ),
 }
 
 

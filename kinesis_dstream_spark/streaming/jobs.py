@@ -1247,9 +1247,12 @@ def rank_normalize_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dailyc_store_dir(sf_dir: str) -> str:
-    """Fixed per-sf daily-count granule store location."""
+    """Fixed per-sf daily-granule store location. ``v2``: the granule
+    schema widened in r9 from (type, d, c) to the value-moment form
+    (type, d, c, sy, syy) — versioning the path retires any v1 store
+    in place instead of serving rows that lack the new columns."""
     tag = sf_dir.strip("/").replace("/", "_")
-    return f"{tempfile.gettempdir()}/kds_dailyc_state_{tag}"
+    return f"{tempfile.gettempdir()}/kds_dailyc_state_v2_{tag}"
 
 
 def streaming_daily_count_maintenance(
@@ -1258,11 +1261,13 @@ def streaming_daily_count_maintenance(
     state_dir: str | None = None,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
-    """Streaming maintenance of the (event_type, d, c) DAILY COUNT
+    """Streaming maintenance of the (event_type, d, c, sy, syy) DAILY
     granules — the shared sufficient statistic of the daily-series
-    family (``eventflow.daily_event_counts``): seasonal decomposition,
-    autocorrelation, and any other function of the daily series read
-    this one maintained table instead of re-scanning events.
+    family (``eventflow.daily_value_moments``, a strict superset of
+    the daily counts): seasonal decomposition, autocorrelation, the
+    residual anomaly bands, the value trend regression, and any other
+    function of the daily series read this one maintained table
+    instead of re-scanning events.
 
     Maintenance class: ADDITIVE (counts merge losslessly under any
     batching), so the replay story is the epoch-keyed upsert shared
@@ -1292,9 +1297,12 @@ def streaming_daily_count_maintenance(
     cur_path = os.path.join(state_dir, "current")
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        from kinesis_dstream_spark.operators.eventflow import daily_event_counts
+        from kinesis_dstream_spark.operators.eventflow import daily_value_moments
 
-        partials = daily_event_counts(batch_df).withColumn(
+        # r9: the granule carries the value moments too (c, sy, syy) —
+        # still additive, same replay semantics; the counts consumers
+        # simply project c
+        partials = daily_value_moments(batch_df).withColumn(
             "batch_id", F.lit(batch_id).cast("long")
         )
         merged = partials
@@ -1383,6 +1391,59 @@ def daily_autocorr_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     if daily is not None:
         return eventflow.autocorr_from_daily_counts(daily)
     return eventflow.daily_count_autocorr(load_table(spark, sf_dir, "events"))
+
+
+def _daily_moments_if_fresh(spark: SparkSession, sf_dir: str) -> DataFrame | None:
+    """The full (event_type, d, c, sy, syy) granule table when the
+    store is fresh, else None — the value-moment counterpart of
+    ``_daily_counts_if_fresh`` (same gate, wider projection)."""
+    state_dir = _dailyc_store_dir(sf_dir)
+    cur_path = os.path.join(state_dir, "current")
+    meta = os.path.join(state_dir, "_meta.json")
+    if os.path.exists(cur_path) and _stored_fingerprint(
+        meta
+    ) == _events_fingerprint(spark, sf_dir):
+        return (
+            spark.read.parquet(cur_path)
+            .groupBy("event_type", "d")
+            .agg(
+                F.sum("c").alias("c"),
+                F.sum("sy").alias("sy"),
+                F.sum("syy").alias("syy"),
+            )
+        )
+    return None
+
+
+def value_trend_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type value trend regression SERVED FROM the daily-moment
+    granules — the store's third consumer (r8-verdict task 7): the
+    five sufficient statistics fold exactly onto (c, sy, syy) by day,
+    so both paths run ``value_trend_from_daily_moments`` on a
+    value-identical table and share VALUE_TREND_REGRESSION_SQL. At
+    100 TB: an O(|types|·|days|) read instead of an O(|events|)
+    re-scan per drift check."""
+    from kinesis_dstream_spark.operators import eventflow
+    from kinesis_dstream_spark.tables import load_table
+
+    moments = _daily_moments_if_fresh(spark, sf_dir)
+    if moments is not None:
+        return eventflow.value_trend_from_daily_moments(moments)
+    return eventflow.value_trend_regression(load_table(spark, sf_dir, "events"))
+
+
+def seasonal_anomaly_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-band anomaly flags SERVED FROM the daily granules —
+    the store's fourth consumer; counts project out of the moment
+    rows, both paths run ``seasonal_anomaly_from_daily_counts`` on a
+    value-identical table and share SEASONAL_ANOMALY_SQL."""
+    from kinesis_dstream_spark.operators import eventflow
+    from kinesis_dstream_spark.tables import load_table
+
+    daily = _daily_counts_if_fresh(spark, sf_dir)
+    if daily is not None:
+        return eventflow.seasonal_anomaly_from_daily_counts(daily)
+    return eventflow.seasonal_anomaly_bands(load_table(spark, sf_dir, "events"))
 
 
 def streaming_transition_maintenance(

@@ -898,6 +898,27 @@ def test_daily_count_store_serves_both_consumers_exactly(spark, sf_dir):
         == want_acf
     )
 
+    # r9: the value-moment widening serves the trend regression and
+    # the residual anomaly bands from the SAME granules, identically
+    # to their scan paths
+    from kinesis_dstream_spark.streaming.jobs import (
+        _daily_moments_if_fresh,
+        seasonal_anomaly_from_store,
+        value_trend_from_store,
+    )
+
+    assert _daily_moments_if_fresh(spark, sf_dir) is not None, "store fresh"
+    want_trend = sorted(map(tuple, eventflow.value_trend_regression(ev).collect()))
+    want_bands = sorted(map(tuple, eventflow.seasonal_anomaly_bands(ev).collect()))
+    assert (
+        sorted(map(tuple, value_trend_from_store(spark, sf_dir).collect()))
+        == want_trend
+    )
+    assert (
+        sorted(map(tuple, seasonal_anomaly_from_store(spark, sf_dir).collect()))
+        == want_bands
+    )
+
 
 def test_daily_count_store_stale_falls_back_to_scan(spark, sf_dir):
     """A corrupted fingerprint must route the from-store consumers to
