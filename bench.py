@@ -289,6 +289,7 @@ BENCH_QUERIES = {
     # r9: the recurring cost after the build/serve split — warm-up
     # builds the persisted store, timed runs pay probe+prune+rerank only
     "ann_ivf_det_serve": "ann_ivf_det_serve",
+    "ann_ivf_det_ingest": "ann_ivf_det_ingest_serve",
     "setsim_prefix": "dedup_setsim_prefix",
     "sorted_neighborhood": "dedup_sorted_neighborhood",
     "mmr_rerank": "mmr_diversified_topk",

@@ -331,9 +331,23 @@ def semantic_cluster_dedup(
 # ---------------------------------------------------------------------------
 
 
-def kmeans_oracle_cte(k: int = _K, n_assign: int = _N_ASSIGN) -> str:
+def kmeans_oracle_cte(
+    k: int = _K, n_assign: int = _N_ASSIGN, fit_pred: str | None = None
+) -> str:
     """WITH-chain ending in ``a{n_assign}`` = (vec_id, cid, dist),
-    plus ``iarr`` (vec_id, iu list) for downstream pair dots."""
+    plus ``iarr`` (vec_id, iu list) for downstream pair dots.
+
+    ``fit_pred`` (r9, for the frozen-centroid ingest twin): a vec_id
+    predicate restricting the FIT — seeds and every assignment/update
+    round see only matching vectors — while ``iarr``/``lg`` still
+    cover the full table for downstream all-corpus scoring."""
+    lg_fit = "lg"
+    fit_cte = ""
+    seed_where = ""
+    if fit_pred:
+        lg_fit = "lgf"
+        fit_cte = f", lgf AS (SELECT * FROM lg WHERE {fit_pred})"
+        seed_where = f" WHERE {fit_pred}"
     chain = f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -350,22 +364,22 @@ WITH e AS (
 ), lg AS (
   SELECT vec_id, unnest(generate_series(1, len(iu))) AS pos, unnest(iu) AS iu
   FROM iarr
-), seeds AS (
+){fit_cte}, seeds AS (
   SELECT vec_id,
          row_number() OVER (
            ORDER BY md5('kmeans:' || CAST(vec_id AS VARCHAR)), vec_id) - 1
            AS cid
-  FROM embeddings
+  FROM embeddings{seed_where}
   ORDER BY md5('kmeans:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT {k}
 ), c0 AS (
-  SELECT s.cid, l.pos, l.iu AS cv FROM seeds s JOIN lg l USING (vec_id)
+  SELECT s.cid, l.pos, l.iu AS cv FROM seeds s JOIN {lg_fit} l USING (vec_id)
 )"""
     prev = "c0"
     for i in range(1, n_assign + 1):
         chain += f""", d{i} AS (
   SELECT l.vec_id, c.cid,
          CAST(sum((l.iu - c.cv) * (l.iu - c.cv)) AS BIGINT) AS dist
-  FROM lg l JOIN {prev} c ON c.pos = l.pos GROUP BY 1, 2
+  FROM {lg_fit} l JOIN {prev} c ON c.pos = l.pos GROUP BY 1, 2
 ), m{i} AS (SELECT vec_id, min(dist) AS md FROM d{i} GROUP BY 1),
 a{i} AS (
   SELECT d.vec_id, min(d.cid) AS cid, min(d.dist) AS dist
@@ -376,7 +390,7 @@ a{i} AS (
             chain += f""", c{i} AS (
   SELECT a.cid, l.pos,
          CAST(CAST(sum(l.iu) AS BIGINT) // count(*) AS BIGINT) AS cv
-  FROM a{i} a JOIN lg l USING (vec_id) GROUP BY 1, 2
+  FROM a{i} a JOIN {lg_fit} l USING (vec_id) GROUP BY 1, 2
 )"""
             prev = f"c{i}"
     return chain
@@ -612,6 +626,20 @@ def ivf_deterministic_serve(
     query batch pays |probed cells| I/O + |q|·|cell| dots.
     """
     cents, codes = ivf_det_store_ensure(embeddings, path, k, n_assign)
+    return _ivf_serve_from(embeddings, codes, cents, n_queries, topk, n_probe)
+
+
+def _ivf_serve_from(
+    embeddings: DataFrame,
+    codes: DataFrame,
+    cents: list[tuple[int, list[int]]],
+    n_queries: int,
+    topk: int,
+    n_probe: int,
+) -> DataFrame:
+    """The recurring serve: probe pick against literal centroids, a
+    static probed-cell partition prune on the codes scan, broadcast
+    probe join, shared integer rerank."""
     queries = (
         _unit_int_arrays(embeddings)
         .filter(F.col("vec_id") < n_queries)
@@ -627,6 +655,68 @@ def ivf_deterministic_serve(
         F.broadcast(probes), "cluster_id"
     )
     return _ivf_rerank(cand, topk)
+
+
+def ivf_det_store_append(embeddings_new: DataFrame, path: str) -> None:
+    """Incremental ingest for the deterministic-IVF store: assign the
+    new vectors to the FROZEN stored centroids (the meta sidecar's k·d
+    literals — no refit, no corpus pass over existing data) and append
+    their code rows to the cell partitions. This is the production IVF
+    upkeep split: serve-time ingest is cheap and never perturbs
+    existing assignments; quantizer REFIT is a deliberate rebuild
+    (``ivf_det_store_invalidate`` + ensure), exactly like the PQ
+    index's codebook lifecycle (``ann_index_append`` /
+    ``ann_index_compact``).
+
+    Replay-safe: the meta sidecar records each appended batch's
+    content fingerprint; re-delivering a batch is a no-op instead of a
+    duplicate append (the dedup_index ingest convention).
+    """
+    import json
+    import os
+
+    from kinesis_dstream_spark.operators.ann_index import corpus_fingerprint
+
+    meta_path = os.path.join(path, _IVF_DET_META)
+    with open(meta_path) as f:  # store must exist: append is upkeep
+        meta = json.load(f)
+    fp_new = corpus_fingerprint(embeddings_new, ivf_det_append=True)
+    if fp_new in meta.get("appended", []):
+        return
+    cents = [
+        (int(cid), [int(x) for x in coords]) for cid, coords in meta["centroids"]
+    ]
+    asg = _assign(_unit_int_arrays(embeddings_new), cents)
+    asg.select("vec_id", "iu", "cluster_id").write.mode("append").partitionBy(
+        "cluster_id"
+    ).parquet(os.path.join(path, "codes"))
+    meta.setdefault("appended", []).append(fp_new)
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+
+
+def ivf_det_serve_frozen(
+    embeddings: DataFrame,
+    path: str,
+    n_queries: int = 10,
+    topk: int = 5,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Serve against the store AS-IS — frozen centroids plus whatever
+    the ingest path appended. No ensure, no fingerprint check: the
+    build/append calls own the lifecycle (the contract that lets
+    post-ingest results stay deterministic — a freshness-gated rebuild
+    here would silently refit the quantizer on the union corpus)."""
+    import json
+    import os
+
+    with open(os.path.join(path, _IVF_DET_META)) as f:
+        meta = json.load(f)
+    cents = [
+        (int(cid), [int(x) for x in coords]) for cid, coords in meta["centroids"]
+    ]
+    codes = embeddings.sparkSession.read.parquet(os.path.join(path, "codes"))
+    return _ivf_serve_from(embeddings, codes, cents, n_queries, topk, n_probe)
 
 
 def ivf_deterministic_sql(
@@ -677,3 +767,65 @@ SELECT q_id, c_id, dot_num, rk FROM (
 
 
 IVF_DETERMINISTIC_SQL = ivf_deterministic_sql()
+
+
+def ivf_det_ingest_sql(
+    fit_pred: str = "vec_id % 5 <> 4",
+    n_queries: int = 10,
+    topk: int = 5,
+    n_probe: int = 2,
+    k: int = _K,
+    n_assign: int = _N_ASSIGN,
+) -> str:
+    """DuckDB twin of the frozen-centroid ingest flow (ensure on the
+    ``fit_pred`` base + append the rest + serve): centroids fit on the
+    base subset only, then ALL vectors assign to those frozen
+    centroids (``aall``), and the probe/rerank reads ``aall`` — the
+    relational statement of "ingest never refits"."""
+    cent_tbl = f"c{n_assign - 1}" if n_assign > 1 else "c0"
+    return (
+        kmeans_oracle_cte(k, n_assign, fit_pred=fit_pred)
+        + f""", dall AS (
+  SELECT l.vec_id, c.cid,
+         CAST(sum((l.iu - c.cv) * (l.iu - c.cv)) AS BIGINT) AS dist
+  FROM lg l JOIN {cent_tbl} c ON c.pos = l.pos GROUP BY 1, 2
+), mall AS (SELECT vec_id, min(dist) AS md FROM dall GROUP BY 1),
+aall AS (
+  SELECT d.vec_id, min(d.cid) AS cid
+  FROM dall d JOIN mall ON mall.vec_id = d.vec_id AND d.dist = mall.md
+  GROUP BY 1
+), q AS (
+  SELECT vec_id AS q_id, iu AS q_iu FROM iarr WHERE vec_id < {n_queries}
+), qd AS (
+  SELECT l.vec_id AS q_id, c.cid,
+         CAST(sum((l.iu - c.cv) * (l.iu - c.cv)) AS BIGINT) AS cd
+  FROM lg l JOIN {cent_tbl} c ON c.pos = l.pos
+  WHERE l.vec_id < {n_queries}
+  GROUP BY 1, 2
+), probes AS (
+  SELECT q_id, cid FROM (
+    SELECT q_id, cid, row_number() OVER (PARTITION BY q_id ORDER BY cd, cid) AS pr
+    FROM qd
+  ) WHERE pr <= {n_probe}
+), scored AS (
+  SELECT p.q_id, a.vec_id AS c_id,
+         CAST(list_reduce(list_transform(list_zip(qq.q_iu, ia.iu),
+                                         s -> s[1] * s[2]),
+                          (x, y) -> x + y) AS BIGINT) AS dot_num
+  FROM probes p
+  JOIN aall a ON a.cid = p.cid
+  JOIN q qq ON qq.q_id = p.q_id
+  JOIN iarr ia ON ia.vec_id = a.vec_id
+  WHERE a.vec_id <> p.q_id
+)
+SELECT q_id, c_id, dot_num, rk FROM (
+  SELECT q_id, c_id, dot_num,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY dot_num DESC, c_id) AS rk
+  FROM scored
+) WHERE rk <= {topk}
+"""
+    )
+
+
+IVF_DET_INGEST_SQL = ivf_det_ingest_sql()

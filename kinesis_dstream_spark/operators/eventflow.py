@@ -1873,13 +1873,17 @@ WITH base AS (
   FROM base GROUP BY event_type
 )
 SELECT event_type, n,
-       round((n * sxy - sx * sy) / (n * sxx - sx * sx) / {_V_SCALE}, 6)
-         AS slope_per_day,
-       round((sy * sxx - sx * sxy) / (n * sxx - sx * sx) / {_V_SCALE}, 4)
-         AS intercept,
-       round((CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE))
-             / (CAST(n * sxx - sx * sx AS DOUBLE)
-                * CAST(n * syy - sy * sy AS DOUBLE)), 4) AS r2
+       CASE WHEN n * sxx - sx * sx <> 0 THEN
+         round((n * sxy - sx * sy) / (n * sxx - sx * sx) / {_V_SCALE}, 6)
+       END AS slope_per_day,
+       CASE WHEN n * sxx - sx * sx <> 0 THEN
+         round((sy * sxx - sx * sxy) / (n * sxx - sx * sx) / {_V_SCALE}, 4)
+       END AS intercept,
+       CASE WHEN n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0 THEN
+         round((CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE))
+               / (CAST(n * sxx - sx * sx AS DOUBLE)
+                  * CAST(n * syy - sy * sy AS DOUBLE)), 4)
+       END AS r2
 FROM agg
 """
 
@@ -2441,18 +2445,33 @@ def value_trend_from_daily_moments(moments: DataFrame) -> DataFrame:
     A = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     B = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     C = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    # B = 0 (a type whose events all land on ONE day — x has no
+    # variance) must emit NULL explicitly: under Spark's default ANSI
+    # mode the bare division THROWS, and DuckDB returns NULL even for
+    # float /0, so the guard is both a crash fix and a hash-gate
+    # parity rule (the value_gini_by_type precedent). r² additionally
+    # needs C ≠ 0 (constant y) — double /0.0 is Inf in Spark but NULL
+    # in DuckDB.
     return agg.select(
         "event_type",
         "n",
-        F.round(A / B / _V_SCALE, 6).alias("slope_per_day"),
-        F.round(
-            (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")) / B / _V_SCALE,
-            4,
+        F.when(B != 0, F.round(A / B / _V_SCALE, 6)).alias("slope_per_day"),
+        F.when(
+            B != 0,
+            F.round(
+                (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy"))
+                / B
+                / _V_SCALE,
+                4,
+            ),
         ).alias("intercept"),
-        F.round(
-            (A.cast("double") * A.cast("double"))
-            / (B.cast("double") * C.cast("double")),
-            4,
+        F.when(
+            (B != 0) & (C != 0),
+            F.round(
+                (A.cast("double") * A.cast("double"))
+                / (B.cast("double") * C.cast("double")),
+                4,
+            ),
         ).alias("r2"),
     )
 

@@ -4343,6 +4343,19 @@ def _q_ivf_det_serve(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_ivf_det_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """Build on the 80% base split, ingest the 20% remainder against
+    the frozen centroids, serve over the union — the oracle fits on
+    the same base predicate and assigns everything to those centroids
+    (the relational proof that ingest never refits)."""
+    emb = load_table(spark, sf, "embeddings")
+    tag = sf.strip("/").replace("/", "_")
+    path = f"/tmp/kds_ivf_ing_{tag}"
+    clustering.ivf_det_store_ensure(emb.filter(F.col("vec_id") % 5 != 4), path)
+    clustering.ivf_det_store_append(emb.filter(F.col("vec_id") % 5 == 4), path)
+    return clustering.ivf_det_serve_frozen(emb, path)
+
+
 def _q_dedup_setsim_prefix(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.dedup_setsim_prefix(load_table(spark, sf, "documents"))
 
@@ -5282,6 +5295,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _q_seasonal_anomaly_from_store,
         eventflow.SEASONAL_ANOMALY_SQL,
     ),
+    # frozen-centroid incremental ingest for the IVF-det store (r9):
+    # build on the 80% split, append the 20% against the FROZEN
+    # centroids, serve the union — end-to-end hash-checkable because
+    # the twin fits on the same base predicate and assigns all vectors
+    # to those centroids
+    "ann_ivf_det_ingest_serve": (_q_ivf_det_ingest, clustering.IVF_DET_INGEST_SQL),
 }
 
 

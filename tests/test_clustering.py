@@ -270,3 +270,37 @@ def test_arrow_assignment_kernel_matches_literal_bit_for_bit(spark, sf_dir):
 
     # the dispatcher gate: fixture k·d sits far below the flip point
     assert clustering._K * 64 < clustering._ARROW_ASSIGN_MIN_TERMS
+
+
+def test_ivf_ingest_is_replay_safe_and_frozen(spark, sf_dir, tmp_path):
+    """r9 ingest: appending a batch twice must be a no-op (fingerprint
+    replay guard — no duplicate code rows), appended vectors assign to
+    the FROZEN stored centroids (meta centroids unchanged by append),
+    and the frozen serve is deterministic across calls."""
+    import json
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 4)
+    newv = emb.filter(F.col("vec_id") % 5 == 4)
+    path = str(tmp_path / "ivf_ing")
+    clustering.ivf_det_store_ensure(base, path)
+    meta_path = os.path.join(path, clustering._IVF_DET_META)
+    with open(meta_path) as f:
+        cents_before = json.load(f)["centroids"]
+
+    clustering.ivf_det_store_append(newv, path)
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    n_after_first = codes.count()
+    assert n_after_first == emb.count()
+
+    clustering.ivf_det_store_append(newv, path)  # replay: no-op
+    assert spark.read.parquet(os.path.join(path, "codes")).count() == n_after_first
+    with open(meta_path) as f:
+        meta = json.load(f)
+    assert meta["centroids"] == cents_before, "append must never refit"
+    assert len(meta["appended"]) == 1
+
+    a = sorted(map(tuple, clustering.ivf_det_serve_frozen(emb, path).collect()))
+    b = sorted(map(tuple, clustering.ivf_det_serve_frozen(emb, path).collect()))
+    assert a == b and len(a) > 0

@@ -685,3 +685,29 @@ def test_seasonal_anomaly_bands_properties(spark, sf_dir):
             assert r["flag"] == want
             inside += want == "inside"
         assert inside >= 0.9 * n - 1
+
+
+def test_trend_regression_degenerate_types_emit_null(spark):
+    """r9 guard: a type whose events all land on one day (no x
+    variance) and a type with constant value (no y variance) must emit
+    NULL slope/intercept/r2 instead of throwing under ANSI mode (B=0)
+    or diverging Inf-vs-NULL from the oracle (C=0)."""
+    rows = (
+        # one-day type: B = 0 -> all three NULL
+        [("oneday", "2024-03-05 10:00:00", float(v)) for v in (1, 2, 3)]
+        # constant-value multi-day type: C = 0 -> r2 NULL, slope 0
+        + [("flat", f"2024-03-0{d} 10:00:00", 7.0) for d in (1, 2, 3)]
+    )
+    ev = spark.createDataFrame(
+        [(i, 1, t, ts, v) for i, (t, ts, v) in enumerate(rows)],
+        "event_id long, user_id long, event_type string, ts_s string, value double",
+    ).select(
+        "event_id", "user_id", "event_type",
+        F.col("ts_s").cast("timestamp").alias("ts"), "value",
+    )
+    got = {r["event_type"]: r for r in eventflow.value_trend_regression(ev).collect()}
+    assert got["oneday"]["slope_per_day"] is None
+    assert got["oneday"]["intercept"] is None
+    assert got["oneday"]["r2"] is None
+    assert got["flat"]["slope_per_day"] == 0.0
+    assert got["flat"]["r2"] is None
