@@ -4207,6 +4207,12 @@ def _q_seasonal_anomaly_from_store(spark: SparkSession, sf: str) -> DataFrame:
     return jobs.seasonal_anomaly_from_store(spark, sf)
 
 
+def _q_streaming_ivf_det_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.streaming import jobs
+
+    return jobs.streaming_ivf_det_ingest(spark, sf)
+
+
 def _q_generator_agreement(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.near_dup_generator_agreement(load_table(spark, sf, "documents"))
 
@@ -5301,6 +5307,13 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # the twin fits on the same base predicate and assigns all vectors
     # to those centroids
     "ann_ivf_det_ingest_serve": (_q_ivf_det_ingest, clustering.IVF_DET_INGEST_SQL),
+    # the STREAMING ingest drain shares the same twin — deterministic
+    # end-to-end (frozen centroids, anti-join dedup), so a streaming
+    # job is certified row-for-row by a relational oracle
+    "streaming_ivf_det_ingest": (
+        _q_streaming_ivf_det_ingest,
+        clustering.IVF_DET_INGEST_SQL,
+    ),
 }
 
 

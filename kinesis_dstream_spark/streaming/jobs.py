@@ -720,6 +720,72 @@ def streaming_ann_index_ingest(
     return ann_index.ann_index_search(spark, index_path, n_queries=5, k=5)
 
 
+def streaming_ivf_det_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    store_path: str | None = None,
+    checkpoint_dir: str | None = None,
+    n_files: int = 4,
+) -> DataFrame:
+    """Streaming ingestion into the persisted deterministic-IVF store
+    (O-1 ∘ E-11, r9): bootstrap the store ONCE on the 80% base split
+    (frozen Lloyd centroids — the quantizer never retrains on ingest),
+    then each micro-batch anti-joins the already-coded vec_ids and
+    appends the remainder via frozen-centroid assignment
+    (``ivf_det_store_append``). Replay-safe twice over: the anti-join
+    adds zero duplicate rows on re-delivery, and the append's own
+    batch-fingerprint guard skips byte-identical batches.
+
+    Unlike ``streaming_ann_index_ingest`` (sampled PQ codebooks —
+    rows-only), every step here is deterministic, so the drained serve
+    is END-TO-END HASH-CHECKABLE: the final codes table equals the
+    batch ingest flow's (base build + frozen assignment of the rest),
+    and the registry pairs this query with the SAME ``IVF_DET_INGEST_SQL``
+    twin — a streaming job certified row-for-row by a relational
+    oracle.
+
+    Scale shape: per batch, one pushed-projection read of the codes'
+    vec_id column for the anti-join (bloom/MERGE at real scale — the
+    ANN-ingest note applies), one map-side assignment of the batch
+    against k·d literal centroids, one partitioned append.
+    """
+    from kinesis_dstream_spark.operators import clustering
+
+    work = tempfile.mkdtemp(prefix="kds_ivfdstream_")
+    store_path = store_path or os.path.join(work, "idx")
+    checkpoint_dir = checkpoint_dir or os.path.join(work, "chk")
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    meta = os.path.join(store_path, clustering._IVF_DET_META)
+    if not os.path.exists(meta):
+        clustering.ivf_det_store_ensure(
+            emb.filter(F.col("vec_id") % 5 != 4), store_path
+        )
+    codes_path = os.path.join(store_path, "codes")
+
+    src = _embeddings_multifile_dir(spark, sf_dir, n_files)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.dropDuplicates(["vec_id"])
+        existing = spark.read.parquet(codes_path).select("vec_id")
+        batch = batch.join(existing, "vec_id", "left_anti")
+        if not batch.isEmpty():
+            clustering.ivf_det_store_append(batch, store_path)
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return clustering.ivf_det_serve_frozen(emb, store_path)
+
+
 def streaming_dedup_index_ingest(
     spark: SparkSession,
     sf_dir: str,

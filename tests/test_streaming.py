@@ -957,3 +957,43 @@ def test_daily_count_store_stale_falls_back_to_scan(spark, sf_dir):
     finally:
         with open(meta, "w") as f:
             json.dump(good, f)
+
+
+def test_streaming_ivf_ingest_replay_safe_and_equals_batch(spark, sf_dir, tmp_path):
+    """r9: draining the IVF-det ingest stream twice against the same
+    store+checkpoint adds zero duplicate code rows, and the drained
+    serve equals the BATCH ingest flow row-for-row (same frozen
+    centroids, same appended assignment — the shared oracle's claim)."""
+    import os
+
+    from kinesis_dstream_spark.operators import clustering
+    from kinesis_dstream_spark.streaming.jobs import streaming_ivf_det_ingest
+    from kinesis_dstream_spark.tables import load_table
+
+    store = str(tmp_path / "idx")
+    chk = str(tmp_path / "chk")
+    first = sorted(
+        map(tuple, streaming_ivf_det_ingest(spark, sf_dir, store, chk).collect())
+    )
+    n_codes = spark.read.parquet(os.path.join(store, "codes")).count()
+    emb = load_table(spark, sf_dir, "embeddings")
+    assert n_codes == emb.count()
+
+    again = sorted(
+        map(tuple, streaming_ivf_det_ingest(spark, sf_dir, store, chk).collect())
+    )
+    assert spark.read.parquet(os.path.join(store, "codes")).count() == n_codes
+    assert again == first
+
+    # batch-equivalence: ensure-on-base + append-rest = the stream
+    batch_store = str(tmp_path / "batch_idx")
+    clustering.ivf_det_store_ensure(
+        emb.filter(F.col("vec_id") % 5 != 4), batch_store
+    )
+    clustering.ivf_det_store_append(
+        emb.filter(F.col("vec_id") % 5 == 4), batch_store
+    )
+    batch = sorted(
+        map(tuple, clustering.ivf_det_serve_frozen(emb, batch_store).collect())
+    )
+    assert batch == first
