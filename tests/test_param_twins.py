@@ -51,3 +51,66 @@ def test_negative_sampling_nondefault(spark, duck, sf_dir):
 
 def test_negative_sampling_default_constant_matches_generator():
     assert similarity.NEGATIVE_SAMPLING_SQL == similarity.negative_sampling_sql()
+
+
+def test_ivf_det_ingest_nondefault_params(spark, duck, sf_dir, tmp_path):
+    """r9: the frozen-centroid ingest twin must track non-default
+    base predicate / probe / topk parameters in lockstep."""
+    from kinesis_dstream_spark.operators import clustering
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf_ing_params")
+    clustering.ivf_det_store_ensure(emb.filter("vec_id % 3 != 0"), path)
+    clustering.ivf_det_store_append(emb.filter("vec_id % 3 = 0"), path)
+    _match(
+        clustering.ivf_det_serve_frozen(emb, path, n_queries=6, topk=3, n_probe=3),
+        duck,
+        clustering.ivf_det_ingest_sql(
+            fit_pred="vec_id % 3 <> 0", n_queries=6, topk=3, n_probe=3
+        ),
+        "ivf_det_ingest_params",
+    )
+
+
+def test_ivf_det_ingest_default_constant_matches_generator():
+    from kinesis_dstream_spark.operators import clustering
+
+    assert clustering.IVF_DET_INGEST_SQL == clustering.ivf_det_ingest_sql()
+
+
+def test_setsim_cap_stats_nondefault_cap(spark, duck, sf_dir):
+    """r9: the circuit-breaker accounting twin tracks a non-default
+    per-key cap."""
+    from kinesis_dstream_spark import registry
+    from kinesis_dstream_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    _match(
+        dedup.setsim_prefix_cap_stats(docs, max_key_rows=3),
+        duck,
+        registry._setsim_cap_stats_sql(max_key_rows=3),
+        "setsim_cap_stats_3",
+    )
+
+
+def test_sorted_neighborhood_suffix_pass_twin(spark, duck, sf_dir):
+    """r9: the per-pass rank-CTE generator — the suffix-only pass must
+    hash-match the Spark suffix-key neighborhood (the 4th generator of
+    the agreement report)."""
+    from kinesis_dstream_spark import registry
+    from kinesis_dstream_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    sfx = dedup._verify_shingle_jaccard(
+        docs,
+        dedup._nbhd_candidate_pairs(docs, dedup._nbhd_key_suffix(24), 4),
+        3,
+        3,
+        5,
+    )
+    _match(
+        sfx,
+        duck,
+        registry._sorted_neighborhood_sql(passes=(True,)),
+        "nbhd_suffix_pass",
+    )
