@@ -125,6 +125,28 @@ mid-round run: the SEVENTH store (pairs-artifact ensure + copy + two
 endpoint anti-join rewrites) — intended coverage cost, not a
 regression.
 
+r9 solo run (sf0.1, quiet host: loadavg_start 0.31): 132 entries,
+total 127.5 s; full per-query map in the committed BENCH_DETAIL.json
+(the r9 record fix — the stdout line now carries a <1900-char summary
+the driver can always parse). Shared-77 subset vs the r8 record:
+78.1 s vs 84.8 s (-8%), no >40% outliers — host-drift-shaped, all
+plans unchanged except the priced items below. The build/serve split
+the r8 verdict asked for is measured: ann_ivf_det_serve 1.11 s and
+ann_ivf_det_ingest 1.07 s vs ann_ivf_det 2.76 s build-per-call (the
+per-call Lloyd fit was ~60% of the old number; the serve pays probe +
+pruned-cell scan + rerank only). generator_agreement 10.1 s now
+composes FOUR generators (suffix-pass neighborhood added) — still the
+sum of its parts. New store serves priced honestly: trend_from_store
+0.35 vs value_trend 0.28 scan and anomaly_from_store 0.63 vs
+seasonal_anomaly 0.61 — at sf0.1 these two statistics are already
+grid-dominated (the scan's row-grain share is small), so the serve is
+break-even HERE and wins as |events|/|days| grows; the pctl/rank-norm
+serves (0.35/0.40 vs 0.95/1.9 scans) show the same mechanism where
+the row-grain term dominates. setsim_prefix 2.61 and
+sorted_neighborhood 2.16 absorbed their r9 changes (cap plumbing,
+helper refactor + the _global_rank localCheckpoint pin) inside their
+r8 bands.
+
 Variance note (r5, re: the r4 verdict's simhash/minhash deltas):
 isolated re-measurement of the shuffle-heavy dedup queries at sf0.1
 shows ±20-40% run-to-run spread at the ~2 s scale even after warm-up
