@@ -695,6 +695,61 @@ def ivf_det_store_append(embeddings_new: DataFrame, path: str) -> None:
         json.dump(meta, f)
 
 
+def ivf_det_store_compact(
+    spark, path: str, max_files_per_cell: int = 4
+) -> dict[str, int]:
+    """Compaction for the deterministic-IVF codes table — the last
+    lifecycle piece (build / serve / ingest / erase / COMPACT):
+    ``ivf_det_store_append`` adds one file per touched cell per batch,
+    so a daily-ingest store accumulates unbounded small files. Cells
+    whose parquet file count exceeds the threshold are repartitioned
+    to one file each and committed via Spark's DYNAMIC partition
+    overwrite — untouched cells are never rewritten, so the cost is
+    bounded by the oversized cells' volume, not the store size (the
+    ``ann_index_compact`` contract). Rows are localCheckpoint-ed
+    before the overwrite so the read plan no longer depends on the
+    files the commit replaces. Content, meta, and fingerprints are
+    untouched (pytest pins identical serve results before/after).
+
+    Returns ``{"cells_compacted", "files_before", "files_after"}``.
+    """
+    import os
+
+    from kinesis_dstream_spark.operators.ann_index import _n_parquet_files
+
+    codes_path = os.path.join(path, "codes")
+    oversized = [
+        int(entry.split("=", 1)[1])
+        for entry in os.listdir(codes_path)
+        if entry.startswith("cluster_id=")
+        and _n_parquet_files(os.path.join(codes_path, entry)) > max_files_per_cell
+    ]
+    files_before = _n_parquet_files(codes_path)
+    if not oversized:
+        return {
+            "cells_compacted": 0,
+            "files_before": files_before,
+            "files_after": files_before,
+        }
+    rows = (
+        spark.read.parquet(codes_path)
+        .filter(F.col("cluster_id").isin(oversized))
+        .repartition("cluster_id")
+        .localCheckpoint()
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        rows.write.partitionBy("cluster_id").mode("overwrite").parquet(codes_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return {
+        "cells_compacted": len(oversized),
+        "files_before": files_before,
+        "files_after": _n_parquet_files(codes_path),
+    }
+
+
 def ivf_det_serve_frozen(
     embeddings: DataFrame,
     path: str,

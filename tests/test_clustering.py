@@ -304,3 +304,35 @@ def test_ivf_ingest_is_replay_safe_and_frozen(spark, sf_dir, tmp_path):
     a = sorted(map(tuple, clustering.ivf_det_serve_frozen(emb, path).collect()))
     b = sorted(map(tuple, clustering.ivf_det_serve_frozen(emb, path).collect()))
     assert a == b and len(a) > 0
+
+
+def test_ivf_compaction_preserves_serve_and_bounds_files(spark, sf_dir, tmp_path):
+    """r9 lifecycle: three append batches inflate per-cell file counts;
+    compaction rewrites ONLY oversized cells down to one file each and
+    the frozen serve is bit-identical before/after."""
+    import os
+
+    from kinesis_dstream_spark.operators.ann_index import _n_parquet_files
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf_compact")
+    clustering.ivf_det_store_ensure(emb.filter("vec_id % 5 = 0"), path)
+    for m in (1, 2, 3, 4):
+        clustering.ivf_det_store_append(emb.filter(f"vec_id % 5 = {m}"), path)
+    codes_path = os.path.join(path, "codes")
+    before_files = _n_parquet_files(codes_path)
+    before = sorted(map(tuple, clustering.ivf_det_serve_frozen(emb, path).collect()))
+
+    report = clustering.ivf_det_store_compact(spark, path, max_files_per_cell=2)
+    assert report["cells_compacted"] > 0
+    assert report["files_after"] < report["files_before"] == before_files
+    for entry in os.listdir(codes_path):
+        if entry.startswith("cluster_id="):
+            assert _n_parquet_files(os.path.join(codes_path, entry)) <= 2, entry
+
+    after = sorted(map(tuple, clustering.ivf_det_serve_frozen(emb, path).collect()))
+    assert after == before
+
+    # idempotent: a second compaction is a no-op
+    again = clustering.ivf_det_store_compact(spark, path, max_files_per_cell=2)
+    assert again["cells_compacted"] == 0

@@ -355,3 +355,69 @@ def test_cms_never_underestimates_property(spark, docs):
     rows = sketches.cms_heavy_hitters(df, k=5, depth=3, width=64).collect()
     for r in rows:
         assert r["cms_estimate"] >= r["n_occurrences"], r
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from([f"w{i}" for i in range(12)]), min_size=3, max_size=12
+        ),
+        min_size=2,
+        max_size=12,
+    ),
+    cap=st.integers(min_value=1, max_value=8),
+)
+def test_setsim_cap_monotone_and_sound(spark, docs, cap):
+    """r9 circuit-breaker properties on random corpora: (a) SOUND —
+    every capped pair also appears in the uncapped exact output (the
+    cap can only drop candidates, verify stays exact); (b) MONOTONE —
+    a larger cap never loses a pair the smaller cap found."""
+    from kinesis_dstream_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(i, " ".join(t), "en", "s", len(t)) for i, t in enumerate(docs)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    full = {(r["doc_a"], r["doc_b"]) for r in dedup.dedup_setsim_prefix(df).collect()}
+    small = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.dedup_setsim_prefix(df, max_key_rows=cap).collect()
+    }
+    big = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.dedup_setsim_prefix(df, max_key_rows=cap + 4).collect()
+    }
+    assert small <= big <= full
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from([f"w{i}" for i in range(10)]), min_size=3, max_size=10
+        ),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_multipass_neighborhood_superset_property(spark, docs):
+    """r9 multipass ER on random corpora: the prefix+suffix union is
+    always a superset of each single pass, and every emitted pair
+    clears the exact Jaccard threshold (soundness of the shared
+    verify)."""
+    from kinesis_dstream_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(i, " ".join(t), "en", "s", len(t)) for i, t in enumerate(docs)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    single = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.dedup_sorted_neighborhood(df).collect()
+    }
+    multi_rows = dedup.dedup_sorted_neighborhood_multipass(df).collect()
+    multi = {(r["doc_a"], r["doc_b"]) for r in multi_rows}
+    assert single <= multi
+    for r in multi_rows:
+        assert 5 * r["n_inter"] >= 3 * (r["n_a"] + r["n_b"] - r["n_inter"])
