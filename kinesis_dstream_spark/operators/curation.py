@@ -900,3 +900,113 @@ SELECT doc_id, n_chars, rk FROM (
 
 
 SYSTEMATIC_SAMPLE_SQL = systematic_sample_sql()
+
+
+# Default target mixture for the budget solve: even-indexed sources get
+# double the share of odd-indexed ones; the 20 ppm weights sum to
+# exactly 1_000_000 so the needed-token split is an exact partition of
+# the budget.
+MIX_TARGET_PPM = {
+    f"src{i}": (66666 if i % 2 == 0 else 33334) for i in range(20)
+}
+
+
+def mixture_budget_solve(
+    documents: DataFrame,
+    budget_tokens: int = 100_000,
+    target_ppm: dict[str, int] | None = None,
+) -> DataFrame:
+    """The data-mixing DECISION step (the solve that precedes
+    ``domain_mix_sample``'s rate application): given a token budget and
+    a target mixture over sources, compute per source how many tokens
+    the mix needs, the keep-rate that achieves it by downsampling, the
+    repeat factor when the source is UNDERSUPPLIED (epochs > 1 — the
+    "repeat data" regime LLM mixing recipes price explicitly), and the
+    absolute deficit. All integer ppm arithmetic:
+
+      tokens_needed = budget · w_ppm div 10⁶        (exact partition)
+      epochs_ppm    = needed · 10⁶ div available    (NULL if no supply)
+      keep_rate_ppm = min(10⁶, epochs_ppm)          (downsample cap)
+      deficit       = max(0, needed − available)
+
+    A target source absent from the corpus keeps its row
+    (tokens_available = 0, NULL epochs, full deficit) — the missing-
+    domain alarm. Division guards follow the r9 ANSI rule: Spark
+    throws on integer /0 where DuckDB returns NULL, so zero-supply is
+    an explicit NULL in both engines.
+
+    Plan at 100 TB: ONE corpus scan into a map-combined
+    groupBy(source) token sum (|sources| rows), joined to the literal
+    target table (broadcast by size) — the solve is a dashboard-cheap
+    aggregate no matter the corpus size.
+    """
+    target_ppm = MIX_TARGET_PPM if target_ppm is None else target_ppm
+    spark = documents.sparkSession
+    tgt = spark.createDataFrame(
+        sorted(target_ppm.items()), "source string, w_ppm long"
+    )
+    avail = (
+        documents.select("source", F.size(tokens(F.col("text"))).alias("nt"))
+        .groupBy("source")
+        .agg(F.sum("nt").cast("long").alias("tokens_available"))
+    )
+    j = tgt.join(avail, "source", "left").select(
+        "source",
+        F.coalesce("tokens_available", F.lit(0)).alias("tokens_available"),
+        F.expr(
+            f"CAST(({int(budget_tokens)} * w_ppm) div 1000000 AS BIGINT)"
+        ).alias("tokens_needed"),
+    )
+    epochs = F.expr("(tokens_needed * 1000000) div tokens_available")
+    return j.select(
+        "source",
+        "tokens_available",
+        "tokens_needed",
+        F.when(F.col("tokens_available") > 0, F.least(F.lit(1_000_000), epochs))
+        .alias("keep_rate_ppm"),
+        F.when(F.col("tokens_available") > 0, epochs).alias("epochs_ppm"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.col("tokens_needed") - F.col("tokens_available"),
+        ).alias("deficit_tokens"),
+    )
+
+
+def mixture_budget_sql(
+    budget_tokens: int = 100_000, target_ppm: dict[str, int] | None = None
+) -> str:
+    """DuckDB twin generated from the SAME budget and target dict
+    (param discipline — the VALUES list IS the parameter)."""
+    target_ppm = MIX_TARGET_PPM if target_ppm is None else target_ppm
+    values = ",\n         ".join(
+        f"('{s}', {w})" for s, w in sorted(target_ppm.items())
+    )
+    return f"""
+WITH tgt(source, w_ppm) AS (
+  VALUES {values}
+), avail AS (
+  SELECT source,
+         CAST(sum(len(str_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')))
+              AS BIGINT) AS tokens_available
+  FROM documents GROUP BY 1
+), j AS (
+  SELECT t.source,
+         coalesce(a.tokens_available, 0) AS tokens_available,
+         CAST((CAST({int(budget_tokens)} AS BIGINT) * t.w_ppm) // 1000000
+              AS BIGINT)
+           AS tokens_needed
+  FROM tgt t LEFT JOIN avail a ON a.source = t.source
+)
+SELECT source, tokens_available, tokens_needed,
+       CASE WHEN tokens_available > 0 THEN
+         least(1000000, (tokens_needed * 1000000) // tokens_available)
+       END AS keep_rate_ppm,
+       CASE WHEN tokens_available > 0 THEN
+         (tokens_needed * 1000000) // tokens_available
+       END AS epochs_ppm,
+       greatest(0, tokens_needed - tokens_available) AS deficit_tokens
+FROM j
+"""
+
+
+MIXTURE_BUDGET_SQL = mixture_budget_sql()

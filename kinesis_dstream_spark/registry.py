@@ -4207,6 +4207,10 @@ def _q_seasonal_anomaly_from_store(spark: SparkSession, sf: str) -> DataFrame:
     return jobs.seasonal_anomaly_from_store(spark, sf)
 
 
+def _q_mixture_budget(spark: SparkSession, sf: str) -> DataFrame:
+    return curation.mixture_budget_solve(load_table(spark, sf, "documents"))
+
+
 def _q_streaming_ivf_det_ingest(spark: SparkSession, sf: str) -> DataFrame:
     from kinesis_dstream_spark.streaming import jobs
 
@@ -5314,6 +5318,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _q_streaming_ivf_det_ingest,
         clustering.IVF_DET_INGEST_SQL,
     ),
+    # data-mixing decision step: per-source keep-rate / repeat-epochs /
+    # deficit solve for a token budget and target mixture (all ppm
+    # integer arithmetic; one map-combined aggregate)
+    "mixture_budget_solve": (_q_mixture_budget, curation.MIXTURE_BUDGET_SQL),
 }
 
 

@@ -386,3 +386,41 @@ def test_systematic_sample_even_spread(spark, sf_dir):
     span = hi - lo
     assert min(chars) <= lo + span // 10
     assert max(chars) >= hi - span // 10
+
+
+def test_mixture_budget_solve_regimes(spark):
+    """The three solve regimes on a constructed corpus: downsample
+    (oversupplied source → keep-rate < 1e6, zero deficit), repeat
+    (undersupplied → epochs > 1e6, keep-rate capped at 1e6, positive
+    deficit), and missing (target source absent from the corpus →
+    zero supply, NULL epochs, full deficit)."""
+    from kinesis_dstream_spark.operators import curation
+
+    # srcA: 10 docs x 10 tokens = 100 tokens; srcB: 1 doc x 5 tokens
+    rows = [(i, " ".join(f"a{i}t{j}" for j in range(10)), "en", "srcA", 60)
+            for i in range(10)]
+    rows.append((100, "b0 b1 b2 b3 b4", "en", "srcB", 14))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {
+        r["source"]: r
+        for r in curation.mixture_budget_solve(
+            docs,
+            budget_tokens=100,
+            target_ppm={"srcA": 500000, "srcB": 300000, "srcC": 200000},
+        ).collect()
+    }
+    a, b, c = got["srcA"], got["srcB"], got["srcC"]
+    # srcA: needs 50 of 100 -> keep half, no deficit
+    assert (a["tokens_available"], a["tokens_needed"]) == (100, 50)
+    assert a["keep_rate_ppm"] == 500000 and a["epochs_ppm"] == 500000
+    assert a["deficit_tokens"] == 0
+    # srcB: needs 30 of 5 -> 6 epochs, keep-rate capped, deficit 25
+    assert (b["tokens_available"], b["tokens_needed"]) == (5, 30)
+    assert b["keep_rate_ppm"] == 1000000 and b["epochs_ppm"] == 6000000
+    assert b["deficit_tokens"] == 25
+    # srcC: absent -> zero supply, NULL rates, full deficit
+    assert (c["tokens_available"], c["tokens_needed"]) == (0, 20)
+    assert c["keep_rate_ppm"] is None and c["epochs_ppm"] is None
+    assert c["deficit_tokens"] == 20

@@ -114,3 +114,24 @@ def test_sorted_neighborhood_suffix_pass_twin(spark, duck, sf_dir):
         registry._sorted_neighborhood_sql(passes=(True,)),
         "nbhd_suffix_pass",
     )
+
+
+def test_mixture_budget_nondefault_params(spark, duck, sf_dir):
+    """r9: the mixing-solve twin tracks a non-default budget and a
+    non-default target dict (including an absent source)."""
+    from kinesis_dstream_spark.operators import curation
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = {"src0": 700000, "src7": 200000, "nosuchsrc": 100000}
+    _match(
+        curation.mixture_budget_solve(docs, budget_tokens=12345, target_ppm=target),
+        duck,
+        curation.mixture_budget_sql(budget_tokens=12345, target_ppm=target),
+        "mixture_budget_params",
+    )
+
+
+def test_mixture_budget_default_constant_matches_generator():
+    from kinesis_dstream_spark.operators import curation
+
+    assert curation.MIXTURE_BUDGET_SQL == curation.mixture_budget_sql()
