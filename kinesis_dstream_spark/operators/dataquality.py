@@ -747,8 +747,15 @@ def ks_from_value_frequency(counts: DataFrame) -> DataFrame:
             "n_type",
             "n_rest",
             "ks_num",
-            F.round(
-                F.col("ks_num") / (F.col("n_type") * F.col("n_rest")), 6
+            # n_rest = 0 (a single-type corpus: nothing to drift
+            # against) would THROW under Spark's ANSI integer division
+            # while DuckDB returns NULL — emit NULL explicitly in both
+            # engines (the r9 degenerate-denominator rule)
+            F.when(
+                F.col("n_rest") > 0,
+                F.round(
+                    F.col("ks_num") / (F.col("n_type") * F.col("n_rest")), 6
+                ),
             ).alias("ks_stat"),
         )
     )
@@ -782,10 +789,11 @@ SELECT event_type, CAST(max(n_t) AS BIGINT) AS n_type,
        CAST(max(n) - max(n_t) AS BIGINT) AS n_rest,
        CAST(max(abs(cum_t * (n - n_t) - (cum_all - cum_t) * n_t))
             AS BIGINT) AS ks_num,
-       round(CAST(max(abs(cum_t * (n - n_t) - (cum_all - cum_t) * n_t))
-                  AS BIGINT)
-             / (CAST(max(n_t) AS BIGINT) * (max(n) - max(n_t))), 6)
-         AS ks_stat
+       CASE WHEN max(n) - max(n_t) > 0 THEN
+         round(CAST(max(abs(cum_t * (n - n_t) - (cum_all - cum_t) * n_t))
+                    AS BIGINT)
+               / (CAST(max(n_t) AS BIGINT) * (max(n) - max(n_t))), 6)
+       END AS ks_stat
 FROM cum GROUP BY event_type
 """
 

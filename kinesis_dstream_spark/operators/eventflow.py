@@ -2526,11 +2526,18 @@ def autocorr_from_daily_counts(
         "lag",
         "n_pairs",
         A.alias("cov_num"),
-        F.round(
-            F.signum(A.cast("double"))
-            * (A.cast("double") * A.cast("double"))
-            / (B.cast("double") * C.cast("double")),
-            6,
+        # B or C = 0 (a CONSTANT daily series — e.g. a heartbeat type
+        # firing exactly once per day) is 0/0: Spark doubles give NaN
+        # where DuckDB gives NULL — emit NULL explicitly in both
+        # engines (the r9 degenerate-denominator rule)
+        F.when(
+            (B != 0) & (C != 0),
+            F.round(
+                F.signum(A.cast("double"))
+                * (A.cast("double") * A.cast("double"))
+                / (B.cast("double") * C.cast("double")),
+                6,
+            ),
         ).alias("acf_signed_r2"),
     )
 
@@ -2568,12 +2575,14 @@ pairs AS (
 )
 SELECT event_type, lag, n_pairs,
        CAST(n_pairs * sxy - sx * sy AS BIGINT) AS cov_num,
-       round(sign(CAST(n_pairs * sxy - sx * sy AS DOUBLE))
-             * (CAST(n_pairs * sxy - sx * sy AS DOUBLE)
-                * CAST(n_pairs * sxy - sx * sy AS DOUBLE))
-             / (CAST(n_pairs * sxx - sx * sx AS DOUBLE)
-                * CAST(n_pairs * syy - sy * sy AS DOUBLE)), 6)
-         AS acf_signed_r2
+       CASE WHEN n_pairs * sxx - sx * sx <> 0
+             AND n_pairs * syy - sy * sy <> 0 THEN
+         round(sign(CAST(n_pairs * sxy - sx * sy AS DOUBLE))
+               * (CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+                  * CAST(n_pairs * sxy - sx * sy AS DOUBLE))
+               / (CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+                  * CAST(n_pairs * syy - sy * sy AS DOUBLE)), 6)
+       END AS acf_signed_r2
 FROM agg
 """
 

@@ -279,3 +279,20 @@ def test_functional_dependency_profile_detects_key_fd(spark, sf_dir):
     assert r["n_violating_keys"] == 1
     assert r["max_fanout"] == 2
     assert r["violation_ppm"] == 1000000 * 1 // 3
+
+
+def test_ks_single_type_corpus_emits_null(spark):
+    """r9 guard: a corpus with ONE event type has nothing to drift
+    against (n_rest = 0) — the statistic must be NULL, not an ANSI
+    DIVIDE_BY_ZERO crash (Spark) or NaN-vs-NULL divergence (DuckDB)."""
+    ev = spark.createDataFrame(
+        [(i, 1, "only", f"2024-03-0{1 + i % 5} 10:00:00", float(i)) for i in range(10)],
+        "event_id long, user_id long, event_type string, ts_s string, value double",
+    ).select(
+        "event_id", "user_id", "event_type",
+        F.col("ts_s").cast("timestamp").alias("ts"), "value",
+    )
+    out = dataquality.value_ks_drift(ev).collect()
+    assert len(out) == 1
+    assert out[0]["n_rest"] == 0
+    assert out[0]["ks_stat"] is None

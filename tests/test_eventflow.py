@@ -711,3 +711,25 @@ def test_trend_regression_degenerate_types_emit_null(spark):
     assert got["oneday"]["r2"] is None
     assert got["flat"]["slope_per_day"] == 0.0
     assert got["flat"]["r2"] is None
+
+
+def test_autocorr_constant_series_emits_null(spark):
+    """r9 guard: a heartbeat type (exactly one event per day — zero
+    variance at every lag) must emit NULL acf instead of Spark-NaN vs
+    DuckDB-NULL divergence; cov_num stays exact (0)."""
+    rows = [
+        (i, 1, "heartbeat", f"2024-03-{d:02d} 09:00:00", 1.0)
+        for i, d in enumerate(range(1, 21))
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, ts_s string, value double",
+    ).select(
+        "event_id", "user_id", "event_type",
+        F.col("ts_s").cast("timestamp").alias("ts"), "value",
+    )
+    out = eventflow.daily_count_autocorr(ev).collect()
+    assert len(out) == 2  # lags 1 and 7
+    for r in out:
+        assert r["cov_num"] == 0
+        assert r["acf_signed_r2"] is None
