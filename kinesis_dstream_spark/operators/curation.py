@@ -1010,3 +1010,168 @@ FROM j
 
 
 MIXTURE_BUDGET_SQL = mixture_budget_sql()
+
+
+def curation_pipeline_report(
+    documents: DataFrame,
+    budget_tokens: int = 100_000,
+    target_ppm: dict[str, int] | None = None,
+    min_tokens: int = 5,
+    max_tokens: int = 5000,
+) -> DataFrame:
+    """End-to-end curation pipeline in ONE declarative plan — the
+    composition a training-data run actually executes, with per-source
+    survivorship accounting at every stage:
+
+      1. quality gate: token count in [min_tokens, max_tokens];
+      2. exact dedup: keep the min-doc_id representative per
+         normalized-text md5 (the content-hash grouping — no window,
+         a min-aggregate + semi-join);
+      3. mixture application: solve the per-source keep-rate for the
+         token budget ON THE DEDUPED SURVIVORS (the rates join back
+         into the same plan — no driver round-trip), then keep each
+         doc iff its salted md5 ppm-bucket clears the rate (the
+         ``domain_mix_sample`` decision, content-stable across runs).
+
+    Output per source: n_raw, n_quality, n_dedup, n_final,
+    tokens_final. Every stage is deterministic and relational, so the
+    WHOLE pipeline is one oracle-checked query — the composition
+    guarantee (stage interfaces can't drift apart silently).
+
+    Scale shape: two row-grain shuffles total (the md5 dedup group and
+    the per-source rollups); the rate table is |sources| rows joined
+    broadcast; nothing collects. Sources absent from the target
+    mixture get rate 0 (excluded from the final mix, still accounted).
+    """
+    target_ppm = MIX_TARGET_PPM if target_ppm is None else target_ppm
+    spark = documents.sparkSession
+    tgt = spark.createDataFrame(
+        sorted(target_ppm.items()), "source string, w_ppm long"
+    )
+    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    base = documents.select(
+        "doc_id",
+        "source",
+        F.md5(norm).alias("h"),
+        F.size(tokens(F.col("text"))).cast("long").alias("nt"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1_000_000
+        ).alias("bucket_ppm"),
+    ).localCheckpoint(eager=True)  # three stage rollups + the rate join
+    q = base.filter(
+        (F.col("nt") >= min_tokens) & (F.col("nt") <= max_tokens)
+    )
+    keepers = q.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    dd = q.join(keepers, ["h", "doc_id"])  # semi: the kept representative
+    avail = dd.groupBy("source").agg(F.sum("nt").alias("ta"))
+    rates = (
+        avail.join(tgt, "source", "left")
+        .select(
+            "source",
+            F.when(
+                F.col("w_ppm").isNotNull() & (F.col("ta") > 0),
+                F.least(
+                    F.lit(1_000_000),
+                    F.expr(
+                        f"(CAST(({int(budget_tokens)} * w_ppm) div 1000000 AS BIGINT)"
+                        " * 1000000) div ta"
+                    ),
+                ),
+            )
+            .otherwise(F.lit(0))
+            .alias("keep_rate_ppm"),
+        )
+    )
+    final = dd.join(F.broadcast(rates), "source").filter(
+        F.col("bucket_ppm") < F.col("keep_rate_ppm")
+    )
+    r_raw = base.groupBy("source").agg(F.count(F.lit(1)).alias("n_raw"))
+    r_q = q.groupBy("source").agg(F.count(F.lit(1)).alias("n_quality"))
+    r_dd = dd.groupBy("source").agg(F.count(F.lit(1)).alias("n_dedup"))
+    r_fin = final.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_final"),
+        F.sum("nt").alias("tokens_final"),
+    )
+    return (
+        r_raw.join(r_q, "source", "left")
+        .join(r_dd, "source", "left")
+        .join(r_fin, "source", "left")
+        .select(
+            "source",
+            "n_raw",
+            F.coalesce("n_quality", F.lit(0)).alias("n_quality"),
+            F.coalesce("n_dedup", F.lit(0)).alias("n_dedup"),
+            F.coalesce("n_final", F.lit(0)).alias("n_final"),
+            F.coalesce("tokens_final", F.lit(0)).alias("tokens_final"),
+        )
+    )
+
+
+def curation_pipeline_sql(
+    budget_tokens: int = 100_000,
+    target_ppm: dict[str, int] | None = None,
+    min_tokens: int = 5,
+    max_tokens: int = 5000,
+) -> str:
+    """DuckDB twin generated from the SAME parameters — the whole
+    pipeline as one WITH-chain."""
+    target_ppm = MIX_TARGET_PPM if target_ppm is None else target_ppm
+    values = ",\n         ".join(
+        f"('{s}', {w})" for s, w in sorted(target_ppm.items())
+    )
+    return f"""
+WITH tgt(source, w_ppm) AS (
+  VALUES {values}
+), base AS (
+  SELECT doc_id, source,
+         md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS h,
+         CAST(len(str_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))
+              AS BIGINT) AS nt,
+         CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 1000000 AS bucket_ppm
+  FROM documents
+), q AS (
+  SELECT * FROM base WHERE nt BETWEEN {int(min_tokens)} AND {int(max_tokens)}
+), keepers AS (
+  SELECT h, min(doc_id) AS doc_id FROM q GROUP BY 1
+), dd AS (
+  SELECT q.* FROM q JOIN keepers k ON k.h = q.h AND k.doc_id = q.doc_id
+), avail AS (
+  SELECT source, CAST(sum(nt) AS BIGINT) AS ta FROM dd GROUP BY 1
+), rates AS (
+  SELECT a.source,
+         CASE WHEN t.w_ppm IS NOT NULL AND a.ta > 0 THEN
+           least(1000000,
+                 (CAST((CAST({int(budget_tokens)} AS BIGINT) * t.w_ppm)
+                       // 1000000 AS BIGINT) * 1000000) // a.ta)
+         ELSE 0 END AS keep_rate_ppm
+  FROM avail a LEFT JOIN tgt t ON t.source = a.source
+), fin AS (
+  SELECT d.* FROM dd d JOIN rates r ON r.source = d.source
+  WHERE d.bucket_ppm < r.keep_rate_ppm
+)
+SELECT b.source,
+       CAST(count(*) AS BIGINT) AS n_raw,
+       CAST(count(q.doc_id) AS BIGINT) AS n_quality,
+       CAST(count(d.doc_id) AS BIGINT) AS n_dedup,
+       CAST(count(f.doc_id) AS BIGINT) AS n_final,
+       CAST(coalesce(sum(CASE WHEN f.doc_id IS NOT NULL THEN f.nt END), 0)
+            AS BIGINT) AS tokens_final
+FROM base b
+LEFT JOIN q ON q.doc_id = b.doc_id
+LEFT JOIN dd d ON d.doc_id = b.doc_id
+LEFT JOIN fin f ON f.doc_id = b.doc_id
+GROUP BY 1
+"""
+
+
+CURATION_PIPELINE_SQL = curation_pipeline_sql()

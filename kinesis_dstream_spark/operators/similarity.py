@@ -31,6 +31,13 @@ from kinesis_dstream_spark.functions import vectors as V
 
 
 def _normalized(embeddings: DataFrame) -> DataFrame:
+    """Input contract: vectors must be nonzero. A zero vector's
+    normalization is 0/0 — NaN coordinates in Spark, NULL in DuckDB —
+    which would diverge at the hash gate AND return garbage neighbors
+    in any real serving tier; a production ingest validates/zero-drops
+    upstream (one cheap filter), so the similarity family treats zero
+    vectors as malformed input rather than paying a per-row guard in
+    every kernel."""
     return embeddings.select(
         "vec_id",
         "label",

@@ -4211,6 +4211,10 @@ def _q_mixture_budget(spark: SparkSession, sf: str) -> DataFrame:
     return curation.mixture_budget_solve(load_table(spark, sf, "documents"))
 
 
+def _q_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    return curation.curation_pipeline_report(load_table(spark, sf, "documents"))
+
+
 def _q_streaming_ivf_det_ingest(spark: SparkSession, sf: str) -> DataFrame:
     from kinesis_dstream_spark.streaming import jobs
 
@@ -5322,6 +5326,13 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # deficit solve for a token budget and target mixture (all ppm
     # integer arithmetic; one map-combined aggregate)
     "mixture_budget_solve": (_q_mixture_budget, curation.MIXTURE_BUDGET_SQL),
+    # the composed pipeline capstone: quality gate -> exact dedup ->
+    # budget-solved mixture application in ONE plan, per-source
+    # survivorship at every stage, single oracle for the composition
+    "curation_pipeline_report": (
+        _q_curation_pipeline,
+        curation.CURATION_PIPELINE_SQL,
+    ),
 }
 
 

@@ -424,3 +424,29 @@ def test_mixture_budget_solve_regimes(spark):
     assert (c["tokens_available"], c["tokens_needed"]) == (0, 20)
     assert c["keep_rate_ppm"] is None and c["epochs_ppm"] is None
     assert c["deficit_tokens"] == 20
+
+
+def test_curation_pipeline_stage_monotonicity_and_dedup(spark, sf_dir):
+    """Stage survivorship must be monotone per source
+    (raw >= quality >= dedup >= final) and a constructed duplicate
+    pair must collapse at the dedup stage."""
+    from kinesis_dstream_spark.operators import curation
+
+    docs = load_table(spark, sf_dir, "documents")
+    for r in curation.curation_pipeline_report(docs).collect():
+        assert r["n_raw"] >= r["n_quality"] >= r["n_dedup"] >= r["n_final"], r
+        assert (r["n_final"] == 0) == (r["tokens_final"] == 0)
+
+    dup_rows = [
+        (0, "alpha beta gamma delta epsilon zeta", "en", "srcX", 30),
+        (1, "alpha  beta gamma   delta epsilon zeta", "en", "srcX", 32),
+        (2, "one two three four five six", "en", "srcX", 27),
+    ]
+    synth = spark.createDataFrame(
+        dup_rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    row = curation.curation_pipeline_report(
+        synth, target_ppm={"srcX": 1_000_000}
+    ).collect()[0]
+    # docs 0 and 1 normalize to the same text -> one keeper
+    assert (row["n_raw"], row["n_quality"], row["n_dedup"]) == (3, 3, 2)

@@ -135,3 +135,28 @@ def test_mixture_budget_default_constant_matches_generator():
     from kinesis_dstream_spark.operators import curation
 
     assert curation.MIXTURE_BUDGET_SQL == curation.mixture_budget_sql()
+
+
+def test_curation_pipeline_nondefault_params(spark, duck, sf_dir):
+    """r9: the composed-pipeline twin tracks non-default budget,
+    target, and token gates in lockstep."""
+    from kinesis_dstream_spark.operators import curation
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = {"src1": 600000, "src2": 400000}
+    _match(
+        curation.curation_pipeline_report(
+            docs, budget_tokens=5000, target_ppm=target, min_tokens=10, max_tokens=900
+        ),
+        duck,
+        curation.curation_pipeline_sql(
+            budget_tokens=5000, target_ppm=target, min_tokens=10, max_tokens=900
+        ),
+        "curation_pipeline_params",
+    )
+
+
+def test_curation_pipeline_default_constant_matches_generator():
+    from kinesis_dstream_spark.operators import curation
+
+    assert curation.CURATION_PIPELINE_SQL == curation.curation_pipeline_sql()
