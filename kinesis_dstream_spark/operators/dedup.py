@@ -1312,19 +1312,27 @@ def _nbhd_candidate_pairs(
 
 
 def _verify_shingle_jaccard(
-    documents: DataFrame, pairs: DataFrame, k: int, t_num: int, t_den: int
+    documents: DataFrame,
+    pairs: DataFrame,
+    k: int,
+    t_num: int,
+    t_den: int,
+    ex: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-Jaccard verify over a candidate pair list —
-    rescans only candidate docs' shingle rows; integer-exact jac_ppm."""
+    rescans only candidate docs' shingle rows; integer-exact jac_ppm.
+    Pass a prebuilt exploded shingle table ``ex`` to share ONE
+    materialization across composed generators (the agreement report)."""
     # localCheckpoint (not .cache()): blocks are released when the
     # DataFrame goes out of scope (ContextCleaner), so registry sweeps
     # composing several dedup generators don't accumulate pinned
     # storage across queries the way an un-unpersisted cache does.
-    ex = (
-        _shingle_sets(documents, k)
-        .select("doc_id", F.explode("shingles").alias("shingle"))
-        .localCheckpoint(eager=True)
-    )
+    if ex is None:
+        ex = (
+            _shingle_sets(documents, k)
+            .select("doc_id", F.explode("shingles").alias("shingle"))
+            .localCheckpoint(eager=True)
+        )
     sz = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         pairs.join(ex.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
@@ -1410,16 +1418,37 @@ def near_dup_generator_agreement(documents: DataFrame) -> DataFrame:
     g2 = dedup_setsim_prefix(documents).select(
         "doc_a", "doc_b", F.lit(1).alias("in_setsim")
     )
-    g3 = dedup_sorted_neighborhood(documents).select(
+    # the two neighborhood passes share ONE shingle explode and ONE
+    # verify: the verify predicate is per-pair (independent of which
+    # pass generated the candidate), so verified(p1 ∪ p2) ∩ pX ==
+    # verified(pX) — tag candidate membership, verify the union once,
+    # split by tag (r9: cuts two of the report's three duplicate
+    # explode+verify stages)
+    ex = (
+        _shingle_sets(documents, 3)
+        .select("doc_id", F.explode("shingles").alias("shingle"))
+        .localCheckpoint(eager=True)
+    )
+    p1 = _nbhd_candidate_pairs(documents, _nbhd_key_prefix(24), 4)
+    p2 = _nbhd_candidate_pairs(documents, _nbhd_key_suffix(24), 4)
+    tagged = (
+        p1.select("doc_a", "doc_b", F.lit(1).alias("p1"), F.lit(0).alias("p2"))
+        .unionByName(
+            p2.select("doc_a", "doc_b", F.lit(0).alias("p1"), F.lit(1).alias("p2"))
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("p1").alias("p1"), F.max("p2").alias("p2"))
+        .localCheckpoint(eager=True)
+    )
+    verified = _verify_shingle_jaccard(
+        documents, tagged.select("doc_a", "doc_b"), 3, 3, 5, ex=ex
+    ).join(tagged, ["doc_a", "doc_b"])
+    g3 = verified.filter(F.col("p1") == 1).select(
         "doc_a", "doc_b", F.lit(1).alias("in_nbhd")
     )
-    g4 = _verify_shingle_jaccard(
-        documents,
-        _nbhd_candidate_pairs(documents, _nbhd_key_suffix(24), 4),
-        3,
-        3,
-        5,
-    ).select("doc_a", "doc_b", F.lit(1).alias("in_nbhd_sfx"))
+    g4 = verified.filter(F.col("p2") == 1).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_nbhd_sfx")
+    )
     full = (
         g1.join(g2, ["doc_a", "doc_b"], "full")
         .join(g3, ["doc_a", "doc_b"], "full")
