@@ -147,6 +147,20 @@ sorted_neighborhood 2.16 absorbed their r9 changes (cap plumbing,
 helper refactor + the _global_rank localCheckpoint pin) inside their
 r8 bands.
 
+r9 final solo run (sf0.1, quiet host: loadavg_start 0.15): 136
+entries, total 145.6 s. generator_agreement 9.86 s now composes FOUR
+generators yet beats the 3-generator r9 mid-round figure (10.12) —
+the shared-explode/shared-verify rewrite absorbed the fourth pass
+(interleaved A/B in PLANS.md: ~7% over the naive 4-way composition).
+New entries priced: sorted_nbhd_multipass 3.29 (two rank passes + one
+shared verify ≈ 1.5× the single pass, exactly the pass-count
+economics), setsim_cap_stats 3.01 (the index-build stages without the
+pair join — what the breaker report costs on a corpus you won't risk
+the join on), curation_pipeline 0.39 and mixture_solve 0.39 (the
+composed capstone is aggregate-cheap by construction),
+ann_ivf_det_ingest 1.51 steady-state (warm store: anti-join + no-op
+append + serve).
+
 Variance note (r5, re: the r4 verdict's simhash/minhash deltas):
 isolated re-measurement of the shuffle-heavy dedup queries at sf0.1
 shows ±20-40% run-to-run spread at the ~2 s scale even after warm-up
@@ -342,8 +356,15 @@ BENCH_QUERIES = {
     # r8 wave 8: sequence-model floor eval, deseasonalized anomaly bands
     "markov_baseline": "markov_baseline_hitrate",
     "seasonal_anomaly": "seasonal_anomaly_bands",
-    # r8 capstone: ER ablation — three generators + 8-region rollup
+    # r8 capstone: ER ablation — r9: FOUR generators, 16-region rollup,
+    # the two neighborhood passes sharing one explode + one verify
     "generator_agreement": "near_dup_generator_agreement",
+    # r9 wave: multipass sorted-neighborhood ER, PPJoin breaker stats,
+    # mixing decision solve, the composed curation-pipeline capstone
+    "sorted_nbhd_multipass": "dedup_sorted_neighborhood_multipass",
+    "setsim_cap_stats": "setsim_prefix_cap_stats",
+    "mixture_solve": "mixture_budget_solve",
+    "curation_pipeline": "curation_pipeline_report",
 }
 
 
