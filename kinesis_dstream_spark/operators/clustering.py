@@ -686,10 +686,27 @@ def ivf_det_store_append(embeddings_new: DataFrame, path: str) -> None:
     cents = [
         (int(cid), [int(x) for x in coords]) for cid, coords in meta["centroids"]
     ]
-    asg = _assign(_unit_int_arrays(embeddings_new), cents)
-    asg.select("vec_id", "iu", "cluster_id").write.mode("append").partitionBy(
-        "cluster_id"
-    ).parquet(os.path.join(path, "codes"))
+    codes_path = os.path.join(path, "codes")
+    # row-level idempotence on top of the batch fingerprint: a crash
+    # BETWEEN the parquet append and the meta write would otherwise
+    # re-append the batch on replay. The anti-join reads only the
+    # codes' vec_id column (parquet column pruning) — the streaming
+    # wrapper's guard, applied at the store boundary so every caller
+    # gets it.
+    fresh = (
+        _unit_int_arrays(embeddings_new)
+        .dropDuplicates(["vec_id"])
+        .join(
+            embeddings_new.sparkSession.read.parquet(codes_path).select("vec_id"),
+            "vec_id",
+            "left_anti",
+        )
+    )
+    if not fresh.isEmpty():
+        asg = _assign(fresh, cents)
+        asg.select("vec_id", "iu", "cluster_id").write.mode("append").partitionBy(
+            "cluster_id"
+        ).parquet(codes_path)
     meta.setdefault("appended", []).append(fp_new)
     with open(meta_path, "w") as f:
         json.dump(meta, f)

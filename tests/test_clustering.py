@@ -301,6 +301,15 @@ def test_ivf_ingest_is_replay_safe_and_frozen(spark, sf_dir, tmp_path):
     assert meta["centroids"] == cents_before, "append must never refit"
     assert len(meta["appended"]) == 1
 
+    # crash-window replay: simulate "parquet appended, meta write
+    # lost" by erasing the fingerprint record — the row-level
+    # anti-join must still add zero duplicate rows
+    meta["appended"] = []
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    clustering.ivf_det_store_append(newv, path)
+    assert spark.read.parquet(os.path.join(path, "codes")).count() == n_after_first
+
     a = sorted(map(tuple, clustering.ivf_det_serve_frozen(emb, path).collect()))
     b = sorted(map(tuple, clustering.ivf_det_serve_frozen(emb, path).collect()))
     assert a == b and len(a) > 0
