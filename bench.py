@@ -4,8 +4,15 @@ Prints ONE JSON line (the LAST stdout line, kept under 1900 chars so
 the driver's 2000-char stdout-tail capture always parses it):
   {"metric": "...", "value": <total_sec>, "unit": "sec",
    "queries": {<top-5 slowest>: sec}, "n_queries": N, "sf": <sf>,
-   "loadavg_start": [...], "loadavg_end": [...],
+   "loadavg_start": [...], "loadavg_end": [...], "noisy": bool,
    "detail": "BENCH_DETAIL.json"}
+``noisy`` is the r10 loadavg guard: the run waits up to
+$SPARK_GRAFT_BENCH_LOADAVG_WAIT (300 s) for the 1-min load to drop
+under $SPARK_GRAFT_BENCH_LOADAVG_MAX (1.5) and stamps the record
+noisy=true if it never did — a loaded-host record is produced but
+self-labeling, never silently trend-polluting (r9 lesson: the
+committed 149.8 s record at loadavg 3.57 overstated the engine ~17%
+vs its own 127.5 s solo run).
 The FULL per-query map is written to the committed BENCH_DETAIL.json
 (the r6-r8 records lost the map because the one-line-with-126-queries
 form outgrew the driver's capture window).
@@ -407,9 +414,36 @@ def _loadavg() -> list[float]:
         return []
 
 
+def _wait_for_quiet_host(threshold: float, max_wait_s: float) -> list[float]:
+    """Loadavg guard (r9-verdict task 1: the committed r9 record was
+    captured at loadavg 3.57 and overstated the engine ~17% vs its own
+    solo run, manufacturing phantom per-query regressions). Poll until
+    the 1-min load drops under ``threshold`` or the wait budget runs
+    out; return the final reading. The caller stamps ``noisy: true``
+    in the record when the guard lost — the record is still produced
+    (a refusal would leave the round with no bench at all), but it is
+    SELF-LABELING so the trend line never silently absorbs a loaded
+    host again."""
+    import time as _t
+
+    deadline = _t.time() + max_wait_s
+    la = _loadavg()
+    while la and la[0] >= threshold and _t.time() < deadline:
+        print(
+            f"# loadavg {la[0]:.2f} >= {threshold} — waiting for quiet host "
+            f"({int(deadline - _t.time())}s left)"
+        )
+        _t.sleep(15)
+        la = _loadavg()
+    return la
+
+
 def main() -> None:
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
-    loadavg_start = _loadavg()
+    la_max = float(os.environ.get("SPARK_GRAFT_BENCH_LOADAVG_MAX", "1.5"))
+    la_wait = float(os.environ.get("SPARK_GRAFT_BENCH_LOADAVG_WAIT", "300"))
+    loadavg_start = _wait_for_quiet_host(la_max, la_wait)
+    noisy = bool(loadavg_start) and loadavg_start[0] >= la_max
     spark = get_spark("kds-bench")
     qs = registry.queries()
 
@@ -470,6 +504,7 @@ def main() -> None:
         "sf": sf,
         "loadavg_start": loadavg_start,
         "loadavg_end": loadavg_end,
+        "noisy": noisy,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")
@@ -492,6 +527,7 @@ def main() -> None:
             "sf": sf,
             "loadavg_start": loadavg_start,
             "loadavg_end": loadavg_end,
+            "noisy": noisy,
             "detail": "BENCH_DETAIL.json",
         }
     )

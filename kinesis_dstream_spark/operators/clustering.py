@@ -524,6 +524,10 @@ def _ivf_rerank(cand: DataFrame, topk: int) -> DataFrame:
 
 
 _IVF_DET_META = "_meta.json"
+# replay-log cap: the appended-fingerprint list is a fast-path cache on
+# top of the row-level anti-join idempotence guard, so bounding it is
+# safe (see ivf_det_store_append)
+_IVF_DET_APPEND_LOG_CAP = 64
 
 
 def ivf_det_store_ensure(
@@ -548,20 +552,27 @@ def ivf_det_store_ensure(
     write (no shuffle — partitionBy splits task output by cell);
     serving reads ONLY the probed cells' files (planning-time
     PartitionFilters, see ``ivf_deterministic_serve``).
+
+    Crash safety (r10, the r9-ADVICE rebuild-ordering fix): the meta
+    sidecar is REMOVED before a rebuild starts overwriting codes and
+    atomically rewritten LAST (``stores.write_meta`` temp+replace), so
+    at every instant the sidecar's presence-and-parseability marks a
+    complete, self-consistent store — for rebuilds exactly as for
+    first builds. ``ivf_det_serve_frozen`` trusts that marker.
     """
-    import json
     import os
 
+    from kinesis_dstream_spark import stores
     from kinesis_dstream_spark.operators.ann_index import corpus_fingerprint
 
     fp = corpus_fingerprint(embeddings, ivf_det_k=k, ivf_det_n_assign=n_assign)
-    meta_path = os.path.join(path, _IVF_DET_META)
     codes_path = os.path.join(path, "codes")
-    stored = None
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            stored = json.load(f)
+    stored = stores.read_meta(path, _IVF_DET_META)
     if stored is None or stored.get("fingerprint") != fp:
+        # poison FIRST: a crash between here and the final write_meta
+        # leaves a detectably-incomplete store, never stale-meta-over-
+        # partial-codes
+        stores.remove_meta(path, _IVF_DET_META)
         _, asg, cents = _fit_kmeans(embeddings, k, n_assign)
         asg.select("vec_id", "iu", "cluster_id").write.mode(
             "overwrite"
@@ -572,8 +583,7 @@ def ivf_det_store_ensure(
             "n_assign": n_assign,
             "centroids": [[cid, coords] for cid, coords in cents],
         }
-        with open(meta_path, "w") as f:  # LAST: marks the build complete
-            json.dump(stored, f)
+        stores.write_meta(path, stored, _IVF_DET_META)  # LAST: build complete
     cents = [
         (int(cid), [int(x) for x in coords]) for cid, coords in stored["centroids"]
     ]
@@ -586,16 +596,12 @@ def ivf_det_store_invalidate(path: str) -> None:
     trained on the full corpus, so after subject vectors are erased the
     model parameters must refit — the ``ann_index_invalidate_codebooks``
     contract. Next ensure() rebuilds fit + codes from the live corpus."""
-    import json
-    import os
+    from kinesis_dstream_spark import stores
 
-    meta_path = os.path.join(path, _IVF_DET_META)
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            meta = json.load(f)
+    meta = stores.read_meta(path, _IVF_DET_META)
+    if meta is not None:
         meta["fingerprint"] = "invalidated-by-erasure"
-        with open(meta_path, "w") as f:
-            json.dump(meta, f)
+        stores.write_meta(path, meta, _IVF_DET_META)
 
 
 def ivf_deterministic_serve(
@@ -670,16 +676,27 @@ def ivf_det_store_append(embeddings_new: DataFrame, path: str) -> None:
 
     Replay-safe: the meta sidecar records each appended batch's
     content fingerprint; re-delivering a batch is a no-op instead of a
-    duplicate append (the dedup_index ingest convention).
+    duplicate append (the dedup_index ingest convention). The recorded
+    list is a fast-path cache, not the correctness mechanism — the
+    row-level anti-join below is — so it is CAPPED at the most recent
+    ``_IVF_DET_APPEND_LOG_CAP`` fingerprints (and cleared by
+    ``ivf_det_store_compact``) instead of growing one entry per batch
+    forever; an evicted fingerprint's replay just pays the anti-join
+    and appends zero rows. Meta rewrites go through the atomic
+    ``stores.write_meta`` seam (r9-ADVICE: a torn in-place rewrite
+    bricked the store until manual deletion).
     """
-    import json
     import os
 
+    from kinesis_dstream_spark import stores
     from kinesis_dstream_spark.operators.ann_index import corpus_fingerprint
 
-    meta_path = os.path.join(path, _IVF_DET_META)
-    with open(meta_path) as f:  # store must exist: append is upkeep
-        meta = json.load(f)
+    meta = stores.read_meta(path, _IVF_DET_META)
+    if meta is None:  # append is upkeep: the store must exist, complete
+        raise FileNotFoundError(
+            f"ivf_det_store_append: no complete store at {path} "
+            "(missing/torn meta sidecar) — run ivf_det_store_ensure first"
+        )
     fp_new = corpus_fingerprint(embeddings_new, ivf_det_append=True)
     if fp_new in meta.get("appended", []):
         return
@@ -707,9 +724,10 @@ def ivf_det_store_append(embeddings_new: DataFrame, path: str) -> None:
         asg.select("vec_id", "iu", "cluster_id").write.mode("append").partitionBy(
             "cluster_id"
         ).parquet(codes_path)
-    meta.setdefault("appended", []).append(fp_new)
-    with open(meta_path, "w") as f:
-        json.dump(meta, f)
+    appended = meta.get("appended", [])
+    appended.append(fp_new)
+    meta["appended"] = appended[-_IVF_DET_APPEND_LOG_CAP:]
+    stores.write_meta(path, meta, _IVF_DET_META)
 
 
 def ivf_det_store_compact(
@@ -760,6 +778,15 @@ def ivf_det_store_compact(
         rows.write.partitionBy("cluster_id").mode("overwrite").parquet(codes_path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # compaction is the natural truncation point for the append replay
+    # log (its entries only short-circuit re-delivered batches, which
+    # the row-level anti-join also catches — see ivf_det_store_append)
+    from kinesis_dstream_spark import stores
+
+    meta = stores.read_meta(path, _IVF_DET_META)
+    if meta is not None and meta.get("appended"):
+        meta["appended"] = []
+        stores.write_meta(path, meta, _IVF_DET_META)
     return {
         "cells_compacted": len(oversized),
         "files_before": files_before,
@@ -775,15 +802,24 @@ def ivf_det_serve_frozen(
     n_probe: int = 2,
 ) -> DataFrame:
     """Serve against the store AS-IS — frozen centroids plus whatever
-    the ingest path appended. No ensure, no fingerprint check: the
+    the ingest path appended. No ensure, no FRESHNESS check: the
     build/append calls own the lifecycle (the contract that lets
     post-ingest results stay deterministic — a freshness-gated rebuild
-    here would silently refit the quantizer on the union corpus)."""
-    import json
+    here would silently refit the quantizer on the union corpus). It
+    does still demand a COMPLETE store: a missing/torn meta sidecar
+    (ensure poisons it for the whole rebuild window) refuses to serve
+    rather than scanning half-rewritten codes."""
     import os
 
-    with open(os.path.join(path, _IVF_DET_META)) as f:
-        meta = json.load(f)
+    from kinesis_dstream_spark import stores
+
+    meta = stores.read_meta(path, _IVF_DET_META)
+    if meta is None:
+        raise FileNotFoundError(
+            f"ivf_det_serve_frozen: no complete store at {path} "
+            "(missing/torn meta sidecar — a rebuild may be in flight); "
+            "run ivf_det_store_ensure"
+        )
     cents = [
         (int(cid), [int(x) for x in coords]) for cid, coords in meta["centroids"]
     ]

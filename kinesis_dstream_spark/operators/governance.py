@@ -31,6 +31,10 @@ from pyspark.sql import functions as F
 
 from kinesis_dstream_spark.tables import load_table
 
+# uid scoping for shared temp-dir store paths (r9-ADVICE: predictable
+# /tmp names are a multi-user pre-creation/race hazard)
+_UID = getattr(os, "getuid", lambda: 0)()
+
 # Deterministic fixture stand-in for an erasure-request table: every
 # 37th subject. A real deployment reads these ids from a requests queue.
 _ERASE_MOD = 37
@@ -237,7 +241,7 @@ def erasure_report_full(
 
     tag = sf_dir.strip("/").replace("/", "_")
     pristine = _ensure_gov_stores(
-        spark, sf_dir, f"{tempfile.gettempdir()}/kds_gov_stores_{tag}"
+        spark, sf_dir, f"{tempfile.gettempdir()}/kds_gov_stores_u{_UID}_{tag}"
     )
     # fixed per-sf work dir, recreated per run: bounds temp growth to
     # ONE erased copy regardless of invocation count (a fresh mkdtemp
@@ -247,7 +251,7 @@ def erasure_report_full(
     if work_dir is None:
         import shutil
 
-        work_dir = f"{tempfile.gettempdir()}/kds_gov_erase_{tag}"
+        work_dir = f"{tempfile.gettempdir()}/kds_gov_erase_u{_UID}_{tag}"
         if os.path.exists(work_dir):
             shutil.rmtree(work_dir)
     erased_paths = {}

@@ -25,6 +25,12 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+import os
+
+# uid scoping for shared temp-dir store paths (r9-ADVICE: predictable
+# /tmp names are a multi-user pre-creation/race hazard)
+_UID = getattr(os, "getuid", lambda: 0)()
+
 Z_BITS = 8  # 8 bits/dim -> 16-bit z-values, 256x256 grid
 
 
@@ -199,7 +205,7 @@ def compact_small_files(
     from kinesis_dstream_spark.tables import load_table
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    base = f"{tempfile.gettempdir()}/kds_compact_{tag}"
+    base = f"{tempfile.gettempdir()}/kds_compact_u{_UID}_{tag}"
     small, compacted = os.path.join(base, "small"), os.path.join(base, "compacted")
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     if not os.path.exists(os.path.join(small, "_SUCCESS")):

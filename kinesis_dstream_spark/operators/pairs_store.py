@@ -29,12 +29,12 @@ computation; the DuckDB oracles already recompute pairs from raw text).
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F  # noqa: F401  (re-export convenience)
 
+from kinesis_dstream_spark import stores
 from kinesis_dstream_spark.operators.dedup import dedup_ngram_jaccard
 from kinesis_dstream_spark.operators.dedup_index import corpus_fingerprint
 
@@ -57,18 +57,34 @@ def near_dup_pairs_ensure(
     parquet artifact with zero recomputation.
     """
     fp = corpus_fingerprint(documents, k=k, threshold=threshold, max_df=max_df)
-    meta_path = os.path.join(path, META)
     pairs_path = os.path.join(path, "pairs")
-    stored = None
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            stored = json.load(f).get("fingerprint")
-    if stored != fp:
+    meta = stores.read_meta(path, META)
+    if meta is None or meta.get("fingerprint") != fp:
+        # poison-first + atomic-write-last (stores.py seam, r10): a
+        # crash mid-rebuild leaves a detectably-incomplete artifact
+        stores.remove_meta(path, META)
         pairs = dedup_ngram_jaccard(documents, k=k, threshold=threshold, max_df=max_df)
         pairs.write.mode("overwrite").parquet(pairs_path)
-        with open(meta_path, "w") as f:
-            json.dump(
-                {"fingerprint": fp, "k": k, "threshold": threshold, "max_df": max_df},
-                f,
-            )
+        stores.write_meta(
+            path,
+            {"fingerprint": fp, "k": k, "threshold": threshold, "max_df": max_df},
+            META,
+        )
     return documents.sparkSession.read.parquet(pairs_path)
+
+
+def near_dup_pairs_fresh(
+    documents: DataFrame,
+    path: str,
+    k: int = 3,
+    threshold: float = 0.6,
+    max_df: int | None = None,
+) -> bool:
+    """True iff the artifact at ``path`` is complete AND fingerprint-
+    matches this corpus+params — the staleness probe consumers use to
+    decide between serving the artifact and recomputing live (see
+    ``dedup.near_dup_generator_agreement``). Read-only: never builds."""
+    meta = stores.read_meta(path, META)
+    return meta is not None and meta.get("fingerprint") == corpus_fingerprint(
+        documents, k=k, threshold=threshold, max_df=max_df
+    )

@@ -50,6 +50,22 @@ from kinesis_dstream_spark.tables import load_table, load_tables
 TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
 
+
+def _store_path(name: str, sf: str) -> str:
+    """Session-shared persisted-store path for fixture runs: under the
+    platform temp dir, scoped by BOTH the store name + sf tag and the
+    invoking uid (r9-ADVICE: a fixed, predictable ``/tmp/kds_*`` name
+    is a cross-user pre-creation/permission hazard on multi-user hosts,
+    and two users' sessions would race one store). Two sessions of the
+    SAME user still share the artifact — the intended warm-store
+    behavior; the build-if-absent fingerprints arbitrate staleness."""
+    import os
+    import tempfile
+
+    uid = getattr(os, "getuid", lambda: 0)()
+    tag = sf.strip("/").replace("/", "_")
+    return os.path.join(tempfile.gettempdir(), f"kds_{name}_u{uid}_{tag}")
+
 # DuckDB twin of functions/textfns.tokens()
 _DUCK_TOKS = "str_split(trim(regexp_replace({col}, '\\s+', ' ', 'g')), ' ')"
 
@@ -707,9 +723,8 @@ def _q_ann_ivf_pq(spark: SparkSession, sf: str) -> DataFrame:
 def _q_ann_index(spark: SparkSession, sf: str) -> DataFrame:
     from kinesis_dstream_spark.operators import ann_index
 
-    tag = sf.strip("/").replace("/", "_")
     return ann_index.ann_index_topk(
-        load_table(spark, sf, "embeddings"), f"/tmp/kds_ann_index_{tag}"
+        load_table(spark, sf, "embeddings"), _store_path("ann_index", sf)
     )
 
 
@@ -717,8 +732,7 @@ def _q_ann_recall_probe(spark: SparkSession, sf: str) -> DataFrame:
     from kinesis_dstream_spark.operators import ann_index
 
     emb = load_table(spark, sf, "embeddings")
-    tag = sf.strip("/").replace("/", "_")
-    path = f"/tmp/kds_ann_index_{tag}"
+    path = _store_path("ann_index", sf)
     ann_index.ann_index_ensure(emb, path)
     return ann_index.ann_index_recall_probe(spark, emb, path)
 
@@ -1761,12 +1775,9 @@ _SQL_PII_SCRUB = _sql_pii_scrub()
 
 
 def _q_dedup_index_check(spark: SparkSession, sf: str) -> DataFrame:
-    import tempfile
-
     from kinesis_dstream_spark.operators import dedup_index
 
-    tag = sf.strip("/").replace("/", "_")
-    path = f"{tempfile.gettempdir()}/kds_dedup_index_{tag}"
+    path = _store_path("dedup_index", sf)
     return dedup_index.dedup_index_search_self(
         load_table(spark, sf, "documents"), path
     )
@@ -1934,12 +1945,9 @@ def _near_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     corpus snapshot instead of once per query is the
     materialized-intermediate pattern a production curation pipeline
     runs."""
-    import tempfile
-
     from kinesis_dstream_spark.operators import pairs_store
 
-    tag = sf.strip("/").replace("/", "_")
-    path = f"{tempfile.gettempdir()}/kds_ndpairs_{tag}"
+    path = _store_path("ndpairs", sf)
     return pairs_store.near_dup_pairs_ensure(
         load_table(spark, sf, "documents"), path
     )
@@ -2576,10 +2584,7 @@ FROM st
 
 
 def _q_materialize_corpus(spark: SparkSession, sf: str) -> DataFrame:
-    import tempfile
-
-    tag = sf.strip("/").replace("/", "_")
-    out = f"{tempfile.gettempdir()}/kds_corpus_{tag}"
+    out = _store_path("corpus", sf)
     return curation.materialize_corpus(load_table(spark, sf, "documents"), out)
 
 
@@ -4351,9 +4356,8 @@ def _q_ivf_deterministic(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_ivf_det_serve(spark: SparkSession, sf: str) -> DataFrame:
-    tag = sf.strip("/").replace("/", "_")
     return clustering.ivf_deterministic_serve(
-        load_table(spark, sf, "embeddings"), f"/tmp/kds_ivf_det_{tag}"
+        load_table(spark, sf, "embeddings"), _store_path("ivf_det", sf)
     )
 
 
@@ -4363,8 +4367,7 @@ def _q_ivf_det_ingest(spark: SparkSession, sf: str) -> DataFrame:
     the same base predicate and assigns everything to those centroids
     (the relational proof that ingest never refits)."""
     emb = load_table(spark, sf, "embeddings")
-    tag = sf.strip("/").replace("/", "_")
-    path = f"/tmp/kds_ivf_ing_{tag}"
+    path = _store_path("ivf_ing", sf)
     clustering.ivf_det_store_ensure(emb.filter(F.col("vec_id") % 5 != 4), path)
     clustering.ivf_det_store_append(emb.filter(F.col("vec_id") % 5 == 4), path)
     return clustering.ivf_det_serve_frozen(emb, path)

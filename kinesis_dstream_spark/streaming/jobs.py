@@ -26,6 +26,10 @@ from kinesis_dstream_spark.functions.exact import exact_sum
 from kinesis_dstream_spark.stores import swap_dir
 from kinesis_dstream_spark.tables import load_table
 
+# uid scoping for shared temp-dir store paths (r9-ADVICE: predictable
+# /tmp names are a multi-user pre-creation/race hazard)
+_UID = getattr(os, "getuid", lambda: 0)()
+
 
 def _table_stream_dir(sf_dir: str, table: str) -> str:
     """Stage a directory containing (a symlink to) a fixture parquet.
@@ -1181,7 +1185,7 @@ def streaming_percentile_maintenance(
 def _percentile_store_dir(sf_dir: str) -> str:
     """Fixed per-sf auto-managed granule store location."""
     tag = sf_dir.strip("/").replace("/", "_")
-    return f"{tempfile.gettempdir()}/kds_pctl_state_{tag}"
+    return f"{tempfile.gettempdir()}/kds_pctl_state_u{_UID}_{tag}"
 
 
 def _events_fingerprint(spark: SparkSession, sf_dir: str) -> str:
@@ -1318,7 +1322,7 @@ def _dailyc_store_dir(sf_dir: str) -> str:
     (type, d, c, sy, syy) — versioning the path retires any v1 store
     in place instead of serving rows that lack the new columns."""
     tag = sf_dir.strip("/").replace("/", "_")
-    return f"{tempfile.gettempdir()}/kds_dailyc_state_v2_{tag}"
+    return f"{tempfile.gettempdir()}/kds_dailyc_state_v2_u{_UID}_{tag}"
 
 
 def streaming_daily_count_maintenance(
@@ -1946,7 +1950,7 @@ def streaming_near_dup_pairs_maintenance(
     # rebuilds on regenerated fixtures or changed pair definitions.
     if store_dir is None:
         tag = sf_dir.strip("/").replace("/", "_")
-        store_dir = f"{tempfile.gettempdir()}/kds_pairstream_{tag}"
+        store_dir = f"{tempfile.gettempdir()}/kds_pairstream_u{_UID}_{tag}"
     fp = corpus_fingerprint(
         load_table(spark, sf_dir, "documents"), k=k, threshold=threshold
     )
@@ -2075,14 +2079,14 @@ def streaming_erasure_propagation(
 
     tag = sf_dir.strip("/").replace("/", "_")
     pristine = _ensure_gov_stores(
-        spark, sf_dir, f"{tempfile.gettempdir()}/kds_gov_stores_{tag}"
+        spark, sf_dir, f"{tempfile.gettempdir()}/kds_gov_stores_u{_UID}_{tag}"
     )
     # fixed per-sf work dir: reuse-if-exists is CORRECT here because
     # anti-join erasure is idempotent — a rerun against already-erased
     # copies drains zero new requests and reports identical accounting
     # (rows_before always comes from the pristine stores). Also bounds
     # temp growth to one copy.
-    work_dir = work_dir or f"{tempfile.gettempdir()}/kds_gov_stream_{tag}"
+    work_dir = work_dir or f"{tempfile.gettempdir()}/kds_gov_stream_u{_UID}_{tag}"
     stores = {}
     for name, src in pristine.items():
         dst = os.path.join(work_dir, name)
@@ -2236,7 +2240,7 @@ def _late_audit_stage(spark: SparkSession, sf_dir: str) -> str:
     import glob
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    base = f"{tempfile.gettempdir()}/kds_late_audit_{tag}"
+    base = f"{tempfile.gettempdir()}/kds_late_audit_u{_UID}_{tag}"
     stage = os.path.join(base, "stage")
     if os.path.exists(os.path.join(stage, "_DONE")):
         return stage

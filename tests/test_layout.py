@@ -101,13 +101,13 @@ def test_compact_small_files_conserves_and_bins(spark, sf_dir):
     from kinesis_dstream_spark.operators.layout import compact_small_files
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    shutil.rmtree(f"{tempfile.gettempdir()}/kds_compact_{tag}", ignore_errors=True)
+    shutil.rmtree(f"{tempfile.gettempdir()}/kds_compact_u{os.getuid()}_{tag}", ignore_errors=True)
     rows = {r.stage: r for r in compact_small_files(spark, sf_dir).collect()}
     assert rows["before"].n_rows == rows["after"].n_rows
     assert rows["before"].n_files == 40
     assert rows["after"].n_files == -(-rows["after"].n_rows // 5000)
     # disk truth
-    comp = f"{tempfile.gettempdir()}/kds_compact_{tag}/compacted"
+    comp = f"{tempfile.gettempdir()}/kds_compact_u{os.getuid()}_{tag}/compacted"
     assert len(glob.glob(os.path.join(comp, "*.parquet"))) == rows["after"].n_files
 
 

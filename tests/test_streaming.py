@@ -699,7 +699,7 @@ def test_late_data_audit_drops_and_metrics(spark, sf_dir):
     from kinesis_dstream_spark.tables import load_table
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    shutil.rmtree(f"{tempfile.gettempdir()}/kds_late_audit_{tag}", ignore_errors=True)
+    shutil.rmtree(f"{tempfile.gettempdir()}/kds_late_audit_u{os.getuid()}_{tag}", ignore_errors=True)
     result, dropped = jobs.streaming_late_data_audit(spark, sf_dir, with_metrics=True)
     assert dropped > 0  # group-granular, so sign-only
     ev = load_table(spark, sf_dir, "events").withColumn(
@@ -764,7 +764,7 @@ def test_percentile_store_wipe_also_wipes_external_checkpoint(
     from kinesis_dstream_spark.tables import load_table
 
     tag = sf_dir.strip("/").replace("/", "_")
-    auto_state = f"{tempfile.gettempdir()}/kds_pctl_state_{tag}"
+    auto_state = f"{tempfile.gettempdir()}/kds_pctl_state_u{os.getuid()}_{tag}"
     cp = str(tmp_path / "ext_chk")
 
     want = sorted(
