@@ -1852,6 +1852,17 @@ FROM c
 """
 
 
+def _q_udaf_weighted_mean(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.operators import udfs
+
+    return udfs.udaf_weighted_mean(load_table(spark, sf, "events"))
+
+
+from kinesis_dstream_spark.operators.udfs import (  # noqa: E402
+    UDAF_WEIGHTED_MEAN_SQL as _SQL_UDAF_WMEAN,
+)
+
+
 def _q_udtf_tokens(spark: SparkSession, sf: str) -> DataFrame:
     from kinesis_dstream_spark.operators import udfs
 
@@ -5336,6 +5347,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _q_curation_pipeline,
         curation.CURATION_PIPELINE_SQL,
     ),
+    # ---- r10 wave: registered AFTER the frozen 50-query driver window ----
+    # E-14 completion: GROUPED_AGG pandas UDAF inside groupBy().agg()
+    # next to built-in aggregates (exact fixed-point weighted mean)
+    "udaf_weighted_mean": (_q_udaf_weighted_mean, _SQL_UDAF_WMEAN),
 }
 
 

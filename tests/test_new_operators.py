@@ -30,6 +30,45 @@ def test_pandas_udf_uses_arrow_eval(spark, sf_dir):
     assert "ArrowEvalPython" in plan
 
 
+def test_udaf_weighted_mean_matches_builtin_twin(spark, sf_dir):
+    """The GROUPED_AGG pandas UDAF (E-14's last tier) must equal the
+    pure-relational statement of the same weighted mean — sum(v·w) DIV
+    sum(w) — bit-for-bit, and its plan must carry the grouped-agg
+    Arrow node (proving the UDAF path executed, not a fallback)."""
+    from kinesis_dstream_spark.functions.exact import fixedpoint
+
+    ev = load_table(spark, sf_dir, "events")
+    got = {tuple(r) for r in udfs.udaf_weighted_mean(ev).collect()}
+    twin = (
+        ev.select(
+            "event_type",
+            fixedpoint(F.col("value"), 1_000_000).alias("v_fp"),
+            (F.col("event_id") % 7 + 1).cast("long").alias("w"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("w").alias("sum_w"),
+            F.expr("sum(v_fp * w) DIV sum(w)").alias("wmean_fp"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "sum_w",
+            "wmean_fp",
+            F.round(F.col("wmean_fp") / 1_000_000.0, 6).alias("wmean_value"),
+        )
+    )
+    assert got == {tuple(r) for r in twin.collect()}
+    plan = (
+        udfs.udaf_weighted_mean(ev)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowAggregatePython" in plan
+
+
 def test_exact_median_matches_sorted_middle(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     got = {r.event_type: (r.n, r.median_value) for r in udfs.exact_median_by_group(ev).collect()}
