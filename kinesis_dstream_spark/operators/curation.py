@@ -911,6 +911,44 @@ MIX_TARGET_PPM = {
 }
 
 
+def _needed_tokens_sql(budget_tokens: int, div: str, w: str = "w_ppm") -> str:
+    """int64-safe ``budget·w div 1e6``: the budget's quotient/remainder
+    by 1e6 are folded driver-side (the budget is a parameter literal),
+    so no intermediate exceeds max(budget, 1e12) — exact for ANY int64
+    budget (see mixture_budget_solve docstring identity). ``div`` is
+    the engine's trunc-div spelling ('div' Spark, '//' DuckDB)."""
+    bq, br = int(budget_tokens) // 1_000_000, int(budget_tokens) % 1_000_000
+    wb = f"CAST({w} AS BIGINT)"  # DuckDB VALUES-typed weights are INT32
+    return f"CAST({wb} * {bq} + ({wb} * {br}) {div} 1000000 AS BIGINT)"
+
+
+# epochs saturation: n·1e6 div a itself stops fitting int64 once
+# n div a > 9.2e12 (≈ 9.2 billion repeat epochs — beyond any physical
+# mix). Rather than throw (Spark ANSI) or wrap (naively), the fragment
+# SATURATES at _EPOCHS_PPM_SAT, the largest multiple of 1e6 below
+# int64 max — a self-labeling "effectively infinite repetition" value.
+_EPOCHS_Q_CAP = 9_223_372_036_854
+_EPOCHS_PPM_SAT = _EPOCHS_Q_CAP * 1_000_000
+
+
+def _epochs_ppm_sql(n: str, a: str, div: str) -> str:
+    """int64-safe ``n·1e6 div a`` via the two-step remainder identity
+    (intermediates bounded by a·1e3, never n·1e6), saturating at
+    ``_EPOCHS_PPM_SAT`` when the true value wouldn't fit int64.
+    ``n``/``a`` must be simple column references (each appears three
+    times); CASE evaluates lazily in both engines, so the full formula
+    never executes on saturating rows."""
+    full = (
+        f"(({n} {div} {a}) * 1000000"
+        f" + (({n} % {a}) * 1000 {div} {a}) * 1000"
+        f" + ((({n} % {a}) * 1000 % {a}) * 1000) {div} {a})"
+    )
+    return (
+        f"(CASE WHEN ({n} {div} {a}) > {_EPOCHS_Q_CAP}"
+        f" THEN {_EPOCHS_PPM_SAT} ELSE {full} END)"
+    )
+
+
 def mixture_budget_solve(
     documents: DataFrame,
     budget_tokens: int = 100_000,
@@ -928,6 +966,25 @@ def mixture_budget_solve(
       epochs_ppm    = needed · 10⁶ div available    (NULL if no supply)
       keep_rate_ppm = min(10⁶, epochs_ppm)          (downsample cap)
       deficit       = max(0, needed − available)
+
+    Overflow discipline (r9-ADVICE: the naive ``budget·w_ppm`` and
+    ``needed·10⁶`` intermediates overflow int64 once the budget passes
+    ~9.2e12 tokens — squarely in-domain for trillion-token LLM mixes).
+    Both products are decomposed by exact quotient/remainder identities
+    so every intermediate stays within int64 for ANY int64 budget:
+
+      budget·w div 10⁶  =  w·(budget div 10⁶) + (w·(budget mod 10⁶)) div 10⁶
+      n·10⁶ div a       =  (n div a)·10⁶ + ((r·10³) div a)·10³
+                           + (((r·10³) mod a)·10³) div a,   r = n mod a
+
+    (identities exact for trunc division on non-negatives; verified by
+    a randomized pytest with Python bignums as referee). epochs_ppm
+    itself stops fitting int64 once needed/available > 9.2e12 — there
+    the fragment SATURATES at ``_EPOCHS_PPM_SAT`` (≈9.2e18 ppm, i.e.
+    9.2 billion epochs) instead of throwing, identically in both
+    engines. One bound remains documented rather than guarded: the
+    remainder step needs tokens_available ≤ 9.2e15 (a ~9-quadrillion-
+    token corpus; 100 TB of text is ~2.5e13).
 
     A target source absent from the corpus keeps its row
     (tokens_available = 0, NULL epochs, full deficit) — the missing-
@@ -953,11 +1010,11 @@ def mixture_budget_solve(
     j = tgt.join(avail, "source", "left").select(
         "source",
         F.coalesce("tokens_available", F.lit(0)).alias("tokens_available"),
-        F.expr(
-            f"CAST(({int(budget_tokens)} * w_ppm) div 1000000 AS BIGINT)"
-        ).alias("tokens_needed"),
+        F.expr(_needed_tokens_sql(budget_tokens, "div")).alias("tokens_needed"),
     )
-    epochs = F.expr("(tokens_needed * 1000000) div tokens_available")
+    epochs = F.expr(
+        _epochs_ppm_sql("tokens_needed", "tokens_available", "div")
+    )
     return j.select(
         "source",
         "tokens_available",
@@ -992,17 +1049,16 @@ WITH tgt(source, w_ppm) AS (
 ), j AS (
   SELECT t.source,
          coalesce(a.tokens_available, 0) AS tokens_available,
-         CAST((CAST({int(budget_tokens)} AS BIGINT) * t.w_ppm) // 1000000
-              AS BIGINT)
-           AS tokens_needed
+         {_needed_tokens_sql(budget_tokens, "//", "t.w_ppm")} AS tokens_needed
   FROM tgt t LEFT JOIN avail a ON a.source = t.source
 )
 SELECT source, tokens_available, tokens_needed,
        CASE WHEN tokens_available > 0 THEN
-         least(1000000, (tokens_needed * 1000000) // tokens_available)
+         least(1000000,
+               {_epochs_ppm_sql("tokens_needed", "tokens_available", "//")})
        END AS keep_rate_ppm,
        CASE WHEN tokens_available > 0 THEN
-         (tokens_needed * 1000000) // tokens_available
+         {_epochs_ppm_sql("tokens_needed", "tokens_available", "//")}
        END AS epochs_ppm,
        greatest(0, tokens_needed - tokens_available) AS deficit_tokens
 FROM j
@@ -1075,16 +1131,18 @@ def curation_pipeline_report(
     avail = dd.groupBy("source").agg(F.sum("nt").alias("ta"))
     rates = (
         avail.join(tgt, "source", "left")
+        # int64-safe needed/epochs fragments (shared with the solve —
+        # see _needed_tokens_sql/_epochs_ppm_sql overflow identities)
+        .withColumn(
+            "needed", F.expr(_needed_tokens_sql(budget_tokens, "div"))
+        )
         .select(
             "source",
             F.when(
                 F.col("w_ppm").isNotNull() & (F.col("ta") > 0),
                 F.least(
                     F.lit(1_000_000),
-                    F.expr(
-                        f"(CAST(({int(budget_tokens)} * w_ppm) div 1000000 AS BIGINT)"
-                        " * 1000000) div ta"
-                    ),
+                    F.expr(_epochs_ppm_sql("needed", "ta", "div")),
                 ),
             )
             .otherwise(F.lit(0))
@@ -1148,13 +1206,15 @@ WITH tgt(source, w_ppm) AS (
 ), avail AS (
   SELECT source, CAST(sum(nt) AS BIGINT) AS ta FROM dd GROUP BY 1
 ), rates AS (
-  SELECT a.source,
-         CASE WHEN t.w_ppm IS NOT NULL AND a.ta > 0 THEN
-           least(1000000,
-                 (CAST((CAST({int(budget_tokens)} AS BIGINT) * t.w_ppm)
-                       // 1000000 AS BIGINT) * 1000000) // a.ta)
+  SELECT source,
+         CASE WHEN w_ppm IS NOT NULL AND ta > 0 THEN
+           least(1000000, {_epochs_ppm_sql("needed", "ta", "//")})
          ELSE 0 END AS keep_rate_ppm
-  FROM avail a LEFT JOIN tgt t ON t.source = a.source
+  FROM (
+    SELECT a.source, t.w_ppm, a.ta,
+           {_needed_tokens_sql(budget_tokens, "//", "t.w_ppm")} AS needed
+    FROM avail a LEFT JOIN tgt t ON t.source = a.source
+  )
 ), fin AS (
   SELECT d.* FROM dd d JOIN rates r ON r.source = d.source
   WHERE d.bucket_ppm < r.keep_rate_ppm

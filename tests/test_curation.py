@@ -426,6 +426,68 @@ def test_mixture_budget_solve_regimes(spark):
     assert c["deficit_tokens"] == 20
 
 
+def test_mixture_budget_solve_trillion_token_budget(spark):
+    """The r9-ADVICE overflow class: a quadrillion-token budget must
+    neither throw (Spark ANSI int64 overflow) nor wrap — the
+    quotient/remainder decomposition keeps every intermediate in
+    int64. Expected values computed with Python bignum arithmetic:
+    needed = budget·w div 1e6 exactly, epochs = needed·1e6 div avail
+    exactly."""
+    from kinesis_dstream_spark.operators import curation
+
+    rows = [(i, " ".join(f"a{i}t{j}" for j in range(10)), "en", "srcA", 60)
+            for i in range(10)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    budget = 5_000_000_000_000_000  # 5e15 — 500x past the naive bound
+    got = {
+        r["source"]: r
+        for r in curation.mixture_budget_solve(
+            docs, budget_tokens=budget, target_ppm={"srcA": 600_000}
+        ).collect()
+    }["srcA"]
+    needed = budget * 600_000 // 1_000_000
+    assert got["tokens_needed"] == needed
+    # true epochs (3e19 ppm) exceeds int64 -> the documented saturation
+    assert needed * 1_000_000 // 100 > curation._EPOCHS_PPM_SAT
+    assert got["epochs_ppm"] == curation._EPOCHS_PPM_SAT
+    assert got["keep_rate_ppm"] == 1_000_000
+    assert got["deficit_tokens"] == needed - 100
+
+
+def test_mixture_budget_solve_identity_vs_naive_in_safe_range(spark):
+    """In the pre-r10 safe range the decomposed arithmetic must be
+    IDENTICAL to the naive formulas (randomized spot-check, Python
+    bignums as referee)."""
+    import random
+
+    from kinesis_dstream_spark.operators import curation
+
+    rng = random.Random(10)
+    rows = []
+    for i in range(6):
+        nt = rng.randrange(1, 40)
+        rows.append((i, " ".join(f"w{i}x{j}" for j in range(nt)), "en",
+                     f"s{i % 3}", 10))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    budget = rng.randrange(1, 10**12)
+    tgt = {f"s{k}": w for k, w in zip(range(3), (500_000, 300_000, 200_000))}
+    avail = {}
+    for did, text, _, src, _ in rows:
+        avail[src] = avail.get(src, 0) + len(text.split())
+    for r in curation.mixture_budget_solve(
+        docs, budget_tokens=budget, target_ppm=tgt
+    ).collect():
+        needed = budget * tgt[r["source"]] // 1_000_000
+        a = avail[r["source"]]
+        assert r["tokens_needed"] == needed
+        assert r["epochs_ppm"] == needed * 1_000_000 // a
+        assert r["keep_rate_ppm"] == min(1_000_000, needed * 1_000_000 // a)
+
+
 def test_curation_pipeline_stage_monotonicity_and_dedup(spark, sf_dir):
     """Stage survivorship must be monotone per source
     (raw >= quality >= dedup >= final) and a constructed duplicate
