@@ -1283,10 +1283,24 @@ def _nbhd_key_suffix(key_len: int):
     """Pass-2 blocking key: prefix of the REVERSED normalized text
     (= suffix blocking). reverse-then-substr instead of a negative
     substr start because Spark and DuckDB disagree on negative-start
-    semantics for short strings; reverse+positive-substr is
-    byte-identical in both engines."""
+    semantics for short strings.
+
+    Codepoint-safety (r9-ADVICE): ``reverse`` itself is NOT
+    engine-identical on arbitrary Unicode — Spark reverses by
+    codepoint while DuckDB reverses by grapheme CLUSTER, so any
+    combining sequence (e.g. e + U+0301) diverges. The key therefore
+    reverses only the printable-ASCII projection of the text
+    (non-ASCII codepoints stripped first — regex char classes are
+    codepoint-identical in both engines), which is exact on normalized
+    ASCII corpora like the fixture and deterministic-and-identical on
+    any corpus. Blocking keys only GENERATE candidates (the shingle
+    verify decides), so projecting the key never affects correctness —
+    only which near-misses land adjacent; a production corpus wanting
+    suffix blocking on non-Latin text would NFC-normalize and reverse
+    by grapheme in BOTH engines instead."""
     norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
-    return F.lower(F.substring(F.reverse(norm), 1, key_len))
+    ascii_only = F.regexp_replace(norm, r"[^\x20-\x7e]", "")
+    return F.lower(F.substring(F.reverse(ascii_only), 1, key_len))
 
 
 def _nbhd_candidate_pairs(

@@ -67,8 +67,8 @@ def pandas_udf_value_transform(events: DataFrame) -> DataFrame:
     )
 
 
-@F.pandas_udf(LongType(), F.PandasUDFType.GROUPED_AGG)
-def _pd_weighted_mean_fp(v_fp, w):  # type: ignore[misc]
+@F.pandas_udf(LongType())
+def _pd_weighted_mean_fp(v_fp: pd.Series, w: pd.Series) -> int:
     """GROUPED_AGG pandas UDAF (E-14's last tier, r9-verdict task 3):
     a Series→scalar aggregating pandas UDF usable INSIDE
     ``groupBy().agg()`` next to built-in aggregates — the one UDF
@@ -85,8 +85,8 @@ def _pd_weighted_mean_fp(v_fp, w):  # type: ignore[misc]
     return q if num >= 0 else -q
 
 
-@F.pandas_udf(LongType(), F.PandasUDFType.GROUPED_AGG)
-def _pd_count_rows(w):  # type: ignore[misc]
+@F.pandas_udf(LongType())
+def _pd_count_rows(w: pd.Series) -> int:
     """Companion UDAF: Spark REFUSES to mix a GROUPED_AGG pandas UDF
     with built-in aggregates in one ``agg()`` (INVALID_PANDAS_UDF_
     PLACEMENT), so the exhibit's count/sum columns must themselves be
@@ -94,8 +94,8 @@ def _pd_count_rows(w):  # type: ignore[misc]
     return len(w)
 
 
-@F.pandas_udf(LongType(), F.PandasUDFType.GROUPED_AGG)
-def _pd_sum_long(w):  # type: ignore[misc]
+@F.pandas_udf(LongType())
+def _pd_sum_long(w: pd.Series) -> int:
     import numpy as np
 
     return int(w.to_numpy(np.int64).sum())

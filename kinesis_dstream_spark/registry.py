@@ -4475,10 +4475,15 @@ def _nbhd_key_sql(key_len: int, suffix: bool) -> str:
     """The blocking-key expression shared by the neighborhood twins:
     prefix of the normalized text, or prefix of its reverse (= suffix
     blocking; reverse+positive-substr because Spark and DuckDB disagree
-    on negative-start substr for short strings)."""
+    on negative-start substr for short strings). The suffix pass
+    reverses the printable-ASCII projection only — DuckDB reverses by
+    grapheme cluster while Spark reverses by codepoint, so stripping
+    non-ASCII first (codepoint-identical regex in both engines) is what
+    keeps the key engine-identical on any corpus (see
+    dedup._nbhd_key_suffix)."""
     norm = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
     if suffix:
-        norm = f"reverse({norm})"
+        norm = f"reverse(regexp_replace({norm}, '[^\\x20-\\x7e]', '', 'g'))"
     return f"lower(substr({norm}, 1, {key_len}))"
 
 

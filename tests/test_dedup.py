@@ -734,6 +734,45 @@ def test_global_rank_is_permutation_across_jobs(spark):
         assert (agg["n"], agg["d"], agg["lo"], agg["hi"]) == (n, n, 1, n)
 
 
+def test_suffix_blocking_key_engine_identical_on_unicode(spark):
+    """r9-ADVICE: Spark reverses strings by codepoint, DuckDB by
+    grapheme cluster, so a raw reversed-text key diverges on combining
+    sequences. The r10 key reverses the printable-ASCII projection
+    only — this test feeds combining marks, CJK, and emoji through
+    BOTH engines' key expressions and demands byte equality."""
+    import duckdb
+
+    from kinesis_dstream_spark.operators.dedup import _nbhd_key_suffix
+    from kinesis_dstream_spark.registry import _nbhd_key_sql
+
+    texts = [
+        "café latte menu pricing sheet",   # e + combining acute
+        "smol tests é́́ stacked marks end",
+        "mixed 你好 world ascii tail here",
+        "emoji \U0001f600\U0001f3fd flag tail words",
+        "plain ascii only text stays intact",
+        "",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "xx", "src", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got_spark = {
+        r["doc_id"]: r["bk"]
+        for r in docs.select("doc_id", _nbhd_key_suffix(24).alias("bk")).collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", __import__("pandas").DataFrame(
+        {"doc_id": range(len(texts)), "text": texts}
+    ))
+    got_duck = dict(
+        con.execute(
+            f"SELECT doc_id, {_nbhd_key_sql(24, suffix=True)} AS bk FROM documents"
+        ).fetchall()
+    )
+    assert got_spark == got_duck
+
+
 def test_multipass_recovers_suffix_only_pair(spark):
     """r9 multipass ER: construct a near-dup pair whose ONLY edit is
     inside the 24-char prefix blocking key — in the prefix sort the
