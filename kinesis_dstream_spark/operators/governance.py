@@ -185,6 +185,11 @@ def _ensure_gov_stores(spark: SparkSession, sf_dir: str, base: str) -> dict[str,
 
     paths["near_dup_pairs"] = os.path.join(base, "near_dup_pairs")
     pairs_store.near_dup_pairs_ensure(docs, paths["near_dup_pairs"])
+    # ninth store (r10): the setsim-prefix pair artifact — same
+    # argument as the n-gram pairs (a persisted similarity assertion
+    # about a subject's content is itself subject data)
+    paths["setsim_pairs"] = os.path.join(base, "setsim_pairs")
+    pairs_store.setsim_pairs_ensure(docs, paths["setsim_pairs"])
     # eighth store (r9): the deterministic-IVF serving index — its
     # cell-partitioned codes hold the subject's unit vectors verbatim,
     # and its centroids are model parameters trained on them
@@ -315,6 +320,13 @@ def erasure_report_full(
     erase_parquet_store(
         spark, pairs_data, req_docs.withColumnRenamed("doc_id", "doc_b"), "doc_b"
     )
+    setsim_data = os.path.join(erased_paths["setsim_pairs"], "pairs")
+    erase_parquet_store(
+        spark, setsim_data, req_docs.withColumnRenamed("doc_id", "doc_a"), "doc_a"
+    )
+    erase_parquet_store(
+        spark, setsim_data, req_docs.withColumnRenamed("doc_id", "doc_b"), "doc_b"
+    )
 
     # logical (in-memory derived) stores: anti-join views, as in the
     # basic report
@@ -350,6 +362,10 @@ def erasure_report_full(
         "near_dup_pairs": (
             os.path.join(pristine["near_dup_pairs"], "pairs"),
             pairs_data,
+        ),
+        "setsim_pairs": (
+            os.path.join(pristine["setsim_pairs"], "pairs"),
+            setsim_data,
         ),
     }
     for name, (pre, post) in persisted.items():
@@ -426,12 +442,12 @@ SELECT 'minute_granules', before, erased, before - erased FROM gran
 # is exactly 9 per doc).
 _DUCK_TOKS_GOV = "str_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')"
 
-def erasure_full_sql(pairs_sql: str) -> str:
-    """Seven-store DuckDB twin; the pairs-store accounting re-derives
-    the artifact from the SAME pair definition the registry uses
-    (pass ``_SQL_DEDUP_JACCARD`` — parameter discipline, no silently
-    diverging copy of the shingle join)."""
-    return (
+def erasure_full_sql(pairs_sql: str, setsim_sql: str | None = None) -> str:
+    """Nine-store DuckDB twin; each pairs-artifact accounting re-derives
+    its artifact from the SAME pair definition the registry uses (pass
+    ``_SQL_DEDUP_JACCARD`` / ``_SQL_SETSIM_PREFIX`` — parameter
+    discipline, no silently diverging copies of the pair joins)."""
+    sql = (
         ERASURE_FULL_SQL
         + f"""
 UNION ALL
@@ -444,6 +460,18 @@ SELECT 'near_dup_pairs', before, erased, before - erased FROM (
 )
 """
     )
+    if setsim_sql is not None:
+        sql += f"""
+UNION ALL
+SELECT 'setsim_pairs', before, erased, before - erased FROM (
+  SELECT count(*) AS before,
+         CAST(sum(CASE WHEN doc_a % {_ERASE_MOD} = 0
+                        OR doc_b % {_ERASE_MOD} = 0
+                   THEN 1 ELSE 0 END) AS BIGINT) AS erased
+  FROM ({setsim_sql}) sp
+)
+"""
+    return sql
 
 
 ERASURE_FULL_SQL = f"""

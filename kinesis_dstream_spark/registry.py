@@ -4237,8 +4237,28 @@ def _q_streaming_ivf_det_ingest(spark: SparkSession, sf: str) -> DataFrame:
     return jobs.streaming_ivf_det_ingest(spark, sf)
 
 
+def _setsim_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Persisted setsim-prefix pair artifact (build-if-absent,
+    fingerprint-validated) — the agreement report's second generator
+    served from disk instead of recomputed per call."""
+    from kinesis_dstream_spark.operators import pairs_store
+
+    return pairs_store.setsim_pairs_ensure(
+        load_table(spark, sf, "documents"), _store_path("setsimpairs", sf)
+    )
+
+
 def _q_generator_agreement(spark: SparkSession, sf: str) -> DataFrame:
-    return dedup.near_dup_generator_agreement(load_table(spark, sf, "documents"))
+    """r10: both corpus-scan generators (n-gram inverted index, setsim
+    prefix index) are served from their fingerprint-fresh persisted
+    pair artifacts; only the two neighborhood passes run live (they
+    share one shingle explode + one verify). Same rows, same oracle —
+    the artifacts ARE the operators' outputs."""
+    return dedup.near_dup_generator_agreement(
+        load_table(spark, sf, "documents"),
+        ngram_pairs=_near_dup_pairs(spark, sf),
+        setsim_pairs=_setsim_pairs(spark, sf),
+    )
 
 
 def _generator_agreement_sql() -> str:
@@ -4987,10 +5007,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # eight-store subject erasure incl. PHYSICAL deletion from the
     # persisted ANN index / chunk store / MinHash dedup index / pairs
     # artifact (r8) / deterministic-IVF serving index (r9: codes rows
-    # die with the vectors, centroid params are refit-invalidated)
+    # die with the vectors, centroid params are refit-invalidated) /
+    # setsim pairs artifact (r10: ninth store)
     "gdpr_erasure_full_report": (
         _q_erasure_full,
-        governance.erasure_full_sql(_SQL_DEDUP_JACCARD),
+        governance.erasure_full_sql(_SQL_DEDUP_JACCARD, _SQL_SETSIM_PREFIX),
     ),
     # incremental pairs-artifact maintenance: drained store must equal
     # the batch builder row-for-row (exact later-doc decomposition

@@ -466,6 +466,34 @@ def test_near_dup_pairs_artifact_matches_live_and_detects_staleness(
     assert sorted(map(tuple, rebuilt)) == sorted(map(tuple, want_half))
 
 
+def test_agreement_report_from_artifacts_matches_live(spark, sf_dir, tmp_path):
+    """r10: the agreement report served from the two persisted pair
+    artifacts must return EXACTLY the live-generator rows (the store
+    contract: the artifact is the operator's output), the setsim
+    artifact must itself match its live generator and rebuild on
+    corpus change (staleness fallback), and the stale path — passing
+    no artifacts — must agree too."""
+    from kinesis_dstream_spark.operators import pairs_store
+
+    docs = load_table(spark, sf_dir, "documents")
+    ng = pairs_store.near_dup_pairs_ensure(docs, str(tmp_path / "ng"))
+    ss = pairs_store.setsim_pairs_ensure(docs, str(tmp_path / "ss"))
+    assert sorted(map(tuple, ss.collect())) == sorted(
+        map(tuple, dedup.dedup_setsim_prefix(docs).collect())
+    )
+    served = dedup.near_dup_generator_agreement(
+        docs, ngram_pairs=ng, setsim_pairs=ss
+    ).collect()
+    live = dedup.near_dup_generator_agreement(docs).collect()
+    assert sorted(map(tuple, served)) == sorted(map(tuple, live))
+    # staleness: a different corpus under the same path rebuilds
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    rebuilt = pairs_store.setsim_pairs_ensure(half, str(tmp_path / "ss"))
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(
+        map(tuple, dedup.dedup_setsim_prefix(half).collect())
+    )
+
+
 def test_setsim_prefix_matches_bruteforce_and_shrinks_index(spark, sf_dir):
     """The prefix filter must lose NO qualifying pair (AllPairs lemma)
     and the index it joins must be a strict subset of the full

@@ -69,7 +69,7 @@ def test_full_erasure_physical_zero_residual_all_stores(spark, sf_dir, tmp_path)
     assert {r.store for r in rows} == {
         "events_raw", "scd2_history", "minute_granules",
         "ann_index", "chunk_store", "minhash_dedup_index",
-        "near_dup_pairs", "ivf_det_index",
+        "near_dup_pairs", "ivf_det_index", "setsim_pairs",
     }
     for r in rows:
         assert r.rows_before == r.rows_erased + r.rows_after
@@ -103,6 +103,12 @@ def test_full_erasure_physical_zero_residual_all_stores(spark, sf_dir, tmp_path)
     pairs = spark.read.parquet(os.path.join(work, "near_dup_pairs", "pairs"))
     assert (
         pairs.where((F.col("doc_a") % 37 == 0) | (F.col("doc_b") % 37 == 0)).count()
+        == 0
+    )
+    # ninth store (r10): same either-endpoint rule for the setsim pairs
+    spairs = spark.read.parquet(os.path.join(work, "setsim_pairs", "pairs"))
+    assert (
+        spairs.where((F.col("doc_a") % 37 == 0) | (F.col("doc_b") % 37 == 0)).count()
         == 0
     )
 
