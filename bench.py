@@ -372,6 +372,12 @@ BENCH_QUERIES = {
     "setsim_cap_stats": "setsim_prefix_cap_stats",
     "mixture_solve": "mixture_budget_solve",
     "curation_pipeline": "curation_pipeline_report",
+    # r10 wave: deterministic PQ (flat build exhibit) + composed
+    # deterministic IVF-PQ store serve (recurring cost), the
+    # GROUPED_AGG pandas UDAF exhibit
+    "ann_pq_det": "ann_pq_det_topk",
+    "ann_ivf_pq_det_serve": "ann_ivf_pq_det_serve",
+    "udaf_wmean": "udaf_weighted_mean",
 }
 
 

@@ -90,14 +90,17 @@ def _unit_int_arrays(embeddings: DataFrame) -> DataFrame:
 
 
 def _collect_seed_centroids(
-    embeddings: DataFrame, iarr: DataFrame, k: int
+    embeddings: DataFrame, iarr: DataFrame, k: int, tag: str = "kmeans:"
 ) -> list[tuple[int, list[int]]]:
-    """The k hash-rank seed vectors, as (cid, coords) driver literals."""
+    """The k hash-rank seed vectors, as (cid, coords) driver literals.
+    ``tag`` salts the md5 rank so independent fits over the same ids
+    (e.g. the PQ subspace quantizers, pq_det.py) draw independent
+    seed orders — the oracle replays the same salted rank."""
     seeds = (
         embeddings.select(
             "vec_id",
             F.md5(
-                F.concat(F.lit("kmeans:"), F.col("vec_id").cast("string"))
+                F.concat(F.lit(tag), F.col("vec_id").cast("string"))
             ).alias("rk"),
         )
         .orderBy("rk", "vec_id")
@@ -197,13 +200,13 @@ def _assign(iarr: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
     return _assign_expr(iarr, cents)
 
 
-def _fit_kmeans(
-    embeddings: DataFrame, k: int = _K, n_assign: int = _N_ASSIGN
-) -> tuple[DataFrame, DataFrame, list[tuple[int, list[int]]]]:
-    """(iarr, assignment, final centroids) — the fit shared by the
-    profile, SemDeDup, and the deterministic-IVF serving path."""
-    iarr = _unit_int_arrays(embeddings).localCheckpoint()
-    cents = _collect_seed_centroids(embeddings, iarr, k)
+def _lloyd_rounds(
+    iarr: DataFrame, cents: list[tuple[int, list[int]]], n_assign: int
+) -> tuple[DataFrame, list[tuple[int, list[int]]]]:
+    """``n_assign`` assignment rounds with one truncating-division
+    centroid update between each pair — the exact relational recurrence
+    both the full-dim fit and the PQ subspace fits (pq_det.py) run.
+    Returns (final assignment, final centroids)."""
     asg = _assign(iarr, cents)
     for _ in range(n_assign - 1):
         upd = (
@@ -221,6 +224,17 @@ def _fit_kmeans(
             (int(r["cluster_id"]), [int(s["cv"]) for s in r["cs"]]) for r in upd
         ]
         asg = _assign(iarr, cents)
+    return asg, cents
+
+
+def _fit_kmeans(
+    embeddings: DataFrame, k: int = _K, n_assign: int = _N_ASSIGN
+) -> tuple[DataFrame, DataFrame, list[tuple[int, list[int]]]]:
+    """(iarr, assignment, final centroids) — the fit shared by the
+    profile, SemDeDup, and the deterministic-IVF serving path."""
+    iarr = _unit_int_arrays(embeddings).localCheckpoint()
+    cents = _collect_seed_centroids(embeddings, iarr, k)
+    asg, cents = _lloyd_rounds(iarr, cents, n_assign)
     return iarr, asg, cents
 
 

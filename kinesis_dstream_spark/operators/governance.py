@@ -197,6 +197,14 @@ def _ensure_gov_stores(spark: SparkSession, sf_dir: str, base: str) -> dict[str,
 
     paths["ivf_det_index"] = os.path.join(base, "ivf_det")
     clustering.ivf_det_store_ensure(emb, paths["ivf_det_index"])
+    # tenth store (r10): the deterministic IVF-PQ serving index — its
+    # PQ codes are a lossy ENCODING of the subject's vector (recoverable
+    # to quantizer precision), and both the coarse centroids and the
+    # subspace codebooks are parameters trained on the full corpus
+    from kinesis_dstream_spark.operators import pq_det
+
+    paths["ivf_pq_det_index"] = os.path.join(base, "ivf_pq_det")
+    pq_det.ivf_pq_det_store_ensure(emb, paths["ivf_pq_det_index"])
     return paths
 
 
@@ -300,6 +308,19 @@ def erasure_report_full(
         "vec_id",
     )
     ivf_det_store_invalidate(erased_paths["ivf_det_index"])
+    # tenth store: PQ code rows die with the vectors; coarse centroids
+    # AND subspace codebooks are refit-poisoned (same contract)
+    from kinesis_dstream_spark.operators.pq_det import (
+        ivf_pq_det_store_invalidate,
+    )
+
+    erase_parquet_store(
+        spark,
+        os.path.join(erased_paths["ivf_pq_det_index"], "codes"),
+        req_vecs,
+        "vec_id",
+    )
+    ivf_pq_det_store_invalidate(erased_paths["ivf_pq_det_index"])
     erase_parquet_store(
         spark, os.path.join(erased_paths["chunk_store"], "chunks"), req_docs, "doc_id"
     )
@@ -354,6 +375,10 @@ def erasure_report_full(
         "ivf_det_index": (
             os.path.join(pristine["ivf_det_index"], "codes"),
             os.path.join(erased_paths["ivf_det_index"], "codes"),
+        ),
+        "ivf_pq_det_index": (
+            os.path.join(pristine["ivf_pq_det_index"], "codes"),
+            os.path.join(erased_paths["ivf_pq_det_index"], "codes"),
         ),
         "chunk_store": (
             os.path.join(pristine["chunk_store"], "chunks"),
@@ -526,4 +551,8 @@ UNION ALL
 -- one (vec_id, iu, cluster_id) row per corpus vector, so its erasure
 -- accounting equals the ANN index's
 SELECT 'ivf_det_index', before, erased, before - erased FROM ann
+UNION ALL
+-- tenth store (r10): the deterministic IVF-PQ codes table also holds
+-- exactly one (vec_id, pq codes, cluster_id) row per vector
+SELECT 'ivf_pq_det_index', before, erased, before - erased FROM ann
 """

@@ -41,6 +41,7 @@ from kinesis_dstream_spark.operators import (
     reference_ops,
     layout,
     relational,
+    pq_det,
     similarity,
     sketches,
     text,
@@ -1850,6 +1851,20 @@ SELECT doc_id,
            '') AS kept_text
 FROM c
 """
+
+
+def _q_ann_pq_det(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.operators import pq_det
+
+    return pq_det.ann_pq_det_topk(load_table(spark, sf, "embeddings"))
+
+
+def _q_ivf_pq_det_serve(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.operators import pq_det
+
+    return pq_det.ivf_pq_det_serve(
+        load_table(spark, sf, "embeddings"), _store_path("ivf_pq_det", sf)
+    )
 
 
 def _q_udaf_weighted_mean(spark: SparkSession, sf: str) -> DataFrame:
@@ -5377,6 +5392,14 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # E-14 completion: GROUPED_AGG pandas UDAF inside groupBy().agg()
     # next to built-in aggregates (exact fixed-point weighted mean)
     "udaf_weighted_mean": (_q_udaf_weighted_mean, _SQL_UDAF_WMEAN),
+    # deterministic PQ (r10): the first PQ with a value-level oracle —
+    # per-subspace deterministic Lloyd codebooks, integer ADC LUTs,
+    # full flat scan (the self-contained BUILD exhibit)
+    "ann_pq_det_topk": (_q_ann_pq_det, pq_det.ANN_PQ_DET_SQL),
+    # composed deterministic IVF-PQ store serve (r10): probed-cell
+    # partition prune -> ADC shortlist -> exact integer rerank, all
+    # hash-checked by one unrolled twin (the recurring-cost path)
+    "ann_ivf_pq_det_serve": (_q_ivf_pq_det_serve, pq_det.IVF_PQ_DET_SERVE_SQL),
 }
 
 

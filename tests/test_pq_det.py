@@ -1,0 +1,162 @@
+"""Deterministic PQ / IVF-PQ (operators/pq_det.py): semantic bounds on
+STRUCTURED data plus the persisted-store lifecycle. Value-level
+exactness is covered by the DuckDB oracles (registry entries
+``ann_pq_det_topk`` / ``ann_ivf_pq_det_serve``) and the 3-scale golden
+hashes; these tests pin what the oracle can't — that the operator is
+USEFUL, not just reproducible."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from kinesis_dstream_spark.operators import pq_det
+from kinesis_dstream_spark.operators.clustering import _unit_int_arrays
+
+_N_CLUSTERS = 16
+_PER_CLUSTER = 30
+
+
+@pytest.fixture(scope="module")
+def clustered_emb(spark):
+    """Deterministic clustered corpus — the data shape PQ is FOR
+    (production embeddings cluster; the isotropic parquet fixture is
+    the adversarial case and is covered by the oracle + a documented
+    caveat instead of a recall floor)."""
+    rng = np.random.RandomState(7)
+    centers = rng.randn(_N_CLUSTERS, 64)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    pts = []
+    for ci in range(_N_CLUSTERS):
+        for _ in range(_PER_CLUSTER):
+            v = centers[ci] + 0.05 * rng.randn(64)
+            pts.append(v / np.linalg.norm(v))
+    return spark.createDataFrame(
+        [
+            (i, f"c{i // _PER_CLUSTER}", [float(x) for x in p])
+            for i, p in enumerate(pts)
+        ],
+        "vec_id long, label string, embedding array<float>",
+    ).localCheckpoint()
+
+
+def _exact_topk(emb, n_queries=10, k=5):
+    iarr = _unit_int_arrays(emb).localCheckpoint()
+    q = iarr.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("iu").alias("q_iu")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("q_iu"), F.col("iu"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("d").desc(), "c_id")
+    return {
+        (r.q_id, r.c_id)
+        for r in q.crossJoin(iarr)
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("c_id"), dot.alias("d"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .collect()
+    }
+
+
+def test_flat_adc_cluster_purity(clustered_emb):
+    """The flat ADC scan cannot rank WITHIN a tight cluster (all
+    members share codes, ties break by id — inherent PQ quantization),
+    but it must never confuse clusters: every returned neighbor comes
+    from the query's own cluster."""
+    rows = pq_det.ann_pq_det_topk(clustered_emb).collect()
+    assert rows, "no results"
+    purity = sum(
+        1 for r in rows if r.c_id // _PER_CLUSTER == r.q_id // _PER_CLUSTER
+    ) / len(rows)
+    assert purity >= 0.9, purity
+
+
+def test_ivf_pq_rerank_recall(clustered_emb, tmp_path):
+    """The composed serve's exact rerank recovers true top-k once the
+    ADC shortlist covers the query's cluster (shortlist=40 > cluster
+    size 30 -> expect ~full recall; the default 20 < 30 is the honest
+    shortlist-too-small regime and must still clear a usable floor)."""
+    exact = _exact_topk(clustered_emb)
+    wide = {
+        (r.q_id, r.c_id)
+        for r in pq_det.ivf_pq_det_serve(
+            clustered_emb, str(tmp_path / "wide"), shortlist=40
+        ).collect()
+    }
+    assert len(exact & wide) / len(exact) >= 0.9
+    narrow = {
+        (r.q_id, r.c_id)
+        for r in pq_det.ivf_pq_det_serve(
+            clustered_emb, str(tmp_path / "narrow"), shortlist=20
+        ).collect()
+    }
+    assert len(exact & narrow) / len(exact) >= 0.5
+
+
+def test_store_lifecycle_build_once_stale_rebuild_torn_meta(
+    spark, sf_dir, tmp_path
+):
+    """ensure() must build once (meta untouched on a warm second
+    call), serve identically from the warm store, rebuild on corpus
+    change, treat a TORN meta sidecar as 'no complete build' (the
+    stores.py seam contract), and refit after erasure invalidation."""
+    import os
+
+    from kinesis_dstream_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "store")
+    first = pq_det.ivf_pq_det_serve(emb, path).collect()
+    meta_path = os.path.join(path, pq_det._PQ_META)
+    t1 = os.path.getmtime(meta_path)
+    again = pq_det.ivf_pq_det_serve(emb, path).collect()
+    assert os.path.getmtime(meta_path) == t1  # served warm, no rebuild
+    assert sorted(map(tuple, first)) == sorted(map(tuple, again))
+
+    # torn meta -> detectably incomplete -> ensure rebuilds
+    with open(meta_path, "w") as f:
+        f.write('{"fingerprint": "tr')  # truncated JSON
+    rebuilt = pq_det.ivf_pq_det_serve(emb, path).collect()
+    assert sorted(map(tuple, rebuilt)) == sorted(map(tuple, first))
+
+    # erasure invalidation -> fingerprint mismatch -> refit on ensure
+    pq_det.ivf_pq_det_store_invalidate(path)
+    t2 = os.path.getmtime(meta_path)
+    refit = pq_det.ivf_pq_det_serve(emb, path).collect()
+    assert os.path.getmtime(meta_path) != t2  # rebuilt
+    assert sorted(map(tuple, refit)) == sorted(map(tuple, first))
+
+    # corpus change -> rebuild with different results allowed but
+    # deterministic (two calls agree)
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    h1 = pq_det.ivf_pq_det_serve(half, path).collect()
+    h2 = pq_det.ivf_pq_det_serve(half, path).collect()
+    assert sorted(map(tuple, h1)) == sorted(map(tuple, h2))
+
+
+def test_codes_table_is_cell_partitioned_and_one_row_per_vector(
+    spark, sf_dir, tmp_path
+):
+    """Store layout contract: parquet partitioned by coarse cluster_id
+    (the partition-prune serving story) with exactly one code row per
+    corpus vector (the erasure accounting the governance oracle
+    assumes)."""
+    import os
+
+    from kinesis_dstream_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "layout")
+    pq_det.ivf_pq_det_store_ensure(emb, path)
+    codes_dir = os.path.join(path, "codes")
+    parts = [e for e in os.listdir(codes_dir) if e.startswith("cluster_id=")]
+    assert parts, "codes not partitioned by cluster_id"
+    codes = spark.read.parquet(codes_dir)
+    assert codes.count() == emb.count()
+    assert codes.select("vec_id").distinct().count() == emb.count()
