@@ -378,6 +378,8 @@ BENCH_QUERIES = {
     "ann_pq_det": "ann_pq_det_topk",
     "ann_ivf_pq_det_serve": "ann_ivf_pq_det_serve",
     "udaf_wmean": "udaf_weighted_mean",
+    "ann_ivf_pq_det_ingest": "ann_ivf_pq_det_ingest_serve",
+    "pq_code_stats": "pq_code_stats",
 }
 
 

@@ -315,6 +315,26 @@ def ivf_pq_det_serve(
     coarse, codebooks, codes = ivf_pq_det_store_ensure(
         embeddings, path, k, n_assign, m, dsub, ksub
     )
+    return _ivf_pq_serve_from(
+        embeddings, codes, coarse, codebooks,
+        n_queries, topk, n_probe, shortlist, m, dsub,
+    )
+
+
+def _ivf_pq_serve_from(
+    embeddings: DataFrame,
+    codes: DataFrame,
+    coarse: list[tuple[int, list[int]]],
+    codebooks: Codebooks,
+    n_queries: int,
+    topk: int,
+    n_probe: int,
+    shortlist: int,
+    m: int = _M,
+    dsub: int = _DSUB,
+) -> DataFrame:
+    """The recurring serve, shared by the ensure-path and the frozen
+    post-ingest path (one code path → one oracle covers both)."""
     iarr = _unit_int_arrays(embeddings)
     queries = iarr.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), F.col("iu").alias("q_iu")
@@ -368,43 +388,249 @@ def ivf_pq_det_serve(
     )
 
 
+_PQ_APPEND_LOG_CAP = 64  # same rationale as clustering._IVF_DET_APPEND_LOG_CAP
+
+
+def ivf_pq_det_store_append(embeddings_new: DataFrame, path: str) -> None:
+    """Incremental ingest for the IVF-PQ store: assign new vectors to
+    the FROZEN coarse centroids AND the frozen subspace codebooks (pure
+    map-side — no refit, no pass over existing data) and append their
+    code rows to the cell partitions. Quantizer refit stays a
+    deliberate rebuild (``ivf_pq_det_store_invalidate`` + ensure) —
+    the ``ivf_det_store_append`` contract extended to both quantizer
+    levels. Replay-safe twice over: a capped batch-fingerprint
+    fast path plus the row-level anti-join on the stored vec_ids."""
+    import os
+
+    from kinesis_dstream_spark import stores
+    from kinesis_dstream_spark.operators.ann_index import corpus_fingerprint
+    from kinesis_dstream_spark.operators.clustering import _assign
+
+    meta = stores.read_meta(path, _PQ_META)
+    if meta is None:
+        raise FileNotFoundError(
+            f"ivf_pq_det_store_append: no complete store at {path} "
+            "(missing/torn meta sidecar) — run ivf_pq_det_store_ensure first"
+        )
+    fp_new = corpus_fingerprint(embeddings_new, ivf_pq_det_append=True)
+    if fp_new in meta.get("appended", []):
+        return
+    coarse = [(int(c), [int(x) for x in v]) for c, v in meta["coarse"]]
+    codebooks = [
+        [(int(c), [int(x) for x in v]) for c, v in cb]
+        for cb in meta["codebooks"]
+    ]
+    _, _, m, dsub, _ = meta["params"]
+    codes_path = os.path.join(path, "codes")
+    fresh = (
+        _unit_int_arrays(embeddings_new)
+        .dropDuplicates(["vec_id"])
+        .join(
+            embeddings_new.sparkSession.read.parquet(codes_path).select("vec_id"),
+            "vec_id",
+            "left_anti",
+        )
+        .localCheckpoint()
+    )
+    if not fresh.isEmpty():
+        rows = _assign(fresh, coarse).select("vec_id", "iu", "cluster_id")
+        for s in range(m):
+            sub = fresh.select(
+                "vec_id", F.slice(F.col("iu"), s * dsub + 1, dsub).alias("iu")
+            )
+            part = _assign(sub, codebooks[s]).select(
+                "vec_id", F.col("cluster_id").alias(f"code{s}")
+            )
+            rows = rows.join(part, "vec_id")
+        rows.select(
+            "vec_id", *[f"code{s}" for s in range(m)], "cluster_id"
+        ).write.mode("append").partitionBy("cluster_id").parquet(codes_path)
+    appended = meta.get("appended", [])
+    appended.append(fp_new)
+    meta["appended"] = appended[-_PQ_APPEND_LOG_CAP:]
+    stores.write_meta(path, meta, _PQ_META)
+
+
+def ivf_pq_det_serve_frozen(
+    embeddings: DataFrame,
+    path: str,
+    n_queries: int = 10,
+    topk: int = 5,
+    n_probe: int = 2,
+    shortlist: int = 20,
+) -> DataFrame:
+    """Serve the store AS-IS (frozen quantizers + whatever ingest
+    appended) — no ensure, no freshness check, but a missing/torn meta
+    refuses rather than scanning a half-rebuilt store (the
+    ``ivf_det_serve_frozen`` contract)."""
+    import os
+
+    from kinesis_dstream_spark import stores
+
+    meta = stores.read_meta(path, _PQ_META)
+    if meta is None:
+        raise FileNotFoundError(
+            f"ivf_pq_det_serve_frozen: no complete store at {path} "
+            "(missing/torn meta sidecar — a rebuild may be in flight); "
+            "run ivf_pq_det_store_ensure"
+        )
+    coarse = [(int(c), [int(x) for x in v]) for c, v in meta["coarse"]]
+    codebooks = [
+        [(int(c), [int(x) for x in v]) for c, v in cb]
+        for cb in meta["codebooks"]
+    ]
+    _, _, m, dsub, _ = meta["params"]
+    codes = embeddings.sparkSession.read.parquet(os.path.join(path, "codes"))
+    return _ivf_pq_serve_from(
+        embeddings, codes, coarse, codebooks,
+        n_queries, topk, n_probe, shortlist, m, dsub,
+    )
+
+
+def ivf_pq_det_store_compact(
+    spark, path: str, max_files_per_cell: int = 4
+) -> dict[str, int]:
+    """Per-cell small-file compaction + append-log truncation — shares
+    the IVF-det store's dynamic-partition-overwrite mechanics (only
+    oversized cells rewrite; content, quantizers, and fingerprints
+    untouched; serve results pinned identical in pytest)."""
+    import os
+
+    from kinesis_dstream_spark import stores
+    from kinesis_dstream_spark.operators.ann_index import _n_parquet_files
+
+    codes_path = os.path.join(path, "codes")
+    oversized = [
+        int(entry.split("=", 1)[1])
+        for entry in os.listdir(codes_path)
+        if entry.startswith("cluster_id=")
+        and _n_parquet_files(os.path.join(codes_path, entry)) > max_files_per_cell
+    ]
+    files_before = _n_parquet_files(codes_path)
+    if oversized:
+        rows = (
+            spark.read.parquet(codes_path)
+            .filter(F.col("cluster_id").isin(oversized))
+            .repartition("cluster_id")
+            .localCheckpoint()
+        )
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            rows.write.partitionBy("cluster_id").mode("overwrite").parquet(
+                codes_path
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    meta = stores.read_meta(path, _PQ_META)
+    if meta is not None and meta.get("appended"):
+        meta["appended"] = []
+        stores.write_meta(path, meta, _PQ_META)
+    return {
+        "cells_compacted": len(oversized),
+        "files_before": files_before,
+        "files_after": _n_parquet_files(codes_path),
+    }
+
+
+def pq_code_stats(
+    embeddings: DataFrame,
+    m: int = _M,
+    dsub: int = _DSUB,
+    ksub: int = _KSUB,
+    n_assign: int = _N_ASSIGN,
+) -> DataFrame:
+    """Quantizer-health telemetry — the diagnostic ops runs before
+    trusting an ANN tier: per subspace, how many codes the corpus
+    actually uses and how skewed the cell occupancy is. A subspace
+    whose corpus collapses into few codes (codes_used ≪ ksub, or
+    max_share_ppm ≈ 1e6) contributes nothing to ADC discrimination —
+    the quantizer analogue of a hot shuffle key. Output per subspace:
+    (subspace, codes_used, n_vectors, max_cell_n, min_cell_n,
+    max_share_ppm). One fit + one tiny groupBy per subspace; rows = m.
+    Oracle-paired (``PQ_CODE_STATS_SQL``)."""
+    iarr = _unit_int_arrays(embeddings).localCheckpoint()
+    codes, _ = _fit_pq(iarr, m, dsub, ksub, n_assign)
+    per_sub = []
+    for s in range(m):
+        per_sub.append(
+            codes.groupBy(F.col(f"code{s}").alias("code"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.lit(s).alias("subspace"),
+                F.count(F.lit(1)).alias("codes_used"),
+                F.sum("n").alias("n_vectors"),
+                F.max("n").alias("max_cell_n"),
+                F.min("n").alias("min_cell_n"),
+                F.expr("CAST(max(n) * 1000000 DIV sum(n) AS BIGINT)").alias(
+                    "max_share_ppm"
+                ),
+            )
+        )
+    out = per_sub[0]
+    for df in per_sub[1:]:
+        out = out.unionByName(df)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # DuckDB twins: the per-subspace Lloyd recurrence unrolled, then ADC.
 # ---------------------------------------------------------------------------
 
 
 def _pq_chain_sql(
-    m: int = _M, dsub: int = _DSUB, ksub: int = _KSUB, n_assign: int = _N_ASSIGN
+    m: int = _M,
+    dsub: int = _DSUB,
+    ksub: int = _KSUB,
+    n_assign: int = _N_ASSIGN,
+    fit_pred: str | None = None,
 ) -> str:
     """CTE fragment (appended after ``clustering.kmeans_oracle_cte``'s
     prefix, which defines ``iarr``): per subspace s, the sliced arrays
     ``l{s}`` (long form), the salted hash-rank seeds, the unrolled
     Lloyd rounds ending in assignment ``pa{n_assign}_{s}`` and
     centroids ``pc{n_assign-1}_{s}``, plus the combined ``pqcodes``
-    table (vec_id, code0..code{m-1})."""
+    table (vec_id, code0..code{m-1}).
+
+    ``fit_pred`` (the frozen-quantizer ingest twin): a vec_id predicate
+    restricting the FIT — seeds and every Lloyd round see only matching
+    vectors — while the final encoding (``pall_{s}`` → ``pqcodes``)
+    assigns ALL vectors to those frozen codebooks, the relational
+    statement of "ingest never refits" (``kmeans_oracle_cte`` does the
+    same for the coarse level)."""
     parts = []
+    final = {}
     for s in range(m):
         lo, hi = s * dsub + 1, (s + 1) * dsub
+        lfit = f"l{s}"
         parts.append(f""", l{s} AS (
   SELECT vec_id, unnest(generate_series(1, {dsub})) AS pos,
          unnest(iu[{lo}:{hi}]) AS su
   FROM iarr
-), sd{s} AS (
+)""")
+        seed_where = ""
+        if fit_pred:
+            lfit = f"lf{s}"
+            seed_where = f" WHERE {fit_pred}"
+            parts.append(
+                f", lf{s} AS (SELECT * FROM l{s} WHERE {fit_pred})"
+            )
+        parts.append(f""", sd{s} AS (
   SELECT vec_id,
          row_number() OVER (
            ORDER BY md5('pq{s}:' || CAST(vec_id AS VARCHAR)), vec_id) - 1
            AS cid
-  FROM embeddings
+  FROM embeddings{seed_where}
   ORDER BY md5('pq{s}:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT {ksub}
 ), pc0_{s} AS (
-  SELECT d.cid, l.pos, l.su AS cv FROM sd{s} d JOIN l{s} l USING (vec_id)
+  SELECT d.cid, l.pos, l.su AS cv FROM sd{s} d JOIN {lfit} l USING (vec_id)
 )""")
         prev = f"pc0_{s}"
         for i in range(1, n_assign + 1):
             parts.append(f""", pd{i}_{s} AS (
   SELECT l.vec_id, c.cid,
          CAST(sum((l.su - c.cv) * (l.su - c.cv)) AS BIGINT) AS dist
-  FROM l{s} l JOIN {prev} c ON c.pos = l.pos GROUP BY 1, 2
+  FROM {lfit} l JOIN {prev} c ON c.pos = l.pos GROUP BY 1, 2
 ), pm{i}_{s} AS (SELECT vec_id, min(dist) AS md FROM pd{i}_{s} GROUP BY 1),
 pa{i}_{s} AS (
   SELECT d.vec_id, min(d.cid) AS cid
@@ -415,18 +641,32 @@ pa{i}_{s} AS (
                 parts.append(f""", pc{i}_{s} AS (
   SELECT a.cid, l.pos,
          CAST(CAST(sum(l.su) AS BIGINT) // count(*) AS BIGINT) AS cv
-  FROM pa{i}_{s} a JOIN l{s} l USING (vec_id) GROUP BY 1, 2
+  FROM pa{i}_{s} a JOIN {lfit} l USING (vec_id) GROUP BY 1, 2
 )""")
                 prev = f"pc{i}_{s}"
+        final[s] = f"pa{n_assign}_{s}"
+        if fit_pred:
+            cent = f"pc{n_assign - 1}_{s}" if n_assign > 1 else f"pc0_{s}"
+            parts.append(f""", pdall_{s} AS (
+  SELECT l.vec_id, c.cid,
+         CAST(sum((l.su - c.cv) * (l.su - c.cv)) AS BIGINT) AS dist
+  FROM l{s} l JOIN {cent} c ON c.pos = l.pos GROUP BY 1, 2
+), pmall_{s} AS (SELECT vec_id, min(dist) AS md FROM pdall_{s} GROUP BY 1),
+pall_{s} AS (
+  SELECT d.vec_id, min(d.cid) AS cid
+  FROM pdall_{s} d JOIN pmall_{s} m ON m.vec_id = d.vec_id AND d.dist = m.md
+  GROUP BY 1
+)""")
+            final[s] = f"pall_{s}"
     joins = " ".join(
-        f"JOIN pa{n_assign}_{s} a{s} USING (vec_id)" for s in range(1, m)
+        f"JOIN {final[s]} a{s} USING (vec_id)" for s in range(1, m)
     )
     code_cols = ", ".join(
         (f"a{s}.cid AS code{s}" if s else f"a0.cid AS code0") for s in range(m)
     )
     parts.append(f""", pqcodes AS (
   SELECT a0.vec_id, {code_cols}
-  FROM pa{n_assign}_0 a0 {joins}
+  FROM {final[0]} a0 {joins}
 )""")
     return "".join(parts)
 
@@ -553,3 +793,109 @@ SELECT q_id, c_id, dot_num, rk FROM (
 
 
 IVF_PQ_DET_SERVE_SQL = ivf_pq_det_serve_sql()
+
+
+def ivf_pq_det_ingest_sql(
+    fit_pred: str = "vec_id % 5 <> 4",
+    n_queries: int = 10,
+    topk: int = 5,
+    n_probe: int = 2,
+    shortlist: int = 20,
+    k: int = 8,
+    n_assign: int = _N_ASSIGN,
+    m: int = _M,
+    dsub: int = _DSUB,
+    ksub: int = _KSUB,
+) -> str:
+    """Twin of the frozen-quantizer ingest flow (ensure on the
+    ``fit_pred`` base + append the rest + serve over the union): BOTH
+    quantizer levels fit on the base subset only, then ALL vectors
+    assign to the frozen coarse centroids (``aall``) and frozen
+    subspace codebooks (``pall_{s}`` → ``pqcodes``), and the serve
+    reads those — the relational proof that ingest refits nothing."""
+    cent_tbl = f"c{n_assign - 1}" if n_assign > 1 else "c0"
+    lut_joins = " ".join(
+        f"JOIN ql{s} q{s} ON q{s}.q_id = p.q_id AND q{s}.cid = x.code{s}"
+        for s in range(m)
+    )
+    adc = " + ".join(f"q{s}.dot" for s in range(m))
+    sql = kmeans_oracle_cte(k=k, n_assign=n_assign, fit_pred=fit_pred)
+    sql += _pq_chain_sql(m, dsub, ksub, n_assign, fit_pred=fit_pred)
+    for s in range(m):
+        sql += _query_lut_sql(s, n_queries, dsub, n_assign)
+    sql += f""", dall AS (
+  SELECT l.vec_id, c.cid,
+         CAST(sum((l.iu - c.cv) * (l.iu - c.cv)) AS BIGINT) AS dist
+  FROM lg l JOIN {cent_tbl} c ON c.pos = l.pos GROUP BY 1, 2
+), mall AS (SELECT vec_id, min(dist) AS md FROM dall GROUP BY 1),
+aall AS (
+  SELECT d.vec_id, min(d.cid) AS cid
+  FROM dall d JOIN mall ON mall.vec_id = d.vec_id AND d.dist = mall.md
+  GROUP BY 1
+), qd AS (
+  SELECT l.vec_id AS q_id, c.cid,
+         CAST(sum((l.iu - c.cv) * (l.iu - c.cv)) AS BIGINT) AS cd
+  FROM lg l JOIN {cent_tbl} c ON c.pos = l.pos
+  WHERE l.vec_id < {n_queries}
+  GROUP BY 1, 2
+), probes AS (
+  SELECT q_id, cid FROM (
+    SELECT q_id, cid, row_number() OVER (PARTITION BY q_id ORDER BY cd, cid) AS pr
+    FROM qd
+  ) WHERE pr <= {n_probe}
+), short AS (
+  SELECT q_id, c_id FROM (
+    SELECT p.q_id, x.vec_id AS c_id,
+           row_number() OVER (PARTITION BY p.q_id
+                              ORDER BY CAST({adc} AS BIGINT) DESC, x.vec_id)
+             AS srk
+    FROM probes p
+    JOIN aall cell ON cell.cid = p.cid
+    JOIN pqcodes x ON x.vec_id = cell.vec_id
+    {lut_joins}
+    WHERE x.vec_id <> p.q_id
+  ) WHERE srk <= {shortlist}
+)
+SELECT q_id, c_id, dot_num, rk FROM (
+  SELECT s.q_id, s.c_id,
+         CAST(list_reduce(list_transform(list_zip(qi.iu, ci.iu),
+                                         z -> z[1] * z[2]),
+                          (x, y) -> x + y) AS BIGINT) AS dot_num,
+         row_number() OVER (PARTITION BY s.q_id
+                            ORDER BY CAST(list_reduce(list_transform(
+                                list_zip(qi.iu, ci.iu), z -> z[1] * z[2]),
+                                (x, y) -> x + y) AS BIGINT) DESC, s.c_id) AS rk
+  FROM short s
+  JOIN iarr qi ON qi.vec_id = s.q_id
+  JOIN iarr ci ON ci.vec_id = s.c_id
+) WHERE rk <= {topk}
+"""
+    return sql
+
+
+IVF_PQ_DET_INGEST_SQL = ivf_pq_det_ingest_sql()
+
+
+def pq_code_stats_sql(
+    m: int = _M, dsub: int = _DSUB, ksub: int = _KSUB, n_assign: int = _N_ASSIGN
+) -> str:
+    """Twin of ``pq_code_stats`` — per-subspace occupancy aggregates
+    over the same unrolled chains."""
+    selects = []
+    for s in range(m):
+        selects.append(f"""SELECT {s} AS subspace, count(*) AS codes_used,
+       CAST(sum(n) AS BIGINT) AS n_vectors,
+       CAST(max(n) AS BIGINT) AS max_cell_n,
+       CAST(min(n) AS BIGINT) AS min_cell_n,
+       CAST(CAST(max(n) AS BIGINT) * 1000000 // CAST(sum(n) AS BIGINT)
+            AS BIGINT) AS max_share_ppm
+FROM (SELECT cid, count(*) AS n FROM pa{n_assign}_{s} GROUP BY 1)""")
+    return (
+        kmeans_oracle_cte(k=1, n_assign=1)
+        + _pq_chain_sql(m, dsub, ksub, n_assign)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
+PQ_CODE_STATS_SQL = pq_code_stats_sql()

@@ -1867,6 +1867,27 @@ def _q_ivf_pq_det_serve(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_ivf_pq_det_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """Build on the 80% base split, ingest the 20% remainder against
+    the FROZEN coarse centroids and subspace codebooks, serve over the
+    union — the twin fits both quantizer levels on the same base
+    predicate and assigns everything to them (ingest never refits,
+    now proven for the PQ level too)."""
+    from kinesis_dstream_spark.operators import pq_det
+
+    emb = load_table(spark, sf, "embeddings")
+    path = _store_path("ivf_pq_ing", sf)
+    pq_det.ivf_pq_det_store_ensure(emb.filter(F.col("vec_id") % 5 != 4), path)
+    pq_det.ivf_pq_det_store_append(emb.filter(F.col("vec_id") % 5 == 4), path)
+    return pq_det.ivf_pq_det_serve_frozen(emb, path)
+
+
+def _q_pq_code_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.operators import pq_det
+
+    return pq_det.pq_code_stats(load_table(spark, sf, "embeddings"))
+
+
 def _q_udaf_weighted_mean(spark: SparkSession, sf: str) -> DataFrame:
     from kinesis_dstream_spark.operators import udfs
 
@@ -5400,6 +5421,15 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # partition prune -> ADC shortlist -> exact integer rerank, all
     # hash-checked by one unrolled twin (the recurring-cost path)
     "ann_ivf_pq_det_serve": (_q_ivf_pq_det_serve, pq_det.IVF_PQ_DET_SERVE_SQL),
+    # frozen-quantizer ingest for the IVF-PQ store (r10): base-split
+    # build + remainder append + union serve, the twin fitting BOTH
+    # quantizer levels on the base predicate only
+    "ann_ivf_pq_det_ingest_serve": (
+        _q_ivf_pq_det_ingest,
+        pq_det.IVF_PQ_DET_INGEST_SQL,
+    ),
+    # quantizer-health telemetry: per-subspace code occupancy/skew
+    "pq_code_stats": (_q_pq_code_stats, pq_det.PQ_CODE_STATS_SQL),
 }
 
 

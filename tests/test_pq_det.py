@@ -140,6 +140,56 @@ def test_store_lifecycle_build_once_stale_rebuild_torn_meta(
     assert sorted(map(tuple, h1)) == sorted(map(tuple, h2))
 
 
+def test_ingest_frozen_append_replay_and_compaction(spark, sf_dir, tmp_path):
+    """The store's upkeep half: append assigns new vectors to the
+    FROZEN quantizers (meta centroids/codebooks unchanged), a replayed
+    batch appends zero rows (batch fingerprint fast path AND row-level
+    anti-join), serve_frozen covers the union, and compaction neither
+    changes served results nor keeps the append log."""
+    import json
+    import os
+
+    from kinesis_dstream_spark import stores
+    from kinesis_dstream_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 4)
+    rest = emb.filter(F.col("vec_id") % 5 == 4)
+    path = str(tmp_path / "ing")
+    pq_det.ivf_pq_det_store_ensure(base, path)
+    meta_before = json.dumps(
+        {k: v for k, v in stores.read_meta(path, pq_det._PQ_META).items()
+         if k in ("coarse", "codebooks")},
+        sort_keys=True,
+    )
+    pq_det.ivf_pq_det_store_append(rest, path)
+    meta_after = json.dumps(
+        {k: v for k, v in stores.read_meta(path, pq_det._PQ_META).items()
+         if k in ("coarse", "codebooks")},
+        sort_keys=True,
+    )
+    assert meta_before == meta_after  # frozen: append refits nothing
+    codes_path = os.path.join(path, "codes")
+    n1 = spark.read.parquet(codes_path).count()
+    assert n1 == emb.count()
+    served = pq_det.ivf_pq_det_serve_frozen(emb, path).collect()
+    assert len(served) > 0
+
+    # replay: same batch fingerprint -> no-op; a re-chunked overlap
+    # (different fingerprint) -> row-level anti-join appends nothing
+    pq_det.ivf_pq_det_store_append(rest, path)
+    assert spark.read.parquet(codes_path).count() == n1
+    pq_det.ivf_pq_det_store_append(rest.limit(3), path)
+    assert spark.read.parquet(codes_path).count() == n1
+
+    stats = pq_det.ivf_pq_det_store_compact(spark, path, max_files_per_cell=0)
+    assert stats["cells_compacted"] > 0
+    assert stats["files_after"] <= stats["files_before"]
+    assert stores.read_meta(path, pq_det._PQ_META).get("appended") == []
+    again = pq_det.ivf_pq_det_serve_frozen(emb, path).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, served))
+
+
 def test_codes_table_is_cell_partitioned_and_one_row_per_vector(
     spark, sf_dir, tmp_path
 ):
