@@ -115,30 +115,58 @@ def _collect_seed_centroids(
     return [(cid, [int(x) for x in r["iu"]]) for cid, r in enumerate(rows)]
 
 
+def _sq_l2_fold_sql(vec_sql: str, coords: list[int]) -> str:
+    """SQL text of the exact int64 squared-L2 fold of ``vec_sql``
+    against a literal coordinate array. Rendered as TEXT rather than
+    the Column DSL deliberately (r10 perf): building k·d literal terms
+    through the Python API costs one py4j round-trip per ``F.lit`` —
+    ~3.4 s of pure driver chatter per assignment build at m·ksub·dsub
+    ≈ 1e3 terms — while a string parses JVM-side in one call. Same
+    expression tree, same codegen, same values (golden-hash-pinned)."""
+    arr = "array(" + ",".join(f"{c}L" for c in coords) + ")"
+    return (
+        f"aggregate(zip_with({vec_sql}, {arr}, (a, b) -> (a - b) * (a - b)), "
+        f"0L, (acc, x) -> acc + x)"
+    )
+
+
+def _dot_fold_sql(vec_sql: str, coords: list[int]) -> str:
+    """SQL text of the exact int64 dot of ``vec_sql`` with a literal
+    coordinate array (same text-over-DSL rationale as above)."""
+    arr = "array(" + ",".join(f"{c}L" for c in coords) + ")"
+    return (
+        f"aggregate(zip_with({vec_sql}, {arr}, (a, b) -> a * b), "
+        f"0L, (acc, x) -> acc + x)"
+    )
+
+
+def _argmin_cid_sql(darr_sql: str, cids: list[int]) -> str:
+    """SQL text picking the centroid id at the distance array's FIRST
+    minimum (array_position tie rule — ties to the smallest cid since
+    the array is cid-ordered)."""
+    cid_arr = "array(" + ",".join(str(c) for c in cids) + ")"
+    return (
+        f"element_at({cid_arr}, "
+        f"cast(array_position({darr_sql}, array_min({darr_sql})) as int))"
+    )
+
+
 def _assign_expr(iarr: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
     """Map-side assignment against literal centroids: no join, no
     shuffle — dist per centroid is a JVM zip_with/aggregate fold."""
-    dists = [
-        F.aggregate(
-            F.zip_with(
-                F.col("iu"),
-                F.array(*[F.lit(c) for c in coords]),
-                lambda a, b: (a - b) * (a - b),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        for _, coords in cents
-    ]
-    darr = F.array(*dists)
-    cid_arr = F.array(*[F.lit(cid) for cid, _ in cents])
+    darr = (
+        "array("
+        + ",".join(_sq_l2_fold_sql("iu", coords) for _, coords in cents)
+        + ")"
+    )
     return iarr.select(
         "vec_id",
         "iu",
-        F.array_min(darr).alias("dist"),
+        F.expr(f"array_min({darr})").alias("dist"),
         # first minimum == smallest centroid id (cents is cid-ordered)
-        F.element_at(cid_arr, F.array_position(darr, F.array_min(darr)).cast("int"))
-        .alias("cluster_id"),
+        F.expr(_argmin_cid_sql(darr, [cid for cid, _ in cents])).alias(
+            "cluster_id"
+        ),
     )
 
 
@@ -493,24 +521,15 @@ def _ivf_probes(queries: DataFrame, cents, n_probe: int) -> DataFrame:
     """(q_id, q_iu, cluster_id): each query's ``n_probe`` nearest cells
     by exact integer squared-L2 against the literal centroids — a
     map-side explode + a ≤ |q|·k-row window, no corpus contact."""
-    dists = [
-        F.struct(
-            F.aggregate(
-                F.zip_with(
-                    F.col("q_iu"),
-                    F.array(*[F.lit(c) for c in coords]),
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("cd"),
-            F.lit(cid).alias("cid"),
-        )
+    entries = ",".join(
+        f"named_struct('cd', {_sq_l2_fold_sql('q_iu', coords)}, 'cid', {cid})"
         for cid, coords in cents
-    ]
+    )
     probe_w = Window.partitionBy("q_id").orderBy("cd", "cid")
     return (
-        queries.select("q_id", "q_iu", F.explode(F.array(*dists)).alias("s"))
+        queries.select(
+            "q_id", "q_iu", F.expr(f"explode(array({entries}))").alias("s")
+        )
         .select("q_id", "q_iu", F.col("s.cd").alias("cd"), F.col("s.cid").alias("cid"))
         .withColumn("pr", F.row_number().over(probe_w))
         .filter(F.col("pr") <= n_probe)

@@ -100,6 +100,39 @@ _PQ_META = "_meta.json"
 Codebooks = list[list[tuple[int, list[int]]]]  # [subspace][code] -> coords
 
 
+def _fused_assign_codes(
+    iarr: DataFrame, codebooks: Codebooks, dsub: int
+) -> DataFrame:
+    """One map-side pass assigning ALL m subspaces at once:
+    (vec_id, iu, code_0..code_{m-1}). Identical math to running
+    ``clustering._assign_expr`` per sliced subspace (exact int64
+    squared-L2 per code, argmin ties to the smallest code id) — the
+    subspaces are independent, so fusing them into one projection
+    changes scheduling, never values. m·ksub·dsub literal fold terms
+    (fixture: 1024) stay far under the Arrow-dispatch gate; the terms
+    are rendered as ONE SQL string per code column (not the Column
+    DSL) — see ``clustering._sq_l2_fold_sql`` for why."""
+    from kinesis_dstream_spark.operators.clustering import (
+        _argmin_cid_sql,
+        _sq_l2_fold_sql,
+    )
+
+    cols = [F.col("vec_id"), F.col("iu")]
+    for s, cents in enumerate(codebooks):
+        sub = f"slice(iu, {s * dsub + 1}, {dsub})"
+        darr = (
+            "array("
+            + ",".join(_sq_l2_fold_sql(sub, coords) for _, coords in cents)
+            + ")"
+        )
+        cols.append(
+            F.expr(_argmin_cid_sql(darr, [cid for cid, _ in cents])).alias(
+                f"code{s}"
+            )
+        )
+    return iarr.select(*cols)
+
+
 def _fit_pq(
     iarr: DataFrame, m: int = _M, dsub: int = _DSUB, ksub: int = _KSUB,
     n_assign: int = _N_ASSIGN,
@@ -107,21 +140,92 @@ def _fit_pq(
     """Fit the m subspace quantizers and encode the corpus.
 
     Returns (codes, codebooks): codes = (vec_id, code_0..code_{m-1}),
-    codebooks = the final per-subspace centroid literals. Each
-    subspace fit is the shared ``_lloyd_rounds`` recurrence over the
-    sliced int arrays; encoding falls out of the final assignment (no
-    separate encode pass)."""
-    codebooks: Codebooks = []
-    codes = None
-    for s in range(m):
-        sub = iarr.select(
-            "vec_id", F.slice(F.col("iu"), s * dsub + 1, dsub).alias("iu")
+    codebooks = the final per-subspace centroid literals. Encoding
+    falls out of the final assignment (no separate encode pass).
+
+    FUSED execution (r10 perf): the m per-subspace fits are
+    independent recurrences over slices of the SAME rows, so running
+    them as m sequential ``_lloyd_rounds`` loops paid m× the bounded
+    collects and m corpus passes per round for no reason. This fit
+    runs them together — ONE seed-collect job for all subspaces (per-s
+    salted-md5 rank window over an exploded (s, vec_id, su) frame),
+    ONE fused map-side assignment per round (`_fused_assign_codes`),
+    and ONE combined (s, code, pos) partial-sum collect per update —
+    2 driver jobs total instead of 2m. Values are bit-identical to the
+    unfused loops (per-subspace independence; pinned by the unchanged
+    golden hashes and the unchanged per-subspace DuckDB twins)."""
+    # --- one-pass seeds for all m subspaces -----------------------------
+    sub_structs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("s"),
+                F.slice(F.col("iu"), s * dsub + 1, dsub).alias("su"),
+            )
+            for s in range(m)
+        ]
+    )
+    exploded = iarr.select(
+        "vec_id", F.explode(sub_structs).alias("e")
+    ).select("vec_id", F.col("e.s").alias("s"), F.col("e.su").alias("su"))
+    rk = F.md5(
+        F.concat(
+            F.lit("pq"),
+            F.col("s").cast("string"),
+            F.lit(":"),
+            F.col("vec_id").cast("string"),
         )
-        seeds = _collect_seed_centroids(sub, sub, ksub, tag=f"pq{s}:")
-        asg, cents = _lloyd_rounds(sub, seeds, n_assign)
-        codebooks.append(cents)
-        part = asg.select("vec_id", F.col("cluster_id").alias(f"code{s}"))
-        codes = part if codes is None else codes.join(part, "vec_id")
+    )
+    seed_w = Window.partitionBy("s").orderBy("rk", "vec_id")
+    seed_rows = (
+        exploded.select("s", "vec_id", "su", rk.alias("rk"))
+        .withColumn("rn", F.row_number().over(seed_w))
+        .filter(F.col("rn") <= ksub)
+        .select("s", (F.col("rn") - 1).alias("cid"), "su")
+        .collect()  # bounded: m·ksub rows of dsub int64s (codebook class)
+    )
+    codebooks: Codebooks = []
+    for s in range(m):
+        rows = sorted(
+            ((int(r["cid"]), [int(x) for x in r["su"]]) for r in seed_rows
+             if r["s"] == s),
+            key=lambda t: t[0],
+        )
+        codebooks.append(rows)
+
+    # --- fused Lloyd rounds ---------------------------------------------
+    asg = _fused_assign_codes(iarr, codebooks, dsub)
+    for _ in range(n_assign - 1):
+        code_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("s"),
+                    F.col(f"code{s}").alias("cid"),
+                    F.slice(F.col("iu"), s * dsub + 1, dsub).alias("su"),
+                )
+                for s in range(m)
+            ]
+        )
+        upd = (
+            asg.select(F.explode(code_structs).alias("e"))
+            .select("e.s", "e.cid", F.posexplode("e.su").alias("pos0", "v"))
+            .groupBy("s", "cid", "pos0")
+            # trunc division toward zero: Spark DIV == DuckDB // (the
+            # determinism-trap contract shared with clustering.py)
+            .agg(F.expr("sum(v) DIV count(1)").alias("cv"))
+            .groupBy("s", "cid")
+            .agg(F.sort_array(F.collect_list(F.struct("pos0", "cv"))).alias("cs"))
+            .collect()  # bounded: ≤ m·ksub rows of dsub int64s
+        )
+        codebooks = []
+        for s in range(m):
+            rows = sorted(
+                ((int(r["cid"]), [int(c["cv"]) for c in r["cs"]]) for r in upd
+                 if r["s"] == s),
+                key=lambda t: t[0],
+            )
+            codebooks.append(rows)
+        asg = _fused_assign_codes(iarr, codebooks, dsub)
+    codes = asg.select("vec_id", *[f"code{s}" for s in range(m)])
     return codes, codebooks
 
 
@@ -130,31 +234,25 @@ def _query_luts(
 ) -> list[DataFrame]:
     """One LUT frame per subspace: (q_id, cid_s, dot_s) — the exact
     integer dot of the query's subvector with each of the subspace's
-    codes. Map-side explode over ksub literal folds; |q|·ksub rows per
+    codes. Map-side explode over ksub literal folds, rendered as SQL
+    text (``clustering._dot_fold_sql`` rationale); |q|·ksub rows per
     subspace (broadcast class)."""
+    from kinesis_dstream_spark.operators.clustering import _dot_fold_sql
+
     luts = []
     for s, cents in enumerate(codebooks):
-        structs = [
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        F.slice(F.col("q_iu"), s * dsub + 1, dsub),
-                        F.array(*[F.lit(c) for c in coords]),
-                        lambda a, b: a * b,
-                    ),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc + x,
-                ).alias("dot"),
-                F.lit(cid).alias("cid"),
-            )
+        sub = f"slice(q_iu, {s * dsub + 1}, {dsub})"
+        entries = ",".join(
+            f"named_struct('dot', {_dot_fold_sql(sub, coords)}, 'cid', {cid})"
             for cid, coords in cents
-        ]
+        )
         # per-subspace column names (q{s}/cid{s}/dot{s}): every LUT
         # derives from the same queries frame, so a shared q_id name
         # would be one ambiguous attribute across the m joins
         luts.append(
-            queries.select("q_id", F.explode(F.array(*structs)).alias("e"))
-            .select(
+            queries.select(
+                "q_id", F.expr(f"explode(array({entries}))").alias("e")
+            ).select(
                 F.col("q_id").alias(f"q{s}"),
                 F.col("e.cid").alias(f"cid{s}"),
                 F.col("e.dot").alias(f"dot{s}"),
