@@ -380,6 +380,7 @@ BENCH_QUERIES = {
     "udaf_wmean": "udaf_weighted_mean",
     "ann_ivf_pq_det_ingest": "ann_ivf_pq_det_ingest_serve",
     "pq_code_stats": "pq_code_stats",
+    "ann_ivf_pq_res": "ann_ivf_pq_res_topk",
 }
 
 

@@ -45,12 +45,18 @@ Composed IVF-PQ (the production serving stack):
   ``shortlist`` by (adc desc, c_id), then exact-rerank the shortlist
   with the true integer dot (one pushed-filter join back to the
   corpus) — the two-stage shape every production PQ deployment runs.
-- Direct (non-residual) PQ: codes quantize the raw unit vector, not
-  the residual x−centroid, so ONE set of codebooks serves both the
-  flat ADC scan and the composed store (and the oracle stays one
-  recurrence per subspace). Residual encoding is the classic accuracy
-  refinement; it would add a per-cell recentering step to both engines
-  symmetrically — a documented non-goal at fixture scale.
+- Direct (non-residual) PQ is the store's default: codes quantize the
+  raw unit vector, so ONE set of codebooks serves both the flat ADC
+  scan and the composed store (and the oracle stays one recurrence per
+  subspace). The classic accuracy refinement — RESIDUAL encoding
+  (quantize x − coarse_centroid; the FAISS IVFPQ shape) — ships as
+  ``ann_ivf_pq_res_topk``: the subspace codebooks fit on the residual
+  arrays (salted ``rpq{s}:`` seed draws), ADC adds the exact
+  query·cell-centroid term so shortlists compare across probed cells
+  (q·x = q·c + q·r̂), and the pytest proves the textbook claim that
+  residual reconstruction error is strictly below direct on clustered
+  data. Same unrolled-oracle discipline: the residual arrays are one
+  extra relational step (iu − cv per position) in both engines.
 
 Fixture caveat (the JL/IVF/SemDeDup family note): the synthetic
 parquet embeddings are ISOTROPIC, the adversarial case for any
@@ -135,7 +141,7 @@ def _fused_assign_codes(
 
 def _fit_pq(
     iarr: DataFrame, m: int = _M, dsub: int = _DSUB, ksub: int = _KSUB,
-    n_assign: int = _N_ASSIGN,
+    n_assign: int = _N_ASSIGN, tag: str = "pq",
 ) -> tuple[DataFrame, Codebooks]:
     """Fit the m subspace quantizers and encode the corpus.
 
@@ -169,7 +175,7 @@ def _fit_pq(
     ).select("vec_id", F.col("e.s").alias("s"), F.col("e.su").alias("su"))
     rk = F.md5(
         F.concat(
-            F.lit("pq"),
+            F.lit(tag),
             F.col("s").cast("string"),
             F.lit(":"),
             F.col("vec_id").cast("string"),
@@ -486,6 +492,125 @@ def _ivf_pq_serve_from(
     )
 
 
+def _residual_arrays(
+    coarse_asg: DataFrame, coarse: list[tuple[int, list[int]]]
+) -> DataFrame:
+    """(vec_id, cluster_id, iu = x − c_cell): per-row residual against
+    the assigned coarse centroid, computed map-side via a literal
+    cid→coords map lookup (k·d int64 literals — codebook class; SQL
+    text for the same py4j-chatter reason as the fold helpers).
+    Residual coords ≤ 2e6 on the grid, so every downstream product
+    keeps the int64 headroom the module docstring budgets."""
+    map_sql = "map(" + ",".join(
+        f"{cid}, array({','.join(str(c) + 'L' for c in coords)})"
+        for cid, coords in coarse
+    ) + ")"
+    return coarse_asg.select(
+        "vec_id",
+        "cluster_id",
+        F.expr(
+            f"zip_with(iu, element_at({map_sql}, cluster_id), (a, b) -> a - b)"
+        ).alias("iu"),
+    )
+
+
+def ann_ivf_pq_res_topk(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    topk: int = 5,
+    n_probe: int = 2,
+    shortlist: int = 20,
+    k: int = 8,
+    n_assign: int = _N_ASSIGN,
+    m: int = _M,
+    dsub: int = _DSUB,
+    ksub: int = _KSUB,
+) -> DataFrame:
+    """RESIDUAL deterministic IVF-PQ (the FAISS IVFPQ shape): subspace
+    codebooks fit on x − c_cell (shared across cells — the classic
+    single residual codebook), ADC scores candidates as the exact
+    query·cell-centroid dot PLUS the residual LUT hits
+    (q·x = q·c + q·r ≈ q·c + q·r̂ — the cross-cell-comparable form),
+    then the shortlist exact-reranks as usual. Deterministic
+    end-to-end: residual arrays are one relational recentering step,
+    the residual chains reuse the SAME Lloyd recurrence under salted
+    ``rpq{s}:`` seed draws, and ``ANN_IVF_PQ_RES_SQL`` unrolls it all.
+
+    Self-contained fit+serve exhibit (like ``ann_pq_det_topk``); the
+    persisted-store lifecycle drops in unchanged — the meta sidecar
+    would carry coarse + residual codebooks exactly as the direct
+    store's carries coarse + direct ones.
+
+    Why residual: the residual cloud is centered and tighter than the
+    raw corpus, so the same ksub codes spend their resolution on
+    within-cell structure — pytest proves total reconstruction error
+    strictly below direct PQ on clustered data (the textbook claim).
+    """
+    from kinesis_dstream_spark.operators.clustering import _dot_fold_sql
+
+    iarr, coarse_asg, coarse = _fit_kmeans(embeddings, k, n_assign)
+    resid = _residual_arrays(coarse_asg, coarse)
+    rcodes, rcbs = _fit_pq(
+        resid.select("vec_id", "iu"), m, dsub, ksub, n_assign, tag="rpq"
+    )
+    codes = rcodes.join(coarse_asg.select("vec_id", "cluster_id"), "vec_id")
+    queries = iarr.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("iu").alias("q_iu")
+    )
+    probes = _ivf_probes(queries, coarse, n_probe).localCheckpoint(eager=True)
+    cells = sorted(
+        r["cluster_id"] for r in probes.select("cluster_id").distinct().collect()
+    )
+    cand = codes.filter(F.col("cluster_id").isin(cells)).join(
+        F.broadcast(probes.select("q_id", "cluster_id")), "cluster_id"
+    )
+    # exact q·c_cell term: |q|·k-row LUT against the coarse centroids
+    centries = ",".join(
+        f"named_struct('cdot', {_dot_fold_sql('q_iu', coords)}, 'ccid', {cid})"
+        for cid, coords in coarse
+    )
+    lutc = queries.select(
+        F.col("q_id").alias("qc"), F.expr(f"explode(array({centries}))").alias("e")
+    ).select("qc", F.col("e.ccid").alias("ccid"), F.col("e.cdot").alias("cdot"))
+    scored = cand.join(
+        F.broadcast(lutc),
+        (F.col("q_id") == F.col("qc")) & (F.col("cluster_id") == F.col("ccid")),
+    ).drop("qc", "ccid")
+    luts = _query_luts(queries, rcbs, dsub)  # RAW q slices vs residual codes
+    for s in range(m):
+        scored = scored.join(
+            F.broadcast(luts[s]),
+            (F.col("q_id") == F.col(f"q{s}"))
+            & (F.col(f"code{s}") == F.col(f"cid{s}")),
+        ).drop(f"q{s}", f"cid{s}")
+    adc = F.col("cdot") + sum(F.col(f"dot{s}") for s in range(m))
+    scored = scored.filter(F.col("vec_id") != F.col("q_id")).select(
+        "q_id", F.col("vec_id").alias("c_id"), adc.cast("long").alias("adc_num")
+    )
+    sw = Window.partitionBy("q_id").orderBy(F.col("adc_num").desc(), "c_id")
+    short = (
+        scored.withColumn("srk", F.row_number().over(sw))
+        .filter(F.col("srk") <= shortlist)
+        .select("q_id", "c_id")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("q_iu"), F.col("iu"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    reranked = (
+        short.join(F.broadcast(queries), "q_id")
+        .join(iarr.select(F.col("vec_id").alias("c_id"), "iu"), "c_id")
+        .select("q_id", "c_id", dot.alias("dot_num"))
+    )
+    tw = Window.partitionBy("q_id").orderBy(F.col("dot_num").desc(), "c_id")
+    return (
+        reranked.withColumn("rk", F.row_number().over(tw))
+        .filter(F.col("rk") <= topk)
+        .select("q_id", "c_id", "dot_num", "rk")
+    )
+
+
 _PQ_APPEND_LOG_CAP = 64  # same rationale as clustering._IVF_DET_APPEND_LOG_CAP
 
 
@@ -682,6 +807,8 @@ def _pq_chain_sql(
     ksub: int = _KSUB,
     n_assign: int = _N_ASSIGN,
     fit_pred: str | None = None,
+    tag: str = "pq",
+    src: str = "iarr",
 ) -> str:
     """CTE fragment (appended after ``clustering.kmeans_oracle_cte``'s
     prefix, which defines ``iarr``): per subspace s, the sliced arrays
@@ -704,7 +831,7 @@ def _pq_chain_sql(
         parts.append(f""", l{s} AS (
   SELECT vec_id, unnest(generate_series(1, {dsub})) AS pos,
          unnest(iu[{lo}:{hi}]) AS su
-  FROM iarr
+  FROM {src}
 )""")
         seed_where = ""
         if fit_pred:
@@ -716,10 +843,10 @@ def _pq_chain_sql(
         parts.append(f""", sd{s} AS (
   SELECT vec_id,
          row_number() OVER (
-           ORDER BY md5('pq{s}:' || CAST(vec_id AS VARCHAR)), vec_id) - 1
+           ORDER BY md5('{tag}{s}:' || CAST(vec_id AS VARCHAR)), vec_id) - 1
            AS cid
   FROM embeddings{seed_where}
-  ORDER BY md5('pq{s}:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT {ksub}
+  ORDER BY md5('{tag}{s}:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT {ksub}
 ), pc0_{s} AS (
   SELECT d.cid, l.pos, l.su AS cv FROM sd{s} d JOIN {lfit} l USING (vec_id)
 )""")
@@ -972,6 +1099,100 @@ SELECT q_id, c_id, dot_num, rk FROM (
 
 
 IVF_PQ_DET_INGEST_SQL = ivf_pq_det_ingest_sql()
+
+
+def ann_ivf_pq_res_sql(
+    n_queries: int = 10,
+    topk: int = 5,
+    n_probe: int = 2,
+    shortlist: int = 20,
+    k: int = 8,
+    n_assign: int = _N_ASSIGN,
+    m: int = _M,
+    dsub: int = _DSUB,
+    ksub: int = _KSUB,
+) -> str:
+    """Twin of the residual IVF-PQ: coarse chain → per-position
+    residuals (``rlg``/``riarr`` — one relational recentering step) →
+    residual subspace chains (``rpq`` seed salt, src=riarr) → RAW
+    query-slice LUTs against the residual centroids + the exact
+    q·c_cell term → shortlist → exact rerank."""
+    cent_tbl = f"c{n_assign - 1}" if n_assign > 1 else "c0"
+    pc = (lambda s: f"pc{n_assign - 1}_{s}" if n_assign > 1 else f"pc0_{s}")
+    lut_joins = " ".join(
+        f"JOIN ql{s} q{s} ON q{s}.q_id = p.q_id AND q{s}.cid = x.code{s}"
+        for s in range(m)
+    )
+    adc = "qlc.cdot + " + " + ".join(f"q{s}.dot" for s in range(m))
+    sql = kmeans_oracle_cte(k=k, n_assign=n_assign)
+    sql += f""", rlg AS (
+  SELECT l.vec_id, l.pos, l.iu - c.cv AS ru
+  FROM lg l
+  JOIN a{n_assign} a ON a.vec_id = l.vec_id
+  JOIN {cent_tbl} c ON c.cid = a.cid AND c.pos = l.pos
+), riarr AS (
+  SELECT vec_id, list(ru ORDER BY pos) AS iu FROM rlg GROUP BY 1
+)"""
+    sql += _pq_chain_sql(m, dsub, ksub, n_assign, tag="rpq", src="riarr")
+    for s in range(m):
+        lo, hi = s * dsub + 1, (s + 1) * dsub
+        sql += f""", lq{s} AS (
+  SELECT vec_id, unnest(generate_series(1, {dsub})) AS pos,
+         unnest(iu[{lo}:{hi}]) AS su
+  FROM iarr WHERE vec_id < {n_queries}
+), ql{s} AS (
+  SELECT l.vec_id AS q_id, c.cid, CAST(sum(l.su * c.cv) AS BIGINT) AS dot
+  FROM lq{s} l JOIN {pc(s)} c ON c.pos = l.pos
+  GROUP BY 1, 2
+)"""
+    sql += f""", qlc AS (
+  SELECT l.vec_id AS q_id, c.cid, CAST(sum(l.iu * c.cv) AS BIGINT) AS cdot
+  FROM lg l JOIN {cent_tbl} c ON c.pos = l.pos
+  WHERE l.vec_id < {n_queries}
+  GROUP BY 1, 2
+), qd AS (
+  SELECT l.vec_id AS q_id, c.cid,
+         CAST(sum((l.iu - c.cv) * (l.iu - c.cv)) AS BIGINT) AS cd
+  FROM lg l JOIN {cent_tbl} c ON c.pos = l.pos
+  WHERE l.vec_id < {n_queries}
+  GROUP BY 1, 2
+), probes AS (
+  SELECT q_id, cid FROM (
+    SELECT q_id, cid, row_number() OVER (PARTITION BY q_id ORDER BY cd, cid) AS pr
+    FROM qd
+  ) WHERE pr <= {n_probe}
+), short AS (
+  SELECT q_id, c_id FROM (
+    SELECT p.q_id, x.vec_id AS c_id,
+           row_number() OVER (PARTITION BY p.q_id
+                              ORDER BY CAST({adc} AS BIGINT) DESC, x.vec_id)
+             AS srk
+    FROM probes p
+    JOIN a{n_assign} cell ON cell.cid = p.cid
+    JOIN pqcodes x ON x.vec_id = cell.vec_id
+    JOIN qlc ON qlc.q_id = p.q_id AND qlc.cid = p.cid
+    {lut_joins}
+    WHERE x.vec_id <> p.q_id
+  ) WHERE srk <= {shortlist}
+)
+SELECT q_id, c_id, dot_num, rk FROM (
+  SELECT s.q_id, s.c_id,
+         CAST(list_reduce(list_transform(list_zip(qi.iu, ci.iu),
+                                         z -> z[1] * z[2]),
+                          (x, y) -> x + y) AS BIGINT) AS dot_num,
+         row_number() OVER (PARTITION BY s.q_id
+                            ORDER BY CAST(list_reduce(list_transform(
+                                list_zip(qi.iu, ci.iu), z -> z[1] * z[2]),
+                                (x, y) -> x + y) AS BIGINT) DESC, s.c_id) AS rk
+  FROM short s
+  JOIN iarr qi ON qi.vec_id = s.q_id
+  JOIN iarr ci ON ci.vec_id = s.c_id
+) WHERE rk <= {topk}
+"""
+    return sql
+
+
+ANN_IVF_PQ_RES_SQL = ann_ivf_pq_res_sql()
 
 
 def pq_code_stats_sql(

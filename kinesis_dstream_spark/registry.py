@@ -1888,6 +1888,12 @@ def _q_pq_code_stats(spark: SparkSession, sf: str) -> DataFrame:
     return pq_det.pq_code_stats(load_table(spark, sf, "embeddings"))
 
 
+def _q_ann_ivf_pq_res(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.operators import pq_det
+
+    return pq_det.ann_ivf_pq_res_topk(load_table(spark, sf, "embeddings"))
+
+
 def _q_udaf_weighted_mean(spark: SparkSession, sf: str) -> DataFrame:
     from kinesis_dstream_spark.operators import udfs
 
@@ -5430,6 +5436,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     ),
     # quantizer-health telemetry: per-subspace code occupancy/skew
     "pq_code_stats": (_q_pq_code_stats, pq_det.PQ_CODE_STATS_SQL),
+    # RESIDUAL deterministic IVF-PQ (r10): codebooks fit on
+    # x - coarse_centroid, ADC adds the exact q·cell term — the FAISS
+    # IVFPQ shape, still end-to-end hash-checked
+    "ann_ivf_pq_res_topk": (_q_ann_ivf_pq_res, pq_det.ANN_IVF_PQ_RES_SQL),
 }
 
 

@@ -140,6 +140,64 @@ def test_store_lifecycle_build_once_stale_rebuild_torn_meta(
     assert sorted(map(tuple, h1)) == sorted(map(tuple, h2))
 
 
+def test_residual_reconstruction_beats_direct(clustered_emb):
+    """The textbook residual-PQ claim: with the SAME code budget,
+    quantizing x − c_cell reconstructs strictly better than quantizing
+    x directly on clustered data (the residual cloud is centered and
+    tighter, so the codes spend resolution on within-cell structure).
+    Total squared reconstruction error, exact int64 arithmetic."""
+    from kinesis_dstream_spark.operators.clustering import _fit_kmeans
+    from kinesis_dstream_spark.operators.pq_det import (
+        _fit_pq,
+        _residual_arrays,
+    )
+
+    iarr, coarse_asg, coarse = _fit_kmeans(clustered_emb)
+    cmap = {cid: coords for cid, coords in coarse}
+
+    def recon_err(codes_df, codebooks, base_of):
+        books = [dict(cb) for cb in codebooks]
+        err = 0
+        for r in codes_df.collect():
+            base = base_of(r)
+            recon = []
+            for s, book in enumerate(books):
+                recon.extend(book[r[f"code{s}"]])
+            x = r["iu"]
+            err += sum((xi - (bi + ri)) ** 2
+                       for xi, bi, ri in zip(x, base, recon))
+        return err
+
+    # direct: reconstruct from the codes alone (base = 0)
+    dcodes, dcbs = _fit_pq(iarr)
+    direct_rows = dcodes.join(iarr, "vec_id")
+    e_direct = recon_err(direct_rows, dcbs, lambda r: [0] * 64)
+
+    # residual: reconstruct as c_cell + r-hat
+    resid = _residual_arrays(coarse_asg, coarse)
+    rcodes, rcbs = _fit_pq(resid.select("vec_id", "iu"), tag="rpq")
+    res_rows = (
+        rcodes.join(iarr, "vec_id")
+        .join(coarse_asg.select("vec_id", "cluster_id"), "vec_id")
+    )
+    e_res = recon_err(res_rows, rcbs, lambda r: cmap[r["cluster_id"]])
+    assert e_res < e_direct, (e_res, e_direct)
+
+
+def test_residual_serve_recall_on_clustered(clustered_emb):
+    """End-to-end residual IVF-PQ must recover true top-k on clustered
+    data once the shortlist covers the cluster — same bar as the
+    direct composed serve."""
+    exact = _exact_topk(clustered_emb)
+    got = {
+        (r.q_id, r.c_id)
+        for r in pq_det.ann_ivf_pq_res_topk(
+            clustered_emb, shortlist=40
+        ).collect()
+    }
+    assert len(exact & got) / len(exact) >= 0.9
+
+
 def test_ingest_frozen_append_replay_and_compaction(spark, sf_dir, tmp_path):
     """The store's upkeep half: append assigns new vectors to the
     FROZEN quantizers (meta centroids/codebooks unchanged), a replayed
