@@ -24,8 +24,11 @@ from pyspark.sql.types import DoubleType, IntegerType, LongType
 
 
 @F.udf(IntegerType())
-def _py_token_count(text: str) -> int:
-    """Row-at-a-time Python UDF (the slow path, E-14 tier 3)."""
+def _py_token_count(text):
+    """Row-at-a-time Python UDF (the slow path, E-14 tier 3):
+    str | None -> int. Unannotated on purpose — pyspark tries (and
+    warns it can't) infer a pandas eval type from scalar hints on a
+    plain ``F.udf``; the return type is the decorator argument."""
     if text is None:
         return 0
     return len(text.split())

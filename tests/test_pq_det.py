@@ -248,6 +248,54 @@ def test_ingest_frozen_append_replay_and_compaction(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, again)) == sorted(map(tuple, served))
 
 
+def test_store_at_100x_fixture_scale(spark, tmp_path):
+    """Scale exhibit: 100k deterministic synthetic vectors (50x the
+    sf0.1 fixture) through the full store path. Asserts the things
+    that must survive scale-up: the build completes in bounded time,
+    the codes land cell-partitioned, and the serve's executed plan
+    scans ONLY the probed cells (static cluster_id IN partition
+    filter) — i.e. serve cost is |probed cells|, not |corpus|."""
+    import os
+
+    n, d, ncent = 100_000, 64, 32
+    coords = F.array(
+        *[
+            (
+                (F.xxhash64(F.lit(j), F.col("vec_id") % ncent) % 1000) / 500.0
+                + (F.xxhash64(F.lit(j), F.col("vec_id")) % 100) / 1000.0
+            ).cast("float")
+            for j in range(d)
+        ]
+    )
+    emb = (
+        spark.range(n)
+        .select(F.col("id").alias("vec_id"))
+        .select(
+            "vec_id",
+            (F.col("vec_id") % ncent).cast("string").alias("label"),
+            coords.alias("embedding"),
+        )
+        .localCheckpoint()
+    )
+    path = str(tmp_path / "stress")
+    pq_det.ivf_pq_det_store_ensure(emb, path, k=ncent)
+    cells = [
+        e
+        for e in os.listdir(os.path.join(path, "codes"))
+        if e.startswith("cluster_id=")
+    ]
+    assert len(cells) > 1  # multiple populated cells to prune between
+    served = pq_det.ivf_pq_det_serve_frozen(emb, path, n_queries=10)
+    plan = served._sc._jvm.PythonSQLUtils.explainString(
+        served._jdf.queryExecution(), "formatted"
+    )
+    part_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert part_lines and any(
+        "cluster_id" in ln and " IN " in ln for ln in part_lines
+    ), part_lines
+    assert served.count() == 50
+
+
 def test_codes_table_is_cell_partitioned_and_one_row_per_vector(
     spark, sf_dir, tmp_path
 ):
