@@ -168,6 +168,24 @@ composed capstone is aggregate-cheap by construction),
 ann_ivf_det_ingest 1.51 steady-state (warm store: anti-join + no-op
 append + serve).
 
+r10 final solo run (sf0.1, quiet host: loadavg_start 0.06, the new
+loadavg guard green): 142 entries, total 145.5 s — six more entries
+than r9's 136 at the SAME total (145.6), because the round's perf work
+paid for its own additions. The fused-subspace fit + SQL-text
+expression build cut ann_pq_det 10.3 -> 3.07 s (the ~1e3 F.lit py4j
+round-trips per assignment were pure driver latency; see PLANS.md) and
+generator_agreement serves its two corpus-scan generators from the
+persisted pair artifacts: 10.1 -> 4.83 s (now exactly the two
+neighborhood sorts + shared verify). New entries priced:
+ann_ivf_pq_det_serve 2.9 (warm store: probes + pruned-cell ADC +
+rerank), ann_ivf_pq_det_ingest 2.7 steady-state (warm store: anti-join
++ no-op append + pruned serve), ann_ivf_pq_res 7.3 (coarse fit +
+residual-codebook fit + serve in ONE self-contained exhibit — the
+store split would serve it at the ~2.9 s class like the direct twin),
+pq_code_stats 2.7 (one fused fit + m tiny rollups), udaf_wmean 0.19.
+gdpr_erasure_full 7.5 s now erases TEN stores (was 8) — still
+I/O-bound by construction, growing only with store count.
+
 Variance note (r5, re: the r4 verdict's simhash/minhash deltas):
 isolated re-measurement of the shuffle-heavy dedup queries at sf0.1
 shows ±20-40% run-to-run spread at the ~2 s scale even after warm-up
