@@ -399,6 +399,8 @@ BENCH_QUERIES = {
     "ann_ivf_pq_det_ingest": "ann_ivf_pq_det_ingest_serve",
     "pq_code_stats": "pq_code_stats",
     "ann_ivf_pq_res": "ann_ivf_pq_res_topk",
+    "streaming_ivf_pq_ingest": "streaming_ivf_pq_det_ingest",
+    "survival_km": "user_survival_km",
 }
 
 

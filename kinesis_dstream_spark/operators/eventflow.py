@@ -3006,3 +3006,131 @@ FROM dec d JOIN bands b ON b.event_type = d.event_type
 
 
 SEASONAL_ANOMALY_SQL = seasonal_anomaly_sql()
+
+
+def user_survival_km(events: DataFrame, censor_days: int = 7) -> DataFrame:
+    """Kaplan-Meier survival over user lifetimes (E-15 depth, r10) —
+    the retention statistic product teams actually quote ("what
+    fraction of users are still active after t days"), with honest
+    right-censoring: a user whose LAST event falls within
+    ``censor_days`` of the corpus horizon hasn't been observed to
+    churn — they leave the at-risk set at their observation time
+    without counting as an event (treating them as churned is the
+    classic retention-curve bias).
+
+    Estimator: observation time per user = datediff(last_day,
+    first_day); event (churn) iff last_day ≤ horizon − censor_days.
+    At each observed event time t: n_risk(t) = users with obs ≥ t,
+    d(t) = events at t, step = (n_risk − d)/n_risk, and
+    S(t) = Π_{u ≤ t} step(u). Rows are emitted at event times only
+    (the standard KM table).
+
+    Determinism discipline: n_risk/d are exact int64 (N minus a
+    cumulative count over the obs_t-ordered grid); step is one
+    division of identical int64s (identical doubles both engines);
+    the product is exp(Σ ln step) with the Σ as an ORDERED window sum
+    — a sequential left-to-right fold in both engines, so no
+    accumulation-order divergence — rounded 6dp at the edge. A step
+    of 0 (everyone at risk dies) flows through ln→-inf→exp→0
+    identically in both engines.
+
+    Plan: one user-grain aggregate (first/last day), one obs_t-grain
+    aggregate, then windows over the |distinct obs_t| grid —
+    corpus-size work is the two aggregates; everything after runs on
+    ≤ #days rows (the documented grid-bounded WindowExec shape).
+    """
+    per_user = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day"),
+        F.max(F.to_date("ts")).alias("last_day"),
+    )
+    horizon = per_user.agg(F.max("last_day").alias("h"))
+    obs = per_user.crossJoin(F.broadcast(horizon)).select(
+        F.datediff("last_day", "first_day").alias("obs_t"),
+        (
+            F.datediff("h", "last_day") >= censor_days
+        ).cast("int").alias("churned"),
+    )
+    grid = obs.groupBy("obs_t").agg(
+        F.count(F.lit(1)).alias("n_leaving"),
+        F.sum("churned").alias("n_events"),
+    )
+    w_prev = (
+        Window.orderBy("obs_t").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = Window.orderBy("obs_t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = obs.count()  # scalar aggregate (driver-bounded)
+    stepped = (
+        grid.withColumn(
+            "n_risk",
+            F.lit(total) - F.coalesce(F.sum("n_leaving").over(w_prev), F.lit(0)),
+        )
+        .withColumn(
+            "ln_step",
+            F.when(
+                F.col("n_events") > 0,
+                F.log((F.col("n_risk") - F.col("n_events")) / F.col("n_risk")),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn("ln_surv", F.sum("ln_step").over(w_cum))
+    )
+    return (
+        stepped.filter(F.col("n_events") > 0)
+        .select(
+            F.col("obs_t").alias("t_days"),
+            "n_risk",
+            "n_events",
+            F.round(
+                (F.col("n_risk") - F.col("n_events")) / F.col("n_risk"), 6
+            ).alias("step_factor"),
+            F.round(F.exp("ln_surv"), 6).alias("survival"),
+        )
+    )
+
+
+USER_SURVIVAL_KM_SQL = """
+WITH per_user AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS first_day,
+         max(CAST(ts AS DATE)) AS last_day
+  FROM events GROUP BY 1
+), h AS (SELECT max(last_day) AS horizon FROM per_user),
+obs AS (
+  SELECT date_diff('day', first_day, last_day) AS obs_t,
+         CASE WHEN date_diff('day', last_day, horizon) >= 7
+              THEN 1 ELSE 0 END AS churned
+  FROM per_user, h
+), grid AS (
+  SELECT obs_t, count(*) AS n_leaving,
+         CAST(sum(churned) AS BIGINT) AS n_events
+  FROM obs GROUP BY 1
+), stepped AS (
+  SELECT obs_t, n_events,
+         (SELECT count(*) FROM obs)
+           - coalesce(CAST(sum(n_leaving) OVER (ORDER BY obs_t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+           AS n_risk,
+         CASE WHEN n_events > 0 THEN
+           ln((
+             ((SELECT count(*) FROM obs)
+              - coalesce(CAST(sum(n_leaving) OVER (ORDER BY obs_t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0))
+             - n_events
+           ) / (
+             (SELECT count(*) FROM obs)
+             - coalesce(CAST(sum(n_leaving) OVER (ORDER BY obs_t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+           ))
+         ELSE 0.0 END AS ln_step
+  FROM grid
+), summed AS (
+  SELECT obs_t, n_events, n_risk,
+         sum(ln_step) OVER (ORDER BY obs_t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ln_surv
+  FROM stepped
+)
+SELECT obs_t AS t_days, n_risk, n_events,
+       round((n_risk - n_events) / CAST(n_risk AS DOUBLE), 6) AS step_factor,
+       round(exp(ln_surv), 6) AS survival
+FROM summed WHERE n_events > 0
+"""

@@ -4279,6 +4279,16 @@ def _q_streaming_ivf_det_ingest(spark: SparkSession, sf: str) -> DataFrame:
     return jobs.streaming_ivf_det_ingest(spark, sf)
 
 
+def _q_streaming_ivf_pq_det_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.streaming import jobs
+
+    return jobs.streaming_ivf_pq_det_ingest(spark, sf)
+
+
+def _q_survival_km(spark: SparkSession, sf: str) -> DataFrame:
+    return eventflow.user_survival_km(load_table(spark, sf, "events"))
+
+
 def _setsim_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Persisted setsim-prefix pair artifact (build-if-absent,
     fingerprint-validated) — the agreement report's second generator
@@ -5440,6 +5450,16 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # x - coarse_centroid, ADC adds the exact q·cell term — the FAISS
     # IVFPQ shape, still end-to-end hash-checked
     "ann_ivf_pq_res_topk": (_q_ann_ivf_pq_res, pq_det.ANN_IVF_PQ_RES_SQL),
+    # the second hash-certified STREAMING job (r10): micro-batch drain
+    # into the IVF-PQ store under frozen two-level quantizers, sharing
+    # the batch ingest flow's twin
+    "streaming_ivf_pq_det_ingest": (
+        _q_streaming_ivf_pq_det_ingest,
+        pq_det.IVF_PQ_DET_INGEST_SQL,
+    ),
+    # Kaplan-Meier user-lifetime survival with right-censoring (E-15):
+    # exact int risk sets, ordered-window ln-sum product
+    "user_survival_km": (_q_survival_km, eventflow.USER_SURVIVAL_KM_SQL),
 }
 
 

@@ -790,6 +790,65 @@ def streaming_ivf_det_ingest(
     return clustering.ivf_det_serve_frozen(emb, store_path)
 
 
+def streaming_ivf_pq_det_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    store_path: str | None = None,
+    checkpoint_dir: str | None = None,
+    n_files: int = 4,
+) -> DataFrame:
+    """Streaming ingestion into the persisted deterministic IVF-PQ
+    store (O-1 ∘ E-11, r10) — the PQ-level twin of
+    ``streaming_ivf_det_ingest``: bootstrap once on the 80% base split
+    (frozen coarse centroids AND frozen subspace codebooks), then each
+    micro-batch anti-joins the coded vec_ids and appends the remainder
+    via frozen two-level assignment (``ivf_pq_det_store_append``).
+    Same double replay safety (row anti-join + batch fingerprint), and
+    because BOTH quantizer levels are deterministic the drained serve
+    shares the batch ingest flow's ``IVF_PQ_DET_INGEST_SQL`` oracle —
+    the repo's second hash-certified streaming job.
+
+    Scale shape per batch: one pushed-projection vec_id read for the
+    anti-join, one fused map-side two-level assignment against
+    k·d + m·ksub·(d/m) literals, one partitioned append.
+    """
+    from kinesis_dstream_spark.operators import pq_det
+
+    work = tempfile.mkdtemp(prefix="kds_ivfpqstream_")
+    store_path = store_path or os.path.join(work, "idx")
+    checkpoint_dir = checkpoint_dir or os.path.join(work, "chk")
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    meta = os.path.join(store_path, pq_det._PQ_META)
+    if not os.path.exists(meta):
+        pq_det.ivf_pq_det_store_ensure(
+            emb.filter(F.col("vec_id") % 5 != 4), store_path
+        )
+    codes_path = os.path.join(store_path, "codes")
+
+    src = _embeddings_multifile_dir(spark, sf_dir, n_files)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.dropDuplicates(["vec_id"])
+        existing = spark.read.parquet(codes_path).select("vec_id")
+        batch = batch.join(existing, "vec_id", "left_anti")
+        if not batch.isEmpty():
+            pq_det.ivf_pq_det_store_append(batch, store_path)
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return pq_det.ivf_pq_det_serve_frozen(emb, store_path)
+
+
 def streaming_dedup_index_ingest(
     spark: SparkSession,
     sf_dir: str,

@@ -733,3 +733,58 @@ def test_autocorr_constant_series_emits_null(spark):
     for r in out:
         assert r["cov_num"] == 0
         assert r["acf_signed_r2"] is None
+
+
+def test_user_survival_km_matches_pure_python(spark):
+    """Independent pure-Python Kaplan-Meier referee on a constructed
+    cohort with known lifetimes AND right-censored users: exact risk
+    sets/event counts, survival within 1e-6, censored users leave the
+    risk set without counting as events (the estimator's point)."""
+    import datetime as dt
+    import math
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # (user, first_day_offset, last_day_offset); horizon = max last = 30
+    spec = [
+        (1, 0, 3),   # lifetime 3, churned (30-3 >= 7)
+        (2, 0, 3),   # lifetime 3, churned
+        (3, 2, 12),  # lifetime 10, churned
+        (4, 0, 25),  # lifetime 25, CENSORED (30-25 < 7)
+        (5, 5, 30),  # lifetime 25, CENSORED (defines horizon)
+        (6, 1, 4),   # lifetime 3, churned
+        (7, 0, 10),  # lifetime 10, churned
+    ]
+    for u, a, b in spec:
+        for off in (a, b):
+            rows.append(
+                (eid, base + dt.timedelta(days=off), u, "visit", 1.0, "{}")
+            )
+            eid += 1
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {
+        r["t_days"]: r
+        for r in eventflow.user_survival_km(events).collect()
+    }
+
+    # pure-Python KM: obs = [(t, churned)]
+    obs = [(3, 1), (3, 1), (10, 1), (25, 0), (25, 0), (3, 1), (10, 1)]
+    times = sorted({t for t, c in obs if c})
+    surv, expect = 1.0, {}
+    for t in times:
+        n_risk = sum(1 for o, _ in obs if o >= t)
+        d = sum(1 for o, c in obs if o == t and c)
+        surv *= (n_risk - d) / n_risk
+        expect[t] = (n_risk, d, surv)
+    assert set(got) == set(expect)
+    for t, (n_risk, d, surv) in expect.items():
+        assert got[t]["n_risk"] == n_risk
+        assert got[t]["n_events"] == d
+        assert math.isclose(got[t]["survival"], round(surv, 6), abs_tol=1e-6)
+    # censored users never appear as events anywhere
+    assert sum(r["n_events"] for r in got.values()) == 5
