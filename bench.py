@@ -401,6 +401,7 @@ BENCH_QUERIES = {
     "ann_ivf_pq_res": "ann_ivf_pq_res_topk",
     "streaming_ivf_pq_ingest": "streaming_ivf_pq_det_ingest",
     "survival_km": "user_survival_km",
+    "psi_drift": "value_psi_temporal",
 }
 
 

@@ -1115,3 +1115,147 @@ FROM (
 
 
 FUNCTIONAL_DEPENDENCY_SQL = functional_dependency_sql()
+
+
+_PSI_BINS = 10
+_PSI_TERM_SCALE = 1_000_000_000  # per-bin term fixed-point (exact.py idiom)
+
+
+def value_psi_temporal(events: DataFrame, bins: int = _PSI_BINS) -> DataFrame:
+    """Population Stability Index of each event type's ``value``
+    distribution, EARLY half vs LATE half of the stream (split at the
+    midpoint day) — the standard production drift monitor ("did this
+    feature shift since the model was fit"), complementing
+    ``value_ks_drift``'s type-vs-rest contrast with a temporal one.
+    Rule-of-thumb thresholds: <0.1 stable, 0.1-0.25 moderate, >0.25
+    action.
+
+    PSI = Σ_bins (q − p)·ln(q/p) over ``bins`` equal-width bins of the
+    global fixed-point value range, with Laplace smoothing
+    p = (c+1)/(n+bins) so empty bins contribute finitely (and the full
+    type×bin grid is generated, so a bin empty on BOTH sides still
+    contributes its n_base-vs-n_target imbalance term).
+
+    Determinism discipline: bin ids, counts, and totals are exact
+    int64 (equal-width binning is one integer multiply-divide); p, q,
+    and ln are identical doubles in both engines; each bin's term is
+    fixed-pointed at 1e-9 before the Σ, so the per-type sum is an
+    order-independent int64 aggregate (the exact.py rule — a raw
+    double Σ would hash-flake on accumulation order).
+
+    Plan: ONE row-grain shuffle (the (type, bin) count, carrying base
+    and target columns in the same aggregate); everything after runs
+    on |types|·bins rows against broadcast bounds. The corpus is
+    scanned once.
+    """
+    from kinesis_dstream_spark.functions.exact import fixedpoint
+
+    base = events.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        fixedpoint(F.col("value"), _PCT_SCALE).alias("iv"),
+    )
+    bounds = base.agg(
+        F.min("day").alias("min_day"),
+        F.max("day").alias("max_day"),
+        F.min("iv").alias("min_iv"),
+        F.max("iv").alias("max_iv"),
+    ).select(
+        F.expr("date_add(min_day, CAST(datediff(max_day, min_day) DIV 2 AS INT))")
+        .alias("mid_day"),
+        "min_iv",
+        "max_iv",
+    )
+    binned = base.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        (F.col("day") <= F.col("mid_day")).cast("long").alias("is_base"),
+        F.expr(
+            f"least({bins} - 1, CAST(((iv - min_iv) * {bins})"
+            " DIV (max_iv - min_iv + 1) AS INT))"
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("event_type", "bin").agg(
+        F.sum("is_base").alias("c_base"),
+        F.sum(1 - F.col("is_base")).alias("c_target"),
+    )
+    totals = counts.groupBy("event_type").agg(
+        F.sum("c_base").alias("n_base"), F.sum("c_target").alias("n_target")
+    )
+    spark = events.sparkSession
+    grid = totals.crossJoin(
+        F.broadcast(spark.range(bins).select(F.col("id").alias("bin")))
+    )
+    full = grid.join(counts, ["event_type", "bin"], "left").select(
+        "event_type",
+        "n_base",
+        "n_target",
+        F.coalesce("c_base", F.lit(0)).alias("c_base"),
+        F.coalesce("c_target", F.lit(0)).alias("c_target"),
+    )
+    p = (F.col("c_base") + 1) / (F.col("n_base") + bins)
+    q = (F.col("c_target") + 1) / (F.col("n_target") + bins)
+    term_fp = F.round((q - p) * F.log(q / p) * _PSI_TERM_SCALE, 0).cast("long")
+    return (
+        full.select("event_type", "n_base", "n_target", term_fp.alias("tf"))
+        .groupBy("event_type")
+        .agg(
+            F.max("n_base").alias("n_base"),
+            F.max("n_target").alias("n_target"),
+            F.round(
+                F.sum("tf") / float(_PSI_TERM_SCALE), 6
+            ).alias("psi"),
+        )
+    )
+
+
+VALUE_PSI_TEMPORAL_SQL = f"""
+WITH base AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(round(value * {_PCT_SCALE}) AS BIGINT) AS iv
+  FROM events
+), bounds AS (
+  SELECT min(day) + CAST(date_diff('day', min(day), max(day)) // 2 AS INT)
+           AS mid_day,
+         min(iv) AS min_iv, max(iv) AS max_iv
+  FROM base
+), binned AS (
+  SELECT event_type,
+         CASE WHEN day <= mid_day THEN 1 ELSE 0 END AS is_base,
+         least({_PSI_BINS} - 1,
+               CAST(((iv - min_iv) * {_PSI_BINS})
+                    // (max_iv - min_iv + 1) AS INT)) AS bin
+  FROM base, bounds
+), counts AS (
+  SELECT event_type, bin,
+         CAST(sum(is_base) AS BIGINT) AS c_base,
+         CAST(sum(1 - is_base) AS BIGINT) AS c_target
+  FROM binned GROUP BY 1, 2
+), totals AS (
+  SELECT event_type, CAST(sum(c_base) AS BIGINT) AS n_base,
+         CAST(sum(c_target) AS BIGINT) AS n_target
+  FROM counts GROUP BY 1
+), grid AS (
+  SELECT t.event_type, t.n_base, t.n_target, g.bin
+  FROM totals t, (SELECT unnest(generate_series(0, {_PSI_BINS} - 1)) AS bin) g
+), full_grid AS (
+  SELECT g.event_type, g.n_base, g.n_target,
+         coalesce(c.c_base, 0) AS c_base,
+         coalesce(c.c_target, 0) AS c_target
+  FROM grid g LEFT JOIN counts c
+    ON c.event_type = g.event_type AND c.bin = g.bin
+), terms AS (
+  SELECT event_type, n_base, n_target,
+         CAST(round((
+             (c_target + 1) / CAST(n_target + {_PSI_BINS} AS DOUBLE)
+             - (c_base + 1) / CAST(n_base + {_PSI_BINS} AS DOUBLE)
+           ) * ln((
+             (c_target + 1) / CAST(n_target + {_PSI_BINS} AS DOUBLE)
+           ) / (
+             (c_base + 1) / CAST(n_base + {_PSI_BINS} AS DOUBLE)
+           )) * {_PSI_TERM_SCALE}) AS BIGINT) AS tf
+  FROM full_grid
+)
+SELECT event_type, max(n_base) AS n_base, max(n_target) AS n_target,
+       round(CAST(sum(tf) AS BIGINT) / {_PSI_TERM_SCALE}.0, 6) AS psi
+FROM terms GROUP BY 1
+"""

@@ -4289,6 +4289,10 @@ def _q_survival_km(spark: SparkSession, sf: str) -> DataFrame:
     return eventflow.user_survival_km(load_table(spark, sf, "events"))
 
 
+def _q_psi_temporal(spark: SparkSession, sf: str) -> DataFrame:
+    return dataquality.value_psi_temporal(load_table(spark, sf, "events"))
+
+
 def _setsim_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Persisted setsim-prefix pair artifact (build-if-absent,
     fingerprint-validated) — the agreement report's second generator
@@ -5460,6 +5464,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # Kaplan-Meier user-lifetime survival with right-censoring (E-15):
     # exact int risk sets, ordered-window ln-sum product
     "user_survival_km": (_q_survival_km, eventflow.USER_SURVIVAL_KM_SQL),
+    # temporal PSI drift monitor (E-17): early-vs-late value
+    # distributions per type, Laplace-smoothed equal-width bins,
+    # order-independent fixed-point term sum
+    "value_psi_temporal": (_q_psi_temporal, dataquality.VALUE_PSI_TEMPORAL_SQL),
 }
 
 

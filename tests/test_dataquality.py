@@ -296,3 +296,33 @@ def test_ks_single_type_corpus_emits_null(spark):
     assert len(out) == 1
     assert out[0]["n_rest"] == 0
     assert out[0]["ks_stat"] is None
+
+
+def test_psi_temporal_separates_drifted_from_stable(spark):
+    """Constructed drift: type 'shift' moves its whole value mass
+    between the early and late halves (PSI >> 0.25, the action
+    threshold); type 'flat' keeps the same distribution (PSI ~ 0).
+    Also pins the invariant PSI >= 0 up to the 1e-9 term grid."""
+    import datetime as dt
+
+    from kinesis_dstream_spark.operators.dataquality import value_psi_temporal
+
+    base = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for i in range(400):
+        early = i < 200
+        ts = base + dt.timedelta(days=0 if early else 20, minutes=i)
+        # 'shift': low values early, high late; 'flat': same both halves
+        rows.append((eid, ts, i, "shift", 1.0 + (0.0 if early else 90.0) + i % 5, "{}")); eid += 1
+        rows.append((eid, ts, i, "flat", 50.0 + i % 7, "{}")); eid += 1
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {r["event_type"]: r for r in value_psi_temporal(events).collect()}
+    assert got["shift"]["psi"] > 0.25, got["shift"]["psi"]
+    assert got["flat"]["psi"] < 0.1, got["flat"]["psi"]
+    for r in got.values():
+        assert r["psi"] >= -1e-6
+        assert r["n_base"] + r["n_target"] == 400
