@@ -1303,6 +1303,23 @@ def _nbhd_key_suffix(key_len: int):
     return F.lower(F.substring(F.reverse(ascii_only), 1, key_len))
 
 
+def _nbhd_key_tokens(key_len: int):
+    """Pass-3 blocking key: prefix of the SORTED-token join — the
+    word-order-insensitive sort key (Hernández & Stolfo's classic
+    third pass). Recovers near-dups whose edits are pure reorders
+    touching BOTH text ends, which defeat the prefix AND suffix keys
+    simultaneously. Engine parity: tokens are sorted on the
+    printable-ASCII projection because Spark compares strings by
+    UTF-16 code unit while DuckDB compares UTF-8 bytes — orders that
+    diverge for astral codepoints; on ASCII they are the same binary
+    order."""
+    ascii_only = F.regexp_replace(F.col("text"), r"[^\x20-\x7e]", "")
+    norm = F.trim(F.regexp_replace(ascii_only, r"\s+", " "))
+    return F.lower(
+        F.substring(F.concat_ws(" ", F.sort_array(F.split(norm, " "))), 1, key_len)
+    )
+
+
 def _nbhd_candidate_pairs(
     documents: DataFrame, key_expr, window: int
 ) -> DataFrame:
@@ -1378,6 +1395,7 @@ def dedup_sorted_neighborhood_multipass(
     k: int = 3,
     t_num: int = 3,
     t_den: int = 5,
+    keys: tuple[str, ...] = ("prefix", "suffix"),
 ) -> DataFrame:
     """Multi-pass sorted-neighborhood ER (Hernández & Stolfo's full
     recipe): UNION the candidate pairs of two independent sort passes —
@@ -1400,11 +1418,26 @@ def dedup_sorted_neighborhood_multipass(
     Output schema matches the single-pass (the convention all dedup
     generators share) so downstream union/cluster consumers are
     interchangeable.
+
+    ``keys`` picks the passes: 'prefix' / 'suffix' / 'tokens' (the
+    sorted-token third pass, r10 — the residual-miss class the r9
+    docstring named: edits hitting both key regions, i.e. pure
+    reorders, stay adjacent under the token sort). Each extra pass is
+    one more corpus sort; the verify is shared.
     """
-    p1 = _nbhd_candidate_pairs(documents, _nbhd_key_prefix(key_len), window)
-    p2 = _nbhd_candidate_pairs(documents, _nbhd_key_suffix(key_len), window)
-    pairs = p1.unionByName(p2).distinct()
-    return _verify_shingle_jaccard(documents, pairs, k, t_num, t_den)
+    key_fns = {
+        "prefix": _nbhd_key_prefix,
+        "suffix": _nbhd_key_suffix,
+        "tokens": _nbhd_key_tokens,
+    }
+    passes = [
+        _nbhd_candidate_pairs(documents, key_fns[kind](key_len), window)
+        for kind in keys
+    ]
+    pairs = passes[0]
+    for p in passes[1:]:
+        pairs = pairs.unionByName(p)
+    return _verify_shingle_jaccard(documents, pairs.distinct(), k, t_num, t_den)
 
 
 def near_dup_generator_agreement(

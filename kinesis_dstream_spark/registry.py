@@ -4293,6 +4293,12 @@ def _q_psi_temporal(spark: SparkSession, sf: str) -> DataFrame:
     return dataquality.value_psi_temporal(load_table(spark, sf, "events"))
 
 
+def _q_dedup_sorted_neighborhood_three(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.dedup_sorted_neighborhood_multipass(
+        load_table(spark, sf, "documents"), keys=("prefix", "suffix", "tokens")
+    )
+
+
 def _setsim_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Persisted setsim-prefix pair artifact (build-if-absent,
     fingerprint-validated) — the agreement report's second generator
@@ -4547,20 +4553,35 @@ def _q_dedup_sorted_neighborhood(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.dedup_sorted_neighborhood(load_table(spark, sf, "documents"))
 
 
-def _nbhd_key_sql(key_len: int, suffix: bool) -> str:
+def _nbhd_key_sql(key_len: int, kind: str = "prefix", suffix: bool | None = None) -> str:
     """The blocking-key expression shared by the neighborhood twins:
-    prefix of the normalized text, or prefix of its reverse (= suffix
-    blocking; reverse+positive-substr because Spark and DuckDB disagree
-    on negative-start substr for short strings). The suffix pass
-    reverses the printable-ASCII projection only — DuckDB reverses by
-    grapheme cluster while Spark reverses by codepoint, so stripping
-    non-ASCII first (codepoint-identical regex in both engines) is what
-    keeps the key engine-identical on any corpus (see
-    dedup._nbhd_key_suffix)."""
+    prefix of the normalized text ('prefix'), prefix of its reverse
+    ('suffix' — reverse+positive-substr because Spark and DuckDB
+    disagree on negative-start substr for short strings), or prefix of
+    the sorted-token join ('tokens', r10 — the reorder-insensitive
+    third pass). The suffix/tokens passes operate on the
+    printable-ASCII projection only: DuckDB reverses by grapheme
+    cluster while Spark reverses by codepoint, and DuckDB sorts
+    strings by UTF-8 byte while Spark sorts by UTF-16 code unit — both
+    divergences vanish on ASCII, and the stripping regex is
+    codepoint-identical in both engines (see dedup._nbhd_key_suffix /
+    _nbhd_key_tokens)."""
+    if suffix is not None:  # legacy bool call sites
+        kind = "suffix" if suffix else "prefix"
     norm = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
-    if suffix:
-        norm = f"reverse(regexp_replace({norm}, '[^\\x20-\\x7e]', '', 'g'))"
-    return f"lower(substr({norm}, 1, {key_len}))"
+    ascii_norm = (
+        "trim(regexp_replace(regexp_replace(text, '[^\\x20-\\x7e]', '', 'g'),"
+        " '\\s+', ' ', 'g'))"
+    )
+    if kind == "suffix":
+        # strip AFTER normalize == normalize AFTER strip only up to
+        # space runs; keep the r10 suffix form (strip the normalized)
+        expr = f"reverse(regexp_replace({norm}, '[^\\x20-\\x7e]', '', 'g'))"
+    elif kind == "tokens":
+        expr = f"array_to_string(list_sort(str_split({ascii_norm}, ' ')), ' ')"
+    else:
+        expr = norm
+    return f"lower(substr({expr}, 1, {key_len}))"
 
 
 def _sorted_neighborhood_sql(
@@ -4569,7 +4590,7 @@ def _sorted_neighborhood_sql(
     k: int = 3,
     t_num: int = 3,
     t_den: int = 5,
-    passes: tuple[bool, ...] = (False,),
+    passes: tuple = ("prefix",),
 ) -> str:
     """DuckDB twin generated from the SAME parameters as
     ``dedup.dedup_sorted_neighborhood`` (and, with
@@ -4580,11 +4601,11 @@ def _sorted_neighborhood_sql(
     the total (bk, doc_id) order)."""
     rank_ctes = ", ".join(
         f"""k{i} AS (
-  SELECT doc_id, {_nbhd_key_sql(key_len, sfx)} AS bk FROM documents
+  SELECT doc_id, {_nbhd_key_sql(key_len, kind)} AS bk FROM documents
 ), r{i} AS (
   SELECT doc_id, row_number() OVER (ORDER BY bk, doc_id) AS r FROM k{i}
 )"""
-        for i, sfx in enumerate(passes)
+        for i, kind in enumerate(passes)
     )
     pair_selects = "\n  UNION\n".join(
         f"""  SELECT least(a.doc_id, b.doc_id) AS doc_a, greatest(a.doc_id, b.doc_id) AS doc_b
@@ -4622,8 +4643,11 @@ WHERE {t_den} * i.n_inter >= {t_num} * (sa.sz + sb.sz - i.n_inter)
 
 
 _SQL_SORTED_NEIGHBORHOOD = _sorted_neighborhood_sql()
-_SQL_SORTED_NEIGHBORHOOD_SFX = _sorted_neighborhood_sql(passes=(True,))
-_SQL_SORTED_NEIGHBORHOOD_MULTI = _sorted_neighborhood_sql(passes=(False, True))
+_SQL_SORTED_NEIGHBORHOOD_SFX = _sorted_neighborhood_sql(passes=("suffix",))
+_SQL_SORTED_NEIGHBORHOOD_MULTI = _sorted_neighborhood_sql(passes=("prefix", "suffix"))
+_SQL_SORTED_NEIGHBORHOOD_THREE = _sorted_neighborhood_sql(
+    passes=("prefix", "suffix", "tokens")
+)
 
 
 def _q_dedup_sorted_neighborhood_multi(spark: SparkSession, sf: str) -> DataFrame:
@@ -5468,6 +5492,13 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # distributions per type, Laplace-smoothed equal-width bins,
     # order-independent fixed-point term sum
     "value_psi_temporal": (_q_psi_temporal, dataquality.VALUE_PSI_TEMPORAL_SQL),
+    # THREE-pass sorted-neighborhood ER (r10): prefix + suffix +
+    # sorted-token keys — the token sort recovers pure-reorder edits
+    # that defeat both end keys; still one shared verify
+    "dedup_sorted_neighborhood_threepass": (
+        _q_dedup_sorted_neighborhood_three,
+        _SQL_SORTED_NEIGHBORHOOD_THREE,
+    ),
 }
 
 

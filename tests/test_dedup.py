@@ -466,6 +466,42 @@ def test_near_dup_pairs_artifact_matches_live_and_detects_staleness(
     assert sorted(map(tuple, rebuilt)) == sorted(map(tuple, want_half))
 
 
+def test_threepass_recovers_reorder_only_pair(spark):
+    """r10 token-sort pass: construct a near-dup pair whose only edit
+    is a pure REORDER touching BOTH text ends — the prefix sort AND
+    the suffix sort each scatter the two docs apart, but their sorted
+    token strings are identical, so the token pass lands them
+    adjacent. The two-pass variant must miss it; the three-pass must
+    find it (and remain a superset)."""
+    mid = " ".join(f"common{j}" for j in range(30))
+    texts = [
+        f"aaa bbb {mid} ccc ddd",
+        f"ddd ccc {mid} bbb aaa",  # edges swapped: same token multiset
+    ]
+    # fillers that sort BETWEEN the pair in BOTH orders: first token
+    # b{i}... (prefix key between "aaa" and "ddd") and last token
+    # ...q{i}c (reversed key "c{i}q..." between "aaa" and "ddd" too);
+    # 6 > window=4 of them, each with unique interior vocabulary so
+    # none verifies as a near-dup of anything
+    for i in range(6):
+        body = " ".join(f"f{i}mid{j}" for j in range(23))
+        texts.append(f"b{i}start {body} q{i}c")
+    docs = _docs(spark, texts)
+    two = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.dedup_sorted_neighborhood_multipass(docs).collect()
+    }
+    three = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.dedup_sorted_neighborhood_multipass(
+            docs, keys=("prefix", "suffix", "tokens")
+        ).collect()
+    }
+    assert (0, 1) not in two, "prefix+suffix passes should both miss it"
+    assert (0, 1) in three, "token pass should recover it"
+    assert two <= three
+
+
 def test_agreement_report_from_artifacts_matches_live(spark, sf_dir, tmp_path):
     """r10: the agreement report served from the two persisted pair
     artifacts must return EXACTLY the live-generator rows (the store
