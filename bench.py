@@ -402,6 +402,7 @@ BENCH_QUERIES = {
     "streaming_ivf_pq_ingest": "streaming_ivf_pq_det_ingest",
     "survival_km": "user_survival_km",
     "psi_drift": "value_psi_temporal",
+    "sorted_nbhd_threepass": "dedup_sorted_neighborhood_threepass",
 }
 
 
