@@ -902,6 +902,78 @@ SELECT doc_id, n_chars, rk FROM (
 SYSTEMATIC_SAMPLE_SQL = systematic_sample_sql()
 
 
+def pps_systematic_sample(documents: DataFrame, n: int = 100) -> DataFrame:
+    """Systematic PPS sampling (Madow): sample documents with
+    probability PROPORTIONAL to token count — the curation move when a
+    token budget, not a document budget, drives selection (a 5k-token
+    doc should be n× likelier in the mix than a 5-token one; uniform
+    doc sampling systematically over-weights short docs token-wise).
+
+    Mechanics, all integer-exact: walk the corpus in doc_id order,
+    accumulate token weights, lay a fixed stride = total_tokens div n
+    over the cumulative axis, and pick every document whose weight
+    interval crosses a stride boundary. ``n_picks`` = boundary
+    crossings inside the doc's interval (a doc heavier than the stride
+    is a certainty unit picked multiple times — honest PPS
+    accounting). Exactly ``total div stride`` picks overall.
+
+    Scale shape: the cumulative sum is the 2-pass range-partitioned
+    running sum (``dedup._global_cumsum`` — no single-partition
+    window); stride/total are one scalar aggregate. The oracle twin
+    uses the plain ordered-window sum, value-identical by the same
+    partition-boundary-invariance argument as ``_global_rank``'s.
+    """
+    from kinesis_dstream_spark.operators.dedup import _global_cumsum
+
+    w = documents.select(
+        "doc_id",
+        "source",
+        F.greatest(F.lit(1), F.size(tokens(F.col("text"))))
+        .cast("long")
+        .alias("w_tokens"),
+    )
+    cum = _global_cumsum(w, ["doc_id"], "w_tokens", "cum_w")
+    total = cum.agg(F.max("cum_w")).collect()[0][0]  # scalar (driver-bounded)
+    stride = max(1, int(total) // n)
+    prev = F.col("cum_w") - F.col("w_tokens")
+    picks = F.expr(f"cum_w div {stride}") - F.expr(f"(cum_w - w_tokens) div {stride}")
+    return (
+        cum.withColumn("n_picks", picks.cast("long"))
+        .filter(F.col("n_picks") > 0)
+        .select("doc_id", "source", "w_tokens", "cum_w", "n_picks")
+    )
+
+
+def pps_systematic_sample_sql(n: int = 100) -> str:
+    """DuckDB twin generated from the SAME n: the stride is computed
+    in-query from the same total (scalar subquery — the oracle has no
+    driver)."""
+    return f"""
+WITH w AS (
+  SELECT doc_id, source,
+         greatest(1, len(str_split(trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                                   ' '))) AS w_tokens
+  FROM documents
+), cum AS (
+  SELECT doc_id, source, CAST(w_tokens AS BIGINT) AS w_tokens,
+         CAST(sum(w_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_w
+  FROM w
+), s AS (
+  SELECT greatest(1, max(cum_w) // {n}) AS stride FROM cum
+)
+SELECT doc_id, source, w_tokens, cum_w,
+       CAST(cum_w // stride - (cum_w - w_tokens) // stride AS BIGINT)
+         AS n_picks
+FROM cum, s
+WHERE cum_w // stride - (cum_w - w_tokens) // stride > 0
+"""
+
+
+PPS_SYSTEMATIC_SAMPLE_SQL = pps_systematic_sample_sql()
+
+
 # Default target mixture for the budget solve: even-indexed sources get
 # double the share of odd-indexed ones; the 20 ppm weights sum to
 # exactly 1_000_000 so the needed-token split is an exact partition of

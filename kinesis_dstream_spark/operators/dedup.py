@@ -1239,6 +1239,46 @@ def _global_rank(df: DataFrame, cols: list[str], rank_col: str) -> DataFrame:
     )
 
 
+def _global_cumsum(
+    df: DataFrame, order_cols: list[str], val_col: str, out_col: str
+) -> DataFrame:
+    """Scalable global INCLUSIVE running sum of ``val_col`` down the
+    total order ``order_cols`` — the summing sibling of
+    ``_global_rank`` (same 2-pass shape, same r9 pinning rule: the
+    range-partitioned locally-cumsummed rows are localCheckpoint-ed so
+    the per-partition offset totals and every consumer read ONE
+    physical partitioning). Offsets are ≤ numPartitions int64s."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    part = df.repartitionByRange(n_parts, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local = part.withColumn(
+        "_lcum",
+        F.sum(val_col).over(
+            Window.partitionBy("_pid")
+            .orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).localCheckpoint(eager=True)
+    sums = sorted(
+        (r["_pid"], r["_s"])
+        for r in local.groupBy("_pid").agg(F.sum(val_col).alias("_s")).collect()
+    )
+    offs, acc = [], 0
+    for pid, sv in sums:
+        offs.append((pid, acc))
+        acc += int(sv)
+    odf = spark.createDataFrame(offs, "_pid int, _off long")
+    return (
+        local.join(F.broadcast(odf), "_pid")
+        .withColumn(out_col, F.col("_lcum") + F.col("_off"))
+        .drop("_pid", "_lcum", "_off")
+    )
+
+
 def dedup_sorted_neighborhood(
     documents: DataFrame,
     window: int = 4,

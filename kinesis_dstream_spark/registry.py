@@ -4299,6 +4299,10 @@ def _q_dedup_sorted_neighborhood_three(spark: SparkSession, sf: str) -> DataFram
     )
 
 
+def _q_pps_sample(spark: SparkSession, sf: str) -> DataFrame:
+    return curation.pps_systematic_sample(load_table(spark, sf, "documents"))
+
+
 def _setsim_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Persisted setsim-prefix pair artifact (build-if-absent,
     fingerprint-validated) — the agreement report's second generator
@@ -5498,6 +5502,13 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "dedup_sorted_neighborhood_threepass": (
         _q_dedup_sorted_neighborhood_three,
         _SQL_SORTED_NEIGHBORHOOD_THREE,
+    ),
+    # systematic PPS sampling (r10): pick documents with probability
+    # proportional to token count — integer stride walk down the
+    # 2-pass global cumulative weight, no single-partition window
+    "pps_systematic_sample": (
+        _q_pps_sample,
+        curation.PPS_SYSTEMATIC_SAMPLE_SQL,
     ),
 }
 

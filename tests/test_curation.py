@@ -512,3 +512,32 @@ def test_curation_pipeline_stage_monotonicity_and_dedup(spark, sf_dir):
     ).collect()[0]
     # docs 0 and 1 normalize to the same text -> one keeper
     assert (row["n_raw"], row["n_quality"], row["n_dedup"]) == (3, 3, 2)
+
+
+def test_pps_systematic_sample_properties(spark, sf_dir):
+    """Madow PPS invariants on the fixture: total picks == total_tokens
+    div stride (exact), every doc at least stride tokens heavy is a
+    certainty unit (picked >= 1), per-doc picks within 1 of w/stride
+    (the systematic bound), and the 2-pass cumulative equals the naive
+    single-window cumulative."""
+    from kinesis_dstream_spark.operators import curation
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = curation.pps_systematic_sample(docs, n=100).collect()
+    toks = {
+        r["doc_id"]: max(1, len(r["text"].split()))
+        for r in docs.select("doc_id", "text").collect()
+    }
+    total = sum(toks.values())
+    stride = max(1, total // 100)
+    assert sum(r["n_picks"] for r in out) == total // stride
+    picked = {r["doc_id"]: r["n_picks"] for r in out}
+    cum = 0
+    for did in sorted(toks):
+        w = toks[did]
+        expect = (cum + w) // stride - cum // stride
+        cum += w
+        assert picked.get(did, 0) == expect, did
+        if w >= stride:
+            assert picked.get(did, 0) >= 1
+        assert abs(picked.get(did, 0) - w / stride) <= 1
