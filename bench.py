@@ -403,6 +403,7 @@ BENCH_QUERIES = {
     "survival_km": "user_survival_km",
     "psi_drift": "value_psi_temporal",
     "sorted_nbhd_threepass": "dedup_sorted_neighborhood_threepass",
+    "pps_sample": "pps_systematic_sample",
 }
 
 
