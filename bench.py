@@ -404,6 +404,7 @@ BENCH_QUERIES = {
     "psi_drift": "value_psi_temporal",
     "sorted_nbhd_threepass": "dedup_sorted_neighborhood_threepass",
     "pps_sample": "pps_systematic_sample",
+    "benford_audit": "benford_digit_audit",
 }
 
 

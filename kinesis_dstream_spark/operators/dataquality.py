@@ -1259,3 +1259,106 @@ SELECT event_type, max(n_base) AS n_base, max(n_target) AS n_target,
        round(CAST(sum(tf) AS BIGINT) / {_PSI_TERM_SCALE}.0, 6) AS psi
 FROM terms GROUP BY 1
 """
+
+
+_BENFORD_TERM_SCALE = 1_000_000
+
+
+def benford_digit_audit(events: DataFrame) -> DataFrame:
+    """First-significant-digit audit per event type against Benford's
+    law — the classic fabricated/synthetic-data smell test (organically
+    grown magnitudes follow P(d) = log10(1+1/d); uniform or templated
+    generators don't). Reports the chi-square distance and the
+    digit-1 share; on the synthetic fixture the statistic is LARGE by
+    construction — the audit correctly smells synthetic data — and the
+    pytest pins that a constructed log-uniform sample passes while a
+    uniform one fails.
+
+    Determinism discipline: the first significant digit comes from the
+    INTEGER fixed-point cents (leading char of the int64's decimal
+    string — scaling by 100 never changes the leading digit, and
+    string rendering of positive ints is engine-identical, dodging the
+    float log10-at-power-boundary hazard); expected counts are
+    identical doubles; each digit's (obs−exp)²/exp term is
+    fixed-pointed before the Σ (order-independent int64 sum); the full
+    type×digit grid is generated so absent digits contribute their
+    (0−exp)²/exp mass.
+
+    Plan: one (type, digit) count — row-grain work is a 9-ary group —
+    then |types|·9 rows of arithmetic. One corpus scan.
+    """
+    from kinesis_dstream_spark.functions.exact import fixedpoint
+
+    base = events.filter(F.col("value") > 0).select(
+        "event_type", fixedpoint(F.col("value"), _PCT_SCALE).alias("cents")
+    )
+    digits = base.select(
+        "event_type",
+        F.substring(F.col("cents").cast("string"), 1, 1).cast("int").alias("d"),
+    )
+    counts = digits.groupBy("event_type", "d").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    totals = counts.groupBy("event_type").agg(F.sum("c").alias("n"))
+    spark = events.sparkSession
+    grid = totals.crossJoin(
+        F.broadcast(spark.range(1, 10).select(F.col("id").cast("int").alias("d")))
+    )
+    full = grid.join(counts, ["event_type", "d"], "left").select(
+        "event_type",
+        "n",
+        "d",
+        F.coalesce("c", F.lit(0)).alias("c"),
+    )
+    exp = F.col("n") * F.log10(1 + 1.0 / F.col("d"))
+    term_fp = F.round(
+        (F.col("c") - exp) * (F.col("c") - exp) / exp * _BENFORD_TERM_SCALE, 0
+    ).cast("long")
+    d1 = F.sum(F.when(F.col("d") == 1, F.col("c"))).alias("_d1")
+    return (
+        full.select("event_type", "n", "d", "c", term_fp.alias("tf"))
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.round(
+                F.sum("tf") / float(_BENFORD_TERM_SCALE), 4
+            ).alias("chi_square"),
+            F.round(
+                F.sum(F.when(F.col("d") == 1, F.col("c"))) / F.max("n"), 6
+            ).alias("digit1_frac"),
+        )
+    )
+
+
+BENFORD_DIGIT_AUDIT_SQL = f"""
+WITH base AS (
+  SELECT event_type, CAST(round(value * {_PCT_SCALE}) AS BIGINT) AS cents
+  FROM events WHERE value > 0
+), digits AS (
+  SELECT event_type,
+         CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS d
+  FROM base
+), counts AS (
+  SELECT event_type, d, CAST(count(*) AS BIGINT) AS c
+  FROM digits GROUP BY 1, 2
+), totals AS (
+  SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM counts GROUP BY 1
+), grid AS (
+  SELECT t.event_type, t.n, g.d
+  FROM totals t, (SELECT CAST(unnest(generate_series(1, 9)) AS INT) AS d) g
+), full_grid AS (
+  SELECT g.event_type, g.n, g.d, coalesce(c.c, 0) AS c
+  FROM grid g LEFT JOIN counts c ON c.event_type = g.event_type AND c.d = g.d
+), terms AS (
+  SELECT event_type, n, d, c,
+         CAST(round(
+           (c - n * log10(1 + 1.0 / d)) * (c - n * log10(1 + 1.0 / d))
+             / (n * log10(1 + 1.0 / d)) * {_BENFORD_TERM_SCALE}) AS BIGINT) AS tf
+  FROM full_grid
+)
+SELECT event_type, max(n) AS n,
+       round(CAST(sum(tf) AS BIGINT) / {_BENFORD_TERM_SCALE}.0, 4) AS chi_square,
+       round(CAST(sum(CASE WHEN d = 1 THEN c END) AS BIGINT)
+             / CAST(max(n) AS DOUBLE), 6) AS digit1_frac
+FROM terms GROUP BY 1
+"""

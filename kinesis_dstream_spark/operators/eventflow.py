@@ -3089,7 +3089,10 @@ def user_survival_km(events: DataFrame, censor_days: int = 7) -> DataFrame:
     )
 
 
-USER_SURVIVAL_KM_SQL = """
+def user_survival_km_sql(censor_days: int = 7) -> str:
+    """DuckDB twin generated from the SAME censor window (param
+    discipline)."""
+    return f"""
 WITH per_user AS (
   SELECT user_id, min(CAST(ts AS DATE)) AS first_day,
          max(CAST(ts AS DATE)) AS last_day
@@ -3097,7 +3100,7 @@ WITH per_user AS (
 ), h AS (SELECT max(last_day) AS horizon FROM per_user),
 obs AS (
   SELECT date_diff('day', first_day, last_day) AS obs_t,
-         CASE WHEN date_diff('day', last_day, horizon) >= 7
+         CASE WHEN date_diff('day', last_day, horizon) >= {censor_days}
               THEN 1 ELSE 0 END AS churned
   FROM per_user, h
 ), grid AS (
@@ -3134,3 +3137,6 @@ SELECT obs_t AS t_days, n_risk, n_events,
        round(exp(ln_surv), 6) AS survival
 FROM summed WHERE n_events > 0
 """
+
+
+USER_SURVIVAL_KM_SQL = user_survival_km_sql()

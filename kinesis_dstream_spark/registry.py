@@ -4303,6 +4303,10 @@ def _q_pps_sample(spark: SparkSession, sf: str) -> DataFrame:
     return curation.pps_systematic_sample(load_table(spark, sf, "documents"))
 
 
+def _q_benford(spark: SparkSession, sf: str) -> DataFrame:
+    return dataquality.benford_digit_audit(load_table(spark, sf, "events"))
+
+
 def _setsim_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Persisted setsim-prefix pair artifact (build-if-absent,
     fingerprint-validated) — the agreement report's second generator
@@ -5510,6 +5514,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _q_pps_sample,
         curation.PPS_SYSTEMATIC_SAMPLE_SQL,
     ),
+    # Benford first-digit audit (E-17): chi-square vs log10(1+1/d)
+    # from the integer-cents leading digit, full digit grid, terms
+    # fixed-pointed before the sum
+    "benford_digit_audit": (_q_benford, dataquality.BENFORD_DIGIT_AUDIT_SQL),
 }
 
 

@@ -326,3 +326,39 @@ def test_psi_temporal_separates_drifted_from_stable(spark):
     for r in got.values():
         assert r["psi"] >= -1e-6
         assert r["n_base"] + r["n_target"] == 400
+
+
+def test_benford_passes_loguniform_fails_uniform(spark):
+    """Constructed referee: a log-uniform sample (the regime where
+    Benford provably holds) must score a SMALL chi-square with
+    digit1_frac near log10(2) ~= 0.301; a uniform sample over one
+    decade must score large with digit-1 share ~1/9. Chi-square
+    critical value at 8 df / alpha=0.001 is 26.1 — the bands sit far
+    on either side."""
+    import math
+
+    from kinesis_dstream_spark.operators.dataquality import benford_digit_audit
+
+    rows, eid = [], 0
+    import datetime as dt
+
+    ts = dt.datetime(2024, 1, 1)
+    for i in range(4000):
+        # deterministic log-uniform over [0.01, 100): u in [0,1) from a
+        # hash-free stride, v = 10^(4u - 2)
+        u = (i * 2654435761 % 2**32) / 2**32
+        rows.append((eid, ts, i, "benford", round(10 ** (4 * u - 2), 2), "{}"))
+        eid += 1
+        # uniform over [1, 10): digit-1 share ~1/9
+        rows.append((eid, ts, i, "uniform", round(1.0 + 9.0 * u, 2), "{}"))
+        eid += 1
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {r["event_type"]: r for r in benford_digit_audit(events).collect()}
+    assert got["benford"]["chi_square"] < 26.1, got["benford"]
+    assert math.isclose(got["benford"]["digit1_frac"], math.log10(2), abs_tol=0.03)
+    assert got["uniform"]["chi_square"] > 100, got["uniform"]
+    assert got["uniform"]["digit1_frac"] < 0.2
