@@ -4576,6 +4576,8 @@ def _nbhd_key_sql(key_len: int, kind: str = "prefix", suffix: bool | None = None
     _nbhd_key_tokens)."""
     if suffix is not None:  # legacy bool call sites
         kind = "suffix" if suffix else "prefix"
+    if isinstance(kind, bool):  # legacy bool passed positionally
+        kind = "suffix" if kind else "prefix"
     norm = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
     ascii_norm = (
         "trim(regexp_replace(regexp_replace(text, '[^\\x20-\\x7e]', '', 'g'),"
