@@ -186,6 +186,18 @@ pq_code_stats 2.7 (one fused fit + m tiny rollups), udaf_wmean 0.19.
 gdpr_erasure_full 7.5 s now erases TEN stores (was 8) — still
 I/O-bound by construction, growing only with store count.
 
+r10 closing solo run (sf0.1, quiet host: loadavg_start 0.01): 148
+entries, total 166.2 s. The six closing-wave entries priced:
+streaming_ivf_pq_det_ingest 10.3 (each timed call deliberately pays
+the FULL bootstrap — fresh mkdtemp store, two-level quantizer fit —
+plus the 4-batch drain and serve; the warm-store steady state is the
+2.7 s ann_ivf_pq_det_ingest entry), ann_ivf_pq_res 5.7 (self-contained
+coarse+residual fit + serve exhibit), sorted_nbhd_threepass ~4.5
+(three corpus sorts + one shared verify — the pass-count economics),
+survival_km / psi_drift / benford_audit / pps_sample all sub-1 s
+(one-or-two-scan aggregates; PPS's cumulative is the 2-pass
+range-partitioned sum, zero exchanges in the audited plan).
+
 Variance note (r5, re: the r4 verdict's simhash/minhash deltas):
 isolated re-measurement of the shuffle-heavy dedup queries at sf0.1
 shows ±20-40% run-to-run spread at the ~2 s scale even after warm-up
