@@ -417,6 +417,7 @@ BENCH_QUERIES = {
     "sorted_nbhd_threepass": "dedup_sorted_neighborhood_threepass",
     "pps_sample": "pps_systematic_sample",
     "benford_audit": "benford_digit_audit",
+    "winnowing": "winnowing_fingerprints",
 }
 
 

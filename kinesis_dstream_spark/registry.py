@@ -4307,6 +4307,10 @@ def _q_benford(spark: SparkSession, sf: str) -> DataFrame:
     return dataquality.benford_digit_audit(load_table(spark, sf, "events"))
 
 
+def _q_winnowing(spark: SparkSession, sf: str) -> DataFrame:
+    return text.winnowing_fingerprints(load_table(spark, sf, "documents"))
+
+
 def _setsim_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Persisted setsim-prefix pair artifact (build-if-absent,
     fingerprint-validated) — the agreement report's second generator
@@ -5520,6 +5524,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # from the integer-cents leading digit, full digit grid, terms
     # fixed-pointed before the sum
     "benford_digit_audit": (_q_benford, dataquality.BENFORD_DIGIT_AUDIT_SQL),
+    # winnowing/MOSS local fingerprints (E-12): window-min k-gram
+    # hashes with the shared-substring guarantee
+    "winnowing_fingerprints": (_q_winnowing, text.WINNOWING_SQL),
 }
 
 

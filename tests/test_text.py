@@ -333,3 +333,35 @@ def test_vocabulary_growth_accounting(spark, sf_dir):
         assert r["cum_vocab"] == run
         assert r["n_new_tokens"] <= r["n_distinct_tokens"]
     assert rows[0]["n_new_tokens"] == rows[0]["n_distinct_tokens"]
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """The winnowing theorem: two documents sharing a substring of at
+    least w+k-1 = 8 tokens MUST share at least one fingerprint VALUE;
+    and the selected density stays near 2/(w+1) (within a loose band)
+    while never exceeding the gram count."""
+    from kinesis_dstream_spark.operators.text import winnowing_fingerprints
+
+    shared = "one two three four five six seven eight"  # 8 = w+k-1 tokens
+    rows = [
+        (0, f"alpha beta {shared} gamma delta", "s", "x", 10),
+        (1, f"zeta eta theta iota {shared} kappa", "s", "x", 10),
+        (2, "totally different words without any overlap here at all", "s", "x", 10),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    fps = winnowing_fingerprints(docs).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[0] & by_doc[1], "shared >= w+k-1 substring must share a fingerprint"
+    assert not (by_doc[0] & by_doc[2])
+    # density: each doc has n_grams - w + 1 windows; selections are
+    # window minima, so count <= windows and >= windows / w
+    for did, text in [(0, rows[0][1]), (1, rows[1][1]), (2, rows[2][1])]:
+        n_grams = max(len(text.split()) - 3, 1)
+        windows = max(n_grams - 4, 1)
+        got = len([r for r in fps if r["doc_id"] == did])
+        assert got <= windows
+        assert got * 5 >= windows  # >= windows/w distinct minima
