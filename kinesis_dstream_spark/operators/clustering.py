@@ -696,6 +696,22 @@ def _ivf_serve_from(
     return _ivf_rerank(cand, topk)
 
 
+def replay_existing_vec_ids(spark, codes_path: str, cells: list[int]):
+    """The replay anti-join's store-side read, cell-pruned (r11, r10
+    verdict task 2): restrict the cell-partitioned codes table to the
+    batch's assigned ``cluster_id`` values BEFORE projecting vec_id.
+    ``cluster_id`` is the table's partition column, so the IN-filter is
+    pushed as a PartitionFilter (plan-pinned in
+    tests/test_streaming.py) — the read lists only the touched cell
+    directories instead of scanning every partition's vec_id column.
+    Shared by the det-IVF and det-IVF-PQ appends."""
+    return (
+        spark.read.parquet(codes_path)
+        .filter(F.col("cluster_id").isin([int(c) for c in cells]))
+        .select("vec_id")
+    )
+
+
 def ivf_det_store_append(embeddings_new: DataFrame, path: str) -> None:
     """Incremental ingest for the deterministic-IVF store: assign the
     new vectors to the FROZEN stored centroids (the meta sidecar's k·d
@@ -739,24 +755,31 @@ def ivf_det_store_append(embeddings_new: DataFrame, path: str) -> None:
     codes_path = os.path.join(path, "codes")
     # row-level idempotence on top of the batch fingerprint: a crash
     # BETWEEN the parquet append and the meta write would otherwise
-    # re-append the batch on replay. The anti-join reads only the
-    # codes' vec_id column (parquet column pruning) — the streaming
-    # wrapper's guard, applied at the store boundary so every caller
-    # gets it.
-    fresh = (
-        _unit_int_arrays(embeddings_new)
-        .dropDuplicates(["vec_id"])
-        .join(
-            embeddings_new.sparkSession.read.parquet(codes_path).select("vec_id"),
-            "vec_id",
-            "left_anti",
-        )
-    )
-    if not fresh.isEmpty():
-        asg = _assign(fresh, cents)
-        asg.select("vec_id", "iu", "cluster_id").write.mode("append").partitionBy(
-            "cluster_id"
-        ).parquet(codes_path)
+    # re-append the batch on replay. r11 (r10 verdict task 2): assign
+    # FIRST, then anti-join against ONLY the batch's cells. The frozen
+    # deterministic centroids mean a vector can only ever live in its
+    # assigned cell, so restricting `existing` to the batch's
+    # cluster_id values — pushed as a PARTITION filter on the
+    # cell-partitioned codes table — is provably identical to the
+    # whole-store vec_id scan it replaces, and turns the per-batch
+    # replay read from O(store) into O(touched cells).
+    spark = embeddings_new.sparkSession
+    asg = _assign(
+        _unit_int_arrays(embeddings_new).dropDuplicates(["vec_id"]), cents
+    ).persist()
+    try:
+        cells = [
+            int(r[0]) for r in asg.select("cluster_id").distinct().collect()
+        ]  # bounded by k (the centroid count) — a driver-side literal set
+        if cells:
+            existing = replay_existing_vec_ids(spark, codes_path, cells)
+            fresh = asg.join(existing, "vec_id", "left_anti")
+            if not fresh.isEmpty():
+                fresh.select("vec_id", "iu", "cluster_id").write.mode(
+                    "append"
+                ).partitionBy("cluster_id").parquet(codes_path)
+    finally:
+        asg.unpersist()
     appended = meta.get("appended", [])
     appended.append(fp_new)
     meta["appended"] = appended[-_IVF_DET_APPEND_LOG_CAP:]

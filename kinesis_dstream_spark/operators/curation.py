@@ -1016,7 +1016,12 @@ def _epochs_ppm_sql(n: str, a: str, div: str) -> str:
         f" + ((({n} % {a}) * 1000 % {a}) * 1000) {div} {a})"
     )
     return (
-        f"(CASE WHEN ({n} {div} {a}) > {_EPOCHS_Q_CAP}"
+        # >= not >: at exactly n div a == _EPOCHS_Q_CAP the unsaturated
+        # formula evaluates cap*1e6 (only 775,807 of int64 headroom left)
+        # plus remainder terms up to ~1e6 — overflowing under ANSI. The
+        # boundary value is within rounding noise of the sentinel anyway
+        # (r10 ADVICE).
+        f"(CASE WHEN ({n} {div} {a}) >= {_EPOCHS_Q_CAP}"
         f" THEN {_EPOCHS_PPM_SAT} ELSE {full} END)"
     )
 

@@ -1262,6 +1262,9 @@ FROM terms GROUP BY 1
 
 
 _BENFORD_TERM_SCALE = 1_000_000
+# micro fixed-point for first-significant-digit extraction (r10 ADVICE:
+# cents mis-digit sub-unit values; micros resolve down to 1e-6)
+_BENFORD_DIGIT_SCALE = 1_000_000
 
 
 def benford_digit_audit(events: DataFrame) -> DataFrame:
@@ -1274,11 +1277,20 @@ def benford_digit_audit(events: DataFrame) -> DataFrame:
     pytest pins that a constructed log-uniform sample passes while a
     uniform one fails.
 
-    Determinism discipline: the first significant digit comes from the
-    INTEGER fixed-point cents (leading char of the int64's decimal
-    string — scaling by 100 never changes the leading digit, and
+    Determinism discipline: the first significant digit comes from
+    INTEGER fixed-point MICROS (leading char of the int64's decimal
+    string — the leading char of a positive integer is never '0', and
     string rendering of positive ints is engine-identical, dodging the
-    float log10-at-power-boundary hazard); expected counts are
+    float log10-at-power-boundary hazard). Micros, not cents (r10
+    ADVICE): at cents scale, sub-unit values mis-digit (0.095 → cents
+    10 → digit 1, true digit 9) and values < 0.005 produce cents=0
+    rows that inflated n while being excluded from the 1-9 grid. At
+    micro scale the rounding can only flip the digit for values within
+    5e-7 of a digit boundary, and the ``micros >= 1`` filter makes a
+    '0' digit impossible, so n is exactly the sum over the 1-9 counts.
+    Audit domain: 1e-6 ≤ value < 9.2e12 (int64 fixed-point headroom;
+    both bounds filtered identically in both engines — values outside
+    are not Benford-auditable at this resolution). Expected counts are
     identical doubles; each digit's (obs−exp)²/exp term is
     fixed-pointed before the Σ (order-independent int64 sum); the full
     type×digit grid is generated so absent digits contribute their
@@ -1289,12 +1301,17 @@ def benford_digit_audit(events: DataFrame) -> DataFrame:
     """
     from kinesis_dstream_spark.functions.exact import fixedpoint
 
-    base = events.filter(F.col("value") > 0).select(
-        "event_type", fixedpoint(F.col("value"), _PCT_SCALE).alias("cents")
+    base = (
+        events.filter((F.col("value") > 0) & (F.col("value") < 9.2e12))
+        .select(
+            "event_type",
+            fixedpoint(F.col("value"), _BENFORD_DIGIT_SCALE).alias("micros"),
+        )
+        .filter(F.col("micros") >= 1)
     )
     digits = base.select(
         "event_type",
-        F.substring(F.col("cents").cast("string"), 1, 1).cast("int").alias("d"),
+        F.substring(F.col("micros").cast("string"), 1, 1).cast("int").alias("d"),
     )
     counts = digits.groupBy("event_type", "d").agg(
         F.count(F.lit(1)).alias("c")
@@ -1332,12 +1349,12 @@ def benford_digit_audit(events: DataFrame) -> DataFrame:
 
 BENFORD_DIGIT_AUDIT_SQL = f"""
 WITH base AS (
-  SELECT event_type, CAST(round(value * {_PCT_SCALE}) AS BIGINT) AS cents
-  FROM events WHERE value > 0
+  SELECT event_type, CAST(round(value * {_BENFORD_DIGIT_SCALE}) AS BIGINT) AS micros
+  FROM events WHERE value > 0 AND value < 9.2e12
 ), digits AS (
   SELECT event_type,
-         CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS d
-  FROM base
+         CAST(substr(CAST(micros AS VARCHAR), 1, 1) AS INT) AS d
+  FROM base WHERE micros >= 1
 ), counts AS (
   SELECT event_type, d, CAST(count(*) AS BIGINT) AS c
   FROM digits GROUP BY 1, 2

@@ -3031,8 +3031,14 @@ def user_survival_km(events: DataFrame, censor_days: int = 7) -> DataFrame:
     the product is exp(Σ ln step) with the Σ as an ORDERED window sum
     — a sequential left-to-right fold in both engines, so no
     accumulation-order divergence — rounded 6dp at the edge. A step
-    of 0 (everyone at risk dies) flows through ln→-inf→exp→0
-    identically in both engines.
+    of 0 (everyone at risk dies, n_risk == n_events) is guarded
+    EXPLICITLY: ln(0) is -inf in neither engine's happy path (DuckDB
+    throws OutOfRangeException; Spark 4.1 under its default ANSI mode
+    errors too), so that case emits the documented sentinel
+    ``ln_step = -1e9`` — exp underflows to exactly 0.0 (IEEE double)
+    in both engines, forcing survival to 0 at and after that t, which
+    is the mathematically correct KM value when the risk set is
+    exhausted.
 
     Plan: one user-grain aggregate (first/last day), one obs_t-grain
     aggregate, then windows over the |distinct obs_t| grid —
@@ -3069,9 +3075,13 @@ def user_survival_km(events: DataFrame, censor_days: int = 7) -> DataFrame:
         .withColumn(
             "ln_step",
             F.when(
+                F.col("n_events") >= F.col("n_risk"), F.lit(-1.0e9)
+            )
+            .when(
                 F.col("n_events") > 0,
                 F.log((F.col("n_risk") - F.col("n_events")) / F.col("n_risk")),
-            ).otherwise(F.lit(0.0)),
+            )
+            .otherwise(F.lit(0.0)),
         )
         .withColumn("ln_surv", F.sum("ln_step").over(w_cum))
     )
@@ -3113,7 +3123,12 @@ obs AS (
            - coalesce(CAST(sum(n_leaving) OVER (ORDER BY obs_t
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
            AS n_risk,
-         CASE WHEN n_events > 0 THEN
+         CASE WHEN n_events >= (
+             (SELECT count(*) FROM obs)
+             - coalesce(CAST(sum(n_leaving) OVER (ORDER BY obs_t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+           ) THEN -1e9
+         WHEN n_events > 0 THEN
            ln((
              ((SELECT count(*) FROM obs)
               - coalesce(CAST(sum(n_leaving) OVER (ORDER BY obs_t

@@ -4286,7 +4286,15 @@ def _q_streaming_ivf_pq_det_ingest(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_survival_km(spark: SparkSession, sf: str) -> DataFrame:
-    return eventflow.user_survival_km(load_table(spark, sf, "events"))
+    # censor_days=1 on purpose: the 30-day fixture is dense (every
+    # user's last event lands within 7 days of the horizon), so the
+    # honest default of 7 yields ZERO churned users at every fixture
+    # scale — a vacuous 0-row parity pair (r10 judge finding #1).
+    # At censor_days=1 the fixture has real churners (17 at sf0.01),
+    # so the oracle hash actually certifies the risk-set/product math.
+    return eventflow.user_survival_km(
+        load_table(spark, sf, "events"), censor_days=1
+    )
 
 
 def _q_psi_temporal(spark: SparkSession, sf: str) -> DataFrame:
@@ -5500,8 +5508,13 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         pq_det.IVF_PQ_DET_INGEST_SQL,
     ),
     # Kaplan-Meier user-lifetime survival with right-censoring (E-15):
-    # exact int risk sets, ordered-window ln-sum product
-    "user_survival_km": (_q_survival_km, eventflow.USER_SURVIVAL_KM_SQL),
+    # exact int risk sets, ordered-window ln-sum product.
+    # censor_days=1 (non-default) so the fixture cohort actually
+    # churns — see _q_survival_km for the vacuity rationale.
+    "user_survival_km": (
+        _q_survival_km,
+        eventflow.user_survival_km_sql(censor_days=1),
+    ),
     # temporal PSI drift monitor (E-17): early-vs-late value
     # distributions per type, Laplace-smoothed equal-width bins,
     # order-independent fixed-point term sum

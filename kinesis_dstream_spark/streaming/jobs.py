@@ -748,11 +748,15 @@ def streaming_ivf_det_ingest(
     twin — a streaming job certified row-for-row by a relational
     oracle.
 
-    Scale shape: per batch, one pushed-projection read of the codes'
-    vec_id column for the anti-join (bloom/MERGE at real scale — the
-    ANN-ingest note applies), one map-side assignment of the batch
-    against k·d literal centroids, one partitioned append.
+    Scale shape: per batch, one map-side assignment against k·d
+    literal centroids, then a replay anti-join that reads ONLY the
+    batch's cell partitions (r11: the frozen quantizer pins each
+    vector to one cell, so the store-side scan is partition-pruned to
+    the touched cells — O(cells), not O(store), per batch; the pruning
+    lives in ``ivf_det_store_append`` so every caller gets it), one
+    partitioned append.
     """
+    from kinesis_dstream_spark import stores
     from kinesis_dstream_spark.operators import clustering
 
     work = tempfile.mkdtemp(prefix="kds_ivfdstream_")
@@ -760,12 +764,12 @@ def streaming_ivf_det_ingest(
     checkpoint_dir = checkpoint_dir or os.path.join(work, "chk")
 
     emb = load_table(spark, sf_dir, "embeddings")
-    meta = os.path.join(store_path, clustering._IVF_DET_META)
-    if not os.path.exists(meta):
+    # gate on read_meta, not os.path.exists: a torn/unparseable sidecar
+    # means "no complete build — rebuild", never hand-repair (r10 ADVICE)
+    if stores.read_meta(store_path, clustering._IVF_DET_META) is None:
         clustering.ivf_det_store_ensure(
             emb.filter(F.col("vec_id") % 5 != 4), store_path
         )
-    codes_path = os.path.join(store_path, "codes")
 
     src = _embeddings_multifile_dir(spark, sf_dir, n_files)
     schema = spark.read.parquet(src).schema
@@ -775,9 +779,10 @@ def streaming_ivf_det_ingest(
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.dropDuplicates(["vec_id"])
-        existing = spark.read.parquet(codes_path).select("vec_id")
-        batch = batch.join(existing, "vec_id", "left_anti")
         if not batch.isEmpty():
+            # replay safety (cell-pruned row anti-join + batch
+            # fingerprint) lives inside the append — no wrapper-side
+            # whole-store scan
             clustering.ivf_det_store_append(batch, store_path)
 
     q = (
@@ -808,10 +813,12 @@ def streaming_ivf_pq_det_ingest(
     shares the batch ingest flow's ``IVF_PQ_DET_INGEST_SQL`` oracle —
     the repo's second hash-certified streaming job.
 
-    Scale shape per batch: one pushed-projection vec_id read for the
-    anti-join, one fused map-side two-level assignment against
-    k·d + m·ksub·(d/m) literals, one partitioned append.
+    Scale shape per batch: one fused map-side two-level assignment
+    against k·d + m·ksub·(d/m) literals, then a replay anti-join that
+    reads ONLY the batch's cell partitions (r11 — pruning lives in
+    ``ivf_pq_det_store_append``), one partitioned append.
     """
+    from kinesis_dstream_spark import stores
     from kinesis_dstream_spark.operators import pq_det
 
     work = tempfile.mkdtemp(prefix="kds_ivfpqstream_")
@@ -819,12 +826,12 @@ def streaming_ivf_pq_det_ingest(
     checkpoint_dir = checkpoint_dir or os.path.join(work, "chk")
 
     emb = load_table(spark, sf_dir, "embeddings")
-    meta = os.path.join(store_path, pq_det._PQ_META)
-    if not os.path.exists(meta):
+    # gate on read_meta, not os.path.exists: a torn/unparseable sidecar
+    # means "no complete build — rebuild", never hand-repair (r10 ADVICE)
+    if stores.read_meta(store_path, pq_det._PQ_META) is None:
         pq_det.ivf_pq_det_store_ensure(
             emb.filter(F.col("vec_id") % 5 != 4), store_path
         )
-    codes_path = os.path.join(store_path, "codes")
 
     src = _embeddings_multifile_dir(spark, sf_dir, n_files)
     schema = spark.read.parquet(src).schema
@@ -834,9 +841,10 @@ def streaming_ivf_pq_det_ingest(
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.dropDuplicates(["vec_id"])
-        existing = spark.read.parquet(codes_path).select("vec_id")
-        batch = batch.join(existing, "vec_id", "left_anti")
         if not batch.isEmpty():
+            # replay safety (cell-pruned row anti-join + batch
+            # fingerprint) lives inside the append — no wrapper-side
+            # whole-store scan
             pq_det.ivf_pq_det_store_append(batch, store_path)
 
     q = (

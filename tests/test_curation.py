@@ -541,3 +541,28 @@ def test_pps_systematic_sample_properties(spark, sf_dir):
         if w >= stride:
             assert picked.get(did, 0) >= 1
         assert abs(picked.get(did, 0) - w / stride) <= 1
+
+
+def test_mixture_budget_solve_saturation_boundary_exact(spark):
+    """r10 ADVICE: at EXACTLY n div a == _EPOCHS_Q_CAP the unsaturated
+    formula computes cap*1e6 (775,807 of int64 headroom) plus remainder
+    terms up to ~1e6 — the old `>` guard let that overflow under ANSI.
+    Constructed so the remainder term alone (780,000) exceeds the
+    headroom; the `>=` guard must saturate instead of throwing."""
+    from kinesis_dstream_spark.operators import curation
+
+    rows = [(i, " ".join(f"a{i}t{j}" for j in range(10)), "en", "srcA", 60)
+            for i in range(10)]  # tokens_available = 100
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    budget = curation._EPOCHS_Q_CAP * 100 + 78  # n div 100 == Q_CAP, r=78
+    got = {
+        r["source"]: r
+        for r in curation.mixture_budget_solve(
+            docs, budget_tokens=budget, target_ppm={"srcA": 1_000_000}
+        ).collect()
+    }["srcA"]
+    assert got["tokens_needed"] == budget
+    assert got["epochs_ppm"] == curation._EPOCHS_PPM_SAT
+    assert got["keep_rate_ppm"] == 1_000_000

@@ -362,3 +362,32 @@ def test_benford_passes_loguniform_fails_uniform(spark):
     assert math.isclose(got["benford"]["digit1_frac"], math.log10(2), abs_tol=0.03)
     assert got["uniform"]["chi_square"] > 100, got["uniform"]
     assert got["uniform"]["digit1_frac"] < 0.2
+
+
+def test_benford_subunit_digits_correct(spark):
+    """r10 ADVICE fix: sub-unit values must contribute their TRUE first
+    significant digit (0.095 -> 9, not cents-rounded 10 -> 1), and
+    near-zero values (< 5e-7, micro fixed-point 0) must be excluded
+    from n entirely rather than inflating totals as phantom digit-0
+    rows."""
+    import datetime as dt
+
+    from kinesis_dstream_spark.operators.dataquality import benford_digit_audit
+
+    ts = dt.datetime(2024, 1, 1)
+    rows = []
+    # 9 copies of 0.095 (digit 9), 3 of 0.0004 (digit 4), 2 near-zero
+    # (excluded), 4 of 2.5 (digit 2)
+    vals = [0.095] * 9 + [0.0004] * 3 + [1e-9, 4e-7] + [2.5] * 4
+    for eid, v in enumerate(vals):
+        rows.append((eid, ts, eid, "sub", v, "{}"))
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    row = benford_digit_audit(events).collect()[0]
+    # n excludes the two near-zero rows: 9 + 3 + 4 = 16
+    assert row["n"] == 16, row
+    # digit-1 share: no digit-1 values at all
+    assert row["digit1_frac"] == 0.0, row

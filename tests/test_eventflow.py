@@ -788,3 +788,57 @@ def test_user_survival_km_matches_pure_python(spark):
         assert math.isclose(got[t]["survival"], round(surv, 6), abs_tol=1e-6)
     # censored users never appear as events anywhere
     assert sum(r["n_events"] for r in got.values()) == 5
+
+def test_user_survival_km_exhausted_risk_set(spark):
+    """Step == 0 edge (r10 ADVICE, medium): when the largest observed
+    lifetime belongs only to churned users, n_risk == n_events at that
+    t — naive ln(0) throws in DuckDB and errors/NULLs in Spark. The
+    guarded sentinel (-1e9 → exp underflow) must yield survival 0.0 in
+    BOTH engines without raising."""
+    import datetime as dt
+
+    import duckdb
+
+    base = dt.datetime(2024, 1, 1)
+    # (user, first_off, last_off); horizon = 30 (user A, censored)
+    spec = [(1, 20, 30), (2, 0, 15), (3, 0, 5)]
+    rows = []
+    eid = 0
+    for u, a, b in spec:
+        for off in (a, b):
+            rows.append(
+                (eid, base + dt.timedelta(days=off), u, "visit", 1.0, "{}")
+            )
+            eid += 1
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {
+        r["t_days"]: r for r in eventflow.user_survival_km(events).collect()
+    }
+    # t=5: risk {1,2,3} d=1 -> S=2/3; t=15: risk {2} d=1 -> step 0, S=0
+    assert set(got) == {5, 15}
+    assert got[5]["n_risk"] == 3 and got[5]["n_events"] == 1
+    assert abs(got[5]["survival"] - round(2 / 3, 6)) < 1e-9
+    assert got[15]["n_risk"] == 1 and got[15]["n_events"] == 1
+    assert got[15]["step_factor"] == 0.0
+    assert got[15]["survival"] == 0.0
+
+    # DuckDB twin on the same rows must agree (and must not throw)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events (event_id BIGINT, ts TIMESTAMP, "
+        "user_id BIGINT, event_type VARCHAR, value DOUBLE, props VARCHAR)"
+    )
+    con.executemany(
+        "INSERT INTO events VALUES (?, ?, ?, ?, ?, ?)", rows
+    )
+    oracle = {
+        r[0]: r
+        for r in con.execute(eventflow.user_survival_km_sql()).fetchall()
+    }
+    assert set(oracle) == {5, 15}
+    assert oracle[15][4] == 0.0  # survival
+    assert oracle[5][4] == round(2 / 3, 6)

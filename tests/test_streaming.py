@@ -997,3 +997,67 @@ def test_streaming_ivf_ingest_replay_safe_and_equals_batch(spark, sf_dir, tmp_pa
         map(tuple, clustering.ivf_det_serve_frozen(emb, batch_store).collect())
     )
     assert batch == first
+
+
+def test_replay_antijoin_reads_only_batch_cells(spark, sf_dir, tmp_path):
+    """r11 (r10 verdict task 2): the replay anti-join's store-side read
+    must carry the batch's cells as a pushed PartitionFilter — the
+    whole-store vec_id scan is the shape that dies at 100 TB. Pins the
+    plan of the shared helper AND that append through it stays
+    row-identical to the pre-pruning semantics (append the same split
+    twice → zero duplicates)."""
+    import os
+
+    from kinesis_dstream_spark.operators import clustering
+    from kinesis_dstream_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    store = str(tmp_path / "idx")
+    clustering.ivf_det_store_ensure(
+        emb.filter(F.col("vec_id") % 5 != 4), store
+    )
+    codes = os.path.join(store, "codes")
+
+    pruned = clustering.replay_existing_vec_ids(spark, codes, [0, 2])
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the cluster_id IN-filter must appear among the partition filters,
+    # not as a post-scan data filter
+    pf = plan[plan.index("PartitionFilters"):]
+    pf = pf[: pf.index("]") + 1]
+    assert "cluster_id" in pf, plan
+
+    # semantics unchanged: re-appending an already-coded split is a no-op
+    tail = emb.filter(F.col("vec_id") % 5 == 4)
+    clustering.ivf_det_store_append(tail, store)
+    n = spark.read.parquet(codes).count()
+    assert n == emb.count()
+    # second delivery of the same rows under a DIFFERENT fingerprint
+    # (subset) exercises the row-level anti-join, not the fast path
+    clustering.ivf_det_store_append(tail.limit(7), store)
+    assert spark.read.parquet(codes).count() == n
+
+
+def test_streaming_ingest_rebuilds_on_torn_meta(spark, sf_dir, tmp_path):
+    """r10 ADVICE: a torn/unparseable _meta.json means 'no complete
+    build' (stores.read_meta → None). The streaming bootstrap must
+    trigger the ensure path and complete, not skip the ensure and then
+    crash in append with FileNotFoundError."""
+    import os
+
+    from kinesis_dstream_spark.operators import pq_det
+    from kinesis_dstream_spark.streaming.jobs import streaming_ivf_pq_det_ingest
+    from kinesis_dstream_spark.tables import load_table
+
+    store = str(tmp_path / "idx")
+    os.makedirs(store)
+    with open(os.path.join(store, pq_det._PQ_META), "w") as f:
+        f.write('{"coarse": [[0, [1, 2')  # torn JSON
+    out = streaming_ivf_pq_det_ingest(
+        spark, sf_dir, store, str(tmp_path / "chk")
+    )
+    assert out.count() > 0
+    emb = load_table(spark, sf_dir, "embeddings")
+    assert (
+        spark.read.parquet(os.path.join(store, "codes")).count() == emb.count()
+    )

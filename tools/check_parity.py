@@ -66,6 +66,7 @@ def main() -> int:
     oracles = entry_mod.oracle_sql()
 
     n_pass = n_fail = n_rowsonly = 0
+    failed: list[str] = []
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -78,6 +79,7 @@ def main() -> int:
             print(f"FAIL {name}: spark error")
             traceback.print_exc()
             n_fail += 1
+            failed.append(name)
             continue
         dt_spark = time.time() - t0
         if name not in oracles:
@@ -93,6 +95,7 @@ def main() -> int:
             print(f"FAIL {name}: duckdb error")
             traceback.print_exc()
             n_fail += 1
+            failed.append(name)
             continue
         dt_duck = time.time() - t0
 
@@ -118,6 +121,19 @@ def main() -> int:
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)}  [{dt_spark:.1f}s/{dt_duck:.1f}s]")
             n_fail += 1
+            failed.append(name)
+        elif len(srows) == 0:
+            # Vacuity gate (r10 judge finding #1): a 0-row oracle pair
+            # hash-matches trivially and certifies nothing about the
+            # operator's math. Fail it so no exhibit can pass vacuously;
+            # an operator whose CORRECT answer is empty at this scale
+            # must be re-parameterized (param twin) until it isn't.
+            print(
+                f"FAIL {name}: VACUOUS (0 rows on both sides — hash match "
+                f"proves nothing)  [{dt_spark:.1f}s/{dt_duck:.1f}s]"
+            )
+            n_fail += 1
+            failed.append(name + " (vacuous)")
         else:
             print(
                 f"PASS {name}: {len(srows)} rows  [spark {dt_spark:.1f}s, duck {dt_duck:.1f}s]"
@@ -125,6 +141,8 @@ def main() -> int:
             n_pass += 1
 
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    if failed:
+        print("failed: " + ", ".join(failed))
     return 1 if n_fail else 0
 
 
