@@ -205,17 +205,25 @@ def _ensure_gov_stores(spark: SparkSession, sf_dir: str, base: str) -> dict[str,
 
     paths["ivf_pq_det_index"] = os.path.join(base, "ivf_pq_det")
     pq_det.ivf_pq_det_store_ensure(emb, paths["ivf_pq_det_index"])
+    # eleventh store (r11): the RESIDUAL IVF-PQ serving index — same
+    # argument at one remove: residual codes are a lossy encoding of
+    # x − c_cell, recoverable to quantizer precision GIVEN the coarse
+    # centroid the sidecar also stores, so both the codes and the
+    # (coarse + residual) model parameters are subject data
+    paths["ivf_pq_res_index"] = os.path.join(base, "ivf_pq_res")
+    pq_det.ivf_pq_res_store_ensure(emb, paths["ivf_pq_res_index"])
     return paths
 
 
 def erasure_report_full(
     spark: SparkSession, sf_dir: str, work_dir: str | None = None
 ) -> DataFrame:
-    """Subject erasure across ALL EIGHT stores — the raw/derived trio of
+    """Subject erasure across ALL ELEVEN stores — the raw/derived trio of
     the basic report PLUS the persisted derived stores that hold
     subject-derived text and vectors on disk: the ANN index, the chunk
-    store, the MinHash dedup index, the near-dup pairs artifact, and
-    (r9) the deterministic-IVF serving index. Erasure that skips these is not
+    store, the MinHash dedup index, the two pair artifacts, and the
+    three deterministic ANN serving indexes (IVF, IVF-PQ, and the r11
+    residual IVF-PQ). Erasure that skips these is not
     erasure — they contain the subject's content verbatim (chunk text,
     shingle hashes, unit vectors).
 
@@ -321,6 +329,19 @@ def erasure_report_full(
         "vec_id",
     )
     ivf_pq_det_store_invalidate(erased_paths["ivf_pq_det_index"])
+    # eleventh store: residual code rows die with the vectors; the
+    # coarse-centroid + residual-codebook pair is refit-poisoned
+    from kinesis_dstream_spark.operators.pq_det import (
+        ivf_pq_res_store_invalidate,
+    )
+
+    erase_parquet_store(
+        spark,
+        os.path.join(erased_paths["ivf_pq_res_index"], "codes"),
+        req_vecs,
+        "vec_id",
+    )
+    ivf_pq_res_store_invalidate(erased_paths["ivf_pq_res_index"])
     erase_parquet_store(
         spark, os.path.join(erased_paths["chunk_store"], "chunks"), req_docs, "doc_id"
     )
@@ -379,6 +400,10 @@ def erasure_report_full(
         "ivf_pq_det_index": (
             os.path.join(pristine["ivf_pq_det_index"], "codes"),
             os.path.join(erased_paths["ivf_pq_det_index"], "codes"),
+        ),
+        "ivf_pq_res_index": (
+            os.path.join(pristine["ivf_pq_res_index"], "codes"),
+            os.path.join(erased_paths["ivf_pq_res_index"], "codes"),
         ),
         "chunk_store": (
             os.path.join(pristine["chunk_store"], "chunks"),
@@ -468,7 +493,7 @@ SELECT 'minute_granules', before, erased, before - erased FROM gran
 _DUCK_TOKS_GOV = "str_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')"
 
 def erasure_full_sql(pairs_sql: str, setsim_sql: str | None = None) -> str:
-    """Nine-store DuckDB twin; each pairs-artifact accounting re-derives
+    """Eleven-store DuckDB twin; each pairs-artifact accounting re-derives
     its artifact from the SAME pair definition the registry uses (pass
     ``_SQL_DEDUP_JACCARD`` / ``_SQL_SETSIM_PREFIX`` — parameter
     discipline, no silently diverging copies of the pair joins)."""
@@ -555,4 +580,8 @@ UNION ALL
 -- tenth store (r10): the deterministic IVF-PQ codes table also holds
 -- exactly one (vec_id, pq codes, cluster_id) row per vector
 SELECT 'ivf_pq_det_index', before, erased, before - erased FROM ann
+UNION ALL
+-- eleventh store (r11): the residual IVF-PQ codes table — one
+-- residual-code row per vector, same cardinality law
+SELECT 'ivf_pq_res_index', before, erased, before - erased FROM ann
 """

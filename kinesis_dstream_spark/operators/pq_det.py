@@ -537,23 +537,46 @@ def ann_ivf_pq_res_topk(
     ``rpq{s}:`` seed draws, and ``ANN_IVF_PQ_RES_SQL`` unrolls it all.
 
     Self-contained fit+serve exhibit (like ``ann_pq_det_topk``); the
-    persisted-store lifecycle drops in unchanged — the meta sidecar
-    would carry coarse + residual codebooks exactly as the direct
-    store's carries coarse + direct ones.
+    persisted-store lifecycle (r11: ``ivf_pq_res_store_ensure`` /
+    ``_append`` / ``ann_ivf_pq_res_serve``) reuses this exact serve
+    via ``_ivf_pq_res_serve_from`` — one code path, one oracle.
 
     Why residual: the residual cloud is centered and tighter than the
     raw corpus, so the same ksub codes spend their resolution on
     within-cell structure — pytest proves total reconstruction error
     strictly below direct PQ on clustered data (the textbook claim).
     """
-    from kinesis_dstream_spark.operators.clustering import _dot_fold_sql
-
     iarr, coarse_asg, coarse = _fit_kmeans(embeddings, k, n_assign)
     resid = _residual_arrays(coarse_asg, coarse)
     rcodes, rcbs = _fit_pq(
         resid.select("vec_id", "iu"), m, dsub, ksub, n_assign, tag="rpq"
     )
     codes = rcodes.join(coarse_asg.select("vec_id", "cluster_id"), "vec_id")
+    return _ivf_pq_res_serve_from(
+        embeddings, codes, coarse, rcbs, n_queries, topk, n_probe,
+        shortlist, m, dsub,
+    )
+
+
+def _ivf_pq_res_serve_from(
+    embeddings: DataFrame,
+    codes: DataFrame,
+    coarse: list[tuple[int, list[int]]],
+    rcbs: Codebooks,
+    n_queries: int,
+    topk: int,
+    n_probe: int,
+    shortlist: int,
+    m: int = _M,
+    dsub: int = _DSUB,
+) -> DataFrame:
+    """The residual serve, shared by the flat fit+serve exhibit and the
+    persisted-store paths (the ``_ivf_pq_serve_from`` convention):
+    probe → residual ADC (exact q·c_cell term + raw-query-slice LUTs
+    against the residual codebooks) → shortlist → exact rerank."""
+    from kinesis_dstream_spark.operators.clustering import _dot_fold_sql
+
+    iarr = _unit_int_arrays(embeddings)
     queries = iarr.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), F.col("iu").alias("q_iu")
     )
@@ -609,6 +632,212 @@ def ann_ivf_pq_res_topk(
         .filter(F.col("rk") <= topk)
         .select("q_id", "c_id", "dot_num", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Residual IVF-PQ persisted store (r11, r10 verdict task 6): the flat
+# residual exhibit above gets the full lifecycle the direct-PQ store has
+# — production FAISS serves residual codes from the inverted file, not
+# from a fit-per-call scan.
+# ---------------------------------------------------------------------------
+
+_RES_META = "_meta_res.json"  # distinct name: a path could host either kind
+
+
+def ivf_pq_res_store_ensure(
+    embeddings: DataFrame,
+    path: str,
+    k: int = 8,
+    n_assign: int = _N_ASSIGN,
+    m: int = _M,
+    dsub: int = _DSUB,
+    ksub: int = _KSUB,
+) -> tuple[list[tuple[int, list[int]]], Codebooks, DataFrame]:
+    """Build-if-absent persisted RESIDUAL IVF-PQ index: codes are the
+    residual-codebook assignments of x − c_cell, written parquet
+    partitioned by the coarse cluster_id; the meta sidecar versions the
+    coarse centroids AND the residual codebooks together (they are one
+    model — a residual code is meaningless without the centroid it was
+    recentered against). Same crash-safety contract as the direct
+    store (poison-first rebuild, atomic meta-last)."""
+    import os
+
+    from kinesis_dstream_spark import stores
+    from kinesis_dstream_spark.operators.ann_index import corpus_fingerprint
+
+    fp = corpus_fingerprint(
+        embeddings, ivf_pq_res=(k, n_assign, m, dsub, ksub)
+    )
+    codes_path = os.path.join(path, "codes")
+    stored = stores.read_meta(path, _RES_META)
+    if stored is None or stored.get("fingerprint") != fp:
+        stores.remove_meta(path, _RES_META)
+        iarr, coarse_asg, coarse = _fit_kmeans(embeddings, k, n_assign)
+        resid = _residual_arrays(coarse_asg, coarse)
+        rcodes, rcbs = _fit_pq(
+            resid.select("vec_id", "iu"), m, dsub, ksub, n_assign, tag="rpq"
+        )
+        rcodes.join(
+            coarse_asg.select("vec_id", "cluster_id"), "vec_id"
+        ).write.mode("overwrite").partitionBy("cluster_id").parquet(codes_path)
+        stored = {
+            "fingerprint": fp,
+            "kind": "residual",
+            "params": [k, n_assign, m, dsub, ksub],
+            "coarse": [[cid, coords] for cid, coords in coarse],
+            "codebooks": [
+                [[cid, coords] for cid, coords in cb] for cb in rcbs
+            ],
+        }
+        stores.write_meta(path, stored, _RES_META)  # LAST: build complete
+    coarse = [(int(c), [int(x) for x in v]) for c, v in stored["coarse"]]
+    rcbs = [
+        [(int(c), [int(x) for x in v]) for c, v in cb]
+        for cb in stored["codebooks"]
+    ]
+    codes = embeddings.sparkSession.read.parquet(codes_path)
+    return coarse, rcbs, codes
+
+
+def ivf_pq_res_store_invalidate(path: str) -> None:
+    """Erasure hook: coarse centroids and residual codebooks are model
+    parameters trained on the full corpus — poison the fingerprint so
+    the next ensure() refits on the erased corpus (the shared
+    ``*_store_invalidate`` contract)."""
+    from kinesis_dstream_spark import stores
+
+    meta = stores.read_meta(path, _RES_META)
+    if meta is not None:
+        meta["fingerprint"] = "invalidated-by-erasure"
+        stores.write_meta(path, meta, _RES_META)
+
+
+def ann_ivf_pq_res_serve(
+    embeddings: DataFrame,
+    path: str,
+    n_queries: int = 10,
+    topk: int = 5,
+    n_probe: int = 2,
+    shortlist: int = 20,
+    k: int = 8,
+    n_assign: int = _N_ASSIGN,
+    m: int = _M,
+    dsub: int = _DSUB,
+    ksub: int = _KSUB,
+) -> DataFrame:
+    """Store-backed residual serve: ensure (build-if-absent) then probe
+    → residual ADC over ONLY the probed cell partitions → exact rerank.
+    Ensure-on-the-full-corpus makes this value-identical to the flat
+    ``ann_ivf_pq_res_topk``, so the SAME ``ANN_IVF_PQ_RES_SQL`` oracle
+    certifies the persisted round-trip (write codes → read back →
+    serve) — the ``ivf_pq_det_serve`` convention."""
+    coarse, rcbs, codes = ivf_pq_res_store_ensure(
+        embeddings, path, k, n_assign, m, dsub, ksub
+    )
+    return _ivf_pq_res_serve_from(
+        embeddings, codes, coarse, rcbs, n_queries, topk, n_probe,
+        shortlist, m, dsub,
+    )
+
+
+def ivf_pq_res_serve_frozen(
+    embeddings: DataFrame,
+    path: str,
+    n_queries: int = 10,
+    topk: int = 5,
+    n_probe: int = 2,
+    shortlist: int = 20,
+) -> DataFrame:
+    """Serve the residual store AS-IS (frozen quantizers + whatever
+    ingest appended); a missing/torn meta refuses rather than scanning
+    a half-rebuilt store (the ``*_serve_frozen`` contract)."""
+    import os
+
+    from kinesis_dstream_spark import stores
+
+    meta = stores.read_meta(path, _RES_META)
+    if meta is None:
+        raise FileNotFoundError(
+            f"ivf_pq_res_serve_frozen: no complete store at {path} "
+            "(missing/torn meta sidecar — a rebuild may be in flight); "
+            "run ivf_pq_res_store_ensure"
+        )
+    coarse = [(int(c), [int(x) for x in v]) for c, v in meta["coarse"]]
+    rcbs = [
+        [(int(c), [int(x) for x in v]) for c, v in cb]
+        for cb in meta["codebooks"]
+    ]
+    _, _, m, dsub, _ = meta["params"]
+    codes = embeddings.sparkSession.read.parquet(os.path.join(path, "codes"))
+    return _ivf_pq_res_serve_from(
+        embeddings, codes, coarse, rcbs, n_queries, topk, n_probe,
+        shortlist, m, dsub,
+    )
+
+
+def ivf_pq_res_store_append(embeddings_new: DataFrame, path: str) -> None:
+    """Incremental ingest for the residual store: frozen coarse assign
+    → recenter against the assigned centroid → frozen residual-codebook
+    encode → append to the cell partitions. Nothing refits (the shared
+    append contract); replay-safe via the capped batch-fingerprint fast
+    path plus the CELL-PRUNED row anti-join (the batch's coarse cells
+    are known before the store is touched, so the replay read lists
+    only those partitions — ``replay_existing_vec_ids``)."""
+    import os
+
+    from kinesis_dstream_spark import stores
+    from kinesis_dstream_spark.operators.ann_index import corpus_fingerprint
+    from kinesis_dstream_spark.operators.clustering import (
+        _assign,
+        replay_existing_vec_ids,
+    )
+
+    meta = stores.read_meta(path, _RES_META)
+    if meta is None:
+        raise FileNotFoundError(
+            f"ivf_pq_res_store_append: no complete store at {path} "
+            "(missing/torn meta sidecar) — run ivf_pq_res_store_ensure first"
+        )
+    fp_new = corpus_fingerprint(embeddings_new, ivf_pq_res_append=True)
+    if fp_new in meta.get("appended", []):
+        return
+    coarse = [(int(c), [int(x) for x in v]) for c, v in meta["coarse"]]
+    rcbs = [
+        [(int(c), [int(x) for x in v]) for c, v in cb]
+        for cb in meta["codebooks"]
+    ]
+    _, _, m, dsub, _ = meta["params"]
+    codes_path = os.path.join(path, "codes")
+    spark = embeddings_new.sparkSession
+    asg = _assign(
+        _unit_int_arrays(embeddings_new).dropDuplicates(["vec_id"]), coarse
+    ).select("vec_id", "iu", "cluster_id").persist()
+    try:
+        cells = [
+            int(r[0]) for r in asg.select("cluster_id").distinct().collect()
+        ]
+        if cells:
+            existing = replay_existing_vec_ids(spark, codes_path, cells)
+            fresh = asg.join(existing, "vec_id", "left_anti").localCheckpoint()
+            if not fresh.isEmpty():
+                # recenter, then one fused frozen encode of all m slices
+                resid = _residual_arrays(
+                    fresh.select("vec_id", "cluster_id", "iu"), coarse
+                )
+                rows = _fused_assign_codes(
+                    resid.select("vec_id", "iu"), rcbs, dsub
+                ).join(fresh.select("vec_id", "cluster_id"), "vec_id")
+                rows.select(
+                    "vec_id", *[f"code{s}" for s in range(m)], "cluster_id"
+                ).write.mode("append").partitionBy("cluster_id").parquet(
+                    codes_path
+                )
+    finally:
+        asg.unpersist()
+    appended = meta.get("appended", [])
+    appended.append(fp_new)
+    meta["appended"] = appended[-_PQ_APPEND_LOG_CAP:]
+    stores.write_meta(path, meta, _RES_META)
 
 
 _PQ_APPEND_LOG_CAP = 64  # same rationale as clustering._IVF_DET_APPEND_LOG_CAP
@@ -1209,6 +1438,117 @@ SELECT q_id, c_id, dot_num, rk FROM (
 
 
 ANN_IVF_PQ_RES_SQL = ann_ivf_pq_res_sql()
+
+
+def ivf_pq_res_ingest_sql(
+    fit_pred: str = "vec_id % 5 <> 4",
+    n_queries: int = 10,
+    topk: int = 5,
+    n_probe: int = 2,
+    shortlist: int = 20,
+    k: int = 8,
+    n_assign: int = _N_ASSIGN,
+    m: int = _M,
+    dsub: int = _DSUB,
+    ksub: int = _KSUB,
+) -> str:
+    """Twin of the residual frozen-quantizer ingest flow (r11: ensure
+    on the ``fit_pred`` base + append the rest + serve over the
+    union): the coarse level fits on the base only, ALL vectors take
+    their frozen assignment (``aall``), residuals recenter EVERY
+    vector against its frozen centroid (``rlg`` reads aall — for base
+    vectors aall ≡ the fit's own final assignment, same centroids,
+    same min-cid tie rule), the residual subspace chains fit on the
+    base residuals and encode all (``pall_{s}`` → ``pqcodes``), and
+    the serve reads those — ingest refits NOTHING, at either level,
+    relationally proven."""
+    cent_tbl = f"c{n_assign - 1}" if n_assign > 1 else "c0"
+    pc = (lambda s: f"pc{n_assign - 1}_{s}" if n_assign > 1 else f"pc0_{s}")
+    lut_joins = " ".join(
+        f"JOIN ql{s} q{s} ON q{s}.q_id = p.q_id AND q{s}.cid = x.code{s}"
+        for s in range(m)
+    )
+    adc = "qlc.cdot + " + " + ".join(f"q{s}.dot" for s in range(m))
+    sql = kmeans_oracle_cte(k=k, n_assign=n_assign, fit_pred=fit_pred)
+    sql += f""", dall AS (
+  SELECT l.vec_id, c.cid,
+         CAST(sum((l.iu - c.cv) * (l.iu - c.cv)) AS BIGINT) AS dist
+  FROM lg l JOIN {cent_tbl} c ON c.pos = l.pos GROUP BY 1, 2
+), mall AS (SELECT vec_id, min(dist) AS md FROM dall GROUP BY 1),
+aall AS (
+  SELECT d.vec_id, min(d.cid) AS cid
+  FROM dall d JOIN mall ON mall.vec_id = d.vec_id AND d.dist = mall.md
+  GROUP BY 1
+), rlg AS (
+  SELECT l.vec_id, l.pos, l.iu - c.cv AS ru
+  FROM lg l
+  JOIN aall a ON a.vec_id = l.vec_id
+  JOIN {cent_tbl} c ON c.cid = a.cid AND c.pos = l.pos
+), riarr AS (
+  SELECT vec_id, list(ru ORDER BY pos) AS iu FROM rlg GROUP BY 1
+)"""
+    sql += _pq_chain_sql(
+        m, dsub, ksub, n_assign, fit_pred=fit_pred, tag="rpq", src="riarr"
+    )
+    for s in range(m):
+        lo, hi = s * dsub + 1, (s + 1) * dsub
+        sql += f""", lq{s} AS (
+  SELECT vec_id, unnest(generate_series(1, {dsub})) AS pos,
+         unnest(iu[{lo}:{hi}]) AS su
+  FROM iarr WHERE vec_id < {n_queries}
+), ql{s} AS (
+  SELECT l.vec_id AS q_id, c.cid, CAST(sum(l.su * c.cv) AS BIGINT) AS dot
+  FROM lq{s} l JOIN {pc(s)} c ON c.pos = l.pos
+  GROUP BY 1, 2
+)"""
+    sql += f""", qlc AS (
+  SELECT l.vec_id AS q_id, c.cid, CAST(sum(l.iu * c.cv) AS BIGINT) AS cdot
+  FROM lg l JOIN {cent_tbl} c ON c.pos = l.pos
+  WHERE l.vec_id < {n_queries}
+  GROUP BY 1, 2
+), qd AS (
+  SELECT l.vec_id AS q_id, c.cid,
+         CAST(sum((l.iu - c.cv) * (l.iu - c.cv)) AS BIGINT) AS cd
+  FROM lg l JOIN {cent_tbl} c ON c.pos = l.pos
+  WHERE l.vec_id < {n_queries}
+  GROUP BY 1, 2
+), probes AS (
+  SELECT q_id, cid FROM (
+    SELECT q_id, cid, row_number() OVER (PARTITION BY q_id ORDER BY cd, cid) AS pr
+    FROM qd
+  ) WHERE pr <= {n_probe}
+), short AS (
+  SELECT q_id, c_id FROM (
+    SELECT p.q_id, x.vec_id AS c_id,
+           row_number() OVER (PARTITION BY p.q_id
+                              ORDER BY CAST({adc} AS BIGINT) DESC, x.vec_id)
+             AS srk
+    FROM probes p
+    JOIN aall cell ON cell.cid = p.cid
+    JOIN pqcodes x ON x.vec_id = cell.vec_id
+    JOIN qlc ON qlc.q_id = p.q_id AND qlc.cid = p.cid
+    {lut_joins}
+    WHERE x.vec_id <> p.q_id
+  ) WHERE srk <= {shortlist}
+)
+SELECT q_id, c_id, dot_num, rk FROM (
+  SELECT s.q_id, s.c_id,
+         CAST(list_reduce(list_transform(list_zip(qi.iu, ci.iu),
+                                         z -> z[1] * z[2]),
+                          (x, y) -> x + y) AS BIGINT) AS dot_num,
+         row_number() OVER (PARTITION BY s.q_id
+                            ORDER BY CAST(list_reduce(list_transform(
+                                list_zip(qi.iu, ci.iu), z -> z[1] * z[2]),
+                                (x, y) -> x + y) AS BIGINT) DESC, s.c_id) AS rk
+  FROM short s
+  JOIN iarr qi ON qi.vec_id = s.q_id
+  JOIN iarr ci ON ci.vec_id = s.c_id
+) WHERE rk <= {topk}
+"""
+    return sql
+
+
+IVF_PQ_RES_INGEST_SQL = ivf_pq_res_ingest_sql()
 
 
 def pq_code_stats_sql(

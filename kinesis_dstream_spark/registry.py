@@ -1894,6 +1894,27 @@ def _q_ann_ivf_pq_res(spark: SparkSession, sf: str) -> DataFrame:
     return pq_det.ann_ivf_pq_res_topk(load_table(spark, sf, "embeddings"))
 
 
+def _q_ann_ivf_pq_res_serve(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.operators import pq_det
+
+    return pq_det.ann_ivf_pq_res_serve(
+        load_table(spark, sf, "embeddings"), _store_path("ivf_pq_res", sf)
+    )
+
+
+def _q_ivf_pq_res_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """Residual twin of _q_ivf_pq_det_ingest: build on the 80% base,
+    ingest the 20% remainder against the FROZEN coarse centroids and
+    frozen residual codebooks, serve over the union."""
+    from kinesis_dstream_spark.operators import pq_det
+
+    emb = load_table(spark, sf, "embeddings")
+    path = _store_path("ivf_pq_res_ing", sf)
+    pq_det.ivf_pq_res_store_ensure(emb.filter(F.col("vec_id") % 5 != 4), path)
+    pq_det.ivf_pq_res_store_append(emb.filter(F.col("vec_id") % 5 == 4), path)
+    return pq_det.ivf_pq_res_serve_frozen(emb, path)
+
+
 def _q_udaf_weighted_mean(spark: SparkSession, sf: str) -> DataFrame:
     from kinesis_dstream_spark.operators import udfs
 
@@ -4307,6 +4328,12 @@ def _q_dedup_sorted_neighborhood_three(spark: SparkSession, sf: str) -> DataFram
     )
 
 
+def _q_sorted_nbhd_accounting(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.sorted_neighborhood_accounting(
+        load_table(spark, sf, "documents")
+    )
+
+
 def _q_pps_sample(spark: SparkSession, sf: str) -> DataFrame:
     return curation.pps_systematic_sample(load_table(spark, sf, "documents"))
 
@@ -4662,6 +4689,40 @@ JOIN sz sa ON sa.doc_id = i.doc_a
 JOIN sz sb ON sb.doc_id = i.doc_b
 WHERE {t_den} * i.n_inter >= {t_num} * (sa.sz + sb.sz - i.n_inter)
 """
+
+
+def _sorted_nbhd_accounting_sql(
+    window: int = 4,
+    key_len: int = 24,
+    passes: tuple = ("prefix", "suffix", "tokens"),
+) -> str:
+    """Twin of ``dedup.sorted_neighborhood_accounting`` — same key
+    expressions, same closed-form candidate count and missed-pair
+    shortfall (consecutive-int products keep the trunc-div exact)."""
+    w = int(window)
+    parts = []
+    for kind in passes:
+        missed = (
+            f"b * (b - 1) // 2 - (least({w}, b - 1) * b "
+            f"- least({w}, b - 1) * (least({w}, b - 1) + 1) // 2)"
+        )
+        parts.append(f"""SELECT '{kind}' AS kind,
+       CAST(sum(b) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(max(b) AS BIGINT) AS max_block,
+       CAST(sum(CASE WHEN b > {w + 1} THEN 1 ELSE 0 END) AS BIGINT)
+         AS blocks_over_window,
+       CAST(sum({missed}) AS BIGINT) AS missed_intra_pairs,
+       CAST(least({w}, CAST(sum(b) AS BIGINT) - 1) * CAST(sum(b) AS BIGINT)
+            - least({w}, CAST(sum(b) AS BIGINT) - 1)
+              * (least({w}, CAST(sum(b) AS BIGINT) - 1) + 1) // 2
+            AS BIGINT) AS n_candidates
+FROM (SELECT {_nbhd_key_sql(key_len, kind)} AS bk, count(*) AS b
+      FROM documents GROUP BY 1)""")
+    return "\nUNION ALL\n".join(parts)
+
+
+_SQL_SORTED_NBHD_ACCOUNTING = _sorted_nbhd_accounting_sql()
 
 
 _SQL_SORTED_NEIGHBORHOOD = _sorted_neighborhood_sql()
@@ -5540,6 +5601,31 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # winnowing/MOSS local fingerprints (E-12): window-min k-gram
     # hashes with the shared-substring guarantee
     "winnowing_fingerprints": (_q_winnowing, text.WINNOWING_SQL),
+    # ---- r11 entries (registry discipline: after the frozen 50) ----
+    # residual IVF-PQ persisted store (r11): the FAISS shape served
+    # from the inverted file — ensure writes residual codes partitioned
+    # by coarse cell; serve is probe → residual ADC over probed
+    # partitions → exact rerank. Ensure-on-full-corpus makes the store
+    # round-trip value-identical to the flat exhibit, so the same
+    # oracle certifies persistence.
+    "ann_ivf_pq_res_serve": (_q_ann_ivf_pq_res_serve, pq_det.ANN_IVF_PQ_RES_SQL),
+    # residual frozen-quantizer ingest (r11): ensure on the 80% base,
+    # append the 20% remainder (frozen coarse + frozen residual
+    # codebooks + cell-pruned replay anti-join), serve the union —
+    # relationally proven to refit nothing at either level
+    "ann_ivf_pq_res_ingest_serve": (
+        _q_ivf_pq_res_ingest,
+        pq_det.IVF_PQ_RES_INGEST_SQL,
+    ),
+    # sorted-neighborhood pre-flight accounting (r11, verdict task 5):
+    # per blocking key — exact closed-form candidate count (skew-
+    # INDEPENDENT: rank-window, not equi-join blocking, so candidate
+    # blowup is structurally impossible) plus the recall shortfall of
+    # over-window identical-key blocks (the cost key skew DOES impose)
+    "sorted_nbhd_accounting": (
+        _q_sorted_nbhd_accounting,
+        _SQL_SORTED_NBHD_ACCOUNTING,
+    ),
 }
 
 

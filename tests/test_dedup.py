@@ -925,3 +925,51 @@ def test_setsim_cap_bounds_degenerate_corpus(spark):
         map(tuple, dedup.dedup_setsim_prefix(benign, max_key_rows=64).collect())
     )
     assert a == b and len(a) >= 1
+
+
+def test_sorted_nbhd_accounting_formula_matches_actual_pairs(spark, sf_dir):
+    """The accounting query's closed-form n_candidates must equal the
+    ACTUAL pair count the neighborhood join emits (the skew-
+    independence proof: rank-window candidates are a function of n
+    alone), and the missed-pair shortfall must be zero exactly when no
+    identical-key block exceeds window+1."""
+    from kinesis_dstream_spark.operators import dedup
+    from kinesis_dstream_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    acct = {r["kind"]: r for r in
+            dedup.sorted_neighborhood_accounting(docs).collect()}
+    for kind, key_fn in (
+        ("prefix", dedup._nbhd_key_prefix),
+        ("tokens", dedup._nbhd_key_tokens),
+    ):
+        actual = dedup._nbhd_candidate_pairs(docs, key_fn(24), 4).count()
+        assert acct[kind]["n_candidates"] == actual, kind
+        if acct[kind]["max_block"] <= 5:  # window + 1
+            assert acct[kind]["missed_intra_pairs"] == 0
+
+
+def test_sorted_nbhd_accounting_degenerate_corpus(spark):
+    """Adversarial: 200 docs sharing ONE token multiset (the near-
+    duplicate-heavy degenerate case the r10 verdict flagged). The
+    token-key pass must still emit exactly w·n − w(w+1)/2 candidates —
+    NOT C(200,2) — while the accounting reports the recall shortfall."""
+    from kinesis_dstream_spark.operators import dedup
+
+    n, w = 200, 4
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta", "en", "src", 23) for i in range(n)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    acct = {r["kind"]: r for r in
+            dedup.sorted_neighborhood_accounting(docs).collect()}
+    tok = acct["tokens"]
+    assert tok["max_block"] == n
+    expected = w * n - w * (w + 1) // 2
+    assert tok["n_candidates"] == expected
+    actual = dedup._nbhd_candidate_pairs(
+        docs, dedup._nbhd_key_tokens(24), w
+    ).count()
+    assert actual == expected
+    # recall shortfall: C(n,2) intra-block pairs minus the generated
+    assert tok["missed_intra_pairs"] == n * (n - 1) // 2 - expected

@@ -316,3 +316,52 @@ def test_codes_table_is_cell_partitioned_and_one_row_per_vector(
     codes = spark.read.parquet(codes_dir)
     assert codes.count() == emb.count()
     assert codes.select("vec_id").distinct().count() == emb.count()
+
+
+def test_res_store_lifecycle_matches_flat_and_replays(spark, sf_dir, tmp_path):
+    """r11 residual store: (1) ensure-on-full-corpus + serve equals the
+    flat fit-per-call exhibit row-for-row (the shared-oracle claim);
+    (2) frozen append of an already-coded split adds zero rows (cell-
+    pruned replay anti-join); (3) serve_frozen refuses a torn meta."""
+    import os
+
+    from kinesis_dstream_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    store = str(tmp_path / "res_idx")
+    served = sorted(
+        map(tuple, pq_det.ann_ivf_pq_res_serve(emb, store).collect())
+    )
+    flat = sorted(map(tuple, pq_det.ann_ivf_pq_res_topk(emb).collect()))
+    assert served == flat
+
+    codes = os.path.join(store, "codes")
+    n = spark.read.parquet(codes).count()
+    assert n == emb.count()
+    # replay: subset re-delivery exercises the row anti-join
+    pq_det.ivf_pq_res_store_append(emb.limit(9), store)
+    assert spark.read.parquet(codes).count() == n
+
+    with open(os.path.join(store, pq_det._RES_META), "w") as f:
+        f.write('{"torn')
+    with pytest.raises(FileNotFoundError):
+        pq_det.ivf_pq_res_serve_frozen(emb, store)
+
+
+def test_res_ingest_serve_union_covers_all_vectors(spark, sf_dir, tmp_path):
+    """Ensure on the 80% base + frozen append of the 20% remainder must
+    leave exactly one residual-code row per corpus vector, in the cell
+    the FROZEN coarse quantizer assigns (no refit drift)."""
+    import os
+
+    from kinesis_dstream_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    store = str(tmp_path / "res_ing")
+    pq_det.ivf_pq_res_store_ensure(emb.filter(F.col("vec_id") % 5 != 4), store)
+    pq_det.ivf_pq_res_store_append(emb.filter(F.col("vec_id") % 5 == 4), store)
+    codes = spark.read.parquet(os.path.join(store, "codes"))
+    assert codes.count() == emb.count()
+    assert codes.select("vec_id").distinct().count() == emb.count()
+    out = pq_det.ivf_pq_res_serve_frozen(emb, store)
+    assert out.count() == 50  # 10 queries x topk 5
