@@ -418,6 +418,11 @@ BENCH_QUERIES = {
     "pps_sample": "pps_systematic_sample",
     "benford_audit": "benford_digit_audit",
     "winnowing": "winnowing_fingerprints",
+    # r11 wave: residual IVF-PQ store (recurring serve + frozen ingest)
+    # and the sorted-neighborhood pre-flight accounting
+    "ann_ivf_pq_res_serve": "ann_ivf_pq_res_serve",
+    "ann_ivf_pq_res_ingest": "ann_ivf_pq_res_ingest_serve",
+    "sorted_nbhd_accounting": "sorted_nbhd_accounting",
 }
 
 

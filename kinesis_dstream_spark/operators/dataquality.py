@@ -1379,3 +1379,109 @@ SELECT event_type, max(n) AS n,
              / CAST(max(n) AS DOUBLE), 6) AS digit1_frac
 FROM terms GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# PII audit (r11): the compliance pre-flight an LLM training pipeline
+# runs before a corpus ships — count, per source, how many documents
+# carry each recognizable PII class and how many instances. Detection
+# is regex over four classes chosen for ENGINE-IDENTICAL semantics
+# (ASCII \d and \b behave the same under Java regex and RE2; no
+# lookarounds, no unicode classes). Pattern strings are module
+# constants shared verbatim by the Spark builder and the DuckDB twin —
+# one definition, zero drift.
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS: dict[str, str] = {
+    # local-part@domain.tld — the pragmatic email shape (full RFC 5322
+    # needs backtracking constructs RE2 refuses)
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    # NANP-style 555-123-4567 / 555.123.4567
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    # US SSN 123-45-6789
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    # dotted-quad IPv4 (over-matches 999.9.9.9 — an audit counts
+    # candidates; octet range-checking is the redactor's job)
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_audit(documents: DataFrame) -> DataFrame:
+    """Per-source PII exposure report: docs scanned, and per class the
+    count of documents containing ≥1 match plus the total instance
+    count. Zero-hit sources still report (a compliance report that
+    omits clean sources can't prove it scanned them) — so the output
+    is one row per source at every fixture scale, never vacuous, even
+    on the synthetic corpus where all counts are 0 (the constructed-
+    PII pytest exercises the positive path and redaction).
+
+    Plan: one corpus scan, regexp_count per class fused into a single
+    projection (JVM-side codegen — no Python), one per-source
+    aggregate. Both engines scan left-to-right non-overlapping, so
+    instance counts match exactly.
+    """
+    proj = [F.col("source")]
+    for cls, pat in PII_PATTERNS.items():
+        proj.append(F.regexp_count("text", F.lit(pat)).alias(f"n_{cls}"))
+    hits = documents.select(*proj)
+    aggs = [F.count(F.lit(1)).alias("docs_scanned")]
+    for cls in PII_PATTERNS:
+        aggs.append(
+            F.sum(
+                F.when(F.col(f"n_{cls}") > 0, F.lit(1)).otherwise(F.lit(0))
+            ).cast("long").alias(f"docs_with_{cls}")
+        )
+        aggs.append(F.sum(f"n_{cls}").cast("long").alias(f"total_{cls}"))
+    return hits.groupBy("source").agg(*aggs)
+
+
+def pii_redact(documents: DataFrame) -> DataFrame:
+    """Redaction pass: every PII match replaced by its class tag
+    (<EMAIL>, <PHONE>, ...), all classes applied in the fixed
+    PII_PATTERNS order (order matters: SSN is a substring shape of
+    phone's alternatives, so each class must see the already-redacted
+    text of the previous ones — both engines compose identically).
+    Emits ONLY touched documents (doc_id, n_redactions, text_redacted):
+    the common case writes nothing back. Covered by the constructed
+    pytest, not an oracle entry — on the clean fixture the correct
+    output is empty, which the vacuity gate rightly refuses to count
+    as certification."""
+    total = None
+    redacted = F.col("text")
+    for cls, pat in PII_PATTERNS.items():
+        n = F.regexp_count("text", F.lit(pat))
+        total = n if total is None else total + n
+        redacted = F.regexp_replace(redacted, pat, f"<{cls.upper()}>")
+    return (
+        documents.select(
+            "doc_id", total.alias("n_redactions"), redacted.alias("text_redacted")
+        )
+        .filter(F.col("n_redactions") > 0)
+    )
+
+
+def pii_audit_sql() -> str:
+    """DuckDB twin — the SAME PII_PATTERNS constants, instance counts
+    via len(regexp_extract_all) (RE2 scans left-to-right non-
+    overlapping, exactly like Java's Matcher.find loop)."""
+    cols = []
+    for cls, pat in PII_PATTERNS.items():
+        # DuckDB single-quoted strings do NOT process backslash escapes
+        # (standard SQL), so the pattern passes through verbatim — only
+        # quotes need doubling
+        esc = pat.replace("'", "''")
+        cols.append(
+            f"CAST(sum(CASE WHEN len(regexp_extract_all(text, '{esc}')) > 0 "
+            f"THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_{cls},\n       "
+            f"CAST(sum(len(regexp_extract_all(text, '{esc}'))) AS BIGINT) "
+            f"AS total_{cls}"
+        )
+    cols_sql = ",\n       ".join(cols)
+    return f"""
+SELECT source, CAST(count(*) AS BIGINT) AS docs_scanned,
+       {cols_sql}
+FROM documents GROUP BY 1
+"""
+
+
+PII_AUDIT_SQL = pii_audit_sql()

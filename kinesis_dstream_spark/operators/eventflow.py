@@ -3008,6 +3008,125 @@ FROM dec d JOIN bands b ON b.event_type = d.event_type
 SEASONAL_ANOMALY_SQL = seasonal_anomaly_sql()
 
 
+def cusum_shift_detection(
+    events: DataFrame,
+    allowance_ppm: int = 200_000,
+    h_ppm: int = 2_000_000,
+) -> DataFrame:
+    """One-sided CUSUM upward-shift detection on the per-type DAILY
+    COUNT series (E-15 depth, r11) — the classic sequential change-
+    point monitor (Page 1954): the EWMA/seasonal-band anomaly ops
+    above flag single outlier days; CUSUM accumulates SMALL sustained
+    shifts that never individually cross a band, which is how traffic
+    ramps and slow regressions actually present.
+
+    Estimator, all integer: with n grid days and N total events per
+    type, the scaled daily deviation is x'_d = (c_d·n − N)·10⁶ −
+    allowance_ppm·N (counts are scaled by n so the mean needs no
+    division; the allowance is the slack k in mean-days/day). The
+    recursion S_d = max(0, S_{d−1} + x'_d) has the closed prefix form
+    S_d = C_d − min(0, min_{j≤d} C_j) with C the ordered cumsum of x'
+    — two ordered windows instead of an inexpressible recursion, exact
+    int64 throughout. A day is flagged 'shift' when S_d > h_ppm·N
+    (h_ppm = cumulative excess in mean-days beyond the allowance).
+
+    Determinism: int64 end-to-end (no division anywhere); the windows
+    order by the unique (event_type, d) grid, so both engines fold
+    identically. Headroom: |x'| ≤ N·n·10⁶ ≈ 3e16 per day at sf0.1 —
+    cumsums stay under int64 for any fixture scale (documented bound:
+    N·n·(10⁶+allowance) · days < 9.2e18, i.e. N ≲ 1e9 at a 30-day
+    grid — repartition the monitor per shard past that).
+
+    Plan: one (type, day) count (map-combined), the zero-filled grid,
+    then two windows over ≤|days| rows per type — the documented
+    grid-bounded WindowExec shape. One corpus scan.
+
+    Reference scope: the reference engine (HubSpot poller) has no
+    analytics; this extends the E-15 event-flow family mandated by
+    SURVEY §2B.
+    """
+    filled = _zero_filled(daily_event_counts(events))
+    totals = filled.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("c").alias("tot")
+    )
+    x = filled.join(F.broadcast(totals), "event_type").select(
+        "event_type",
+        "d",
+        "c",
+        "n",
+        "tot",
+        (
+            (F.col("c") * F.col("n") - F.col("tot")) * F.lit(1_000_000)
+            - F.lit(int(allowance_ppm)) * F.col("tot")
+        ).alias("xp"),
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = x.withColumn("cx", F.sum("xp").over(w_cum))
+    s = cum.withColumn(
+        "s_num", F.col("cx") - F.least(F.lit(0), F.min("cx").over(w_cum))
+    )
+    return s.select(
+        "event_type",
+        "d",
+        "c",
+        "s_num",
+        F.when(
+            F.col("s_num") > F.lit(int(h_ppm)) * F.col("tot"), F.lit("shift")
+        ).otherwise(F.lit("ok")).alias("flag"),
+    )
+
+
+def cusum_shift_sql(
+    allowance_ppm: int = 200_000, h_ppm: int = 2_000_000
+) -> str:
+    """DuckDB twin generated from the SAME parameters (param
+    discipline)."""
+    return f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT event_type, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1
+), grid AS (
+  SELECT event_type, unnest(generate_series(d0, d1)) AS d FROM span
+), filled AS (
+  SELECT g.event_type, g.d, coalesce(dl.c, 0) AS c
+  FROM grid g LEFT JOIN daily dl ON dl.event_type = g.event_type AND dl.d = g.d
+), totals AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c) AS BIGINT) AS tot
+  FROM filled GROUP BY 1
+), x AS (
+  SELECT f.event_type, f.d, f.c, t.tot,
+         (f.c * t.n - t.tot) * 1000000 - {int(allowance_ppm)} * t.tot AS xp
+  FROM filled f JOIN totals t ON t.event_type = f.event_type
+), cum AS (
+  SELECT event_type, d, c, tot,
+         CAST(sum(xp) OVER (PARTITION BY event_type ORDER BY d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cx
+  FROM x
+), s AS (
+  SELECT event_type, d, c, tot,
+         cx - least(0, CAST(min(cx) OVER (PARTITION BY event_type ORDER BY d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT))
+           AS s_num
+  FROM cum
+)
+SELECT event_type, d, c, s_num,
+       CASE WHEN s_num > {int(h_ppm)} * tot THEN 'shift' ELSE 'ok' END AS flag
+FROM s
+"""
+
+
+CUSUM_SHIFT_SQL = cusum_shift_sql()
+
+
 def user_survival_km(events: DataFrame, censor_days: int = 7) -> DataFrame:
     """Kaplan-Meier survival over user lifetimes (E-15 depth, r10) —
     the retention statistic product teams actually quote ("what

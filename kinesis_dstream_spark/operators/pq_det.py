@@ -962,6 +962,21 @@ def ivf_pq_det_store_compact(
     the IVF-det store's dynamic-partition-overwrite mechanics (only
     oversized cells rewrite; content, quantizers, and fingerprints
     untouched; serve results pinned identical in pytest)."""
+    return _pq_store_compact(spark, path, _PQ_META, max_files_per_cell)
+
+
+def ivf_pq_res_store_compact(
+    spark, path: str, max_files_per_cell: int = 4
+) -> dict[str, int]:
+    """Residual-store compaction (r11) — identical mechanics, the
+    residual sidecar; completes the lifecycle pentad (build / serve /
+    ingest / erase / compact) for the residual store too."""
+    return _pq_store_compact(spark, path, _RES_META, max_files_per_cell)
+
+
+def _pq_store_compact(
+    spark, path: str, meta_name: str, max_files_per_cell: int
+) -> dict[str, int]:
     import os
 
     from kinesis_dstream_spark import stores
@@ -990,10 +1005,10 @@ def ivf_pq_det_store_compact(
             )
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    meta = stores.read_meta(path, _PQ_META)
+    meta = stores.read_meta(path, meta_name)
     if meta is not None and meta.get("appended"):
         meta["appended"] = []
-        stores.write_meta(path, meta, _PQ_META)
+        stores.write_meta(path, meta, meta_name)
     return {
         "cells_compacted": len(oversized),
         "files_before": files_before,

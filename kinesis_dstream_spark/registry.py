@@ -4306,6 +4306,12 @@ def _q_streaming_ivf_pq_det_ingest(spark: SparkSession, sf: str) -> DataFrame:
     return jobs.streaming_ivf_pq_det_ingest(spark, sf)
 
 
+def _q_streaming_ivf_pq_res_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.streaming import jobs
+
+    return jobs.streaming_ivf_pq_res_ingest(spark, sf)
+
+
 def _q_survival_km(spark: SparkSession, sf: str) -> DataFrame:
     # censor_days=1 on purpose: the 30-day fixture is dense (every
     # user's last event lands within 7 days of the horizon), so the
@@ -4316,6 +4322,14 @@ def _q_survival_km(spark: SparkSession, sf: str) -> DataFrame:
     return eventflow.user_survival_km(
         load_table(spark, sf, "events"), censor_days=1
     )
+
+
+def _q_pii_audit(spark: SparkSession, sf: str) -> DataFrame:
+    return dataquality.pii_audit(load_table(spark, sf, "documents"))
+
+
+def _q_cusum_shift(spark: SparkSession, sf: str) -> DataFrame:
+    return eventflow.cusum_shift_detection(load_table(spark, sf, "events"))
 
 
 def _q_psi_temporal(spark: SparkSession, sf: str) -> DataFrame:
@@ -5626,6 +5640,24 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _q_sorted_nbhd_accounting,
         _SQL_SORTED_NBHD_ACCOUNTING,
     ),
+    # streaming residual IVF-PQ ingest (r11): the THIRD hash-certified
+    # streaming job — frozen coarse + frozen residual codebooks per
+    # batch, cell-pruned replay anti-join, shares the batch ingest
+    # flow's relational oracle
+    "streaming_ivf_pq_res_ingest": (
+        _q_streaming_ivf_pq_res_ingest,
+        pq_det.IVF_PQ_RES_INGEST_SQL,
+    ),
+    # one-sided CUSUM shift detection (E-15, r11): sustained-small-
+    # shift change-point monitor via the closed prefix form
+    # S_d = C_d − min(0, min prefix C) — integer end-to-end, no
+    # division, grid-bounded windows
+    "cusum_shift_detection": (_q_cusum_shift, eventflow.CUSUM_SHIFT_SQL),
+    # PII exposure audit (E-17, r11): per-source doc/instance counts
+    # for four engine-identical regex classes; zero-hit sources still
+    # report (never vacuous); redaction is pytest-covered (its correct
+    # fixture output is empty)
+    "pii_audit": (_q_pii_audit, dataquality.PII_AUDIT_SQL),
 }
 
 

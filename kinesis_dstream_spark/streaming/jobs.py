@@ -857,6 +857,65 @@ def streaming_ivf_pq_det_ingest(
     return pq_det.ivf_pq_det_serve_frozen(emb, store_path)
 
 
+def streaming_ivf_pq_res_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    store_path: str | None = None,
+    checkpoint_dir: str | None = None,
+    n_files: int = 4,
+) -> DataFrame:
+    """Streaming ingestion into the persisted RESIDUAL IVF-PQ store
+    (O-1 ∘ E-11, r11) — the third hash-certified streaming job:
+    bootstrap once on the 80% base split (frozen coarse centroids AND
+    frozen residual codebooks), then each micro-batch appends the
+    remainder via frozen assign → recenter → frozen residual encode
+    (``ivf_pq_res_store_append``). Replay safety and cell pruning live
+    in the append (batch fingerprint + cell-pruned row anti-join); the
+    drained serve shares the batch ingest flow's
+    ``IVF_PQ_RES_INGEST_SQL`` oracle because every step is
+    deterministic — the FAISS residual serving stack, streamed, with a
+    relational certificate.
+
+    Scale shape per batch: one map-side two-level frozen assignment
+    (k·d coarse literals, then m·ksub·(d/m) residual-codebook literals
+    over the recentered slices), one partition-pruned replay read, one
+    partitioned append.
+    """
+    from kinesis_dstream_spark import stores
+    from kinesis_dstream_spark.operators import pq_det
+
+    work = tempfile.mkdtemp(prefix="kds_ivfpqresstream_")
+    store_path = store_path or os.path.join(work, "idx")
+    checkpoint_dir = checkpoint_dir or os.path.join(work, "chk")
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # torn sidecar -> rebuild (the read_meta gate, r10 ADVICE)
+    if stores.read_meta(store_path, pq_det._RES_META) is None:
+        pq_det.ivf_pq_res_store_ensure(
+            emb.filter(F.col("vec_id") % 5 != 4), store_path
+        )
+
+    src = _embeddings_multifile_dir(spark, sf_dir, n_files)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.dropDuplicates(["vec_id"])
+        if not batch.isEmpty():
+            pq_det.ivf_pq_res_store_append(batch, store_path)
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return pq_det.ivf_pq_res_serve_frozen(emb, store_path)
+
+
 def streaming_dedup_index_ingest(
     spark: SparkSession,
     sf_dir: str,

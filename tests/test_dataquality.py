@@ -391,3 +391,64 @@ def test_benford_subunit_digits_correct(spark):
     assert row["n"] == 16, row
     # digit-1 share: no digit-1 values at all
     assert row["digit1_frac"] == 0.0, row
+
+
+def test_pii_audit_and_redaction_constructed(spark):
+    """Positive-path referee (the fixture corpus is PII-free, so the
+    oracle pair certifies only the zero path): constructed docs with
+    known emails/phones/SSNs/IPs must count exactly — in Spark AND in
+    the DuckDB twin (regex parity on actual matches) — and redaction
+    must remove every match, tag by class, and emit only touched
+    docs."""
+    import duckdb
+
+    from kinesis_dstream_spark.operators import dataquality
+
+    rows = [
+        (0, "contact alice@example.com or bob@test.org today", "en", "a", 40),
+        (1, "call 555-123-4567 or 555.987.6543 x", "en", "a", 30),
+        (2, "ssn 123-45-6789 leaked from 10.0.0.1", "en", "b", 30),
+        (3, "clean document with no pii at all", "en", "b", 30),
+        (4, "alice@example.com again and 999-88-7777", "en", "b", 30),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {r["source"]: r for r in dataquality.pii_audit(docs).collect()}
+    assert got["a"]["docs_scanned"] == 2
+    assert got["a"]["docs_with_email"] == 1 and got["a"]["total_email"] == 2
+    assert got["a"]["docs_with_phone"] == 1 and got["a"]["total_phone"] == 2
+    assert got["a"]["total_ssn"] == 0
+    assert got["b"]["docs_with_ssn"] == 2 and got["b"]["total_ssn"] == 2
+    assert got["b"]["docs_with_ipv4"] == 1 and got["b"]["total_ipv4"] == 1
+    assert got["b"]["docs_with_email"] == 1
+
+    # NOTE: phone rows also match nothing else; SSN "999-88-7777" must
+    # not be counted as phone (different group shape)
+    assert got["b"]["total_phone"] == 0
+
+    # DuckDB twin on the SAME rows — positive-match regex parity
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents (doc_id BIGINT, text VARCHAR, lang VARCHAR,"
+        " source VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?, ?, ?)", rows)
+    cols = None
+    for rec in con.execute(dataquality.PII_AUDIT_SQL).fetchall():
+        if cols is None:
+            cols = [d[0] for d in con.description]
+        duck = dict(zip(cols, rec))
+        sp = got[duck["source"]]
+        for c in cols:
+            assert duck[c] == sp[c], (duck["source"], c)
+
+    red = {r["doc_id"]: r for r in dataquality.pii_redact(docs).collect()}
+    assert set(red) == {0, 1, 2, 4}  # doc 3 untouched, not emitted
+    assert red[0]["n_redactions"] == 2
+    assert red[0]["text_redacted"] == "contact <EMAIL> or <EMAIL> today"
+    assert "<PHONE>" in red[1]["text_redacted"]
+    assert "555" not in red[1]["text_redacted"]
+    assert "<SSN>" in red[2]["text_redacted"]
+    assert "<IPV4>" in red[2]["text_redacted"]
+    assert "<SSN>" in red[4]["text_redacted"] and "<EMAIL>" in red[4]["text_redacted"]

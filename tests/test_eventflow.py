@@ -842,3 +842,48 @@ def test_user_survival_km_exhausted_risk_set(spark):
     assert set(oracle) == {5, 15}
     assert oracle[15][4] == 0.0  # survival
     assert oracle[5][4] == round(2 / 3, 6)
+
+
+def test_cusum_closed_form_matches_recursion_and_flags_shift(spark):
+    """Pure-Python referee: the windowed closed form S_d = C_d −
+    min(0, min prefix C) must equal the textbook recursion
+    S_d = max(0, S_{d-1} + x'_d) day by day; a constructed series with
+    a sustained +50% shift in its second half must flag, a flat series
+    must not."""
+    import datetime as dt
+
+    rows, eid = [], 0
+    base = dt.datetime(2024, 1, 1)
+    # 'steady': 10/day for 20 days. 'ramp': 10/day for 10 days then
+    # 30/day — vs the GLOBAL mean (20) that is +0.5 mean-days/day,
+    # 0.3 after the 0.2 allowance, so 10 shifted days accumulate 3
+    # mean-days, crossing the 2-mean-day threshold mid-ramp.
+    for day in range(20):
+        for series, per in (("steady", 10), ("ramp", 30 if day >= 10 else 10)):
+            for _ in range(per):
+                rows.append(
+                    (eid, base + dt.timedelta(days=day, hours=9), eid % 7,
+                     series, 1.0, "{}")
+                )
+                eid += 1
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = eventflow.cusum_shift_detection(events).collect()
+    by = {}
+    for r in got:
+        by.setdefault(r["event_type"], []).append(r)
+    for series in ("steady", "ramp"):
+        days = sorted(by[series], key=lambda r: r["d"])
+        counts = [r["c"] for r in days]
+        n, tot = len(counts), sum(counts)
+        s = 0
+        for r, c in zip(days, counts):
+            xp = (c * n - tot) * 1_000_000 - 200_000 * tot
+            s = max(0, s + xp)
+            assert r["s_num"] == s, (series, r["d"])
+            assert r["flag"] == ("shift" if s > 2_000_000 * tot else "ok")
+    assert all(r["flag"] == "ok" for r in by["steady"])
+    assert any(r["flag"] == "shift" for r in by["ramp"])

@@ -1061,3 +1061,52 @@ def test_streaming_ingest_rebuilds_on_torn_meta(spark, sf_dir, tmp_path):
     assert (
         spark.read.parquet(os.path.join(store, "codes")).count() == emb.count()
     )
+
+
+def test_streaming_res_ingest_replay_safe_and_equals_batch(spark, sf_dir, tmp_path):
+    """r11: draining the residual IVF-PQ ingest stream twice against
+    the same store+checkpoint adds zero duplicate code rows, and the
+    drained serve equals the BATCH ingest flow row-for-row (frozen
+    coarse + frozen residual codebooks — the shared oracle's claim).
+    Compaction afterwards leaves serve results bit-identical."""
+    import os
+
+    from kinesis_dstream_spark.operators import pq_det
+    from kinesis_dstream_spark.streaming.jobs import streaming_ivf_pq_res_ingest
+    from kinesis_dstream_spark.tables import load_table
+
+    store = str(tmp_path / "idx")
+    chk = str(tmp_path / "chk")
+    first = sorted(
+        map(tuple, streaming_ivf_pq_res_ingest(spark, sf_dir, store, chk).collect())
+    )
+    codes = os.path.join(store, "codes")
+    n_codes = spark.read.parquet(codes).count()
+    emb = load_table(spark, sf_dir, "embeddings")
+    assert n_codes == emb.count()
+
+    again = sorted(
+        map(tuple, streaming_ivf_pq_res_ingest(spark, sf_dir, store, chk).collect())
+    )
+    assert spark.read.parquet(codes).count() == n_codes
+    assert again == first
+
+    # batch-equivalence: ensure-on-base + append-rest = the stream
+    batch_store = str(tmp_path / "batch_idx")
+    pq_det.ivf_pq_res_store_ensure(
+        emb.filter(F.col("vec_id") % 5 != 4), batch_store
+    )
+    pq_det.ivf_pq_res_store_append(
+        emb.filter(F.col("vec_id") % 5 == 4), batch_store
+    )
+    batch = sorted(
+        map(tuple, pq_det.ivf_pq_res_serve_frozen(emb, batch_store).collect())
+    )
+    assert batch == first
+
+    # compaction: fewer-or-equal files, identical serve
+    rep = pq_det.ivf_pq_res_store_compact(spark, store, max_files_per_cell=1)
+    assert rep["files_after"] <= rep["files_before"]
+    assert sorted(
+        map(tuple, pq_det.ivf_pq_res_serve_frozen(emb, store).collect())
+    ) == first
