@@ -423,6 +423,9 @@ BENCH_QUERIES = {
     "ann_ivf_pq_res_serve": "ann_ivf_pq_res_serve",
     "ann_ivf_pq_res_ingest": "ann_ivf_pq_res_ingest_serve",
     "sorted_nbhd_accounting": "sorted_nbhd_accounting",
+    "streaming_ivf_pq_res_ingest": "streaming_ivf_pq_res_ingest",
+    "cusum_shift": "cusum_shift_detection",
+    "pii_audit": "pii_audit",
 }
 
 

@@ -1384,15 +1384,21 @@ FROM terms GROUP BY 1
 # ---------------------------------------------------------------------------
 # PII audit (r11): the compliance pre-flight an LLM training pipeline
 # runs before a corpus ships — count, per source, how many documents
-# carry each recognizable PII class and how many instances. Detection
-# is regex over four classes chosen for ENGINE-IDENTICAL semantics
-# (ASCII \d and \b behave the same under Java regex and RE2; no
-# lookarounds, no unicode classes). Pattern strings are module
-# constants shared verbatim by the Spark builder and the DuckDB twin —
-# one definition, zero drift.
+# carry each recognizable PII class and how many instances. Sibling of
+# ``text.pii_scrub_stats`` (r4), deliberately NOT merged: the scrub op
+# is the per-LANGUAGE redaction throughput stage with a permissive
+# catch-all phone shape (favoring recall when everything gets replaced
+# anyway); the audit needs per-SOURCE, per-class counts a compliance
+# reviewer can act on, so its shapes are ANCHORED (word-boundary,
+# fixed group structure — a match is an assertable finding, not a
+# maybe) and it adds the SSN class. Detection is regex over classes
+# chosen for ENGINE-IDENTICAL semantics (ASCII \d and \b behave the
+# same under Java regex and RE2; no lookarounds, no unicode classes).
+# Pattern strings are module constants shared verbatim by the Spark
+# builder and the DuckDB twin — one definition, zero drift.
 # ---------------------------------------------------------------------------
 
-PII_PATTERNS: dict[str, str] = {
+PII_AUDIT_PATTERNS: dict[str, str] = {
     # local-part@domain.tld — the pragmatic email shape (full RFC 5322
     # needs backtracking constructs RE2 refuses)
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
@@ -1421,11 +1427,11 @@ def pii_audit(documents: DataFrame) -> DataFrame:
     instance counts match exactly.
     """
     proj = [F.col("source")]
-    for cls, pat in PII_PATTERNS.items():
+    for cls, pat in PII_AUDIT_PATTERNS.items():
         proj.append(F.regexp_count("text", F.lit(pat)).alias(f"n_{cls}"))
     hits = documents.select(*proj)
     aggs = [F.count(F.lit(1)).alias("docs_scanned")]
-    for cls in PII_PATTERNS:
+    for cls in PII_AUDIT_PATTERNS:
         aggs.append(
             F.sum(
                 F.when(F.col(f"n_{cls}") > 0, F.lit(1)).otherwise(F.lit(0))
@@ -1438,7 +1444,7 @@ def pii_audit(documents: DataFrame) -> DataFrame:
 def pii_redact(documents: DataFrame) -> DataFrame:
     """Redaction pass: every PII match replaced by its class tag
     (<EMAIL>, <PHONE>, ...), all classes applied in the fixed
-    PII_PATTERNS order (order matters: SSN is a substring shape of
+    PII_AUDIT_PATTERNS order (order matters: SSN is a substring shape of
     phone's alternatives, so each class must see the already-redacted
     text of the previous ones — both engines compose identically).
     Emits ONLY touched documents (doc_id, n_redactions, text_redacted):
@@ -1448,7 +1454,7 @@ def pii_redact(documents: DataFrame) -> DataFrame:
     as certification."""
     total = None
     redacted = F.col("text")
-    for cls, pat in PII_PATTERNS.items():
+    for cls, pat in PII_AUDIT_PATTERNS.items():
         n = F.regexp_count("text", F.lit(pat))
         total = n if total is None else total + n
         redacted = F.regexp_replace(redacted, pat, f"<{cls.upper()}>")
@@ -1461,11 +1467,11 @@ def pii_redact(documents: DataFrame) -> DataFrame:
 
 
 def pii_audit_sql() -> str:
-    """DuckDB twin — the SAME PII_PATTERNS constants, instance counts
+    """DuckDB twin — the SAME PII_AUDIT_PATTERNS constants, instance counts
     via len(regexp_extract_all) (RE2 scans left-to-right non-
     overlapping, exactly like Java's Matcher.find loop)."""
     cols = []
-    for cls, pat in PII_PATTERNS.items():
+    for cls, pat in PII_AUDIT_PATTERNS.items():
         # DuckDB single-quoted strings do NOT process backslash escapes
         # (standard SQL), so the pattern passes through verbatim — only
         # quotes need doubling

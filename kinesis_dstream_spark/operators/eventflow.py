@@ -3014,11 +3014,16 @@ def cusum_shift_detection(
     h_ppm: int = 2_000_000,
 ) -> DataFrame:
     """One-sided CUSUM upward-shift detection on the per-type DAILY
-    COUNT series (E-15 depth, r11) — the classic sequential change-
-    point monitor (Page 1954): the EWMA/seasonal-band anomaly ops
-    above flag single outlier days; CUSUM accumulates SMALL sustained
-    shifts that never individually cross a band, which is how traffic
-    ramps and slow regressions actually present.
+    COUNT series (E-15 depth, r11) — the VOLUME sibling of
+    ``cusum_changepoints`` above (which monitors per-row VALUE
+    excursions against a p90 reference over sharded event streams):
+    this one watches the daily-series family's grid for sustained
+    TRAFFIC shifts — ramps and slow regressions that the EWMA/
+    seasonal-band ops miss because no single day crosses a band, and
+    that the value CUSUM cannot see at all (a volume ramp with
+    unchanged values never moves it). Same Page-1954 statistic, same
+    closed prefix form, different monitored series — the pairing every
+    monitoring stack ships (rate alarm + level alarm).
 
     Estimator, all integer: with n grid days and N total events per
     type, the scaled daily deviation is x'_d = (c_d·n − N)·10⁶ −

@@ -353,6 +353,10 @@ def corpus_length_stats(documents: DataFrame) -> DataFrame:
 # RE2-portable PII patterns (no lookarounds/backrefs): conservative
 # email / phone-ish / IPv4 shapes. Production pipelines tune these per
 # jurisdiction; the operator contract is the redaction pass itself.
+# NOTE (r11): dataquality.PII_AUDIT_PATTERNS is the ANCHORED sibling
+# set for the per-source compliance audit — see the rationale there
+# for why the two ops keep distinct shapes (recall-leaning scrub vs
+# assertable audit findings).
 PII_PATTERNS = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "phone": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",

@@ -5648,9 +5648,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _q_streaming_ivf_pq_res_ingest,
         pq_det.IVF_PQ_RES_INGEST_SQL,
     ),
-    # one-sided CUSUM shift detection (E-15, r11): sustained-small-
-    # shift change-point monitor via the closed prefix form
-    # S_d = C_d − min(0, min prefix C) — integer end-to-end, no
+    # one-sided CUSUM shift detection (E-15, r11): the daily-count
+    # VOLUME sibling of cusum_changepoints (value excursions) —
+    # sustained-small-shift monitor via the closed prefix form
+    # S_d = C_d − min(0, min prefix C), integer end-to-end, no
     # division, grid-bounded windows
     "cusum_shift_detection": (_q_cusum_shift, eventflow.CUSUM_SHIFT_SQL),
     # PII exposure audit (E-17, r11): per-source doc/instance counts

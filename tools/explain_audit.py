@@ -145,6 +145,12 @@ AUDIT_DEFAULT = [
     "markov_baseline_hitrate",
     "seasonal_anomaly_bands",
     "near_dup_generator_agreement",
+    # r11 additions
+    "ann_ivf_pq_res_serve",
+    "sorted_nbhd_accounting",
+    "cusum_shift_detection",
+    "pii_audit",
+    "user_survival_km",
 ]
 
 
