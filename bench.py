@@ -6,10 +6,12 @@ the driver's 2000-char stdout-tail capture always parses it):
    "queries": {<top-5 slowest>: sec}, "n_queries": N, "sf": <sf>,
    "loadavg_start": [...], "loadavg_end": [...], "noisy": bool,
    "detail": "BENCH_DETAIL.json"}
-``noisy`` is the r10 loadavg guard: the run waits up to
-$SPARK_GRAFT_BENCH_LOADAVG_WAIT (300 s) for the 1-min load to drop
-under $SPARK_GRAFT_BENCH_LOADAVG_MAX (1.5) and stamps the record
-noisy=true if it never did — a loaded-host record is produced but
+``noisy`` is the r10 loadavg guard (r11-hardened): the run waits up
+to $SPARK_GRAFT_BENCH_LOADAVG_WAIT (600 s) for the 1-min load to drop
+under $SPARK_GRAFT_BENCH_LOADAVG_MAX (1.5) AND the 5-min load under
+2x that (the r10 record passed the 1-min gate at la1=1.35 with
+la5=4.48 and still read ~15% hot), stamping noisy=true if it never
+did — a loaded-host record is produced but
 self-labeling, never silently trend-polluting (r9 lesson: the
 committed 149.8 s record at loadavg 3.57 overstated the engine ~17%
 vs its own 127.5 s solo run).
@@ -426,6 +428,8 @@ BENCH_QUERIES = {
     "streaming_ivf_pq_res_ingest": "streaming_ivf_pq_res_ingest",
     "cusum_shift": "cusum_shift_detection",
     "pii_audit": "pii_audit",
+    "mann_kendall": "mann_kendall_trend",
+    "ann_recall_report": "ann_recall_mrr_report",
 }
 
 

@@ -517,6 +517,139 @@ def ivf_deterministic_topk(
     return _ivf_rerank(cand, topk)
 
 
+def ann_recall_mrr_report(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    topk: int = 5,
+    n_probe: int = 2,
+    k: int = _K,
+    n_assign: int = _N_ASSIGN,
+) -> DataFrame:
+    """Retrieval-quality evaluation harness (E-11 depth, r11): per
+    query, recall@k and reciprocal rank of the deterministic IVF
+    serving tier against the EXACT integer-dot ground truth — the
+    eval loop every retrieval deployment runs before trusting an
+    index, here fully hash-certifiable because BOTH sides are
+    deterministic (exact truth by construction; det-IVF by the Lloyd
+    grid discipline). The sampled-codebook family gets recall FLOORS
+    in pytest; this op turns recall itself into a first-class,
+    oracle-paired statistic an operator can trend per corpus.
+
+    Output per query: (q_id, n_hits, recall_ppm = hits·10⁶ div k,
+    rr_ppm = 10⁶ div rank-of-first-true-neighbor, 0 if none) — exact
+    integers, trunc-div grid.
+
+    Cost model: ground truth pays the honest |corpus|·|q| exact-dot
+    pass (the oracle-twin price, bounded by the small eval query
+    batch — evals run on samples, not corpora); the IVF side pays its
+    normal probed-cells serve. One extra |q|·k join for the overlap.
+    """
+    iarr = _unit_int_arrays(embeddings).localCheckpoint()
+    queries = iarr.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("iu").alias("q_iu")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("q_iu"), F.col("iu"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    tw = Window.partitionBy("q_id").orderBy(F.col("dot_num").desc(), "c_id")
+    truth = (
+        iarr.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("c_id"), dot.alias("dot_num"))
+        .withColumn("trk", F.row_number().over(tw))
+        .filter(F.col("trk") <= topk)
+        .select("q_id", "c_id")
+    )
+    approx = ivf_deterministic_topk(
+        embeddings, n_queries, topk, n_probe, k, n_assign
+    ).select("q_id", "c_id", "rk")
+    hits = approx.join(truth, ["q_id", "c_id"])
+    per_q = hits.groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.min("rk").alias("first_hit_rk"),
+    )
+    return (
+        queries.select("q_id")
+        .join(per_q, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.expr(f"coalesce(n_hits, 0) * 1000000 div {int(topk)}")
+            .cast("long")
+            .alias("recall_ppm"),
+            F.coalesce(
+                F.expr("1000000 div first_hit_rk"), F.lit(0)
+            ).cast("long").alias("rr_ppm"),
+        )
+    )
+
+
+def ann_recall_report_sql(
+    n_queries: int = 10,
+    topk: int = 5,
+    n_probe: int = 2,
+    k: int = _K,
+    n_assign: int = _N_ASSIGN,
+) -> str:
+    """Twin: the det-IVF chain (shared CTE prefix) + exact truth top-k
+    + the same integer overlap arithmetic."""
+    cent_tbl = f"c{n_assign - 1}" if n_assign > 1 else "c0"
+    return (
+        kmeans_oracle_cte(k, n_assign)
+        + f""", q AS (
+  SELECT vec_id AS q_id, iu AS q_iu FROM iarr WHERE vec_id < {n_queries}
+), qd AS (
+  SELECT l.vec_id AS q_id, c.cid,
+         CAST(sum((l.iu - c.cv) * (l.iu - c.cv)) AS BIGINT) AS cd
+  FROM lg l JOIN {cent_tbl} c ON c.pos = l.pos
+  WHERE l.vec_id < {n_queries}
+  GROUP BY 1, 2
+), probes AS (
+  SELECT q_id, cid FROM (
+    SELECT q_id, cid, row_number() OVER (PARTITION BY q_id ORDER BY cd, cid) AS pr
+    FROM qd
+  ) WHERE pr <= {n_probe}
+), approx AS (
+  SELECT q_id, c_id, rk FROM (
+    SELECT p.q_id, a.vec_id AS c_id,
+           row_number() OVER (PARTITION BY p.q_id
+             ORDER BY CAST(list_reduce(list_transform(list_zip(q.q_iu, ia.iu),
+                                                      s -> s[1] * s[2]),
+                           (x, y) -> x + y) AS BIGINT) DESC, a.vec_id) AS rk
+    FROM probes p
+    JOIN a{n_assign} a ON a.cid = p.cid
+    JOIN q ON q.q_id = p.q_id
+    JOIN iarr ia ON ia.vec_id = a.vec_id
+    WHERE a.vec_id <> p.q_id
+  ) WHERE rk <= {topk}
+), truth AS (
+  SELECT q_id, c_id FROM (
+    SELECT q.q_id, ia.vec_id AS c_id,
+           row_number() OVER (PARTITION BY q.q_id
+             ORDER BY CAST(list_reduce(list_transform(list_zip(q.q_iu, ia.iu),
+                                                      s -> s[1] * s[2]),
+                           (x, y) -> x + y) AS BIGINT) DESC, ia.vec_id) AS trk
+    FROM q JOIN iarr ia ON ia.vec_id <> q.q_id
+  ) WHERE trk <= {topk}
+), per_q AS (
+  SELECT a.q_id, CAST(count(*) AS BIGINT) AS n_hits,
+         CAST(min(a.rk) AS BIGINT) AS first_hit_rk
+  FROM approx a JOIN truth t ON t.q_id = a.q_id AND t.c_id = a.c_id
+  GROUP BY 1
+)
+SELECT q.q_id,
+       coalesce(p.n_hits, 0) AS n_hits,
+       CAST(coalesce(p.n_hits, 0) * 1000000 // {topk} AS BIGINT) AS recall_ppm,
+       CAST(coalesce(1000000 // p.first_hit_rk, 0) AS BIGINT) AS rr_ppm
+FROM q LEFT JOIN per_q p ON p.q_id = q.q_id
+"""
+    )
+
+
+ANN_RECALL_REPORT_SQL = ann_recall_report_sql()
+
+
 def _ivf_probes(queries: DataFrame, cents, n_probe: int) -> DataFrame:
     """(q_id, q_iu, cluster_id): each query's ``n_probe`` nearest cells
     by exact integer squared-L2 against the literal centroids — a

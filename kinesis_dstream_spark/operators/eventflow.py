@@ -3085,6 +3085,150 @@ def cusum_shift_detection(
     )
 
 
+def mann_kendall_trend(events: DataFrame) -> DataFrame:
+    """Mann–Kendall trend test + Theil–Sen slope per event type over
+    the zero-filled daily count series (E-15 depth, r11) — the ROBUST
+    sibling of ``value_trend_regression``'s least squares: MK tests
+    monotone trend from sign counts alone (one outlier day moves S by
+    at most n−1, not by its magnitude), and the Theil–Sen slope is the
+    median pairwise slope (50% breakdown vs the mean-based fit).
+
+    Exactness discipline: all pairs (d_i < d_j) of the ≤|days| grid —
+    C(|days|, 2) rows per type, GRID-bounded (435 at the 30-day
+    fixture), never corpus-bounded. S = Σ sign(c_j − c_i) is exact
+    int64; the tie-corrected variance Var(S) = [n(n−1)(2n+5) −
+    Σ t(t−1)(2t+5)]/18 is computed as the integer numerator (the /18
+    rides into the flag comparison). Pairwise slopes live on the ppm
+    grid (dy·10⁶ div dx — trunc division, the repo's fixed-point
+    convention) so the median is an exact integer order statistic:
+    lower median at rank (m+1) div 2 ordered by (slope, d_i, d_j),
+    fully tie-deterministic. Significance at |z| > 1.96 without sqrt:
+    18·S² ≥ 3.8416·var_num ⟺ 180000·S² ≥ 38416·var_num·18/…, kept
+    integer as 10000·18·S² vs 38416·var_num — identical in both
+    engines.
+
+    Plan: one (type, day) count, the zero-fill grid, one grid
+    self-join (grid² rows per type — bounded by the day span), two
+    scalar aggregates, one grid-bounded rank window for the median.
+    One corpus scan total.
+    """
+    filled = _zero_filled(daily_event_counts(events))
+    a = filled.select("event_type", F.col("d").alias("d1"), F.col("c").alias("c1"))
+    b = filled.select(
+        F.col("event_type").alias("et2"),
+        F.col("d").alias("d2"),
+        F.col("c").alias("c2"),
+    )
+    pairs = a.join(
+        b, (F.col("et2") == F.col("event_type")) & (F.col("d2") > F.col("d1"))
+    ).select(
+        "event_type",
+        "d1",
+        "d2",
+        F.signum(F.col("c2") - F.col("c1")).cast("long").alias("sgn"),
+        F.expr("(c2 - c1) * 1000000 div (d2 - d1)").alias("slope_ppm"),
+    )
+    stats = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("sgn").alias("s_stat"),
+    )
+    # tie correction: Σ t(t-1)(2t+5) over count-value ties within type
+    ties = (
+        filled.groupBy("event_type", "c")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(
+                F.expr("t * (t - 1) * (2 * t + 5)")
+            ).alias("tie_term"),
+            F.sum("t").alias("n"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("slope_ppm", "d1", "d2")
+    med = (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .join(stats.select("event_type", "m"), "event_type")
+        .filter(F.col("rk") == F.expr("(m + 1) div 2"))
+        .select("event_type", F.col("slope_ppm").alias("sen_slope_ppm"))
+    )
+    out = (
+        stats.join(ties, "event_type")
+        .join(med, "event_type")
+        .select(
+            "event_type",
+            "n",
+            "s_stat",
+            F.expr(
+                "n * (n - 1) * (2 * n + 5) - tie_term"
+            ).alias("var_num"),  # 18·Var(S), exact int64
+            "sen_slope_ppm",
+            F.when(
+                F.expr("180000 * s_stat * s_stat < 38416 * (n * (n - 1) * (2 * n + 5) - tie_term)")
+                | (F.col("s_stat") == 0),
+                F.lit("none"),
+            )
+            .when(F.col("s_stat") > 0, F.lit("increasing"))
+            .otherwise(F.lit("decreasing"))
+            .alias("trend"),
+        )
+    )
+    return out
+
+
+MANN_KENDALL_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT event_type, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1
+), grid AS (
+  SELECT event_type, unnest(generate_series(d0, d1)) AS d FROM span
+), filled AS (
+  SELECT g.event_type, g.d, coalesce(dl.c, 0) AS c
+  FROM grid g LEFT JOIN daily dl ON dl.event_type = g.event_type AND dl.d = g.d
+), pairs AS (
+  SELECT a.event_type, a.d AS d1, b.d AS d2,
+         CAST(sign(b.c - a.c) AS BIGINT) AS sgn,
+         CAST((b.c - a.c) * 1000000 // (b.d - a.d) AS BIGINT) AS slope_ppm
+  FROM filled a
+  JOIN filled b ON b.event_type = a.event_type AND b.d > a.d
+), stats AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(sgn) AS BIGINT) AS s_stat
+  FROM pairs GROUP BY 1
+), ties AS (
+  SELECT event_type,
+         CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term,
+         CAST(sum(t) AS BIGINT) AS n
+  FROM (SELECT event_type, c, CAST(count(*) AS BIGINT) AS t
+        FROM filled GROUP BY 1, 2)
+  GROUP BY 1
+), med AS (
+  SELECT event_type, slope_ppm AS sen_slope_ppm FROM (
+    SELECT p.event_type, p.slope_ppm,
+           row_number() OVER (PARTITION BY p.event_type
+                              ORDER BY p.slope_ppm, p.d1, p.d2) AS rk,
+           s.m
+    FROM pairs p JOIN stats s ON s.event_type = p.event_type
+  ) WHERE rk = (m + 1) // 2
+)
+SELECT s.event_type, t.n, s.s_stat,
+       CAST(t.n * (t.n - 1) * (2 * t.n + 5) - t.tie_term AS BIGINT) AS var_num,
+       m.sen_slope_ppm,
+       CASE WHEN 180000 * s.s_stat * s.s_stat
+                 < 38416 * (t.n * (t.n - 1) * (2 * t.n + 5) - t.tie_term)
+              OR s.s_stat = 0 THEN 'none'
+            WHEN s.s_stat > 0 THEN 'increasing'
+            ELSE 'decreasing' END AS trend
+FROM stats s
+JOIN ties t ON t.event_type = s.event_type
+JOIN med m ON m.event_type = s.event_type
+"""
+
+
 def cusum_shift_sql(
     allowance_ppm: int = 200_000, h_ppm: int = 2_000_000
 ) -> str:

@@ -4324,6 +4324,14 @@ def _q_survival_km(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_ann_recall_report(spark: SparkSession, sf: str) -> DataFrame:
+    return clustering.ann_recall_mrr_report(load_table(spark, sf, "embeddings"))
+
+
+def _q_mann_kendall(spark: SparkSession, sf: str) -> DataFrame:
+    return eventflow.mann_kendall_trend(load_table(spark, sf, "events"))
+
+
 def _q_pii_audit(spark: SparkSession, sf: str) -> DataFrame:
     return dataquality.pii_audit(load_table(spark, sf, "documents"))
 
@@ -5659,6 +5667,20 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # report (never vacuous); redaction is pytest-covered (its correct
     # fixture output is empty)
     "pii_audit": (_q_pii_audit, dataquality.PII_AUDIT_SQL),
+    # Mann–Kendall + Theil–Sen (E-15, r11): robust monotone-trend test
+    # from sign counts + median pairwise slope on the ppm grid — the
+    # 50%-breakdown sibling of value_trend_regression; grid-bounded
+    # pair join, integer z-test without sqrt
+    "mann_kendall_trend": (_q_mann_kendall, eventflow.MANN_KENDALL_SQL),
+    # retrieval eval harness (E-11, r11): recall@k + reciprocal rank of
+    # the deterministic IVF serve vs the exact integer-dot truth — both
+    # sides deterministic, so retrieval quality itself is an
+    # oracle-paired statistic (the sampled family only gets pytest
+    # floors)
+    "ann_recall_mrr_report": (
+        _q_ann_recall_report,
+        clustering.ANN_RECALL_REPORT_SQL,
+    ),
 }
 
 

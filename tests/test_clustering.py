@@ -345,3 +345,49 @@ def test_ivf_compaction_preserves_serve_and_bounds_files(spark, sf_dir, tmp_path
     # idempotent: a second compaction is a no-op
     again = clustering.ivf_det_store_compact(spark, path, max_files_per_cell=2)
     assert again["cells_compacted"] == 0
+
+
+def test_ann_recall_mrr_report_arithmetic_and_bounds(spark, sf_dir):
+    """The eval harness's integer arithmetic re-derived from its two
+    (already oracle-paired) inputs: n_hits = |approx ∩ truth| per
+    query, recall_ppm = hits·1e6 div k, rr_ppm = 1e6 div first true
+    hit's rank — plus bounds and the none-found zero path."""
+    from kinesis_dstream_spark.operators import clustering
+    from kinesis_dstream_spark.operators.clustering import (
+        _unit_int_arrays,
+        ivf_deterministic_topk,
+    )
+    from kinesis_dstream_spark.tables import load_table
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = {r["q_id"]: r for r in
+           clustering.ann_recall_mrr_report(emb).collect()}
+    assert len(got) == 10
+
+    iarr = _unit_int_arrays(emb).localCheckpoint()
+    q = iarr.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("iu").alias("q_iu")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("q_iu"), F.col("iu"), lambda x, y: x * y),
+        F.lit(0).cast("long"), lambda a, x: a + x,
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("dn").desc(), "c_id")
+    truth = {}
+    for r in (
+        iarr.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("c_id"), dot.alias("dn"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5).collect()
+    ):
+        truth.setdefault(r["q_id"], set()).add(r["c_id"])
+    approx = {}
+    for r in ivf_deterministic_topk(emb).collect():
+        approx.setdefault(r["q_id"], []).append((r["rk"], r["c_id"]))
+    for qid, row in got.items():
+        hits = [(rk, c) for rk, c in sorted(approx[qid]) if c in truth[qid]]
+        assert row["n_hits"] == len(hits)
+        assert row["recall_ppm"] == len(hits) * 1_000_000 // 5
+        assert row["rr_ppm"] == (1_000_000 // hits[0][0] if hits else 0)
+        assert 0 <= row["recall_ppm"] <= 1_000_000

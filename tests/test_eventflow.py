@@ -887,3 +887,64 @@ def test_cusum_closed_form_matches_recursion_and_flags_shift(spark):
             assert r["flag"] == ("shift" if s > 2_000_000 * tot else "ok")
     assert all(r["flag"] == "ok" for r in by["steady"])
     assert any(r["flag"] == "shift" for r in by["ramp"])
+
+
+def test_mann_kendall_referee_and_robustness(spark):
+    """Pure-Python referee on constructed series: exact S, tie-
+    corrected var_num, lower-median Theil-Sen slope; a strictly
+    increasing series flags 'increasing'; ONE massive outlier day on a
+    flat series must NOT flip the trend (the 50%-breakdown point vs
+    least squares — the reason this op exists)."""
+    import datetime as dt
+    import itertools
+
+    base = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    # 'up': c_d = 2 + d (strictly increasing, 15 days)
+    # 'flat_outlier': 5/day except day 7 has 500
+    for day in range(15):
+        for series, per in (
+            ("up", 2 + day),
+            ("flat_outlier", 500 if day == 7 else 5),
+        ):
+            for _ in range(per):
+                rows.append(
+                    (eid, base + dt.timedelta(days=day, hours=3), eid % 5,
+                     series, 1.0, "{}")
+                )
+                eid += 1
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {r["event_type"]: r for r in
+           eventflow.mann_kendall_trend(events).collect()}
+
+    def referee(counts):
+        n = len(counts)
+        pairs = [(i, j) for i, j in itertools.combinations(range(n), 2)]
+        s = sum((counts[j] > counts[i]) - (counts[j] < counts[i])
+                for i, j in pairs)
+        slopes = sorted(
+            ((counts[j] - counts[i]) * 1_000_000 // (j - i), i, j)
+            for i, j in pairs
+        )
+        med = slopes[(len(slopes) + 1) // 2 - 1][0]
+        from collections import Counter
+        tie = sum(t * (t - 1) * (2 * t + 5)
+                  for t in Counter(counts).values())
+        var_num = n * (n - 1) * (2 * n + 5) - tie
+        return s, var_num, med
+
+    up = referee([2 + d for d in range(15)])
+    assert (got["up"]["s_stat"], got["up"]["var_num"],
+            got["up"]["sen_slope_ppm"]) == up
+    assert got["up"]["trend"] == "increasing"
+    assert got["up"]["sen_slope_ppm"] == 1_000_000  # slope exactly 1/day
+
+    fo = referee([500 if d == 7 else 5 for d in range(15)])
+    assert (got["flat_outlier"]["s_stat"], got["flat_outlier"]["var_num"],
+            got["flat_outlier"]["sen_slope_ppm"]) == fo
+    assert got["flat_outlier"]["trend"] == "none"
+    assert got["flat_outlier"]["sen_slope_ppm"] == 0

@@ -151,6 +151,8 @@ AUDIT_DEFAULT = [
     "cusum_shift_detection",
     "pii_audit",
     "user_survival_km",
+    "mann_kendall_trend",
+    "ann_recall_mrr_report",
 ]
 
 
