@@ -160,3 +160,54 @@ def test_curation_pipeline_default_constant_matches_generator():
     from kinesis_dstream_spark.operators import curation
 
     assert curation.CURATION_PIPELINE_SQL == curation.curation_pipeline_sql()
+
+
+def test_cusum_shift_nondefault_params(spark, duck, sf_dir):
+    """r11: the CUSUM twin must track non-default allowance/threshold."""
+    events = load_table(spark, sf_dir, "events")
+    _match(
+        eventflow.cusum_shift_detection(
+            events, allowance_ppm=100_000, h_ppm=1_000_000
+        ),
+        duck,
+        eventflow.cusum_shift_sql(allowance_ppm=100_000, h_ppm=1_000_000),
+        "cusum_100k_1m",
+    )
+
+
+def test_cusum_shift_default_constant_matches_generator():
+    assert eventflow.CUSUM_SHIFT_SQL == eventflow.cusum_shift_sql()
+
+
+def test_survival_km_nondefault_censor(spark, duck, sf_dir):
+    """r11: the KM twin tracks censor_days (the registry runs 1; pin
+    another non-default value so the generator, not the constant, is
+    what certifies)."""
+    events = load_table(spark, sf_dir, "events")
+    _match(
+        eventflow.user_survival_km(events, censor_days=2),
+        duck,
+        eventflow.user_survival_km_sql(censor_days=2),
+        "km_censor2",
+    )
+
+
+def test_ann_recall_report_nondefault_probe(spark, duck, sf_dir):
+    """r11: eval harness twin tracks n_probe/topk; more probes can only
+    raise recall (also asserted)."""
+    from kinesis_dstream_spark.operators import clustering
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    wide = clustering.ann_recall_mrr_report(emb, topk=3, n_probe=4)
+    _match(
+        wide,
+        duck,
+        clustering.ann_recall_report_sql(topk=3, n_probe=4),
+        "recall_report_p4_k3",
+    )
+    narrow = {
+        r["q_id"]: r["recall_ppm"]
+        for r in clustering.ann_recall_mrr_report(emb, topk=3, n_probe=1).collect()
+    }
+    for r in wide.collect():
+        assert r["recall_ppm"] >= narrow[r["q_id"]]
