@@ -430,6 +430,8 @@ BENCH_QUERIES = {
     "pii_audit": "pii_audit",
     "mann_kendall": "mann_kendall_trend",
     "ann_recall_report": "ann_recall_mrr_report",
+    "cusum_from_store": "cusum_from_store",
+    "mk_from_store": "mann_kendall_from_store",
 }
 
 

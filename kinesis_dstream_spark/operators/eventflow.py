@@ -3050,7 +3050,20 @@ def cusum_shift_detection(
     analytics; this extends the E-15 event-flow family mandated by
     SURVEY §2B.
     """
-    filled = _zero_filled(daily_event_counts(events))
+    return cusum_from_daily_counts(
+        daily_event_counts(events), allowance_ppm, h_ppm
+    )
+
+
+def cusum_from_daily_counts(
+    daily: DataFrame,
+    allowance_ppm: int = 200_000,
+    h_ppm: int = 2_000_000,
+) -> DataFrame:
+    """The CUSUM statistic from a pre-aggregated (event_type, d, c)
+    table — scan path and granule-store path share this exactly (the
+    daily-series family convention: ``autocorr_from_daily_counts``)."""
+    filled = _zero_filled(daily)
     totals = filled.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"), F.sum("c").alias("tot")
     )
@@ -3112,7 +3125,14 @@ def mann_kendall_trend(events: DataFrame) -> DataFrame:
     scalar aggregates, one grid-bounded rank window for the median.
     One corpus scan total.
     """
-    filled = _zero_filled(daily_event_counts(events))
+    return mann_kendall_from_daily_counts(daily_event_counts(events))
+
+
+def mann_kendall_from_daily_counts(daily: DataFrame) -> DataFrame:
+    """The MK/Theil–Sen statistic from a pre-aggregated
+    (event_type, d, c) table — shared by scan and granule-store
+    paths."""
+    filled = _zero_filled(daily)
     a = filled.select("event_type", F.col("d").alias("d1"), F.col("c").alias("c1"))
     b = filled.select(
         F.col("event_type").alias("et2"),

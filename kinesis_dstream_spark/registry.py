@@ -4332,6 +4332,18 @@ def _q_mann_kendall(spark: SparkSession, sf: str) -> DataFrame:
     return eventflow.mann_kendall_trend(load_table(spark, sf, "events"))
 
 
+def _q_cusum_from_store(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.streaming import jobs
+
+    return jobs.cusum_from_store(spark, sf)
+
+
+def _q_mann_kendall_from_store(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.streaming import jobs
+
+    return jobs.mann_kendall_from_store(spark, sf)
+
+
 def _q_pii_audit(spark: SparkSession, sf: str) -> DataFrame:
     return dataquality.pii_audit(load_table(spark, sf, "documents"))
 
@@ -5680,6 +5692,14 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "ann_recall_mrr_report": (
         _q_ann_recall_report,
         clustering.ANN_RECALL_REPORT_SQL,
+    ),
+    # granule-store consumers five and six (r11): CUSUM + MK served
+    # from the maintained daily granules when fresh — one maintenance
+    # stream, six batch statistics, all sharing their scan-path oracles
+    "cusum_from_store": (_q_cusum_from_store, eventflow.CUSUM_SHIFT_SQL),
+    "mann_kendall_from_store": (
+        _q_mann_kendall_from_store,
+        eventflow.MANN_KENDALL_SQL,
     ),
 }
 

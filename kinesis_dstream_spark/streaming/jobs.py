@@ -1642,6 +1642,39 @@ def seasonal_anomaly_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eventflow.seasonal_anomaly_bands(load_table(spark, sf_dir, "events"))
 
 
+def cusum_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-count CUSUM shift monitor SERVED FROM the granules — the
+    store's fifth consumer (r11). A change-point monitor is exactly
+    the consumer a continuous aggregate exists for: it re-evaluates on
+    every refresh, so reading O(|types|·|days|) granules instead of
+    re-scanning O(|events|) per check is the whole economics. Both
+    paths run ``cusum_from_daily_counts`` on a value-identical table
+    and share CUSUM_SHIFT_SQL."""
+    from kinesis_dstream_spark.operators import eventflow
+    from kinesis_dstream_spark.tables import load_table
+
+    daily = _daily_counts_if_fresh(spark, sf_dir)
+    if daily is not None:
+        return eventflow.cusum_from_daily_counts(daily)
+    return eventflow.cusum_shift_detection(load_table(spark, sf_dir, "events"))
+
+
+def mann_kendall_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall/Theil–Sen trend test SERVED FROM the granules —
+    the store's sixth consumer; same freshness gate, same shared
+    MANN_KENDALL_SQL oracle. ONE maintenance stream now serves six
+    batch statistics (seasonal decomposition, autocorrelation, trend
+    regression, residual anomaly bands, CUSUM, MK) — the
+    sufficient-statistic argument in its strongest form."""
+    from kinesis_dstream_spark.operators import eventflow
+    from kinesis_dstream_spark.tables import load_table
+
+    daily = _daily_counts_if_fresh(spark, sf_dir)
+    if daily is not None:
+        return eventflow.mann_kendall_from_daily_counts(daily)
+    return eventflow.mann_kendall_trend(load_table(spark, sf_dir, "events"))
+
+
 def streaming_transition_maintenance(
     spark: SparkSession,
     sf_dir: str,

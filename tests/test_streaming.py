@@ -919,6 +919,24 @@ def test_daily_count_store_serves_both_consumers_exactly(spark, sf_dir):
         == want_bands
     )
 
+    # r11: consumers five and six — CUSUM + Mann-Kendall from the same
+    # granules, identical to their scan paths
+    from kinesis_dstream_spark.streaming.jobs import (
+        cusum_from_store,
+        mann_kendall_from_store,
+    )
+
+    want_cusum = sorted(map(tuple, eventflow.cusum_shift_detection(ev).collect()))
+    want_mk = sorted(map(tuple, eventflow.mann_kendall_trend(ev).collect()))
+    assert (
+        sorted(map(tuple, cusum_from_store(spark, sf_dir).collect()))
+        == want_cusum
+    )
+    assert (
+        sorted(map(tuple, mann_kendall_from_store(spark, sf_dir).collect()))
+        == want_mk
+    )
+
 
 def test_daily_count_store_stale_falls_back_to_scan(spark, sf_dir):
     """A corrupted fingerprint must route the from-store consumers to
