@@ -564,14 +564,14 @@ def ann_recall_mrr_report(
     approx = ivf_deterministic_topk(
         embeddings, n_queries, topk, n_probe, k, n_assign
     ).select("q_id", "c_id", "rk")
-    hits = approx.join(truth, ["q_id", "c_id"])
+    hits = approx.join(F.broadcast(truth), ["q_id", "c_id"])  # ≤ |q|·k rows
     per_q = hits.groupBy("q_id").agg(
         F.count(F.lit(1)).alias("n_hits"),
         F.min("rk").alias("first_hit_rk"),
     )
     return (
         queries.select("q_id")
-        .join(per_q, "q_id", "left")
+        .join(F.broadcast(per_q), "q_id", "left")
         .select(
             "q_id",
             F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),

@@ -3139,8 +3139,12 @@ def mann_kendall_from_daily_counts(daily: DataFrame) -> DataFrame:
         F.col("d").alias("d2"),
         F.col("c").alias("c2"),
     )
+    # the grid is ≤ |types|·|days| rows by construction — broadcast it
+    # so the pair join is a BroadcastHashJoin on event_type with the
+    # range condition as the residual, never a corpus-stat-misled SMJ
     pairs = a.join(
-        b, (F.col("et2") == F.col("event_type")) & (F.col("d2") > F.col("d1"))
+        F.broadcast(b),
+        (F.col("et2") == F.col("event_type")) & (F.col("d2") > F.col("d1")),
     ).select(
         "event_type",
         "d1",
@@ -3168,13 +3172,13 @@ def mann_kendall_from_daily_counts(daily: DataFrame) -> DataFrame:
     w = Window.partitionBy("event_type").orderBy("slope_ppm", "d1", "d2")
     med = (
         pairs.withColumn("rk", F.row_number().over(w))
-        .join(stats.select("event_type", "m"), "event_type")
+        .join(F.broadcast(stats.select("event_type", "m")), "event_type")
         .filter(F.col("rk") == F.expr("(m + 1) div 2"))
         .select("event_type", F.col("slope_ppm").alias("sen_slope_ppm"))
     )
-    out = (
-        stats.join(ties, "event_type")
-        .join(med, "event_type")
+    out = (  # all three sides are |types| rows — broadcast the joins
+        stats.join(F.broadcast(ties), "event_type")
+        .join(F.broadcast(med), "event_type")
         .select(
             "event_type",
             "n",
