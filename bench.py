@@ -200,6 +200,25 @@ survival_km / psi_drift / benford_audit / pps_sample all sub-1 s
 (one-or-two-scan aggregates; PPS's cumulative is the 2-pass
 range-partitioned sum, zero exchanges in the audited plan).
 
+r11 solo run (sf0.1, loadavg_start [0.04, 0.29, 1.69] — both guard
+horizons quiet): 159 entries, total 212.0 s. The 11 new entries cost
+~38 s, dominated by streaming_ivf_pq_res_ingest 14.2 (the third full
+streaming lifecycle priced as one entry: fresh-store two-level
+bootstrap + 4-batch drain + serve); ann_recall_report 2.3 (pays the
+deliberate exact-truth corpus pass), ann_ivf_pq_res_ingest 2.1 /
+res_serve 1.7 (warm-store steady states), everything else sub-0.8 s —
+the two from-store consumers serve at 0.5-0.8 s vs their 0.3-0.6 s
+scan twins at this tiny grid (the store's win is the avoided corpus
+scan, invisible at sf0.1 where the scan is already sub-second).
+streaming_ivf_pq_ingest 14.5 vs r10-solo 10.3: ~2 s is the priced
+assign-first trade (SCALE.md r11 — the fixture's 80%-replayed batches
+are the adversarial corner; the eliminated whole-store replay scan is
+the term that grows with the index), the rest in-session drift (the
+unchanged ann_pq_det control reads 3.97 in-run but 2.6-3.4 in a fresh
+session; fresh-session streaming ingest reads 12.4-12.9).
+gdpr_erasure_full 8.2: ELEVEN stores now (+res-IVF-PQ), still
+I/O-bound, growing only with store count.
+
 Variance note (r5, re: the r4 verdict's simhash/minhash deltas):
 isolated re-measurement of the shuffle-heavy dedup queries at sf0.1
 shows ±20-40% run-to-run spread at the ~2 s scale even after warm-up
