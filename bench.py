@@ -451,6 +451,7 @@ BENCH_QUERIES = {
     "ann_recall_report": "ann_recall_mrr_report",
     "cusum_from_store": "cusum_from_store",
     "mk_from_store": "mann_kendall_from_store",
+    "shard_balance": "shard_balance_plan",
 }
 
 

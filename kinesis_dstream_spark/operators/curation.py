@@ -1312,3 +1312,106 @@ GROUP BY 1
 
 
 CURATION_PIPELINE_SQL = curation_pipeline_sql()
+
+
+def shard_balance_plan(documents: DataFrame, n_shards: int = 8) -> DataFrame:
+    """Training-shard assembly plan (r11): assign every document to one
+    of ``n_shards`` shards balancing TOTAL TOKENS per shard — the step
+    that turns a curated corpus into the fixed-size input files a
+    trainer streams, where one fat shard sets the epoch's critical
+    path. Uniform doc round-robin balances document COUNTS and lets
+    token mass skew with the length distribution; this plan balances
+    the quantity the trainer actually pays for.
+
+    Mechanics: rank documents by (tokens DESC, doc_id) — the scalable
+    2-pass ``_global_rank``, no single-partition sort — then deal them
+    SERPENTINE (boustrophedon): round r = (rank−1) div N takes shards
+    left-to-right when r is even, right-to-left when odd, so the shard
+    that got the heaviest doc of round r gets the lightest of round
+    r+1. Every shard receives one doc per round from a contiguous
+    weight-sorted band; the alternation cancels the within-band bias
+    that plain sorted round-robin accumulates (pytest measures both on
+    a skewed corpus). Assignment is a closed integer form of the rank
+    alone — deterministic, engine-identical, replayable.
+
+    Output: one row per shard — n_docs, total_tokens, max_doc_tokens,
+    share_ppm (token share of the corpus, trunc-div grid). Imbalance
+    reads directly off max−min of total_tokens; the pytest pins it at
+    ≤ the largest document weight on the fixture AND on a constructed
+    adversarially-skewed corpus.
+
+    Plan: one token-count projection, the 2-pass rank, one shard-grain
+    aggregate (N rows), one broadcast of the 1-row grand total. The
+    only corpus-grain exchange is the range partition inside the rank.
+    """
+    from kinesis_dstream_spark.operators.dedup import _global_rank
+
+    n = int(n_shards)
+    w = documents.select(
+        "doc_id",
+        F.greatest(F.lit(1), F.size(tokens(F.col("text"))))
+        .cast("long")
+        .alias("w_tokens"),
+    ).withColumn("neg_w", -F.col("w_tokens"))
+    ranked = _global_rank(w, ["neg_w", "doc_id"], "r").drop("neg_w")
+    assigned = ranked.withColumn(
+        "shard",
+        F.expr(
+            f"CASE WHEN ((r - 1) div {n}) % 2 = 0 THEN (r - 1) % {n} "
+            f"ELSE {n - 1} - ((r - 1) % {n}) END"
+        ).cast("int"),
+    )
+    per = assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("w_tokens").alias("total_tokens"),
+        F.max("w_tokens").alias("max_doc_tokens"),
+    )
+    grand = per.agg(F.sum("total_tokens").alias("g"))
+    return (
+        per.crossJoin(F.broadcast(grand))
+        .select(
+            "shard",
+            "n_docs",
+            "total_tokens",
+            "max_doc_tokens",
+            F.expr("CAST(total_tokens * 1000000 div g AS BIGINT)").alias(
+                "share_ppm"
+            ),
+        )
+    )
+
+
+def shard_balance_sql(n_shards: int = 8) -> str:
+    """DuckDB twin from the SAME shard count (param discipline); plain
+    ordered row_number — value-identical to the 2-pass rank by the
+    partition-boundary-invariance argument."""
+    n = int(n_shards)
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         CAST(greatest(1, len(str_split(trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                                        ' '))) AS BIGINT) AS w_tokens
+  FROM documents
+), ranked AS (
+  SELECT doc_id, w_tokens,
+         row_number() OVER (ORDER BY w_tokens DESC, doc_id) AS r
+  FROM w
+), assigned AS (
+  SELECT w_tokens,
+         CAST(CASE WHEN ((r - 1) // {n}) % 2 = 0 THEN (r - 1) % {n}
+                   ELSE {n - 1} - ((r - 1) % {n}) END AS INT) AS shard
+  FROM ranked
+), per AS (
+  SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(w_tokens) AS BIGINT) AS total_tokens,
+         CAST(max(w_tokens) AS BIGINT) AS max_doc_tokens
+  FROM assigned GROUP BY 1
+)
+SELECT shard, n_docs, total_tokens, max_doc_tokens,
+       CAST(total_tokens * 1000000 //
+            (SELECT sum(total_tokens) FROM per) AS BIGINT) AS share_ppm
+FROM per
+"""
+
+
+SHARD_BALANCE_SQL = shard_balance_sql()

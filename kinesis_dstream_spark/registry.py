@@ -4372,6 +4372,10 @@ def _q_pps_sample(spark: SparkSession, sf: str) -> DataFrame:
     return curation.pps_systematic_sample(load_table(spark, sf, "documents"))
 
 
+def _q_shard_balance(spark: SparkSession, sf: str) -> DataFrame:
+    return curation.shard_balance_plan(load_table(spark, sf, "documents"))
+
+
 def _q_benford(spark: SparkSession, sf: str) -> DataFrame:
     return dataquality.benford_digit_audit(load_table(spark, sf, "events"))
 
@@ -5701,6 +5705,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _q_mann_kendall_from_store,
         eventflow.MANN_KENDALL_SQL,
     ),
+    # training-shard assembly plan (E-12 curation, r11): serpentine
+    # deal over the 2-pass token-weight rank balances TOKEN mass per
+    # shard (doc round-robin balances counts and lets token mass skew);
+    # closed integer assignment, per-shard accounting
+    "shard_balance_plan": (_q_shard_balance, curation.SHARD_BALANCE_SQL),
 }
 
 

@@ -566,3 +566,48 @@ def test_mixture_budget_solve_saturation_boundary_exact(spark):
     assert got["tokens_needed"] == budget
     assert got["epochs_ppm"] == curation._EPOCHS_PPM_SAT
     assert got["keep_rate_ppm"] == 1_000_000
+
+
+def test_shard_balance_serpentine_bounds_and_beats_roundrobin(spark):
+    """On an adversarially skewed corpus (Zipf-ish weights), the
+    serpentine plan's max-min token imbalance must be bounded by the
+    largest document weight AND strictly beat plain sorted round-robin
+    (shard = (rank-1) % N), which accumulates the within-round bias.
+    Totals conserve the corpus exactly."""
+    from kinesis_dstream_spark.operators import curation
+
+    n_docs, N = 160, 8
+    # deterministic skew: weight ~ 1000/(i+1) words
+    rows = [
+        (i, " ".join(f"w{j}" for j in range(max(1, 1000 // (i + 1)))),
+         "en", "s", 10)
+        for i in range(n_docs)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    plan = curation.shard_balance_plan(docs, n_shards=N).collect()
+    assert len(plan) == N
+    totals = [r["total_tokens"] for r in plan]
+    weights = sorted((max(1, 1000 // (i + 1)) for i in range(n_docs)),
+                     reverse=True)
+    assert sum(totals) == sum(weights)
+    assert sum(r["n_docs"] for r in plan) == n_docs
+    imb = max(totals) - min(totals)
+    assert imb <= weights[0], (imb, weights[0])
+
+    # referee: pure-Python serpentine + round-robin on the same order
+    serp = [0] * N
+    rr = [0] * N
+    for r0, w in enumerate(weights):
+        rnd, pos = divmod(r0, N)
+        serp[pos if rnd % 2 == 0 else N - 1 - pos] += w
+        rr[pos] += w
+    assert sorted(totals) == sorted(serp)
+    assert imb < max(rr) - min(rr), "serpentine must beat round-robin here"
+
+
+def test_shard_balance_default_constant_matches_generator():
+    from kinesis_dstream_spark.operators import curation
+
+    assert curation.SHARD_BALANCE_SQL == curation.shard_balance_sql()

@@ -153,6 +153,7 @@ AUDIT_DEFAULT = [
     "user_survival_km",
     "mann_kendall_trend",
     "ann_recall_mrr_report",
+    "shard_balance_plan",
 ]
 
 
