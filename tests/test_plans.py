@@ -490,3 +490,32 @@ def test_r8_wave_plan_pins(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     p = _formatted(layout.hilbert_layout_stats(ev))
     assert "ArrowEvalPython" in p
+
+
+def test_r11_wave_plan_pins(spark, sf_dir):
+    """Round-11 operator plan shapes: pii_audit is ONE pure-JVM scan
+    (regex counting must never fall to row-at-a-time Python); the
+    daily-series CUSUM/MK windows partition by event_type (grid-
+    bounded — a global Window here would be the single-partition sort
+    class); MK's joins are all broadcast (no stat-misled SMJ of
+    ≤grid-size frames); the shard planner contains no CartesianProduct
+    and its only windows are the _pid-partitioned 2-pass rank."""
+    from kinesis_dstream_spark.operators import curation, dataquality, eventflow
+
+    docs = load_table(spark, sf_dir, "documents")
+    p = _plan(dataquality.pii_audit(docs))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # column pruning: the scan reads only text+source
+    assert "ReadSchema: struct<text:string,source:string>" in p
+
+    ev = load_table(spark, sf_dir, "events")
+    p = _plan(eventflow.cusum_shift_detection(ev))
+    assert "BatchEvalPython" not in p
+    assert "partitionspec" in p.lower() or "event_type" in p  # partitioned window
+
+    p = _plan(eventflow.mann_kendall_trend(ev))
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+    p = _plan(curation.shard_balance_plan(docs))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
