@@ -452,6 +452,16 @@ BENCH_QUERIES = {
     "cusum_from_store": "cusum_from_store",
     "mk_from_store": "mann_kendall_from_store",
     "shard_balance": "shard_balance_plan",
+    # r11 wave 2: deterministic SQ8 (the remaining FAISS quantizer
+    # tier), bigram-LM quality scoring, containment dedup, per-node
+    # clustering, Zipf fit, the fourth percentile-granule consumer
+    "ann_sq8": "ann_sq8_topk",
+    "sq8_code_stats": "sq8_code_stats",
+    "bigram_lm": "bigram_lm_perplexity",
+    "dedup_containment": "dedup_ngram_containment",
+    "local_clustering": "local_clustering_profile",
+    "zipf_fit": "zipf_fit_by_source",
+    "gini_from_store": "gini_from_store",
 }
 
 

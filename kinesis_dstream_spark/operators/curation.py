@@ -85,6 +85,149 @@ def unigram_logprob_score(documents: DataFrame, vocab_size: int = 1000) -> DataF
     )
 
 
+def bigram_lm_perplexity(
+    documents: DataFrame, vocab_size: int = 1000
+) -> DataFrame:
+    """CCNet-style bigram-LM quality scoring — the context-aware step
+    up from ``unigram_logprob_score``.
+
+    The production pattern (CCNet, Gopher's quality bucket): score each
+    document by the perplexity of a cheap statistical LM, drop (or
+    down-weight) the worst tail. The unigram proxy can't see word
+    ORDER — "the of and a" scores as well as fluent text built from the
+    same words; a bigram model penalizes improbable transitions, which
+    is most of what separates boilerplate/spam from prose at this model
+    size.
+
+    Model, all deterministic:
+
+    - vocabulary = top-``vocab_size`` words (count DESC, term ASC), ids
+      1..V by that order; every OOV word maps to id 0 — so the symbol
+      space is the closed set {0..V} and the pair table is bounded by
+      (V+1)² regardless of corpus size (the reason production quality
+      LMs cap the vocab).
+    - Laplace (add-one) transition model over adjacent-token pairs:
+      ``P(w2|w1) = (c(w1,w2) + 1) / (c(w1→·) + V + 1)`` with the
+      context count taken over bigram FIRST positions — rows sum to 1
+      exactly, and every quantity is an exact int64.
+    - per-document score: mean per-bigram log-probability and the
+      perplexity proxy ``exp(-mean)``. ln() terms are fixed-pointed to
+      µ-units BEFORE the per-doc sum (the ``_LP_SCALE`` discipline), so
+      sum order can't break engine parity. Documents with <2 tokens
+      have no bigram and are excluded (score undefined, matching the
+      oracle's inner-join semantics).
+
+    Scale shape (100 TB): ONE token-count shuffle (|vocab'|-bounded by
+    map-side partials) trains the vocab; the id map is a broadcast
+    (≤V rows); bigrams ride ONE window-lead exchange keyed on doc_id
+    (per-doc-bounded partitions, no skew — the hottest key is one
+    document); pair/context count tables are ≤(V+1)² / ≤V+1 rows —
+    broadcast class — so scoring is map-side joins plus the final
+    doc_id re-aggregation. Nothing anywhere holds more than (V+1)²
+    rows outside a corpus-grain map stage.
+    """
+    toks = documents.select("doc_id", tokens(F.col("text")).alias("t"))
+    words = toks.select("doc_id", F.posexplode("t").alias("pos", "term"))
+    counts = words.groupBy("term").agg(F.count("*").alias("cnt"))
+    # Distributed top-K cut (TakeOrderedAndProject), then ids by the
+    # same total order — a ≤V-row single-partition window (bounded).
+    vocab = counts.orderBy(F.col("cnt").desc(), F.col("term").asc()).limit(
+        vocab_size
+    )
+    vid = vocab.select(
+        "term",
+        F.row_number()
+        .over(Window.orderBy(F.col("cnt").desc(), F.col("term").asc()))
+        .alias("sid"),
+    )
+    seq = words.join(F.broadcast(vid), "term", "left").select(
+        "doc_id", "pos", F.coalesce("sid", F.lit(0)).alias("sid")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        seq.withColumn("sid2", F.lead("sid").over(w))
+        .filter(F.col("sid2").isNotNull())
+        .select("doc_id", "sid", "sid2")
+    )
+    pair_cnt = big.groupBy("sid", "sid2").agg(F.count("*").alias("c12"))
+    ctx_cnt = big.groupBy("sid").agg(F.count("*").alias("c1"))
+    denom_add = vocab_size + 1
+    lp = F.log(
+        (F.col("c12") + 1) / (F.col("c1") + F.lit(denom_add))
+    )
+    scored = (
+        big.join(F.broadcast(pair_cnt), ["sid", "sid2"])
+        .join(F.broadcast(ctx_cnt), "sid")
+        .select("doc_id", fixedpoint(lp, _LP_SCALE).alias("lp_fp"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.sum("lp_fp").alias("lp_sum"))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(
+                F.col("lp_sum") / F.col("n_bigrams") / _LP_SCALE, 4
+            ).alias("avg_logprob"),
+            F.round(
+                F.exp(-(F.col("lp_sum") / F.col("n_bigrams") / _LP_SCALE)), 4
+            ).alias("ppl_proxy"),
+        )
+    )
+
+
+def bigram_lm_perplexity_sql(vocab_size: int = 1000) -> str:
+    """DuckDB twin generated from the SAME vocab_size (the r7-ADVICE
+    discipline). Mirrors the chain: vocab ids → OOV→0 mapping →
+    lead() bigrams → Laplace transition lp, fixed-pointed per term."""
+    duck_toks = "str_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {duck_toks} AS t FROM documents
+), words AS (
+  SELECT doc_id, unnest(generate_series(1, len(t))) AS pos,
+         unnest(t) AS term
+  FROM toks
+), counts AS (
+  SELECT term, count(*) AS cnt FROM words GROUP BY term
+), vid AS (
+  SELECT term, rk AS sid FROM (
+    SELECT term, row_number() OVER (ORDER BY cnt DESC, term ASC) AS rk
+    FROM counts
+  ) WHERE rk <= {vocab_size}
+), seq AS (
+  SELECT w.doc_id, w.pos, coalesce(v.sid, 0) AS sid
+  FROM words w LEFT JOIN vid v USING (term)
+), big AS (
+  SELECT doc_id, sid, sid2 FROM (
+    SELECT doc_id, sid,
+           lead(sid) OVER (PARTITION BY doc_id ORDER BY pos) AS sid2
+    FROM seq
+  ) WHERE sid2 IS NOT NULL
+), pair_cnt AS (
+  SELECT sid, sid2, count(*) AS c12 FROM big GROUP BY sid, sid2
+), ctx_cnt AS (
+  SELECT sid, count(*) AS c1 FROM big GROUP BY sid
+), lp AS (
+  SELECT b.doc_id,
+         CAST(round(ln((p.c12 + 1) * 1.0 / (c.c1 + {vocab_size + 1}))
+                    * {_LP_SCALE}) AS BIGINT) AS lp_fp
+  FROM big b
+  JOIN pair_cnt p ON p.sid = b.sid AND p.sid2 = b.sid2
+  JOIN ctx_cnt c ON c.sid = b.sid
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(CAST(sum(lp_fp) AS BIGINT) / count(*) / {_LP_SCALE}.0, 4)
+         AS avg_logprob,
+       round(exp(-(CAST(sum(lp_fp) AS BIGINT) / count(*) / {_LP_SCALE}.0)), 4)
+         AS ppl_proxy
+FROM lp GROUP BY doc_id
+"""
+
+
+BIGRAM_LM_PERPLEXITY_SQL = bigram_lm_perplexity_sql()
+
+
 def repetition_stats(documents: DataFrame) -> DataFrame:
     """Gopher-style repetition signals per document.
 

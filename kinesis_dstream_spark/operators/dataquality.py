@@ -813,12 +813,24 @@ def value_gini_by_type(events: DataFrame) -> DataFrame:
     deterministic regardless. 6dp round of one int→double division.
     """
     from kinesis_dstream_spark.functions.exact import fixedpoint
-    from pyspark.sql import Window
 
     base = events.select(
         "event_type", fixedpoint(F.col("value"), _PCT_SCALE).alias("iv")
     )
     freq = base.groupBy("event_type", "iv").agg(F.count(F.lit(1)).alias("c"))
+    return gini_from_value_frequency(freq)
+
+
+def gini_from_value_frequency(freq: DataFrame) -> DataFrame:
+    """Gini from the (event_type, iv, c) value-frequency table — the
+    shared sufficient statistic (same contract as
+    ``percentiles_from_value_frequency`` / ``ks_from_value_frequency``
+    / ``rank_normalize_from_value_frequency``): a pure function of the
+    granules, so the streaming percentile maintenance serves this too.
+    Separated from ``value_gini_by_type`` (r11) so the granule-store
+    path and the scan path share one arithmetic body."""
+    from pyspark.sql import Window
+
     before = (
         Window.partitionBy("event_type")
         .orderBy("iv")

@@ -258,6 +258,72 @@ def dedup_ngram_jaccard(
     )
 
 
+def dedup_ngram_containment(
+    documents: DataFrame,
+    k: int = 3,
+    threshold: float = 0.6,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Directed n-gram CONTAINMENT pairs: C(src→dst) = |A∩B| / |A|.
+
+    The asymmetric sibling of ``dedup_ngram_jaccard`` — the Broder
+    containment coefficient. Jaccard misses the commonest real dup
+    shape in crawled corpora: a short document embedded whole inside a
+    longer one (quote + commentary, article + boilerplate wrapper) has
+    J = |A|/|B| → 0 as B grows but C(A→B) = 1. Emits one row per
+    qualifying DIRECTION (a fully-nested pair yields src→dst at 1.0
+    and dst→src at |A|/|B|, each filtered independently).
+
+    Plan: the SAME df-capped inverted index as Jaccard
+    (``capped_shingles`` — the cap is the skew guard: no stop-phrase
+    key can go quadratic), ONE self-join keyed by shingle, one pair
+    aggregation carrying both set sizes on the group-by key, then the
+    two directions unioned map-side from that single pair table — the
+    join and the aggregation are never run twice. No length-ratio
+    join prefilter exists for containment BY DESIGN: a tiny A inside a
+    huge B qualifies at any size ratio (exactly the pairs Jaccard's
+    min/max filter is allowed to drop and this operator is for).
+
+    Scale: identical to Jaccard's — the only corpus-grain shuffle is
+    keyed by shingle with per-key pair count bounded by max_df²; the
+    direction fan-out is 2× an already-threshold-filtered pair table.
+    """
+    from pyspark.sql import Window
+
+    kept = (
+        capped_shingles(documents, k, max_df)
+        .withColumn("n_sh", F.count("*").over(Window.partitionBy("doc_id")))
+        .cache()
+    )
+    a = kept.alias("a")
+    b = kept.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    fwd = inter.select(
+        F.col("doc_a").alias("doc_src"),
+        F.col("doc_b").alias("doc_dst"),
+        F.round(F.col("n_inter") / F.col("n_a"), 6).alias("containment"),
+    )
+    rev = inter.select(
+        F.col("doc_b").alias("doc_src"),
+        F.col("doc_a").alias("doc_dst"),
+        F.round(F.col("n_inter") / F.col("n_b"), 6).alias("containment"),
+    )
+    return fwd.unionByName(rev).filter(F.col("containment") >= threshold)
+
+
 _MH_PRIME = (1 << 31) - 1  # Mersenne prime: products of two <2^31 values fit int64
 
 

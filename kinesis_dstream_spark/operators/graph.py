@@ -175,6 +175,101 @@ def near_dup_graph_stats(
     )
 
 
+def local_clustering_profile(
+    documents: DataFrame, pairs: DataFrame | None = None
+) -> DataFrame:
+    """Per-NODE triangle counts + local clustering coefficient — the
+    node-grain refinement of ``near_dup_graph_stats``'s global numbers.
+
+    The curation read: a node with high degree and lcc≈1 sits inside a
+    template-farm clique (safe to keep one representative); high degree
+    with lcc≈0 is a hub of PARTIAL overlaps (a boilerplate fragment
+    shared across unrelated docs — keep-best must not collapse these).
+    The global clustering coefficient averages those two stories away;
+    this profile separates them per document.
+
+    Plan: the same oriented u<v<w triangle join as the global stat
+    (two node-keyed equi-joins, fan-out bounded by Σ deg² — the df cap
+    that bounds the pair source bounds this identically), then each
+    closed triangle contributes one count to EACH corner via a 3-way
+    map-side explode, one node-keyed re-aggregation, and a left join
+    back to the degree table so triangle-free nodes report 0 (never
+    vacuous rows). lcc = 2T / (d(d−1)), 0 for leaves; exact ints until
+    the one final rounded division.
+    """
+    from kinesis_dstream_spark.operators.dedup import dedup_ngram_jaccard
+
+    if pairs is None:
+        pairs = dedup_ngram_jaccard(documents)
+    pairs = (
+        pairs.select(
+            F.least("doc_a", "doc_b").alias("u"),
+            F.greatest("doc_a", "doc_b").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    sym = pairs.union(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    e1 = pairs.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = pairs.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    closed = (
+        e1.join(e2, "b")
+        .join(pairs.select(F.col("u").alias("a"), F.col("v").alias("c")), ["a", "c"])
+    )
+    corners = closed.select(
+        F.explode(F.array("a", "b", "c")).alias("node")
+    )
+    tri = corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
+    lcc = F.when(
+        F.col("degree") >= 2,
+        F.round(
+            2 * F.col("n_tri") / (F.col("degree") * (F.col("degree") - 1)), 6
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        deg.join(tri, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("n_tri", F.lit(0)).alias("n_tri"),
+        )
+        .withColumn("lcc", lcc)
+    )
+
+
+def local_clustering_oracle_sql(pairs_sql: str) -> str:
+    """DuckDB twin of ``local_clustering_profile`` over the same pair
+    source: oriented triangle join → corner unnest → left join."""
+    return f"""
+WITH jp AS ({pairs_sql}),
+pairs AS (
+  SELECT DISTINCT least(doc_a, doc_b) AS u, greatest(doc_a, doc_b) AS v FROM jp
+),
+sym AS (
+  SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs
+),
+deg AS (SELECT u AS node, count(*) AS degree FROM sym GROUP BY u),
+closed AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e1.v = e2.u
+  JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+corners AS (
+  SELECT unnest([a, b, c]) AS node FROM closed
+),
+tri AS (SELECT node, count(*) AS n_tri FROM corners GROUP BY node)
+SELECT d.node, d.degree, coalesce(t.n_tri, 0) AS n_tri,
+       CASE WHEN d.degree >= 2
+         THEN round(2 * coalesce(t.n_tri, 0) / (d.degree * (d.degree - 1)), 6)
+       ELSE 0.0 END AS lcc
+FROM deg d LEFT JOIN tri t ON t.node = d.node
+"""
+
+
 def graph_stats_oracle_sql(pairs_sql: str) -> str:
     """DuckDB twin: same oriented-triangle join and exact-int degrees."""
     return f"""

@@ -1,0 +1,277 @@
+"""Deterministic scalar quantization (SQ8) ANN (SURVEY §2B E-11).
+
+Completes the classic FAISS quantizer family in the repo — Flat
+(``similarity.ann_bruteforce_topk``), IVF (``clustering``), PQ /
+IVF-PQ / residual IVF-PQ (``pq_det``) — with the remaining production
+member: the **scalar quantizer**. SQ8 stores one uint8 code per
+dimension (4× memory vs float32, 8× vs the int64 grid) and is the
+standard "cheap compression, near-exact recall" tier: FAISS's
+``IndexScalarQuantizer(QT_8bit)``.
+
+Everything is deterministic and hash-checkable, the pq_det discipline:
+
+- **Trained parameters**: per-dimension ``(lo, hi)`` = exact min/max of
+  the fixed-point unit coordinates (``clustering._unit_int_arrays``,
+  1e-6 grid). min/max are order-independent exact int64 aggregates, so
+  unlike the sampled-codebook family there is NO layout dependence at
+  all — the train step itself is relational.
+- **Encode**: ``code_i = ((x_i - lo_i) * L) div (hi_i - lo_i)`` with
+  ``L = 255`` levels (a constant dimension encodes to 0). All operands
+  non-negative, so Spark ``div`` (truncate) and DuckDB ``//`` (floor)
+  agree.
+- **Decode (reconstruction)**: ``x̂_i = lo_i + (code_i * span_i) div L``
+  — the rounding-free integer form of FAISS's ``lo + (c + .5)/L·span``
+  (the half-step offset is dropped so both engines stay on exact
+  int64; the bias is below the grid's own rounding noise).
+- **Asymmetric scoring (ADC)**: queries stay UNquantized;
+  ``score(q, x) = Σ_i q_i · x̂_i`` — exact int64 (|q_i|,|x̂_i| ≤ 1e6 →
+  per-term ≤ 1e12, ×64 dims ≤ 6.4e13, comfortably int64).
+
+Approximation is honest ANN semantics (quantization can reorder
+near-ties) but REPRODUCIBLE: same query → same shortlist on any
+replica/partitioning, certifiable row-for-row against the DuckDB twin.
+
+Plan shape at 100 TB: training is ONE map-side-partial min/max
+aggregate to d rows (the bounded-collect class — d pairs of int64
+literals, far smaller than even a PQ codebook); encode/decode is a
+map-side ``transform`` over literal arrays (no shuffle, whole-stage
+codegen); the flat ADC scan streams the corpus once per query batch
+with a broadcast |q|-row query side and NO corpus shuffle — the only
+exchange is the per-query top-k window over |q|·topk-bounded rows
+(TakeOrderedAndProject shape). ``sq8_code_stats`` adds the operator's
+telemetry twin: per-dimension occupancy + exact reconstruction-error
+aggregates, the number an operator watches before trusting the 4×
+memory cut.
+
+Fixture caveat (family note): the synthetic embeddings are isotropic —
+adversarial for any quantizer — but SQ8's cells are per-DIMENSION, so
+unlike PQ (whose 16 codes collapse whole subspaces) recall vs the
+exact ranking stays high even there; the pytest pins a recall floor
+well above the PQ flat scan's.
+
+Reference tie: the reference engine (/root/reference/app/app.py) is an
+HTTP poll/filter pipeline with no vector executor; this module is part
+of the mandated LLM-pipeline extension surface, not reference parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kinesis_dstream_spark.operators.clustering import (
+    _unit_int_arrays,
+    kmeans_oracle_cte,
+)
+
+_LEVELS = 255  # SQ8: codes in [0, 255]
+
+
+def _sq_bounds(iarr: DataFrame) -> list[tuple[int, int, int]]:
+    """Exact per-dimension (pos0, lo, hi) over the int-grid coordinates.
+
+    ONE aggregation: posexplode → groupBy(pos) min/max → collect d rows
+    (the bounded-collect class; d=64 on the fixture). Map-side partial
+    min/max keep the shuffle at d rows per partition regardless of
+    corpus size.
+    """
+    rows = (
+        iarr.select(F.posexplode("iu").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .collect()
+    )
+    return sorted((r["pos"], r["lo"], r["hi"]) for r in rows)
+
+
+def _lit_arr(vals: list[int]) -> str:
+    """SQL text of a literal int64 array (text-over-DSL: one parsed
+    expression instead of per-element py4j ``F.lit`` round-trips)."""
+    return "array(" + ",".join(f"{v}L" for v in vals) + ")"
+
+
+def _xhat_sql(bounds: list[tuple[int, int, int]], levels: int = _LEVELS) -> str:
+    """SQL text reconstructing the decoded array from ``iu``:
+    encode-then-decode fused per element against literal lo/span
+    arrays. All divisions act on non-negative int64 (x ≥ lo_i by
+    construction of lo_i), so truncation == floor in both engines."""
+    lo = _lit_arr([b[1] for b in bounds])
+    sp = _lit_arr([b[2] - b[1] for b in bounds])
+    return (
+        f"transform(iu, (x, i) -> element_at({lo}, i + 1) + "
+        f"CASE WHEN element_at({sp}, i + 1) > 0 THEN "
+        f"((((x - element_at({lo}, i + 1)) * {levels}) div "
+        f"element_at({sp}, i + 1)) * element_at({sp}, i + 1)) div {levels} "
+        f"ELSE 0L END)"
+    )
+
+
+def ann_sq8_topk(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    topk: int = 5,
+    levels: int = _LEVELS,
+) -> DataFrame:
+    """Flat SQ8 ANN: train bounds + fused encode/decode + full ADC scan
+    + per-query top-k. Output (q_id, c_id, adc_num, rk); ties
+    (adc desc, c_id); self excluded. Hash-checkable end-to-end against
+    ``ANN_SQ8_SQL``."""
+    iarr = _unit_int_arrays(embeddings).localCheckpoint()
+    bounds = _sq_bounds(iarr)
+    xh = iarr.select("vec_id", F.expr(_xhat_sql(bounds, levels)).alias("xh"))
+    queries = iarr.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("iu").alias("q_iu")
+    )
+    scored = (
+        xh.join(F.broadcast(queries), F.col("q_id") != F.col("vec_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("c_id"),
+            F.expr(
+                "aggregate(zip_with(q_iu, xh, (a, b) -> a * b), 0L,"
+                " (acc, x) -> acc + x)"
+            ).alias("adc_num"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adc_num").desc(), "c_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= topk)
+        .select("q_id", "c_id", "adc_num", "rk")
+    )
+
+
+def sq8_code_stats(embeddings: DataFrame, levels: int = _LEVELS) -> DataFrame:
+    """Per-dimension SQ8 telemetry: trained bounds, code occupancy, and
+    exact reconstruction error — the go/no-go numbers before trusting
+    the 4× memory cut (a dimension whose ``codes_used`` collapses or
+    whose ``max_abs_err`` exceeds the grid budget wants more levels).
+
+    Output one row per dimension (1-based ``pos``): lo, hi, codes_used
+    (distinct codes actually hit), max_abs_err, sum_abs_err (exact
+    int64), mean_abs_err (rounded 4dp). Plan: posexplode → ONE
+    (pos, lo, hi) agg broadcast back → per-row encode/decode/err
+    map-side → ONE d-row re-aggregation. No corpus shuffle beyond the
+    two d-bounded aggs.
+    """
+    iarr = _unit_int_arrays(embeddings)
+    lg = iarr.select(
+        "vec_id", F.posexplode("iu").alias("pos0", "x")
+    ).select((F.col("pos0") + 1).alias("pos"), "x")
+    bounds = lg.groupBy("pos").agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi")
+    )
+    span = F.col("hi") - F.col("lo")
+    enc = lg.join(F.broadcast(bounds), "pos").select(
+        "pos",
+        "x",
+        "lo",
+        "hi",
+        F.when(span > 0, F.expr(f"((x - lo) * {levels}) div (hi - lo)"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("code"),
+    )
+    err = F.abs(
+        F.col("x")
+        - (
+            F.col("lo")
+            + F.expr(f"(code * (hi - lo)) div {levels}")
+        )
+    )
+    return (
+        enc.withColumn("abs_err", err.cast("long"))
+        .groupBy("pos")
+        .agg(
+            F.min("lo").alias("lo"),
+            F.max("hi").alias("hi"),
+            F.countDistinct("code").alias("codes_used"),
+            F.max("abs_err").alias("max_abs_err"),
+            F.sum("abs_err").alias("sum_abs_err"),
+            F.round(F.sum("abs_err") / F.count("*"), 4).alias("mean_abs_err"),
+        )
+        .select(
+            "pos",
+            "lo",
+            "hi",
+            "codes_used",
+            "max_abs_err",
+            "sum_abs_err",
+            "mean_abs_err",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB twins (generated from the same parameters — r7-ADVICE discipline).
+# Only the shared e/u/iarr/lg prefix of ``kmeans_oracle_cte`` is used; the
+# coarse k-means chain CTEs it also defines are simply never referenced
+# (the pq_det convention).
+# ---------------------------------------------------------------------------
+
+
+def ann_sq8_sql(
+    n_queries: int = 10, topk: int = 5, levels: int = _LEVELS
+) -> str:
+    """DuckDB twin of ``ann_sq8_topk``: the same bounds-train /
+    encode-decode / ADC chain unrolled relationally over ``lg``."""
+    return (
+        kmeans_oracle_cte(k=1, n_assign=1)
+        + f""", sqb AS (
+  SELECT pos, min(iu) AS lo, max(iu) AS hi FROM lg GROUP BY pos
+), sqx AS (
+  SELECT l.vec_id, l.pos,
+         CASE WHEN b.hi > b.lo THEN b.lo +
+           ((((l.iu - b.lo) * {levels}) // (b.hi - b.lo)) * (b.hi - b.lo))
+             // {levels}
+         ELSE b.lo END AS xhat
+  FROM lg l JOIN sqb b ON b.pos = l.pos
+), sqs AS (
+  SELECT q.vec_id AS q_id, x.vec_id AS c_id,
+         CAST(sum(q.iu * x.xhat) AS BIGINT) AS adc_num
+  FROM lg q JOIN sqx x ON x.pos = q.pos AND x.vec_id <> q.vec_id
+  WHERE q.vec_id < {n_queries}
+  GROUP BY 1, 2
+)
+SELECT q_id, c_id, adc_num, rk FROM (
+  SELECT q_id, c_id, adc_num,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY adc_num DESC, c_id) AS rk
+  FROM sqs
+) WHERE rk <= {topk}
+"""
+    )
+
+
+ANN_SQ8_SQL = ann_sq8_sql()
+
+
+def sq8_code_stats_sql(levels: int = _LEVELS) -> str:
+    """Twin of ``sq8_code_stats`` over the same unrolled chain."""
+    return (
+        kmeans_oracle_cte(k=1, n_assign=1)
+        + f""", sqb AS (
+  SELECT pos, min(iu) AS lo, max(iu) AS hi FROM lg GROUP BY pos
+), sqe AS (
+  SELECT l.pos, l.iu AS x, b.lo, b.hi,
+         CASE WHEN b.hi > b.lo
+           THEN ((l.iu - b.lo) * {levels}) // (b.hi - b.lo)
+         ELSE 0 END AS code
+  FROM lg l JOIN sqb b ON b.pos = l.pos
+), sqr AS (
+  SELECT pos, lo, hi, code,
+         abs(x - (lo + (code * (hi - lo)) // {levels})) AS abs_err
+  FROM sqe
+)
+SELECT pos, min(lo) AS lo, max(hi) AS hi,
+       count(DISTINCT code) AS codes_used,
+       CAST(max(abs_err) AS BIGINT) AS max_abs_err,
+       CAST(sum(abs_err) AS BIGINT) AS sum_abs_err,
+       round(CAST(sum(abs_err) AS BIGINT) * 1.0 / count(*), 4)
+         AS mean_abs_err
+FROM sqr GROUP BY pos
+"""
+    )
+
+
+SQ8_CODE_STATS_SQL = sq8_code_stats_sql()

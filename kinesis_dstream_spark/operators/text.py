@@ -1330,3 +1330,136 @@ WHERE pos <= greatest(n_grams - {w - 1}, 1)
 
 
 WINNOWING_SQL = winnowing_sql()
+
+
+_ZIPF_LN_SCALE = 1_000_000  # µ-units for ln(rank)/ln(count) fixed-points
+
+
+def zipf_fit_by_source(documents: DataFrame, top_n: int = 100) -> DataFrame:
+    """Zipf-law fit per source: OLS slope of ln(frequency) on ln(rank)
+    over each source's ``top_n`` most frequent tokens — the
+    frequency-DISTRIBUTION companion to ``vocabulary_growth``'s Heaps
+    curve. Natural language sits near slope −1; a source whose slope
+    collapses toward 0 (flat counts — machine-generated id soup) or
+    dives far below −1 (a few tokens dominate — templated boilerplate)
+    fails the linguistic-plausibility screen regardless of its
+    per-document quality scores. The r² says whether a power law
+    describes the source at all.
+
+    Determinism: ranks are exact (count DESC, term ASC is a total
+    order); ln(rank) and ln(count) are fixed-pointed to µ-units per
+    row, so the five OLS sufficient statistics are exact int64 sums —
+    with ``top_n`` = 100 and ln(count) < 50 (count < e⁵⁰), every
+    normal-equation product stays inside int64 (~2.7e18 worst case;
+    raising top_n past ~300 needs DECIMAL(38) — noted, the
+    ``value_trend_regression`` rule). Slope is one int/int division;
+    intercept and r² use the same explicit double casts as the trend
+    twin, mirrored in the oracle.
+
+    Plan: ONE token-count shuffle (map-side partials bound it at
+    |distinct (source, term)|), a per-source rank window over that
+    distinct-term table (partitioned by source — never global), then a
+    |sources|-row closed-form aggregate. Corpus scanned once.
+    """
+    toks = documents.select(
+        "source", F.explode(tokens(F.col("text"))).alias("term")
+    ).filter(F.col("term") != "")
+    counts = toks.groupBy("source", "term").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("source").orderBy(
+        F.col("cnt").desc(), F.col("term").asc()
+    )
+    ranked = (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_n)
+        .select(
+            "source",
+            F.round(F.log("rk") * _ZIPF_LN_SCALE).cast("long").alias("lx"),
+            F.round(F.log("cnt") * _ZIPF_LN_SCALE).cast("long").alias("ly"),
+        )
+    )
+    agg = ranked.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        F.sum(F.col("ly") * F.col("ly")).alias("syy"),
+    )
+    det = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    det_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return agg.select(
+        "source",
+        "n",
+        F.when(det != 0, F.round(num / det, 6)).alias("zipf_slope"),
+        F.when(
+            det != 0,
+            F.round(
+                (
+                    F.col("sy").cast("double") * F.col("sxx").cast("double")
+                    - F.col("sx").cast("double") * F.col("sxy").cast("double")
+                )
+                / det.cast("double")
+                / _ZIPF_LN_SCALE,
+                4,
+            ),
+        ).alias("ln_intercept"),
+        F.when(
+            (det != 0) & (det_y != 0),
+            F.round(
+                (num.cast("double") * num.cast("double"))
+                / (det.cast("double") * det_y.cast("double")),
+                4,
+            ),
+        ).alias("r2"),
+    )
+
+
+def zipf_fit_sql(top_n: int = 100) -> str:
+    """DuckDB twin generated from the SAME top_n."""
+    duck_toks = "str_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')"
+    s = _ZIPF_LN_SCALE
+    return f"""
+WITH toks AS (
+  SELECT source, unnest({duck_toks}) AS term FROM documents
+), counts AS (
+  SELECT source, term, count(*) AS cnt FROM toks
+  WHERE term <> '' GROUP BY source, term
+), ranked AS (
+  SELECT source,
+         CAST(round(ln(rk) * {s}) AS BIGINT) AS lx,
+         CAST(round(ln(cnt) * {s}) AS BIGINT) AS ly
+  FROM (
+    SELECT source, cnt,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY cnt DESC, term ASC) AS rk
+    FROM counts
+  ) WHERE rk <= {top_n}
+), agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(lx) AS BIGINT) AS sx, CAST(sum(ly) AS BIGINT) AS sy,
+         CAST(sum(lx * ly) AS BIGINT) AS sxy,
+         CAST(sum(lx * lx) AS BIGINT) AS sxx,
+         CAST(sum(ly * ly) AS BIGINT) AS syy
+  FROM ranked GROUP BY source
+)
+SELECT source, n,
+       CASE WHEN n * sxx - sx * sx <> 0 THEN
+         round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+       END AS zipf_slope,
+       CASE WHEN n * sxx - sx * sx <> 0 THEN
+         round((CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE))
+               / CAST(n * sxx - sx * sx AS DOUBLE) / {s}, 4)
+       END AS ln_intercept,
+       CASE WHEN n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0 THEN
+         round((CAST(n * sxy - sx * sy AS DOUBLE)
+                * CAST(n * sxy - sx * sy AS DOUBLE))
+               / (CAST(n * sxx - sx * sx AS DOUBLE)
+                  * CAST(n * syy - sy * sy AS DOUBLE)), 4)
+       END AS r2
+FROM agg
+"""
+
+
+ZIPF_FIT_SQL = zipf_fit_sql()

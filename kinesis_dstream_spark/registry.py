@@ -42,6 +42,7 @@ from kinesis_dstream_spark.operators import (
     layout,
     relational,
     pq_det,
+    sq_det,
     similarity,
     sketches,
     text,
@@ -610,6 +611,53 @@ JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.6
 """
+
+
+def _q_dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.dedup_ngram_containment(load_table(spark, sf, "documents"))
+
+
+# directed containment twin: same df-capped inverted index as
+# _SQL_DEDUP_JACCARD, one pair table, two direction projections
+_SQL_DEDUP_CONTAINMENT = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKS.format(col='text')} AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                                      i -> array_to_string(t[i:i+2], ' '))) AS shingles
+  FROM toks
+), ex0 AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), hot AS (
+  SELECT shingle FROM ex0 GROUP BY shingle
+  HAVING count(*) > (SELECT greatest(20, ceil(0.02 * count(*))) FROM documents)
+), ex AS (
+  SELECT * FROM ex0 WHERE shingle NOT IN (SELECT shingle FROM hot)
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), paired AS (
+  SELECT doc_a, doc_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+), directed AS (
+  SELECT doc_a AS doc_src, doc_b AS doc_dst,
+         round(n_inter / n_a, 6) AS containment FROM paired
+  UNION ALL
+  SELECT doc_b AS doc_src, doc_a AS doc_dst,
+         round(n_inter / n_b, 6) AS containment FROM paired
+)
+SELECT doc_src, doc_dst, containment FROM directed WHERE containment >= 0.6
+"""
+
+
+def _q_local_clustering(spark: SparkSession, sf: str) -> DataFrame:
+    return graph.local_clustering_profile(load_table(spark, sf, "documents"))
 
 
 def _q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
@@ -4380,6 +4428,18 @@ def _q_benford(spark: SparkSession, sf: str) -> DataFrame:
     return dataquality.benford_digit_audit(load_table(spark, sf, "events"))
 
 
+def _q_bigram_lm(spark: SparkSession, sf: str) -> DataFrame:
+    return curation.bigram_lm_perplexity(load_table(spark, sf, "documents"))
+
+
+def _q_ann_sq8(spark: SparkSession, sf: str) -> DataFrame:
+    return sq_det.ann_sq8_topk(load_table(spark, sf, "embeddings"))
+
+
+def _q_sq8_code_stats(spark: SparkSession, sf: str) -> DataFrame:
+    return sq_det.sq8_code_stats(load_table(spark, sf, "embeddings"))
+
+
 def _q_winnowing(spark: SparkSession, sf: str) -> DataFrame:
     return text.winnowing_fingerprints(load_table(spark, sf, "documents"))
 
@@ -4477,6 +4537,16 @@ def _q_rank_normalize_from_store(spark: SparkSession, sf: str) -> DataFrame:
     from kinesis_dstream_spark.streaming import jobs
 
     return jobs.rank_normalize_from_store(spark, sf)
+
+
+def _q_zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
+    return text.zipf_fit_by_source(load_table(spark, sf, "documents"))
+
+
+def _q_gini_from_store(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.streaming import jobs
+
+    return jobs.gini_from_store(spark, sf)
 
 
 def _q_temporal_split(spark: SparkSession, sf: str) -> DataFrame:
@@ -5710,6 +5780,41 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # shard (doc round-robin balances counts and lets token mass skew);
     # closed integer assignment, per-shard accounting
     "shard_balance_plan": (_q_shard_balance, curation.SHARD_BALANCE_SQL),
+    # deterministic scalar quantization (E-11, r11): the remaining
+    # FAISS quantizer tier (SQ8) — per-dim exact min/max train (the
+    # ONLY layout-independent train step in the family), fused integer
+    # encode/decode, asymmetric ADC scan; flat exhibit + per-dim
+    # telemetry twin, both end-to-end hash-checked
+    "ann_sq8_topk": (_q_ann_sq8, sq_det.ANN_SQ8_SQL),
+    "sq8_code_stats": (_q_sq8_code_stats, sq_det.SQ8_CODE_STATS_SQL),
+    # bigram-LM perplexity scoring (E-12 curation, r11): the CCNet
+    # quality-filter shape — Laplace transition model over a closed
+    # (V+1)-symbol space, per-doc mean log-prob + perplexity proxy;
+    # the context-aware step up from unigram_logprob_score
+    "bigram_lm_perplexity": (_q_bigram_lm, curation.BIGRAM_LM_PERPLEXITY_SQL),
+    # directed n-gram containment pairs (E-10, r11): the Broder
+    # containment coefficient |A∩B|/|A| — catches short-doc-embedded-
+    # in-long-doc duplicates that Jaccard's min/max bound provably
+    # misses; same df-capped inverted index, both directions from one
+    # pair table
+    "dedup_ngram_containment": (_q_dedup_containment, _SQL_DEDUP_CONTAINMENT),
+    # per-node triangle counts + local clustering coefficient (E-16,
+    # r11): separates clique-shaped duplication (template farms) from
+    # hub-shaped partial overlap per document — the node-grain
+    # refinement of near_dup_graph_stats' global coefficient
+    "local_clustering_profile": (
+        _q_local_clustering,
+        graph.local_clustering_oracle_sql(_SQL_DEDUP_JACCARD),
+    ),
+    # granule-store consumer seven (r11): Gini is a pure function of
+    # the (event_type, iv, count) value-frequency granules — fourth
+    # rider on the percentile maintenance stream, same scan-path oracle
+    "gini_from_store": (_q_gini_from_store, dataquality.VALUE_GINI_SQL),
+    # Zipf-law fit per source (E-12, r11): OLS of ln(freq) on ln(rank)
+    # over each source's top tokens — the frequency-distribution
+    # companion to vocabulary_growth's Heaps curve; linguistic-
+    # plausibility screen (natural text ≈ slope −1)
+    "zipf_fit_by_source": (_q_zipf_fit, text.ZIPF_FIT_SQL),
 }
 
 

@@ -1,0 +1,108 @@
+"""Deterministic SQ8 scalar quantization (operators/sq_det.py):
+semantic bounds the DuckDB oracle can't express — recall vs the exact
+ranking, reconstruction-error budget, and the constant-dimension edge.
+Value-level exactness is covered by the registry oracles
+(``ann_sq8_topk`` / ``sq8_code_stats``)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from kinesis_dstream_spark.operators import sq_det
+from kinesis_dstream_spark.operators.clustering import _unit_int_arrays
+from kinesis_dstream_spark.tables import load_table
+
+_SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, _SF, "embeddings").localCheckpoint()
+
+
+def _exact_topk(emb, n_queries=10, k=5):
+    iarr = _unit_int_arrays(emb).localCheckpoint()
+    q = iarr.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("iu").alias("q_iu")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("q_iu"), F.col("iu"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("d").desc(), "c_id")
+    return {
+        (r.q_id, r.c_id)
+        for r in q.crossJoin(iarr)
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("c_id"), dot.alias("d"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .collect()
+    }
+
+
+def test_sq8_recall_beats_pq_even_isotropic(emb):
+    """SQ8 quantizes per-DIMENSION (255 levels each), so unlike PQ's
+    16-codes-per-16-dim-subspace it survives the isotropic fixture:
+    recall@5 vs the exact integer-dot top-5 must clear a floor the PQ
+    flat scan (documented ~0.06-0.24) never reaches there."""
+    truth = _exact_topk(emb)
+    got = {
+        (r.q_id, r.c_id) for r in sq_det.ann_sq8_topk(emb).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.9, recall
+
+
+def test_sq8_reconstruction_error_budget(emb):
+    """Per-dim |x - x̂| is bounded by one quantization cell:
+    span/levels + 1 grid unit (integer truncation)."""
+    rows = sq_det.sq8_code_stats(emb).collect()
+    assert len(rows) == 64
+    for r in rows:
+        cell = (r.hi - r.lo) // sq_det._LEVELS + 1
+        assert r.max_abs_err <= cell, (r.pos, r.max_abs_err, cell)
+        assert 1 <= r.codes_used <= sq_det._LEVELS + 1
+
+
+def test_sq8_constant_dimension_edge(spark):
+    """A constant dimension (span 0) encodes to code 0 and
+    reconstructs exactly — no division by zero in either engine."""
+    emb = spark.createDataFrame(
+        [
+            (0, "a", [1.0, 0.5, 0.25]),
+            (1, "a", [1.0, -0.5, 0.5]),
+            (2, "a", [1.0, 0.1, -0.25]),
+        ],
+        "vec_id long, label string, embedding array<float>",
+    )
+    stats = {r.pos: r for r in sq_det.sq8_code_stats(emb).collect()}
+    # dim 1 is constant BEFORE normalization but not after (norms
+    # differ) — construct the truly-constant case via identical rows
+    emb2 = spark.createDataFrame(
+        [(i, "a", [0.6, 0.8]) for i in range(3)],
+        "vec_id long, label string, embedding array<float>",
+    )
+    stats2 = {r.pos: r for r in sq_det.sq8_code_stats(emb2).collect()}
+    for pos, r in stats2.items():
+        assert r.lo == r.hi and r.codes_used == 1 and r.max_abs_err == 0
+    # and the non-constant frame still produced 3 dims of stats
+    assert set(stats) == {1, 2, 3}
+
+
+def test_sq8_topk_shape_and_ties(emb):
+    out = sq_det.ann_sq8_topk(emb, n_queries=4, topk=3).collect()
+    assert len(out) == 12
+    per_q = {}
+    for r in out:
+        assert r.c_id != r.q_id
+        per_q.setdefault(r.q_id, []).append((r.rk, r.adc_num, r.c_id))
+    for q, rows in per_q.items():
+        rows.sort()
+        assert [rk for rk, _, _ in rows] == [1, 2, 3]
+        # ordered by adc desc, ties by c_id asc
+        for (rk1, a1, c1), (rk2, a2, c2) in zip(rows, rows[1:]):
+            assert a1 > a2 or (a1 == a2 and c1 < c2)
