@@ -462,6 +462,7 @@ BENCH_QUERIES = {
     "local_clustering": "local_clustering_profile",
     "zipf_fit": "zipf_fit_by_source",
     "gini_from_store": "gini_from_store",
+    "ann_ivf_sq8": "ann_ivf_sq8_topk",
 }
 
 

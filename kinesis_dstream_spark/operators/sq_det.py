@@ -60,6 +60,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from kinesis_dstream_spark.operators.clustering import (
+    _K,
+    _N_ASSIGN,
     _unit_int_arrays,
     kmeans_oracle_cte,
 )
@@ -202,6 +204,74 @@ def sq8_code_stats(embeddings: DataFrame, levels: int = _LEVELS) -> DataFrame:
     )
 
 
+def ann_ivf_sq8_topk(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    topk: int = 5,
+    n_probe: int = 2,
+    k: int = _K,
+    n_assign: int = _N_ASSIGN,
+    levels: int = _LEVELS,
+) -> DataFrame:
+    """Composed deterministic IVF-SQ8 — the FAISS
+    ``IndexIVFScalarQuantizer`` shape: coarse cells from the
+    deterministic Lloyd fit (``clustering._fit_kmeans`` — the same
+    quantizer every det store uses), GLOBAL per-dimension SQ8 bounds
+    (the FAISS default: the scalar quantizer trains once on the whole
+    corpus, cells share it), and each query ADC-scores ONLY the
+    members of its ``n_probe`` nearest cells — never the corpus.
+
+    Versus the PQ-based composed serves: SQ8 keeps per-dimension
+    resolution (255 levels/dim vs PQ's 16 codes/16-dim subspace), so
+    the ADC ranking is near-exact and NO rerank stage is needed — the
+    memory cut is smaller (8 bits/dim vs 8 bits/subspace) but the
+    serving pipeline is one stage shorter. That tradeoff (IVF-SQ for
+    accuracy-lean tiers, IVF-PQ for memory-lean) is exactly why FAISS
+    ships both; now both are hash-checkable here.
+
+    Plan: fit is the bounded centroid collect; bounds are ONE d-row
+    aggregate; probes are map-side k literal folds + a ≤|q|·k window;
+    the candidate join hashes on cluster_id (partition-pruned to the
+    probed cells under the cell-partitioned layout); ADC is the exact
+    int64 dot against the fused encode/decode transform. Ties: cells
+    (dist, cid), results (adc desc, c_id).
+    """
+    from kinesis_dstream_spark.operators.clustering import (
+        _fit_kmeans,
+        _ivf_probes,
+    )
+
+    iarr, asg, cents = _fit_kmeans(embeddings, k, n_assign)
+    bounds = _sq_bounds(iarr)
+    xh = asg.select(
+        "vec_id",
+        "cluster_id",
+        F.expr(_xhat_sql(bounds, levels)).alias("xh"),
+    )
+    queries = iarr.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("iu").alias("q_iu")
+    )
+    probes = _ivf_probes(queries, cents, n_probe)
+    scored = (
+        xh.join(F.broadcast(probes), "cluster_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("c_id"),
+            F.expr(
+                "aggregate(zip_with(q_iu, xh, (a, b) -> a * b), 0L,"
+                " (acc, x) -> acc + x)"
+            ).alias("adc_num"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adc_num").desc(), "c_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= topk)
+        .select("q_id", "c_id", "adc_num", "rk")
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB twins (generated from the same parameters — r7-ADVICE discipline).
 # Only the shared e/u/iarr/lg prefix of ``kmeans_oracle_cte`` is used; the
@@ -244,6 +314,64 @@ SELECT q_id, c_id, adc_num, rk FROM (
 
 
 ANN_SQ8_SQL = ann_sq8_sql()
+
+
+def ann_ivf_sq8_sql(
+    n_queries: int = 10,
+    topk: int = 5,
+    n_probe: int = 2,
+    k: int = _K,
+    n_assign: int = _N_ASSIGN,
+    levels: int = _LEVELS,
+) -> str:
+    """DuckDB twin of ``ann_ivf_sq8_topk``: the full k-means chain
+    (this time REFERENCED — cells gate the candidates), global SQ8
+    bounds, probe ranking, and the probed-cell ADC, all unrolled."""
+    cent_tbl = f"c{n_assign - 1}" if n_assign > 1 else "c0"
+    return (
+        kmeans_oracle_cte(k, n_assign)
+        + f""", sqb AS (
+  SELECT pos, min(iu) AS lo, max(iu) AS hi FROM lg GROUP BY pos
+), sqx AS (
+  SELECT l.vec_id, l.pos,
+         CASE WHEN b.hi > b.lo THEN b.lo +
+           ((((l.iu - b.lo) * {levels}) // (b.hi - b.lo)) * (b.hi - b.lo))
+             // {levels}
+         ELSE b.lo END AS xhat
+  FROM lg l JOIN sqb b ON b.pos = l.pos
+), qd AS (
+  SELECT l.vec_id AS q_id, c.cid,
+         CAST(sum((l.iu - c.cv) * (l.iu - c.cv)) AS BIGINT) AS cd
+  FROM lg l JOIN {cent_tbl} c ON c.pos = l.pos
+  WHERE l.vec_id < {n_queries}
+  GROUP BY 1, 2
+), probes AS (
+  SELECT q_id, cid FROM (
+    SELECT q_id, cid,
+           row_number() OVER (PARTITION BY q_id ORDER BY cd, cid) AS pr
+    FROM qd
+  ) WHERE pr <= {n_probe}
+), sqs AS (
+  SELECT p.q_id, a.vec_id AS c_id,
+         CAST(sum(q.iu * x.xhat) AS BIGINT) AS adc_num
+  FROM probes p
+  JOIN a{n_assign} a ON a.cid = p.cid
+  JOIN lg q ON q.vec_id = p.q_id
+  JOIN sqx x ON x.vec_id = a.vec_id AND x.pos = q.pos
+  WHERE a.vec_id <> p.q_id
+  GROUP BY 1, 2
+)
+SELECT q_id, c_id, adc_num, rk FROM (
+  SELECT q_id, c_id, adc_num,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY adc_num DESC, c_id) AS rk
+  FROM sqs
+) WHERE rk <= {topk}
+"""
+    )
+
+
+ANN_IVF_SQ8_SQL = ann_ivf_sq8_sql()
 
 
 def sq8_code_stats_sql(levels: int = _LEVELS) -> str:

@@ -4440,6 +4440,10 @@ def _q_sq8_code_stats(spark: SparkSession, sf: str) -> DataFrame:
     return sq_det.sq8_code_stats(load_table(spark, sf, "embeddings"))
 
 
+def _q_ann_ivf_sq8(spark: SparkSession, sf: str) -> DataFrame:
+    return sq_det.ann_ivf_sq8_topk(load_table(spark, sf, "embeddings"))
+
+
 def _q_winnowing(spark: SparkSession, sf: str) -> DataFrame:
     return text.winnowing_fingerprints(load_table(spark, sf, "documents"))
 
@@ -5815,6 +5819,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # companion to vocabulary_growth's Heaps curve; linguistic-
     # plausibility screen (natural text ≈ slope −1)
     "zipf_fit_by_source": (_q_zipf_fit, text.ZIPF_FIT_SQL),
+    # composed deterministic IVF-SQ8 (E-11, r11): the FAISS
+    # IndexIVFScalarQuantizer shape — coarse Lloyd cells gate the
+    # candidates, global SQ8 bounds reconstruct them, ADC needs no
+    # rerank stage (per-dim resolution); completes the quantizer grid
+    # (IVF × {exact, PQ, residual-PQ, SQ8})
+    "ann_ivf_sq8_topk": (_q_ann_ivf_sq8, sq_det.ANN_IVF_SQ8_SQL),
 }
 
 

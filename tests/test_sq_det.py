@@ -106,3 +106,42 @@ def test_sq8_topk_shape_and_ties(emb):
         # ordered by adc desc, ties by c_id asc
         for (rk1, a1, c1), (rk2, a2, c2) in zip(rows, rows[1:]):
             assert a1 > a2 or (a1 == a2 and c1 < c2)
+
+
+def test_ivf_sq8_all_probes_equals_flat(emb):
+    """Probing every cell makes the composed IVF-SQ8 scan the whole
+    corpus — it must then equal the flat SQ8 scan row-for-row (same
+    bounds, same ADC, same ties). The k-subset case is the honest-ANN
+    approximation; this identity pins that composition changed the
+    CANDIDATE SET and nothing else."""
+    flat = {
+        (r.q_id, r.c_id, r.adc_num, r.rk)
+        for r in sq_det.ann_sq8_topk(emb).collect()
+    }
+    composed = {
+        (r.q_id, r.c_id, r.adc_num, r.rk)
+        for r in sq_det.ann_ivf_sq8_topk(emb, n_probe=8, k=8).collect()
+    }
+    assert composed == flat
+
+
+def test_ivf_sq8_candidates_stay_in_probed_cells(emb):
+    """With n_probe=1 every result must live in its query's single
+    nearest cell — the IVF contract."""
+    from kinesis_dstream_spark.operators.clustering import (
+        _fit_kmeans,
+        _ivf_probes,
+    )
+
+    iarr, asg, cents = _fit_kmeans(emb, 8, 2)
+    queries = iarr.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("iu").alias("q_iu")
+    )
+    probe = {
+        (r.q_id, r.cluster_id)
+        for r in _ivf_probes(queries, cents, 1).collect()
+    }
+    cell_of = {r.vec_id: r.cluster_id for r in asg.select("vec_id", "cluster_id").collect()}
+    out = sq_det.ann_ivf_sq8_topk(emb, n_probe=1).collect()
+    for r in out:
+        assert (r.q_id, cell_of[r.c_id]) in probe
