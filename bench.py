@@ -463,6 +463,7 @@ BENCH_QUERIES = {
     "zipf_fit": "zipf_fit_by_source",
     "gini_from_store": "gini_from_store",
     "ann_ivf_sq8": "ann_ivf_sq8_topk",
+    "fellegi_sunter": "fellegi_sunter_scores",
 }
 
 

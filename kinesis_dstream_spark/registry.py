@@ -4444,6 +4444,13 @@ def _q_ann_ivf_sq8(spark: SparkSession, sf: str) -> DataFrame:
     return sq_det.ann_ivf_sq8_topk(load_table(spark, sf, "embeddings"))
 
 
+def _q_fellegi_sunter(spark: SparkSession, sf: str) -> DataFrame:
+    # a_max=200: the scoring-batch bound — the fixture's 64 dense name
+    # classes make the unbatched pair set quadratic in class size
+    # (~18M pairs at sf0.1); production FS scores batches the same way
+    return linkage.fellegi_sunter_scores(load_table(spark, sf, "part"), a_max=200)
+
+
 def _q_winnowing(spark: SparkSession, sf: str) -> DataFrame:
     return text.winnowing_fingerprints(load_table(spark, sf, "documents"))
 
@@ -5825,6 +5832,13 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # rerank stage (per-dim resolution); completes the quantizer grid
     # (IVF × {exact, PQ, residual-PQ, SQ8})
     "ann_ivf_sq8_topk": (_q_ann_ivf_sq8, sq_det.ANN_IVF_SQ8_SQL),
+    # Fellegi–Sunter probabilistic linkage scores (E-10 ER, r11): the
+    # Splink-style log-odds match weight over independent field
+    # comparisons — exact value-frequency u-probabilities, fixed
+    # documented m's, µ-fixed-point weight terms; rare-field agreement
+    # outweighs common-field agreement, which a distance threshold
+    # cannot express
+    "fellegi_sunter_scores": (_q_fellegi_sunter, linkage.FELLEGI_SUNTER_SQL),
 }
 
 

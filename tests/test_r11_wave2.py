@@ -137,3 +137,56 @@ def test_gini_store_serve_equals_scan(spark):
     served = {(r.event_type, r.gini) for r in
               dataquality.gini_from_value_frequency(freq).collect()}
     assert scan == served
+
+
+def test_fellegi_sunter_rare_field_outweighs_common(spark):
+    """The FS property a distance threshold can't express: agreement
+    on a rare field (many values → low u) must contribute a LARGER
+    log-odds weight than agreement on a common field (few values →
+    high u). Constructed catalog: p_type has 20 values, p_brand has 2;
+    the pair agreeing only on type must outscore the pair agreeing
+    only on brand."""
+    from kinesis_dstream_spark.operators import linkage
+
+    rows = []
+    # base population establishing the frequency profile
+    for i in range(40):
+        rows.append((i, "alpha widget", f"B{i % 2}", f"T{i % 20}", i % 5))
+    # pair (100, 101): same TYPE (rare), different brand
+    rows.append((100, "beta widget", "B0", "T99", 1))
+    rows.append((101, "betax widget", "B1", "T99", 2))
+    # pair (200, 201): same BRAND (common), different type
+    rows.append((200, "gamma widget", "B0", "T98", 1))
+    rows.append((201, "gammax widget", "B0", "T97", 2))
+    part = spark.createDataFrame(
+        rows, "p_partkey long, p_name string, p_brand string, p_type string, p_size long"
+    )
+    out = {
+        (r.a_key, r.b_key): r
+        for r in linkage.fellegi_sunter_scores(part).collect()
+    }
+    assert (100, 101) in out and (200, 201) in out
+    rare = out[(100, 101)]
+    common = out[(200, 201)]
+    assert rare.agree_type == 1 and rare.agree_brand == 0
+    assert common.agree_brand == 1 and common.agree_type == 0
+    assert rare.match_weight > common.match_weight
+
+
+def test_fellegi_sunter_batch_is_pure_subset(spark):
+    """a_max only restricts the left side: the batched output must be
+    EXACTLY the unbatched rows with a_key < a_max (weights included) —
+    the filter relocates, the arithmetic doesn't change."""
+    from kinesis_dstream_spark.operators import linkage
+    from kinesis_dstream_spark.tables import load_table
+
+    part = load_table(spark, "/root/testdata/sf0.001", "part")
+    full = {
+        (r.a_key, r.b_key): r.match_weight
+        for r in linkage.fellegi_sunter_scores(part).collect()
+    }
+    batched = {
+        (r.a_key, r.b_key): r.match_weight
+        for r in linkage.fellegi_sunter_scores(part, a_max=50).collect()
+    }
+    assert batched == {k: v for k, v in full.items() if k[0] < 50}
