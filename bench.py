@@ -464,6 +464,7 @@ BENCH_QUERIES = {
     "gini_from_store": "gini_from_store",
     "ann_ivf_sq8": "ann_ivf_sq8_topk",
     "fellegi_sunter": "fellegi_sunter_scores",
+    "y4m_shot_boundary": "y4m_shot_boundary_stats",
 }
 
 

@@ -1031,3 +1031,156 @@ SELECT phash, count(*) AS n_images,
        min(doc_id) AS rep_media_id
 FROM hashes GROUP BY phash HAVING count(*) > 1
 """
+
+
+def synth_y4m_shots_table(documents: DataFrame) -> DataFrame:
+    """(media_id, payload): genuine .y4m streams with SHOT STRUCTURE —
+    the scene-cut synthesizer for the boundary detector below.
+    Deterministic from doc_id:
+
+        width = 8 + doc_id % 4, height = 8 + doc_id % 3  (C444)
+        n_frames = 3 + doc_id % 4                        (3..6)
+        cut period s = 2 + doc_id % 3                    (2..4)
+        Y(frame f) = doc_id % 60 + 2·f + 80·(f div s)
+
+    Within a shot consecutive frames drift by 2 (camera motion /
+    lighting noise); every s-th frame jumps by an extra 80 (a hard
+    cut). Max luma = 59 + 2·5 + 80·2 = 229 < 256, so no modular wrap
+    and every per-frame mean is analytic — the certify-the-detector
+    oracle: a decoder that misreads plane sizes, miscounts frames, or
+    diffs the wrong pairs cannot reproduce the closed-form statistics.
+    """
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 8 + d % 4, 8 + d % 3
+                n, s = 3 + d % 4, 2 + d % 3
+                parts = [f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C444\n".encode()]
+                for f in range(n):
+                    parts.append(b"FRAME\n")
+                    y = d % 60 + 2 * f + 80 * (f // s)
+                    parts.append(bytes([y]) * (w * h))  # Y
+                    parts.append(bytes([128]) * (w * h))  # U
+                    parts.append(bytes([128]) * (w * h))  # V
+                payloads.append(b"".join(parts))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        synth, "media_id long, payload binary"
+    )
+
+
+SHOT_STATS_SCHEMA = (
+    "media_id long, n_frames int, n_cuts int, n_shots int, "
+    "max_frame_diff double, mean_frame_diff double"
+)
+
+
+def detect_y4m_shots(media: DataFrame, threshold: float = 40.0) -> DataFrame:
+    """REAL shot-boundary detection: decode every frame's Y-plane mean
+    from the YUV4MPEG2 stream and flag a cut wherever the absolute
+    luma-mean difference between consecutive frames exceeds
+    ``threshold`` — the classic pixel-domain scene-cut detector
+    (PySceneDetect's ContentDetector shape, luma-only), the first step
+    of a video-training pipeline that wants one clip per scene rather
+    than arbitrary fixed windows.
+
+    Per video: n_frames, n_cuts (threshold exceedances), n_shots
+    (cuts+1), max and mean absolute frame-to-frame luma difference
+    (4dp). Malformed payloads quarantine to null rows. mapInPandas,
+    zero exchange — the whole detector is a per-partition byte scan,
+    the only scale cost is reading the video bytes once.
+    """
+    import numpy as np
+
+    def detect(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    p = bytes(payload)
+                    nl = p.index(b"\n")
+                    head = p[:nl].decode("ascii").split()
+                    if head[0] != "YUV4MPEG2":
+                        raise ValueError("not y4m")
+                    params = {t[0]: t[1:] for t in head[1:]}
+                    w, h = int(params["W"]), int(params["H"])
+                    cs = params.get("C", "420")
+                    if cs == "444":
+                        frame_bytes = w * h * 3
+                    elif cs.startswith("420"):
+                        frame_bytes = w * h * 3 // 2
+                    else:
+                        raise ValueError(f"unsupported colorspace {cs}")
+                    pos, y_means = nl + 1, []
+                    while pos < len(p):
+                        fnl = p.index(b"\n", pos)
+                        if not p[pos:fnl].startswith(b"FRAME"):
+                            raise ValueError("bad frame marker")
+                        plane = np.frombuffer(
+                            p, dtype=np.uint8, count=w * h, offset=fnl + 1
+                        )
+                        y_means.append(plane.astype(np.float64).mean())
+                        pos = fnl + 1 + frame_bytes
+                    nf = len(y_means)
+                    if nf < 2:
+                        rows.append((int(mid), nf, 0, 1, None, None))
+                        continue
+                    diffs = np.abs(np.diff(np.array(y_means)))
+                    n_cuts = int((diffs > threshold).sum())
+                    rows.append(
+                        (
+                            int(mid),
+                            nf,
+                            n_cuts,
+                            n_cuts + 1,
+                            round(float(diffs.max()), 4),
+                            round(float(diffs.mean()), 4),
+                        )
+                    )
+                except Exception:
+                    rows.append((int(mid), None, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_frames", "n_cuts", "n_shots",
+                    "max_frame_diff", "mean_frame_diff",
+                ],
+            )
+
+    return media.mapInPandas(detect, SHOT_STATS_SCHEMA)
+
+
+def y4m_shot_boundary_stats(documents: DataFrame) -> DataFrame:
+    """Synthesize shot-structured videos, run the real boundary
+    detector, emit per-video cut statistics — the TEMPORAL-structure
+    member of the video family (decode certifies planes, frame-sample
+    certifies selection, this certifies frame-to-frame ANALYSIS). One
+    fused mapInPandas chain; analytic closed-form DuckDB oracle."""
+    return detect_y4m_shots(synth_y4m_shots_table(documents))
+
+
+# Closed forms for the oracle (documented here, consumed by the
+# registry twin): with n = 3 + d%4 frames and cut period s = 2 + d%3,
+# diff(f→f+1) = 2 + 80·[ (f+1) % s == 0 ] exactly (constant planes ⇒
+# the plane mean IS the luma byte), so over the n−1 diffs:
+#   n_cuts   = (n−1) div s
+#   max_diff = 82 if n_cuts ≥ 1 else 2
+#   mean     = (2·(n−1) + 80·n_cuts) / (n−1)
+Y4M_SHOT_BOUNDARY_SQL = """
+SELECT doc_id AS media_id,
+       CAST(3 + doc_id % 4 AS INT) AS n_frames,
+       CAST((2 + doc_id % 4) // (2 + doc_id % 3) AS INT) AS n_cuts,
+       CAST((2 + doc_id % 4) // (2 + doc_id % 3) + 1 AS INT) AS n_shots,
+       round(CAST(CASE WHEN (2 + doc_id % 4) // (2 + doc_id % 3) >= 1
+                  THEN 82.0 ELSE 2.0 END AS DOUBLE), 4) AS max_frame_diff,
+       round((2.0 * (2 + doc_id % 4)
+              + 80.0 * ((2 + doc_id % 4) // (2 + doc_id % 3)))
+             / (2 + doc_id % 4), 4) AS mean_frame_diff
+FROM documents
+"""

@@ -4444,6 +4444,10 @@ def _q_ann_ivf_sq8(spark: SparkSession, sf: str) -> DataFrame:
     return sq_det.ann_ivf_sq8_topk(load_table(spark, sf, "embeddings"))
 
 
+def _q_y4m_shots(spark: SparkSession, sf: str) -> DataFrame:
+    return multimodal.y4m_shot_boundary_stats(load_table(spark, sf, "documents"))
+
+
 def _q_fellegi_sunter(spark: SparkSession, sf: str) -> DataFrame:
     # a_max=200: the scoring-batch bound — the fixture's 64 dense name
     # classes make the unbatched pair set quadratic in class size
@@ -5839,6 +5843,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # outweighs common-field agreement, which a distance threshold
     # cannot express
     "fellegi_sunter_scores": (_q_fellegi_sunter, linkage.FELLEGI_SUNTER_SQL),
+    # video shot-boundary detection (E-13, r11): real luma-diff cut
+    # detector over shot-structured synthesized .y4m streams — the
+    # temporal-analysis member of the video family; closed-form
+    # analytic oracle certifies frame parsing AND the diff logic
+    "y4m_shot_boundary_stats": (_q_y4m_shots, multimodal.Y4M_SHOT_BOUNDARY_SQL),
 }
 
 

@@ -190,3 +190,26 @@ def test_fellegi_sunter_batch_is_pure_subset(spark):
         for r in linkage.fellegi_sunter_scores(part, a_max=50).collect()
     }
     assert batched == {k: v for k, v in full.items() if k[0] < 50}
+
+
+def test_y4m_shot_detector_on_handbuilt_video(spark):
+    """Hand-assembled 4x4 C444 stream with lumas [10, 12, 200, 202]:
+    exactly one cut (12→200), max diff 188, mean (2+188+2)/3."""
+    from kinesis_dstream_spark.operators import multimodal
+
+    w = h = 4
+    parts = [b"YUV4MPEG2 W4 H4 F25:1 Ip A1:1 C444\n"]
+    for y in (10, 12, 200, 202):
+        parts.append(b"FRAME\n")
+        parts.append(bytes([y]) * (w * h) + bytes([128]) * (w * h) * 2)
+    good = b"".join(parts)
+    media = spark.createDataFrame(
+        [(0, bytearray(good)), (1, bytearray(b"garbage"))],
+        "media_id long, payload binary",
+    )
+    out = {r.media_id: r for r in multimodal.detect_y4m_shots(media).collect()}
+    r = out[0]
+    assert (r.n_frames, r.n_cuts, r.n_shots) == (4, 1, 2)
+    assert r.max_frame_diff == 188.0
+    assert r.mean_frame_diff == round((2 + 188 + 2) / 3, 4)
+    assert out[1].n_frames is None  # malformed payload quarantined
