@@ -465,6 +465,7 @@ BENCH_QUERIES = {
     "ann_ivf_sq8": "ann_ivf_sq8_topk",
     "fellegi_sunter": "fellegi_sunter_scores",
     "y4m_shot_boundary": "y4m_shot_boundary_stats",
+    "hazard_na": "user_hazard_na",
 }
 
 

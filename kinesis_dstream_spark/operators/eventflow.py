@@ -3447,3 +3447,114 @@ FROM summed WHERE n_events > 0
 
 
 USER_SURVIVAL_KM_SQL = user_survival_km_sql()
+
+
+def user_hazard_na(events: DataFrame, censor_days: int = 7) -> DataFrame:
+    """Nelson–Aalen cumulative hazard over user lifetimes — the
+    estimator survival analysis pairs with Kaplan-Meier
+    (``user_survival_km``): H(t) = Σ_{u ≤ t} d(u)/n_risk(u), the
+    cumulative churn FORCE. Where KM answers "what fraction survives
+    past t", NA answers "how much churn pressure has accumulated by t"
+    — its increments are the discrete hazard rates a retention team
+    plots to find WHEN churn concentrates (onboarding cliff vs slow
+    decay), and exp(−H) is the Breslow survival estimate (reported as
+    ``surv_breslow``; ≥ the KM curve, equal in the no-ties limit —
+    both facts pytest-pinned).
+
+    Same right-censoring and risk-set construction as KM (same
+    per-user/grid aggregates, same censor_days convention). Unlike KM
+    there is NO ln/product step — each increment is one division of
+    exact int64s and the curve is an ORDERED window sum (the
+    sequential-fold shape KM's ln-sum already relies on), so the
+    step==0-risk-set edge KM needs a sentinel for simply cannot arise
+    (d ≤ n_risk always, and d/n_risk is finite).
+
+    Plan: identical to KM — two corpus-grain aggregates, then all
+    windows run on the ≤ #days observation grid.
+    """
+    per_user = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day"),
+        F.max(F.to_date("ts")).alias("last_day"),
+    )
+    horizon = per_user.agg(F.max("last_day").alias("h"))
+    obs = per_user.crossJoin(F.broadcast(horizon)).select(
+        F.datediff("last_day", "first_day").alias("obs_t"),
+        (
+            F.datediff("h", "last_day") >= censor_days
+        ).cast("int").alias("churned"),
+    )
+    grid = obs.groupBy("obs_t").agg(
+        F.count(F.lit(1)).alias("n_leaving"),
+        F.sum("churned").alias("n_events"),
+    )
+    w_prev = Window.orderBy("obs_t").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("obs_t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = obs.count()  # scalar aggregate (driver-bounded)
+    stepped = (
+        grid.withColumn(
+            "n_risk",
+            F.lit(total) - F.coalesce(F.sum("n_leaving").over(w_prev), F.lit(0)),
+        )
+        .withColumn(
+            "h_step", F.col("n_events") / F.col("n_risk").cast("double")
+        )
+        .withColumn("cum_h", F.sum("h_step").over(w_cum))
+    )
+    return (
+        stepped.filter(F.col("n_events") > 0)
+        .select(
+            F.col("obs_t").alias("t_days"),
+            "n_risk",
+            "n_events",
+            F.round("h_step", 6).alias("hazard_step"),
+            F.round("cum_h", 6).alias("cum_hazard"),
+            F.round(F.exp(-F.col("cum_h")), 6).alias("surv_breslow"),
+        )
+    )
+
+
+def user_hazard_na_sql(censor_days: int = 7) -> str:
+    """DuckDB twin generated from the SAME censor window."""
+    return f"""
+WITH per_user AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS first_day,
+         max(CAST(ts AS DATE)) AS last_day
+  FROM events GROUP BY 1
+), h AS (SELECT max(last_day) AS horizon FROM per_user),
+obs AS (
+  SELECT date_diff('day', first_day, last_day) AS obs_t,
+         CASE WHEN date_diff('day', last_day, horizon) >= {censor_days}
+              THEN 1 ELSE 0 END AS churned
+  FROM per_user, h
+), grid AS (
+  SELECT obs_t, count(*) AS n_leaving,
+         CAST(sum(churned) AS BIGINT) AS n_events
+  FROM obs GROUP BY 1
+), stepped AS (
+  SELECT obs_t, n_events,
+         (SELECT count(*) FROM obs)
+           - coalesce(CAST(sum(n_leaving) OVER (ORDER BY obs_t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+           AS n_risk
+  FROM grid
+), hsteps AS (
+  SELECT obs_t, n_events, n_risk,
+         n_events / CAST(n_risk AS DOUBLE) AS h_step
+  FROM stepped
+), summed AS (
+  SELECT obs_t, n_events, n_risk, h_step,
+         sum(h_step) OVER (ORDER BY obs_t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_h
+  FROM hsteps
+)
+SELECT obs_t AS t_days, n_risk, n_events,
+       round(h_step, 6) AS hazard_step,
+       round(cum_h, 6) AS cum_hazard,
+       round(exp(-cum_h), 6) AS surv_breslow
+FROM summed WHERE n_events > 0
+"""
+
+
+USER_HAZARD_NA_SQL = user_hazard_na_sql()

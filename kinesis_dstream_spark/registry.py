@@ -4372,6 +4372,13 @@ def _q_survival_km(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_hazard_na(spark: SparkSession, sf: str) -> DataFrame:
+    # censor_days=1: same fixture-vacuity rationale as _q_survival_km
+    return eventflow.user_hazard_na(
+        load_table(spark, sf, "events"), censor_days=1
+    )
+
+
 def _q_ann_recall_report(spark: SparkSession, sf: str) -> DataFrame:
     return clustering.ann_recall_mrr_report(load_table(spark, sf, "embeddings"))
 
@@ -5848,6 +5855,14 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # temporal-analysis member of the video family; closed-form
     # analytic oracle certifies frame parsing AND the diff logic
     "y4m_shot_boundary_stats": (_q_y4m_shots, multimodal.Y4M_SHOT_BOUNDARY_SQL),
+    # Nelson–Aalen cumulative hazard (E-15, r11): KM's paired
+    # estimator — Σ d/n_risk over the same censored risk-set grid, no
+    # ln/product step so the exhausted-risk-set edge cannot arise;
+    # Breslow survival exp(−H) reported alongside
+    "user_hazard_na": (
+        _q_hazard_na,
+        eventflow.user_hazard_na_sql(censor_days=1),
+    ),
 }
 
 

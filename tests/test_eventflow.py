@@ -948,3 +948,49 @@ def test_mann_kendall_referee_and_robustness(spark):
             got["flat_outlier"]["sen_slope_ppm"]) == fo
     assert got["flat_outlier"]["trend"] == "none"
     assert got["flat_outlier"]["sen_slope_ppm"] == 0
+
+
+def test_user_hazard_na_matches_pure_python_and_dominates_km(spark):
+    """Nelson-Aalen referee on the same constructed cohort as the KM
+    test: exact hazard increments d/n_risk, cumulative sum, and the
+    textbook inequality exp(-H(t)) >= S_KM(t) (Breslow dominates KM;
+    equality only without ties)."""
+    import datetime as dt
+    import math
+
+    base = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    spec = [
+        (1, 0, 3), (2, 0, 3), (3, 2, 12), (4, 0, 25),
+        (5, 5, 30), (6, 1, 4), (7, 0, 10),
+    ]
+    for u, a, b in spec:
+        for off in (a, b):
+            rows.append(
+                (eid, base + dt.timedelta(days=off), u, "visit", 1.0, "{}")
+            )
+            eid += 1
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {r["t_days"]: r for r in eventflow.user_hazard_na(events).collect()}
+    km = {r["t_days"]: r for r in eventflow.user_survival_km(events).collect()}
+
+    obs = [(3, 1), (3, 1), (10, 1), (25, 0), (25, 0), (3, 1), (10, 1)]
+    times = sorted({t for t, c in obs if c})
+    cum, expect = 0.0, {}
+    for t in times:
+        n_risk = sum(1 for o, _ in obs if o >= t)
+        d = sum(1 for o, c in obs if o == t and c)
+        cum += d / n_risk
+        expect[t] = (n_risk, d, d / n_risk, cum)
+    assert set(got) == set(expect)
+    for t, (n_risk, d, step, cum) in expect.items():
+        r = got[t]
+        assert r["n_risk"] == n_risk and r["n_events"] == d
+        assert math.isclose(r["hazard_step"], round(step, 6), abs_tol=1e-6)
+        assert math.isclose(r["cum_hazard"], round(cum, 6), abs_tol=1e-6)
+        # Breslow dominates KM at every event time (ties present here)
+        assert r["surv_breslow"] >= km[t]["survival"] - 1e-9
