@@ -466,6 +466,8 @@ BENCH_QUERIES = {
     "fellegi_sunter": "fellegi_sunter_scores",
     "y4m_shot_boundary": "y4m_shot_boundary_stats",
     "hazard_na": "user_hazard_na",
+    "source_overlap": "source_overlap_matrix",
+    "categorical_mi": "categorical_mi_profile",
 }
 
 

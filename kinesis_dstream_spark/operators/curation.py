@@ -1558,3 +1558,100 @@ FROM per
 
 
 SHARD_BALANCE_SQL = shard_balance_sql()
+
+
+def source_overlap_matrix(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Directed source-level shingle-containment matrix — the
+    crawl-slice redundancy audit: for every ordered source pair,
+    what fraction of source A's distinct k-word shingles also appear
+    in source B. A row near 1.0 says slice A is (content-wise) already
+    inside B — the number a curation team reads before paying to
+    ingest, dedup, and tokenize a new crawl slice ("does this feed add
+    anything?"), one level above the per-document dedup operators.
+
+    The FULL ordered grid is emitted (zero-overlap pairs included, so
+    the matrix is never vacuously sparse); self-pairs are excluded
+    (trivially 1.0).
+
+    Scale shape — and why this needs NO df cap unlike the document-
+    grain joins: the join runs at the DISTINCT (source, shingle)
+    grain, so a shingle's join fan-out is bounded by |sources|² no
+    matter how many documents contain it — the stop-phrase that would
+    put (0.01n)² pairs on one key at document grain contributes at
+    most one row per source here. One distinct-reduction shuffle
+    (map-side partial), one shingle-keyed self-join with per-key work
+    ≤ |sources|², then |sources|²-row arithmetic.
+    """
+    from kinesis_dstream_spark.functions.textfns import word_shingles
+
+    sh = documents.select(
+        "source",
+        F.explode(word_shingles(tokens(F.col("text")), k)).alias("shingle"),
+    ).distinct()
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("source").alias("source_a"), "shingle")
+    b = sh.select(F.col("source").alias("source_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("source_a") != F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    grid = (
+        sizes.select(F.col("source").alias("source_a"), F.col("n_sh").alias("n_a"))
+        .crossJoin(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("source_b"),
+                    F.col("n_sh").alias("n_b"),
+                )
+            )
+        )
+        .filter(F.col("source_a") != F.col("source_b"))
+    )
+    return (
+        grid.join(F.broadcast(shared), ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            F.round(
+                F.coalesce("n_shared", F.lit(0)) / F.col("n_a"), 6
+            ).alias("containment"),
+        )
+    )
+
+
+def source_overlap_sql(k: int = 3) -> str:
+    """DuckDB twin generated from the SAME k (string shingles —
+    count-identical to the hashed Spark side at the distinct grain)."""
+    duck_toks = "str_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')"
+    return f"""
+WITH toks AS (
+  SELECT source, {duck_toks} AS t FROM documents
+), sh AS (
+  SELECT DISTINCT source, shingle FROM (
+    SELECT source,
+           unnest(list_transform(range(1, greatest(len(t) - {k - 1}, 1) + 1),
+                                 i -> array_to_string(t[i:i+{k - 1}], ' ')))
+             AS shingle
+    FROM toks
+  )
+), sizes AS (
+  SELECT source, count(*) AS n_sh FROM sh GROUP BY source
+), shared AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source <> b.source
+  GROUP BY 1, 2
+)
+SELECT ga.source AS source_a, gb.source AS source_b,
+       ga.n_sh AS n_a,
+       coalesce(s.n_shared, 0) AS n_shared,
+       round(coalesce(s.n_shared, 0) / ga.n_sh, 6) AS containment
+FROM sizes ga JOIN sizes gb ON ga.source <> gb.source
+LEFT JOIN shared s ON s.source_a = ga.source AND s.source_b = gb.source
+"""
+
+
+SOURCE_OVERLAP_SQL = source_overlap_sql()

@@ -1503,3 +1503,129 @@ FROM documents GROUP BY 1
 
 
 PII_AUDIT_SQL = pii_audit_sql()
+
+
+_MI_SCALE = 1_000_000_000  # nano-nat fixed-point for entropy terms
+_MI_PAIRS = [("p_brand", "p_type"), ("p_brand", "p_size"), ("p_type", "p_size")]
+
+
+def categorical_mi_profile(part: DataFrame) -> DataFrame:
+    """Mutual information (in nats) between categorical column pairs —
+    the INFORMATION-theoretic dependence screen beside
+    ``categorical_association``'s chi-square: chi-square answers "is
+    the dependence statistically surprising", MI answers "how many
+    nats does knowing A tell you about B" — the number that ranks
+    candidate stratification/blocking keys by usefulness (a key with
+    MI≈0 against the target stratifies nothing) and prices feature
+    redundancy before training.
+
+    Computed through the entropy identity MI = H(A) + H(B) − H(A,B),
+    so each pair needs exactly three count tables (joint + two
+    marginals, the marginals AGGREGATED FROM the joint — one row-grain
+    shuffle per pair). Every entropy term −(c/n)·ln(c/n) is
+    fixed-pointed to nano-nats BEFORE its sum (the exact.py rule: a
+    raw double Σ would hash-flake on accumulation order), so H values
+    are order-independent int64s and MI is exact integer arithmetic on
+    them. NMI = MI/min(H(A),H(B)) (NULL when a column is constant).
+
+    Output: one row per configured pair — n, h_a, h_b, h_ab, mi_nats,
+    nmi. Plan per pair: one |A×B|-bounded aggregate + grid-sized
+    follow-ups; pairs are unioned, the corpus is scanned once per pair
+    (a conditional-agg single-scan variant exists if column pairs grow,
+    the dq_constraint_report trick).
+    """
+    spark = part.sparkSession
+    outs = []
+    for ca, cb in _MI_PAIRS:
+        joint = part.groupBy(
+            F.col(ca).cast("string").alias("va"),
+            F.col(cb).cast("string").alias("vb"),
+        ).agg(F.count(F.lit(1)).alias("c"))
+        n_row = joint.agg(F.sum("c").alias("n"))
+
+        def h_fp(df, ccol="c"):
+            # Σ round(−(c/n)·ln(c/n)·1e9): per-term fixedpoint then int sum
+            return df.crossJoin(F.broadcast(n_row)).select(
+                F.round(
+                    -(F.col(ccol) / F.col("n"))
+                    * F.log(F.col(ccol) / F.col("n"))
+                    * _MI_SCALE
+                )
+                .cast("long")
+                .alias("t")
+            ).agg(F.sum("t").alias("h"))
+
+        ha = h_fp(joint.groupBy("va").agg(F.sum("c").alias("c")))
+        hb = h_fp(joint.groupBy("vb").agg(F.sum("c").alias("c")))
+        hab = h_fp(joint)
+        row = (
+            n_row.crossJoin(F.broadcast(ha.select(F.col("h").alias("h_a"))))
+            .crossJoin(F.broadcast(hb.select(F.col("h").alias("h_b"))))
+            .crossJoin(F.broadcast(hab.select(F.col("h").alias("h_ab"))))
+            .select(
+                F.lit(ca).alias("col_a"),
+                F.lit(cb).alias("col_b"),
+                "n",
+                F.round(F.col("h_a") / _MI_SCALE, 6).alias("h_a"),
+                F.round(F.col("h_b") / _MI_SCALE, 6).alias("h_b"),
+                F.round(F.col("h_ab") / _MI_SCALE, 6).alias("h_ab"),
+                F.round(
+                    (F.col("h_a") + F.col("h_b") - F.col("h_ab")) / _MI_SCALE, 6
+                ).alias("mi_nats"),
+                F.when(
+                    F.least("h_a", "h_b") > 0,
+                    F.round(
+                        (F.col("h_a") + F.col("h_b") - F.col("h_ab"))
+                        / F.least("h_a", "h_b"),
+                        4,
+                    ),
+                ).alias("nmi"),
+            )
+        )
+        outs.append(row)
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result
+
+
+def categorical_mi_sql() -> str:
+    """DuckDB twin over the SAME pair list / scale."""
+    blocks = []
+    for ca, cb in _MI_PAIRS:
+        blocks.append(f"""
+SELECT '{ca}' AS col_a, '{cb}' AS col_b, n,
+       round(h_a / {_MI_SCALE}.0, 6) AS h_a,
+       round(h_b / {_MI_SCALE}.0, 6) AS h_b,
+       round(h_ab / {_MI_SCALE}.0, 6) AS h_ab,
+       round((h_a + h_b - h_ab) / {_MI_SCALE}.0, 6) AS mi_nats,
+       CASE WHEN least(h_a, h_b) > 0 THEN
+         round((h_a + h_b - h_ab) * 1.0 / least(h_a, h_b), 4)
+       END AS nmi
+FROM (
+  WITH joint AS (
+    SELECT CAST({ca} AS VARCHAR) AS va, CAST({cb} AS VARCHAR) AS vb,
+           CAST(count(*) AS BIGINT) AS c
+    FROM part GROUP BY 1, 2
+  ), nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM joint),
+  ha AS (
+    SELECT CAST(sum(CAST(round(-(c * 1.0 / n) * ln(c * 1.0 / n) * {_MI_SCALE})
+                 AS BIGINT)) AS BIGINT) AS h_a
+    FROM (SELECT va, CAST(sum(c) AS BIGINT) AS c FROM joint GROUP BY va), nn
+  ),
+  hb AS (
+    SELECT CAST(sum(CAST(round(-(c * 1.0 / n) * ln(c * 1.0 / n) * {_MI_SCALE})
+                 AS BIGINT)) AS BIGINT) AS h_b
+    FROM (SELECT vb, CAST(sum(c) AS BIGINT) AS c FROM joint GROUP BY vb), nn
+  ),
+  hab AS (
+    SELECT CAST(sum(CAST(round(-(c * 1.0 / n) * ln(c * 1.0 / n) * {_MI_SCALE})
+                 AS BIGINT)) AS BIGINT) AS h_ab
+    FROM joint, nn
+  )
+  SELECT nn.n, ha.h_a, hb.h_b, hab.h_ab FROM nn, ha, hb, hab
+)""")
+    return "\nUNION ALL\n".join(blocks)
+
+
+CATEGORICAL_MI_SQL = categorical_mi_sql()

@@ -4372,6 +4372,14 @@ def _q_survival_km(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_categorical_mi(spark: SparkSession, sf: str) -> DataFrame:
+    return dataquality.categorical_mi_profile(load_table(spark, sf, "part"))
+
+
+def _q_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    return curation.source_overlap_matrix(load_table(spark, sf, "documents"))
+
+
 def _q_hazard_na(spark: SparkSession, sf: str) -> DataFrame:
     # censor_days=1: same fixture-vacuity rationale as _q_survival_km
     return eventflow.user_hazard_na(
@@ -5863,6 +5871,16 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _q_hazard_na,
         eventflow.user_hazard_na_sql(censor_days=1),
     ),
+    # cross-source shingle-containment matrix (E-12 curation, r11):
+    # the crawl-slice redundancy audit — full ordered source grid,
+    # join at the DISTINCT (source, shingle) grain so per-key fan-out
+    # is |sources|²-bounded with no df cap needed
+    "source_overlap_matrix": (_q_source_overlap, curation.SOURCE_OVERLAP_SQL),
+    # categorical mutual information (E-17, r11): nats of dependence
+    # per column pair via H(A)+H(B)−H(A,B) — ranks stratification/
+    # blocking keys and prices feature redundancy; nano-nat fixed-point
+    # entropy terms keep the sums order-independent
+    "categorical_mi_profile": (_q_categorical_mi, dataquality.CATEGORICAL_MI_SQL),
 }
 
 

@@ -213,3 +213,47 @@ def test_y4m_shot_detector_on_handbuilt_video(spark):
     assert r.max_frame_diff == 188.0
     assert r.mean_frame_diff == round((2 + 188 + 2) / 3, 4)
     assert out[1].n_frames is None  # malformed payload quarantined
+
+
+def test_source_overlap_nested_and_disjoint(spark):
+    """Source A's text fully inside source B → containment(A→B) = 1.0;
+    a disjoint source C still gets grid rows with n_shared = 0 (the
+    matrix is never vacuously sparse)."""
+    a_text = "one two three four five six"
+    b_text = a_text + " seven eight nine ten eleven twelve"
+    c_text = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [(0, "A", a_text, 1), (1, "B", b_text, 1), (2, "C", c_text, 1)],
+        "doc_id long, source string, text string, n_chars long",
+    )
+    out = {(r.source_a, r.source_b): r
+           for r in curation.source_overlap_matrix(docs).collect()}
+    assert len(out) == 6  # full 3x2 ordered grid
+    assert out[("A", "B")].containment == 1.0
+    assert out[("B", "A")].containment < 1.0
+    assert out[("A", "C")].n_shared == 0 and out[("A", "C")].containment == 0.0
+
+
+def test_categorical_mi_dependent_vs_independent(spark):
+    """Perfect dependence (B a function of A) gives MI = H(A) and
+    NMI = 1; an independent pair gives MI ≈ 0 — pinned on a
+    constructed catalog where brand determines type but size is
+    uniform within every (brand, type)."""
+    from kinesis_dstream_spark.operators import dataquality
+
+    rows = []
+    for i in range(240):
+        brand = f"B{i % 4}"
+        ptype = f"T{i % 4}"        # type == f(brand): perfect dependence
+        size = i % 3               # independent of brand (4×3 balanced grid)
+        rows.append((i, f"part {i}", brand, ptype, size))
+    part = spark.createDataFrame(
+        rows, "p_partkey long, p_name string, p_brand string, p_type string, p_size long"
+    )
+    out = {(r.col_a, r.col_b): r
+           for r in dataquality.categorical_mi_profile(part).collect()}
+    dep = out[("p_brand", "p_type")]
+    ind = out[("p_brand", "p_size")]
+    assert dep.nmi == pytest.approx(1.0, abs=1e-3)
+    assert dep.mi_nats == pytest.approx(dep.h_a, abs=1e-4)
+    assert abs(ind.mi_nats) < 1e-4
