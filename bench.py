@@ -468,6 +468,8 @@ BENCH_QUERIES = {
     "hazard_na": "user_hazard_na",
     "source_overlap": "source_overlap_matrix",
     "categorical_mi": "categorical_mi_profile",
+    "assortativity": "graph_degree_assortativity",
+    "packing_efficiency": "packing_efficiency_report",
 }
 
 

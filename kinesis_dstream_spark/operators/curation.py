@@ -1655,3 +1655,119 @@ LEFT JOIN shared s ON s.source_a = ga.source AND s.source_b = gb.source
 
 
 SOURCE_OVERLAP_SQL = source_overlap_sql()
+
+
+_PACK_CONTEXT_LENGTHS = [512, 1024, 2048]
+
+
+def packing_efficiency_report(
+    documents: DataFrame, lengths: list[int] | None = None
+) -> DataFrame:
+    """Padding-waste accounting per candidate context length — the
+    closed-form study a training team runs BEFORE choosing a sequence
+    length and packing strategy (``pack_sequences`` then implements the
+    chosen one). Pad tokens are pure wasted compute; at trillion-token
+    scale a 10% padding rate is a 10% GPU bill.
+
+    Per context length L, from the document token-length distribution
+    alone (all exact int64 closed forms, no packing simulation):
+
+      n_docs / total_tokens       corpus facts (shared across L rows)
+      seqs_one_doc                Σ ceil(len/L) — one document per
+                                  sequence, padded to L (the naive
+                                  fine-tuning layout)
+      pad_one_doc                 Σ (L·ceil(len/L) − len), its waste
+      pad_one_doc_ppm             waste ∕ capacity, ppm
+      seqs_packed_lb              ceil(total/L) — the concat-packing
+                                  LOWER BOUND (what greedy concat with
+                                  document breaks approaches from
+                                  above; cross-doc attention masking
+                                  assumed)
+      pack_gain_ppm               1 − packed_lb/one_doc sequence
+                                  saving, ppm
+
+    The spread between pad_one_doc_ppm rows is the decision surface:
+    short-doc corpora waste catastrophically at large L without
+    packing (every 50-token doc pays L−50 pads), which is exactly why
+    pretraining packs.
+
+    Plan: ONE map-side scan computes per-doc token counts; each L row
+    is a conditional aggregate over the same scan (one pass total,
+    |lengths| output rows). Nothing shuffles but the |lengths|-row agg.
+    """
+    if lengths is None:
+        lengths = _PACK_CONTEXT_LENGTHS
+    lens = documents.select(
+        F.size(tokens(F.col("text"))).cast("long").alias("len")
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("len").alias("total_tokens"),
+    ]
+    for L in lengths:
+        ceil_div = F.expr(f"(len + {L} - 1) div {L}")
+        aggs.append(F.sum(ceil_div).alias(f"seqs_{L}"))
+        aggs.append(F.sum(ceil_div * L - F.col("len")).alias(f"pad_{L}"))
+    one = lens.agg(*aggs)
+    rows = []
+    for L in lengths:
+        packed_lb = F.expr(f"(total_tokens + {L} - 1) div {L}")
+        rows.append(
+            one.select(
+                F.lit(L).alias("context_len"),
+                "n_docs",
+                "total_tokens",
+                F.col(f"seqs_{L}").alias("seqs_one_doc"),
+                F.col(f"pad_{L}").alias("pad_one_doc"),
+                F.expr(
+                    f"CAST(pad_{L} * 1000000 div (seqs_{L} * {L}) AS BIGINT)"
+                ).alias("pad_one_doc_ppm"),
+                packed_lb.cast("long").alias("seqs_packed_lb"),
+                F.expr(
+                    f"CAST((seqs_{L} - (total_tokens + {L} - 1) div {L})"
+                    f" * 1000000 div seqs_{L} AS BIGINT)"
+                ).alias("pack_gain_ppm"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def packing_efficiency_sql(lengths: list[int] | None = None) -> str:
+    """DuckDB twin generated from the SAME length list."""
+    if lengths is None:
+        lengths = _PACK_CONTEXT_LENGTHS
+    duck_toks = "str_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')"
+    blocks = []
+    for L in lengths:
+        blocks.append(f"""
+SELECT {L} AS context_len, n_docs, total_tokens,
+       seqs_{L} AS seqs_one_doc, pad_{L} AS pad_one_doc,
+       CAST(pad_{L} * 1000000 // (seqs_{L} * {L}) AS BIGINT)
+         AS pad_one_doc_ppm,
+       CAST((total_tokens + {L} - 1) // {L} AS BIGINT) AS seqs_packed_lb,
+       CAST((seqs_{L} - (total_tokens + {L} - 1) // {L}) * 1000000
+            // seqs_{L} AS BIGINT) AS pack_gain_ppm
+FROM base""")
+    sums = ",\n         ".join(
+        f"CAST(sum((len + {L} - 1) // {L}) AS BIGINT) AS seqs_{L},\n"
+        f"         CAST(sum(((len + {L} - 1) // {L}) * {L} - len) AS BIGINT)"
+        f" AS pad_{L}"
+        for L in lengths
+    )
+    return f"""
+WITH lens AS (
+  SELECT CAST(len({duck_toks}) AS BIGINT) AS len FROM documents
+), base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len) AS BIGINT) AS total_tokens,
+         {sums}
+  FROM lens
+)
+{chr(10).join("UNION ALL" + b if i else b for i, b in enumerate(blocks))}
+"""
+
+
+PACKING_EFFICIENCY_SQL = packing_efficiency_sql()

@@ -660,3 +660,98 @@ SELECT e.a AS doc_a, e.b AS doc_b,
 FROM {prev} e
 LEFT JOIN suppf s ON s.x = e.a AND s.y = e.b
 """
+
+
+def degree_assortativity(
+    documents: DataFrame, pairs: DataFrame | None = None
+) -> DataFrame:
+    """Degree assortativity of the near-dup graph — one row: do
+    high-degree documents link to other high-degree documents
+    (template farms clumping, r > 0) or to low-degree ones (hub/spoke
+    boilerplate, r < 0)? The third structural lens after the global
+    profile (``near_dup_graph_stats``) and the per-node one
+    (``local_clustering_profile``); Newman's r is THE standard mixing
+    statistic.
+
+    r is the Pearson correlation of (deg(u), deg(v)) over directed
+    edge ends. Over the SYMMETRIZED edge list the x and y marginals
+    are identical by construction, so the usual sqrt-denominator
+    collapses: r = (M·Σxy − S²) / (M·Σxx − S²) with S = Σdeg over edge
+    ends — exact int64 sums, ONE final division (no sqrt, no float
+    accumulation). int64 envelope: M·Σxy needs Σdeg³ < 2⁶³/M-ish —
+    safe to ~10⁵-degree hubs on billion-edge graphs; beyond, the
+    moments go DECIMAL(38) unchanged.
+
+    Plan: degrees are one aggregate off the symmetric edges; the
+    edge×degree join is two broadcast hash joins when degrees fit,
+    hash joins keyed on node otherwise; the moments fold map-side.
+    Constant-degree graphs (every node equal) have zero variance —
+    r undefined — emitted as NULL explicitly in both engines.
+    """
+    from kinesis_dstream_spark.operators.dedup import dedup_ngram_jaccard
+
+    if pairs is None:
+        pairs = dedup_ngram_jaccard(documents)
+    pairs = (
+        pairs.select(
+            F.least("doc_a", "doc_b").alias("u"),
+            F.greatest("doc_a", "doc_b").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    sym = pairs.union(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    du = deg.select(F.col("u").alias("uu"), F.col("d").alias("dx"))
+    dv = deg.select(F.col("u").alias("vv"), F.col("d").alias("dy"))
+    ends = sym.join(du, F.col("u") == F.col("uu")).join(
+        dv, F.col("v") == F.col("vv")
+    )
+    agg = ends.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("dx").alias("s"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+    )
+    nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    det = F.col("m") * F.col("sxx") - F.col("s") * F.col("s")
+    return agg.crossJoin(F.broadcast(nodes)).select(
+        "n_nodes",
+        (F.col("m") / 2).cast("long").alias("n_edges"),
+        F.when(
+            det != 0,
+            F.round(
+                (F.col("m") * F.col("sxy") - F.col("s") * F.col("s")) / det, 6
+            ),
+        ).alias("assortativity"),
+    )
+
+
+def degree_assortativity_sql(pairs_sql: str) -> str:
+    """DuckDB twin over the same pair source."""
+    return f"""
+WITH jp AS ({pairs_sql}),
+pairs AS (
+  SELECT DISTINCT least(doc_a, doc_b) AS u, greatest(doc_a, doc_b) AS v FROM jp
+),
+sym AS (
+  SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs
+),
+deg AS (SELECT u, count(*) AS d FROM sym GROUP BY u),
+ends AS (
+  SELECT du.d AS dx, dv.d AS dy
+  FROM sym JOIN deg du ON du.u = sym.u JOIN deg dv ON dv.u = sym.v
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS m, CAST(sum(dx) AS BIGINT) AS s,
+         CAST(sum(dx * dy) AS BIGINT) AS sxy,
+         CAST(sum(dx * dx) AS BIGINT) AS sxx
+  FROM ends
+),
+nodes AS (SELECT count(*) AS n_nodes FROM deg)
+SELECT n_nodes, CAST(m / 2 AS BIGINT) AS n_edges,
+       CASE WHEN m * sxx - s * s <> 0 THEN
+         round((m * sxy - s * s) / (m * sxx - s * s), 6)
+       END AS assortativity
+FROM agg, nodes
+"""

@@ -4372,6 +4372,14 @@ def _q_survival_km(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_assortativity(spark: SparkSession, sf: str) -> DataFrame:
+    return graph.degree_assortativity(load_table(spark, sf, "documents"))
+
+
+def _q_packing_efficiency(spark: SparkSession, sf: str) -> DataFrame:
+    return curation.packing_efficiency_report(load_table(spark, sf, "documents"))
+
+
 def _q_categorical_mi(spark: SparkSession, sf: str) -> DataFrame:
     return dataquality.categorical_mi_profile(load_table(spark, sf, "part"))
 
@@ -5881,6 +5889,21 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # blocking keys and prices feature redundancy; nano-nat fixed-point
     # entropy terms keep the sums order-independent
     "categorical_mi_profile": (_q_categorical_mi, dataquality.CATEGORICAL_MI_SQL),
+    # degree assortativity (E-16, r11): Newman's mixing coefficient —
+    # sqrt-free over the symmetrized edge ends (x/y marginals equal by
+    # construction), exact int64 moments, one final division
+    "graph_degree_assortativity": (
+        _q_assortativity,
+        graph.degree_assortativity_sql(_SQL_DEDUP_JACCARD),
+    ),
+    # packing-efficiency report (E-12 curation, r11): closed-form
+    # padding-waste accounting per candidate context length — the
+    # decision surface BEFORE pack_sequences implements the choice;
+    # one map-side scan, |lengths| output rows
+    "packing_efficiency_report": (
+        _q_packing_efficiency,
+        curation.PACKING_EFFICIENCY_SQL,
+    ),
 }
 
 

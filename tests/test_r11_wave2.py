@@ -257,3 +257,40 @@ def test_categorical_mi_dependent_vs_independent(spark):
     assert dep.nmi == pytest.approx(1.0, abs=1e-3)
     assert dep.mi_nats == pytest.approx(dep.h_a, abs=1e-4)
     assert abs(ind.mi_nats) < 1e-4
+
+
+def test_assortativity_star_vs_clique(spark):
+    """A star is maximally disassortative (r = −1: every edge joins the
+    hub to a leaf); a clique has zero degree variance (r undefined →
+    NULL). Pinned on constructed graphs."""
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "doc_a long, doc_b long"
+    )
+    r_star = graph.degree_assortativity(None, pairs=star).collect()[0]
+    assert r_star.assortativity == -1.0
+    clique = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)],
+        "doc_a long, doc_b long",
+    )
+    r_clique = graph.degree_assortativity(None, pairs=clique).collect()[0]
+    assert r_clique.assortativity is None  # zero variance → NULL
+
+
+def test_packing_efficiency_closed_forms(spark):
+    """Hand-checkable corpus: lens [100, 600, 1500] at L=512 —
+    seqs_one_doc = 1+2+3 = 6, pad = (512−100)+(1024−600)+(1536−1500)
+    = 412+424+36 = 872, packed_lb = ceil(2200/512) = 5."""
+    docs = spark.createDataFrame(
+        [(i, "s", " ".join(["w"] * n), n) for i, n in
+         enumerate([100, 600, 1500])],
+        "doc_id long, source string, text string, n_chars long",
+    )
+    out = {r.context_len: r for r in
+           curation.packing_efficiency_report(docs, lengths=[512]).collect()}
+    r = out[512]
+    assert r.total_tokens == 2200
+    assert r.seqs_one_doc == 6
+    assert r.pad_one_doc == 872
+    assert r.seqs_packed_lb == 5
+    assert r.pad_one_doc_ppm == 872 * 1_000_000 // (6 * 512)
+    assert r.pack_gain_ppm == (6 - 5) * 1_000_000 // 6
