@@ -470,6 +470,7 @@ BENCH_QUERIES = {
     "categorical_mi": "categorical_mi_profile",
     "assortativity": "graph_degree_assortativity",
     "packing_efficiency": "packing_efficiency_report",
+    "arrow_udf_tokens": "arrow_udf_token_counts",
 }
 
 

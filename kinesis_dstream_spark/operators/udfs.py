@@ -34,6 +34,23 @@ def _py_token_count(text):
     return len(text.split())
 
 
+@F.udf(IntegerType(), useArrow=True)
+def _arrow_py_token_count(text):
+    """Arrow-OPTIMIZED Python UDF (E-14 tier 2.5, r11): the same
+    scalar function as ``_py_token_count`` but shipped over Arrow
+    batches instead of pickled rows — Spark ≥3.5's ``useArrow=True``
+    path. Same Python-per-VALUE cost as the row UDF (unlike a pandas
+    UDF's vectorized kernel) but the serialization boundary is
+    columnar, which is most of the row path's overhead. The plan node
+    is ArrowEvalPython (pinned in tests/test_plans.py) vs the row
+    UDF's BatchEvalPython — completing the UDF execution matrix:
+    BatchEvalPython / ArrowEvalPython / (scalar|grouped-agg) pandas /
+    UDTF / mapInPandas."""
+    if text is None:
+        return 0
+    return len(text.split())
+
+
 @F.pandas_udf(DoubleType())
 def _pd_log1p_value(v: pd.Series) -> pd.Series:
     """Arrow-batched scalar pandas UDF (E-14 tier 2): numpy kernel."""
@@ -54,6 +71,21 @@ def udf_token_counts(documents: DataFrame) -> DataFrame:
     return documents.select(
         "doc_id",
         _py_token_count(F.col("text")).alias("py_tokens"),
+        F.size(tokens(F.col("text"))).alias("jvm_tokens"),
+    )
+
+
+def arrow_udf_token_counts(documents: DataFrame) -> DataFrame:
+    """Arrow-optimized Python UDF vs built-in, side by side — the
+    ``useArrow=True`` twin of ``udf_token_counts``; the shared oracle
+    pins that the Arrow serialization path changes NOTHING about the
+    values, and the plan test pins that this query carries
+    ArrowEvalPython (not BatchEvalPython)."""
+    from kinesis_dstream_spark.functions.textfns import tokens
+
+    return documents.select(
+        "doc_id",
+        _arrow_py_token_count(F.col("text")).alias("py_tokens"),
         F.size(tokens(F.col("text"))).alias("jvm_tokens"),
     )
 

@@ -4372,6 +4372,12 @@ def _q_survival_km(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_arrow_udf_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.operators import udfs
+
+    return udfs.arrow_udf_token_counts(load_table(spark, sf, "documents"))
+
+
 def _q_assortativity(spark: SparkSession, sf: str) -> DataFrame:
     return graph.degree_assortativity(load_table(spark, sf, "documents"))
 
@@ -5904,6 +5910,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _q_packing_efficiency,
         curation.PACKING_EFFICIENCY_SQL,
     ),
+    # Arrow-optimized Python UDF (E-14 tier 2.5, r11): the
+    # useArrow=True twin of udf_token_counts — same values through
+    # the columnar serialization path (ArrowEvalPython plan-pinned),
+    # completing the UDF execution matrix
+    "arrow_udf_token_counts": (_q_arrow_udf_tokens, _SQL_UDF_TOKENS),
 }
 
 

@@ -519,3 +519,17 @@ def test_r11_wave_plan_pins(spark, sf_dir):
     p = _plan(curation.shard_balance_plan(docs))
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_arrow_udf_uses_arrow_eval_node(spark, sf_dir):
+    """The UDF execution matrix is plan-distinguishable: the row UDF
+    query carries BatchEvalPython, the useArrow=True twin carries
+    ArrowEvalPython — same values (shared oracle), different
+    serialization boundary."""
+    from kinesis_dstream_spark.operators import udfs
+
+    docs = load_table(spark, sf_dir, "documents")
+    p_row = _plan(udfs.udf_token_counts(docs))
+    assert "BatchEvalPython" in p_row and "ArrowEvalPython" not in p_row
+    p_arrow = _plan(udfs.arrow_udf_token_counts(docs))
+    assert "ArrowEvalPython" in p_arrow and "BatchEvalPython" not in p_arrow
