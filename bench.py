@@ -471,6 +471,8 @@ BENCH_QUERIES = {
     "assortativity": "graph_degree_assortativity",
     "packing_efficiency": "packing_efficiency_report",
     "arrow_udf_tokens": "arrow_udf_token_counts",
+    "ann_ivf_sq8_serve": "ann_ivf_sq8_serve",
+    "ann_ivf_sq8_ingest": "ann_ivf_sq8_ingest_serve",
 }
 
 

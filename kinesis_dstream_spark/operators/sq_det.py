@@ -403,3 +403,336 @@ FROM sqr GROUP BY pos
 
 
 SQ8_CODE_STATS_SQL = sq8_code_stats_sql()
+
+
+# ---------------------------------------------------------------------------
+# Persisted deterministic IVF-SQ8 store lifecycle (r11): the FAISS
+# IndexIVFScalarQuantizer with the repo's store contract — poison-first
+# rebuild, atomic meta-last sidecar, frozen-quantizer ingest with the
+# cell-pruned replay anti-join, per-cell compaction, erasure hook.
+# ---------------------------------------------------------------------------
+
+_SQ_META = "_meta_sq.json"
+_SQ_APPEND_LOG_CAP = 64  # same rationale as pq_det._PQ_APPEND_LOG_CAP
+
+
+def _codes_sql(bounds: list[tuple[int, int, int]], levels: int = _LEVELS) -> str:
+    """SQL text encoding ``iu`` to CLAMPED SQ8 codes against literal
+    bounds. The clamp is a no-op when the bounds cover the data (the
+    full-corpus build) and the frozen-quantizer contract when they
+    don't (ingested vectors outside the trained range saturate at
+    0/levels — FAISS SQ semantics). The clamp also absorbs the one
+    cross-engine division difference: Spark ``div`` truncates, DuckDB
+    ``//`` floors, which differ only on negatives — and every negative
+    code clamps to 0 either way."""
+    lo = _lit_arr([b[1] for b in bounds])
+    sp = _lit_arr([b[2] - b[1] for b in bounds])
+    return (
+        f"transform(iu, (x, i) -> CASE WHEN element_at({sp}, i + 1) > 0 THEN "
+        f"greatest(0L, least({levels}L, ((x - element_at({lo}, i + 1)) * "
+        f"{levels}) div element_at({sp}, i + 1))) ELSE 0L END)"
+    )
+
+
+def _xhat_from_codes_sql(
+    bounds: list[tuple[int, int, int]], levels: int = _LEVELS
+) -> str:
+    """SQL text reconstructing x̂ from stored codes (all non-negative
+    operands — floor == trunc)."""
+    lo = _lit_arr([b[1] for b in bounds])
+    sp = _lit_arr([b[2] - b[1] for b in bounds])
+    return (
+        f"transform(codes, (c, i) -> element_at({lo}, i + 1) + "
+        f"(c * element_at({sp}, i + 1)) div {levels})"
+    )
+
+
+def ivf_sq8_store_ensure(
+    embeddings: DataFrame,
+    path: str,
+    k: int = _K,
+    n_assign: int = _N_ASSIGN,
+    levels: int = _LEVELS,
+):
+    """Build-if-absent persisted IVF-SQ8 index: (vec_id, codes) parquet
+    partitioned by the coarse cluster_id — ONE int64-array column of d
+    codes per vector (the 8-bit-per-dim memory story; tighter physical
+    types are a parquet encoding detail, the logical layout is what
+    the plan prunes on) — with coarse centroids AND the per-dimension
+    bounds in the atomic meta sidecar (both are the trained model; a
+    code is meaningless without its bounds). Same crash-safety contract
+    as every det store: poison meta FIRST, write it LAST. Returns
+    (coarse, bounds, codes frame read back)."""
+    import os
+
+    from kinesis_dstream_spark import stores
+    from kinesis_dstream_spark.operators.ann_index import corpus_fingerprint
+    from kinesis_dstream_spark.operators.clustering import _fit_kmeans
+
+    fp = corpus_fingerprint(embeddings, ivf_sq8=(k, n_assign, levels))
+    codes_path = os.path.join(path, "codes")
+    stored = stores.read_meta(path, _SQ_META)
+    if stored is None or stored.get("fingerprint") != fp:
+        stores.remove_meta(path, _SQ_META)
+        iarr, asg, coarse = _fit_kmeans(embeddings, k, n_assign)
+        bounds = _sq_bounds(iarr)
+        asg.select(
+            "vec_id",
+            "cluster_id",
+            F.expr(_codes_sql(bounds, levels)).alias("codes"),
+        ).write.mode("overwrite").partitionBy("cluster_id").parquet(codes_path)
+        stored = {
+            "fingerprint": fp,
+            "params": [k, n_assign, levels],
+            "coarse": [[cid, coords] for cid, coords in coarse],
+            "bounds": [list(b) for b in bounds],
+        }
+        stores.write_meta(path, stored, _SQ_META)  # LAST: build complete
+    coarse = [(int(c), [int(x) for x in v]) for c, v in stored["coarse"]]
+    bounds = [tuple(int(x) for x in b) for b in stored["bounds"]]
+    codes = embeddings.sparkSession.read.parquet(codes_path)
+    return coarse, bounds, codes
+
+
+def ivf_sq8_store_invalidate(path: str) -> None:
+    """Erasure hook: coarse centroids and the min/max bounds are model
+    parameters trained on the full corpus — poison the fingerprint so
+    the next ensure() refits on the erased corpus."""
+    from kinesis_dstream_spark import stores
+
+    meta = stores.read_meta(path, _SQ_META)
+    if meta is not None:
+        meta["fingerprint"] = "invalidated-by-erasure"
+        stores.write_meta(path, meta, _SQ_META)
+
+
+def _ivf_sq8_serve_from(
+    embeddings: DataFrame,
+    codes: DataFrame,
+    coarse,
+    bounds,
+    n_queries: int,
+    topk: int,
+    n_probe: int,
+    levels: int = _LEVELS,
+) -> DataFrame:
+    from kinesis_dstream_spark.operators.clustering import _ivf_probes
+
+    iarr = _unit_int_arrays(embeddings)
+    queries = iarr.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("iu").alias("q_iu")
+    )
+    probes = _ivf_probes(queries, coarse, n_probe).localCheckpoint()
+    # static partition prune: the probed-cell set is ≤ k ids — a
+    # driver literal, pushed as a PartitionFilter on the codes scan
+    cells = [int(r[0]) for r in probes.select("cluster_id").distinct().collect()]
+    cand = (
+        codes.filter(F.col("cluster_id").isin(cells))
+        .withColumn("xh", F.expr(_xhat_from_codes_sql(bounds, levels)))
+        .join(F.broadcast(probes), "cluster_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("c_id"),
+            F.expr(
+                "aggregate(zip_with(q_iu, xh, (a, b) -> a * b), 0L,"
+                " (acc, x) -> acc + x)"
+            ).alias("adc_num"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adc_num").desc(), "c_id")
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= topk)
+        .select("q_id", "c_id", "adc_num", "rk")
+    )
+
+
+def ivf_sq8_store_serve(
+    embeddings: DataFrame,
+    path: str,
+    n_queries: int = 10,
+    topk: int = 5,
+    n_probe: int = 2,
+    k: int = _K,
+    n_assign: int = _N_ASSIGN,
+    levels: int = _LEVELS,
+) -> DataFrame:
+    """Ensure + serve: probe the n_probe nearest cells, reconstruct
+    ONLY their members from the persisted codes (partition-pruned
+    scan), ADC-rank, top-k. Built on the full corpus the round-trip is
+    value-identical to the flat composed ``ann_ivf_sq8_topk`` — the
+    same oracle certifies persistence (the res-store r11 recipe)."""
+    coarse, bounds, codes = ivf_sq8_store_ensure(
+        embeddings, path, k, n_assign, levels
+    )
+    return _ivf_sq8_serve_from(
+        embeddings, codes, coarse, bounds, n_queries, topk, n_probe, levels
+    )
+
+
+def ivf_sq8_serve_frozen(
+    embeddings: DataFrame,
+    path: str,
+    n_queries: int = 10,
+    topk: int = 5,
+    n_probe: int = 2,
+    levels: int = _LEVELS,
+) -> DataFrame:
+    """Serve the store AS-IS (frozen quantizer + whatever ingest
+    appended) — missing/torn meta refuses rather than scanning a
+    half-rebuilt store (the det-store contract)."""
+    import os
+
+    from kinesis_dstream_spark import stores
+
+    meta = stores.read_meta(path, _SQ_META)
+    if meta is None:
+        raise FileNotFoundError(
+            f"ivf_sq8_serve_frozen: no complete store at {path} "
+            "(missing/torn meta sidecar — a rebuild may be in flight); "
+            "run ivf_sq8_store_ensure"
+        )
+    coarse = [(int(c), [int(x) for x in v]) for c, v in meta["coarse"]]
+    bounds = [tuple(int(x) for x in b) for b in meta["bounds"]]
+    codes = embeddings.sparkSession.read.parquet(os.path.join(path, "codes"))
+    return _ivf_sq8_serve_from(
+        embeddings, codes, coarse, bounds, n_queries, topk, n_probe, levels
+    )
+
+
+def ivf_sq8_store_append(embeddings_new: DataFrame, path: str) -> None:
+    """Frozen-quantizer ingest: assign new vectors to the FROZEN coarse
+    centroids, encode with the FROZEN bounds (out-of-range coordinates
+    saturate at 0/levels — the clamp in ``_codes_sql``), append to the
+    cell partitions. Replay-safe twice over: capped batch-fingerprint
+    fast path + the cell-pruned row-level anti-join (assign FIRST, then
+    anti-join only the batch's cells — the r10-verdict-task-2 shape)."""
+    import os
+
+    from kinesis_dstream_spark import stores
+    from kinesis_dstream_spark.operators.ann_index import corpus_fingerprint
+    from kinesis_dstream_spark.operators.clustering import (
+        _assign,
+        replay_existing_vec_ids,
+    )
+
+    meta = stores.read_meta(path, _SQ_META)
+    if meta is None:
+        raise FileNotFoundError(
+            f"ivf_sq8_store_append: no complete store at {path} "
+            "(missing/torn meta sidecar) — run ivf_sq8_store_ensure first"
+        )
+    fp_new = corpus_fingerprint(embeddings_new, ivf_sq8_append=True)
+    if fp_new in meta.get("appended", []):
+        return
+    coarse = [(int(c), [int(x) for x in v]) for c, v in meta["coarse"]]
+    bounds = [tuple(int(x) for x in b) for b in meta["bounds"]]
+    _, _, levels = meta["params"]
+    codes_path = os.path.join(path, "codes")
+    spark = embeddings_new.sparkSession
+    asg = _assign(
+        _unit_int_arrays(embeddings_new).dropDuplicates(["vec_id"]), coarse
+    ).select("vec_id", "iu", "cluster_id").persist()
+    try:
+        cells = [
+            int(r[0]) for r in asg.select("cluster_id").distinct().collect()
+        ]
+        if cells:
+            existing = replay_existing_vec_ids(spark, codes_path, cells)
+            fresh = asg.join(existing, "vec_id", "left_anti")
+            if not fresh.isEmpty():
+                fresh.select(
+                    "vec_id",
+                    "cluster_id",
+                    F.expr(_codes_sql(bounds, levels)).alias("codes"),
+                ).write.mode("append").partitionBy("cluster_id").parquet(
+                    codes_path
+                )
+    finally:
+        asg.unpersist()
+    appended = meta.get("appended", [])
+    appended.append(fp_new)
+    meta["appended"] = appended[-_SQ_APPEND_LOG_CAP:]
+    stores.write_meta(path, meta, _SQ_META)
+
+
+def ivf_sq8_store_compact(
+    spark, path: str, max_files_per_cell: int = 4
+) -> dict[str, int]:
+    """Per-cell small-file compaction + append-log truncation — shares
+    the PQ stores' dynamic-partition-overwrite mechanics."""
+    from kinesis_dstream_spark.operators.pq_det import _pq_store_compact
+
+    return _pq_store_compact(spark, path, _SQ_META, max_files_per_cell)
+
+
+def ivf_sq8_ingest_sql(
+    fit_pred: str = "vec_id % 5 <> 4",
+    n_queries: int = 10,
+    topk: int = 5,
+    n_probe: int = 2,
+    k: int = _K,
+    n_assign: int = _N_ASSIGN,
+    levels: int = _LEVELS,
+) -> str:
+    """Twin of the frozen-quantizer ingest flow (ensure on the
+    ``fit_pred`` base + append the rest + serve over the union):
+    coarse centroids AND SQ8 bounds fit on the base subset only, then
+    ALL vectors assign to the frozen centroids (``aall``) and encode
+    with the frozen clamped bounds (``sqx``) — the relational proof
+    that ingest refits nothing at either level."""
+    cent_tbl = f"c{n_assign - 1}" if n_assign > 1 else "c0"
+    return (
+        kmeans_oracle_cte(k=k, n_assign=n_assign, fit_pred=fit_pred)
+        + f""", sqb AS (
+  SELECT pos, min(iu) AS lo, max(iu) AS hi FROM lgf GROUP BY pos
+), sqx AS (
+  SELECT l.vec_id, l.pos,
+         b.lo + (CASE WHEN b.hi > b.lo THEN
+             greatest(0, least({levels},
+                 ((l.iu - b.lo) * {levels}) // (b.hi - b.lo)))
+           ELSE 0 END * (b.hi - b.lo)) // {levels} AS xhat
+  FROM lg l JOIN sqb b ON b.pos = l.pos
+), dall AS (
+  SELECT l.vec_id, c.cid,
+         CAST(sum((l.iu - c.cv) * (l.iu - c.cv)) AS BIGINT) AS dist
+  FROM lg l JOIN {cent_tbl} c ON c.pos = l.pos GROUP BY 1, 2
+), mall AS (SELECT vec_id, min(dist) AS md FROM dall GROUP BY 1),
+aall AS (
+  SELECT d.vec_id, min(d.cid) AS cid
+  FROM dall d JOIN mall ON mall.vec_id = d.vec_id AND d.dist = mall.md
+  GROUP BY 1
+), qd AS (
+  SELECT l.vec_id AS q_id, c.cid,
+         CAST(sum((l.iu - c.cv) * (l.iu - c.cv)) AS BIGINT) AS cd
+  FROM lg l JOIN {cent_tbl} c ON c.pos = l.pos
+  WHERE l.vec_id < {n_queries}
+  GROUP BY 1, 2
+), probes AS (
+  SELECT q_id, cid FROM (
+    SELECT q_id, cid,
+           row_number() OVER (PARTITION BY q_id ORDER BY cd, cid) AS pr
+    FROM qd
+  ) WHERE pr <= {n_probe}
+), sqs AS (
+  SELECT p.q_id, cell.vec_id AS c_id,
+         CAST(sum(q.iu * x.xhat) AS BIGINT) AS adc_num
+  FROM probes p
+  JOIN aall cell ON cell.cid = p.cid
+  JOIN lg q ON q.vec_id = p.q_id
+  JOIN sqx x ON x.vec_id = cell.vec_id AND x.pos = q.pos
+  WHERE cell.vec_id <> p.q_id
+  GROUP BY 1, 2
+)
+SELECT q_id, c_id, adc_num, rk FROM (
+  SELECT q_id, c_id, adc_num,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY adc_num DESC, c_id) AS rk
+  FROM sqs
+) WHERE rk <= {topk}
+"""
+    )
+
+
+IVF_SQ8_INGEST_SQL = ivf_sq8_ingest_sql()

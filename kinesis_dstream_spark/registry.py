@@ -4473,6 +4473,25 @@ def _q_ann_ivf_sq8(spark: SparkSession, sf: str) -> DataFrame:
     return sq_det.ann_ivf_sq8_topk(load_table(spark, sf, "embeddings"))
 
 
+def _q_ivf_sq8_serve(spark: SparkSession, sf: str) -> DataFrame:
+    """Persisted IVF-SQ8 store serve: ensure-on-full-corpus makes the
+    round-trip value-identical to the flat composed exhibit, so the
+    same oracle certifies persistence (the res-store recipe)."""
+    emb = load_table(spark, sf, "embeddings")
+    return sq_det.ivf_sq8_store_serve(emb, _store_path("ivf_sq8", sf))
+
+
+def _q_ivf_sq8_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """Frozen-quantizer SQ8 ingest: build on the 80% base, append the
+    20% remainder against the FROZEN coarse centroids and frozen
+    bounds, serve the union."""
+    emb = load_table(spark, sf, "embeddings")
+    path = _store_path("ivf_sq8_ing", sf)
+    sq_det.ivf_sq8_store_ensure(emb.filter(F.col("vec_id") % 5 != 4), path)
+    sq_det.ivf_sq8_store_append(emb.filter(F.col("vec_id") % 5 == 4), path)
+    return sq_det.ivf_sq8_serve_frozen(emb, path)
+
+
 def _q_y4m_shots(spark: SparkSession, sf: str) -> DataFrame:
     return multimodal.y4m_shot_boundary_stats(load_table(spark, sf, "documents"))
 
@@ -5915,6 +5934,15 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # the columnar serialization path (ArrowEvalPython plan-pinned),
     # completing the UDF execution matrix
     "arrow_udf_token_counts": (_q_arrow_udf_tokens, _SQL_UDF_TOKENS),
+    # persisted IVF-SQ8 store (E-11, r11): the FAISS
+    # IndexIVFScalarQuantizer with the det-store contract — serve is
+    # the probed-cell partition-pruned reconstruct+ADC (round-trip
+    # value-identical to the flat composed exhibit, shared oracle);
+    # ingest freezes BOTH the coarse centroids and the SQ8 bounds
+    # (out-of-range saturates — the clamp) with the cell-pruned
+    # replay anti-join
+    "ann_ivf_sq8_serve": (_q_ivf_sq8_serve, sq_det.ANN_IVF_SQ8_SQL),
+    "ann_ivf_sq8_ingest_serve": (_q_ivf_sq8_ingest, sq_det.IVF_SQ8_INGEST_SQL),
 }
 
 

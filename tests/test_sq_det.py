@@ -145,3 +145,62 @@ def test_ivf_sq8_candidates_stay_in_probed_cells(emb):
     out = sq_det.ann_ivf_sq8_topk(emb, n_probe=1).collect()
     for r in out:
         assert (r.q_id, cell_of[r.c_id]) in probe
+
+
+def test_ivf_sq8_store_roundtrip_and_replay(spark, emb, tmp_path):
+    """The persisted store must serve exactly the flat composed values
+    (ensure-on-full-corpus round-trip), a REPLAYED append must change
+    nothing (cell-pruned anti-join idempotence), and compaction must
+    not move values."""
+    path = str(tmp_path / "sq8_store")
+    flat = {(r.q_id, r.c_id, r.adc_num, r.rk)
+            for r in sq_det.ann_ivf_sq8_topk(emb).collect()}
+    served = {(r.q_id, r.c_id, r.adc_num, r.rk)
+              for r in sq_det.ivf_sq8_store_serve(emb, path).collect()}
+    assert served == flat
+    # replay the whole corpus as an append: nothing may duplicate
+    sq_det.ivf_sq8_store_append(emb, path)
+    replayed = {(r.q_id, r.c_id, r.adc_num, r.rk)
+                for r in sq_det.ivf_sq8_serve_frozen(emb, path).collect()}
+    assert replayed == flat
+    stats = sq_det.ivf_sq8_store_compact(spark, path, max_files_per_cell=0)
+    after = {(r.q_id, r.c_id, r.adc_num, r.rk)
+             for r in sq_det.ivf_sq8_serve_frozen(emb, path).collect()}
+    assert after == flat
+    assert stats["files_after"] <= stats["files_before"]
+
+
+def test_ivf_sq8_frozen_ingest_never_refits(spark, emb, tmp_path):
+    """Build on the 80% base, append the 20% remainder: the stored
+    bounds and centroids must be byte-identical before and after the
+    append (frozen-quantizer contract), and appended out-of-range
+    coordinates must saturate inside [0, levels]."""
+    import json
+    import os
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "sq8_ing")
+    base = emb.filter(F.col("vec_id") % 5 != 4)
+    rest = emb.filter(F.col("vec_id") % 5 == 4)
+    sq_det.ivf_sq8_store_ensure(base, path)
+    meta_before = json.load(open(os.path.join(path, sq_det._SQ_META)))
+    sq_det.ivf_sq8_store_append(rest, path)
+    meta_after = json.load(open(os.path.join(path, sq_det._SQ_META)))
+    assert meta_before["coarse"] == meta_after["coarse"]
+    assert meta_before["bounds"] == meta_after["bounds"]
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    mx = codes.select(
+        F.max(F.array_max("codes")).alias("mx"),
+        F.min(F.array_min("codes")).alias("mn"),
+    ).collect()[0]
+    assert 0 <= mx.mn and mx.mx <= sq_det._LEVELS
+
+
+def test_ivf_sq8_torn_meta_refuses(spark, emb, tmp_path):
+    """Absent-or-torn meta means 'no complete build': frozen serve and
+    append must REFUSE (not scan a half-built store)."""
+    path = str(tmp_path / "sq8_torn")
+    with pytest.raises(FileNotFoundError):
+        sq_det.ivf_sq8_serve_frozen(emb, path)
+    with pytest.raises(FileNotFoundError):
+        sq_det.ivf_sq8_store_append(emb, path)
