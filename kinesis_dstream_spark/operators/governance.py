@@ -212,13 +212,23 @@ def _ensure_gov_stores(spark: SparkSession, sf_dir: str, base: str) -> dict[str,
     # (coarse + residual) model parameters are subject data
     paths["ivf_pq_res_index"] = os.path.join(base, "ivf_pq_res")
     pq_det.ivf_pq_res_store_ensure(emb, paths["ivf_pq_res_index"])
+    # twelfth store (r11): the IVF-SQ8 serving index — SQ8 codes are
+    # the HIGHEST-fidelity lossy encoding in the family (8 bits per
+    # DIMENSION: the subject's unit vector is recoverable to ~1/255 of
+    # each coordinate range), so erasing it matters more, not less,
+    # than the PQ stores; the coarse centroids + min/max bounds are
+    # parameters trained on the full corpus
+    from kinesis_dstream_spark.operators import sq_det
+
+    paths["ivf_sq8_index"] = os.path.join(base, "ivf_sq8")
+    sq_det.ivf_sq8_store_ensure(emb, paths["ivf_sq8_index"])
     return paths
 
 
 def erasure_report_full(
     spark: SparkSession, sf_dir: str, work_dir: str | None = None
 ) -> DataFrame:
-    """Subject erasure across ALL ELEVEN stores — the raw/derived trio of
+    """Subject erasure across ALL TWELVE stores — the raw/derived trio of
     the basic report PLUS the persisted derived stores that hold
     subject-derived text and vectors on disk: the ANN index, the chunk
     store, the MinHash dedup index, the two pair artifacts, and the
@@ -342,6 +352,19 @@ def erasure_report_full(
         "vec_id",
     )
     ivf_pq_res_store_invalidate(erased_paths["ivf_pq_res_index"])
+    # twelfth store: SQ8 code rows die with the vectors; the
+    # (coarse centroids + bounds) model pair is refit-poisoned
+    from kinesis_dstream_spark.operators.sq_det import (
+        ivf_sq8_store_invalidate,
+    )
+
+    erase_parquet_store(
+        spark,
+        os.path.join(erased_paths["ivf_sq8_index"], "codes"),
+        req_vecs,
+        "vec_id",
+    )
+    ivf_sq8_store_invalidate(erased_paths["ivf_sq8_index"])
     erase_parquet_store(
         spark, os.path.join(erased_paths["chunk_store"], "chunks"), req_docs, "doc_id"
     )
@@ -404,6 +427,10 @@ def erasure_report_full(
         "ivf_pq_res_index": (
             os.path.join(pristine["ivf_pq_res_index"], "codes"),
             os.path.join(erased_paths["ivf_pq_res_index"], "codes"),
+        ),
+        "ivf_sq8_index": (
+            os.path.join(pristine["ivf_sq8_index"], "codes"),
+            os.path.join(erased_paths["ivf_sq8_index"], "codes"),
         ),
         "chunk_store": (
             os.path.join(pristine["chunk_store"], "chunks"),
@@ -493,7 +520,7 @@ SELECT 'minute_granules', before, erased, before - erased FROM gran
 _DUCK_TOKS_GOV = "str_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')"
 
 def erasure_full_sql(pairs_sql: str, setsim_sql: str | None = None) -> str:
-    """Eleven-store DuckDB twin; each pairs-artifact accounting re-derives
+    """Twelve-store DuckDB twin; each pairs-artifact accounting re-derives
     its artifact from the SAME pair definition the registry uses (pass
     ``_SQL_DEDUP_JACCARD`` / ``_SQL_SETSIM_PREFIX`` — parameter
     discipline, no silently diverging copies of the pair joins)."""
@@ -584,4 +611,8 @@ UNION ALL
 -- eleventh store (r11): the residual IVF-PQ codes table — one
 -- residual-code row per vector, same cardinality law
 SELECT 'ivf_pq_res_index', before, erased, before - erased FROM ann
+UNION ALL
+-- twelfth store (r11): the IVF-SQ8 codes table — one code row per
+-- vector, same cardinality law
+SELECT 'ivf_sq8_index', before, erased, before - erased FROM ann
 """

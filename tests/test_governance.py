@@ -70,7 +70,7 @@ def test_full_erasure_physical_zero_residual_all_stores(spark, sf_dir, tmp_path)
         "events_raw", "scd2_history", "minute_granules",
         "ann_index", "chunk_store", "minhash_dedup_index",
         "near_dup_pairs", "ivf_det_index", "setsim_pairs",
-        "ivf_pq_det_index", "ivf_pq_res_index",
+        "ivf_pq_det_index", "ivf_pq_res_index", "ivf_sq8_index",
     }
     for r in rows:
         assert r.rows_before == r.rows_erased + r.rows_after
@@ -82,6 +82,7 @@ def test_full_erasure_physical_zero_residual_all_stores(spark, sf_dir, tmp_path)
             os.path.join(work, "ivf_det_index", "codes"),
             os.path.join(work, "ivf_pq_det_index", "codes"),
             os.path.join(work, "ivf_pq_res_index", "codes"),
+            os.path.join(work, "ivf_sq8_index", "codes"),
         ],
         "doc_id": [
             os.path.join(work, "chunk_store", "chunks"),
