@@ -473,6 +473,7 @@ BENCH_QUERIES = {
     "arrow_udf_tokens": "arrow_udf_token_counts",
     "ann_ivf_sq8_serve": "ann_ivf_sq8_serve",
     "ann_ivf_sq8_ingest": "ann_ivf_sq8_ingest_serve",
+    "streaming_ivf_sq8_ingest": "streaming_ivf_sq8_ingest",
 }
 
 

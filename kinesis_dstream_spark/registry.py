@@ -4360,6 +4360,12 @@ def _q_streaming_ivf_pq_res_ingest(spark: SparkSession, sf: str) -> DataFrame:
     return jobs.streaming_ivf_pq_res_ingest(spark, sf)
 
 
+def _q_streaming_ivf_sq8_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.streaming import jobs
+
+    return jobs.streaming_ivf_sq8_ingest(spark, sf)
+
+
 def _q_survival_km(spark: SparkSession, sf: str) -> DataFrame:
     # censor_days=1 on purpose: the 30-day fixture is dense (every
     # user's last event lands within 7 days of the horizon), so the
@@ -5943,6 +5949,14 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # replay anti-join
     "ann_ivf_sq8_serve": (_q_ivf_sq8_serve, sq_det.ANN_IVF_SQ8_SQL),
     "ann_ivf_sq8_ingest_serve": (_q_ivf_sq8_ingest, sq_det.IVF_SQ8_INGEST_SQL),
+    # the FOURTH hash-certified streaming job (r11): micro-batch drain
+    # into the IVF-SQ8 store under a frozen coarse quantizer + frozen
+    # bounds, cell-pruned replay anti-join, sharing the batch ingest
+    # flow's relational oracle
+    "streaming_ivf_sq8_ingest": (
+        _q_streaming_ivf_sq8_ingest,
+        sq_det.IVF_SQ8_INGEST_SQL,
+    ),
 }
 
 

@@ -916,6 +916,63 @@ def streaming_ivf_pq_res_ingest(
     return pq_det.ivf_pq_res_serve_frozen(emb, store_path)
 
 
+def streaming_ivf_sq8_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    store_path: str | None = None,
+    checkpoint_dir: str | None = None,
+    n_files: int = 4,
+) -> DataFrame:
+    """Streaming ingestion into the persisted IVF-SQ8 store (O-1 ∘
+    E-11, r11) — the FOURTH hash-certified streaming job: bootstrap
+    once on the 80% base split (frozen coarse centroids AND frozen
+    per-dimension bounds), then each micro-batch appends via frozen
+    assign → frozen clamped encode (``ivf_sq8_store_append``). Replay
+    safety and cell pruning live in the append (batch fingerprint +
+    cell-pruned row anti-join); the drained serve shares the batch
+    ingest flow's ``IVF_SQ8_INGEST_SQL`` oracle because every step is
+    deterministic — the FAISS scalar-quantizer serving stack, streamed,
+    with a relational certificate.
+
+    Scale shape per batch: one map-side frozen coarse assignment (k·d
+    literals), one fused clamped encode (2·d literals), one
+    partition-pruned replay read, one partitioned append.
+    """
+    from kinesis_dstream_spark import stores
+    from kinesis_dstream_spark.operators import sq_det
+
+    work = tempfile.mkdtemp(prefix="kds_ivfsq8stream_")
+    store_path = store_path or os.path.join(work, "idx")
+    checkpoint_dir = checkpoint_dir or os.path.join(work, "chk")
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # torn sidecar -> rebuild (the read_meta gate, r10 ADVICE)
+    if stores.read_meta(store_path, sq_det._SQ_META) is None:
+        sq_det.ivf_sq8_store_ensure(
+            emb.filter(F.col("vec_id") % 5 != 4), store_path
+        )
+
+    src = _embeddings_multifile_dir(spark, sf_dir, n_files)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.dropDuplicates(["vec_id"])
+        if not batch.isEmpty():
+            sq_det.ivf_sq8_store_append(batch, store_path)
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sq_det.ivf_sq8_serve_frozen(emb, store_path)
+
+
 def streaming_dedup_index_ingest(
     spark: SparkSession,
     sf_dir: str,
