@@ -736,3 +736,240 @@ SELECT q_id, c_id, adc_num, rk FROM (
 
 
 IVF_SQ8_INGEST_SQL = ivf_sq8_ingest_sql()
+
+
+def quantizer_recall_matrix(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    topk: int = 5,
+    n_probe: int = 2,
+    k: int = _K,
+    n_assign: int = _N_ASSIGN,
+    levels: int = _LEVELS,
+) -> DataFrame:
+    """Cross-family retrieval-quality matrix — ONE oracle-paired table
+    ranking every deterministic quantizer tier against the exact
+    integer-dot ground truth: det-IVF (probe loss only), flat
+    deterministic PQ (subspace-code loss), flat SQ8 (per-dim
+    quantization loss), and composed IVF-SQ8 (probe + per-dim loss).
+    This is the accuracy-vs-cost decision table an ANN deployment
+    reads to pick a tier; because every family here is deterministic,
+    the WHOLE matrix is hash-certifiable (the ``ann_recall_mrr_report``
+    argument, widened from one family to the family grid).
+
+    Output one row per family: n_hits_total,
+    recall_ppm = hits·10⁶ div (|q|·k), and
+    mrr_ppm = (Σ_q 10⁶ div first-hit-rank, 0 if none) div |q| — exact
+    trunc-div integers end to end.
+
+    Cost model: the exact truth pays the |corpus|·|q| dot pass ONCE
+    (shared); each family pays its normal build+search (evals run on
+    small query batches, and the builds are the bounded-collect fit
+    class). The overlap joins are ≤ |q|·k rows per family.
+    """
+    from kinesis_dstream_spark.operators.clustering import (
+        ivf_deterministic_topk,
+    )
+    from kinesis_dstream_spark.operators.pq_det import ann_pq_det_topk
+
+    iarr = _unit_int_arrays(embeddings).localCheckpoint()
+    queries = iarr.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("iu").alias("q_iu")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("q_iu"), F.col("iu"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    tw = Window.partitionBy("q_id").orderBy(F.col("dot_num").desc(), "c_id")
+    truth = (
+        iarr.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("c_id"), dot.alias("dot_num"))
+        .withColumn("trk", F.row_number().over(tw))
+        .filter(F.col("trk") <= topk)
+        .select("q_id", "c_id")
+        .localCheckpoint()
+    )
+    fams = {
+        "ivf_det": ivf_deterministic_topk(
+            embeddings, n_queries, topk, n_probe, k, n_assign
+        ).select("q_id", "c_id", "rk"),
+        "pq_det_flat": ann_pq_det_topk(embeddings, n_queries, topk).select(
+            "q_id", "c_id", "rk"
+        ),
+        "sq8_flat": ann_sq8_topk(embeddings, n_queries, topk, levels).select(
+            "q_id", "c_id", "rk"
+        ),
+        "ivf_sq8": ann_ivf_sq8_topk(
+            embeddings, n_queries, topk, n_probe, k, n_assign, levels
+        ).select("q_id", "c_id", "rk"),
+    }
+    rows = []
+    for fam, approx in fams.items():
+        hits = approx.join(F.broadcast(truth), ["q_id", "c_id"])
+        per_q = hits.groupBy("q_id").agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.min("rk").alias("first_rk"),
+        )
+        # left-join to the query set so recall-0 queries count in means
+        scored = queries.select("q_id").join(F.broadcast(per_q), "q_id", "left")
+        rows.append(
+            scored.agg(
+                F.sum(F.coalesce("n_hits", F.lit(0))).alias("h"),
+                F.sum(
+                    F.coalesce(F.expr("1000000 div first_rk"), F.lit(0))
+                ).alias("rr"),
+            ).select(
+                F.lit(fam).alias("family"),
+                F.col("h").cast("long").alias("n_hits_total"),
+                F.expr(f"CAST(h * 1000000 div {n_queries * topk} AS BIGINT)")
+                .alias("recall_ppm"),
+                F.expr(f"CAST(rr div {n_queries} AS BIGINT)").alias("mrr_ppm"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def quantizer_recall_matrix_sql(
+    n_queries: int = 10,
+    topk: int = 5,
+    n_probe: int = 2,
+    k: int = _K,
+    n_assign: int = _N_ASSIGN,
+    levels: int = _LEVELS,
+) -> str:
+    """DuckDB twin of the family matrix: the shared k-means chain + PQ
+    chain + SQ chain, exact truth, one approx CTE per family, and the
+    same trunc-div aggregate arithmetic. Multiply-referenced CTEs are
+    MATERIALIZED (the DuckDB CTE-inlining trap, SCALE.md r8)."""
+    from kinesis_dstream_spark.operators.pq_det import (
+        _DSUB,
+        _KSUB,
+        _M,
+        _pq_chain_sql,
+        _query_lut_sql,
+    )
+
+    cent_tbl = f"c{n_assign - 1}" if n_assign > 1 else "c0"
+    pq_lut_joins = " ".join(
+        f"JOIN ql{s} q{s} ON q{s}.q_id = q0.q_id AND q{s}.cid = x.code{s}"
+        for s in range(1, _M)
+    )
+    pq_adc = " + ".join(f"q{s}.dot" for s in range(_M))
+    sql = kmeans_oracle_cte(k=k, n_assign=n_assign)
+    sql += _pq_chain_sql(_M, _DSUB, _KSUB, n_assign)
+    for s in range(_M):
+        sql += _query_lut_sql(s, n_queries, _DSUB, n_assign)
+    fam_aggs = []
+    for fam, ap in [
+        ("ivf_det", "ap_ivf"),
+        ("pq_det_flat", "ap_pq"),
+        ("sq8_flat", "ap_sq8"),
+        ("ivf_sq8", "ap_isq"),
+    ]:
+        fam_aggs.append(f"""
+SELECT '{fam}' AS family,
+       CAST(coalesce(sum(s.n_hits), 0) AS BIGINT) AS n_hits_total,
+       CAST(coalesce(sum(s.n_hits), 0) * 1000000
+            // {n_queries * topk} AS BIGINT) AS recall_ppm,
+       CAST(coalesce(sum(s.rr), 0) // {n_queries} AS BIGINT) AS mrr_ppm
+FROM qset q LEFT JOIN (
+  SELECT a.q_id, count(*) AS n_hits, 1000000 // min(a.rk) AS rr
+  FROM {ap} a JOIN truth t ON t.q_id = a.q_id AND t.c_id = a.c_id
+  GROUP BY 1
+) s ON s.q_id = q.q_id""")
+    sql += f""", qset AS MATERIALIZED (
+  SELECT vec_id AS q_id, iu AS q_iu FROM iarr WHERE vec_id < {n_queries}
+), truth AS MATERIALIZED (
+  SELECT q_id, c_id FROM (
+    SELECT q.q_id, ia.vec_id AS c_id,
+           row_number() OVER (PARTITION BY q.q_id
+             ORDER BY CAST(list_reduce(list_transform(list_zip(q.q_iu, ia.iu),
+                                                      s -> s[1] * s[2]),
+                           (x, y) -> x + y) AS BIGINT) DESC, ia.vec_id) AS trk
+    FROM qset q JOIN iarr ia ON ia.vec_id <> q.q_id
+  ) WHERE trk <= {topk}
+), sqb AS MATERIALIZED (
+  SELECT pos, min(iu) AS lo, max(iu) AS hi FROM lg GROUP BY pos
+), sqx AS MATERIALIZED (
+  SELECT l.vec_id, l.pos,
+         CASE WHEN b.hi > b.lo THEN b.lo +
+           ((((l.iu - b.lo) * {levels}) // (b.hi - b.lo)) * (b.hi - b.lo))
+             // {levels}
+         ELSE b.lo END AS xhat
+  FROM lg l JOIN sqb b ON b.pos = l.pos
+), qd AS (
+  SELECT l.vec_id AS q_id, c.cid,
+         CAST(sum((l.iu - c.cv) * (l.iu - c.cv)) AS BIGINT) AS cd
+  FROM lg l JOIN {cent_tbl} c ON c.pos = l.pos
+  WHERE l.vec_id < {n_queries}
+  GROUP BY 1, 2
+), probes AS MATERIALIZED (
+  SELECT q_id, cid FROM (
+    SELECT q_id, cid,
+           row_number() OVER (PARTITION BY q_id ORDER BY cd, cid) AS pr
+    FROM qd
+  ) WHERE pr <= {n_probe}
+), ap_ivf AS (
+  SELECT q_id, c_id, rk FROM (
+    SELECT p.q_id, a.vec_id AS c_id,
+           row_number() OVER (PARTITION BY p.q_id
+             ORDER BY CAST(list_reduce(list_transform(list_zip(q.q_iu, ia.iu),
+                                                      s -> s[1] * s[2]),
+                           (x, y) -> x + y) AS BIGINT) DESC, a.vec_id) AS rk
+    FROM probes p
+    JOIN a{n_assign} a ON a.cid = p.cid
+    JOIN qset q ON q.q_id = p.q_id
+    JOIN iarr ia ON ia.vec_id = a.vec_id
+    WHERE a.vec_id <> p.q_id
+  ) WHERE rk <= {topk}
+), ap_pq AS (
+  SELECT q_id, c_id, rk FROM (
+    SELECT q0.q_id, x.vec_id AS c_id,
+           row_number() OVER (PARTITION BY q0.q_id
+                              ORDER BY CAST({pq_adc} AS BIGINT) DESC,
+                                       x.vec_id) AS rk
+    FROM pqcodes x
+    JOIN ql0 q0 ON q0.cid = x.code0
+    {pq_lut_joins}
+    WHERE x.vec_id <> q0.q_id
+  ) WHERE rk <= {topk}
+), ap_sq8 AS (
+  SELECT q_id, c_id, rk FROM (
+    SELECT q_id, c_id, adc_num,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY adc_num DESC, c_id) AS rk
+    FROM (
+      SELECT q.vec_id AS q_id, x.vec_id AS c_id,
+             CAST(sum(q.iu * x.xhat) AS BIGINT) AS adc_num
+      FROM lg q JOIN sqx x ON x.pos = q.pos AND x.vec_id <> q.vec_id
+      WHERE q.vec_id < {n_queries}
+      GROUP BY 1, 2
+    )
+  ) WHERE rk <= {topk}
+), ap_isq AS (
+  SELECT q_id, c_id, rk FROM (
+    SELECT q_id, c_id, adc_num,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY adc_num DESC, c_id) AS rk
+    FROM (
+      SELECT p.q_id, cell.vec_id AS c_id,
+             CAST(sum(q.iu * x.xhat) AS BIGINT) AS adc_num
+      FROM probes p
+      JOIN a{n_assign} cell ON cell.cid = p.cid
+      JOIN lg q ON q.vec_id = p.q_id
+      JOIN sqx x ON x.vec_id = cell.vec_id AND x.pos = q.pos
+      WHERE cell.vec_id <> p.q_id
+      GROUP BY 1, 2
+    )
+  ) WHERE rk <= {topk}
+)
+{chr(10).join("UNION ALL" + b if i else b for i, b in enumerate(fam_aggs))}
+"""
+    return sql
+
+
+QUANTIZER_RECALL_MATRIX_SQL = quantizer_recall_matrix_sql()

@@ -4360,6 +4360,10 @@ def _q_streaming_ivf_pq_res_ingest(spark: SparkSession, sf: str) -> DataFrame:
     return jobs.streaming_ivf_pq_res_ingest(spark, sf)
 
 
+def _q_quantizer_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    return sq_det.quantizer_recall_matrix(load_table(spark, sf, "embeddings"))
+
+
 def _q_streaming_ivf_sq8_ingest(spark: SparkSession, sf: str) -> DataFrame:
     from kinesis_dstream_spark.streaming import jobs
 
@@ -5956,6 +5960,15 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "streaming_ivf_sq8_ingest": (
         _q_streaming_ivf_sq8_ingest,
         sq_det.IVF_SQ8_INGEST_SQL,
+    ),
+    # cross-family quantizer eval matrix (E-11 capstone, r11): det-IVF
+    # vs flat det-PQ vs flat SQ8 vs composed IVF-SQ8, each scored
+    # recall@k + MRR against the exact integer-dot truth — the
+    # accuracy-vs-cost tier table, fully hash-certified because every
+    # family is deterministic
+    "quantizer_recall_matrix": (
+        _q_quantizer_matrix,
+        sq_det.QUANTIZER_RECALL_MATRIX_SQL,
     ),
 }
 

@@ -204,3 +204,19 @@ def test_ivf_sq8_torn_meta_refuses(spark, emb, tmp_path):
         sq_det.ivf_sq8_serve_frozen(emb, path)
     with pytest.raises(FileNotFoundError):
         sq_det.ivf_sq8_store_append(emb, path)
+
+
+def test_quantizer_matrix_orders_families_sensibly(emb):
+    """On the isotropic fixture the matrix must reproduce the
+    documented family story: SQ8 flat (255 levels/dim) beats PQ flat
+    (16 codes/subspace) by a wide margin, and the probe-limited IVF
+    tiers sit between PQ's collapse and SQ8's near-exactness with
+    ivf_sq8 == ivf_det recall (within probed cells the SQ8 ranking is
+    exact here)."""
+    rows = {r.family: r for r in
+            sq_det.quantizer_recall_matrix(emb).collect()}
+    assert set(rows) == {"ivf_det", "pq_det_flat", "sq8_flat", "ivf_sq8"}
+    assert rows["sq8_flat"].recall_ppm >= 900_000
+    assert rows["pq_det_flat"].recall_ppm <= 400_000
+    assert rows["sq8_flat"].recall_ppm > rows["pq_det_flat"].recall_ppm
+    assert rows["ivf_sq8"].recall_ppm == rows["ivf_det"].recall_ppm
