@@ -475,6 +475,7 @@ BENCH_QUERIES = {
     "ann_ivf_sq8_ingest": "ann_ivf_sq8_ingest_serve",
     "streaming_ivf_sq8_ingest": "streaming_ivf_sq8_ingest",
     "quantizer_matrix": "quantizer_recall_matrix",
+    "doc_novelty": "doc_novelty_score",
 }
 
 

@@ -1463,3 +1463,80 @@ FROM agg
 
 
 ZIPF_FIT_SQL = zipf_fit_sql()
+
+
+def doc_novelty_score(documents: DataFrame, k: int = 5) -> DataFrame:
+    """Per-document novelty: what fraction of a document's distinct
+    k-gram shingles appear NOWHERE else in the corpus — the
+    memorization-risk / contribution screen between the pair-grain
+    dedup operators and corpus-grain curation: a near-zero novelty doc
+    adds no new n-grams (train-set memorization fodder, prune-safe),
+    while bulk LOW corpus novelty flags a crawl slice as re-crawl.
+    The doc-grain complement of ``source_overlap_matrix``'s
+    source-grain containment.
+
+    Output per doc: n_shingles (distinct k-grams), n_shared (those
+    with corpus document-frequency ≥ 2), novelty_ppm =
+    (n_shingles − n_shared)·10⁶ div n_shingles — exact integers.
+
+    Scale shape: shingle document-frequency is ONE map-combined
+    aggregate keyed by shingle; the join back is keyed on the SAME
+    shingle column (co-partitioned with the aggregate, output linear
+    in shingle rows — a 1:df join, never pairwise); the re-aggregation
+    keys on doc_id. No df cap is needed because nothing here is a
+    SELF-join: a stop-phrase contributes one counted row per document,
+    not df² pairs.
+    """
+    from kinesis_dstream_spark.functions.textfns import tokens, word_shingles
+
+    sh = documents.select(
+        "doc_id",
+        F.explode(word_shingles(tokens(F.col("text")), k)).alias("shingle"),
+    )
+    df_tbl = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(df_tbl, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("df") >= 2).cast("long")).alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_shared",
+            F.expr(
+                "CAST((n_shingles - n_shared) * 1000000 div n_shingles"
+                " AS BIGINT)"
+            ).alias("novelty_ppm"),
+        )
+    )
+
+
+def doc_novelty_sql(k: int = 5) -> str:
+    """DuckDB twin generated from the SAME k (string shingles,
+    count-identical at the distinct-per-doc grain)."""
+    duck_toks = "str_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {duck_toks} AS t FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(range(1, greatest(len(t) - {k - 1}, 1) + 1),
+                   i -> array_to_string(t[i:i+{k - 1}], ' ')))) AS shingle
+  FROM toks
+), dfs AS (
+  SELECT shingle, count(*) AS df FROM sh GROUP BY shingle
+)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared,
+       CAST((count(*) - sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END))
+            * 1000000 // count(*) AS BIGINT) AS novelty_ppm
+FROM sh s JOIN dfs d ON d.shingle = s.shingle
+GROUP BY s.doc_id
+"""
+
+
+DOC_NOVELTY_SQL = doc_novelty_sql()

@@ -4360,6 +4360,10 @@ def _q_streaming_ivf_pq_res_ingest(spark: SparkSession, sf: str) -> DataFrame:
     return jobs.streaming_ivf_pq_res_ingest(spark, sf)
 
 
+def _q_doc_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    return text.doc_novelty_score(load_table(spark, sf, "documents"))
+
+
 def _q_quantizer_matrix(spark: SparkSession, sf: str) -> DataFrame:
     return sq_det.quantizer_recall_matrix(load_table(spark, sf, "embeddings"))
 
@@ -5970,6 +5974,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _q_quantizer_matrix,
         sq_det.QUANTIZER_RECALL_MATRIX_SQL,
     ),
+    # per-document novelty score (E-12, r11): fraction of a doc's
+    # distinct k-grams appearing nowhere else — memorization-risk /
+    # contribution screen; shingle-df aggregate + co-partitioned 1:df
+    # join, no self-join so no df cap needed
+    "doc_novelty_score": (_q_doc_novelty, text.DOC_NOVELTY_SQL),
 }
 
 

@@ -294,3 +294,18 @@ def test_packing_efficiency_closed_forms(spark):
     assert r.seqs_packed_lb == 5
     assert r.pad_one_doc_ppm == 872 * 1_000_000 // (6 * 512)
     assert r.pack_gain_ppm == (6 - 5) * 1_000_000 // 6
+
+
+def test_doc_novelty_duplicate_vs_unique(spark):
+    """An exact duplicate pair has novelty 0 (every shingle shared);
+    a document with unique text has novelty 1e6."""
+    dup = "alpha beta gamma delta epsilon zeta eta theta"
+    uniq = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [(0, "s", dup, 1), (1, "s", dup, 1), (2, "s", uniq, 1)],
+        "doc_id long, source string, text string, n_chars long",
+    )
+    out = {r.doc_id: r for r in text.doc_novelty_score(docs).collect()}
+    assert out[0].novelty_ppm == 0 and out[1].novelty_ppm == 0
+    assert out[2].novelty_ppm == 1_000_000
+    assert out[2].n_shared == 0
