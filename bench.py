@@ -476,6 +476,8 @@ BENCH_QUERIES = {
     "streaming_ivf_sq8_ingest": "streaming_ivf_sq8_ingest",
     "quantizer_matrix": "quantizer_recall_matrix",
     "doc_novelty": "doc_novelty_score",
+    "trimmed_mean": "value_trimmed_mean",
+    "trimmed_mean_from_store": "trimmed_mean_from_store",
 }
 
 

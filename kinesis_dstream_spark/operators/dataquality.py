@@ -1629,3 +1629,113 @@ FROM (
 
 
 CATEGORICAL_MI_SQL = categorical_mi_sql()
+
+
+_TRIM_PCT = 5
+
+
+def trimmed_mean_from_value_frequency(
+    freq: DataFrame, trim_pct: int = _TRIM_PCT
+) -> DataFrame:
+    """Symmetric trimmed mean per event type from the (event_type, iv,
+    count) value-frequency table — the robust-location statistic
+    between the mean (skew-hostage) and the median (throws away 98% of
+    the data): drop the lowest and highest ``trim_pct``% BY RANK, mean
+    the middle. Pure rank arithmetic over the distinct-value grain
+    (the fifth pure function of the percentile granules): each value
+    row's contribution is the exact overlap of its rank interval
+    (cum_before, cum] with the kept band (t, n−t] — no row sort, no
+    row-grain work at all when served from the store.
+
+    All quantities are exact int64 until the single final display
+    division; ties need no rule because trimming is BY RANK COUNT and
+    equal values contribute interchangeably. Types with n − 2t ≤ 0
+    (tiny groups fully trimmed) emit NULL — explicit in both engines.
+    """
+    from pyspark.sql import Window
+
+    n_w = Window.partitionBy("event_type")
+    before = (
+        Window.partitionBy("event_type")
+        .orderBy("iv")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rows = (
+        freq.withColumn("n", F.sum("c").over(n_w))
+        .withColumn("cb", F.coalesce(F.sum("c").over(before), F.lit(0)))
+        .withColumn("t", F.expr(f"n * {trim_pct} div 100"))
+        .withColumn(
+            "kept",
+            F.greatest(
+                F.lit(0),
+                F.least(F.col("cb") + F.col("c"), F.col("n") - F.col("t"))
+                - F.greatest(F.col("cb"), F.col("t")),
+            ),
+        )
+    )
+    return rows.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        (F.max("n") - 2 * F.max("t")).cast("long").alias("trimmed_n"),
+        F.when(
+            (F.max("n") - 2 * F.max("t")) > 0,
+            F.round(
+                F.sum(F.col("iv") * F.col("kept"))
+                / (F.max("n") - 2 * F.max("t"))
+                / _PCT_SCALE,
+                4,
+            ),
+        ).alias("trimmed_mean"),
+        F.round(F.sum(F.col("iv") * F.col("c")) / F.max("n") / _PCT_SCALE, 4)
+        .alias("plain_mean"),
+    )
+
+
+def value_trimmed_mean(events: DataFrame, trim_pct: int = _TRIM_PCT) -> DataFrame:
+    """Scan-path trimmed mean: build the value-frequency table from
+    events, then the shared rank arithmetic."""
+    from kinesis_dstream_spark.functions.exact import fixedpoint
+
+    freq = (
+        events.select(
+            "event_type", fixedpoint(F.col("value"), _PCT_SCALE).alias("iv")
+        )
+        .groupBy("event_type", "iv")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return trimmed_mean_from_value_frequency(freq, trim_pct)
+
+
+def value_trimmed_mean_sql(trim_pct: int = _TRIM_PCT) -> str:
+    """DuckDB twin generated from the SAME trim_pct."""
+    return f"""
+WITH freq AS (
+  SELECT event_type, CAST(round(value * {_PCT_SCALE}) AS BIGINT) AS iv,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), rows_t AS (
+  SELECT event_type, iv, c,
+         CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+         coalesce(CAST(sum(c) OVER (PARTITION BY event_type ORDER BY iv
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+           AS cb
+  FROM freq
+), kept_t AS (
+  SELECT event_type, iv, c, n, (n * {trim_pct}) // 100 AS t,
+         greatest(0, least(cb + c, n - (n * {trim_pct}) // 100)
+                     - greatest(cb, (n * {trim_pct}) // 100)) AS kept
+  FROM rows_t
+)
+SELECT event_type,
+       CAST(max(n) AS BIGINT) AS n,
+       CAST(max(n) - 2 * max(t) AS BIGINT) AS trimmed_n,
+       CASE WHEN max(n) - 2 * max(t) > 0 THEN
+         round(CAST(sum(iv * kept) AS BIGINT)
+               / (max(n) - 2 * max(t)) / {_PCT_SCALE}, 4)
+       END AS trimmed_mean,
+       round(CAST(sum(iv * c) AS BIGINT) / max(n) / {_PCT_SCALE}, 4)
+         AS plain_mean
+FROM kept_t GROUP BY event_type
+"""
+
+
+VALUE_TRIMMED_MEAN_SQL = value_trimmed_mean_sql()

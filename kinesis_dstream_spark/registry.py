@@ -4360,6 +4360,16 @@ def _q_streaming_ivf_pq_res_ingest(spark: SparkSession, sf: str) -> DataFrame:
     return jobs.streaming_ivf_pq_res_ingest(spark, sf)
 
 
+def _q_trimmed_mean(spark: SparkSession, sf: str) -> DataFrame:
+    return dataquality.value_trimmed_mean(load_table(spark, sf, "events"))
+
+
+def _q_trimmed_mean_from_store(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.streaming import jobs
+
+    return jobs.trimmed_mean_from_store(spark, sf)
+
+
 def _q_doc_novelty(spark: SparkSession, sf: str) -> DataFrame:
     return text.doc_novelty_score(load_table(spark, sf, "documents"))
 
@@ -5979,6 +5989,16 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # contribution screen; shingle-df aggregate + co-partitioned 1:df
     # join, no self-join so no df cap needed
     "doc_novelty_score": (_q_doc_novelty, text.DOC_NOVELTY_SQL),
+    # symmetric trimmed mean (E-17, r11): the robust-location statistic
+    # between mean and median — pure rank arithmetic over the value-
+    # frequency grain (exact interval-overlap inclusion, no row sort)
+    "value_trimmed_mean": (_q_trimmed_mean, dataquality.VALUE_TRIMMED_MEAN_SQL),
+    # granule-store consumer eight / value-freq consumer FIVE (r11):
+    # trimmed mean rides the percentile maintenance stream
+    "trimmed_mean_from_store": (
+        _q_trimmed_mean_from_store,
+        dataquality.VALUE_TRIMMED_MEAN_SQL,
+    ),
 }
 
 

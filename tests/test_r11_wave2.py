@@ -309,3 +309,22 @@ def test_doc_novelty_duplicate_vs_unique(spark):
     assert out[0].novelty_ppm == 0 and out[1].novelty_ppm == 0
     assert out[2].novelty_ppm == 1_000_000
     assert out[2].n_shared == 0
+
+
+def test_trimmed_mean_known_values_and_outlier_robustness(spark):
+    """Hand-checkable: values 1..20 with one absurd outlier 1000 —
+    the 5% trim (t = floor(21·5/100) = 1) drops exactly the min and
+    the max, so trimmed_mean = mean(2..20) while plain_mean is
+    dragged ~47 up by the outlier."""
+    from kinesis_dstream_spark.operators import dataquality
+
+    rows = [(i, f"u{i}", "buy", float(i + 1), "2024-01-01") for i in range(20)]
+    rows.append((20, "u20", "buy", 1000.0, "2024-01-01"))
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, user_id string, event_type string, value double, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = dataquality.value_trimmed_mean(events).collect()[0]
+    assert r.n == 21 and r.trimmed_n == 19
+    assert r.trimmed_mean == round(sum(range(2, 21)) / 19, 4)
+    assert r.plain_mean > r.trimmed_mean + 40
