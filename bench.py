@@ -478,6 +478,7 @@ BENCH_QUERIES = {
     "doc_novelty": "doc_novelty_score",
     "trimmed_mean": "value_trimmed_mean",
     "trimmed_mean_from_store": "trimmed_mean_from_store",
+    "sentence_stats": "sentence_stats",
 }
 
 

@@ -1540,3 +1540,84 @@ GROUP BY s.doc_id
 
 
 DOC_NOVELTY_SQL = doc_novelty_sql()
+
+
+def sentence_stats(documents: DataFrame) -> DataFrame:
+    """Per-document sentence statistics — the Gopher/MassiveText
+    sentence-level quality signals the word-level operators can't see:
+    sentence count, mean sentence length in words, and the share of
+    very short (<3-word) "sentences" (boilerplate menus and nav bars
+    segment into storms of fragments; prose doesn't).
+
+    Segmentation is the deliberately simple terminal-punctuation rule
+    ([.!?]+ runs as boundaries) applied IDENTICALLY in both engines —
+    the portable RE2∩Java subset (the CEP-regex discipline): no
+    lookaround, no classes outside literals. Abbreviation handling is
+    out of scope by design (a quality FILTER needs a consistent
+    segmenter, not a perfect one; both engines seeing the same splits
+    is the property that matters and the one the oracle certifies).
+
+    Output: doc_id, n_sentences, mean_sent_words (round 4),
+    short_sent_ppm — exact integers until the one display division.
+    Plan: one map-side split+transform per row, one doc-grain
+    aggregate; no joins, no shuffle beyond the final aggregate.
+    """
+    sents = F.filter(
+        F.transform(
+            F.split(F.col("text"), r"[.!?]+"),
+            lambda s: F.trim(s),
+        ),
+        lambda s: s != "",
+    )
+    words_per = F.transform(
+        sents, lambda s: F.size(F.split(s, r"\s+"))
+    )
+    n = F.size(sents)
+    return documents.select(
+        "doc_id",
+        n.cast("long").alias("n_sentences"),
+        F.when(
+            n > 0,
+            F.round(
+                F.aggregate(
+                    words_per, F.lit(0).cast("long"), lambda a, x: a + x
+                )
+                / n,
+                4,
+            ),
+        ).alias("mean_sent_words"),
+        F.when(
+            n > 0,
+            F.floor(
+                F.size(F.filter(words_per, lambda w: w < 3))
+                .cast("long")
+                * 1000000
+                / n
+            ).cast("long"),
+        ).alias("short_sent_ppm"),
+    )
+
+
+SENTENCE_STATS_SQL = """
+WITH segs AS (
+  SELECT doc_id,
+         list_filter(list_transform(regexp_split_to_array(text, '[.!?]+'),
+                                    s -> trim(s)),
+                     s -> s <> '') AS sents
+  FROM documents
+), stats AS (
+  SELECT doc_id, len(sents) AS n_sentences,
+         list_transform(sents,
+                        s -> len(regexp_split_to_array(s, '\\s+'))) AS wp
+  FROM segs
+)
+SELECT doc_id, CAST(n_sentences AS BIGINT) AS n_sentences,
+       CASE WHEN n_sentences > 0 THEN
+         round(list_reduce(wp, (a, b) -> a + b) * 1.0 / n_sentences, 4)
+       END AS mean_sent_words,
+       CASE WHEN n_sentences > 0 THEN
+         CAST(len(list_filter(wp, w -> w < 3)) * 1000000 // n_sentences
+              AS BIGINT)
+       END AS short_sent_ppm
+FROM stats
+"""

@@ -4360,6 +4360,10 @@ def _q_streaming_ivf_pq_res_ingest(spark: SparkSession, sf: str) -> DataFrame:
     return jobs.streaming_ivf_pq_res_ingest(spark, sf)
 
 
+def _q_sentence_stats(spark: SparkSession, sf: str) -> DataFrame:
+    return text.sentence_stats(load_table(spark, sf, "documents"))
+
+
 def _q_trimmed_mean(spark: SparkSession, sf: str) -> DataFrame:
     return dataquality.value_trimmed_mean(load_table(spark, sf, "events"))
 
@@ -5999,6 +6003,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _q_trimmed_mean_from_store,
         dataquality.VALUE_TRIMMED_MEAN_SQL,
     ),
+    # sentence statistics (E-12, r11): Gopher-style sentence-level
+    # quality signals via the portable-regex segmenter — fragment
+    # storms (nav bars) vs prose; map-side, no joins
+    "sentence_stats": (_q_sentence_stats, text.SENTENCE_STATS_SQL),
 }
 
 

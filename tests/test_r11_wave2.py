@@ -328,3 +328,24 @@ def test_trimmed_mean_known_values_and_outlier_robustness(spark):
     assert r.n == 21 and r.trimmed_n == 19
     assert r.trimmed_mean == round(sum(range(2, 21)) / 19, 4)
     assert r.plain_mean > r.trimmed_mean + 40
+
+
+def test_sentence_stats_prose_vs_fragments(spark):
+    """Prose (few long sentences) vs a nav-bar fragment storm (many
+    <3-word segments): the fragment share separates them."""
+    prose = "The quick brown fox jumps over the lazy dog. " \
+            "It then rests beneath the old oak tree for a while."
+    navbar = "Home. About. Contact. Products. News. Blog. Login."
+    docs = spark.createDataFrame(
+        [(0, "s", prose, 1), (1, "s", navbar, 1), (2, "s", "", 0)],
+        "doc_id long, source string, text string, n_chars long",
+    )
+    out = {r.doc_id: r for r in text.sentence_stats(docs).collect()}
+    assert out[0].n_sentences == 2
+    assert out[0].short_sent_ppm == 0
+    assert out[0].mean_sent_words == pytest.approx(
+        (9 + 11) / 2, abs=0.01
+    )
+    assert out[1].n_sentences == 7
+    assert out[1].short_sent_ppm == 1_000_000
+    assert out[2].n_sentences == 0 and out[2].mean_sent_words is None
