@@ -66,6 +66,15 @@ _VACUOUS_OK: dict[str, dict[str, str]] = {
         "q11_important_part_value": "value-share threshold empty at tiny SF",
         "q20_excess_stock_suppliers": "half-of-qty filter empty at tiny SF",
     },
+    "sf0.1": {
+        # TPC-H Q11's share threshold is spec-defined as FRACTION/SF —
+        # the registry pins the sf0.01-calibrated 0.001, so at 10× the
+        # parts each part's share falls below it and the CORRECT answer
+        # is empty (verified in DuckDB: 376 rows at sf0.01, 0 at
+        # sf0.1). The driver's correctness scale (sf0.01) stays
+        # non-vacuous, which is what the gate exists to protect.
+        "q11_important_part_value": "fixed value-share threshold vs 10× parts",
+    },
 }
 
 
