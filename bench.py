@@ -21,22 +21,20 @@ form outgrew the driver's capture window).
 
 r11 close (solo-vs-solo, the honest ledger): on the 148 entries
 shared with the r10 closing solo run (166.2 s, commit e478be7), the
-r11 close reads 190.5 s (+14.6%). Two real terms inside that: (1)
-gdpr_erasure_full 7.59->9.15 s — priced and intended, the report now
-erases TWELVE stores (r11 added the residual IVF-PQ and IVF-SQ8
-indexes; each store pays the same scan + anti-join + partitioned
-rewrite); (2) residual host load — the run started at la5 = 2.98
-(just under the hardened 2x gate) right after a 34-minute pytest
-suite, and the inflation concentrates in the documented
-shuffle-heavy band (setsim_prefix +1.09, generator_agreement +1.68,
-mmr_rerank +1.05) while scan-agg entries moved <5% — the exact
-signature of the measured-elsewhere machine-state term, not plan
-changes (PLANS.md waves 1-3 audited this round; no plan diffs on the
-regressed entries). The 35 new entries cost 66.5 s, led by the two
-new streaming store lifecycles (10.7 + 8.5 s — whole
-bootstrap+drain+serve cycles priced as one entry each) and the
-cross-family quantizer matrix (8.9 s — four builds + the shared
-exact-truth pass).
+TRUE-QUIET r11 close (loadavg_start [0.08, 0.24, 1.85]) reads
+164.1 s — FLAT (-1.3%) while the round added 36 bench entries. An
+earlier same-day run at la5 = 2.98 (just under the hardened 2x gate,
+right after a 34-minute pytest suite) read those same 148 entries
++14.6% high with the inflation concentrated in the documented
+shuffle-heavy band — confirming once more that residual 5-minute
+load manufactures phantom regressions and only quiet-host records
+are comparable (the r10-verdict finding the hardened gate exists
+for). Even gdpr_erasure_full IMPROVED on the quiet host
+(7.59 -> 6.99 s) while now erasing TWELVE stores instead of ten.
+The 36 new entries cost 73.0 s, led by the three streaming store
+lifecycles (13.3 + 12.1 + 10.8 s — whole bootstrap+drain+serve
+cycles priced as one entry each) and the cross-family quantizer
+matrix (8.6 s — four builds + the shared exact-truth pass).
 
 Headline set = the engine's heavy paths: wide scan-agg (q1), multi-join
 (q3/q5), windowed analytics, sessionization, as-of join, the LLM-pipeline
