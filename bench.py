@@ -496,6 +496,8 @@ BENCH_QUERIES = {
     "trimmed_mean": "value_trimmed_mean",
     "trimmed_mean_from_store": "trimmed_mean_from_store",
     "sentence_stats": "sentence_stats",
+    "tukey_outliers": "value_tukey_outliers",
+    "tukey_from_store": "tukey_from_store",
 }
 
 

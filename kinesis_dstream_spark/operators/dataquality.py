@@ -1739,3 +1739,127 @@ FROM kept_t GROUP BY event_type
 
 
 VALUE_TRIMMED_MEAN_SQL = value_trimmed_mean_sql()
+
+
+def tukey_outliers_from_value_frequency(freq: DataFrame) -> DataFrame:
+    """Tukey boxplot-fence outlier accounting per event type from the
+    (event_type, iv, count) value-frequency table — the SIXTH pure
+    function of the percentile granules: exact nearest-rank q1/q3,
+    IQR, the 1.5·IQR fences, and the row mass outside them. The
+    boxplot fence is THE default outlier screen a data-quality
+    dashboard shows; mad_outliers and the z-score family flag rows,
+    this accounts masses (and so stays distinct-value-grain — no
+    row-grain work at all when served from the store).
+
+    Integer discipline: q1/q3 are cumulative-count crossings at
+    ceil(n·p/100) (the shared nearest-rank formula); 1.5·IQR is
+    (3·IQR) div 2 on the non-negative IQR — trunc == floor; fence
+    comparisons and the outside-mass sums are exact int64. One final
+    display division per quartile column.
+    """
+    from pyspark.sql import Window
+
+    cum_w = (
+        Window.partitionBy("event_type")
+        .orderBy("iv")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = freq.select(
+        "event_type",
+        "iv",
+        "c",
+        F.sum("c").over(cum_w).alias("cum"),
+        F.sum("c").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    qs = cum.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.min(
+            F.when(F.col("cum") >= F.expr("(n * 25 + 99) DIV 100"), F.col("iv"))
+        ).alias("q1i"),
+        F.min(
+            F.when(F.col("cum") >= F.expr("(n * 75 + 99) DIV 100"), F.col("iv"))
+        ).alias("q3i"),
+    )
+    fenced = qs.select(
+        "event_type",
+        "n",
+        "q1i",
+        "q3i",
+        (F.col("q1i") - F.expr("(3 * (q3i - q1i)) div 2")).alias("lo_f"),
+        (F.col("q3i") + F.expr("(3 * (q3i - q1i)) div 2")).alias("hi_f"),
+    )
+    joined = freq.join(F.broadcast(fenced), "event_type")
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.round(F.max("q1i") / _PCT_SCALE, 2).alias("q1"),
+            F.round(F.max("q3i") / _PCT_SCALE, 2).alias("q3"),
+            F.round((F.max("q3i") - F.max("q1i")) / _PCT_SCALE, 2).alias("iqr"),
+            F.sum(F.when(F.col("iv") < F.col("lo_f"), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("n_low"),
+            F.sum(F.when(F.col("iv") > F.col("hi_f"), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("n_high"),
+        )
+        .withColumn(
+            "outlier_ppm",
+            F.expr("CAST((n_low + n_high) * 1000000 div n AS BIGINT)"),
+        )
+    )
+
+
+def value_tukey_outliers(events: DataFrame) -> DataFrame:
+    """Scan-path Tukey fences: value-frequency table from events, then
+    the shared rank arithmetic."""
+    from kinesis_dstream_spark.functions.exact import fixedpoint
+
+    freq = (
+        events.select(
+            "event_type", fixedpoint(F.col("value"), _PCT_SCALE).alias("iv")
+        )
+        .groupBy("event_type", "iv")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return tukey_outliers_from_value_frequency(freq)
+
+
+VALUE_TUKEY_OUTLIERS_SQL = f"""
+WITH freq AS (
+  SELECT event_type, CAST(round(value * {_PCT_SCALE}) AS BIGINT) AS iv,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, iv, c,
+         CAST(sum(c) OVER (PARTITION BY event_type ORDER BY iv
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum,
+         CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM freq
+), qs AS (
+  SELECT event_type, max(n) AS n,
+         min(CASE WHEN cum >= (n * 25 + 99) // 100 THEN iv END) AS q1i,
+         min(CASE WHEN cum >= (n * 75 + 99) // 100 THEN iv END) AS q3i
+  FROM cum GROUP BY event_type
+), fenced AS (
+  SELECT event_type, n, q1i, q3i,
+         q1i - (3 * (q3i - q1i)) // 2 AS lo_f,
+         q3i + (3 * (q3i - q1i)) // 2 AS hi_f
+  FROM qs
+)
+SELECT f.event_type,
+       CAST(max(fe.n) AS BIGINT) AS n,
+       round(max(fe.q1i) / {_PCT_SCALE}, 2) AS q1,
+       round(max(fe.q3i) / {_PCT_SCALE}, 2) AS q3,
+       round((max(fe.q3i) - max(fe.q1i)) / {_PCT_SCALE}, 2) AS iqr,
+       CAST(sum(CASE WHEN f.iv < fe.lo_f THEN f.c ELSE 0 END) AS BIGINT)
+         AS n_low,
+       CAST(sum(CASE WHEN f.iv > fe.hi_f THEN f.c ELSE 0 END) AS BIGINT)
+         AS n_high,
+       CAST((sum(CASE WHEN f.iv < fe.lo_f THEN f.c ELSE 0 END)
+             + sum(CASE WHEN f.iv > fe.hi_f THEN f.c ELSE 0 END))
+            * 1000000 // max(fe.n) AS BIGINT) AS outlier_ppm
+FROM freq f JOIN fenced fe ON fe.event_type = f.event_type
+GROUP BY f.event_type
+"""

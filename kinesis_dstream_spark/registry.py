@@ -4360,6 +4360,16 @@ def _q_streaming_ivf_pq_res_ingest(spark: SparkSession, sf: str) -> DataFrame:
     return jobs.streaming_ivf_pq_res_ingest(spark, sf)
 
 
+def _q_tukey_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    return dataquality.value_tukey_outliers(load_table(spark, sf, "events"))
+
+
+def _q_tukey_from_store(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.streaming import jobs
+
+    return jobs.tukey_from_store(spark, sf)
+
+
 def _q_sentence_stats(spark: SparkSession, sf: str) -> DataFrame:
     return text.sentence_stats(load_table(spark, sf, "documents"))
 
@@ -6007,6 +6017,18 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # quality signals via the portable-regex segmenter — fragment
     # storms (nav bars) vs prose; map-side, no joins
     "sentence_stats": (_q_sentence_stats, text.SENTENCE_STATS_SQL),
+    # Tukey boxplot-fence outlier accounting (E-17, r11): exact
+    # nearest-rank quartiles + 1.5·IQR fences + outside-mass sums at
+    # the distinct-value grain — the default DQ outlier screen
+    "value_tukey_outliers": (
+        _q_tukey_outliers,
+        dataquality.VALUE_TUKEY_OUTLIERS_SQL,
+    ),
+    # granule-store consumer nine / value-freq consumer SIX (r11)
+    "tukey_from_store": (
+        _q_tukey_from_store,
+        dataquality.VALUE_TUKEY_OUTLIERS_SQL,
+    ),
 }
 
 

@@ -349,3 +349,21 @@ def test_sentence_stats_prose_vs_fragments(spark):
     assert out[1].n_sentences == 7
     assert out[1].short_sent_ppm == 1_000_000
     assert out[2].n_sentences == 0 and out[2].mean_sent_words is None
+
+
+def test_tukey_fences_hand_checked(spark):
+    """1..100 plus outliers -500 and 999 (n=102): nearest-rank
+    q1 = value at rank ceil(25.5) = 25, q3 = value at rank
+    ceil(76.5) = 76, IQR = 51, fences [-51.5, 152.5] — exactly the two
+    planted points fall outside."""
+    from kinesis_dstream_spark.operators import dataquality
+
+    vals = [float(i) for i in range(1, 101)] + [-500.0, 999.0]
+    events = spark.createDataFrame(
+        [(i, f"u{i}", "buy", v, "2024-01-01") for i, v in enumerate(vals)],
+        "event_id long, user_id string, event_type string, value double, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = dataquality.value_tukey_outliers(events).collect()[0]
+    assert (r.q1, r.q3, r.iqr) == (25.0, 76.0, 51.0)
+    assert r.n_low == 1 and r.n_high == 1
+    assert r.outlier_ppm == 2 * 1_000_000 // 102
