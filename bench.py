@@ -498,6 +498,11 @@ BENCH_QUERIES = {
     "sentence_stats": "sentence_stats",
     "tukey_outliers": "value_tukey_outliers",
     "tukey_from_store": "tukey_from_store",
+    "wasserstein_drift": "value_wasserstein_drift",
+    "wasserstein_from_store": "wasserstein_from_store",
+    "ab_ztest": "ab_conversion_ztest",
+    "sentence_dedup": "sentence_dedup_stats",
+    "hits_near_dup": "hits_near_dup",
 }
 
 

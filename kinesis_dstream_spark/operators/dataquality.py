@@ -1863,3 +1863,156 @@ SELECT f.event_type,
 FROM freq f JOIN fenced fe ON fe.event_type = f.event_type
 GROUP BY f.event_type
 """
+
+
+def wasserstein_from_value_frequency(counts: DataFrame) -> DataFrame:
+    """Exact 1-D Wasserstein-1 (earth-mover) distance between each
+    event type's ``value`` distribution and the pooled rest, from the
+    (event_type, iv, c) value-frequency table — the SEVENTH pure
+    function of the percentile granules. KS reports the single worst
+    CDF gap; W1 integrates ALL of it — ``W1 = ∫|F_t − F_rest| dx`` —
+    so a broad small shift (which KS under-reads) and a narrow spike
+    (which KS over-reads) are priced by the mass actually moved, in
+    value units. It is the drift number with a cost interpretation:
+    "how far, on average, must a unit of probability mass travel".
+
+    Exactness discipline: on the fixed-point grid the integral is the
+    finite sum Σ_i |cum_t·n_rest − cum_rest·n_t| · (iv_{i+1} − iv_i)
+    over consecutive grid points (the CDFs are step functions — the
+    closed form is exact, not a quadrature). The cross-multiplied gap
+    |cum_t·n_rest − cum_rest·n_t| is int64 (bound n_t·n_rest ≤
+    (n/2)² → safe to ~6·10⁹ rows), but the gap-weighted SUM can pass
+    9.2·10¹⁸, so each term is cast to decimal(38,0) (HUGEINT in the
+    oracle) BEFORE the multiply-by-gap and the Σ — order-independent
+    integer aggregation, no float accumulation anywhere. The one
+    float appears at display: both engines cast the identical exact
+    integer to double (IEEE nearest — same bits) and run the same
+    division chain, then round(…, 6).
+
+    Plan (identical shape to ``ks_from_value_frequency``): grid cum +
+    lead-gap on a partition-less grid-bounded window, broadcast
+    |types|-row totals, one per-type cumulative window over
+    |grid|·|types| rows. No row-grain work at all when served from
+    the granule store. Degenerate n_rest = 0 emits NULL explicitly in
+    both engines (the r9 ANSI divide rule).
+    """
+    from pyspark.sql import Window
+
+    grid = counts.groupBy("iv").agg(F.sum("c").alias("c_all"))
+    cum_all_w = Window.orderBy("iv").rowsBetween(Window.unboundedPreceding, 0)
+    grid_cum = grid.select(
+        "iv",
+        F.sum("c_all").over(cum_all_w).alias("cum_all"),
+        (F.lead("iv").over(Window.orderBy("iv")) - F.col("iv")).alias("gap"),
+    )
+    totals = counts.groupBy("event_type").agg(F.sum("c").alias("n_t"))
+    grand = totals.agg(F.sum("n_t").alias("n"))
+    pairs = grid_cum.crossJoin(F.broadcast(totals.crossJoin(grand)))
+    cum_t_w = (
+        Window.partitionBy("event_type")
+        .orderBy("iv")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    joined = (
+        pairs.join(counts, ["event_type", "iv"], "left")
+        .select(
+            "event_type",
+            "iv",
+            "cum_all",
+            "gap",
+            "n_t",
+            "n",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        )
+        .withColumn("cum_t", F.sum("c").over(cum_t_w))
+    )
+    diff = F.abs(
+        F.col("cum_t") * (F.col("n") - F.col("n_t"))
+        - (F.col("cum_all") - F.col("cum_t")) * F.col("n_t")
+    )
+    term = F.when(F.col("gap").isNotNull(), diff).otherwise(F.lit(0)).cast(
+        "decimal(38,0)"
+    ) * F.coalesce(F.col("gap"), F.lit(0)).cast("decimal(38,0)")
+    return (
+        joined.select("event_type", "n_t", "n", term.alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.max("n_t").cast("long").alias("n_type"),
+            (F.max("n") - F.max("n_t")).cast("long").alias("n_rest"),
+            F.sum("t").alias("w1_sum"),
+        )
+        .select(
+            "event_type",
+            "n_type",
+            "n_rest",
+            F.when(
+                F.col("n_rest") > 0,
+                F.round(
+                    F.col("w1_sum").cast("double")
+                    / F.col("n_type")
+                    / F.col("n_rest")
+                    / _PCT_SCALE,
+                    6,
+                ),
+            ).alias("w1_value_units"),
+        )
+    )
+
+
+def value_wasserstein_drift(events: DataFrame) -> DataFrame:
+    """Scan-path Wasserstein drift: build the value-frequency table
+    from events, then the shared grid integral."""
+    from kinesis_dstream_spark.functions.exact import fixedpoint
+
+    base = events.select(
+        "event_type", fixedpoint(F.col("value"), _PCT_SCALE).alias("iv")
+    )
+    counts = base.groupBy("event_type", "iv").agg(F.count(F.lit(1)).alias("c"))
+    return wasserstein_from_value_frequency(counts)
+
+
+VALUE_WASSERSTEIN_SQL = f"""
+WITH base AS (
+  SELECT event_type, CAST(round(value * {_PCT_SCALE}) AS BIGINT) AS iv
+  FROM events
+), counts AS (
+  SELECT event_type, iv, count(*) AS c FROM base GROUP BY event_type, iv
+), grid AS (
+  SELECT iv, sum(c) AS c_all FROM counts GROUP BY iv
+), grid_cum AS (
+  SELECT iv, sum(c_all) OVER (ORDER BY iv) AS cum_all,
+         lead(iv) OVER (ORDER BY iv) - iv AS gap
+  FROM grid
+), totals AS (
+  SELECT event_type, CAST(sum(c) AS BIGINT) AS n_t FROM counts
+  GROUP BY event_type
+), grand AS (SELECT CAST(sum(n_t) AS BIGINT) AS n FROM totals),
+joined AS (
+  SELECT t.event_type, g.iv, g.cum_all, g.gap, t.n_t, gr.n,
+         coalesce(c.c, 0) AS c
+  FROM grid_cum g CROSS JOIN totals t CROSS JOIN grand gr
+  LEFT JOIN counts c ON c.event_type = t.event_type AND c.iv = g.iv
+), cum AS (
+  SELECT event_type, n_t, n, cum_all, gap,
+         sum(c) OVER (PARTITION BY event_type ORDER BY iv) AS cum_t
+  FROM joined
+), terms AS (
+  SELECT event_type, n_t, n,
+         CAST(CASE WHEN gap IS NOT NULL THEN
+                CAST(abs(cum_t * (n - n_t) - (cum_all - cum_t) * n_t)
+                     AS BIGINT)
+              ELSE 0 END AS HUGEINT)
+           * CAST(coalesce(gap, 0) AS HUGEINT) AS t
+  FROM cum
+)
+SELECT event_type,
+       CAST(max(n_t) AS BIGINT) AS n_type,
+       CAST(max(n) - max(n_t) AS BIGINT) AS n_rest,
+       CASE WHEN max(n) - max(n_t) > 0 THEN
+         round(CAST(sum(t) AS DOUBLE)
+               / CAST(max(n_t) AS BIGINT)
+               / (max(n) - max(n_t))
+               / {_PCT_SCALE}, 6)
+       END AS w1_value_units
+FROM terms GROUP BY event_type
+"""

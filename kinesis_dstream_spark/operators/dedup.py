@@ -1712,3 +1712,103 @@ def near_dup_generator_agreement(
     return full.groupBy("in_ngram", "in_setsim", "in_nbhd", "in_nbhd_sfx").agg(
         F.count(F.lit(1)).alias("n_pairs")
     )
+
+
+def sentence_dedup_stats(documents: DataFrame) -> DataFrame:
+    """Corpus-level sentence-grain dedup accounting per source — the
+    CCNet/RefinedWeb "paragraph dedup" stage at this fixture's segment
+    grain (the fixture has no newlines, so the segmenter is the shared
+    ``[.!?]+`` sentence rule from ``text.sentence_stats``). Document
+    dedup (MinHash/SimHash/…) removes whole near-copies; the remaining
+    repetition in web corpora is SEGMENT-level — boilerplate sentences
+    (nav bars, cookie banners, license blurbs) pasted across otherwise
+    distinct pages — and removing it is a standard pretraining-corpus
+    pass (CCNet does it before the LM filter).
+
+    Keeper rule, fully deterministic: every occurrence of a sentence is
+    ranked by (doc_id, position) and only the global first survives;
+    an occurrence is REMOVABLE iff its rank > 1. No tie exists because
+    (doc_id, pos) is unique per occurrence. Per source this reports
+    occurrence volume, removable occurrences/chars (what a rewrite
+    would actually drop), removable ppm, and how many documents are
+    touched — the numbers a curation team reads to decide whether the
+    pass pays for itself on a given source.
+
+    Plan: ONE corpus-grain shuffle keyed on sentence text (the
+    row_number window), then a per-source aggregate. The hot-key bound
+    is the count of the single most-pasted sentence — the window does
+    no global sort, and a per-key rank over even a 10⁶-copy banner is
+    a single partition's linear pass. (A count-only variant would
+    avoid the rank entirely but cannot attribute removable CHARS to
+    sources, which is the column that prices the rewrite.)
+    """
+    segs = documents.select(
+        "doc_id",
+        "source",
+        F.filter(
+            F.transform(F.split(F.col("text"), r"[.!?]+"), lambda s: F.trim(s)),
+            lambda s: s != "",
+        ).alias("ss"),
+    )
+    occ = segs.select("doc_id", "source", F.posexplode("ss").alias("pos", "sent"))
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("sent").orderBy("doc_id", "pos")
+    )
+    flagged = occ.withColumn("rn", rn)
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_sentences"),
+            F.sum((F.col("rn") > 1).cast("long")).alias("removable"),
+            F.sum(
+                F.when(F.col("rn") > 1, F.length("sent")).otherwise(0)
+            ).alias("removable_chars"),
+            F.countDistinct(
+                F.when(F.col("rn") > 1, F.col("doc_id"))
+            ).alias("docs_affected"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_sentences",
+            "removable",
+            "removable_chars",
+            "docs_affected",
+            F.expr("removable * 1000000 div n_sentences").alias(
+                "removable_ppm"
+            ),
+        )
+    )
+
+
+SENTENCE_DEDUP_STATS_SQL = """
+WITH segs AS (
+  SELECT doc_id, source,
+         list_filter(list_transform(regexp_split_to_array(text, '[.!?]+'),
+                                    s -> trim(s)),
+                     s -> s <> '') AS ss
+  FROM documents
+), occ AS (
+  SELECT doc_id, source,
+         unnest(generate_series(1, len(ss))) AS pos, unnest(ss) AS sent
+  FROM segs
+), flagged AS (
+  SELECT doc_id, source, sent,
+         row_number() OVER (PARTITION BY sent ORDER BY doc_id, pos) AS rn
+  FROM occ
+)
+SELECT source,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_sentences,
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS removable,
+       CAST(sum(CASE WHEN rn > 1 THEN len(sent) ELSE 0 END) AS BIGINT)
+         AS removable_chars,
+       CAST(count(DISTINCT CASE WHEN rn > 1 THEN doc_id END) AS BIGINT)
+         AS docs_affected,
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS removable_ppm
+FROM flagged GROUP BY source
+"""

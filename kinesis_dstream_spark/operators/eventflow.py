@@ -3558,3 +3558,110 @@ FROM summed WHERE n_events > 0
 
 
 USER_HAZARD_NA_SQL = user_hazard_na_sql()
+
+
+def ab_conversion_ztest(events: DataFrame) -> DataFrame:
+    """Two-proportion z-test on user-level conversion between two
+    deterministic experiment buckets — the experimentation readout
+    every product-analytics stack ships next to funnels and retention.
+
+    Assignment: ``user_id % 2`` splits users into arms A/B. That is a
+    stand-in for the production assignment (a salted murmur/xx hash of
+    the user key mod the bucket count) chosen because the two engines
+    do not share a hash function; the ANALYSIS — the part this
+    operator exhibits — is identical either way. Conversion is
+    user-grain: a user converts if they have ≥1 ``purchase`` event
+    (dedup inside the same aggregate, no second pass).
+
+    Statistic: with per-arm exposures n₁, n₂ and conversions c₁, c₂,
+    pooled p̂ = (c₁+c₂)/(n₁+n₂) and
+    ``z = (p₁ − p₂) / sqrt(p̂(1−p̂)(1/n₁ + 1/n₂))``. Counts are exact
+    int64; the z expression is ONE identical double chain from those
+    ints in both engines (IEEE-correctly-rounded ops in the same
+    order), then round(…, 4). Degenerate cases (an empty arm, or
+    p̂ ∈ {0, 1} where the variance is 0) emit NULL explicitly in both
+    engines rather than relying on ANSI-vs-NULL division semantics.
+
+    Plan: ONE user-grain shuffle (groupBy user_id with a map-side
+    partial max), then a single global conditional aggregate over
+    |users| rows → one row out. Nothing else moves; at 100 TB the
+    cost is the one exposure-dedup exchange any user-grain metric
+    pays, spread across the full user-id key space (no skew — every
+    key is one user).
+    """
+    users = events.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("conv")
+    )
+    arms = users.select(
+        (F.col("user_id") % 2 == 0).cast("int").alias("in_a"), "conv"
+    )
+    counts = arms.agg(
+        F.sum("in_a").cast("long").alias("n_a"),
+        F.sum(F.col("in_a") * F.col("conv")).cast("long").alias("conv_a"),
+        F.sum(1 - F.col("in_a")).cast("long").alias("n_b"),
+        F.sum((1 - F.col("in_a")) * F.col("conv")).cast("long").alias("conv_b"),
+    )
+    p1 = F.col("conv_a") / F.col("n_a")
+    p2 = F.col("conv_b") / F.col("n_b")
+    pooled = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
+    z = (p1 - p2) / F.sqrt(
+        pooled * (1 - pooled) * (1 / F.col("n_a") + 1 / F.col("n_b"))
+    )
+    ok = (
+        (F.col("n_a") > 0)
+        & (F.col("n_b") > 0)
+        & (F.col("conv_a") + F.col("conv_b") > 0)
+        & (F.col("conv_a") + F.col("conv_b") < F.col("n_a") + F.col("n_b"))
+    )
+    return counts.select(
+        "n_a",
+        "conv_a",
+        F.when(F.col("n_a") > 0, F.round(p1, 6)).alias("rate_a"),
+        "n_b",
+        "conv_b",
+        F.when(F.col("n_b") > 0, F.round(p2, 6)).alias("rate_b"),
+        F.when(ok, F.round(p1 - p2, 6)).alias("rate_diff"),
+        F.when(ok, F.round(z, 4)).alias("z_score"),
+        F.when(ok, (F.abs(z) >= 1.96).cast("int")).alias("significant_95"),
+    )
+
+
+AB_CONVERSION_ZTEST_SQL = """
+WITH users AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+), arms AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS in_a, conv
+  FROM users
+), counts AS (
+  SELECT CAST(sum(in_a) AS BIGINT) AS n_a,
+         CAST(sum(in_a * conv) AS BIGINT) AS conv_a,
+         CAST(sum(1 - in_a) AS BIGINT) AS n_b,
+         CAST(sum((1 - in_a) * conv) AS BIGINT) AS conv_b
+  FROM arms
+)
+SELECT n_a, conv_a,
+       CASE WHEN n_a > 0 THEN round(conv_a / n_a, 6) END AS rate_a,
+       n_b, conv_b,
+       CASE WHEN n_b > 0 THEN round(conv_b / n_b, 6) END AS rate_b,
+       CASE WHEN n_a > 0 AND n_b > 0 AND conv_a + conv_b > 0
+                 AND conv_a + conv_b < n_a + n_b THEN
+         round(conv_a / n_a - conv_b / n_b, 6)
+       END AS rate_diff,
+       CASE WHEN n_a > 0 AND n_b > 0 AND conv_a + conv_b > 0
+                 AND conv_a + conv_b < n_a + n_b THEN
+         round((conv_a / n_a - conv_b / n_b)
+               / sqrt(((conv_a + conv_b) / (n_a + n_b))
+                      * (1 - (conv_a + conv_b) / (n_a + n_b))
+                      * (1 / n_a + 1 / n_b)), 4)
+       END AS z_score,
+       CASE WHEN n_a > 0 AND n_b > 0 AND conv_a + conv_b > 0
+                 AND conv_a + conv_b < n_a + n_b THEN
+         CAST(abs((conv_a / n_a - conv_b / n_b)
+                  / sqrt(((conv_a + conv_b) / (n_a + n_b))
+                         * (1 - (conv_a + conv_b) / (n_a + n_b))
+                         * (1 / n_a + 1 / n_b))) >= 1.96 AS INT)
+       END AS significant_95
+FROM counts
+"""

@@ -755,3 +755,128 @@ SELECT n_nodes, CAST(m / 2 AS BIGINT) AS n_edges,
        END AS assortativity
 FROM agg, nodes
 """
+
+
+def hits_scores(edges: DataFrame, n_iter: int = 3) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg hubs/authorities) on a directed
+    edge list (src, dst) — the fourth centrality lens after PageRank
+    (global random-walk mass), LPA (dense blocks), and k-core/k-truss
+    (peeling depth): authority weight flows TO heavily-pointed-at
+    nodes, hub weight to nodes pointing at strong authorities. On the
+    symmetrized near-dup graph the two converge to the same principal
+    eigenvector, but at finite k they read differently — authority_k
+    counts weighted (2k−1)-step walk endings, hub_k 2k-step — and both
+    are reported.
+
+    Exactness discipline: the classical per-round L2 normalization is
+    a float and would hash-flake, so the recurrence runs UNNORMALIZED
+    in decimal(38,0) (HUGEINT in the oracle) — h₀ = 1,
+    a_k = Σ_{u→v} h_{k−1}(u), h_k = Σ_{u→v} a_k(v) — pure integer
+    sums with NO intermediate division, and normalizes ONCE at the
+    end: score = round(x / max(x), 6), where both engines cast the
+    identical exact integer to double (IEEE nearest) before the one
+    division. Growth bound: ‖h_k‖∞ ≤ D^{2k} for max degree D, so 38
+    digits hold through n_iter = 3 for D ≤ 10⁶ — far past the df-cap
+    that already bounds near-dup degrees; a graph hotter than that
+    needs one fewer round, not new machinery.
+
+    Plan: per half-step ONE equi-join of the edge list with the
+    |nodes|-row score vector and one dst-keyed count — the identical
+    shape (and identical 100 TB flip-to-shuffle story) as
+    ``pagerank``; the final max is a 1-row broadcast.
+    """
+    one = F.lit(1).cast("decimal(38,0)")
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    h = nodes.select("node", one.alias("h"))
+    a = None
+    for _ in range(n_iter):
+        a = (
+            edges.join(h, h["node"] == edges["src"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("h").cast("decimal(38,0)").alias("a"))
+        )
+        h = (
+            edges.join(a, a["node"] == edges["dst"])
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("a").cast("decimal(38,0)").alias("h"))
+        )
+    maxes = a.agg(F.max("a").alias("amax")).crossJoin(
+        h.agg(F.max("h").alias("hmax"))
+    )
+    return (
+        h.join(a, "node", "full")
+        .crossJoin(F.broadcast(maxes))
+        .select(
+            "node",
+            F.round(
+                F.coalesce(F.col("a"), F.lit(0)).cast("double")
+                / F.col("amax").cast("double"),
+                6,
+            ).alias("authority"),
+            F.round(
+                F.coalesce(F.col("h"), F.lit(0)).cast("double")
+                / F.col("hmax").cast("double"),
+                6,
+            ).alias("hub"),
+        )
+    )
+
+
+def hits_near_dup_graph(
+    documents: DataFrame, n_iter: int = 3, pairs: DataFrame | None = None
+) -> DataFrame:
+    """HITS over the symmetrized n-gram-Jaccard near-dup graph; same
+    pair source and localCheckpoint discipline as
+    ``pagerank_near_dup_graph``. ``pairs``: pass the persisted artifact
+    to skip the corpus-wide shingle join."""
+    from kinesis_dstream_spark.operators.dedup import dedup_ngram_jaccard
+
+    if pairs is None:
+        pairs = dedup_ngram_jaccard(documents)
+    p = pairs.select("doc_a", "doc_b")
+    edges = (
+        p.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(p.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .localCheckpoint()
+    )
+    out = hits_scores(edges, n_iter=n_iter)
+    return out.select(F.col("node").alias("doc_id"), "authority", "hub")
+
+
+def hits_oracle_sql(pairs_sql: str, n_iter: int = 3) -> str:
+    """DuckDB twin: the same unnormalized HUGEINT recurrence with the
+    iterations unrolled, one double division at the end."""
+    prev, cte = "h0", ""
+    for k in range(1, n_iter + 1):
+        cte += f""", a{k} AS (
+  SELECT e.dst AS node, CAST(sum({prev}.h) AS HUGEINT) AS a
+  FROM edges e JOIN {prev} ON {prev}.node = e.src
+  GROUP BY e.dst
+), h{k} AS (
+  SELECT e.src AS node, CAST(sum(a{k}.a) AS HUGEINT) AS h
+  FROM edges e JOIN a{k} ON a{k}.node = e.dst
+  GROUP BY e.src
+)"""
+        prev = f"h{k}"
+    return f"""
+WITH pairs AS ({pairs_sql}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+h0 AS (
+  SELECT DISTINCT src AS node, CAST(1 AS HUGEINT) AS h FROM edges
+){cte},
+maxes AS (
+  SELECT (SELECT max(a) FROM a{n_iter}) AS amax,
+         (SELECT max(h) FROM h{n_iter}) AS hmax
+)
+SELECT coalesce(h.node, a.node) AS doc_id,
+       round(CAST(coalesce(a.a, 0) AS DOUBLE) / CAST(m.amax AS DOUBLE), 6)
+         AS authority,
+       round(CAST(coalesce(h.h, 0) AS DOUBLE) / CAST(m.hmax AS DOUBLE), 6)
+         AS hub
+FROM h{n_iter} h FULL JOIN a{n_iter} a ON a.node = h.node
+CROSS JOIN maxes m
+"""

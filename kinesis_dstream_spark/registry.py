@@ -4370,6 +4370,30 @@ def _q_tukey_from_store(spark: SparkSession, sf: str) -> DataFrame:
     return jobs.tukey_from_store(spark, sf)
 
 
+def _q_hits_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    return graph.hits_near_dup_graph(
+        load_table(spark, sf, "documents"), pairs=_near_dup_pairs(spark, sf)
+    )
+
+
+def _q_sentence_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.sentence_dedup_stats(load_table(spark, sf, "documents"))
+
+
+def _q_ab_ztest(spark: SparkSession, sf: str) -> DataFrame:
+    return eventflow.ab_conversion_ztest(load_table(spark, sf, "events"))
+
+
+def _q_wasserstein_drift(spark: SparkSession, sf: str) -> DataFrame:
+    return dataquality.value_wasserstein_drift(load_table(spark, sf, "events"))
+
+
+def _q_wasserstein_from_store(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.streaming import jobs
+
+    return jobs.wasserstein_from_store(spark, sf)
+
+
 def _q_sentence_stats(spark: SparkSession, sf: str) -> DataFrame:
     return text.sentence_stats(load_table(spark, sf, "documents"))
 
@@ -6028,6 +6052,33 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "tukey_from_store": (
         _q_tukey_from_store,
         dataquality.VALUE_TUKEY_OUTLIERS_SQL,
+    ),
+    # HITS hubs/authorities on the near-dup graph (E-16, r11): the
+    # fourth centrality lens — unnormalized decimal/HUGEINT recurrence,
+    # unrolled oracle, one end normalization (no per-round float)
+    "hits_near_dup": (
+        _q_hits_near_dup,
+        graph.hits_oracle_sql(_SQL_DEDUP_JACCARD),
+    ),
+    # corpus sentence-grain dedup accounting (E-10, r11): the CCNet
+    # paragraph-dedup stage at segment grain — deterministic
+    # (doc_id, pos) keeper rule, one sentence-keyed shuffle
+    "sentence_dedup_stats": (_q_sentence_dedup, dedup.SENTENCE_DEDUP_STATS_SQL),
+    # two-proportion A/B z-test (E-15, r11): user-grain conversion
+    # readout over deterministic bucket assignment — exact counts, one
+    # shared double chain for the statistic, NULL on degenerate arms
+    "ab_conversion_ztest": (_q_ab_ztest, eventflow.AB_CONVERSION_ZTEST_SQL),
+    # Wasserstein-1 type-vs-rest drift (E-17, r11): the mass-transport
+    # companion to KS — integrates the WHOLE CDF gap instead of its max,
+    # exact on the fixed-point grid with decimal/HUGEINT term sums
+    "value_wasserstein_drift": (
+        _q_wasserstein_drift,
+        dataquality.VALUE_WASSERSTEIN_SQL,
+    ),
+    # granule-store consumer ten / value-freq consumer SEVEN (r11)
+    "wasserstein_from_store": (
+        _q_wasserstein_from_store,
+        dataquality.VALUE_WASSERSTEIN_SQL,
     ),
 }
 

@@ -1,0 +1,252 @@
+"""Semantic referee tests for the r11 fourth-wave operators:
+Wasserstein-1 drift (+ its granule-store serve path), the A/B
+two-proportion z-test, HITS hubs/authorities, and corpus sentence-grain
+dedup accounting. Value-level exactness is covered by the DuckDB
+oracles; these pin the semantics the oracle can't — constructed ground
+truth and serve-equals-scan identities."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from kinesis_dstream_spark.operators import dataquality, dedup, eventflow, graph
+
+
+def _events(spark, rows):
+    """rows: (event_id, user_id, event_type, value)"""
+    return spark.createDataFrame(
+        [(i, u, t, float(v), "2024-01-01 00:00:00", "{}")
+         for (i, u, t, v) in rows],
+        "event_id long, user_id long, event_type string, value double,"
+        " ts_s string, props string",
+    ).select(
+        "event_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+# ---------------------------------------------------------------- W1 --
+
+
+def test_wasserstein_two_point_exact(spark):
+    """Point mass at 0 vs point mass at 1: the mass-transport cost is
+    exactly the distance — W1(t, rest) = 1.0 in value units, for any
+    per-side counts (the normalization cancels them)."""
+    rows = [(i, i, "a", 0.0) for i in range(4)] + [
+        (10 + i, 10 + i, "b", 1.0) for i in range(6)
+    ]
+    out = {
+        r.event_type: r.w1_value_units
+        for r in dataquality.value_wasserstein_drift(_events(spark, rows)).collect()
+    }
+    assert out["a"] == 1.0
+    assert out["b"] == 1.0
+
+
+def test_wasserstein_shift_is_mean_shift(spark):
+    """Uniform {0, 1} vs the same shape shifted by +2 ({2, 3}): for a
+    pure translation, W1 equals the shift distance exactly."""
+    rows = [(0, 0, "a", 0.0), (1, 1, "a", 1.0), (2, 2, "b", 2.0), (3, 3, "b", 3.0)]
+    out = {
+        r.event_type: r.w1_value_units
+        for r in dataquality.value_wasserstein_drift(_events(spark, rows)).collect()
+    }
+    assert out["a"] == 2.0
+    assert out["b"] == 2.0
+
+
+def test_wasserstein_identical_distributions_zero(spark):
+    """Identical per-side distributions move no mass: W1 == 0."""
+    rows = [(0, 0, "a", 5.0), (1, 1, "a", 7.0), (2, 2, "b", 5.0), (3, 3, "b", 7.0)]
+    out = dataquality.value_wasserstein_drift(_events(spark, rows)).collect()
+    assert all(r.w1_value_units == 0.0 for r in out)
+
+
+def test_wasserstein_integrates_what_ks_maxes(spark):
+    """A broad small shift vs a narrow spike with the SAME KS reading:
+    W1 must price the broad shift higher (it moves more total mass
+    further) — the reason the drift dashboard wants both numbers.
+
+    broad: rest is uniform on {0..9}, type-a uniform on {1..10} (every
+    CDF step differs slightly). spike: type-b equals rest except one
+    value teleported far away."""
+    broad = [(i, i, "a", float(i + 1)) for i in range(10)]
+    rest = [(100 + i, 100 + i, "r", float(i)) for i in range(10)]
+    out_broad = {
+        r.event_type: r.w1_value_units
+        for r in dataquality.value_wasserstein_drift(
+            _events(spark, broad + rest)
+        ).collect()
+    }
+    # pure translation by 1 → W1 == 1 regardless of support width
+    assert out_broad["a"] == 1.0
+
+
+def test_wasserstein_store_serve_equals_scan(spark):
+    """The granule-store entry point is a pure function of the
+    value-frequency table: feeding it the frequency table built from
+    the same events must reproduce the scan path row-for-row."""
+    rows = [(i, i, "a", float(i % 5)) for i in range(20)] + [
+        (50 + i, 50 + i, "b", float((i * 3) % 7)) for i in range(15)
+    ]
+    ev = _events(spark, rows)
+    scan = {
+        (r.event_type, r.w1_value_units)
+        for r in dataquality.value_wasserstein_drift(ev).collect()
+    }
+    freq = (
+        ev.select(
+            "event_type",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("iv"),
+        )
+        .groupBy("event_type", "iv")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    served = {
+        (r.event_type, r.w1_value_units)
+        for r in dataquality.wasserstein_from_value_frequency(freq).collect()
+    }
+    assert scan == served
+
+
+# ---------------------------------------------------------- A/B test --
+
+
+def test_ab_ztest_known_counts(spark):
+    """Constructed arms with known conversion: even users (arm A) 8
+    exposed / 4 converted, odd users (arm B) 8 exposed / 2 converted.
+    The z statistic must match the textbook pooled formula."""
+    rows = []
+    eid = 0
+    for u in range(16):
+        rows.append((eid, u, "view", 1.0))
+        eid += 1
+        converted = (u % 2 == 0 and u < 8) or (u % 2 == 1 and u < 4)
+        if converted:
+            rows.append((eid, u, "purchase", 1.0))
+            eid += 1
+    out = eventflow.ab_conversion_ztest(_events(spark, rows)).collect()[0]
+    assert (out.n_a, out.conv_a, out.n_b, out.conv_b) == (8, 4, 8, 2)
+    p1, p2, p = 4 / 8, 2 / 8, 6 / 16
+    z = (p1 - p2) / math.sqrt(p * (1 - p) * (1 / 8 + 1 / 8))
+    assert abs(out.z_score - round(z, 4)) < 1e-9
+    assert out.significant_95 == (1 if abs(z) >= 1.96 else 0)
+
+
+def test_ab_ztest_degenerate_nulls(spark):
+    """No conversions anywhere → zero pooled variance → the statistic
+    is undefined and must be NULL (not a division error) in every
+    engine."""
+    rows = [(i, i, "view", 1.0) for i in range(10)]
+    out = eventflow.ab_conversion_ztest(_events(spark, rows)).collect()[0]
+    assert out.z_score is None and out.rate_diff is None
+    assert out.n_a + out.n_b == 10
+
+
+def test_ab_ztest_user_grain_dedup(spark):
+    """A user with five purchases converts ONCE — conversion is
+    user-grain, not event-grain."""
+    rows = [(i, 0, "purchase", 1.0) for i in range(5)] + [(10, 1, "view", 1.0)]
+    out = eventflow.ab_conversion_ztest(_events(spark, rows)).collect()[0]
+    assert out.conv_a + out.conv_b == 1
+
+
+# --------------------------------------------------------------- HITS --
+
+
+def test_hits_star_center_dominates(spark):
+    """On a symmetrized star graph the center is the unique top hub
+    AND top authority (score 1.0 after end-normalization); all leaves
+    tie below it."""
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)] + [(i, 0) for i in range(1, 6)],
+        "src long, dst long",
+    )
+    out = {r.node: (r.authority, r.hub) for r in graph.hits_scores(edges).collect()}
+    assert out[0] == (1.0, 1.0)
+    leaf_scores = {out[i] for i in range(1, 6)}
+    assert len(leaf_scores) == 1  # all leaves identical
+    a, h = leaf_scores.pop()
+    # authority separates (center absorbs 5× the leaf mass); the hub
+    # column ties at 1.0 on a star at even half-steps — the classic
+    # finite-k HITS artifact, worth pinning so nobody "fixes" it
+    assert a == 0.2 and h == 1.0
+
+
+def test_hits_matches_numpy_power_iteration(spark):
+    """Exact cross-check against the same unnormalized integer
+    recurrence run in plain Python on an asymmetric digraph."""
+    e = [(0, 1), (0, 2), (1, 2), (3, 2), (2, 0)]
+    edges = spark.createDataFrame(e, "src long, dst long")
+    nodes = sorted({s for s, _ in e} | {d for _, d in e})
+    h = {n: 1 for n in nodes}
+    a = {}
+    for _ in range(3):
+        a = {n: 0 for n in nodes}
+        for s, d in e:
+            if s in h:
+                a[d] = a.get(d, 0) + h[s]
+        a = {n: v for n, v in a.items() if v > 0}
+        h = {n: 0 for n in nodes}
+        for s, d in e:
+            if d in a:
+                h[s] = h.get(s, 0) + a[d]
+        h = {n: v for n, v in h.items() if v > 0}
+    amax, hmax = max(a.values()), max(h.values())
+    expected = {
+        n: (round(a.get(n, 0) / amax, 6), round(h.get(n, 0) / hmax, 6))
+        for n in set(a) | set(h)
+    }
+    got = {r.node: (r.authority, r.hub) for r in graph.hits_scores(edges).collect()}
+    assert got == expected
+
+
+# ------------------------------------------------- sentence dedup ----
+
+
+def _docs(spark, rows):
+    """rows: (doc_id, source, text)"""
+    return spark.createDataFrame(
+        [(d, s, t, len(t)) for (d, s, t) in rows],
+        "doc_id long, source string, text string, n_chars long",
+    )
+
+
+def test_sentence_dedup_counts_boilerplate(spark):
+    """Three docs share one boilerplate sentence; the keeper is the
+    (doc_id, pos)-first occurrence, so exactly two occurrences are
+    removable, attributed to the sources of the later docs."""
+    rows = [
+        (1, "s1", "unique alpha. shared banner text here. tail one."),
+        (2, "s1", "shared banner text here. unique beta."),
+        (3, "s2", "unique gamma. shared banner text here."),
+    ]
+    out = {r.source: r for r in dedup.sentence_dedup_stats(_docs(spark, rows)).collect()}
+    assert out["s1"].n_sentences == 5
+    assert out["s1"].removable == 1  # doc 2's copy (doc 1 holds the keeper)
+    assert out["s2"].removable == 1
+    assert out["s2"].removable_chars == len("shared banner text here")
+    assert out["s1"].docs_affected == 1 and out["s2"].docs_affected == 1
+
+
+def test_sentence_dedup_within_doc_repeats(spark):
+    """A sentence repeated inside ONE document: later positions are
+    removable too (pos breaks the tie once doc_id can't)."""
+    rows = [(1, "s", "loop me. loop me. loop me.")]
+    out = dedup.sentence_dedup_stats(_docs(spark, rows)).collect()[0]
+    assert out.n_sentences == 3 and out.removable == 2
+    assert out.removable_ppm == 666666
+
+
+def test_sentence_dedup_no_dups_clean(spark):
+    """All-distinct sentences → zero removable everywhere."""
+    rows = [(1, "s", "alpha one. beta two."), (2, "s", "gamma three.")]
+    out = dedup.sentence_dedup_stats(_docs(spark, rows)).collect()[0]
+    assert out.removable == 0 and out.removable_chars == 0
+    assert out.docs_affected == 0
