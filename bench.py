@@ -503,6 +503,9 @@ BENCH_QUERIES = {
     "ab_ztest": "ab_conversion_ztest",
     "sentence_dedup": "sentence_dedup_stats",
     "hits_near_dup": "hits_near_dup",
+    "pmi_collocations": "token_pmi_collocations",
+    "dsir_weights": "dsir_importance_weights",
+    "ann_ndcg": "ann_ndcg_report",
 }
 
 

@@ -1126,3 +1126,154 @@ SELECT q_id, c_id, dot_num, rk FROM (
 
 
 IVF_DET_INGEST_SQL = ivf_det_ingest_sql()
+
+
+def _idcg_fp(topk: int) -> int:
+    """Ideal-DCG fixed-point constant for graded gains (topk, topk−1,
+    …, 1) at ranks 1..topk with the standard log2(r+1) discount, each
+    term µ-unit-rounded EXACTLY like the live terms. Computed once in
+    Python and embedded as a literal in BOTH engines — so engine-log2
+    last-bit differences cannot touch the denominator."""
+    import math
+
+    return sum(
+        round((topk - i + 1) * 1_000_000 / math.log2(i + 1))
+        for i in range(1, topk + 1)
+    )
+
+
+def ann_ndcg_report(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    topk: int = 5,
+    n_probe: int = 2,
+    k: int = _K,
+    n_assign: int = _N_ASSIGN,
+) -> DataFrame:
+    """NDCG@k of the deterministic IVF serving tier against exact
+    ground truth — the ORDER-aware companion to
+    ``ann_recall_mrr_report``: recall says "how many true neighbors
+    surfaced", NDCG says "and in what positions", with graded
+    relevance (the true rank-1 neighbor is worth more than the true
+    rank-k) and the standard log2(r+1) position discount. This is the
+    metric retrieval teams actually tune serving parameters (n_probe,
+    shortlist size) against, because it moves smoothly when ordering
+    degrades before membership does.
+
+    Determinism: relevance grades are exact ints (topk − true_rank
+    + 1); each DCG term rel/log2(rk+1) is µ-unit fixed-pointed before
+    the per-query sum (identical double chain from identical ints in
+    both engines); the ideal DCG is a PYTHON-computed integer literal
+    shared by both sides, so ndcg_ppm = dcg_fp·10⁶ div idcg_fp is
+    pure integer arithmetic.
+
+    Cost model identical to the recall report: truth pays the honest
+    query-batch-bounded exact pass, the IVF side its normal probed
+    serve, plus one |q|·k overlap join.
+    """
+    iarr = _unit_int_arrays(embeddings).localCheckpoint()
+    queries = iarr.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("iu").alias("q_iu")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("q_iu"), F.col("iu"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    tw = Window.partitionBy("q_id").orderBy(F.col("dot_num").desc(), "c_id")
+    truth = (
+        iarr.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("c_id"), dot.alias("dot_num"))
+        .withColumn("trk", F.row_number().over(tw))
+        .filter(F.col("trk") <= topk)
+        .select("q_id", "c_id", (F.lit(topk) - F.col("trk") + 1).alias("gain"))
+    )
+    approx = ivf_deterministic_topk(
+        embeddings, n_queries, topk, n_probe, k, n_assign
+    ).select("q_id", "c_id", "rk")
+    term_fp = F.round(
+        F.col("gain") * F.lit(1_000_000) / F.log2(F.col("rk") + 1)
+    ).cast("long")
+    hits = approx.join(F.broadcast(truth), ["q_id", "c_id"]).select(
+        "q_id", term_fp.alias("t")
+    )
+    per_q = hits.groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_hits"), F.sum("t").alias("dcg_fp")
+    )
+    idcg = _idcg_fp(topk)
+    return (
+        queries.select("q_id")
+        .join(F.broadcast(per_q), "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.coalesce("dcg_fp", F.lit(0)).cast("long").alias("dcg_fp"),
+            F.expr(f"coalesce(dcg_fp, 0) * 1000000 div {idcg}")
+            .cast("long")
+            .alias("ndcg_ppm"),
+        )
+    )
+
+
+def ann_ndcg_report_sql(
+    n_queries: int = 10,
+    topk: int = 5,
+    n_probe: int = 2,
+    k: int = _K,
+    n_assign: int = _N_ASSIGN,
+) -> str:
+    """Twin: shared det-IVF CTE prefix + graded truth + the same
+    fixed-point DCG arithmetic against the SAME Python idcg literal."""
+    cent_tbl = f"c{n_assign - 1}" if n_assign > 1 else "c0"
+    idcg = _idcg_fp(topk)
+    return (
+        kmeans_oracle_cte(k, n_assign)
+        + f""", q AS (
+  SELECT vec_id AS q_id, iu AS q_iu FROM iarr WHERE vec_id < {n_queries}
+), qd AS (
+  SELECT l.vec_id AS q_id, c.cid,
+         CAST(sum((l.iu - c.cv) * (l.iu - c.cv)) AS BIGINT) AS cd
+  FROM lg l JOIN {cent_tbl} c ON c.pos = l.pos
+  WHERE l.vec_id < {n_queries}
+  GROUP BY 1, 2
+), probes AS (
+  SELECT q_id, cid FROM (
+    SELECT q_id, cid, row_number() OVER (PARTITION BY q_id ORDER BY cd, cid) AS pr
+    FROM qd
+  ) WHERE pr <= {n_probe}
+), approx AS (
+  SELECT q_id, c_id, rk FROM (
+    SELECT p.q_id, a.vec_id AS c_id,
+           row_number() OVER (PARTITION BY p.q_id
+             ORDER BY CAST(list_reduce(list_transform(list_zip(q.q_iu, ia.iu),
+                                                      s -> s[1] * s[2]),
+                           (x, y) -> x + y) AS BIGINT) DESC, a.vec_id) AS rk
+    FROM probes p
+    JOIN a{n_assign} a ON a.cid = p.cid
+    JOIN q ON q.q_id = p.q_id
+    JOIN iarr ia ON ia.vec_id = a.vec_id
+    WHERE a.vec_id <> p.q_id
+  ) WHERE rk <= {topk}
+), truth AS (
+  SELECT q_id, c_id, {topk} - trk + 1 AS gain FROM (
+    SELECT q.q_id, ia.vec_id AS c_id,
+           row_number() OVER (PARTITION BY q.q_id
+             ORDER BY CAST(list_reduce(list_transform(list_zip(q.q_iu, ia.iu),
+                                                      s -> s[1] * s[2]),
+                           (x, y) -> x + y) AS BIGINT) DESC, ia.vec_id) AS trk
+    FROM q JOIN iarr ia ON ia.vec_id <> q.q_id
+  ) WHERE trk <= {topk}
+), per_q AS (
+  SELECT a.q_id, CAST(count(*) AS BIGINT) AS n_hits,
+         CAST(sum(CAST(round(t.gain * 1000000 / log2(a.rk + 1)) AS BIGINT))
+              AS BIGINT) AS dcg_fp
+  FROM approx a JOIN truth t ON t.q_id = a.q_id AND t.c_id = a.c_id
+  GROUP BY 1
+)
+SELECT q.q_id,
+       coalesce(p.n_hits, 0) AS n_hits,
+       coalesce(p.dcg_fp, 0) AS dcg_fp,
+       CAST(coalesce(p.dcg_fp, 0) * 1000000 // {idcg} AS BIGINT) AS ndcg_ppm
+FROM q LEFT JOIN per_q p ON p.q_id = q.q_id
+"""
+    )

@@ -1771,3 +1771,140 @@ WITH lens AS (
 
 
 PACKING_EFFICIENCY_SQL = packing_efficiency_sql()
+
+
+_DSIR_BUCKETS = 256
+
+
+def dsir_importance_weights(
+    documents: DataFrame, target_lang: str = "en", buckets: int = _DSIR_BUCKETS
+) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023, public) — scored over hashed unigram features: every raw
+    (non-target) document gets the average log importance ratio
+    ``mean_tokens[ln p_target(b(t)) − ln p_raw(b(t))]`` where b(t)
+    hashes the token into ``buckets`` buckets and both distributions
+    carry add-one smoothing. High scores mark raw documents that LOOK
+    like the target distribution — the scalable stand-in for "find me
+    more data like my curated set" that the big pretraining pipelines
+    run ahead of quality classifiers (hashed features need no vocab
+    and the two histograms fit in cache at any corpus size).
+
+    Exhibit framing: the target here is the ``lang = target_lang``
+    slice (the only labeled split the fixture carries); production
+    swaps in any curated target set — the math never changes.
+
+    Determinism: bucket ids are md5-based (engine-portable, the
+    SimHash discipline); histogram counts and totals are exact int64;
+    each bucket's ln is fixed-pointed to µ-units BEFORE the per-doc
+    sum (order-independent int aggregation), one display division at
+    the end.
+
+    Plan: ONE exploded token stream → a ``buckets``-bounded histogram
+    aggregate (map-side combined; the histogram pair is 2·B rows —
+    broadcast class); scoring is a map-side broadcast join on bucket
+    id plus the final doc_id re-aggregation. No corpus-grain joins,
+    no vocabulary state.
+    """
+    toks = documents.select(
+        "doc_id",
+        "source",
+        (F.col("lang") == target_lang).alias("is_t"),
+        F.explode(tokens(F.col("text"))).alias("w"),
+    )
+    from kinesis_dstream_spark.functions.textfns import md5_bits32
+
+    bucketed = toks.select(
+        "doc_id", "source", "is_t", (md5_bits32(F.col("w")) % buckets).alias("b")
+    )
+    hist = bucketed.groupBy("b").agg(
+        F.sum(F.col("is_t").cast("long")).alias("c_t"),
+        F.sum((~F.col("is_t")).cast("long")).alias("c_r"),
+    )
+    totals = hist.agg(
+        F.sum("c_t").alias("n_t"), F.sum("c_r").alias("n_r")
+    )
+    spark = documents.sparkSession
+    grid = (
+        spark.range(buckets)
+        .select(F.col("id").alias("b"))
+        .join(hist, "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            (
+                F.round(
+                    F.log(
+                        (F.coalesce(F.col("c_t"), F.lit(0)) + 1)
+                        / (F.col("n_t") + F.lit(buckets))
+                    )
+                    * _LP_SCALE
+                ).cast("long")
+                - F.round(
+                    F.log(
+                        (F.coalesce(F.col("c_r"), F.lit(0)) + 1)
+                        / (F.col("n_r") + F.lit(buckets))
+                    )
+                    * _LP_SCALE
+                ).cast("long")
+            ).alias("lr_fp"),
+        )
+    )
+    return (
+        bucketed.filter(~F.col("is_t"))
+        .join(F.broadcast(grid), "b")
+        .groupBy("doc_id", "source")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("lr_fp").alias("s"))
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.round(F.col("s") / F.col("n_tokens") / _LP_SCALE, 4).alias(
+                "dsir_avg_logratio"
+            ),
+        )
+    )
+
+
+def dsir_importance_weights_sql(
+    target_lang: str = "en", buckets: int = _DSIR_BUCKETS
+) -> str:
+    """DuckDB twin generated from the SAME target/buckets."""
+    duck_toks = "str_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')"
+    s = _LP_SCALE
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source, lang = '{target_lang}' AS is_t, unnest({duck_toks}) AS w
+  FROM documents
+), bucketed AS (
+  SELECT doc_id, source, is_t,
+         CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % {buckets} AS b
+  FROM toks
+), hist AS (
+  SELECT b, sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS c_t,
+         sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS c_r
+  FROM bucketed GROUP BY b
+), totals AS (
+  SELECT CAST(sum(c_t) AS BIGINT) AS n_t, CAST(sum(c_r) AS BIGINT) AS n_r
+  FROM hist
+), grid AS (
+  SELECT g.b,
+         CAST(round(ln((coalesce(h.c_t, 0) + 1)
+                       / CAST(t.n_t + {buckets} AS DOUBLE)) * {s}) AS BIGINT)
+         - CAST(round(ln((coalesce(h.c_r, 0) + 1)
+                         / CAST(t.n_r + {buckets} AS DOUBLE)) * {s}) AS BIGINT)
+           AS lr_fp
+  FROM (SELECT unnest(generate_series(0, {buckets - 1})) AS b) g
+  LEFT JOIN hist h ON h.b = g.b
+  CROSS JOIN totals t
+)
+SELECT bk.doc_id, bk.source, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(CAST(sum(gr.lr_fp) AS BIGINT) / count(*) / {s}.0, 4)
+         AS dsir_avg_logratio
+FROM bucketed bk JOIN grid gr ON gr.b = bk.b
+WHERE NOT bk.is_t
+GROUP BY bk.doc_id, bk.source
+"""
+
+
+DSIR_IMPORTANCE_WEIGHTS_SQL = dsir_importance_weights_sql()

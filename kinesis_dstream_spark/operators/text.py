@@ -1621,3 +1621,136 @@ SELECT doc_id, CAST(n_sentences AS BIGINT) AS n_sentences,
        END AS short_sent_ppm
 FROM stats
 """
+
+
+_PMI_SCALE = 1_000_000  # µ-units for ln() terms (the zipf/LM discipline)
+
+
+def token_pmi_collocations(
+    documents: DataFrame, min_count: int = 5, top_k: int = 50
+) -> DataFrame:
+    """Top-k adjacent-bigram collocations by pointwise mutual
+    information — the classic phrase-mining pass (Church & Hanks 1990;
+    word2vec's phrase pre-join uses the same statistic): PMI =
+    ln(p(xy) / (p(x)p(y))) with p(xy) = c_xy/N_bigrams and p(x) =
+    c_x/N_tokens. High-PMI pairs are the multi-word lexemes ("new
+    york", "machine learning") a tokenizer or phrase-joiner should
+    treat as units; a curation stack runs this to build phrase
+    vocabularies and to spot templated word pairs.
+
+    Determinism: counts and totals are exact int64; the ln is
+    fixed-pointed to µ-units (``round(ln·1e6)`` — the zipf/LM
+    discipline) so the ORDER BY that picks the global top-k compares
+    integers, with (w1, w2) as the total tie-break. ``min_count``
+    suppresses the PMI's notorious rare-pair instability (a
+    1-occurrence pair of two hapaxes maxes the statistic).
+
+    Plan: tokens and bigrams ride the same exploded stream (one
+    doc_id-keyed lead window, per-doc-bounded partitions); unigram and
+    bigram counts are map-side-combined shuffles on term keys; the
+    final top-k is a TakeOrderedAndProject (per-partition local top-k,
+    k rows to the driver stage — never a global sort). The pair table
+    is bounded by distinct ADJACENT pairs ≥ min_count, a vanishing
+    fraction of vocab².
+    """
+    from kinesis_dstream_spark.functions.textfns import tokens
+
+    toks = documents.select("doc_id", tokens(F.col("text")).alias("t"))
+    words = toks.select("doc_id", F.posexplode("t").alias("pos", "w"))
+    uni = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    n_uni = words.count()
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        words.withColumn("w2", F.lead("w").over(w))
+        .filter(F.col("w2").isNotNull())
+        .select(F.col("w").alias("w1"), "w2")
+    )
+    pair = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= min_count)
+    )
+    n_big = big.count()
+    joined = (
+        pair.join(
+            F.broadcast(uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y"))),
+            "w2",
+        )
+    )
+    pmi_fp = F.round(
+        F.log(
+            (F.col("c_xy") * F.lit(float(n_uni)) * F.lit(float(n_uni)))
+            / (F.lit(float(n_big)) * F.col("c_x") * F.col("c_y"))
+        )
+        * _PMI_SCALE
+    ).cast("long")
+    return (
+        joined.select(
+            "w1", "w2", "c_xy", "c_x", "c_y", pmi_fp.alias("pmi_fp")
+        )
+        .orderBy(F.col("pmi_fp").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(top_k)
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            "c_x",
+            "c_y",
+            # display at the FULL µ-unit precision: a 4dp re-round of a
+            # 6dp fixed-point can land exactly on a .5 boundary (hit at
+            # sf0.1: pmi_fp = 95450 → 0.0955 vs 0.0954 across engines);
+            # on its own 6dp grid the double is ~1e-17 from the grid
+            # point and ~5e-7 from any boundary — no engine can differ
+            F.round(F.col("pmi_fp") / _PMI_SCALE, 6).alias("pmi"),
+        )
+    )
+
+
+def token_pmi_collocations_sql(min_count: int = 5, top_k: int = 50) -> str:
+    """DuckDB twin generated from the SAME thresholds."""
+    duck_toks = "str_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')"
+    s = _PMI_SCALE
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {duck_toks} AS t FROM documents
+), words AS (
+  SELECT doc_id, unnest(generate_series(1, len(t))) AS pos, unnest(t) AS w
+  FROM toks
+), uni AS (
+  SELECT w, count(*) AS c FROM words GROUP BY w
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_uni FROM words
+), big AS (
+  SELECT w1, w2 FROM (
+    SELECT w AS w1, lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM words
+  ) WHERE w2 IS NOT NULL
+), btot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_big FROM big
+), pair AS (
+  SELECT w1, w2, count(*) AS c_xy FROM big GROUP BY w1, w2
+  HAVING count(*) >= {min_count}
+), scored AS (
+  SELECT p.w1, p.w2, p.c_xy, u1.c AS c_x, u2.c AS c_y,
+         CAST(round(ln((p.c_xy * CAST(t.n_uni AS DOUBLE) * t.n_uni)
+                       / (CAST(b.n_big AS DOUBLE) * u1.c * u2.c))
+                    * {s}) AS BIGINT) AS pmi_fp
+  FROM pair p
+  JOIN uni u1 ON u1.w = p.w1
+  JOIN uni u2 ON u2.w = p.w2
+  CROSS JOIN tot t CROSS JOIN btot b
+)
+SELECT w1, w2, CAST(c_xy AS BIGINT) AS c_xy, CAST(c_x AS BIGINT) AS c_x,
+       CAST(c_y AS BIGINT) AS c_y,
+       round(pmi_fp / {s}.0, 6) AS pmi
+FROM scored
+ORDER BY pmi_fp DESC, w1 ASC, w2 ASC
+LIMIT {top_k}
+"""
+
+
+TOKEN_PMI_COLLOCATIONS_SQL = token_pmi_collocations_sql()

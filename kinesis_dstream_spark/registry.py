@@ -4370,6 +4370,18 @@ def _q_tukey_from_store(spark: SparkSession, sf: str) -> DataFrame:
     return jobs.tukey_from_store(spark, sf)
 
 
+def _q_ann_ndcg(spark: SparkSession, sf: str) -> DataFrame:
+    return clustering.ann_ndcg_report(load_table(spark, sf, "embeddings"))
+
+
+def _q_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
+    return curation.dsir_importance_weights(load_table(spark, sf, "documents"))
+
+
+def _q_pmi_collocations(spark: SparkSession, sf: str) -> DataFrame:
+    return text.token_pmi_collocations(load_table(spark, sf, "documents"))
+
+
 def _q_hits_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     return graph.hits_near_dup_graph(
         load_table(spark, sf, "documents"), pairs=_near_dup_pairs(spark, sf)
@@ -6052,6 +6064,27 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "tukey_from_store": (
         _q_tukey_from_store,
         dataquality.VALUE_TUKEY_OUTLIERS_SQL,
+    ),
+    # NDCG@k eval (E-11, r11): the order-aware retrieval metric next
+    # to recall/MRR — graded gains, fixed-point log2 discounts, and a
+    # Python-literal ideal-DCG shared by both engines
+    "ann_ndcg_report": (
+        _q_ann_ndcg,
+        clustering.ann_ndcg_report_sql(),
+    ),
+    # DSIR importance weights (E-12, r11): hashed-feature importance
+    # resampling scores (Xie et al. 2023) — "find raw data that looks
+    # like the target", B-bounded histograms, map-side scoring
+    "dsir_importance_weights": (
+        _q_dsir_weights,
+        curation.DSIR_IMPORTANCE_WEIGHTS_SQL,
+    ),
+    # PMI collocation mining (E-12, r11): the phrase-vocabulary pass —
+    # µ-unit ln fixed-points make the global top-k an integer order,
+    # min_count kills the rare-pair PMI instability
+    "token_pmi_collocations": (
+        _q_pmi_collocations,
+        text.TOKEN_PMI_COLLOCATIONS_SQL,
     ),
     # HITS hubs/authorities on the near-dup graph (E-16, r11): the
     # fourth centrality lens — unnormalized decimal/HUGEINT recurrence,

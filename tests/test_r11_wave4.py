@@ -250,3 +250,104 @@ def test_sentence_dedup_no_dups_clean(spark):
     out = dedup.sentence_dedup_stats(_docs(spark, rows)).collect()[0]
     assert out.removable == 0 and out.removable_chars == 0
     assert out.docs_affected == 0
+
+
+# ------------------------------------------------ PMI collocations ---
+
+
+def test_pmi_prefers_exclusive_pair(spark):
+    """A pair that ALWAYS co-occurs ("new york") must out-score a pair
+    of independently frequent words that co-occur at chance rate."""
+    from kinesis_dstream_spark.operators import text as text_ops
+
+    rows = []
+    for i in range(10):
+        rows.append((i, "s", "new york is big and the cat saw the dog"))
+    # "the" is frequent everywhere; "the cat" co-occurs but "the" also
+    # pairs with "dog": PMI(new, york) should exceed PMI(the, cat)
+    docs = spark.createDataFrame(
+        [(d, s, t, len(t)) for (d, s, t) in rows],
+        "doc_id long, source string, text string, n_chars long",
+    )
+    out = text_ops.token_pmi_collocations(docs, min_count=5, top_k=10).collect()
+    pmis = {(r.w1, r.w2): r.pmi for r in out}
+    assert ("new", "york") in pmis
+    assert pmis[("new", "york")] >= max(
+        v for k, v in pmis.items() if k != ("new", "york")
+    )
+
+
+def test_pmi_min_count_suppresses_hapax(spark):
+    """A one-off pair of two hapaxes (the classic PMI pathology) must
+    not appear when min_count > 1."""
+    from kinesis_dstream_spark.operators import text as text_ops
+
+    rows = [(0, "s", "zyx wvu")] + [
+        (i, "s", "common words common words") for i in range(1, 8)
+    ]
+    docs = spark.createDataFrame(
+        [(d, s, t, len(t)) for (d, s, t) in rows],
+        "doc_id long, source string, text string, n_chars long",
+    )
+    out = text_ops.token_pmi_collocations(docs, min_count=2, top_k=10).collect()
+    assert ("zyx", "wvu") not in {(r.w1, r.w2) for r in out}
+
+
+# ----------------------------------------------------------- DSIR ----
+
+
+def test_dsir_scores_targetlike_higher(spark):
+    """A raw document written in the target's vocabulary must score
+    above a raw document in a disjoint vocabulary — the whole point of
+    importance resampling."""
+    from kinesis_dstream_spark.operators import curation
+
+    rows = [(i, "s", "en", "alpha beta gamma delta epsilon") for i in range(10)]
+    rows += [(100, "s", "de", "alpha beta gamma delta"),       # target-like
+             (101, "s", "de", "qqq www eee rrr ttt")]          # disjoint
+    docs = spark.createDataFrame(
+        [(d, s, l, t, len(t)) for (d, s, l, t) in rows],
+        "doc_id long, source string, lang string, text string, n_chars long",
+    )
+    out = {
+        r.doc_id: r.dsir_avg_logratio
+        for r in curation.dsir_importance_weights(docs).collect()
+    }
+    assert set(out) == {100, 101}  # only raw docs are scored
+    assert out[100] > out[101]
+
+
+# ----------------------------------------------------------- NDCG ----
+
+
+def test_ndcg_perfect_ranking_is_million(spark, sf_dir):
+    """Any query whose approx list EQUALS the truth list in order gets
+    ndcg_ppm == 1_000_000 by construction; and ndcg is bounded by it."""
+    from kinesis_dstream_spark.operators import clustering
+    from kinesis_dstream_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ndcg = {
+        r.q_id: r
+        for r in clustering.ann_ndcg_report(emb).collect()
+    }
+    assert all(0 <= r.ndcg_ppm <= 1_000_000 for r in ndcg.values())
+    # cross-metric sanity vs the recall report: zero hits ⟺ zero dcg
+    rec = {
+        r.q_id: r.n_hits
+        for r in clustering.ann_recall_mrr_report(emb).collect()
+    }
+    for q, r in ndcg.items():
+        assert (r.n_hits == 0) == (r.dcg_fp == 0)
+        assert r.n_hits == rec[q]
+
+
+def test_idcg_constant_matches_manual():
+    from kinesis_dstream_spark.operators.clustering import _idcg_fp
+    import math
+
+    k = 5
+    expected = sum(
+        round((k - i + 1) * 1_000_000 / math.log2(i + 1)) for i in range(1, k + 1)
+    )
+    assert _idcg_fp(k) == expected
