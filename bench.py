@@ -506,6 +506,8 @@ BENCH_QUERIES = {
     "pmi_collocations": "token_pmi_collocations",
     "dsir_weights": "dsir_importance_weights",
     "ann_ndcg": "ann_ndcg_report",
+    "ab_welch": "ab_value_welch_ttest",
+    "streaming_ab_ztest": "streaming_ab_ztest_maintenance",
 }
 
 

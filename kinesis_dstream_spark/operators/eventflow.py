@@ -3592,6 +3592,14 @@ def ab_conversion_ztest(events: DataFrame) -> DataFrame:
     users = events.groupBy("user_id").agg(
         F.max((F.col("event_type") == "purchase").cast("int")).alias("conv")
     )
+    return ab_ztest_from_user_conversions(users)
+
+
+def ab_ztest_from_user_conversions(users: DataFrame) -> DataFrame:
+    """The z-test readout from the (user_id, conv) user-grain table —
+    the mergeable sufficient statistic (conv merges by max), so this
+    entry point serves both the batch scan above and the streaming
+    granule store (``streaming/jobs.streaming_ab_ztest_maintenance``)."""
     arms = users.select(
         (F.col("user_id") % 2 == 0).cast("int").alias("in_a"), "conv"
     )
@@ -3664,4 +3672,139 @@ SELECT n_a, conv_a,
                          * (1 / n_a + 1 / n_b))) >= 1.96 AS INT)
        END AS significant_95
 FROM counts
+"""
+
+
+def ab_value_welch_ttest(events: DataFrame) -> DataFrame:
+    """Welch's unequal-variance t-test on per-user PURCHASE REVENUE
+    between the two deterministic experiment arms — the continuous
+    companion to ``ab_conversion_ztest``: conversion answers "did more
+    users buy", this answers "did users spend more", which is the
+    metric most revenue experiments actually gate on. Welch (not
+    pooled Student) because revenue variances routinely differ across
+    arms; the statistic is t = (x̄₁ − x̄₂) / sqrt(s₁²/n₁ + s₂²/n₂)
+    with the Welch–Satterthwaite df reported alongside.
+
+    Every user counts — non-purchasers contribute 0 revenue (the
+    standard intent-to-treat frame; dropping them would bias toward
+    whichever arm converts more). Per-user revenue is an exact
+    fixed-point int64 sum; per-arm n/Σx are int64 and Σx² goes
+    through decimal(38,0) (HUGEINT in the oracle) so the moment sums
+    survive any corpus size. The t/df chain is ONE identical double
+    expression from those exact integers in both engines; round(…, 4).
+    Degenerate cases (an empty arm, or both sample variances 0) emit
+    NULL explicitly.
+
+    Plan: one user-grain shuffle (conditional sum), one global
+    conditional aggregate → 1 row. Same cost envelope as the z-test.
+    """
+    from kinesis_dstream_spark.functions.exact import fixedpoint
+
+    users = events.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                fixedpoint(F.col("value"), 100),
+            ).otherwise(0)
+        ).alias("rev")
+    )
+    arms = users.select(
+        (F.col("user_id") % 2 == 0).cast("int").alias("in_a"), "rev"
+    )
+    rev_dec = F.col("rev").cast("decimal(38,0)")
+    counts = arms.agg(
+        F.sum("in_a").cast("long").alias("n_a"),
+        F.sum(F.col("in_a") * F.col("rev")).cast("long").alias("sx_a"),
+        F.sum(F.when(F.col("in_a") == 1, rev_dec * rev_dec).otherwise(0)).alias(
+            "sxx_a"
+        ),
+        F.sum(1 - F.col("in_a")).cast("long").alias("n_b"),
+        F.sum((1 - F.col("in_a")) * F.col("rev")).cast("long").alias("sx_b"),
+        F.sum(F.when(F.col("in_a") == 0, rev_dec * rev_dec).otherwise(0)).alias(
+            "sxx_b"
+        ),
+    )
+    m1 = F.col("sx_a") / F.col("n_a") / 100.0
+    m2 = F.col("sx_b") / F.col("n_b") / 100.0
+    # sample variance in VALUE units: (Σx² − (Σx)²/n) / (n−1) / 100²
+    v1 = (
+        (F.col("sxx_a").cast("double") - F.col("sx_a") * m1 * 100.0)
+        / (F.col("n_a") - 1)
+        / 10000.0
+    )
+    v2 = (
+        (F.col("sxx_b").cast("double") - F.col("sx_b") * m2 * 100.0)
+        / (F.col("n_b") - 1)
+        / 10000.0
+    )
+    se2 = v1 / F.col("n_a") + v2 / F.col("n_b")
+    t = (m1 - m2) / F.sqrt(se2)
+    df = (se2 * se2) / (
+        (v1 / F.col("n_a")) * (v1 / F.col("n_a")) / (F.col("n_a") - 1)
+        + (v2 / F.col("n_b")) * (v2 / F.col("n_b")) / (F.col("n_b") - 1)
+    )
+    ok = (F.col("n_a") > 1) & (F.col("n_b") > 1)
+    return counts.select(
+        "n_a",
+        F.round(F.col("sx_a") / 100.0, 2).alias("rev_a"),
+        "n_b",
+        F.round(F.col("sx_b") / 100.0, 2).alias("rev_b"),
+        F.when(ok, F.round(m1 - m2, 4)).alias("mean_diff"),
+        F.when(ok & (se2 > 0), F.round(t, 4)).alias("t_stat"),
+        F.when(ok & (se2 > 0), F.round(df, 2)).alias("welch_df"),
+        F.when(ok & (se2 > 0), (F.abs(t) >= 1.96).cast("int")).alias(
+            "significant_95"
+        ),
+    )
+
+
+AB_VALUE_WELCH_SQL = """
+WITH users AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(round(value * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS rev
+  FROM events GROUP BY user_id
+), arms AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS in_a, rev
+  FROM users
+), counts AS (
+  SELECT CAST(sum(in_a) AS BIGINT) AS n_a,
+         CAST(sum(in_a * rev) AS BIGINT) AS sx_a,
+         sum(CASE WHEN in_a = 1
+                  THEN CAST(rev AS HUGEINT) * CAST(rev AS HUGEINT)
+                  ELSE 0 END) AS sxx_a,
+         CAST(sum(1 - in_a) AS BIGINT) AS n_b,
+         CAST(sum((1 - in_a) * rev) AS BIGINT) AS sx_b,
+         sum(CASE WHEN in_a = 0
+                  THEN CAST(rev AS HUGEINT) * CAST(rev AS HUGEINT)
+                  ELSE 0 END) AS sxx_b
+  FROM arms
+), calc AS (
+  SELECT n_a, sx_a, n_b, sx_b,
+         sx_a / n_a / 100.0 AS m1,
+         sx_b / n_b / 100.0 AS m2,
+         (CAST(sxx_a AS DOUBLE) - sx_a * (sx_a / n_a / 100.0) * 100.0)
+           / (n_a - 1) / 10000.0 AS v1,
+         (CAST(sxx_b AS DOUBLE) - sx_b * (sx_b / n_b / 100.0) * 100.0)
+           / (n_b - 1) / 10000.0 AS v2
+  FROM counts
+), calc2 AS (
+  SELECT *, v1 / n_a + v2 / n_b AS se2 FROM calc
+)
+SELECT n_a, round(sx_a / 100.0, 2) AS rev_a,
+       n_b, round(sx_b / 100.0, 2) AS rev_b,
+       CASE WHEN n_a > 1 AND n_b > 1 THEN round(m1 - m2, 4) END AS mean_diff,
+       CASE WHEN n_a > 1 AND n_b > 1 AND se2 > 0 THEN
+         round((m1 - m2) / sqrt(se2), 4)
+       END AS t_stat,
+       CASE WHEN n_a > 1 AND n_b > 1 AND se2 > 0 THEN
+         round((se2 * se2)
+               / ((v1 / n_a) * (v1 / n_a) / (n_a - 1)
+                  + (v2 / n_b) * (v2 / n_b) / (n_b - 1)), 2)
+       END AS welch_df,
+       CASE WHEN n_a > 1 AND n_b > 1 AND se2 > 0 THEN
+         CAST(abs((m1 - m2) / sqrt(se2)) >= 1.96 AS INT)
+       END AS significant_95
+FROM calc2
 """

@@ -4370,6 +4370,16 @@ def _q_tukey_from_store(spark: SparkSession, sf: str) -> DataFrame:
     return jobs.tukey_from_store(spark, sf)
 
 
+def _q_streaming_ab_ztest(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.streaming import jobs
+
+    return jobs.streaming_ab_ztest_maintenance(spark, sf)
+
+
+def _q_ab_welch(spark: SparkSession, sf: str) -> DataFrame:
+    return eventflow.ab_value_welch_ttest(load_table(spark, sf, "events"))
+
+
 def _q_ann_ndcg(spark: SparkSession, sf: str) -> DataFrame:
     return clustering.ann_ndcg_report(load_table(spark, sf, "embeddings"))
 
@@ -6065,6 +6075,17 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _q_tukey_from_store,
         dataquality.VALUE_TUKEY_OUTLIERS_SQL,
     ),
+    # streaming A/B maintenance (E-9, r11): the FIFTH hash-certified
+    # streaming job — user-grain mergeable granules, batch-id
+    # idempotent upsert, z-test readout shares the batch oracle
+    "streaming_ab_ztest_maintenance": (
+        _q_streaming_ab_ztest,
+        eventflow.AB_CONVERSION_ZTEST_SQL,
+    ),
+    # Welch unequal-variance t-test (E-15, r11): the continuous A/B
+    # readout (per-user revenue, intent-to-treat zeros kept) — exact
+    # int64/decimal moment sums, one shared double chain for t and df
+    "ab_value_welch_ttest": (_q_ab_welch, eventflow.AB_VALUE_WELCH_SQL),
     # NDCG@k eval (E-11, r11): the order-aware retrieval metric next
     # to recall/MRR — graded gains, fixed-point log2 discounts, and a
     # Python-literal ideal-DCG shared by both engines

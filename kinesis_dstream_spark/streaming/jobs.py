@@ -2017,6 +2017,76 @@ def streaming_rfm_maintenance(
     return eventflow.rfm_from_per_user(per_user)
 
 
+def streaming_ab_ztest_maintenance(
+    spark: SparkSession,
+    sf_dir: str,
+    state_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Streaming maintenance of the A/B test's user-grain granules —
+    the FIFTH hash-certified streaming job (after the tumbling counts,
+    the det-IVF / det-IVF-PQ / det-IVF-SQ8 ingests): the experiment
+    dashboard every product team keeps live. The sufficient statistic
+    of ``eventflow.ab_conversion_ztest`` is the (user_id, conv) table
+    and conv is MERGEABLE (max of purchase flags), so per-batch
+    partials take the batch-id-keyed idempotent upsert (replay
+    overwrites its own epoch — the continuous-aggregate pattern) and
+    the z-test readout at drain runs over |users| granule rows, not
+    |events|. Drained output shares the batch AB_CONVERSION_ZTEST_SQL
+    oracle — the streaming path is certified by the SAME value hash
+    as the batch scan.
+
+    At 100 TB the point is the grain: a replayed or resumed stream
+    never re-scans history — each micro-batch pays its own user-grain
+    partial, and the holistic statistic (two-proportion z) costs
+    O(|users|) at serve time.
+    """
+    from kinesis_dstream_spark.operators import eventflow
+
+    state_dir = state_dir or tempfile.mkdtemp(prefix="kds_ab_state_")
+    cur_path = os.path.join(state_dir, "current")
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        partials = (
+            batch_df.groupBy("user_id")
+            .agg(
+                F.max(
+                    (F.col("event_type") == "purchase").cast("int")
+                ).alias("conv")
+            )
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+        )
+        merged = partials
+        if os.path.exists(cur_path):
+            kept = spark.read.parquet(cur_path).where(F.col("batch_id") != batch_id)
+            merged = kept.unionByName(partials)
+        tmp = os.path.join(state_dir, f"tmp_{batch_id}")
+        merged.write.mode("overwrite").parquet(tmp)
+        swap_dir(tmp, cur_path)
+
+    from kinesis_dstream_spark.tables import NANOS_AS_LONG_CONF
+
+    spark.conf.set(NANOS_AS_LONG_CONF, "true")
+    src = _table_multifile_dir(spark, sf_dir, "events", n_files=4)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option(
+            "checkpointLocation", checkpoint_dir or os.path.join(state_dir, "chk")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    users = (
+        spark.read.parquet(cur_path)
+        .groupBy("user_id")
+        .agg(F.max("conv").alias("conv"))
+    )
+    return eventflow.ab_ztest_from_user_conversions(users)
+
+
 def streaming_cohort_maintenance(
     spark: SparkSession,
     sf_dir: str,

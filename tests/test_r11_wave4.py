@@ -351,3 +351,58 @@ def test_idcg_constant_matches_manual():
         round((k - i + 1) * 1_000_000 / math.log2(i + 1)) for i in range(1, k + 1)
     )
     assert _idcg_fp(k) == expected
+
+
+# ---------------------------------------------------------- Welch t ---
+
+
+def test_welch_known_moments(spark):
+    """Constructed revenue: arm A users spend {10, 20}, arm B {0, 0}.
+    Verify t against the hand-computed Welch formula (B's variance is
+    0, so se² = v1/n1 only)."""
+    rows = [
+        (0, 0, "purchase", 10.0),
+        (1, 2, "purchase", 20.0),
+        (2, 1, "view", 5.0),
+        (3, 3, "view", 5.0),
+    ]
+    out = eventflow.ab_value_welch_ttest(_events(spark, rows)).collect()[0]
+    assert (out.n_a, out.n_b) == (2, 2)
+    assert out.rev_a == 30.0 and out.rev_b == 0.0
+    m1, v1 = 15.0, 50.0  # mean/var of {10, 20}
+    se2 = v1 / 2
+    t = m1 / math.sqrt(se2)
+    assert abs(out.t_stat - round(t, 4)) < 1e-9
+    assert out.mean_diff == 15.0
+
+
+def test_welch_intent_to_treat_zeros(spark):
+    """Users without purchases must enter with revenue 0, not be
+    dropped — equal spend among purchasers but unequal converter
+    counts must still move the mean."""
+    rows = [
+        (0, 0, "purchase", 10.0),
+        (1, 2, "view", 1.0),
+        (2, 1, "purchase", 10.0),
+        (3, 3, "purchase", 10.0),
+    ]
+    out = eventflow.ab_value_welch_ttest(_events(spark, rows)).collect()[0]
+    # arm A (users 0,2): {10, 0} → mean 5; arm B (1,3): {10, 10} → mean 10
+    assert out.mean_diff == -5.0
+
+
+def test_streaming_ab_matches_batch(spark, sf_dir):
+    """The streaming granule path must reproduce the batch z-test
+    EXACTLY (same oracle, hash-certified) — serve == scan."""
+    import tempfile
+
+    from kinesis_dstream_spark.streaming import jobs
+    from kinesis_dstream_spark.tables import load_table
+
+    batch = eventflow.ab_conversion_ztest(
+        load_table(spark, sf_dir, "events")
+    ).collect()[0]
+    streamed = jobs.streaming_ab_ztest_maintenance(
+        spark, sf_dir, state_dir=tempfile.mkdtemp(prefix="kds_ab_t_")
+    ).collect()[0]
+    assert tuple(batch) == tuple(streamed)
