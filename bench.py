@@ -508,6 +508,9 @@ BENCH_QUERIES = {
     "ann_ndcg": "ann_ndcg_report",
     "ab_welch": "ab_value_welch_ttest",
     "streaming_ab_ztest": "streaming_ab_ztest_maintenance",
+    "ab_msprt": "ab_msprt_always_valid",
+    "ab_quantile_effect": "ab_quantile_effect",
+    "sentence_rewrite": "sentence_dedup_rewrite",
 }
 
 

@@ -1812,3 +1812,109 @@ SELECT source,
             // count(*) AS BIGINT) AS removable_ppm
 FROM flagged GROUP BY source
 """
+
+
+def sentence_dedup_rewrite(documents: DataFrame) -> DataFrame:
+    """The ACTIONABLE half of ``sentence_dedup_stats``: actually
+    rebuild each document with its removable sentence occurrences
+    dropped (global (doc_id, pos)-first keeper rule, same window), and
+    certify the rewrite content — kept/dropped counts, the rebuilt
+    char length, and the rolling fingerprint of the rebuilt text (the
+    ``doc_fingerprints`` hash, so the certificate is engine-portable).
+    This is the corpus a pretraining run would consume after the
+    boilerplate pass; the fingerprint column means two independent
+    runs (or the streaming rebuild of the future) can prove they
+    produced byte-identical rewrites without shipping the text.
+
+    Rebuild joins kept sentences with a single space in position
+    order — the normalized segment form (original inter-sentence
+    punctuation was consumed by the shared ``[.!?]+`` segmenter; the
+    rewrite is defined on the normalized stream, like every dedup
+    consumer here). Documents losing ALL sentences emit an empty
+    rebuild (fingerprint 0), not a dropped row.
+
+    Plan: the stats op's one sentence-keyed shuffle, plus one per-doc
+    collect_list bounded by document size — corpus-grain map work, no
+    new joins beyond a |docs|-row left join.
+    """
+    from kinesis_dstream_spark.functions.textfns import rolling_fingerprint
+
+    segs = documents.select(
+        "doc_id",
+        F.filter(
+            F.transform(F.split(F.col("text"), r"[.!?]+"), lambda s: F.trim(s)),
+            lambda s: s != "",
+        ).alias("ss"),
+    )
+    occ = segs.select("doc_id", F.posexplode("ss").alias("pos", "sent"))
+    from pyspark.sql import Window
+
+    flagged = occ.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("sent").orderBy("doc_id", "pos")),
+    )
+    totals = occ.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tot"))
+    rebuilt = (
+        flagged.filter(F.col("rn") == 1)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "sent"))),
+                    lambda x: x["sent"],
+                ),
+                " ",
+            ).alias("new_text"),
+        )
+    )
+    out = totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        (F.col("n_tot") - F.coalesce("n_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_dropped"),
+        F.coalesce("new_text", F.lit("")).alias("new_text"),
+    )
+    return out.select(
+        "doc_id",
+        "n_kept",
+        "n_dropped",
+        F.length("new_text").cast("long").alias("new_n_chars"),
+        rolling_fingerprint(F.col("new_text")).alias("new_fp"),
+    )
+
+
+SENTENCE_DEDUP_REWRITE_SQL = """
+WITH segs AS (
+  SELECT doc_id,
+         list_filter(list_transform(regexp_split_to_array(text, '[.!?]+'),
+                                    s -> trim(s)),
+                     s -> s <> '') AS ss
+  FROM documents
+), occ AS (
+  SELECT doc_id, unnest(generate_series(1, len(ss))) AS pos, unnest(ss) AS sent
+  FROM segs
+), flagged AS (
+  SELECT doc_id, pos, sent,
+         row_number() OVER (PARTITION BY sent ORDER BY doc_id, pos) AS rn
+  FROM occ
+), totals AS (
+  SELECT doc_id, count(*) AS n_tot FROM occ GROUP BY doc_id
+), rebuilt AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(sent, ' ' ORDER BY pos) AS new_text
+  FROM flagged WHERE rn = 1 GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(t.n_tot - coalesce(r.n_kept, 0) AS BIGINT) AS n_dropped,
+       CAST(length(coalesce(r.new_text, '')) AS BIGINT) AS new_n_chars,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+                      list_transform(str_split(coalesce(r.new_text, ''), ''),
+                                     c -> CAST(ascii(c) AS BIGINT))),
+         (acc, x) -> (acc * 31 + x) % 1000000007
+       ) AS new_fp
+FROM totals t LEFT JOIN rebuilt r ON r.doc_id = t.doc_id
+"""

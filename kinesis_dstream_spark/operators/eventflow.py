@@ -3808,3 +3808,207 @@ SELECT n_a, round(sx_a / 100.0, 2) AS rev_a,
        END AS significant_95
 FROM calc2
 """
+
+
+_MSPRT_TAU = 0.0001  # mixture variance for the always-valid test
+
+
+def ab_msprt_always_valid(events: DataFrame, tau: float = _MSPRT_TAU) -> DataFrame:
+    """Mixture-SPRT always-valid p-value for the conversion experiment
+    — the sequential-testing readout (Robbins' mixture martingale;
+    Johari et al.'s "peeking problem" fix, all public literature) that
+    modern experimentation platforms show INSTEAD of the fixed-horizon
+    z-test, because it stays valid under continuous monitoring: you
+    may stop the moment it crosses α and the guarantee holds, whereas
+    peeking at a z-test inflates false positives severalfold.
+
+    Math (normal approximation, two-sample proportions): with effect
+    θ̂ = p₁ − p₂ and squared standard error se² = p̂(1−p̂)(1/n₁+1/n₂),
+    the mixture N(0, τ) likelihood ratio is
+    ``Λ = sqrt(se²/(se²+τ)) · exp(θ̂²·τ / (2·se²·(se²+τ)))`` and the
+    always-valid p-value is ``min(1, 1/Λ)``. τ is the prior scale of
+    plausible effects — a REGISTERED constant (the r7 param-twin
+    discipline: Spark and oracle are generated from the same value).
+
+    Counts are the exact user-grain int64s of the z-test; Λ and p are
+    ONE identical double chain in both engines; degenerate arms or
+    p̂ ∈ {0,1} emit NULL explicitly. Same one-shuffle plan as the
+    siblings.
+    """
+    users = events.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("conv")
+    )
+    arms = users.select(
+        (F.col("user_id") % 2 == 0).cast("int").alias("in_a"), "conv"
+    )
+    counts = arms.agg(
+        F.sum("in_a").cast("long").alias("n_a"),
+        F.sum(F.col("in_a") * F.col("conv")).cast("long").alias("conv_a"),
+        F.sum(1 - F.col("in_a")).cast("long").alias("n_b"),
+        F.sum((1 - F.col("in_a")) * F.col("conv")).cast("long").alias("conv_b"),
+    )
+    p1 = F.col("conv_a") / F.col("n_a")
+    p2 = F.col("conv_b") / F.col("n_b")
+    pooled = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
+    theta = p1 - p2
+    se2 = pooled * (1 - pooled) * (1 / F.col("n_a") + 1 / F.col("n_b"))
+    lam = F.sqrt(se2 / (se2 + tau)) * F.exp(
+        theta * theta * tau / (2 * se2 * (se2 + tau))
+    )
+    p_av = F.least(F.lit(1.0), 1 / lam)
+    ok = (
+        (F.col("n_a") > 0)
+        & (F.col("n_b") > 0)
+        & (F.col("conv_a") + F.col("conv_b") > 0)
+        & (F.col("conv_a") + F.col("conv_b") < F.col("n_a") + F.col("n_b"))
+    )
+    return counts.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.when(ok, F.round(theta, 6)).alias("theta"),
+        F.when(ok, F.round(lam, 4)).alias("lambda_lr"),
+        F.when(ok, F.round(p_av, 6)).alias("p_always_valid"),
+        F.when(ok, (p_av <= 0.05).cast("int")).alias("reject_at_5pct"),
+    )
+
+
+def ab_msprt_sql(tau: float = _MSPRT_TAU) -> str:
+    """DuckDB twin generated from the SAME τ."""
+    return f"""
+WITH users AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+), arms AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS in_a, conv
+  FROM users
+), counts AS (
+  SELECT CAST(sum(in_a) AS BIGINT) AS n_a,
+         CAST(sum(in_a * conv) AS BIGINT) AS conv_a,
+         CAST(sum(1 - in_a) AS BIGINT) AS n_b,
+         CAST(sum((1 - in_a) * conv) AS BIGINT) AS conv_b
+  FROM arms
+), calc AS (
+  SELECT n_a, conv_a, n_b, conv_b,
+         conv_a / n_a - conv_b / n_b AS theta,
+         ((conv_a + conv_b) / (n_a + n_b))
+           * (1 - (conv_a + conv_b) / (n_a + n_b))
+           * (1 / n_a + 1 / n_b) AS se2,
+         n_a > 0 AND n_b > 0 AND conv_a + conv_b > 0
+           AND conv_a + conv_b < n_a + n_b AS ok
+  FROM counts
+), lr AS (
+  SELECT *,
+         sqrt(se2 / (se2 + {tau}))
+           * exp(theta * theta * {tau} / (2 * se2 * (se2 + {tau}))) AS lam
+  FROM calc
+)
+SELECT n_a, conv_a, n_b, conv_b,
+       CASE WHEN ok THEN round(theta, 6) END AS theta,
+       CASE WHEN ok THEN round(lam, 4) END AS lambda_lr,
+       CASE WHEN ok THEN round(least(1.0, 1 / lam), 6) END AS p_always_valid,
+       CASE WHEN ok THEN CAST(least(1.0, 1 / lam) <= 0.05 AS INT) END
+         AS reject_at_5pct
+FROM lr
+"""
+
+
+AB_MSPRT_SQL = ab_msprt_sql()
+
+
+def ab_quantile_effect(events: DataFrame) -> DataFrame:
+    """Exact median treatment effect on per-user revenue between the
+    two arms — the ROBUST companion to the Welch mean test: revenue is
+    heavy-tailed (a few whales move the mean; Welch chases them), and
+    the median-shift is the number an analyst trusts when the mean and
+    median disagree. Computed WITHOUT sorting rows: per-arm nearest-
+    rank median from the (arm, rev, count) frequency table via the
+    cumulative-crossing trick (the percentile-granule discipline at
+    ceil(n/2)) — exact int64 end to end, one display division.
+
+    Plan: one user-grain shuffle, one (arm, rev) count (map-side
+    combined), a 2-partition cumulative window, one 2-row aggregate.
+    """
+    from kinesis_dstream_spark.functions.exact import fixedpoint
+
+    users = events.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                fixedpoint(F.col("value"), 100),
+            ).otherwise(0)
+        ).alias("rev")
+    )
+    freq = (
+        users.select(
+            (F.col("user_id") % 2 == 0).cast("int").alias("in_a"), "rev"
+        )
+        .groupBy("in_a", "rev")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cum_w = (
+        Window.partitionBy("in_a")
+        .orderBy("rev")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = freq.select(
+        "in_a",
+        "rev",
+        F.sum("c").over(cum_w).alias("cum"),
+        F.sum("c").over(Window.partitionBy("in_a")).alias("n"),
+    )
+    med = cum.groupBy("in_a").agg(
+        F.max("n").cast("long").alias("n"),
+        F.min(
+            F.when(F.col("cum") >= F.expr("(n + 1) DIV 2"), F.col("rev"))
+        ).alias("med_fp"),
+    )
+    wide = med.agg(
+        F.max(F.when(F.col("in_a") == 1, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("in_a") == 1, F.col("med_fp"))).alias("ma"),
+        F.max(F.when(F.col("in_a") == 0, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("in_a") == 0, F.col("med_fp"))).alias("mb"),
+    )
+    return wide.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.round(F.col("ma") / 100.0, 2).alias("median_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(F.col("mb") / 100.0, 2).alias("median_b"),
+        F.round((F.col("ma") - F.col("mb")) / 100.0, 2).alias("median_diff"),
+    )
+
+
+AB_QUANTILE_EFFECT_SQL = """
+WITH users AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(round(value * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS rev
+  FROM events GROUP BY user_id
+), freq AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS in_a, rev,
+         count(*) AS c
+  FROM users GROUP BY 1, 2
+), cum AS (
+  SELECT in_a, rev,
+         CAST(sum(c) OVER (PARTITION BY in_a ORDER BY rev
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum,
+         CAST(sum(c) OVER (PARTITION BY in_a) AS BIGINT) AS n
+  FROM freq
+), med AS (
+  SELECT in_a, max(n) AS n,
+         min(CASE WHEN cum >= (n + 1) // 2 THEN rev END) AS med_fp
+  FROM cum GROUP BY in_a
+)
+SELECT CAST(max(CASE WHEN in_a = 1 THEN n END) AS BIGINT) AS n_a,
+       round(max(CASE WHEN in_a = 1 THEN med_fp END) / 100.0, 2) AS median_a,
+       CAST(max(CASE WHEN in_a = 0 THEN n END) AS BIGINT) AS n_b,
+       round(max(CASE WHEN in_a = 0 THEN med_fp END) / 100.0, 2) AS median_b,
+       round((max(CASE WHEN in_a = 1 THEN med_fp END)
+              - max(CASE WHEN in_a = 0 THEN med_fp END)) / 100.0, 2)
+         AS median_diff
+FROM med
+"""

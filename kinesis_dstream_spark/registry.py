@@ -4370,6 +4370,18 @@ def _q_tukey_from_store(spark: SparkSession, sf: str) -> DataFrame:
     return jobs.tukey_from_store(spark, sf)
 
 
+def _q_sentence_rewrite(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.sentence_dedup_rewrite(load_table(spark, sf, "documents"))
+
+
+def _q_ab_msprt(spark: SparkSession, sf: str) -> DataFrame:
+    return eventflow.ab_msprt_always_valid(load_table(spark, sf, "events"))
+
+
+def _q_ab_quantile(spark: SparkSession, sf: str) -> DataFrame:
+    return eventflow.ab_quantile_effect(load_table(spark, sf, "events"))
+
+
 def _q_streaming_ab_ztest(spark: SparkSession, sf: str) -> DataFrame:
     from kinesis_dstream_spark.streaming import jobs
 
@@ -6075,6 +6087,21 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _q_tukey_from_store,
         dataquality.VALUE_TUKEY_OUTLIERS_SQL,
     ),
+    # sentence-dedup REWRITE (E-10, r11): materialize the post-pass
+    # corpus certificate — kept/dropped, rebuilt length, and the
+    # engine-portable rolling fingerprint of every rebuilt doc
+    "sentence_dedup_rewrite": (
+        _q_sentence_rewrite,
+        dedup.SENTENCE_DEDUP_REWRITE_SQL,
+    ),
+    # mixture-SPRT always-valid p-value (E-15, r11): the sequential
+    # readout that survives continuous monitoring (the "peeking" fix)
+    # — registered τ, one shared double chain
+    "ab_msprt_always_valid": (_q_ab_msprt, eventflow.AB_MSPRT_SQL),
+    # exact median treatment effect (E-15, r11): the robust companion
+    # to Welch — nearest-rank medians from the per-arm frequency
+    # table, int64 end to end
+    "ab_quantile_effect": (_q_ab_quantile, eventflow.AB_QUANTILE_EFFECT_SQL),
     # streaming A/B maintenance (E-9, r11): the FIFTH hash-certified
     # streaming job — user-grain mergeable granules, batch-id
     # idempotent upsert, z-test readout shares the batch oracle

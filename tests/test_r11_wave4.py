@@ -406,3 +406,92 @@ def test_streaming_ab_matches_batch(spark, sf_dir):
         spark, sf_dir, state_dir=tempfile.mkdtemp(prefix="kds_ab_t_")
     ).collect()[0]
     assert tuple(batch) == tuple(streamed)
+
+
+# -------------------------------------------------- mSPRT / median ---
+
+
+def test_msprt_formula_and_monotonicity(spark):
+    """Verify Λ against the hand-computed mixture-LR formula, and the
+    always-valid p-value's defining monotonicity: a stronger effect at
+    the same sample size must give a smaller p."""
+    def build(conv_a):
+        rows, eid = [], 0
+        for u in range(40):
+            rows.append((eid, u, "view", 1.0)); eid += 1
+            if (u % 2 == 0 and u // 2 < conv_a) or (u % 2 == 1 and u // 2 < 2):
+                rows.append((eid, u, "purchase", 1.0)); eid += 1
+        return eventflow.ab_msprt_always_valid(_events(spark, rows)).collect()[0]
+
+    weak, strong = build(6), build(16)
+    for out, ca in ((weak, 6), (strong, 16)):
+        assert (out.n_a, out.conv_a, out.n_b, out.conv_b) == (20, ca, 20, 2)
+        p1, p2 = ca / 20, 2 / 20
+        p = (ca + 2) / 40
+        se2 = p * (1 - p) * (1 / 20 + 1 / 20)
+        tau = 0.0001
+        lam = math.sqrt(se2 / (se2 + tau)) * math.exp(
+            (p1 - p2) ** 2 * tau / (2 * se2 * (se2 + tau))
+        )
+        assert abs(out.lambda_lr - round(lam, 4)) < 1e-9
+        assert abs(out.p_always_valid - round(min(1.0, 1 / lam), 6)) < 1e-9
+    assert strong.p_always_valid < weak.p_always_valid
+
+
+def test_quantile_effect_whale_robust(spark):
+    """One whale in arm A moves the Welch mean but NOT the median —
+    the reason the robust readout exists."""
+    rows = []
+    eid = 0
+    for u in range(20):
+        val = 10.0 if u != 0 else 10000.0  # user 0 (arm A) is the whale
+        rows.append((eid, u, "purchase", val)); eid += 1
+    out = eventflow.ab_quantile_effect(_events(spark, rows)).collect()[0]
+    assert out.median_a == 10.0 and out.median_b == 10.0
+    assert out.median_diff == 0.0
+    welch = eventflow.ab_value_welch_ttest(_events(spark, rows)).collect()[0]
+    assert welch.mean_diff > 500  # the mean chased the whale
+
+
+# ------------------------------------------------------- rewrite -----
+
+
+def test_rewrite_content_and_counts(spark):
+    """The rebuilt text keeps exactly the keeper occurrences in
+    position order; fingerprints certify content equality with the
+    hand-built expectation."""
+    from kinesis_dstream_spark.functions.textfns import rolling_fingerprint
+
+    rows = [
+        (1, "s", "alpha one. shared banner. tail."),
+        (2, "s", "shared banner. beta two."),
+    ]
+    out = {
+        r.doc_id: r
+        for r in dedup.sentence_dedup_rewrite(_docs(spark, rows)).collect()
+    }
+    assert out[1].n_kept == 3 and out[1].n_dropped == 0
+    assert out[2].n_kept == 1 and out[2].n_dropped == 1
+    expected = {1: "alpha one shared banner tail", 2: "beta two"}
+    fp = {
+        r.doc_id: r.fp
+        for r in spark.createDataFrame(
+            list(expected.items()), "doc_id long, t string"
+        )
+        .select("doc_id", rolling_fingerprint(F.col("t")).alias("fp"))
+        .collect()
+    }
+    assert out[1].new_fp == fp[1] and out[2].new_fp == fp[2]
+    assert out[2].new_n_chars == len(expected[2])
+
+
+def test_rewrite_fully_dropped_doc_survives(spark):
+    """A document that is ENTIRELY boilerplate still emits a row:
+    0 kept, empty rebuild, fingerprint 0."""
+    rows = [(1, "s", "only sentence."), (2, "s", "only sentence.")]
+    out = {
+        r.doc_id: r
+        for r in dedup.sentence_dedup_rewrite(_docs(spark, rows)).collect()
+    }
+    assert out[2].n_kept == 0 and out[2].n_dropped == 1
+    assert out[2].new_n_chars == 0 and out[2].new_fp == 0
