@@ -511,6 +511,7 @@ BENCH_QUERIES = {
     "ab_msprt": "ab_msprt_always_valid",
     "ab_quantile_effect": "ab_quantile_effect",
     "sentence_rewrite": "sentence_dedup_rewrite",
+    "pca_profile": "embedding_pca_profile",
 }
 
 

@@ -1277,3 +1277,170 @@ SELECT q.q_id,
 FROM q LEFT JOIN per_q p ON p.q_id = q.q_id
 """
     )
+
+
+def embedding_pca_profile(embeddings: DataFrame, n_iter: int = 3) -> DataFrame:
+    """Dominant principal component of the embedding cloud by EXACT
+    fixed-point power iteration — the geometry probe run before
+    trusting any quantizer: a large leading eigen-share means the
+    cloud is anisotropic (JL/PQ subspace splits and IVF cells degrade
+    predictably — see quantizer_recall_matrix), and the loading vector
+    says WHICH directions carry the variance. Classical PCA is float
+    linear algebra; this is the engine-portable integer formulation:
+
+    - scaled covariance ``C' = n·S − m·mᵀ`` (S = Σ x xᵀ, m = Σ x over
+      the 1e-6 unit grid) — exact int64 at fixture scale (the n·S and
+      m_i·m_j products need decimal(38,0)/HUGEINT beyond n ≈ 2300; a
+      one-line switch on both sides, the Wasserstein discipline);
+    - ``Cs = C' div 1e9`` drops the matrix into the int64 mat-vec
+      range (≤ 2.5e-10 relative truncation on the entries that
+      matter);
+    - ``n_iter`` mat-vecs with a per-round integer renorm
+      ``v ← sign(w)·(|w| div greatest(|w|max div 1e6, 1))`` back onto
+      the ±1e6 grid — truncating division, identical in both engines
+      (Spark ``div`` and DuckDB ``//`` both truncate toward zero,
+      verified on negatives);
+    - Rayleigh share ``λ/tr = (v·w) / ((v·v)·tr Cs)`` with the integer
+      products exact (Python bigint here, HUGEINT in the oracle) and
+      ONE double division at display, mirrored as
+      cast-both-sides-then-divide in the twin.
+
+    The per-round d-int vector is collected as a literal — the
+    kmeans-centroid discipline (bounded by d, not data) — while the
+    Gram pass (the only corpus-grain work, n·d² multiply-adds) stays
+    distributed: one vec_id-keyed self-join fanning into a d²-row
+    map-side-combined aggregate. Every post-Gram stage is
+    broadcast-class (d² matrix, d vectors).
+    """
+    iarr = _unit_int_arrays(embeddings)
+    lg = iarr.select("vec_id", F.posexplode("iu").alias("pos0", "x")).select(
+        "vec_id", (F.col("pos0") + 1).alias("pos"), "x"
+    )
+    n = iarr.count()
+    m_rows = {
+        r.pos: r.m for r in lg.groupBy("pos").agg(F.sum("x").alias("m")).collect()
+    }
+    d = len(m_rows)
+    a = lg.select("vec_id", F.col("pos").alias("i"), F.col("x").alias("ax"))
+    b = lg.select("vec_id", F.col("pos").alias("j"), F.col("x").alias("bx"))
+    marr = F.array(
+        *[F.lit(m_rows[i]).cast("long") for i in range(1, d + 1)]
+    )
+    Cs = (
+        a.join(b, "vec_id")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("ax") * F.col("bx")).alias("s"))
+        .withColumn("ma", marr)
+        .select(
+            "i",
+            "j",
+            F.expr(
+                f"(s * {n} - element_at(ma, CAST(i AS INT))"
+                " * element_at(ma, CAST(j AS INT))) div 1000000000"
+            ).alias("c"),
+        )
+        .localCheckpoint()
+    )
+    v = [1_000_000] * d
+    w_rows: dict[int, int] = {}
+    prev_v = v
+    for _ in range(n_iter):
+        varr = F.array(*[F.lit(x).cast("long") for x in v])
+        w_df = (
+            Cs.withColumn("va", varr)
+            .select(
+                "i",
+                (F.col("c") * F.expr("element_at(va, CAST(j AS INT))")).alias("t"),
+            )
+            .groupBy("i")
+            .agg(F.sum("t").alias("w"))
+        )
+        w_rows = {r.i: r.w for r in w_df.collect()}
+        wmax = max(abs(x) for x in w_rows.values())
+        denom = max(wmax // 1_000_000, 1)
+        prev_v = v
+        v = [
+            (1 if w_rows.get(i, 0) >= 0 else -1) * (abs(w_rows.get(i, 0)) // denom)
+            for i in range(1, d + 1)
+        ]
+    num = sum(prev_v[i - 1] * w_rows.get(i, 0) for i in range(1, d + 1))
+    den = sum(x * x for x in prev_v)
+    trace = Cs.filter(F.col("i") == F.col("j")).agg(F.sum("c")).collect()[0][0]
+    dt = den * trace
+    share = float(num) / float(dt) if dt != 0 else 0.0
+    vout = F.array(*[F.lit(x).cast("long") for x in v])
+    return (
+        Cs.filter(F.col("i") == F.col("j"))
+        .withColumn("vv", vout)
+        .select(
+            F.col("i").cast("long").alias("pos"),
+            F.expr("element_at(vv, CAST(i AS INT))").cast("long").alias(
+                "loading_ppm"
+            ),
+            F.round(F.lit(float(share)), 6).alias("eig_share"),
+        )
+    )
+
+
+def embedding_pca_profile_sql(n_iter: int = 3) -> str:
+    """DuckDB twin: same Gram build, the power rounds unrolled with
+    HUGEINT renorm products, same truncating-div grid."""
+    prev, cte = "v0", ""
+    for k in range(1, n_iter + 1):
+        cte += f""", w{k} AS (
+  SELECT c.i, CAST(sum(c.c * v.v) AS BIGINT) AS w
+  FROM cs c JOIN {prev} v ON v.i = c.j
+  GROUP BY c.i
+), v{k} AS (
+  SELECT i,
+         CAST((CASE WHEN w >= 0 THEN 1 ELSE -1 END)
+              * (CAST(abs(w) AS HUGEINT)
+                 // greatest((SELECT max(abs(w)) FROM w{k}) // 1000000, 1))
+              AS BIGINT) AS v
+  FROM w{k}
+)"""
+        prev = f"v{k}"
+    last = n_iter
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), u AS (
+  SELECT vec_id,
+         list_transform(v, x -> x /
+           sqrt(list_reduce(list_transform(v, y -> y * y), (a, b) -> a + b))
+         ) AS unit
+  FROM e
+), iarr AS (
+  SELECT vec_id,
+         list_transform(unit, x -> CAST(round(x * 1000000) AS BIGINT)) AS iu
+  FROM u
+), lg AS (
+  SELECT vec_id, unnest(generate_series(1, len(iu))) AS pos, unnest(iu) AS x
+  FROM iarr
+), params AS (SELECT count(*) AS n FROM iarr),
+m AS (SELECT pos, CAST(sum(x) AS BIGINT) AS m FROM lg GROUP BY pos),
+s AS (
+  SELECT a.pos AS i, b.pos AS j, CAST(sum(a.x * b.x) AS BIGINT) AS s
+  FROM lg a JOIN lg b USING (vec_id) GROUP BY 1, 2
+), cs AS (
+  SELECT s.i, s.j,
+         (s.s * (SELECT n FROM params) - mi.m * mj.m) // 1000000000 AS c
+  FROM s JOIN m mi ON mi.pos = s.i JOIN m mj ON mj.pos = s.j
+), v0 AS (
+  SELECT DISTINCT i, CAST(1000000 AS BIGINT) AS v FROM cs
+){cte},
+ray AS (
+  SELECT (SELECT sum(CAST(p.v AS HUGEINT) * w.w)
+          FROM v{last - 1 if last > 1 else 0} p JOIN w{last} w ON w.i = p.i)
+           AS num,
+         (SELECT sum(CAST(p.v AS HUGEINT) * p.v)
+          FROM v{last - 1 if last > 1 else 0} p) AS den,
+         (SELECT sum(c) FROM cs WHERE i = j) AS tr
+)
+SELECT cs.i AS pos, vf.v AS loading_ppm,
+       round(CASE WHEN ray.den * ray.tr <> 0 THEN
+               CAST(ray.num AS DOUBLE) / CAST(ray.den * ray.tr AS DOUBLE)
+             ELSE 0.0 END, 6) AS eig_share
+FROM cs JOIN v{last} vf ON vf.i = cs.i CROSS JOIN ray
+WHERE cs.i = cs.j
+"""

@@ -4370,6 +4370,10 @@ def _q_tukey_from_store(spark: SparkSession, sf: str) -> DataFrame:
     return jobs.tukey_from_store(spark, sf)
 
 
+def _q_pca_profile(spark: SparkSession, sf: str) -> DataFrame:
+    return clustering.embedding_pca_profile(load_table(spark, sf, "embeddings"))
+
+
 def _q_sentence_rewrite(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.sentence_dedup_rewrite(load_table(spark, sf, "documents"))
 
@@ -6086,6 +6090,13 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "tukey_from_store": (
         _q_tukey_from_store,
         dataquality.VALUE_TUKEY_OUTLIERS_SQL,
+    ),
+    # exact power-iteration PCA (E-11, r11): dominant eigendirection
+    # + eigen-share of the embedding cloud on the integer grid — the
+    # anisotropy probe behind the quantizer-recall matrix
+    "embedding_pca_profile": (
+        _q_pca_profile,
+        clustering.embedding_pca_profile_sql(),
     ),
     # sentence-dedup REWRITE (E-10, r11): materialize the post-pass
     # corpus certificate — kept/dropped, rebuilt length, and the

@@ -495,3 +495,50 @@ def test_rewrite_fully_dropped_doc_survives(spark):
     }
     assert out[2].n_kept == 0 and out[2].n_dropped == 1
     assert out[2].new_n_chars == 0 and out[2].new_fp == 0
+
+
+# ------------------------------------------------------------ PCA ----
+
+
+def test_pca_finds_dominant_axis(spark):
+    """Embeddings concentrated along axis 2 (with small noise on the
+    others): the loading vector must peak on axis 2 at |1e6| and the
+    eigen-share must dominate."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(60):
+        v = [rng.uniform(-0.05, 0.05) for _ in range(4)]
+        v[1] = rng.choice([1.0, -1.0]) * rng.uniform(0.8, 1.2)
+        rows.append((i, [float(x) for x in v], 0))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    from kinesis_dstream_spark.operators import clustering
+
+    out = {r.pos: r for r in clustering.embedding_pca_profile(emb).collect()}
+    assert len(out) == 4
+    loadings = {p: abs(r.loading_ppm) for p, r in out.items()}
+    assert max(loadings, key=loadings.get) == 2  # 1-based axis 2
+    assert loadings[2] == 1_000_000  # renorm pins the peak to the grid
+    share = out[1].eig_share
+    assert all(r.eig_share == share for r in out.values())
+    assert share > 0.9  # essentially 1-D cloud
+
+
+def test_pca_isotropic_share_low(spark):
+    """A spread-out cloud (one-hot corners of 4-space) cannot put most
+    variance on one axis: share ≈ 1/4."""
+    rows = []
+    for i in range(40):
+        v = [0.0] * 4
+        v[i % 4] = 1.0 if (i // 4) % 2 == 0 else -1.0
+        rows.append((i, v, 0))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    from kinesis_dstream_spark.operators import clustering
+
+    out = clustering.embedding_pca_profile(emb).collect()
+    assert 0.0 <= out[0].eig_share <= 0.3
