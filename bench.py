@@ -512,6 +512,7 @@ BENCH_QUERIES = {
     "ab_quantile_effect": "ab_quantile_effect",
     "sentence_rewrite": "sentence_dedup_rewrite",
     "pca_profile": "embedding_pca_profile",
+    "streaming_sentence_dedup": "streaming_sentence_dedup_maintenance",
 }
 
 

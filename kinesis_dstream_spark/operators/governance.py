@@ -222,6 +222,30 @@ def _ensure_gov_stores(spark: SparkSession, sf_dir: str, base: str) -> dict[str,
 
     paths["ivf_sq8_index"] = os.path.join(base, "ivf_sq8")
     sq_det.ivf_sq8_store_ensure(emb, paths["ivf_sq8_index"])
+    # thirteenth store (r11): the A/B experiment's user-grain granules
+    # (streaming_ab_ztest_maintenance) — one (user_id, conv) row per
+    # subject. Smallest store in the set and the most obviously
+    # personal: a row literally asserts whether a named user purchased.
+    events = load_table(spark, sf_dir, "events")
+    ev_fp_row = events.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bit_xor(xxhash64(event_id, value))").alias("h"),
+    ).collect()[0]
+    ev_fp = f"n={ev_fp_row['n']}|h={ev_fp_row['h']}"
+    paths["ab_user_granules"] = os.path.join(base, "ab_user_granules")
+    ab_meta = os.path.join(paths["ab_user_granules"], _GOV_STORE_META)
+    stored = None
+    if os.path.exists(ab_meta):
+        with open(ab_meta) as f:
+            stored = json.load(f).get("fingerprint")
+    if stored != ev_fp:
+        events.groupBy("user_id").agg(
+            F.max((F.col("event_type") == "purchase").cast("int")).alias("conv")
+        ).write.mode("overwrite").parquet(
+            os.path.join(paths["ab_user_granules"], "granules")
+        )
+        with open(ab_meta, "w") as f:
+            json.dump({"fingerprint": ev_fp}, f)
     return paths
 
 
@@ -392,6 +416,10 @@ def erasure_report_full(
     erase_parquet_store(
         spark, setsim_data, req_docs.withColumnRenamed("doc_id", "doc_b"), "doc_b"
     )
+    # thirteenth store: the experiment granules die with the subject —
+    # an A/B readout recomputed after erasure must not count them
+    ab_data = os.path.join(erased_paths["ab_user_granules"], "granules")
+    erase_parquet_store(spark, ab_data, req_users, "user_id")
 
     # logical (in-memory derived) stores: anti-join views, as in the
     # basic report
@@ -443,6 +471,10 @@ def erasure_report_full(
         "setsim_pairs": (
             os.path.join(pristine["setsim_pairs"], "pairs"),
             setsim_data,
+        ),
+        "ab_user_granules": (
+            os.path.join(pristine["ab_user_granules"], "granules"),
+            ab_data,
         ),
     }
     for name, (pre, post) in persisted.items():
@@ -580,6 +612,11 @@ WITH ev AS (
              AS start_tok
     FROM documents
   )
+), ab AS (
+  SELECT count(*) AS before,
+         CAST(sum(CASE WHEN user_id % {_ERASE_MOD} = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS erased
+  FROM (SELECT DISTINCT user_id FROM events)
 ), di AS (
   SELECT 9 * count(*) AS before,
          9 * CAST(sum(CASE WHEN doc_id % {_ERASE_MOD} = 0 THEN 1 ELSE 0 END)
@@ -615,4 +652,8 @@ UNION ALL
 -- twelfth store (r11): the IVF-SQ8 codes table — one code row per
 -- vector, same cardinality law
 SELECT 'ivf_sq8_index', before, erased, before - erased FROM ann
+UNION ALL
+-- thirteenth store (r11): the A/B experiment's user-grain granules —
+-- one row per distinct user
+SELECT 'ab_user_granules', before, erased, before - erased FROM ab
 """

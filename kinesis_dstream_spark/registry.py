@@ -4370,6 +4370,12 @@ def _q_tukey_from_store(spark: SparkSession, sf: str) -> DataFrame:
     return jobs.tukey_from_store(spark, sf)
 
 
+def _q_streaming_sentence_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.streaming import jobs
+
+    return jobs.streaming_sentence_dedup_maintenance(spark, sf)
+
+
 def _q_pca_profile(spark: SparkSession, sf: str) -> DataFrame:
     return clustering.embedding_pca_profile(load_table(spark, sf, "embeddings"))
 
@@ -6090,6 +6096,14 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "tukey_from_store": (
         _q_tukey_from_store,
         dataquality.VALUE_TUKEY_OUTLIERS_SQL,
+    ),
+    # streaming sentence-dedup maintenance (E-9, r11): the SIXTH
+    # hash-certified streaming job — the CCNet keeper rule is a pure
+    # MIN, so (sent, doc) granules merge by (sum, min) and the drain
+    # readout shares the batch oracle bit-for-bit
+    "streaming_sentence_dedup_maintenance": (
+        _q_streaming_sentence_dedup,
+        dedup.SENTENCE_DEDUP_STATS_SQL,
     ),
     # exact power-iteration PCA (E-11, r11): dominant eigendirection
     # + eigen-share of the embedding cloud on the integer grid — the

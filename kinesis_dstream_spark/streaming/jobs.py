@@ -2087,6 +2087,131 @@ def streaming_ab_ztest_maintenance(
     return eventflow.ab_ztest_from_user_conversions(users)
 
 
+def streaming_sentence_dedup_maintenance(
+    spark: SparkSession,
+    sf_dir: str,
+    state_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Streaming maintenance of the sentence-dedup accounting — the
+    SIXTH hash-certified streaming job. The insight that makes the
+    CCNet boilerplate pass incremental: the keeper rule (global
+    (doc_id, pos)-first occurrence) is a pure MIN, so the granule
+    (sent, doc_id, source, n_occ, min_pos, sent_chars) merges by
+    (sum, min) — a batch can arrive in any order, be replayed, or be
+    split arbitrarily and the drained readout is bit-identical to the
+    batch scan (shared SENTENCE_DEDUP_STATS_SQL oracle). Granule grain
+    is (sentence, document) — the corpus compresses to its distinct
+    sentence-placements; no raw text is re-scanned at serve time.
+
+    Readout reconstruction at drain: keeper of a sentence = min
+    (doc_id, min_pos) over its granules; per source —
+    occurrences = Σ n_occ, removable = Σ n_occ − (keepers hosted),
+    removable_chars likewise, docs_affected = docs whose granule mass
+    exceeds its keeper credit. Identical numbers to the window-rank
+    formulation, derived without any per-occurrence state.
+    """
+    from pyspark.sql import Window
+
+    state_dir = state_dir or tempfile.mkdtemp(prefix="kds_sdedup_state_")
+    cur_path = os.path.join(state_dir, "current")
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        segs = batch_df.select(
+            "doc_id",
+            "source",
+            F.filter(
+                F.transform(
+                    F.split(F.col("text"), r"[.!?]+"), lambda t: F.trim(t)
+                ),
+                lambda t: t != "",
+            ).alias("ss"),
+        )
+        occ = segs.select(
+            "doc_id", "source", F.posexplode("ss").alias("pos", "sent")
+        )
+        partials = (
+            occ.groupBy("sent", "doc_id", "source")
+            .agg(
+                F.count(F.lit(1)).alias("n_occ"),
+                F.min("pos").alias("min_pos"),
+                F.max(F.length("sent")).alias("sent_chars"),
+            )
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+        )
+        merged = partials
+        if os.path.exists(cur_path):
+            kept = spark.read.parquet(cur_path).where(
+                F.col("batch_id") != batch_id
+            )
+            merged = kept.unionByName(partials)
+        tmp = os.path.join(state_dir, f"tmp_{batch_id}")
+        merged.write.mode("overwrite").parquet(tmp)
+        swap_dir(tmp, cur_path)
+
+    src = _table_multifile_dir(spark, sf_dir, "documents", n_files=4)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option(
+            "checkpointLocation", checkpoint_dir or os.path.join(state_dir, "chk")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    g = (
+        spark.read.parquet(cur_path)
+        .groupBy("sent", "doc_id", "source")
+        .agg(
+            F.sum("n_occ").alias("n_occ"),
+            F.min("min_pos").alias("min_pos"),
+            F.max("sent_chars").alias("sent_chars"),
+        )
+    )
+    kw = Window.partitionBy("sent").orderBy("doc_id", "min_pos")
+    flagged = g.withColumn("is_keeper", (F.row_number().over(kw) == 1).cast("int"))
+    per_doc = flagged.select(
+        "source",
+        "doc_id",
+        "n_occ",
+        "sent_chars",
+        "is_keeper",
+        (F.col("n_occ") - F.col("is_keeper")).alias("rem_occ"),
+        ((F.col("n_occ") - F.col("is_keeper")) * F.col("sent_chars")).alias(
+            "rem_chars"
+        ),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum("n_occ").alias("n_sentences"),
+            F.sum("rem_occ").alias("removable"),
+            F.sum("rem_chars").alias("removable_chars"),
+            F.countDistinct(
+                F.when(F.col("rem_occ") > 0, F.col("doc_id"))
+            ).alias("docs_affected"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_sentences",
+            "removable",
+            "removable_chars",
+            "docs_affected",
+            F.expr("removable * 1000000 div n_sentences").alias(
+                "removable_ppm"
+            ),
+        )
+    )
+
+
 def streaming_cohort_maintenance(
     spark: SparkSession,
     sf_dir: str,
