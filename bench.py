@@ -513,6 +513,10 @@ BENCH_QUERIES = {
     "sentence_rewrite": "sentence_dedup_rewrite",
     "pca_profile": "embedding_pca_profile",
     "streaming_sentence_dedup": "streaming_sentence_dedup_maintenance",
+    "harmonic_centrality": "harmonic_centrality_near_dup",
+    "theil_decomposition": "value_theil_decomposition",
+    "theil_from_store": "theil_from_store",
+    "dsir_select": "dsir_select_topk",
 }
 
 

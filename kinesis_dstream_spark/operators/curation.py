@@ -1908,3 +1908,49 @@ GROUP BY bk.doc_id, bk.source
 
 
 DSIR_IMPORTANCE_WEIGHTS_SQL = dsir_importance_weights_sql()
+
+
+def dsir_select_topk(
+    documents: DataFrame,
+    target_lang: str = "en",
+    buckets: int = _DSIR_BUCKETS,
+    top_n: int = 100,
+) -> DataFrame:
+    """The ACTIONABLE half of ``dsir_importance_weights``: the ranked
+    top-``top_n`` selection manifest — the document set a curation run
+    would actually pull from the raw pool into the next training mix.
+    DSIR proper samples proportionally to exp(weight); the
+    deterministic engine exhibit takes the top of the ranking (the
+    greedy limit of that sampler), which is also what teams ship when
+    they want reproducible pulls. Ordering is total and
+    engine-portable: (score desc, doc_id asc), where the score is the
+    4dp-rounded fixed-point average both engines compute identically;
+    the global cut is a TakeOrderedAndProject (per-partition local
+    top-n, never a global sort).
+    """
+    scored = dsir_importance_weights(documents, target_lang, buckets)
+    picked = scored.orderBy(
+        F.col("dsir_avg_logratio").desc(), F.col("doc_id").asc()
+    ).limit(top_n)
+    w = Window.orderBy(F.col("dsir_avg_logratio").desc(), F.col("doc_id").asc())
+    return picked.withColumn(
+        "selection_rank", F.row_number().over(w).cast("long")
+    )
+
+
+def dsir_select_topk_sql(
+    target_lang: str = "en", buckets: int = _DSIR_BUCKETS, top_n: int = 100
+) -> str:
+    """Twin: the DSIR score chain + the same total-order cut."""
+    inner = dsir_importance_weights_sql(target_lang, buckets).strip()
+    return f"""
+SELECT doc_id, source, n_tokens, dsir_avg_logratio,
+       CAST(row_number() OVER (ORDER BY dsir_avg_logratio DESC, doc_id ASC)
+            AS BIGINT) AS selection_rank
+FROM ({inner}) scored
+ORDER BY dsir_avg_logratio DESC, doc_id ASC
+LIMIT {top_n}
+"""
+
+
+DSIR_SELECT_TOPK_SQL = dsir_select_topk_sql()

@@ -2016,3 +2016,122 @@ SELECT event_type,
        END AS w1_value_units
 FROM terms GROUP BY event_type
 """
+
+
+_THEIL_SCALE = 1_000_000  # µ-units for the per-value ln terms
+
+
+def theil_from_value_frequency(counts: DataFrame) -> DataFrame:
+    """Theil-T inequality decomposition of ``value`` mass by event
+    type, from the (event_type, iv, c) value-frequency table — the
+    EIGHTH pure function of the percentile granules. Theil is the
+    inequality index that DECOMPOSES exactly: total T = Σ_g s_g·T_g
+    (within) + Σ_g s_g·ln(μ_g/μ) (between), so a dashboard can say
+    how much of the value concentration lives inside types vs between
+    them — the drill-down Gini cannot do (Gini does not decompose
+    additively).
+
+    Per type this reports n, the exact value-mass share (ppm grid),
+    within-type Theil T_g = Σ_v (c·iv/X_g)·ln(iv·N_g/X_g), and the
+    between-group term s_g·ln(μ_g/μ). Determinism: counts/masses are
+    exact int64; each distinct value's ln factor is µ-unit
+    fixed-pointed BEFORE the Σ (the PSI discipline) and the gap-free
+    weighted sum Σ (c·iv)·lnterm runs in decimal(38,0)/HUGEINT (the
+    W1 discipline — c·iv·lnterm can pass int64); single double
+    divisions at display. Requires strictly positive values (checked
+    upstream by the fixture's domain; zero/negative value mass makes
+    every log-based inequality index undefined).
+
+    Plan: grid-grain everything — one (type, iv) aggregate feeds a
+    broadcast totals join; no row-grain work at all when served from
+    the granule store.
+    """
+    g = counts.groupBy("event_type").agg(
+        F.sum("c").alias("n_g"),
+        F.sum(F.col("c") * F.col("iv")).alias("x_g"),
+    )
+    tot = g.agg(F.sum("n_g").alias("n"), F.sum("x_g").alias("x"))
+    joined = counts.join(F.broadcast(g), "event_type").crossJoin(
+        F.broadcast(tot)
+    )
+    lnterm = F.round(
+        F.log(F.col("iv").cast("double") * F.col("n_g") / F.col("x_g"))
+        * _THEIL_SCALE
+    ).cast("long")
+    # iv = 0 rows (values that round to zero mass) contribute exactly
+    # 0 to the weighted log sum — lim x→0 x·ln(x) = 0 — and ln(0)
+    # errors under both engines' range rules, so they are excluded
+    # HERE (their c still counts in n_g: they are real observations
+    # of ~zero value, and the mass weights already ignore them)
+    num = (
+        joined.filter(F.col("iv") > 0)
+        .select(
+            "event_type",
+            (
+                (F.col("c") * F.col("iv")).cast("decimal(38,0)")
+                * lnterm.cast("decimal(38,0)")
+            ).alias("t"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("t").alias("num"))
+    )
+    out = g.crossJoin(F.broadcast(tot)).join(num, "event_type")
+    share = F.col("x_g") / F.col("x")
+    between = share * F.log(
+        F.col("x_g").cast("double")
+        * F.col("n")
+        / (F.col("x").cast("double") * F.col("n_g"))
+    )
+    return out.select(
+        "event_type",
+        F.col("n_g").cast("long").alias("n"),
+        F.expr("x_g * 1000000 div x").cast("long").alias("share_ppm"),
+        F.round(
+            F.col("num").cast("double") / F.col("x_g") / _THEIL_SCALE, 6
+        ).alias("theil_within"),
+        F.round(between, 6).alias("between_term"),
+    )
+
+
+def value_theil_decomposition(events: DataFrame) -> DataFrame:
+    """Scan-path Theil decomposition: value-frequency table from
+    events, then the shared grid arithmetic."""
+    from kinesis_dstream_spark.functions.exact import fixedpoint
+
+    base = events.select(
+        "event_type", fixedpoint(F.col("value"), _PCT_SCALE).alias("iv")
+    )
+    counts = base.groupBy("event_type", "iv").agg(F.count(F.lit(1)).alias("c"))
+    return theil_from_value_frequency(counts)
+
+
+VALUE_THEIL_SQL = f"""
+WITH freq AS (
+  SELECT event_type, CAST(round(value * {_PCT_SCALE}) AS BIGINT) AS iv,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), g AS (
+  SELECT event_type, CAST(sum(c) AS BIGINT) AS n_g,
+         CAST(sum(c * iv) AS BIGINT) AS x_g
+  FROM freq GROUP BY event_type
+), tot AS (
+  SELECT CAST(sum(n_g) AS BIGINT) AS n, CAST(sum(x_g) AS BIGINT) AS x FROM g
+), num AS (
+  SELECT f.event_type,
+         sum(CAST(f.c * f.iv AS HUGEINT)
+             * CAST(CAST(round(ln(CAST(f.iv AS DOUBLE) * g.n_g / g.x_g)
+                                * {_THEIL_SCALE}) AS BIGINT) AS HUGEINT)) AS num
+  FROM freq f JOIN g ON g.event_type = f.event_type
+  WHERE f.iv > 0
+  GROUP BY f.event_type
+)
+SELECT g.event_type,
+       g.n_g AS n,
+       CAST(g.x_g * 1000000 // t.x AS BIGINT) AS share_ppm,
+       round(CAST(num.num AS DOUBLE) / g.x_g / {_THEIL_SCALE}, 6)
+         AS theil_within,
+       round((g.x_g / t.x)
+             * ln(CAST(g.x_g AS DOUBLE) * t.n
+                  / (CAST(t.x AS DOUBLE) * g.n_g)), 6) AS between_term
+FROM g JOIN num ON num.event_type = g.event_type CROSS JOIN tot t
+"""

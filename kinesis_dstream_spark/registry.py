@@ -4370,6 +4370,26 @@ def _q_tukey_from_store(spark: SparkSession, sf: str) -> DataFrame:
     return jobs.tukey_from_store(spark, sf)
 
 
+def _q_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
+    return curation.dsir_select_topk(load_table(spark, sf, "documents"))
+
+
+def _q_theil(spark: SparkSession, sf: str) -> DataFrame:
+    return dataquality.value_theil_decomposition(load_table(spark, sf, "events"))
+
+
+def _q_theil_from_store(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.streaming import jobs
+
+    return jobs.theil_from_store(spark, sf)
+
+
+def _q_harmonic_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    return graph.harmonic_near_dup_graph(
+        load_table(spark, sf, "documents"), pairs=_near_dup_pairs(spark, sf)
+    )
+
+
 def _q_streaming_sentence_dedup(spark: SparkSession, sf: str) -> DataFrame:
     from kinesis_dstream_spark.streaming import jobs
 
@@ -6096,6 +6116,22 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "tukey_from_store": (
         _q_tukey_from_store,
         dataquality.VALUE_TUKEY_OUTLIERS_SQL,
+    ),
+    # DSIR selection manifest (E-12, r11): the ranked top-N pull from
+    # the raw pool — total (score, doc_id) order, TakeOrderedAndProject
+    "dsir_select_topk": (_q_dsir_select, curation.DSIR_SELECT_TOPK_SQL),
+    # Theil-T inequality decomposition (E-17, r11): the additively
+    # decomposable concentration index — within/between event types,
+    # µ-unit ln terms + HUGEINT weighted sums
+    "value_theil_decomposition": (_q_theil, dataquality.VALUE_THEIL_SQL),
+    # granule-store consumer eleven / value-freq consumer EIGHT (r11)
+    "theil_from_store": (_q_theil_from_store, dataquality.VALUE_THEIL_SQL),
+    # truncated harmonic centrality (E-16, r11): the closeness-family
+    # lens that behaves on disconnected graphs — iterated-frontier
+    # distinct joins, exact ×6 integer grid
+    "harmonic_centrality_near_dup": (
+        _q_harmonic_near_dup,
+        graph.harmonic_oracle_sql(_SQL_DEDUP_JACCARD),
     ),
     # streaming sentence-dedup maintenance (E-9, r11): the SIXTH
     # hash-certified streaming job — the CCNet keeper rule is a pure

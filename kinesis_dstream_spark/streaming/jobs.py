@@ -1604,6 +1604,32 @@ def wasserstein_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dataquality.value_wasserstein_drift(load_table(spark, sf_dir, "events"))
 
 
+def theil_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil decomposition SERVED FROM the value-frequency granule
+    store when fresh — the EIGHTH consumer of the percentile granules
+    (the decomposition is a pure function of (event_type, iv, count)).
+    Freshness gate and fallback identical to the siblings; oracle =
+    the shared VALUE_THEIL_SQL."""
+    from kinesis_dstream_spark.operators import dataquality
+    from kinesis_dstream_spark.tables import load_table
+
+    state_dir = _percentile_store_dir(sf_dir)
+    cur_path = os.path.join(state_dir, "current")
+    meta = os.path.join(state_dir, "_meta.json")
+    if os.path.exists(cur_path) and _stored_fingerprint(
+        meta
+    ) == _events_fingerprint(spark, sf_dir):
+        freq = (
+            spark.read.parquet(cur_path)
+            .groupBy("event_type", "iv")
+            .agg(F.sum("c").alias("c"))
+        )
+        return dataquality.theil_from_value_frequency(freq)
+    return dataquality.value_theil_decomposition(
+        load_table(spark, sf_dir, "events")
+    )
+
+
 def _dailyc_store_dir(sf_dir: str) -> str:
     """Fixed per-sf daily-granule store location. ``v2``: the granule
     schema widened in r9 from (type, d, c) to the value-moment form

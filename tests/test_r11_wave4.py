@@ -542,3 +542,82 @@ def test_pca_isotropic_share_low(spark):
 
     out = clustering.embedding_pca_profile(emb).collect()
     assert 0.0 <= out[0].eig_share <= 0.3
+
+
+# ------------------------------------------------- harmonic / Theil --
+
+
+def test_harmonic_path_graph_exact(spark):
+    """Path 0—1—2—3 (symmetrized): hand-computable truncated harmonic
+    values — node 1 sees {0,2} at d=1, {3} at d=2 → 6·2+3·1 = 15."""
+    e = [(0, 1), (1, 2), (2, 3)]
+    edges = spark.createDataFrame(
+        e + [(b, a) for a, b in e], "src long, dst long"
+    )
+    out = {r.node: r for r in graph.truncated_harmonic_centrality(edges).collect()}
+    assert out[0].n1 == 1 and out[0].n2 == 1 and out[0].n3 == 1
+    assert out[0].harmonic6 == 6 + 3 + 2
+    assert out[1].harmonic6 == 12 + 3
+    assert out[1].harmonic == round(15 / 6, 4)
+
+
+def test_harmonic_disconnected_ok(spark):
+    """Two disjoint edges: unreachable nodes contribute nothing and
+    nothing breaks (the reason harmonic beats closeness here)."""
+    e = [(0, 1), (2, 3)]
+    edges = spark.createDataFrame(
+        e + [(b, a) for a, b in e], "src long, dst long"
+    )
+    out = {r.node: r.harmonic6 for r in graph.truncated_harmonic_centrality(edges).collect()}
+    assert out == {0: 6, 1: 6, 2: 6, 3: 6}
+
+
+def test_theil_decomposition_identity(spark):
+    """Total Theil must equal Σ s_g·T_g + Σ between_g (the defining
+    additive identity), verified against a direct numpy computation on
+    constructed data."""
+    import numpy as np
+
+    rows, eid = [], 0
+    vals = {"a": [1.0, 1.0, 4.0], "b": [2.0, 8.0]}
+    for t, vs in vals.items():
+        for v in vs:
+            rows.append((eid, eid, t, v)); eid += 1
+    out = {r.event_type: r for r in
+           dataquality.value_theil_decomposition(_events(spark, rows)).collect()}
+    x = np.array([v for vs in vals.values() for v in vs])
+    mu = x.mean()
+    t_total = float(np.mean(x / mu * np.log(x / mu)))
+    recomposed = sum(
+        (r.share_ppm / 1e6) * r.theil_within + r.between_term
+        for r in out.values()
+    )
+    assert abs(recomposed - t_total) < 1e-3
+    # per-group within check for 'b': {2, 8}
+    xb = np.array(vals["b"]); mub = xb.mean()
+    tb = float(np.mean(xb / mub * np.log(xb / mub)))
+    assert abs(out["b"].theil_within - tb) < 1e-4
+
+
+def test_theil_equal_values_zero(spark):
+    """A type whose values are all equal has zero within-inequality."""
+    rows = [(i, i, "a", 5.0) for i in range(4)] + [(10, 10, "b", 9.0)]
+    out = {r.event_type: r.theil_within for r in
+           dataquality.value_theil_decomposition(_events(spark, rows)).collect()}
+    assert out["a"] == 0.0 and out["b"] == 0.0
+
+
+def test_dsir_select_is_ranked_prefix(spark, sf_dir):
+    """The manifest is exactly the top of the weights ranking with a
+    contiguous 1..N rank column."""
+    from kinesis_dstream_spark.operators import curation
+    from kinesis_dstream_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    manifest = curation.dsir_select_topk(docs, top_n=20).collect()
+    assert [r.selection_rank for r in manifest] == list(range(1, 21))
+    scores = [r.dsir_avg_logratio for r in manifest]
+    assert scores == sorted(scores, reverse=True)
+    full = curation.dsir_importance_weights(docs).collect()
+    best = sorted(full, key=lambda r: (-r.dsir_avg_logratio, r.doc_id))[:20]
+    assert [r.doc_id for r in manifest] == [r.doc_id for r in best]
