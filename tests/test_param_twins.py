@@ -211,3 +211,78 @@ def test_ann_recall_report_nondefault_probe(spark, duck, sf_dir):
     }
     for r in wide.collect():
         assert r["recall_ppm"] >= narrow[r["q_id"]]
+
+
+def test_msprt_nondefault_tau(spark, duck, sf_dir):
+    from kinesis_dstream_spark.operators import eventflow as ef
+
+    events = load_table(spark, sf_dir, "events")
+    _match(
+        ef.ab_msprt_always_valid(events, tau=0.01),
+        duck,
+        ef.ab_msprt_sql(tau=0.01),
+        "msprt_tau_0.01",
+    )
+
+
+def test_msprt_default_constant_matches_generator():
+    from kinesis_dstream_spark.operators import eventflow as ef
+
+    assert ef.AB_MSPRT_SQL == ef.ab_msprt_sql()
+
+
+def test_dsir_nondefault_params(spark, duck, sf_dir):
+    from kinesis_dstream_spark.operators import curation
+
+    docs = load_table(spark, sf_dir, "documents")
+    _match(
+        curation.dsir_importance_weights(docs, target_lang="fr", buckets=64),
+        duck,
+        curation.dsir_importance_weights_sql(target_lang="fr", buckets=64),
+        "dsir_fr_64",
+    )
+
+
+def test_dsir_default_constant_matches_generator():
+    from kinesis_dstream_spark.operators import curation
+
+    assert (
+        curation.DSIR_IMPORTANCE_WEIGHTS_SQL
+        == curation.dsir_importance_weights_sql()
+    )
+
+
+def test_pmi_nondefault_params(spark, duck, sf_dir):
+    from kinesis_dstream_spark.operators import text as text_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    _match(
+        text_ops.token_pmi_collocations(docs, min_count=3, top_k=20),
+        duck,
+        text_ops.token_pmi_collocations_sql(min_count=3, top_k=20),
+        "pmi_3_20",
+    )
+
+
+def test_ndcg_nondefault_params(spark, duck, sf_dir):
+    from kinesis_dstream_spark.operators import clustering
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _match(
+        clustering.ann_ndcg_report(emb, n_queries=6, topk=4, n_probe=3),
+        duck,
+        clustering.ann_ndcg_report_sql(n_queries=6, topk=4, n_probe=3),
+        "ndcg_6_4_3",
+    )
+
+
+def test_dsir_select_nondefault_topn(spark, duck, sf_dir):
+    from kinesis_dstream_spark.operators import curation
+
+    docs = load_table(spark, sf_dir, "documents")
+    _match(
+        curation.dsir_select_topk(docs, top_n=17),
+        duck,
+        curation.dsir_select_topk_sql(top_n=17),
+        "dsir_select_17",
+    )
