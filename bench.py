@@ -517,6 +517,7 @@ BENCH_QUERIES = {
     "theil_decomposition": "value_theil_decomposition",
     "theil_from_store": "theil_from_store",
     "dsir_select": "dsir_select_topk",
+    "wav_vad": "wav_vad_stats",
 }
 
 

@@ -4370,6 +4370,10 @@ def _q_tukey_from_store(spark: SparkSession, sf: str) -> DataFrame:
     return jobs.tukey_from_store(spark, sf)
 
 
+def _q_wav_vad(spark: SparkSession, sf: str) -> DataFrame:
+    return multimodal.wav_vad_stats(load_table(spark, sf, "documents"))
+
+
 def _q_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
     return curation.dsir_select_topk(load_table(spark, sf, "documents"))
 
@@ -6117,6 +6121,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _q_tukey_from_store,
         dataquality.VALUE_TUKEY_OUTLIERS_SQL,
     ),
+    # energy-VAD segmentation (E-13, r11): real frame-energy voice
+    # activity over decoded PCM — silence/speech structure a speech
+    # curation pass gates on; analytic oracle from the synth layout
+    "wav_vad_stats": (_q_wav_vad, multimodal.WAV_VAD_STATS_SQL),
     # DSIR selection manifest (E-12, r11): the ranked top-N pull from
     # the raw pool — total (score, doc_id) order, TakeOrderedAndProject
     "dsir_select_topk": (_q_dsir_select, curation.DSIR_SELECT_TOPK_SQL),

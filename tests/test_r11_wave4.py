@@ -621,3 +621,32 @@ def test_dsir_select_is_ranked_prefix(spark, sf_dir):
     full = curation.dsir_importance_weights(docs).collect()
     best = sorted(full, key=lambda r: (-r.dsir_avg_logratio, r.doc_id))[:20]
     assert [r.doc_id for r in manifest] == [r.doc_id for r in best]
+
+
+# ------------------------------------------------------------ VAD ----
+
+
+def test_vad_structure_on_constructed_clip(spark):
+    """doc_id 0: lead 80 (1 frame), speech 320 (4 frames), tail 160
+    (2 frames) → 7 frames, 4 voiced, longest runs 4 and 2."""
+    from kinesis_dstream_spark.operators import multimodal
+
+    docs = spark.createDataFrame([(0, "s", "x", 1)],
+        "doc_id long, source string, text string, n_chars long")
+    out = multimodal.wav_vad_stats(docs).collect()[0]
+    assert (out.n_frames, out.voiced_frames) == (7, 4)
+    assert out.longest_voiced_run == 4 and out.longest_silence_run == 2
+    assert out.speech_ms == 40.0
+
+
+def test_vad_threshold_separates_silence(spark):
+    """A malformed payload quarantines to nulls instead of failing the
+    batch; a genuine clip never reports zero frames."""
+    from kinesis_dstream_spark.operators import multimodal
+    import pandas as pd
+
+    bad = spark.createDataFrame(
+        pd.DataFrame({"media_id": [1], "payload": [b"not a wav"]})
+    )
+    out = multimodal.vad_segment_batch(bad).collect()[0]
+    assert out.n_frames is None and out.voiced_ppm is None
