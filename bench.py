@@ -518,6 +518,7 @@ BENCH_QUERIES = {
     "theil_from_store": "theil_from_store",
     "dsir_select": "dsir_select_topk",
     "wav_vad": "wav_vad_stats",
+    "twap_daily": "value_twap_daily",
 }
 
 

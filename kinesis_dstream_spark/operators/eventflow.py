@@ -4012,3 +4012,88 @@ SELECT CAST(max(CASE WHEN in_a = 1 THEN n END) AS BIGINT) AS n_a,
          AS median_diff
 FROM med
 """
+
+
+def value_twap_daily(events: DataFrame) -> DataFrame:
+    """Time-weighted average value (TWAP) per (event_type, day) — the
+    monitoring/finance aggregate that fixes the plain mean's sampling
+    bias: events arrive irregularly, and a burst of cheap readings
+    should not drag the day's average the way arrival-weighted mean
+    lets it. Each observation is weighted by the time it was "in
+    force" (until the next event of its type that day; the last one
+    holds until midnight).
+
+    Exactness: timestamps in µs and values on the 100× grid are
+    int64; per-term products value_fp·Δt_µs are ≤ ~5·10¹⁵ and the
+    per-(type, day) sums are bounded by the day length (Σ Δt ≤
+    8.64·10¹⁰ µs), so everything stays int64 with room for three
+    more orders of magnitude of value scale; ONE display division.
+    The plain mean rides along for the contrast column.
+
+    Plan: one (type, day)-keyed window (lead over event time — the
+    partition is a single type-day, bounded), then one aggregate on
+    the same key. At 100 TB both hash on the same composite key and
+    the exchange is reused (no second shuffle).
+    """
+    from kinesis_dstream_spark.functions.exact import fixedpoint
+
+    base = events.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        # fixture ts is TIMESTAMP_NTZ; the session runs UTC so the
+        # cast is value-preserving and matches DuckDB's naive epoch_us
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        "event_id",
+        fixedpoint(F.col("value"), 100).alias("iv"),
+    )
+    w = Window.partitionBy("event_type", "day").orderBy("t_us", "event_id")
+    day_end = F.unix_micros(
+        F.date_add(F.col("day"), 1).cast("timestamp")
+    )
+    spans = base.withColumn(
+        "dt",
+        F.coalesce(F.lead("t_us").over(w), day_end) - F.col("t_us"),
+    )
+    return (
+        spans.groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("iv") * F.col("dt")).alias("wsum"),
+            F.sum("dt").alias("tsum"),
+            F.sum("iv").alias("vsum"),
+        )
+        .select(
+            "event_type",
+            F.col("day").cast("string").alias("day"),
+            F.col("n").cast("long").alias("n"),
+            # 6dp display: plain_mean lives on the 1/(n·100) grid whose
+            # points can sit EXACTLY on 4dp half-boundaries (hit at
+            # sf0.001: 30703/8/100 = 38.37875 → HALF_UP vs
+            # double-round disagree); no 1/(n·100) point reaches a
+            # 7-decimal half-boundary, so 6dp is engine-stable
+            F.round(F.col("wsum") / F.col("tsum") / 100.0, 6).alias("twap"),
+            F.round(F.col("vsum") / F.col("n") / 100.0, 6).alias("plain_mean"),
+        )
+    )
+
+
+VALUE_TWAP_DAILY_SQL = """
+WITH base AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, epoch_us(ts) AS t_us,
+         event_id, CAST(round(value * 100) AS BIGINT) AS iv
+  FROM events
+), spans AS (
+  SELECT event_type, day, iv,
+         coalesce(lead(t_us) OVER (PARTITION BY event_type, day
+                                   ORDER BY t_us, event_id),
+                  epoch_us(CAST(day + INTERVAL 1 DAY AS TIMESTAMP)))
+           - t_us AS dt
+  FROM base
+)
+SELECT event_type, CAST(day AS VARCHAR) AS day,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(iv * dt) AS BIGINT)
+             / CAST(sum(dt) AS BIGINT) / 100.0, 6) AS twap,
+       round(CAST(sum(iv) AS BIGINT) / count(*) / 100.0, 6) AS plain_mean
+FROM spans GROUP BY event_type, day
+"""

@@ -4370,6 +4370,10 @@ def _q_tukey_from_store(spark: SparkSession, sf: str) -> DataFrame:
     return jobs.tukey_from_store(spark, sf)
 
 
+def _q_twap(spark: SparkSession, sf: str) -> DataFrame:
+    return eventflow.value_twap_daily(load_table(spark, sf, "events"))
+
+
 def _q_wav_vad(spark: SparkSession, sf: str) -> DataFrame:
     return multimodal.wav_vad_stats(load_table(spark, sf, "documents"))
 
@@ -6121,6 +6125,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _q_tukey_from_store,
         dataquality.VALUE_TUKEY_OUTLIERS_SQL,
     ),
+    # time-weighted average value (E-15, r11): the sampling-bias-free
+    # daily aggregate — exact µs interval weights, one reused exchange
+    "value_twap_daily": (_q_twap, eventflow.VALUE_TWAP_DAILY_SQL),
     # energy-VAD segmentation (E-13, r11): real frame-energy voice
     # activity over decoded PCM — silence/speech structure a speech
     # curation pass gates on; analytic oracle from the synth layout

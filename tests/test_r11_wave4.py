@@ -650,3 +650,30 @@ def test_vad_threshold_separates_silence(spark):
     )
     out = multimodal.vad_segment_batch(bad).collect()[0]
     assert out.n_frames is None and out.voiced_ppm is None
+
+
+# ----------------------------------------------------------- TWAP ----
+
+
+def test_twap_weights_by_duration(spark):
+    """One event holds value 10 for 3/4 of its observed span, value
+    100 for 1/4: TWAP must land at the duration-weighted 32.5 while
+    the plain mean says 55."""
+    rows = [
+        (0, 0, "a", 10.0, "2024-01-01 00:00:00"),
+        (1, 1, "a", 100.0, "2024-01-01 18:00:00"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, value double, ts_s string",
+    ).select(
+        "event_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        F.lit("{}").alias("props"),
+    )
+    out = eventflow.value_twap_daily(ev).collect()[0]
+    assert out.twap == 32.5
+    assert out.plain_mean == 55.0
