@@ -519,6 +519,7 @@ BENCH_QUERIES = {
     "dsir_select": "dsir_select_topk",
     "wav_vad": "wav_vad_stats",
     "twap_daily": "value_twap_daily",
+    "streaming_pmi": "streaming_pmi_maintenance",
 }
 
 

@@ -4370,6 +4370,12 @@ def _q_tukey_from_store(spark: SparkSession, sf: str) -> DataFrame:
     return jobs.tukey_from_store(spark, sf)
 
 
+def _q_streaming_pmi(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.streaming import jobs
+
+    return jobs.streaming_pmi_maintenance(spark, sf)
+
+
 def _q_twap(spark: SparkSession, sf: str) -> DataFrame:
     return eventflow.value_twap_daily(load_table(spark, sf, "events"))
 
@@ -6124,6 +6130,13 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "tukey_from_store": (
         _q_tukey_from_store,
         dataquality.VALUE_TUKEY_OUTLIERS_SQL,
+    ),
+    # streaming PMI maintenance (E-9, r11): the SEVENTH hash-certified
+    # streaming job — every PMI sufficient statistic is a mergeable
+    # sum, so the phrase vocabulary maintains over a document feed
+    "streaming_pmi_maintenance": (
+        _q_streaming_pmi,
+        text.TOKEN_PMI_COLLOCATIONS_SQL,
     ),
     # time-weighted average value (E-15, r11): the sampling-bias-free
     # daily aggregate — exact µs interval weights, one reused exchange

@@ -2238,6 +2238,131 @@ def streaming_sentence_dedup_maintenance(
     )
 
 
+def streaming_pmi_maintenance(
+    spark: SparkSession,
+    sf_dir: str,
+    state_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Streaming maintenance of the PMI collocation tables — the
+    SEVENTH hash-certified streaming job: phrase vocabularies in
+    production are maintained over a document FEED, not refit from
+    scratch, and every sufficient statistic of the PMI ranking is a
+    mergeable SUM — unigram counts, adjacent-bigram counts, and the
+    two totals all add across batches (documents never split across
+    micro-batches, so no bigram straddles a boundary). Per-batch
+    partials take the batch-id-keyed idempotent upsert; the drained
+    readout re-runs the exact top-k arithmetic over the merged counts
+    and shares TOKEN_PMI_COLLOCATIONS_SQL bit-for-bit.
+
+    Granule grain: (w1, w2) bigram counts + (w) unigram counts — the
+    corpus compresses to its distinct-adjacency table; the raw text
+    is touched once per arriving batch, never again.
+    """
+    from kinesis_dstream_spark.functions.textfns import tokens
+    from kinesis_dstream_spark.operators.text import _PMI_SCALE
+    from pyspark.sql import Window
+
+    state_dir = state_dir or tempfile.mkdtemp(prefix="kds_pmi_state_")
+    uni_path = os.path.join(state_dir, "uni")
+    big_path = os.path.join(state_dir, "big")
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        toks = batch_df.select("doc_id", tokens(F.col("text")).alias("t"))
+        words = toks.select("doc_id", F.posexplode("t").alias("pos", "w"))
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        big = (
+            words.withColumn("w2", F.lead("w").over(w))
+            .filter(F.col("w2").isNotNull())
+            .select(F.col("w").alias("w1"), "w2")
+        )
+        uni_part = (
+            words.groupBy("w")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+        )
+        big_part = (
+            big.groupBy("w1", "w2")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+        )
+        for path, part in ((uni_path, uni_part), (big_path, big_part)):
+            merged = part
+            if os.path.exists(path):
+                kept = spark.read.parquet(path).where(
+                    F.col("batch_id") != batch_id
+                )
+                merged = kept.unionByName(part)
+            tmp = os.path.join(state_dir, f"tmp_{os.path.basename(path)}_{batch_id}")
+            merged.write.mode("overwrite").parquet(tmp)
+            swap_dir(tmp, path)
+
+    src = _table_multifile_dir(spark, sf_dir, "documents", n_files=4)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option(
+            "checkpointLocation", checkpoint_dir or os.path.join(state_dir, "chk")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    min_count, top_k = 5, 50
+    uni = (
+        spark.read.parquet(uni_path).groupBy("w").agg(F.sum("c").alias("c"))
+    )
+    pair = (
+        spark.read.parquet(big_path)
+        .groupBy("w1", "w2")
+        .agg(F.sum("c").alias("c_xy"))
+        .filter(F.col("c_xy") >= min_count)
+    )
+    n_uni = uni.agg(F.sum("c")).collect()[0][0]
+    n_big = (
+        spark.read.parquet(big_path).agg(F.sum("c")).collect()[0][0]
+    )
+    joined = (
+        pair.join(
+            F.broadcast(
+                uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x"))
+            ),
+            "w1",
+        )
+        .join(
+            F.broadcast(
+                uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y"))
+            ),
+            "w2",
+        )
+    )
+    pmi_fp = F.round(
+        F.log(
+            (F.col("c_xy") * F.lit(float(n_uni)) * F.lit(float(n_uni)))
+            / (F.lit(float(n_big)) * F.col("c_x") * F.col("c_y"))
+        )
+        * _PMI_SCALE
+    ).cast("long")
+    return (
+        joined.select("w1", "w2", "c_xy", "c_x", "c_y", pmi_fp.alias("pmi_fp"))
+        .orderBy(F.col("pmi_fp").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(top_k)
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            "c_x",
+            "c_y",
+            F.round(F.col("pmi_fp") / _PMI_SCALE, 6).alias("pmi"),
+        )
+    )
+
+
 def streaming_cohort_maintenance(
     spark: SparkSession,
     sf_dir: str,

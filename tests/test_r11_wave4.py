@@ -677,3 +677,21 @@ def test_twap_weights_by_duration(spark):
     out = eventflow.value_twap_daily(ev).collect()[0]
     assert out.twap == 32.5
     assert out.plain_mean == 55.0
+
+
+def test_streaming_pmi_matches_batch(spark, sf_dir):
+    """The streamed bigram/unigram granules must reproduce the batch
+    PMI top-k EXACTLY (same oracle — the seventh certified job)."""
+    import tempfile
+
+    from kinesis_dstream_spark.operators import text as text_ops
+    from kinesis_dstream_spark.streaming import jobs
+    from kinesis_dstream_spark.tables import load_table
+
+    batch = text_ops.token_pmi_collocations(
+        load_table(spark, sf_dir, "documents")
+    ).collect()
+    streamed = jobs.streaming_pmi_maintenance(
+        spark, sf_dir, state_dir=tempfile.mkdtemp(prefix="kds_pmi_t_")
+    ).collect()
+    assert [tuple(r) for r in batch] == [tuple(r) for r in streamed]
