@@ -520,6 +520,7 @@ BENCH_QUERIES = {
     "wav_vad": "wav_vad_stats",
     "twap_daily": "value_twap_daily",
     "streaming_pmi": "streaming_pmi_maintenance",
+    "bmp_sharpness": "bmp_sharpness_stats",
 }
 
 

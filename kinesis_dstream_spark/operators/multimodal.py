@@ -1347,3 +1347,158 @@ SELECT doc_id AS media_id,
          AS speech_ms
 FROM documents
 """
+
+
+def synth_bmp_texture_table(documents: DataFrame) -> DataFrame:
+    """(media_id, payload): REAL 24bpp BMPs with a doc-dependent
+    pseudo-texture on the R channel — ``R(x, y) = 255 iff
+    (x·y + x + y + doc_id) % 5 < 2`` — instead of the plain
+    checkerboard (whose gradient statistics are CONSTANT for every
+    image and would make a sharpness oracle vacuous). B/G stay the
+    flat channels. Every pixel is still a closed-form function of
+    (doc_id, x, y), so the oracle can re-derive the full gradient
+    field without touching a decoder — while the Spark side must
+    genuinely walk the decoded rows to reproduce it.
+    """
+    import struct
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 8 + d % 8, 8 + d % 5
+                b, g = d % 256, 128
+                row_pad = (-(w * 3)) % 4
+                rows = []
+                for y in range(h - 1, -1, -1):  # bottom-up
+                    row = bytearray()
+                    for x in range(w):
+                        r = 255 if (x * y + x + y + d) % 5 < 2 else 0
+                        row += bytes((b, g, r))
+                    rows.append(bytes(row) + b"\x00" * row_pad)
+                pixels = b"".join(rows)
+                header = struct.pack(
+                    "<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54
+                ) + struct.pack(
+                    "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+                )
+                payloads.append(header + pixels)
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        synth, "media_id long, payload binary"
+    )
+
+
+BMP_SHARPNESS_SCHEMA = (
+    "media_id long, n_pairs long, grad_sum long, edge_pairs long, "
+    "mean_grad double, edge_density_ppm long"
+)
+
+
+def bmp_sharpness_batch(media: DataFrame) -> DataFrame:
+    """REAL image sharpness: decode the BMP pixel grid and measure
+    first-difference gradient energy on the R channel — horizontal and
+    vertical |ΔR| sums, edge-pair counts, and mean gradient — the
+    blur/quality screen an image-curation pass runs before training
+    (blurry/flat images score near 0, textured ones high). The kernel
+    is the genuine 2-D neighbor walk over decoded rows (numpy diff on
+    both axes); only the codec zoo is narrower than production.
+    Malformed payloads quarantine to null rows.
+    """
+    import struct
+
+    import numpy as np
+
+    def sharp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    p = bytes(payload)
+                    magic, _, _, _, offset = struct.unpack_from("<2sIHHI", p, 0)
+                    if magic != b"BM":
+                        raise ValueError("not a BMP")
+                    (hsz, w, h, planes, bpp) = struct.unpack_from("<IiiHH", p, 14)
+                    if bpp != 24 or planes != 1 or w <= 0 or h == 0:
+                        raise ValueError("unsupported BMP variant")
+                    stride = (w * 3 + 3) // 4 * 4
+                    nrows = abs(h)
+                    px = np.frombuffer(
+                        p, dtype=np.uint8, count=stride * nrows, offset=offset
+                    ).reshape(nrows, stride)[:, : w * 3].reshape(nrows, w, 3)
+                    r = px[::-1, :, 2].astype(np.int64)  # top-down R plane
+                    hd = np.abs(np.diff(r, axis=1))
+                    vd = np.abs(np.diff(r, axis=0))
+                    n_pairs = hd.size + vd.size
+                    grad_sum = int(hd.sum() + vd.sum())
+                    edge_pairs = int((hd > 0).sum() + (vd > 0).sum())
+                    rows.append(
+                        (
+                            int(mid),
+                            n_pairs,
+                            grad_sum,
+                            edge_pairs,
+                            round(grad_sum / n_pairs, 6) if n_pairs else 0.0,
+                            edge_pairs * 1_000_000 // n_pairs if n_pairs else 0,
+                        )
+                    )
+                except Exception:
+                    rows.append((int(mid), None, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "n_pairs",
+                    "grad_sum",
+                    "edge_pairs",
+                    "mean_grad",
+                    "edge_density_ppm",
+                ],
+            )
+
+    return media.mapInPandas(sharp, BMP_SHARPNESS_SCHEMA)
+
+
+def bmp_sharpness_stats(documents: DataFrame) -> DataFrame:
+    """Synthesize textured BMPs, decode, measure gradient energy —
+    one fused mapInPandas chain, no shuffle. 6dp display (gradient
+    means on small 1/n_pairs grids never reach a 7-decimal half
+    boundary — the TWAP rule)."""
+    return bmp_sharpness_batch(synth_bmp_texture_table(documents))
+
+
+BMP_SHARPNESS_SQL = """
+WITH dims AS (
+  SELECT doc_id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h FROM documents
+), grid AS (
+  SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM dims
+), px AS (
+  SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM grid
+), vals AS (
+  SELECT doc_id, w, h, x, y,
+         CASE WHEN (x * y + x + y + doc_id) % 5 < 2 THEN 255 ELSE 0 END AS v
+  FROM px
+), hd AS (
+  SELECT a.doc_id, abs(a.v - b.v) AS d
+  FROM vals a JOIN vals b
+    ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+), vd AS (
+  SELECT a.doc_id, abs(a.v - b.v) AS d
+  FROM vals a JOIN vals b
+    ON b.doc_id = a.doc_id AND b.x = a.x AND b.y = a.y + 1
+), alld AS (
+  SELECT doc_id, d FROM hd UNION ALL SELECT doc_id, d FROM vd
+)
+SELECT doc_id AS media_id,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(d) AS BIGINT) AS grad_sum,
+       CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS edge_pairs,
+       round(CAST(sum(d) AS BIGINT) / count(*), 6) AS mean_grad,
+       CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) * 1000000 // count(*)
+            AS BIGINT) AS edge_density_ppm
+FROM alld GROUP BY doc_id
+"""

@@ -4370,6 +4370,10 @@ def _q_tukey_from_store(spark: SparkSession, sf: str) -> DataFrame:
     return jobs.tukey_from_store(spark, sf)
 
 
+def _q_bmp_sharpness(spark: SparkSession, sf: str) -> DataFrame:
+    return multimodal.bmp_sharpness_stats(load_table(spark, sf, "documents"))
+
+
 def _q_streaming_pmi(spark: SparkSession, sf: str) -> DataFrame:
     from kinesis_dstream_spark.streaming import jobs
 
@@ -6131,6 +6135,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _q_tukey_from_store,
         dataquality.VALUE_TUKEY_OUTLIERS_SQL,
     ),
+    # BMP gradient-energy sharpness (E-13, r11): the blur/quality
+    # screen over REAL decoded pixel grids — textured synth makes the
+    # analytic oracle non-vacuous (checkerboard gradients are constant)
+    "bmp_sharpness_stats": (_q_bmp_sharpness, multimodal.BMP_SHARPNESS_SQL),
     # streaming PMI maintenance (E-9, r11): the SEVENTH hash-certified
     # streaming job — every PMI sufficient statistic is a mergeable
     # sum, so the phrase vocabulary maintains over a document feed

@@ -695,3 +695,43 @@ def test_streaming_pmi_matches_batch(spark, sf_dir):
         spark, sf_dir, state_dir=tempfile.mkdtemp(prefix="kds_pmi_t_")
     ).collect()
     assert [tuple(r) for r in batch] == [tuple(r) for r in streamed]
+
+
+def test_bmp_sharpness_flat_image_zero(spark):
+    """A flat (single-color) REAL BMP must read zero gradient — the
+    blur-screen floor — exercised through the decode path by feeding
+    the plain synth's constant-channel payloads after zeroing R via a
+    doc_id chosen so the texture rule fills (no 255 cells is
+    impossible for the texture synth, so build a flat BMP directly)."""
+    import struct
+
+    import pandas as pd
+
+    from kinesis_dstream_spark.operators import multimodal
+
+    w = h = 8
+    row = bytes(b"\x40\x40\x40" * w)
+    pixels = row * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+    )
+    media = spark.createDataFrame(
+        pd.DataFrame({"media_id": [7], "payload": [header + pixels]})
+    )
+    out = multimodal.bmp_sharpness_batch(media).collect()[0]
+    assert out.grad_sum == 0 and out.edge_pairs == 0
+    assert out.mean_grad == 0.0 and out.edge_density_ppm == 0
+    assert out.n_pairs == 2 * h * (w - 1)
+
+
+def test_bmp_sharpness_textured_nonconstant(spark):
+    """Across doc_ids the texture synth must produce NON-constant
+    sharpness (the reason the checkerboard was replaced)."""
+    from kinesis_dstream_spark.operators import multimodal
+
+    docs = spark.createDataFrame(
+        [(i, "s", "x", 1) for i in range(12)],
+        "doc_id long, source string, text string, n_chars long",
+    )
+    out = multimodal.bmp_sharpness_stats(docs).collect()
+    assert len({r.mean_grad for r in out}) > 3
