@@ -521,6 +521,9 @@ BENCH_QUERIES = {
     "twap_daily": "value_twap_daily",
     "streaming_pmi": "streaming_pmi_maintenance",
     "bmp_sharpness": "bmp_sharpness_stats",
+    "w1_temporal": "value_wasserstein_temporal",
+    "ab_srm": "ab_srm_check",
+    "experiment_readout": "experiment_readout_report",
 }
 
 

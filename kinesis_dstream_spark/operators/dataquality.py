@@ -2135,3 +2135,138 @@ SELECT g.event_type,
                   / (CAST(t.x AS DOUBLE) * g.n_g)), 6) AS between_term
 FROM g JOIN num ON num.event_type = g.event_type CROSS JOIN tot t
 """
+
+
+def value_wasserstein_temporal(events: DataFrame) -> DataFrame:
+    """Wasserstein-1 distance between each event type's EARLY-half and
+    LATE-half value distributions (midpoint-day split — the
+    ``value_psi_temporal`` convention): the temporal companion to the
+    type-vs-rest W1, so the drift dashboard reads PSI (binned,
+    log-scored) and W1 (exact mass-transport) over the SAME split and
+    disagreements are attributable to the statistic, not the slicing.
+
+    Same exactness discipline as ``wasserstein_from_value_frequency``:
+    cross-multiplied CDF gaps in int64, decimal(38,0)/HUGEINT
+    gap-weighted sums, one int→double display division. Types with an
+    empty side emit NULL explicitly.
+
+    Plan: ONE row-grain shuffle (the (type, side, iv) count carrying
+    both side counts in one aggregate); the grid windows and totals
+    joins are grid-bounded.
+    """
+    from pyspark.sql import Window
+
+    from kinesis_dstream_spark.functions.exact import fixedpoint
+
+    base = events.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        fixedpoint(F.col("value"), _PCT_SCALE).alias("iv"),
+    )
+    bounds = base.agg(
+        F.min("day").alias("min_day"), F.max("day").alias("max_day")
+    ).select(
+        F.expr("date_add(min_day, CAST(datediff(max_day, min_day) DIV 2 AS INT))")
+        .alias("mid_day")
+    )
+    counts = (
+        base.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            "iv",
+            (F.col("day") <= F.col("mid_day")).cast("long").alias("is_base"),
+        )
+        .groupBy("event_type", "iv")
+        .agg(
+            F.sum("is_base").alias("c1"),
+            F.sum(1 - F.col("is_base")).alias("c2"),
+        )
+    )
+    totals = counts.groupBy("event_type").agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    grid_w = Window.partitionBy("event_type").orderBy("iv")
+    cum_w = grid_w.rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.select(
+        "event_type",
+        "iv",
+        F.sum("c1").over(cum_w).alias("cum1"),
+        F.sum("c2").over(cum_w).alias("cum2"),
+        (F.lead("iv").over(grid_w) - F.col("iv")).alias("gap"),
+    )
+    diff = F.abs(
+        F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")
+    )
+    term = F.when(F.col("gap").isNotNull(), diff).otherwise(F.lit(0)).cast(
+        "decimal(38,0)"
+    ) * F.coalesce(F.col("gap"), F.lit(0)).cast("decimal(38,0)")
+    return (
+        cum.join(F.broadcast(totals), "event_type")
+        .select("event_type", "n1", "n2", term.alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.max("n1").cast("long").alias("n_early"),
+            F.max("n2").cast("long").alias("n_late"),
+            F.sum("t").alias("w1_sum"),
+        )
+        .select(
+            "event_type",
+            "n_early",
+            "n_late",
+            F.when(
+                (F.col("n_early") > 0) & (F.col("n_late") > 0),
+                F.round(
+                    F.col("w1_sum").cast("double")
+                    / F.col("n_early")
+                    / F.col("n_late")
+                    / _PCT_SCALE,
+                    6,
+                ),
+            ).alias("w1_value_units"),
+        )
+    )
+
+
+VALUE_WASSERSTEIN_TEMPORAL_SQL = f"""
+WITH base AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(round(value * {_PCT_SCALE}) AS BIGINT) AS iv
+  FROM events
+), bounds AS (
+  SELECT min(day) + CAST((max(day) - min(day)) // 2 AS INTEGER) AS mid_day
+  FROM base
+), counts AS (
+  SELECT event_type, iv,
+         CAST(sum(CASE WHEN day <= (SELECT mid_day FROM bounds)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN day <= (SELECT mid_day FROM bounds)
+                  THEN 0 ELSE 1 END) AS BIGINT) AS c2
+  FROM base GROUP BY event_type, iv
+), totals AS (
+  SELECT event_type, CAST(sum(c1) AS BIGINT) AS n1,
+         CAST(sum(c2) AS BIGINT) AS n2
+  FROM counts GROUP BY event_type
+), cum AS (
+  SELECT event_type, iv,
+         CAST(sum(c1) OVER (PARTITION BY event_type ORDER BY iv) AS BIGINT)
+           AS cum1,
+         CAST(sum(c2) OVER (PARTITION BY event_type ORDER BY iv) AS BIGINT)
+           AS cum2,
+         lead(iv) OVER (PARTITION BY event_type ORDER BY iv) - iv AS gap
+  FROM counts
+), terms AS (
+  SELECT c.event_type, t.n1, t.n2,
+         CAST(CASE WHEN c.gap IS NOT NULL THEN
+                CAST(abs(c.cum1 * t.n2 - c.cum2 * t.n1) AS BIGINT)
+              ELSE 0 END AS HUGEINT)
+           * CAST(coalesce(c.gap, 0) AS HUGEINT) AS t
+  FROM cum c JOIN totals t ON t.event_type = c.event_type
+)
+SELECT event_type,
+       CAST(max(n1) AS BIGINT) AS n_early,
+       CAST(max(n2) AS BIGINT) AS n_late,
+       CASE WHEN max(n1) > 0 AND max(n2) > 0 THEN
+         round(CAST(sum(t) AS DOUBLE) / max(n1) / max(n2) / {_PCT_SCALE}, 6)
+       END AS w1_value_units
+FROM terms GROUP BY event_type
+"""

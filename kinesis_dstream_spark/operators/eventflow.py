@@ -4097,3 +4097,121 @@ SELECT event_type, CAST(day AS VARCHAR) AS day,
        round(CAST(sum(iv) AS BIGINT) / count(*) / 100.0, 6) AS plain_mean
 FROM spans GROUP BY event_type, day
 """
+
+
+def ab_srm_check(events: DataFrame) -> DataFrame:
+    """Sample-ratio-mismatch guardrail — the FIRST thing a trustworthy
+    experimentation platform checks (Kohavi's classic failure mode): if
+    the realized arm split deviates from the designed 50/50 beyond
+    chance, every downstream readout is suspect (assignment bug,
+    logging loss, bot filtering skew). One-degree chi-square against
+    the expected equal split over exposed USERS: χ² = (n_a − n_b)² /
+    (n_a + n_b), flagged at the 3.841 (p = 0.05) critical value.
+    Counts exact int64; one double division; NULL on an empty
+    experiment.
+    """
+    users = events.groupBy("user_id").agg(F.lit(1).alias("one"))
+    counts = users.select(
+        (F.col("user_id") % 2 == 0).cast("int").alias("in_a")
+    ).agg(
+        F.sum("in_a").cast("long").alias("n_a"),
+        F.sum(1 - F.col("in_a")).cast("long").alias("n_b"),
+    )
+    n = F.col("n_a") + F.col("n_b")
+    d = F.col("n_a") - F.col("n_b")
+    chi2 = (d * d) / n
+    return counts.select(
+        "n_a",
+        "n_b",
+        F.when(n > 0, F.round(chi2, 4)).alias("chi_square"),
+        F.when(n > 0, (chi2 > 3.841).cast("int")).alias("srm_detected"),
+    )
+
+
+AB_SRM_CHECK_SQL = """
+WITH users AS (
+  SELECT user_id FROM events GROUP BY user_id
+), counts AS (
+  SELECT CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_a,
+         CAST(sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_b
+  FROM users
+)
+SELECT n_a, n_b,
+       CASE WHEN n_a + n_b > 0 THEN
+         round((n_a - n_b) * (n_a - n_b) / (n_a + n_b), 4)
+       END AS chi_square,
+       CASE WHEN n_a + n_b > 0 THEN
+         CAST((n_a - n_b) * (n_a - n_b) / (n_a + n_b) > 3.841 AS INT)
+       END AS srm_detected
+FROM counts
+"""
+
+
+def experiment_readout_report(events: DataFrame) -> DataFrame:
+    """The experiment DASHBOARD: every readout of the A/B suite as one
+    labeled metric table — SRM guardrail first (if it fires, stop
+    reading), then conversion z, revenue Welch t, the always-valid
+    sequential p, and the robust median effect. One row per metric
+    with a uniform (metric, statistic, p_proxy_or_effect, flag)
+    shape — what an experimenter actually looks at, and the composed
+    proof that the five readouts agree on their shared counts. Each
+    leg reuses its oracle-certified operator; the union is the only
+    new code.
+    """
+    srm = ab_srm_check(events).select(
+        F.lit("srm_check").alias("metric"),
+        F.col("chi_square").alias("statistic"),
+        F.col("chi_square").alias("effect"),
+        F.col("srm_detected").alias("flag"),
+    )
+    z = ab_conversion_ztest(events).select(
+        F.lit("conversion_z").alias("metric"),
+        F.col("z_score").alias("statistic"),
+        F.col("rate_diff").alias("effect"),
+        F.col("significant_95").alias("flag"),
+    )
+    t = ab_value_welch_ttest(events).select(
+        F.lit("revenue_welch_t").alias("metric"),
+        F.col("t_stat").alias("statistic"),
+        F.col("mean_diff").alias("effect"),
+        F.col("significant_95").alias("flag"),
+    )
+    av = ab_msprt_always_valid(events).select(
+        F.lit("msprt_always_valid").alias("metric"),
+        F.col("lambda_lr").alias("statistic"),
+        F.col("p_always_valid").alias("effect"),
+        F.col("reject_at_5pct").alias("flag"),
+    )
+    med = ab_quantile_effect(events).select(
+        F.lit("median_effect").alias("metric"),
+        F.col("median_diff").alias("statistic"),
+        F.col("median_diff").alias("effect"),
+        F.lit(None).cast("int").alias("flag"),
+    )
+    return srm.unionByName(z).unionByName(t).unionByName(av).unionByName(med)
+
+
+EXPERIMENT_READOUT_SQL = f"""
+SELECT 'srm_check' AS metric, chi_square AS statistic,
+       CAST(chi_square AS DOUBLE) AS effect, srm_detected AS flag
+FROM ({AB_SRM_CHECK_SQL})
+UNION ALL
+SELECT 'conversion_z', z_score, rate_diff, significant_95
+FROM ({{z_sql}})
+UNION ALL
+SELECT 'revenue_welch_t', t_stat, mean_diff, significant_95
+FROM ({{t_sql}})
+UNION ALL
+SELECT 'msprt_always_valid', lambda_lr, p_always_valid, reject_at_5pct
+FROM ({{av_sql}})
+UNION ALL
+SELECT 'median_effect', median_diff, median_diff, CAST(NULL AS INT)
+FROM ({{med_sql}})
+""".format(
+    z_sql=AB_CONVERSION_ZTEST_SQL,
+    t_sql=AB_VALUE_WELCH_SQL,
+    av_sql=AB_MSPRT_SQL,
+    med_sql=AB_QUANTILE_EFFECT_SQL,
+)

@@ -4370,6 +4370,18 @@ def _q_tukey_from_store(spark: SparkSession, sf: str) -> DataFrame:
     return jobs.tukey_from_store(spark, sf)
 
 
+def _q_w1_temporal(spark: SparkSession, sf: str) -> DataFrame:
+    return dataquality.value_wasserstein_temporal(load_table(spark, sf, "events"))
+
+
+def _q_ab_srm(spark: SparkSession, sf: str) -> DataFrame:
+    return eventflow.ab_srm_check(load_table(spark, sf, "events"))
+
+
+def _q_experiment_readout(spark: SparkSession, sf: str) -> DataFrame:
+    return eventflow.experiment_readout_report(load_table(spark, sf, "events"))
+
+
 def _q_bmp_sharpness(spark: SparkSession, sf: str) -> DataFrame:
     return multimodal.bmp_sharpness_stats(load_table(spark, sf, "documents"))
 
@@ -6134,6 +6146,22 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "tukey_from_store": (
         _q_tukey_from_store,
         dataquality.VALUE_TUKEY_OUTLIERS_SQL,
+    ),
+    # temporal Wasserstein drift (E-17, r11): W1 on the SAME
+    # midpoint-day split as PSI — statistic disagreements become
+    # attributable to the statistic, not the slicing
+    "value_wasserstein_temporal": (
+        _q_w1_temporal,
+        dataquality.VALUE_WASSERSTEIN_TEMPORAL_SQL,
+    ),
+    # sample-ratio-mismatch guardrail (E-15, r11): the trust check
+    # every readout depends on — 1-df chi-square vs the designed split
+    "ab_srm_check": (_q_ab_srm, eventflow.AB_SRM_CHECK_SQL),
+    # the experiment dashboard capstone (E-15, r11): all five readouts
+    # as one labeled metric table, each leg reusing its certified twin
+    "experiment_readout_report": (
+        _q_experiment_readout,
+        eventflow.EXPERIMENT_READOUT_SQL,
     ),
     # BMP gradient-energy sharpness (E-13, r11): the blur/quality
     # screen over REAL decoded pixel grids — textured synth makes the

@@ -735,3 +735,32 @@ def test_bmp_sharpness_textured_nonconstant(spark):
     )
     out = multimodal.bmp_sharpness_stats(docs).collect()
     assert len({r.mean_grad for r in out}) > 3
+
+
+def test_srm_fires_on_skewed_split(spark):
+    """A heavily skewed realized split must trip the guardrail; a
+    balanced one must not."""
+    skewed = [(i, 2 * i, "view", 1.0) for i in range(40)]       # all arm A
+    out = eventflow.ab_srm_check(_events(spark, skewed)).collect()[0]
+    assert out.srm_detected == 1 and out.n_b == 0
+    balanced = [(i, i, "view", 1.0) for i in range(40)]
+    out2 = eventflow.ab_srm_check(_events(spark, balanced)).collect()[0]
+    assert out2.srm_detected == 0 and out2.chi_square == 0.0
+
+
+def test_experiment_readout_legs_match_components(spark, sf_dir):
+    """Each dashboard row must equal its standalone operator's
+    numbers — the capstone composes, never recomputes differently."""
+    from kinesis_dstream_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = {r.metric: r for r in eventflow.experiment_readout_report(ev).collect()}
+    assert set(rows) == {
+        "srm_check", "conversion_z", "revenue_welch_t",
+        "msprt_always_valid", "median_effect",
+    }
+    z = eventflow.ab_conversion_ztest(ev).collect()[0]
+    assert rows["conversion_z"].statistic == z.z_score
+    assert rows["conversion_z"].effect == z.rate_diff
+    w = eventflow.ab_value_welch_ttest(ev).collect()[0]
+    assert rows["revenue_welch_t"].statistic == w.t_stat
