@@ -246,6 +246,41 @@ def _ensure_gov_stores(spark: SparkSession, sf_dir: str, base: str) -> dict[str,
         )
         with open(ab_meta, "w") as f:
             json.dump({"fingerprint": ev_fp}, f)
+    # fourteenth store (r11): the sentence-dedup maintenance granules
+    # (streaming_sentence_dedup_maintenance) — (sent, doc_id, source)
+    # rows hold the subject's sentences VERBATIM keyed by document.
+    # Under the repo's own doctrine (a persisted assertion about
+    # subject content is subject data) this store is more plainly
+    # erasable than the pair artifacts: it IS the content.
+    paths["sentence_granules"] = os.path.join(base, "sentence_granules")
+    sg_meta = os.path.join(paths["sentence_granules"], _GOV_STORE_META)
+    stored = None
+    if os.path.exists(sg_meta):
+        with open(sg_meta) as f:
+            stored = json.load(f).get("fingerprint")
+    if stored != doc_fp:
+        segs = docs.select(
+            "doc_id",
+            "source",
+            F.filter(
+                F.transform(
+                    F.split(F.col("text"), r"[.!?]+"), lambda t: F.trim(t)
+                ),
+                lambda t: t != "",
+            ).alias("ss"),
+        )
+        occ = segs.select(
+            "doc_id", "source", F.posexplode("ss").alias("pos", "sent")
+        )
+        occ.groupBy("sent", "doc_id", "source").agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min("pos").alias("min_pos"),
+            F.max(F.length("sent")).alias("sent_chars"),
+        ).write.mode("overwrite").parquet(
+            os.path.join(paths["sentence_granules"], "granules")
+        )
+        with open(sg_meta, "w") as f:
+            json.dump({"fingerprint": doc_fp}, f)
     return paths
 
 
@@ -420,6 +455,9 @@ def erasure_report_full(
     # an A/B readout recomputed after erasure must not count them
     ab_data = os.path.join(erased_paths["ab_user_granules"], "granules")
     erase_parquet_store(spark, ab_data, req_users, "user_id")
+    # fourteenth store: the subject's sentences die with the document
+    sg_data = os.path.join(erased_paths["sentence_granules"], "granules")
+    erase_parquet_store(spark, sg_data, req_docs, "doc_id")
 
     # logical (in-memory derived) stores: anti-join views, as in the
     # basic report
@@ -475,6 +513,10 @@ def erasure_report_full(
         "ab_user_granules": (
             os.path.join(pristine["ab_user_granules"], "granules"),
             ab_data,
+        ),
+        "sentence_granules": (
+            os.path.join(pristine["sentence_granules"], "granules"),
+            sg_data,
         ),
     }
     for name, (pre, post) in persisted.items():
@@ -617,6 +659,20 @@ WITH ev AS (
          CAST(sum(CASE WHEN user_id % {_ERASE_MOD} = 0 THEN 1 ELSE 0 END)
               AS BIGINT) AS erased
   FROM (SELECT DISTINCT user_id FROM events)
+), sg AS (
+  SELECT count(*) AS before,
+         CAST(sum(CASE WHEN doc_id % {_ERASE_MOD} = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS erased
+  FROM (
+    SELECT DISTINCT doc_id, sent FROM (
+      SELECT doc_id,
+             unnest(list_filter(
+               list_transform(regexp_split_to_array(text, '[.!?]+'),
+                              x -> trim(x)),
+               x -> x <> '')) AS sent
+      FROM documents
+    )
+  )
 ), di AS (
   SELECT 9 * count(*) AS before,
          9 * CAST(sum(CASE WHEN doc_id % {_ERASE_MOD} = 0 THEN 1 ELSE 0 END)
@@ -656,4 +712,8 @@ UNION ALL
 -- thirteenth store (r11): the A/B experiment's user-grain granules —
 -- one row per distinct user
 SELECT 'ab_user_granules', before, erased, before - erased FROM ab
+UNION ALL
+-- fourteenth store (r11): the sentence-dedup granules — one row per
+-- distinct (document, sentence) placement, the subject's text verbatim
+SELECT 'sentence_granules', before, erased, before - erased FROM sg
 """

@@ -71,7 +71,7 @@ def test_full_erasure_physical_zero_residual_all_stores(spark, sf_dir, tmp_path)
         "ann_index", "chunk_store", "minhash_dedup_index",
         "near_dup_pairs", "ivf_det_index", "setsim_pairs",
         "ivf_pq_det_index", "ivf_pq_res_index", "ivf_sq8_index",
-        "ab_user_granules",
+        "ab_user_granules", "sentence_granules",
     }
     for r in rows:
         assert r.rows_before == r.rows_erased + r.rows_after
@@ -89,6 +89,7 @@ def test_full_erasure_physical_zero_residual_all_stores(spark, sf_dir, tmp_path)
             os.path.join(work, "chunk_store", "chunks"),
             os.path.join(work, "dedup_index", "bands"),
             os.path.join(work, "dedup_index", "shingles"),
+            os.path.join(work, "sentence_granules", "granules"),
         ],
         "user_id": [
             os.path.join(work, "ab_user_granules", "granules"),
