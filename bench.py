@@ -524,6 +524,9 @@ BENCH_QUERIES = {
     "w1_temporal": "value_wasserstein_temporal",
     "ab_srm": "ab_srm_check",
     "experiment_readout": "experiment_readout_report",
+    "cohort_ltv": "cohort_revenue_ltv",
+    "lang_entropy": "source_lang_entropy",
+    "lpa_modularity": "lpa_modularity",
 }
 
 

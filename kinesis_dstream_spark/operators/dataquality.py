@@ -2270,3 +2270,79 @@ SELECT event_type,
        END AS w1_value_units
 FROM terms GROUP BY event_type
 """
+
+
+def source_lang_entropy(documents: DataFrame) -> DataFrame:
+    """Shannon entropy of each source's language mix — the diversity
+    probe a multilingual-corpus curator reads next to the mixture
+    quotas: entropy 0 means a monolingual source (fine for targeted
+    mixes, a red flag for a "web" source), ln(k) means a uniform
+    k-language blend. Reported with the majority language and its ppm
+    share so the table reads at a glance.
+
+    Determinism: counts exact; each language's −p·ln(p) term is
+    µ-unit fixed-pointed via the count form c·ln(n/c) (positive, so
+    no sign juggling) and summed as int64 — the PSI discipline; one
+    display division. Majority ties break on language code.
+
+    Plan: one (source, lang) count, then |sources|·|langs|-bounded
+    arithmetic — broadcast class throughout.
+    """
+    counts = documents.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot_w = Window.partitionBy("source")
+    rows = counts.withColumn("n", F.sum("c").over(tot_w))
+    term = F.round(
+        F.col("c")
+        * F.log(F.col("n").cast("double") / F.col("c"))
+        * _THEIL_SCALE
+    ).cast("long")
+    top_w = Window.partitionBy("source").orderBy(
+        F.col("c").desc(), F.col("lang").asc()
+    )
+    flagged = rows.withColumn("t", term).withColumn(
+        "rk", F.row_number().over(top_w)
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.max("n").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_langs"),
+            F.round(
+                F.sum("t") / F.max("n") / _THEIL_SCALE, 6
+            ).alias("lang_entropy"),
+            F.max(F.when(F.col("rk") == 1, F.col("lang"))).alias(
+                "majority_lang"
+            ),
+            F.max(
+                F.when(F.col("rk") == 1, F.expr("c * 1000000 div n"))
+            )
+            .cast("long")
+            .alias("majority_ppm"),
+        )
+    )
+
+
+SOURCE_LANG_ENTROPY_SQL = f"""
+WITH counts AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY source, lang
+), rows_t AS (
+  SELECT source, lang, c,
+         CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n,
+         row_number() OVER (PARTITION BY source ORDER BY c DESC, lang ASC)
+           AS rk
+  FROM counts
+)
+SELECT source,
+       CAST(max(n) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_langs,
+       round(sum(CAST(round(c * ln(CAST(n AS DOUBLE) / c) * {_THEIL_SCALE})
+                      AS BIGINT)) / max(n) / {_THEIL_SCALE}, 6)
+         AS lang_entropy,
+       max(CASE WHEN rk = 1 THEN lang END) AS majority_lang,
+       CAST(max(CASE WHEN rk = 1 THEN c * 1000000 // n END) AS BIGINT)
+         AS majority_ppm
+FROM rows_t GROUP BY source
+"""

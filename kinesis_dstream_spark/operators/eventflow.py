@@ -4215,3 +4215,105 @@ FROM ({{med_sql}})
     av_sql=AB_MSPRT_SQL,
     med_sql=AB_QUANTILE_EFFECT_SQL,
 )
+
+
+def cohort_revenue_ltv(events: DataFrame) -> DataFrame:
+    """Weekly-cohort cumulative revenue per user (the LTV curve) —
+    the money companion to ``cohort_retention``: retention says how
+    many users come back, this says what the cohort has EARNED per
+    member by each week offset, which is the number growth teams
+    actually compare acquisition channels on. Rows cover every
+    (cohort, offset) cell with ACTIVITY (same grid as retention), so
+    offsets with activity but no purchases show a flat curve segment
+    rather than a gap.
+
+    Exactness: purchase revenue is fixed-point int64; the cumulative
+    sum is an int window; cohort size is the offset-0 distinct-user
+    count; displays at 2dp (exact cents) and 6dp (the 1/(size·100)
+    grid never reaches a 7-decimal half boundary — the TWAP rule).
+
+    Plan: one user-grain window (first touch), one (cohort, offset)
+    rollup carrying the revenue partial in the same aggregate, one
+    cohort-partitioned cumulative window over O(weeks²) rows.
+    """
+    from kinesis_dstream_spark.functions.exact import fixedpoint
+
+    w = Window.partitionBy("user_id")
+    base = events.select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.min(F.to_date("ts")).over(w).alias("first_day"),
+        F.when(
+            F.col("event_type") == "purchase", fixedpoint(F.col("value"), 100)
+        )
+        .otherwise(0)
+        .alias("rev"),
+    )
+    shaped = base.select(
+        "user_id",
+        F.expr(f"datediff(first_day, DATE '{_EPOCH}') DIV 7").alias(
+            "cohort_week"
+        ),
+        F.expr("datediff(day, first_day) DIV 7").alias("week_offset"),
+        "rev",
+    )
+    cells = shaped.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("user_id").alias("active_users"),
+        F.sum("rev").alias("rev_fp"),
+    )
+    wc = Window.partitionBy("cohort_week")
+    cum_w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sized = cells.withColumn(
+        "cohort_size",
+        F.max(
+            F.when(F.col("week_offset") == 0, F.col("active_users"))
+        ).over(wc),
+    ).withColumn("cum_fp", F.sum("rev_fp").over(cum_w))
+    return sized.select(
+        "cohort_week",
+        "week_offset",
+        F.col("cohort_size").cast("long").alias("cohort_size"),
+        F.round(F.col("rev_fp") / 100.0, 2).alias("week_revenue"),
+        F.round(
+            F.col("cum_fp") / F.col("cohort_size") / 100.0, 6
+        ).alias("cum_ltv_per_user"),
+    )
+
+
+COHORT_REVENUE_LTV_SQL = f"""
+WITH firsts AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         min(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS first_day,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END AS rev
+  FROM events
+), shaped AS (
+  SELECT user_id,
+         date_diff('day', DATE '{{_EPOCH}}', first_day) // 7 AS cohort_week,
+         date_diff('day', first_day, day) // 7 AS week_offset,
+         rev
+  FROM firsts
+), cells AS (
+  SELECT cohort_week, week_offset,
+         count(DISTINCT user_id) AS active_users,
+         CAST(sum(rev) AS BIGINT) AS rev_fp
+  FROM shaped GROUP BY cohort_week, week_offset
+), sized AS (
+  SELECT cohort_week, week_offset, rev_fp,
+         max(CASE WHEN week_offset = 0 THEN active_users END)
+           OVER (PARTITION BY cohort_week) AS cohort_size,
+         CAST(sum(rev_fp) OVER (PARTITION BY cohort_week ORDER BY week_offset
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_fp
+  FROM cells
+)
+SELECT cohort_week, week_offset,
+       CAST(cohort_size AS BIGINT) AS cohort_size,
+       round(rev_fp / 100.0, 2) AS week_revenue,
+       round(cum_fp / cohort_size / 100.0, 6) AS cum_ltv_per_user
+FROM sized
+""".replace("{_EPOCH}", _EPOCH)

@@ -1009,3 +1009,158 @@ SELECT c1.src AS doc_id,
               + 2 * coalesce(c3.n3, 0)) / 6.0, 4) AS harmonic
 FROM c1 LEFT JOIN c2 ON c2.src = c1.src LEFT JOIN c3 ON c3.src = c1.src
 """
+
+
+def lpa_node_labels(edges: DataFrame, n_iter: int = 3) -> DataFrame:
+    """The (node, lbl) vector after ``n_iter`` synchronous LPA rounds —
+    the label chain of ``label_propagation_communities`` exposed at
+    node grain so downstream quality metrics (modularity) can join it
+    against the edge list. Same deterministic recurrence: labels start
+    as node ids, each round adopts the most frequent neighbor label
+    (ties → smallest), fixed rounds."""
+    from pyspark.sql import Window
+
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+    )
+    top1 = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("lbl").asc())
+    for _ in range(n_iter):
+        votes = (
+            edges.join(labels, labels["node"] == edges["src"])
+            .groupBy(F.col("dst").alias("node2"), F.col("lbl"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            votes.withColumnRenamed("node2", "node")
+            .withColumn("rk", F.row_number().over(top1))
+            .filter(F.col("rk") == 1)
+            .select("node", "lbl")
+        )
+    return labels
+
+
+def lpa_modularity(
+    documents: DataFrame, n_iter: int = 3, pairs: DataFrame | None = None
+) -> DataFrame:
+    """Newman modularity of the LPA communities over the near-dup
+    graph — the QUALITY number for the community lens: LPA always
+    returns *some* partition; modularity says whether it beats random
+    (Q ≈ 0 → the "communities" are noise; Q ≳ 0.3 → real block
+    structure worth acting on in dedup triage). Per community c this
+    reports intra-edge count e_c, degree mass d_c, and the exact term
+    ``Q_c = e_c/m − (d_c/2m)²``; total Q is the sum over rows.
+
+    Exactness: e_c, d_c, m are exact ints (undirected edges counted
+    once via the u<v pair list); each Q_c is ONE identical double
+    chain from those ints in both engines, rounded at 6dp. The oracle
+    unrolls the same label chain the communities oracle uses.
+
+    Plan: the LPA rounds (PageRank-class per-round joins) + two label
+    joins of the pair/degree tables — all broadcast-class beyond the
+    checkpointed edge list.
+    """
+    from kinesis_dstream_spark.operators.dedup import dedup_ngram_jaccard
+
+    if pairs is None:
+        pairs = dedup_ngram_jaccard(documents)
+    p = (
+        pairs.select(
+            F.least("doc_a", "doc_b").alias("u"),
+            F.greatest("doc_a", "doc_b").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    edges = p.select(F.col("u").alias("src"), F.col("v").alias("dst")).union(
+        p.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    ).localCheckpoint()
+    labels = lpa_node_labels(edges, n_iter=n_iter).localCheckpoint()
+    m_cnt = p.count()
+    lu = labels.select(F.col("node").alias("u"), F.col("lbl").alias("lu"))
+    lv = labels.select(F.col("node").alias("v"), F.col("lbl").alias("lv"))
+    intra = (
+        p.join(F.broadcast(lu), "u")
+        .join(F.broadcast(lv), "v")
+        .filter(F.col("lu") == F.col("lv"))
+        .groupBy(F.col("lu").alias("community"))
+        .agg(F.count(F.lit(1)).alias("intra_edges"))
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    dmass = (
+        deg.join(F.broadcast(labels), "node")
+        .groupBy(F.col("lbl").alias("community"))
+        .agg(F.sum("d").alias("degree_sum"), F.count(F.lit(1)).alias("n_members"))
+    )
+    out = dmass.join(intra, "community", "left").select(
+        "community",
+        F.col("n_members").cast("long").alias("n_members"),
+        F.coalesce("intra_edges", F.lit(0)).cast("long").alias("intra_edges"),
+        F.col("degree_sum").cast("long").alias("degree_sum"),
+    )
+    q = (
+        F.col("intra_edges") / F.lit(float(m_cnt))
+        - (F.col("degree_sum") / F.lit(float(2 * m_cnt)))
+        * (F.col("degree_sum") / F.lit(float(2 * m_cnt)))
+    )
+    return out.withColumn("modularity_term", F.round(q, 6))
+
+
+def lpa_modularity_oracle_sql(pairs_sql: str, n_iter: int = 3) -> str:
+    """Twin: the communities oracle's unrolled label chain + the same
+    integer e_c/d_c/m accounting and double Q chain."""
+    prev, cte = "l0", ""
+    for k in range(1, n_iter + 1):
+        cte += f""", v{k} AS (
+  SELECT e.dst AS node, {prev}.lbl, count(*) AS c
+  FROM edges e JOIN {prev} ON {prev}.node = e.src
+  GROUP BY e.dst, {prev}.lbl
+), l{k} AS (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl ASC) AS rk
+    FROM v{k}
+  ) WHERE rk = 1
+)"""
+        prev = f"l{k}"
+    return f"""
+WITH jp AS ({pairs_sql}),
+p AS (
+  SELECT DISTINCT least(doc_a, doc_b) AS u, greatest(doc_a, doc_b) AS v
+  FROM jp
+),
+edges AS (
+  SELECT u AS src, v AS dst FROM p
+  UNION ALL
+  SELECT v AS src, u AS dst FROM p
+),
+l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges){cte},
+m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM p),
+intra AS (
+  SELECT lu.lbl AS community, CAST(count(*) AS BIGINT) AS intra_edges
+  FROM p
+  JOIN {prev} lu ON lu.node = p.u
+  JOIN {prev} lv ON lv.node = p.v
+  WHERE lu.lbl = lv.lbl
+  GROUP BY lu.lbl
+),
+deg AS (SELECT src AS node, count(*) AS d FROM edges GROUP BY src),
+dmass AS (
+  SELECT l.lbl AS community, CAST(sum(deg.d) AS BIGINT) AS degree_sum,
+         CAST(count(*) AS BIGINT) AS n_members
+  FROM deg JOIN {prev} l ON l.node = deg.node
+  GROUP BY l.lbl
+)
+SELECT d.community, d.n_members,
+       coalesce(i.intra_edges, 0) AS intra_edges,
+       d.degree_sum,
+       round(coalesce(i.intra_edges, 0) / CAST(m.m AS DOUBLE)
+             - (d.degree_sum / CAST(2 * m.m AS DOUBLE))
+               * (d.degree_sum / CAST(2 * m.m AS DOUBLE)), 6)
+         AS modularity_term
+FROM dmass d LEFT JOIN intra i ON i.community = d.community
+CROSS JOIN m
+"""

@@ -4370,6 +4370,20 @@ def _q_tukey_from_store(spark: SparkSession, sf: str) -> DataFrame:
     return jobs.tukey_from_store(spark, sf)
 
 
+def _q_cohort_ltv(spark: SparkSession, sf: str) -> DataFrame:
+    return eventflow.cohort_revenue_ltv(load_table(spark, sf, "events"))
+
+
+def _q_source_lang_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    return dataquality.source_lang_entropy(load_table(spark, sf, "documents"))
+
+
+def _q_lpa_modularity(spark: SparkSession, sf: str) -> DataFrame:
+    return graph.lpa_modularity(
+        load_table(spark, sf, "documents"), pairs=_near_dup_pairs(spark, sf)
+    )
+
+
 def _q_w1_temporal(spark: SparkSession, sf: str) -> DataFrame:
     return dataquality.value_wasserstein_temporal(load_table(spark, sf, "events"))
 
@@ -6146,6 +6160,21 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "tukey_from_store": (
         _q_tukey_from_store,
         dataquality.VALUE_TUKEY_OUTLIERS_SQL,
+    ),
+    # weekly-cohort LTV curve (E-15, r11): cumulative revenue per
+    # member by week offset — the money companion to cohort_retention
+    "cohort_revenue_ltv": (_q_cohort_ltv, eventflow.COHORT_REVENUE_LTV_SQL),
+    # per-source language-mix entropy (E-17, r11): the diversity probe
+    # next to the mixture quotas — µ-unit c·ln(n/c) terms
+    "source_lang_entropy": (
+        _q_source_lang_entropy,
+        dataquality.SOURCE_LANG_ENTROPY_SQL,
+    ),
+    # Newman modularity of the LPA communities (E-16, r11): the
+    # partition-quality number — exact e_c/d_c/m ints, unrolled chain
+    "lpa_modularity": (
+        _q_lpa_modularity,
+        graph.lpa_modularity_oracle_sql(_SQL_DEDUP_JACCARD),
     ),
     # temporal Wasserstein drift (E-17, r11): W1 on the SAME
     # midpoint-day split as PSI — statistic disagreements become

@@ -764,3 +764,62 @@ def test_experiment_readout_legs_match_components(spark, sf_dir):
     assert rows["conversion_z"].effect == z.rate_diff
     w = eventflow.ab_value_welch_ttest(ev).collect()[0]
     assert rows["revenue_welch_t"].statistic == w.t_stat
+
+
+# --------------------------------------------- LTV / entropy / Q -----
+
+
+def test_cohort_ltv_cumulative_and_flat_segments(spark):
+    """Two users in one cohort: $10 purchase in week 0, activity-only
+    in week 1, $30 in week 2 — the per-user LTV curve must read 5.0 →
+    5.0 (flat) → 20.0."""
+    rows = [
+        (0, 0, "purchase", 10.0, "2024-01-01 10:00:00"),
+        (1, 1, "view", 1.0, "2024-01-01 11:00:00"),
+        (2, 0, "view", 1.0, "2024-01-08 10:00:00"),
+        (3, 1, "purchase", 30.0, "2024-01-15 10:00:00"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, value double, ts_s string",
+    ).select(
+        "event_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value", F.lit("{}").alias("props"),
+    )
+    out = {r.week_offset: r for r in eventflow.cohort_revenue_ltv(ev).collect()}
+    assert out[0].cohort_size == 2
+    assert out[0].cum_ltv_per_user == 5.0
+    assert out[1].cum_ltv_per_user == 5.0   # flat segment, row present
+    assert out[2].cum_ltv_per_user == 20.0
+
+
+def test_lang_entropy_extremes(spark):
+    """Monolingual source → entropy 0; a uniform 4-language source →
+    exactly ln(4)."""
+    import math
+
+    rows = [(i, "mono", "en", "x", 1) for i in range(8)]
+    rows += [(100 + i, "mix", ["en", "de", "fr", "es"][i % 4], "x", 1)
+             for i in range(8)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, text string, n_chars long"
+    )
+    out = {r.source: r for r in dataquality.source_lang_entropy(docs).collect()}
+    assert out["mono"].lang_entropy == 0.0 and out["mono"].n_langs == 1
+    assert abs(out["mix"].lang_entropy - round(math.log(4), 6)) < 1e-5
+    assert out["mix"].majority_lang == "de"  # 2-way tie broken on code
+
+
+def test_modularity_two_cliques_positive(spark):
+    """Two disjoint triangles: LPA finds them and modularity must be
+    strongly positive (Q = 2·(3/6 − (6/12)²) = 0.5 total)."""
+    tri1 = [(0, 1), (1, 2), (0, 2)]
+    tri2 = [(10, 11), (11, 12), (10, 12)]
+    docs_pairs = spark.createDataFrame(
+        tri1 + tri2, "doc_a long, doc_b long"
+    )
+    out = graph.lpa_modularity(None, pairs=docs_pairs).collect()
+    total_q = sum(r.modularity_term for r in out)
+    assert abs(total_q - 0.5) < 1e-9
+    assert all(r.intra_edges == 3 and r.n_members == 3 for r in out)
