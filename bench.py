@@ -19,6 +19,21 @@ The FULL per-query map is written to the committed BENCH_DETAIL.json
 (the r6-r8 records lost the map because the one-line-with-126-queries
 form outgrew the driver's capture window).
 
+r11 close SESSION 2 (solo-vs-solo): on the 184 entries shared with
+the first r11 close record (237.0 s), the session-2 close
+(loadavg_start [0.09, 1.32, 3.22] — 1m/5m both under gate; the 3.22
+is the 15-minute tail of the sweep that preceded it) reads 254.2 s
+(+7.3%). Structural and priced: gdpr_erasure_full 6.99 -> 10.49 (the
+report now erases FOURTEEN stores — session 2 added the A/B user
+granules and the sentence-dedup granules, each paying the same
+scan + anti-join + rewrite + read-back); the three streaming ANN
+ingests drift +1-3 s each (micro-batch lifecycle variance — their
+mid-session readings straddle both records). The 31 new session-2
+entries cost 33.0 s, dominated by the two new certified streaming
+jobs (sentence-dedup and PMI maintenance, whole lifecycles priced as
+single entries) and hits/harmonic over the pairs artifact. 215
+entries, 287.2 s total.
+
 r11 close (solo-vs-solo, the honest ledger): on the 148 entries
 shared with the r10 closing solo run (166.2 s, commit e478be7), the
 TRUE-QUIET r11 close (loadavg_start [0.08, 0.24, 1.85]) reads
