@@ -542,6 +542,10 @@ BENCH_QUERIES = {
     "cohort_ltv": "cohort_revenue_ltv",
     "lang_entropy": "source_lang_entropy",
     "lpa_modularity": "lpa_modularity",
+    # r12: the graph-ANN (HNSW) tier — deterministic k-NN graph build
+    # + fixed-round beam serve, and the build's quality ledger
+    "ann_knn_graph": "ann_knn_graph_topk",
+    "knn_graph_stats": "knn_graph_degree_stats",
 }
 
 

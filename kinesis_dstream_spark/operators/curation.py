@@ -1859,9 +1859,21 @@ def dsir_importance_weights(
             "doc_id",
             "source",
             "n_tokens",
-            F.round(F.col("s") / F.col("n_tokens") / _LP_SCALE, 4).alias(
-                "dsir_avg_logratio"
-            ),
+            # the exact int64 µ-unit sum rides along so downstream
+            # consumers (dsir_select_topk) can rank on exact integers
+            # instead of the rounded display
+            F.col("s").cast("long").alias("s_fp"),
+            # the rational s/n_tokens/1e6 has denominator n_tokens·1e6,
+            # so NO fixed display precision is boundary-safe (hit at
+            # 4dp: 1050/1e6; hit again at 6dp: -384870/12 =
+            # -0.0320725 exactly). Fix-point FIRST with the exact
+            # integer division both engines share (Spark div ↔ DuckDB
+            # //, truncate-toward-zero, verified on negatives), THEN
+            # one /1e6 display division — the µ-unit value has ≤6
+            # decimals, so the 6dp round is ~5e-7 from any boundary
+            F.round(
+                F.expr("s div n_tokens") / _LP_SCALE, 6
+            ).alias("dsir_avg_logratio"),
         )
     )
 
@@ -1899,7 +1911,8 @@ WITH toks AS (
   CROSS JOIN totals t
 )
 SELECT bk.doc_id, bk.source, CAST(count(*) AS BIGINT) AS n_tokens,
-       round(CAST(sum(gr.lr_fp) AS BIGINT) / count(*) / {s}.0, 4)
+       CAST(sum(gr.lr_fp) AS BIGINT) AS s_fp,
+       round((CAST(sum(gr.lr_fp) AS BIGINT) // count(*)) / {s}.0, 6)
          AS dsir_avg_logratio
 FROM bucketed bk JOIN grid gr ON gr.b = bk.b
 WHERE NOT bk.is_t
@@ -1923,16 +1936,18 @@ def dsir_select_topk(
     deterministic engine exhibit takes the top of the ranking (the
     greedy limit of that sampler), which is also what teams ship when
     they want reproducible pulls. Ordering is total and
-    engine-portable: (score desc, doc_id asc), where the score is the
-    4dp-rounded fixed-point average both engines compute identically;
-    the global cut is a TakeOrderedAndProject (per-partition local
-    top-n, never a global sort).
+    engine-portable, and ranks on EXACT integers, not the rounded
+    display (ADVICE r11): the key is the unrounded quotient
+    s_fp/n_tokens — ONE correctly-rounded IEEE division of two exact
+    int64s, bit-identical in both engines — with doc_id as the total
+    tie-break; a 6dp display re-round can never flip membership. The
+    global cut is a TakeOrderedAndProject (per-partition local top-n,
+    never a global sort).
     """
     scored = dsir_importance_weights(documents, target_lang, buckets)
-    picked = scored.orderBy(
-        F.col("dsir_avg_logratio").desc(), F.col("doc_id").asc()
-    ).limit(top_n)
-    w = Window.orderBy(F.col("dsir_avg_logratio").desc(), F.col("doc_id").asc())
+    key = F.col("s_fp") / F.col("n_tokens")
+    picked = scored.orderBy(key.desc(), F.col("doc_id").asc()).limit(top_n)
+    w = Window.orderBy(key.desc(), F.col("doc_id").asc())
     return picked.withColumn(
         "selection_rank", F.row_number().over(w).cast("long")
     )
@@ -1944,11 +1959,12 @@ def dsir_select_topk_sql(
     """Twin: the DSIR score chain + the same total-order cut."""
     inner = dsir_importance_weights_sql(target_lang, buckets).strip()
     return f"""
-SELECT doc_id, source, n_tokens, dsir_avg_logratio,
-       CAST(row_number() OVER (ORDER BY dsir_avg_logratio DESC, doc_id ASC)
+SELECT doc_id, source, n_tokens, s_fp, dsir_avg_logratio,
+       CAST(row_number() OVER (
+              ORDER BY CAST(s_fp AS DOUBLE) / n_tokens DESC, doc_id ASC)
             AS BIGINT) AS selection_rank
 FROM ({inner}) scored
-ORDER BY dsir_avg_logratio DESC, doc_id ASC
+ORDER BY CAST(s_fp AS DOUBLE) / n_tokens DESC, doc_id ASC
 LIMIT {top_n}
 """
 

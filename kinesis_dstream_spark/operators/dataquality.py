@@ -2085,7 +2085,13 @@ def theil_from_value_frequency(counts: DataFrame) -> DataFrame:
     return out.select(
         "event_type",
         F.col("n_g").cast("long").alias("n"),
-        F.expr("x_g * 1000000 div x").cast("long").alias("share_ppm"),
+        # x_g = Σc·iv can pass ~9.2e12 on large corpora, where the
+        # ×1e6 product overflows int64 (Spark wraps silently, DuckDB
+        # raises — inconsistent failure modes); route the product
+        # through decimal(38,0) ↔ HUGEINT like the W1 sibling
+        F.expr("cast(x_g as decimal(38,0)) * 1000000 div x")
+        .cast("long")
+        .alias("share_ppm"),
         F.round(
             F.col("num").cast("double") / F.col("x_g") / _THEIL_SCALE, 6
         ).alias("theil_within"),
@@ -2127,7 +2133,7 @@ WITH freq AS (
 )
 SELECT g.event_type,
        g.n_g AS n,
-       CAST(g.x_g * 1000000 // t.x AS BIGINT) AS share_ppm,
+       CAST(CAST(g.x_g AS HUGEINT) * 1000000 // t.x AS BIGINT) AS share_ppm,
        round(CAST(num.num AS DOUBLE) / g.x_g / {_THEIL_SCALE}, 6)
          AS theil_within,
        round((g.x_g / t.x)

@@ -3749,7 +3749,11 @@ def ab_value_welch_ttest(events: DataFrame) -> DataFrame:
         F.round(F.col("sx_a") / 100.0, 2).alias("rev_a"),
         "n_b",
         F.round(F.col("sx_b") / 100.0, 2).alias("rev_b"),
-        F.when(ok, F.round(m1 - m2, 4)).alias("mean_diff"),
+        # 6dp: mean_diff is a difference of two rationals (sx/n/100) —
+        # the rational-grid class where 4dp half-boundary hits diverge
+        # across engines (ADVICE r11); 4dp stays reserved for
+        # irrational chains (t_stat goes through sqrt)
+        F.when(ok, F.round(m1 - m2, 6)).alias("mean_diff"),
         F.when(ok & (se2 > 0), F.round(t, 4)).alias("t_stat"),
         F.when(ok & (se2 > 0), F.round(df, 2)).alias("welch_df"),
         F.when(ok & (se2 > 0), (F.abs(t) >= 1.96).cast("int")).alias(
@@ -3794,7 +3798,7 @@ WITH users AS (
 )
 SELECT n_a, round(sx_a / 100.0, 2) AS rev_a,
        n_b, round(sx_b / 100.0, 2) AS rev_b,
-       CASE WHEN n_a > 1 AND n_b > 1 THEN round(m1 - m2, 4) END AS mean_diff,
+       CASE WHEN n_a > 1 AND n_b > 1 THEN round(m1 - m2, 6) END AS mean_diff,
        CASE WHEN n_a > 1 AND n_b > 1 AND se2 > 0 THEN
          round((m1 - m2) / sqrt(se2), 4)
        END AS t_stat,
@@ -4123,7 +4127,9 @@ def ab_srm_check(events: DataFrame) -> DataFrame:
     return counts.select(
         "n_a",
         "n_b",
-        F.when(n > 0, F.round(chi2, 4)).alias("chi_square"),
+        # 6dp: d²/n is a pure rational — same 4dp half-boundary class
+        # as mean_diff (ADVICE r11)
+        F.when(n > 0, F.round(chi2, 6)).alias("chi_square"),
         F.when(n > 0, (chi2 > 3.841).cast("int")).alias("srm_detected"),
     )
 
@@ -4140,7 +4146,7 @@ WITH users AS (
 )
 SELECT n_a, n_b,
        CASE WHEN n_a + n_b > 0 THEN
-         round((n_a - n_b) * (n_a - n_b) / (n_a + n_b), 4)
+         round((n_a - n_b) * (n_a - n_b) / (n_a + n_b), 6)
        END AS chi_square,
        CASE WHEN n_a + n_b > 0 THEN
          CAST((n_a - n_b) * (n_a - n_b) / (n_a + n_b) > 3.841 AS INT)

@@ -906,6 +906,16 @@ def truncated_harmonic_centrality(edges: DataFrame, radius: int = 3) -> DataFram
     (src, node) keys. Everything is equi-join + distinct — no BFS
     state machine, no driver iteration over rows.
     """
+    # the ×6 harmonic integer grid (lcm of 1..3) below only covers
+    # radius 3, and the oracle generator asserts radius == 3 — fail
+    # loudly and IDENTICALLY on both sides rather than silently
+    # weighting outer rings 0 while still paying their frontier joins
+    # (ADVICE r11)
+    if radius != 3:
+        raise ValueError(
+            "truncated_harmonic_centrality supports radius=3 only (the "
+            "x6 lcm weight grid and its oracle twin are radius-3)"
+        )
     d1 = edges.select("src", F.col("dst").alias("node")).distinct()
     reach = {1: d1}
     cum = d1

@@ -770,6 +770,7 @@ def quantizer_recall_matrix(
     from kinesis_dstream_spark.operators.clustering import (
         ivf_deterministic_topk,
     )
+    from kinesis_dstream_spark.operators.knn_graph import ann_knn_graph_topk
     from kinesis_dstream_spark.operators.pq_det import ann_pq_det_topk
 
     iarr = _unit_int_arrays(embeddings).localCheckpoint()
@@ -802,6 +803,13 @@ def quantizer_recall_matrix(
         ),
         "ivf_sq8": ann_ivf_sq8_topk(
             embeddings, n_queries, topk, n_probe, k, n_assign, levels
+        ).select("q_id", "c_id", "rk"),
+        # the graph tier (r12): bounded-degree k-NN graph + fixed-round
+        # beam search — completes the matrix with the production-default
+        # ANN structure (graph-traversal loss: a true neighbor outside
+        # the beam's reachable set is missed)
+        "knn_graph": ann_knn_graph_topk(
+            embeddings, n_queries, topk, k=k, n_assign=n_assign
         ).select("q_id", "c_id", "rk"),
     }
     rows = []
@@ -845,6 +853,10 @@ def quantizer_recall_matrix_sql(
     chain + SQ chain, exact truth, one approx CTE per family, and the
     same trunc-div aggregate arithmetic. Multiply-referenced CTEs are
     MATERIALIZED (the DuckDB CTE-inlining trap, SCALE.md r8)."""
+    from kinesis_dstream_spark.operators.knn_graph import (
+        _ROUNDS as _KNNG_ROUNDS,
+        knng_cte_sql,
+    )
     from kinesis_dstream_spark.operators.pq_det import (
         _DSUB,
         _KSUB,
@@ -869,6 +881,7 @@ def quantizer_recall_matrix_sql(
         ("pq_det_flat", "ap_pq"),
         ("sq8_flat", "ap_sq8"),
         ("ivf_sq8", "ap_isq"),
+        ("knn_graph", "ap_kg"),
     ]:
         fam_aggs.append(f"""
 SELECT '{fam}' AS family,
@@ -965,6 +978,13 @@ FROM qset q LEFT JOIN (
       WHERE cell.vec_id <> p.q_id
       GROUP BY 1, 2
     )
+  ) WHERE rk <= {topk}
+){knng_cte_sql(n_queries, k=k, n_assign=n_assign, qset="qset", with_qset=False)}, ap_kg AS (
+  SELECT q_id, c_id, rk FROM (
+    SELECT q_id, node AS c_id,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY dot_num DESC, node) AS rk
+    FROM kg_b{_KNNG_ROUNDS}
   ) WHERE rk <= {topk}
 )
 {chr(10).join("UNION ALL" + b if i else b for i, b in enumerate(fam_aggs))}

@@ -1624,10 +1624,68 @@ FROM stats
 
 
 _PMI_SCALE = 1_000_000  # µ-units for ln() terms (the zipf/LM discipline)
+# shared defaults — the streaming maintenance drain imports THESE (and
+# the scoring helper below) so the batch oracle and the streamed
+# readout can never silently diverge on thresholds or arithmetic
+_PMI_MIN_COUNT = 5
+_PMI_TOP_K = 50
+
+
+def pmi_score_topk(
+    uni: DataFrame,
+    pair: DataFrame,
+    n_uni: int,
+    n_big: int,
+    min_count: int = _PMI_MIN_COUNT,
+    top_k: int = _PMI_TOP_K,
+) -> DataFrame:
+    """The SINGLE PMI scoring chain, shared by the batch operator and
+    the streaming maintenance drain (`streaming/jobs.py`): given the
+    unigram table ``uni(w, c)``, the UNFILTERED bigram table
+    ``pair(w1, w2, c_xy)``, and the two exact totals, apply the
+    min_count gate, the µ-unit ln fixed-point, and the integer-ranked
+    top-k cut. Any future change to thresholds or to the double chain
+    lands in both consumers by construction."""
+    pair = pair.filter(F.col("c_xy") >= min_count)
+    joined = (
+        pair.join(
+            F.broadcast(uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y"))),
+            "w2",
+        )
+    )
+    pmi_fp = F.round(
+        F.log(
+            (F.col("c_xy") * F.lit(float(n_uni)) * F.lit(float(n_uni)))
+            / (F.lit(float(n_big)) * F.col("c_x") * F.col("c_y"))
+        )
+        * _PMI_SCALE
+    ).cast("long")
+    return (
+        joined.select("w1", "w2", "c_xy", "c_x", "c_y", pmi_fp.alias("pmi_fp"))
+        .orderBy(F.col("pmi_fp").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(top_k)
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            "c_x",
+            "c_y",
+            # display at the FULL µ-unit precision: a 4dp re-round of a
+            # 6dp fixed-point can land exactly on a .5 boundary (hit at
+            # sf0.1: pmi_fp = 95450 → 0.0955 vs 0.0954 across engines);
+            # on its own 6dp grid the double is ~1e-17 from the grid
+            # point and ~5e-7 from any boundary — no engine can differ
+            F.round(F.col("pmi_fp") / _PMI_SCALE, 6).alias("pmi"),
+        )
+    )
 
 
 def token_pmi_collocations(
-    documents: DataFrame, min_count: int = 5, top_k: int = 50
+    documents: DataFrame, min_count: int = _PMI_MIN_COUNT, top_k: int = _PMI_TOP_K
 ) -> DataFrame:
     """Top-k adjacent-bigram collocations by pointwise mutual
     information — the classic phrase-mining pass (Church & Hanks 1990;
@@ -1665,52 +1723,14 @@ def token_pmi_collocations(
         .filter(F.col("w2").isNotNull())
         .select(F.col("w").alias("w1"), "w2")
     )
-    pair = (
-        big.groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("c_xy"))
-        .filter(F.col("c_xy") >= min_count)
-    )
+    pair = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
     n_big = big.count()
-    joined = (
-        pair.join(
-            F.broadcast(uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x"))),
-            "w1",
-        )
-        .join(
-            F.broadcast(uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y"))),
-            "w2",
-        )
-    )
-    pmi_fp = F.round(
-        F.log(
-            (F.col("c_xy") * F.lit(float(n_uni)) * F.lit(float(n_uni)))
-            / (F.lit(float(n_big)) * F.col("c_x") * F.col("c_y"))
-        )
-        * _PMI_SCALE
-    ).cast("long")
-    return (
-        joined.select(
-            "w1", "w2", "c_xy", "c_x", "c_y", pmi_fp.alias("pmi_fp")
-        )
-        .orderBy(F.col("pmi_fp").desc(), F.col("w1").asc(), F.col("w2").asc())
-        .limit(top_k)
-        .select(
-            "w1",
-            "w2",
-            "c_xy",
-            "c_x",
-            "c_y",
-            # display at the FULL µ-unit precision: a 4dp re-round of a
-            # 6dp fixed-point can land exactly on a .5 boundary (hit at
-            # sf0.1: pmi_fp = 95450 → 0.0955 vs 0.0954 across engines);
-            # on its own 6dp grid the double is ~1e-17 from the grid
-            # point and ~5e-7 from any boundary — no engine can differ
-            F.round(F.col("pmi_fp") / _PMI_SCALE, 6).alias("pmi"),
-        )
-    )
+    return pmi_score_topk(uni, pair, n_uni, n_big, min_count, top_k)
 
 
-def token_pmi_collocations_sql(min_count: int = 5, top_k: int = 50) -> str:
+def token_pmi_collocations_sql(
+    min_count: int = _PMI_MIN_COUNT, top_k: int = _PMI_TOP_K
+) -> str:
     """DuckDB twin generated from the SAME thresholds."""
     duck_toks = "str_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')"
     s = _PMI_SCALE

@@ -36,6 +36,7 @@ from kinesis_dstream_spark.operators import (
     eventflow,
     governance,
     graph,
+    knn_graph,
     linkage,
     multimodal,
     reference_ops,
@@ -4470,6 +4471,14 @@ def _q_ann_ndcg(spark: SparkSession, sf: str) -> DataFrame:
     return clustering.ann_ndcg_report(load_table(spark, sf, "embeddings"))
 
 
+def _q_knn_graph_topk(spark: SparkSession, sf: str) -> DataFrame:
+    return knn_graph.ann_knn_graph_topk(load_table(spark, sf, "embeddings"))
+
+
+def _q_knn_graph_stats(spark: SparkSession, sf: str) -> DataFrame:
+    return knn_graph.knn_graph_degree_stats(load_table(spark, sf, "embeddings"))
+
+
 def _q_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
     return curation.dsir_importance_weights(load_table(spark, sf, "documents"))
 
@@ -6314,6 +6323,18 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "wasserstein_from_store": (
         _q_wasserstein_from_store,
         dataquality.VALUE_WASSERSTEIN_SQL,
+    ),
+    # graph-based ANN — the HNSW/NSW tier (E-11, r12): deterministic
+    # bounded-out-degree k-NN graph (cell-blocked candidates, md5-capped
+    # pools, exact-int-dot edges) served by FIXED-ROUND beam search —
+    # the production-default ANN structure the quantizer grid lacked,
+    # hash-certifiable end to end like det-IVF
+    "ann_knn_graph_topk": (_q_knn_graph_topk, knn_graph.ANN_KNN_GRAPH_SQL),
+    # the graph-quality ledger for that build: degree envelope +
+    # reciprocity (navigability), exact ints over the m-bounded edges
+    "knn_graph_degree_stats": (
+        _q_knn_graph_stats,
+        knn_graph.KNN_GRAPH_STATS_SQL,
     ),
 }
 

@@ -2260,7 +2260,6 @@ def streaming_pmi_maintenance(
     is touched once per arriving batch, never again.
     """
     from kinesis_dstream_spark.functions.textfns import tokens
-    from kinesis_dstream_spark.operators.text import _PMI_SCALE
     from pyspark.sql import Window
 
     state_dir = state_dir or tempfile.mkdtemp(prefix="kds_pmi_state_")
@@ -2313,7 +2312,12 @@ def streaming_pmi_maintenance(
         .start()
     )
     q.awaitTermination()
-    min_count, top_k = 5, 50
+    # drain: the scoring chain and thresholds are IMPORTED from the
+    # batch operator (ADVICE r11) — the registered oracle is built from
+    # token_pmi_collocations' defaults, so the drain must share them by
+    # construction, not by a hand-copied (5, 50)
+    from kinesis_dstream_spark.operators.text import pmi_score_topk
+
     uni = (
         spark.read.parquet(uni_path).groupBy("w").agg(F.sum("c").alias("c"))
     )
@@ -2321,46 +2325,12 @@ def streaming_pmi_maintenance(
         spark.read.parquet(big_path)
         .groupBy("w1", "w2")
         .agg(F.sum("c").alias("c_xy"))
-        .filter(F.col("c_xy") >= min_count)
     )
     n_uni = uni.agg(F.sum("c")).collect()[0][0]
     n_big = (
         spark.read.parquet(big_path).agg(F.sum("c")).collect()[0][0]
     )
-    joined = (
-        pair.join(
-            F.broadcast(
-                uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x"))
-            ),
-            "w1",
-        )
-        .join(
-            F.broadcast(
-                uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y"))
-            ),
-            "w2",
-        )
-    )
-    pmi_fp = F.round(
-        F.log(
-            (F.col("c_xy") * F.lit(float(n_uni)) * F.lit(float(n_uni)))
-            / (F.lit(float(n_big)) * F.col("c_x") * F.col("c_y"))
-        )
-        * _PMI_SCALE
-    ).cast("long")
-    return (
-        joined.select("w1", "w2", "c_xy", "c_x", "c_y", pmi_fp.alias("pmi_fp"))
-        .orderBy(F.col("pmi_fp").desc(), F.col("w1").asc(), F.col("w2").asc())
-        .limit(top_k)
-        .select(
-            "w1",
-            "w2",
-            "c_xy",
-            "c_x",
-            "c_y",
-            F.round(F.col("pmi_fp") / _PMI_SCALE, 6).alias("pmi"),
-        )
-    )
+    return pmi_score_topk(uni, pair, n_uni, n_big)
 
 
 def streaming_cohort_maintenance(

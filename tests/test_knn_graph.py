@@ -1,0 +1,148 @@
+"""Deterministic graph-ANN (operators/knn_graph.py): the semantic
+bounds the DuckDB oracle can't express — recall vs the exact
+brute-force ranking (with the graph tier REQUIRED to beat det-IVF,
+its reason to exist), the hard out-degree cap, beam monotonicity, and
+reproducibility. Value-level exactness is covered by the registry
+oracles (``ann_knn_graph_topk`` / ``knn_graph_degree_stats`` /
+the ``knn_graph`` row of ``quantizer_recall_matrix``)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from kinesis_dstream_spark.operators import knn_graph
+from kinesis_dstream_spark.operators.clustering import (
+    _unit_int_arrays,
+    ivf_deterministic_topk,
+)
+from kinesis_dstream_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").localCheckpoint()
+
+
+def _exact_truth(emb, n_queries=10, topk=5):
+    iarr = {
+        r["vec_id"]: np.array(r["iu"], np.int64)
+        for r in _unit_int_arrays(emb).collect()
+    }
+    truth = {}
+    for q in range(n_queries):
+        scores = sorted(
+            ((int(iarr[q] @ v), c) for c, v in iarr.items() if c != q),
+            key=lambda t: (-t[0], t[1]),
+        )[:topk]
+        truth[q] = {c for _, c in scores}
+    return truth
+
+
+def test_degree_cap_and_edge_ordering(emb):
+    """Every node's out-degree is hard-capped at m, ranks are dense
+    1..deg, and edge dots are non-increasing in rank — the navigable
+    bounded-degree contract beam search relies on."""
+    edges = knn_graph.knn_graph_edges(emb, m=5).collect()
+    per_src = {}
+    for r in edges:
+        per_src.setdefault(r["src"], []).append(r)
+    assert per_src, "graph is empty"
+    for src, rows in per_src.items():
+        assert len(rows) <= 5
+        rks = sorted(r["rk"] for r in rows)
+        assert rks == list(range(1, len(rows) + 1))
+        dots = [r["dot_num"] for r in sorted(rows, key=lambda r: r["rk"])]
+        assert dots == sorted(dots, reverse=True)
+        assert all(r["dst"] != src for r in rows)
+
+
+def test_beam_search_shape_and_recall_beats_ivf(emb):
+    """Graph serve returns exactly topk dense-ranked rows per query;
+    recall vs the exact integer ranking clears 0.5 AND strictly beats
+    the det-IVF tier at the same (k, n_assign) — measured 0.88 / 0.88
+    / 0.64 vs IVF's 0.36 / 0.40 / 0.36 at sf0.001/0.01/0.1; floors
+    set conservatively below."""
+    out = knn_graph.ann_knn_graph_topk(emb, n_queries=10, topk=5).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["q_id"], []).append(r)
+    assert set(per_q) == set(range(10))
+    for v in per_q.values():
+        assert sorted(r["rk"] for r in v) == [1, 2, 3, 4, 5]
+        dots = [r["dot_num"] for r in sorted(v, key=lambda r: r["rk"])]
+        assert dots == sorted(dots, reverse=True)
+
+    truth = _exact_truth(emb)
+    g_hits = sum(
+        len(truth[q] & {r["c_id"] for r in per_q[q]}) for q in range(10)
+    )
+    ivf = ivf_deterministic_topk(emb, n_queries=10, topk=5).collect()
+    ivf_q = {}
+    for r in ivf:
+        ivf_q.setdefault(r["q_id"], set()).add(r["c_id"])
+    i_hits = sum(len(truth[q] & ivf_q.get(q, set())) for q in range(10))
+    assert g_hits / 50 >= 0.5, f"graph recall {g_hits/50} below floor"
+    assert g_hits > i_hits, (
+        f"graph tier ({g_hits}/50) must beat det-IVF ({i_hits}/50) — "
+        "that is its reason to exist"
+    )
+
+
+def test_beam_width_monotonicity(emb):
+    """Widening the beam can only improve (or hold) recall — the beam
+    keeps best-so-far (candidates always include the standing beam),
+    so the visited set grows monotonically with the width."""
+    truth = _exact_truth(emb)
+
+    def recall(beam):
+        out = knn_graph.ann_knn_graph_topk(
+            emb, n_queries=10, topk=5, beam=beam
+        ).collect()
+        per_q = {}
+        for r in out:
+            per_q.setdefault(r["q_id"], set()).add(r["c_id"])
+        return sum(len(truth[q] & per_q.get(q, set())) for q in range(10))
+
+    assert recall(24) >= recall(8)
+
+
+def test_serve_is_reproducible(emb):
+    a = sorted(
+        map(tuple, knn_graph.ann_knn_graph_topk(emb, 10, 5).collect())
+    )
+    b = sorted(
+        map(tuple, knn_graph.ann_knn_graph_topk(emb, 10, 5).collect())
+    )
+    assert a == b
+
+
+def test_degree_stats_consistency(emb):
+    """The stats row must agree with the raw edge list it summarizes."""
+    edges = knn_graph.knn_graph_edges(emb).select("src", "dst").collect()
+    eset = {(r["src"], r["dst"]) for r in edges}
+    stats = knn_graph.knn_graph_degree_stats(emb).collect()[0]
+    assert stats["n_edges"] == len(eset)
+    assert stats["n_reciprocal"] == sum(
+        1 for s, d in eset if (d, s) in eset
+    )
+    assert stats["max_out_degree"] <= knn_graph._M
+    assert (
+        stats["reciprocity_ppm"]
+        == stats["n_reciprocal"] * 1_000_000 // stats["n_edges"]
+    )
+
+
+def test_radius_escape_hatch(emb):
+    """Beam search reaches nodes OUTSIDE the query's own probed cells
+    — the multi-hop traversal property that lets the graph tier beat
+    single-shot IVF probing on this fixture (verified by the recall
+    gap above); here we pin that at least one served neighbor is not
+    an out-neighbor of the query itself, i.e. the serve is genuinely
+    walking the graph, not reading an adjacency row."""
+    out = knn_graph.ann_knn_graph_topk(emb, n_queries=10, topk=5).collect()
+    served = {(r["q_id"], r["c_id"]) for r in out}
+    edges = knn_graph.knn_graph_edges(emb).select("src", "dst").collect()
+    adj = {(r["src"], r["dst"]) for r in edges}
+    assert any(pair not in adj for pair in served)
