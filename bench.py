@@ -6,12 +6,14 @@ the driver's 2000-char stdout-tail capture always parses it):
    "queries": {<top-5 slowest>: sec}, "n_queries": N, "sf": <sf>,
    "loadavg_start": [...], "loadavg_end": [...], "noisy": bool,
    "detail": "BENCH_DETAIL.json"}
-``noisy`` is the r10 loadavg guard (r11-hardened): the run waits up
-to $SPARK_GRAFT_BENCH_LOADAVG_WAIT (600 s) for the 1-min load to drop
-under $SPARK_GRAFT_BENCH_LOADAVG_MAX (1.5) AND the 5-min load under
-2x that (the r10 record passed the 1-min gate at la1=1.35 with
-la5=4.48 and still read ~15% hot), stamping noisy=true if it never
-did — a loaded-host record is produced but
+``noisy`` is the r10 loadavg guard (r11/r12-hardened): the run waits
+up to $SPARK_GRAFT_BENCH_LOADAVG_WAIT (1200 s) for the 1-min load to
+drop under $SPARK_GRAFT_BENCH_LOADAVG_MAX (1.5) AND the 5-min AND
+15-min loads under 2x that (the r10 record passed the 1-min gate at
+la1=1.35 with la5=4.48 and still read ~15% hot; the r11 session-2
+record passed la1/la5 at [0.09, 1.32, 3.22] and still read +7.3% —
+the la15 tail marks an unsettled host), stamping noisy=true if it
+never did — a loaded-host record is produced but
 self-labeling, never silently trend-polluting (r9 lesson: the
 committed 149.8 s record at loadavg 3.57 overstated the engine ~17%
 vs its own 127.5 s solo run).
@@ -231,6 +233,22 @@ coarse+residual fit + serve exhibit), sorted_nbhd_threepass ~4.5
 survival_km / psi_drift / benford_audit / pps_sample all sub-1 s
 (one-or-two-scan aggregates; PPS's cumulative is the 2-pass
 range-partitioned sum, zero exchanges in the audited plan).
+
+r12 phase attribution of the streaming_ivf_pq_ingest quiet-host drift
+(r11 verdict task 2 — solo 10.32 r10 -> 12.09 r11): a one-off
+split-phase profile at sf0.1 reads ensure ~4.4-4.7 s / 4-batch drain
+~10.8 s / serve ~2.0 s steady-state, so the DRAIN, not the r11
+sidecar-gating bootstrap change, carries the growth. Root cause found
+in the append path: the m subspace codes were computed as m
+sequential _assign + SHUFFLE JOINS per micro-batch (16 extra shuffle
+joins per 4-batch drain) while the ensure/residual paths already used
+the fused one-projection encode. r12 switches the append to
+`_fused_assign_codes` (values bit-identical — golden hashes and the
+shared ingest oracle unchanged); the same profile re-reads drain
+~8.7 s, total ~15.5 -> whatever the close records on a true-quiet
+host. Residual per-batch cost is ~6 fixed-overhead driver jobs
+(fingerprint, assign, cells collect, pruned anti-join, isEmpty,
+encode+write) — lifecycle price, not a scale term.
 
 r11 solo run (sf0.1, loadavg_start [0.04, 0.29, 1.69] — both guard
 horizons quiet): 159 entries, total 212.0 s. The 11 new entries cost
@@ -546,6 +564,15 @@ BENCH_QUERIES = {
     # + fixed-round beam serve, and the build's quality ledger
     "ann_knn_graph": "ann_knn_graph_topk",
     "knn_graph_stats": "knn_graph_degree_stats",
+    # r12: unigram-LM tokenizer (SentencePiece shape) — bounded
+    # driver-side Viterbi-EM fit + one Arrow encode pass
+    "unigram_lm": "unigram_lm_token_counts",
+    # r12 wave 2: the graph-ANN store lifecycle — warm-store serve,
+    # batch frozen-structure ingest, and the streaming drain (whole
+    # lifecycle priced as one entry, the streaming-ANN convention)
+    "ann_knn_graph_serve": "ann_knn_graph_serve",
+    "ann_knn_graph_ingest": "ann_knn_graph_ingest_serve",
+    "streaming_knn_graph_ingest": "streaming_knn_graph_ingest",
 }
 
 
@@ -590,16 +617,24 @@ def _loadavg() -> list[float]:
 
 def _host_is_noisy(la: list[float], threshold: float) -> bool:
     """Noisy iff the 1-min load is over ``threshold`` OR the 5-min
-    load is over 2·threshold. The second clause is the r10 lesson: the
-    r10 driver record passed the 1-min gate at la1=1.35 while la5 was
-    4.48 — the host had JUST been busy (page cache cold, cgroup
-    throttling settling) and the record read ~15% above the same
-    round's solo run, manufacturing phantom per-query regressions."""
+    load is over 2·threshold OR the 15-min load is over 2·threshold.
+    The second clause is the r10 lesson: the r10 driver record passed
+    the 1-min gate at la1=1.35 while la5 was 4.48 — the host had JUST
+    been busy (page cache cold, cgroup throttling settling) and the
+    record read ~15% above the same round's solo run, manufacturing
+    phantom per-query regressions. The third clause is the r11 lesson
+    (verdict task 4): the r11 session-2 close passed la1/la5 at
+    [0.09, 1.32, 3.22] yet still read +7.3% vs the SAME round's
+    true-quiet record — the 15-min tail of a preceding sweep marks a
+    host whose caches/throttle state haven't settled even when the
+    instantaneous readings look calm. Bounding la15 forces the quiet
+    DWELL that makes committed close records solo-comparable."""
     if not la:
         return False
     noisy_1m = la[0] >= threshold
     noisy_5m = len(la) > 1 and la[1] >= 2.0 * threshold
-    return noisy_1m or noisy_5m
+    noisy_15m = len(la) > 2 and la[2] >= 2.0 * threshold
+    return noisy_1m or noisy_5m or noisy_15m
 
 
 def _wait_for_quiet_host(threshold: float, max_wait_s: float) -> list[float]:
@@ -619,9 +654,9 @@ def _wait_for_quiet_host(threshold: float, max_wait_s: float) -> list[float]:
     la = _loadavg()
     while _host_is_noisy(la, threshold) and _t.time() < deadline:
         print(
-            f"# loadavg {la[0]:.2f}/{la[1]:.2f} (1m/5m) vs gate "
-            f"{threshold}/{2 * threshold} — waiting for quiet host "
-            f"({int(deadline - _t.time())}s left)"
+            f"# loadavg {la[0]:.2f}/{la[1]:.2f}/{la[2]:.2f} (1m/5m/15m) "
+            f"vs gate {threshold}/{2 * threshold}/{2 * threshold} — "
+            f"waiting for quiet host ({int(deadline - _t.time())}s left)"
         )
         _t.sleep(15)
         la = _loadavg()
@@ -631,10 +666,12 @@ def _wait_for_quiet_host(threshold: float, max_wait_s: float) -> list[float]:
 def main() -> None:
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
     la_max = float(os.environ.get("SPARK_GRAFT_BENCH_LOADAVG_MAX", "1.5"))
-    # 600s default (r11): the 5-min horizon decays slowly — a host that
-    # was busy 2 min ago needs ~5-8 min to read quiet on la5, and 300s
-    # systematically lost that race (the r10 record's exact failure)
-    la_wait = float(os.environ.get("SPARK_GRAFT_BENCH_LOADAVG_WAIT", "600"))
+    # 1200s default (r12, was 600): the gate now also bounds the
+    # 15-min horizon, which decays even slower than la5 — a host that
+    # ran a sweep 10 min ago needs ~15-20 min for la15 to drop under
+    # 2×threshold, and a 600s budget would systematically lose that
+    # race the way 300s lost the la5 race in r10
+    la_wait = float(os.environ.get("SPARK_GRAFT_BENCH_LOADAVG_WAIT", "1200"))
     loadavg_start = _wait_for_quiet_host(la_max, la_wait)
     noisy = _host_is_noisy(loadavg_start, la_max)
     spark = get_spark("kds-bench")

@@ -281,13 +281,21 @@ def _ensure_gov_stores(spark: SparkSession, sf_dir: str, base: str) -> dict[str,
         )
         with open(sg_meta, "w") as f:
             json.dump({"fingerprint": doc_fp}, f)
+    # fifteenth store (r12): the persisted graph-ANN (HNSW) index —
+    # nodes hold the subject's unit vectors VERBATIM and edge rows
+    # assert which other subjects they are most similar to (an
+    # adjacency over people is itself derived personal data)
+    from kinesis_dstream_spark.operators import knn_graph
+
+    paths["knn_graph_index"] = os.path.join(base, "knn_graph")
+    knn_graph.knn_graph_store_ensure(emb, paths["knn_graph_index"])
     return paths
 
 
 def erasure_report_full(
     spark: SparkSession, sf_dir: str, work_dir: str | None = None
 ) -> DataFrame:
-    """Subject erasure across ALL TWELVE stores — the raw/derived trio of
+    """Subject erasure across ALL FIFTEEN stores — the raw/derived trio of
     the basic report PLUS the persisted derived stores that hold
     subject-derived text and vectors on disk: the ANN index, the chunk
     store, the MinHash dedup index, the two pair artifacts, and the
@@ -344,120 +352,141 @@ def erasure_report_full(
         work_dir = f"{tempfile.gettempdir()}/kds_gov_erase_u{_UID}_{tag}"
         if os.path.exists(work_dir):
             shutil.rmtree(work_dir)
-    erased_paths = {}
-    for name, src in pristine.items():
-        dst = os.path.join(work_dir, name)
-        _copy_tree(src, dst)
-        erased_paths[name] = dst
+    erased_paths = {name: os.path.join(work_dir, name) for name in pristine}
 
     events = load_table(spark, sf_dir, "events")
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
+    # materialize the tiny request sets once: every store task
+    # broadcasts them, and the concurrent tasks below must not race on
+    # recomputing the same distinct lineage
     req_users = (
         events.select("user_id").distinct().where(F.col("user_id") % _ERASE_MOD == 0)
-    )
+    ).localCheckpoint()
     req_docs = (
         docs.select("doc_id").distinct().where(F.col("doc_id") % _ERASE_MOD == 0)
-    )
+    ).localCheckpoint()
     req_vecs = (
         emb.select(F.col("vec_id")).distinct().where(F.col("vec_id") % _ERASE_MOD == 0)
-    )
+    ).localCheckpoint()
 
-    erase_parquet_store(spark, erased_paths["ann_index"], req_vecs, "vec_id")
-    # model-parameter erasure: force a codebook refit on next ensure
     from kinesis_dstream_spark.operators.ann_index import (
         ann_index_invalidate_codebooks,
     )
-
-    ann_index_invalidate_codebooks(erased_paths["ann_index"])
-    # eighth store: erase the subject's code rows from the probed-cell
-    # layout, then poison the fingerprint — the Lloyd centroids were
-    # trained on the full corpus, so the next ensure() refits them on
-    # the erased corpus (same contract as the PQ codebooks above)
     from kinesis_dstream_spark.operators.clustering import (
         ivf_det_store_invalidate,
     )
-
-    erase_parquet_store(
-        spark,
-        os.path.join(erased_paths["ivf_det_index"], "codes"),
-        req_vecs,
-        "vec_id",
-    )
-    ivf_det_store_invalidate(erased_paths["ivf_det_index"])
-    # tenth store: PQ code rows die with the vectors; coarse centroids
-    # AND subspace codebooks are refit-poisoned (same contract)
     from kinesis_dstream_spark.operators.pq_det import (
         ivf_pq_det_store_invalidate,
-    )
-
-    erase_parquet_store(
-        spark,
-        os.path.join(erased_paths["ivf_pq_det_index"], "codes"),
-        req_vecs,
-        "vec_id",
-    )
-    ivf_pq_det_store_invalidate(erased_paths["ivf_pq_det_index"])
-    # eleventh store: residual code rows die with the vectors; the
-    # coarse-centroid + residual-codebook pair is refit-poisoned
-    from kinesis_dstream_spark.operators.pq_det import (
         ivf_pq_res_store_invalidate,
     )
-
-    erase_parquet_store(
-        spark,
-        os.path.join(erased_paths["ivf_pq_res_index"], "codes"),
-        req_vecs,
-        "vec_id",
-    )
-    ivf_pq_res_store_invalidate(erased_paths["ivf_pq_res_index"])
-    # twelfth store: SQ8 code rows die with the vectors; the
-    # (coarse centroids + bounds) model pair is refit-poisoned
     from kinesis_dstream_spark.operators.sq_det import (
         ivf_sq8_store_invalidate,
     )
 
-    erase_parquet_store(
-        spark,
-        os.path.join(erased_paths["ivf_sq8_index"], "codes"),
-        req_vecs,
-        "vec_id",
-    )
-    ivf_sq8_store_invalidate(erased_paths["ivf_sq8_index"])
-    erase_parquet_store(
-        spark, os.path.join(erased_paths["chunk_store"], "chunks"), req_docs, "doc_id"
-    )
-    for sub in ("bands", "shingles"):
-        erase_parquet_store(
-            spark,
-            os.path.join(erased_paths["minhash_dedup_index"], sub),
-            req_docs,
-            "doc_id",
-        )
-    # pairs artifact: a row dies if EITHER endpoint is erased — two
-    # sequential broadcast anti-joins (equivalent to the OR-removal,
-    # each a hash anti-join; an OR condition would force a nested loop)
     pairs_data = os.path.join(erased_paths["near_dup_pairs"], "pairs")
-    erase_parquet_store(
-        spark, pairs_data, req_docs.withColumnRenamed("doc_id", "doc_a"), "doc_a"
-    )
-    erase_parquet_store(
-        spark, pairs_data, req_docs.withColumnRenamed("doc_id", "doc_b"), "doc_b"
-    )
     setsim_data = os.path.join(erased_paths["setsim_pairs"], "pairs")
-    erase_parquet_store(
-        spark, setsim_data, req_docs.withColumnRenamed("doc_id", "doc_a"), "doc_a"
-    )
-    erase_parquet_store(
-        spark, setsim_data, req_docs.withColumnRenamed("doc_id", "doc_b"), "doc_b"
-    )
-    # thirteenth store: the experiment granules die with the subject —
-    # an A/B readout recomputed after erasure must not count them
     ab_data = os.path.join(erased_paths["ab_user_granules"], "granules")
-    erase_parquet_store(spark, ab_data, req_users, "user_id")
-    # fourteenth store: the subject's sentences die with the document
     sg_data = os.path.join(erased_paths["sentence_granules"], "granules")
-    erase_parquet_store(spark, sg_data, req_docs, "doc_id")
+
+    def _erase_codes_store(name: str, invalidate) -> None:
+        # code rows die with the vectors; the trained model (centroids /
+        # codebooks / bounds) is refit-poisoned — parameters trained on
+        # a sample that may have contained the subject never
+        # fingerprint-match again
+        erase_parquet_store(
+            spark, os.path.join(erased_paths[name], "codes"), req_vecs, "vec_id"
+        )
+        invalidate(erased_paths[name])
+
+    def _erase_pairs(path: str) -> None:
+        # pairs artifact: a row dies if EITHER endpoint is erased — two
+        # sequential broadcast anti-joins (equivalent to the OR-removal,
+        # each a hash anti-join; an OR condition would force a nested
+        # loop). Sequential WITHIN the store (same path), parallel
+        # across stores.
+        erase_parquet_store(
+            spark, path, req_docs.withColumnRenamed("doc_id", "doc_a"), "doc_a"
+        )
+        erase_parquet_store(
+            spark, path, req_docs.withColumnRenamed("doc_id", "doc_b"), "doc_b"
+        )
+
+    def _erase_minhash() -> None:
+        for sub in ("bands", "shingles"):
+            erase_parquet_store(
+                spark,
+                os.path.join(erased_paths["minhash_dedup_index"], sub),
+                req_docs,
+                "doc_id",
+            )
+
+    def _erase_ann_index() -> None:
+        erase_parquet_store(spark, erased_paths["ann_index"], req_vecs, "vec_id")
+        # model-parameter erasure: force a codebook refit on next ensure
+        ann_index_invalidate_codebooks(erased_paths["ann_index"])
+
+    def _erase_knn_graph() -> None:
+        # nodes die with the subject's vectors; edge rows die if EITHER
+        # endpoint is erased (the pairs-artifact rule — an edge asserts
+        # similarity about both subjects); cells/pool/edges were all
+        # derived from the full corpus, so the structure refit-poisons
+        from kinesis_dstream_spark.operators.knn_graph import (
+            knn_graph_store_invalidate,
+        )
+
+        root = erased_paths["knn_graph_index"]
+        erase_parquet_store(
+            spark, os.path.join(root, "nodes"), req_vecs, "vec_id"
+        )
+        epath = os.path.join(root, "edges")
+        erase_parquet_store(
+            spark, epath, req_vecs.withColumnRenamed("vec_id", "src"), "src"
+        )
+        erase_parquet_store(
+            spark, epath, req_vecs.withColumnRenamed("vec_id", "dst"), "dst"
+        )
+        knn_graph_store_invalidate(root)
+
+    # one task per independent store: copy the pristine tree, then run
+    # that store's physical erase. The 15 rewrites touch DISTINCT paths
+    # and share only the checkpointed request sets, so they submit
+    # concurrently (Spark's scheduler is thread-safe) — wall time grows
+    # with the slowest store, not the store COUNT, which had made the
+    # serial loop O(#stores) as the governance surface kept climbing
+    # (r11 verdict task 3)
+    tasks: dict[str, tuple] = {
+        "ann_index": (_erase_ann_index, ()),
+        "ivf_det_index": (_erase_codes_store, ("ivf_det_index", ivf_det_store_invalidate)),
+        "ivf_pq_det_index": (_erase_codes_store, ("ivf_pq_det_index", ivf_pq_det_store_invalidate)),
+        "ivf_pq_res_index": (_erase_codes_store, ("ivf_pq_res_index", ivf_pq_res_store_invalidate)),
+        "ivf_sq8_index": (_erase_codes_store, ("ivf_sq8_index", ivf_sq8_store_invalidate)),
+        "chunk_store": (
+            erase_parquet_store,
+            (spark, os.path.join(erased_paths["chunk_store"], "chunks"), req_docs, "doc_id"),
+        ),
+        "minhash_dedup_index": (_erase_minhash, ()),
+        "near_dup_pairs": (_erase_pairs, (pairs_data,)),
+        "setsim_pairs": (_erase_pairs, (setsim_data,)),
+        # the experiment granules die with the subject — an A/B readout
+        # recomputed after erasure must not count them
+        "ab_user_granules": (erase_parquet_store, (spark, ab_data, req_users, "user_id")),
+        # the subject's sentences die with the document
+        "sentence_granules": (erase_parquet_store, (spark, sg_data, req_docs, "doc_id")),
+        "knn_graph_index": (_erase_knn_graph, ()),
+    }
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _run(name: str) -> None:
+        _copy_tree(pristine[name], erased_paths[name])
+        fn, args = tasks[name]
+        fn(*args)
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        # materialize results so the first failure raises here, not
+        # silently inside a dropped future
+        list(pool.map(_run, tasks))
 
     # logical (in-memory derived) stores: anti-join views, as in the
     # basic report
@@ -546,6 +575,25 @@ def erasure_report_full(
             F.lit("minhash_dedup_index").alias("store"), "rows_before", "rows_after"
         )
     )
+    # graph store: nodes + edges accounted as one store (the minhash
+    # two-subtable pattern); rows_after read back from the erased disk
+    kg_pre = [os.path.join(pristine["knn_graph_index"], s) for s in ("nodes", "edges")]
+    kg_post = [os.path.join(erased_paths["knn_graph_index"], s) for s in ("nodes", "edges")]
+    kg_pre_cnt = (
+        spark.read.parquet(kg_pre[0]).agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(spark.read.parquet(kg_pre[1]).agg(F.count(F.lit(1)).alias("e")))
+        .select((F.col("n") + F.col("e")).alias("rows_before"))
+    )
+    kg_post_cnt = (
+        spark.read.parquet(kg_post[0]).agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(spark.read.parquet(kg_post[1]).agg(F.count(F.lit(1)).alias("e")))
+        .select((F.col("n") + F.col("e")).alias("rows_after"))
+    )
+    reports.append(
+        kg_pre_cnt.crossJoin(kg_post_cnt).select(
+            F.lit("knn_graph_index").alias("store"), "rows_before", "rows_after"
+        )
+    )
     return reduce(lambda a, b: a.unionByName(b), reports).select(
         "store",
         "rows_before",
@@ -593,11 +641,16 @@ SELECT 'minute_granules', before, erased, before - erased FROM gran
 # is exactly 9 per doc).
 _DUCK_TOKS_GOV = "str_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')"
 
-def erasure_full_sql(pairs_sql: str, setsim_sql: str | None = None) -> str:
-    """Twelve-store DuckDB twin; each pairs-artifact accounting re-derives
-    its artifact from the SAME pair definition the registry uses (pass
-    ``_SQL_DEDUP_JACCARD`` / ``_SQL_SETSIM_PREFIX`` — parameter
-    discipline, no silently diverging copies of the pair joins)."""
+def erasure_full_sql(
+    pairs_sql: str,
+    setsim_sql: str | None = None,
+    knng_edges_sql: str | None = None,
+) -> str:
+    """Fifteen-store DuckDB twin; each derived-artifact accounting
+    re-derives its artifact from the SAME definition the registry uses
+    (pass ``_SQL_DEDUP_JACCARD`` / ``_SQL_SETSIM_PREFIX`` /
+    ``KNN_GRAPH_EDGES_QUERY_SQL`` — parameter discipline, no silently
+    diverging copies of the build chains)."""
     sql = (
         ERASURE_FULL_SQL
         + f"""
@@ -621,6 +674,28 @@ SELECT 'setsim_pairs', before, erased, before - erased FROM (
                    THEN 1 ELSE 0 END) AS BIGINT) AS erased
   FROM ({setsim_sql}) sp
 )
+"""
+    if knng_edges_sql is not None:
+        # fifteenth store (r12): nodes (one row per vector, the ann
+        # cardinality law) + the m-bounded adjacency, edge rows dying
+        # on EITHER erased endpoint (the pairs rule)
+        sql += f"""
+UNION ALL
+SELECT 'knn_graph_index', n.before + e.before,
+       n.erased + e.erased,
+       (n.before - n.erased) + (e.before - e.erased)
+FROM (
+  SELECT count(*) AS before,
+         CAST(sum(CASE WHEN vec_id % {_ERASE_MOD} = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS erased
+  FROM embeddings
+) n CROSS JOIN (
+  SELECT count(*) AS before,
+         CAST(sum(CASE WHEN src % {_ERASE_MOD} = 0
+                        OR dst % {_ERASE_MOD} = 0
+                   THEN 1 ELSE 0 END) AS BIGINT) AS erased
+  FROM ({knng_edges_sql}) ke
+) e
 """
     return sql
 

@@ -83,34 +83,36 @@ def _dot_col(a: str, b: str):
     )
 
 
-def knn_graph_edges(
-    embeddings: DataFrame,
-    m: int = _M,
-    n_probe: int = _N_PROBE,
-    k: int = _K,
-    n_assign: int = _N_ASSIGN,
-    cell_cap: int = _CELL_CAP,
-) -> DataFrame:
-    """The bounded-out-degree k-NN graph: (src, dst, dot_num, rk) with
-    rk ≤ m per src. Candidates are cell-blocked (each node scores only
-    the md5-capped pools of its n_probe nearest deterministic-Lloyd
-    cells), so the build is linear in the corpus for fixed caps."""
-    iarr, asg, cents = _fit_kmeans(embeddings, k, n_assign)
-    nodes = iarr.select(F.col("vec_id").alias("q_id"), F.col("iu").alias("q_iu"))
-    probes = _ivf_probes(nodes, cents, n_probe)
+def _graph_pool(asg: DataFrame, cell_cap: int) -> DataFrame:
+    """The md5-capped candidate pool per cell (SemDeDup rep bound):
+    (vec_id, iu, cluster_id), ≤ cell_cap rows per cell."""
     pw = Window.partitionBy("cluster_id").orderBy(
         F.md5(F.concat(F.lit("knng:"), F.col("vec_id").cast("string"))),
         "vec_id",
     )
-    pool = (
+    return (
         asg.select("vec_id", "iu", "cluster_id")
         .withColumn("pr", F.row_number().over(pw))
         .filter(F.col("pr") <= cell_cap)
         .drop("pr")
     )
-    # pool is ≤ k·cell_cap rows by construction — broadcast it so the
-    # node-side (the corpus) never shuffles; at the 100 TB layout the
-    # equivalent is the cell-partitioned ann_index join
+
+
+def _edges_vs_pool(
+    nodes: DataFrame, pool: DataFrame, cents, m: int, n_probe: int
+) -> DataFrame:
+    """Out-edges of ``nodes`` against a (possibly FROZEN) candidate
+    pool: each node probes its n_probe nearest cells of ``cents`` and
+    keeps its top-m pool members by exact integer dot, (dot DESC,
+    dst ASC) ties. The pool is ≤ k·cell_cap rows by construction —
+    broadcast it so the node side (the corpus) never shuffles; at the
+    100 TB layout the equivalent is the cell-partitioned ann_index
+    join."""
+    probes = _ivf_probes(
+        nodes.select(F.col("vec_id").alias("q_id"), F.col("iu").alias("q_iu")),
+        cents,
+        n_probe,
+    )
     cand = probes.join(F.broadcast(pool), "cluster_id").filter(
         F.col("vec_id") != F.col("q_id")
     )
@@ -124,6 +126,22 @@ def knn_graph_edges(
         .withColumn("rk", F.row_number().over(ew))
         .filter(F.col("rk") <= m)
     )
+
+
+def knn_graph_edges(
+    embeddings: DataFrame,
+    m: int = _M,
+    n_probe: int = _N_PROBE,
+    k: int = _K,
+    n_assign: int = _N_ASSIGN,
+    cell_cap: int = _CELL_CAP,
+) -> DataFrame:
+    """The bounded-out-degree k-NN graph: (src, dst, dot_num, rk) with
+    rk ≤ m per src. Candidates are cell-blocked (each node scores only
+    the md5-capped pools of its n_probe nearest deterministic-Lloyd
+    cells), so the build is linear in the corpus for fixed caps."""
+    iarr, asg, cents = _fit_kmeans(embeddings, k, n_assign)
+    return _edges_vs_pool(iarr, _graph_pool(asg, cell_cap), cents, m, n_probe)
 
 
 def ann_knn_graph_topk(
@@ -154,6 +172,22 @@ def ann_knn_graph_topk(
         .localCheckpoint()
     )
     iarr = _unit_int_arrays(embeddings).localCheckpoint()
+    return _beam_serve(edges, iarr, n_queries, topk, n_entry, beam, rounds)
+
+
+def _beam_serve(
+    edges: DataFrame,
+    iarr: DataFrame,
+    n_queries: int,
+    topk: int,
+    n_entry: int,
+    beam: int,
+    rounds: int,
+) -> DataFrame:
+    """The shared fixed-round beam search over an adjacency frame:
+    identical math whether the graph came from the one-shot build or
+    the persisted store (one oracle serves both). ``edges`` should be
+    checkpointed/materialized by the caller (read twice per round)."""
     queries = iarr.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), F.col("iu").alias("q_iu")
     )
@@ -262,6 +296,7 @@ def knng_cte_sql(
     rounds: int = _ROUNDS,
     qset: str = "kg_q",
     with_qset: bool = True,
+    rev_pred: str | None = None,
 ) -> str:
     """The graph-build + beam-search CTE chain, to be appended after
     ``kmeans_oracle_cte`` (needs ``iarr``, ``lg``, ``a{n_assign}``,
@@ -271,7 +306,16 @@ def knng_cte_sql(
     reuse its existing query CTE. Ends with ``kg_b{rounds}`` — the
     final beam. Round CTEs are MATERIALIZED (each is read by the next
     round's union AND its neighbor expansion — the DuckDB CTE-inlining
-    trap would re-run the whole prefix exponentially)."""
+    trap would re-run the whole prefix exponentially).
+
+    ``rev_pred`` (the ingest twin): a predicate template with a
+    ``{col}`` placeholder marking INGESTED nodes (e.g.
+    ``"{col} % 5 = 4"``) — their out-edges gain reverse rows (the store append's
+    back-links) so beam search can reach nodes that are absent from
+    the frozen pool; combined with ``kmeans_oracle_cte(fit_pred=...)``
+    (cells/pool fit on the base split, ``iarr``/``lg``/probes over the
+    union) this chain is the relational proof that the incremental
+    insert refits nothing and is batch-order-independent."""
     cent_tbl = f"c{n_assign - 1}" if n_assign > 1 else "c0"
     dot_q_ia = _DOT.format(a="q.q_iu", b="ia.iu")
     sql = f""", kg_nd AS (
@@ -306,6 +350,18 @@ def knng_cte_sql(
     FROM kg_es
   ) WHERE rk <= {m}
 )"""
+    adj = "kg_edges"
+    if rev_pred is not None:
+        # back-links: reverse every ingested node's out-edges (a new
+        # node is never in the frozen pool, so no reverse row can
+        # duplicate an existing built edge)
+        adj = "kg_adj"
+        sql += f""", kg_adj AS MATERIALIZED (
+  SELECT src, dst FROM kg_edges
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM kg_edges
+  WHERE {rev_pred.format(col="src")}
+)"""
     if with_qset:
         sql += f""", {qset} AS (
   SELECT vec_id AS q_id, iu AS q_iu FROM iarr WHERE vec_id < {n_queries}
@@ -326,7 +382,7 @@ def knng_cte_sql(
   SELECT DISTINCT q_id, node FROM (
     SELECT q_id, node FROM {prev}
     UNION ALL
-    SELECT b.q_id, e.dst AS node FROM {prev} b JOIN kg_edges e ON e.src = b.node
+    SELECT b.q_id, e.dst AS node FROM {prev} b JOIN {adj} e ON e.src = b.node
   ) WHERE node <> q_id
 ), kg_b{r} AS MATERIALIZED (
   SELECT q_id, node, dot_num FROM (
@@ -360,6 +416,55 @@ def ann_knn_graph_sql(
         kmeans_oracle_cte(k=k, n_assign=n_assign)
         + knng_cte_sql(
             n_queries, m, n_probe, k, n_assign, cell_cap, n_entry, beam, rounds
+        )
+        + f"""
+SELECT q_id, node AS c_id, dot_num, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT q_id, node, dot_num,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY dot_num DESC, node) AS rk
+  FROM kg_b{rounds}
+) WHERE rk <= {topk}
+"""
+    )
+
+
+def ann_knn_graph_ingest_sql(
+    fit_pred: str = "vec_id % 5 <> 4",
+    new_pred: str = "{col} % 5 = 4",
+    n_queries: int = 10,
+    topk: int = 5,
+    m: int = _M,
+    n_probe: int = _N_PROBE,
+    k: int = _K,
+    n_assign: int = _N_ASSIGN,
+    cell_cap: int = _CELL_CAP,
+    n_entry: int = _N_ENTRY,
+    beam: int = _BEAM,
+    rounds: int = _ROUNDS,
+) -> str:
+    """Twin of the frozen-structure ingest flow (ensure on the
+    ``fit_pred`` base + append the rest + serve over the union): cells
+    AND the candidate pool are fit on the base subset only
+    (``kmeans_oracle_cte(fit_pred)`` restricts seeds/assignments;
+    ``kg_pool`` draws from the base assignment), then ALL nodes link
+    against that frozen pool and ingested nodes gain back-links — the
+    relational proof that the incremental HNSW insert refits nothing
+    and the final graph is independent of batch order. Shared by the
+    batch ``ann_knn_graph_ingest_serve`` entry and the drained
+    ``streaming_knn_graph_ingest`` job."""
+    return (
+        kmeans_oracle_cte(k=k, n_assign=n_assign, fit_pred=fit_pred)
+        + knng_cte_sql(
+            n_queries,
+            m,
+            n_probe,
+            k,
+            n_assign,
+            cell_cap,
+            n_entry,
+            beam,
+            rounds,
+            rev_pred=new_pred,
         )
         + f"""
 SELECT q_id, node AS c_id, dot_num, CAST(rk AS BIGINT) AS rk FROM (
@@ -409,5 +514,322 @@ GROUP BY r.n_reciprocal
     )
 
 
+def knn_graph_edges_query_sql(
+    m: int = _M,
+    n_probe: int = _N_PROBE,
+    k: int = _K,
+    n_assign: int = _N_ASSIGN,
+    cell_cap: int = _CELL_CAP,
+) -> str:
+    """Standalone (src, dst) edge-list query — the erasure oracle's
+    re-derivation of the persisted graph store's adjacency cardinality
+    (governance.py parameter discipline: the accounting twin reuses
+    THE SAME build chain the store uses, never a hand-copied count)."""
+    return (
+        kmeans_oracle_cte(k=k, n_assign=n_assign)
+        + knng_cte_sql(
+            m=m,
+            n_probe=n_probe,
+            k=k,
+            n_assign=n_assign,
+            cell_cap=cell_cap,
+            with_qset=False,
+        ).split(", kg_entries AS")[0]
+        + "\nSELECT src, dst FROM kg_edges\n"
+    )
+
+
 ANN_KNN_GRAPH_SQL = ann_knn_graph_sql()
 KNN_GRAPH_STATS_SQL = knn_graph_stats_sql()
+ANN_KNN_GRAPH_INGEST_SQL = ann_knn_graph_ingest_sql()
+KNN_GRAPH_EDGES_QUERY_SQL = knn_graph_edges_query_sql()
+
+
+# ---------------------------------------------------------------------------
+# persisted store lifecycle (the det-IVF store contract, clustering.py:699)
+# ---------------------------------------------------------------------------
+
+_KNNG_META = "_meta_knng.json"
+# replay-log cap: the appended-fingerprint list is a fast-path cache on
+# top of the row-level anti-join idempotence guard (see the det-IVF
+# append's rationale) — bounding it is safe
+_KNNG_APPEND_LOG_CAP = 64
+
+
+def knn_graph_store_ensure(
+    embeddings: DataFrame,
+    path: str,
+    m: int = _M,
+    n_probe: int = _N_PROBE,
+    k: int = _K,
+    n_assign: int = _N_ASSIGN,
+    cell_cap: int = _CELL_CAP,
+) -> dict:
+    """Build-if-absent persisted k-NN graph (the HNSW index artifact):
+
+    * ``nodes/`` — (vec_id, iu, in_pool) parquet PARTITIONED BY the
+      coarse ``cluster_id`` (append anti-joins prune to touched cells,
+      the det-IVF layout); ``in_pool`` marks the md5-capped candidate
+      pool, FROZEN at build time — incremental inserts link against
+      the base pool, never into it, which is what makes the append
+      order-independent (see ``knn_graph_store_append``).
+    * ``edges/`` — (src, dst, dot_num, rk) adjacency rows, rk ≤ m for
+      built edges, rk = -1 for ingest back-links.
+    * meta sidecar — corpus+params fingerprint, frozen coarse
+      centroids (k·d int64 literals), params; written LAST through the
+      atomic ``stores.write_meta`` seam (poison-first rebuild — the
+      det-IVF crash-safety contract verbatim).
+    """
+    import os
+
+    from kinesis_dstream_spark import stores
+    from kinesis_dstream_spark.operators.ann_index import corpus_fingerprint
+
+    fp = corpus_fingerprint(
+        embeddings, knn_graph=[m, n_probe, k, n_assign, cell_cap]
+    )
+    meta = stores.read_meta(path, _KNNG_META)
+    if meta is None or meta.get("fingerprint") != fp:
+        stores.remove_meta(path, _KNNG_META)  # poison FIRST
+        iarr, asg, cents = _fit_kmeans(embeddings, k, n_assign)
+        pool = _graph_pool(asg, cell_cap)
+        nodes = asg.select("vec_id", "iu", "cluster_id").join(
+            F.broadcast(pool.select("vec_id", F.lit(True).alias("in_pool"))),
+            "vec_id",
+            "left",
+        ).select(
+            "vec_id",
+            "iu",
+            F.coalesce("in_pool", F.lit(False)).alias("in_pool"),
+            "cluster_id",
+        )
+        nodes.write.mode("overwrite").partitionBy("cluster_id").parquet(
+            os.path.join(path, "nodes")
+        )
+        _edges_vs_pool(iarr, pool, cents, m, n_probe).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(path, "edges"))
+        meta = {
+            "fingerprint": fp,
+            "params": [m, n_probe, k, n_assign, cell_cap],
+            "centroids": [[cid, coords] for cid, coords in cents],
+        }
+        stores.write_meta(path, meta, _KNNG_META)  # LAST: build complete
+    return meta
+
+
+def knn_graph_store_invalidate(path: str) -> None:
+    """Poison the store fingerprint (erasure hook): the coarse cells,
+    the md5-capped pool, AND the graph edges were all derived from the
+    full corpus, so after subject vectors are erased the whole
+    structure must rebuild from the live corpus — the
+    ``ivf_det_store_invalidate`` contract."""
+    from kinesis_dstream_spark import stores
+
+    meta = stores.read_meta(path, _KNNG_META)
+    if meta is not None:
+        meta["fingerprint"] = "invalidated-by-erasure"
+        stores.write_meta(path, meta, _KNNG_META)
+
+
+def knn_graph_serve_frozen(
+    spark,
+    path: str,
+    n_queries: int = 10,
+    topk: int = 5,
+    n_entry: int = _N_ENTRY,
+    beam: int = _BEAM,
+    rounds: int = _ROUNDS,
+) -> DataFrame:
+    """The recurring serve: beam search over the STORED adjacency —
+    no fit, no graph build, no corpus pass beyond reading the stored
+    (vec_id, iu) node rows. Queries and the md5-ranked entry points
+    come from the stored nodes (base + ingested), so the serve is a
+    pure function of the store's content — identical rows to the
+    one-shot ``ann_knn_graph_topk`` on the same corpus (one oracle
+    serves both)."""
+    import os
+
+    from kinesis_dstream_spark import stores
+
+    if stores.read_meta(path, _KNNG_META) is None:
+        raise FileNotFoundError(
+            f"knn_graph_serve_frozen: no complete store at {path} "
+            "(missing/torn meta sidecar) — run knn_graph_store_ensure first"
+        )
+    edges = (
+        spark.read.parquet(os.path.join(path, "edges"))
+        .select("src", "dst")
+        .localCheckpoint()
+    )
+    iarr = (
+        spark.read.parquet(os.path.join(path, "nodes"))
+        .select("vec_id", "iu")
+        .localCheckpoint()
+    )
+    return _beam_serve(edges, iarr, n_queries, topk, n_entry, beam, rounds)
+
+
+def knn_graph_store_append(embeddings_new: DataFrame, path: str) -> None:
+    """Incremental node insertion — the HNSW insert made
+    order-independent: each new vector probes its n_probe nearest
+    FROZEN cells, links to its top-m neighbors among the FROZEN base
+    pool (exact integer dot), and gets BACK-LINKS (rk = -1 rows) from
+    those m targets so beam search can reach it. Because the pool and
+    centroids are frozen at ensure time and pool members never change,
+    a node's edges are a pure function of (node, store) — the final
+    graph after any batch partition of the same ingest set is
+    IDENTICAL, which is what lets the drained streaming serve share
+    the batch ingest oracle (``ANN_KNN_GRAPH_INGEST_SQL``).
+
+    Degree honesty: back-links are additive (a pool member's in-ingest
+    degree grows with ingest volume — the md5-capped pool spreads them
+    ~uniformly); the m-bound is restored by invalidate + ensure (the
+    deliberate-rebuild contract all quantizer stores share). Replay
+    safety: capped batch-fingerprint fast path + cell-pruned row
+    anti-join on the stored nodes (the det-IVF discipline verbatim).
+    """
+    import os
+
+    from kinesis_dstream_spark import stores
+    from kinesis_dstream_spark.operators.ann_index import corpus_fingerprint
+    from kinesis_dstream_spark.operators.clustering import _assign
+
+    meta = stores.read_meta(path, _KNNG_META)
+    if meta is None:
+        raise FileNotFoundError(
+            f"knn_graph_store_append: no complete store at {path} "
+            "(missing/torn meta sidecar) — run knn_graph_store_ensure first"
+        )
+    fp_new = corpus_fingerprint(embeddings_new, knn_graph_append=True)
+    if fp_new in meta.get("appended", []):
+        return
+    m, n_probe, _, _, _ = meta["params"]
+    cents = [
+        (int(cid), [int(x) for x in coords]) for cid, coords in meta["centroids"]
+    ]
+    nodes_path = os.path.join(path, "nodes")
+    spark = embeddings_new.sparkSession
+    asg = _assign(
+        _unit_int_arrays(embeddings_new).dropDuplicates(["vec_id"]), cents
+    ).select("vec_id", "iu", "cluster_id").persist()
+    try:
+        cells = [
+            int(r[0]) for r in asg.select("cluster_id").distinct().collect()
+        ]
+        if cells:
+            # cell-pruned replay anti-join: frozen centroids pin every
+            # vector to one deterministic cell, so the stored-node read
+            # prunes to the batch's partitions (the det-IVF argument)
+            existing = (
+                spark.read.parquet(nodes_path)
+                .filter(F.col("cluster_id").isin(cells))
+                .select("vec_id")
+            )
+            fresh = asg.join(existing, "vec_id", "left_anti").localCheckpoint()
+            if not fresh.isEmpty():
+                # frozen-pool read, pruned to the fresh nodes' probe cells
+                probe_cells = sorted(
+                    r["cluster_id"]
+                    for r in _ivf_probes(
+                        fresh.select(
+                            F.col("vec_id").alias("q_id"),
+                            F.col("iu").alias("q_iu"),
+                        ),
+                        cents,
+                        n_probe,
+                    )
+                    .select("cluster_id")
+                    .distinct()
+                    .collect()
+                )
+                pool = (
+                    spark.read.parquet(nodes_path)
+                    .filter(
+                        F.col("in_pool")
+                        & F.col("cluster_id").isin(probe_cells)
+                    )
+                    .select("vec_id", "iu", "cluster_id")
+                )
+                out_edges = _edges_vs_pool(
+                    fresh, pool, cents, m, n_probe
+                ).localCheckpoint()
+                back = out_edges.select(
+                    F.col("dst").alias("src"),
+                    F.col("src").alias("dst"),
+                    "dot_num",
+                    F.lit(-1).alias("rk"),
+                )
+                out_edges.unionByName(back).write.mode("append").parquet(
+                    os.path.join(path, "edges")
+                )
+                fresh.select(
+                    "vec_id", "iu", F.lit(False).alias("in_pool"), "cluster_id"
+                ).write.mode("append").partitionBy("cluster_id").parquet(
+                    nodes_path
+                )
+    finally:
+        asg.unpersist()
+    appended = meta.get("appended", [])
+    appended.append(fp_new)
+    meta["appended"] = appended[-_KNNG_APPEND_LOG_CAP:]
+    stores.write_meta(path, meta, _KNNG_META)
+
+
+def knn_graph_store_compact(
+    spark, path: str, max_files_per_cell: int = 8
+) -> dict[str, int]:
+    """Small-file compaction for the graph store (the `_pq_store_compact`
+    contract): per-batch appends leave one file set per micro-batch in
+    each touched node cell and in the flat edges dir; compaction
+    rewrites oversized node cells (dynamic partition overwrite — only
+    oversized cells rewrite) and coalesces the edge dir via the atomic
+    swap seam, CONTENT-PRESERVING by construction (no re-pruning — the
+    m-bound restore is the deliberate invalidate+ensure rebuild, the
+    quantizer-store refit contract). Clears the append fast-path log;
+    row-level idempotence still holds for replays of evicted batches."""
+    import os
+
+    from kinesis_dstream_spark import stores
+    from kinesis_dstream_spark.operators.ann_index import _n_parquet_files
+    from kinesis_dstream_spark.stores import swap_dir
+
+    nodes_path = os.path.join(path, "nodes")
+    edges_path = os.path.join(path, "edges")
+    oversized = [
+        int(entry.split("=", 1)[1])
+        for entry in os.listdir(nodes_path)
+        if entry.startswith("cluster_id=")
+        and _n_parquet_files(os.path.join(nodes_path, entry)) > max_files_per_cell
+    ]
+    files_before = _n_parquet_files(nodes_path) + _n_parquet_files(edges_path)
+    if oversized:
+        rows = (
+            spark.read.parquet(nodes_path)
+            .filter(F.col("cluster_id").isin(oversized))
+            .repartition("cluster_id")
+            .localCheckpoint()
+        )
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            rows.write.partitionBy("cluster_id").mode("overwrite").parquet(
+                nodes_path
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    if _n_parquet_files(edges_path) > max_files_per_cell:
+        tmp = edges_path.rstrip("/") + "_compact_tmp"
+        spark.read.parquet(edges_path).coalesce(1).localCheckpoint().write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        swap_dir(tmp, edges_path)
+    meta = stores.read_meta(path, _KNNG_META)
+    if meta is not None and meta.get("appended"):
+        meta["appended"] = []
+        stores.write_meta(path, meta, _KNNG_META)
+    return {
+        "cells_compacted": len(oversized),
+        "files_before": files_before,
+        "files_after": _n_parquet_files(nodes_path) + _n_parquet_files(edges_path),
+    }

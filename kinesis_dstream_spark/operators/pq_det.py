@@ -107,7 +107,7 @@ Codebooks = list[list[tuple[int, list[int]]]]  # [subspace][code] -> coords
 
 
 def _fused_assign_codes(
-    iarr: DataFrame, codebooks: Codebooks, dsub: int
+    iarr: DataFrame, codebooks: Codebooks, dsub: int, keep: tuple = ()
 ) -> DataFrame:
     """One map-side pass assigning ALL m subspaces at once:
     (vec_id, iu, code_0..code_{m-1}). Identical math to running
@@ -123,7 +123,7 @@ def _fused_assign_codes(
         _sq_l2_fold_sql,
     )
 
-    cols = [F.col("vec_id"), F.col("iu")]
+    cols = [F.col("vec_id"), F.col("iu"), *[F.col(c) for c in keep]]
     for s, cents in enumerate(codebooks):
         sub = f"slice(iu, {s * dsub + 1}, {dsub})"
         darr = (
@@ -895,19 +895,20 @@ def ivf_pq_det_store_append(embeddings_new: DataFrame, path: str) -> None:
             )
 
             existing = replay_existing_vec_ids(spark, codes_path, cells)
-            # localCheckpoint: read m+1 times by the subspace encode
             fresh = asg.join(existing, "vec_id", "left_anti").localCheckpoint()
             if not fresh.isEmpty():
-                rows = fresh.select("vec_id", "iu", "cluster_id")
-                for s in range(m):
-                    sub = fresh.select(
-                        "vec_id",
-                        F.slice(F.col("iu"), s * dsub + 1, dsub).alias("iu"),
-                    )
-                    part = _assign(sub, codebooks[s]).select(
-                        "vec_id", F.col("cluster_id").alias(f"code{s}")
-                    )
-                    rows = rows.join(part, "vec_id")
+                # r12 (the r11 quiet-host drift attribution): the m
+                # per-subspace codes used to be m sequential _assign +
+                # shuffle joins PER micro-batch — 16 extra shuffle
+                # joins across a 4-batch drain for pure overhead. The
+                # fused map-side encode (`_fused_assign_codes`, already
+                # the ensure/residual path) computes all m argmins in
+                # ONE projection with zero joins (fresh carries
+                # cluster_id through); values bit-identical by the
+                # helper's documented per-subspace equivalence.
+                rows = _fused_assign_codes(
+                    fresh, codebooks, dsub, keep=("cluster_id",)
+                )
                 rows.select(
                     "vec_id", *[f"code{s}" for s in range(m)], "cluster_id"
                 ).write.mode("append").partitionBy("cluster_id").parquet(codes_path)

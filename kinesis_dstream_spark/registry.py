@@ -4471,12 +4471,45 @@ def _q_ann_ndcg(spark: SparkSession, sf: str) -> DataFrame:
     return clustering.ann_ndcg_report(load_table(spark, sf, "embeddings"))
 
 
+def _q_unigram_lm_counts(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.operators import unigram_lm
+
+    return unigram_lm.unigram_lm_token_counts(load_table(spark, sf, "documents"))
+
+
 def _q_knn_graph_topk(spark: SparkSession, sf: str) -> DataFrame:
     return knn_graph.ann_knn_graph_topk(load_table(spark, sf, "embeddings"))
 
 
 def _q_knn_graph_stats(spark: SparkSession, sf: str) -> DataFrame:
     return knn_graph.knn_graph_degree_stats(load_table(spark, sf, "embeddings"))
+
+
+def _q_knn_graph_serve(spark: SparkSession, sf: str) -> DataFrame:
+    """Store-backed graph serve: build-if-absent, then beam search over
+    the persisted adjacency — identical rows to the one-shot build, so
+    it shares ANN_KNN_GRAPH_SQL."""
+    emb = load_table(spark, sf, "embeddings")
+    path = _store_path("knn_graph", sf)
+    knn_graph.knn_graph_store_ensure(emb, path)
+    return knn_graph.knn_graph_serve_frozen(spark, path)
+
+
+def _q_knn_graph_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """Frozen-structure graph ingest: build on the 80% base, insert the
+    20% remainder against the FROZEN cells/pool (out-edges + back-
+    links), serve the union."""
+    emb = load_table(spark, sf, "embeddings")
+    path = _store_path("knn_graph_ing", sf)
+    knn_graph.knn_graph_store_ensure(emb.filter(F.col("vec_id") % 5 != 4), path)
+    knn_graph.knn_graph_store_append(emb.filter(F.col("vec_id") % 5 == 4), path)
+    return knn_graph.knn_graph_serve_frozen(spark, path)
+
+
+def _q_streaming_knn_graph(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.streaming import jobs
+
+    return jobs.streaming_knn_graph_ingest(spark, sf)
 
 
 def _q_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
@@ -5524,7 +5557,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # setsim pairs artifact (r10: ninth store)
     "gdpr_erasure_full_report": (
         _q_erasure_full,
-        governance.erasure_full_sql(_SQL_DEDUP_JACCARD, _SQL_SETSIM_PREFIX),
+        governance.erasure_full_sql(
+            _SQL_DEDUP_JACCARD,
+            _SQL_SETSIM_PREFIX,
+            knn_graph.KNN_GRAPH_EDGES_QUERY_SQL,
+        ),
     ),
     # incremental pairs-artifact maintenance: drained store must equal
     # the batch builder row-for-row (exact later-doc decomposition
@@ -6335,6 +6372,33 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "knn_graph_degree_stats": (
         _q_knn_graph_stats,
         knn_graph.KNN_GRAPH_STATS_SQL,
+    ),
+    # unigram-LM (SentencePiece-shape) tokenizer beside BPE (E-12,
+    # r12): fixed-round Viterbi-EM over a bounded seed vocab, µ-int
+    # log-prob scores, total tie orders — deterministic, so golden-
+    # pinned ×3 scales; exactness vs a pure-Python referee in pytest
+    # (the bpe_token_stats class: learned state, no SQL oracle)
+    "unigram_lm_token_counts": (_q_unigram_lm_counts, None),
+    # persisted graph-ANN store (r12): build-once cell-partitioned
+    # nodes + m-bounded adjacency with a fingerprinted meta sidecar;
+    # the serve is a pure function of the store, so it shares the
+    # one-shot build's oracle
+    "ann_knn_graph_serve": (_q_knn_graph_serve, knn_graph.ANN_KNN_GRAPH_SQL),
+    # incremental HNSW insert made order-independent (frozen cells +
+    # frozen pool + back-links): ensure on the 80% base, append the
+    # rest, serve the union — the relational proof that ingest refits
+    # nothing (shared by the streaming drain)
+    "ann_knn_graph_ingest_serve": (
+        _q_knn_graph_ingest,
+        knn_graph.ANN_KNN_GRAPH_INGEST_SQL,
+    ),
+    # the FOURTH hash-certified streaming ANN job (r12): micro-batch
+    # HNSW inserts against the frozen bootstrap structure; the drained
+    # beam serve shares the batch ingest oracle (order-independence by
+    # frozen pools — see knn_graph_store_append)
+    "streaming_knn_graph_ingest": (
+        _q_streaming_knn_graph,
+        knn_graph.ANN_KNN_GRAPH_INGEST_SQL,
     ),
 }
 

@@ -973,6 +973,67 @@ def streaming_ivf_sq8_ingest(
     return sq_det.ivf_sq8_serve_frozen(emb, store_path)
 
 
+def streaming_knn_graph_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    store_path: str | None = None,
+    checkpoint_dir: str | None = None,
+    n_files: int = 4,
+) -> DataFrame:
+    """Streaming ingestion into the persisted graph-ANN (HNSW) store —
+    the FOURTH hash-certified streaming ANN job (r12, beside the
+    det-IVF / det-IVF-PQ / residual / SQ8 ingests): bootstrap the
+    store ONCE on the 80% base split (frozen coarse cells, frozen
+    md5-capped candidate pool), then each micro-batch inserts its
+    novel vectors via the order-independent HNSW insert
+    (``knn_graph_store_append``: frozen-pool out-edges + back-links).
+    Because pool membership never changes after the bootstrap, a
+    node's edges are a pure function of (node, store) — the final
+    graph is identical under ANY batch partition of the ingest set, so
+    the drained beam-search serve shares the batch ingest flow's
+    ``ANN_KNN_GRAPH_INGEST_SQL`` oracle row-for-row.
+
+    Scale shape per batch: one map-side frozen-centroid assignment,
+    a replay anti-join pruned to the batch's cell partitions, one
+    bounded broadcast-pool edge build (|batch|·n_probe·cell_cap
+    candidates), two appends. The graph structure itself is never
+    rescanned.
+    """
+    from kinesis_dstream_spark import stores
+    from kinesis_dstream_spark.operators import knn_graph
+
+    work = tempfile.mkdtemp(prefix="kds_knngstream_")
+    store_path = store_path or os.path.join(work, "idx")
+    checkpoint_dir = checkpoint_dir or os.path.join(work, "chk")
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # gate on read_meta, not os.path.exists (torn sidecar = rebuild)
+    if stores.read_meta(store_path, knn_graph._KNNG_META) is None:
+        knn_graph.knn_graph_store_ensure(
+            emb.filter(F.col("vec_id") % 5 != 4), store_path
+        )
+
+    src = _embeddings_multifile_dir(spark, sf_dir, n_files)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.dropDuplicates(["vec_id"])
+        if not batch.isEmpty():
+            knn_graph.knn_graph_store_append(batch, store_path)
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return knn_graph.knn_graph_serve_frozen(spark, store_path)
+
+
 def streaming_dedup_index_ingest(
     spark: SparkSession,
     sf_dir: str,

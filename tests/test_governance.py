@@ -71,7 +71,7 @@ def test_full_erasure_physical_zero_residual_all_stores(spark, sf_dir, tmp_path)
         "ann_index", "chunk_store", "minhash_dedup_index",
         "near_dup_pairs", "ivf_det_index", "setsim_pairs",
         "ivf_pq_det_index", "ivf_pq_res_index", "ivf_sq8_index",
-        "ab_user_granules", "sentence_granules",
+        "ab_user_granules", "sentence_granules", "knn_graph_index",
     }
     for r in rows:
         assert r.rows_before == r.rows_erased + r.rows_after
@@ -84,6 +84,7 @@ def test_full_erasure_physical_zero_residual_all_stores(spark, sf_dir, tmp_path)
             os.path.join(work, "ivf_pq_det_index", "codes"),
             os.path.join(work, "ivf_pq_res_index", "codes"),
             os.path.join(work, "ivf_sq8_index", "codes"),
+            os.path.join(work, "knn_graph_index", "nodes"),
         ],
         "doc_id": [
             os.path.join(work, "chunk_store", "chunks"),
@@ -120,6 +121,20 @@ def test_full_erasure_physical_zero_residual_all_stores(spark, sf_dir, tmp_path)
         spairs.where((F.col("doc_a") % 37 == 0) | (F.col("doc_b") % 37 == 0)).count()
         == 0
     )
+    # fifteenth store (r12): the graph-ANN adjacency — no edge row may
+    # reference an erased vector on EITHER endpoint, and the erased
+    # store's fingerprint must be poisoned (cells/pool/edges were
+    # derived from the full corpus → deliberate rebuild on next ensure)
+    kedges = spark.read.parquet(os.path.join(work, "knn_graph_index", "edges"))
+    assert (
+        kedges.where((F.col("src") % 37 == 0) | (F.col("dst") % 37 == 0)).count()
+        == 0
+    )
+    from kinesis_dstream_spark import stores as store_seam
+    from kinesis_dstream_spark.operators.knn_graph import _KNNG_META
+
+    meta = store_seam.read_meta(os.path.join(work, "knn_graph_index"), _KNNG_META)
+    assert meta["fingerprint"] == "invalidated-by-erasure"
 
 
 def test_erase_parquet_store_is_exact_and_preserves_survivors(spark, tmp_path):

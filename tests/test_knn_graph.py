@@ -146,3 +146,110 @@ def test_radius_escape_hatch(emb):
     edges = knn_graph.knn_graph_edges(emb).select("src", "dst").collect()
     adj = {(r["src"], r["dst"]) for r in edges}
     assert any(pair not in adj for pair in served)
+
+
+# ---------------------------------------------------------------------------
+# persisted store lifecycle (r12 wave 2)
+# ---------------------------------------------------------------------------
+
+
+def test_store_serve_equals_oneshot_build(spark, emb, tmp_path):
+    """The persisted store's beam serve must equal the one-shot build
+    row-for-row on the same corpus — the serve-equals-scan discipline
+    every store consumer in the repo carries."""
+    path = str(tmp_path / "knng_store")
+    knn_graph.knn_graph_store_ensure(emb, path)
+    a = sorted(map(tuple, knn_graph.knn_graph_serve_frozen(spark, path).collect()))
+    b = sorted(map(tuple, knn_graph.ann_knn_graph_topk(emb, 10, 5).collect()))
+    assert a == b
+
+
+def test_append_is_replay_safe_and_order_independent(spark, emb, tmp_path):
+    """(a) Re-delivering a batch adds zero rows (fingerprint fast path
+    + cell-pruned anti-join); (b) the SAME ingest set split into
+    different batch partitions yields the IDENTICAL final graph — the
+    frozen-pool order-independence that lets the streaming drain share
+    the batch oracle."""
+    base = emb.filter(F.col("vec_id") % 5 != 4)
+    rest = emb.filter(F.col("vec_id") % 5 == 4)
+
+    p1 = str(tmp_path / "s1")
+    knn_graph.knn_graph_store_ensure(base, p1)
+    knn_graph.knn_graph_store_append(rest, p1)
+    n_edges = spark.read.parquet(p1 + "/edges").count()
+    n_nodes = spark.read.parquet(p1 + "/nodes").count()
+    knn_graph.knn_graph_store_append(rest, p1)  # replay
+    assert spark.read.parquet(p1 + "/edges").count() == n_edges
+    assert spark.read.parquet(p1 + "/nodes").count() == n_nodes
+
+    p2 = str(tmp_path / "s2")
+    knn_graph.knn_graph_store_ensure(base, p2)
+    # same ingest set, two batches in a different partition than p1's
+    knn_graph.knn_graph_store_append(rest.filter(F.col("vec_id") % 2 == 0), p2)
+    knn_graph.knn_graph_store_append(rest.filter(F.col("vec_id") % 2 == 1), p2)
+    e1 = sorted(map(tuple, spark.read.parquet(p1 + "/edges").collect()))
+    e2 = sorted(map(tuple, spark.read.parquet(p2 + "/edges").collect()))
+    assert e1 == e2
+    s1 = sorted(map(tuple, knn_graph.knn_graph_serve_frozen(spark, p1).collect()))
+    s2 = sorted(map(tuple, knn_graph.knn_graph_serve_frozen(spark, p2).collect()))
+    assert s1 == s2
+
+
+def test_ingested_nodes_are_retrievable(spark, emb, tmp_path):
+    """Back-links make ingested vectors REACHABLE: a query whose true
+    nearest neighbors include ingested (vec_id % 5 == 4) vectors can
+    surface them in the served top-k — pinned by checking that the
+    union serve returns at least one ingested c_id across the query
+    batch (at the fixture's 20% ingest share, the exact truth puts
+    ~20% of neighbors in the ingest set)."""
+    path = str(tmp_path / "knng_ing")
+    knn_graph.knn_graph_store_ensure(emb.filter(F.col("vec_id") % 5 != 4), path)
+    knn_graph.knn_graph_store_append(emb.filter(F.col("vec_id") % 5 == 4), path)
+    out = knn_graph.knn_graph_serve_frozen(spark, path).collect()
+    assert any(r["c_id"] % 5 == 4 for r in out), (
+        "no ingested vector ever served — back-links broken"
+    )
+
+
+def test_append_requires_complete_store(spark, emb, tmp_path):
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        knn_graph.knn_graph_store_append(emb, str(tmp_path / "nope"))
+
+
+def test_compact_preserves_content_and_merges_files(spark, emb, tmp_path):
+    """Compaction is content-preserving (nodes AND edges identical
+    row sets) and reduces the file count after multi-batch appends;
+    the append fast-path log clears but replay stays safe via the
+    row-level anti-join."""
+    import os
+
+    path = str(tmp_path / "knng_c")
+    base = emb.filter(F.col("vec_id") % 5 != 4)
+    rest = emb.filter(F.col("vec_id") % 5 == 4)
+    knn_graph.knn_graph_store_ensure(base, path)
+    knn_graph.knn_graph_store_append(rest.filter(F.col("vec_id") % 2 == 0), path)
+    knn_graph.knn_graph_store_append(rest.filter(F.col("vec_id") % 2 == 1), path)
+    edges_before = sorted(
+        map(tuple, spark.read.parquet(path + "/edges").collect())
+    )
+    nodes_before = sorted(
+        map(tuple, spark.read.parquet(path + "/nodes").collect())
+    )
+    report = knn_graph.knn_graph_store_compact(spark, path, max_files_per_cell=1)
+    assert report["files_after"] <= report["files_before"]
+    assert sorted(
+        map(tuple, spark.read.parquet(path + "/edges").collect())
+    ) == edges_before
+    assert sorted(
+        map(tuple, spark.read.parquet(path + "/nodes").collect())
+    ) == nodes_before
+    # fast-path log cleared, but replaying an already-ingested batch
+    # still appends nothing (row-level anti-join)
+    from kinesis_dstream_spark import stores as store_seam
+
+    assert store_seam.read_meta(path, knn_graph._KNNG_META)["appended"] == []
+    n_edges = spark.read.parquet(path + "/edges").count()
+    knn_graph.knn_graph_store_append(rest.filter(F.col("vec_id") % 2 == 0), path)
+    assert spark.read.parquet(path + "/edges").count() == n_edges
