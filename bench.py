@@ -573,6 +573,10 @@ BENCH_QUERIES = {
     "ann_knn_graph_serve": "ann_knn_graph_serve",
     "ann_knn_graph_ingest": "ann_knn_graph_ingest_serve",
     "streaming_knn_graph_ingest": "streaming_knn_graph_ingest",
+    # r12 wave 3: the efSearch tuning curve and the tokenizer-selection
+    # capstone (BPE vs unigram-LM fertility per language)
+    "knn_graph_beam_curve": "knn_graph_beam_curve",
+    "tokenizer_fertility": "tokenizer_fertility_report",
 }
 
 

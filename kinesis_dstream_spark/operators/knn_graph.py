@@ -833,3 +833,136 @@ def knn_graph_store_compact(
         "files_before": files_before,
         "files_after": _n_parquet_files(nodes_path) + _n_parquet_files(edges_path),
     }
+
+
+def knn_graph_beam_curve(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    topk: int = 5,
+    beams: tuple = (8, 16, 24),
+    m: int = _M,
+    n_probe: int = _N_PROBE,
+    k: int = _K,
+    n_assign: int = _N_ASSIGN,
+    cell_cap: int = _CELL_CAP,
+    n_entry: int = _N_ENTRY,
+    rounds: int = _ROUNDS,
+) -> DataFrame:
+    """The efSearch tuning curve — THE accuracy-vs-compute knob of
+    graph ANN (HNSW exposes exactly this trade): recall@k + MRR vs the
+    exact integer-dot ground truth at each candidate beam width, over
+    ONE shared graph build. The table a deployment reads to pick its
+    serving beam; measured on the fixture it reproduces the textbook
+    monotone curve (wider beam → recall up, cost up) that the
+    beam-monotonicity pytest pins as an invariant.
+
+    Cost: one graph build + one exact-truth pass shared across all
+    widths; each width pays only its beam rounds (|q|·beam·m candidate
+    rows per round). Exact trunc-div ppm integers end to end —
+    oracle-paired (the twin re-runs the beam chain per width)."""
+    edges = (
+        knn_graph_edges(embeddings, m, n_probe, k, n_assign, cell_cap)
+        .select("src", "dst")
+        .localCheckpoint()
+    )
+    iarr = _unit_int_arrays(embeddings).localCheckpoint()
+    queries = iarr.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("iu").alias("q_iu")
+    )
+    tw = Window.partitionBy("q_id").orderBy(F.col("dot_num").desc(), "c_id")
+    truth = (
+        iarr.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("c_id"),
+            _dot_col("q_iu", "iu").alias("dot_num"),
+        )
+        .withColumn("trk", F.row_number().over(tw))
+        .filter(F.col("trk") <= topk)
+        .select("q_id", "c_id")
+        .localCheckpoint()
+    )
+    rows = []
+    for b in beams:
+        approx = _beam_serve(edges, iarr, n_queries, topk, n_entry, b, rounds)
+        hits = approx.join(F.broadcast(truth), ["q_id", "c_id"])
+        per_q = hits.groupBy("q_id").agg(
+            F.count(F.lit(1)).alias("n_hits"), F.min("rk").alias("first_rk")
+        )
+        scored = queries.select("q_id").join(F.broadcast(per_q), "q_id", "left")
+        rows.append(
+            scored.agg(
+                F.sum(F.coalesce("n_hits", F.lit(0))).alias("h"),
+                F.sum(
+                    F.coalesce(F.expr("1000000 div first_rk"), F.lit(0))
+                ).alias("rr"),
+            ).select(
+                F.lit(b).cast("long").alias("beam"),
+                F.col("h").cast("long").alias("n_hits_total"),
+                F.expr(f"CAST(h * 1000000 div {n_queries * topk} AS BIGINT)")
+                .alias("recall_ppm"),
+                F.expr(f"CAST(rr div {n_queries} AS BIGINT)").alias("mrr_ppm"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def knn_graph_beam_curve_sql(
+    n_queries: int = 10,
+    topk: int = 5,
+    beams: tuple = (8, 16, 24),
+    m: int = _M,
+    n_probe: int = _N_PROBE,
+    k: int = _K,
+    n_assign: int = _N_ASSIGN,
+    cell_cap: int = _CELL_CAP,
+    n_entry: int = _N_ENTRY,
+    rounds: int = _ROUNDS,
+) -> str:
+    """Twin: the shared k-means chain + ONE kg-prefixed beam chain per
+    width (CTE names disambiguated by a beam-tagged prefix — the graph
+    sub-chain is recomputed per width, the honest oracle price) + the
+    exact truth + the same trunc-div aggregates."""
+    sql = kmeans_oracle_cte(k=k, n_assign=n_assign)
+    for b in beams:
+        chain = knng_cte_sql(
+            n_queries, m, n_probe, k, n_assign, cell_cap, n_entry, b, rounds
+        )
+        sql += chain.replace("kg_", f"kg{b}_")
+    sql += f""", bc_truth AS MATERIALIZED (
+  SELECT q_id, c_id FROM (
+    SELECT q.q_id, ia.vec_id AS c_id,
+           row_number() OVER (PARTITION BY q.q_id
+             ORDER BY {_DOT.format(a="q.q_iu", b="ia.iu")} DESC, ia.vec_id)
+             AS trk
+    FROM kg{beams[0]}_q q JOIN iarr ia ON ia.vec_id <> q.q_id
+  ) WHERE trk <= {topk}
+)"""
+    legs = []
+    for b in beams:
+        legs.append(f"""
+SELECT CAST({b} AS BIGINT) AS beam,
+       CAST(coalesce(sum(s.n_hits), 0) AS BIGINT) AS n_hits_total,
+       CAST(coalesce(sum(s.n_hits), 0) * 1000000
+            // {n_queries * topk} AS BIGINT) AS recall_ppm,
+       CAST(coalesce(sum(s.rr), 0) // {n_queries} AS BIGINT) AS mrr_ppm
+FROM kg{beams[0]}_q q LEFT JOIN (
+  SELECT a.q_id, count(*) AS n_hits, 1000000 // min(a.rk) AS rr
+  FROM (
+    SELECT q_id, node AS c_id, rk FROM (
+      SELECT q_id, node,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY dot_num DESC, node) AS rk
+      FROM kg{b}_b{rounds}
+    ) WHERE rk <= {topk}
+  ) a JOIN bc_truth t ON t.q_id = a.q_id AND t.c_id = a.c_id
+  GROUP BY 1
+) s ON s.q_id = q.q_id""")
+    sql += "\nUNION ALL".join(legs)
+    return sql
+
+
+KNN_GRAPH_BEAM_CURVE_SQL = knn_graph_beam_curve_sql()

@@ -312,3 +312,78 @@ def unigram_lm_encode_ids(
         F.col("e.n_pieces").alias("n_pieces"),
         F.col("e.truncated").alias("truncated"),
     )
+
+
+def tokenizer_fertility_report(
+    documents: DataFrame,
+    vocab_size: int = DEFAULT_VOCAB_SIZE,
+    n_merges: int | None = None,
+) -> DataFrame:
+    """BPE vs unigram-LM head-to-head — the tokenizer-selection table
+    a multilingual pretraining team reads before committing a vocab:
+    per language, FERTILITY (pieces per pre-token — the standard
+    multilingual-fairness metric: a language with 2× fertility pays 2×
+    the context budget for the same text) and compression for BOTH
+    families trained on the SAME corpus at comparable vocabulary
+    budgets. One row per (lang, tokenizer); exact integer totals,
+    ppm-grid fertility (trunc-div — engine-portable).
+
+    Learned-state class (both vocabs are fit artifacts): golden-pinned
+    ×3 scales; each tokenizer's exactness is separately referee-tested
+    (tests/test_bpe.py, tests/test_unigram_lm.py).
+
+    Scale: two bounded driver-side fits over the shared word table +
+    two Arrow encode passes + one pre-token count pass — all
+    corpus-linear, no joins beyond the per-doc aggregation.
+    """
+    from kinesis_dstream_spark.operators.bpe import (
+        bpe_count_udf,
+        bpe_vocab,
+        fit_bpe,
+    )
+
+    # comparable budgets: BPE's vocab is alphabet + n_merges tokens;
+    # match the unigram vocab_size by default
+    merges = fit_bpe(
+        documents,
+        n_merges if n_merges is not None else vocab_size,
+    )
+    bpe_counter = bpe_count_udf(merges)
+    lp = fit_unigram_lm(documents, vocab_size=vocab_size)
+    uni_encode = unigram_encode_udf(lp)
+    pretok = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_PATTERN), 0)
+    ).cast("long")
+    per_doc = documents.select(
+        "lang",
+        F.length("text").alias("n_chars"),
+        pretok.alias("n_pretokens"),
+        bpe_counter(F.col("text")).alias("n_bpe"),
+        uni_encode(F.col("text")).alias("u"),
+    )
+    base = per_doc.groupBy("lang").agg(
+        F.sum("n_chars").alias("chars"),
+        F.sum("n_pretokens").alias("pretokens"),
+        F.sum("n_bpe").alias("bpe_pieces"),
+        F.sum(F.col("u.n_pieces")).alias("uni_pieces"),
+    )
+    rows = []
+    for fam, col in (("bpe", "bpe_pieces"), ("unigram_lm", "uni_pieces")):
+        rows.append(
+            base.select(
+                "lang",
+                F.lit(fam).alias("tokenizer"),
+                F.lit(
+                    len(bpe_vocab(merges)) if fam == "bpe" else len(lp)
+                ).cast("long").alias("vocab_size"),
+                F.col(col).cast("long").alias("total_pieces"),
+                F.expr(f"{col} * 1000000 div pretokens")
+                .cast("long")
+                .alias("fertility_ppm"),
+                F.expr(f"chars * 1000000 div {col}")
+                .cast("long")
+                .alias("chars_per_piece_ppm"),
+            )
+        )
+    out = rows[0].unionByName(rows[1])
+    return out.orderBy("lang", "tokenizer")

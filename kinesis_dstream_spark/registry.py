@@ -4477,6 +4477,21 @@ def _q_unigram_lm_counts(spark: SparkSession, sf: str) -> DataFrame:
     return unigram_lm.unigram_lm_token_counts(load_table(spark, sf, "documents"))
 
 
+def _q_unigram_lm_encode(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.operators import unigram_lm
+
+    docs = load_table(spark, sf, "documents")
+    return unigram_lm.unigram_lm_encode_ids(docs, max_len=64)
+
+
+def _q_tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.operators import unigram_lm
+
+    return unigram_lm.tokenizer_fertility_report(
+        load_table(spark, sf, "documents")
+    )
+
+
 def _q_knn_graph_topk(spark: SparkSession, sf: str) -> DataFrame:
     return knn_graph.ann_knn_graph_topk(load_table(spark, sf, "embeddings"))
 
@@ -4504,6 +4519,10 @@ def _q_knn_graph_ingest(spark: SparkSession, sf: str) -> DataFrame:
     knn_graph.knn_graph_store_ensure(emb.filter(F.col("vec_id") % 5 != 4), path)
     knn_graph.knn_graph_store_append(emb.filter(F.col("vec_id") % 5 == 4), path)
     return knn_graph.knn_graph_serve_frozen(spark, path)
+
+
+def _q_knn_graph_beam_curve(spark: SparkSession, sf: str) -> DataFrame:
+    return knn_graph.knn_graph_beam_curve(load_table(spark, sf, "embeddings"))
 
 
 def _q_streaming_knn_graph(spark: SparkSession, sf: str) -> DataFrame:
@@ -6379,6 +6398,14 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # pinned ×3 scales; exactness vs a pure-Python referee in pytest
     # (the bpe_token_stats class: learned state, no SQL oracle)
     "unigram_lm_token_counts": (_q_unigram_lm_counts, None),
+    # the encode artifact a training pipeline feeds the model: piece-id
+    # arrays with truncation accounting (the bpe_encode_ids twin;
+    # deterministic → golden ×3; referee-tested per-doc ids)
+    "unigram_lm_encode_ids": (_q_unigram_lm_encode, None),
+    # tokenizer-selection capstone: BPE vs unigram-LM fertility
+    # (pieces/pre-token — the multilingual-fairness metric) and
+    # compression per language at matched vocab budgets, ONE table
+    "tokenizer_fertility_report": (_q_tokenizer_fertility, None),
     # persisted graph-ANN store (r12): build-once cell-partitioned
     # nodes + m-bounded adjacency with a fingerprinted meta sidecar;
     # the serve is a pure function of the store, so it shares the
@@ -6399,6 +6426,13 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "streaming_knn_graph_ingest": (
         _q_streaming_knn_graph,
         knn_graph.ANN_KNN_GRAPH_INGEST_SQL,
+    ),
+    # the efSearch tuning curve (r12): recall@k + MRR per beam width
+    # over one shared build — graph ANN's accuracy-vs-compute knob as
+    # a certified table (the quantizer_recall_matrix discipline)
+    "knn_graph_beam_curve": (
+        _q_knn_graph_beam_curve,
+        knn_graph.KNN_GRAPH_BEAM_CURVE_SQL,
     ),
 }
 

@@ -253,3 +253,34 @@ def test_compact_preserves_content_and_merges_files(spark, emb, tmp_path):
     n_edges = spark.read.parquet(path + "/edges").count()
     knn_graph.knn_graph_store_append(rest.filter(F.col("vec_id") % 2 == 0), path)
     assert spark.read.parquet(path + "/edges").count() == n_edges
+
+
+def test_append_reads_are_partition_pruned(spark, emb, tmp_path):
+    """The append's replay anti-join AND its frozen-pool read must
+    carry cluster_id PartitionFilters on the cell-partitioned nodes
+    table — the cell-pruning discipline every quantizer store append
+    carries (plan-pinned like the det-IVF test)."""
+    import os
+
+    path = str(tmp_path / "knng_pp")
+    knn_graph.knn_graph_store_ensure(emb.filter(F.col("vec_id") % 5 != 4), path)
+    nodes = os.path.join(path, "nodes")
+    pruned = (
+        spark.read.parquet(nodes)
+        .filter(F.col("cluster_id").isin([0, 2]))
+        .select("vec_id")
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan[plan.index("PartitionFilters"):]
+    pf = pf[: pf.index("]") + 1]
+    assert "cluster_id" in pf, plan
+    pool = (
+        spark.read.parquet(nodes)
+        .filter(F.col("in_pool") & F.col("cluster_id").isin([0, 2]))
+        .select("vec_id", "iu", "cluster_id")
+    )
+    plan = pool._jdf.queryExecution().executedPlan().toString()
+    pf = plan[plan.index("PartitionFilters"):]
+    pf = pf[: pf.index("]") + 1]
+    assert "cluster_id" in pf, plan

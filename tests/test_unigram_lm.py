@@ -175,3 +175,25 @@ def test_longer_piece_wins_ties():
     # lp(ab) == lp(a)+lp(b) → the longer final piece must win
     lp = {"a": -1 * _S, "b": -1 * _S, "ab": -2 * _S}
     assert unigram_lm.viterbi_segment("ab", lp, 4) == ["ab"]
+
+
+def test_fertility_report_invariants(spark, sf_dir):
+    """One (lang, tokenizer) row per pair; fertility ≥ 1 piece per
+    pre-token for BOTH families (every pre-token emits at least one
+    symbol by construction); compression above the character baseline;
+    the unigram leg's totals agree with the standalone
+    unigram_lm_token_counts entry (shared fit, shared encode)."""
+    docs = load_table(spark, sf_dir, "documents")
+    rows = unigram_lm.tokenizer_fertility_report(docs).collect()
+    langs = {r["lang"] for r in rows}
+    assert len(rows) == 2 * len(langs)
+    for r in rows:
+        assert r["fertility_ppm"] >= 1_000_000, r
+        assert r["chars_per_piece_ppm"] > 1_000_000, r
+        assert r["vocab_size"] > 0
+    uni = {r["lang"]: r["total_pieces"] for r in rows if r["tokenizer"] == "unigram_lm"}
+    counts = {
+        r["lang"]: r["total_pieces"]
+        for r in unigram_lm.unigram_lm_token_counts(docs).collect()
+    }
+    assert uni == counts
