@@ -577,6 +577,9 @@ BENCH_QUERIES = {
     # capstone (BPE vs unigram-LM fertility per language)
     "knn_graph_beam_curve": "knn_graph_beam_curve",
     "tokenizer_fertility": "tokenizer_fertility_report",
+    # r12 wave 4: truncation eval + filtered vector search
+    "matryoshka_recall": "matryoshka_recall_report",
+    "ann_knn_graph_filtered": "ann_knn_graph_filtered_topk",
 }
 
 

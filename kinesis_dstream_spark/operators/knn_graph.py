@@ -966,3 +966,226 @@ FROM kg{beams[0]}_q q LEFT JOIN (
 
 
 KNN_GRAPH_BEAM_CURVE_SQL = knn_graph_beam_curve_sql()
+
+
+def matryoshka_recall_report(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    topk: int = 5,
+    prefixes: tuple = (16, 32, 64),
+) -> DataFrame:
+    """Matryoshka (MRL, Kusupati et al. 2022 — public) truncation
+    evaluation: recall@k + MRR of EXACT search over the first ``p``
+    dimensions vs the full-dimension exact truth, one row per prefix
+    length — the dimension-vs-recall decision table teams read before
+    shipping truncated embeddings (truncation is the cheapest index
+    compression there is: it needs NO model, just a slice). The
+    fixture's embeddings are not MRL-trained, so the curve shows the
+    honest untrained baseline; the operator is the harness.
+
+    Exactness: integer dots over the same µ-unit grid as every ANN
+    tier; truncation is an array slice, so the whole table is
+    SQL-expressible (unlike the learned quantizers) — fully
+    oracle-paired, no golden pin needed.
+
+    Scale: the truth pass and each prefix pass share the honest
+    |corpus|·|q| exact-dot envelope, prefix passes cheaper by p/d —
+    evals run on bounded query batches, and truncated dots are the
+    serving-cost model being measured."""
+    iarr = _unit_int_arrays(embeddings).localCheckpoint()
+    queries = iarr.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("iu").alias("q_iu")
+    )
+    tw = Window.partitionBy("q_id").orderBy(F.col("dot_num").desc(), "c_id")
+    base = iarr.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id"))
+    truth = (
+        base.select(
+            "q_id",
+            F.col("vec_id").alias("c_id"),
+            _dot_col("q_iu", "iu").alias("dot_num"),
+        )
+        .withColumn("trk", F.row_number().over(tw))
+        .filter(F.col("trk") <= topk)
+        .select("q_id", "c_id")
+        .localCheckpoint()
+    )
+    rows = []
+    for p in prefixes:
+        pdot = F.aggregate(
+            F.zip_with(
+                F.slice(F.col("q_iu"), 1, p),
+                F.slice(F.col("iu"), 1, p),
+                lambda x, y: x * y,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        approx = (
+            base.select(
+                "q_id", F.col("vec_id").alias("c_id"), pdot.alias("dot_num")
+            )
+            .withColumn("rk", F.row_number().over(tw))
+            .filter(F.col("rk") <= topk)
+            .select("q_id", "c_id", "rk")
+        )
+        hits = approx.join(F.broadcast(truth), ["q_id", "c_id"])
+        per_q = hits.groupBy("q_id").agg(
+            F.count(F.lit(1)).alias("n_hits"), F.min("rk").alias("first_rk")
+        )
+        scored = queries.select("q_id").join(F.broadcast(per_q), "q_id", "left")
+        rows.append(
+            scored.agg(
+                F.sum(F.coalesce("n_hits", F.lit(0))).alias("h"),
+                F.sum(
+                    F.coalesce(F.expr("1000000 div first_rk"), F.lit(0))
+                ).alias("rr"),
+            ).select(
+                F.lit(p).cast("long").alias("prefix_dims"),
+                F.col("h").cast("long").alias("n_hits_total"),
+                F.expr(f"CAST(h * 1000000 div {n_queries * topk} AS BIGINT)")
+                .alias("recall_ppm"),
+                F.expr(f"CAST(rr div {n_queries} AS BIGINT)").alias("mrr_ppm"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def matryoshka_recall_sql(
+    n_queries: int = 10, topk: int = 5, prefixes: tuple = (16, 32, 64)
+) -> str:
+    """Twin: the shared iarr chain + one exact prefix-dot ranking per
+    prefix length + the same trunc-div aggregates."""
+    dot_full = _DOT.format(a="q.q_iu", b="ia.iu")
+    sql = (
+        kmeans_oracle_cte().split(", seeds AS")[0]
+        + f""", mq AS (
+  SELECT vec_id AS q_id, iu AS q_iu FROM iarr WHERE vec_id < {n_queries}
+), m_truth AS MATERIALIZED (
+  SELECT q_id, c_id FROM (
+    SELECT q.q_id, ia.vec_id AS c_id,
+           row_number() OVER (PARTITION BY q.q_id
+             ORDER BY {dot_full} DESC, ia.vec_id) AS trk
+    FROM mq q JOIN iarr ia ON ia.vec_id <> q.q_id
+  ) WHERE trk <= {topk}
+)"""
+    )
+    legs = []
+    for p in prefixes:
+        pdot = _DOT.format(
+            a=f"list_slice(q.q_iu, 1, {p})", b=f"list_slice(ia.iu, 1, {p})"
+        )
+        sql += f""", m_ap{p} AS (
+  SELECT q_id, c_id, rk FROM (
+    SELECT q.q_id, ia.vec_id AS c_id,
+           row_number() OVER (PARTITION BY q.q_id
+             ORDER BY {pdot} DESC, ia.vec_id) AS rk
+    FROM mq q JOIN iarr ia ON ia.vec_id <> q.q_id
+  ) WHERE rk <= {topk}
+)"""
+        legs.append(f"""
+SELECT CAST({p} AS BIGINT) AS prefix_dims,
+       CAST(coalesce(sum(s.n_hits), 0) AS BIGINT) AS n_hits_total,
+       CAST(coalesce(sum(s.n_hits), 0) * 1000000
+            // {n_queries * topk} AS BIGINT) AS recall_ppm,
+       CAST(coalesce(sum(s.rr), 0) // {n_queries} AS BIGINT) AS mrr_ppm
+FROM mq q LEFT JOIN (
+  SELECT a.q_id, count(*) AS n_hits, 1000000 // min(a.rk) AS rr
+  FROM m_ap{p} a JOIN m_truth t ON t.q_id = a.q_id AND t.c_id = a.c_id
+  GROUP BY 1
+) s ON s.q_id = q.q_id""")
+    sql += "\nUNION ALL".join(legs)
+    return sql
+
+
+MATRYOSHKA_RECALL_SQL = matryoshka_recall_sql()
+
+
+def ann_knn_graph_filtered_topk(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    topk: int = 5,
+    m: int = _M,
+    n_probe: int = _N_PROBE,
+    k: int = _K,
+    n_assign: int = _N_ASSIGN,
+    cell_cap: int = _CELL_CAP,
+    n_entry: int = _N_ENTRY,
+    beam: int = _BEAM,
+    rounds: int = _ROUNDS,
+) -> DataFrame:
+    """FILTERED vector search over the graph tier — the production
+    feature every vector store ships (Qdrant/Weaviate filtered HNSW,
+    FAISS IDSelector): top-k among candidates satisfying a metadata
+    predicate, here "same ``label`` as the query" (the fixture's only
+    metadata column; a real deployment parameterizes the predicate).
+    The serving strategy is the standard POST-FILTER-with-oversampling:
+    beam search runs UNFILTERED at width ``beam`` (filtering the
+    traversal itself breaks graph connectivity — the documented
+    filtered-HNSW failure mode), then the final beam is label-filtered
+    and re-ranked; beam > topk is the oversampling that keeps filtered
+    recall usable. Queries with fewer than topk matching candidates in
+    the beam honestly return fewer rows — identical in both engines.
+
+    Output: (q_id, c_id, dot_num, rk) with rk dense over the MATCHING
+    candidates per query."""
+    edges = (
+        knn_graph_edges(embeddings, m, n_probe, k, n_assign, cell_cap)
+        .select("src", "dst")
+        .localCheckpoint()
+    )
+    iarr = _unit_int_arrays(embeddings).localCheckpoint()
+    full_beam = _beam_serve(edges, iarr, n_queries, beam, n_entry, beam, rounds)
+    labels = embeddings.select("vec_id", "label")
+    q_labels = labels.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("q_label")
+    )
+    fw = Window.partitionBy("q_id").orderBy(F.col("dot_num").desc(), "c_id")
+    return (
+        full_beam.join(
+            F.broadcast(labels.withColumnRenamed("vec_id", "c_id")), "c_id"
+        )
+        .join(F.broadcast(q_labels), "q_id")
+        .filter(F.col("label") == F.col("q_label"))
+        .select("q_id", "c_id", "dot_num")
+        .withColumn("rk", F.row_number().over(fw))
+        .filter(F.col("rk") <= topk)
+    )
+
+
+def ann_knn_graph_filtered_sql(
+    n_queries: int = 10,
+    topk: int = 5,
+    m: int = _M,
+    n_probe: int = _N_PROBE,
+    k: int = _K,
+    n_assign: int = _N_ASSIGN,
+    cell_cap: int = _CELL_CAP,
+    n_entry: int = _N_ENTRY,
+    beam: int = _BEAM,
+    rounds: int = _ROUNDS,
+) -> str:
+    """Twin: the kg beam chain (full width — the unfiltered traversal)
+    + the same label post-filter and re-rank."""
+    return (
+        kmeans_oracle_cte(k=k, n_assign=n_assign)
+        + knng_cte_sql(
+            n_queries, m, n_probe, k, n_assign, cell_cap, n_entry, beam, rounds
+        )
+        + f"""
+SELECT q_id, c_id, dot_num, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT b.q_id, b.node AS c_id, b.dot_num,
+         row_number() OVER (PARTITION BY b.q_id
+                            ORDER BY b.dot_num DESC, b.node) AS rk
+  FROM kg_b{rounds} b
+  JOIN embeddings ec ON ec.vec_id = b.node
+  JOIN embeddings eq ON eq.vec_id = b.q_id
+  WHERE ec.label = eq.label
+) WHERE rk <= {topk}
+"""
+    )
+
+
+ANN_KNN_GRAPH_FILTERED_SQL = ann_knn_graph_filtered_sql()

@@ -4525,6 +4525,16 @@ def _q_knn_graph_beam_curve(spark: SparkSession, sf: str) -> DataFrame:
     return knn_graph.knn_graph_beam_curve(load_table(spark, sf, "embeddings"))
 
 
+def _q_matryoshka_recall(spark: SparkSession, sf: str) -> DataFrame:
+    return knn_graph.matryoshka_recall_report(load_table(spark, sf, "embeddings"))
+
+
+def _q_knn_graph_filtered(spark: SparkSession, sf: str) -> DataFrame:
+    return knn_graph.ann_knn_graph_filtered_topk(
+        load_table(spark, sf, "embeddings")
+    )
+
+
 def _q_streaming_knn_graph(spark: SparkSession, sf: str) -> DataFrame:
     from kinesis_dstream_spark.streaming import jobs
 
@@ -6433,6 +6443,21 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "knn_graph_beam_curve": (
         _q_knn_graph_beam_curve,
         knn_graph.KNN_GRAPH_BEAM_CURVE_SQL,
+    ),
+    # Matryoshka truncation eval (r12): recall@k + MRR of exact search
+    # over dimension PREFIXES vs the full-d truth — the cheapest index
+    # compression's decision table; pure array slices + integer dots,
+    # fully oracle-paired
+    "matryoshka_recall_report": (
+        _q_matryoshka_recall,
+        knn_graph.MATRYOSHKA_RECALL_SQL,
+    ),
+    # filtered vector search (r12): metadata predicate + post-filter-
+    # with-oversampling over the unfiltered beam — the filtered-HNSW
+    # serving shape every vector store ships
+    "ann_knn_graph_filtered_topk": (
+        _q_knn_graph_filtered,
+        knn_graph.ANN_KNN_GRAPH_FILTERED_SQL,
     ),
 }
 

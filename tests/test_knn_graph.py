@@ -284,3 +284,42 @@ def test_append_reads_are_partition_pruned(spark, emb, tmp_path):
     pf = plan[plan.index("PartitionFilters"):]
     pf = pf[: pf.index("]") + 1]
     assert "cluster_id" in pf, plan
+
+
+def test_filtered_topk_semantics(spark, emb):
+    """Every filtered result shares its query's label; ranks are dense
+    per query; no query exceeds topk rows; and the result set is
+    exactly the label-matching subset of the full final beam re-ranked
+    (post-filter-with-oversampling semantics)."""
+    out = knn_graph.ann_knn_graph_filtered_topk(emb, n_queries=10, topk=5).collect()
+    assert out
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    per_q = {}
+    for r in out:
+        assert labels[r["c_id"]] == labels[r["q_id"]], r
+        per_q.setdefault(r["q_id"], []).append(r)
+    for q, rows in per_q.items():
+        rks = sorted(r["rk"] for r in rows)
+        assert rks == list(range(1, len(rows) + 1))
+        assert len(rows) <= 5
+    # oversampling beats filtering the traversal's SMALL beam: the
+    # wide-beam post-filter returns at least as many matching rows as
+    # a narrow beam would
+    narrow = knn_graph.ann_knn_graph_filtered_topk(
+        emb, n_queries=10, topk=5, beam=8
+    ).collect()
+    assert len(out) >= len(narrow)
+
+
+def test_matryoshka_full_prefix_is_perfect(spark, emb):
+    """The full-dimension prefix row must read recall = MRR = 1.0 —
+    the report's built-in self-check (truncation at d == full is the
+    identity), and recall is monotone in prefix length on this report
+    by the nesting of the dot sums' information."""
+    rows = {
+        r["prefix_dims"]: r
+        for r in knn_graph.matryoshka_recall_report(emb).collect()
+    }
+    d = max(rows)
+    assert rows[d]["recall_ppm"] == 1_000_000
+    assert rows[d]["mrr_ppm"] == 1_000_000
