@@ -215,8 +215,14 @@ def test_quantizer_matrix_orders_families_sensibly(emb):
     exact here)."""
     rows = {r.family: r for r in
             sq_det.quantizer_recall_matrix(emb).collect()}
-    assert set(rows) == {"ivf_det", "pq_det_flat", "sq8_flat", "ivf_sq8"}
+    assert set(rows) == {
+        "ivf_det", "pq_det_flat", "sq8_flat", "ivf_sq8", "knn_graph"
+    }
     assert rows["sq8_flat"].recall_ppm >= 900_000
     assert rows["pq_det_flat"].recall_ppm <= 400_000
     assert rows["sq8_flat"].recall_ppm > rows["pq_det_flat"].recall_ppm
     assert rows["ivf_sq8"].recall_ppm == rows["ivf_det"].recall_ppm
+    # the graph tier (r12) must clear the probe-limited IVF tiers —
+    # multi-hop traversal escapes the probed-cell loss (the knn_graph
+    # pytest suite pins the same gap against the exact truth)
+    assert rows["knn_graph"].recall_ppm > rows["ivf_det"].recall_ppm
