@@ -234,6 +234,30 @@ survival_km / psi_drift / benford_audit / pps_sample all sub-1 s
 (one-or-two-scan aggregates; PPS's cumulative is the 2-pass
 range-partitioned sum, zero exchanges in the audited plan).
 
+r12 closing solo run (sf0.1, loadavg_start [0.13, 0.75, 2.97] — ALL
+THREE gate horizons quiet under the r12-hardened la15 gate): 225
+entries, total 388.3 s. Shared-215 vs the r11 session-2 close:
+287.2 -> 293.2 s (+2%, inside the documented variance band; the ONLY
+>20% mover is quantizer_matrix 7.9 -> 24.7, the priced cost of the
+FIFTH family row — the graph tier's |corpus|·n_probe·cell_cap edge
+build runs inside the capstone; its standalone entries price the
+pieces). gdpr_erasure_full 10.5 -> 5.48 s while growing 14 -> 15
+stores — the r12 thread-pooled erasure delivers the verdict-task
+target (sublinear in store count; wall time now tracks the slowest
+store). streaming_ivf_pq_ingest 13.4 -> 15.1: the fused-encode fix is
+real (solo phase profile: drain 10.8 -> 8.7 s, same session, same
+host) but the bench entry rebuilds a fresh store per run and sits in
+the in-run heat tail — the figure is lifecycle-variance-dominated
+(10.3/12.1/13.4/15.1 across four rounds with no code regression
+between the last two; treat medians across rounds). The 10 new r12
+entries cost 95.1 s, dominated by whole lifecycles priced as single
+entries: streaming_knn_graph_ingest 24.6 (fresh ensure + 4-batch
+drain + serve), knn_graph_beam_curve 20.0 (3 beam serves + truth),
+ann_knn_graph_filtered 15.6 / ann_knn_graph 14.1 (each pays a fresh
+graph build; the warm-store ann_knn_graph_serve is 2.3 s — the
+recurring production shape), knn_graph_stats 12.3, matryoshka 1.4,
+tokenizer entries <1 s.
+
 r12 phase attribution of the streaming_ivf_pq_ingest quiet-host drift
 (r11 verdict task 2 — solo 10.32 r10 -> 12.09 r11): a one-off
 split-phase profile at sf0.1 reads ensure ~4.4-4.7 s / 4-batch drain
