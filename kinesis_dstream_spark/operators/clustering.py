@@ -1279,6 +1279,83 @@ FROM q LEFT JOIN per_q p ON p.q_id = q.q_id
     )
 
 
+def _pca_cov_cs(embeddings: DataFrame) -> tuple[DataFrame, int]:
+    """The scaled-covariance matrix ``Cs`` of ``embedding_pca_profile``
+    (exact integer ``(n·S − m·mᵀ) div 1e9`` over the µ-unit grid) plus
+    the dimensionality — factored out (r13) so the OPQ rotation
+    (`operators/opq.py`) derives its Householder vector from the SAME
+    Gram chain the profile certifies, never a diverging copy."""
+    iarr = _unit_int_arrays(embeddings)
+    lg = iarr.select("vec_id", F.posexplode("iu").alias("pos0", "x")).select(
+        "vec_id", (F.col("pos0") + 1).alias("pos"), "x"
+    )
+    n = iarr.count()
+    m_rows = {
+        r.pos: r.m for r in lg.groupBy("pos").agg(F.sum("x").alias("m")).collect()
+    }
+    d = len(m_rows)
+    a = lg.select("vec_id", F.col("pos").alias("i"), F.col("x").alias("ax"))
+    b = lg.select("vec_id", F.col("pos").alias("j"), F.col("x").alias("bx"))
+    marr = F.array(
+        *[F.lit(m_rows[i]).cast("long") for i in range(1, d + 1)]
+    )
+    Cs = (
+        a.join(b, "vec_id")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("ax") * F.col("bx")).alias("s"))
+        .withColumn("ma", marr)
+        .select(
+            "i",
+            "j",
+            F.expr(
+                f"(s * {n} - element_at(ma, CAST(i AS INT))"
+                " * element_at(ma, CAST(j AS INT))) div 1000000000"
+            ).alias("c"),
+        )
+        .localCheckpoint()
+    )
+    return Cs, d
+
+
+def _pca_power(
+    Cs: DataFrame, d: int, n_iter: int
+) -> tuple[list[int], dict[int, int], list[int]]:
+    """``n_iter`` exact-integer power rounds over a collected-literal
+    vector (bounded by d, the kmeans-centroid discipline). Returns
+    (v, last w rows, the v the last mat-vec consumed)."""
+    v = [1_000_000] * d
+    w_rows: dict[int, int] = {}
+    prev_v = v
+    for _ in range(n_iter):
+        varr = F.array(*[F.lit(x).cast("long") for x in v])
+        w_df = (
+            Cs.withColumn("va", varr)
+            .select(
+                "i",
+                (F.col("c") * F.expr("element_at(va, CAST(j AS INT))")).alias("t"),
+            )
+            .groupBy("i")
+            .agg(F.sum("t").alias("w"))
+        )
+        w_rows = {r.i: r.w for r in w_df.collect()}
+        wmax = max(abs(x) for x in w_rows.values())
+        denom = max(wmax // 1_000_000, 1)
+        prev_v = v
+        v = [
+            (1 if w_rows.get(i, 0) >= 0 else -1) * (abs(w_rows.get(i, 0)) // denom)
+            for i in range(1, d + 1)
+        ]
+    return v, w_rows, prev_v
+
+
+def dominant_pc_vector(embeddings: DataFrame, n_iter: int = 3) -> list[int]:
+    """The dominant principal direction on the ±1e6 integer grid — the
+    exact power-iteration output the OPQ pre-rotation consumes."""
+    Cs, d = _pca_cov_cs(embeddings)
+    v, _, _ = _pca_power(Cs, d, n_iter)
+    return v
+
+
 def embedding_pca_profile(embeddings: DataFrame, n_iter: int = 3) -> DataFrame:
     """Dominant principal component of the embedding cloud by EXACT
     fixed-point power iteration — the geometry probe run before
@@ -1312,57 +1389,8 @@ def embedding_pca_profile(embeddings: DataFrame, n_iter: int = 3) -> DataFrame:
     map-side-combined aggregate. Every post-Gram stage is
     broadcast-class (d² matrix, d vectors).
     """
-    iarr = _unit_int_arrays(embeddings)
-    lg = iarr.select("vec_id", F.posexplode("iu").alias("pos0", "x")).select(
-        "vec_id", (F.col("pos0") + 1).alias("pos"), "x"
-    )
-    n = iarr.count()
-    m_rows = {
-        r.pos: r.m for r in lg.groupBy("pos").agg(F.sum("x").alias("m")).collect()
-    }
-    d = len(m_rows)
-    a = lg.select("vec_id", F.col("pos").alias("i"), F.col("x").alias("ax"))
-    b = lg.select("vec_id", F.col("pos").alias("j"), F.col("x").alias("bx"))
-    marr = F.array(
-        *[F.lit(m_rows[i]).cast("long") for i in range(1, d + 1)]
-    )
-    Cs = (
-        a.join(b, "vec_id")
-        .groupBy("i", "j")
-        .agg(F.sum(F.col("ax") * F.col("bx")).alias("s"))
-        .withColumn("ma", marr)
-        .select(
-            "i",
-            "j",
-            F.expr(
-                f"(s * {n} - element_at(ma, CAST(i AS INT))"
-                " * element_at(ma, CAST(j AS INT))) div 1000000000"
-            ).alias("c"),
-        )
-        .localCheckpoint()
-    )
-    v = [1_000_000] * d
-    w_rows: dict[int, int] = {}
-    prev_v = v
-    for _ in range(n_iter):
-        varr = F.array(*[F.lit(x).cast("long") for x in v])
-        w_df = (
-            Cs.withColumn("va", varr)
-            .select(
-                "i",
-                (F.col("c") * F.expr("element_at(va, CAST(j AS INT))")).alias("t"),
-            )
-            .groupBy("i")
-            .agg(F.sum("t").alias("w"))
-        )
-        w_rows = {r.i: r.w for r in w_df.collect()}
-        wmax = max(abs(x) for x in w_rows.values())
-        denom = max(wmax // 1_000_000, 1)
-        prev_v = v
-        v = [
-            (1 if w_rows.get(i, 0) >= 0 else -1) * (abs(w_rows.get(i, 0)) // denom)
-            for i in range(1, d + 1)
-        ]
+    Cs, d = _pca_cov_cs(embeddings)
+    v, w_rows, prev_v = _pca_power(Cs, d, n_iter)
     num = sum(prev_v[i - 1] * w_rows.get(i, 0) for i in range(1, d + 1))
     den = sum(x * x for x in prev_v)
     trace = Cs.filter(F.col("i") == F.col("j")).agg(F.sum("c")).collect()[0][0]
@@ -1382,9 +1410,17 @@ def embedding_pca_profile(embeddings: DataFrame, n_iter: int = 3) -> DataFrame:
     )
 
 
-def embedding_pca_profile_sql(n_iter: int = 3) -> str:
-    """DuckDB twin: same Gram build, the power rounds unrolled with
-    HUGEINT renorm products, same truncating-div grid."""
+def pca_power_cte_sql(n_iter: int = 3, with_base: bool = True) -> str:
+    """The WITH-chain prefix of the PCA twin, ending at ``v{n_iter}``
+    (the dominant-PC integer vector): e/u/iarr/lg, the exact Gram
+    ``cs``, and the unrolled power rounds with HUGEINT renorm products
+    on the same truncating-div grid. Shared by
+    ``embedding_pca_profile_sql`` and the OPQ rotation twin
+    (`operators/opq.py`) — parameter discipline, one chain.
+    ``with_base=False`` drops the leading e/u/iarr/lg CTEs (returning a
+    ``, params AS …`` continuation) for composition after a chain that
+    already defines them (``kmeans_oracle_cte`` — its other CTE names
+    c0/d{i}/m{i}/a{i} don't collide with params/m/s/cs/v*/w*)."""
     prev, cte = "v0", ""
     for k in range(1, n_iter + 1):
         cte += f""", w{k} AS (
@@ -1400,8 +1436,7 @@ def embedding_pca_profile_sql(n_iter: int = 3) -> str:
   FROM w{k}
 )"""
         prev = f"v{k}"
-    last = n_iter
-    return f"""
+    base = """
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), u AS (
@@ -1417,18 +1452,31 @@ WITH e AS (
 ), lg AS (
   SELECT vec_id, unnest(generate_series(1, len(iu))) AS pos, unnest(iu) AS x
   FROM iarr
-), params AS (SELECT count(*) AS n FROM iarr),
-m AS (SELECT pos, CAST(sum(x) AS BIGINT) AS m FROM lg GROUP BY pos),
+), params AS""" if with_base else """, plg AS (
+  SELECT vec_id, pos, iu AS x FROM lg
+), params AS"""
+    # kmeans_oracle_cte's long form names its scalar `iu`, this chain's
+    # names it `x` — the no-base adapter CTE (plg) bridges them
+    lgn = "lg" if with_base else "plg"
+    return f"""{base} (SELECT count(*) AS n FROM iarr),
+m AS (SELECT pos, CAST(sum(x) AS BIGINT) AS m FROM {lgn} GROUP BY pos),
 s AS (
   SELECT a.pos AS i, b.pos AS j, CAST(sum(a.x * b.x) AS BIGINT) AS s
-  FROM lg a JOIN lg b USING (vec_id) GROUP BY 1, 2
+  FROM {lgn} a JOIN {lgn} b USING (vec_id) GROUP BY 1, 2
 ), cs AS (
   SELECT s.i, s.j,
          (s.s * (SELECT n FROM params) - mi.m * mj.m) // 1000000000 AS c
   FROM s JOIN m mi ON mi.pos = s.i JOIN m mj ON mj.pos = s.j
 ), v0 AS (
   SELECT DISTINCT i, CAST(1000000 AS BIGINT) AS v FROM cs
-){cte},
+){cte}"""
+
+
+def embedding_pca_profile_sql(n_iter: int = 3) -> str:
+    """DuckDB twin: same Gram build, the power rounds unrolled with
+    HUGEINT renorm products, same truncating-div grid."""
+    last = n_iter
+    return f"""{pca_power_cte_sql(n_iter)},
 ray AS (
   SELECT (SELECT sum(CAST(p.v AS HUGEINT) * w.w)
           FROM v{last - 1 if last > 1 else 0} p JOIN w{last} w ON w.i = p.i)

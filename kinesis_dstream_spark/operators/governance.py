@@ -429,23 +429,49 @@ def erasure_report_full(
     def _erase_knn_graph() -> None:
         # nodes die with the subject's vectors; edge rows die if EITHER
         # endpoint is erased (the pairs-artifact rule — an edge asserts
-        # similarity about both subjects); cells/pool/edges were all
+        # similarity about both subjects), in ONE read→double-anti-join
+        # →rewrite pass per adjacency table (r12 verdict: the two
+        # sequential single-key passes rewrote the whole dir twice);
+        # back/ (ingest back-links, present only after appends) carries
+        # the same either-endpoint rule. cells/pool/edges were all
         # derived from the full corpus, so the structure refit-poisons
+        from kinesis_dstream_spark.operators.ann_index import (
+            _n_parquet_files,
+        )
         from kinesis_dstream_spark.operators.knn_graph import (
             knn_graph_store_invalidate,
         )
+        from kinesis_dstream_spark.stores import swap_dir
 
         root = erased_paths["knn_graph_index"]
         erase_parquet_store(
             spark, os.path.join(root, "nodes"), req_vecs, "vec_id"
         )
-        epath = os.path.join(root, "edges")
-        erase_parquet_store(
-            spark, epath, req_vecs.withColumnRenamed("vec_id", "src"), "src"
-        )
-        erase_parquet_store(
-            spark, epath, req_vecs.withColumnRenamed("vec_id", "dst"), "dst"
-        )
+        for sub in ("edges", "back"):
+            epath = os.path.join(root, sub)
+            if not os.path.isdir(epath) or _n_parquet_files(epath) == 0:
+                continue
+            df = spark.read.parquet(epath)
+            kept = (
+                df.join(
+                    F.broadcast(req_vecs.withColumnRenamed("vec_id", "src")),
+                    "src",
+                    "left_anti",
+                )
+                .join(
+                    F.broadcast(req_vecs.withColumnRenamed("vec_id", "dst")),
+                    "dst",
+                    "left_anti",
+                )
+                .select(df.columns)
+                .localCheckpoint()
+            )
+            tmp = epath.rstrip("/") + "_erase_tmp"
+            writer = kept.write.mode("overwrite")
+            if "cluster_id" in df.columns:
+                writer = writer.partitionBy("cluster_id")
+            writer.parquet(tmp)
+            swap_dir(tmp, epath)
         knn_graph_store_invalidate(root)
 
     # one task per independent store: copy the pristine tree, then run

@@ -65,6 +65,9 @@ from kinesis_dstream_spark.operators.clustering import (
 # comfortably above every IVF-family tier, which is the graph tier's
 # reason to exist; HNSW-realistic values (M=12, efSearch=24)
 _M = 12  # out-degree cap (HNSW's M)
+_M_BACK = 12  # back-link in-degree cap per pool node (HNSW prunes
+# bidirectional links to the same M; r13 — restores the corpus-size-
+# independent beam round under sustained ingest, see store_append)
 _N_PROBE = 3  # build-time candidate cells per node
 _CELL_CAP = 256  # md5-capped candidate pool per cell (SemDeDup bound)
 _N_ENTRY = 8  # deterministic entry points (top-layer stand-in)
@@ -98,6 +101,34 @@ def _graph_pool(asg: DataFrame, cell_cap: int) -> DataFrame:
     )
 
 
+def _graph_probes(nodes: DataFrame, cents, n_probe: int) -> DataFrame:
+    """``_ivf_probes`` plus the node's OWN coarse cell carried along:
+    (q_id, q_iu, cluster_id, src_cell) where src_cell is the pr = 1
+    probe — identical to ``_assign``'s cluster_id (both argmin exact
+    squared-L2 with ties to the smallest cid), so the edge rows can be
+    cell-partitioned by their src WITHOUT a corpus-sized join back onto
+    the assignment. Both window passes share one (q_id) partitioning."""
+    from kinesis_dstream_spark.operators.clustering import _sq_l2_fold_sql
+
+    entries = ",".join(
+        f"named_struct('cd', {_sq_l2_fold_sql('q_iu', coords)}, 'cid', {cid})"
+        for cid, coords in cents
+    )
+    probe_w = Window.partitionBy("q_id").orderBy("cd", "cid")
+    own_w = probe_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        nodes.select(
+            F.col("vec_id").alias("q_id"), F.col("iu").alias("q_iu")
+        )
+        .select("q_id", "q_iu", F.expr(f"explode(array({entries}))").alias("s"))
+        .select("q_id", "q_iu", F.col("s.cd").alias("cd"), F.col("s.cid").alias("cid"))
+        .withColumn("pr", F.row_number().over(probe_w))
+        .withColumn("src_cell", F.first("cid").over(own_w))
+        .filter(F.col("pr") <= n_probe)
+        .select("q_id", "q_iu", F.col("cid").alias("cluster_id"), "src_cell")
+    )
+
+
 def _edges_vs_pool(
     nodes: DataFrame, pool: DataFrame, cents, m: int, n_probe: int
 ) -> DataFrame:
@@ -107,12 +138,9 @@ def _edges_vs_pool(
     dst ASC) ties. The pool is ≤ k·cell_cap rows by construction —
     broadcast it so the node side (the corpus) never shuffles; at the
     100 TB layout the equivalent is the cell-partitioned ann_index
-    join."""
-    probes = _ivf_probes(
-        nodes.select(F.col("vec_id").alias("q_id"), F.col("iu").alias("q_iu")),
-        cents,
-        n_probe,
-    )
+    join. Output carries ``cluster_id`` = the SRC's own coarse cell
+    (r13) so the persisted store can partition ``edges/`` by it."""
+    probes = _graph_probes(nodes, cents, n_probe)
     cand = probes.join(F.broadcast(pool), "cluster_id").filter(
         F.col("vec_id") != F.col("q_id")
     )
@@ -122,9 +150,12 @@ def _edges_vs_pool(
             F.col("q_id").alias("src"),
             F.col("vec_id").alias("dst"),
             _dot_col("q_iu", "iu").alias("dot_num"),
+            F.col("src_cell"),
         )
         .withColumn("rk", F.row_number().over(ew))
         .filter(F.col("rk") <= m)
+        .withColumnRenamed("src_cell", "cluster_id")
+        .select("src", "dst", "dot_num", "rk", "cluster_id")
     )
 
 
@@ -255,6 +286,28 @@ def knn_graph_degree_stats(
     on). One row, exact integers; the reciprocity self-join hashes on
     the m-bounded edge list, never the corpus."""
     edges = knn_graph_edges(embeddings, m, n_probe, k, n_assign, cell_cap)
+    return _degree_stats_from(edges)
+
+
+def knn_graph_degree_stats_frozen(spark, path: str) -> DataFrame:
+    """``knn_graph_degree_stats`` over the PERSISTED store's built
+    edges — the r12 verdict's shared-build path: the bench family
+    prices one build-if-absent ensure plus this scan instead of a
+    fresh k-means fit + graph build per entry. Identical rows to the
+    fresh build on the same corpus (the store is the same chain,
+    fingerprint-pinned), so the entry keeps ``KNN_GRAPH_STATS_SQL``."""
+    import os
+
+    from kinesis_dstream_spark import stores
+
+    if stores.read_meta(path, _KNNG_META) is None:
+        raise FileNotFoundError(
+            f"knn_graph_degree_stats_frozen: no complete store at {path}"
+        )
+    return _degree_stats_from(spark.read.parquet(os.path.join(path, "edges")))
+
+
+def _degree_stats_from(edges: DataFrame) -> DataFrame:
     e = edges.select("src", "dst").localCheckpoint()
     recip = e.join(
         e.select(F.col("src").alias("dst"), F.col("dst").alias("src")),
@@ -277,7 +330,13 @@ def knn_graph_degree_stats(
             F.col("min_out_degree").cast("long").alias("min_out_degree"),
             F.col("max_out_degree").cast("long").alias("max_out_degree"),
             F.col("n_reciprocal").cast("long").alias("n_reciprocal"),
-            F.expr("n_reciprocal * 1000000 div n_edges")
+            # degenerate-graph guard (r12 ADVICE): on an empty edge set
+            # emit explicit NULL — Spark's `div NULL/0` and DuckDB's
+            # `//` disagree (error vs NULL), so both sides CASE it
+            F.expr(
+                "CASE WHEN coalesce(n_edges, 0) = 0 THEN NULL"
+                " ELSE n_reciprocal * 1000000 div n_edges END"
+            )
             .cast("long")
             .alias("reciprocity_ppm"),
         )
@@ -297,6 +356,7 @@ def knng_cte_sql(
     qset: str = "kg_q",
     with_qset: bool = True,
     rev_pred: str | None = None,
+    m_back: int = _M_BACK,
 ) -> str:
     """The graph-build + beam-search CTE chain, to be appended after
     ``kmeans_oracle_cte`` (needs ``iarr``, ``lg``, ``a{n_assign}``,
@@ -312,7 +372,10 @@ def knng_cte_sql(
     ``{col}`` placeholder marking INGESTED nodes (e.g.
     ``"{col} % 5 = 4"``) — their out-edges gain reverse rows (the store append's
     back-links) so beam search can reach nodes that are absent from
-    the frozen pool; combined with ``kmeans_oracle_cte(fit_pred=...)``
+    the frozen pool, CAPPED per pool node at the top ``m_back`` by
+    (dot DESC, ingested id ASC) — the same rank cut the store append
+    applies (r13), keeping the adjacency ≤ m + m_back under any ingest
+    volume; combined with ``kmeans_oracle_cte(fit_pred=...)``
     (cells/pool fit on the base split, ``iarr``/``lg``/probes over the
     union) this chain is the relational proof that the incremental
     insert refits nothing and is batch-order-independent."""
@@ -343,8 +406,8 @@ def knng_cte_sql(
   JOIN kg_pool c ON c.cid = p.cid AND c.vec_id <> p.src
   JOIN iarr si ON si.vec_id = p.src
 ), kg_edges AS MATERIALIZED (
-  SELECT src, dst FROM (
-    SELECT src, dst,
+  SELECT src, dst, dot_num FROM (
+    SELECT src, dst, dot_num,
            row_number() OVER (PARTITION BY src
                               ORDER BY dot_num DESC, dst) AS rk
     FROM kg_es
@@ -354,13 +417,20 @@ def knng_cte_sql(
     if rev_pred is not None:
         # back-links: reverse every ingested node's out-edges (a new
         # node is never in the frozen pool, so no reverse row can
-        # duplicate an existing built edge)
+        # duplicate an existing built edge), capped per pool node at
+        # the top m_back by (dot DESC, ingested id ASC) — the store
+        # append's merge cut (r13)
         adj = "kg_adj"
         sql += f""", kg_adj AS MATERIALIZED (
   SELECT src, dst FROM kg_edges
   UNION ALL
-  SELECT dst AS src, src AS dst FROM kg_edges
-  WHERE {rev_pred.format(col="src")}
+  SELECT dst AS src, src AS dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY dst
+                              ORDER BY dot_num DESC, src) AS brk
+    FROM kg_edges
+    WHERE {rev_pred.format(col="src")}
+  ) WHERE brk <= {m_back}
 )"""
     if with_qset:
         sql += f""", {qset} AS (
@@ -376,25 +446,42 @@ def knng_cte_sql(
   JOIN iarr ia ON ia.vec_id = e.node
   WHERE e.node <> q.q_id
 )"""
-    prev = "kg_b0"
+    sql += _knng_rounds_cte("kg_", "kg_b0", adj, qset, beam, rounds)
+    return sql
+
+
+def _knng_rounds_cte(
+    prefix: str, b0: str, adj: str, qset: str, beam: int, rounds: int
+) -> str:
+    """Only the width-DEPENDENT part of the beam chain — ``rounds``
+    candidate-expansion + re-rank CTE pairs named ``{prefix}c{r}`` /
+    ``{prefix}b{r}``, reading a caller-supplied entry beam ``b0``,
+    adjacency and query set. Lets multi-width twins (the efSearch
+    curve) emit the k-means + graph BUILD chain once and re-emit only
+    these rounds per width (r12 ADVICE: the blanket ``.replace("kg_",
+    ...)`` retag re-ran the whole build per width, 3× redundant oracle
+    cost and fragile to substring collisions)."""
+    dot_q_ia = _DOT.format(a="q.q_iu", b="ia.iu")
+    sql = ""
+    prev = b0
     for r in range(1, rounds + 1):
-        sql += f""", kg_c{r} AS (
+        sql += f""", {prefix}c{r} AS (
   SELECT DISTINCT q_id, node FROM (
     SELECT q_id, node FROM {prev}
     UNION ALL
     SELECT b.q_id, e.dst AS node FROM {prev} b JOIN {adj} e ON e.src = b.node
   ) WHERE node <> q_id
-), kg_b{r} AS MATERIALIZED (
+), {prefix}b{r} AS MATERIALIZED (
   SELECT q_id, node, dot_num FROM (
     SELECT c.q_id, c.node, {dot_q_ia} AS dot_num,
            row_number() OVER (PARTITION BY c.q_id
              ORDER BY {dot_q_ia} DESC, c.node) AS brk
-    FROM kg_c{r} c
+    FROM {prefix}c{r} c
     JOIN {qset} q ON q.q_id = c.q_id
     JOIN iarr ia ON ia.vec_id = c.node
   ) WHERE brk <= {beam}
 )"""
-        prev = f"kg_b{r}"
+        prev = f"{prefix}b{r}"
     return sql
 
 
@@ -441,16 +528,18 @@ def ann_knn_graph_ingest_sql(
     n_entry: int = _N_ENTRY,
     beam: int = _BEAM,
     rounds: int = _ROUNDS,
+    m_back: int = _M_BACK,
 ) -> str:
     """Twin of the frozen-structure ingest flow (ensure on the
     ``fit_pred`` base + append the rest + serve over the union): cells
     AND the candidate pool are fit on the base subset only
     (``kmeans_oracle_cte(fit_pred)`` restricts seeds/assignments;
     ``kg_pool`` draws from the base assignment), then ALL nodes link
-    against that frozen pool and ingested nodes gain back-links — the
-    relational proof that the incremental HNSW insert refits nothing
-    and the final graph is independent of batch order. Shared by the
-    batch ``ann_knn_graph_ingest_serve`` entry and the drained
+    against that frozen pool and ingested nodes gain back-links capped
+    at ``m_back`` per pool node (r13 — the store append's merge cut) —
+    the relational proof that the incremental HNSW insert refits
+    nothing and the final graph is independent of batch order. Shared
+    by the batch ``ann_knn_graph_ingest_serve`` entry and the drained
     ``streaming_knn_graph_ingest`` job."""
     return (
         kmeans_oracle_cte(k=k, n_assign=n_assign, fit_pred=fit_pred)
@@ -465,6 +554,7 @@ def ann_knn_graph_ingest_sql(
             beam,
             rounds,
             rev_pred=new_pred,
+            m_back=m_back,
         )
         + f"""
 SELECT q_id, node AS c_id, dot_num, CAST(rk AS BIGINT) AS rk FROM (
@@ -495,21 +585,24 @@ def knn_graph_stats_sql(
             cell_cap=cell_cap,
             with_qset=False,
         ).split(", kg_entries AS")[0]
-        + f""", kg_deg AS (
+        + """, kg_deg AS (
   SELECT src, count(*) AS deg FROM kg_edges GROUP BY src
 ), kg_recip AS (
   SELECT count(*) AS n_reciprocal
   FROM kg_edges e JOIN kg_edges r ON r.src = e.dst AND r.dst = e.src
+), kg_degagg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(sum(deg) AS BIGINT) AS n_edges,
+         CAST(min(deg) AS BIGINT) AS min_out_degree,
+         CAST(max(deg) AS BIGINT) AS max_out_degree
+  FROM kg_deg
 )
-SELECT CAST(count(*) AS BIGINT) AS n_nodes,
-       CAST(sum(deg) AS BIGINT) AS n_edges,
-       CAST(min(deg) AS BIGINT) AS min_out_degree,
-       CAST(max(deg) AS BIGINT) AS max_out_degree,
+SELECT d.n_nodes, d.n_edges, d.min_out_degree, d.max_out_degree,
        CAST(r.n_reciprocal AS BIGINT) AS n_reciprocal,
-       CAST(r.n_reciprocal * 1000000 // sum(deg) AS BIGINT)
+       CAST(CASE WHEN coalesce(d.n_edges, 0) = 0 THEN NULL
+            ELSE r.n_reciprocal * 1000000 // d.n_edges END AS BIGINT)
          AS reciprocity_ppm
-FROM kg_deg CROSS JOIN kg_recip r
-GROUP BY r.n_reciprocal
+FROM kg_degagg d CROSS JOIN kg_recip r
 """
     )
 
@@ -564,6 +657,7 @@ def knn_graph_store_ensure(
     k: int = _K,
     n_assign: int = _N_ASSIGN,
     cell_cap: int = _CELL_CAP,
+    m_back: int = _M_BACK,
 ) -> dict:
     """Build-if-absent persisted k-NN graph (the HNSW index artifact):
 
@@ -573,8 +667,14 @@ def knn_graph_store_ensure(
       pool, FROZEN at build time — incremental inserts link against
       the base pool, never into it, which is what makes the append
       order-independent (see ``knn_graph_store_append``).
-    * ``edges/`` — (src, dst, dot_num, rk) adjacency rows, rk ≤ m for
-      built edges, rk = -1 for ingest back-links.
+    * ``edges/`` — (src, dst, dot_num, rk) built out-edges, rk ≤ m,
+      PARTITIONED BY the src's own coarse ``cluster_id`` (r13): the
+      append's replay guard and compaction prune to touched cells, and
+      no maintenance step ever rewrites the whole adjacency in one
+      task (the r12 ``coalesce(1)`` straggler is gone).
+    * ``back/`` — ingest back-links (src = pool node, dst = ingested
+      node, rk = -1), PARTITIONED BY the pool node's cell, created on
+      first append and per-node CAPPED at ``m_back`` (see append).
     * meta sidecar — corpus+params fingerprint, frozen coarse
       centroids (k·d int64 literals), params; written LAST through the
       atomic ``stores.write_meta`` seam (poison-first rebuild — the
@@ -586,7 +686,7 @@ def knn_graph_store_ensure(
     from kinesis_dstream_spark.operators.ann_index import corpus_fingerprint
 
     fp = corpus_fingerprint(
-        embeddings, knn_graph=[m, n_probe, k, n_assign, cell_cap]
+        embeddings, knn_graph=[m, n_probe, k, n_assign, cell_cap, m_back]
     )
     meta = stores.read_meta(path, _KNNG_META)
     if meta is None or meta.get("fingerprint") != fp:
@@ -608,10 +708,10 @@ def knn_graph_store_ensure(
         )
         _edges_vs_pool(iarr, pool, cents, m, n_probe).write.mode(
             "overwrite"
-        ).parquet(os.path.join(path, "edges"))
+        ).partitionBy("cluster_id").parquet(os.path.join(path, "edges"))
         meta = {
             "fingerprint": fp,
-            "params": [m, n_probe, k, n_assign, cell_cap],
+            "params": [m, n_probe, k, n_assign, cell_cap, m_back],
             "centroids": [[cid, coords] for cid, coords in cents],
         }
         stores.write_meta(path, meta, _KNNG_META)  # LAST: build complete
@@ -658,7 +758,7 @@ def knn_graph_serve_frozen(
             "(missing/torn meta sidecar) — run knn_graph_store_ensure first"
         )
     edges = (
-        spark.read.parquet(os.path.join(path, "edges"))
+        _read_adjacency(spark, path)
         .select("src", "dst")
         .localCheckpoint()
     )
@@ -670,29 +770,65 @@ def knn_graph_serve_frozen(
     return _beam_serve(edges, iarr, n_queries, topk, n_entry, beam, rounds)
 
 
+def _read_adjacency(spark, path: str) -> DataFrame:
+    """The store's full adjacency: built out-edges (``edges/``) plus
+    ingest back-links (``back/``, present only after appends). Per-node
+    fan-out is ≤ m + m_back by construction — the bound each beam
+    round's expansion relies on."""
+    import os
+
+    from kinesis_dstream_spark.operators.ann_index import _n_parquet_files
+
+    adj = spark.read.parquet(os.path.join(path, "edges")).select("src", "dst")
+    back_path = os.path.join(path, "back")
+    # file-count guard, not isdir: an all-rows-erased back/ holds only
+    # _SUCCESS and would fail schema inference
+    if os.path.isdir(back_path) and _n_parquet_files(back_path) > 0:
+        adj = adj.unionByName(
+            spark.read.parquet(back_path).select("src", "dst")
+        )
+    return adj
+
+
 def knn_graph_store_append(embeddings_new: DataFrame, path: str) -> None:
     """Incremental node insertion — the HNSW insert made
     order-independent: each new vector probes its n_probe nearest
     FROZEN cells, links to its top-m neighbors among the FROZEN base
-    pool (exact integer dot), and gets BACK-LINKS (rk = -1 rows) from
-    those m targets so beam search can reach it. Because the pool and
-    centroids are frozen at ensure time and pool members never change,
-    a node's edges are a pure function of (node, store) — the final
-    graph after any batch partition of the same ingest set is
-    IDENTICAL, which is what lets the drained streaming serve share
-    the batch ingest oracle (``ANN_KNN_GRAPH_INGEST_SQL``).
+    pool (exact integer dot), and gets BACK-LINKS from those targets so
+    beam search can reach it. Because the pool and centroids are frozen
+    at ensure time and pool members never change, a node's out-edges
+    are a pure function of (node, store); back-links are merged under a
+    per-pool-node TOP-``m_back`` cut by (dot DESC, ingested id ASC) —
+    a selection whose result over any union equals the re-cut of
+    per-subset cuts, so the final graph after any batch partition of
+    the same ingest set is IDENTICAL, which is what lets the drained
+    streaming serve share the batch ingest oracle
+    (``ANN_KNN_GRAPH_INGEST_SQL``).
 
-    Degree honesty: back-links are additive (a pool member's in-ingest
-    degree grows with ingest volume — the md5-capped pool spreads them
-    ~uniformly); the m-bound is restored by invalidate + ensure (the
-    deliberate-rebuild contract all quantizer stores share). Replay
-    safety: capped batch-fingerprint fast path + cell-pruned row
-    anti-join on the stored nodes (the det-IVF discipline verbatim).
+    Degree bound (r13): the back-link cap keeps every node's adjacency
+    ≤ m + m_back under SUSTAINED ingest — the beam round's expansion
+    stays corpus-size- and ingest-volume-independent without
+    invalidate+ensure (which the r12 additive design required). The
+    cap's price is a merge-rewrite of the touched ``back/`` cells per
+    batch, each cell bounded at cell_cap·m_back rows — constant, not
+    corpus-sized.
+
+    Replay / crash safety: capped batch-fingerprint fast path +
+    cell-pruned row anti-joins. Three writes, each individually
+    idempotent, in crash-safe order: (1) ``back/`` touched-cell
+    dynamic-partition merge-overwrite (re-running the merge is a
+    no-op), (2) ``edges/`` append GUARDED by an anti-join on srcs
+    already present in the batch's cells (r12 ADVICE: a crash between
+    the edge and node writes must not double-append on replay),
+    (3) ``nodes/`` append guarded by the stored-node anti-join.
     """
     import os
 
     from kinesis_dstream_spark import stores
-    from kinesis_dstream_spark.operators.ann_index import corpus_fingerprint
+    from kinesis_dstream_spark.operators.ann_index import (
+        _n_parquet_files,
+        corpus_fingerprint,
+    )
     from kinesis_dstream_spark.operators.clustering import _assign
 
     meta = stores.read_meta(path, _KNNG_META)
@@ -704,11 +840,13 @@ def knn_graph_store_append(embeddings_new: DataFrame, path: str) -> None:
     fp_new = corpus_fingerprint(embeddings_new, knn_graph_append=True)
     if fp_new in meta.get("appended", []):
         return
-    m, n_probe, _, _, _ = meta["params"]
+    m, n_probe, _, _, _, m_back = meta["params"]
     cents = [
         (int(cid), [int(x) for x in coords]) for cid, coords in meta["centroids"]
     ]
     nodes_path = os.path.join(path, "nodes")
+    edges_path = os.path.join(path, "edges")
+    back_path = os.path.join(path, "back")
     spark = embeddings_new.sparkSession
     asg = _assign(
         _unit_int_arrays(embeddings_new).dropDuplicates(["vec_id"]), cents
@@ -754,15 +892,85 @@ def knn_graph_store_append(embeddings_new: DataFrame, path: str) -> None:
                 out_edges = _edges_vs_pool(
                     fresh, pool, cents, m, n_probe
                 ).localCheckpoint()
-                back = out_edges.select(
+                # -- (1) back-link merge: pool-node cell from the
+                # bounded broadcast pool; union new reverse rows with
+                # the stored rows of the touched cells, dedup (replay),
+                # keep the top m_back per pool node
+                back_new = out_edges.select(
                     F.col("dst").alias("src"),
                     F.col("src").alias("dst"),
                     "dot_num",
-                    F.lit(-1).alias("rk"),
+                ).join(
+                    F.broadcast(
+                        pool.select(
+                            F.col("vec_id").alias("src"),
+                            F.col("cluster_id").alias("bcell"),
+                        )
+                    ),
+                    "src",
                 )
-                out_edges.unionByName(back).write.mode("append").parquet(
-                    os.path.join(path, "edges")
+                touched = back_new
+                if os.path.isdir(back_path) and _n_parquet_files(back_path) > 0:
+                    stored_back = (
+                        spark.read.parquet(back_path)
+                        .filter(F.col("cluster_id").isin(probe_cells))
+                        .select(
+                            "src",
+                            "dst",
+                            "dot_num",
+                            F.col("cluster_id").alias("bcell"),
+                        )
+                    )
+                    touched = touched.unionByName(stored_back)
+                bw = Window.partitionBy("src").orderBy(
+                    F.col("dot_num").desc(), "dst"
                 )
+                merged = (
+                    touched.dropDuplicates(["src", "dst"])
+                    .withColumn("brk", F.row_number().over(bw))
+                    .filter(F.col("brk") <= m_back)
+                    .select(
+                        "src",
+                        "dst",
+                        "dot_num",
+                        F.lit(-1).alias("rk"),
+                        F.col("bcell").alias("cluster_id"),
+                    )
+                    .localCheckpoint()
+                )
+                prev = spark.conf.get(
+                    "spark.sql.sources.partitionOverwriteMode", "static"
+                )
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", "dynamic"
+                )
+                try:
+                    merged.write.partitionBy("cluster_id").mode(
+                        "overwrite"
+                    ).parquet(back_path)
+                finally:
+                    spark.conf.set(
+                        "spark.sql.sources.partitionOverwriteMode", prev
+                    )
+                # -- (2) guarded out-edge append: a crash after (2)
+                # before (3) leaves edge rows whose node rows are
+                # missing — the replay recomputes the batch, and this
+                # anti-join (pruned to the batch's own cells) drops the
+                # already-written srcs instead of double-appending
+                edge_cells = [
+                    int(r[0])
+                    for r in out_edges.select("cluster_id").distinct().collect()
+                ]
+                written_srcs = (
+                    spark.read.parquet(edges_path)
+                    .filter(F.col("cluster_id").isin(edge_cells))
+                    .select("src")
+                    .distinct()
+                )
+                out_edges.join(written_srcs, "src", "left_anti").write.mode(
+                    "append"
+                ).partitionBy("cluster_id").parquet(edges_path)
+                # -- (3) node append (the original stored-node guard)
                 fresh.select(
                     "vec_id", "iu", F.lit(False).alias("in_pool"), "cluster_id"
                 ).write.mode("append").partitionBy("cluster_id").parquet(
@@ -776,15 +984,54 @@ def knn_graph_store_append(embeddings_new: DataFrame, path: str) -> None:
     stores.write_meta(path, meta, _KNNG_META)
 
 
+def _compact_cells(spark, table_path: str, max_files_per_cell: int) -> int:
+    """Rewrite the OVERSIZED cells of one cluster_id-partitioned table
+    via dynamic partition overwrite — only cells past the file budget
+    rewrite, each as its own task; no single-task whole-table pass (the
+    r12 `coalesce(1)` straggler). Returns the number of cells
+    compacted."""
+    import os
+
+    from kinesis_dstream_spark.operators.ann_index import _n_parquet_files
+
+    if not os.path.isdir(table_path):
+        return 0
+    oversized = [
+        int(entry.split("=", 1)[1])
+        for entry in os.listdir(table_path)
+        if entry.startswith("cluster_id=")
+        and _n_parquet_files(os.path.join(table_path, entry)) > max_files_per_cell
+    ]
+    if not oversized:
+        return 0
+    rows = (
+        spark.read.parquet(table_path)
+        .filter(F.col("cluster_id").isin(oversized))
+        .repartition("cluster_id")
+        .localCheckpoint()
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        rows.write.partitionBy("cluster_id").mode("overwrite").parquet(
+            table_path
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return len(oversized)
+
+
 def knn_graph_store_compact(
     spark, path: str, max_files_per_cell: int = 8
 ) -> dict[str, int]:
     """Small-file compaction for the graph store (the `_pq_store_compact`
     contract): per-batch appends leave one file set per micro-batch in
-    each touched node cell and in the flat edges dir; compaction
-    rewrites oversized node cells (dynamic partition overwrite — only
-    oversized cells rewrite) and coalesces the edge dir via the atomic
-    swap seam, CONTENT-PRESERVING by construction (no re-pruning — the
+    each touched cell of ``nodes/``, ``edges/`` and ``back/``; all
+    three are cluster_id-partitioned (r13), so compaction is uniform
+    per-cell dynamic partition overwrite — only oversized cells
+    rewrite, in parallel, bounded by the cell's own row count (the r12
+    edges-side ``coalesce(1)`` single-task whole-adjacency rewrite is
+    gone). CONTENT-PRESERVING by construction (no re-pruning — the
     m-bound restore is the deliberate invalidate+ensure rebuild, the
     quantizer-store refit contract). Clears the append fast-path log;
     row-level idempotence still holds for replays of evicted batches."""
@@ -792,46 +1039,20 @@ def knn_graph_store_compact(
 
     from kinesis_dstream_spark import stores
     from kinesis_dstream_spark.operators.ann_index import _n_parquet_files
-    from kinesis_dstream_spark.stores import swap_dir
 
-    nodes_path = os.path.join(path, "nodes")
-    edges_path = os.path.join(path, "edges")
-    oversized = [
-        int(entry.split("=", 1)[1])
-        for entry in os.listdir(nodes_path)
-        if entry.startswith("cluster_id=")
-        and _n_parquet_files(os.path.join(nodes_path, entry)) > max_files_per_cell
-    ]
-    files_before = _n_parquet_files(nodes_path) + _n_parquet_files(edges_path)
-    if oversized:
-        rows = (
-            spark.read.parquet(nodes_path)
-            .filter(F.col("cluster_id").isin(oversized))
-            .repartition("cluster_id")
-            .localCheckpoint()
-        )
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            rows.write.partitionBy("cluster_id").mode("overwrite").parquet(
-                nodes_path
-            )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    if _n_parquet_files(edges_path) > max_files_per_cell:
-        tmp = edges_path.rstrip("/") + "_compact_tmp"
-        spark.read.parquet(edges_path).coalesce(1).localCheckpoint().write.mode(
-            "overwrite"
-        ).parquet(tmp)
-        swap_dir(tmp, edges_path)
+    parts = [os.path.join(path, s) for s in ("nodes", "edges", "back")]
+    files_before = sum(_n_parquet_files(p) for p in parts if os.path.isdir(p))
+    cells = sum(_compact_cells(spark, p, max_files_per_cell) for p in parts)
     meta = stores.read_meta(path, _KNNG_META)
     if meta is not None and meta.get("appended"):
         meta["appended"] = []
         stores.write_meta(path, meta, _KNNG_META)
     return {
-        "cells_compacted": len(oversized),
+        "cells_compacted": cells,
         "files_before": files_before,
-        "files_after": _n_parquet_files(nodes_path) + _n_parquet_files(edges_path),
+        "files_after": sum(
+            _n_parquet_files(p) for p in parts if os.path.isdir(p)
+        ),
     }
 
 
@@ -866,6 +1087,52 @@ def knn_graph_beam_curve(
         .localCheckpoint()
     )
     iarr = _unit_int_arrays(embeddings).localCheckpoint()
+    return _beam_curve_from(edges, iarr, n_queries, topk, beams, n_entry, rounds)
+
+
+def knn_graph_beam_curve_frozen(
+    spark,
+    path: str,
+    n_queries: int = 10,
+    topk: int = 5,
+    beams: tuple = (8, 16, 24),
+    n_entry: int = _N_ENTRY,
+    rounds: int = _ROUNDS,
+) -> DataFrame:
+    """The efSearch curve over the PERSISTED store's built graph (the
+    r12 verdict's shared-build path — one ensure amortized across the
+    family's bench entries). Identical rows to the fresh-build curve
+    on the same corpus; keeps ``KNN_GRAPH_BEAM_CURVE_SQL``."""
+    import os
+
+    from kinesis_dstream_spark import stores
+
+    if stores.read_meta(path, _KNNG_META) is None:
+        raise FileNotFoundError(
+            f"knn_graph_beam_curve_frozen: no complete store at {path}"
+        )
+    edges = (
+        spark.read.parquet(os.path.join(path, "edges"))
+        .select("src", "dst")
+        .localCheckpoint()
+    )
+    iarr = (
+        spark.read.parquet(os.path.join(path, "nodes"))
+        .select("vec_id", "iu")
+        .localCheckpoint()
+    )
+    return _beam_curve_from(edges, iarr, n_queries, topk, beams, n_entry, rounds)
+
+
+def _beam_curve_from(
+    edges: DataFrame,
+    iarr: DataFrame,
+    n_queries: int,
+    topk: int,
+    beams: tuple,
+    n_entry: int,
+    rounds: int,
+) -> DataFrame:
     queries = iarr.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), F.col("iu").alias("q_iu")
     )
@@ -922,23 +1189,28 @@ def knn_graph_beam_curve_sql(
     n_entry: int = _N_ENTRY,
     rounds: int = _ROUNDS,
 ) -> str:
-    """Twin: the shared k-means chain + ONE kg-prefixed beam chain per
-    width (CTE names disambiguated by a beam-tagged prefix — the graph
-    sub-chain is recomputed per width, the honest oracle price) + the
-    exact truth + the same trunc-div aggregates."""
+    """Twin: the shared k-means chain + the graph BUILD chain emitted
+    ONCE (the beam-width-independent part — k-means distances, pool,
+    edges, entries, and the b0 entry beam are all shared) + only the
+    width-dependent beam ROUNDS re-emitted per width under a
+    ``kg{b}_`` prefix + the exact truth + the same trunc-div
+    aggregates. (r12 ADVICE: the previous blanket string-replace
+    re-emitted the whole k-means-dependent build per width.)"""
     sql = kmeans_oracle_cte(k=k, n_assign=n_assign)
+    # everything up to the first round CTE is width-independent
+    # (distances, pool, edges, qset, entries, the b0 entry beam)
+    sql += knng_cte_sql(
+        n_queries, m, n_probe, k, n_assign, cell_cap, n_entry, beams[0], rounds
+    ).split(", kg_c1 AS")[0]
     for b in beams:
-        chain = knng_cte_sql(
-            n_queries, m, n_probe, k, n_assign, cell_cap, n_entry, b, rounds
-        )
-        sql += chain.replace("kg_", f"kg{b}_")
+        sql += _knng_rounds_cte(f"kg{b}_", "kg_b0", "kg_edges", "kg_q", b, rounds)
     sql += f""", bc_truth AS MATERIALIZED (
   SELECT q_id, c_id FROM (
     SELECT q.q_id, ia.vec_id AS c_id,
            row_number() OVER (PARTITION BY q.q_id
              ORDER BY {_DOT.format(a="q.q_iu", b="ia.iu")} DESC, ia.vec_id)
              AS trk
-    FROM kg{beams[0]}_q q JOIN iarr ia ON ia.vec_id <> q.q_id
+    FROM kg_q q JOIN iarr ia ON ia.vec_id <> q.q_id
   ) WHERE trk <= {topk}
 )"""
     legs = []
@@ -949,7 +1221,7 @@ SELECT CAST({b} AS BIGINT) AS beam,
        CAST(coalesce(sum(s.n_hits), 0) * 1000000
             // {n_queries * topk} AS BIGINT) AS recall_ppm,
        CAST(coalesce(sum(s.rr), 0) // {n_queries} AS BIGINT) AS mrr_ppm
-FROM kg{beams[0]}_q q LEFT JOIN (
+FROM kg_q q LEFT JOIN (
   SELECT a.q_id, count(*) AS n_hits, 1000000 // min(a.rk) AS rr
   FROM (
     SELECT q_id, node AS c_id, rk FROM (
@@ -1137,6 +1409,58 @@ def ann_knn_graph_filtered_topk(
         .localCheckpoint()
     )
     iarr = _unit_int_arrays(embeddings).localCheckpoint()
+    return _filtered_from(
+        edges, iarr, embeddings, n_queries, topk, n_entry, beam, rounds
+    )
+
+
+def ann_knn_graph_filtered_frozen(
+    spark,
+    path: str,
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    topk: int = 5,
+    n_entry: int = _N_ENTRY,
+    beam: int = _BEAM,
+    rounds: int = _ROUNDS,
+) -> DataFrame:
+    """Filtered graph search over the PERSISTED store's built graph
+    (the r12 verdict's shared-build path); ``embeddings`` supplies the
+    label metadata column. Identical rows to the fresh-build variant;
+    keeps ``ANN_KNN_GRAPH_FILTERED_SQL``."""
+    import os
+
+    from kinesis_dstream_spark import stores
+
+    if stores.read_meta(path, _KNNG_META) is None:
+        raise FileNotFoundError(
+            f"ann_knn_graph_filtered_frozen: no complete store at {path}"
+        )
+    edges = (
+        spark.read.parquet(os.path.join(path, "edges"))
+        .select("src", "dst")
+        .localCheckpoint()
+    )
+    iarr = (
+        spark.read.parquet(os.path.join(path, "nodes"))
+        .select("vec_id", "iu")
+        .localCheckpoint()
+    )
+    return _filtered_from(
+        edges, iarr, embeddings, n_queries, topk, n_entry, beam, rounds
+    )
+
+
+def _filtered_from(
+    edges: DataFrame,
+    iarr: DataFrame,
+    embeddings: DataFrame,
+    n_queries: int,
+    topk: int,
+    n_entry: int,
+    beam: int,
+    rounds: int,
+) -> DataFrame:
     full_beam = _beam_serve(edges, iarr, n_queries, beam, n_entry, beam, rounds)
     labels = embeddings.select("vec_id", "label")
     q_labels = labels.filter(F.col("vec_id") < n_queries).select(
@@ -1144,9 +1468,11 @@ def ann_knn_graph_filtered_topk(
     )
     fw = Window.partitionBy("q_id").orderBy(F.col("dot_num").desc(), "c_id")
     return (
-        full_beam.join(
-            F.broadcast(labels.withColumnRenamed("vec_id", "c_id")), "c_id"
-        )
+        # broadcast the |q|·beam final beam, NOT the corpus-sized label
+        # table (r12 ADVICE: the labels stay the streamed/probe side —
+        # the family's only corpus-sized broadcast is gone)
+        F.broadcast(full_beam)
+        .join(labels.withColumnRenamed("vec_id", "c_id"), "c_id")
         .join(F.broadcast(q_labels), "q_id")
         .filter(F.col("label") == F.col("q_label"))
         .select("q_id", "c_id", "dot_num")

@@ -914,6 +914,38 @@ def binary_file_media_stats(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def _bmp_block_sums(p: bytes):
+    """Decode a 24bpp BMP payload and reduce it to the 8×8 block-grid
+    integer sums: returns (s, c) int64 arrays where s[by][bx] is the
+    summed gray (= B+G+R) of the block and c its pixel count, via the
+    floor mapping bx = x·8//w shared verbatim with the SQL oracles —
+    the one decode used by BOTH the aHash and the DCT-pHash paths
+    (r13: factored, not duplicated)."""
+    import struct
+
+    import numpy as np
+
+    magic, _, _, _, offset = struct.unpack_from("<2sIHHI", p, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP")
+    (_, w, h, planes, bpp) = struct.unpack_from("<IiiHH", p, 14)
+    if bpp != 24 or planes != 1 or w <= 0 or h <= 0:
+        raise ValueError("unsupported BMP variant")
+    stride = (w * 3 + 3) // 4 * 4
+    px = np.frombuffer(
+        p, dtype=np.uint8, count=stride * h, offset=offset
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    img = px[::-1]  # image space, top-origin
+    gray = img.astype(np.int64).sum(axis=2)  # B+G+R
+    bx = (np.arange(w) * 8) // w
+    by = (np.arange(h) * 8) // h
+    s = np.zeros((8, 8), dtype=np.int64)
+    c = np.zeros((8, 8), dtype=np.int64)
+    np.add.at(s, (by[:, None], bx[None, :]), gray)
+    np.add.at(c, (by[:, None], bx[None, :]), 1)
+    return s, c
+
+
 def perceptual_hash_bmp_batch(media: DataFrame) -> DataFrame:
     """Average-hash (aHash) perceptual fingerprints from REAL decoded
     pixels: gray = B+G+R per pixel (channel sum — the monotone
@@ -926,7 +958,6 @@ def perceptual_hash_bmp_batch(media: DataFrame) -> DataFrame:
     bitstring plus the exact content digest for within-group
     accounting. mapInPandas, zero exchange, codec in the closure."""
     import hashlib
-    import struct
 
     import numpy as np
 
@@ -936,24 +967,7 @@ def perceptual_hash_bmp_batch(media: DataFrame) -> DataFrame:
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
                     p = bytes(payload)
-                    magic, _, _, _, offset = struct.unpack_from("<2sIHHI", p, 0)
-                    if magic != b"BM":
-                        raise ValueError("not a BMP")
-                    (_, w, h, planes, bpp) = struct.unpack_from("<IiiHH", p, 14)
-                    if bpp != 24 or planes != 1 or w <= 0 or h <= 0:
-                        raise ValueError("unsupported BMP variant")
-                    stride = (w * 3 + 3) // 4 * 4
-                    px = np.frombuffer(
-                        p, dtype=np.uint8, count=stride * h, offset=offset
-                    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
-                    img = px[::-1]  # image space, top-origin
-                    gray = img.astype(np.int64).sum(axis=2)  # B+G+R
-                    bx = (np.arange(w) * 8) // w
-                    by = (np.arange(h) * 8) // h
-                    s = np.zeros((8, 8), dtype=np.int64)
-                    c = np.zeros((8, 8), dtype=np.int64)
-                    np.add.at(s, (by[:, None], bx[None, :]), gray)
-                    np.add.at(c, (by[:, None], bx[None, :]), 1)
+                    s, c = _bmp_block_sums(p)
                     ts, tc = int(s.sum()), int(c.sum())
                     bits = (s * tc > ts * c).astype(np.uint8)
                     rows.append(
@@ -1031,6 +1045,219 @@ SELECT phash, count(*) AS n_images,
        min(doc_id) AS rep_media_id
 FROM hashes GROUP BY phash HAVING count(*) > 1
 """
+
+
+# Integer 8-point DCT-II basis, C[k][x] = ±round(4096·|cos(π(2x+1)k/16)|)
+# with the sign taken from the true cosine: the ± pairing of the
+# 8-point cosines makes every k ≥ 1 row sum EXACTLY zero on this grid
+# (module invariant, pytest-pinned), which is what makes the pHash AC
+# coefficients cancel a global brightness offset EXACTLY — not
+# approximately — on the integer grid. One source of truth for both
+# engines: the SQL twin's literal table is rendered from THIS list.
+_DCT8 = [
+    [4096, 4096, 4096, 4096, 4096, 4096, 4096, 4096],
+    [4017, 3406, 2276, 799, -799, -2276, -3406, -4017],
+    [3784, 1567, -1567, -3784, -3784, -1567, 1567, 3784],
+    [3406, -799, -4017, -2276, 2276, 4017, 799, -3406],
+    [2896, -2896, -2896, 2896, 2896, -2896, -2896, 2896],
+    [2276, -4017, 799, 3406, -3406, -799, 4017, -2276],
+    [1567, -3784, 3784, -1567, -1567, 3784, -3784, 1567],
+    [799, -2276, 3406, -4017, 4017, -3406, 2276, -799],
+]
+
+
+def synth_bmp_pattern_table(documents: DataFrame) -> DataFrame:
+    """(media_id, payload): genuine 16×16 24bpp BMPs carrying a
+    class-keyed BLOCK-CHECKER pattern plus per-doc brightness AND
+    contrast variation — the fixture for the DCT pHash. Deterministic
+    from doc_id:
+
+        shape class: sx = 1 + doc_id % 3, sy = 1 + (doc_id div 3) % 3
+          (9 classes; χ(bx,by) = 1 iff (bx div sx + by div sy) even)
+        amp = 1 + (doc_id div 9) % 2   (contrast — ALTERNATES within a
+          class: consecutive class members d, d+9 flip it, so every
+          pHash group genuinely mixes contrast variants)
+        B = doc_id % 256 (brightness offset), G = 128
+        R(x,y) = 100·amp·χ(x div 2, y div 2)
+
+    Blocks are uniform 2×2 pixel tiles, so the fixed-point block value
+    decomposes EXACTLY into offset + amp·pattern: the DCT signs cancel
+    the offset exactly (the ``_DCT8`` zero-row-sum invariant) and are
+    exactly invariant to the amp scaling — every class collapses its
+    brightness and contrast variants into ONE group while the 9 shapes
+    stay distinct, and byte digests call every file unique."""
+    import struct
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w = h = 16
+                sx, sy = 1 + d % 3, 1 + (d // 3) % 3
+                amp = 1 + (d // 9) % 2
+                b, g = d % 256, 128
+                row_pad = (-(w * 3)) % 4
+                rows = []
+                for y in range(h - 1, -1, -1):  # bottom-up
+                    row = bytearray()
+                    by = y // 2
+                    for x in range(w):
+                        bx = x // 2
+                        chi = 1 if ((bx // sx) + (by // sy)) % 2 == 0 else 0
+                        row += bytes((b, g, 100 * amp * chi))  # BGR
+                    rows.append(bytes(row) + b"\x00" * row_pad)
+                pixels = b"".join(rows)
+                header = struct.pack(
+                    "<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54
+                ) + struct.pack(
+                    "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+                )
+                payloads.append(header + pixels)
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        synth, "media_id long, payload binary"
+    )
+
+
+def dct_phash_bmp_batch(media: DataFrame) -> DataFrame:
+    """DCT-based perceptual hash (pHash — the robust-to-contrast image
+    fingerprint production dedup actually ships, cf. the classic
+    pHash/imagehash design) from REAL decoded pixels, integer end to
+    end: the shared 8×8 block-mean grid (``_bmp_block_sums``, the
+    aHash decode verbatim), block value v = s·4096 div c (a defined
+    fixed-point, one trunc div), the integer DCT-II
+    F[u][v] = Σ C[u][by]·C[v][bx]·v_b (exact int64: |F| ≤
+    64·4096²·2.4e6 ≈ 3.4e15), and bit(u,v) = 1 iff F > 0 over the
+    LOW-FREQUENCY 4×4 quadrant (the classic pHash top-left cut; 16
+    chars, DC position pinned to 0). Signs of AC coefficients are EXACTLY
+    invariant to global brightness (k ≥ 1 basis rows sum to zero — see
+    ``_DCT8``) and invariant to positive contrast scaling up to the
+    documented trunc-div dust — the two transforms that break
+    byte-digest dedup. mapInPandas, zero exchange."""
+    import hashlib
+
+    import numpy as np
+
+    basis = np.array(_DCT8, dtype=np.int64)
+
+    def dhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    p = bytes(payload)
+                    s, c = _bmp_block_sums(p)
+                    v = (s * 4096) // c  # c ≥ 1 for the ≥8×8 fixture
+                    # LOW-FREQUENCY quadrant only (u, v < 4) — the
+                    # classic pHash cut: high-frequency signs of smooth
+                    # content hover near zero and flip under any pixel
+                    # dust, while the low quadrant's signs are backed
+                    # by real energy (the disagreement pytest measures
+                    # exactly this stability)
+                    coeffs = (basis @ v @ basis.T)[:4, :4]
+                    bits = (coeffs > 0).astype(np.uint8)
+                    bits[0, 0] = 0  # DC carries only brightness
+                    rows.append(
+                        (
+                            int(mid),
+                            "".join("1" if b else "0" for b in bits.ravel()),
+                            hashlib.sha256(p).hexdigest(),
+                        )
+                    )
+                except Exception:
+                    rows.append((int(mid), None, None))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "dct_phash", "content_sha"]
+            )
+
+    return media.mapInPandas(
+        dhash, "media_id long, dct_phash string, content_sha string"
+    )
+
+
+def media_dct_phash_dedup(documents: DataFrame) -> DataFrame:
+    """Perceptual near-dup groups by DCT-sign hash over REAL image
+    files — the dedup class neither byte digests (every file unique:
+    offsets differ) nor naive similarity can reach at scale: the
+    gradient fixture's brightness offset AND contrast amplitude vary
+    per doc, and the pHash collapses both into structural groups. ONE
+    hash groupBy, no pairwise stage (the aHash discipline — at 100 TB
+    this is the same shuffle as exact dedup).
+
+    Oracle: the twin recomputes the identical integer pipeline
+    (block sums → fixed-point means → literal-table DCT → signs) from
+    the analytic pixel formula, so a hash match certifies decode +
+    block arithmetic + the DCT fold end to end."""
+    hashed = dct_phash_bmp_batch(synth_bmp_pattern_table(documents))
+    return (
+        hashed.groupBy("dct_phash")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.countDistinct("content_sha").alias("n_distinct_contents"),
+            F.min("media_id").alias("rep_media_id"),
+        )
+        .where(F.col("n_images") > 1)
+    )
+
+
+def _dct8_values_sql() -> str:
+    """The ``_DCT8`` basis as a DuckDB VALUES literal (k, x, c) —
+    rendered from the module list, never hand-copied."""
+    return ", ".join(
+        f"({k}, {x}, {_DCT8[k][x]})" for k in range(8) for x in range(8)
+    )
+
+
+MEDIA_DCT_PHASH_DEDUP_SQL = f"""
+WITH dct AS (
+  SELECT * FROM (VALUES {_dct8_values_sql()}) AS t(k, x, c)
+), xs AS (
+  SELECT doc_id, unnest(generate_series(0, 15)) AS x FROM documents
+), px AS (
+  SELECT doc_id, x, unnest(generate_series(0, 15)) AS y FROM xs
+), g AS (
+  SELECT doc_id,
+         (doc_id % 256) + 128
+           + 100 * (1 + (doc_id // 9) % 2)
+             * (CASE WHEN ((x // 2) // (1 + doc_id % 3)
+                           + (y // 2) // (1 + (doc_id // 3) % 3)) % 2 = 0
+                THEN 1 ELSE 0 END) AS gray,
+         x // 2 AS bx,
+         y // 2 AS by
+  FROM px
+), dbsum AS (
+  SELECT doc_id, bx, by, sum(gray) AS s, count(*) AS c
+  FROM g GROUP BY doc_id, bx, by
+), dv AS (
+  SELECT doc_id, bx, by, (s * 4096) // c AS v FROM dbsum
+), dco AS (
+  SELECT d.doc_id, cu.k AS u, cv.k AS vf,
+         CAST(sum(cu.c * cv.c * d.v) AS BIGINT) AS f
+  FROM dv d
+  JOIN dct cu ON cu.x = d.by AND cu.k < 4
+  JOIN dct cv ON cv.x = d.bx AND cv.k < 4
+  GROUP BY 1, 2, 3
+), dhash AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN u = 0 AND vf = 0 THEN '0'
+                         WHEN f > 0 THEN '1' ELSE '0' END, ''
+                    ORDER BY u, vf) AS dct_phash,
+         min(CAST(doc_id % 256 AS VARCHAR) || '_'
+             || CAST(doc_id % 3 AS VARCHAR) || '_'
+             || CAST((doc_id // 3) % 3 AS VARCHAR) || '_'
+             || CAST((doc_id // 9) % 2 AS VARCHAR)) AS content_key
+  FROM dco GROUP BY doc_id
+)
+SELECT dct_phash, count(*) AS n_images,
+       count(DISTINCT content_key) AS n_distinct_contents,
+       min(doc_id) AS rep_media_id
+FROM dhash GROUP BY dct_phash HAVING count(*) > 1
+"""
+
 
 
 def synth_y4m_shots_table(documents: DataFrame) -> DataFrame:

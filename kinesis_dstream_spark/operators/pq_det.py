@@ -1070,6 +1070,7 @@ def _pq_chain_sql(
     fit_pred: str | None = None,
     tag: str = "pq",
     src: str = "iarr",
+    prefix: str = "",
 ) -> str:
     """CTE fragment (appended after ``clustering.kmeans_oracle_cte``'s
     prefix, which defines ``iarr``): per subspace s, the sliced arrays
@@ -1083,74 +1084,81 @@ def _pq_chain_sql(
     vectors — while the final encoding (``pall_{s}`` → ``pqcodes``)
     assigns ALL vectors to those frozen codebooks, the relational
     statement of "ingest never refits" (``kmeans_oracle_cte`` does the
-    same for the coarse level)."""
+    same for the coarse level).
+
+    ``prefix`` (r13): prepended to every CTE name this fragment emits,
+    so TWO independent PQ fits (e.g. the quantizer matrix's flat and
+    rotated legs) compose into one query without name collisions — a
+    structural parameter, not the post-hoc string-replace the r12
+    ADVICE retired from the beam-curve twin."""
+    P = prefix
     parts = []
     final = {}
     for s in range(m):
         lo, hi = s * dsub + 1, (s + 1) * dsub
-        lfit = f"l{s}"
-        parts.append(f""", l{s} AS (
+        lfit = f"{P}l{s}"
+        parts.append(f""", {P}l{s} AS (
   SELECT vec_id, unnest(generate_series(1, {dsub})) AS pos,
          unnest(iu[{lo}:{hi}]) AS su
   FROM {src}
 )""")
         seed_where = ""
         if fit_pred:
-            lfit = f"lf{s}"
+            lfit = f"{P}lf{s}"
             seed_where = f" WHERE {fit_pred}"
             parts.append(
-                f", lf{s} AS (SELECT * FROM l{s} WHERE {fit_pred})"
+                f", {P}lf{s} AS (SELECT * FROM {P}l{s} WHERE {fit_pred})"
             )
-        parts.append(f""", sd{s} AS (
+        parts.append(f""", {P}sd{s} AS (
   SELECT vec_id,
          row_number() OVER (
            ORDER BY md5('{tag}{s}:' || CAST(vec_id AS VARCHAR)), vec_id) - 1
            AS cid
   FROM embeddings{seed_where}
   ORDER BY md5('{tag}{s}:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT {ksub}
-), pc0_{s} AS (
-  SELECT d.cid, l.pos, l.su AS cv FROM sd{s} d JOIN {lfit} l USING (vec_id)
+), {P}pc0_{s} AS (
+  SELECT d.cid, l.pos, l.su AS cv FROM {P}sd{s} d JOIN {lfit} l USING (vec_id)
 )""")
-        prev = f"pc0_{s}"
+        prev = f"{P}pc0_{s}"
         for i in range(1, n_assign + 1):
-            parts.append(f""", pd{i}_{s} AS (
+            parts.append(f""", {P}pd{i}_{s} AS (
   SELECT l.vec_id, c.cid,
          CAST(sum((l.su - c.cv) * (l.su - c.cv)) AS BIGINT) AS dist
   FROM {lfit} l JOIN {prev} c ON c.pos = l.pos GROUP BY 1, 2
-), pm{i}_{s} AS (SELECT vec_id, min(dist) AS md FROM pd{i}_{s} GROUP BY 1),
-pa{i}_{s} AS (
+), {P}pm{i}_{s} AS (SELECT vec_id, min(dist) AS md FROM {P}pd{i}_{s} GROUP BY 1),
+{P}pa{i}_{s} AS (
   SELECT d.vec_id, min(d.cid) AS cid
-  FROM pd{i}_{s} d JOIN pm{i}_{s} m ON m.vec_id = d.vec_id AND d.dist = m.md
+  FROM {P}pd{i}_{s} d JOIN {P}pm{i}_{s} m ON m.vec_id = d.vec_id AND d.dist = m.md
   GROUP BY 1
 )""")
             if i < n_assign:
-                parts.append(f""", pc{i}_{s} AS (
+                parts.append(f""", {P}pc{i}_{s} AS (
   SELECT a.cid, l.pos,
          CAST(CAST(sum(l.su) AS BIGINT) // count(*) AS BIGINT) AS cv
-  FROM pa{i}_{s} a JOIN {lfit} l USING (vec_id) GROUP BY 1, 2
+  FROM {P}pa{i}_{s} a JOIN {lfit} l USING (vec_id) GROUP BY 1, 2
 )""")
-                prev = f"pc{i}_{s}"
-        final[s] = f"pa{n_assign}_{s}"
+                prev = f"{P}pc{i}_{s}"
+        final[s] = f"{P}pa{n_assign}_{s}"
         if fit_pred:
-            cent = f"pc{n_assign - 1}_{s}" if n_assign > 1 else f"pc0_{s}"
-            parts.append(f""", pdall_{s} AS (
+            cent = f"{P}pc{n_assign - 1}_{s}" if n_assign > 1 else f"{P}pc0_{s}"
+            parts.append(f""", {P}pdall_{s} AS (
   SELECT l.vec_id, c.cid,
          CAST(sum((l.su - c.cv) * (l.su - c.cv)) AS BIGINT) AS dist
-  FROM l{s} l JOIN {cent} c ON c.pos = l.pos GROUP BY 1, 2
-), pmall_{s} AS (SELECT vec_id, min(dist) AS md FROM pdall_{s} GROUP BY 1),
-pall_{s} AS (
+  FROM {P}l{s} l JOIN {cent} c ON c.pos = l.pos GROUP BY 1, 2
+), {P}pmall_{s} AS (SELECT vec_id, min(dist) AS md FROM {P}pdall_{s} GROUP BY 1),
+{P}pall_{s} AS (
   SELECT d.vec_id, min(d.cid) AS cid
-  FROM pdall_{s} d JOIN pmall_{s} m ON m.vec_id = d.vec_id AND d.dist = m.md
+  FROM {P}pdall_{s} d JOIN {P}pmall_{s} m ON m.vec_id = d.vec_id AND d.dist = m.md
   GROUP BY 1
 )""")
-            final[s] = f"pall_{s}"
+            final[s] = f"{P}pall_{s}"
     joins = " ".join(
         f"JOIN {final[s]} a{s} USING (vec_id)" for s in range(1, m)
     )
     code_cols = ", ".join(
         (f"a{s}.cid AS code{s}" if s else f"a0.cid AS code0") for s in range(m)
     )
-    parts.append(f""", pqcodes AS (
+    parts.append(f""", {P}pqcodes AS (
   SELECT a0.vec_id, {code_cols}
   FROM {final[0]} a0 {joins}
 )""")
@@ -1158,14 +1166,19 @@ pall_{s} AS (
 
 
 def _query_lut_sql(
-    s: int, n_queries: int, dsub: int = _DSUB, n_assign: int = _N_ASSIGN
+    s: int,
+    n_queries: int,
+    dsub: int = _DSUB,
+    n_assign: int = _N_ASSIGN,
+    prefix: str = "",
 ) -> str:
     """LUT CTE per subspace: (q_id, cid, dot) against the FINAL
-    subspace centroids."""
-    cent = f"pc{n_assign - 1}_{s}" if n_assign > 1 else f"pc0_{s}"
-    return f""", ql{s} AS (
+    subspace centroids. ``prefix`` follows ``_pq_chain_sql``'s."""
+    P = prefix
+    cent = f"{P}pc{n_assign - 1}_{s}" if n_assign > 1 else f"{P}pc0_{s}"
+    return f""", {P}ql{s} AS (
   SELECT l.vec_id AS q_id, c.cid, CAST(sum(l.su * c.cv) AS BIGINT) AS dot
-  FROM l{s} l JOIN {cent} c ON c.pos = l.pos
+  FROM {P}l{s} l JOIN {cent} c ON c.pos = l.pos
   WHERE l.vec_id < {n_queries}
   GROUP BY 1, 2
 )"""

@@ -746,6 +746,7 @@ def quantizer_recall_matrix(
     k: int = _K,
     n_assign: int = _N_ASSIGN,
     levels: int = _LEVELS,
+    knn_graph_store: str | None = None,
 ) -> DataFrame:
     """Cross-family retrieval-quality matrix — ONE oracle-paired table
     ranking every deterministic quantizer tier against the exact
@@ -770,8 +771,27 @@ def quantizer_recall_matrix(
     from kinesis_dstream_spark.operators.clustering import (
         ivf_deterministic_topk,
     )
-    from kinesis_dstream_spark.operators.knn_graph import ann_knn_graph_topk
+    from kinesis_dstream_spark.operators.knn_graph import (
+        ann_knn_graph_topk,
+        knn_graph_serve_frozen,
+        knn_graph_store_ensure,
+    )
+    from kinesis_dstream_spark.operators.opq import ann_pq_rot_topk
     from kinesis_dstream_spark.operators.pq_det import ann_pq_det_topk
+
+    if knn_graph_store is not None:
+        # shared-build path (r12 verdict): the graph leg reuses the
+        # family's build-if-absent persisted store instead of paying a
+        # fresh k-means fit + graph build inside the matrix — identical
+        # rows (serve-equals-oneshot is pytest-pinned), same oracle
+        knn_graph_store_ensure(embeddings, knn_graph_store, k=k, n_assign=n_assign)
+        kg_leg = knn_graph_serve_frozen(
+            embeddings.sparkSession, knn_graph_store, n_queries, topk
+        )
+    else:
+        kg_leg = ann_knn_graph_topk(
+            embeddings, n_queries, topk, k=k, n_assign=n_assign
+        )
 
     iarr = _unit_int_arrays(embeddings).localCheckpoint()
     queries = iarr.filter(F.col("vec_id") < n_queries).select(
@@ -808,9 +828,15 @@ def quantizer_recall_matrix(
         # beam search — completes the matrix with the production-default
         # ANN structure (graph-traversal loss: a true neighbor outside
         # the beam's reachable set is missed)
-        "knn_graph": ann_knn_graph_topk(
-            embeddings, n_queries, topk, k=k, n_assign=n_assign
-        ).select("q_id", "c_id", "rk"),
+        "knn_graph": kg_leg.select("q_id", "c_id", "rk"),
+        # OPQ tier (r13): exact Householder pre-rotation from the
+        # dominant PC in front of the same det-PQ fit — rotation loss
+        # vs flat PQ reads ~0 on the isotropic fixture BY DESIGN (the
+        # honest baseline; the correlated-data win is pytest-pinned in
+        # tests/test_opq.py)
+        "pq_rot": ann_pq_rot_topk(embeddings, n_queries, topk).select(
+            "q_id", "c_id", "rk"
+        ),
     }
     rows = []
     for fam, approx in fams.items():
@@ -865,9 +891,18 @@ def quantizer_recall_matrix_sql(
         _query_lut_sql,
     )
 
+    from kinesis_dstream_spark.operators.opq import (
+        _PQ_ROT_TAG,
+        householder_cte_sql,
+    )
+
     cent_tbl = f"c{n_assign - 1}" if n_assign > 1 else "c0"
     pq_lut_joins = " ".join(
         f"JOIN ql{s} q{s} ON q{s}.q_id = q0.q_id AND q{s}.cid = x.code{s}"
+        for s in range(1, _M)
+    )
+    rot_lut_joins = " ".join(
+        f"JOIN rql{s} q{s} ON q{s}.q_id = q0.q_id AND q{s}.cid = x.code{s}"
         for s in range(1, _M)
     )
     pq_adc = " + ".join(f"q{s}.dot" for s in range(_M))
@@ -875,6 +910,15 @@ def quantizer_recall_matrix_sql(
     sql += _pq_chain_sql(_M, _DSUB, _KSUB, n_assign)
     for s in range(_M):
         sql += _query_lut_sql(s, n_queries, _DSUB, n_assign)
+    # the rotated-PQ leg (r13): the shared Householder chain (base CTEs
+    # already defined by kmeans_oracle_cte) + a second, r-prefixed PQ
+    # chain over riarr — the prefix seam, not a string-replace
+    sql += householder_cte_sql(with_base=False)
+    sql += _pq_chain_sql(
+        _M, _DSUB, _KSUB, n_assign, tag=_PQ_ROT_TAG, src="riarr", prefix="r"
+    )
+    for s in range(_M):
+        sql += _query_lut_sql(s, n_queries, _DSUB, n_assign, prefix="r")
     fam_aggs = []
     for fam, ap in [
         ("ivf_det", "ap_ivf"),
@@ -882,6 +926,7 @@ def quantizer_recall_matrix_sql(
         ("sq8_flat", "ap_sq8"),
         ("ivf_sq8", "ap_isq"),
         ("knn_graph", "ap_kg"),
+        ("pq_rot", "ap_rot"),
     ]:
         fam_aggs.append(f"""
 SELECT '{fam}' AS family,
@@ -985,6 +1030,17 @@ FROM qset q LEFT JOIN (
            row_number() OVER (PARTITION BY q_id
                               ORDER BY dot_num DESC, node) AS rk
     FROM kg_b{_KNNG_ROUNDS}
+  ) WHERE rk <= {topk}
+), ap_rot AS (
+  SELECT q_id, c_id, rk FROM (
+    SELECT q0.q_id, x.vec_id AS c_id,
+           row_number() OVER (PARTITION BY q0.q_id
+                              ORDER BY CAST({pq_adc} AS BIGINT) DESC,
+                                       x.vec_id) AS rk
+    FROM rpqcodes x
+    JOIN rql0 q0 ON q0.cid = x.code0
+    {rot_lut_joins}
+    WHERE x.vec_id <> q0.q_id
   ) WHERE rk <= {topk}
 )
 {chr(10).join("UNION ALL" + b if i else b for i, b in enumerate(fam_aggs))}

@@ -39,6 +39,7 @@ from kinesis_dstream_spark.operators import (
     knn_graph,
     linkage,
     multimodal,
+    opq,
     reference_ops,
     layout,
     relational,
@@ -4492,22 +4493,39 @@ def _q_tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _knn_graph_shared_store(spark: SparkSession, sf: str) -> str:
+    """The family's ONE build-if-absent graph store (r12 verdict: the
+    five graph bench entries were each paying a fresh k-means fit +
+    graph build — ~80 s of the family's 107 s was redundant rebuild;
+    now the first entry to run pays the ensure and the rest serve warm.
+    Results are unchanged — serve-equals-oneshot is pytest-pinned and
+    every entry keeps its original oracle)."""
+    path = _store_path("knn_graph", sf)
+    knn_graph.knn_graph_store_ensure(
+        load_table(spark, sf, "embeddings"), path
+    )
+    return path
+
+
 def _q_knn_graph_topk(spark: SparkSession, sf: str) -> DataFrame:
-    return knn_graph.ann_knn_graph_topk(load_table(spark, sf, "embeddings"))
+    return knn_graph.knn_graph_serve_frozen(
+        spark, _knn_graph_shared_store(spark, sf)
+    )
 
 
 def _q_knn_graph_stats(spark: SparkSession, sf: str) -> DataFrame:
-    return knn_graph.knn_graph_degree_stats(load_table(spark, sf, "embeddings"))
+    return knn_graph.knn_graph_degree_stats_frozen(
+        spark, _knn_graph_shared_store(spark, sf)
+    )
 
 
 def _q_knn_graph_serve(spark: SparkSession, sf: str) -> DataFrame:
     """Store-backed graph serve: build-if-absent, then beam search over
     the persisted adjacency — identical rows to the one-shot build, so
     it shares ANN_KNN_GRAPH_SQL."""
-    emb = load_table(spark, sf, "embeddings")
-    path = _store_path("knn_graph", sf)
-    knn_graph.knn_graph_store_ensure(emb, path)
-    return knn_graph.knn_graph_serve_frozen(spark, path)
+    return knn_graph.knn_graph_serve_frozen(
+        spark, _knn_graph_shared_store(spark, sf)
+    )
 
 
 def _q_knn_graph_ingest(spark: SparkSession, sf: str) -> DataFrame:
@@ -4522,7 +4540,9 @@ def _q_knn_graph_ingest(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_knn_graph_beam_curve(spark: SparkSession, sf: str) -> DataFrame:
-    return knn_graph.knn_graph_beam_curve(load_table(spark, sf, "embeddings"))
+    return knn_graph.knn_graph_beam_curve_frozen(
+        spark, _knn_graph_shared_store(spark, sf)
+    )
 
 
 def _q_matryoshka_recall(spark: SparkSession, sf: str) -> DataFrame:
@@ -4530,8 +4550,10 @@ def _q_matryoshka_recall(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_knn_graph_filtered(spark: SparkSession, sf: str) -> DataFrame:
-    return knn_graph.ann_knn_graph_filtered_topk(
-        load_table(spark, sf, "embeddings")
+    return knn_graph.ann_knn_graph_filtered_frozen(
+        spark,
+        _knn_graph_shared_store(spark, sf),
+        load_table(spark, sf, "embeddings"),
     )
 
 
@@ -4539,6 +4561,14 @@ def _q_streaming_knn_graph(spark: SparkSession, sf: str) -> DataFrame:
     from kinesis_dstream_spark.streaming import jobs
 
     return jobs.streaming_knn_graph_ingest(spark, sf)
+
+
+def _q_pq_rot_topk(spark: SparkSession, sf: str) -> DataFrame:
+    return opq.ann_pq_rot_topk(load_table(spark, sf, "embeddings"))
+
+
+def _q_media_dct_phash(spark: SparkSession, sf: str) -> DataFrame:
+    return multimodal.media_dct_phash_dedup(load_table(spark, sf, "documents"))
 
 
 def _q_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
@@ -4592,7 +4622,10 @@ def _q_doc_novelty(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_quantizer_matrix(spark: SparkSession, sf: str) -> DataFrame:
-    return sq_det.quantizer_recall_matrix(load_table(spark, sf, "embeddings"))
+    return sq_det.quantizer_recall_matrix(
+        load_table(spark, sf, "embeddings"),
+        knn_graph_store=_knn_graph_shared_store(spark, sf),
+    )
 
 
 def _q_streaming_ivf_sq8_ingest(spark: SparkSession, sf: str) -> DataFrame:
@@ -6458,6 +6491,24 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "ann_knn_graph_filtered_topk": (
         _q_knn_graph_filtered,
         knn_graph.ANN_KNN_GRAPH_FILTERED_SQL,
+    ),
+    # ---- r13 additions (post-window by registry discipline) ----
+    # OPQ-tier rotated PQ: exact Householder reflection from the
+    # power-iteration dominant PC (the pca_profile chain) in front of
+    # the unchanged det-PQ fit/encode/ADC — FAISS's OPQMatrix shape,
+    # first-order and fully oracle-paired (fixture is isotropic, where
+    # rotation is recall-neutral by design; the correlated-construction
+    # win is pytest-pinned in tests/test_opq.py)
+    "ann_pq_rot_topk": (_q_pq_rot_topk, opq.ANN_PQ_ROT_SQL),
+    # DCT-sign perceptual hash dedup (r13): integer 8×8 DCT-II over
+    # the decoded block-mean grid, coefficient signs as the hash — the
+    # robust-to-brightness-AND-contrast image dedup production ships
+    # (aHash certifies mean-splitting only); one hash groupBy, no
+    # pairwise stage; the gradient fixture makes the robustness class
+    # analytic
+    "media_dct_phash_dedup": (
+        _q_media_dct_phash,
+        multimodal.MEDIA_DCT_PHASH_DEDUP_SQL,
     ),
 }
 

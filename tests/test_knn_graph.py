@@ -187,12 +187,72 @@ def test_append_is_replay_safe_and_order_independent(spark, emb, tmp_path):
     # same ingest set, two batches in a different partition than p1's
     knn_graph.knn_graph_store_append(rest.filter(F.col("vec_id") % 2 == 0), p2)
     knn_graph.knn_graph_store_append(rest.filter(F.col("vec_id") % 2 == 1), p2)
-    e1 = sorted(map(tuple, spark.read.parquet(p1 + "/edges").collect()))
-    e2 = sorted(map(tuple, spark.read.parquet(p2 + "/edges").collect()))
-    assert e1 == e2
+    for sub in ("edges", "back"):
+        t1 = sorted(map(tuple, spark.read.parquet(p1 + "/" + sub).collect()))
+        t2 = sorted(map(tuple, spark.read.parquet(p2 + "/" + sub).collect()))
+        assert t1 == t2, f"{sub} differs under a different batch partition"
     s1 = sorted(map(tuple, knn_graph.knn_graph_serve_frozen(spark, p1).collect()))
     s2 = sorted(map(tuple, knn_graph.knn_graph_serve_frozen(spark, p2).collect()))
     assert s1 == s2
+
+
+def test_back_link_cap_bounds_adjacency(spark, emb, tmp_path):
+    """Heavy multi-batch ingest (80% of the corpus appended onto a 20%
+    base, in 4 batches) leaves EVERY node's total adjacency fan-out
+    ≤ m + m_back — the r13 cap that keeps the beam round's expansion
+    ingest-volume-independent without invalidate+ensure. Also pins
+    that the cap actually BINDS on this construction (some pool node
+    receives more than m_back candidate back-links), so the top-m_back
+    merge cut is exercised, and that capped survivors are the best by
+    (dot DESC, dst ASC)."""
+    path = str(tmp_path / "knng_cap")
+    m, m_back = knn_graph._M, knn_graph._M_BACK
+    knn_graph.knn_graph_store_ensure(emb.filter(F.col("vec_id") % 5 == 4), path)
+    for i in range(4):
+        knn_graph.knn_graph_store_append(
+            emb.filter((F.col("vec_id") % 5 != 4) & (F.col("vec_id") % 4 == i)),
+            path,
+        )
+    adj = knn_graph._read_adjacency(spark, path)
+    deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).collect()
+    assert max(r["deg"] for r in deg) <= m + m_back
+    back = spark.read.parquet(path + "/back").collect()
+    per_pool = {}
+    for r in back:
+        per_pool.setdefault(r["src"], []).append((r["dot_num"], r["dst"]))
+    assert max(len(v) for v in per_pool.values()) == m_back, (
+        "cap never bound — weaken the base split so the merge cut runs"
+    )
+
+
+def test_torn_append_replay_adds_no_duplicate_edges(spark, emb, tmp_path):
+    """The r12 ADVICE crash window made safe (r13): edges/ and back/
+    written, nodes/ and meta NOT — a replay of the same batch must not
+    double-append out-edges or back-links (the r12 design recomputed
+    the whole batch as fresh and appended its edge rows a second time,
+    permanently skewing degree stats and erasure accounting). The torn
+    state is constructed exactly: a clean reference store is appended,
+    then its post-append edges/ and back/ are transplanted onto an
+    ensure-only twin (deterministic builds make the pre-append state
+    identical), and the real append replays on top."""
+    import shutil
+
+    base = emb.filter(F.col("vec_id") % 5 != 4)
+    rest = emb.filter(F.col("vec_id") % 5 == 4)
+    p_ref = str(tmp_path / "knng_ref")
+    knn_graph.knn_graph_store_ensure(base, p_ref)
+    knn_graph.knn_graph_store_append(rest, p_ref)
+
+    p_torn = str(tmp_path / "knng_torn")
+    knn_graph.knn_graph_store_ensure(base, p_torn)
+    for sub in ("edges", "back"):
+        shutil.rmtree(p_torn + "/" + sub, ignore_errors=True)
+        shutil.copytree(p_ref + "/" + sub, p_torn + "/" + sub)
+    knn_graph.knn_graph_store_append(rest, p_torn)  # the replay
+    for sub in ("edges", "back", "nodes"):
+        got = sorted(map(tuple, spark.read.parquet(p_torn + "/" + sub).collect()))
+        want = sorted(map(tuple, spark.read.parquet(p_ref + "/" + sub).collect()))
+        assert got == want, f"replay after the torn window skewed {sub}/"
 
 
 def test_ingested_nodes_are_retrievable(spark, emb, tmp_path):
@@ -281,6 +341,19 @@ def test_append_reads_are_partition_pruned(spark, emb, tmp_path):
         .select("vec_id", "iu", "cluster_id")
     )
     plan = pool._jdf.queryExecution().executedPlan().toString()
+    pf = plan[plan.index("PartitionFilters"):]
+    pf = pf[: pf.index("]") + 1]
+    assert "cluster_id" in pf, plan
+    # r13: edges/ is cell-partitioned too — the append's torn-window
+    # replay guard (existing-src read) must prune the same way
+    edges = os.path.join(path, "edges")
+    guard = (
+        spark.read.parquet(edges)
+        .filter(F.col("cluster_id").isin([0, 2]))
+        .select("src")
+        .distinct()
+    )
+    plan = guard._jdf.queryExecution().executedPlan().toString()
     pf = plan[plan.index("PartitionFilters"):]
     pf = pf[: pf.index("]") + 1]
     assert "cluster_id" in pf, plan

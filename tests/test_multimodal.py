@@ -286,3 +286,102 @@ def test_perceptual_hash_quarantines_malformed(spark):
     )
     row = multimodal.perceptual_hash_bmp_batch(bad).collect()[0]
     assert row.phash is None and row.content_sha is None
+
+
+# ---------------------------------------------------------------------------
+# DCT pHash (r13)
+# ---------------------------------------------------------------------------
+
+
+def _mk_bmp(w, h, rfun, b=0, g=128):
+    """Genuine 24bpp BMP with R = rfun(x, y) — test-local synthesizer
+    (same container layout as synth_bmp_table)."""
+    import struct
+
+    row_pad = (-(w * 3)) % 4
+    rows = []
+    for y in range(h - 1, -1, -1):
+        row = bytearray()
+        for x in range(w):
+            row += bytes((b, g, max(0, min(255, rfun(x, y)))))
+        rows.append(bytes(row) + b"\x00" * row_pad)
+    px = b"".join(rows)
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + len(px), 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(px), 2835, 2835, 0, 0
+    )
+    return hdr + px
+
+
+def test_dct_basis_rows_sum_exactly_zero():
+    """The module invariant the offset-cancellation proof rests on:
+    every k >= 1 row of the integer DCT basis sums to EXACTLY zero
+    (the ± pairing of the 8-point cosines survives rounding)."""
+    for k in range(1, 8):
+        assert sum(multimodal._DCT8[k]) == 0, k
+    assert all(c == 4096 for c in multimodal._DCT8[0])
+
+
+def test_dct_phash_groups_mix_brightness_and_contrast_variants(spark, sf_dir):
+    """The robustness class the operator exists for: within a pHash
+    group there must be members that differ in BOTH the brightness
+    offset (doc_id % 256) and the contrast amplitude ((doc_id//9) % 2)
+    — byte digests call all of them unique."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = multimodal.dct_phash_bmp_batch(
+        multimodal.synth_bmp_pattern_table(docs)
+    ).collect()
+    by_hash = {}
+    for r in hashed:
+        by_hash.setdefault(r.dct_phash, []).append(r.media_id)
+    mixed = 0
+    for ids in by_hash.values():
+        if len(ids) < 2:
+            continue
+        amps = {(i // 9) % 2 for i in ids}
+        offs = {i % 256 for i in ids}
+        if len(amps) == 2 and len(offs) > 1:
+            mixed += 1
+    assert mixed > 0, "no group mixes contrast AND brightness variants"
+    groups = multimodal.media_dct_phash_dedup(docs).collect()
+    assert groups
+    for g in groups:
+        assert g.n_images > 1
+        assert g.n_distinct_contents > 1
+        assert len(g.dct_phash) == 16 and set(g.dct_phash) <= {"0", "1"}
+
+
+def test_illumination_tilt_flips_ahash_not_dct_phash(spark):
+    """THE disagreement exhibit (r12 verdict task 5): aHash compares
+    every block against the GLOBAL mean, so blocks whose means sit on
+    the mean (the transition band here) flip under a small
+    illumination tilt; the DCT low-frequency signs are backed by the
+    macro pattern's energy and survive it. An exact affine contrast
+    stretch leaves BOTH hashes unchanged (both are mean-relative /
+    offset-cancelling by construction) — measured 8 aHash bit flips
+    vs 0 pHash flips under the tilt at these parameters."""
+    w = h = 16
+
+    def base_r(x, y):
+        bx, by = (x * 8) // w, (y * 8) // h
+        if bx in (3, 4):  # block mean == global mean: fragile for aHash
+            return 120
+        return 120 + 60 * (1 if (bx < 3) == (by < 4) else -1)
+
+    variants = {
+        "base": base_r,
+        "tilt": lambda x, y: base_r(x, y) + (x * 10) // w,
+        "affine": lambda x, y: (base_r(x, y) * 3) // 2 - 40,
+    }
+    media = spark.createDataFrame(
+        [(i, bytearray(_mk_bmp(w, h, f))) for i, (n, f) in enumerate(variants.items())],
+        "media_id long, payload binary",
+    )
+    a = {r.media_id: r.phash for r in
+         multimodal.perceptual_hash_bmp_batch(media).collect()}
+    d = {r.media_id: r.dct_phash for r in
+         multimodal.dct_phash_bmp_batch(media).collect()}
+    base_id, tilt_id, aff_id = 0, 1, 2
+    assert a[base_id] != a[tilt_id], "tilt failed to flip aHash"
+    assert d[base_id] == d[tilt_id], "tilt flipped the DCT pHash"
+    assert a[base_id] == a[aff_id]
+    assert d[base_id] == d[aff_id]

@@ -286,3 +286,32 @@ def test_dsir_select_nondefault_topn(spark, duck, sf_dir):
         curation.dsir_select_topk_sql(top_n=17),
         "dsir_select_17",
     )
+
+
+def test_knn_graph_ingest_binding_cap_twin(spark, duck, sf_dir, tmp_path):
+    """r13: the back-link cap where it BINDS. The driver fixture's
+    default 80/20 split never pushes a pool node past m_back (the
+    goldens read unchanged), so the registry oracle alone does not
+    exercise the merge cut cross-engine. This lockstep INVERTS the
+    split — 20% base pool, 80% ingested in two batches — so pool nodes
+    receive ~48 candidate back-links and the top-m_back selection
+    decides the adjacency; the drained store serve must still
+    hash-match the capped SQL twin."""
+    from pyspark.sql import functions as F
+
+    from kinesis_dstream_spark.operators import knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "knng_bind")
+    knn_graph.knn_graph_store_ensure(emb.filter(F.col("vec_id") % 5 == 4), path)
+    rest = emb.filter(F.col("vec_id") % 5 != 4)
+    knn_graph.knn_graph_store_append(rest.filter(F.col("vec_id") % 2 == 0), path)
+    knn_graph.knn_graph_store_append(rest.filter(F.col("vec_id") % 2 == 1), path)
+    _match(
+        knn_graph.knn_graph_serve_frozen(spark, path),
+        duck,
+        knn_graph.ann_knn_graph_ingest_sql(
+            fit_pred="vec_id % 5 = 4", new_pred="{col} % 5 <> 4"
+        ),
+        "knn_graph_binding_cap",
+    )
