@@ -604,6 +604,25 @@ BENCH_QUERIES = {
     # r12 wave 4: truncation eval + filtered vector search
     "matryoshka_recall": "matryoshka_recall_report",
     "ann_knn_graph_filtered": "ann_knn_graph_filtered_topk",
+    # r13: the persisted positional inverted index (lexical serving
+    # store). bm25_scan vs bm25_from_store prices the corpus scan
+    # against the partition-pruned postings serve (the recurring cost);
+    # phrase_from_store the positional merge; the streaming entry the
+    # whole bootstrap + drain + serve lifecycle (the streaming-ANN
+    # pricing convention)
+    "bm25_scan": "bm25_search",
+    "bm25_from_store": "bm25_from_store_topk",
+    "phrase_from_store": "phrase_from_store_topk",
+    "streaming_lex_index_ingest": "streaming_lex_index_ingest",
+    # r13: audio constellation fingerprint — synth + decode + framed
+    # DFT + hash groupBy (dedup), + broadcast hash-join offset voting
+    # (snippet match)
+    "wav_fingerprint_dedup": "wav_fingerprint_dedup",
+    "wav_snippet_match": "wav_snippet_match",
+    # r13: NEAR operator from the positional store (bucket-pruned)
+    "proximity_from_store": "proximity_from_store_topk",
+    # r13 capstone: store-served hybrid (lexical store + exact cosine)
+    "hybrid_from_store": "hybrid_from_store_rrf",
 }
 
 
@@ -722,6 +741,18 @@ def main() -> None:
     }
     actions.update(_ann_index_actions(spark))
 
+    # Focused-family runs (iteration aid, never the committed record):
+    # SPARK_GRAFT_BENCH_ONLY=label1,label2 times just those entries.
+    # The committed BENCH_DETAIL.json always comes from a full run —
+    # a subset run refuses to overwrite it (see below).
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").strip()
+    subset = bool(only)
+    if subset:
+        want = {s.strip() for s in only.split(",") if s.strip()}
+        unknown = want - actions.keys()
+        assert not unknown, f"SPARK_GRAFT_BENCH_ONLY unknown labels: {unknown}"
+        actions = {k: v for k, v in actions.items() if k in want}
+
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for label, action in actions.items():
@@ -769,9 +800,10 @@ def main() -> None:
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")
-    with open(detail_path, "w") as fh:
-        json.dump(detail, fh, indent=1, sort_keys=True)
-        fh.write("\n")
+    if not subset:
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+            fh.write("\n")
     # LAST stdout line: a compact summary guaranteed to fit the
     # driver's 2000-char tail capture. "queries" carries only the
     # top-5 slowest (the regression headline); the full map lives in

@@ -111,7 +111,7 @@ def erase_parquet_store(
     kept = df.join(F.broadcast(requests), key, "left_anti").localCheckpoint()
     tmp = data_path.rstrip("/") + "_erase_tmp"
     writer = kept.write.mode("overwrite")
-    for part_col in ("cell", "cluster_id"):  # known store partition layouts
+    for part_col in ("cell", "cluster_id", "bucket"):  # known store partition layouts
         if part_col in df.columns:
             writer = writer.partitionBy(part_col)
             break
@@ -289,20 +289,29 @@ def _ensure_gov_stores(spark: SparkSession, sf_dir: str, base: str) -> dict[str,
 
     paths["knn_graph_index"] = os.path.join(base, "knn_graph")
     knn_graph.knn_graph_store_ensure(emb, paths["knn_graph_index"])
+    # sixteenth store (r13): the positional inverted index — every
+    # postings row holds one of the subject's TERMS with its exact
+    # in-document offsets (the document text is reconstructible from
+    # its postings, so this store IS the text, re-sorted)
+    from kinesis_dstream_spark.operators import lexindex
+
+    paths["lex_index"] = os.path.join(base, "lex_index")
+    lexindex.lex_index_ensure(docs, paths["lex_index"])
     return paths
 
 
 def erasure_report_full(
     spark: SparkSession, sf_dir: str, work_dir: str | None = None
 ) -> DataFrame:
-    """Subject erasure across ALL FIFTEEN stores — the raw/derived trio of
+    """Subject erasure across ALL SIXTEEN stores — the raw/derived trio of
     the basic report PLUS the persisted derived stores that hold
     subject-derived text and vectors on disk: the ANN index, the chunk
-    store, the MinHash dedup index, the two pair artifacts, and the
-    three deterministic ANN serving indexes (IVF, IVF-PQ, and the r11
-    residual IVF-PQ). Erasure that skips these is not
-    erasure — they contain the subject's content verbatim (chunk text,
-    shingle hashes, unit vectors).
+    store, the MinHash dedup index, the two pair artifacts, the
+    deterministic ANN serving indexes (IVF, IVF-PQ, residual IVF-PQ,
+    SQ8, graph), and (r13) the positional inverted index, whose
+    postings are the subject's text re-sorted by term. Erasure that
+    skips these is not erasure — they contain the subject's content
+    verbatim (chunk text, shingle hashes, unit vectors, postings).
 
     Subject→asset mapping: the fixture stand-in keys events by
     ``user_id % 37``, documents by ``doc_id % 37``, vectors by
@@ -474,6 +483,28 @@ def erasure_report_full(
             swap_dir(tmp, epath)
         knn_graph_store_invalidate(root)
 
+    def _erase_lex_index() -> None:
+        # the subject's postings die with the document. The postings
+        # table is TERM-partitioned (serve-side pruning), so doc-keyed
+        # erasure cannot partition-prune — every bucket holding one of
+        # the subject's terms rewrites; that is the honest lexical-
+        # layout trade, and each rewrite is still one broadcast
+        # anti-join (no shuffle). No trained parameters live here
+        # (tokenization is stateless), so unlike the ANN stores there
+        # is no refit to poison — but the completeness marker is still
+        # dropped so a later ensure rebuilds from the live corpus
+        # instead of fingerprint-matching the pre-erasure one.
+        from kinesis_dstream_spark.operators.lexindex import (
+            lex_index_invalidate,
+        )
+
+        root = erased_paths["lex_index"]
+        for sub in ("postings", "docs"):
+            erase_parquet_store(
+                spark, os.path.join(root, sub), req_docs, "doc_id"
+            )
+        lex_index_invalidate(root)
+
     # one task per independent store: copy the pristine tree, then run
     # that store's physical erase. The 15 rewrites touch DISTINCT paths
     # and share only the checkpointed request sets, so they submit
@@ -500,6 +531,7 @@ def erasure_report_full(
         # the subject's sentences die with the document
         "sentence_granules": (erase_parquet_store, (spark, sg_data, req_docs, "doc_id")),
         "knn_graph_index": (_erase_knn_graph, ()),
+        "lex_index": (_erase_lex_index, ()),
     }
 
     from concurrent.futures import ThreadPoolExecutor
@@ -620,6 +652,25 @@ def erasure_report_full(
             F.lit("knn_graph_index").alias("store"), "rows_before", "rows_after"
         )
     )
+    # lexical index: postings + docs accounted as one store (the
+    # minhash two-subtable pattern); rows_after read back from disk
+    lx_pre = [os.path.join(pristine["lex_index"], s) for s in ("postings", "docs")]
+    lx_post = [os.path.join(erased_paths["lex_index"], s) for s in ("postings", "docs")]
+    lx_pre_cnt = (
+        spark.read.parquet(lx_pre[0]).agg(F.count(F.lit(1)).alias("p"))
+        .crossJoin(spark.read.parquet(lx_pre[1]).agg(F.count(F.lit(1)).alias("d")))
+        .select((F.col("p") + F.col("d")).alias("rows_before"))
+    )
+    lx_post_cnt = (
+        spark.read.parquet(lx_post[0]).agg(F.count(F.lit(1)).alias("p"))
+        .crossJoin(spark.read.parquet(lx_post[1]).agg(F.count(F.lit(1)).alias("d")))
+        .select((F.col("p") + F.col("d")).alias("rows_after"))
+    )
+    reports.append(
+        lx_pre_cnt.crossJoin(lx_post_cnt).select(
+            F.lit("lex_index").alias("store"), "rows_before", "rows_after"
+        )
+    )
     return reduce(lambda a, b: a.unionByName(b), reports).select(
         "store",
         "rows_before",
@@ -672,7 +723,7 @@ def erasure_full_sql(
     setsim_sql: str | None = None,
     knng_edges_sql: str | None = None,
 ) -> str:
-    """Fifteen-store DuckDB twin; each derived-artifact accounting
+    """Sixteen-store DuckDB twin; each derived-artifact accounting
     re-derives its artifact from the SAME definition the registry uses
     (pass ``_SQL_DEDUP_JACCARD`` / ``_SQL_SETSIM_PREFIX`` /
     ``KNN_GRAPH_EDGES_QUERY_SQL`` — parameter discipline, no silently
@@ -779,6 +830,25 @@ WITH ev AS (
          9 * CAST(sum(CASE WHEN doc_id % {_ERASE_MOD} = 0 THEN 1 ELSE 0 END)
                   AS BIGINT) AS erased
   FROM documents
+), lxp AS (
+  -- sixteenth store (r13): the positional inverted index — one
+  -- postings row per distinct (doc, term) + one docs row per doc
+  SELECT doc_id, term FROM (
+    SELECT doc_id, unnest({_DUCK_TOKS_GOV}) AS term FROM documents
+  ) GROUP BY doc_id, term
+), lx AS (
+  SELECT p.before + d.before AS before, p.erased + d.erased AS erased
+  FROM (
+    SELECT count(*) AS before,
+           CAST(sum(CASE WHEN doc_id % {_ERASE_MOD} = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS erased
+    FROM lxp
+  ) p CROSS JOIN (
+    SELECT count(*) AS before,
+           CAST(sum(CASE WHEN doc_id % {_ERASE_MOD} = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS erased
+    FROM documents
+  ) d
 )
 SELECT 'events_raw' AS store, before AS rows_before, erased AS rows_erased,
        before - erased AS rows_after FROM ev
@@ -817,4 +887,6 @@ UNION ALL
 -- fourteenth store (r11): the sentence-dedup granules — one row per
 -- distinct (document, sentence) placement, the subject's text verbatim
 SELECT 'sentence_granules', before, erased, before - erased FROM sg
+UNION ALL
+SELECT 'lex_index', before, erased, before - erased FROM lx
 """

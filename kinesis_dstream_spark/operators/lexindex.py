@@ -1,0 +1,734 @@
+"""Persisted positional inverted index — the lexical retrieval store.
+
+The repo's lexical operators (``text.bm25_search``, ``text.
+hybrid_search_rrf``) are corpus-scan shaped: every query re-tokenizes
+and re-explodes the documents table. Production retrieval at 100 TB
+runs the OTHER shape — tokenize ONCE into an inverted index, then
+serve each query against the postings of the query's terms only.
+This module is that store, the lexical sibling of the deterministic
+ANN serving indexes (clustering/pq_det/sq_det/knn_graph):
+
+    <path>/postings/bucket=<b>/   (term, doc_id, tf, positions)
+    <path>/docs/                  (doc_id, dl)
+    <path>/_meta.json             {n_buckets, fingerprint} — written
+                                  LAST (the stores.py sidecar protocol)
+
+``postings`` is hash-partitioned by TERM bucket (``md5_bits32(term)
+% n_buckets`` — the engine-portable md5 convention), so a query's
+serve reads exactly the partitions holding its terms: the driver
+computes the same md5 bucket per query term in Python and the scan
+carries a bucket PartitionFilter (plan-pinned in tests). ``positions``
+(1-based token offsets, sorted) upgrade the index to POSITIONAL —
+phrase queries resolve inside the pruned postings with array
+intersections, never re-reading a document.
+
+Scale shape:
+- build/append: one tokenize pass over the (micro-)batch, one
+  groupBy(doc_id, term) — tokenization is STATELESS, so a document's
+  postings are a pure function of the document alone. That is the
+  whole certification argument for the streaming ingest: the final
+  index is identical under any batch partition of the corpus, so the
+  drained serve shares the batch BM25 oracle verbatim.
+- BM25 serve: |terms| bucket partitions scanned (term-pruned), df from
+  the pruned postings themselves, dl DENORMALIZED into every posting
+  (one long per row) so NO corpus-sized join exists in the serve plan;
+  corpus stats (N, avgdl) are one narrow aggregate over the two-column
+  docs table. Scoring reuses ``text.bm25_rank`` — one expression tree
+  with the scan path, so serve == scan row-for-row (pytest) and both
+  keep the same DuckDB oracle.
+- phrase serve: per phrase term one pruned postings read (df(t) rows),
+  chained equi-joins on doc_id with position-shifted
+  ``array_intersect`` — the classic positional-index merge; cost is
+  bounded by the rarest term's postings, independent of corpus size.
+- append torn-window: postings are written FIRST under their own
+  replay guard (anti-join on the postings' existing doc_ids —
+  column-pruned scan), docs LAST under the docs guard; a crash between
+  the two writes replays to the exact same final state (the r12
+  ADVICE lesson from the graph store, tested with a transplant-
+  constructed torn state).
+- erasure: postings are TERM-partitioned, so subject (doc) erasure
+  cannot partition-prune — every bucket holding one of the subject's
+  terms rewrites. That is the honest lexical-layout trade (stated in
+  the governance docstring); the rewrite is still one broadcast
+  anti-join per table with no shuffle.
+
+No trained parameters live in this store (tokenization is stateless),
+so erasure needs no refit-poisoning — the contrast with the ANN
+stores, whose centroids/codebooks memorize their training sample.
+
+Reference scope: the reference engine (C++ HTTP poller,
+/root/reference/app/hs_contacts.py) has no retrieval surface; this is
+part of the §2B mandated extension families (E-12 text analysis /
+E-6 top-k), built Spark-first.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_dstream_spark import stores
+from kinesis_dstream_spark.functions.textfns import md5_bits32, tokens
+
+_LEX_META = "_meta.json"
+_N_BUCKETS = 16
+
+# a bigram that occurs at every fixture scale (verified sf0.001/0.01/
+# 0.1); ties on n_matches are total-ordered by doc_id
+DEFAULT_PHRASE = ("table", "scan")
+
+
+def _term_bucket(term) -> F.Column:
+    """Engine-portable term bucket (JVM side)."""
+    return F.pmod(md5_bits32(term), F.lit(_N_BUCKETS)).cast("int")
+
+
+def term_bucket_py(term: str) -> int:
+    """The SAME bucket computed driver-side (for partition-pruning
+    literals): first 8 md5 hex chars as int, mod n_buckets — matches
+    ``md5_bits32``'s conv(substring(md5,1,8),16,10) exactly."""
+    return int(hashlib.md5(term.encode()).hexdigest()[:8], 16) % _N_BUCKETS
+
+
+def lex_postings(documents: DataFrame) -> DataFrame:
+    """(term, doc_id, tf, dl, positions, bucket) — one row per distinct
+    (document, term). Positions are 1-based token offsets, sorted, so
+    both engines and the phrase merge agree on offsets; tf is the
+    position count (one aggregation, no second pass). ``dl`` (the
+    document's token length) is DENORMALIZED into every posting — one
+    long per row — so the BM25 serve never joins the corpus-sized docs
+    table: its plan is the pruned postings read plus one narrow docs
+    aggregate, nothing corpus-sized moves."""
+    toks = tokens(F.lower(F.col("text")))
+    per = documents.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("dl"),
+        F.posexplode(toks).alias("pos0", "term"),
+    )
+    return (
+        per.groupBy("doc_id", "dl", "term")
+        .agg(
+            F.sort_array(F.collect_list(F.col("pos0") + 1)).alias("positions")
+        )
+        .select(
+            "term",
+            "doc_id",
+            F.size("positions").cast("long").alias("tf"),
+            "dl",
+            "positions",
+            _term_bucket(F.col("term")).alias("bucket"),
+        )
+    )
+
+
+def lex_doc_lengths(documents: DataFrame) -> DataFrame:
+    """(doc_id, dl) — the document-length table (one row per doc)."""
+    toks = tokens(F.lower(F.col("text")))
+    return documents.select(
+        "doc_id", F.size(toks).cast("long").alias("dl")
+    )
+
+
+def lex_index_build(
+    documents: DataFrame, path: str, fingerprint: str | None = None
+) -> None:
+    """Materialize postings (bucket-partitioned) + docs; meta LAST."""
+    lex_postings(documents).write.partitionBy("bucket").mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "postings"))
+    lex_doc_lengths(documents).write.mode("overwrite").parquet(
+        os.path.join(path, "docs")
+    )
+    meta: dict = {"n_buckets": _N_BUCKETS}
+    if fingerprint is not None:
+        meta["fingerprint"] = fingerprint
+    stores.write_meta(path, meta, _LEX_META)
+
+
+def lex_index_ensure(documents: DataFrame, path: str) -> None:
+    """Build-if-absent, fingerprint-validated (the house ensure): a
+    regenerated fixture or a torn sidecar rebuilds; a matching
+    complete build is reused as-is (the warm-store serve path)."""
+    from kinesis_dstream_spark.operators.dedup_index import corpus_fingerprint
+
+    # layout=2: dl denormalized into postings (schema versioning — a
+    # pre-bump store fingerprint-mismatches and rebuilds, never serves
+    # a schema it doesn't have)
+    fp = corpus_fingerprint(documents, n_buckets=_N_BUCKETS, layout=2)
+    meta = stores.read_meta(path, _LEX_META)
+    if meta is not None and meta.get("fingerprint") == fp:
+        return
+    stores.remove_meta(path, _LEX_META)  # poison before rewriting data
+    lex_index_build(documents, path, fingerprint=fp)
+
+
+def _require_meta(path: str) -> dict:
+    meta = stores.read_meta(path, _LEX_META)
+    if meta is None:
+        raise FileNotFoundError(
+            f"lexindex: no complete index at {path} (missing/torn meta "
+            "sidecar) — run lex_index_ensure first"
+        )
+    return meta
+
+
+def lex_index_append(batch: DataFrame, path: str) -> int:
+    """Append a document micro-batch under the replay discipline.
+
+    Novelty guard: anti-join the batch against ``docs/`` (one row per
+    ingested doc — the membership table). Torn-window guard: postings
+    are written FIRST, additionally anti-joined against the postings'
+    own existing doc_ids (column-pruned scan — only the doc_id column
+    of the parquet travels), so a crash AFTER the postings write but
+    BEFORE the docs write replays to the same final state instead of
+    duplicating postings (the r12 graph-store ADVICE item, applied
+    from birth here). ``docs/`` is written LAST — its row is the
+    batch's commit marker. Returns the number of novel docs appended.
+    """
+    _require_meta(path)
+    spark = batch.sparkSession
+    docs_dir = os.path.join(path, "docs")
+    post_dir = os.path.join(path, "postings")
+
+    ingested = spark.read.parquet(docs_dir).select("doc_id")
+    novel = (
+        batch.dropDuplicates(["doc_id"])
+        .join(F.broadcast(ingested.join(
+            F.broadcast(batch.select("doc_id").distinct()), "doc_id", "semi"
+        )), "doc_id", "left_anti")
+        .localCheckpoint()
+    )
+    n_novel = novel.count()
+    if n_novel == 0:
+        return 0
+
+    # torn-window guard on the postings side: doc_ids already present
+    # in postings/ (from a crashed prior attempt) are not re-appended
+    posted_ids = (
+        spark.read.parquet(post_dir)
+        .select("doc_id")
+        .join(F.broadcast(novel.select("doc_id")), "doc_id", "semi")
+        .distinct()
+    )
+    new_postings = lex_postings(
+        novel.join(F.broadcast(posted_ids), "doc_id", "left_anti")
+    )
+    new_postings.write.partitionBy("bucket").mode("append").parquet(post_dir)
+    lex_doc_lengths(novel).write.mode("append").parquet(docs_dir)
+    return n_novel
+
+
+def bm25_from_store(
+    spark: SparkSession,
+    path: str,
+    query_terms: tuple[str, ...] | None = None,
+    top_k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 against the persisted index — row-identical to
+    ``text.bm25_search`` over the same corpus (pytest-pinned; same
+    registry oracle). The plan is term-bucket-pruned postings (dl is
+    denormalized into the posting, so no corpus-sized join exists) plus
+    one narrow aggregate over the two-column docs table for the corpus
+    stats (N, avgdl) — exact doubles: dl sums stay below 2^53, so the
+    average is order-independent in both engines."""
+    from kinesis_dstream_spark.operators.text import (
+        DEFAULT_BM25_QUERY,
+        bm25_rank,
+    )
+
+    _require_meta(path)
+    terms = [t.lower() for t in (query_terms or DEFAULT_BM25_QUERY)]
+    buckets = sorted({term_bucket_py(t) for t in terms})
+
+    tf = (
+        spark.read.parquet(os.path.join(path, "postings"))
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+        .select("doc_id", "dl", "term", "tf")
+    )
+    docs = spark.read.parquet(os.path.join(path, "docs"))
+    row = docs.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("a")
+    ).collect()[0]
+    return bm25_rank(tf, int(row["n"]), float(row["a"]), top_k, k1, b)
+
+
+def _phrase_hits(pos_df: DataFrame, phrase: tuple[str, ...]) -> DataFrame:
+    """Positional merge shared by the scan and store paths: ``pos_df``
+    carries (doc_id, term, positions). Start-position candidates are
+    the first term's positions; each later term at phrase offset i
+    intersects its positions shifted by -i — the classic positional-
+    index phrase resolution, all native array functions. Duplicate
+    terms in the phrase are fine (the same postings row joins twice
+    under a distinct alias)."""
+    acc = pos_df.filter(F.col("term") == phrase[0]).select(
+        "doc_id", F.col("positions").alias("starts")
+    )
+    def _shift_by(offset: int):
+        # NOTE: must stay a ONE-argument lambda — pyspark's transform
+        # treats a two-parameter callable (incl. default args) as the
+        # (element, array_index) form and silently passes the index
+        return lambda x: x - F.lit(offset)
+
+    for i, t in enumerate(phrase[1:], start=1):
+        shifted = pos_df.filter(F.col("term") == t).select(
+            "doc_id",
+            F.transform("positions", _shift_by(i)).alias("shifted"),
+        )
+        acc = acc.join(shifted, "doc_id").select(
+            "doc_id", F.array_intersect("starts", "shifted").alias("starts")
+        )
+    return (
+        acc.select(
+            "doc_id",
+            F.size("starts").cast("long").alias("n_matches"),
+            F.array_min("starts").cast("long").alias("first_pos"),
+        )
+        .filter(F.col("n_matches") > 0)
+    )
+
+
+def phrase_search(
+    documents: DataFrame,
+    phrase: tuple[str, ...] = DEFAULT_PHRASE,
+    top_k: int = 20,
+) -> DataFrame:
+    """Exact phrase query over the corpus (scan shape): tokenize into
+    the SAME postings chain the store persists, then the positional
+    merge — so the store serve equals this by construction."""
+    pos_df = lex_postings(documents).filter(
+        F.col("term").isin([t.lower() for t in phrase])
+    )
+    hits = _phrase_hits(pos_df, tuple(t.lower() for t in phrase))
+    return hits.orderBy(
+        F.col("n_matches").desc(), F.col("doc_id").asc()
+    ).limit(top_k)
+
+
+def phrase_from_store(
+    spark: SparkSession,
+    path: str,
+    phrase: tuple[str, ...] = DEFAULT_PHRASE,
+    top_k: int = 20,
+) -> DataFrame:
+    """Phrase query against the persisted positional index: per term
+    one bucket-pruned postings read (df(t) rows), then the positional
+    merge — corpus-size-independent serve cost."""
+    _require_meta(path)
+    terms = tuple(t.lower() for t in phrase)
+    buckets = sorted({term_bucket_py(t) for t in terms})
+    pos_df = (
+        spark.read.parquet(os.path.join(path, "postings"))
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(list(terms)))
+        .select("doc_id", "term", "positions")
+    )
+    hits = _phrase_hits(pos_df, terms)
+    return hits.orderBy(
+        F.col("n_matches").desc(), F.col("doc_id").asc()
+    ).limit(top_k)
+
+
+def lex_index_stats(documents: DataFrame) -> DataFrame:
+    """Index-health ledger (scan twin): corpus size, vocabulary size,
+    postings cardinality, total token mass, and the heaviest term (max
+    df, ties to the lexicographically smallest term) — the numbers a
+    deployment trends per build to spot vocabulary explosions or
+    stopword flooding. Exact integers, one row."""
+    return _stats_from(lex_postings(documents), lex_doc_lengths(documents))
+
+
+def lex_index_stats_frozen(spark: SparkSession, path: str) -> DataFrame:
+    """The same ledger read from the persisted store (serve == scan
+    pytest-pinned)."""
+    _require_meta(path)
+    return _stats_from(
+        spark.read.parquet(os.path.join(path, "postings")),
+        spark.read.parquet(os.path.join(path, "docs")),
+    )
+
+
+def _stats_from(postings: DataFrame, docs: DataFrame) -> DataFrame:
+    df_ = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    top = (
+        df_.orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(1)
+        .select(
+            F.col("term").alias("top_term"), F.col("df").alias("max_df")
+        )
+    )
+    agg = postings.agg(
+        F.count(F.lit(1)).alias("n_postings"),
+        F.sum("tf").alias("total_tokens"),
+        F.countDistinct("term").alias("n_terms"),
+    )
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        nd.crossJoin(agg)
+        .crossJoin(F.broadcast(top))
+        .select(
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_terms").cast("long").alias("n_terms"),
+            F.col("n_postings").cast("long").alias("n_postings"),
+            F.col("total_tokens").cast("long").alias("total_tokens"),
+            "top_term",
+            F.col("max_df").cast("long").alias("max_df"),
+        )
+    )
+
+
+def lex_index_compact(
+    spark: SparkSession, path: str, max_files_per_bucket: int = 8
+) -> dict[str, int]:
+    """Bound per-append small-file growth: per-BUCKET dynamic partition
+    overwrite on postings (only oversized buckets rewrite, each its own
+    task — the knn_graph `_compact_cells` discipline, never a
+    single-task whole-table pass) and a plain bounded rewrite of the
+    one-row-per-doc docs table. Content-preserving (pytest)."""
+    from kinesis_dstream_spark.operators.ann_index import _n_parquet_files
+
+    _require_meta(path)
+    post_dir = os.path.join(path, "postings")
+    docs_dir = os.path.join(path, "docs")
+    stats = {"buckets_compacted": 0, "files_before": 0, "files_after": 0}
+    stats["files_before"] = _n_parquet_files(post_dir) + _n_parquet_files(
+        docs_dir
+    )
+    oversized = [
+        int(entry.split("=", 1)[1])
+        for entry in os.listdir(post_dir)
+        if entry.startswith("bucket=")
+        and _n_parquet_files(os.path.join(post_dir, entry))
+        > max_files_per_bucket
+    ]
+    if oversized:
+        rows = (
+            spark.read.parquet(post_dir)
+            .filter(F.col("bucket").isin(oversized))
+            .repartition("bucket")
+            .localCheckpoint()
+        )
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            rows.write.partitionBy("bucket").mode("overwrite").parquet(
+                post_dir
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        stats["buckets_compacted"] = len(oversized)
+    if _n_parquet_files(docs_dir) > max_files_per_bucket:
+        rows = spark.read.parquet(docs_dir).coalesce(1).localCheckpoint()
+        tmp = docs_dir.rstrip("/") + "_compact_tmp"
+        rows.write.mode("overwrite").parquet(tmp)
+        stores.swap_dir(tmp, docs_dir)
+    stats["files_after"] = _n_parquet_files(post_dir) + _n_parquet_files(
+        docs_dir
+    )
+    return stats
+
+
+def lex_index_invalidate(path: str) -> None:
+    """Poison the sidecar so the next ensure rebuilds (the governance
+    convention). No trained parameters live here — tokenization is
+    stateless — so unlike the ANN stores there is nothing to
+    refit-poison beyond the completeness marker itself."""
+    stores.remove_meta(path, _LEX_META)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL
+# ---------------------------------------------------------------------------
+
+_DUCK_TOKS_LEX = (
+    "str_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+)
+
+
+def phrase_search_sql(
+    phrase: tuple[str, ...] = DEFAULT_PHRASE, top_k: int = 20
+) -> str:
+    """Twin of ``phrase_search`` (and of the store serve, which equals
+    it): positions via generate_subscripts (1-based, matching the
+    stored 1-based offsets), the m-term phrase as an (m-1)-step
+    consecutive-position self-join, counts per doc."""
+    join_clauses = "".join(
+        f"  JOIN pos p{i} ON p{i}.doc_id = p0.doc_id"
+        f" AND p{i}.p = p0.p + {i}\n"
+        for i in range(1, len(phrase))
+    )
+    where = " AND ".join(
+        f"p{i}.term = '{t.lower()}'" for i, t in enumerate(phrase)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKS_LEX} AS t FROM documents
+), pos AS (
+  SELECT doc_id, unnest(t) AS term, generate_subscripts(t, 1) AS p
+  FROM toks
+), hits AS (
+  SELECT p0.doc_id, p0.p AS start
+  FROM pos p0
+{join_clauses}  WHERE {where}
+)
+SELECT doc_id, count(*) AS n_matches, min(start) AS first_pos
+FROM hits GROUP BY doc_id
+ORDER BY n_matches DESC, doc_id ASC
+LIMIT {top_k}
+"""
+
+
+PHRASE_SEARCH_SQL = phrase_search_sql()
+
+LEX_INDEX_STATS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKS_LEX} AS t FROM documents
+), post AS (
+  SELECT doc_id, term, count(*) AS tf FROM (
+    SELECT doc_id, unnest(t) AS term FROM toks
+  ) GROUP BY doc_id, term
+), dfx AS (
+  SELECT term, count(*) AS df FROM post GROUP BY term
+), top AS (
+  SELECT term AS top_term, df AS max_df FROM dfx
+  ORDER BY df DESC, term ASC LIMIT 1
+)
+SELECT (SELECT count(*) FROM toks) AS n_docs,
+       (SELECT count(*) FROM dfx) AS n_terms,
+       (SELECT count(*) FROM post) AS n_postings,
+       (SELECT CAST(sum(tf) AS BIGINT) FROM post) AS total_tokens,
+       top_term,
+       max_df
+FROM top
+"""
+
+
+DEFAULT_PROXIMITY = ("table", "merge")
+_PROX_WINDOW = 4
+
+
+def _proximity_hits(
+    pos_df: DataFrame, t1: str, t2: str, window: int
+) -> DataFrame:
+    """NEAR-operator core shared by scan and store paths: for docs
+    containing BOTH terms, the minimal token distance between any
+    occurrence pair and the count of pairs within the window — via a
+    doc_id equi-join of the two (single-row-per-doc) postings rows and
+    a NESTED array fold (tf_a·tf_b comparisons inside whole-stage
+    codegen, no explode, no position shuffle)."""
+    big = F.lit(1 << 30)
+    a = pos_df.filter(F.col("term") == t1).select(
+        "doc_id", F.col("positions").alias("pa")
+    )
+    b = pos_df.filter(F.col("term") == t2).select(
+        "doc_id", F.col("positions").alias("pb")
+    )
+
+    def _min_span(pa, pb):
+        return F.aggregate(
+            pa,
+            big,
+            lambda acc, x: F.least(
+                acc,
+                F.aggregate(
+                    pb, big, lambda a2, y: F.least(a2, F.abs(x - y))
+                ),
+            ),
+        )
+
+    def _n_close(pa, pb):
+        return F.aggregate(
+            pa,
+            F.lit(0),
+            lambda acc, x: acc
+            + F.aggregate(
+                pb,
+                F.lit(0),
+                lambda a2, y: a2
+                + F.when(F.abs(x - y) <= window, 1).otherwise(0),
+            ),
+        )
+
+    return (
+        a.join(b, "doc_id")
+        .select(
+            "doc_id",
+            _min_span(F.col("pa"), F.col("pb")).cast("long").alias("min_span"),
+            _n_close(F.col("pa"), F.col("pb")).cast("long").alias("n_close"),
+        )
+        .filter(F.col("min_span") <= window)
+    )
+
+
+def proximity_search(
+    documents: DataFrame,
+    terms: tuple[str, str] = DEFAULT_PROXIMITY,
+    window: int = _PROX_WINDOW,
+    top_k: int = 20,
+) -> DataFrame:
+    """Unordered proximity query (the SQL-Server NEAR / Lucene span
+    operator): docs where the two terms occur within ``window`` tokens
+    of each other, ranked by closeness — scan shape, same postings
+    chain the store persists."""
+    t1, t2 = (t.lower() for t in terms)
+    pos_df = lex_postings(documents).filter(F.col("term").isin([t1, t2]))
+    hits = _proximity_hits(pos_df, t1, t2, window)
+    return hits.orderBy(
+        F.col("min_span").asc(), F.col("n_close").desc(), F.col("doc_id").asc()
+    ).limit(top_k)
+
+
+def proximity_from_store(
+    spark: SparkSession,
+    path: str,
+    terms: tuple[str, str] = DEFAULT_PROXIMITY,
+    window: int = _PROX_WINDOW,
+    top_k: int = 20,
+) -> DataFrame:
+    """The same NEAR query against the persisted positional index —
+    two bucket-pruned postings reads (df(t) rows each), then the
+    nested-fold merge; corpus-size-independent serve cost."""
+    _require_meta(path)
+    t1, t2 = (t.lower() for t in terms)
+    buckets = sorted({term_bucket_py(t) for t in (t1, t2)})
+    pos_df = (
+        spark.read.parquet(os.path.join(path, "postings"))
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin([t1, t2]))
+        .select("doc_id", "term", "positions")
+    )
+    hits = _proximity_hits(pos_df, t1, t2, window)
+    return hits.orderBy(
+        F.col("min_span").asc(), F.col("n_close").desc(), F.col("doc_id").asc()
+    ).limit(top_k)
+
+
+def proximity_search_sql(
+    terms: tuple[str, str] = DEFAULT_PROXIMITY,
+    window: int = _PROX_WINDOW,
+    top_k: int = 20,
+) -> str:
+    """Twin of both proximity paths: position pairs via unnest join —
+    value-identical to the nested fold (min/count over the same pair
+    set)."""
+    t1, t2 = (t.lower() for t in terms)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKS_LEX} AS t FROM documents
+), pos AS (
+  SELECT doc_id, unnest(t) AS term, generate_subscripts(t, 1) AS p
+  FROM toks
+), pa AS (
+  SELECT doc_id, p FROM pos WHERE term = '{t1}'
+), pb AS (
+  SELECT doc_id, p FROM pos WHERE term = '{t2}'
+), j AS (
+  SELECT pa.doc_id,
+         min(abs(pa.p - pb.p)) AS min_span,
+         CAST(sum(CASE WHEN abs(pa.p - pb.p) <= {window}
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_close
+  FROM pa JOIN pb USING (doc_id) GROUP BY pa.doc_id
+)
+SELECT doc_id, min_span, n_close FROM j
+WHERE min_span <= {window}
+ORDER BY min_span ASC, n_close DESC, doc_id ASC
+LIMIT {top_k}
+"""
+
+
+PROXIMITY_SEARCH_SQL = proximity_search_sql()
+
+
+def hybrid_from_store_rrf(
+    spark: SparkSession,
+    path: str,
+    embeddings: DataFrame,
+    q_vec_id: int = 0,
+    top_n: int = 50,
+    k: int = 20,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """The STORE-SERVED hybrid retrieval capstone: the lexical leg is
+    ``bm25_from_store`` (term-bucket-pruned postings — the r13 store),
+    the semantic leg is exact query-by-example cosine over the
+    embeddings table (query = vec_id ``q_vec_id``'s unit vector,
+    broadcast; the similarity-family convention), fused by Reciprocal
+    Rank Fusion on the shared doc/vec id space. The contrast with
+    ``text.hybrid_search_rrf`` (both legs corpus scans) is exactly the
+    scan→serve story the lexical store exists for.
+
+    Partial-coverage honesty: at sf0.1 the embeddings table covers
+    only a prefix of the documents table, so lexical-only docs carry
+    rank_sem NULL and fuse on the lex term alone — the production
+    reality of a corpus whose embedding backfill trails ingest.
+
+    Exactness: ranks are integers off fixed-point scores (bm25 1e-6
+    grid, cosine 4dp); the RRF sum adds at most two doubles (order-free
+    for two operands), displayed at 6dp — the scan hybrid's oracle
+    discipline verbatim."""
+    from pyspark.sql import Window
+
+    from kinesis_dstream_spark.functions import vectors as V
+
+    lex_scored = bm25_from_store(spark, path, top_k=top_n)
+    w_lex = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    lex = lex_scored.select(
+        "doc_id", F.row_number().over(w_lex).alias("rank_lex")
+    )
+
+    unit = embeddings.select(
+        "vec_id",
+        V.l2_normalize(F.col("embedding").cast("array<double>")).alias(
+            "unit"
+        ),
+    )
+    q = unit.filter(F.col("vec_id") == q_vec_id).select(
+        F.col("unit").alias("q_unit")
+    )
+    scored = (
+        unit.filter(F.col("vec_id") != q_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                V.dot(F.col("unit"), F.col("q_unit")), 4
+            ).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col("doc_id").asc())
+        .limit(top_n)
+    )
+    w_sem = Window.orderBy(F.col("cos").desc(), F.col("doc_id").asc())
+    sem = scored.select(
+        "doc_id", F.row_number().over(w_sem).alias("rank_sem")
+    )
+
+    contrib = lex.select(
+        "doc_id",
+        (1.0 / (F.lit(rrf_k) + F.col("rank_lex"))).alias("term"),
+        F.col("rank_lex"),
+        F.lit(None).cast("int").alias("rank_sem"),
+    ).unionByName(
+        sem.select(
+            "doc_id",
+            (1.0 / (F.lit(rrf_k) + F.col("rank_sem"))).alias("term"),
+            F.lit(None).cast("int").alias("rank_lex"),
+            F.col("rank_sem"),
+        )
+    )
+    fused = contrib.groupBy("doc_id").agg(
+        F.max("rank_lex").alias("rank_lex"),
+        F.max("rank_sem").alias("rank_sem"),
+        F.round(F.sum("term"), 6).alias("rrf_score"),
+    )
+    return (
+        fused.select("doc_id", "rank_lex", "rank_sem", "rrf_score")
+        .orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )

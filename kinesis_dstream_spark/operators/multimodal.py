@@ -1729,3 +1729,332 @@ SELECT doc_id AS media_id,
             AS BIGINT) AS edge_density_ppm
 FROM alld GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Audio constellation fingerprint (Shazam-shape; Wang 2003)
+# ---------------------------------------------------------------------------
+
+_CST_FRAME = 64          # DFT frame length (samples)
+_CST_FRAMES = 16         # frames per corpus clip (1024 samples @ 8 kHz)
+_CST_SNIPPET_FRAMES = 8  # frames per query snippet
+_CST_SNIPPET_OFFSET = 4  # snippet starts at corpus frame 4
+_CST_BINS = 31           # peak search over bins 1.._CST_BINS (DC excluded)
+_CST_MAX_DT = 3          # anchor→target pairing horizon (frames)
+_CST_CLASSES = 7         # melody classes in the fixture
+
+
+def _melody_bin_expr(cls: str, frame: str) -> str:
+    """The fixture melody law as SQL text: bin(c, f) — QUADRATIC in the
+    frame index. The quadratic term is load-bearing: a linear melody
+    makes classes time-shifted copies of one another, so snippet
+    matching would alias across classes; with f² in the law, a
+    cross-class hash collision requires 2·Δ·dt ≡ 0 (mod 31) for
+    dt ∈ 1..3, i.e. Δ = 0 — provably NONE (see wav_snippet_match)."""
+    return f"1 + (5 * ({cls}) + ({frame}) * ({frame}) + 3 * ({frame})) % {_CST_BINS}"
+
+
+def _melody_bin_py(c: int, f: int) -> int:
+    return 1 + (5 * c + f * f + 3 * f) % _CST_BINS
+
+
+def _synth_melody_payloads(doc_ids, n_frames: int, frame0: int):
+    """PCM16 WAV payloads for the melody fixture: per frame f one pure
+    tone at bin m(c, frame0+f), bin-ALIGNED to the frame DFT (freq =
+    m·SR/64), with per-doc gain (amp = 4000 + 100·(d % 29)) and phase
+    (φ = (d % 8)·π/4) — the two transforms a spectral fingerprint must
+    be invariant to and a byte digest is not. Samples are rounded to
+    int16; the rounding leakage (|ΔX| ≲ 32) is 4 orders below the tone
+    peak (|X[m]| ≈ amp·32), so the per-frame argmax is deterministic."""
+    import io
+    import wave
+
+    import numpy as np
+
+    payloads = []
+    for doc_id in doc_ids:
+        d = int(doc_id)
+        c = d % _CST_CLASSES
+        amp = 4000 + 100 * (d % 29)
+        phase = (d % 8) * np.pi / 4
+        i = np.arange(_CST_FRAME)
+        frames = []
+        for f in range(n_frames):
+            m = _melody_bin_py(c, frame0 + f)
+            tone = amp * np.sin(2 * np.pi * m * i / _CST_FRAME + phase)
+            frames.append(np.round(tone).astype("<i2"))
+        samples = np.concatenate(frames)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(WAV_SAMPLE_RATE)
+            w.writeframes(samples.tobytes())
+        payloads.append(buf.getvalue())
+    return payloads
+
+
+def synth_wav_melody_table(documents: DataFrame) -> DataFrame:
+    """(media_id, payload): genuine PCM16 WAVs carrying a class-keyed
+    16-frame MELODY (class c = doc_id % 7; per-frame tone bin follows
+    the quadratic law ``_melody_bin_expr``) with per-doc gain and
+    phase variation. Docs of one class share the melody — and nothing
+    else: amplitudes and phases differ, so every payload digest is
+    distinct while the constellation fingerprint collapses the class."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "payload": _synth_melody_payloads(
+                        pdf["doc_id"], _CST_FRAMES, 0
+                    ),
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        synth, "media_id long, payload binary"
+    )
+
+
+def synth_wav_snippet_table(documents: DataFrame) -> DataFrame:
+    """Query snippets for constellation matching: every 50th doc
+    re-records the MIDDLE of its class melody (frames 4..11, 512
+    samples) under its own gain/phase — the time-shifted, re-gained
+    re-recording the constellation hash is designed to find."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "payload": _synth_melody_payloads(
+                        pdf["doc_id"],
+                        _CST_SNIPPET_FRAMES,
+                        _CST_SNIPPET_OFFSET,
+                    ),
+                }
+            )
+
+    return (
+        documents.filter(F.col("doc_id") % 50 == 0)
+        .select("doc_id")
+        .mapInPandas(synth, "media_id long, payload binary")
+    )
+
+
+def wav_constellation_batch(media: DataFrame) -> DataFrame:
+    """Constellation hashes from REAL decoded audio: parse the WAV,
+    frame into 64 samples, per frame take the dominant spectral bin
+    (``np.fft.rfft`` magnitude argmax over bins 1..31 — DC excluded;
+    ties break to the lower bin), then pair each anchor frame's peak
+    with the peaks of the next 1..3 frames:
+
+        h = (bin_anchor · 32 + bin_target) · 4 + dt
+
+    — the Shazam constellation scheme (Wang 2003): gain and phase fall
+    out of the magnitude argmax, time offset falls out at MATCH time
+    because dt is relative. One Arrow pass, long-format output
+    (media_id, anchor, hash, content_sha); zero exchange."""
+    import hashlib
+    import io
+    import wave
+
+    import numpy as np
+
+    def cst(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    p = bytes(payload)
+                    with wave.open(io.BytesIO(p), "rb") as w:
+                        samples = np.frombuffer(
+                            w.readframes(w.getnframes()), dtype="<i2"
+                        ).astype(np.float64)
+                    n_frames = len(samples) // _CST_FRAME
+                    frames = samples[: n_frames * _CST_FRAME].reshape(
+                        n_frames, _CST_FRAME
+                    )
+                    mags = np.abs(np.fft.rfft(frames, axis=1))
+                    peaks = 1 + np.argmax(
+                        mags[:, 1 : _CST_BINS + 1], axis=1
+                    )
+                    sha = hashlib.sha256(p).hexdigest()
+                    for f in range(n_frames):
+                        for dt in range(1, _CST_MAX_DT + 1):
+                            if f + dt >= n_frames:
+                                break
+                            h = (
+                                int(peaks[f]) * 32 + int(peaks[f + dt])
+                            ) * 4 + dt
+                            rows.append((int(mid), f, h, sha))
+                except Exception:
+                    rows.append((int(mid), None, None, None))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "anchor", "hash", "content_sha"]
+            )
+
+    return media.mapInPandas(
+        cst, "media_id long, anchor int, hash int, content_sha string"
+    )
+
+
+def wav_fingerprint_dedup(documents: DataFrame) -> DataFrame:
+    """Audio near-dup groups by constellation fingerprint over REAL
+    WAV files — the audio sibling of ``media_dct_phash_dedup``: every
+    payload digest is unique (gain and phase vary per doc) while the
+    fingerprint (the sorted distinct hash set) collapses each melody
+    class. ONE hash groupBy per stage, no pairwise stage.
+
+    Oracle: the twin derives the expected hash set in closed form from
+    the synthesis law (melody bins are analytic in (class, frame)), so
+    a match certifies WAV decode + framing + DFT peak-picking + the
+    constellation pairing end to end."""
+    cst = wav_constellation_batch(synth_wav_melody_table(documents))
+    fp = cst.groupBy("media_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_set("hash")),
+                lambda h: h.cast("string"),
+            ),
+            "-",
+        ).alias("fingerprint"),
+        F.first("content_sha").alias("content_sha"),
+    )
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.countDistinct("content_sha").alias("n_distinct_contents"),
+            F.min("media_id").alias("rep_media_id"),
+        )
+        .where(F.col("n_clips") > 1)
+        .select(
+            "fingerprint", "n_clips", "n_distinct_contents", "rep_media_id"
+        )
+    )
+
+
+def wav_snippet_match(documents: DataFrame, vote_min: int = 5) -> DataFrame:
+    """Offset-robust audio matching — the constellation scheme's whole
+    point: a time-shifted, re-gained, re-phased snippet still matches
+    its source because hashes are offset-relative and votes align on
+    ONE anchor offset. Query snippets (frames 4..11 of the class
+    melody) hash-join the corpus constellation; votes group by
+    (query, clip, offset = corpus_anchor − query_anchor); a clip
+    matches when some offset's votes clear ``vote_min``.
+
+    The quadratic melody makes the expected answer exact: a cross-
+    class collision at frame shift Δ needs 2·Δ·dt ≡ 0 (mod 31) for the
+    target bin AFTER the anchor bin already collided — impossible for
+    dt ∈ 1..3 and Δ ≠ 0, and Δ = 0 forces same class. So every query
+    matches exactly its class members, each at offset 4 with the full
+    18 votes (8 anchors → 7+6+5 pairs), and nothing else — which is
+    what the closed-form oracle asserts.
+
+    Scale shape: queries are sparse (every 50th doc) and their hash
+    lists are tiny (18 rows each) — the query side BROADCASTS into the
+    corpus constellation join; votes and the match cut are two small
+    aggregations. The corpus constellation is the same artifact the
+    dedup entry builds — at production scale it is the persisted index
+    this join serves against."""
+    corpus = wav_constellation_batch(synth_wav_melody_table(documents))
+    queries = wav_constellation_batch(synth_wav_snippet_table(documents))
+    votes = (
+        corpus.alias("c")
+        .join(
+            F.broadcast(
+                queries.select(
+                    F.col("media_id").alias("query_id"),
+                    F.col("anchor").alias("q_anchor"),
+                    "hash",
+                )
+            ),
+            "hash",
+        )
+        .groupBy(
+            "query_id",
+            F.col("media_id").alias("clip_id"),
+            (F.col("anchor") - F.col("q_anchor")).alias("offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("votes"))
+        .where(F.col("votes") >= vote_min)
+    )
+    return (
+        votes.groupBy("query_id")
+        .agg(
+            F.countDistinct("clip_id").alias("n_matched_clips"),
+            F.min("offset").cast("long").alias("best_offset"),
+            F.max("votes").alias("max_votes"),
+        )
+        .orderBy("query_id")
+        .select("query_id", "n_matched_clips", "best_offset", "max_votes")
+    )
+
+
+def _cst_hash_cte(prefix: str, cls: str, n_frames: int, frame0: int) -> str:
+    """Closed-form constellation hash set for one synthesized clip
+    family: frames from the melody law, anchor/target pairing as SQL.
+    ``cls`` is an expression in doc_id; emitted once per consumer with
+    a distinct prefix (the knng_cte_sql parameter discipline)."""
+    return f"""
+{prefix}f AS (
+  SELECT doc_id, unnest(generate_series(0, {n_frames - 1})) AS f
+  FROM documents
+), {prefix}b AS (
+  SELECT doc_id, f,
+         {_melody_bin_expr(cls, f"f + {frame0}")} AS bin
+  FROM {prefix}f
+), {prefix}h AS (
+  SELECT a.doc_id, a.f AS anchor,
+         (a.bin * 32 + t.bin) * 4 + (t.f - a.f) AS hash
+  FROM {prefix}b a
+  JOIN {prefix}b t
+    ON t.doc_id = a.doc_id
+   AND t.f > a.f AND t.f <= a.f + {_CST_MAX_DT}
+)"""
+
+
+WAV_FINGERPRINT_DEDUP_SQL = f"""
+WITH {_cst_hash_cte("k", f"doc_id % {_CST_CLASSES}", _CST_FRAMES, 0)},
+kfp AS (
+  SELECT doc_id,
+         string_agg(CAST(hash AS VARCHAR), '-' ORDER BY hash)
+           AS fingerprint,
+         -- payload bytes are determined exactly by (gain, phase,
+         -- class): the distinct-content key the sha256 digests count
+         min(CAST(doc_id % 29 AS VARCHAR) || '_'
+             || CAST(doc_id % 8 AS VARCHAR) || '_'
+             || CAST(doc_id % {_CST_CLASSES} AS VARCHAR)) AS content_key
+  FROM (SELECT DISTINCT doc_id, hash FROM kh) GROUP BY doc_id
+)
+SELECT fingerprint, count(*) AS n_clips,
+       count(DISTINCT content_key) AS n_distinct_contents,
+       min(doc_id) AS rep_media_id
+FROM kfp GROUP BY fingerprint HAVING count(*) > 1
+"""
+
+
+WAV_SNIPPET_MATCH_SQL = f"""
+WITH {_cst_hash_cte("c", f"doc_id % {_CST_CLASSES}", _CST_FRAMES, 0)},
+{_cst_hash_cte(
+    "q",
+    f"doc_id % {_CST_CLASSES}",
+    _CST_SNIPPET_FRAMES,
+    _CST_SNIPPET_OFFSET,
+)},
+qh2 AS (
+  SELECT doc_id, anchor, hash FROM qh WHERE doc_id % 50 = 0
+), v AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS clip_id,
+         c.anchor - q.anchor AS "offset", count(*) AS votes
+  FROM ch c JOIN qh2 q USING (hash)
+  GROUP BY 1, 2, 3 HAVING count(*) >= 5
+)
+SELECT query_id, count(DISTINCT clip_id) AS n_matched_clips,
+       CAST(min("offset") AS BIGINT) AS best_offset,
+       max(votes) AS max_votes
+FROM v GROUP BY query_id ORDER BY query_id
+"""

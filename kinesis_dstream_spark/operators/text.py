@@ -300,6 +300,22 @@ def bm25_search(
         "doc_id", F.size(toks).alias("dl"), F.explode(toks).alias("term")
     ).filter(F.col("term").isin(terms))
     tf = per_doc.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
+    return bm25_rank(tf, n_docs, avgdl, top_k, k1, b)
+
+
+def bm25_rank(
+    tf: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    top_k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """The BM25 scoring tail shared by the corpus-scan path above and
+    the inverted-index serve (``lexindex.bm25_from_store``): one
+    expression tree, so the two paths cannot drift and both keep the
+    same DuckDB oracle. ``tf`` carries (doc_id, dl, term, tf) — only
+    the query's terms."""
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     scored = (
         tf.join(F.broadcast(df_), "term")

@@ -37,6 +37,7 @@ from kinesis_dstream_spark.operators import (
     governance,
     graph,
     knn_graph,
+    lexindex,
     linkage,
     multimodal,
     opq,
@@ -3094,6 +3095,61 @@ LIMIT 20
 """
 
 
+# r13: the STORE-SERVED hybrid twin — the same BM25 chain (the store
+# serve is row-identical to the scan, so the oracle reuses it) + exact
+# query-by-example cosine (query = vec 0's unit vector, the
+# ann_bruteforce convention), RRF-fused. The full-outer fuse exercises
+# the partial-embedding-coverage path at sf0.1.
+_SQL_HYBRID_STORE_RRF = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKS.format(col='lower(text)')} AS t FROM documents
+), meta AS (
+  SELECT count(*) AS n, avg(len(t)) AS avgdl FROM toks
+), hit AS (
+  SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks
+), tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf FROM hit
+  WHERE term IN ('data', 'system', 'model') GROUP BY 1, 2, 3
+), dfx AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), bm AS (
+  SELECT doc_id,
+         round(sum(CAST(round(
+             ln(1 + (n - df + 0.5) / (df + 0.5))
+             * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+             * 1000000) AS BIGINT)) / 1000000.0, 4) AS bm25
+  FROM tf JOIN dfx USING (term), meta
+  GROUP BY doc_id
+), lex AS (
+  SELECT doc_id, rank_lex FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank_lex
+    FROM bm
+  ) WHERE rank_lex <= 50
+), {_DUCK_UNIT_CTE.strip()}, qv AS (
+  SELECT unit FROM u WHERE vec_id = 0
+), semsc AS (
+  SELECT c.vec_id AS doc_id,
+         round({_DUCK_SEQ_DOT.format(a="c.unit", b="qv.unit")}, 4) AS cos
+  FROM u c, qv WHERE c.vec_id != 0
+), sem AS (
+  SELECT doc_id, rank_sem FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS rank_sem
+    FROM semsc
+  ) WHERE rank_sem <= 50
+)
+SELECT COALESCE(l.doc_id, m.doc_id) AS doc_id,
+       l.rank_lex AS rank_lex,
+       m.rank_sem AS rank_sem,
+       round(COALESCE(CAST(1.0 AS DOUBLE) / (60 + l.rank_lex), 0)
+             + COALESCE(CAST(1.0 AS DOUBLE) / (60 + m.rank_sem), 0), 6) AS rrf_score
+FROM lex l FULL JOIN sem m ON l.doc_id = m.doc_id
+ORDER BY rrf_score DESC, doc_id ASC
+LIMIT 20
+"""
+
+
 # --------------------------------------------------------------------------
 # real WAV decode (operators/multimodal.py — stdlib wave, no codec libs)
 # --------------------------------------------------------------------------
@@ -4569,6 +4625,60 @@ def _q_pq_rot_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 def _q_media_dct_phash(spark: SparkSession, sf: str) -> DataFrame:
     return multimodal.media_dct_phash_dedup(load_table(spark, sf, "documents"))
+
+
+def _lex_shared_store(spark: SparkSession, sf: str) -> str:
+    """Build-if-absent persisted positional inverted index for this
+    corpus (the knn-graph shared-store pattern): the lexical serve
+    entries price partition-pruned postings reads, not a rebuild per
+    entry; the fingerprint arbitrates staleness."""
+    path = _store_path("lex_index", sf)
+    lexindex.lex_index_ensure(load_table(spark, sf, "documents"), path)
+    return path
+
+
+def _q_bm25_from_store(spark: SparkSession, sf: str) -> DataFrame:
+    return lexindex.bm25_from_store(spark, _lex_shared_store(spark, sf))
+
+
+def _q_phrase_search(spark: SparkSession, sf: str) -> DataFrame:
+    return lexindex.phrase_search(load_table(spark, sf, "documents"))
+
+
+def _q_phrase_from_store(spark: SparkSession, sf: str) -> DataFrame:
+    return lexindex.phrase_from_store(spark, _lex_shared_store(spark, sf))
+
+
+def _q_lex_index_stats(spark: SparkSession, sf: str) -> DataFrame:
+    return lexindex.lex_index_stats(load_table(spark, sf, "documents"))
+
+
+def _q_streaming_lex_index(spark: SparkSession, sf: str) -> DataFrame:
+    from kinesis_dstream_spark.streaming import jobs
+
+    return jobs.streaming_lex_index_ingest(spark, sf)
+
+
+def _q_hybrid_from_store(spark: SparkSession, sf: str) -> DataFrame:
+    return lexindex.hybrid_from_store_rrf(
+        spark, _lex_shared_store(spark, sf), load_table(spark, sf, "embeddings")
+    )
+
+
+def _q_proximity_search(spark: SparkSession, sf: str) -> DataFrame:
+    return lexindex.proximity_search(load_table(spark, sf, "documents"))
+
+
+def _q_proximity_from_store(spark: SparkSession, sf: str) -> DataFrame:
+    return lexindex.proximity_from_store(spark, _lex_shared_store(spark, sf))
+
+
+def _q_wav_fingerprint_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    return multimodal.wav_fingerprint_dedup(load_table(spark, sf, "documents"))
+
+
+def _q_wav_snippet_match(spark: SparkSession, sf: str) -> DataFrame:
+    return multimodal.wav_snippet_match(load_table(spark, sf, "documents"))
 
 
 def _q_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
@@ -6510,6 +6620,63 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _q_media_dct_phash,
         multimodal.MEDIA_DCT_PHASH_DEDUP_SQL,
     ),
+    # r13 wave 2: the persisted positional inverted index — the
+    # LEXICAL serving store beside the five ANN tiers. BM25 serve is
+    # row-identical to the corpus-scan bm25_search (shared
+    # text.bm25_rank expression tree), so it keeps the same oracle;
+    # the read is term-bucket partition-pruned (plan-pinned pytest)
+    "bm25_from_store_topk": (_q_bm25_from_store, _SQL_BM25),
+    # exact phrase query (scan shape): the positional-index merge —
+    # per-term position lists, shift-by-offset array intersections
+    "phrase_search_topk": (_q_phrase_search, lexindex.PHRASE_SEARCH_SQL),
+    # the same phrase query against the persisted store: per term one
+    # bucket-pruned postings read, corpus-size-independent serve
+    "phrase_from_store_topk": (
+        _q_phrase_from_store,
+        lexindex.PHRASE_SEARCH_SQL,
+    ),
+    # index-health ledger: corpus/vocabulary/postings cardinalities +
+    # the heaviest term — exact integers, one row
+    "lex_index_stats": (_q_lex_index_stats, lexindex.LEX_INDEX_STATS_SQL),
+    # streaming maintenance of the inverted index: bootstrap on the 80%
+    # split, per-batch novel-doc append (torn-window guarded), drained
+    # BM25 serve shares the full-corpus batch oracle — certification by
+    # statelessness of tokenization (order-independence pytest)
+    "streaming_lex_index_ingest": (_q_streaming_lex_index, _SQL_BM25),
+    # r13 wave 3: the audio constellation fingerprint (Shazam shape,
+    # Wang 2003) — real PCM16 WAV decode → framed DFT peak-picking →
+    # anchor/target pair hashes. Dedup collapses the melody classes
+    # that gain/phase variation hides from byte digests (ONE hash
+    # groupBy); the snippet entry certifies offset-robust matching
+    # (hash join + offset voting) against a time-shifted re-recording.
+    # Oracles are closed-form from the quadratic melody law — a match
+    # certifies decode + FFT + peak + pairing end to end
+    "wav_fingerprint_dedup": (
+        _q_wav_fingerprint_dedup,
+        multimodal.WAV_FINGERPRINT_DEDUP_SQL,
+    ),
+    "wav_snippet_match": (
+        _q_wav_snippet_match,
+        multimodal.WAV_SNIPPET_MATCH_SQL,
+    ),
+    # r13 wave 4: the NEAR operator (unordered proximity) — the other
+    # classic positional-index consumer beside the phrase query;
+    # nested array folds (no explode) in both paths, store path
+    # bucket-pruned
+    "proximity_search_topk": (
+        _q_proximity_search,
+        lexindex.PROXIMITY_SEARCH_SQL,
+    ),
+    "proximity_from_store_topk": (
+        _q_proximity_from_store,
+        lexindex.PROXIMITY_SEARCH_SQL,
+    ),
+    # r13 capstone: store-served hybrid retrieval — bucket-pruned BM25
+    # leg (the lexical store) + exact query-by-example cosine leg over
+    # the embeddings table, RRF-fused on the shared id space; at sf0.1
+    # the embedding backfill trails the corpus, so lexical-only docs
+    # fuse on the lex term alone (the NULL rank_sem path is exercised)
+    "hybrid_from_store_rrf": (_q_hybrid_from_store, _SQL_HYBRID_STORE_RRF),
 }
 
 

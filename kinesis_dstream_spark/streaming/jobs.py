@@ -1034,6 +1034,66 @@ def streaming_knn_graph_ingest(
     return knn_graph.knn_graph_serve_frozen(spark, store_path)
 
 
+def streaming_lex_index_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    store_path: str | None = None,
+    checkpoint_dir: str | None = None,
+    n_files: int = 4,
+) -> DataFrame:
+    """Streaming maintenance of the positional inverted index — the
+    hash-certified LEXICAL sibling of the five streaming ANN ingests:
+    bootstrap the index on the 80% base split (``doc_id % 5 != 4``),
+    stream the documents table in micro-batches, append each batch's
+    novel documents (``lexindex.lex_index_append``: postings-first
+    torn-window guard, docs-last commit marker), then serve BM25 from
+    the drained store.
+
+    Certification argument: tokenization is STATELESS — a document's
+    postings and length row are pure functions of the document alone,
+    and the membership anti-join only ever drops non-novel doc_ids —
+    so the drained index is identical under ANY batch partition of the
+    corpus (order-independence pytest) and the serve shares
+    ``text.bm25_search``'s full-corpus DuckDB oracle row-for-row. No
+    frozen model is needed for the property (the contrast with the ANN
+    ingests, whose centroid/codebook freeze is what buys it).
+
+    Scale shape per batch: one tokenize of the batch, one broadcast
+    membership anti-join against the one-row-per-doc docs table, two
+    appends; the postings themselves are never rescanned (the
+    torn-window guard reads only the doc_id column).
+    """
+    from kinesis_dstream_spark import stores
+    from kinesis_dstream_spark.operators import lexindex
+
+    work = tempfile.mkdtemp(prefix="kds_lexstream_")
+    store_path = store_path or os.path.join(work, "idx")
+    checkpoint_dir = checkpoint_dir or os.path.join(work, "chk")
+
+    docs = load_table(spark, sf_dir, "documents")
+    if stores.read_meta(store_path, lexindex._LEX_META) is None:
+        lexindex.lex_index_build(docs.filter(F.col("doc_id") % 5 != 4), store_path)
+
+    src = _table_multifile_dir(spark, sf_dir, "documents", n_files)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            lexindex.lex_index_append(batch_df, store_path)
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return lexindex.bm25_from_store(spark, store_path)
+
+
 def streaming_dedup_index_ingest(
     spark: SparkSession,
     sf_dir: str,

@@ -72,6 +72,7 @@ def test_full_erasure_physical_zero_residual_all_stores(spark, sf_dir, tmp_path)
         "near_dup_pairs", "ivf_det_index", "setsim_pairs",
         "ivf_pq_det_index", "ivf_pq_res_index", "ivf_sq8_index",
         "ab_user_granules", "sentence_granules", "knn_graph_index",
+        "lex_index",
     }
     for r in rows:
         assert r.rows_before == r.rows_erased + r.rows_after
@@ -91,6 +92,10 @@ def test_full_erasure_physical_zero_residual_all_stores(spark, sf_dir, tmp_path)
             os.path.join(work, "dedup_index", "bands"),
             os.path.join(work, "dedup_index", "shingles"),
             os.path.join(work, "sentence_granules", "granules"),
+            # sixteenth store (r13): postings are the subject's text
+            # re-sorted by term; docs is the membership table
+            os.path.join(work, "lex_index", "postings"),
+            os.path.join(work, "lex_index", "docs"),
         ],
         "user_id": [
             os.path.join(work, "ab_user_granules", "granules"),
@@ -135,6 +140,17 @@ def test_full_erasure_physical_zero_residual_all_stores(spark, sf_dir, tmp_path)
 
     meta = store_seam.read_meta(os.path.join(work, "knn_graph_index"), _KNNG_META)
     assert meta["fingerprint"] == "invalidated-by-erasure"
+    # sixteenth store (r13): the erased lexical index's completeness
+    # marker is dropped (no trained params to refit-poison, but a later
+    # ensure must rebuild from the live corpus, not fingerprint-match
+    # the pre-erasure one), and the postings keep their bucket layout
+    from kinesis_dstream_spark.operators.lexindex import _LEX_META
+
+    assert store_seam.read_meta(os.path.join(work, "lex_index"), _LEX_META) is None
+    assert any(
+        e.startswith("bucket=")
+        for e in os.listdir(os.path.join(work, "lex_index", "postings"))
+    )
 
 
 def test_erase_parquet_store_is_exact_and_preserves_survivors(spark, tmp_path):

@@ -385,3 +385,89 @@ def test_illumination_tilt_flips_ahash_not_dct_phash(spark):
     assert d[base_id] == d[tilt_id], "tilt flipped the DCT pHash"
     assert a[base_id] == a[aff_id]
     assert d[base_id] == d[aff_id]
+
+
+def test_constellation_invariance_and_classes(spark):
+    """Gain and phase variation must not move the constellation
+    fingerprint; distinct melody classes must not share it — the
+    audio analog of the pHash robustness contract."""
+    from pyspark.sql import functions as F
+
+    # doc_ids chosen so classes (d % 7) repeat under different gain
+    # (d % 29) and phase (d % 8): 3 and 45 share class 3; 0/7/14 class 0
+    docs = spark.createDataFrame(
+        [(0,), (7,), (14,), (3,), (45,), (1,)], "doc_id long"
+    )
+    cst = multimodal.wav_constellation_batch(
+        multimodal.synth_wav_melody_table(docs)
+    )
+    fps = {
+        r.media_id: r.fp
+        for r in cst.groupBy("media_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_set("hash")),
+                    lambda h: h.cast("string"),
+                ),
+                "-",
+            ).alias("fp")
+        )
+        .collect()
+    }
+    assert fps[0] == fps[7] == fps[14], "same class must share fingerprint"
+    assert fps[3] == fps[45]
+    assert len({fps[0], fps[3], fps[1]}) == 3, "classes must stay distinct"
+    # payload digests, by contrast, are all unique (the dedup class a
+    # byte digest cannot reach)
+    shas = (
+        multimodal.synth_wav_melody_table(docs)
+        .select(F.sha2("payload", 256))
+        .distinct()
+        .count()
+    )
+    assert shas == 6
+
+
+def test_constellation_cross_class_hash_disjointness(spark):
+    """The quadratic melody's no-collision law, pinned as data: hash
+    SETS of different classes are fully disjoint (a cross-class
+    collision would need 2·Δ·dt ≡ 0 mod 31 with dt ∈ 1..3 — none),
+    which is why snippet matching has zero false positives."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame([(c,) for c in range(7)], "doc_id long")
+    cst = multimodal.wav_constellation_batch(
+        multimodal.synth_wav_melody_table(docs)
+    )
+    n_hashes = cst.select("hash").distinct().count()
+    per_class = (
+        cst.groupBy("media_id")
+        .agg(F.size(F.collect_set("hash")).alias("n"))
+        .agg(F.sum("n").alias("s"))
+        .collect()[0]
+        .s
+    )
+    assert n_hashes == per_class, "cross-class hash collision detected"
+
+
+def test_snippet_match_exact_closed_form(spark, sf_dir):
+    """Every query matches exactly its class members, at offset 4,
+    with the full 18 votes (8 snippet anchors → 7+6+5 pairs) — the
+    analytic answer the oracle asserts, checked here per row."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    rows = multimodal.wav_snippet_match(docs).collect()
+    assert len(rows) == len(
+        [r for r in docs.where(F.col("doc_id") % 50 == 0).collect()]
+    )
+    for r in rows:
+        cls = r.query_id % 7
+        class_size = len(
+            [1 for d in range(n_docs) if d % 7 == cls]
+        )
+        assert r.n_matched_clips == class_size
+        assert r.best_offset == 4
+        assert r.max_votes == 18
