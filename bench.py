@@ -623,6 +623,8 @@ BENCH_QUERIES = {
     "proximity_from_store": "proximity_from_store_topk",
     # r13 capstone: store-served hybrid (lexical store + exact cosine)
     "hybrid_from_store": "hybrid_from_store_rrf",
+    # r13: did-you-mean over the store vocabulary (SymSpell deletes)
+    "spell_from_store": "spell_from_store_topk",
 }
 
 

@@ -732,3 +732,167 @@ def hybrid_from_store_rrf(
         .orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+DEFAULT_MISSPELLINGS = ("tabel", "scann", "merg")
+
+
+def _delete_variants(df: DataFrame, col: str) -> DataFrame:
+    """SymSpell 1-delete neighborhood of a term column: the term itself
+    plus every single-character deletion — generated JVM-side via a
+    position sequence (no UDF). The candidate JOIN on variants is the
+    whole scale story: |vocab|·avg_len index rows instead of a
+    |queries|×|vocab| edit-distance cross product."""
+    t = F.col(col)
+    # delete position i = prefix [1, i-1] + suffix [i+1, end];
+    # substring with a COLUMN start needs the SQL form (the python
+    # F.substring signature takes int literals only)
+    dels = F.expr(
+        f"transform(sequence(1, length({col})),"
+        f" i -> concat(substring({col}, 1, i - 1),"
+        f" substring({col}, i + 1, length({col}))))"
+    )
+    return df.select(
+        "*", F.explode(F.array_union(dels, F.array(t))).alias("variant")
+    )
+
+
+def spell_suggest(
+    documents: DataFrame,
+    misspelled: tuple[str, ...] = DEFAULT_MISSPELLINGS,
+    max_dist: int = 2,
+    top_k: int = 3,
+) -> DataFrame:
+    """Did-you-mean suggestions over the corpus vocabulary — the
+    search-engine companion of the lexical index (SymSpell shape):
+    candidates come from a 1-delete-variant equi-join between the
+    query terms and the vocabulary (catches substitutions, single
+    insert/delete, and adjacent transpositions), verified with the
+    built-in ``levenshtein`` (native in BOTH engines — no UDF), ranked
+    by (distance ASC, df DESC, term ASC).
+
+    Scale shape: the deletes index is |vocab|·avg_len rows — built
+    once (at production, maintained as a byproduct of the postings
+    store); query variants broadcast; no |q|×|vocab| cross product
+    ever exists. The final per-query top-k is a tiny window."""
+    from pyspark.sql import Window
+
+    vocab = (
+        lex_postings(documents)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.length("term") >= 2)
+    )
+    return _spell_rank(vocab, misspelled, max_dist, top_k)
+
+
+def spell_suggest_from_store(
+    spark: SparkSession,
+    path: str,
+    misspelled: tuple[str, ...] = DEFAULT_MISSPELLINGS,
+    max_dist: int = 2,
+    top_k: int = 3,
+) -> DataFrame:
+    """The same suggestions served from the persisted index: vocabulary
+    + df are an aggregation of the postings table (at production scale
+    a maintained vocab sidecar; here the honest one-pass derivation).
+    Row-identical to the scan (pytest) — shared oracle."""
+    _require_meta(path)
+    vocab = (
+        spark.read.parquet(os.path.join(path, "postings"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.length("term") >= 2)
+    )
+    return _spell_rank(vocab, misspelled, max_dist, top_k)
+
+
+def _spell_rank(
+    vocab: DataFrame,
+    misspelled: tuple[str, ...],
+    max_dist: int,
+    top_k: int,
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    spark = vocab.sparkSession
+    vd = _delete_variants(vocab, "term")
+    q = spark.createDataFrame(
+        [(t.lower(),) for t in misspelled], "qterm string"
+    )
+    qd = _delete_variants(q, "qterm")
+    cand = (
+        vd.join(F.broadcast(qd.select("qterm", "variant")), "variant")
+        .select("qterm", "term", "df")
+        .distinct()
+        .withColumn("dist", F.levenshtein("qterm", "term"))
+        .filter(F.col("dist") <= max_dist)
+    )
+    w = Window.partitionBy("qterm").orderBy(
+        F.col("dist").asc(), F.col("df").desc(), F.col("term").asc()
+    )
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_k)
+        .select(
+            "qterm",
+            F.col("term").alias("suggestion"),
+            F.col("dist").cast("long").alias("dist"),
+            F.col("df").cast("long").alias("df"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+        .orderBy("qterm", "rk")
+    )
+
+
+def spell_suggest_sql(
+    misspelled: tuple[str, ...] = DEFAULT_MISSPELLINGS,
+    max_dist: int = 2,
+    top_k: int = 3,
+) -> str:
+    qvals = ", ".join(f"('{t.lower()}')" for t in misspelled)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKS_LEX} AS t FROM documents
+), post AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, unnest(t) AS term FROM toks
+  ) GROUP BY doc_id, term
+), v AS (
+  SELECT term, count(*) AS df FROM post
+  WHERE len(term) >= 2 GROUP BY term
+), vd AS (
+  SELECT term, df,
+         substr(term, 1, i - 1) || substr(term, i + 1) AS variant
+  FROM (
+    SELECT term, df, unnest(generate_series(1, len(term))) AS i FROM v
+  )
+  UNION
+  SELECT term, df, term AS variant FROM v
+), q(qterm) AS (
+  VALUES {qvals}
+), qd AS (
+  SELECT qterm, substr(qterm, 1, i - 1) || substr(qterm, i + 1) AS variant
+  FROM (
+    SELECT qterm, unnest(generate_series(1, len(qterm))) AS i FROM q
+  )
+  UNION
+  SELECT qterm, qterm AS variant FROM q
+), cand AS (
+  SELECT DISTINCT qterm, term, df FROM vd JOIN qd USING (variant)
+), scored AS (
+  SELECT qterm, term, levenshtein(qterm, term) AS dist, df
+  FROM cand WHERE levenshtein(qterm, term) <= {max_dist}
+)
+SELECT qterm, suggestion, dist, df, rk FROM (
+  SELECT qterm, term AS suggestion, dist, df,
+         row_number() OVER (
+           PARTITION BY qterm ORDER BY dist ASC, df DESC, term ASC
+         ) AS rk
+  FROM scored
+) WHERE rk <= {top_k}
+ORDER BY qterm, rk
+"""
+
+
+SPELL_SUGGEST_SQL = spell_suggest_sql()

@@ -4659,6 +4659,14 @@ def _q_streaming_lex_index(spark: SparkSession, sf: str) -> DataFrame:
     return jobs.streaming_lex_index_ingest(spark, sf)
 
 
+def _q_spell_suggest(spark: SparkSession, sf: str) -> DataFrame:
+    return lexindex.spell_suggest(load_table(spark, sf, "documents"))
+
+
+def _q_spell_from_store(spark: SparkSession, sf: str) -> DataFrame:
+    return lexindex.spell_suggest_from_store(spark, _lex_shared_store(spark, sf))
+
+
 def _q_hybrid_from_store(spark: SparkSession, sf: str) -> DataFrame:
     return lexindex.hybrid_from_store_rrf(
         spark, _lex_shared_store(spark, sf), load_table(spark, sf, "embeddings")
@@ -6677,6 +6685,13 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # the embedding backfill trails the corpus, so lexical-only docs
     # fuse on the lex term alone (the NULL rank_sem path is exercised)
     "hybrid_from_store_rrf": (_q_hybrid_from_store, _SQL_HYBRID_STORE_RRF),
+    # r13 wave 5: did-you-mean spelling suggestion (SymSpell shape) —
+    # 1-delete-variant equi-join candidates (never a |q|×|vocab| cross
+    # product), BUILT-IN levenshtein verify in both engines, ranked
+    # (dist, df desc, term); the store variant derives vocab+df from
+    # the persisted postings (row-identical, shared oracle)
+    "spell_suggest_topk": (_q_spell_suggest, lexindex.SPELL_SUGGEST_SQL),
+    "spell_from_store_topk": (_q_spell_from_store, lexindex.SPELL_SUGGEST_SQL),
 }
 
 

@@ -238,3 +238,32 @@ def test_hybrid_from_store_partial_embedding_coverage(spark, docs, store, sf_dir
         )
         assert abs(terms - r.rrf_score) < 1e-6
         assert r.rank_lex is not None or r.rank_sem is not None
+
+
+def test_spell_suggest_catches_all_edit_kinds(spark):
+    """The 1-delete candidate join must surface substitution, single
+    insertion, single deletion, AND adjacent transposition (the
+    SymSpell guarantee), verified by builtin levenshtein."""
+    df = spark.createDataFrame(
+        [(i, "table scan merge") for i in range(3)], "doc_id long, text string"
+    )
+    out = {
+        r.qterm: (r.suggestion, r.dist)
+        for r in lexindex.spell_suggest(
+            df, ("tble", "scanx", "mmerge", "tabel")
+        ).collect()
+        if r.rk == 1
+    }
+    assert out["tble"] == ("table", 1)     # deletion in the query
+    assert out["scanx"] == ("scan", 1)     # insertion in the query
+    assert out["mmerge"] == ("merge", 1)   # leading duplicate
+    assert out["tabel"] == ("table", 2)    # adjacent transposition
+
+
+def test_spell_from_store_equals_scan(spark, docs, store):
+    scan = [tuple(r) for r in lexindex.spell_suggest(docs).collect()]
+    serve = [
+        tuple(r)
+        for r in lexindex.spell_suggest_from_store(spark, store).collect()
+    ]
+    assert scan == serve and len(scan) >= 3
