@@ -625,6 +625,8 @@ BENCH_QUERIES = {
     "hybrid_from_store": "hybrid_from_store_rrf",
     # r13: did-you-mean over the store vocabulary (SymSpell deletes)
     "spell_from_store": "spell_from_store_topk",
+    # r13: KWIC highlighting — index finds the window, doc store renders
+    "kwic_from_store": "kwic_from_store",
 }
 
 

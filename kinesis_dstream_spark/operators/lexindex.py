@@ -896,3 +896,146 @@ ORDER BY qterm, rk
 
 
 SPELL_SUGGEST_SQL = spell_suggest_sql()
+
+
+def _kwic_best_window(
+    pos_df: DataFrame, terms: list[str], window: int
+) -> DataFrame:
+    """Best KWIC window per doc: among windows STARTING at a hit
+    position, the one containing the most query-term hits (ties →
+    earliest start) — the standard optimal-window anchoring (the
+    optimum always starts at a hit). One array fold over the merged
+    hit-position list; no explode."""
+    merged = (
+        pos_df.filter(F.col("term").isin(terms))
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.flatten(F.collect_list("positions"))
+            ).alias("hits")
+        )
+    )
+    count_in = F.expr(
+        "transform(hits, p -> struct("
+        f"size(filter(hits, q -> q >= p AND q < p + {window})) AS n,"
+        " -p AS negp))"
+    )
+    best = F.array_max(count_in)
+    return merged.select(
+        "doc_id",
+        (-best.getField("negp")).cast("long").alias("window_start"),
+        best.getField("n").cast("long").alias("n_hits"),
+    )
+
+
+def kwic_snippets(
+    documents: DataFrame,
+    terms: tuple[str, ...] | None = None,
+    window: int = 8,
+    top_k: int = 10,
+) -> DataFrame:
+    """Keyword-in-context snippets — the highlighting step every
+    search result page runs after retrieval: per document the
+    ``window``-token span holding the most query-term hits, rendered
+    as text. Scan shape: positions from the postings chain, snippet
+    from a token-array slice of the same tokenization."""
+    from kinesis_dstream_spark.operators.text import DEFAULT_BM25_QUERY
+
+    qt = [t.lower() for t in (terms or DEFAULT_BM25_QUERY)]
+    pos_df = lex_postings(documents).select("doc_id", "term", "positions")
+    best = _kwic_best_window(pos_df, qt, window)
+    return _render_snippets(documents, best, window, top_k)
+
+
+def kwic_from_store(
+    spark: SparkSession,
+    path: str,
+    documents: DataFrame,
+    terms: tuple[str, ...] | None = None,
+    window: int = 8,
+    top_k: int = 10,
+) -> DataFrame:
+    """The production split of KWIC: the INDEX finds each document's
+    best window (bucket-pruned postings, positions only), the DOC
+    STORE renders it (a point-read of the top documents' text — here
+    the documents table stands in for the doc store). Row-identical to
+    the scan (pytest), shared oracle."""
+    from kinesis_dstream_spark.operators.text import DEFAULT_BM25_QUERY
+
+    _require_meta(path)
+    qt = [t.lower() for t in (terms or DEFAULT_BM25_QUERY)]
+    buckets = sorted({term_bucket_py(t) for t in qt})
+    pos_df = (
+        spark.read.parquet(os.path.join(path, "postings"))
+        .filter(F.col("bucket").isin(buckets))
+        .select("doc_id", "term", "positions")
+    )
+    best = _kwic_best_window(pos_df, qt, window)
+    return _render_snippets(documents, best, window, top_k)
+
+
+def _render_snippets(
+    documents: DataFrame, best: DataFrame, window: int, top_k: int
+) -> DataFrame:
+    cut = (
+        best.orderBy(F.col("n_hits").desc(), F.col("doc_id").asc())
+        .limit(top_k)
+        .localCheckpoint()
+    )
+    toks = tokens(F.lower(F.col("text")))
+    rendered = documents.join(F.broadcast(cut), "doc_id").select(
+        "doc_id",
+        "window_start",
+        "n_hits",
+        F.array_join(
+            F.slice(toks, F.col("window_start").cast("int"), window), " "
+        ).alias("snippet"),
+    )
+    return rendered.orderBy(F.col("n_hits").desc(), F.col("doc_id").asc())
+
+
+def kwic_snippets_sql(
+    terms: tuple[str, ...] | None = None,
+    window: int = 8,
+    top_k: int = 10,
+) -> str:
+    from kinesis_dstream_spark.operators.text import DEFAULT_BM25_QUERY
+
+    qt = [t.lower() for t in (terms or DEFAULT_BM25_QUERY)]
+    inlist = ", ".join(f"'{t}'" for t in qt)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKS_LEX} AS t FROM documents
+), pos AS (
+  SELECT doc_id, unnest(t) AS term, generate_subscripts(t, 1) AS p
+  FROM toks
+), hit AS (
+  SELECT doc_id, p FROM pos WHERE term IN ({inlist})
+), wins AS (
+  SELECT a.doc_id, a.p AS window_start, count(*) AS n_hits
+  FROM hit a JOIN hit b
+    ON b.doc_id = a.doc_id AND b.p >= a.p AND b.p < a.p + {window}
+  GROUP BY a.doc_id, a.p
+), best AS (
+  SELECT doc_id, window_start, n_hits FROM (
+    SELECT doc_id, window_start, n_hits,
+           row_number() OVER (
+             PARTITION BY doc_id
+             ORDER BY n_hits DESC, window_start ASC
+           ) AS rk
+    FROM wins
+  ) WHERE rk = 1
+), cut AS (
+  SELECT doc_id, window_start, n_hits FROM best
+  ORDER BY n_hits DESC, doc_id ASC LIMIT {top_k}
+)
+SELECT c.doc_id, c.window_start, c.n_hits,
+       array_to_string(
+         list_slice(t, c.window_start, c.window_start + {window} - 1), ' '
+       ) AS snippet
+FROM cut c JOIN toks USING (doc_id)
+ORDER BY c.n_hits DESC, c.doc_id ASC
+"""
+
+
+KWIC_SNIPPETS_SQL = kwic_snippets_sql()

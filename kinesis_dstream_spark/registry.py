@@ -4659,6 +4659,16 @@ def _q_streaming_lex_index(spark: SparkSession, sf: str) -> DataFrame:
     return jobs.streaming_lex_index_ingest(spark, sf)
 
 
+def _q_kwic_snippets(spark: SparkSession, sf: str) -> DataFrame:
+    return lexindex.kwic_snippets(load_table(spark, sf, "documents"))
+
+
+def _q_kwic_from_store(spark: SparkSession, sf: str) -> DataFrame:
+    return lexindex.kwic_from_store(
+        spark, _lex_shared_store(spark, sf), load_table(spark, sf, "documents")
+    )
+
+
 def _q_spell_suggest(spark: SparkSession, sf: str) -> DataFrame:
     return lexindex.spell_suggest(load_table(spark, sf, "documents"))
 
@@ -6692,6 +6702,13 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # the persisted postings (row-identical, shared oracle)
     "spell_suggest_topk": (_q_spell_suggest, lexindex.SPELL_SUGGEST_SQL),
     "spell_from_store_topk": (_q_spell_from_store, lexindex.SPELL_SUGGEST_SQL),
+    # r13 wave 6: KWIC snippet generation (result highlighting) — per
+    # doc the window-token span holding the most query-term hits
+    # (optimal window anchored at a hit; one array fold, no explode),
+    # rendered as text. The store variant is the production split:
+    # index finds the window, doc store renders it (point-read join)
+    "kwic_snippets": (_q_kwic_snippets, lexindex.KWIC_SNIPPETS_SQL),
+    "kwic_from_store": (_q_kwic_from_store, lexindex.KWIC_SNIPPETS_SQL),
 }
 
 

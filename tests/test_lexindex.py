@@ -267,3 +267,32 @@ def test_spell_from_store_equals_scan(spark, docs, store):
         for r in lexindex.spell_suggest_from_store(spark, store).collect()
     ]
     assert scan == serve and len(scan) >= 3
+
+
+def test_kwic_serve_equals_scan_and_window_optimality(spark, docs, store):
+    scan = [tuple(r) for r in lexindex.kwic_snippets(docs).collect()]
+    serve = [
+        tuple(r)
+        for r in lexindex.kwic_from_store(spark, store, docs).collect()
+    ]
+    assert scan == serve and len(scan) == 10
+    # the snippet really is the rendered window: n_hits query-term
+    # occurrences inside, and no window anywhere in the doc beats it
+    from kinesis_dstream_spark.operators.text import DEFAULT_BM25_QUERY
+
+    qt = set(DEFAULT_BM25_QUERY)
+    texts = {
+        r.doc_id: r.text.lower().split()
+        for r in docs.collect()
+    }
+    for doc_id, start, n_hits, snippet in scan:
+        toks = texts[doc_id]
+        win = toks[start - 1 : start - 1 + 8]
+        assert " ".join(win) == snippet
+        assert sum(1 for t in win if t in qt) == n_hits
+        best = max(
+            sum(1 for q in range(p, min(p + 8, len(toks) + 1))
+                if toks[q - 1] in qt)
+            for p in range(1, len(toks) + 1)
+        )
+        assert n_hits == best, "a better window exists"
