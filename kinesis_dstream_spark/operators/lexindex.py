@@ -425,7 +425,15 @@ def lex_index_compact(
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         stats["buckets_compacted"] = len(oversized)
     if _n_parquet_files(docs_dir) > max_files_per_bucket:
-        rows = spark.read.parquet(docs_dir).coalesce(1).localCheckpoint()
+        # bounded MULTI-task rewrite (the dedup_index_compact rule) —
+        # docs is one row per doc, i.e. corpus-sized: a coalesce(1)
+        # here would be exactly the single-task straggler the r12
+        # verdict evicted from the graph store's edges compaction
+        rows = (
+            spark.read.parquet(docs_dir)
+            .repartition(max_files_per_bucket)
+            .localCheckpoint()
+        )
         tmp = docs_dir.rstrip("/") + "_compact_tmp"
         rows.write.mode("overwrite").parquet(tmp)
         stores.swap_dir(tmp, docs_dir)
