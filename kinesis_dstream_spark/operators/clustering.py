@@ -482,6 +482,7 @@ def ivf_deterministic_topk(
     n_probe: int = 2,
     k: int = _K,
     n_assign: int = _N_ASSIGN,
+    _fit: tuple | None = None,
 ) -> DataFrame:
     """IVF ANN with NOTHING probabilistic left: coarse cells come from
     the deterministic Lloyd fit above, the probe list is an exact
@@ -505,8 +506,16 @@ def ivf_deterministic_topk(
     written cell-partitioned (the ann_index layout), that join is
     partition-pruned to the probed cells. Ties: cells on (dist, cid),
     results on (dot desc, c_id).
+
+    ``_fit`` (r13 optimization): an optional precomputed
+    ``(iarr, asg, cents)`` from ``_fit_kmeans(embeddings, k, n_assign)``
+    so multi-family evals (``quantizer_recall_matrix``) pay the
+    deterministic coarse fit ONCE instead of once per leg — identical
+    values by construction (the fit is a pure function of its inputs).
     """
-    iarr, asg, cents = _fit_kmeans(embeddings, k, n_assign)
+    iarr, asg, cents = _fit if _fit is not None else _fit_kmeans(
+        embeddings, k, n_assign
+    )
     queries = iarr.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), F.col("iu").alias("q_iu")
     )
@@ -1279,30 +1288,77 @@ FROM q LEFT JOIN per_q p ON p.q_id = q.q_id
     )
 
 
-def _pca_cov_cs(embeddings: DataFrame) -> tuple[DataFrame, int]:
+def _pca_cov_cs(
+    embeddings: DataFrame, _iarr: DataFrame | None = None
+) -> tuple[DataFrame, int]:
     """The scaled-covariance matrix ``Cs`` of ``embedding_pca_profile``
     (exact integer ``(n·S − m·mᵀ) div 1e9`` over the µ-unit grid) plus
     the dimensionality — factored out (r13) so the OPQ rotation
     (`operators/opq.py`) derives its Householder vector from the SAME
-    Gram chain the profile certifies, never a diverging copy."""
-    iarr = _unit_int_arrays(embeddings)
-    lg = iarr.select("vec_id", F.posexplode("iu").alias("pos0", "x")).select(
-        "vec_id", (F.col("pos0") + 1).alias("pos"), "x"
-    )
+    Gram chain the profile certifies, never a diverging copy.
+
+    Gram kernel (r13 optimization, guide §2.3/§4.2): the Gram pass used
+    to be a vec_id self-join of the exploded (vec_id, pos, x) table —
+    n·d² rows (8.2M at sf0.1's 2k×64) through a shuffle join + hash
+    aggregate just to sum x_i·x_j. It is now ONE ``mapInPandas`` pass
+    emitting a per-task partial ``Xᵀ·X`` (d² int64 cells) plus the
+    partial column sums, re-aggregated by a d²-row map-side-combined
+    sum — the Gram never crosses an exchange at row grain. The numpy
+    int64 matmul is the same exact integer arithmetic as the joined
+    sum-of-products (the ``_assign_arrow`` precedent), so values are
+    bit-identical and the DuckDB twin is unchanged. Per-task partials
+    bound at n_task·1e12 ≪ 2⁶³; the final n·S product keeps the
+    documented n ≈ 2300 int64 horizon (HUGEINT/decimal beyond it)."""
+    import numpy as np
+    import pandas as pd
+
+    iarr = _iarr if _iarr is not None else _unit_int_arrays(
+        embeddings
+    ).localCheckpoint()
     n = iarr.count()
-    m_rows = {
-        r.pos: r.m for r in lg.groupBy("pos").agg(F.sum("x").alias("m")).collect()
-    }
+
+    def gram(batches):
+        S = None
+        mv = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["iu"].to_numpy()).astype(np.int64)
+            St = X.T @ X
+            S = St if S is None else S + St
+            mt = X.sum(axis=0)
+            mv = mt if mv is None else mv + mt
+        if S is None:
+            return
+        d = S.shape[0]
+        idx = np.arange(1, d + 1, dtype=np.int32)
+        # Gram cells as (i ≥ 1, j ≥ 1, Σ x_i·x_j); column sums ride the
+        # same frame under the j = 0 sentinel so ONE aggregation feeds
+        # both the m literals and Cs
+        yield pd.DataFrame(
+            {
+                "i": np.concatenate([np.repeat(idx, d), idx]),
+                "j": np.concatenate(
+                    [np.tile(idx, d), np.zeros(d, dtype=np.int32)]
+                ),
+                "s": np.concatenate([S.ravel(), mv]),
+            }
+        )
+
+    parts = (
+        iarr.select("iu")  # only the column the kernel needs (§4.1)
+        .mapInPandas(gram, "i int, j int, s long")
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("s"))
+        .localCheckpoint()
+    )
+    m_rows = {r.i: r.s for r in parts.filter(F.col("j") == 0).collect()}
     d = len(m_rows)
-    a = lg.select("vec_id", F.col("pos").alias("i"), F.col("x").alias("ax"))
-    b = lg.select("vec_id", F.col("pos").alias("j"), F.col("x").alias("bx"))
     marr = F.array(
         *[F.lit(m_rows[i]).cast("long") for i in range(1, d + 1)]
     )
     Cs = (
-        a.join(b, "vec_id")
-        .groupBy("i", "j")
-        .agg(F.sum(F.col("ax") * F.col("bx")).alias("s"))
+        parts.filter(F.col("j") > 0)
         .withColumn("ma", marr)
         .select(
             "i",
@@ -1348,10 +1404,12 @@ def _pca_power(
     return v, w_rows, prev_v
 
 
-def dominant_pc_vector(embeddings: DataFrame, n_iter: int = 3) -> list[int]:
+def dominant_pc_vector(
+    embeddings: DataFrame, n_iter: int = 3, _iarr: DataFrame | None = None
+) -> list[int]:
     """The dominant principal direction on the ±1e6 integer grid — the
     exact power-iteration output the OPQ pre-rotation consumes."""
-    Cs, d = _pca_cov_cs(embeddings)
+    Cs, d = _pca_cov_cs(embeddings, _iarr=_iarr)
     v, _, _ = _pca_power(Cs, d, n_iter)
     return v
 

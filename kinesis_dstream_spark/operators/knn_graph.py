@@ -54,7 +54,6 @@ from kinesis_dstream_spark.operators.clustering import (
     _K,
     _N_ASSIGN,
     _fit_kmeans,
-    _ivf_probes,
     _unit_int_arrays,
     kmeans_oracle_cte,
 )
@@ -130,32 +129,104 @@ def _graph_probes(nodes: DataFrame, cents, n_probe: int) -> DataFrame:
 
 
 def _edges_vs_pool(
-    nodes: DataFrame, pool: DataFrame, cents, m: int, n_probe: int
+    nodes: DataFrame,
+    pool: DataFrame,
+    cents,
+    m: int,
+    n_probe: int,
 ) -> DataFrame:
     """Out-edges of ``nodes`` against a (possibly FROZEN) candidate
     pool: each node probes its n_probe nearest cells of ``cents`` and
     keeps its top-m pool members by exact integer dot, (dot DESC,
-    dst ASC) ties. The pool is ≤ k·cell_cap rows by construction —
-    broadcast it so the node side (the corpus) never shuffles; at the
-    100 TB layout the equivalent is the cell-partitioned ann_index
-    join. Output carries ``cluster_id`` = the SRC's own coarse cell
-    (r13) so the persisted store can partition ``edges/`` by it."""
-    probes = _graph_probes(nodes, cents, n_probe)
-    cand = probes.join(F.broadcast(pool), "cluster_id").filter(
-        F.col("vec_id") != F.col("q_id")
+    dst ASC) ties. Output carries ``cluster_id`` = the SRC's own
+    coarse cell so the persisted store can partition ``edges/`` by it.
+
+    Kernel (r13 optimization, guide §4.2 + the ``_assign_arrow``
+    precedent): the build used to explode |corpus|·n_probe·cell_cap
+    candidate rows through a broadcast join, evaluate a codegen'd
+    64-term zip_with dot per row, and cut top-m with a corpus-sized
+    row_number window — 1.5M joined rows + an exchange at sf0.1, and
+    the single slowest stage of the whole graph family (~15 s of the
+    one-shot build's 25 s). The pool is ≤ k·cell_cap rows BY
+    CONSTRUCTION (the SemDeDup bound — the same bound that justified
+    broadcasting it), so it now ships to each task as int64 matrices
+    and ONE ``mapInPandas`` pass per corpus partition does probe
+    selection (exact squared-L2 vs the k literal centroids, ties
+    (cd, cid)), candidate masking (pool membership of the probed
+    cells, self excluded), exact int64 dot matmul, and the per-src
+    (dot DESC, dst ASC) top-m cut — NO join, NO shuffle, no
+    corpus-sized exchange anywhere. numpy int64 arithmetic is the
+    same exact integer math as the JVM folds (pytest + oracle + golden
+    pins certify bit-equality); a chunked matmul bounds the per-task
+    dot matrix at ~1024·|pool| cells."""
+    import numpy as np
+    import pandas as pd
+
+    # bounded collect: ≤ k·cell_cap rows (the PQ-codebook collect class)
+    pool_rows = pool.select("vec_id", "iu", "cluster_id").collect()
+    p_ids = np.array([r["vec_id"] for r in pool_rows], dtype=np.int64)
+    p_cells = np.array([r["cluster_id"] for r in pool_rows], dtype=np.int64)
+    P = (
+        np.array([list(r["iu"]) for r in pool_rows], dtype=np.int64)
+        if pool_rows
+        else np.zeros((0, len(cents[0][1])), dtype=np.int64)
     )
-    ew = Window.partitionBy("src").orderBy(F.col("dot_num").desc(), "dst")
-    return (
-        cand.select(
-            F.col("q_id").alias("src"),
-            F.col("vec_id").alias("dst"),
-            _dot_col("q_iu", "iu").alias("dot_num"),
-            F.col("src_cell"),
-        )
-        .withColumn("rk", F.row_number().over(ew))
-        .filter(F.col("rk") <= m)
-        .withColumnRenamed("src_cell", "cluster_id")
-        .select("src", "dst", "dot_num", "rk", "cluster_id")
+    cids = np.array([cid for cid, _ in cents], dtype=np.int64)
+    C = np.array([coords for _, coords in cents], dtype=np.int64)
+    cn = (C * C).sum(axis=1)
+    npb = min(n_probe, len(cids))
+
+    def build(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["iu"].to_numpy()).astype(np.int64)
+            ids = pdf["vec_id"].to_numpy().astype(np.int64)
+            for s in range(0, len(ids), 1024):
+                Xc, idc = X[s : s + 1024], ids[s : s + 1024]
+                # probe ranking: exact ||x−c||², ties (cd, cid) — the
+                # _graph_probes / _ivf_probes rule
+                Dc = (Xc * Xc).sum(1)[:, None] - 2 * (Xc @ C.T) + cn[None, :]
+                order = np.lexsort(
+                    (np.broadcast_to(cids, Dc.shape), Dc), axis=-1
+                )
+                probe_cells = cids[order[:, :npb]]
+                src_cell = cids[order[:, 0]]
+                if len(p_ids) == 0:
+                    continue
+                dots = Xc @ P.T
+                mask = np.zeros(dots.shape, dtype=bool)
+                for c in range(npb):
+                    mask |= p_cells[None, :] == probe_cells[:, c : c + 1]
+                mask &= p_ids[None, :] != idc[:, None]
+                srcs, dsts, dnum, rks, cells = [], [], [], [], []
+                for i in range(len(idc)):
+                    j = np.flatnonzero(mask[i])
+                    if len(j) == 0:
+                        continue
+                    # (dot DESC, dst ASC) — row_number's tie rule
+                    sel = j[np.lexsort((p_ids[j], -dots[i, j]))][:m]
+                    srcs.append(np.full(len(sel), idc[i], dtype=np.int64))
+                    dsts.append(p_ids[sel])
+                    dnum.append(dots[i, sel])
+                    rks.append(np.arange(1, len(sel) + 1, dtype=np.int32))
+                    cells.append(
+                        np.full(len(sel), src_cell[i], dtype=np.int32)
+                    )
+                if not srcs:
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "src": np.concatenate(srcs),
+                        "dst": np.concatenate(dsts),
+                        "dot_num": np.concatenate(dnum),
+                        "rk": np.concatenate(rks),
+                        "cluster_id": np.concatenate(cells),
+                    }
+                )
+
+    return nodes.select("vec_id", "iu").mapInPandas(
+        build, "src long, dst long, dot_num long, rk int, cluster_id int"
     )
 
 
@@ -866,17 +937,12 @@ def knn_graph_store_append(embeddings_new: DataFrame, path: str) -> None:
             )
             fresh = asg.join(existing, "vec_id", "left_anti").localCheckpoint()
             if not fresh.isEmpty():
-                # frozen-pool read, pruned to the fresh nodes' probe cells
+                # probe-cell discovery for the pruned pool read (the
+                # edge build itself re-ranks probes inside its Arrow
+                # kernel — no joined probe frame exists anymore, r13)
                 probe_cells = sorted(
                     r["cluster_id"]
-                    for r in _ivf_probes(
-                        fresh.select(
-                            F.col("vec_id").alias("q_id"),
-                            F.col("iu").alias("q_iu"),
-                        ),
-                        cents,
-                        n_probe,
-                    )
+                    for r in _graph_probes(fresh, cents, n_probe)
                     .select("cluster_id")
                     .distinct()
                     .collect()
@@ -956,14 +1022,15 @@ def knn_graph_store_append(embeddings_new: DataFrame, path: str) -> None:
                 # before (3) leaves edge rows whose node rows are
                 # missing — the replay recomputes the batch, and this
                 # anti-join (pruned to the batch's own cells) drops the
-                # already-written srcs instead of double-appending
-                edge_cells = [
-                    int(r[0])
-                    for r in out_edges.select("cluster_id").distinct().collect()
-                ]
+                # already-written srcs instead of double-appending.
+                # The pruning list is the batch's own `cells` (already
+                # collected): every out-edge's cluster_id is its src's
+                # OWN coarse cell and fresh ⊆ asg, so edge cells ⊆
+                # cells — reusing it drops a distinct+collect job per
+                # micro-batch (r13)
                 written_srcs = (
                     spark.read.parquet(edges_path)
-                    .filter(F.col("cluster_id").isin(edge_cells))
+                    .filter(F.col("cluster_id").isin(cells))
                     .select("src")
                     .distinct()
                 )

@@ -118,6 +118,7 @@ def ann_pq_rot_topk(
     ksub: int = _KSUB,
     n_assign: int = _N_ASSIGN,
     n_iter: int = _N_ITER,
+    _iarr: DataFrame | None = None,
 ) -> DataFrame:
     """Rotated-PQ ANN: Householder-rotate the corpus onto the
     PC-aligned basis, then the unchanged det-PQ fit + encode + ADC +
@@ -125,12 +126,14 @@ def ann_pq_rot_topk(
     front. Output (q_id, c_id, adc_num, rk); ADC scores are dots in
     the ROTATED space (a reflection preserves exact dots up to the
     documented div truncation, so ranks are comparable to flat PQ's).
-    Oracle: ``ANN_PQ_ROT_SQL``."""
-    v = dominant_pc_vector(embeddings, n_iter)
+    Oracle: ``ANN_PQ_ROT_SQL``. ``_iarr``: optional precomputed
+    (checkpointed) ``_unit_int_arrays`` frame shared across matrix
+    legs (r13)."""
+    if _iarr is None:
+        _iarr = _unit_int_arrays(embeddings).localCheckpoint()
+    v = dominant_pc_vector(embeddings, n_iter, _iarr=_iarr)
     w, ww = householder_params(v)
-    riarr = rotate_iarr(
-        _unit_int_arrays(embeddings), w, ww
-    ).localCheckpoint()
+    riarr = rotate_iarr(_iarr, w, ww).localCheckpoint()
     codes, codebooks = _fit_pq(riarr, m, dsub, ksub, n_assign, tag=_PQ_ROT_TAG)
     queries = riarr.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), F.col("iu").alias("q_iu")

@@ -297,14 +297,18 @@ def ann_pq_det_topk(
     dsub: int = _DSUB,
     ksub: int = _KSUB,
     n_assign: int = _N_ASSIGN,
+    _iarr: DataFrame | None = None,
 ) -> DataFrame:
     """Flat deterministic-PQ ANN: fit + encode + full ADC scan + per-
     query top-k — the self-contained BUILD exhibit (the composed store
     below is the recurring-cost path). Output (q_id, c_id, adc_num,
     rk); ties (adc desc, c_id). Hash-checkable end-to-end against
     ``ANN_PQ_DET_SQL`` — the first PQ in the repo with a value-level
-    oracle."""
-    iarr = _unit_int_arrays(embeddings).localCheckpoint()
+    oracle. ``_iarr``: optional precomputed (checkpointed)
+    ``_unit_int_arrays`` frame shared across matrix legs (r13)."""
+    iarr = _iarr if _iarr is not None else _unit_int_arrays(
+        embeddings
+    ).localCheckpoint()
     codes, codebooks = _fit_pq(iarr, m, dsub, ksub, n_assign)
     queries = iarr.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), F.col("iu").alias("q_iu")

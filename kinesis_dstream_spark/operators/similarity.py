@@ -1356,7 +1356,12 @@ def mmr_diversified_topk(
         .filter(F.col("rn") == 1)
         .select("q_id", "c_id", "rel", F.lit(1).alias("step"))
     )
-    selected = first
+    # each greedy round references `selected` THREE times (max-sim join,
+    # anti-join, union), so an uncut lineage re-plans and re-executes
+    # every earlier round ~3^(k-1) times inside the final job (r13
+    # optimization, guide §5 localCheckpoint discipline); the per-round
+    # cut is a ≤ |q|·k-row materialization that keeps the unroll linear
+    selected = first.localCheckpoint()
     for i in range(2, k + 1):
         ms = (
             sims.join(
@@ -1375,7 +1380,7 @@ def mmr_diversified_topk(
             .filter(F.col("rn") == 1)
             .select("q_id", "c_id", "rel", F.lit(i).alias("step"))
         )
-        selected = selected.unionByName(pick)
+        selected = selected.unionByName(pick).localCheckpoint()
     return selected.withColumnRenamed("rel", "rel_num")
 
 

@@ -113,12 +113,16 @@ def ann_sq8_topk(
     n_queries: int = 10,
     topk: int = 5,
     levels: int = _LEVELS,
+    _iarr: DataFrame | None = None,
 ) -> DataFrame:
     """Flat SQ8 ANN: train bounds + fused encode/decode + full ADC scan
     + per-query top-k. Output (q_id, c_id, adc_num, rk); ties
     (adc desc, c_id); self excluded. Hash-checkable end-to-end against
-    ``ANN_SQ8_SQL``."""
-    iarr = _unit_int_arrays(embeddings).localCheckpoint()
+    ``ANN_SQ8_SQL``. ``_iarr``: optional precomputed (checkpointed)
+    ``_unit_int_arrays`` frame shared across matrix legs (r13)."""
+    iarr = _iarr if _iarr is not None else _unit_int_arrays(
+        embeddings
+    ).localCheckpoint()
     bounds = _sq_bounds(iarr)
     xh = iarr.select("vec_id", F.expr(_xhat_sql(bounds, levels)).alias("xh"))
     queries = iarr.filter(F.col("vec_id") < n_queries).select(
@@ -212,6 +216,7 @@ def ann_ivf_sq8_topk(
     k: int = _K,
     n_assign: int = _N_ASSIGN,
     levels: int = _LEVELS,
+    _fit: tuple | None = None,
 ) -> DataFrame:
     """Composed deterministic IVF-SQ8 — the FAISS
     ``IndexIVFScalarQuantizer`` shape: coarse cells from the
@@ -241,7 +246,12 @@ def ann_ivf_sq8_topk(
         _ivf_probes,
     )
 
-    iarr, asg, cents = _fit_kmeans(embeddings, k, n_assign)
+    # `_fit` (r13): optional precomputed (iarr, asg, cents) so the
+    # quantizer matrix pays the shared coarse fit once (values are a
+    # pure function of the inputs — identical either way)
+    iarr, asg, cents = _fit if _fit is not None else _fit_kmeans(
+        embeddings, k, n_assign
+    )
     bounds = _sq_bounds(iarr)
     xh = asg.select(
         "vec_id",
@@ -769,6 +779,7 @@ def quantizer_recall_matrix(
     class). The overlap joins are ≤ |q|·k rows per family.
     """
     from kinesis_dstream_spark.operators.clustering import (
+        _fit_kmeans,
         ivf_deterministic_topk,
     )
     from kinesis_dstream_spark.operators.knn_graph import (
@@ -778,6 +789,16 @@ def quantizer_recall_matrix(
     )
     from kinesis_dstream_spark.operators.opq import ann_pq_rot_topk
     from kinesis_dstream_spark.operators.pq_det import ann_pq_det_topk
+
+    # ONE deterministic coarse fit + ONE unit-array materialization
+    # shared by every leg that uses them (r13 optimization, guide
+    # §1.2.1 "don't compute things twice"): ivf_det and ivf_sq8 ran
+    # identical `_fit_kmeans(embeddings, k, n_assign)` fits, and five
+    # legs + the truth pass each re-materialized `_unit_int_arrays` —
+    # all pure functions of the same inputs, so sharing is
+    # value-invisible (oracle unchanged).
+    shared_fit = _fit_kmeans(embeddings, k, n_assign)
+    iarr = shared_fit[0]
 
     if knn_graph_store is not None:
         # shared-build path (r12 verdict): the graph leg reuses the
@@ -793,7 +814,6 @@ def quantizer_recall_matrix(
             embeddings, n_queries, topk, k=k, n_assign=n_assign
         )
 
-    iarr = _unit_int_arrays(embeddings).localCheckpoint()
     queries = iarr.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), F.col("iu").alias("q_iu")
     )
@@ -813,16 +833,18 @@ def quantizer_recall_matrix(
     )
     fams = {
         "ivf_det": ivf_deterministic_topk(
-            embeddings, n_queries, topk, n_probe, k, n_assign
+            embeddings, n_queries, topk, n_probe, k, n_assign,
+            _fit=shared_fit,
         ).select("q_id", "c_id", "rk"),
-        "pq_det_flat": ann_pq_det_topk(embeddings, n_queries, topk).select(
-            "q_id", "c_id", "rk"
-        ),
-        "sq8_flat": ann_sq8_topk(embeddings, n_queries, topk, levels).select(
-            "q_id", "c_id", "rk"
-        ),
+        "pq_det_flat": ann_pq_det_topk(
+            embeddings, n_queries, topk, _iarr=iarr
+        ).select("q_id", "c_id", "rk"),
+        "sq8_flat": ann_sq8_topk(
+            embeddings, n_queries, topk, levels, _iarr=iarr
+        ).select("q_id", "c_id", "rk"),
         "ivf_sq8": ann_ivf_sq8_topk(
-            embeddings, n_queries, topk, n_probe, k, n_assign, levels
+            embeddings, n_queries, topk, n_probe, k, n_assign, levels,
+            _fit=shared_fit,
         ).select("q_id", "c_id", "rk"),
         # the graph tier (r12): bounded-degree k-NN graph + fixed-round
         # beam search — completes the matrix with the production-default
@@ -834,9 +856,9 @@ def quantizer_recall_matrix(
         # vs flat PQ reads ~0 on the isotropic fixture BY DESIGN (the
         # honest baseline; the correlated-data win is pytest-pinned in
         # tests/test_opq.py)
-        "pq_rot": ann_pq_rot_topk(embeddings, n_queries, topk).select(
-            "q_id", "c_id", "rk"
-        ),
+        "pq_rot": ann_pq_rot_topk(
+            embeddings, n_queries, topk, _iarr=iarr
+        ).select("q_id", "c_id", "rk"),
     }
     rows = []
     for fam, approx in fams.items():

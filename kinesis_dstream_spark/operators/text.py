@@ -1509,9 +1509,14 @@ def doc_novelty_score(documents: DataFrame, k: int = 5) -> DataFrame:
         "doc_id",
         F.explode(word_shingles(tokens(F.col("text")), k)).alias("shingle"),
     )
-    df_tbl = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # r13 optimization (guide §2.4): df-per-shingle and the join back
+    # are keyed the SAME way, so one window over the shingle exchange
+    # replaces the aggregate + second shuffle-join of the shingle rows
+    # (2 corpus-shingle exchanges + re-scan → 1); count over the
+    # partition is exactly the joined df value
+    dfw = Window.partitionBy("shingle")
     return (
-        sh.join(df_tbl, "shingle")
+        sh.withColumn("df", F.count(F.lit(1)).over(dfw))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),

@@ -660,7 +660,13 @@ SELECT doc_src, doc_dst, containment FROM directed WHERE containment >= 0.6
 
 
 def _q_local_clustering(spark: SparkSession, sf: str) -> DataFrame:
-    return graph.local_clustering_profile(load_table(spark, sf, "documents"))
+    # r13: consume the shared persisted pair artifact like every other
+    # graph-family entry (pagerank/k-core/harmonic/…) instead of
+    # re-running the jaccard pair join inline — same rows by the
+    # ensure contract, same oracle
+    return graph.local_clustering_profile(
+        load_table(spark, sf, "documents"), pairs=_near_dup_pairs(spark, sf)
+    )
 
 
 def _q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
@@ -4781,7 +4787,10 @@ def _q_arrow_udf_tokens(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_assortativity(spark: SparkSession, sf: str) -> DataFrame:
-    return graph.degree_assortativity(load_table(spark, sf, "documents"))
+    # r13: shared pair artifact (see _q_local_clustering)
+    return graph.degree_assortativity(
+        load_table(spark, sf, "documents"), pairs=_near_dup_pairs(spark, sf)
+    )
 
 
 def _q_packing_efficiency(spark: SparkSession, sf: str) -> DataFrame:
