@@ -268,17 +268,38 @@ def ann_knn_graph_topk(
     neighbor is never dropped for a worse one), and re-ranks by exact
     integer dot with (dot DESC, node ASC) ties. The beam is
     localCheckpoint-ed per round (iterative-lineage discipline)."""
-    edges = (
-        knn_graph_edges(embeddings, m, n_probe, k, n_assign, cell_cap)
-        .select("src", "dst")
-        .localCheckpoint()
-    )
+    edges = knn_graph_edges(embeddings, m, n_probe, k, n_assign, cell_cap)
     iarr = _unit_int_arrays(embeddings).localCheckpoint()
-    return _beam_serve(edges, iarr, n_queries, topk, n_entry, beam, rounds)
+    return _beam_serve(
+        _adjacency_with_vecs(edges, iarr),
+        iarr,
+        n_queries,
+        topk,
+        n_entry,
+        beam,
+        rounds,
+    )
+
+
+def _adjacency_with_vecs(edges: DataFrame, iarr: DataFrame) -> DataFrame:
+    """(src, dst, dst_iu) — the adjacency with each neighbor's vector
+    DENORMALIZED onto the edge (the vectors-with-adjacency layout real
+    HNSW serving uses), checkpointed once. r13 optimization: the beam
+    rounds used to fetch candidate vectors by joining the |q|·beam·m
+    candidate set against the FULL corpus table every round — a
+    corpus-sized scan per round that contradicted the tier's
+    corpus-independent-round story. Paying ONE corpus-scale join here
+    makes every subsequent round touch only beam-bounded frames, and
+    multi-serve callers (the efSearch curve's three widths) share the
+    one materialization."""
+    return edges.select("src", "dst").join(
+        iarr.select(F.col("vec_id").alias("dst"), F.col("iu").alias("dst_iu")),
+        "dst",
+    ).select("src", "dst", "dst_iu").localCheckpoint()
 
 
 def _beam_serve(
-    edges: DataFrame,
+    edges_iu: DataFrame,
     iarr: DataFrame,
     n_queries: int,
     topk: int,
@@ -286,10 +307,21 @@ def _beam_serve(
     beam: int,
     rounds: int,
 ) -> DataFrame:
-    """The shared fixed-round beam search over an adjacency frame:
-    identical math whether the graph came from the one-shot build or
-    the persisted store (one oracle serves both). ``edges`` should be
-    checkpointed/materialized by the caller (read twice per round)."""
+    """The shared fixed-round beam search over a vector-carrying
+    adjacency frame (``_adjacency_with_vecs``): identical math whether
+    the graph came from the one-shot build or the persisted store (one
+    oracle serves both).
+
+    Round shape (r13): the standing beam KEEPS its scores (the dot is
+    a pure function of (query, node), so re-scoring it every round was
+    pure waste); only newly discovered neighbors — already carrying
+    their vectors on the edge — are scored, against the broadcast
+    query batch. No corpus contact inside the loop: each round is
+    broadcast-joins over |q|·beam(·m) frames plus one dedup exchange
+    and the rank window. Set equality with the old
+    rescore-the-whole-candidate-set formulation is exact: candidates =
+    beam ∪ (neighbors \\ beam), scores deterministic, same
+    (dot DESC, node ASC) cut."""
     queries = iarr.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), F.col("iu").alias("q_iu")
     )
@@ -304,33 +336,36 @@ def _beam_serve(
         .limit(n_entry)
         .select("node")
     )
+    # the entry beam, scored once up front (≤ n_entry vectors join in)
+    ent_iu = entries.join(
+        iarr.withColumnRenamed("vec_id", "node"), "node"
+    ).select("node", "iu")
     beam_df = (
-        queries.select("q_id")
-        .crossJoin(F.broadcast(entries))
+        queries.crossJoin(F.broadcast(ent_iu))
         .filter(F.col("node") != F.col("q_id"))
+        .select("q_id", "node", _dot_col("q_iu", "iu").alias("dot_num"))
     )
     bw = Window.partitionBy("q_id").orderBy(F.col("dot_num").desc(), "node")
     for _ in range(rounds):
-        # the frontier is |q|·beam rows and its expansion |q|·beam·m —
-        # both corpus-size-independent; broadcast them so each round is
-        # a map-side pass over the (checkpointed) adjacency and corpus
         nbrs = F.broadcast(beam_df.select("q_id", "node")).join(
-            edges, beam_df["node"] == edges["src"]
-        ).select("q_id", F.col("dst").alias("node"))
-        cand = (
-            beam_df.select("q_id", "node")
-            .unionByName(nbrs)
-            .filter(F.col("node") != F.col("q_id"))
-            .distinct()
-        )
-        scored = (
-            F.broadcast(cand)
-            .join(iarr, cand["node"] == iarr["vec_id"])
+            edges_iu, beam_df["node"] == edges_iu["src"]
+        ).select("q_id", F.col("dst").alias("node"), "dst_iu")
+        fresh = (
+            nbrs.filter(F.col("node") != F.col("q_id"))
+            .dropDuplicates(["q_id", "node"])
+            .join(
+                F.broadcast(beam_df.select("q_id", "node")),
+                ["q_id", "node"],
+                "left_anti",
+            )
             .join(F.broadcast(queries), "q_id")
-            .select("q_id", "node", _dot_col("q_iu", "iu").alias("dot_num"))
+            .select(
+                "q_id", "node", _dot_col("q_iu", "dst_iu").alias("dot_num")
+            )
         )
         beam_df = (
-            scored.withColumn("brk", F.row_number().over(bw))
+            beam_df.unionByName(fresh)
+            .withColumn("brk", F.row_number().over(bw))
             .filter(F.col("brk") <= beam)
             .select("q_id", "node", "dot_num")
             .localCheckpoint()
@@ -828,17 +863,13 @@ def knn_graph_serve_frozen(
             f"knn_graph_serve_frozen: no complete store at {path} "
             "(missing/torn meta sidecar) — run knn_graph_store_ensure first"
         )
-    edges = (
-        _read_adjacency(spark, path)
-        .select("src", "dst")
-        .localCheckpoint()
-    )
     iarr = (
         spark.read.parquet(os.path.join(path, "nodes"))
         .select("vec_id", "iu")
         .localCheckpoint()
     )
-    return _beam_serve(edges, iarr, n_queries, topk, n_entry, beam, rounds)
+    edges_iu = _adjacency_with_vecs(_read_adjacency(spark, path), iarr)
+    return _beam_serve(edges_iu, iarr, n_queries, topk, n_entry, beam, rounds)
 
 
 def _read_adjacency(spark, path: str) -> DataFrame:
@@ -1148,13 +1179,17 @@ def knn_graph_beam_curve(
     widths; each width pays only its beam rounds (|q|·beam·m candidate
     rows per round). Exact trunc-div ppm integers end to end —
     oracle-paired (the twin re-runs the beam chain per width)."""
-    edges = (
-        knn_graph_edges(embeddings, m, n_probe, k, n_assign, cell_cap)
-        .select("src", "dst")
-        .localCheckpoint()
-    )
+    edges = knn_graph_edges(embeddings, m, n_probe, k, n_assign, cell_cap)
     iarr = _unit_int_arrays(embeddings).localCheckpoint()
-    return _beam_curve_from(edges, iarr, n_queries, topk, beams, n_entry, rounds)
+    return _beam_curve_from(
+        _adjacency_with_vecs(edges, iarr),
+        iarr,
+        n_queries,
+        topk,
+        beams,
+        n_entry,
+        rounds,
+    )
 
 
 def knn_graph_beam_curve_frozen(
@@ -1178,21 +1213,21 @@ def knn_graph_beam_curve_frozen(
         raise FileNotFoundError(
             f"knn_graph_beam_curve_frozen: no complete store at {path}"
         )
-    edges = (
-        spark.read.parquet(os.path.join(path, "edges"))
-        .select("src", "dst")
-        .localCheckpoint()
-    )
     iarr = (
         spark.read.parquet(os.path.join(path, "nodes"))
         .select("vec_id", "iu")
         .localCheckpoint()
     )
-    return _beam_curve_from(edges, iarr, n_queries, topk, beams, n_entry, rounds)
+    edges_iu = _adjacency_with_vecs(
+        spark.read.parquet(os.path.join(path, "edges")), iarr
+    )
+    return _beam_curve_from(
+        edges_iu, iarr, n_queries, topk, beams, n_entry, rounds
+    )
 
 
 def _beam_curve_from(
-    edges: DataFrame,
+    edges_iu: DataFrame,
     iarr: DataFrame,
     n_queries: int,
     topk: int,
@@ -1218,7 +1253,9 @@ def _beam_curve_from(
     )
     rows = []
     for b in beams:
-        approx = _beam_serve(edges, iarr, n_queries, topk, n_entry, b, rounds)
+        approx = _beam_serve(
+            edges_iu, iarr, n_queries, topk, n_entry, b, rounds
+        )
         hits = approx.join(F.broadcast(truth), ["q_id", "c_id"])
         per_q = hits.groupBy("q_id").agg(
             F.count(F.lit(1)).alias("n_hits"), F.min("rk").alias("first_rk")
@@ -1470,14 +1507,17 @@ def ann_knn_graph_filtered_topk(
 
     Output: (q_id, c_id, dot_num, rk) with rk dense over the MATCHING
     candidates per query."""
-    edges = (
-        knn_graph_edges(embeddings, m, n_probe, k, n_assign, cell_cap)
-        .select("src", "dst")
-        .localCheckpoint()
-    )
+    edges = knn_graph_edges(embeddings, m, n_probe, k, n_assign, cell_cap)
     iarr = _unit_int_arrays(embeddings).localCheckpoint()
     return _filtered_from(
-        edges, iarr, embeddings, n_queries, topk, n_entry, beam, rounds
+        _adjacency_with_vecs(edges, iarr),
+        iarr,
+        embeddings,
+        n_queries,
+        topk,
+        n_entry,
+        beam,
+        rounds,
     )
 
 
@@ -1503,23 +1543,21 @@ def ann_knn_graph_filtered_frozen(
         raise FileNotFoundError(
             f"ann_knn_graph_filtered_frozen: no complete store at {path}"
         )
-    edges = (
-        spark.read.parquet(os.path.join(path, "edges"))
-        .select("src", "dst")
-        .localCheckpoint()
-    )
     iarr = (
         spark.read.parquet(os.path.join(path, "nodes"))
         .select("vec_id", "iu")
         .localCheckpoint()
     )
+    edges_iu = _adjacency_with_vecs(
+        spark.read.parquet(os.path.join(path, "edges")), iarr
+    )
     return _filtered_from(
-        edges, iarr, embeddings, n_queries, topk, n_entry, beam, rounds
+        edges_iu, iarr, embeddings, n_queries, topk, n_entry, beam, rounds
     )
 
 
 def _filtered_from(
-    edges: DataFrame,
+    edges_iu: DataFrame,
     iarr: DataFrame,
     embeddings: DataFrame,
     n_queries: int,
@@ -1528,7 +1566,9 @@ def _filtered_from(
     beam: int,
     rounds: int,
 ) -> DataFrame:
-    full_beam = _beam_serve(edges, iarr, n_queries, beam, n_entry, beam, rounds)
+    full_beam = _beam_serve(
+        edges_iu, iarr, n_queries, beam, n_entry, beam, rounds
+    )
     labels = embeddings.select("vec_id", "label")
     q_labels = labels.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), F.col("label").alias("q_label")
