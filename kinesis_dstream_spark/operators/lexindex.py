@@ -103,24 +103,36 @@ def lex_postings(documents: DataFrame) -> DataFrame:
     table: its plan is the pruned postings read plus one narrow docs
     aggregate, nothing corpus-sized moves."""
     toks = tokens(F.lower(F.col("text")))
+    # r13 optimization (guide §2.4 — remove the shuffle outright): the
+    # postings used to be posexplode (one row per TOKEN) + a
+    # groupBy(doc, term) collect_list — a corpus-token-sized exchange
+    # with a sort, just to regroup positions that are derivable
+    # map-side. One row per DISTINCT term now explodes directly and its
+    # positions fall out of a filter over the token array — zero
+    # exchanges in the whole postings build (rows verified tuple-equal,
+    # and the serve/oracle contracts never depended on the plan).
     per = documents.select(
         "doc_id",
         F.size(toks).cast("long").alias("dl"),
-        F.posexplode(toks).alias("pos0", "term"),
+        toks.alias("t"),
+    ).select(
+        "doc_id", "dl", "t", F.explode(F.array_distinct("t")).alias("term")
     )
-    return (
-        per.groupBy("doc_id", "dl", "term")
-        .agg(
-            F.sort_array(F.collect_list(F.col("pos0") + 1)).alias("positions")
-        )
-        .select(
-            "term",
-            "doc_id",
-            F.size("positions").cast("long").alias("tf"),
-            "dl",
-            "positions",
-            _term_bucket(F.col("term")).alias("bucket"),
-        )
+    positions = F.expr(
+        "filter(sequence(1, size(t)), i -> element_at(t, CAST(i AS INT)) = term)"
+    )
+    return per.select(
+        "term",
+        "doc_id",
+        positions.alias("positions"),
+        "dl",
+    ).select(
+        "term",
+        "doc_id",
+        F.size("positions").cast("long").alias("tf"),
+        "dl",
+        "positions",
+        _term_bucket(F.col("term")).alias("bucket"),
     )
 
 
