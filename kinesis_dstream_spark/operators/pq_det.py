@@ -357,10 +357,29 @@ def ivf_pq_det_store_ensure(
     stored = stores.read_meta(path, _PQ_META)
     if stored is None or stored.get("fingerprint") != fp:
         stores.remove_meta(path, _PQ_META)
-        iarr, coarse_asg, coarse = _fit_kmeans(embeddings, k, n_assign)
-        codes, codebooks = _fit_pq(iarr, m, dsub, ksub, n_assign)
-        codes.join(
-            coarse_asg.select("vec_id", "cluster_id"), "vec_id"
+        iarr, _, coarse = _fit_kmeans(embeddings, k, n_assign)
+        _, codebooks = _fit_pq(iarr, m, dsub, ksub, n_assign)
+        # r13 (guide §2.4): the PQ codes and the coarse cell are BOTH
+        # map-side functions of the same checkpointed rows, so the
+        # write derives them in ONE projection instead of shuffle-
+        # joining the two frames on vec_id (the join was the only
+        # exchange in the whole ensure write path)
+        from kinesis_dstream_spark.operators.clustering import (
+            _argmin_cid_sql,
+            _sq_l2_fold_sql,
+        )
+
+        darr = (
+            "array("
+            + ",".join(_sq_l2_fold_sql("iu", coords) for _, coords in coarse)
+            + ")"
+        )
+        _fused_assign_codes(iarr, codebooks, dsub).select(
+            "vec_id",
+            *[f"code{s}" for s in range(m)],
+            F.expr(
+                _argmin_cid_sql(darr, [cid for cid, _ in coarse])
+            ).alias("cluster_id"),
         ).write.mode("overwrite").partitionBy("cluster_id").parquet(codes_path)
         stored = {
             "fingerprint": fp,
@@ -552,10 +571,14 @@ def ann_ivf_pq_res_topk(
     """
     iarr, coarse_asg, coarse = _fit_kmeans(embeddings, k, n_assign)
     resid = _residual_arrays(coarse_asg, coarse)
-    rcodes, rcbs = _fit_pq(
+    _, rcbs = _fit_pq(
         resid.select("vec_id", "iu"), m, dsub, ksub, n_assign, tag="rpq"
     )
-    codes = rcodes.join(coarse_asg.select("vec_id", "cluster_id"), "vec_id")
+    # r13 (guide §2.4): the residual frame carries the coarse cell —
+    # encode and cell in one projection, no vec_id shuffle join
+    codes = _fused_assign_codes(resid, rcbs, dsub, keep=("cluster_id",)).select(
+        "vec_id", *[f"code{s}" for s in range(m)], "cluster_id"
+    )
     return _ivf_pq_res_serve_from(
         embeddings, codes, coarse, rcbs, n_queries, topk, n_probe,
         shortlist, m, dsub,
@@ -678,11 +701,17 @@ def ivf_pq_res_store_ensure(
         stores.remove_meta(path, _RES_META)
         iarr, coarse_asg, coarse = _fit_kmeans(embeddings, k, n_assign)
         resid = _residual_arrays(coarse_asg, coarse)
-        rcodes, rcbs = _fit_pq(
+        _, rcbs = _fit_pq(
             resid.select("vec_id", "iu"), m, dsub, ksub, n_assign, tag="rpq"
         )
-        rcodes.join(
-            coarse_asg.select("vec_id", "cluster_id"), "vec_id"
+        # r13 (guide §2.4): the residual frame already CARRIES the
+        # coarse cell, so the final encode keeps it in the same
+        # projection instead of shuffle-joining back onto the coarse
+        # assignment on vec_id
+        _fused_assign_codes(resid, rcbs, dsub, keep=("cluster_id",)).select(
+            "vec_id",
+            *[f"code{s}" for s in range(m)],
+            "cluster_id",
         ).write.mode("overwrite").partitionBy("cluster_id").parquet(codes_path)
         stored = {
             "fingerprint": fp,
