@@ -630,6 +630,29 @@ BENCH_QUERIES = {
 }
 
 
+def _knn_graph_oneshot_action(spark):
+    """r13 MEASUREMENT NOTE (the bench-contract disclosure): the five
+    graph-family entries (`ann_knn_graph`, `knn_graph_stats`,
+    `knn_graph_beam_curve`, `ann_knn_graph_filtered`, and the graph leg
+    of `quantizer_matrix`) now serve from the family's ONE
+    build-if-absent persisted store (the r12 verdict's task 3 —
+    ~80 s of the r12 family cost was the same build re-paid five
+    times), so their r13 numbers price the serve, not a rebuild; the
+    r12 records (BENCH_r12.json / git BENCH_DETAIL.json) keep the old
+    build-per-call readings. This ADDED entry keeps the fresh
+    fit+build+serve cost measured under its own name so the build
+    price never disappears from the ledger."""
+    from kinesis_dstream_spark.operators import knn_graph
+    from kinesis_dstream_spark.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+
+    def oneshot() -> int:
+        return knn_graph.ann_knn_graph_topk(emb).count()
+
+    return {"ann_knn_graph_oneshot": oneshot}
+
+
 def _ann_index_actions(spark):
     """Build/serve split for the persisted index.
 
@@ -744,6 +767,7 @@ def main() -> None:
         for label, key in BENCH_QUERIES.items()
     }
     actions.update(_ann_index_actions(spark))
+    actions.update(_knn_graph_oneshot_action(spark))
 
     # Focused-family runs (iteration aid, never the committed record):
     # SPARK_GRAFT_BENCH_ONLY=label1,label2 times just those entries.
